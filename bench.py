@@ -1,0 +1,68 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {key: sec}, "sf": ...}.
+
+Methodology: one untimed warmup execution of the first query absorbs
+whole-stage-codegen + Arrow init; each query is then timed as the best of
+two runs (steady-state, BASELINE.md's like-for-like interpretation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+HEADLINE = [
+    "agg_pricing_summary",   # q1 shape (BASELINE.md)
+    "limit_topk",            # q3 shape
+    "join_multiway",         # q5 shape
+    "win_ranking",           # window rank
+    "agg_count_distinct",
+    "fn_json",
+    "sim_knn_cosine",        # exact cosine top-10
+    "dedup_fuzzy_minhash",
+    "text_tfidf",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from trireme_spark import registry
+    from trireme_spark.session import get_spark
+
+    spark = get_spark("trireme-bench", cpus=cpus, shuffle_partitions=32)
+
+    keys = [k for k in HEADLINE if k in registry.QUERIES]
+    if keys:  # warmup: codegen, Arrow, parquet footer caches
+        registry.QUERIES[keys[0]](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for key in keys:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            registry.QUERIES[key](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[key] = round(best, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

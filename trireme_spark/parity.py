@@ -1,0 +1,60 @@
+"""Spark-side helpers that make results bit-identical to the DuckDB oracle.
+
+The driver compares Spark vs DuckDB with an order-insensitive VALUE HASH
+(SURVEY.md §5.2), so "approximately equal" floats are a mismatch. These
+helpers eliminate nondeterminism at the source instead of hoping the hash
+tolerates it (SURVEY.md §5.3 parity traps):
+
+* **Double SUM/AVG** — parallel summation order differs between engines and
+  between runs (partial aggregation). Fix: evaluate the per-row expression in
+  IEEE double (bit-identical across engines for identical inputs and operator
+  order), round-trip through ``DECIMAL(27,6)`` (deterministic half-up
+  rounding of identical doubles), SUM exactly in decimal (order-independent),
+  cast the total back to double. AVG = exact-sum / count.
+  Oracle mirror: ``CAST(SUM(CAST(expr AS DECIMAL(27,6))) AS DOUBLE)``.
+  At 100 TB this costs one widening per row and keeps the sum in Spark's
+  native partial-aggregation path (decimal sums still map-side combine).
+* **Inexact stats (stddev/corr/percentile)** — no exact path; round both
+  sides coarsely enough that the cross-engine error (≤1e-9 relative) cannot
+  straddle a rounding boundary in practice.
+* **events.ts** — nanosecond parquet; Spark truncates to µs, DuckDB keeps ns.
+  Any query exposing or comparing raw ``ts`` goes through :func:`ts_ms`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DSCALE = "decimal(27,6)"
+
+
+def dsum(expr: Column | str) -> Column:
+    """Order-independent, cross-engine-exact SUM of a double expression."""
+    c = F.col(expr) if isinstance(expr, str) else expr
+    return F.sum(c.cast(DSCALE)).cast("double")
+
+
+def davg(expr: Column | str) -> Column:
+    """AVG as exact-sum / count — bit-identical to the oracle's mirror."""
+    c = F.col(expr) if isinstance(expr, str) else expr
+    return dsum(c) / F.count(F.lit(1))
+
+
+def oracle_sum(sql_expr: str) -> str:
+    """DuckDB mirror of :func:`dsum`."""
+    return f"CAST(SUM(CAST({sql_expr} AS DECIMAL(27,6))) AS DOUBLE)"
+
+
+def oracle_avg(sql_expr: str) -> str:
+    """DuckDB mirror of :func:`davg`."""
+    return f"{oracle_sum(sql_expr)} / COUNT(*)"
+
+
+def ts_ms(col: Column | str) -> Column:
+    """Truncate a timestamp to millisecond precision (ns/µs parity)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_trunc("millisecond", c)
+
+
+ORACLE_TS_MS = "date_trunc('millisecond', {col})"

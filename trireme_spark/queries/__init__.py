@@ -1,0 +1,7 @@
+"""Query modules — importing this package registers every SURVEY.md §2 key.
+
+One module per §2 group; each module registers (query fn, oracle SQL) pairs
+into :mod:`trireme_spark.registry`.
+"""
+
+from trireme_spark.queries import aggregates  # noqa: F401

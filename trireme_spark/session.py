@@ -1,0 +1,63 @@
+"""SparkSession factory with the engine's pinned configs (SURVEY.md §4).
+
+Two entry points:
+
+* :func:`get_spark` — build our own tuned local session (tests, bench.py).
+* :func:`prep` — runtime-normalize a session we did NOT build (the driver's):
+  only runtime-settable confs, so it is safe on any live session.
+
+Scale notes (100 TB design, tested on local[32]):
+* ``spark.sql.adaptive.enabled`` — AQE coalesces post-shuffle partitions and
+  splits skewed joins at runtime; this is the primary knob that lets the same
+  declarative plans run at sf0.001 and at cluster scale unchanged.
+* ``spark.sql.shuffle.partitions`` — local default 200 is pure overhead at
+  fixture scale (BASELINE.md: the single biggest local lever); on a real
+  cluster you'd size this ~2-3× total cores and let AQE coalesce down.
+* UTC session timezone — oracle parity for all date/time functions
+  (DuckDB's naive timestamps behave like UTC wall-clock).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "trireme-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    shuffle = shuffle_partitions or int(os.environ.get("TRIREME_SHUFFLE", "16"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    """Normalize runtime conf on a session we did not create.
+
+    Only runtime-settable confs here — never static ones. Idempotent and
+    cheap; called by every registered query so driver-run results match the
+    DuckDB oracle regardless of the driver session's defaults.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Fixture-scale correctness runs don't need 200 shuffle partitions; AQE
+    # coalesces anyway, this just trims scheduler overhead on local mode.
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass  # immutable in some environments; harmless
+    return spark

@@ -1,0 +1,43 @@
+"""Fixture table loader + generic source/sink helpers.
+
+Scale note: ``spark.read.parquet`` gives Catalyst the native vectorized
+parquet scan — predicate pushdown, column pruning and partition pruning all
+land here for free (verify with ``df.explain('formatted')`` →
+``PushedFilters`` / ``ReadSchema``). At 100 TB the same call reads a
+partitioned directory tree; nothing in the engine assumes single-file
+inputs.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table (TESTDATA.md:15)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def write_read_roundtrip(
+    df: DataFrame, fmt: str, tag: str, **writer_options
+) -> DataFrame:
+    """Write ``df`` out in ``fmt`` and read it back with the same schema.
+
+    Used by the s3/s4 source round-trip checks. The explicit read schema
+    mirrors production practice: schema inference is a full extra pass over
+    the data — never acceptable at 100 TB.
+    """
+    out = os.path.join(
+        tempfile.gettempdir(), f"trireme_spark_roundtrip_{fmt}_{tag}"
+    )
+    df.write.mode("overwrite").options(**writer_options).format(fmt).save(out)
+    reader = df.sparkSession.read.schema(df.schema).options(**writer_options)
+    return reader.format(fmt).load(out)
