@@ -5,3 +5,5 @@ into :mod:`trireme_spark.registry`.
 """
 
 from trireme_spark.queries import aggregates  # noqa: F401
+from trireme_spark.queries import filters  # noqa: F401
+from trireme_spark.queries import scans  # noqa: F401

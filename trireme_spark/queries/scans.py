@@ -1,0 +1,165 @@
+"""Scans / sources / sinks — SURVEY.md §2.1 (s1–s7).
+
+This group IS the reference's core surface (full-table scan → per-row
+doc mapping → batched keyed load, SURVEY.md §1.1). Re-expressed Spark-first:
+the scan is the vectorized parquet reader, the doc mapping is a projection
+Catalyst can prune/push through, and the keyed load is a window-dedup +
+idempotent overwrite write.
+
+Scale notes: s5's partitioned write is the substrate for partition pruning
+at 100 TB (a reader filtering on the partition column touches one
+directory). s7's last-write-wins shuffles once on the upsert key — at
+cluster scale that is the same plan, just more partitions, and AQE handles
+key skew.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trireme_spark.registry import register
+from trireme_spark.sources.io import table, write_read_roundtrip
+
+
+def _tmp(name: str, sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"trireme_{name}_{tag}")
+
+
+@register("scan_parquet", oracle="SELECT * FROM orders")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s1 — full-table scan (≙ the reference's Cassandra full export)."""
+    return table(spark, sf_dir, "orders")
+
+
+@register(
+    "scan_projected",
+    oracle="SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+)
+def scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s2 — scan with column pruning.
+
+    ``.explain('formatted')`` shows ReadSchema with exactly these three
+    columns — the projection reaches the parquet reader, which at 100 TB
+    means reading 3 column chunks instead of 16.
+    """
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@register("source_csv_roundtrip")  # rows-only (writes to a tmp dir)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s3 — write→read CSV with header + explicit schema."""
+    df = table(spark, sf_dir, "orders")
+    return write_read_roundtrip(
+        df, "csv", os.path.basename(sf_dir.rstrip("/")), header="true"
+    )
+
+
+@register("source_json_roundtrip")  # rows-only
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s4 — write→read JSON lines (nested JSON string column survives)."""
+    df = table(spark, sf_dir, "events")
+    return write_read_roundtrip(
+        df, "json", os.path.basename(sf_dir.rstrip("/"))
+    )
+
+
+@register("sink_partitioned_parquet")  # rows-only
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s5 — partitioned write; read back ONE partition.
+
+    The read filter on the partition column prunes directories before any
+    file IO (PartitionFilters in the explain output) — the layout pattern
+    that makes selective readers cheap at 100 TB.
+    """
+    out = _tmp("sink_part", sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    (
+        li.write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).where(F.col("l_returnflag") == "A")
+    return back.select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+_S6_ORACLE = """
+SELECT o_orderkey AS doc_id,
+       c_name     AS customer_name,
+       o_orderstatus AS status,
+       o_totalprice  AS total,
+       CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS priority_rank,
+       'orders' AS source_table
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@register("doc_assembly", oracle=_S6_ORACLE)
+def doc_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s6 — the reference's central op: source row → sink document.
+
+    Builds the nested document (rename + computed field + literal + struct
+    nesting + JSON serialization), then re-projects the leaf fields so the
+    oracle comparison stays flat. ``to_json`` output itself is engine-
+    formatted, so it is exercised but not compared.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    doc = joined.select(
+        F.struct(
+            F.col("o_orderkey").alias("doc_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+            F.substring("o_orderpriority", 1, 1)
+            .cast("int")
+            .alias("priority_rank"),
+            F.lit("orders").alias("source_table"),
+        ).alias("doc")
+    ).withColumn("doc_json", F.to_json("doc"))
+    # flatten the assembled document back out for the value comparison
+    return doc.select("doc.*")
+
+
+_S7_ORACLE = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       value AS last_value
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+@register("sink_batched_upsert", oracle=_S7_ORACLE)
+def sink_batched_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s7 — idempotent keyed load: last-write-wins per key (Solr
+    overwrite-by-uniqueKey semantics), materialized through a parquet sink
+    and read back, so re-running converges to the same state.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+    out = _tmp("sink_upsert", sf_dir)
+    latest.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

@@ -54,6 +54,9 @@ def prep(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # events.parquet carries TIMESTAMP(NANOS); Spark 4 errors without this
+    # (see sources/io.py:table).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Fixture-scale correctness runs don't need 200 shuffle partitions; AQE
     # coalesces anyway, this just trims scheduler overhead on local mode.
     try:

@@ -22,8 +22,23 @@ TABLES = (
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table (TESTDATA.md:15)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one fixture table (TESTDATA.md:15).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
+    natively (PARQUET_TYPE_ILLEGAL — verified on 4.1.2). We read it as raw
+    nanos via the ``nanosAsLong`` legacy conf and floor-truncate to µs —
+    exactly what DuckDB's reader does — so both engines see identical
+    timestamps. This stays fully distributed (a column projection, no
+    driver-side rewrite).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return spark.read.parquet(path)
 
 
 def write_read_roundtrip(
