@@ -6,4 +6,6 @@ into :mod:`trireme_spark.registry`.
 
 from trireme_spark.queries import aggregates  # noqa: F401
 from trireme_spark.queries import filters  # noqa: F401
+from trireme_spark.queries import joins  # noqa: F401
 from trireme_spark.queries import scans  # noqa: F401
+from trireme_spark.queries import sorts_sets  # noqa: F401

@@ -15,6 +15,8 @@ from trireme_spark.parity import davg, dsum, oracle_avg, oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
 _A1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        {oracle_sum('l_quantity')} AS sum_qty,
@@ -56,4 +58,198 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+_A2_ORACLE = f"""
+SELECT COUNT(*) AS n_rows,
+       {oracle_sum('l_extendedprice')} AS total_price,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       {oracle_avg('l_quantity')} AS avg_qty,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+"""
+
+
+@register("agg_global", oracle=_A2_ORACLE)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a2 — grand-total aggregates (no GROUP BY): a single partial-agg
+    tree that reduces to one row; min/max of stored doubles are exact."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("total_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_quantity").alias("avg_qty"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+_A3_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_count_distinct", oracle=_A3_ORACLE)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a3 — exact COUNT(DISTINCT): Catalyst expands to a two-phase
+    aggregate (distinct on (type, user) then count) — no driver-side set."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: sketches differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a4 — HLL++ approximate distinct (rsd=0.01).
+
+    The 100 TB path: approx_count_distinct shuffles fixed-size sketches
+    instead of the distinct tuples themselves. Accuracy vs the exact count
+    is asserted in tests/test_quality.py, not by the value oracle (DuckDB's
+    sketch differs)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+_A5_ORACLE = f"""
+SELECT 'rollup' AS mode, l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n, {oracle_sum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube' AS mode, l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n, {oracle_sum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_grouping_sets", oracle=_A5_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a5 — ROLLUP + CUBE with grouping_id (bit order verified identical
+    to DuckDB's GROUPING: first groupBy column = most significant bit)."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def agg(grouped, mode):
+        return grouped.agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+        ).select(
+            F.lit(mode).alias("mode"),
+            "l_returnflag",
+            "l_linestatus",
+            "gid",
+            "n",
+            "sum_qty",
+        )
+
+    ro = agg(li.rollup("l_returnflag", "l_linestatus"), "rollup")
+    cu = agg(li.cube("l_returnflag", "l_linestatus"), "cube")
+    return ro.unionByName(cu)
+
+
+_A6_ORACLE = """
+SELECT event_type,
+       list(DISTINCT user_id ORDER BY user_id) AS users_sorted,
+       list(event_id ORDER BY event_id DESC)[1:5] AS latest_ids
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_collect", oracle=_A6_ORACLE)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a6 — collect_list/collect_set, wrapped deterministic (sorted /
+    sliced) because bare collect order is partition-dependent."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_set("user_id")).alias("users_sorted"),
+        F.slice(
+            F.sort_array(F.collect_list("event_id"), asc=False), 1, 5
+        ).alias("latest_ids"),
+    )
+
+
+_A7_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("agg_percentile", oracle=_A7_ORACLE)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a7 — exact interpolated percentiles (Spark ``percentile`` ≙ DuckDB
+    ``quantile_cont``), rounded to absorb sub-ulp interpolation diffs."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_A8_ORACLE = f"""
+SELECT user_id % 10 AS cohort,
+       {oracle_sum("CASE WHEN event_type = 'click' THEN value END")} AS click,
+       {oracle_sum("CASE WHEN event_type = 'error' THEN value END")} AS error,
+       {oracle_sum("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+       {oracle_sum("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
+       {oracle_sum("CASE WHEN event_type = 'view' THEN value END")} AS view
+FROM events GROUP BY user_id % 10
+"""
+
+
+@register("agg_pivot", oracle=_A8_ORACLE)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a8 — pivot event_type → columns.
+
+    The pivot value list is explicit: without it Spark runs an extra
+    distinct-collect job over the full table just to learn the columns —
+    wasteful at fixture scale, prohibitive at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(dsum("value"))
+    )
+
+
+_A9_ORACLE = """
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+       ROUND(var_samp(l_quantity), 6) AS var_qty,
+       ROUND(corr(l_extendedprice, l_quantity), 8) AS corr_price_qty,
+       ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS covar_price_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_stats", oracle=_A9_ORACLE)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a9 — statistical aggregates. These have no exact decimal bridge
+    (merge formulas are inherently float), so both sides round coarsely
+    enough that cross-engine error (~1e-12 relative) cannot straddle a
+    boundary."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 8).alias(
+            "corr_price_qty"
+        ),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
+            "covar_price_qty"
+        ),
     )

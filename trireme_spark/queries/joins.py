@@ -1,0 +1,332 @@
+"""Joins — SURVEY.md §2.3 (j1–j9).
+
+Join-strategy notes for 100 TB (SURVEY.md §4): dims (region, nation,
+supplier, customer at small SF) broadcast — explicitly hinted where the plan
+must never degrade to a shuffle (j3, j9). Fact-fact joins shuffle on their
+keys and rely on AQE for skew splitting. The non-equi joins (j5, j8) always
+carry an equi conjunct (brand / user_id) so Catalyst plans a hash or
+sort-merge join with the range condition as a post-join filter — never a
+cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trireme_spark.operators.asof import asof_join
+from trireme_spark.parity import dsum, oracle_sum
+from trireme_spark.registry import register
+from trireme_spark.sources.io import table
+
+_J1_ORACLE = """
+SELECT o_orderkey, c_custkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 30000
+"""
+
+
+@register("join_inner_equi", oracle=_J1_ORACLE)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j1 — plain equi inner join; planner picks broadcast vs SMJ by size."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 30000)
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+_J2_ORACLE = """
+SELECT 'left' AS side, c_custkey, o_orderkey, o_totalprice
+FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+     ON c_custkey = o_custkey
+UNION ALL
+SELECT 'right' AS side, c_custkey, o_orderkey, o_totalprice
+FROM (SELECT * FROM customer WHERE c_acctbal < 0) c
+     RIGHT JOIN orders ON c_custkey = o_custkey
+UNION ALL
+SELECT 'full' AS side, c_custkey, o_orderkey, o_totalprice
+FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+     FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+     ON c_custkey = o_custkey
+"""
+
+
+@register("join_left_right_full", oracle=_J2_ORACLE)
+def join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j2 — the three outer variants, tagged and unioned, with real null
+    sides on each (filtered inputs guarantee unmatched rows)."""
+
+    def cols(side, df):
+        return df.select(
+            F.lit(side).alias("side"),
+            "c_custkey",
+            "o_orderkey",
+            "o_totalprice",
+        )
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 150000)
+    left = c.join(big, c.c_custkey == big.o_custkey, "left")
+    right = c.where(F.col("c_acctbal") < 0).join(
+        o, F.col("c_custkey") == o.o_custkey, "right"
+    )
+    full = c.where(F.col("c_acctbal") > 9000).join(
+        big, F.col("c_custkey") == big.o_custkey, "full"
+    )
+    return (
+        cols("left", left)
+        .unionByName(cols("right", right))
+        .unionByName(cols("full", full))
+    )
+
+
+_J3_ORACLE = f"""
+SELECT r_name, n_name,
+       {oracle_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+@register("join_broadcast", oracle=_J3_ORACLE)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j3 — star join with explicit broadcast hints on every dim.
+
+    The explain plan shows three BroadcastHashJoins and zero shuffles before
+    the final aggregation — at 100 TB the fact table streams through
+    map-side joins, the only shuffle being the 125-group aggregate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_J4_ORACLE = """
+SELECT 'with_big_order' AS tag, c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+UNION ALL
+SELECT 'no_orders' AS tag, c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("join_semi_anti", oracle=_J4_ORACLE)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j4 — left-semi (EXISTS) and left-anti (NOT EXISTS)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 150000)
+    semi = c.join(
+        big, c.c_custkey == big.o_custkey, "left_semi"
+    ).select(F.lit("with_big_order").alias("tag"), "c_custkey", "c_name")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("no_orders").alias("tag"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti)
+
+
+_J5_ORACLE = """
+SELECT a.p_partkey AS small_key, b.p_partkey AS big_key,
+       a.p_brand AS brand, a.p_size AS small_size, b.p_size AS big_size
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand
+ AND a.p_size < b.p_size
+ AND b.p_size - a.p_size <= 3
+ AND a.p_partkey < b.p_partkey
+"""
+
+
+@register("join_theta_range", oracle=_J5_ORACLE)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j5 — non-equi (banded) self-join.
+
+    The brand equi-conjunct is the scale guard: Catalyst joins on brand and
+    applies the size-band predicate as a filter, so cost is
+    sum(per-brand-group²), never |part|². For heavier skew you'd band
+    p_size into buckets and join on (brand, bucket±1).
+    """
+    p = table(spark, sf_dir, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    return a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") < F.col("b.p_size"))
+        & (F.col("b.p_size") - F.col("a.p_size") <= 3)
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_partkey").alias("small_key"),
+        F.col("b.p_partkey").alias("big_key"),
+        F.col("a.p_brand").alias("brand"),
+        F.col("a.p_size").alias("small_size"),
+        F.col("b.p_size").alias("big_size"),
+    )
+
+
+_J6_ORACLE = """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+"""
+
+
+@register("join_cross", oracle=_J6_ORACLE)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j6 — explicit cartesian product (tiny dims only — by design)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+_J7_ORACLE = """
+WITH clicks AS (
+    SELECT user_id, ts, value, event_id FROM events
+    WHERE event_type = 'click'
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+), purchases AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+       p.ts AS purchase_ts, c.ts AS asof_ts, c.value AS asof_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("join_asof", oracle=_J7_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j7 — as-of join: each purchase gets the latest click at or before it.
+
+    Implemented by :func:`trireme_spark.operators.asof.asof_join` (union +
+    window; one shuffle, O(1) window state). The oracle uses DuckDB's native
+    ASOF JOIN. Clicks are deduped per (user, ts) first so engines agree on
+    the survivor when timestamps collide.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts", "value", "event_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        right_tie_col="event_id",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "asof_ts",
+        F.col("asof_value").alias("asof_value"),
+    )
+
+
+_J8_ORACLE = """
+SELECT s.event_id AS signup_id, p.event_id AS followup_id,
+       s.user_id AS user_id, s.ts AS signup_ts, p.ts AS followup_ts
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("join_interval", oracle=_J8_ORACLE)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j8 — interval containment join (purchase within 1 h of signup),
+    equi on user_id + range filter — hash join, not BNL."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").alias("s")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    return s.join(
+        p,
+        (F.col("s.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("s.ts"))
+        & (F.col("p.ts") < F.col("s.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("s.event_id").alias("signup_id"),
+        F.col("p.event_id").alias("followup_id"),
+        F.col("s.user_id").alias("user_id"),
+        F.col("s.ts").alias("signup_ts"),
+        F.col("p.ts").alias("followup_ts"),
+    )
+
+
+_J9_ORACLE = f"""
+SELECT n_name,
+       {oracle_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@register("join_multiway", oracle=_J9_ORACLE)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j9 — TPC-H Q5 shape: 6-table chain, dims broadcast, facts joined
+    smallest-first (orders filtered by date before touching lineitem)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )

@@ -1,0 +1,211 @@
+"""Sorts / limits / top-k (o1–o2) and set operations / dedup (u1–u3) —
+SURVEY.md §2.6–2.7.
+
+Scale notes: o2's ``orderBy().limit(k)`` compiles to TakeOrderedAndProject —
+each partition keeps a k-row heap and only k·partitions rows ever move, never
+a global sort. o1 pins a total order (unique tie-break key) so the emitted
+ranks are deterministic — under-specified ORDER BY is a correctness bug
+waiting for a partition-count change to expose it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trireme_spark.parity import dsum, oracle_sum
+from trireme_spark.registry import register
+from trireme_spark.sources.io import table
+
+_O1_ORACLE = """
+SELECT ROW_NUMBER() OVER (
+           ORDER BY NULLIF(o_orderstatus, 'P') DESC NULLS LAST,
+                    o_totalprice ASC, o_orderkey ASC) AS pos,
+       o_orderkey,
+       NULLIF(o_orderstatus, 'P') AS status_or_null,
+       o_totalprice
+FROM orders
+WHERE o_totalprice > 150000
+"""
+
+
+@register("sort_multi_key", oracle=_O1_ORACLE)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """o1 — multi-key ORDER BY with DESC NULLS LAST, made verifiable: the
+    emitted position column proves the order, and the unique key tie-break
+    makes it total."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    status = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    order = [
+        status.desc_nulls_last(),
+        F.col("o_totalprice").asc(),
+        F.col("o_orderkey").asc(),
+    ]
+    return (
+        o.select(
+            F.row_number().over(Window.orderBy(*order)).alias("pos"),
+            "o_orderkey",
+            status.alias("status_or_null"),
+            "o_totalprice",
+        )
+        .orderBy("pos")
+    )
+
+
+_O2_ORACLE = f"""
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       {oracle_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("limit_topk", oracle=_O2_ORACLE)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """o2 — TPC-H Q3 shape: global top-10 by revenue.
+
+    ``orderBy().limit(10)`` → TakeOrderedAndProject (per-partition heaps);
+    the exact decimal revenue makes the top-10 cut deterministic across
+    engines, with o_orderkey as the tie-break."""
+    c = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias(
+                "order_date"
+            ),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_U1_ORACLE = """
+SELECT 'all' AS mode, o_orderkey FROM (
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+    UNION ALL
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+UNION ALL
+SELECT 'distinct' AS mode, o_orderkey FROM (
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+    UNION
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@register("set_union", oracle=_U1_ORACLE)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u1 — UNION ALL (multiset, keeps overlap duplicates) vs UNION
+    (distinct), tagged side by side."""
+    o = table(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 150000).select("o_orderkey")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    union_all = big.unionByName(urgent)
+    union_distinct = union_all.distinct()
+    return union_all.select(
+        F.lit("all").alias("mode"), "o_orderkey"
+    ).unionByName(
+        union_distinct.select(F.lit("distinct").alias("mode"), "o_orderkey")
+    )
+
+
+_U2_ORACLE = """
+SELECT 'intersect' AS mode, c FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_totalprice > 100000
+    INTERSECT
+    SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+UNION ALL
+SELECT 'except' AS mode, c FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_totalprice > 100000
+    EXCEPT
+    SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+UNION ALL
+SELECT 'except_all' AS mode, c FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_totalprice > 100000
+    EXCEPT ALL
+    SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@register("set_intersect_except", oracle=_U2_ORACLE)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u2 — INTERSECT / EXCEPT / EXCEPT ALL (multiset difference)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c")
+    )
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c")
+    )
+
+    def tag(df, mode):
+        return df.select(F.lit(mode).alias("mode"), "c")
+
+    return (
+        tag(a.intersect(b), "intersect")
+        .unionByName(tag(a.subtract(b), "except"))
+        .unionByName(tag(a.exceptAll(b), "except_all"))
+    )
+
+
+_U3_ORACLE = """
+SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type
+    ORDER BY ts ASC, event_id ASC) = 1
+"""
+
+
+@register("dedup_exact", oracle=_U3_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u3 — exact dedup on a column subset with a DETERMINISTIC survivor
+    (earliest ts, then lowest id) — ``dropDuplicates`` semantics but
+    reproducible across partitionings, which bare dropDuplicates is not."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
