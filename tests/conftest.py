@@ -79,12 +79,15 @@ def canon_value(v):
 
 
 def canon_frame(pdf: pd.DataFrame):
+    """Rows as canonical REPR strings: '1' vs '1.0' must differ — the
+    driver's value hash sees dtype drift (e.g. DuckDB sign()→TINYINT vs
+    Spark signum()→DOUBLE), so the local mirror must too."""
     cols = sorted(pdf.columns)
     rows = [
-        tuple(canon_value(v) for v in row)
+        repr(tuple(canon_value(v) for v in row))
         for row in pdf[cols].itertuples(index=False, name=None)
     ]
-    rows.sort(key=repr)
+    rows.sort()
     return cols, rows
 
 

@@ -1,0 +1,292 @@
+"""Scalar functions: string / fuzzy / date / math / array / map / JSON —
+SURVEY.md §2.8 (f1–f7).
+
+All per-row expressions inside whole-stage codegen. Cross-engine traps
+handled here (SURVEY.md §5.3): transcendental math rounds to 8–10 decimals
+(libm vs java.lang.Math differ by ulps), ceil/floor cast to BIGINT
+explicitly (Spark returns LONG, DuckDB DOUBLE), DuckDB alias differences
+noted per oracle (instr→strpos, datediff arg order, pmod→((x%y)+y)%y).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trireme_spark.registry import register
+from trireme_spark.sources.io import table
+
+_F1_ORACLE = r"""
+SELECT p_partkey,
+       concat(p_brand, ':', p_name) AS branded,
+       upper(p_name) AS name_upper,
+       lower(p_type) AS type_lower,
+       substr(p_name, 1, 5) AS name_head,
+       length(p_name) AS name_len,
+       trim('  ' || p_name || ' ') AS retrimmed,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       string_split(p_name, ' ')[1] AS first_word,
+       regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       replace(p_type, 'ECONOMY', 'ECO') AS type_short,
+       strpos(p_name, 'widget') AS widget_at
+FROM part
+"""
+
+
+@register("fn_string", oracle=_F1_ORACLE)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f1 — the core string surface. Oracle aliases: instr→strpos,
+    split→string_split (1-indexed), regexp_replace needs the 'g' flag in
+    DuckDB (Spark replaces all by default)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_name")).alias(
+            "branded"
+        ),
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias(
+            "retrimmed"
+        ),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.replace(
+            F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")
+        ).alias("type_short"),
+        F.instr("p_name", "widget").alias("widget_at"),
+    )
+
+
+_F2_ORACLE = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
+@register("fn_string_fuzzy", oracle=_F2_ORACLE)
+def fn_string_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f2 — Levenshtein similarity pairs, brand-blocked.
+
+    The brand equi-conjunct is the blocking key (SURVEY.md §2.3 j5 note):
+    per-block quadratic, never global quadratic — the same pattern the
+    dedup operators use at scale."""
+    p = table(spark, sf_dir, "part")
+    a, b = p.alias("a"), p.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(lev <= 4)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lev.alias("edit_dist"),
+        )
+    )
+
+
+_F3_ORACLE = """
+SELECT o_orderkey,
+       year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+       day(o_orderdate) AS dy,
+       date_trunc('month', o_orderdate) AS month_start,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+           AS days_to_98,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus_30,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       CAST(make_date(2020, month(o_orderdate), 15) AS VARCHAR) AS mid_month
+FROM orders
+"""
+
+
+@register("fn_date", oracle=_F3_ORACLE)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f3 — date/time surface. DuckDB arg-order differences (datediff takes
+    the part first, start-before-end) are absorbed in the oracle text; DATE
+    results output as strings (pandas-bridge trap)."""
+    o = table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(od).alias("yr"),
+        F.month(od).alias("mo"),
+        F.dayofmonth(od).alias("dy"),
+        F.date_trunc("month", od).alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), od.cast("date")).alias(
+            "days_to_98"
+        ),
+        F.date_add(od.cast("date"), 30).cast("string").alias("plus_30"),
+        F.last_day(od.cast("date")).cast("string").alias("month_end"),
+        F.unix_timestamp(od).alias("epoch_s"),
+        F.make_date(F.lit(2020), F.month(od), F.lit(15))
+        .cast("string")
+        .alias("mid_month"),
+    )
+
+
+_F4_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1) AS price_r1,
+       abs(l_discount - 0.05) AS disc_dev,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       pow(l_quantity, 2) AS qty_sq,
+       round(exp(l_discount), 4) AS exp_disc,
+       round(ln(l_extendedprice), 4) AS ln_price,
+       round(log10(l_extendedprice), 4) AS log10_price,
+       sqrt(l_quantity) AS sqrt_qty,
+       CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+       ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS key_mod7
+FROM lineitem WHERE l_linenumber = 1
+"""
+
+
+@register("fn_math", oracle=_F4_ORACLE)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f4 — math surface. sqrt/abs/round are IEEE-exact cross-engine;
+    exp/ln/log10 round to 4 — libm vs java.lang.Math differ by ulps, and at 600k rows a 1-ulp drift straddles a fine rounding grid with near-certainty; a coarse grid makes straddle odds ~1e-5; pmod mirrored as
+    ((x%y)+y)%y in the oracle."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.round(F.exp("l_discount"), 4).alias("exp_disc"),
+        F.round(F.log("l_extendedprice"), 4).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 4).alias("log10_price"),
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        # sign cast to int on both sides: Spark signum→DOUBLE,
+        # DuckDB sign→TINYINT — an int-vs-float hash mismatch otherwise.
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
+    )
+
+
+_F5_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+)
+SELECT vec_id, label,
+       len(emb) AS dim,
+       round(emb[1], 6) AS first_dim,
+       round(list_aggregate(emb, 'sum'), 6) AS vec_sum,
+       round(list_aggregate(
+           list_transform(emb, x -> x * x), 'sum'), 6) AS norm_sq,
+       len(list_filter(emb, x -> x > 0)) AS n_positive,
+       round(list_aggregate(emb[1:8], 'max'), 6) AS head_max,
+       len(list_distinct(list_transform(emb, x -> round(x, 1))))
+           AS distinct_rounded
+FROM e
+"""
+
+
+@register("fn_array", oracle=_F5_ORACLE)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f5 — higher-order array functions over embeddings (float32 cast to
+    double first; both engines then left-fold identically, so sums are
+    bit-stable before the defensive round). Explode/posexplode are
+    exercised by the text pipeline (l1) and UDTF (x5) keys."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = e.select("vec_id", "label", emb.alias("emb"))
+    fold_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return d.select(
+        "vec_id",
+        "label",
+        F.size("emb").alias("dim"),
+        F.round(F.col("emb").getItem(0), 6).alias("first_dim"),
+        F.round(fold_sum(F.col("emb")), 6).alias("vec_sum"),
+        F.round(
+            fold_sum(F.transform(F.col("emb"), lambda x: x * x)), 6
+        ).alias("norm_sq"),
+        F.size(F.filter(F.col("emb"), lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.array_max(F.slice(F.col("emb"), 1, 8)), 6
+        ).alias("head_max"),
+        F.size(
+            F.array_distinct(
+                F.transform(F.col("emb"), lambda x: F.round(x, 1))
+            )
+        ).alias("distinct_rounded"),
+    )
+
+
+_F6_ORACLE = """
+SELECT event_id,
+       event_type AS type_val,
+       CAST(event_id AS VARCHAR) AS id_val,
+       2 AS n_keys,
+       'id,type' AS keys_sorted
+FROM events
+"""
+
+
+@register("fn_map", oracle=_F6_ORACLE)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f6 — MapType surface: build a map per row, read it back via
+    element_at / map_keys. The oracle is the flat equivalent (map output
+    itself would hit the pandas-bridge trap; semantics are identical)."""
+    ev = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("id"),
+        F.col("event_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "id").alias("id_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
+
+
+_F7_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract(props, '$.k') AS INTEGER) * 2 AS k_doubled,
+       json_extract_string(props, '$.missing') AS missing_val
+FROM events
+"""
+
+
+@register("fn_json", oracle=_F7_ORACLE)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f7 — JSON surface over events.props: typed extraction via from_json
+    (schema'd, codegen-friendly — the 100 TB path), stringly via
+    get_json_object, missing-path → NULL."""
+    ev = table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_int"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        (parsed.getField("k") * 2).alias("k_doubled"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    )

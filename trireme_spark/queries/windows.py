@@ -1,0 +1,196 @@
+"""Window functions — SURVEY.md §2.5 (w1–w5).
+
+Determinism discipline: every ROW-frame / row_number ordering carries a
+unique tie-break key (partition-count changes reorder ties otherwise —
+a latent bug at any scale); rank/percent_rank deliberately order by the
+tie-prone key alone so peer semantics are actually exercised. Running sums
+use the decimal parity bridge inside the window (sequential accumulation is
+order-defined, but decimal keeps it airtight).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trireme_spark.parity import DSCALE
+from trireme_spark.registry import register
+from trireme_spark.sources.io import table
+
+_W1_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+       ROW_NUMBER() OVER (PARTITION BY l_suppkey
+           ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn,
+       RANK() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY l_suppkey
+           ORDER BY l_quantity DESC) AS drnk,
+       NTILE(4) OVER (PARTITION BY l_suppkey
+           ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS quartile
+FROM lineitem
+"""
+
+
+@register("win_ranking", oracle=_W1_ORACLE)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w1 — row_number / rank / dense_rank / ntile. rank & dense_rank order
+    by the tie-heavy quantity alone (real peer groups); row_number & ntile
+    add unique tie-breaks for determinism."""
+    li = table(spark, sf_dir, "lineitem")
+    total = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
+    )
+    ties = Window.partitionBy("l_suppkey").orderBy(F.col("l_quantity").desc())
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.row_number().over(total).alias("rn"),
+        F.rank().over(ties).alias("rnk"),
+        F.dense_rank().over(ties).alias("drnk"),
+        F.ntile(4).over(total).alias("quartile"),
+    )
+
+
+_W2_ORACLE = """
+SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+    SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn <= 3
+"""
+
+
+@register("win_topk_per_group", oracle=_W2_ORACLE)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w2 — top-3 orders per customer.
+
+    At 100 TB: Spark 3.5+ rewrites rn<=3-over-window into a
+    WindowGroupLimit (per-partition top-k heaps before the shuffle), so
+    this does NOT sort whole partitions."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+_W3_ORACLE = """
+SELECT event_id, user_id, value,
+       value - LAG(value) OVER w AS delta_value,
+       LEAD(event_type) OVER w AS next_type,
+       LAG(event_type, 2, 'none') OVER w AS prev2_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("win_lag_lead", oracle=_W3_ORACLE)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w3 — per-user event deltas via lag/lead (with default value)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lag("event_type", 2, "none").over(w).alias("prev2_type"),
+    )
+
+
+_W4_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_spend,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+           ORDER BY o_totalprice
+           RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS near_price_spend
+FROM orders
+"""
+
+
+@register("win_running_frame", oracle=_W4_ORACLE)
+def win_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w4 — running total (ROWS frame) + numeric RANGE frame.
+
+    RANGE peers are value-defined, so no tie-break is needed (or allowed);
+    the ROWS frame gets the usual unique ordering."""
+    o = table(spark, sf_dir, "orders")
+    rows_w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    range_w = (
+        Window.orderBy(F.col("o_totalprice"))
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    price_dec = F.col("o_totalprice").cast(DSCALE)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.sum(price_dec).over(rows_w).cast("double").alias("running_spend"),
+        F.sum(price_dec).over(range_w).cast("double").alias(
+            "near_price_spend"
+        ),
+    )
+
+
+_W5_ORACLE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       ROUND(PERCENT_RANK() OVER peers, 8) AS pct_rank,
+       ROUND(CUME_DIST() OVER peers, 8) AS cume,
+       FIRST_VALUE(o_orderkey) OVER seq AS cheapest_key,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+       ) AS priciest_key
+FROM orders
+WINDOW peers AS (PARTITION BY o_orderpriority ORDER BY o_totalprice),
+       seq AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_analytic", oracle=_W5_ORACLE)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w5 — percent_rank / cume_dist (peer semantics on the raw ordering)
+    + first/last value over explicit ROWS frames."""
+    o = table(spark, sf_dir, "orders")
+    peers = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    seq = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tail = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(peers), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(peers), 8).alias("cume"),
+        F.first("o_orderkey").over(seq).alias("cheapest_key"),
+        F.last("o_orderkey").over(tail).alias("priciest_key"),
+    )
