@@ -21,5 +21,7 @@ def tokenize(text: Column | str, drop_stopwords: bool = False) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(c), r"\s+")
     if drop_stopwords:
-        toks = F.array_except(toks, F.array(*[F.lit(s) for s in STOPWORDS]))
+        # F.filter, NOT array_except: array_except deduplicates, which
+        # silently destroys term frequencies downstream (tf-idf, counts).
+        toks = F.filter(toks, lambda t: ~t.isin(STOPWORDS))
     return toks

@@ -1,0 +1,178 @@
+"""Set- and vector-similarity operators (SURVEY.md §2.11 l5–l10).
+
+Everything is pure column algebra — MinHash signatures, LSH banding, prefix
+filtering and cosine folds are all codegen'd expressions; shuffles happen
+only on the candidate keys (band hash / shingle / bucket). No Python in the
+row path, no global cross joins except where a brute-force baseline is the
+explicit point (exact kNN at fixture scale — its designed 100 TB degradation
+path is the LSH/IVF prefilter, SURVEY.md §4).
+
+Candidate-generation soundness: LSH banding is probabilistic (can miss
+true pairs), so the near-dup join ALSO generates candidates by prefix
+filtering (Chaudhuri et al. 2006 / Bayardo et al. 2007: if J(a,b) ≥ t,
+the first ``|S| - ceil(t*|S|) + 1`` elements of the sets, sorted by a
+global rarity order, must overlap). The union is provably a superset of
+all true pairs — LSH supplies the at-scale fast path, the prefix filter
+the guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------- text shingles / MinHash / LSH ----------------------------------
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """k-word shingles from a token array (empty if fewer than k tokens)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j) for j in range(k)]
+        ),
+    )
+
+
+def minhash_signature(shingle_set: Column, n_perm: int = 64) -> Column:
+    """n_perm-element MinHash signature.
+
+    Hash family: h_i(s) = xxhash64(s, i) — one JVM hash call per
+    (shingle, permutation), evaluated inside codegen; the signature for a
+    doc with S shingles costs S·n_perm hashes, no shuffle."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(shingle_set, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int = 8, rows: int = 8) -> Column:
+    """Split a signature into ``bands`` hashed band keys.
+
+    Two docs sharing any band key become candidates; for t≈(1/bands)^(1/rows)
+    (~0.77 for 8×8) the S-curve catches J ≥ 0.8 pairs with high probability.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sig, b * rows + 1, rows),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("bucket"),
+        ),
+    )
+
+
+def candidate_pairs_lsh(
+    docs: DataFrame, id_col: str, sig_col: str, bands: int = 8, rows: int = 8
+) -> DataFrame:
+    """Distinct candidate id pairs (a < b) from LSH band buckets.
+
+    One shuffle on (band, bucket); bucket sizes stay small because band
+    hashes are near-uniform — the skew failure mode of naive blocking
+    doesn't apply."""
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(lsh_band_keys(F.col(sig_col), bands, rows)).alias("bk"),
+    ).select("id", "bk.band", "bk.bucket")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def candidate_pairs_prefix(
+    docs: DataFrame, id_col: str, set_col: str, threshold: float
+) -> DataFrame:
+    """SOUND candidate pairs (a < b) by prefix filtering.
+
+    Elements are globally ordered rarest-first (document frequency, then
+    value) so prefixes are made of rare shingles → tiny join buckets. Cost:
+    two shuffles (df computation, prefix join), both key-partitioned.
+    """
+    elems = docs.select(
+        F.col(id_col).alias("id"), F.explode(set_col).alias("s")
+    )
+    df_counts = elems.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        elems.join(df_counts, "s")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("s")))
+            ).alias("sorted_elems")
+        )
+        .select(
+            "id",
+            F.transform(F.col("sorted_elems"), lambda e: e.getField("s"))
+            .alias("sorted_set"),
+        )
+    )
+    prefix_len = (
+        F.size("sorted_set")
+        - F.ceil(F.size("sorted_set") * F.lit(threshold)).cast("int")
+        + 1
+    )
+    prefixes = ordered.select(
+        "id", F.explode(F.slice("sorted_set", 1, prefix_len)).alias("s")
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays (ratio of small ints —
+    bit-identical across engines)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+# ---------- vector similarity ----------------------------------------------
+
+def as_double(vec: Column) -> Column:
+    """float32 array → double array (exact widening; all arithmetic after
+    this is bit-stable across engines)."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — same accumulation order as the
+    oracle's element-wise mirror, so results match bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

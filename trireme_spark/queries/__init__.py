@@ -8,6 +8,9 @@ from trireme_spark.queries import aggregates  # noqa: F401
 from trireme_spark.queries import filters  # noqa: F401
 from trireme_spark.queries import functions_scalar  # noqa: F401
 from trireme_spark.queries import joins  # noqa: F401
+from trireme_spark.queries import llm_sim  # noqa: F401
+from trireme_spark.queries import llm_text  # noqa: F401
+from trireme_spark.queries import multimodal  # noqa: F401
 from trireme_spark.queries import windows  # noqa: F401
 from trireme_spark.queries import scans  # noqa: F401
 from trireme_spark.queries import sorts_sets  # noqa: F401

@@ -1,0 +1,527 @@
+"""Dedup & similarity-search pipeline — SURVEY.md §2.11 l5–l10 plus SimHash
+and IVF extensions (BASELINE.json:6 training-data mandate).
+
+Scale architecture (SURVEY.md §4): candidate generation is always a keyed
+shuffle (LSH band, prefix shingle, sign-bucket, IVF cell) — never a global
+cross join. The exact brute-force forms (l6/l7/l10) are the correctness
+baseline and stay viable here because one side broadcasts; their designed
+degradation path at 100 TB is the LSH/IVF prefilter with a verify step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trireme_spark.functions.text import tokenize
+from trireme_spark.operators.similarity import (
+    as_double,
+    candidate_pairs_lsh,
+    candidate_pairs_prefix,
+    cosine,
+    dot,
+    jaccard,
+    minhash_signature,
+    shingles,
+)
+from trireme_spark.registry import register
+from trireme_spark.sources.io import table
+
+# DuckDB mirror of operators.similarity.dot/cosine — same left-fold order,
+# so values match bit-for-bit before the defensive rounding.
+_DUCK_EMB = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(64), "
+        f"i -> {a}[CAST(i AS INT)+1] * {b}[CAST(i AS INT)+1]))"
+    )
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_distinct(shingles(tokenize("text"), 3)).alias("sset"),
+    ).where(F.size("sset") > 0)
+
+
+_L5_ORACLE = """
+WITH s AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(greatest(len(toks) - 2, 0)),
+               i -> toks[CAST(i AS INT) + 1] || ' ' ||
+                    toks[CAST(i AS INT) + 2] || ' ' ||
+                    toks[CAST(i AS INT) + 3])) AS sset
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(text), '\\s+') AS toks
+          FROM documents)
+    WHERE len(toks) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+             / len(list_distinct(a.sset || b.sset)), 6) AS jaccard_sim
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+      / len(list_distinct(a.sset || b.sset)) >= 0.8
+"""
+
+
+@register("dedup_fuzzy_minhash", oracle=_L5_ORACLE)
+def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l5 — near-duplicate pairs at Jaccard ≥ 0.8 over 3-shingles.
+
+    Candidates = MinHash-LSH (64 perms, 8×8 bands — the at-scale fast
+    path) ∪ prefix-filter (provably sound, so the result is EXACTLY the
+    brute-force pair set the oracle computes, which plain LSH cannot
+    promise). Both generators are keyed shuffles; exact Jaccard verifies
+    each candidate once.
+    """
+    sets = _shingle_sets(spark, sf_dir).cache()
+    sigs = sets.select(
+        "doc_id", minhash_signature(F.col("sset"), 64).alias("sig")
+    )
+    cand = (
+        candidate_pairs_lsh(sigs, "doc_id", "sig", bands=8, rows=8)
+        .unionByName(
+            candidate_pairs_prefix(sets, "doc_id", "sset", threshold=0.8)
+        )
+        .distinct()
+    )
+    a = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("sset").alias("sset_a")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("sset").alias("sset_b")
+    )
+    sim = jaccard(F.col("sset_a"), F.col("sset_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .where(sim >= 0.8)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round(sim, 6).alias("jaccard_sim"),
+        )
+    )
+
+
+_L6_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_DUCK_EMB} AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_duck_dot('a.emb', 'b.emb')}
+             / (sqrt({_duck_dot('a.emb', 'a.emb')})
+                * sqrt({_duck_dot('b.emb', 'b.emb')})), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
+LIMIT 10
+"""
+
+
+@register("sim_knn_cosine", oracle=_L6_ORACLE)
+def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l6 — exact top-10 most-similar embedding pairs (brute force
+    baseline). Norms are precomputed once per vector (not per pair), the
+    smaller side broadcasts, and TakeOrderedAndProject keeps only 10 rows
+    per partition. Degradation path at scale: l8/IVF prefilter."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = as_double(F.col("embedding"))
+    v = e.select(
+        "vec_id",
+        emb.alias("emb"),
+        F.sqrt(dot(emb, emb)).alias("nrm"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(
+            F.col("cos_sim").desc(),
+            F.col("vec_a").asc(),
+            F.col("vec_b").asc(),
+        )
+        .limit(10)
+    )
+
+
+_L7_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_DUCK_EMB} AS emb FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND({_duck_dot('q.emb', 'e.emb')}
+                 / (sqrt({_duck_dot('q.emb', 'q.emb')})
+                    * sqrt({_duck_dot('e.emb', 'e.emb')})), 6) AS cos_sim
+    FROM q JOIN e ON q.vec_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register("sim_knn_per_query", oracle=_L7_ORACLE)
+def sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l7 — top-5 neighbors for each of 5 query vectors: queries broadcast
+    against the full corpus (one pass), per-query heap via window top-k."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = as_double(F.col("embedding"))
+    v = e.select(
+        "vec_id", emb.alias("emb"), F.sqrt(dot(emb, emb)).alias("nrm")
+    )
+    q = v.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = dot(F.col("q_emb"), F.col("emb")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+    )
+
+
+def _hyperplanes(n: int = 16, dim: int = 64) -> list[list[float]]:
+    """Fixed random hyperplanes (seeded → identical every run/session)."""
+    rng = np.random.RandomState(42)
+    return [[float(x) for x in row] for row in rng.randn(n, dim)]
+
+
+@register("sim_ann_lsh")  # rows-only: recall asserted vs l6 in pytest
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l8 — approximate NN via random-hyperplane LSH.
+
+    16 sign bits → bucket id; only intra-bucket pairs are scored (keyed
+    shuffle on bucket). At 100 TB this is the primary pair-generation
+    path; recall ≥ threshold vs exact l6 is asserted in tests (the
+    standard accuracy contract for ANN)."""
+    planes = _hyperplanes()
+    e = table(spark, sf_dir, "embeddings")
+    emb = as_double(F.col("embedding"))
+    bits = [
+        F.when(
+            dot(emb, F.array(*[F.lit(x) for x in plane])) > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    bucket = sum(bits[1:], bits[0])
+    v = e.select(
+        "vec_id",
+        emb.alias("emb"),
+        F.sqrt(dot(emb, emb)).alias("nrm"),
+        bucket.alias("bucket"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "bucket",
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "bucket",
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "bucket",
+            "vec_a",
+            "vec_b",
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .limit(50)
+    )
+
+
+_L9_ORACLE = """
+SELECT d.doc_id, d.lang, length(d.text) AS text_len,
+       len(e.embedding) AS emb_dim,
+       sha256(d.text) AS digest
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE d.lang IN ('en', 'de')
+"""
+
+
+@register("multimodal_struct", oracle=_L9_ORACLE)
+def multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l9 — assemble a multimodal record (nested doc struct + embedding +
+    metadata map + binary digest), filter through a NESTED field, project
+    leaves back out. Catalyst prunes the untouched branches — nesting
+    costs nothing at scan time."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    rec = (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            F.struct(
+                F.struct("doc_id", "lang", "text").alias("doc"),
+                F.col("embedding").alias("emb"),
+                F.create_map(
+                    F.lit("source"), F.col("source"),
+                    F.lit("lang"), F.col("lang"),
+                ).alias("meta"),
+                F.sha2(F.col("text"), 256).alias("digest"),
+            ).alias("m")
+        )
+    )
+    return rec.where(
+        F.col("m.doc.lang").isin("en", "de")
+    ).select(
+        F.col("m.doc.doc_id").alias("doc_id"),
+        F.col("m.doc.lang").alias("lang"),
+        F.length("m.doc.text").alias("text_len"),
+        F.size("m.emb").alias("emb_dim"),
+        F.col("m.digest").alias("digest"),
+    )
+
+
+_L10_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_DUCK_EMB} AS emb FROM embeddings),
+dup_pairs AS (
+    SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+           ROUND({_duck_dot('a.emb', 'b.emb')}
+                 / (sqrt({_duck_dot('a.emb', 'a.emb')})
+                    * sqrt({_duck_dot('b.emb', 'b.emb')})), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_duck_dot('a.emb', 'b.emb')}
+          / (sqrt({_duck_dot('a.emb', 'a.emb')})
+             * sqrt({_duck_dot('b.emb', 'b.emb')})) >= 0.95
+)
+SELECT e.vec_id,
+       e.vec_id NOT IN (SELECT dup_id FROM dup_pairs) AS kept
+FROM e
+"""
+
+
+@register("dedup_semantic", oracle=_L10_ORACLE)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l10 — embedding near-dup removal: cosine ≥ 0.95 pairs, keep the
+    smallest vec_id of each pair (greedy min-id survivor — deterministic
+    and oracle-expressible)."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = as_double(F.col("embedding"))
+    v = e.select(
+        "vec_id", emb.alias("emb"), F.sqrt(dot(emb, emb)).alias("nrm")
+    ).cache()
+    a = v.select(
+        F.col("vec_id").alias("keep_id"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("dup_id"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    dups = (
+        a.join(F.broadcast(b), F.col("keep_id") < F.col("dup_id"))
+        .where(cos >= 0.95)
+        .select("dup_id")
+        .distinct()
+    )
+    return v.join(
+        dups, v.vec_id == dups.dup_id, "left_anti"
+    ).select("vec_id", F.lit(True).alias("kept")).unionByName(
+        v.join(dups, v.vec_id == dups.dup_id, "left_semi").select(
+            "vec_id", F.lit(False).alias("kept")
+        )
+    )
+
+
+@register("dedup_simhash")  # rows-only: engine hash families differ
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signature = sign of per-bit sums
+    of token hashes; pairs at Hamming distance ≤ 3.
+
+    No SQL oracle: the signature is a function of xxhash64, which DuckDB
+    cannot reproduce. Invariants (self-distance 0, symmetry, candidate
+    sanity vs exact Jaccard) are asserted in tests/test_quality.py.
+    Banding note for 100 TB: block on 4×16-bit signature chunks (pigeonhole
+    guarantees d ≤ 3 pairs share a chunk) — implemented here, so the pair
+    join is keyed, not quadratic."""
+    d = table(spark, sf_dir, "documents")
+    # hash each distinct token ONCE, then 64 per-bit vote sums in one keyed
+    # aggregation (map-side combined — the shuffle carries 64 ints per doc)
+    hashed = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize("text"))).alias("t"),
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    # bit 63 of a signed long is the sign bit: its mask is -(2^63)
+    masks = [
+        F.when(
+            F.col(f"v{b}") > 0,
+            F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    sig = masks[0]
+    for m in masks[1:]:
+        sig = sig.bitwiseOR(m)
+    s = votes.select("doc_id", sig.alias("sig"))
+    # 4 chunks of 16 bits: d<=3 pairs must share at least one chunk
+    chunks = s.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright(F.col("sig"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sig", "c.chunk_id", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 3)
+    )
+
+
+@register("sim_ann_ivf")  # rows-only: recall asserted vs l7 in pytest
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse centroids per label (element-wise mean via
+    posexplode + keyed agg), queries probe the 2 nearest cells, exact
+    search inside probed cells only.
+
+    At 100 TB: centroids are k-means cells (tiny, broadcast); the corpus
+    shuffles once on cell id; each query scans ~nprobe/ncells of the data.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    emb = as_double(F.col("embedding"))
+    v = e.select("vec_id", F.col("label").alias("cell"), emb.alias("emb"))
+
+    # element-wise centroid per cell: explode (cell, pos, val), mean, rebuild
+    cent = (
+        v.select(
+            "cell", F.posexplode("emb").alias("pos", "val")
+        )
+        .groupBy("cell", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
+    )
+    q = v.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    # probe: 2 nearest centroids per query (centroids are tiny → broadcast)
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "q_emb",
+        "cell",
+        (
+            dot(F.col("q_emb"), F.col("centroid"))
+            / (
+                F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+                * F.sqrt(dot(F.col("centroid"), F.col("centroid")))
+            )
+        ).alias("cell_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cell_sim").desc(), F.col("cell").asc()
+    )
+    probed = qc.withColumn("rn", F.row_number().over(wq)).where(
+        F.col("rn") <= 2
+    ).select("query_id", "q_emb", "cell")
+    # exact search inside probed cells
+    cos = dot(F.col("q_emb"), F.col("emb")) / (
+        F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(dot(F.col("emb"), F.col("emb")))
+    )
+    scored = (
+        probed.join(v, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 5
+    )

@@ -1,0 +1,397 @@
+"""Text-analysis pipeline over ``documents`` — SURVEY.md §2.11 l1–l4 plus
+the training-data operators beyond the reference surface (language-ID,
+quality scoring, token counting, fingerprinting; BASELINE.json:6 mandate).
+
+All tokenization/scoring is built-in column algebra (codegen, no Python);
+the only shuffles are the aggregations, each on its natural key. md5 is
+bit-identical between Spark and DuckDB (verified), which makes content
+fingerprints fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trireme_spark.functions.text import STOPWORDS, tokenize
+from trireme_spark.operators.similarity import shingles
+from trireme_spark.parity import davg, dsum, oracle_avg, oracle_sum
+from trireme_spark.registry import register
+from trireme_spark.sources.io import table
+
+_SW = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+_L1_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents
+)
+SELECT token, COUNT(*) AS cnt FROM toks
+WHERE token NOT IN ({_SW})
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 20
+"""
+
+
+@register("text_tokenize_wordcount", oracle=_L1_ORACLE)
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l1 — tokenize, drop stopwords, top-20 terms (tie-break on token so
+    the cut is deterministic)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokenize("text")).alias("token"))
+        .where(~F.col("token").isin(STOPWORDS))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+_L2_ORACLE = """
+WITH pos_tok AS (
+    SELECT doc_id, lang,
+           CAST(UNNEST(range(len(toks))) AS INTEGER) AS pos,
+           UNNEST(toks) AS token
+    FROM (SELECT doc_id, lang,
+                 string_split_regex(lower(text), '\\s+') AS toks
+          FROM documents)
+), bigrams AS (
+    SELECT lang, token || ' ' || LEAD(token) OVER (
+               PARTITION BY doc_id ORDER BY pos) AS bigram
+    FROM pos_tok
+), counts AS (
+    SELECT lang, bigram, COUNT(*) AS cnt FROM bigrams
+    WHERE bigram IS NOT NULL
+    GROUP BY lang, bigram
+)
+SELECT lang, bigram, cnt, rn FROM (
+    SELECT lang, bigram, cnt,
+           ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY cnt DESC, bigram ASC) AS rn
+    FROM counts
+) WHERE rn <= 5
+"""
+
+
+@register("text_ngrams", oracle=_L2_ORACLE)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l2 — top-5 bigrams per language. Bigrams come from the shingle
+    expression (array algebra, no self-join); the oracle derives them with
+    LEAD over unnested positions."""
+    d = table(spark, sf_dir, "documents")
+    bigrams = d.select(
+        "lang", F.explode(shingles(tokenize("text"), 2)).alias("bigram")
+    )
+    counts = bigrams.groupBy("lang", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("bigram").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "bigram", "cnt", "rn")
+    )
+
+
+_L3_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+    FROM documents
+), filtered AS (
+    SELECT doc_id, term FROM toks WHERE term NOT IN ({_SW})
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM filtered GROUP BY doc_id, term
+), df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM filtered GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term AS top_term, score FROM (
+    SELECT doc_id, term, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term ASC) AS rn
+    FROM scored
+) WHERE rn = 1
+"""
+
+
+@register("text_tfidf", oracle=_L3_ORACLE)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l3 — tf-idf, top term per doc. Pure DataFrame algebra: tf and df are
+    two keyed aggregations; N joins in as a broadcast scalar (no
+    driver-side collect). Ranking uses the ROUNDED score so cross-engine
+    ln() ulp drift cannot flip the order; term ASC breaks genuine ties."""
+    d = table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(tokenize("text", drop_stopwords=True)).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                    )
+                    + 1.0
+                ),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "score")
+    )
+
+
+_L4_ORACLE = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       {oracle_sum('n_chars')} AS total_chars,
+       {oracle_avg('n_chars')} AS avg_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       CAST(SUM(len(string_split_regex(lower(text), '\\s+'))) AS DOUBLE)
+           / COUNT(*) AS avg_words
+FROM documents GROUP BY lang
+"""
+
+
+@register("text_stats", oracle=_L4_ORACLE)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l4 — per-language corpus statistics."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dsum("n_chars").alias("total_chars"),
+        davg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (
+            F.sum(F.size(tokenize("text"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_words"),
+    )
+
+
+# Tiny deterministic stopword profiles — the heuristic's signal, mirrored
+# literally in the oracle. (Fixture text is pseudo-English; the point is the
+# deterministic scoring machinery, not linguistic accuracy.)
+_PROFILES = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "los", "y", "es", "no"],
+    "fr": ["le", "la", "les", "et", "est", "ne"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+
+def _profile_sql(lang: str) -> str:
+    vals = ", ".join(f"'{w}'" for w in _PROFILES[lang])
+    return (
+        "len(list_distinct(list_intersect("
+        f"string_split_regex(lower(text), '\\s+'), [{vals}])))"
+    )
+
+
+_LID_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           {_profile_sql('en')} AS s_en,
+           {_profile_sql('de')} AS s_de,
+           {_profile_sql('es')} AS s_es,
+           {_profile_sql('fr')} AS s_fr,
+           {_profile_sql('zh')} AS s_zh
+    FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS predicted_lang,
+       greatest(s_en, s_de, s_es, s_fr, s_zh) AS top_score
+FROM scored
+"""
+
+
+@register("text_language_id", oracle=_LID_ORACLE)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via stopword-profile overlap (n-gram heuristic family).
+    Deterministic argmax with a fixed priority order on ties."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    scores = {
+        lang: F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in words])
+            )
+        )
+        for lang, words in _PROFILES.items()
+    }
+    s = d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), *[
+            scores[lang].alias(f"s_{lang}") for lang in _PROFILES
+        ]
+    )
+    pred = (
+        F.when(
+            F.col("s_en")
+            >= F.greatest("s_de", "s_es", "s_fr", "s_zh"),
+            "en",
+        )
+        .when(F.col("s_de") >= F.greatest("s_es", "s_fr", "s_zh"), "de")
+        .when(F.col("s_es") >= F.greatest("s_fr", "s_zh"), "es")
+        .when(F.col("s_fr") >= F.col("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    return s.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("predicted_lang"),
+        F.greatest("s_en", "s_de", "s_es", "s_fr", "s_zh").alias(
+            "top_score"
+        ),
+    )
+
+
+_QUAL_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, n_chars,
+           string_split_regex(lower(text), '\\s+') AS toks
+    FROM documents
+), m AS (
+    SELECT doc_id, n_chars,
+           len(toks) AS word_cnt,
+           len(list_filter(toks,
+               t -> list_contains([{_SW}], t))) AS stop_cnt
+    FROM base
+)
+SELECT doc_id, word_cnt,
+       CAST(n_chars AS DOUBLE) / word_cnt AS avg_word_len,
+       CAST(stop_cnt AS DOUBLE) / word_cnt AS stopword_ratio,
+       ROUND(least(1.0, word_cnt / 100.0)
+             * (1.0 - CAST(stop_cnt AS DOUBLE) / word_cnt), 6)
+           AS quality_score
+FROM m
+"""
+
+
+@register("text_quality_score", oracle=_QUAL_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length + stopword-ratio composite (rational
+    arithmetic only — exact cross-engine)."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    m = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("word_cnt"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(STOPWORDS))
+        ).alias("stop_cnt"),
+    )
+    ratio = F.col("stop_cnt").cast("double") / F.col("word_cnt")
+    return m.select(
+        "doc_id",
+        "word_cnt",
+        (F.col("n_chars").cast("double") / F.col("word_cnt")).alias(
+            "avg_word_len"
+        ),
+        ratio.alias("stopword_ratio"),
+        F.round(
+            F.least(F.lit(1.0), F.col("word_cnt") / 100.0) * (1.0 - ratio),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+_TOKCOUNT_ORACLE = """
+SELECT doc_id,
+       len(string_split_regex(lower(text), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+           AS bpe_ish_tokens,
+       len(list_distinct(string_split_regex(lower(text), '\\s+')))
+           AS distinct_tokens
+FROM documents
+"""
+
+
+@register("text_token_count", oracle=_TOKCOUNT_ORACLE)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letters / digits / single symbols) + distinct count."""
+    d = table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(tokenize("text")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(low, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("bpe_ish_tokens"),
+        F.size(F.array_distinct(tokenize("text"))).alias("distinct_tokens"),
+    )
+
+
+_FPRINT_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           string_split_regex(lower(text), '\\s+') AS toks
+    FROM documents
+), sh AS (
+    SELECT doc_id, toks,
+           list_transform(
+               range(greatest(len(toks) - 2, 0)),
+               i -> md5(toks[CAST(i AS INT) + 1] || ' ' ||
+                        toks[CAST(i AS INT) + 2] || ' ' ||
+                        toks[CAST(i AS INT) + 3])) AS shingle_hashes
+    FROM base
+)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+           AS content_fingerprint,
+       list_aggregate(shingle_hashes, 'min') AS min_shingle_hash,
+       substr(md5(array_to_string(list_sort(list_distinct(toks)), ' ')),
+              1, 8) AS short_id
+FROM sh
+"""
+
+
+@register("doc_fingerprint", oracle=_FPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: canonical-form md5 (order-normalized token
+    set) + winnowing-style min shingle hash. md5 is bit-identical across
+    engines, so fingerprints are fully oracle-checked."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    canonical = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    )
+    shingle_hashes = F.transform(shingles(toks, 3), F.md5)
+    return d.select(
+        "doc_id",
+        canonical.alias("content_fingerprint"),
+        F.array_min(shingle_hashes).alias("min_shingle_hash"),
+        F.substring(canonical, 1, 8).alias("short_id"),
+    )

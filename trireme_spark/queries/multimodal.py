@@ -1,0 +1,71 @@
+"""Multimodal pipeline query keys (SURVEY.md §2.11; see
+operators/multimodal.py for the decode-stub design)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trireme_spark.operators.multimodal import (
+    decode_features_stub,
+    frame_sample,
+)
+from trireme_spark.registry import register
+from trireme_spark.sources.io import table
+
+_MMD_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+       CAST(octet_length(CAST(text AS BLOB)) % 256 AS INTEGER)
+           AS pseudo_width,
+       CAST((ascii(substr(text, 1, 1)) * 7) % 256 AS INTEGER)
+           AS pseudo_height,
+       CAST(octet_length(CAST(text AS BLOB)) % 10 + 1 AS INTEGER)
+           AS n_frames,
+       sha256(text) AS digest
+FROM documents
+"""
+
+
+@register("multimodal_decode", oracle=_MMD_ORACLE)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → mapInPandas feature extraction (stub decoder).
+
+    The payload is the document text encoded to bytes (the container has
+    no media fixtures); every feature the stub derives is mirrored exactly
+    in the SQL oracle, so the full Arrow round-trip — binary column out,
+    typed features back — is value-checked, not just smoke-checked."""
+    d = table(spark, sf_dir, "documents")
+    binary_df = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return decode_features_stub(binary_df)
+
+
+_MMF_ORACLE = """
+WITH b AS (SELECT doc_id, CAST(text AS BLOB) AS payload FROM documents)
+SELECT doc_id,
+       CAST(UNNEST(range(CAST(ceil(octet_length(payload) / 64.0) AS BIGINT)))
+            AS INTEGER) AS frame_no,
+       CAST(octet_length(payload) AS INTEGER) AS total_bytes
+FROM b
+"""
+
+
+@register("multimodal_frame_sample", oracle=_MMF_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque bytes: one row per 64-byte chunk, JVM-side
+    explode (Python never touches the payload). Output is the frame index
+    plus total size; the chunk bytes themselves stay internal (binary
+    column — exercised, not hash-compared)."""
+    d = table(spark, sf_dir, "documents")
+    binary_df = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    frames = frame_sample(binary_df, stride=64)
+    totals = binary_df.select(
+        "doc_id", F.length("payload").alias("total_bytes")
+    )
+    return frames.join(totals, "doc_id").select(
+        "doc_id", "frame_no", "total_bytes"
+    )

@@ -19,7 +19,10 @@ Scale notes (100 TB design, tested on local[32]):
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -63,4 +66,47 @@ def prep(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:
         pass  # immutable in some environments; harmless
+    _ship_package(spark)
     return spark
+
+
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``trireme_spark`` importable on Python UDF workers.
+
+    The driver may build its session from a cwd where this repo is not on
+    ``sys.path``; cloudpickled UDFs then fail with ModuleNotFoundError on the
+    workers. ``addPyFile`` is the runtime-settable fix and is also exactly how
+    the package ships to executors on a real multi-node cluster. The zip name
+    is content-hashed so edits during one Python process get a fresh file,
+    and re-adding the same name to a live session is a no-op.
+    """
+    if id(spark) in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    members = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                members.append(os.path.join(root, fn))
+    digest = hashlib.sha256()
+    for path in sorted(members):
+        with open(path, "rb") as f:
+            digest.update(path.encode())
+            digest.update(f.read())
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"trireme_spark_{digest.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for path in sorted(members):
+                arcname = os.path.join(
+                    "trireme_spark", os.path.relpath(path, pkg_dir)
+                )
+                zf.write(path, arcname)
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(id(spark))
