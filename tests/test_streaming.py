@@ -1,0 +1,153 @@
+"""Streaming equivalence harness (SURVEY.md §5.4).
+
+Replays the events fixture through a real file-source stream
+(multi-file staging, ``maxFilesPerTrigger=1`` → genuine multi-batch runs,
+``trigger(availableNow=True)``) and asserts stream result == batch result
+for every shared builder. Plus the t4 watermark test: a two-batch file
+sequence where batch 2 carries a row older than the watermark — the late
+row must be dropped in append mode.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from trireme_spark.sources.io import table
+from trireme_spark.streaming import builders as B
+
+
+def _replay(spark, builder, mode):
+    staged = B.stage_events_files(spark, SF_SMOKE, n_files=4, tag="pytest")
+    stream = B.events_stream_staged(spark, staged, max_files_per_trigger=1)
+    return B.run_to_memory(builder(stream), mode=mode)
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.mark.parametrize(
+    "builder,mode",
+    [
+        (B.tumbling_counts, "complete"),
+        (B.sliding_counts, "complete"),
+        (B.session_windows, "complete"),
+    ],
+    ids=["tumbling", "sliding", "session"],
+)
+def test_stream_equals_batch_windows(spark, builder, mode):
+    batch = builder(table(spark, SF_SMOKE, "events"))
+    streamed = _replay(spark, builder, mode)
+    assert _canon(streamed) == _canon(batch)
+
+
+def test_stream_dedup_equals_batch(spark):
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ev = table(spark, SF_SMOKE, "events").select(*cols)
+    batch = B.dedup_by_key(ev.unionByName(ev))
+
+    staged = B.stage_events_files(spark, SF_SMOKE, n_files=4, tag="pytest")
+    stream = B.events_stream_staged(spark, staged, max_files_per_trigger=1)
+    # Stream the staged files twice-unioned is not expressible on one source;
+    # instead dedup the single stream (ids unique → identity) and separately
+    # assert the batch dedup collapses the union. Stream-side state mechanics
+    # (dropDuplicatesWithinWatermark) are exercised for real.
+    streamed = B.run_to_memory(
+        B.dedup_by_key(stream.select(*cols), watermark="1 hour"), mode="append"
+    )
+    assert _canon(streamed) == _canon(ev)
+    assert _canon(batch) == _canon(ev)
+
+
+def test_stream_stateful_running_counts(spark):
+    from pyspark.sql import functions as F
+
+    staged = B.stage_events_files(spark, SF_SMOKE, n_files=4, tag="pytest")
+    stream = B.events_stream_staged(spark, staged, max_files_per_trigger=1)
+    updates = B.run_to_memory(B.stateful_user_counts(stream), mode="update")
+    final = updates.groupBy("user_id").agg(F.max("n_events").alias("n"))
+
+    batch = (
+        table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert _canon(final) == _canon(batch)
+    # Multi-batch reality check: some user must have emitted an intermediate
+    # (strictly smaller) running count across the 4 micro-batches.
+    assert updates.count() > final.count()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode with a 10-min watermark: a row arriving after the
+    watermark has passed its window must not be counted."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf, schema=B.EVENTS_TS_SCHEMA)
+        part = str(tmp_path / ("stage_" + name))
+        sdf.coalesce(1).write.mode("overwrite").parquet(part)
+        pq = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, name + ".parquet")
+        os.rename(os.path.join(part, pq), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    # Watermark timing (verified empirically on 4.1.2): the watermark that
+    # filters batch N is computed from data through batch N-1 and takes
+    # effect at batch N+1 — so a late row must arrive TWO batches after its
+    # window to be dropped. Hence a three-file sequence.
+    # Batch 1: events in hours 10 and 12 → max ts 12:30.
+    write_file(
+        "b1",
+        [
+            (1, "2024-01-01 10:05:00", 1, "a", 1.0, "{}"),
+            (2, "2024-01-01 10:45:00", 1, "a", 1.0, "{}"),
+            (3, "2024-01-01 12:30:00", 2, "a", 1.0, "{}"),
+        ],
+        now - 90,
+    )
+    # Batch 2: advances event time to 14:30 (watermark → 12:20 in effect
+    # for batch 3; hour-10 window finalizes with n=2).
+    write_file(
+        "b2",
+        [(5, "2024-01-01 14:30:00", 3, "a", 1.0, "{}")],
+        now - 60,
+    )
+    # Batch 3: a LATE row for hour 10 (watermark 14:20 → dropped) plus a
+    # fresh row that keeps event time advancing.
+    write_file(
+        "b3",
+        [
+            (4, "2024-01-01 10:10:00", 1, "a", 1.0, "{}"),  # late → dropped
+            (6, "2024-01-01 16:30:00", 3, "a", 1.0, "{}"),
+        ],
+        now - 30,
+    )
+
+    stream = B.events_stream_staged(spark, src, max_files_per_trigger=1)
+    result = B.run_to_memory(
+        B.tumbling_counts(stream, watermark="10 minutes"), mode="append"
+    )
+    counts = {
+        r["window_start"].hour: r["n"]
+        for r in result.select("window_start", "n").collect()
+    }
+    # Hour 10 was finalized with 2 rows; the late 10:10 row must NOT appear.
+    assert counts.get(10) == 2
+    # Hour 12 finalized by the 14:30 row advancing the watermark.
+    assert counts.get(12) == 1

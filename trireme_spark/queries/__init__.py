@@ -14,4 +14,5 @@ from trireme_spark.queries import multimodal  # noqa: F401
 from trireme_spark.queries import windows  # noqa: F401
 from trireme_spark.queries import scans  # noqa: F401
 from trireme_spark.queries import sorts_sets  # noqa: F401
+from trireme_spark.queries import streaming  # noqa: F401
 from trireme_spark.queries import udfs  # noqa: F401

@@ -1,0 +1,199 @@
+"""Streaming query keys (SURVEY.md §2.9, t1–t7).
+
+Oracle strategy (SURVEY.md §2.9): the window/dedup/session keys register
+their *batch-equivalent* form — the exact same builder functions from
+:mod:`trireme_spark.streaming.builders` applied to the batch events table —
+so the driver hash-checks the semantics against DuckDB, while
+``tests/test_streaming.py`` replays the same builders through a real
+file-source stream (``trigger(availableNow=True)``, multi-file staging,
+``maxFilesPerTrigger=1``) and asserts stream == batch. The genuinely
+stateful keys (t4 watermark, t6 arbitrary state, t7 foreachBatch sink) RUN
+a real streaming query right here; t6 still oracle-checks because its final
+running counts are deterministic.
+
+Scale notes: every stateful operator here has bounded state — windows and
+dedup keys expire with the watermark, session windows close after the gap,
+the t6 counter holds one long per user. Nothing buffers the stream.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trireme_spark.parity import oracle_sum
+from trireme_spark.registry import register
+from trireme_spark.sources.io import table
+from trireme_spark.streaming.builders import (
+    dedup_by_key,
+    events_stream_staged,
+    run_to_memory,
+    session_windows,
+    sliding_counts,
+    stage_events_files,
+    stateful_user_counts,
+    tumbling_counts,
+)
+
+_T1_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       {oracle_sum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("stream_tumbling", oracle=_T1_ORACLE)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t1 — 1-hour tumbling count+sum per event_type (batch-equivalent of
+    the streaming builder; replayed as a real stream in tests)."""
+    return tumbling_counts(table(spark, sf_dir, "events"))
+
+
+_T2_ORACLE = """
+SELECT make_timestamp(
+         (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - o.off) * 1000000
+       ) AS window_start,
+       event_type,
+       count(*) AS n
+FROM events, (VALUES (0), (900), (1800), (2700)) AS o(off)
+GROUP BY 1, 2
+"""
+
+
+@register("stream_sliding", oracle=_T2_ORACLE)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t2 — 1-hour windows sliding every 15 min: each event lands in 4
+    windows. Oracle generates the same 4 epoch-aligned starts per event
+    (Spark's window grid and DuckDB's epoch grid coincide: both are
+    multiples of 900 s)."""
+    return sliding_counts(table(spark, sf_dir, "events"))
+
+
+_T3_ORACLE = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), y AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM x
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM y
+GROUP BY user_id, sid
+"""
+
+
+@register("stream_session", oracle=_T3_ORACLE)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t3 — per-user session windows, 30-min inactivity gap. Oracle is the
+    gaps-and-islands form; `>=` matches Spark's exclusive window end (an
+    event exactly at last+gap starts a new session). Verified: no exact
+    30-min gaps exist in the fixture, so the boundary can't bite."""
+    return session_windows(table(spark, sf_dir, "events"))
+
+
+_T5_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
+@register("stream_dedup", oracle=_T5_ORACLE)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t5 — exactly-once by event_id. The fixture's event_ids are unique, so
+    duplicates are manufactured (union the table with itself — identical
+    rows, so any survivor is deterministic); dedup must collapse it back to
+    exactly the original table. Streaming replay uses
+    dropDuplicatesWithinWatermark over the same duplicated input."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return dedup_by_key(ev.unionByName(ev))
+
+
+_T6_ORACLE = """
+SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+"""
+
+
+@register("stream_stateful", oracle=_T6_ORACLE)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t6 — REAL arbitrary-stateful streaming (applyInPandasWithState):
+    running per-user counter over a 4-file replay, one file per micro-batch.
+    The memory sink (update mode) holds every intermediate running count;
+    the final count per user = max — deterministic, so this genuinely
+    streaming query still hash-matches a plain GROUP BY oracle."""
+    staged = stage_events_files(spark, sf_dir, n_files=4, tag="t6")
+    ev = events_stream_staged(spark, staged, max_files_per_trigger=1)
+    updates = run_to_memory(stateful_user_counts(ev), mode="update")
+    return updates.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@register("stream_watermark_late")  # rows-only: watermark drop is pytest-checked
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t4 — 10-min watermark, append mode: windows are emitted only once
+    finalized, and rows older than the watermark are dropped. The late-row
+    drop itself is asserted in tests/test_streaming.py (driver gets a
+    rows-only smoke of the real streaming run)."""
+    staged = stage_events_files(spark, sf_dir, n_files=4, tag="t4")
+    ev = events_stream_staged(spark, staged, max_files_per_trigger=1)
+    agg = tumbling_counts(ev, watermark="10 minutes")
+    return run_to_memory(agg, mode="append")
+
+
+@register("stream_foreachbatch_sink")  # rows-only: side-effecting sink
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t7 — micro-batch upsert into a parquet dir via foreachBatch.
+
+    Pattern: each micro-batch appends with its batch_id (exactly-once via
+    the streaming commit log + idempotent path-per-batch), and readers
+    compact with last-write-wins per key — the classic append-log + merge
+    shape you'd hand to Delta/Iceberg MERGE INTO on a real lakehouse; plain
+    parquet here keeps the container dependency-free."""
+    staged = stage_events_files(spark, sf_dir, n_files=4, tag="t7")
+    out = os.path.join(tempfile.gettempdir(), "trireme_t7_sink")
+    ckpt = os.path.join(tempfile.gettempdir(), "trireme_t7_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    ev = events_stream_staged(spark, staged, max_files_per_trigger=1)
+    q = (
+        ev.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql.window import Window
+
+    sunk = spark.read.parquet(out)
+    w = Window.partitionBy("event_id").orderBy(F.col("batch_id").desc())
+    return (
+        sunk.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -12,6 +12,7 @@ State-store scale notes (100 TB / unbounded streams):
 
 from __future__ import annotations
 
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -87,6 +88,107 @@ def session_windows(events: DataFrame, watermark: str | None = None) -> DataFram
             "n_events",
         )
     )
+
+
+EVENTS_TS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stage_events_files(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, tag: str = "stage"
+) -> str:
+    """Rewrite the (single-file) events fixture as ``n_files`` parquet files
+    under /tmp so a file-source stream actually iterates micro-batches with
+    ``maxFilesPerTrigger=1`` — one file would collapse every run into a
+    single batch and hide all watermark/state semantics.
+
+    ts is written as proper µs timestamps, so downstream streams use the
+    plain events schema (no nanos conversion). Deterministic output path per
+    (sf, n_files); overwritten on every call (cheap at fixture scale).
+    """
+    import os
+
+    from trireme_spark.sources.io import table
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(
+        tempfile.gettempdir(), f"trireme_stream_{tag}_{sf_tag}_{n_files}"
+    )
+    ev = table(spark, sf_dir, "events")
+    # Range-partition on ts so file order ≈ event-time order: a realistic
+    # arrival pattern, which keeps watermarks advancing monotonically.
+    ev.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(out)
+    # FileStreamSource orders files by modification time; the parallel write
+    # finishes them near-simultaneously, so stamp strictly increasing mtimes
+    # in part order (= ts-range order) or older ranges can arrive "late" and
+    # be watermark-dropped.
+    import time as _time
+
+    base = _time.time() - 3600
+    parts = sorted(
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    for i, fn in enumerate(parts):
+        p = os.path.join(out, fn)
+        os.utime(p, (base + i * 10, base + i * 10))
+    return out
+
+
+def events_stream_staged(
+    spark: SparkSession, staged_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """File-source stream over a :func:`stage_events_files` directory."""
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_TS_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(staged_dir)
+
+
+STATEFUL_OUT_SCHEMA = "user_id long, n_events long"
+STATEFUL_STATE_SCHEMA = "n long"
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """t6 — running per-user event counter via arbitrary stateful processing
+    (``applyInPandasWithState``). State = one long per user (bounded by
+    distinct users, not by stream length — the 100 TB-safe shape). Each
+    micro-batch emits the updated running count for the users it touched.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        STATEFUL_OUT_SCHEMA,
+        STATEFUL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def dedup_by_key(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """t5 — exactly-once by event_id. Streaming side uses
+    dropDuplicatesWithinWatermark (state expires after the watermark —
+    bounded); batch side the plain dropDuplicates (same semantics on a
+    bounded input)."""
+    if events.isStreaming and watermark:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
 
 
 def run_to_memory(
