@@ -1,0 +1,71 @@
+"""Physical-plan regression gates (SURVEY.md §4): the optimizations the
+100 TB story depends on must be visible in ``explain('formatted')`` output —
+pushdown reaching the parquet scan, small dims broadcast, top-k folded into
+TakeOrderedAndProject, aggregates partial+final, codegen spans present.
+These assert plan SHAPE, so a future refactor that silently de-optimizes a
+query fails here even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from trireme_spark import registry
+from trireme_spark.sources.io import table
+
+
+def plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = table(spark, SF_SMOKE, "lineitem")
+    df = li.where(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    p = plan(df)
+    assert "PushedFilters: [" in p
+    assert "IsNotNull(l_quantity)" in p or "GreaterThan(l_quantity" in p
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = registry.QUERIES["scan_projected"](spark, SF_SMOKE)
+    p = plan(df)
+    # ReadSchema must not contain the wide comment/address columns.
+    assert "ReadSchema" in p
+    assert "c_comment" not in p.split("ReadSchema", 1)[1].splitlines()[0]
+
+
+def test_broadcast_join_strategy(spark):
+    p = plan(registry.QUERIES["join_broadcast"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+
+
+def test_topk_is_take_ordered(spark):
+    p = plan(registry.QUERIES["limit_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_flagship_agg_is_partial_final(spark):
+    p = plan(registry.QUERIES["agg_pricing_summary"](spark, SF_SMOKE))
+    # partial (map-side) + final hash aggregate = exactly one shuffle of
+    # pre-combined groups. (WholeStageCodegen ids only appear in executed
+    # AQE plans, so codegen presence can't be asserted pre-execution.)
+    assert p.count("HashAggregate (") >= 2
+    assert p.count("Exchange (") == 1
+
+
+def test_semi_join_no_cartesian(spark):
+    p = plan(registry.QUERIES["join_semi_anti"](spark, SF_SMOKE))
+    assert "Cartesian" not in p
+
+
+def test_multiway_join_no_cartesian(spark):
+    p = plan(registry.QUERIES["join_multiway"](spark, SF_SMOKE))
+    assert "Cartesian" not in p
+    assert "BroadcastHashJoin" in p  # dims (nation/region) must broadcast

