@@ -37,15 +37,22 @@ def main() -> None:
     spark = get_spark("trireme-bench", cpus=cpus, shuffle_partitions=32)
 
     keys = [k for k in HEADLINE if k in registry.QUERIES]
+    def run(key: str) -> None:
+        # noop sink: full plan execution on the executors, zero driver
+        # transfer — row-for-row materialization without measuring Python
+        # pickle bandwidth on wide results (standard Spark bench practice).
+        df = registry.QUERIES[key](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+
     if keys:  # warmup: codegen, Arrow, parquet footer caches
-        registry.QUERIES[keys[0]](spark, sf_dir).collect()
+        run(keys[0])
 
     times: dict[str, float] = {}
     for key in keys:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            registry.QUERIES[key](spark, sf_dir).collect()
+            run(key)
             best = min(best, time.perf_counter() - t0)
         times[key] = round(best, 4)
 

@@ -68,28 +68,43 @@ SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
        a.p_name AS name_a, b.p_name AS name_b,
        levenshtein(a.p_name, b.p_name) AS edit_dist
 FROM part a JOIN part b
-  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 4
 """
 
 
 @register("fn_string_fuzzy", oracle=_F2_ORACLE)
 def fn_string_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """f2 — Levenshtein similarity pairs, brand-blocked.
+    """f2 — Levenshtein similarity pairs, (brand, size)-blocked.
 
-    The brand equi-conjunct is the blocking key (SURVEY.md §2.3 j5 note):
+    The equi-conjunct is the blocking key (SURVEY.md §2.3 j5 note):
     per-block quadratic, never global quadratic — the same pattern the
-    dedup operators use at scale."""
+    dedup operators use at scale. Brand alone left ~800-row blocks at
+    sf0.1 (8M comparisons); brand+size keeps blocks O(10)."""
     p = table(spark, sf_dir, "part")
     a, b = p.alias("a"), p.alias("b")
-    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    # Banded levenshtein: the threshold arg lets the JVM DP early-exit rows
+    # that can't be ≤ 4 (returns -1), and the length-difference conjunct
+    # prunes pairs before the DP even starts — both essential once blocks
+    # get big. Within the kept band the value equals the exact distance, so
+    # the oracle (unbanded levenshtein) still matches.
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 4)
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(
+                    F.length(F.col("a.p_name"))
+                    - F.length(F.col("b.p_name"))
+                )
+                <= 4
+            ),
         )
-        .where(lev <= 4)
+        .where((lev >= 0) & (lev <= 4))
         .select(
             F.col("a.p_partkey").alias("key_a"),
             F.col("b.p_partkey").alias("key_b"),

@@ -82,8 +82,15 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression (array algebra, no self-join); the oracle derives them with
     LEAD over unnested positions."""
     d = table(spark, sf_dir, "documents")
-    bigrams = d.select(
-        "lang", F.explode(shingles(tokenize("text"), 2)).alias("bigram")
+    # Exchange barrier between tokenize and the shingle lambda — without it
+    # Catalyst inlines the regex split into the lambda body where no
+    # subexpression elimination runs (re-split per bigram; see
+    # llm_sim._shingle_sets for the measurement).
+    toks = d.select("lang", tokenize("text").alias("toks")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bigrams = toks.select(
+        "lang", F.explode(shingles(F.col("toks"), 2)).alias("bigram")
     )
     counts = bigrams.groupBy("lang", "bigram").agg(
         F.count(F.lit(1)).alias("cnt")
