@@ -1,0 +1,111 @@
+"""Property-based spot checks (SURVEY.md §5.5) — hypothesis generates the
+inputs, Spark evaluates the engine expression, plain Python computes the
+reference. Low example counts keep Spark round-trips affordable; the
+deadline is disabled because a Spark job is never sub-200ms.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.text(
+    alphabet=st.sampled_from("ab c"),  # tiny alphabet → dense collisions
+    min_size=0,
+    max_size=24,
+)
+
+
+@given(text=texts)
+@SETTINGS
+def test_char_ngrams_matches_python(spark, text):
+    from trireme_spark.functions.text import char_ngrams
+
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(char_ngrams(F.col("t"), 3).alias("g")).first()["g"]
+    low = text.lower()
+    want = list(dict.fromkeys(low[i : i + 3] for i in range(len(low) - 2)))
+    assert got == want
+
+
+@given(
+    a=st.lists(st.sampled_from("pqrs"), max_size=8),
+    b=st.lists(st.sampled_from("pqrs"), max_size=8),
+)
+@SETTINGS
+def test_jaccard_matches_python_sets(spark, a, b):
+    from trireme_spark.operators.similarity import jaccard
+
+    df = spark.createDataFrame(
+        [(list(set(a)), list(set(b)))], "a array<string>, b array<string>"
+    )
+    got = df.select(jaccard(F.col("a"), F.col("b")).alias("j")).first()["j"]
+    sa, sb = set(a), set(b)
+    if not sa | sb:
+        assert got is None  # 0/0 — NULL in SQL, same on both engines
+    else:
+        assert got is not None
+        assert math.isclose(got, len(sa & sb) / len(sa | sb))
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_dsum_is_order_independent_and_exact(spark, vals):
+    """parity.dsum must equal the decimal-exact sum regardless of
+    partitioning/accumulation order — the invariant the oracle hashing
+    relies on."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from trireme_spark.parity import dsum
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.select(dsum("v").alias("s")).first()["s"]
+    # dsum quantizes at DECIMAL(27,6) with HALF_UP (Spark's cast rounding)
+    want = float(
+        sum(
+            Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            for v in vals
+        )
+    )
+    assert math.isclose(got, want, rel_tol=0, abs_tol=0.0)
+
+
+@given(seed=st.integers(min_value=0, max_value=3))
+@SETTINGS
+def test_minhash_contains_includes_identical_docs(spark, seed):
+    """Two identical shingle sets must collide in EVERY band — MinHash
+    soundness on exact duplicates."""
+    from trireme_spark.operators.similarity import (
+        candidate_pairs_lsh,
+        minhash_signatures,
+    )
+
+    words = ["w%d" % ((seed + i) % 7) for i in range(6)]
+    sh = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+    df = spark.createDataFrame(
+        [(1, sh), (2, sh)], "doc_id long, sset array<string>"
+    )
+    sigs = minhash_signatures(df, "doc_id", "sset")
+    pairs = candidate_pairs_lsh(sigs, "doc_id", "sig").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}

@@ -25,3 +25,21 @@ def tokenize(text: Column | str, drop_stopwords: bool = False) -> Column:
         # silently destroys term frequencies downstream (tf-idf, counts).
         toks = F.filter(toks, lambda t: ~t.isin(STOPWORDS))
     return toks
+
+
+def char_ngrams(text: Column | str, n: int = 4) -> Column:
+    """Distinct character n-grams of the lowercased text → array<string>.
+
+    Oracle mirror: ``list_distinct(list_transform(range(len - n + 1),
+    i -> substr(lower(text), i+1, n)))``. NOTE: like every substring
+    lambda, feed this a materialized column (exchange barrier before it)
+    or the lower() re-executes per n-gram."""
+    c = F.col(text) if isinstance(text, str) else text
+    idx = F.sequence(F.lit(1), F.length(c) - (n - 1))
+    # Guard, don't clamp: sequence(1, 0) is DESCENDING [1, 0] in Spark, so a
+    # short text would fabricate n-grams instead of yielding none.
+    return F.when(
+        F.length(c) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+    )

@@ -28,13 +28,20 @@ from pyspark.sql import functions as F
 # ---------- text shingles / MinHash / LSH ----------------------------------
 
 def shingles(tokens: Column, k: int = 3) -> Column:
-    """k-word shingles from a token array (empty if fewer than k tokens)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, i + j) for j in range(k)]
-        ),
+    """k-word shingles from a token array (empty if fewer than k tokens).
+
+    Guarded, not clamped: ``sequence(1, 0)`` is DESCENDING ``[1, 0]`` in
+    Spark, so the un-guarded form fabricates shingles for short inputs."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (k - 1))
+    return F.when(
+        F.size(tokens) < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, i + j) for j in range(k)]
+            ),
+        )
     )
 
 
@@ -183,10 +190,11 @@ def candidate_pairs_prefix(
 
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard of two distinct-element arrays (ratio of small ints —
-    bit-identical across engines)."""
+    bit-identical across engines). try_divide keeps J(∅, ∅) NULL instead of
+    raising under ANSI mode — matching SQL division semantics."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
-    return inter / union
+    return F.try_divide(inter, union)
 
 
 # ---------- vector similarity ----------------------------------------------

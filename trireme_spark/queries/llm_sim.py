@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from trireme_spark.functions.text import tokenize
+from trireme_spark.functions.text import char_ngrams, tokenize
 from trireme_spark.operators.similarity import (
     as_double,
     assign_cells,
@@ -126,6 +126,62 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(a), "id_a")
         .join(F.broadcast(b), "id_b")
         .where(sim >= 0.8)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round(sim, 6).alias("jaccard_sim"),
+        )
+    )
+
+
+_NGRAM_ORACLE = """
+WITH g AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(greatest(length(lower(text)) - 3, 0)),
+               i -> substr(lower(text), CAST(i AS INT) + 1, 4))) AS gset
+    FROM documents
+    WHERE length(text) >= 4
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
+             / len(list_distinct(a.gset || b.gset)), 6) AS jaccard_sim
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
+      / len(list_distinct(a.gset || b.gset)) >= 0.7
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram Jaccard near-dup pairs at ≥ 0.7 — the
+    language-agnostic complement to word-shingle MinHash (robust to
+    whitespace/punctuation edits). Candidates via the SOUND rarity-ordered
+    prefix filter, so the output is exactly the brute-force pair set the
+    oracle computes; one keyed shuffle for candidates, broadcast verify."""
+    d = table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    lt = (
+        d.select("doc_id", F.lower("text").alias("lt"))
+        .where(F.length("lt") >= 4)
+        .repartition(n_parts, "doc_id")  # barrier: see _shingle_sets
+    )
+    gsets = lt.select(
+        "doc_id", char_ngrams(F.col("lt"), 4).alias("gset")
+    ).cache()
+    cand = candidate_pairs_prefix(gsets, "doc_id", "gset", threshold=0.7)
+    a = gsets.select(
+        F.col("doc_id").alias("id_a"), F.col("gset").alias("gset_a")
+    )
+    b = gsets.select(
+        F.col("doc_id").alias("id_b"), F.col("gset").alias("gset_b")
+    )
+    sim = jaccard(F.col("gset_a"), F.col("gset_b"))
+    return (
+        cand.repartition(n_parts)
+        .join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .where(sim >= 0.7)
         .select(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),

@@ -71,6 +71,17 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("source_orc_roundtrip")  # rows-only
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s4b — write→read ORC (the second columnar format Spark ships
+    natively; exercises the ORC vectorized reader + predicate pushdown
+    path the same way the parquet scans do)."""
+    df = table(spark, sf_dir, "orders")
+    return write_read_roundtrip(
+        df, "orc", os.path.basename(sf_dir.rstrip("/"))
+    )
+
+
 @register("sink_partitioned_parquet")  # rows-only
 def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """s5 — partitioned write; read back ONE partition.
