@@ -54,6 +54,29 @@ def test_approx_distinct_error_bound(spark):
         )
 
 
+def test_approx_percentile_error_bound(spark):
+    """a7b: the GK sketch guarantees RANK error, not value error (it
+    returns a real element; sparse tails make value bounds meaningless).
+    Assert each approx quantile lands within ±2 rank-percent of exact."""
+    df = registry.QUERIES["agg_approx_percentile"](spark, SF_SMOKE)
+    o = table(spark, SF_SMOKE, "orders")
+    brackets = {
+        r["o_orderpriority"]: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.48)).alias("m_lo"),
+            F.percentile("o_totalprice", F.lit(0.52)).alias("m_hi"),
+            F.percentile("o_totalprice", F.lit(0.88)).alias("p_lo"),
+            F.percentile("o_totalprice", F.lit(0.92)).alias("p_hi"),
+        )
+        .collect()
+    }
+    for row in df.collect():
+        b = brackets[row["o_orderpriority"]]
+        assert b["m_lo"] <= row["approx_median"] <= b["m_hi"]
+        assert b["p_lo"] <= row["approx_p90"] <= b["p_hi"]
+
+
 def test_simhash_invariants(spark):
     """SimHash candidate pairs: canonical ordering, no self-pairs, no dups,
     and the mean exact Jaccard of candidates must beat the corpus baseline

@@ -120,6 +120,25 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_percentile")  # rows-only: sketches differ across engines
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a7b — approximate percentiles (Greenwald-Khanna sketch,
+    accuracy=10000 → ±0.01% rank error).
+
+    The 100 TB path for quantiles: exact percentile buffers every value per
+    group; approx_percentile shuffles a bounded sketch. Error vs the exact
+    quantile is asserted in tests/test_quality.py."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        ),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias(
+            "approx_p90"
+        ),
+    )
+
+
 _A5_ORACLE = f"""
 SELECT 'rollup' AS mode, l_returnflag, l_linestatus,
        GROUPING(l_returnflag, l_linestatus) AS gid,

@@ -138,7 +138,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     The memory sink (update mode) holds every intermediate running count;
     the final count per user = max — deterministic, so this genuinely
     streaming query still hash-matches a plain GROUP BY oracle."""
-    staged = stage_events_files(spark, sf_dir, n_files=4, tag="t6")
+    staged = stage_events_files(spark, sf_dir, n_files=4, tag="shared")
     ev = events_stream_staged(spark, staged, max_files_per_trigger=1)
     updates = run_to_memory(stateful_user_counts(ev), mode="update")
     return updates.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
@@ -150,7 +150,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalized, and rows older than the watermark are dropped. The late-row
     drop itself is asserted in tests/test_streaming.py (driver gets a
     rows-only smoke of the real streaming run)."""
-    staged = stage_events_files(spark, sf_dir, n_files=4, tag="t4")
+    staged = stage_events_files(spark, sf_dir, n_files=4, tag="shared")
     ev = events_stream_staged(spark, staged, max_files_per_trigger=1)
     agg = tumbling_counts(ev, watermark="10 minutes")
     return run_to_memory(agg, mode="append")
@@ -165,7 +165,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact with last-write-wins per key — the classic append-log + merge
     shape you'd hand to Delta/Iceberg MERGE INTO on a real lakehouse; plain
     parquet here keeps the container dependency-free."""
-    staged = stage_events_files(spark, sf_dir, n_files=4, tag="t7")
+    staged = stage_events_files(spark, sf_dir, n_files=4, tag="shared")
     out = os.path.join(tempfile.gettempdir(), "trireme_t7_sink")
     ckpt = os.path.join(tempfile.gettempdir(), "trireme_t7_ckpt")
     shutil.rmtree(out, ignore_errors=True)

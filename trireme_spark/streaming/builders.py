@@ -97,7 +97,11 @@ EVENTS_TS_SCHEMA = (
 
 
 def stage_events_files(
-    spark: SparkSession, sf_dir: str, n_files: int = 4, tag: str = "stage"
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    tag: str = "stage",
+    reuse: bool = True,
 ) -> str:
     """Rewrite the (single-file) events fixture as ``n_files`` parquet files
     under /tmp so a file-source stream actually iterates micro-batches with
@@ -116,6 +120,14 @@ def stage_events_files(
     out = os.path.join(
         tempfile.gettempdir(), f"trireme_stream_{tag}_{sf_tag}_{n_files}"
     )
+    if (
+        reuse
+        and os.path.isdir(out)
+        and sum(f.endswith(".parquet") for f in os.listdir(out)) == n_files
+    ):
+        # the fixture is deterministic read-only data; a complete staging
+        # dir is safe to share across queries/runs
+        return out
     ev = table(spark, sf_dir, "events")
     # Range-partition on ts so file order ≈ event-time order: a realistic
     # arrival pattern, which keeps watermarks advancing monotonically.
