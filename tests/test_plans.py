@@ -65,6 +65,15 @@ def test_semi_join_no_cartesian(spark):
     assert "Cartesian" not in p
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """The whole point of bucketing: both sides pre-partitioned on the join
+    key → sort-merge join with zero shuffles."""
+    df = registry.QUERIES["join_bucketed_colocated"](spark, SF_SMOKE)
+    p = plan(df)
+    assert "SortMergeJoin" in p
+    assert "Exchange (" not in p and "Exchange hashpartitioning" not in p
+
+
 def test_multiway_join_no_cartesian(spark):
     p = plan(registry.QUERIES["join_multiway"](spark, SF_SMOKE))
     assert "Cartesian" not in p

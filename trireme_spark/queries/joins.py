@@ -330,3 +330,52 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+_JB_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("join_bucketed_colocated", oracle=_JB_ORACLE)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located join: both sides bucketed 8-ways on the join key,
+    so the sort-merge join runs with ZERO exchanges (asserted in
+    tests/test_plans.py) — the bucketing layout that turns every repeated
+    big-to-big join on the same key into a shuffle-free map-side merge at
+    100 TB. Bucketed external tables live under /tmp (bucketBy requires
+    saveAsTable); they are rebuilt only when absent.
+    """
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    names = {
+        "orders": f"trireme_b_orders_{tag.replace('.', '_')}",
+        "customer": f"trireme_b_customer_{tag.replace('.', '_')}",
+    }
+    keys = {"orders": "o_custkey", "customer": "c_custkey"}
+    for tbl, name in names.items():
+        path = os.path.join(tempfile.gettempdir(), f"{name}")
+        if not spark.catalog.tableExists(name):
+            if os.path.isdir(path):
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
+            (
+                table(spark, sf_dir, tbl)
+                .write.bucketBy(8, keys[tbl])
+                .sortBy(keys[tbl])
+                .option("path", path)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    # hint("merge"): at fixture scale the planner would broadcast the tiny
+    # dim; this key demonstrates the big-to-big co-location path, where SMJ
+    # over matching buckets is the zero-shuffle plan.
+    o = spark.table(names["orders"]).hint("merge")
+    c = spark.table(names["customer"])
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
