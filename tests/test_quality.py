@@ -54,6 +54,22 @@ def test_approx_distinct_error_bound(spark):
         )
 
 
+def test_hll_sketch_union_error_bound(spark):
+    """a4b: unioning per-day sketches must estimate the overall distinct
+    count within 5% — the invariant that makes sketch rollups trustworthy."""
+    df = registry.QUERIES["agg_hll_sketch_union"](spark, SF_SMOKE)
+    ev = table(spark, SF_SMOKE, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for row in df.collect():
+        true = exact[row["event_type"]]
+        assert abs(row["approx_users"] - true) <= max(1, 0.05 * true)
+
+
 def test_approx_percentile_error_bound(spark):
     """a7b: the GK sketch guarantees RANK error, not value error (it
     returns a real element; sparse tails make value bounds meaningless).

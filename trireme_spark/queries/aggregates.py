@@ -120,6 +120,24 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_hll_sketch_union")  # rows-only: sketch bytes are engine-specific
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a4b — MERGEABLE distinct-count sketches (Apache DataSketches HLL).
+
+    The 100 TB pre-aggregation pattern: build one fixed-size sketch per
+    (event_type, day) partition — exactly what a daily rollup job would
+    persist — then union sketches at query time instead of rescanning raw
+    data. Estimate accuracy vs exact is asserted in tests/test_quality.py.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+
+
 @register("agg_approx_percentile")  # rows-only: sketches differ across engines
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a7b — approximate percentiles (Greenwald-Khanna sketch,
