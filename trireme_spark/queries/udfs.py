@@ -154,3 +154,72 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.* FROM trireme_docs_x5, "
         "LATERAL trireme_tokenize(doc_id, text) t"
     )
+
+
+_X6_ORACLE = """
+WITH e AS (
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+), o AS (
+    SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+    FROM orders WHERE o_custkey <= 150 GROUP BY o_custkey
+)
+SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(e.sum_value, 0.0) AS sum_value,
+       COALESCE(o.n_orders, 0) AS n_orders
+FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+"""
+
+
+@register("udtf_cogrouped_map", oracle=_X6_ORACLE)
+def udtf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x6 — cogroup().applyInPandas: align two tables by key and merge each
+    key's groups in one Python call — the API for custom per-key merge
+    logic (as-of matching, interleaving, reconciliation) that neither join
+    nor single-table grouping expresses.
+
+    Scale: both sides shuffle once on the key; each call sees one key's
+    rows from each side. Sums go through the decimal bridge inside pandas
+    (sorted before summation) so the result is order-independent and
+    hash-matches the oracle."""
+    from decimal import Decimal
+
+    def merge(events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = (
+            events_pdf["user_id"].iloc[0]
+            if len(events_pdf)
+            else orders_pdf["user_id"].iloc[0]
+        )
+        total = float(
+            sum(
+                sorted(
+                    Decimal(repr(v)).quantize(Decimal("0.000001"))
+                    for v in events_pdf["value"]
+                )
+            )
+        ) if len(events_pdf) else 0.0
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [len(events_pdf)],
+                "sum_value": [total],
+                "n_orders": [len(orders_pdf)],
+            }
+        )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    od = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 150)
+        .select(F.col("o_custkey").alias("user_id"))
+    )
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_events long, sum_value double, n_orders long",
+        )
+    )
