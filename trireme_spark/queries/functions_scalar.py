@@ -305,3 +305,85 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (parsed.getField("k") * 2).alias("k_doubled"),
         F.get_json_object("props", "$.missing").alias("missing_val"),
     )
+
+
+_F8_ORACLE = """
+SELECT l_orderkey,
+       l_linenumber & 3 AS and3,
+       l_linenumber | 8 AS or8,
+       xor(l_linenumber, 5) AS xor5,
+       CAST(l_linenumber << 2 AS INTEGER) AS shl2,
+       CAST(l_linenumber >> 1 AS INTEGER) AS shr1,
+       bit_count(CAST(l_orderkey AS BIGINT)) AS popcount
+FROM lineitem
+"""
+
+
+@register("fn_bitwise", oracle=_F8_ORACLE)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f8 — bitwise AND/OR/XOR/shifts/popcount (flag fields, bitmap
+    bucketing — the primitives LSH banding and SimHash chunking rely on)."""
+    li = table(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        ln.bitwiseAND(F.lit(3)).alias("and3"),
+        ln.bitwiseOR(F.lit(8)).alias("or8"),
+        ln.bitwiseXOR(F.lit(5)).alias("xor5"),
+        F.shiftleft(ln, 2).alias("shl2"),
+        F.shiftright(ln, 1).alias("shr1"),
+        F.bit_count(F.col("l_orderkey").cast("bigint")).alias("popcount"),
+    )
+
+
+_A10_ORACLE = """
+SELECT o_orderpriority,
+       mode() WITHIN GROUP (ORDER BY o_orderstatus) AS mode_status
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_mode", oracle=_A10_ORACLE)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a10 — statistical mode per group. The fixture's status distribution
+    is skewed enough that the mode is unique per group, so Spark's F.mode
+    and DuckDB's ordered-set mode agree deterministically."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.mode("o_orderstatus").alias("mode_status")
+    )
+
+
+_A11_ORACLE = """
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 600000.0 THEN 13
+            ELSE floor(o_totalprice / 50000.0) + 1 END AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("agg_histogram", oracle=_A11_ORACLE)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a11 — fixed-width histogram via width_bucket + keyed count: the
+    one-shuffle distributed histogram (vs. numeric_histogram UDAFs that
+    buffer per-group)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket(
+                "o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)
+            ).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
