@@ -23,6 +23,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 # ---------- text shingles / MinHash / LSH ----------------------------------
@@ -149,9 +150,11 @@ def candidate_pairs_prefix(
     elems = docs.select(
         F.col(id_col).alias("id"), F.explode(set_col).alias("s")
     )
-    df_counts = elems.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency via a count-over-window: one shuffle on the element
+    # (the window partition), versus the groupBy+join formulation's two.
+    w_df = Window.partitionBy("s")
     ordered = (
-        elems.join(df_counts, "s")
+        elems.withColumn("df", F.count(F.lit(1)).over(w_df))
         .groupBy("id")
         .agg(
             F.array_sort(
