@@ -174,3 +174,61 @@ def sink_batched_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _tmp("sink_upsert", sf_dir)
     latest.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+_ETL_ORACLE = """
+SELECT c_custkey AS id,
+       c_name AS name_s,
+       c_mktsegment AS segment_s,
+       CAST(c_acctbal AS DOUBLE) AS balance_d,
+       c_name || ' ' || c_mktsegment AS text_t,
+       n_name AS nation_s
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+@register("etl_migration_pipeline", oracle=_ETL_ORACLE)
+def etl_migration_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole job as one pipeline (SURVEY.md §1.1):
+    Cassandra table scan → per-row field mapping into Solr-style documents
+    (dynamic-field suffixes _s/_d/_t, denormalized dimension lookup) →
+    keyed upsert into the Solr sink → read back. Runs on the parquet
+    emulations here; on a live cluster the same code targets the real
+    connectors (sources/connectors.py)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from trireme_spark.sources.connectors import CassandraSource, SolrSink
+
+    src = CassandraSource(
+        keyspace="tpch",
+        table="customer",
+        emulate_path=os.path.join(sf_dir, "customer.parquet"),
+        partition_cols=("c_nationkey",),
+    )
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    docs = (
+        src.read(spark)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name_s"),
+            F.col("c_mktsegment").alias("segment_s"),
+            F.col("c_acctbal").cast("double").alias("balance_d"),
+            F.concat_ws(" ", "c_name", "c_mktsegment").alias("text_t"),
+            F.col("n_name").alias("nation_s"),
+        )
+    )
+    sink = SolrSink(
+        collection="customers_" + os.path.basename(sf_dir.rstrip("/")),
+        unique_key="id",
+        emulate_dir=os.path.join(
+            tempfile.gettempdir(),
+            "trireme_solr_mig_" + os.path.basename(sf_dir.rstrip("/")),
+        ),
+    )
+    sink.write(docs)
+    return sink.read_back(spark)
