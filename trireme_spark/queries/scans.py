@@ -53,29 +53,37 @@ def scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("source_csv_roundtrip")  # rows-only (writes to a tmp dir)
+@register("source_csv_roundtrip", oracle="SELECT * FROM orders")
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """s3 — write→read CSV with header + explicit schema."""
+    """s3 — write→read CSV with header + explicit schema. Value-oracled:
+    the round-trip is verified LOSSLESS against the original table, not
+    just row-counted."""
     df = table(spark, sf_dir, "orders")
     return write_read_roundtrip(
         df, "csv", os.path.basename(sf_dir.rstrip("/")), header="true"
     )
 
 
-@register("source_json_roundtrip")  # rows-only
+@register("source_json_roundtrip", oracle="SELECT * FROM events")
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """s4 — write→read JSON lines (nested JSON string column survives)."""
+    """s4 — write→read JSON lines (nested JSON string column survives).
+
+    Explicit timestampFormat with microseconds: Spark's default JSON
+    format truncates µs→ms (measured — the silent-precision-loss trap),
+    which would break the lossless value oracle."""
     df = table(spark, sf_dir, "events")
     return write_read_roundtrip(
-        df, "json", os.path.basename(sf_dir.rstrip("/"))
+        df,
+        "json",
+        os.path.basename(sf_dir.rstrip("/")),
+        timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
     )
 
 
-@register("source_orc_roundtrip")  # rows-only
+@register("source_orc_roundtrip", oracle="SELECT * FROM orders")
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """s4b — write→read ORC (the second columnar format Spark ships
-    natively; exercises the ORC vectorized reader + predicate pushdown
-    path the same way the parquet scans do)."""
+    natively); lossless value oracle like s3."""
     df = table(spark, sf_dir, "orders")
     return write_read_roundtrip(
         df, "orc", os.path.basename(sf_dir.rstrip("/"))
