@@ -90,9 +90,16 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_partitioned_parquet")  # rows-only
+@register(
+    "sink_partitioned_parquet",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_returnflag "
+        "FROM lineitem WHERE l_returnflag = 'A'"
+    ),
+)
 def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """s5 — partitioned write; read back ONE partition.
+    """s5 — partitioned write; read back ONE partition, value-oracled
+    against the source rows of that partition (layout is lossless).
 
     The read filter on the partition column prunes directories before any
     file IO (PartitionFilters in the explain output) — the layout pattern

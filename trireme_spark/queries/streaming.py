@@ -156,7 +156,12 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, mode="append")
 
 
-@register("stream_foreachbatch_sink")  # rows-only: side-effecting sink
+_T7_ORACLE = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+"""
+
+
+@register("stream_foreachbatch_sink", oracle=_T7_ORACLE)
 def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t7 — micro-batch upsert into a parquet dir via foreachBatch.
 
