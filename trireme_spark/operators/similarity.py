@@ -150,11 +150,14 @@ def candidate_pairs_prefix(
     elems = docs.select(
         F.col(id_col).alias("id"), F.explode(set_col).alias("s")
     )
-    # document frequency via a count-over-window: one shuffle on the element
-    # (the window partition), versus the groupBy+join formulation's two.
-    w_df = Window.partitionBy("s")
+    # df counts: map-side-combined groupBy (a window formulation saves a
+    # shuffle but loses partial aggregation — measured slower), then a
+    # BROADCAST join back: the distinct-element vocabulary is
+    # dimension-sized. If vocab ever outgrew broadcast, drop the hint and
+    # this degrades to a plain shuffle join, nothing else changes.
+    df_counts = elems.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
-        elems.withColumn("df", F.count(F.lit(1)).over(w_df))
+        elems.join(F.broadcast(df_counts), "s")
         .groupBy("id")
         .agg(
             F.array_sort(

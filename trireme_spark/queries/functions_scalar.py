@@ -387,3 +387,28 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+_F9_ORACLE = """
+SELECT p_partkey,
+       md5(p_name) AS name_md5,
+       sha256(p_name) AS name_sha256,
+       md5(p_brand || '|' || p_type) AS composite_md5
+FROM part
+"""
+
+
+@register("fn_hash", oracle=_F9_ORACLE)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f9 — cryptographic digests (content fingerprints for exact dedup /
+    cache keys; both engines implement the same standardized functions, so
+    these are value-comparable unlike xxhash64)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2(F.col("p_name"), 256).alias("name_sha256"),
+        F.md5(
+            F.concat_ws("|", F.col("p_brand"), F.col("p_type"))
+        ).alias("composite_md5"),
+    )
