@@ -178,16 +178,31 @@ def candidate_pairs_prefix(
     prefixes = ordered.select(
         "id",
         F.size("sorted_set").alias("sz"),
-        F.explode(F.slice("sorted_set", 1, prefix_len)).alias("s"),
+        F.posexplode(F.slice("sorted_set", 1, prefix_len)).alias("pos", "s"),
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
+    # Positional filter (PPJoin): if a and b first collide at prefix
+    # positions (pa, pb), their overlap is at most
+    # 1 + min(|a|-pa-1, |b|-pb-1), and J ≥ t requires overlap ≥
+    # t/(1+t)·(|a|+|b|) — prunes most spurious prefix collisions without
+    # touching the full sets.
+    alpha = (
+        F.lit(threshold)
+        / F.lit(1.0 + threshold)
+        * (F.col("a.sz") + F.col("b.sz"))
+    )
+    ubound = 1 + F.least(
+        F.col("a.sz") - F.col("a.pos") - 1,
+        F.col("b.sz") - F.col("b.pos") - 1,
+    )
     return (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.id") < F.col("b.id"))
             & (F.col("a.sz") * F.lit(threshold) <= F.col("b.sz"))
-            & (F.col("b.sz") * F.lit(threshold) <= F.col("a.sz")),
+            & (F.col("b.sz") * F.lit(threshold) <= F.col("a.sz"))
+            & (ubound >= alpha),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
