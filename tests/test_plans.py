@@ -65,6 +65,16 @@ def test_semi_join_no_cartesian(spark):
     assert "Cartesian" not in p
 
 
+def test_partitioned_read_prunes_directories(spark):
+    """s5's read-back filter on the partition column must appear as a
+    PartitionFilter (directory pruning before file IO), not a data filter."""
+    df = registry.QUERIES["sink_partitioned_parquet"](spark, SF_SMOKE)
+    p = plan(df)
+    idx = p.find("PartitionFilters: [")
+    assert idx != -1
+    assert "l_returnflag" in p[idx : idx + 200]
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """The whole point of bucketing: both sides pre-partitioned on the join
     key → sort-merge join with zero shuffles."""
