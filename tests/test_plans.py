@@ -88,3 +88,23 @@ def test_multiway_join_no_cartesian(spark):
     p = plan(registry.QUERIES["join_multiway"](spark, SF_SMOKE))
     assert "Cartesian" not in p
     assert "BroadcastHashJoin" in p  # dims (nation/region) must broadcast
+
+
+def test_exact_similarity_never_collects_corpus(spark, monkeypatch):
+    """l6/l10 contract after the round-2 rewrite: building the exact
+    brute-force similarity plans must not materialize the corpus on the
+    driver (the round-1 version toPandas()'d all embeddings — a driver OOM
+    at 100 TB). Construction-time collect of any kind trips this guard;
+    the executed plan must carry the block-pair applyInPandas GEMM."""
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side collect during plan construction")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    knn = registry.QUERIES["sim_knn_cosine"](spark, SF_SMOKE)
+    sem = registry.QUERIES["dedup_semantic"](spark, SF_SMOKE)
+    monkeypatch.undo()
+    for df in (knn, sem):
+        assert "FlatMapGroupsInPandas" in plan(df)

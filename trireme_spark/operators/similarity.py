@@ -244,61 +244,129 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def exact_topk_pairs(vectors: DataFrame, k: int, id_col: str = "vec_id",
-                     emb_col: str = "emb") -> DataFrame:
-    """Exact top-k most-similar (cosine) id pairs via blocked matrix multiply.
+def _block_pair_grid(spark, n_blocks: int) -> DataFrame:
+    """Tiny (B·(B+1)/2-row) driver-side grid of block pairs (bl ≤ br).
 
-    The cluster-scale shape for brute-force similarity: the corpus is
-    L2-normalized once, broadcast to every task (same memory contract as a
-    broadcast join — beyond that, use the IVF/LSH prefilters), and each
-    partition GEMMs its row block against it with numpy (Arrow-batched via
-    mapInPandas, ~100× the per-pair expression fold). Only the strict upper
-    triangle (id_a < id_b) is scored; each block emits its local top-k so the
-    global merge moves k·n_blocks rows, not n² scores.
+    This is plan metadata (like a literal centroid list), not collected
+    data — its size depends only on the block-count knob, never the corpus.
     """
-    import numpy as np
-    import pandas as pd
-
-    pdf = vectors.select(
-        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb")
-    ).toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    m = np.stack(pdf["emb"].to_numpy()).astype("float64")
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    bc = vectors.sparkSession.sparkContext.broadcast((ids, mn))
-
-    def block_topk(batches):
-        ids_all, mn_all = bc.value
-        for pdf_a in batches:
-            if not len(pdf_a):
-                continue
-            a_ids = pdf_a["vec_id"].to_numpy()
-            a = np.stack(pdf_a["emb"].to_numpy()).astype("float64")
-            an = a / np.linalg.norm(a, axis=1, keepdims=True)
-            s = an @ mn_all.T
-            s[a_ids[:, None] >= ids_all[None, :]] = -np.inf
-            flat = s.ravel()
-            kk = min(k, int((flat > -np.inf).sum()))
-            if kk == 0:
-                continue
-            top = np.argpartition(flat, -kk)[-kk:]
-            top = top[flat[top] > -np.inf]
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[top // len(ids_all)],
-                    "vec_b": ids_all[top % len(ids_all)],
-                    "cos_sim": flat[top],
-                }
-            )
-
-    n_parts = vectors.sparkSession.sparkContext.defaultParallelism
-    return (
-        vectors.select(
-            F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb")
-        )
-        .repartition(n_parts)
-        .mapInPandas(block_topk, "vec_a long, vec_b long, cos_sim double")
+    rows = [
+        (i * n_blocks + j, i, j, i == j)
+        for i in range(n_blocks)
+        for j in range(i, n_blocks)
+    ]
+    return spark.createDataFrame(
+        rows, "pid int, bl int, br int, diag boolean"
     )
+
+
+def _block_pair_groups(
+    vectors: DataFrame, id_col: str, emb_col: str, n_blocks: int
+) -> DataFrame:
+    """Ship each vector to every block-pair group it participates in.
+
+    Vectors are hashed into ``n_blocks`` blocks; the all-pairs problem
+    becomes B·(B+1)/2 independent block-pair GEMM tasks keyed by ``pid``.
+    Replication factor is B+1 (each vector joins B pair groups, twice for
+    its diagonal), so shuffle volume is (B+1)·n rows — linear in the
+    corpus, quadratic work confined to executors. Pick B ≈ √parallelism;
+    at scale, size B so 2n/B vectors fit one executor's task memory.
+    """
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("emb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        .cast("int")
+        .alias("blk"),
+    )
+    grid = _block_pair_grid(spark, n_blocks)
+    left = v.join(F.broadcast(grid), v["blk"] == grid["bl"]).select(
+        "pid", "diag", F.lit("L").alias("side"), "vec_id", "emb"
+    )
+    right = v.join(
+        F.broadcast(grid.where(~F.col("diag"))), v["blk"] == grid["br"]
+    ).select("pid", "diag", F.lit("R").alias("side"), "vec_id", "emb")
+    return left.unionByName(right)
+
+
+def _default_blocks(spark) -> int:
+    return max(2, int(spark.sparkContext.defaultParallelism ** 0.5))
+
+
+def exact_topk_pairs(vectors: DataFrame, k: int, id_col: str = "vec_id",
+                     emb_col: str = "emb", n_blocks: int = None) -> DataFrame:
+    """Exact top-k most-similar (cosine) id pairs via DISTRIBUTED block-pair
+    GEMM — no driver-side materialization of the corpus anywhere.
+
+    Plan: hash vectors into B blocks, join against the B·(B+1)/2 block-pair
+    grid (a broadcast of plan metadata), shuffle once on the pair id, then
+    one numpy GEMM per pair group in ``applyInPandas``. Only the strict
+    upper triangle (vec_a < vec_b) is scored; each group emits its local
+    top-k so the global merge moves k·B² rows, not n² scores. The caller
+    finishes with orderBy(...).limit(k).
+
+    This replaces the round-1 broadcast-corpus version whose
+    ``toPandas()`` was a driver OOM at 100 TB; the brute-force cost is now
+    purely executor-side and B is the memory knob. Past broadcast scale,
+    prefer the IVF/LSH prefilters (SURVEY.md §4) — this is the exact
+    baseline they're verified against.
+    """
+    if n_blocks is None:
+        n_blocks = _default_blocks(vectors.sparkSession)
+    grouped = _block_pair_groups(vectors, id_col, emb_col, n_blocks)
+
+    def pair_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        a_ids, b_ids, s = _pair_scores(pdf)
+        if s is None:
+            return _EMPTY_PAIRS.copy()
+        flat = s.ravel()
+        kk = min(k, int((flat > -np.inf).sum()))
+        if kk == 0:
+            return _EMPTY_PAIRS.copy()
+        top = np.argpartition(flat, -kk)[-kk:]
+        top = top[flat[top] > -np.inf]
+        ai = a_ids[top // len(b_ids)]
+        bi = b_ids[top % len(b_ids)]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ai, bi),
+                "vec_b": np.maximum(ai, bi),
+                "cos_sim": flat[top],
+            }
+        )
+
+    return grouped.groupBy("pid").applyInPandas(
+        pair_topk, "vec_a long, vec_b long, cos_sim double"
+    )
+
+
+_EMPTY_PAIRS = pd.DataFrame(
+    {"vec_a": [], "vec_b": [], "cos_sim": []}
+).astype({"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
+
+
+def _pair_scores(pdf: pd.DataFrame):
+    """Shared per-group GEMM: (a_ids, b_ids, score matrix) for one block
+    pair. Diagonal groups score their own strict upper triangle (mask
+    ``a_id >= b_id`` to -inf); cross-block groups score every L×R pair —
+    the two blocks are disjoint, and each unordered pair occurs in exactly
+    one group, so the caller canonicalizes to (min id, max id) instead of
+    masking (the lower id may sit on either side)."""
+    a = pdf[pdf["side"] == "L"]
+    b = a if pdf["diag"].iat[0] else pdf[pdf["side"] == "R"]
+    if not len(a) or not len(b):
+        return None, None, None
+    a_ids = a["vec_id"].to_numpy()
+    b_ids = b["vec_id"].to_numpy()
+    am = np.stack(a["emb"].to_numpy()).astype("float64")
+    bm = np.stack(b["emb"].to_numpy()).astype("float64")
+    an = am / np.linalg.norm(am, axis=1, keepdims=True)
+    bn = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+    s = an @ bn.T
+    if pdf["diag"].iat[0]:
+        s[a_ids[:, None] >= b_ids[None, :]] = -np.inf
+    return a_ids, b_ids, s
 
 
 def cosine_pairs_vectorized():
@@ -324,6 +392,7 @@ def sample_kmeans_centroids(
     vectors: DataFrame,
     k: int,
     emb_col: str = "emb",
+    id_col: str = "vec_id",
     iters: int = 2,
     sample_cap: int = 4096,
 ):
@@ -332,11 +401,19 @@ def sample_kmeans_centroids(
     The at-scale IVF recipe — train centroids on a bounded sample (capped
     collect, independent of corpus size), broadcast them as literals into
     the assignment plan. Returns a list of k unit-norm centroid lists.
-    Deterministic: seeds are the first k rows by id order, fixed iteration
-    count, no RNG."""
+    Deterministic: the sample is the first ``sample_cap`` rows ordered by
+    ``id_col`` (ordered HERE — a bare ``limit`` is partition-order-
+    dependent and would make IVF recall nondeterministic), seeds are the
+    first k of those, fixed iteration count, no RNG."""
     import numpy as np
 
-    pdf = vectors.select(emb_col).limit(sample_cap).toPandas()
+    pdf = (
+        vectors.select(id_col, emb_col)
+        .orderBy(id_col)
+        .limit(sample_cap)
+        .select(emb_col)
+        .toPandas()
+    )
     m = np.stack(pdf[emb_col].to_numpy()).astype("float64")
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
     c = mn[:k].copy()
@@ -421,48 +498,34 @@ def exact_threshold_pairs(
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "emb",
+    n_blocks: int = None,
 ) -> DataFrame:
-    """All id pairs (a < b) with cosine ≥ threshold — blocked GEMM, same
-    broadcast-corpus contract as :func:`exact_topk_pairs`. Output size is
-    the true near-dup pair count (small for any sane threshold), so unlike
-    top-k no per-block truncation is needed."""
-    import numpy as np
-    import pandas as pd
+    """All id pairs (a < b) with cosine ≥ threshold — same DISTRIBUTED
+    block-pair GEMM as :func:`exact_topk_pairs` (one shuffle on the pair
+    id, numpy per group, zero driver materialization). Output size is the
+    true near-dup pair count (small for any sane threshold), so unlike
+    top-k no per-group truncation is needed."""
+    if n_blocks is None:
+        n_blocks = _default_blocks(vectors.sparkSession)
+    grouped = _block_pair_groups(vectors, id_col, emb_col, n_blocks)
 
-    pdf = vectors.select(
-        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb")
-    ).toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    m = np.stack(pdf["emb"].to_numpy()).astype("float64")
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    bc = vectors.sparkSession.sparkContext.broadcast((ids, mn))
-
-    def block_pairs(batches):
-        ids_all, mn_all = bc.value
-        for pdf_a in batches:
-            if not len(pdf_a):
-                continue
-            a_ids = pdf_a["vec_id"].to_numpy()
-            a = np.stack(pdf_a["emb"].to_numpy()).astype("float64")
-            an = a / np.linalg.norm(a, axis=1, keepdims=True)
-            s = an @ mn_all.T
-            hit = (s >= threshold) & (a_ids[:, None] < ids_all[None, :])
-            ai, bi = np.nonzero(hit)
-            if not len(ai):
-                continue
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": ids_all[bi],
-                    "cos_sim": s[ai, bi],
-                }
-            )
-
-    n_parts = vectors.sparkSession.sparkContext.defaultParallelism
-    return (
-        vectors.select(
-            F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb")
+    def pair_hits(pdf: pd.DataFrame) -> pd.DataFrame:
+        a_ids, b_ids, s = _pair_scores(pdf)
+        if s is None:
+            return _EMPTY_PAIRS.copy()
+        hit = s >= threshold
+        ai, bi = np.nonzero(hit)
+        if not len(ai):
+            return _EMPTY_PAIRS.copy()
+        aa, bb = a_ids[ai], b_ids[bi]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(aa, bb),
+                "vec_b": np.maximum(aa, bb),
+                "cos_sim": s[ai, bi],
+            }
         )
-        .repartition(n_parts)
-        .mapInPandas(block_pairs, "vec_a long, vec_b long, cos_sim double")
+
+    return grouped.groupBy("pid").applyInPandas(
+        pair_hits, "vec_a long, vec_b long, cos_sim double"
     )

@@ -197,8 +197,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _A6_ORACLE = """
 SELECT event_type,
-       list(DISTINCT user_id ORDER BY user_id) AS users_sorted,
-       list(event_id ORDER BY event_id DESC)[1:5] AS latest_ids
+       array_to_string(list(DISTINCT user_id ORDER BY user_id), ',') AS users_sorted,
+       array_to_string(list(event_id ORDER BY event_id DESC)[1:5], ',') AS latest_ids
 FROM events GROUP BY event_type
 """
 
@@ -206,12 +206,24 @@ FROM events GROUP BY event_type
 @register("agg_collect", oracle=_A6_ORACLE)
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a6 — collect_list/collect_set, wrapped deterministic (sorted /
-    sliced) because bare collect order is partition-dependent."""
+    sliced) because bare collect order is partition-dependent.
+
+    The arrays are serialized with ``array_join`` (mirrored by DuckDB's
+    ``array_to_string``) because the grading driver's pandas canonicalizer
+    cannot sort/hash ndarray-valued cells (r1: ``TypeError: unhashable
+    type: 'numpy.ndarray'``). collect_set/collect_list stay exercised; the
+    output cells become hashable scalars.
+    """
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.sort_array(F.collect_set("user_id")).alias("users_sorted"),
-        F.slice(
-            F.sort_array(F.collect_list("event_id"), asc=False), 1, 5
+        F.array_join(
+            F.sort_array(F.collect_set("user_id")).cast("array<string>"), ","
+        ).alias("users_sorted"),
+        F.array_join(
+            F.slice(
+                F.sort_array(F.collect_list("event_id"), asc=False), 1, 5
+            ).cast("array<string>"),
+            ",",
         ).alias("latest_ids"),
     )
 

@@ -221,7 +221,12 @@ def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition. Degradation path at scale: l8/IVF prefilter."""
     e = table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
-    scored = exact_topk_pairs(v, k=10)
+    # Fetch 50 candidates (slack beyond the final 10): the oracle cuts its
+    # top-10 on ROUND(cos, 6) with (vec_a, vec_b) tie-break, so the final
+    # sort/limit below must run on the SAME rounded key — unrounded #10 vs
+    # #11 can swap after rounding, and the slack makes the rounded cut
+    # exact unless >40 pairs tie within 1e-6 (not a real corpus).
+    scored = exact_topk_pairs(v, k=50)
     return (
         scored.select(
             "vec_a", "vec_b", F.round(F.col("cos_sim"), 6).alias("cos_sim")
@@ -533,7 +538,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     ).repartition(spark.sparkContext.defaultParallelism)
-    cents = sample_kmeans_centroids(v.orderBy("vec_id"), k=8, iters=2)
+    cents = sample_kmeans_centroids(v, k=8, iters=2)  # orders by vec_id internally
     cells = assign_cells(v, cents)
     q = cells.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")

@@ -113,7 +113,11 @@ def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = pdf["value"]
         sd = v.std(ddof=1)
         pdf = pdf[["event_id", "user_id"]].copy()
-        pdf["zscore"] = ((v - v.mean()) / sd).round(6)
+        z = ((v - v.mean()) / sd).round(6)
+        # NaN (single-row group: std(ddof=1) is NaN; constant group: 0/0)
+        # must surface as SQL NULL — the oracle's STDDEV_SAMP/division
+        # yields NULL there, and the driver's repr-hash tells nan from None.
+        pdf["zscore"] = z.astype(object).where(z.notna(), None)
         return pdf
 
     ev = table(spark, sf_dir, "events")
