@@ -171,3 +171,20 @@ def test_prefix_filter_sound(spark, threshold):
     true_pairs = _pairs(truth, "id_a", "id_b")
     missing = true_pairs - cand
     assert not missing, f"prefix filter missed true pairs: {missing}"
+
+
+def test_minhash_union_leg_adds_nothing(spark):
+    """The registered l5 path verifies prefix-filter candidates only; the
+    at-scale union path (prefix ∪ MinHash-LSH) must produce the IDENTICAL
+    verified pair set — LSH can only add candidates, and every candidate is
+    exact-Jaccard-verified, so any difference means a soundness bug."""
+    from trireme_spark.queries.llm_sim import dedup_fuzzy_minhash
+
+    def pairs(df):
+        return {
+            (r["doc_a"], r["doc_b"], r["jaccard_sim"]) for r in df.collect()
+        }
+
+    default = pairs(dedup_fuzzy_minhash(spark, SF_SMOKE))
+    union = pairs(dedup_fuzzy_minhash(spark, SF_SMOKE, generators="union"))
+    assert default == union and len(default) > 0

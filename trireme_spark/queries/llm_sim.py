@@ -92,25 +92,36 @@ WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
 
 
 @register("dedup_fuzzy_minhash", oracle=_L5_ORACLE)
-def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_fuzzy_minhash(
+    spark: SparkSession, sf_dir: str, generators: str = "prefix"
+) -> DataFrame:
     """l5 — near-duplicate pairs at Jaccard ≥ 0.8 over 3-shingles.
 
-    Candidates = MinHash-LSH (64 perms, 8×8 bands — the at-scale fast
-    path) ∪ prefix-filter (provably sound, so the result is EXACTLY the
-    brute-force pair set the oracle computes, which plain LSH cannot
-    promise). Both generators are keyed shuffles; exact Jaccard verifies
-    each candidate once.
+    Candidate generators (both keyed shuffles, never cross joins):
+
+    * ``"prefix"`` (default, the registered path): rarity-ordered prefix
+      filter — provably sound AND complete at the threshold, so the result
+      is EXACTLY the brute-force pair set the oracle computes. Running the
+      MinHash-LSH leg in union with it (the round-1 shape) adds candidates
+      but cannot change the verified output — measured as ~half the key's
+      bench time for zero result delta, so it's opt-in now.
+    * ``"union"``: prefix ∪ MinHash-LSH (64 perms, 8×8 bands). At 100 TB
+      the LSH leg alone is the standard operating point (approximate:
+      catch ≈ 1-(1-J^8)^8, i.e. ~77% at exactly J=0.8 rising steeply —
+      ~99.9% at J=0.9) when prefix buckets degenerate on templated
+      corpora; its recall is asserted against the exact pair set in
+      tests/test_quality.py.
+
+    Exact Jaccard verifies each candidate once either way.
     """
     n_parts = spark.sparkContext.defaultParallelism
     sets = _shingle_sets(spark, sf_dir).cache()
-    sigs = minhash_signatures(sets, "doc_id", "sset", n_perm=64)
-    cand = (
-        candidate_pairs_lsh(sigs, "doc_id", "sig", bands=8, rows=8)
-        .unionByName(
-            candidate_pairs_prefix(sets, "doc_id", "sset", threshold=0.8)
-        )
-        .distinct()
-    )
+    cand = candidate_pairs_prefix(sets, "doc_id", "sset", threshold=0.8)
+    if generators == "union":
+        sigs = minhash_signatures(sets, "doc_id", "sset", n_perm=64)
+        cand = cand.unionByName(
+            candidate_pairs_lsh(sigs, "doc_id", "sig", bands=8, rows=8)
+        ).distinct()
     a = sets.select(
         F.col("doc_id").alias("id_a"), F.col("sset").alias("sset_a")
     )

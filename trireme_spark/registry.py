@@ -30,9 +30,9 @@ def register(key: str, oracle: Optional[str] = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         from trireme_spark.session import prep
 
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
             prep(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, **kwargs)
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
