@@ -188,3 +188,46 @@ def test_minhash_union_leg_adds_nothing(spark):
     default = pairs(dedup_fuzzy_minhash(spark, SF_SMOKE))
     union = pairs(dedup_fuzzy_minhash(spark, SF_SMOKE, generators="union"))
     assert default == union and len(default) > 0
+
+
+def test_split_fractions_and_disjointness(spark):
+    """split_train_holdout: deterministic, exhaustive, and near the 90/5/5
+    design fractions (hash-uniformity tolerance; exact counts pinned by
+    the oracle hash check)."""
+    out = registry.QUERIES["split_train_holdout"](spark, SF_SMOKE).toPandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac.get("train", 0) - 0.90) < 0.06
+    assert abs(frac.get("val", 0) - 0.05) < 0.04
+    assert abs(frac.get("test", 0) - 0.05) < 0.04
+    rerun = registry.QUERIES["split_train_holdout"](spark, SF_SMOKE).toPandas()
+    assert out.sort_values("doc_id").equals(rerun.sort_values("doc_id"))
+
+
+def test_pack_sequences_budget(spark):
+    """pack_sequences: sequence ids are contiguous from 0 and every
+    sequence's token total stays under budget + one max-doc overhang (the
+    greedy running-total definition can overshoot by at most one doc)."""
+    out = registry.QUERIES["pack_sequences"](spark, SF_SMOKE).toPandas()
+    totals = out.groupby("seq_id")["n_tokens"].sum()
+    assert sorted(totals.index) == list(range(len(totals)))
+    overhang = out["n_tokens"].max()
+    assert (totals <= 2048 + overhang).all()
+
+
+def test_skew_forms_match_naive(spark):
+    """Salted join / two-phase agg are result-identical to their naive
+    forms (the oracle already pins this; assert it engine-side too so the
+    invariant survives oracle edits)."""
+    from trireme_spark.sources.io import table
+
+    ev = table(spark, SF_SMOKE, "events").select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_total"))
+    naive = set(
+        (r["event_id"], r["type_total"])
+        for r in ev.join(dim, "event_type").collect()
+    )
+    salted = set(
+        (r["event_id"], r["type_total"])
+        for r in registry.QUERIES["join_skew_salted"](spark, SF_SMOKE).collect()
+    )
+    assert naive == salted

@@ -20,6 +20,7 @@ from trireme_spark.queries import joins  # noqa: F401
 from trireme_spark.queries import llm_sim  # noqa: F401
 from trireme_spark.queries import llm_text  # noqa: F401
 from trireme_spark.queries import multimodal  # noqa: F401
+from trireme_spark.queries import pipeline  # noqa: F401
 from trireme_spark.queries import windows  # noqa: F401
 from trireme_spark.queries import scans  # noqa: F401
 from trireme_spark.queries import sorts_sets  # noqa: F401
@@ -93,7 +94,16 @@ _SWEEP_PRIORITY = [
     "project_compute",
     "project_cast",
     "conditional_case",
-    # --- beyond 50: previously-green §2 keys, re-confirmed when reached ---
+    # --- slot 51+: new round-2 pipeline keys (no prior row — before the
+    # re-confirmations so a time-budgeted sweep reaches them first) ---
+    "text_pii_redact",
+    "sample_stratified",
+    "split_train_holdout",
+    "embed_normalize_quantize",
+    "pack_sequences",
+    "join_skew_salted",
+    "agg_two_phase_skew",
+    # --- previously-green §2 keys, re-confirmed when reached ---
     "fn_string",
     "fn_string_fuzzy",
     "fn_date",

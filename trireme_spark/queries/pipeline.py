@@ -1,0 +1,328 @@
+"""Training-data pipeline keys (round-2 addendum) — the operations a
+100 TB pretraining-corpus build runs between raw scans and the tokenizer:
+PII redaction, deterministic sampling/splitting, embedding normalization
+and quantization, sequence packing, and the skew-mitigation forms of join
+and aggregation.
+
+Design rules shared by every key here:
+
+* **Determinism without RNG.** Sampling/splitting/packing use a Knuth
+  multiplicative hash ``(id * 2654435761) mod 2^32`` expressed in plain
+  integer arithmetic so the DuckDB oracle reproduces it bit-for-bit
+  (``xxhash64`` exists only on the Spark side). At scale the same
+  expression works because it's per-row column algebra — no shuffle, no
+  state, re-runnable on any subset of the data.
+* **Column algebra only.** Every key is whole-stage-codegen-able
+  expressions plus at most one keyed shuffle (the window in
+  ``pack_sequences``, the salted keys in the skew forms). No Python in
+  the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trireme_spark.operators.skew import salted_join, two_phase_agg
+from trireme_spark.parity import oracle_sum
+from trireme_spark.registry import register
+from trireme_spark.sources.io import table
+
+# Knuth multiplicative hash, oracle-expressible: same integer ops in both
+# engines (ids are far below the 2^63 overflow point even after the
+# multiply). Used everywhere a key needs a deterministic pseudo-uniform
+# bucket WITHOUT RNG.
+_KNUTH = 2654435761
+_M32 = 4294967296
+
+
+# Reduce the id mod 2^31 BEFORE the multiply: (2^31-1)·KNUTH ≈ 5.7e18
+# stays inside int64, so the expression can't overflow for ANY id — ANSI
+# mode (on in Spark 4) turns silent wraparound into a runtime error, and
+# 100 TB corpora have ids well past the naive overflow point of ~3.5e9.
+_M31 = 2147483648
+
+
+def _kbucket(col, buckets: int):
+    h = F.pmod(F.pmod(F.col(col), F.lit(_M31)) * F.lit(_KNUTH), F.lit(_M32))
+    return h % buckets
+
+
+def _kbucket_sql(col: str, buckets: int) -> str:
+    return f"((({col} % {_M31}) * {_KNUTH}) % {_M32}) % {buckets}"
+
+
+# --- PII redaction ----------------------------------------------------------
+
+# The fixture corpus is synthetic word-soup with no PII, so the key plants
+# a deterministic contact line per doc (same construction in the oracle)
+# and the regexes must strip exactly that. Patterns stay in the common
+# Java-regex ∩ RE2 subset (char classes + counted repeats, no lookaround)
+# so both engines compile them identically.
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+_PII_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@mail.example host 10.0.' || doc_id % 256 || '.7' AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_IPV4_RE}', '<IP>', 'g') AS redacted,
+       length(regexp_replace(
+         regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_IPV4_RE}', '<IP>', 'g')) AS redacted_len
+FROM d
+"""
+
+
+@register("text_pii_redact", oracle=_PII_ORACLE)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (emails, IPv4) — the mandatory first pass of any
+    corpus build. Pure ``regexp_replace`` chain: codegen'd, no shuffle,
+    linear scan at any scale."""
+    d = table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example host 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _IPV4_RE,
+        "<IP>",
+    )
+    return planted.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.length(red).alias("redacted_len"),
+    )
+
+
+# --- deterministic sampling / splitting -------------------------------------
+
+_SAMPLE_ORACLE = f"""
+SELECT event_id, event_type, value
+FROM events
+WHERE {_kbucket_sql('event_id', 10)} = 0
+"""
+
+
+@register("sample_stratified", oracle=_SAMPLE_ORACLE)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample: hash-bucket the key, keep bucket 0.
+
+    Unlike ``df.sample()`` (seeded per-partition RNG — resample changes
+    when partitioning changes), the hash condition is stable under any
+    repartitioning/retry; it's an arithmetic predicate, so it evaluates
+    inside the scan's codegen stage (not as a parquet PushedFilter — only
+    literal comparisons push that far) and never forces a shuffle.
+    Stratification is free: the hash is independent of event_type, so
+    each stratum is sampled at the same rate."""
+    ev = table(spark, sf_dir, "events")
+    return ev.where(_kbucket("event_id", 10) == 0).select(
+        "event_id", "event_type", "value"
+    )
+
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN {_kbucket_sql('doc_id', 100)} < 90 THEN 'train'
+            WHEN {_kbucket_sql('doc_id', 100)} < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("split_train_holdout", oracle=_SPLIT_ORACLE)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test assignment by hash bucket — reproducible on
+    any machine, any partitioning, any subset of the corpus; no RNG, no
+    state, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    b = _kbucket("doc_id", 100)
+    return d.select(
+        "doc_id",
+        F.when(b < 90, F.lit("train"))
+        .when(b < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+# --- embedding normalization + quantization ---------------------------------
+
+_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_EMB_NORM = (
+    f"sqrt(list_sum(list_transform({_EMB_D}, x -> x * x)))"
+)
+
+_QUANT_ORACLE = f"""
+SELECT vec_id,
+       ROUND({_EMB_NORM}, 6) AS l2_norm,
+       array_to_string(
+         list_transform({_EMB_D},
+                        x -> CAST(floor(127.0 * x / {_EMB_NORM}) AS BIGINT)),
+         ',') AS q8
+FROM embeddings
+"""
+
+
+@register("embed_normalize_quantize", oracle=_QUANT_ORACLE)
+def embed_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm + int8-range quantization ``floor(127·x/‖x‖)`` of each
+    embedding — the storage-shrink step before ANN indexing (4× over
+    float32). ``floor`` (not round) because both engines define it
+    identically; the quantized vector is serialized with array_join so
+    driver-side hashing sees scalar cells. One codegen'd projection, no
+    shuffle, no Python."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(emb, lambda x: x * x),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    # materialize emb+norm once (projection barrier) so the per-element
+    # quantize lambda doesn't re-fold the norm 64× (no CSE inside lambdas)
+    base = e.select("vec_id", emb.alias("emb"), nrm.alias("nrm"))
+    q8 = F.array_join(
+        F.transform(
+            F.col("emb"),
+            lambda x: F.floor(F.lit(127.0) * x / F.col("nrm")).cast("long"),
+        ).cast("array<string>"),
+        ",",
+    )
+    return base.select(
+        "vec_id",
+        F.round(F.col("nrm"), 6).alias("l2_norm"),
+        q8.alias("q8"),
+    )
+
+
+# --- sequence packing -------------------------------------------------------
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+         {_kbucket_sql('doc_id', _M32)} AS ord
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(
+         (sum(n_tokens) OVER (ORDER BY ord, doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)
+         / 2048.0) AS BIGINT) AS seq_id
+FROM t
+"""
+
+
+@register("pack_sequences", oracle=_PACK_ORACLE)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack shuffled docs into ~2048-token training sequences: hash-order
+    the corpus (deterministic shuffle), running token total, sequence id =
+    tokens-before ÷ 2048.
+
+    Scale note: the single global window here is the fixture-honest form
+    of the real recipe — at 100 TB you first repartitionByRange on the
+    hash order, run the same cumulative window per range, and offset each
+    range by the ranges' token totals (two passes, no global sort on one
+    reducer). Semantics identical; the oracle pins them."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), r"\s+")).alias("n_tokens"),
+        _kbucket("doc_id", _M32).alias("ord"),
+    )
+    w = (
+        Window.orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)
+        ).alias("seq_id"),
+    )
+
+
+# --- skew-mitigation forms (result-identical to naive; oracle is naive) -----
+
+_SALTED_ORACLE = f"""
+WITH dim AS (
+  SELECT event_type, count(*) AS type_total FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, dim.type_total
+FROM events e JOIN dim USING (event_type)
+"""
+
+
+@register("join_skew_salted", oracle=_SALTED_ORACLE)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a 5-value key (events.event_type — skewed by
+    construction): hot keys spread over 8 salt sub-partitions, dim rows
+    replicated 8×. Result-identical to the plain join the oracle runs;
+    the payoff is reducer balance when one key owns most of the fact
+    table. AQE skew-split covers sort-merge joins; this is the manual
+    form for the cases it can't rewrite."""
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_total")
+    )
+    return salted_join(ev, dim, on=["event_type"], n_salts=8).select(
+        "event_id", "event_type", "type_total"
+    )
+
+
+_TWOPHASE_ORACLE = f"""
+SELECT event_type,
+       count(*) AS n,
+       {oracle_sum('value')} AS sum_value,
+       max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_two_phase_skew", oracle=_TWOPHASE_ORACLE)
+def agg_two_phase_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation over the same 5-value hot key:
+    (key, salt) partial shuffle → key final shuffle. Algebraically exact
+    for decomposable aggregates — the oracle is the naive GROUP BY."""
+    from trireme_spark.parity import dsum
+
+    ev = table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.struct("event_id")), F.lit(8))
+        )
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            dsum("value").alias("_s"),
+            F.max("value").alias("_m"),
+        )
+    )
+    # final phase re-sums the partials through the same decimal path: the
+    # per-salt partials are exact 6-dp decimals (they round-trip through
+    # double losslessly below 1e9), so the two-phase total equals the
+    # oracle's single decimal SUM exactly.
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n"),
+        dsum("_s").alias("sum_value"),
+        F.max("_m").alias("max_value"),
+    )
