@@ -231,3 +231,26 @@ def test_skew_forms_match_naive(spark):
         for r in registry.QUERIES["join_skew_salted"](spark, SF_SMOKE).collect()
     )
     assert naive == salted
+
+
+def test_connected_components_invariants(spark):
+    """CC output: every edge's endpoints share a component, component ids
+    are members of their own component (min-id convention), and canonical
+    count equals distinct-component count."""
+    out = registry.QUERIES["dedup_connected_components"](
+        spark, SF_SMOKE
+    ).toPandas()
+    comp = dict(zip(out["doc_id"], out["component_id"]))
+    assert all(comp[c] == c for c in set(out["component_id"]))
+    assert out["is_canonical"].sum() == out["component_id"].nunique()
+    d = table(spark, SF_SMOKE, "documents").toPandas()
+    by_key = {}
+    for _, r in d.iterrows():
+        by_key.setdefault((r["source"], r["lang"]), []).append(
+            (r["n_chars"], r["doc_id"])
+        )
+    for rows in by_key.values():
+        for n1, id1 in rows:
+            for n2, id2 in rows:
+                if id1 < id2 and abs(n1 - n2) <= 2:
+                    assert comp[id1] == comp[id2], (id1, id2)

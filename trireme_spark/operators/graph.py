@@ -1,0 +1,73 @@
+"""Iterative graph operators — connected components for dedup clustering.
+
+After near-dup pair detection, a corpus build needs the transitive closure
+of "is a duplicate of" to pick one canonical document per group; pairs
+alone over-delete (A~B, B~C must keep exactly one of {A,B,C}, not two
+survivors of two independent pair decisions).
+
+Algorithm: min-label propagation. Every node starts as its own component;
+each round, every node adopts the smallest label among itself and its
+neighbors; fixpoint in O(max component diameter) rounds. Each round is two
+keyed shuffles (join on dst, groupBy src) — fully distributed, no driver
+state beyond the converged? flag. For 100 TB graphs with high-diameter
+components, the published upgrade is the large-star/small-star rewrite
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14),
+which contracts in O(log²) rounds with the same join/agg primitives;
+near-dup graphs are low-diameter in practice, so propagation is the right
+default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) where component = min node id reachable from id.
+
+    ``edges`` may be directed input; it's symmetrized here so components
+    are of the undirected graph. Isolated nodes keep their own id.
+
+    Each iteration materializes (cache + count) so the plan doesn't grow a
+    per-round lineage chain — the count doubles as the convergence check
+    (# of nodes whose label shrank), so the action is not wasted work.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+    )
+    cc = nodes.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("comp")
+    ).cache()
+    cc.count()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(cc, sym["d"] == cc["v"])
+            .groupBy("s")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        nxt = (
+            cc.join(nbr_min, cc["v"] == nbr_min["s"], "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).alias("_shrank"),
+            )
+        ).cache()
+        changed = nxt.where(F.col("_shrank")).count()
+        cc.unpersist()
+        cc = nxt.select("v", "comp")
+        if changed == 0:
+            break
+    return cc.select(F.col("v").alias(id_col), F.col("comp").alias("component"))

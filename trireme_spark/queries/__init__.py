@@ -103,6 +103,9 @@ _SWEEP_PRIORITY = [
     "pack_sequences",
     "join_skew_salted",
     "agg_two_phase_skew",
+    "dedup_connected_components",
+    "reshape_unpivot",
+    "win_ntile_bucket",
     # --- previously-green §2 keys, re-confirmed when reached ---
     "fn_string",
     "fn_string_fuzzy",

@@ -326,3 +326,135 @@ def agg_two_phase_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("_s").alias("sum_value"),
         F.max("_m").alias("max_value"),
     )
+
+
+# --- dedup clustering: connected components ---------------------------------
+
+_CC_ORACLE = """
+WITH RECURSIVE
+e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND a.lang = b.lang
+   AND abs(a.n_chars - b.n_chars) <= 2
+   AND a.doc_id <> b.doc_id
+),
+reach(v, c) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.c FROM reach r JOIN e ON e.src = r.v
+)
+SELECT v AS doc_id,
+       min(c) AS component_id,
+       (v = min(c)) AS is_canonical
+FROM reach GROUP BY v
+"""
+
+
+@register("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering: connected components over a similarity
+    edge set, canonical survivor = min doc_id per component.
+
+    Pairwise dedup alone over-deletes chains (A~B, B~C is ONE group of
+    three, not two independent pairs); this closes the relation. The edge
+    set here (same source+lang, n_chars within 2 — cheap blocking-style
+    similarity) keeps the oracle's recursive CTE tractable; the operator
+    accepts any (src, dst) pair table, e.g. dedup_fuzzy_minhash output.
+    Iterative min-label propagation, two keyed shuffles per round — see
+    operators/graph.py for the 100 TB notes (large-star/small-star).
+    """
+    from trireme_spark.operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("src"),
+        F.col("source").alias("src_source"),
+        F.col("lang").alias("src_lang"),
+        F.col("n_chars").alias("src_n"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("dst"),
+        F.col("source").alias("dst_source"),
+        F.col("lang").alias("dst_lang"),
+        F.col("n_chars").alias("dst_n"),
+    )
+    edges = a.join(
+        b,
+        (F.col("src_source") == F.col("dst_source"))
+        & (F.col("src_lang") == F.col("dst_lang"))
+        & (F.abs(F.col("src_n") - F.col("dst_n")) <= 2)
+        & (F.col("src") < F.col("dst")),
+    ).select("src", "dst")
+    cc = connected_components(
+        d.select("doc_id"), edges, id_col="doc_id"
+    )
+    return cc.select(
+        "doc_id",
+        F.col("component").alias("component_id"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+# --- reshape: unpivot / melt ------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE) AS chars,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE)
+           AS tokens,
+         CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+           AS spaces
+  FROM documents
+)
+SELECT doc_id, metric, value FROM m
+UNPIVOT (value FOR metric IN (chars, tokens, spaces))
+"""
+
+
+@register("reshape_unpivot", oracle=_UNPIVOT_ORACLE)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt): per-doc metrics unpivoted to
+    (doc_id, metric, value) — the feature-store normalization step.
+    Native ``DataFrame.unpivot`` (Spark's Expand node: one pass, rows×3
+    output, no shuffle, no Python)."""
+    d = table(spark, sf_dir, "documents")
+    wide = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("chars"),
+        F.size(F.split(F.lower("text"), r"\s+"))
+        .cast("double")
+        .alias("tokens"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+        )
+        .cast("double")
+        .alias("spaces"),
+    )
+    return wide.unpivot(
+        ids=["doc_id"],
+        values=["chars", "tokens", "spaces"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+_NTILE_ORACLE = """
+SELECT event_id, event_type,
+       NTILE(4) OVER (PARTITION BY event_type
+                      ORDER BY value, event_id) AS quartile
+FROM events
+"""
+
+
+@register("win_ntile_bucket", oracle=_NTILE_ORACLE)
+def win_ntile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartile assignment per event_type (unique tie-break via
+    event_id so both engines bucket identically)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type", F.ntile(4).over(w).alias("quartile")
+    )
