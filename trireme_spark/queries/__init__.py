@@ -21,6 +21,7 @@ from trireme_spark.queries import llm_sim  # noqa: F401
 from trireme_spark.queries import llm_text  # noqa: F401
 from trireme_spark.queries import multimodal  # noqa: F401
 from trireme_spark.queries import pipeline  # noqa: F401
+from trireme_spark.queries import timeseries  # noqa: F401
 from trireme_spark.queries import windows  # noqa: F401
 from trireme_spark.queries import scans  # noqa: F401
 from trireme_spark.queries import sorts_sets  # noqa: F401
@@ -106,6 +107,8 @@ _SWEEP_PRIORITY = [
     "dedup_connected_components",
     "reshape_unpivot",
     "win_ntile_bucket",
+    "ts_resample_fill",
+    "ts_rollup_multigrain",
     # --- previously-green §2 keys, re-confirmed when reached ---
     "fn_string",
     "fn_string_fuzzy",

@@ -1,0 +1,124 @@
+"""Time-series keys (round-2 addendum): gap-filling resample and
+single-pass multi-grain rollup — the hypertable-style operations of a
+metrics/events store.
+
+Scale shapes: the resample spine is |users| × |hours| rows generated
+in-plan (a 1-row bounds aggregate exploded into the hour series, then a
+broadcast cross join — never collected to the driver); forward-fill is
+one window per user. The rollup computes every grain in ONE scan + ONE
+shuffle by exploding each row into its (grain, bucket) memberships —
+at 100 TB this halves the scan cost vs a UNION of per-grain aggregates
+and keeps partial aggregation effective (grain is part of the group key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trireme_spark.parity import dsum, oracle_sum
+from trireme_spark.registry import register
+from trireme_spark.sources.io import table
+
+_RESAMPLE_ORACLE = f"""
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+u AS (SELECT DISTINCT user_id FROM events),
+agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         {oracle_sum('value')} AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT u.user_id, h.hr, a.v,
+       last_value(a.v IGNORE NULLS) OVER (
+         PARTITION BY u.user_id ORDER BY h.hr
+         ROWS UNBOUNDED PRECEDING) AS v_ff
+FROM u CROSS JOIN h
+LEFT JOIN agg a ON a.user_id = u.user_id AND a.hr = h.hr
+"""
+
+
+@register("ts_resample_fill", oracle=_RESAMPLE_ORACLE)
+def ts_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with forward fill: every (user, hour) cell over the
+    corpus time range, hourly sums where events exist, last-known value
+    carried forward through gaps (leading gaps stay NULL).
+
+    The hour spine comes from a 1-row min/max aggregate exploded into a
+    sequence — plan-side generation, nothing collected. The spine
+    broadcast-joins the distinct users (|hours| is dimension-sized at any
+    corpus scale: a decade is <90k rows); fill is one window per user."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(dsum("value").alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hr")
+    )
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(hours))
+    joined = spine.join(hourly, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_ff"),
+    )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
+       count(*) AS n, {oracle_sum('value')} AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day' AS grain, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       event_type, count(*) AS n, {oracle_sum('value')} AS sum_value
+FROM events GROUP BY 2, 3
+"""
+
+
+@register("ts_rollup_multigrain", oracle=_ROLLUP_ORACLE)
+def ts_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour + day rollups in a single scan: each event explodes into its
+    two (grain, bucket) memberships, then one keyed aggregation covers
+    both grains (grain joins the group key, so partial aggregation still
+    combines map-side). The oracle is the equivalent two-scan UNION ALL;
+    DuckDB's day-grain date_trunc returns DATE, so it's cast back to
+    TIMESTAMP to mirror Spark's type."""
+    ev = table(spark, sf_dir, "events")
+    g = F.explode(
+        F.array(
+            F.struct(
+                F.lit("hour").alias("grain"),
+                F.date_trunc("hour", "ts").alias("bucket"),
+            ),
+            F.struct(
+                F.lit("day").alias("grain"),
+                F.date_trunc("day", "ts").alias("bucket"),
+            ),
+        )
+    ).alias("g")
+    return (
+        ev.select(g, "event_type", "value")
+        .groupBy(
+            F.col("g.grain").alias("grain"),
+            F.col("g.bucket").alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
