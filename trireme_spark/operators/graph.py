@@ -49,6 +49,7 @@ def connected_components(
         F.col(id_col).alias("v"), F.col(id_col).alias("comp")
     ).cache()
     cc.count()
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             sym.join(cc, sym["d"] == cc["v"])
@@ -70,4 +71,14 @@ def connected_components(
         cc = nxt.select("v", "comp")
         if changed == 0:
             break
+    if changed != 0:
+        # Propagation needs O(component diameter) rounds; silently
+        # returning unconverged labels would mis-cluster. A graph that
+        # trips this wants the large-star/small-star contraction (see
+        # module docstring), not a bigger max_iter.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still shrinking) — component diameter "
+            "exceeds the propagation budget"
+        )
     return cc.select(F.col("v").alias(id_col), F.col("comp").alias("component"))
