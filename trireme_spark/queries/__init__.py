@@ -75,6 +75,7 @@ _SWEEP_PRIORITY = [
     "source_csv_roundtrip",
     "source_json_roundtrip",
     "source_orc_roundtrip",
+    "source_text_roundtrip",
     "sink_partitioned_parquet",
     "doc_assembly",
     "sink_batched_upsert",

