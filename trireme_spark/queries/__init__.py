@@ -110,6 +110,8 @@ _SWEEP_PRIORITY = [
     "win_ntile_bucket",
     "ts_resample_fill",
     "ts_rollup_multigrain",
+    "etl_corrupt_quarantine",
+    "fn_try_arithmetic",
     # --- previously-green §2 keys, re-confirmed when reached ---
     "fn_string",
     "fn_string_fuzzy",

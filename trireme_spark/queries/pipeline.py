@@ -458,3 +458,84 @@ def win_ntile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "event_type", F.ntile(4).over(w).alias("quartile")
     )
+
+
+# --- ETL robustness: corrupt-record quarantine ------------------------------
+
+_QUARANTINE_ORACLE = """
+WITH p AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 4)
+              ELSE props END AS props
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN json_valid(props)
+            THEN CAST(props ->> '$.k' AS INTEGER) END AS k,
+       NOT json_valid(props) AS quarantined
+FROM p
+"""
+
+
+@register("etl_corrupt_quarantine", oracle=_QUARANTINE_ORACLE)
+def etl_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine: parse JSON permissively, route
+    unparseable rows to a quarantine flag instead of failing the job —
+    the non-negotiable ingestion pattern at 100 TB, where some records
+    are ALWAYS malformed. Corruption is planted deterministically (every
+    7th record truncated) since the fixture is 100% valid; ``from_json``
+    yields NULL on bad input (never throws, even under ANSI), so the
+    flag is a null-check against a guaranteed-non-null source field."""
+    ev = table(spark, sf_dir, "events")
+    planted = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 == 0, F.substring("props", 1, 4)
+        ).otherwise(F.col("props")).alias("props"),
+    )
+    # PERMISSIVE from_json returns an ALL-NULL struct (not NULL) for
+    # malformed input, so a null-check on the struct can't detect
+    # corruption — the canonical detector is the _corrupt_record column,
+    # which carries the raw text only for rows that failed to parse.
+    parsed = F.from_json(
+        "props",
+        "k INT, _corrupt_record STRING",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    return planted.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        parsed.getField("_corrupt_record").isNotNull().alias("quarantined"),
+    )
+
+
+# --- ANSI-safe arithmetic ----------------------------------------------------
+
+_TRY_ORACLE = """
+SELECT event_id,
+       value / NULLIF(CAST(event_id % 5 AS DOUBLE), 0.0) AS safe_div,
+       TRY_CAST(props AS DOUBLE) AS bad_cast,
+       TRY_CAST(substr(CAST(event_id AS VARCHAR), 1, 18) AS BIGINT)
+         AS id_parse
+FROM events
+"""
+
+
+@register("fn_try_arithmetic", oracle=_TRY_ORACLE)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic: Spark 4 runs with ansi.enabled=true, so
+    bare division-by-zero and invalid casts THROW mid-job — at 100 TB a
+    single bad row would kill an hours-long stage. The try_* family turns
+    those into NULLs: try_divide (mirrored by NULLIF in the oracle) and
+    try_cast on a non-numeric string and a numeric one."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_divide(
+            F.col("value"), (F.col("event_id") % 5).cast("double")
+        ).alias("safe_div"),
+        F.col("props").try_cast("double").alias("bad_cast"),
+        F.substring(F.col("event_id").cast("string"), 1, 18)
+        .try_cast("long")
+        .alias("id_parse"),
+    )
