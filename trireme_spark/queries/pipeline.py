@@ -237,26 +237,51 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus (deterministic shuffle), running token total, sequence id =
     tokens-before ÷ 2048.
 
-    Scale note: the single global window here is the fixture-honest form
-    of the real recipe — at 100 TB you first repartitionByRange on the
-    hash order, run the same cumulative window per range, and offset each
-    range by the ranges' token totals (two passes, no global sort on one
-    reducer). Semantics identical; the oracle pins them."""
+    Distributed global cumulative sum — NO single-reducer window (the
+    naive ``Window.orderBy`` global frame funnels the corpus through one
+    task): range-partition on the order key, cumulative-sum WITHIN each
+    range, then offset every range by the sum of the ranges before it.
+    The offsets table is one row per range — driver-free, broadcast into
+    the final join. Output is identical for any range boundaries (range
+    partitioning only has to preserve order BETWEEN ranges), so Spark's
+    sampled boundaries don't affect determinism and the oracle's plain
+    global window pins the semantics."""
     d = table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
         F.size(F.split(F.lower("text"), r"\s+")).alias("n_tokens"),
         _kbucket("doc_id", _M32).alias("ord"),
     )
-    w = (
-        Window.orderBy("ord", "doc_id")
+    n_ranges = spark.sparkContext.defaultParallelism
+    ranged = t.repartitionByRange(n_ranges, "ord", "doc_id").withColumn(
+        "rng", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("rng")
+        .orderBy("ord", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return t.select(
+    local = ranged.withColumn("cum_local", F.sum("n_tokens").over(w_in))
+    # per-range totals: n_ranges rows — the tiny global window is over
+    # range METADATA, never over the data
+    w_prev = (
+        Window.orderBy("rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("rng")
+        .agg(F.sum("n_tokens").alias("rng_total"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("rng_total").over(w_prev), F.lit(0))
+        )
+        .select("rng", "offset")
+    )
+    return local.join(F.broadcast(offsets), "rng").select(
         "doc_id",
         "n_tokens",
         F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)
+            (F.col("cum_local") + F.col("offset") - F.col("n_tokens"))
+            / F.lit(2048.0)
         ).alias("seq_id"),
     )
 
