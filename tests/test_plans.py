@@ -108,3 +108,15 @@ def test_exact_similarity_never_collects_corpus(spark, monkeypatch):
     monkeypatch.undo()
     for df in (knn, sem):
         assert "FlatMapGroupsInPandas" in plan(df)
+
+
+def test_two_pass_cumulative_no_data_single_partition(spark):
+    """pack_sequences / sort_multi_key: the round-2 two-pass rewrite may
+    keep a SinglePartition exchange ONLY for the per-range offsets table
+    (range metadata); the data path must be range/hash partitioned. The
+    metadata window sits under a tiny groupBy aggregate, so the plan must
+    show the range repartition AND at most one SinglePartition exchange."""
+    for key in ("pack_sequences", "sort_multi_key"):
+        p = plan(registry.QUERIES[key](spark, SF_SMOKE))
+        assert "rangepartitioning" in p.lower(), key
+        assert p.count("SinglePartition") <= 1, key

@@ -34,19 +34,48 @@ WHERE o_totalprice > 150000
 def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """o1 — multi-key ORDER BY with DESC NULLS LAST, made verifiable: the
     emitted position column proves the order, and the unique key tie-break
-    makes it total."""
+    makes it total.
+
+    Global row numbers WITHOUT a one-reducer window: range-partition on
+    the sort key, number rows within each range, offset each range by the
+    count of rows in earlier ranges (a broadcast one-row-per-range
+    table). Identical output for any range boundaries — only the order
+    BETWEEN ranges matters, which repartitionByRange guarantees."""
     o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
     status = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    base = o.select(
+        "o_orderkey",
+        status.alias("status_or_null"),
+        "o_totalprice",
+    )
     order = [
-        status.desc_nulls_last(),
+        F.col("status_or_null").desc_nulls_last(),
         F.col("o_totalprice").asc(),
         F.col("o_orderkey").asc(),
     ]
+    n_ranges = spark.sparkContext.defaultParallelism
+    ranged = base.repartitionByRange(n_ranges, *order).withColumn(
+        "rng", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("rng").orderBy(*order)
+    local = ranged.withColumn("loc_pos", F.row_number().over(w_in))
+    w_prev = Window.orderBy("rng").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("rng")
+        .agg(F.count(F.lit(1)).alias("rng_n"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("rng_n").over(w_prev), F.lit(0))
+        )
+        .select("rng", "offset")
+    )
     return (
-        o.select(
-            F.row_number().over(Window.orderBy(*order)).alias("pos"),
+        local.join(F.broadcast(offsets), "rng")
+        .select(
+            (F.col("loc_pos") + F.col("offset")).alias("pos"),
             "o_orderkey",
-            status.alias("status_or_null"),
+            "status_or_null",
             "o_totalprice",
         )
         .orderBy("pos")

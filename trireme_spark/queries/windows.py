@@ -129,7 +129,16 @@ def win_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """w4 — running total (ROWS frame) + numeric RANGE frame.
 
     RANGE peers are value-defined, so no tie-break is needed (or allowed);
-    the ROWS frame gets the usual unique ordering."""
+    the ROWS frame gets the usual unique ordering.
+
+    Scale note: the ROWS frame is per-customer (partitioned, scales). The
+    numeric RANGE frame is deliberately GLOBAL — it exists to pin Spark's
+    RANGE-frame semantics against the oracle, and a global range frame is
+    a one-reducer window. The distributed form (per-distinct-value sums →
+    two-pass cumulative as in pack_sequences/sort_multi_key → union-style
+    as-of lookup of each row's frame floor) is the documented upgrade if
+    this shape ever runs on real data; at 100 TB you'd reach for it or
+    bound the frame inside a partition key."""
     o = table(spark, sf_dir, "orders")
     rows_w = (
         Window.partitionBy("o_custkey")
