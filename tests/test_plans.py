@@ -111,12 +111,25 @@ def test_exact_similarity_never_collects_corpus(spark, monkeypatch):
 
 
 def test_two_pass_cumulative_no_data_single_partition(spark):
-    """pack_sequences / sort_multi_key: the round-2 two-pass rewrite may
-    keep a SinglePartition exchange ONLY for the per-range offsets table
-    (range metadata); the data path must be range/hash partitioned. The
-    metadata window sits under a tiny groupBy aggregate, so the plan must
-    show the range repartition AND at most one SinglePartition exchange."""
-    for key in ("pack_sequences", "sort_multi_key"):
+    """pack_sequences / sort_multi_key / win_range_frame_distributed: the
+    two-pass cumulative rewrites may keep SinglePartition exchanges ONLY
+    for the per-range metadata windows (offsets/carries — one row per
+    range); the data path must shuffle on the expression-derived range id
+    (hashpartitioning(rng)). Range ids are pure expressions, NOT
+    repartitionByRange + spark_partition_id(), so no rangepartitioning
+    exchange appears — its sampled boundaries plus the nondeterministic
+    id corrupted offsets when Catalyst re-executed the subtree."""
+    for key, meta_exchanges in (
+        ("pack_sequences", 1),
+        ("sort_multi_key", 1),
+        # w6's bounds aggregate + offsets/carries windows are each a
+        # SinglePartition exchange over ≤ n_ranges rows, and the pre-AQE
+        # plan text duplicates those subtrees per consumer — the ceiling
+        # below pins "metadata only"; the data path must never appear
+        # under one (guarded by the hashpartitioning assert).
+        ("win_range_frame_distributed", 14),
+    ):
         p = plan(registry.QUERIES[key](spark, SF_SMOKE))
-        assert "rangepartitioning" in p.lower(), key
-        assert p.count("SinglePartition") <= 1, key
+        assert "hashpartitioning(rng" in p, key
+        assert "spark_partition_id" not in p, key
+        assert p.count("SinglePartition") <= meta_exchanges, key

@@ -112,6 +112,7 @@ _SWEEP_PRIORITY = [
     "ts_rollup_multigrain",
     "etl_corrupt_quarantine",
     "fn_try_arithmetic",
+    "win_range_frame_distributed",
     # --- previously-green §2 keys, re-confirmed when reached ---
     "fn_string",
     "fn_string_fuzzy",

@@ -239,13 +239,20 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed global cumulative sum — NO single-reducer window (the
     naive ``Window.orderBy`` global frame funnels the corpus through one
-    task): range-partition on the order key, cumulative-sum WITHIN each
-    range, then offset every range by the sum of the ranges before it.
-    The offsets table is one row per range — driver-free, broadcast into
-    the final join. Output is identical for any range boundaries (range
-    partitioning only has to preserve order BETWEEN ranges), so Spark's
-    sampled boundaries don't affect determinism and the oracle's plain
-    global window pins the semantics."""
+    task): bucket rows into order-preserving ranges, cumulative-sum
+    WITHIN each range, then offset every range by the sum of the ranges
+    before it. The offsets table is one row per range — driver-free,
+    broadcast into the final join.
+
+    The range id is a PURE EXPRESSION of the order key (equal-width
+    buckets over the hash's [0, 2^32) domain), NOT
+    ``repartitionByRange + spark_partition_id()``: sampled boundaries
+    plus a nondeterministic partition id mean two executions of the same
+    subtree (Catalyst does not always reuse the exchange) can disagree
+    on range membership between the per-row pass and the offsets pass —
+    silently corrupting the offsets. An expression-derived id is
+    identical on every recomputation; the hash is uniform, so the equal-
+    width buckets are balanced by construction."""
     d = table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
@@ -253,8 +260,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         _kbucket("doc_id", _M32).alias("ord"),
     )
     n_ranges = spark.sparkContext.defaultParallelism
-    ranged = t.repartitionByRange(n_ranges, "ord", "doc_id").withColumn(
-        "rng", F.spark_partition_id()
+    ranged = t.withColumn(
+        "rng", (F.col("ord") / F.lit(float(_M32) / n_ranges)).cast("int")
     )
     w_in = (
         Window.partitionBy("rng")

@@ -36,11 +36,18 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted position column proves the order, and the unique key tie-break
     makes it total.
 
-    Global row numbers WITHOUT a one-reducer window: range-partition on
-    the sort key, number rows within each range, offset each range by the
-    count of rows in earlier ranges (a broadcast one-row-per-range
-    table). Identical output for any range boundaries — only the order
-    BETWEEN ranges matters, which repartitionByRange guarantees."""
+    Global row numbers WITHOUT a one-reducer window: bucket rows into
+    order-preserving ranges, number within each range, offset each range
+    by the count of rows in earlier ranges (a broadcast one-row-per-range
+    table).
+
+    The range id is a pure expression of the sort key (status mapped to
+    its ordinal, price equal-width-bucketed within status), NOT
+    ``repartitionByRange + spark_partition_id()``: sampled boundaries +
+    a nondeterministic id can disagree between plan-subtree executions
+    and corrupt the offsets (see pack_sequences). Clamping keeps rows
+    outside the assumed price domain correct (they pool in the edge
+    bucket — skew, never wrongness)."""
     o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
     status = F.nullif(F.col("o_orderstatus"), F.lit("P"))
     base = o.select(
@@ -54,9 +61,22 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").asc(),
     ]
     n_ranges = spark.sparkContext.defaultParallelism
-    ranged = base.repartitionByRange(n_ranges, *order).withColumn(
-        "rng", F.spark_partition_id()
+    # status desc_nulls_last over {'O','F',NULL} → ordinals 0,1,2; price
+    # ascending within status, assumed domain [0, 1e6) (TPC-H totalprice
+    # is bounded per order at any SF)
+    s_ord = (
+        F.when(F.col("status_or_null") == "O", 0)
+        .when(F.col("status_or_null") == "F", 1)
+        .otherwise(2)
     )
+    p_bkt = F.least(
+        F.greatest(
+            (F.col("o_totalprice") / F.lit(1e6 / n_ranges)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_ranges - 1),
+    )
+    ranged = base.withColumn("rng", s_ord * n_ranges + p_bkt)
     w_in = Window.partitionBy("rng").orderBy(*order)
     local = ranged.withColumn("loc_pos", F.row_number().over(w_in))
     w_prev = Window.orderBy("rng").rowsBetween(

@@ -203,3 +203,33 @@ def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(seq).alias("cheapest_key"),
         F.last("o_orderkey").over(tail).alias("priciest_key"),
     )
+
+
+_W6_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+           ORDER BY o_totalprice
+           RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS near_price_spend
+FROM orders
+"""
+
+
+@register("win_range_frame_distributed", oracle=_W6_ORACLE)
+def win_range_frame_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w6 (addendum) — the SAME global numeric RANGE-frame sum as w4's
+    near_price_spend, computed WITHOUT a one-reducer window: per-value
+    group sums → two-pass distributed cumulative → union-style as-of
+    lookup of each row's frame floor (operators/winframes.py). The oracle
+    is the plain window SQL, so the rewrite is proven exactly equivalent
+    — this key exists to demonstrate the 100 TB form of w4's docstring."""
+    from trireme_spark.operators.winframes import global_range_frame_sum
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return global_range_frame_sum(
+        o,
+        id_col="o_orderkey",
+        value_col="o_totalprice",
+        frame_width=10000.0,
+        out_col="near_price_spend",
+    )
