@@ -151,3 +151,18 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert counts.get(10) == 2
     # Hour 12 finalized by the 14:30 row advancing the watermark.
     assert counts.get(12) == 1
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """t8: the click→purchase join replayed as a REAL stream-stream join
+    (two watermarked file-source streams over the same staged files,
+    multi-batch) must equal the batch join. Inner stream-stream joins
+    emit only matched rows, and with availableNow replay every match is
+    eventually emitted regardless of batch boundaries."""
+    batch = B.click_purchase_join(table(spark, SF_SMOKE, "events"))
+    staged = B.stage_events_files(spark, SF_SMOKE, n_files=4, tag="pytest")
+    s1 = B.events_stream_staged(spark, staged, max_files_per_trigger=1)
+    streamed = B.run_to_memory(
+        B.click_purchase_join(s1, watermark="2 hours"), mode="append"
+    )
+    assert _canon(streamed) == _canon(batch)

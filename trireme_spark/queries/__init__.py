@@ -113,6 +113,8 @@ _SWEEP_PRIORITY = [
     "etl_corrupt_quarantine",
     "fn_try_arithmetic",
     "win_range_frame_distributed",
+    "stream_stream_join",
+    "agg_regression",
     # --- previously-green §2 keys, re-confirmed when reached ---
     "fn_string",
     "fn_string_fuzzy",

@@ -302,3 +302,40 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "covar_price_qty"
         ),
     )
+
+
+_A10_ORACLE = """
+SELECT event_type,
+       regr_count(value, CAST(epoch_ms(ts) AS DOUBLE) / 1000.0) AS n,
+       ROUND(regr_slope(value, CAST(epoch_ms(ts) AS DOUBLE) / 1000.0) * 1e6,
+             6) AS slope_per_mega_sec,
+       ROUND(regr_intercept(value, CAST(epoch_ms(ts) AS DOUBLE) / 1000.0),
+             4) AS intercept,
+       ROUND(regr_r2(value, CAST(epoch_ms(ts) AS DOUBLE) / 1000.0), 6) AS r2
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_regression", oracle=_A10_ORACLE)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a10 (addendum) — OLS regression aggregates (slope / intercept / R²
+    of value over event time, per type): one pass of decomposable
+    sufficient statistics, so they map-side combine like any sum — the
+    built-in way to fit 1-D trends at 100 TB without collecting anything.
+
+    The x axis is epoch MILLISECONDS / 1000 on BOTH sides: Spark's
+    unix_timestamp truncates to whole seconds while DuckDB's epoch()
+    keeps fractional seconds — unix_millis/epoch_ms agree exactly.
+    Results rounded like the other inexact stats (a9); the slope is
+    scaled to per-10⁶-seconds before rounding, since raw per-second
+    slopes are ~1e-7 where 6-decimal rounding would erase the value."""
+    ev = table(spark, sf_dir, "events")
+    x = F.unix_millis("ts").cast("double") / F.lit(1000.0)
+    return ev.groupBy("event_type").agg(
+        F.regr_count("value", x).alias("n"),
+        F.round(F.regr_slope("value", x) * 1e6, 6).alias(
+            "slope_per_mega_sec"
+        ),
+        F.round(F.regr_intercept("value", x), 4).alias("intercept"),
+        F.round(F.regr_r2("value", x), 6).alias("r2"),
+    )

@@ -202,3 +202,29 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_T8_ORACLE = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+@register("stream_stream_join", oracle=_T8_ORACLE)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t8 — stream-stream join, batch-equivalent form (same builder
+    replayed as two real watermarked streams in tests/test_streaming.py).
+    The event-time range conjunct is what bounds join state on real
+    streams — without it Spark must buffer a side forever."""
+    from trireme_spark.streaming.builders import click_purchase_join
+
+    return click_purchase_join(table(spark, sf_dir, "events"))

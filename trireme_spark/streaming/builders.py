@@ -218,3 +218,42 @@ def run_to_memory(
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def click_purchase_join(
+    events: DataFrame, watermark: str | None = None
+) -> DataFrame:
+    """t8 — stream-stream inner join: each click joined to the same
+    user's purchases within the following hour.
+
+    On streams, BOTH sides need watermarks and the join needs an
+    event-time range conjunct — that is what lets Spark bound the join
+    state (a side's rows are dropped once the other side's watermark
+    passes their ts + 1 hour). On batch inputs the same expression is a
+    plain range-conjunct equi-join, which is what the oracle pins.
+    """
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if watermark:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("interval 1 hour")
+        ),
+    )
+    return joined.select(
+        "user_id", "click_id", "click_ts", "purchase_ts", "purchase_value"
+    )
