@@ -115,6 +115,7 @@ _SWEEP_PRIORITY = [
     "win_range_frame_distributed",
     "stream_stream_join",
     "agg_regression",
+    "etl_incremental_migration",
     # --- previously-green §2 keys, re-confirmed when reached ---
     "fn_string",
     "fn_string_fuzzy",
