@@ -116,6 +116,7 @@ _SWEEP_PRIORITY = [
     "stream_stream_join",
     "agg_regression",
     "etl_incremental_migration",
+    "sql_recursive_cte",
     # --- previously-green §2 keys, re-confirmed when reached ---
     "fn_string",
     "fn_string_fuzzy",

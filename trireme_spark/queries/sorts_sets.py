@@ -258,3 +258,46 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("first_ts"),
         )
     )
+
+
+_RCTE_ORACLE = """
+WITH RECURSIVE anc(node, cur, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM documents
+  UNION ALL
+  SELECT node, cur // 2, depth + 1 FROM anc WHERE cur > 0
+)
+SELECT node AS doc_id,
+       max(depth) AS depth,
+       CAST(sum(cur) AS BIGINT) AS ancestor_id_sum
+FROM anc GROUP BY node
+"""
+
+
+@register("sql_recursive_cte", oracle=_RCTE_ORACLE)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new engine surface in Spark 4): walk each doc up a
+    synthetic binary-tree hierarchy (parent = id ÷ 2) to the root,
+    emitting depth and the sum of ancestor ids. Dialects differ only in
+    the integer-division operator (Spark ``DIV``, DuckDB ``//``); the
+    recursion semantics match exactly.
+
+    Scale note: each recursive step is a distributed self-join — Spark
+    plans it as iterative union steps, so depth (log₂ of the id space,
+    ~40 for int64) bounds the rounds, not the data size."""
+    from trireme_spark.sql import run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        WITH RECURSIVE anc(node, cur, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM documents
+          UNION ALL
+          SELECT node, cur DIV 2, depth + 1 FROM anc WHERE cur > 0
+        )
+        SELECT node AS doc_id,
+               MAX(depth) AS depth,
+               SUM(cur) AS ancestor_id_sum
+        FROM anc GROUP BY node
+        """,
+    )
