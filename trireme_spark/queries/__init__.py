@@ -117,6 +117,7 @@ _SWEEP_PRIORITY = [
     "agg_regression",
     "etl_incremental_migration",
     "sql_recursive_cte",
+    "sql_subqueries",
     # --- previously-green §2 keys, re-confirmed when reached ---
     "fn_string",
     "fn_string_fuzzy",

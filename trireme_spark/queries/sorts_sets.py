@@ -301,3 +301,28 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc GROUP BY node
         """,
     )
+
+
+_SUBQ_SQL = """
+SELECT c_custkey, c_name,
+       (SELECT COUNT(*) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS n_orders,
+       EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 300000) AS has_big_order,
+       c_nationkey IN (SELECT n_nationkey FROM nation
+                        WHERE n_name LIKE 'A%') AS in_a_nation
+FROM customer c
+"""
+
+
+@register("sql_subqueries", oracle=_SUBQ_SQL)
+def sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated and uncorrelated subqueries through the SQL path:
+    correlated scalar COUNT, correlated EXISTS, uncorrelated IN. The SAME
+    ANSI text runs on both engines. Catalyst decorrelates all three into
+    aggregated/semi joins — the plan never executes a per-row subquery,
+    which is what makes the SQL form safe at 100 TB."""
+    from trireme_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _SUBQ_SQL)
