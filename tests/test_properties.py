@@ -109,3 +109,41 @@ def test_minhash_contains_includes_identical_docs(spark, seed):
     sigs = minhash_signatures(df, "doc_id", "sset")
     pairs = candidate_pairs_lsh(sigs, "doc_id", "sig").collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+@given(
+    width=st.sampled_from([1.0, 500.0, 12345.6, 100000.0, 1e9]),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_global_range_frame_sum_matches_window(spark, width):
+    """Property: the distributed two-pass range-frame operator equals the
+    plain (one-reducer) global window for arbitrary frame widths —
+    including a width spanning the whole domain (every row sums the full
+    prefix) and a tiny width (mostly self-sums)."""
+    from tests.conftest import SF_SMOKE
+    from trireme_spark.operators.winframes import global_range_frame_sum
+    from trireme_spark.parity import DSCALE
+    from trireme_spark.sources.io import table
+
+    o = table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).limit(400)
+    dist = global_range_frame_sum(
+        o, "o_orderkey", "o_totalprice", width, out_col="s"
+    )
+    # the PySpark rangeBetween API only takes integer bounds; the SQL
+    # form accepts a double literal width
+    ref = o.selectExpr(
+        "o_orderkey",
+        f"CAST(SUM(CAST(o_totalprice AS {DSCALE})) OVER ("
+        f"  ORDER BY o_totalprice"
+        f"  RANGE BETWEEN {width!r} PRECEDING AND CURRENT ROW"
+        f") AS DOUBLE) AS s",
+    )
+    got = {r["o_orderkey"]: r["s"] for r in dist.collect()}
+    want = {r["o_orderkey"]: r["s"] for r in ref.collect()}
+    assert got == want
