@@ -207,7 +207,13 @@ def run_to_memory(
     sdf: DataFrame, mode: str = "complete", name: str | None = None
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
-    memory sink; returns the sink as a batch DataFrame."""
+    memory sink; returns the sink as a batch DataFrame.
+
+    Scale caveat: the memory sink accumulates results on the DRIVER — it
+    exists for the fixture contract (finite replay, bounded output) and
+    tests. Production streams write to kafka/parquet/foreachBatch sinks
+    (see stream_foreachbatch_sink for the distributed sink shape); only
+    the sink differs, the stateful plan is identical."""
     name = name or f"trireme_mem_{uuid.uuid4().hex[:8]}"
     q = (
         sdf.writeStream.format("memory")
