@@ -132,32 +132,33 @@ def win_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROWS frame gets the usual unique ordering.
 
     Scale note: the ROWS frame is per-customer (partitioned, scales). The
-    numeric RANGE frame is deliberately GLOBAL — it exists to pin Spark's
-    RANGE-frame semantics against the oracle, and a global range frame is
-    a one-reducer window. The distributed form (per-distinct-value sums →
-    two-pass cumulative as in pack_sequences/sort_multi_key → union-style
-    as-of lookup of each row's frame floor) is the documented upgrade if
-    this shape ever runs on real data; at 100 TB you'd reach for it or
-    bound the frame inside a partition key."""
+    numeric RANGE-frame column is computed by the DISTRIBUTED two-pass
+    operator (operators/winframes.py) instead of a naive global window:
+    Spark evaluates a bounded-start sliding frame by re-aggregating the
+    whole frame per row on ONE reducer — O(n·frame) serial, measured
+    62 s at sf0.1 vs ~3 s distributed — while the operator is exact in
+    decimal and oracle-pinned to the same window SQL."""
+    from trireme_spark.operators.winframes import global_range_frame_sum
+
     o = table(spark, sf_dir, "orders")
     rows_w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    range_w = (
-        Window.orderBy(F.col("o_totalprice"))
-        .rangeBetween(-10000, Window.currentRow)
-    )
     price_dec = F.col("o_totalprice").cast(DSCALE)
-    return o.select(
+    running = o.select(
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
         F.sum(price_dec).over(rows_w).cast("double").alias("running_spend"),
-        F.sum(price_dec).over(range_w).cast("double").alias(
-            "near_price_spend"
-        ),
+    )
+    return global_range_frame_sum(
+        running,
+        id_col="o_orderkey",
+        value_col="o_totalprice",
+        frame_width=10000,
+        out_col="near_price_spend",
     )
 
 
@@ -189,10 +190,16 @@ def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_totalprice", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The oracle's LAST_VALUE over (CURRENT ROW .. UNBOUNDED FOLLOWING) is
+    # the partition's final row — a per-partition CONSTANT. Spark executes
+    # an UnboundedFollowing frame by rescanning current→end for EVERY row
+    # (O(n²) per partition — measured 52 s at sf0.1); the full
+    # unbounded-both-ends frame computes the identical constant once per
+    # partition (O(n)).
     tail = (
         Window.partitionBy("o_orderpriority")
         .orderBy("o_totalprice", "o_orderkey")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return o.select(
         "o_orderkey",
