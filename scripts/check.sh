@@ -16,3 +16,6 @@ python scripts/driver_sim.py 2>&1 | grep -vE "WARN|INFO" | tail -3
 
 echo "== bench @ sf0.1 =="
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} python bench.py 2>/dev/null | tail -1
+
+echo "== 10x scale sweep @ sf0.1 (noop sink, per-key budget) =="
+python scripts/scale_sweep.py 2>/dev/null | tail -3
