@@ -34,10 +34,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        # Convert only when ts actually arrived as raw nanos — an events
+        # table the engine itself wrote (or any µs source) already carries
+        # a proper timestamp, and re-converting would corrupt it.
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
     return spark.read.parquet(path)
 
 
