@@ -22,6 +22,7 @@ from trireme_spark.queries import llm_text  # noqa: F401
 from trireme_spark.queries import multimodal  # noqa: F401
 from trireme_spark.queries import pipeline  # noqa: F401
 from trireme_spark.queries import timeseries  # noqa: F401
+from trireme_spark.queries import training  # noqa: F401
 from trireme_spark.queries import windows  # noqa: F401
 from trireme_spark.queries import scans  # noqa: F401
 from trireme_spark.queries import sorts_sets  # noqa: F401

@@ -1,0 +1,364 @@
+"""Round-3 training-data pipeline keys (BASELINE.json:6 mandate — the
+operators a large-scale LLM training-data pipeline needs beyond the
+reference's own ETL surface).
+
+Keys here: benchmark decontamination, Gopher-style repetition/quality
+rules, canonical-form exact dedup, per-label embedding centroids, and a
+deterministic global shuffle. All hot paths are codegen'd column algebra;
+shuffles happen only on natural keys (doc_id / gram / label).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trireme_spark.functions.text import tokenize
+from trireme_spark.operators.similarity import shingles
+from trireme_spark.parity import davg, oracle_avg
+from trireme_spark.registry import register
+from trireme_spark.sources.io import table
+
+# ---------------------------------------------------------------------------
+# text_decontaminate — benchmark n-gram overlap
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror of shingles(toks, 5): 5-token shingles joined by spaces.
+_G5 = (
+    "list_transform(range(greatest(len(t) - 4, 0)), i -> "
+    "t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] || ' ' || "
+    "t[CAST(i AS INT) + 3] || ' ' || t[CAST(i AS INT) + 4] || ' ' || "
+    "t[CAST(i AS INT) + 5])"
+)
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+    FROM documents
+), g AS (
+    SELECT doc_id, list_distinct({_G5}) AS grams FROM toks
+), bench AS (
+    SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
+), corpus AS (
+    SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0
+), tot AS (
+    SELECT doc_id, len(grams) AS n_grams FROM g WHERE doc_id % 50 <> 0
+), hit AS (
+    SELECT c.doc_id, COUNT(*) AS n_overlap
+    FROM corpus c JOIN bench USING (gram)
+    GROUP BY c.doc_id
+)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       ROUND(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+             / greatest(t.n_grams, 1), 6) AS contamination_ratio,
+       COALESCE(h.n_overlap, 0) >= 1 AS is_contaminated
+FROM tot t LEFT JOIN hit h USING (doc_id)
+"""
+
+
+@register("text_decontaminate", oracle=_DECON_ORACLE)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: flag corpus documents sharing any
+    5-token shingle with a benchmark set (here: every 50th doc stands in
+    for the eval benchmark).
+
+    Scale design: the benchmark side is tiny relative to the corpus by
+    definition, so its distinct-gram set is BROADCAST into a semi-style
+    hit count — the corpus side never shuffles on anything but its own
+    doc_id aggregation. At 100 TB the corpus gram explode streams through
+    codegen; no all-pairs anything."""
+    d = table(spark, sf_dir, "documents")
+    # exchange barrier before the shingle lambda (no CSE inside lambdas —
+    # the tokenize regex would re-run per shingle otherwise)
+    g = d.select(
+        "doc_id", tokenize("text").alias("t")
+    ).repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id",
+        F.array_distinct(shingles(F.col("t"), 5)).alias("grams"),
+    )
+    is_bench = F.col("doc_id") % 50 == 0
+    bench = (
+        g.where(is_bench)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = g.where(~is_bench)
+    hits = (
+        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    tot = corpus.select("doc_id", F.size("grams").alias("n_grams"))
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0))
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_overlap.alias("n_overlap"),
+        F.round(
+            n_overlap.cast("double") / F.greatest(F.col("n_grams"), F.lit(1)),
+            6,
+        ).alias("contamination_ratio"),
+        (n_overlap >= 1).alias("is_contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_quality_gopher — repetition / composition quality rules
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+    FROM documents
+), tok_rows AS (
+    SELECT doc_id, unnest(t) AS token FROM toks
+), tf AS (
+    SELECT doc_id, token, COUNT(*) AS cnt
+    FROM tok_rows GROUP BY doc_id, token
+), tok_stats AS (
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS word_cnt,
+           COUNT(*) AS distinct_cnt,
+           MAX(cnt) AS top_cnt,
+           SUM(CASE WHEN regexp_matches(token, '[a-z]')
+                    THEN cnt ELSE 0 END) AS alpha_cnt,
+           SUM(cnt * len(token)) AS char_cnt
+    FROM tf GROUP BY doc_id
+), big AS (
+    SELECT doc_id,
+           len(list_transform(range(greatest(len(t) - 1, 0)),
+               i -> t[CAST(i AS INT) + 1] || ' ' ||
+                    t[CAST(i AS INT) + 2])) AS n_bigrams,
+           len(list_distinct(list_transform(range(greatest(len(t) - 1, 0)),
+               i -> t[CAST(i AS INT) + 1] || ' ' ||
+                    t[CAST(i AS INT) + 2]))) AS n_distinct_bigrams
+    FROM toks
+)
+SELECT s.doc_id, s.word_cnt,
+       ROUND(CAST(s.top_cnt AS DOUBLE) / s.word_cnt, 6) AS top_token_frac,
+       ROUND(CAST(s.distinct_cnt AS DOUBLE) / s.word_cnt, 6)
+           AS distinct_frac,
+       ROUND(CAST(s.alpha_cnt AS DOUBLE) / s.word_cnt, 6) AS alpha_frac,
+       ROUND(CAST(s.char_cnt AS DOUBLE) / s.word_cnt, 6) AS mean_word_len,
+       ROUND(CASE WHEN b.n_bigrams = 0 THEN 0.0
+             ELSE 1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams
+             END, 6) AS dup_bigram_frac,
+       (CAST(s.top_cnt AS DOUBLE) / s.word_cnt <= 0.2
+        AND CAST(s.alpha_cnt AS DOUBLE) / s.word_cnt >= 0.8
+        AND CAST(s.char_cnt AS DOUBLE) / s.word_cnt BETWEEN 2 AND 12
+        AND (CASE WHEN b.n_bigrams = 0 THEN 0.0
+             ELSE 1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams
+             END) <= 0.5) AS quality_pass
+FROM tok_stats s JOIN big b USING (doc_id)
+"""
+
+
+@register("text_quality_gopher", oracle=_GOPHER_ORACLE)
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/composition quality rules (Rae et al. 2021
+    family): top-token fraction, distinct-token fraction, alphabetic-word
+    fraction, mean word length, duplicate-bigram fraction, and a composite
+    pass flag.
+
+    Scale design: term frequencies via explode + two keyed aggregations on
+    doc_id (linear, distributed — NOT the O(distinct·n) per-doc array
+    scan); bigram dedup stays per-row array algebra. All thresholds are
+    rational arithmetic — exact cross-engine."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", tokenize("text").alias("t")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tok_stats = tf.groupBy("doc_id").agg(
+        F.sum("cnt").alias("word_cnt"),
+        F.count(F.lit(1)).alias("distinct_cnt"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(
+            F.when(F.col("token").rlike("[a-z]"), F.col("cnt")).otherwise(0)
+        ).alias("alpha_cnt"),
+        F.sum(F.col("cnt") * F.length("token")).alias("char_cnt"),
+    )
+    bigrams = shingles(F.col("t"), 2)
+    big = toks.select(
+        "doc_id",
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+    )
+
+    wc = F.col("word_cnt")
+    top_frac = F.col("top_cnt").cast("double") / wc
+    alpha_frac = F.col("alpha_cnt").cast("double") / wc
+    mean_len = F.col("char_cnt").cast("double") / wc
+    dup_frac = F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
+        1.0 - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
+    )
+    return tok_stats.join(big, "doc_id").select(
+        "doc_id",
+        "word_cnt",
+        F.round(top_frac, 6).alias("top_token_frac"),
+        F.round(F.col("distinct_cnt").cast("double") / wc, 6).alias(
+            "distinct_frac"
+        ),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        (
+            (top_frac <= 0.2)
+            & (alpha_frac >= 0.8)
+            & mean_len.between(2, 12)
+            & (dup_frac <= 0.5)
+        ).alias("quality_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_doc_canonical — normalize-then-hash exact dedup
+# ---------------------------------------------------------------------------
+
+_CANON_SQL = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))"
+)
+
+_CANON_ORACLE = f"""
+SELECT doc_id,
+       {_CANON_SQL} AS canonical_hash,
+       COUNT(*) OVER (PARTITION BY {_CANON_SQL}) AS group_size,
+       ROW_NUMBER() OVER (PARTITION BY {_CANON_SQL} ORDER BY doc_id) = 1
+           AS is_survivor
+FROM documents
+"""
+
+
+@register("dedup_doc_canonical", oracle=_CANON_ORACLE)
+def dedup_doc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form exact dedup: lowercase, strip non-alphanumerics,
+    collapse whitespace, md5 the canonical text, keep the smallest doc_id
+    per hash. The normalization catches trivial reformat copies that raw
+    md5 misses — the standard first stage before fuzzy dedup.
+
+    Scale design: one projection + one window keyed on the hash (hash
+    partitioning is uniform by construction). The regex chain is Java∩RE2
+    so Spark and DuckDB agree byte-for-byte; md5 is bit-identical across
+    engines (established by doc_fingerprint)."""
+    d = table(spark, sf_dir, "documents")
+    canonical = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    h = d.select("doc_id", F.md5(canonical).alias("canonical_hash"))
+    w = Window.partitionBy("canonical_hash")
+    return h.select(
+        "doc_id",
+        "canonical_hash",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (
+            F.row_number().over(w.orderBy("doc_id")) == 1
+        ).alias("is_survivor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embed_centroid_label — per-class centroid vectors
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = f"""
+WITH pe AS (
+    SELECT label,
+           CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+    FROM embeddings
+)
+SELECT label, pos,
+       {oracle_avg('val')} AS centroid_val,
+       COUNT(*) AS n_vecs
+FROM pe GROUP BY label, pos
+"""
+
+
+@register("embed_centroid_label", oracle=_CENTROID_ORACLE)
+def embed_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (class prototype) as (label, pos,
+    value) rows — the row form keeps every cell scalar for the driver's
+    hash (the agg_collect lesson) and the assembled array is one
+    collect_list away for callers.
+
+    Scale design: posexplode multiplies rows by the fixed dim count (64),
+    then ONE keyed aggregation on (label, pos) with map-side combine; the
+    decimal-sum parity path keeps the mean order-independent and
+    bit-identical to the oracle."""
+    e = table(spark, sf_dir, "embeddings")
+    pe = e.select(
+        "label", F.posexplode("embedding").alias("pos", "fval")
+    ).select("label", "pos", F.col("fval").cast("double").alias("val"))
+    return pe.groupBy("label", "pos").agg(
+        davg("val").alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shuffle_deterministic — reproducible global example shuffle
+# ---------------------------------------------------------------------------
+
+_SHUF_ORACLE = """
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS shuffle_pos
+FROM documents
+"""
+
+
+@register("shuffle_deterministic", oracle=_SHUF_ORACLE)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-example shuffle: order by a content
+    hash of the id (md5 — cross-engine identical) and assign each row its
+    global position. Reproducible on any cluster size, any retry.
+
+    Scale design: the global row number is the distributed two-pass form
+    (the sort_multi_key pattern) — order-preserving range buckets derived
+    as a PURE EXPRESSION of the hash (first 8 hex chars → uniform int),
+    row_number within each bucket, plus broadcast per-bucket offsets. No
+    single-reducer window anywhere."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = d.select("doc_id", h.alias("shuffle_key"))
+    n_ranges = spark.sparkContext.defaultParallelism
+    # first 8 hex chars → [0, 2^32); equal-width buckets are uniform
+    # because md5 is
+    ord32 = F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long")
+    ranged = base.withColumn(
+        "rng",
+        F.least(
+            (ord32 / F.lit(float(2**32) / n_ranges)).cast("int"),
+            F.lit(n_ranges - 1),
+        ),
+    )
+    w_in = Window.partitionBy("rng").orderBy("shuffle_key", "doc_id")
+    local = ranged.withColumn("loc_pos", F.row_number().over(w_in))
+    w_prev = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("rng")
+        .agg(F.count(F.lit(1)).alias("rng_cnt"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("rng_cnt").over(w_prev), F.lit(0))
+        )
+        .select("rng", "offset")
+    )
+    return local.join(F.broadcast(offsets), "rng").select(
+        "doc_id",
+        "shuffle_key",
+        (F.col("loc_pos") + F.col("offset")).alias("shuffle_pos"),
+    )
