@@ -254,3 +254,70 @@ def test_connected_components_invariants(spark):
             for n2, id2 in rows:
                 if id1 < id2 and abs(n1 - n2) <= 2:
                     assert comp[id1] == comp[id2], (id1, id2)
+
+
+# --- clustering / PQ invariants (round 3) ----------------------------------
+
+def test_kmeans_fit_invariants(spark):
+    """WCSS non-increasing across Lloyd iterations; rerun bit-identical;
+    final assignment == nearest final centroid (checked via numpy)."""
+    import numpy as np
+
+    from trireme_spark.operators.clustering import _assign, kmeans_fit
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    a1, c1, h1 = kmeans_fit(e, k=8, iters=4, emb_col="embedding")
+    assert all(
+        h1[i + 1] <= h1[i] + 1e-9 for i in range(len(h1) - 1)
+    ), f"WCSS increased: {h1}"
+
+    a2, c2, h2 = kmeans_fit(e, k=8, iters=4, emb_col="embedding")
+    assert np.array_equal(c1, c2), "centroids differ between reruns"
+    assert h1 == h2
+    r1 = sorted(map(tuple, a1.collect()))
+    r2 = sorted(map(tuple, a2.collect()))
+    assert r1 == r2, "assignments differ between reruns"
+
+    vecs = e.select("vec_id", "embedding").collect()
+    by_id = {r["vec_id"]: np.asarray(r["embedding"], "float64") for r in vecs}
+    got = dict(a1.collect())
+    x = np.stack([by_id[i] for i in sorted(by_id)])
+    want = _assign(x, c1)
+    for i, vid in enumerate(sorted(by_id)):
+        assert got[vid] == want[i], f"vec {vid} not nearest-centroid"
+
+
+def test_pq_quantize_invariants(spark):
+    """Codes in range, deterministic reruns, and PQ distortion strictly
+    beats the one-code (per-subspace mean) quantizer."""
+    import numpy as np
+
+    from trireme_spark.operators.clustering import pq_encode, pq_train_codebooks
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    books = pq_train_codebooks(e, m=8, codes=16, emb_col="embedding")
+    assert books.shape == (8, 16, 8)
+    books2 = pq_train_codebooks(e, m=8, codes=16, emb_col="embedding")
+    assert np.array_equal(books, books2), "codebook training nondeterministic"
+
+    enc = pq_encode(e, books, emb_col="embedding").collect()
+    codes = np.stack([np.asarray(r["codes"]) for r in enc])
+    assert codes.min() >= 0 and codes.max() < 16
+    pq_mse = float(np.mean([r["recon_mse"] for r in enc]))
+
+    x = np.stack(
+        [
+            np.asarray(r["embedding"], "float64")
+            for r in e.select("embedding").collect()
+        ]
+    )
+    mean_only = float(
+        np.mean(
+            [
+                ((x[:, j * 8 : (j + 1) * 8]
+                  - x[:, j * 8 : (j + 1) * 8].mean(axis=0)) ** 2).mean()
+                for j in range(8)
+            ]
+        )
+    )
+    assert pq_mse < mean_only, (pq_mse, mean_only)

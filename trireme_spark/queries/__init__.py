@@ -14,6 +14,7 @@ keys dead last — a truncated sweep loses the least information that way.
 """
 
 from trireme_spark.queries import aggregates  # noqa: F401
+from trireme_spark.queries import clustering  # noqa: F401
 from trireme_spark.queries import filters  # noqa: F401
 from trireme_spark.queries import functions_scalar  # noqa: F401
 from trireme_spark.queries import joins  # noqa: F401
