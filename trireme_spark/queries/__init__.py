@@ -120,6 +120,16 @@ _SWEEP_PRIORITY = [
     "etl_incremental_migration",
     "sql_recursive_cte",
     "sql_subqueries",
+    # --- round-3 keys (no prior row — before the re-confirmations) ---
+    "text_decontaminate",
+    "text_quality_gopher",
+    "dedup_doc_canonical",
+    "embed_centroid_label",
+    "shuffle_deterministic",
+    "cluster_assign",
+    "join_interval_bucketed",
+    "sql_lateral_join",
+    "udf_arrow_map",
     # --- previously-green §2 keys, re-confirmed when reached ---
     "fn_string",
     "fn_string_fuzzy",
@@ -163,6 +173,8 @@ _SWEEP_PRIORITY = [
     "sim_ann_lsh",
     "dedup_simhash",
     "sim_ann_ivf",
+    "cluster_kmeans_fit",
+    "embed_pq_quantize",
 ]
 
 

@@ -379,3 +379,60 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"
     )
+
+
+_JIB_ORACLE = """
+SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+       s.ts AS signup_ts, p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("join_interval_bucketed", oracle=_JIB_ORACLE)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with NO equi key (any purchase within 1 h after any
+    signup), made scale-safe by time-bucketing: both sides key on the
+    hour bucket, the probe side additionally explodes into its bucket
+    and the next one (a 1-hour window spans at most 2 hour buckets), and
+    the exact range predicate filters after the equi-join.
+
+    Without the bucket key Spark plans this as BroadcastNestedLoopJoin —
+    O(n·m) and a broadcast of a fact table; with it, a plain shuffled
+    hash join on near-uniform keys. The bucket width = the window width
+    keeps the candidate blow-up at exactly 2×. The oracle states the
+    pure inequality join; results are identical because bucket-pairs
+    cover every qualifying (s, p) and the range filter removes the rest.
+    """
+    ev = table(spark, sf_dir, "events")
+    hour = lambda c: F.floor(F.unix_timestamp(c) / 3600)  # noqa: E731
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(hour(F.col("signup_ts")), hour(F.col("signup_ts")) + 1)
+            ),
+        )
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        hour(F.col("ts")).alias("bucket"),
+    )
+    return (
+        s.join(p, "bucket")
+        .where(
+            (F.col("purchase_ts") >= F.col("signup_ts"))
+            & (
+                F.col("purchase_ts")
+                < F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")
+            )
+        )
+        .select("signup_id", "purchase_id", "signup_ts", "purchase_ts")
+    )

@@ -326,3 +326,25 @@ def sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trireme_spark.sql import run_sql
 
     return run_sql(spark, sf_dir, _SUBQ_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+"""
+
+
+@register("sql_lateral_join", oracle=_LATERAL_SQL)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (top-2 orders per customer) — the SAME
+    ANSI text runs on both engines. Catalyst decorrelates the correlated
+    ORDER BY … LIMIT into a ranked window join (the w2 pattern), so
+    execution is a keyed shuffle, never a per-customer subquery — which
+    is what makes the LATERAL surface safe at 100 TB."""
+    from trireme_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _LATERAL_SQL)

@@ -227,3 +227,58 @@ def udtf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, n_events long, sum_value double, n_orders long",
         )
     )
+
+
+_XA_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge
+FROM lineitem WHERE l_quantity > 10
+"""
+
+
+@register("udf_arrow_map", oracle=_XA_ORACLE)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow partition transform — the zero-copy tier of the Python
+    surface: RecordBatches cross the JVM↔Python boundary with no pandas
+    materialization (vs mapInPandas), which matters when the batch is
+    wide or binary-heavy. The batch math is pyarrow.compute (SIMD
+    kernels); the final ROUND happens JVM-side at 6 decimals — BELOW the product's
+    true decimal precision (2dp × 2dp × 2dp = exactly 6dp), so no value
+    ever sits on a rounding boundary. At 4dp the exact halves are real
+    and Spark (shortest-repr BigDecimal, half-up) and DuckDB (scaled
+    multiply) disagree — observed on the fixtures."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def charge_batches(batches):
+        for b in batches:
+            keep = b.filter(pc.greater(b.column("l_quantity"), 10.0))
+            charge = pc.multiply(
+                pc.multiply(
+                    keep.column("l_extendedprice"),
+                    pc.subtract(1.0, keep.column("l_discount")),
+                ),
+                pc.add(1.0, keep.column("l_tax")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    keep.column("l_orderkey"),
+                    keep.column("l_linenumber"),
+                    charge,
+                ],
+                names=["l_orderkey", "l_linenumber", "charge_raw"],
+            )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax",
+    )
+    out = li.mapInArrow(
+        charge_batches,
+        "l_orderkey long, l_linenumber int, charge_raw double",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("charge_raw", 6).alias("charge"),
+    )
