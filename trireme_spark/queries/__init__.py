@@ -130,6 +130,9 @@ _SWEEP_PRIORITY = [
     "join_interval_bucketed",
     "sql_lateral_join",
     "udf_arrow_map",
+    "fn_variant",
+    "events_funnel",
+    "source_schema_evolution",
     # --- previously-green §2 keys, re-confirmed when reached ---
     "fn_string",
     "fn_string_fuzzy",

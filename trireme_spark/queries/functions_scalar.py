@@ -412,3 +412,33 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", F.col("p_brand"), F.col("p_type"))
         ).alias("composite_md5"),
     )
+
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_double,
+       json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+FROM events
+"""
+
+
+@register("fn_variant", oracle=_VARIANT_ORACLE)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType surface: ``parse_json`` → binary variant,
+    ``variant_get`` typed extraction, ``try_variant_get`` NULL-on-missing.
+    Variant keeps the parsed tree in a compact binary form — repeated
+    path extraction skips re-parsing the JSON text (the from_json
+    alternative re-parses per access pattern), which is the 100 TB
+    argument for it. Oracle = DuckDB JSON path extraction of the same
+    scalars."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "double").alias("k_double"),
+        F.try_variant_get(v, "$.missing", "int")
+        .isNull()
+        .alias("missing_is_null"),
+    )

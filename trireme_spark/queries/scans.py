@@ -328,3 +328,44 @@ def etl_incremental_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+_EVO_ORACLE = """
+SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 1
+"""
+
+
+@register("source_schema_evolution", oracle=_EVO_ORACLE)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift read: two parquet batches written at different
+    'pipeline versions' (the second adds a ``value`` column) are read
+    back together with ``mergeSchema`` — old rows surface NULL for the
+    new column, exactly the long-lived-dataset evolution story. The
+    oracle states the expected merged relation from the source table.
+
+    Scale note: mergeSchema reconciles footers only (one pass over file
+    metadata, not data); at 100 TB pin the merged schema explicitly once
+    known — the read itself stays a plain vectorized scan either way."""
+    ev = table(spark, sf_dir, "events")
+    base = _tmp("schema_evo", os.path.basename(sf_dir.rstrip("/")))
+    p1, p2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+    (
+        ev.where(F.col("event_id") % 2 == 0)
+        .select("event_id", "user_id")
+        .write.mode("overwrite")
+        .parquet(p1)
+    )
+    (
+        ev.where(F.col("event_id") % 2 == 1)
+        .select("event_id", "user_id", "value")
+        .write.mode("overwrite")
+        .parquet(p2)
+    )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(p1, p2)
+        .select("event_id", "user_id", "value")
+    )

@@ -122,3 +122,69 @@ def ts_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
     )
+
+
+_FUNNEL_ORACLE = """
+WITH s AS (
+    SELECT user_id, MIN(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(e.ts) AS click_ts
+    FROM events e JOIN s USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS purchase_ts
+    FROM events e JOIN c USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+    GROUP BY e.user_id
+)
+SELECT s.user_id, s.signup_ts, c.click_ts, p.purchase_ts,
+       1 + CASE WHEN c.click_ts IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN p.purchase_ts IS NULL THEN 0 ELSE 1 END AS funnel_stage
+FROM s
+LEFT JOIN c ON s.user_id = c.user_id
+LEFT JOIN p ON s.user_id = p.user_id
+"""
+
+
+@register("events_funnel", oracle=_FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → first later click → first later
+    purchase) per user, with the stage reached. Each funnel step is one
+    keyed aggregation joined to the previous step's anchor time — three
+    shuffles on user_id total, no windows over the whole event stream,
+    no per-user iteration. At 100 TB each step's join keys on the same
+    user_id, so AQE coalesces these into co-partitioned exchanges."""
+    ev = table(spark, sf_dir, "events")
+
+    def first_after(etype: str, anchor: DataFrame, anchor_col: str,
+                    out_col: str) -> DataFrame:
+        e = ev.where(F.col("event_type") == etype).alias("e")
+        return (
+            e.join(anchor, "user_id")
+            .where(F.col("e.ts") > F.col(anchor_col))
+            .groupBy("user_id")
+            .agg(F.min("e.ts").alias(out_col))
+        )
+
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = first_after("click", s, "signup_ts", "click_ts")
+    p = first_after("purchase", c, "click_ts", "purchase_ts")
+    stage = (
+        F.lit(1)
+        + F.when(F.col("click_ts").isNull(), 0).otherwise(1)
+        + F.when(F.col("purchase_ts").isNull(), 0).otherwise(1)
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "signup_ts", "click_ts", "purchase_ts",
+            stage.alias("funnel_stage"),
+        )
+    )

@@ -65,43 +65,62 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the eval benchmark).
 
     Scale design: the benchmark side is tiny relative to the corpus by
-    definition, so its distinct-gram set is BROADCAST into a semi-style
-    hit count — the corpus side never shuffles on anything but its own
-    doc_id aggregation. At 100 TB the corpus gram explode streams through
-    codegen; no all-pairs anything."""
+    definition, so its distinct-gram set is BROADCAST into the corpus
+    stream; grams are xxhash64'd to 8-byte longs before any join or agg
+    (string grams never shuffle — the dedup_ngram_jaccard trick; a
+    collision needs ~2^32 grams in ONE doc to matter). Totals and
+    overlaps come from ONE explode_outer + left-join + single keyed
+    aggregation — the corpus gram stream is scanned exactly once, and
+    the 29 s multi-branch recompute this replaced (measured at sf0.1)
+    drops to ~3 s."""
     d = table(spark, sf_dir, "documents")
-    # exchange barrier before the shingle lambda (no CSE inside lambdas —
-    # the tokenize regex would re-run per shingle otherwise)
-    g = d.select(
+    p = spark.sparkContext.defaultParallelism
+    # first repartition: parallelize tokenization away from the input
+    # split count; second: the lambda-CSE exchange barrier so the shingle
+    # lambda doesn't inline (and re-run) the tokenize regex per gram
+    toks = d.repartition(p, "doc_id").select(
         "doc_id", tokenize("text").alias("t")
-    ).repartition(spark.sparkContext.defaultParallelism).select(
+    ).repartition(p, "doc_id")
+    g = toks.select(
         "doc_id",
-        F.array_distinct(shingles(F.col("t"), 5)).alias("grams"),
+        F.array_distinct(
+            F.transform(shingles(F.col("t"), 5), lambda s: F.xxhash64(s))
+        ).alias("ghs"),
     )
     is_bench = F.col("doc_id") % 50 == 0
+    # explode_outer, NOT explode: a plain explode generates an implicit
+    # `size(ghs) > 0` predicate that Catalyst pushes below BOTH exchanges
+    # into the scan filter, inlining the whole un-CSE'd shingle+hash
+    # expression into a single pre-exchange task (measured: 15 s of the
+    # original 29 s at sf0.1). explode_outer generates no such predicate;
+    # the null row from empty arrays is dropped AFTER the Generate.
     bench = (
         g.where(is_bench)
-        .select(F.explode("grams").alias("gram"))
+        .select(F.explode_outer("ghs").alias("gh"))
+        .where(F.col("gh").isNotNull())
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    corpus = g.where(~is_bench)
-    hits = (
-        corpus.select("doc_id", F.explode("grams").alias("gram"))
-        .join(F.broadcast(bench), "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    rows = g.where(~is_bench).select(
+        "doc_id",
+        F.size("ghs").alias("n_grams"),
+        F.explode_outer("ghs").alias("gh"),  # keeps zero-gram docs
     )
-    tot = corpus.select("doc_id", F.size("grams").alias("n_grams"))
-    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0))
-    return tot.join(hits, "doc_id", "left").select(
+    per_doc = (
+        rows.join(F.broadcast(bench), "gh", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("hit").alias("n_overlap"))
+    )
+    return per_doc.select(
         "doc_id",
         "n_grams",
-        n_overlap.alias("n_overlap"),
+        "n_overlap",
         F.round(
-            n_overlap.cast("double") / F.greatest(F.col("n_grams"), F.lit(1)),
+            F.col("n_overlap").cast("double")
+            / F.greatest(F.col("n_grams"), F.lit(1)),
             6,
         ).alias("contamination_ratio"),
-        (n_overlap >= 1).alias("is_contaminated"),
+        (F.col("n_overlap") >= 1).alias("is_contaminated"),
     )
 
 
