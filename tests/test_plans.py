@@ -133,3 +133,42 @@ def test_two_pass_cumulative_no_data_single_partition(spark):
         assert "hashpartitioning(rng" in p, key
         assert "spark_partition_id" not in p, key
         assert p.count("SinglePartition") <= meta_exchanges, key
+
+
+def test_decontaminate_plan_shape(spark):
+    """Benchmark grams broadcast; grams shuffle as xxhash64 longs; and the
+    shingle expression appears ONLY in the two branch Projects — the
+    round-3 regression this guards: a plain explode's implicit size()>0
+    predicate pushed the whole un-CSE'd shingle chain into a single-task
+    scan Filter (29 s → 2 s at sf0.1 when fixed)."""
+    p = plan(registry.QUERIES["text_decontaminate"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    assert "xxhash64" in p
+    assert p.count("concat_ws") <= 2, (
+        "shingle expression leaked into a Filter/scan predicate"
+    )
+
+
+def test_interval_bucketed_is_hash_join(spark):
+    """The no-equi-key range join must plan as a hash/sort-merge join on
+    the derived hour bucket — never the BroadcastNestedLoopJoin that the
+    raw inequality predicate produces."""
+    p = plan(registry.QUERIES["join_interval_bucketed"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Cartesian" not in p
+
+
+def test_shuffle_deterministic_data_path_ranged(spark):
+    """Global row numbering must ride the expression-derived range id
+    (hashpartitioning on rng); only range METADATA (one row per range)
+    may pass through a SinglePartition window."""
+    p = plan(registry.QUERIES["shuffle_deterministic"](spark, SF_SMOKE))
+    assert "hashpartitioning(rng" in p
+
+
+def test_cluster_assign_broadcasts_centroids(spark):
+    """Centroids are a k-row broadcast into the corpus stream (the BNL
+    here is the bounded 8-row cross join, which is the intended shape);
+    the corpus itself must not shuffle before the per-vector window."""
+    p = plan(registry.QUERIES["cluster_assign"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in p
