@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Duplicate-heavy stress at ~sf1: replicate the sf0.1 fixtures 10× with
+shifted ids (every doc/vector/event has 10 exact copies — the worst case
+for similarity candidate generation and a realistic web-crawl property),
+then run the heavy per-round keys with per-key wall-clock.
+
+Round-2 ran this ad-hoc and caught the quadratic prefix-bucket blowup in
+dedup_ngram_jaccard; this committed version makes the layer reproducible.
+Staging lives under /tmp (never under /root/testdata).
+
+Usage: python scripts/dup_stress.py [key ...]   (default: round-3 set)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STAGE = "/tmp/trireme_dup_sf1"
+SRC = "/root/testdata/sf0.1"
+SHIFT = 10_000_000  # multiple of 50 so doc_id % 50 patterns survive
+
+DEFAULT_KEYS = [
+    "text_decontaminate",
+    "text_quality_gopher",
+    "dedup_doc_canonical",
+    "shuffle_deterministic",
+    "embed_centroid_label",
+    "cluster_assign",
+    "cluster_kmeans_fit",
+    "embed_pq_quantize",
+    "join_interval_bucketed",
+    "events_funnel",
+]
+
+ID_COLS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+}
+
+
+def build_stage(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from trireme_spark.sources.io import TABLES, table
+
+    if os.path.isdir(os.path.join(STAGE, "_DONE")):
+        return
+    for name in TABLES:
+        df = table(spark, SRC, name)
+        id_col = ID_COLS.get(name)
+        if id_col:
+            copies = [
+                df.withColumn(
+                    id_col, F.col(id_col) + F.lit(i * SHIFT)
+                )
+                for i in range(10)
+            ]
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+        else:
+            out = df  # dimension tables keep their cardinality
+        out.write.mode("overwrite").parquet(
+            os.path.join(STAGE, f"{name}.parquet")
+        )
+    os.makedirs(os.path.join(STAGE, "_DONE"), exist_ok=True)
+
+
+def main() -> None:
+    keys = sys.argv[1:] or DEFAULT_KEYS
+
+    from trireme_spark import registry
+    from trireme_spark.session import get_spark
+
+    spark = get_spark(
+        "trireme-dup-stress", cpus="8", shuffle_partitions=32,
+        driver_memory="16g",
+    )
+    build_stage(spark)
+
+    failures = []
+    for key in keys:
+        fn = registry.QUERIES[key]
+        t0 = time.perf_counter()
+        try:
+            fn(spark, STAGE).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            print(f"{key}: {dt:.1f}s", flush=True)
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            failures.append(key)
+            print(f"{key}: FAIL {type(exc).__name__}: {exc}", flush=True)
+    if failures:
+        print(f"FAILURES: {failures}")
+        sys.exit(1)
+    print("DUP-STRESS OK")
+
+
+if __name__ == "__main__":
+    main()

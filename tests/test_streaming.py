@@ -166,3 +166,55 @@ def test_stream_stream_join_equals_batch(spark):
         B.click_purchase_join(s1, watermark="2 hours"), mode="append"
     )
     assert _canon(streamed) == _canon(batch)
+
+
+def _tws_available() -> bool:
+    """transformWithState's Python state server speaks protobuf; this
+    container's protobuf install is broken (`cannot import name
+    'descriptor'`), which crashes the TWS driver worker. The builder and
+    this test are the ready-to-run surface for a healthy environment."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.mark.skipif(
+    not _tws_available(),
+    reason="broken protobuf in container — transformWithState state "
+    "server cannot start (see builders.transform_with_state_user_counts)",
+)
+def test_transform_with_state_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from trireme_spark.sources.io import table
+    from trireme_spark.streaming.builders import (
+        events_stream_staged,
+        run_to_memory,
+        stage_events_files,
+        transform_with_state_user_counts,
+    )
+
+    sf = SF_SMOKE
+    staged = stage_events_files(spark, sf, n_files=4, tag="tws")
+    ev = events_stream_staged(spark, staged, max_files_per_trigger=1)
+    updates = run_to_memory(
+        transform_with_state_user_counts(ev), mode="update"
+    )
+    got = (
+        updates.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    )
+    want = (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -79,25 +79,53 @@ def kmeans_fit(
             _a, "vec_id long, cluster_id int, emb array<double>"
         )
 
+    def partial_stats(cent_arr: np.ndarray):
+        """One Arrow pass: assign AND pre-aggregate per-partition k×d
+        partial sums in numpy (map-side combine without the 64× posexplode
+        row blowup — the shuffle carries k·d rows per partition, never
+        n·d). Partition membership and in-partition row order are
+        deterministic for a given input, so the float64 partials are too;
+        the cross-partition merge is an order-independent decimal sum —
+        centroids stay bit-identical across reruns."""
+        bc = spark.sparkContext.broadcast(cent_arr)
+
+        def _p(it):
+            bks = bc.value
+            tot = np.zeros((k, d))
+            cnt = np.zeros(k, dtype="int64")
+            sq_local = 0.0
+            for pdf in it:
+                m = _emb_matrix(pdf["emb"])
+                lab = _assign(m, bks)
+                for ci in range(k):
+                    mask = lab == ci
+                    if mask.any():
+                        tot[ci] += m[mask].sum(axis=0)
+                        cnt[ci] += int(mask.sum())
+                sq_local += float((m * m).sum())
+            rows = {
+                "cluster_id": np.repeat(np.arange(k, dtype="int32"), d),
+                "pos": np.tile(np.arange(d, dtype="int32"), k),
+                "s": tot.ravel(),
+                "n": np.repeat(cnt, d),
+                "ss": np.full(k * d, sq_local / (k * d)),
+            }
+            yield pd.DataFrame(rows)
+
+        return v.mapInPandas(
+            _p, "cluster_id int, pos int, s double, n long, ss double"
+        )
+
     for _ in range(iters):
-        a = assigned_df(cents)
-        # per-(cluster, dim) sums + per-cluster count + sum ||x||² — one
-        # keyed shuffle; k·d result rows = model state, safe to collect
         stats = (
-            a.select(
-                "cluster_id",
-                F.posexplode("emb").alias("pos", "val"),
-            )
+            partial_stats(cents)
             .groupBy("cluster_id", "pos")
             .agg(
-                # decimal sums: order-independent, so centroids are
-                # bit-identical across runs/partitionings (double sums
-                # drift in the last ulp and would make fit nondeterministic)
-                F.sum(F.col("val").cast("decimal(30,12)")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    (F.col("val") * F.col("val")).cast("decimal(30,12)")
-                ).alias("ss"),
+                # decimal merge of the per-partition partials:
+                # order-independent, so reruns are bit-identical
+                F.sum(F.col("s").cast("decimal(30,12)")).alias("s"),
+                F.sum("n").alias("n"),
+                F.sum(F.col("ss").cast("decimal(30,12)")).alias("ss"),
             )
             .collect()
         )
@@ -116,8 +144,11 @@ def kmeans_fit(
         history.append(wcss)
         cents = new
 
+    # v stays cached: the RETURNED assignment plan reads it lazily — an
+    # eager unpersist here made the caller's first action recompute the
+    # whole projection subtree (measured as most of a 313 s stress run).
+    # LRU eviction reclaims it under memory pressure.
     final = assigned_df(cents).select("vec_id", "cluster_id")
-    v.unpersist()
     return final, cents, history
 
 

@@ -133,6 +133,7 @@ _SWEEP_PRIORITY = [
     "fn_variant",
     "events_funnel",
     "source_schema_evolution",
+    "dedup_minhash_clusters",
     # --- previously-green §2 keys, re-confirmed when reached ---
     "fn_string",
     "fn_string_fuzzy",

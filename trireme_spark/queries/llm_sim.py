@@ -670,3 +670,82 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= 5
     )
+
+
+# Cluster oracle: recursive min-label reachability over the SAME exact
+# pair set _L5_ORACLE verifies (equi-join intersection form), then one
+# grouped pass for labels and a window for sizes.
+_L5C_ORACLE = """
+WITH RECURSIVE
+s AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(greatest(len(toks) - 2, 0)),
+               i -> toks[CAST(i AS INT) + 1] || ' ' ||
+                    toks[CAST(i AS INT) + 2] || ' ' ||
+                    toks[CAST(i AS INT) + 3])) AS sset
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(text), '\\s+') AS toks
+          FROM documents)
+    WHERE len(toks) >= 3
+),
+e0 AS (SELECT doc_id, unnest(sset) AS t FROM s),
+sz AS (SELECT doc_id, len(sset) AS sz FROM s),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM e0 a JOIN e0 b ON a.t = b.t AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+),
+e AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(v, c) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.c FROM reach r JOIN e ON e.src = r.v
+),
+lab AS (SELECT v, min(c) AS cluster_id FROM reach GROUP BY v)
+SELECT v AS doc_id, cluster_id,
+       (v = cluster_id) AS is_canonical,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+"""
+
+
+@register("dedup_minhash_clusters", oracle=_L5C_ORACLE)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup pipeline: l5's verified Jaccard ≥ 0.8
+    pairs → connected components → canonical representative (min doc_id)
+    + cluster size per document. This is the full corpus-curation
+    decision table — pairwise output alone over-deletes chains (A~B, B~C
+    is ONE cluster of three).
+
+    Scale design: the pair set comes from the sound+complete prefix
+    filter (keyed shuffles only); components via iterative min-label
+    propagation (2 keyed shuffles/round, cached per round, loud failure
+    on round-budget exhaustion — operators/graph.py); sizes are one more
+    keyed agg. Every stage is key-partitioned; nothing driver-side."""
+    from trireme_spark.operators.graph import connected_components
+
+    pairs = dedup_fuzzy_minhash(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    cc = connected_components(d, pairs, id_col="doc_id")
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return cc.join(sizes, "component").select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+        "cluster_size",
+    )

@@ -31,6 +31,7 @@ def get_spark(
     app_name: str = "trireme-spark",
     cpus: str | int | None = None,
     shuffle_partitions: int | None = None,
+    driver_memory: str = "8g",
 ) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     shuffle = shuffle_partitions or int(os.environ.get("TRIREME_SHUFFLE", "16"))
@@ -42,7 +43,7 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -263,3 +263,47 @@ def click_purchase_join(
     return joined.select(
         "user_id", "click_id", "click_ts", "purchase_ts", "purchase_value"
     )
+
+
+def transform_with_state_user_counts(events: DataFrame) -> DataFrame:
+    """Running per-user event counter via Spark 4's transformWithState
+    API (``transformWithStateInPandas``) — the successor surface to t6's
+    ``applyInPandasWithState``: explicit typed state handles (value /
+    list / map state), TTL support, and timers, on the RocksDB state
+    store. State here = one long per user — bounded by distinct users,
+    never by stream length (the 100 TB-safe shape).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = (self._count.get() or (0,))[0]
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider
+    # (runtime-settable; the HDFS-backed default provider rejects the
+    # operator). Scoped here so only this stream flips it.
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType="user_id long, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )
