@@ -321,3 +321,14 @@ def test_pq_quantize_invariants(spark):
         )
     )
     assert pq_mse < mean_only, (pq_mse, mean_only)
+
+
+def test_ann_ivfpq_recall(spark):
+    """IVF+PQ contract: code-based scoring + 3x exact re-rank recovers
+    >=80% of the exact per-query top-5."""
+    exact = registry.QUERIES["sim_knn_per_query"](spark, SF_SMOKE)
+    approx = registry.QUERIES["sim_ann_ivfpq"](spark, SF_SMOKE)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"IVF+PQ recall {recall} < 0.8"

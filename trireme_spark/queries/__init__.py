@@ -134,6 +134,9 @@ _SWEEP_PRIORITY = [
     "events_funnel",
     "source_schema_evolution",
     "dedup_minhash_clusters",
+    "fn_collation",
+    "sql_group_by_all",
+    "join_asof_nearest",
     # --- previously-green §2 keys, re-confirmed when reached ---
     "fn_string",
     "fn_string_fuzzy",
@@ -179,6 +182,7 @@ _SWEEP_PRIORITY = [
     "sim_ann_ivf",
     "cluster_kmeans_fit",
     "embed_pq_quantize",
+    "sim_ann_ivfpq",
 ]
 
 

@@ -442,3 +442,43 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .isNull()
         .alias("missing_is_null"),
     )
+
+
+_MIXED = (
+    "CASE WHEN p_partkey % 2 = 0 THEN upper(p_type) "
+    "ELSE lower(p_type) END"
+)
+
+_COLLATION_ORACLE = f"""
+SELECT CAST(COUNT(DISTINCT {_MIXED}) AS BIGINT) AS n_case_sensitive,
+       CAST(COUNT(DISTINCT lower({_MIXED})) AS BIGINT) AS n_case_insensitive,
+       CAST(SUM(CASE WHEN {_MIXED} = upper({_MIXED})
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_upper_rows
+FROM part
+"""
+
+
+@register("fn_collation", oracle=_COLLATION_ORACLE)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation surface: COUNT(DISTINCT) under UTF8_LCASE
+    (case-insensitive) vs the default binary collation, over a
+    deterministically mixed-case projection of p_type. The oracle mirrors
+    the case-insensitive semantics with lower() — collation-aware
+    grouping keys themselves are never emitted (the surviving
+    representative under a ci collation is engine-dependent)."""
+    p = table(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper("p_type")
+    ).otherwise(F.lower("p_type"))
+    base = p.select(
+        mixed.alias("mixed"), F.upper(mixed).alias("mixed_up")
+    )
+    return base.agg(
+        F.countDistinct("mixed").alias("n_case_sensitive"),
+        F.countDistinct(F.collate("mixed", "UTF8_LCASE")).alias(
+            "n_case_insensitive"
+        ),
+        F.sum(
+            F.when(F.col("mixed") == F.col("mixed_up"), 1).otherwise(0)
+        ).alias("n_upper_rows"),
+    )

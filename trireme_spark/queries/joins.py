@@ -436,3 +436,104 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("signup_id", "purchase_id", "signup_ts", "purchase_ts")
     )
+
+
+_NEAREST_ORACLE = """
+WITH c AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, e.event_id, e.ts,
+         abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) AS d
+  FROM orders o LEFT JOIN events e ON e.user_id = o.o_custkey
+)
+SELECT o_orderkey, o_custkey, o_orderdate,
+       event_id AS nearest_event_id, ts AS nearest_ts,
+       d AS diff_us
+FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                           ORDER BY d NULLS LAST, ts, event_id) = 1
+"""
+
+
+@register("join_asof_nearest", oracle=_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join, EITHER direction: each order matched to
+    its user's temporally closest event (ties → earlier event, then
+    smaller event_id). Composed from two backward as-of passes — the
+    forward direction is the backward operator on negated microsecond
+    timestamps — then a per-row tuple pick. Cost: two keyed window passes
+    (operators/asof.py), no candidate join at all; the oracle's rank-all
+    formulation is the O(orders × events-per-user) shape this avoids."""
+    from trireme_spark.operators.asof import asof_join
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        # o_orderdate arrives TIMESTAMP_NTZ; the session is pinned UTC so
+        # the ltz cast is value-preserving and matches DuckDB's epoch_us
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+    )
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        (-F.unix_micros(F.col("ts"))).alias("neg_ts_us"),
+        # negated id: asof keeps the LAST row in (ts, tie) order among
+        # equal timestamps, so negating makes the survivor the SMALLEST
+        # event_id — matching the oracle's tie-break
+        (-F.col("event_id")).alias("neg_event_id"),
+    )
+    # asof_ts is the operator's carried right_ts (here: the µs long), so
+    # event_id is the only extra value column each pass needs
+    back = (
+        asof_join(
+            o,
+            e.select("user_id", "ts_us", "event_id", "neg_event_id"),
+            on="user_id",
+            left_ts="od_us",
+            right_ts="ts_us",
+            value_cols=["event_id"],
+            right_tie_col="neg_event_id",
+        )
+        .withColumnRenamed("asof_event_id", "b_id")
+        .withColumnRenamed("asof_ts", "b_us")
+    )
+    o_neg = o.withColumn("neg_od_us", -F.col("od_us"))
+    fwd = asof_join(
+        o_neg,
+        e.select("user_id", "neg_ts_us", "event_id", "neg_event_id"),
+        on="user_id",
+        left_ts="neg_od_us",
+        right_ts="neg_ts_us",
+        value_cols=["event_id"],
+        right_tie_col="neg_event_id",
+    ).select(
+        "o_orderkey",
+        F.col("asof_event_id").alias("f_id"),
+        (-F.col("asof_ts")).alias("f_us"),
+    )
+    j = back.join(fwd, "o_orderkey")
+    b_d = F.abs(F.col("od_us") - F.col("b_us"))
+    f_d = F.abs(F.col("od_us") - F.col("f_us"))
+    # lexicographic pick on (abs diff, event ts, event id); a missing side
+    # loses via null-safe comparison
+    take_b = F.when(F.col("b_us").isNull(), F.lit(False)).otherwise(
+        F.when(F.col("f_us").isNull(), F.lit(True)).otherwise(
+            (b_d < f_d)
+            | ((b_d == f_d) & (F.col("b_us") < F.col("f_us")))
+            | (
+                (b_d == f_d)
+                & (F.col("b_us") == F.col("f_us"))
+                & (F.col("b_id") <= F.col("f_id"))
+            )
+        )
+    )
+    pick = lambda b, f: F.when(take_b, F.col(b)).otherwise(F.col(f))  # noqa: E731
+    return j.select(
+        "o_orderkey",
+        F.col("user_id").alias("o_custkey"),
+        "o_orderdate",
+        pick("b_id", "f_id").alias("nearest_event_id"),
+        F.timestamp_micros(pick("b_us", "f_us")).alias("nearest_ts"),
+        F.when(take_b, b_d).otherwise(f_d).alias("diff_us"),
+    )

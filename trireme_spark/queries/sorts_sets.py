@@ -348,3 +348,23 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trireme_spark.sql import run_sql
 
     return run_sql(spark, sf_dir, _LATERAL_SQL)
+
+
+_GBA_SQL = """
+SELECT c_mktsegment, o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY ALL
+"""
+
+
+@register("sql_group_by_all", oracle=_GBA_SQL)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (infer grouping keys from the non-aggregate select
+    items) — supported by both engines with identical inference rules;
+    the SAME ANSI text runs on both. Plans exactly like an explicit
+    GROUP BY: partial+final hash aggregate, one exchange."""
+    from trireme_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _GBA_SQL)

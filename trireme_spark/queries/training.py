@@ -187,9 +187,13 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan); bigram dedup stays per-row array algebra. All thresholds are
     rational arithmetic — exact cross-engine."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
+    p = spark.sparkContext.defaultParallelism
+    # repartition the RAW docs first: tokenization is CPU-bound, so it
+    # must not inherit the input-split parallelism (small/packed files →
+    # one task); the second exchange is the lambda-CSE barrier
+    toks = d.repartition(p, "doc_id").select(
         "doc_id", tokenize("text").alias("t")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).repartition(p, "doc_id")
 
     tf = (
         toks.select("doc_id", F.explode("t").alias("token"))
@@ -276,7 +280,11 @@ def dedup_doc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
-    h = d.select("doc_id", F.md5(canonical).alias("canonical_hash"))
+    # repartition before the regex chain: 3 full-text regex passes are
+    # CPU-bound and must not serialize on the input-split count
+    h = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.md5(canonical).alias("canonical_hash"))
     w = Window.partitionBy("canonical_hash")
     return h.select(
         "doc_id",
