@@ -137,6 +137,8 @@ _SWEEP_PRIORITY = [
     "fn_collation",
     "sql_group_by_all",
     "join_asof_nearest",
+    "etl_scd2_dimension",
+    "fn_url_parse",
     # --- previously-green §2 keys, re-confirmed when reached ---
     "fn_string",
     "fn_string_fuzzy",

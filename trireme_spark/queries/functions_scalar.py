@@ -482,3 +482,49 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("mixed") == F.col("mixed_up"), 1).otherwise(0)
         ).alias("n_upper_rows"),
     )
+
+
+_URL_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || doc_id
+             || '?lang=' || lang || '#top' AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?([^#]*)', 1) AS query,
+       regexp_extract(url, 'lang=([^&#]*)', 1) AS lang_param
+FROM u
+"""
+
+
+@register("fn_url_parse", oracle=_URL_ORACLE)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface: ``parse_url`` HOST/PATH/QUERY plus keyed
+    query-parameter extraction, over deterministic URLs synthesized from
+    document metadata (the fixture has no URL column). The oracle mirrors
+    with anchored regexes — DuckDB has no parse_url — which also pins the
+    exact semantics Spark's extractor implements."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("#top"),
+    )
+    base = d.select("doc_id", url.alias("url"))
+    return base.select(
+        "doc_id",
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+    )
