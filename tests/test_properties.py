@@ -13,6 +13,8 @@ from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 SETTINGS = settings(
     max_examples=12,
     deadline=None,
@@ -147,3 +149,73 @@ def test_global_range_frame_sum_matches_window(spark, width):
     got = {r["o_orderkey"]: r["s"] for r in dist.collect()}
     want = {r["o_orderkey"]: r["s"] for r in ref.collect()}
     assert got == want
+
+
+# --- round-3 invariants ------------------------------------------------------
+
+def test_shuffle_deterministic_is_permutation(spark):
+    """Positions are exactly 1..N (a permutation — no gaps, no dups) and a
+    rerun is bit-identical (the reproducibility contract)."""
+    from trireme_spark import registry
+
+    df = registry.QUERIES["shuffle_deterministic"](spark, SF_SMOKE)
+    rows = df.collect()
+    n = len(rows)
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(1, n + 1))
+    rows2 = registry.QUERIES["shuffle_deterministic"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_scd2_effectivity_chain(spark):
+    """SCD2 invariants: per-key versions are 1..k, intervals chain exactly
+    (valid_to == next valid_from), and precisely one row is current."""
+    from collections import defaultdict
+
+    from trireme_spark import registry
+
+    rows = registry.QUERIES["etl_scd2_dimension"](spark, SF_SMOKE).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r["is_current"] for r in rs) == 1
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"], user
+        assert rs[-1]["valid_to"] is None
+
+
+def test_decontaminate_flags_are_consistent(spark):
+    """Ratio ∈ [0,1], n_overlap ≤ n_grams, flag ⇔ overlap, and no
+    benchmark doc leaks into the output."""
+    from trireme_spark import registry
+
+    rows = registry.QUERIES["text_decontaminate"](spark, SF_SMOKE).collect()
+    assert rows, "empty decontamination output"
+    for r in rows:
+        assert r["doc_id"] % 50 != 0
+        assert 0 <= r["n_overlap"] <= max(r["n_grams"], 1)
+        assert 0.0 <= r["contamination_ratio"] <= 1.0
+        assert r["is_contaminated"] == (r["n_overlap"] >= 1)
+
+
+def test_minhash_cluster_partition(spark):
+    """Cluster output is a partition of the corpus: every doc exactly once,
+    cluster id = min member, one canonical per cluster, sizes consistent."""
+    from collections import defaultdict
+
+    from trireme_spark import registry
+    from trireme_spark.sources.io import table
+
+    rows = registry.QUERIES["dedup_minhash_clusters"](spark, SF_SMOKE).collect()
+    n_docs = table(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r["cluster_id"]].append(r)
+    for cid, members in clusters.items():
+        assert cid == min(m["doc_id"] for m in members)
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert all(m["cluster_size"] == len(members) for m in members)

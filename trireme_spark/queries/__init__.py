@@ -139,6 +139,7 @@ _SWEEP_PRIORITY = [
     "join_asof_nearest",
     "etl_scd2_dimension",
     "fn_url_parse",
+    "etl_training_corpus",
     # --- previously-green §2 keys, re-confirmed when reached ---
     "fn_string",
     "fn_string_fuzzy",

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from trireme_spark.functions.text import tokenize
+from trireme_spark.functions.text import STOPWORDS, tokenize
 from trireme_spark.operators.similarity import shingles
 from trireme_spark.parity import davg, oracle_avg
 from trireme_spark.registry import register
@@ -388,4 +388,215 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "shuffle_key",
         (F.col("loc_pos") + F.col("offset")).alias("shuffle_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# etl_training_corpus — the end-to-end curation pipeline, one key
+# ---------------------------------------------------------------------------
+
+_SW_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+_G3 = (
+    "list_transform(range(greatest(len(t) - 2, 0)), i -> "
+    "t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] || ' ' || "
+    "t[CAST(i AS INT) + 3])"
+)
+
+
+def _corpus_oracle() -> str:
+    from trireme_spark.queries.pipeline import _kbucket_sql
+
+    return f"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, lower(text) AS ltext,
+         string_split_regex(lower(text), '\\s+') AS t
+  FROM documents
+),
+q AS (
+  SELECT doc_id, len(t) AS word_cnt,
+         len(list_filter(t, x -> list_contains([{_SW_LIST}], x)))
+             AS stop_cnt
+  FROM base
+),
+keep1 AS (
+  SELECT doc_id, word_cnt FROM q
+  WHERE doc_id % 50 <> 0
+    AND least(1.0, word_cnt / 100.0)
+        * (1.0 - CAST(stop_cnt AS DOUBLE) / word_cnt) >= 0.35
+),
+g AS (SELECT doc_id, list_distinct({_G5}) AS grams FROM base),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+          WHERE doc_id % 50 = 0),
+cg AS (SELECT g.doc_id, unnest(g.grams) AS gram
+       FROM g JOIN keep1 USING (doc_id)),
+hits AS (SELECT DISTINCT doc_id FROM cg JOIN bench USING (gram)),
+keep2 AS (SELECT k.doc_id, k.word_cnt FROM keep1 k
+          WHERE k.doc_id NOT IN (SELECT doc_id FROM hits)),
+canon AS (
+  SELECT k.doc_id, k.word_cnt,
+         md5(trim(regexp_replace(regexp_replace(b.ltext,
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+  FROM keep2 k JOIN base b USING (doc_id)
+),
+keep3 AS (
+  SELECT doc_id, word_cnt FROM canon
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1
+),
+s3 AS (
+  SELECT b.doc_id, list_distinct({_G3}) AS sset
+  FROM base b JOIN keep3 USING (doc_id)
+  WHERE len(b.t) >= 3
+),
+e0 AS (SELECT doc_id, unnest(sset) AS x FROM s3),
+sz AS (SELECT doc_id, len(sset) AS sz FROM s3),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM e0 a JOIN e0 b ON a.x = b.x AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT da, db FROM inter
+  JOIN sz sa ON sa.doc_id = da
+  JOIN sz sb ON sb.doc_id = db
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+),
+e AS (SELECT da AS s, db AS d FROM pairs
+      UNION ALL SELECT db, da FROM pairs),
+reach(v, c) AS (
+  SELECT doc_id, doc_id FROM keep3
+  UNION
+  SELECT e.d, r.c FROM reach r JOIN e ON e.s = r.v
+),
+lab AS (SELECT v, min(c) AS comp FROM reach GROUP BY v),
+keep4 AS (
+  SELECT k.doc_id, k.word_cnt FROM keep3 k
+  JOIN lab ON lab.v = k.doc_id
+  WHERE lab.comp = k.doc_id
+)
+SELECT doc_id, word_cnt,
+       CASE WHEN {_kbucket_sql('doc_id', 100)} < 90 THEN 'train'
+            WHEN {_kbucket_sql('doc_id', 100)} < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM keep4
+"""
+
+
+@register("etl_training_corpus", oracle=_corpus_oracle())
+def etl_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data curation pipeline as ONE declarative plan:
+    quality filter (length × stopword-ratio score) → benchmark
+    decontamination (5-gram overlap) → canonical-form exact dedup →
+    near-dup clustering (3-shingle Jaccard ≥ 0.8 → connected components,
+    keep cluster canonicals) → deterministic 90/5/5 split. Every stage is
+    the oracled standalone key's logic; the composite proves they chain.
+
+    Scale design: one cached base projection feeds every stage (each is
+    keyed shuffles over ids/grams/hashes — never the text again);
+    benchmark grams broadcast; the only iteration is CC's label
+    propagation with its loud round budget."""
+    from trireme_spark.operators.graph import connected_components
+    from trireme_spark.operators.similarity import (
+        candidate_pairs_prefix,
+        jaccard,
+        shingles as w_shingles,
+    )
+    from trireme_spark.queries.pipeline import _kbucket
+
+    p = spark.sparkContext.defaultParallelism
+    d = table(spark, sf_dir, "documents")
+    base = (
+        d.repartition(p, "doc_id")
+        .select("doc_id", F.lower("text").alias("ltext"))
+        .select(
+            "doc_id", "ltext", F.split("ltext", r"\s+").alias("t")
+        )
+        .cache()
+    )
+
+    wc = F.size("t")
+    stop_cnt = F.size(F.filter(F.col("t"), lambda x: x.isin(STOPWORDS)))
+    score = F.least(F.lit(1.0), wc / 100.0) * (
+        1.0 - stop_cnt.cast("double") / wc
+    )
+    keep1 = base.where(
+        (F.col("doc_id") % 50 != 0) & (score >= 0.35)
+    ).select("doc_id", wc.alias("word_cnt"))
+
+    g = base.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(w_shingles(F.col("t"), 5), lambda s: F.xxhash64(s))
+        ).alias("grams"),
+    )
+    bench = (
+        g.where(F.col("doc_id") % 50 == 0)
+        .select(F.explode_outer("grams").alias("gh"))
+        .where(F.col("gh").isNotNull())
+        .distinct()
+    )
+    hits = (
+        g.join(keep1.select("doc_id"), "doc_id")
+        .select("doc_id", F.explode_outer("grams").alias("gh"))
+        .join(F.broadcast(bench), "gh")
+        .select("doc_id")
+        .distinct()
+    )
+    keep2 = keep1.join(hits, "doc_id", "left_anti")
+
+    canonical = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("ltext"), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        )
+    )
+    canon = keep2.join(base.select("doc_id", "ltext"), "doc_id").select(
+        "doc_id", "word_cnt", canonical.alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    keep3 = (
+        canon.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "word_cnt")
+    )
+
+    s3 = (
+        base.join(keep3.select("doc_id"), "doc_id")
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(w_shingles(F.col("t"), 3)).alias("sset"),
+        )
+        .cache()
+    )
+    cand = candidate_pairs_prefix(s3, "doc_id", "sset", threshold=0.8)
+    a = s3.select(F.col("doc_id").alias("id_a"), F.col("sset").alias("sa"))
+    b = s3.select(F.col("doc_id").alias("id_b"), F.col("sset").alias("sb"))
+    pairs = (
+        cand.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .where(jaccard(F.col("sa"), F.col("sb")) >= 0.8)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    cc = connected_components(
+        keep3.select("doc_id"), pairs, id_col="doc_id"
+    )
+    keep4 = (
+        cc.where(F.col("component") == F.col("doc_id"))
+        .select("doc_id")
+        .join(keep3, "doc_id")
+    )
+
+    bkt = _kbucket("doc_id", 100)
+    return keep4.select(
+        "doc_id",
+        "word_cnt",
+        F.when(bkt < 90, F.lit("train"))
+        .when(bkt < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
     )
