@@ -34,6 +34,8 @@ DEFAULT_KEYS = [
     "embed_pq_quantize",
     "join_interval_bucketed",
     "events_funnel",
+    "dedup_minhash_clusters",
+    "etl_training_corpus",
 ]
 
 ID_COLS = {
