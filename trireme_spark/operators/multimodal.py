@@ -79,3 +79,33 @@ def frame_sample(binary_df: DataFrame, stride: int = 64) -> DataFrame:
             )
         ).alias("frame_no", "frame_bytes"),
     )
+
+
+RESIZE_SCHEMA = "doc_id long, resized_len int, resized_digest string"
+
+
+def resize_stub(binary_df: DataFrame, factor: int = 4) -> DataFrame:
+    """(doc_id, payload binary) → stride-``factor`` downsample ("resize")
+    via mapInPandas. The stub keeps every ``factor``-th byte — the 1-D
+    analogue of nearest-neighbor image downscaling — and digests the
+    result so the full Arrow byte round-trip is value-checked. A real
+    implementation replaces the slice with PIL ``Image.resize`` under the
+    same batch iteration (gate: TRIREME_REAL_DECODE, as in decode)."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if os.environ.get("TRIREME_REAL_DECODE") == "1":
+                raise NotImplementedError(
+                    "real media resize requires PIL — not in this container"
+                )
+            out = pd.DataFrame()
+            out["doc_id"] = batch["doc_id"]
+            resized = batch["payload"].map(lambda b: bytes(b)[::factor])
+            out["resized_len"] = resized.map(len).astype("int32")
+            out["resized_digest"] = resized.map(
+                lambda b: hashlib.md5(b).hexdigest()
+            )
+            yield out
+
+    return binary_df.mapInPandas(run, RESIZE_SCHEMA)

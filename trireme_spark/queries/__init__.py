@@ -140,6 +140,7 @@ _SWEEP_PRIORITY = [
     "etl_scd2_dimension",
     "fn_url_parse",
     "etl_training_corpus",
+    "multimodal_resize",
     # --- previously-green §2 keys, re-confirmed when reached ---
     "fn_string",
     "fn_string_fuzzy",

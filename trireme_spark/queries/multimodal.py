@@ -69,3 +69,35 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.join(totals, "doc_id").select(
         "doc_id", "frame_no", "total_bytes"
     )
+
+
+_MMR_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, text,
+         CAST(unnest(range(CAST(ceil(length(text) / 4.0) AS BIGINT)))
+              AS BIGINT) AS i
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ceil(length(text) / 4.0) AS INTEGER) AS resized_len,
+       md5(string_agg(substr(text, CAST(i * 4 + 1 AS INT), 1),
+                      '' ORDER BY i)) AS resized_digest
+FROM pos GROUP BY doc_id, text
+"""
+
+
+@register("multimodal_resize", oracle=_MMR_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize over opaque bytes: stride-4 downsample (the 1-D stand-in for
+    nearest-neighbor image scaling) through the same Arrow mapInPandas
+    plumbing a real PIL resize would use. The fixture payload is ASCII
+    text-as-bytes, so the oracle reconstructs the same downsample with
+    character positions and both sides md5 the result — the byte
+    round-trip is value-checked end to end."""
+    from trireme_spark.operators.multimodal import resize_stub
+
+    d = table(spark, sf_dir, "documents")
+    binary_df = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return resize_stub(binary_df, factor=4)
