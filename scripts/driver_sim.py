@@ -1,6 +1,12 @@
 """Simulates the driver: foreign SparkSession (non-UTC tz!), entry() smoke,
-queries() vs oracle_sql() hash compare at sf0.01."""
-import sys, hashlib
+queries() vs oracle_sql() hash compare at sf0.01.
+
+Usage: driver_sim.py [limit] [offset] — sweep keys [offset, offset+limit)
+in registration order (the driver records the first 50, so `50 0` mirrors
+what a real round will grade). Alternatively pass explicit key names:
+driver_sim.py key1 key2 ... — sweep exactly those keys.
+"""
+import sys, hashlib, time
 import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
@@ -28,15 +34,26 @@ def h(pdf):
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 qs, os_ = e.queries(), e.oracle_sql()
-print("keys:", list(qs))
-for k, fn in qs.items():
-    spdf = fn(spark, sf).toPandas()
+if len(sys.argv) > 1 and not sys.argv[1].isdigit():
+    keys = sys.argv[1:]
+    missing = [k for k in keys if k not in qs]
+    assert not missing, f"unknown keys: {missing}"
+else:
+    limit = int(sys.argv[1]) if len(sys.argv) > 1 else len(qs)
+    offset = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    keys = list(qs)[offset:offset + limit]
+print(f"keys ({len(keys)} of {len(qs)}):", keys)
+t_all = time.monotonic()
+for k in keys:
+    t0 = time.monotonic()
+    spdf = qs[k](spark, sf).toPandas()
     if k in os_:
         dpdf = con.sql(os_[k]).df()
         hs, hd = h(spdf), h(dpdf)
         status = "MATCH" if hs == hd else "MISMATCH"
-        print(f"{k}: spark={len(spdf)}r {hs} duck={len(dpdf)}r {hd} -> {status}")
+        print(f"{k}: spark={len(spdf)}r {hs} duck={len(dpdf)}r {hd} -> {status}"
+              f" [{time.monotonic() - t0:.1f}s]")
         assert hs == hd, k
     else:
-        print(f"{k}: rows-only {len(spdf)}r")
-print("DRIVER-SIM OK")
+        print(f"{k}: rows-only {len(spdf)}r [{time.monotonic() - t0:.1f}s]")
+print(f"DRIVER-SIM OK ({len(keys)} keys, {time.monotonic() - t_all:.1f}s)")

@@ -30,48 +30,128 @@ from trireme_spark.queries import sorts_sets  # noqa: F401
 from trireme_spark.queries import streaming  # noqa: F401
 from trireme_spark.queries import udfs  # noqa: F401
 
-# Sweep priority. Keys 1-50 are the round-2 target set: every key without
-# a green CORRECTNESS_r01 row (40 of them), the keys rewritten this round
-# (agg_collect, sim_knn_cosine, dedup_semantic), and the cheap filter
-# block to fill out slot 50. Unlisted/new keys append after the list in
-# module registration order; listed-but-unregistered keys are skipped.
+# Sweep priority, round 4. The driver records rows for the FIRST 50 keys
+# per sweep, so slots 1-50 are the round-4 target set: the 43 keys that
+# have never received a real driver row (exactly set(registry) −
+# CORRECTNESS_r01 − CORRECTNESS_r03 — the entire round-2/3 training-data
+# surface), cheapest first so a time-budgeted sweep loses the least, then
+# 7 stale r1-only §2 keys for re-confirmation (slots 44-50; the remaining
+# r1-only keys rotate through these slots next round). Unlisted/new keys
+# append after the list in module registration order.
 _SWEEP_PRIORITY = [
-    # fixed this round (r1: driver canonicalizer error)
+    # --- slots 1-43: never-driver-swept round-2/3 keys ---
+    # cheap projections / per-row algebra first
+    "text_pii_redact",
+    "sample_stratified",
+    "split_train_holdout",
+    "embed_normalize_quantize",
+    "fn_try_arithmetic",
+    "fn_variant",
+    "fn_collation",
+    "fn_url_parse",
+    "reshape_unpivot",
+    "win_ntile_bucket",
+    "sql_group_by_all",
+    "sql_subqueries",
+    "sql_lateral_join",
+    "sql_recursive_cte",
+    "udf_arrow_map",
+    "agg_regression",
+    "agg_two_phase_skew",
+    "join_skew_salted",
+    "join_interval_bucketed",
+    "join_asof_nearest",
+    "events_funnel",
+    "win_range_frame_distributed",
+    "pack_sequences",
+    "shuffle_deterministic",
+    "ts_rollup_multigrain",
+    "ts_resample_fill",
+    "etl_scd2_dimension",
+    "dedup_doc_canonical",
+    "embed_centroid_label",
+    "cluster_assign",
+    "text_decontaminate",
+    "text_quality_gopher",
+    "dedup_connected_components",
+    "dedup_minhash_clusters",
+    # file-IO / schema keys (real tmp-dir writes)
+    "source_schema_evolution",
+    "etl_corrupt_quarantine",
+    "etl_incremental_migration",
+    "multimodal_resize",
+    # streaming + composites (costliest of the 43)
+    "stream_stream_join",
+    "etl_training_corpus",
+    # rows-only-by-design round-3 keys (still need their first clean row)
+    "cluster_kmeans_fit",
+    "embed_pq_quantize",
+    "sim_ann_ivfpq",
+    # --- slots 44-50: stalest r1-only §2 keys, re-confirmation rotation ---
+    "conditional_case",
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "join_inner_equi",
+    "agg_pricing_summary",
+    "text_tokenize_wordcount",
+    # --- slot 51+: remaining r1-only keys (next rotation candidates) ---
+    "fn_string_fuzzy",
+    "fn_array",
+    "fn_map",
+    "fn_json",
+    "agg_global",
+    "agg_count_distinct",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_pivot",
+    "agg_stats",
+    "agg_mode",
+    "agg_histogram",
+    "fn_bitwise",
+    "fn_hash",
+    "join_left_right_full",
+    "join_broadcast",
+    "join_semi_anti",
+    "join_theta_range",
+    "join_cross",
+    "join_asof",
+    "join_interval",
+    "join_multiway",
+    "join_bucketed_colocated",
+    "text_ngrams",
+    "dedup_fuzzy_minhash",
+    "dedup_ngram_jaccard",
+    "sim_knn_per_query",
+    "multimodal_struct",
+    # --- r3-green keys (freshest rows; re-confirm last) ---
     "agg_collect",
-    # windows — all driver-unverified in r1, cheap
     "win_ranking",
     "win_topk_per_group",
     "win_lag_lead",
     "win_running_frame",
     "win_analytic",
-    # sorts / sets — driver-unverified, cheap
     "sort_multi_key",
     "limit_topk",
     "set_union",
     "set_intersect_except",
     "dedup_exact",
-    # UDF surface — driver-unverified
     "udf_python",
     "udf_pandas_scalar",
     "udaf_pandas_agg",
     "udtf_grouped_map",
     "udtf_python",
     "udtf_cogrouped_map",
-    # text analysis — driver-unverified
     "text_tfidf",
     "text_stats",
     "text_language_id",
     "text_quality_score",
     "text_token_count",
     "doc_fingerprint",
-    # multimodal plumbing — driver-unverified
     "multimodal_decode",
     "multimodal_frame_sample",
-    # rewritten this round (block-pair GEMM) — need fresh green rows
     "sim_knn_cosine",
     "dedup_semantic",
-    # scans / sources / sinks — driver-unverified (do real file IO; later
-    # within the block so cheap keys verify first under a time budget)
     "scan_parquet",
     "scan_projected",
     "source_csv_roundtrip",
@@ -82,7 +162,6 @@ _SWEEP_PRIORITY = [
     "doc_assembly",
     "sink_batched_upsert",
     "etl_migration_pipeline",
-    # streaming — driver-unverified (real micro-batch runs, costliest)
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
@@ -90,103 +169,19 @@ _SWEEP_PRIORITY = [
     "stream_stateful",
     "stream_watermark_late",
     "stream_foreachbatch_sink",
-    # --- slot ~44-50: cheap previously-green keys ---
     "filter_comparison",
     "filter_between_in",
     "filter_like_regex",
     "filter_null_bool",
     "project_compute",
     "project_cast",
-    "conditional_case",
-    # --- slot 51+: new round-2 pipeline keys (no prior row — before the
-    # re-confirmations so a time-budgeted sweep reaches them first) ---
-    "text_pii_redact",
-    "sample_stratified",
-    "split_train_holdout",
-    "embed_normalize_quantize",
-    "pack_sequences",
-    "join_skew_salted",
-    "agg_two_phase_skew",
-    "dedup_connected_components",
-    "reshape_unpivot",
-    "win_ntile_bucket",
-    "ts_resample_fill",
-    "ts_rollup_multigrain",
-    "etl_corrupt_quarantine",
-    "fn_try_arithmetic",
-    "win_range_frame_distributed",
-    "stream_stream_join",
-    "agg_regression",
-    "etl_incremental_migration",
-    "sql_recursive_cte",
-    "sql_subqueries",
-    # --- round-3 keys (no prior row — before the re-confirmations) ---
-    "text_decontaminate",
-    "text_quality_gopher",
-    "dedup_doc_canonical",
-    "embed_centroid_label",
-    "shuffle_deterministic",
-    "cluster_assign",
-    "join_interval_bucketed",
-    "sql_lateral_join",
-    "udf_arrow_map",
-    "fn_variant",
-    "events_funnel",
-    "source_schema_evolution",
-    "dedup_minhash_clusters",
-    "fn_collation",
-    "sql_group_by_all",
-    "join_asof_nearest",
-    "etl_scd2_dimension",
-    "fn_url_parse",
-    "etl_training_corpus",
-    "multimodal_resize",
-    # --- previously-green §2 keys, re-confirmed when reached ---
-    "fn_string",
-    "fn_string_fuzzy",
-    "fn_date",
-    "fn_math",
-    "fn_array",
-    "fn_map",
-    "fn_json",
-    "agg_pricing_summary",
-    "agg_global",
-    "agg_count_distinct",
-    "agg_grouping_sets",
-    "agg_percentile",
-    "agg_pivot",
-    "agg_stats",
-    "join_inner_equi",
-    "join_left_right_full",
-    "join_broadcast",
-    "join_semi_anti",
-    "join_theta_range",
-    "join_cross",
-    "join_asof",
-    "join_interval",
-    "join_multiway",
-    "text_tokenize_wordcount",
-    "text_ngrams",
-    "dedup_fuzzy_minhash",
-    "dedup_ngram_jaccard",
-    "sim_knn_per_query",
-    "multimodal_struct",
-    # --- addendum keys (beyond the §2 contract) ---
-    "fn_bitwise",
-    "agg_mode",
-    "agg_histogram",
-    "fn_hash",
-    "join_bucketed_colocated",
-    # --- rows-only keys (no oracle by design): weakest rows, dead last ---
+    # --- rows-only keys with a prior clean row: weakest info, dead last ---
     "agg_approx_distinct",
     "agg_hll_sketch_union",
     "agg_approx_percentile",
     "sim_ann_lsh",
     "dedup_simhash",
     "sim_ann_ivf",
-    "cluster_kmeans_fit",
-    "embed_pq_quantize",
-    "sim_ann_ivfpq",
 ]
 
 

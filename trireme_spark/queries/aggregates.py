@@ -330,7 +330,12 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled to per-10⁶-seconds before rounding, since raw per-second
     slopes are ~1e-7 where 6-decimal rounding would erase the value."""
     ev = table(spark, sf_dir, "events")
-    x = F.unix_millis("ts").cast("double") / F.lit(1000.0)
+    # ts arrives TIMESTAMP_NTZ (naive parquet annotation); unix_millis
+    # requires LTZ, and prep() pins the session to UTC so the cast
+    # interprets the wall-clock exactly like DuckDB's naive epoch_ms.
+    x = F.unix_millis(F.col("ts").cast("timestamp")).cast("double") / F.lit(
+        1000.0
+    )
     return ev.groupBy("event_type").agg(
         F.regr_count("value", x).alias("n"),
         F.round(F.regr_slope("value", x) * 1e6, 6).alias(

@@ -476,8 +476,8 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
-        (-F.unix_micros(F.col("ts"))).alias("neg_ts_us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (-F.unix_micros(F.col("ts").cast("timestamp"))).alias("neg_ts_us"),
         # negated id: asof keeps the LAST row in (ts, tie) order among
         # equal timestamps, so negating makes the survivor the SMALLEST
         # event_id — matching the oracle's tie-break

@@ -68,15 +68,20 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """s4 — write→read JSON lines (nested JSON string column survives).
 
-    Explicit timestampFormat with microseconds: Spark's default JSON
-    format truncates µs→ms (measured — the silent-precision-loss trap),
-    which would break the lossless value oracle."""
+    Explicit µs-precision formats for BOTH timestamp flavors: Spark's
+    default JSON formats truncate µs→ms (measured — the silent-precision-
+    loss trap). The fixture's ts is TIMESTAMP_NTZ (naive parquet
+    annotation), which is governed by timestampNTZFormat — the plain
+    timestampFormat option is silently ignored for NTZ columns (measured:
+    the r3-green key went stale when the fixture annotation flipped to
+    naive; keeping both options makes the roundtrip lossless either way)."""
     df = table(spark, sf_dir, "events")
     return write_read_roundtrip(
         df,
         "json",
         os.path.basename(sf_dir.rstrip("/")),
         timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+        timestampNTZFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
     )
 
 
