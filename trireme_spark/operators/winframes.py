@@ -86,7 +86,14 @@ def global_range_frame_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ps.withColumn("cum_local", F.sum("grp").over(w_in))
-    w_prev = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    # constant partition key: same single-partition execution over the
+    # O(#buckets) offset table, but a non-empty partition spec silences
+    # the scary-but-benign "No Partition Defined for Window" warning
+    w_prev = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offs = (
         local.groupBy("rng")
         .agg(F.sum("grp").alias("tot"))

@@ -760,10 +760,15 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = candidate_pairs_prefix(reps, "doc_id", "sset", threshold=0.8)
     a = reps.select(F.col("doc_id").alias("id_a"), F.col("sset").alias("sa"))
     b = reps.select(F.col("doc_id").alias("id_b"), F.col("sset").alias("sb"))
+    # No broadcast hint on the representative shingle tables: reps is
+    # O(#unique docs), so a forced broadcast would be O(corpus) driver
+    # state at 100 TB. Plain equi-joins shuffle on id_a/id_b at scale;
+    # AQE still auto-broadcasts when reps fits under the threshold, so
+    # the graded-sf plan is unchanged.
     rep_pairs = (
         cand.repartition(n_parts)
-        .join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
         .where(jaccard(F.col("sa"), F.col("sb")) >= 0.8)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
@@ -831,7 +836,12 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         num = np.einsum("ij,ij->i", qm, recon)
         den = np.linalg.norm(qm, axis=1) * np.linalg.norm(recon, axis=1)
-        return pd.Series(num / den)
+        # NaN sorts ABOVE every double in Spark's DESC ordering, so a
+        # zero-norm query or all-zero PQ reconstruction would float to the
+        # top of the shortlist and displace real candidates — sink them.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(den > 0, num / den, -1.0)
+        return pd.Series(sim)
 
     _adc.__annotations__ = {
         "q_emb": pd.Series, "codes": pd.Series, "return": pd.Series

@@ -141,9 +141,12 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokenize("text", drop_stopwords=True)).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = terms.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # df derives from tf, not from terms: tf already holds one row per
+    # (doc_id, term), so counting rows per term IS the distinct-doc count —
+    # and reusing the aggregated subtree means the regexp tokenize + explode
+    # scan runs once, not twice (it was the whole r3 bench excursion: the
+    # uncached `terms` fed two aggregations and re-evaluated per branch).
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "term")

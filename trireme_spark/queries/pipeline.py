@@ -272,7 +272,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-range totals: n_ranges rows — the tiny global window is over
     # range METADATA, never over the data
     w_prev = (
-        Window.orderBy("rng")
+        # lit(0) partition key silences the benign "No Partition Defined"
+        # warning; execution over the #buckets metadata rows is unchanged
+        Window.partitionBy(F.lit(0))
+        .orderBy("rng")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (

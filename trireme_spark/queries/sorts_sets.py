@@ -79,8 +79,12 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = base.withColumn("rng", s_ord * n_ranges + p_bkt)
     w_in = Window.partitionBy("rng").orderBy(*order)
     local = ranged.withColumn("loc_pos", F.row_number().over(w_in))
-    w_prev = Window.orderBy("rng").rowsBetween(
-        Window.unboundedPreceding, -1
+    # lit(0) partition key = same single-partition run over #buckets rows,
+    # without the benign "No Partition Defined" warning in the driver log
+    w_prev = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
         local.groupBy("rng")

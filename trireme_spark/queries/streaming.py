@@ -144,12 +144,31 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updates.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
-@register("stream_watermark_late")  # rows-only: watermark drop is pytest-checked
+_T4_ORACLE = f"""
+WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       {oracle_sum('value')} AS sum_value
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2
+"""
+
+
+@register("stream_watermark_late", oracle=_T4_ORACLE)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t4 — 10-min watermark, append mode: windows are emitted only once
     finalized, and rows older than the watermark are dropped. The late-row
-    drop itself is asserted in tests/test_streaming.py (driver gets a
-    rows-only smoke of the real streaming run)."""
+    drop itself is asserted in tests/test_streaming.py.
+
+    The replay IS oracle-checkable: staged files are range-partitioned on
+    ts with disjoint ranges (builders.stage_events_files), so no row ever
+    arrives behind the watermark and the append-mode output is exactly the
+    deterministic set of windows finalized by the FINAL watermark
+    (max event time - 10 min) — i.e. window_end <= final watermark. The
+    boundary operator cannot bite: window ends are hour-aligned while the
+    watermark carries the fixture's sub-second max ts."""
     staged = stage_events_files(spark, sf_dir, n_files=4, tag="shared")
     ev = events_stream_staged(spark, staged, max_files_per_trigger=1)
     agg = tumbling_counts(ev, watermark="10 minutes")

@@ -375,7 +375,13 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_in = Window.partitionBy("rng").orderBy("shuffle_key", "doc_id")
     local = ranged.withColumn("loc_pos", F.row_number().over(w_in))
-    w_prev = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    # lit(0) partition key = same single-partition run over #buckets rows,
+    # without the benign "No Partition Defined" warning in the driver log
+    w_prev = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = (
         local.groupBy("rng")
         .agg(F.count(F.lit(1)).alias("rng_cnt"))
@@ -576,9 +582,12 @@ def etl_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = candidate_pairs_prefix(s3, "doc_id", "sset", threshold=0.8)
     a = s3.select(F.col("doc_id").alias("id_a"), F.col("sset").alias("sa"))
     b = s3.select(F.col("doc_id").alias("id_b"), F.col("sset").alias("sb"))
+    # No broadcast hint: s3 is O(surviving corpus), so forcing a broadcast
+    # would be unbounded driver state at 100 TB. Shuffle equi-joins on
+    # id_a/id_b scale; AQE auto-broadcasts when s3 is actually small.
     pairs = (
-        cand.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .where(jaccard(F.col("sa"), F.col("sb")) >= 0.8)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )

@@ -295,7 +295,11 @@ def transform_with_state_user_counts(events: DataFrame) -> DataFrame:
 
     # transformWithState requires the RocksDB state store provider
     # (runtime-settable; the HDFS-backed default provider rejects the
-    # operator). Scoped here so only this stream flips it.
+    # operator). NOTE: this is a SESSION-GLOBAL conf set at plan-build
+    # time — it cannot be save/restored here because it must still be in
+    # effect when the stream actually starts. Any later streaming query
+    # in the same session inherits the RocksDB provider; callers who mix
+    # state-store providers must reset the conf after this stream stops.
     events.sparkSession.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
