@@ -41,7 +41,15 @@ def main() -> None:
     from trireme_spark import registry
     from trireme_spark.session import get_spark
 
-    spark = get_spark("trireme-bench", cpus=cpus, shuffle_partitions=32)
+    # Shuffle partitions scale with the core count (floor 32): 32 was tuned
+    # for local[8]; at local[32] the band-bucket/self-join exchanges need
+    # ≥ 2× cores to keep all slots busy (measured: minhash 2.23 s @ 32
+    # partitions vs 1.83 s @ 64 on local[32]).
+    spark = get_spark(
+        "trireme-bench",
+        cpus=cpus,
+        shuffle_partitions=max(32, 2 * int(cpus)),
+    )
 
     keys = [k for k in HEADLINE if k in registry.QUERIES]
     def run(key: str) -> None:
@@ -53,6 +61,13 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for key in keys:
+        # Per-key cache isolation: earlier keys' cached subtrees (shingle
+        # sets, GEMM blocks) otherwise accumulate in executor memory and
+        # inflate later keys via GC pressure (measured: minhash 4.2 s at
+        # bench slot 8 vs 2.2 s in a fresh session, same config). Each
+        # key's own warmup run refills its cache, so steady-state timing
+        # still measures the warm-cache plan.
+        spark.catalog.clearCache()
         run(key)  # per-key warmup: codegen, Arrow, cache fill
         best = float("inf")
         for _ in range(2):
