@@ -87,11 +87,16 @@ _SWEEP_PRIORITY = [
     "cluster_kmeans_fit",
     "embed_pq_quantize",
     "sim_ann_ivfpq",
-    # --- slots 44-50: stalest r1-only §2 keys, re-confirmation rotation ---
+    # --- slots 44-46: round-4 additions (no driver row yet) ---
+    "sample_weighted",
+    "embed_gram_matrix",
+    "text_unigram_logprob",
+    # --- slots 47-50: stalest r1-only §2 keys, re-confirmation rotation ---
     "conditional_case",
     "fn_string",
     "fn_date",
     "fn_math",
+    # --- next re-confirmation rotation (r5): ---
     "join_inner_equi",
     "agg_pricing_summary",
     "text_tokenize_wordcount",

@@ -405,3 +405,57 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(shingle_hashes).alias("min_shingle_hash"),
         F.substring(canonical, 1, 8).alias("short_id"),
     )
+
+
+# --- corpus unigram LM quality score ----------------------------------------
+
+_UNIGRAM_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+    FROM documents
+), vocab AS (
+    SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+), tot AS (SELECT COUNT(*) AS total FROM toks)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(CAST(ln(CAST(cnt AS DOUBLE) / total)
+                           AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4)
+           AS avg_logprob
+FROM toks JOIN vocab USING (term) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@register("text_unigram_logprob", oracle=_UNIGRAM_ORACLE)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — mean
+    ``ln p(w)`` with ``p(w) = count(w) / total_tokens`` — the cheapest
+    perplexity proxy a corpus build uses to rank documents by how typical
+    their vocabulary is (rare-word soup scores low, common prose high).
+
+    Scale design: the LM "training" is one map-side-combined groupBy over
+    the exploded tokens; scoring joins the vocabulary back (broadcast
+    here — the distinct-token vocab is dimension-sized at graded sf; if a
+    100 TB vocab outgrew broadcast, drop the hint and it degrades to a
+    shuffle join, nothing else changes). Per-token ln values are decimal-
+    quantized before the sum (parity.py) so the per-doc mean is
+    order-independent; the final ROUND(4) absorbs cross-engine ln() ulp
+    drift."""
+    d = table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = terms.agg(F.count(F.lit(1)).alias("total"))
+    lp = F.log(F.col("cnt").cast("double") / F.col("total")).cast(
+        "decimal(27,6)"
+    )
+    return (
+        terms.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(lp).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_logprob"),
+        )
+    )

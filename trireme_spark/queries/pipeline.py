@@ -161,6 +161,42 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- weighted deterministic sampling ----------------------------------------
+
+_WEIGHTED_ORACLE = f"""
+SELECT doc_id, n_chars,
+       ROUND(ln((({_kbucket_sql('doc_id', _M32)}) + 0.5) / {_M32}.0)
+             / n_chars, 7) AS samp_key
+FROM documents
+ORDER BY samp_key DESC, doc_id
+LIMIT 100
+"""
+
+
+@register("sample_weighted", oracle=_WEIGHTED_ORACLE)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, top-100 by n_chars weight —
+    the Efraimidis-Spirakis order-sampling key ``u^(1/w)`` in log space
+    (``ln(u)/w``, same ordering, better float spread), with ``u`` from the
+    Knuth hash instead of RNG so any engine reproduces the exact sample.
+
+    Longer docs are proportionally likelier to be drawn — the standard
+    size-weighted corpus subsample. Ordering uses the ROUNDED key (7 dp)
+    plus doc_id, so cross-engine ln() ulp drift cannot reorder the
+    cutoff. Plan: per-row algebra + TakeOrderedAndProject (per-partition
+    top-k, then a k-row merge on the driver) — no global sort at scale."""
+    d = table(spark, sf_dir, "documents")
+    u = (_kbucket("doc_id", _M32).cast("double") + F.lit(0.5)) / F.lit(
+        float(_M32)
+    )
+    key = F.round(F.log(u) / F.col("n_chars"), 7)
+    return (
+        d.select("doc_id", "n_chars", key.alias("samp_key"))
+        .orderBy(F.col("samp_key").desc(), "doc_id")
+        .limit(100)
+    )
+
+
 # --- embedding normalization + quantization ---------------------------------
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -210,6 +246,62 @@ def embed_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.col("nrm"), 6).alias("l2_norm"),
         q8.alias("q8"),
+    )
+
+
+# --- distributed second-moment (gram) matrix --------------------------------
+
+_GRAM_ORACLE = f"""
+WITH e AS (SELECT {_EMB_D} AS emb FROM embeddings)
+SELECT i.r AS i, j.r AS j,
+       CAST(SUM(CAST(emb[CAST(i.r AS INT) + 1] * emb[CAST(j.r AS INT) + 1]
+                     AS DECIMAL(27,6))) AS DOUBLE) AS gram
+FROM e, range(64) i(r), range(64) j(r)
+GROUP BY 1, 2
+"""
+
+
+@register("embed_gram_matrix", oracle=_GRAM_ORACLE)
+def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XᵀX over the embedding corpus — the d×d second-moment matrix that
+    PCA / whitening / OPQ rotation training all start from (d=64 →
+    4096 cells out, corpus-size-independent).
+
+    Scale design: each row expands to its d² products inside one codegen'd
+    explode, and the hash aggregate's MAP-SIDE COMBINE collapses them to
+    ≤ 4096 partial cells per task before the one shuffle — the classic
+    distributed gram recipe (outer-product partials, then cell-wise sum),
+    expressed declaratively instead of via numpy-per-partition. Products
+    are decimal-quantized per element (parity.py doctrine) so the
+    cell sums are order-independent and bit-identical to the oracle."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # spread the d²-expansion across cores: the single-row-group fixture
+    # scan is one input split, and the explode below multiplies work 4096×
+    # — repartition the NARROW rows first (vectors, ~1 MB here; at real
+    # scale the scan arrives already partitioned and this is a no-op cost)
+    base = e.select(emb.alias("emb")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cells = base.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("emb"),
+                    lambda xi, i: F.transform(
+                        F.col("emb"),
+                        lambda xj, j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (xi * xj).cast("decimal(27,6)").alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    return cells.groupBy("i", "j").agg(
+        F.sum("p").cast("double").alias("gram")
     )
 
 
