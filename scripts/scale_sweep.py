@@ -31,6 +31,7 @@ SF_DIR = os.environ.get("SCALE_SWEEP_SF", "/root/testdata/sf0.1")
 # quadratic blowup would still blow through 3× (the round-2 catches were
 # minutes over budget, not seconds).
 HEAVY_3X = {
+    "embed_pca_project",
     "dedup_minhash_clusters",
     "dedup_connected_components",
     "dedup_ngram_jaccard",

@@ -332,3 +332,24 @@ def test_ann_ivfpq_recall(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.8, f"IVF+PQ recall {recall} < 0.8"
+
+
+def test_pca_projection_contract(spark):
+    """embed_pca_project: components are decorrelated and variance-ordered
+    (the eigen-decomposition contract the rows-only driver check can't see)."""
+    import numpy as np
+
+    rows = registry.QUERIES["embed_pca_project"](spark, SF_SMOKE).collect()
+    Y = np.stack([np.array(r["pc"]) for r in rows])
+    C = np.cov(Y.T)
+    var = np.diag(C).copy()
+    # variance ordering: descending principal components
+    assert all(
+        var[i] >= var[i + 1] - 1e-6 for i in range(len(var) - 1)
+    ), f"variances not descending: {var}"
+    # decorrelation: off-diagonal covariance ≪ leading variance
+    off = C - np.diag(np.diag(C))
+    assert np.abs(off).max() <= 1e-2 * var[0], (
+        f"components correlated: max |off-diag| {np.abs(off).max()} "
+        f"vs leading var {var[0]}"
+    )

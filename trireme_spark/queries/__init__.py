@@ -87,11 +87,12 @@ _SWEEP_PRIORITY = [
     "cluster_kmeans_fit",
     "embed_pq_quantize",
     "sim_ann_ivfpq",
-    # --- slots 44-46: round-4 additions (no driver row yet) ---
+    # --- slots 44-47: round-4 additions (no driver row yet) ---
     "sample_weighted",
     "embed_gram_matrix",
     "text_unigram_logprob",
-    # --- slots 47-50: stalest r1-only §2 keys, re-confirmation rotation ---
+    "embed_pca_project",
+    # --- slots 48-50: stalest r1-only §2 keys, re-confirmation rotation ---
     "conditional_case",
     "fn_string",
     "fn_date",

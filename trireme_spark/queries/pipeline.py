@@ -274,6 +274,11 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed declaratively instead of via numpy-per-partition. Products
     are decimal-quantized per element (parity.py doctrine) so the
     cell sums are order-independent and bit-identical to the oracle."""
+    return _gram_cells(spark, sf_dir)
+
+
+def _gram_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared XᵀX builder for embed_gram_matrix and embed_pca_project."""
     e = table(spark, sf_dir, "embeddings")
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     # spread the d²-expansion across cores: the single-row-group fixture
@@ -303,6 +308,70 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("i", "j").agg(
         F.sum("p").cast("double").alias("gram")
     )
+
+
+@register("embed_pca_project")  # rows-only: eigenbasis is not SQL-expressible
+def embed_pca_project(
+    spark: SparkSession, sf_dir: str, n_components: int = 8
+) -> DataFrame:
+    """PCA projection of every embedding onto the top-``n_components``
+    principal axes — the whitening/denoising step a training pipeline runs
+    before ANN indexing or clustering.
+
+    Scale design (the k-means/PQ pattern — only MODEL state ever leaves
+    the executors): the d×d gram matrix and the d-vector column means are
+    computed distributedly (map-side-combined aggregations), and only
+    those d²+d ≈ 4 k numbers are collected; numpy's ``eigh`` runs on the
+    driver over the 64×64 covariance (corpus-size-independent), and the
+    resulting basis broadcasts back into one Arrow-vectorized projection
+    pass. Eigenvector sign is fixed (largest-|entry| coordinate positive)
+    so the output is deterministic; pytest asserts variance-vs-eigenvalue
+    and cross-component orthogonality (tests/test_quality.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from trireme_spark.operators.similarity import as_double
+
+    d_tbl = 64
+    # distributed moments: gram cells (4096 rows) + per-dim means (64 rows)
+    gram_rows = _gram_cells(spark, sf_dir).collect()
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    mean_rows = (
+        v.select(F.posexplode("emb").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("mu"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n = mean_rows[0]["n"]
+    mu = np.zeros(d_tbl)
+    for r in mean_rows:
+        mu[r["i"]] = r["mu"]
+    G = np.zeros((d_tbl, d_tbl))
+    for r in gram_rows:
+        G[r["i"], r["j"]] = r["gram"]
+    # covariance from the second moment: C = (G - n·μμᵀ) / (n-1)
+    C = (G - n * np.outer(mu, mu)) / max(n - 1, 1)
+    w, vecs = np.linalg.eigh(C)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][:n_components]
+    basis = vecs[:, order].T  # (k, d)
+    # sign convention: the largest-|entry| coordinate of each axis is
+    # positive — eigh's sign is arbitrary, this makes output deterministic
+    for k in range(basis.shape[0]):
+        j = int(np.argmax(np.abs(basis[k])))
+        if basis[k, j] < 0:
+            basis[k] = -basis[k]
+    bc = spark.sparkContext.broadcast((mu, basis))
+
+    def _project(emb: pd.Series) -> pd.Series:
+        mu_, basis_ = bc.value
+        X = np.stack(emb.to_numpy()) - mu_
+        Y = X @ basis_.T
+        return pd.Series(list(np.round(Y, 4)))
+
+    _project.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    proj = F.pandas_udf(_project, "array<double>")
+    return v.select("vec_id", proj(F.col("emb")).alias("pc"))
 
 
 # --- sequence packing -------------------------------------------------------
