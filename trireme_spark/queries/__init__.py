@@ -87,12 +87,14 @@ _SWEEP_PRIORITY = [
     "cluster_kmeans_fit",
     "embed_pq_quantize",
     "sim_ann_ivfpq",
-    # --- slots 44-47: round-4 additions (no driver row yet) ---
+    # --- slots 44-49: round-4 additions (no driver row yet) ---
     "sample_weighted",
     "embed_gram_matrix",
     "text_unigram_logprob",
     "embed_pca_project",
-    # --- slots 48-50: stalest r1-only §2 keys, re-confirmation rotation ---
+    "etl_expectations",
+    "agg_argmax_struct",
+    # --- slot 50 + overflow: stalest r1-only §2 keys, re-confirmation ---
     "conditional_case",
     "fn_string",
     "fn_date",

@@ -344,3 +344,39 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("value", x), 4).alias("intercept"),
         F.round(F.regr_r2("value", x), 6).alias("r2"),
     )
+
+
+_ARGMAX_ORACLE = """
+SELECT o_custkey,
+       o_totalprice AS top_price,
+       o_orderkey AS top_orderkey
+FROM (
+  SELECT o_custkey, o_totalprice, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+@register("agg_argmax_struct", oracle=_ARGMAX_ORACLE)
+def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax via struct ordering — each customer's highest-priced order,
+    carried as max(struct(price, key)) so the whole answer rides ONE
+    map-side-combinable aggregation instead of the window-rank-filter
+    plan (no per-group sort, no second pass; ties break on the larger
+    orderkey, mirrored in the oracle's ORDER BY). The canonical
+    "max_by with a deterministic tiebreak" idiom at scale: state per
+    group is one struct, and partial aggregation collapses each task's
+    groups before the single exchange."""
+    o = table(spark, sf_dir, "orders")
+    top = F.max(
+        F.struct(
+            F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+        )
+    ).alias("top")
+    return o.groupBy("o_custkey").agg(top).select(
+        "o_custkey",
+        F.col("top.p").alias("top_price"),
+        F.col("top.k").alias("top_orderkey"),
+    )

@@ -609,3 +609,80 @@ def etl_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# etl_expectations — declarative data-quality validation (Deequ-style)
+# ---------------------------------------------------------------------------
+
+_EXPECT_ORACLE = """
+WITH a AS (
+  SELECT COUNT(*) AS checked,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_unique,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_null,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_price,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+         CAST(SUM(CASE WHEN year(o_orderdate) < 1992
+                         OR year(o_orderdate) > 2000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+  FROM orders
+)
+SELECT 'orderkey_unique' AS rule_name, v_unique AS violations,
+       checked, v_unique = 0 AS pass FROM a
+UNION ALL SELECT 'custkey_not_null', v_null, checked, v_null = 0 FROM a
+UNION ALL SELECT 'totalprice_positive', v_price, checked, v_price = 0 FROM a
+UNION ALL SELECT 'status_domain', v_status, checked, v_status = 0 FROM a
+UNION ALL SELECT 'orderdate_range', v_date, checked, v_date = 0 FROM a
+"""
+
+
+@register("etl_expectations", oracle=_EXPECT_ORACLE)
+def etl_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality validation — the Deequ/Great-Expectations
+    pattern every production ingest runs before data reaches training:
+    uniqueness, non-null, range, and domain constraints evaluated in ONE
+    pass, reported one row per rule with its violation count.
+
+    The orderdate_range rule genuinely fires on the fixture (dates run
+    past 2000), proving the report shows failures, not just green rows.
+
+    Scale design: all rules compile into a single aggregation over one
+    scan — conditional partial sums map-side-combine, and the uniqueness
+    check rides the same two-phase distinct-aggregate plan Spark gives
+    COUNT(DISTINCT); the stack() unpivot emits the fixed 5-row report.
+    Adding rules adds expressions, never passes over the data."""
+    o = table(spark, sf_dir, "orders")
+    bad = [
+        (
+            "orderkey_unique",
+            None,  # computed from count - countDistinct below
+        ),
+        ("custkey_not_null", F.col("o_custkey").isNull()),
+        ("totalprice_positive", F.col("o_totalprice") <= 0),
+        ("status_domain", ~F.col("o_orderstatus").isin("O", "F", "P")),
+        (
+            "orderdate_range",
+            (F.year("o_orderdate") < 1992) | (F.year("o_orderdate") > 2000),
+        ),
+    ]
+    aggs = [
+        F.count(F.lit(1)).alias("checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "v_orderkey_unique"
+        ),
+    ]
+    for name, cond in bad[1:]:
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"v_{name}")
+        )
+    a = o.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', v_{name}" for name, _ in bad)
+    return a.select(
+        F.expr(
+            f"stack({len(bad)}, {stack_args}) AS (rule_name, violations)"
+        ),
+        "checked",
+    ).withColumn("pass", F.col("violations") == 0)
