@@ -219,3 +219,23 @@ def test_minhash_cluster_partition(spark):
         assert cid == min(m["doc_id"] for m in members)
         assert sum(m["is_canonical"] for m in members) == 1
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_compact_small_files_contract(spark):
+    """etl_compact_small_files: the rewrite actually reduces file count and
+    loses no rows (the content identity is driver-oracled; the file-count
+    contract lives here)."""
+    import os
+    import tempfile
+
+    from tests.conftest import SF_SMOKE
+    from trireme_spark import registry
+    from trireme_spark.queries.scans import _tmp
+
+    out_df = registry.QUERIES["etl_compact_small_files"](spark, SF_SMOKE)
+    frag, out = _tmp("compact_in", SF_SMOKE), _tmp("compact_out", SF_SMOKE)
+    n_frag = sum(f.endswith(".parquet") for f in os.listdir(frag))
+    n_out = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_frag == 64, n_frag
+    assert n_out <= 4, f"compaction produced {n_out} files"
+    assert out_df.count() == spark.read.parquet(frag).count()

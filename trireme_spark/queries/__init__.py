@@ -87,14 +87,17 @@ _SWEEP_PRIORITY = [
     "cluster_kmeans_fit",
     "embed_pq_quantize",
     "sim_ann_ivfpq",
-    # --- slots 44-49: round-4 additions (no driver row yet) ---
+    # --- slots 44-51: round-4 additions (no driver row yet; the one past
+    # the 50-row window rotates to the front next round) ---
     "sample_weighted",
     "embed_gram_matrix",
     "text_unigram_logprob",
     "embed_pca_project",
     "etl_expectations",
     "agg_argmax_struct",
-    # --- slot 50 + overflow: stalest r1-only §2 keys, re-confirmation ---
+    "events_retention_cohorts",
+    "etl_compact_small_files",
+    # --- overflow: stalest r1-only §2 keys, re-confirmation rotation ---
     "conditional_case",
     "fn_string",
     "fn_date",

@@ -374,3 +374,42 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(p1, p2)
         .select("event_id", "user_id", "value")
     )
+
+
+_COMPACT_ORACLE = "SELECT event_id, ts, user_id, event_type, value FROM events"
+
+
+@register("etl_compact_small_files", oracle=_COMPACT_ORACLE)
+def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files compaction job every lakehouse pipeline schedules:
+    a directory fragmented into 64 tiny parquet files (staged here from
+    the events fixture — streaming sinks and per-batch upserts fragment
+    exactly like this) is rewritten into a handful of right-sized files,
+    losslessly.
+
+    Scale design: the rewrite uses ``coalesce`` — a NARROW dependency that
+    merges input partitions without any shuffle, which is the whole point
+    of a compaction pass (repartition would pay a full network copy of
+    the dataset for nothing; you only accept that when also re-sorting or
+    re-bucketing). Target file count derives from total input bytes over
+    a target file size, the same arithmetic a table-maintenance service
+    applies; here 128 MB targets collapse the fixture to 1-4 files. The
+    oracle checks content identity end-to-end through both rewrites;
+    tests/test_properties.py asserts the file-count contract."""
+    frag = _tmp("compact_in", sf_dir)
+    out = _tmp("compact_out", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+
+    fragmented = spark.read.parquet(frag)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    target_file_bytes = 128 * 1024 * 1024
+    n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil div
+    fragmented.coalesce(n_out).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

@@ -224,3 +224,73 @@ def etl_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         F.row_number().over(w).alias("version"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_retention_cohorts — cohort retention matrix
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH first AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+), sizes AS (
+  SELECT cohort_day, COUNT(*) AS cohort_size FROM first GROUP BY cohort_day
+), act AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day FROM events
+)
+SELECT f.cohort_day,
+       date_diff('day', f.cohort_day, a.act_day) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS active_users,
+       s.cohort_size,
+       ROUND(CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / s.cohort_size, 6)
+           AS retention
+FROM act a
+JOIN first f USING (user_id)
+JOIN sizes s USING (cohort_day)
+GROUP BY f.cohort_day, day_offset, s.cohort_size
+"""
+
+
+@register("events_retention_cohorts", oracle=_COHORT_ORACLE)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users grouped by first-seen day, counted
+    per day-offset of later activity with the retention fraction: the
+    standard product-analytics table (complements events_funnel).
+
+    Scale design: three keyed aggregations, each map-side combined — first
+    touch per user (shuffle on user_id), distinct (user, day) activity
+    (same key, so AQE reuses the partitioning), and the final matrix
+    rollup on (cohort_day, offset); cohort sizes are a
+    cohort-count-sized table and broadcast-join back. COUNT(DISTINCT
+    user) in the final rollup rides Spark's two-phase distinct expand —
+    no per-cohort collection anywhere."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    first = ev.groupBy("user_id").agg(
+        F.min(day).alias("cohort_day")
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    act = ev.select("user_id", day.alias("act_day")).distinct()
+    return (
+        act.join(first, "user_id")
+        .join(F.broadcast(sizes), "cohort_day")
+        .groupBy(
+            "cohort_day",
+            F.datediff("act_day", "cohort_day").alias("day_offset"),
+            "cohort_size",
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            "cohort_day",
+            "day_offset",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_size"),
+                6,
+            ).alias("retention"),
+        )
+    )
