@@ -40,6 +40,7 @@ HEAVY_3X = {
     "stream_stateful",
     "stream_watermark_late",
     "stream_foreachbatch_sink",
+    "stream_static_join",
     "udtf_grouped_map",
 }
 

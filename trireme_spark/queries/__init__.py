@@ -97,6 +97,7 @@ _SWEEP_PRIORITY = [
     "agg_argmax_struct",
     "events_retention_cohorts",
     "etl_compact_small_files",
+    "stream_static_join",
     # --- overflow: stalest r1-only §2 keys, re-confirmation rotation ---
     "conditional_case",
     "fn_string",

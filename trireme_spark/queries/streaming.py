@@ -247,3 +247,31 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trireme_spark.streaming.builders import click_purchase_join
 
     return click_purchase_join(table(spark, sf_dir, "events"))
+
+
+_T9_ORACLE = """
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.event_type
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@register("stream_static_join", oracle=_T9_ORACLE)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t9 — stream-static dimension enrichment: a REAL micro-batch replay
+    of the events stream joins the static customer table per batch. The
+    state-free streaming join (no watermark, no buffered side — the
+    batch side re-resolves each trigger, which is also how dimension
+    UPDATES become visible mid-stream on a real pipeline).
+
+    Scale design: the static side is a dimension, so every micro-batch
+    gets a broadcast hash join — zero shuffle of the stream; at 100 TB of
+    stream the per-batch cost is the batch itself, nothing accumulates."""
+    staged = stage_events_files(spark, sf_dir, n_files=4, tag="shared")
+    ev = events_stream_staged(spark, staged, max_files_per_trigger=1)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
+    ).select("event_id", "user_id", "c_name", "c_mktsegment", "event_type")
+    return run_to_memory(joined, mode="append")
