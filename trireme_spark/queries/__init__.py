@@ -98,6 +98,7 @@ _SWEEP_PRIORITY = [
     "events_retention_cohorts",
     "etl_compact_small_files",
     "stream_static_join",
+    "join_point_in_time",
     # --- overflow: stalest r1-only §2 keys, re-confirmation rotation ---
     "conditional_case",
     "fn_string",

@@ -294,3 +294,71 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# join_point_in_time — feature-store PIT join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+WITH dim AS (
+  SELECT user_id, value AS attr_value, ts AS valid_from,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS version
+  FROM events WHERE event_type = 'signup'
+), f AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id, ts, attr_value, version FROM (
+  SELECT f.event_id, f.user_id, f.ts, d.attr_value, d.version,
+         ROW_NUMBER() OVER (PARTITION BY f.event_id
+             ORDER BY d.valid_from DESC, d.version DESC) AS rn
+  FROM f LEFT JOIN dim d
+    ON f.user_id = d.user_id AND d.valid_from <= f.ts
+) WHERE rn = 1
+"""
+
+
+@register("join_point_in_time", oracle=_PIT_ORACLE)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join — each fact (purchase) is enriched with
+    the dimension version that was valid AT ITS OWN TIMESTAMP, never a
+    later one: the feature-store correctness rule that prevents
+    training-serving skew (a training example must see exactly the
+    feature state an online lookup would have seen).
+
+    Because SCD2 validity windows are consecutive per key, the version
+    valid at time t IS the backward as-of match on valid_from — so this
+    rides the union-window as-of operator (operators/asof.py): ONE
+    shuffle on the dimension key, O(1) window state, no per-event
+    candidate explosion (the oracle's join-then-rank form is the
+    quadratic shape this plan deliberately avoids). Facts with no
+    preceding version surface with null features, loudly."""
+    from trireme_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.row_number().over(w).alias("version"),
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        facts,
+        dim,
+        on="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=["attr_value", "version"],
+        right_tie_col="version",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_attr_value").alias("attr_value"),
+        F.col("asof_version").alias("version"),
+    )
