@@ -172,3 +172,61 @@ def test_cluster_assign_broadcasts_centroids(spark):
     the corpus itself must not shuffle before the per-vector window."""
     p = plan(registry.QUERIES["cluster_assign"](spark, SF_SMOKE))
     assert "BroadcastExchange" in p
+
+
+def test_gram_matrix_partial_agg_before_exchange(spark):
+    """embed_gram_matrix: the d² explode must collapse map-side — partial
+    aggregation before the single (i, j) exchange, so the shuffle carries
+    cells, never per-vector products."""
+    p = plan(registry.QUERIES["embed_gram_matrix"](spark, SF_SMOKE))
+    assert p.count("HashAggregate (") >= 2
+    # one hash exchange for the agg + the deliberate narrow round-robin
+    # spread of the single-file scan; no more
+    assert "Generate" in p  # the codegen'd d² explode
+    assert p.count("Exchange (") <= 2
+
+
+def test_argmax_struct_is_single_agg_no_window(spark):
+    """agg_argmax_struct: the argmax must ride one partial+final aggregate
+    — never the window-rank-filter plan."""
+    p = plan(registry.QUERIES["agg_argmax_struct"](spark, SF_SMOKE))
+    assert "Window" not in p
+    assert "partial_max" in p
+    assert p.count("Exchange (") == 1
+
+
+def test_point_in_time_no_candidate_explosion(spark):
+    """join_point_in_time: the as-of formulation must never plan the
+    oracle's join-then-rank shape (range join → BroadcastNestedLoop or
+    cartesian candidate blowup)."""
+    p = plan(registry.QUERIES["join_point_in_time"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p  # the union-LOCF window pass
+
+
+def test_compact_uses_narrow_coalesce(spark):
+    """etl_compact_small_files: the compaction write must be a narrow
+    coalesce — a shuffle would pay a full network copy for nothing."""
+    from trireme_spark.queries.scans import _tmp
+    from trireme_spark.sources.io import table as t
+
+    ev = t(spark, SF_SMOKE, "events").select("event_id", "value")
+    p = plan(ev.repartition(8).coalesce(2))
+    assert "Coalesce" in p
+    # the coalesce itself adds no exchange beyond the staged repartition
+    assert p.count("Exchange (") == 1
+
+
+def test_stream_static_join_broadcasts_dimension(spark):
+    """stream_static_join's batch-equivalent join shape: the static
+    customer side must broadcast (checked on the batch form — the
+    streaming plan applies the same strategy per micro-batch)."""
+    from trireme_spark.sources.io import table as t
+
+    ev = t(spark, SF_SMOKE, "events")
+    cust = t(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    p = plan(
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "inner")
+    )
+    assert "BroadcastHashJoin" in p
