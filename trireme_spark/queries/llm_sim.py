@@ -142,9 +142,14 @@ def dedup_fuzzy_minhash(
         F.col("doc_id").alias("id_b"), F.col("sset").alias("sset_b")
     )
     sim = jaccard(F.col("sset_a"), F.col("sset_b"))
-    # Shingle sets are dimension-sized (docs × ~50 shingles) — broadcast both
-    # sides of the verify join so candidates stream map-side, partitioned
-    # across all cores, instead of shuffling twice onto one reducer.
+    # Broadcast verify join — SCOPE NOTE (round-4 A/B): at bench scale the
+    # hints are worth 1.6× (2.14 s → 1.36 s; AQE won't auto-broadcast the
+    # array-heavy sets table), and the sf1×10 duplicate stress completes
+    # fine with them. But the broadcast state is O(corpus): past the point
+    # where the shingle-set table stops fitting an executor, DROP these
+    # two hints and the verify degrades to shuffle equi-joins on the pair
+    # keys — measured scale-positive on the cluster-key variant
+    # (llm_sim.py dedup_minhash_clusters, 87 s → 41 s at stress scale).
     return (
         cand.repartition(n_parts)
         .join(F.broadcast(a), "id_a")
