@@ -239,3 +239,32 @@ def test_compact_small_files_contract(spark):
     assert n_frag == 64, n_frag
     assert n_out <= 4, f"compaction produced {n_out} files"
     assert out_df.count() == spark.read.parquet(frag).count()
+
+
+def test_backfill_touches_only_target_partition(spark):
+    """etl_backfill_partition_overwrite: dynamic overwrite must rewrite
+    ONLY the corrected day's files — every other partition's files predate
+    the backfill write (the content math is driver-oracled; the
+    no-churn physical contract lives here)."""
+    import os
+
+    from tests.conftest import SF_SMOKE
+    from trireme_spark import registry
+    from trireme_spark.queries.scans import _tmp
+
+    registry.QUERIES["etl_backfill_partition_overwrite"](
+        spark, SF_SMOKE
+    ).count()
+    out = _tmp("backfill", SF_SMOKE)
+    target, others = [], []
+    for d in os.listdir(out):
+        if not d.startswith("day="):
+            continue
+        for f in os.listdir(os.path.join(out, d)):
+            if f.endswith(".parquet"):
+                ns = os.stat(os.path.join(out, d, f)).st_mtime_ns
+                (target if d == "day=2024-01-15" else others).append(ns)
+    assert target and others
+    assert min(target) > max(others), (
+        "backfill rewrote files outside the target partition"
+    )

@@ -99,6 +99,8 @@ _SWEEP_PRIORITY = [
     "etl_compact_small_files",
     "stream_static_join",
     "join_point_in_time",
+    "join_null_safe",
+    "etl_backfill_partition_overwrite",
     # --- overflow: stalest r1-only §2 keys, re-confirmation rotation ---
     "conditional_case",
     "fn_string",

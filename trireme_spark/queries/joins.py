@@ -537,3 +537,44 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(pick("b_us", "f_us")).alias("nearest_ts"),
         F.when(take_b, b_d).otherwise(f_d).alias("diff_us"),
     )
+
+
+_NULLSAFE_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_key
+  FROM orders
+), dim AS (
+  SELECT * FROM (VALUES ('O', 'open'), ('F', 'finished'),
+                        (NULL, 'pending-unknown')) AS t(status_key, label)
+)
+SELECT o.o_orderkey, o.status_key, d.label
+FROM o JOIN dim d ON o.status_key IS NOT DISTINCT FROM d.status_key
+"""
+
+
+@register("join_null_safe", oracle=_NULLSAFE_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantic corner
+    that loses rows in every naive dimension join over nullable keys
+    (here: 'P' status nulled out, then recovered through the NULL row of
+    the dimension).
+
+    Scale note: null-safe equality is still a hash-partitionable equi-key
+    (NULL hashes as a regular value), so the plan is an ordinary
+    broadcast/shuffle hash join — no nested-loop penalty. But at real
+    scale a nullable join key means every NULL lands in ONE hash bucket:
+    if NULLs dominate, that is the skew path (join_skew_salted)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_key"),
+    )
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "finished"), (None, "pending-unknown")],
+        "status_key string, label string",
+    )
+    return o.join(
+        F.broadcast(dim), o.status_key.eqNullSafe(dim.status_key)
+    ).select("o_orderkey", o.status_key.alias("status_key"), "label")

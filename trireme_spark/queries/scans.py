@@ -413,3 +413,60 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil div
     fragmented.coalesce(n_out).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+_BACKFILL_ORACLE = """
+SELECT event_id,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       CASE WHEN date_trunc('day', ts) = TIMESTAMP '2024-01-15'
+            THEN value * 2 ELSE value END AS value
+FROM events
+"""
+
+
+@register("etl_backfill_partition_overwrite", oracle=_BACKFILL_ORACLE)
+def etl_backfill_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition backfill via DYNAMIC partition overwrite — the standard
+    correction job: a day-partitioned table gets ONE day's data rewritten
+    (here: 2024-01-15 re-derived with corrected values) while every other
+    partition's files stay untouched. With the default STATIC overwrite
+    mode the second write would have wiped the whole table — the classic
+    data-loss trap this key pins down.
+
+    Scale design: the backfill write shuffles only the corrected day's
+    rows; readers of other partitions see no churn (their files are not
+    rewritten — object-store listings and downstream incremental
+    consumers depend on exactly that)."""
+    out = _tmp("backfill", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "event_type",
+        "value",
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+
+    fixed = ev.where(F.col("day") == F.lit("2024-01-15").cast("date")).select(
+        "event_id",
+        "day",
+        "event_type",
+        (F.col("value") * 2).alias("value"),
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    # dates serialize engine-differently (python date vs pandas ts) — emit
+    # the ISO string for the value hash; the partition column stays DATE
+    return back.select(
+        "event_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+    )
