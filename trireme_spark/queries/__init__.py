@@ -101,6 +101,8 @@ _SWEEP_PRIORITY = [
     "join_point_in_time",
     "join_null_safe",
     "etl_backfill_partition_overwrite",
+    "win_count_distinct",
+    "events_anomaly_zscore",
     # --- overflow: stalest r1-only §2 keys, re-confirmation rotation ---
     "conditional_case",
     "fn_string",

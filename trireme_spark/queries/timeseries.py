@@ -362,3 +362,47 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_attr_value").alias("attr_value"),
         F.col("asof_version").alias("version"),
     )
+
+# ---------------------------------------------------------------------------
+# events_anomaly_zscore — distribution-based outlier flagging
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH st AS (
+  SELECT event_type, avg(value) AS m, stddev_samp(value) AS s
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - st.m) / st.s, 3) AS zscore
+FROM events e JOIN st USING (event_type)
+WHERE abs((e.value - st.m) / st.s) > 2
+"""
+
+
+@register("events_anomaly_zscore", oracle=_ZSCORE_ORACLE)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-based outlier flagging: events whose value sits more
+    than 2σ from their type's mean — the first-line anomaly screen of any
+    metrics pipeline (and, over quality-score columns, the standard
+    outlier filter in a training-data build).
+
+    Scale design: one map-side-combined stats aggregation (per-type mean
+    and σ — a types-sized table) broadcast back over the stream of rows;
+    the scan→filter is a single pass, no window, no sort. The z-score is
+    ROUND(3)ed and the threshold sits far from any engine's stddev ulp
+    drift (parity.py doctrine for inexact stats)."""
+    ev = table(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("s")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("s")
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .where(F.abs(z) > 2)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 3).alias("zscore"),
+        )
+    )

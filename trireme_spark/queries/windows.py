@@ -240,3 +240,41 @@ def win_range_frame_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_width=10000.0,
         out_col="near_price_spend",
     )
+
+
+_WCD_ORACLE = """
+SELECT event_id, user_id,
+       count(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS distinct_types_so_far
+FROM events
+"""
+
+
+@register("win_count_distinct", oracle=_WCD_ORACLE)
+def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per key — Spark's window functions reject
+    DISTINCT aggregates outright, so the idiomatic workaround is
+    ``size(collect_set(...))`` over the running frame: the set
+    deduplicates, its size is the distinct count. The oracle runs the
+    real COUNT(DISTINCT ...) OVER that other engines accept, pinning the
+    workaround's equivalence.
+
+    Scale note: window state is the per-frame distinct VALUE SET — fine
+    for low-cardinality columns (event types, status codes; this is the
+    standard use), but a high-cardinality column would make each frame's
+    state O(distinct values); that path wants the windowed HLL sketch
+    (agg_approx_distinct's machinery) instead."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias(
+            "distinct_types_so_far"
+        ),
+    )
