@@ -87,8 +87,9 @@ _SWEEP_PRIORITY = [
     "cluster_kmeans_fit",
     "embed_pq_quantize",
     "sim_ann_ivfpq",
-    # --- slots 44-51: round-4 additions (no driver row yet; the one past
-    # the 50-row window rotates to the front next round) ---
+    # --- slots 44-56: round-4 additions (no driver row yet; the 13 keys
+    # exceed the 50-row graded window by 6 — those rotate to the front
+    # of the r5 sweep together with the stale re-confirmations below) ---
     "sample_weighted",
     "embed_gram_matrix",
     "text_unigram_logprob",
