@@ -104,6 +104,8 @@ _SWEEP_PRIORITY = [
     "etl_backfill_partition_overwrite",
     "win_count_distinct",
     "events_anomaly_zscore",
+    "sample_source_mixture",
+    "text_chunk_long_docs",
     # --- overflow: stalest r1-only §2 keys, re-confirmation rotation ---
     "conditional_case",
     "fn_string",

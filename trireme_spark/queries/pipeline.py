@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from trireme_spark.functions.text import tokenize
 from trireme_spark.operators.skew import salted_join, two_phase_agg
 from trireme_spark.parity import oracle_sum
 from trireme_spark.registry import register
@@ -734,4 +735,92 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("event_id").cast("string"), 1, 18)
         .try_cast("long")
         .alias("id_parse"),
+    )
+
+
+# --- source-mixture sampling -------------------------------------------------
+
+_MIXTURE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         5 * (CAST(substr(source, 4) AS INT) % 10) + 10 AS rate_pct
+  FROM documents
+)
+SELECT doc_id, source, rate_pct
+FROM d
+WHERE {_kbucket_sql('doc_id', 100)} < rate_pct
+"""
+
+
+@register("sample_source_mixture", oracle=_MIXTURE_ORACLE)
+def sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture sampling — THE data-mixture knob of a
+    pretraining build: each source (domain) keeps a different fraction of
+    its documents (here a deterministic 10–55% schedule derived from the
+    source id; in production the weights come from the mixture config).
+    Hash-based keep decisions make the mixture reproducible on any
+    machine, any partitioning, any data subset — and re-runnable
+    incrementally, because membership depends only on (doc_id, rate).
+
+    Scale design: pure per-row algebra — the rate lookup is an expression
+    on the source column (a real config would broadcast-join a tiny
+    weights table); no shuffle, no RNG, no state."""
+    d = table(spark, sf_dir, "documents")
+    rate = (
+        F.lit(5) * (F.substring("source", 4, 10).cast("int") % 10) + 10
+    ).alias("rate_pct")
+    return d.select("doc_id", "source", rate).where(
+        _kbucket("doc_id", 100) < F.col("rate_pct")
+    )
+
+
+# --- long-document chunking --------------------------------------------------
+
+_CHUNK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       array_to_string(
+         list_slice(toks, i * 32 + 1,
+                    least((i + 1) * 32, len(toks))), ' ') AS chunk_text,
+       least((i + 1) * 32, len(toks)) - i * 32 AS n_chunk_tokens
+FROM t, unnest(range(CAST(ceil(len(toks) / 32.0) AS BIGINT))) AS u(i)
+"""
+
+
+@register("text_chunk_long_docs", oracle=_CHUNK_ORACLE)
+def text_chunk_long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the complement of pack_sequences: any
+    document longer than the window splits into consecutive fixed-size
+    token chunks (32 here so the fixture actually multi-chunks; 2048/4096
+    in production), each re-serialized with its position. Downstream,
+    packing and chunking together normalize an arbitrary corpus into
+    window-sized training rows.
+
+    Scale design: one codegen'd posexplode over an in-row sequence — the
+    fan-out is per-document work with no shuffle at all; slice/join are
+    JVM array ops, no Python in the row path."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    base = d.select("doc_id", toks.alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(32.0)).cast("int")
+    return base.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+            "chunk_id", "_i"
+        ),
+        "toks",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("chunk_id") * 32 + 1, 32), " "
+        ).alias("chunk_text"),
+        (
+            F.least((F.col("chunk_id") + 1) * 32, F.size("toks"))
+            - F.col("chunk_id") * 32
+        ).alias("n_chunk_tokens"),
     )
