@@ -32,6 +32,7 @@ SF_DIR = os.environ.get("SCALE_SWEEP_SF", "/root/testdata/sf0.1")
 # minutes over budget, not seconds).
 HEAVY_3X = {
     "embed_pca_project",
+    "sim_sparse_cosine_tfidf",
     "dedup_minhash_clusters",
     "dedup_connected_components",
     "dedup_ngram_jaccard",

@@ -106,6 +106,7 @@ _SWEEP_PRIORITY = [
     "events_anomaly_zscore",
     "sample_source_mixture",
     "text_chunk_long_docs",
+    "sim_sparse_cosine_tfidf",
     # --- overflow: stalest r1-only §2 keys, re-confirmation rotation ---
     "conditional_case",
     "fn_string",

@@ -881,3 +881,134 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= 5
     )
+
+
+# --- sparse cosine similarity over tf-idf vectors ---------------------------
+
+_SPARSE_COS_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w_full AS (
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS wt
+    FROM tf JOIN df USING (term) CROSS JOIN n
+), w AS (
+    SELECT doc_id, term, wt FROM (
+        SELECT doc_id, term, wt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY wt DESC, term ASC) AS rn
+        FROM w_full
+    ) WHERE rn <= 10
+), nrm AS (
+    SELECT doc_id,
+           sqrt(CAST(SUM(CAST(wt * wt AS DECIMAL(27,6))) AS DOUBLE))
+               AS nn
+    FROM w GROUP BY doc_id
+), dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(SUM(CAST(a.wt * b.wt AS DECIMAL(27,6))) AS DOUBLE) AS dot
+    FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(dot / (na.nn * nb.nn), 4) AS cos_sim
+FROM dots
+JOIN nrm na ON na.doc_id = doc_a
+JOIN nrm nb ON nb.doc_id = doc_b
+WHERE dot / (na.nn * nb.nn) >= 0.5
+"""
+
+
+@register("sim_sparse_cosine_tfidf", oracle=_SPARSE_COS_ORACLE)
+def sim_sparse_cosine_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine similarity join over tf-idf vectors — the
+    term-at-a-time formulation (DIMSUM-family minus sampling): documents
+    only ever meet through terms they SHARE, so the join fans out
+    per-posting instead of per-pair and pairs with zero term overlap cost
+    nothing. The sparse complement of the dense block-GEMM path (l6):
+    embeddings use GEMM, bag-of-words corpora use this.
+
+    Scale design: each doc's vector truncates to its top-10 weighted
+    terms FIRST — idf concentrates weight on rare terms, so the
+    truncation both bounds postings (a term's posting only holds docs
+    that rank it top-10) and kills the head-of-df |posting|² blowup
+    (measured: 190 s → seconds at sf0.1). Postings then shuffle on term,
+    pair partial-products map-side combine into (doc_a, doc_b) cells,
+    norms (over the truncated vector, so the cosine is proper) broadcast
+    back. DIMSUM sampling is the further at-scale lever. Weights are
+    ROUND(6)ed before the decimal-quantized sums, so cross-engine ln()
+    drift is absorbed per-posting (parity.py doctrine)."""
+    d = table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_full = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                ),
+                6,
+            ).alias("wt"),
+        )
+    )
+    # Truncate each doc's sparse vector to its top-10 weighted terms —
+    # idf makes those the RARE terms, so postings stay small and the
+    # per-term |posting|² fan-out is bounded (measured: the untruncated
+    # join was 190 s at sf0.1 on the shared pseudo-English vocabulary;
+    # truncated it is seconds). The oracle defines the same truncated
+    # operator, so the check stays exact.
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("wt").desc(), F.col("term").asc()
+    )
+    w = (
+        w_full.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+        .cache()
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("wt") * F.col("wt")).cast("decimal(27,6)")).cast(
+                "double"
+            )
+        ).alias("nn")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("wt").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("wt").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb"))
+    sim = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .where(sim >= 0.5)
+        .select("doc_a", "doc_b", F.round(sim, 4).alias("cos_sim"))
+    )
