@@ -107,6 +107,8 @@ _SWEEP_PRIORITY = [
     "sample_source_mixture",
     "text_chunk_long_docs",
     "sim_sparse_cosine_tfidf",
+    "fn_uuid_deterministic",
+    "text_html_strip",
     # --- overflow: stalest r1-only §2 keys, re-confirmation rotation ---
     "conditional_case",
     "fn_string",

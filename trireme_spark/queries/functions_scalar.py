@@ -528,3 +528,48 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_param"
         ),
     )
+
+
+_UUID_ORACLE = """
+WITH h AS (
+  SELECT doc_id, md5('trireme:doc:' || CAST(doc_id AS VARCHAR) || ':' ||
+                     CAST(n_chars AS VARCHAR)) AS hx
+  FROM documents
+)
+SELECT doc_id,
+       substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-' ||
+       substr(hx, 13, 4) || '-' || substr(hx, 17, 4) || '-' ||
+       substr(hx, 21, 12) AS stable_id
+FROM h
+"""
+
+
+@register("fn_uuid_deterministic", oracle=_UUID_ORACLE)
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-derived ID minting (UUIDv5-style: hash a
+    namespaced key, format as UUID) — how a corpus build assigns STABLE
+    document ids across re-runs and shards, instead of ``uuid()``'s
+    per-run randomness which breaks incremental joins and dedup ledgers.
+
+    Pure codegen'd projection (md5 is bit-identical cross-engine —
+    verified by the fingerprint keys); no shuffle, re-runnable on any
+    subset with identical output."""
+    d = table(spark, sf_dir, "documents")
+    hx = F.md5(
+        F.concat(
+            F.lit("trireme:doc:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("n_chars").cast("string"),
+        )
+    )
+    base = d.select("doc_id", hx.alias("hx"))
+    uid = F.concat_ws(
+        "-",
+        F.substring("hx", 1, 8),
+        F.substring("hx", 9, 4),
+        F.substring("hx", 13, 4),
+        F.substring("hx", 17, 4),
+        F.substring("hx", 21, 12),
+    )
+    return base.select("doc_id", uid.alias("stable_id"))

@@ -459,3 +459,73 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# --- HTML boilerplate stripping ----------------------------------------------
+
+# Fixture prose has no markup, so tags/entities are planted deterministically
+# (same construction in the oracle) and the strip must remove exactly them.
+# Patterns stay in the Java-regex ∩ RE2 subset (no lookaround).
+_TAG_RE = "<[^>]+>"
+_ENTITY_RE = "&[a-z]+;"
+
+_HTML_STRIP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         '<html><body class="c' || CAST(doc_id % 7 AS VARCHAR) ||
+         '"><p>' || text || '&nbsp;&amp;</p><script>var x=' ||
+         CAST(doc_id AS VARCHAR) || ';</script></body></html>' AS html
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(
+            html, '<script>[^<]*</script>', ' ', 'g'),
+            '{_TAG_RE}', ' ', 'g'),
+            '{_ENTITY_RE}', ' ', 'g')) AS clean_text,
+       length(trim(regexp_replace(regexp_replace(regexp_replace(
+            html, '<script>[^<]*</script>', ' ', 'g'),
+            '{_TAG_RE}', ' ', 'g'),
+            '{_ENTITY_RE}', ' ', 'g'))) AS clean_len
+FROM d
+"""
+
+
+@register("text_html_strip", oracle=_HTML_STRIP_ORACLE)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal — the first transform every web-crawl
+    corpus runs: script blocks dropped whole, tags and entities stripped
+    to whitespace (planted deterministically on the fixture prose so the
+    strip must remove exactly them; a production pass adds style/nav
+    blocks to the same chain).
+
+    Pure codegen'd regexp_replace chain — no shuffle, linear scan at any
+    scale; same family as text_pii_redact."""
+    d = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body class="c'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('"><p>'),
+        F.col("text"),
+        F.lit("&nbsp;&amp;</p><script>var x="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script></body></html>"),
+    )
+    planted = d.select("doc_id", html.alias("html"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("html"), "<script>[^<]*</script>", " "
+                ),
+                _TAG_RE,
+                " ",
+            ),
+            _ENTITY_RE,
+            " ",
+        )
+    )
+    return planted.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).alias("clean_len"),
+    )
