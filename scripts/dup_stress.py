@@ -36,6 +36,7 @@ DEFAULT_KEYS = [
     "events_funnel",
     "dedup_minhash_clusters",
     "etl_training_corpus",
+    "sim_sparse_cosine_tfidf",
 ]
 
 ID_COLS = {
