@@ -109,6 +109,8 @@ _SWEEP_PRIORITY = [
     "sim_sparse_cosine_tfidf",
     "fn_uuid_deterministic",
     "text_html_strip",
+    "etl_snapshot_diff",
+    "events_active_users",
     # --- overflow: stalest r1-only §2 keys, re-confirmation rotation ---
     "conditional_case",
     "fn_string",

@@ -470,3 +470,70 @@ def etl_backfill_partition_overwrite(
         "event_type",
         "value",
     )
+
+
+_SNAPDIFF_ORACLE = """
+WITH prev AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 10 <> 0
+), curr AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+             AS o_orderstatus,
+         o_totalprice
+  FROM orders
+  WHERE o_orderkey % 10 <> 1
+)
+SELECT COALESCE(p.o_orderkey, c.o_orderkey) AS o_orderkey,
+       CASE WHEN p.o_orderkey IS NULL THEN 'added'
+            WHEN c.o_orderkey IS NULL THEN 'deleted'
+            ELSE 'changed' END AS change_type
+FROM prev p FULL JOIN curr c USING (o_orderkey)
+WHERE p.o_orderkey IS NULL OR c.o_orderkey IS NULL
+   OR p.o_orderstatus <> c.o_orderstatus
+   OR p.o_totalprice <> c.o_totalprice
+"""
+
+
+@register("etl_snapshot_diff", oracle=_SNAPDIFF_ORACLE)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — change detection WITHOUT a CDC feed: two versions
+    of a table (derived deterministically here: some keys only in prev,
+    some only in curr, some values mutated) full-outer-join on the key
+    and classify added / deleted / changed. This is how batch pipelines
+    derive incremental updates from full-table dumps.
+
+    Scale design: one full-outer shuffle join on the key — the minimum
+    possible for a diff; the change predicate is codegen'd column
+    comparison. At real scale you first compare per-row content HASHES
+    (doc_fingerprint's machinery) so wide rows never ship twice."""
+    o = table(spark, sf_dir, "orders")
+    prev = o.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    curr = o.where(F.col("o_orderkey") % 10 != 1).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    p = prev.alias("p")
+    c = curr.alias("c")
+    j = p.join(c, F.col("p.o_orderkey") == F.col("c.o_orderkey"), "full")
+    change = (
+        F.when(F.col("p.o_orderkey").isNull(), "added")
+        .when(F.col("c.o_orderkey").isNull(), "deleted")
+        .otherwise("changed")
+    )
+    return j.where(
+        F.col("p.o_orderkey").isNull()
+        | F.col("c.o_orderkey").isNull()
+        | (F.col("p.o_orderstatus") != F.col("c.o_orderstatus"))
+        | (F.col("p.o_totalprice") != F.col("c.o_totalprice"))
+    ).select(
+        F.coalesce(F.col("p.o_orderkey"), F.col("c.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        change.alias("change_type"),
+    )

@@ -406,3 +406,61 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 3).alias("zscore"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# events_active_users — rolling DAU / trailing-7-day active users
+# ---------------------------------------------------------------------------
+
+_DAU_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+), act AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day FROM events
+)
+SELECT d.day,
+       COUNT(DISTINCT CASE WHEN a.act_day = d.day
+                           THEN a.user_id END) AS dau,
+       COUNT(DISTINCT a.user_id) AS wau
+FROM days d
+JOIN act a
+  ON a.act_day <= d.day AND a.act_day > d.day - INTERVAL 7 DAY
+GROUP BY d.day
+"""
+
+
+@register("events_active_users", oracle=_DAU_ORACLE)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement counts — DAU and trailing-7-day WAU per day:
+    the metric pair every product dashboard leads with, and a DISTINCT
+    aggregation over a SLIDING window, which no plain groupBy(window)
+    expresses (windows overlap, users dedup within each).
+
+    Scale design: activity first collapses to distinct (user, day) —
+    the only corpus-sized shuffle — then each activity day fans out to
+    the ≤7 window days it contributes to (bounded explode, the
+    stream_sliding trick) and the per-day COUNT(DISTINCT) rides the
+    two-phase expand. The days spine is dimension-sized; no per-day
+    re-scan of the corpus, no window-over-everything."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    act = ev.select("user_id", day.alias("act_day")).distinct()
+    days = ev.select(day.alias("day")).distinct()
+    # each activity day contributes to windows ending on day..day+6;
+    # join to the real days spine to drop phantom trailing days
+    fan = act.select(
+        "user_id",
+        "act_day",
+        F.explode(
+            F.sequence(
+                F.col("act_day"),
+                F.col("act_day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    ).join(days, "day")
+    return fan.groupBy("day").agg(
+        F.countDistinct(
+            F.when(F.col("act_day") == F.col("day"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct("user_id").alias("wau"),
+    )
