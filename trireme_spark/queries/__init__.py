@@ -111,6 +111,8 @@ _SWEEP_PRIORITY = [
     "text_html_strip",
     "etl_snapshot_diff",
     "events_active_users",
+    "text_template_detect",
+    "events_top_paths",
     # --- overflow: stalest r1-only §2 keys, re-confirmation rotation ---
     "conditional_case",
     "fn_string",

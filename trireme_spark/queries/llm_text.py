@@ -529,3 +529,79 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean_text"),
         F.length(clean).alias("clean_len"),
     )
+
+
+# --- templated-document detection -------------------------------------------
+
+_TEMPLATE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         'ref ' || doc_id || ' category ' ||
+         substr('abcdefg', doc_id % 7 + 1, 1) ||
+         ' qty ' || n_chars AS text
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         md5(regexp_replace(regexp_replace(lower(text),
+             '[0-9]+', '#', 'g'), '\\s+', ' ', 'g')) AS template_hash
+  FROM d
+), g AS (
+  SELECT template_hash, COUNT(*) AS n_docs, MIN(doc_id) AS exemplar
+  FROM t GROUP BY template_hash
+)
+SELECT t.doc_id, t.template_hash, g.n_docs AS template_count,
+       t.doc_id = g.exemplar AS is_exemplar
+FROM t JOIN g USING (template_hash)
+WHERE g.n_docs > 1
+"""
+
+
+@register("text_template_detect", oracle=_TEMPLATE_ORACLE)
+def text_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Templated-document detection — mask the volatile entities (digits
+    here; dates/names/urls in a production chain), hash the residue, and
+    group: docs sharing a template hash are the same boilerplate page
+    with different fill-ins, the dominant duplication mode of web crawls
+    that MinHash underweights (entity churn keeps Jaccard high only on
+    long docs) and exact dedup misses entirely.
+
+    The fixture word-soup carries no real templates, so templated lines
+    are PLANTED deterministically (7 template families over entity
+    fill-ins; same construction in the oracle — the text_pii_redact
+    pattern) and the masking must collapse exactly them.
+
+    Scale design: codegen'd normalize chain → md5 → ONE hash-keyed
+    aggregation joined back (same two-shuffle shape as
+    dedup_doc_canonical, which this extends with entity masking)."""
+    raw = table(spark, sf_dir, "documents")
+    d = raw.select(
+        "doc_id",
+        F.concat(
+            F.lit("ref "),
+            F.col("doc_id").cast("string"),
+            F.lit(" category "),
+            F.expr("substr('abcdefg', doc_id % 7 + 1, 1)"),
+            F.lit(" qty "),
+            F.col("n_chars").cast("string"),
+        ).alias("text"),
+    )
+    tmpl = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[0-9]+", "#"), r"\s+", " "
+        )
+    )
+    t = d.select("doc_id", tmpl.alias("template_hash"))
+    g = t.groupBy("template_hash").agg(
+        F.count(F.lit(1)).alias("template_count"),
+        F.min("doc_id").alias("exemplar"),
+    )
+    return (
+        t.join(g, "template_hash")
+        .where(F.col("template_count") > 1)
+        .select(
+            "doc_id",
+            "template_hash",
+            "template_count",
+            (F.col("doc_id") == F.col("exemplar")).alias("is_exemplar"),
+        )
+    )

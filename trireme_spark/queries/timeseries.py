@@ -464,3 +464,51 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dau"),
         F.countDistinct("user_id").alias("wau"),
     )
+
+# ---------------------------------------------------------------------------
+# events_top_paths — most common event-type transitions
+# ---------------------------------------------------------------------------
+
+_PATHS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS step_a,
+         LEAD(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS step_b
+  FROM events
+)
+SELECT step_a, step_b, COUNT(*) AS n_transitions,
+       COUNT(DISTINCT user_id) AS n_users
+FROM seq WHERE step_b IS NOT NULL
+GROUP BY step_a, step_b
+ORDER BY n_transitions DESC, step_a, step_b
+LIMIT 20
+"""
+
+
+@register("events_top_paths", oracle=_PATHS_ORACLE)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type transitions (2-step paths) across users — the path
+    analysis behind "what do users do next", complementing events_funnel's
+    fixed-sequence form with the exploratory all-pairs view.
+
+    Scale design: one keyed window (user, time-ordered) to pair each
+    event with its successor — O(1) state, no self-join on events —
+    then a transition-keyed aggregation whose cardinality is
+    |event_types|², i.e. dimension-sized regardless of corpus scale;
+    top-20 folds into TakeOrderedAndProject."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("step_a"),
+        F.lead("event_type").over(w).alias("step_b"),
+    ).where(F.col("step_b").isNotNull())
+    return (
+        seq.groupBy("step_a", "step_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_transitions").desc(), "step_a", "step_b")
+        .limit(20)
+    )
