@@ -113,6 +113,7 @@ _SWEEP_PRIORITY = [
     "events_active_users",
     "text_template_detect",
     "events_top_paths",
+    "lineitem_market_basket",
     # --- overflow: stalest r1-only §2 keys, re-confirmation rotation ---
     "conditional_case",
     "fn_string",

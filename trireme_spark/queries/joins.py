@@ -578,3 +578,49 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(
         F.broadcast(dim), o.status_key.eqNullSafe(dim.status_key)
     ).select("o_orderkey", o.status_key.alias("status_key"), "label")
+
+
+_BASKET_ORACLE = """
+WITH pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, COUNT(*) AS n_orders
+FROM pairs
+GROUP BY part_a, part_b
+HAVING COUNT(*) >= 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 50
+"""
+
+
+@register("lineitem_market_basket", oracle=_BASKET_ORACLE)
+def lineitem_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence — part pairs bought together across
+    orders, support ≥ 2, top-50: the association-mining primitive
+    (frequent itemset generation's 2-itemset pass).
+
+    Scale design: the self-join is ORDER-KEYED, so pair fan-out is
+    per-basket |items|² (≤ 13² here; baskets are small by nature) — never
+    corpus²; the pair aggregation map-side combines and the top-50 folds
+    into TakeOrderedAndProject. The classic at-scale refinement (prune
+    below-support parts FIRST — apriori's monotonicity) drops here as one
+    extra semi-join when item skew appears."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(b, "l_orderkey").where(
+        F.col("part_a") < F.col("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(50)
+    )
