@@ -114,6 +114,7 @@ _SWEEP_PRIORITY = [
     "text_template_detect",
     "events_top_paths",
     "lineitem_market_basket",
+    "orders_rfm_segments",
     # --- overflow: stalest r1-only §2 keys, re-confirmation rotation ---
     "conditional_case",
     "fn_string",

@@ -512,3 +512,92 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_transitions").desc(), "step_a", "step_b")
         .limit(20)
     )
+
+# ---------------------------------------------------------------------------
+# orders_rfm_segments — recency / frequency / monetary segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH rfm AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate),
+                   (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+             AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM rfm
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CASE WHEN r_score = 1 AND f_score <= 2 THEN 'champion'
+            WHEN r_score <= 2 AND m_score <= 2 THEN 'loyal'
+            WHEN r_score >= 4 AND f_score >= 4 THEN 'churned'
+            ELSE 'regular' END AS segment
+FROM scored
+"""
+
+
+@register("orders_rfm_segments", oracle=_RFM_ORACLE)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency/frequency/monetary quintile scores and
+    the named segments built from them: the workhorse customer-analytics
+    composite (one keyed aggregation + global quintile ranks + a rule
+    table).
+
+    Scale design: the per-customer rollup is one map-side-combined
+    aggregation; the NTILE quintiles are GLOBAL windows over the
+    CUSTOMER-levelled table (already |customers| ≪ |orders| rows — at
+    extreme scale these become the two-pass range-bucketed rank, the
+    sorts_sets machinery); monetary uses the decimal-exact sum so the
+    quintile boundaries can't drift cross-engine. Deterministic NTILE
+    tie-break on o_custkey in both engines."""
+    o = table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    )
+    f = F.ntile(5).over(
+        Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    )
+    m = F.ntile(5).over(
+        Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") == 1) & (F.col("f_score") <= 2), "champion"
+        )
+        .when((F.col("r_score") <= 2) & (F.col("m_score") <= 2), "loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "churned")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)
