@@ -115,6 +115,8 @@ _SWEEP_PRIORITY = [
     "events_top_paths",
     "lineitem_market_basket",
     "orders_rfm_segments",
+    "events_hourly_heatmap",
+    "orders_daily_revenue_ma",
     # --- overflow: stalest r1-only §2 keys, re-confirmation rotation ---
     "conditional_case",
     "fn_string",

@@ -601,3 +601,75 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.withColumn("segment", seg)
+
+# ---------------------------------------------------------------------------
+# events_hourly_heatmap — day-of-week × hour activity grid
+# ---------------------------------------------------------------------------
+
+_HEATMAP_ORACLE = """
+SELECT isodow(ts) - 1 AS dow, CAST(hour(ts) AS INT) AS hod,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_hourly_heatmap", oracle=_HEATMAP_ORACLE)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity grid — the canonical traffic
+    heatmap. Day-of-week numbering is the classic cross-engine trap:
+    Spark's ``dayofweek`` starts Sunday=1 while DuckDB's ``dayofweek``
+    starts Sunday=0 — both sides here use the Monday=0 convention
+    (Spark ``weekday``, DuckDB ``isodow - 1``) so the grid cells agree.
+
+    One map-side-combined aggregation over a 7×24-bounded key space."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.weekday("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_daily_revenue_ma — daily revenue with trailing 7-day moving average
+# ---------------------------------------------------------------------------
+
+_REV_MA_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         {oracle_sum('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT day, revenue,
+       ROUND(AVG(revenue) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS revenue_7d_ma
+FROM daily
+"""
+
+
+@register("orders_daily_revenue_ma", oracle=_REV_MA_ORACLE)
+def orders_daily_revenue_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue with a trailing 7-day moving average — the top line
+    of every revenue dashboard. The corpus-sized work is ONE
+    map-side-combined daily rollup (decimal-exact, so the averages can't
+    drift cross-engine); the moving-average window then runs over the
+    DAY-levelled table — dimension-sized rows, with the lit(0) partition
+    key keeping the plan warning-free (the repo's two-pass machinery is
+    the at-scale fallback if the day spine ever stopped fitting)."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(F.avg("revenue").over(w), 4).alias("revenue_7d_ma"),
+    )
