@@ -117,6 +117,7 @@ _SWEEP_PRIORITY = [
     "orders_rfm_segments",
     "events_hourly_heatmap",
     "orders_daily_revenue_ma",
+    "etl_partition_checksum",
     # --- overflow: stalest r1-only §2 keys, re-confirmation rotation ---
     "conditional_case",
     "fn_string",

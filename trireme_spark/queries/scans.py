@@ -537,3 +537,56 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         change.alias("change_type"),
     )
+
+
+_CHECKSUM_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(CAST('0x' || substr(md5(
+             CAST(event_id AS VARCHAR) || '|' || event_type || '|' ||
+             CAST(user_id AS VARCHAR)), 1, 12) AS VARCHAR)
+           AS BIGINT)) AS BIGINT) AS content_checksum
+FROM events
+GROUP BY 1
+"""
+
+
+@register("etl_partition_checksum", oracle=_CHECKSUM_ORACLE)
+def etl_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition content checksums — the migration-validation
+    primitive (≙ verifying a Cassandra→Solr style copy): each day
+    partition reports row count plus an ORDER-INDEPENDENT checksum (sum
+    of truncated per-row content hashes), so source and target sides can
+    be compared partition-by-partition without shipping rows, and a
+    mismatch pinpoints WHICH partition to re-copy.
+
+    Scale design: one codegen'd hash projection + one map-side-combined
+    aggregation per partition key; 48-bit truncation keeps the int64 sum
+    overflow-free to ~10¹³ rows per partition. The checksum is
+    commutative by construction — partitioning, ordering, and engine
+    never change it."""
+    ev = table(spark, sf_dir, "events")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("event_id").cast("string"),
+                    F.col("event_type"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).alias("content_checksum"),
+    )
