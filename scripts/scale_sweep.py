@@ -33,6 +33,8 @@ SF_DIR = os.environ.get("SCALE_SWEEP_SF", "/root/testdata/sf0.1")
 HEAVY_3X = {
     "embed_pca_project",
     "sim_sparse_cosine_tfidf",
+    "sim_ann_ivf",
+    "sim_ann_ivfpq",
     "dedup_minhash_clusters",
     "dedup_connected_components",
     "dedup_ngram_jaccard",
