@@ -33,6 +33,18 @@ def h(pdf):
     rows = sorted(repr(tuple(r)) for r in pdf[cols].itertuples(index=False, name=None))
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
+def canon_check(k, pdf):
+    """Mimic the REAL driver's canonicalizer: pandas sort_values over every
+    column. Array/map cells raise `TypeError: unhashable type` there — the
+    exact failure that turned embed_pca_project red in round 4 (and
+    agg_collect in round 1) — so crash HERE, pre-commit, instead."""
+    try:
+        pdf.sort_values(by=sorted(pdf.columns))
+    except TypeError as ex:
+        raise AssertionError(
+            f"{k}: output not driver-canonicalizable (non-scalar cell?): {ex}"
+        ) from ex
+
 qs, os_ = e.queries(), e.oracle_sql()
 if len(sys.argv) > 1 and not sys.argv[1].isdigit():
     keys = sys.argv[1:]
@@ -47,6 +59,7 @@ t_all = time.monotonic()
 for k in keys:
     t0 = time.monotonic()
     spdf = qs[k](spark, sf).toPandas()
+    canon_check(k, spdf)
     if k in os_:
         dpdf = con.sql(os_[k]).df()
         hs, hd = h(spdf), h(dpdf)

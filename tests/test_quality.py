@@ -340,7 +340,16 @@ def test_pca_projection_contract(spark):
     import numpy as np
 
     rows = registry.QUERIES["embed_pca_project"](spark, SF_SMOKE).collect()
-    Y = np.stack([np.array(r["pc"]) for r in rows])
+    # scalar-row shape (vec_id, component, value): reassemble per-vector
+    by_vec: dict = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], {})[r["component"]] = r["value"]
+    Y = np.stack(
+        [
+            np.array([comps[i] for i in sorted(comps)])
+            for comps in by_vec.values()
+        ]
+    )
     C = np.cov(Y.T)
     var = np.diag(C).copy()
     # variance ordering: descending principal components

@@ -30,17 +30,83 @@ from trireme_spark.queries import sorts_sets  # noqa: F401
 from trireme_spark.queries import streaming  # noqa: F401
 from trireme_spark.queries import udfs  # noqa: F401
 
-# Sweep priority, round 4. The driver records rows for the FIRST 50 keys
-# per sweep, so slots 1-50 are the round-4 target set: the 43 keys that
-# have never received a real driver row (exactly set(registry) −
-# CORRECTNESS_r01 − CORRECTNESS_r03 — the entire round-2/3 training-data
-# surface), cheapest first so a time-budgeted sweep loses the least, then
-# 7 stale r1-only §2 keys for re-confirmation (slots 44-50; the remaining
-# r1-only keys rotate through these slots next round). Unlisted/new keys
+# Sweep priority, round 5. The driver records rows for the FIRST 50 keys
+# per sweep. Slots 1-22: the 21 round-4 additions that overflowed the r4
+# window and have never received a driver row, plus the embed_pca_project
+# retest (r4's one red row — output reshaped to scalar cells this round).
+# Cheapest first so a time-budgeted sweep loses the least. New round-5
+# keys slot in right after (never-swept beats re-confirmation). The
+# remaining slots go to the STALEST re-confirmations: the r1-only-evidence
+# §2 block (conditional_case, fn_*, joins, aggs). Unlisted/new keys
 # append after the list in module registration order.
 _SWEEP_PRIORITY = [
-    # --- slots 1-43: never-driver-swept round-2/3 keys ---
-    # cheap projections / per-row algebra first
+    # --- slots 1-22: never-driver-swept r4 keys + the r4 red retest ---
+    # cheap per-row / single-agg keys first
+    "fn_uuid_deterministic",
+    "text_html_strip",
+    "text_template_detect",
+    "text_chunk_long_docs",
+    "join_null_safe",
+    "join_point_in_time",
+    "win_count_distinct",
+    "events_anomaly_zscore",
+    "events_top_paths",
+    "events_active_users",
+    "events_hourly_heatmap",
+    "orders_daily_revenue_ma",
+    "orders_rfm_segments",
+    "lineitem_market_basket",
+    "sample_source_mixture",
+    "sim_sparse_cosine_tfidf",
+    "embed_pca_project",  # r4 red: array cells -> posexplode'd scalar rows
+    "etl_snapshot_diff",
+    # file-IO keys (real tmp-dir writes)
+    "etl_partition_checksum",
+    "etl_compact_small_files",
+    "etl_backfill_partition_overwrite",
+    # streaming (costliest of the 22)
+    "stream_static_join",
+    # --- round-5 new keys are inserted here as they land (never-swept
+    #     beats re-confirmation; see module registration order) ---
+    # --- remaining slots to 50: stalest r1-only §2 keys ---
+    "conditional_case",
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_string_fuzzy",
+    "fn_array",
+    "fn_map",
+    "fn_json",
+    "join_inner_equi",
+    "join_left_right_full",
+    "join_broadcast",
+    "join_semi_anti",
+    "join_theta_range",
+    "join_cross",
+    "join_asof",
+    "join_interval",
+    "join_multiway",
+    "agg_pricing_summary",
+    "agg_global",
+    "agg_count_distinct",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_pivot",
+    "agg_stats",
+    "agg_mode",
+    "agg_histogram",
+    "fn_bitwise",
+    "fn_hash",
+    # --- slot 51+: r1-only keys that miss the r5 window (next rotation),
+    #     then everything with fresher (r3/r4) evidence ---
+    "join_bucketed_colocated",
+    "text_tokenize_wordcount",
+    "text_ngrams",
+    "dedup_fuzzy_minhash",
+    "dedup_ngram_jaccard",
+    "sim_knn_per_query",
+    "multimodal_struct",
+    # --- r4-green keys (fresh rows; re-confirm later) ---
     "text_pii_redact",
     "sample_stratified",
     "split_train_holdout",
@@ -75,87 +141,21 @@ _SWEEP_PRIORITY = [
     "text_quality_gopher",
     "dedup_connected_components",
     "dedup_minhash_clusters",
-    # file-IO / schema keys (real tmp-dir writes)
     "source_schema_evolution",
     "etl_corrupt_quarantine",
     "etl_incremental_migration",
     "multimodal_resize",
-    # streaming + composites (costliest of the 43)
     "stream_stream_join",
     "etl_training_corpus",
-    # rows-only-by-design round-3 keys (still need their first clean row)
-    "cluster_kmeans_fit",
-    "embed_pq_quantize",
-    "sim_ann_ivfpq",
-    # --- slots 44-56: round-4 additions (no driver row yet; the 13 keys
-    # exceed the 50-row graded window by 6 — those rotate to the front
-    # of the r5 sweep together with the stale re-confirmations below) ---
     "sample_weighted",
     "embed_gram_matrix",
     "text_unigram_logprob",
-    "embed_pca_project",
     "etl_expectations",
     "agg_argmax_struct",
     "events_retention_cohorts",
-    "etl_compact_small_files",
-    "stream_static_join",
-    "join_point_in_time",
-    "join_null_safe",
-    "etl_backfill_partition_overwrite",
-    "win_count_distinct",
-    "events_anomaly_zscore",
-    "sample_source_mixture",
-    "text_chunk_long_docs",
-    "sim_sparse_cosine_tfidf",
-    "fn_uuid_deterministic",
-    "text_html_strip",
-    "etl_snapshot_diff",
-    "events_active_users",
-    "text_template_detect",
-    "events_top_paths",
-    "lineitem_market_basket",
-    "orders_rfm_segments",
-    "events_hourly_heatmap",
-    "orders_daily_revenue_ma",
-    "etl_partition_checksum",
-    # --- overflow: stalest r1-only §2 keys, re-confirmation rotation ---
-    "conditional_case",
-    "fn_string",
-    "fn_date",
-    "fn_math",
-    # --- next re-confirmation rotation (r5): ---
-    "join_inner_equi",
-    "agg_pricing_summary",
-    "text_tokenize_wordcount",
-    # --- slot 51+: remaining r1-only keys (next rotation candidates) ---
-    "fn_string_fuzzy",
-    "fn_array",
-    "fn_map",
-    "fn_json",
-    "agg_global",
-    "agg_count_distinct",
-    "agg_grouping_sets",
-    "agg_percentile",
-    "agg_pivot",
-    "agg_stats",
-    "agg_mode",
-    "agg_histogram",
-    "fn_bitwise",
-    "fn_hash",
-    "join_left_right_full",
-    "join_broadcast",
-    "join_semi_anti",
-    "join_theta_range",
-    "join_cross",
-    "join_asof",
-    "join_interval",
-    "join_multiway",
-    "join_bucketed_colocated",
-    "text_ngrams",
-    "dedup_fuzzy_minhash",
-    "dedup_ngram_jaccard",
-    "sim_knn_per_query",
-    "multimodal_struct",
+    "cluster_kmeans_fit",
+    "embed_pq_quantize",
+    "sim_ann_ivfpq",
     # --- r3-green keys (freshest rows; re-confirm last) ---
     "agg_collect",
     "win_ranking",

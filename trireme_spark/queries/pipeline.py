@@ -319,6 +319,13 @@ def embed_pca_project(
     principal axes — the whitening/denoising step a training pipeline runs
     before ANN indexing or clustering.
 
+    Output shape is SCALAR rows ``(vec_id, component, value)`` (posexplode
+    of the projected vector) — the same all-scalar-cells contract as
+    embed_centroid_label — because the driver's canonicalizer sorts/hashes
+    pandas cells and crashes on array cells (r4's one red row; the
+    agg_collect lesson, round 1). The per-vector array is one
+    collect_list(component-ordered) away for callers.
+
     Scale design (the k-means/PQ pattern — only MODEL state ever leaves
     the executors): the d×d gram matrix and the d-vector column means are
     computed distributedly (map-side-combined aggregations), and only
@@ -372,7 +379,9 @@ def embed_pca_project(
 
     _project.__annotations__ = {"emb": pd.Series, "return": pd.Series}
     proj = F.pandas_udf(_project, "array<double>")
-    return v.select("vec_id", proj(F.col("emb")).alias("pc"))
+    return v.select("vec_id", proj(F.col("emb")).alias("pc")).select(
+        "vec_id", F.posexplode("pc").alias("component", "value")
+    )
 
 
 # --- sequence packing -------------------------------------------------------
