@@ -50,7 +50,7 @@ HEAVY_3X = {
 spark = (
     SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
     .config("spark.sql.shuffle.partitions", "32")
-    # the 1g JVM default can't hold 134 keys' worth of anything; size the
+    # the 1g JVM default can't hold the full registry's worth of anything; size the
     # heap like get_spark() does so OOMs here mean plan problems, not
     # harness problems
     .config("spark.driver.memory", "8g")
@@ -67,7 +67,7 @@ for k, fn in qs.items():
     # NOTE: caches deliberately persist across keys — identical cached
     # subtrees (the shingle-set scan every dedup key shares) hit the same
     # cache entry, exactly like a long-lived production session. The 8g
-    # heap above is what keeps 134 keys' worth of them from OOMing; the
+    # heap above is what keeps the full registry's worth of them from OOMing; the
     # sweep-order rotation must not change which keys pass the budget.
     t1 = time.time()
     try:

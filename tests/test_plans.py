@@ -207,15 +207,31 @@ def test_point_in_time_no_candidate_explosion(spark):
 
 def test_compact_uses_narrow_coalesce(spark):
     """etl_compact_small_files: the compaction write must be a narrow
-    coalesce — a shuffle would pay a full network copy for nothing."""
-    from trireme_spark.queries.scans import _tmp
-    from trireme_spark.sources.io import table as t
+    coalesce — a shuffle would pay a full network copy for nothing.
+    Asserted on the key's ACTUAL compaction frame (not a hand-built
+    stand-in), so switching the key to a shuffling repartition fails
+    here."""
+    from trireme_spark.queries.scans import _compaction_frame
 
-    ev = t(spark, SF_SMOKE, "events").select("event_id", "value")
-    p = plan(ev.repartition(8).coalesce(2))
+    p = plan(_compaction_frame(spark, SF_SMOKE))
     assert "Coalesce" in p
-    # the coalesce itself adds no exchange beyond the staged repartition
-    assert p.count("Exchange (") == 1
+    # fragmented scan → coalesce is fully narrow: zero exchanges
+    assert p.count("Exchange (") == 0
+
+
+def test_rfm_ntile_never_single_reducer(spark):
+    """orders_rfm_segments: the three global NTILE quintiles must ride
+    the distributed two-pass form — data shuffles on the expression-
+    derived range bucket (hashpartitioning(__rng)), never a bare
+    ``Window.orderBy`` ntile (one reducer over the whole customer
+    dimension — huge at 100×)."""
+    p = plan(registry.QUERIES["orders_rfm_segments"](spark, SF_SMOKE))
+    assert "ntile" not in p  # the one-reducer form would plan ntile(5)
+    assert "hashpartitioning(__rng" in p
+    assert "spark_partition_id" not in p
+    # (no SinglePartition ceiling: pre-AQE text duplicates the per-range
+    # metadata subtrees ~40×; runtime reuses the exchanges — the scale
+    # sweep budget is the guard for the executed cost)
 
 
 def test_stream_static_join_broadcasts_dimension(spark):

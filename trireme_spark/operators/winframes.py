@@ -159,3 +159,54 @@ def global_range_frame_sum(
         *df.columns,
         (F.col("C") - F.col("C_below")).cast("double").alias(out_col),
     )
+
+
+def two_pass_ntile(
+    df: DataFrame,
+    order,
+    rng,
+    n_tiles: int,
+    out_col: str,
+) -> DataFrame:
+    """``df`` + ``out_col`` = NTILE(n_tiles) OVER (ORDER BY order...) —
+    the global-quantile bucketer — without a single-reducer window.
+
+    ``rng`` must be an order-preserving bucket expression of the leading
+    sort key (same determinism rule as the module header: a PURE
+    EXPRESSION, never a sampled/nondeterministic partition id). Skewed
+    buckets cost balance, never correctness.
+
+    Two passes: row_number within each range bucket (keyed window), plus
+    broadcast per-range offsets → exact global rank r ∈ [1, N]; the tile
+    is then SQL NTILE's fill rule — the first (N mod k) tiles take
+    ⌈N/k⌉ rows, the rest ⌊N/k⌋ — computed from r and the broadcast total.
+    """
+    d = df.withColumn("__rng", rng)
+    w_in = Window.partitionBy("__rng").orderBy(*order)
+    local = d.withColumn("__loc", F.row_number().over(w_in))
+    w_prev = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    counts = local.groupBy("__rng").agg(F.count(F.lit(1)).alias("__n"))
+    offs = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_prev), F.lit(0))
+    ).select("__rng", "__off")
+    total = counts.agg(F.sum("__n").alias("__N"))
+    r = F.col("__loc") + F.col("__off")
+    q = F.floor(F.col("__N") / n_tiles)
+    rem = F.col("__N") % n_tiles
+    big = rem * (q + 1)  # rows living in the ⌈N/k⌉-sized leading tiles
+    tile = (
+        F.when(r <= big, F.ceil(r / (q + 1)))
+        # greatest(q,1): when N < k, q = 0 but every row already took the
+        # `big` branch — this only guards the dead division
+        .otherwise(rem + F.ceil((r - big) / F.greatest(q, F.lit(1))))
+    )
+    return (
+        local.join(F.broadcast(offs), "__rng")
+        .crossJoin(F.broadcast(total))
+        .withColumn(out_col, tile.cast("int"))
+        .drop("__rng", "__loc", "__off", "__N")
+    )

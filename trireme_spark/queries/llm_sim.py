@@ -974,11 +974,15 @@ def sim_sparse_cosine_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("doc_id").orderBy(
         F.col("wt").desc(), F.col("term").asc()
     )
+    # NOT cached: the registry's lazy-return contract has no post-
+    # materialization hook to unpersist, and a leaked cache accumulates
+    # across shared sweep sessions (the round-4 scale doctrine). The
+    # truncated-postings subtree recomputes for its three consumers;
+    # Catalyst reuses the rank exchange where it can.
     w = (
         w_full.withColumn("rn", F.row_number().over(w_rank))
         .where(F.col("rn") <= 10)
         .drop("rn")
-        .cache()
     )
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(
@@ -1006,9 +1010,12 @@ def sim_sparse_cosine_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na"))
     nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb"))
     sim = F.col("dot") / (F.col("na") * F.col("nb"))
+    # no broadcast hint: the norms tables are O(#docs) — unbounded driver
+    # state at corpus scale (the exact pattern round 4 removed from
+    # dedup_minhash_clusters). AQE still broadcasts them when small.
     return (
-        dots.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
         .where(sim >= 0.5)
         .select("doc_a", "doc_b", F.round(sim, 4).alias("cos_sim"))
     )

@@ -395,9 +395,19 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     a target file size, the same arithmetic a table-maintenance service
     applies; here 128 MB targets collapse the fixture to 1-4 files. The
     oracle checks content identity end-to-end through both rewrites;
-    tests/test_properties.py asserts the file-count contract."""
-    frag = _tmp("compact_in", sf_dir)
+    tests/test_properties.py asserts the file-count contract and
+    tests/test_plans.py asserts narrow-coalesce on THIS frame (via
+    :func:`_compaction_frame`)."""
     out = _tmp("compact_out", sf_dir)
+    _compaction_frame(spark, sf_dir).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def _compaction_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage the 64-file fragmented input and return the coalesced frame
+    etl_compact_small_files writes — exposed separately so the plan gate
+    inspects the key's ACTUAL compaction plan, not a hand-built stand-in."""
+    frag = _tmp("compact_in", sf_dir)
     ev = table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
@@ -411,8 +421,7 @@ def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target_file_bytes = 128 * 1024 * 1024
     n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil div
-    fragmented.coalesce(n_out).write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)
+    return fragmented.coalesce(n_out)
 
 
 _BACKFILL_ORACLE = """
@@ -564,15 +573,21 @@ def etl_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation per partition key; 48-bit truncation keeps the int64 sum
     overflow-free to ~10¹³ rows per partition. The checksum is
     commutative by construction — partitioning, ordering, and engine
-    never change it."""
+    never change it.
+
+    NULL parity: F.concat (not concat_ws, which SKIPS null fields) —
+    like the oracle's ``||`` it null-propagates, so a row with a NULL
+    field hashes to NULL and drops out of the SUM identically on both
+    engines (the fn_uuid_deterministic pattern)."""
     ev = table(spark, sf_dir, "events")
     row_hash = F.conv(
         F.substring(
             F.md5(
-                F.concat_ws(
-                    "|",
+                F.concat(
                     F.col("event_id").cast("string"),
+                    F.lit("|"),
                     F.col("event_type"),
+                    F.lit("|"),
                     F.col("user_id").cast("string"),
                 )
             ),

@@ -551,12 +551,16 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     table).
 
     Scale design: the per-customer rollup is one map-side-combined
-    aggregation; the NTILE quintiles are GLOBAL windows over the
-    CUSTOMER-levelled table (already |customers| ≪ |orders| rows — at
-    extreme scale these become the two-pass range-bucketed rank, the
-    sorts_sets machinery); monetary uses the decimal-exact sum so the
-    quintile boundaries can't drift cross-engine. Deterministic NTILE
-    tie-break on o_custkey in both engines."""
+    aggregation; the three global NTILE quintiles are each the
+    DISTRIBUTED two-pass form (operators/winframes.two_pass_ntile —
+    keyed range-bucket row_number + broadcast offsets + the SQL NTILE
+    fill rule from the broadcast total), never a bare one-reducer
+    ``Window.orderBy`` — a customer dimension is itself huge at 100×.
+    Range-bucket expressions are pure functions of each metric
+    (equal-width over its practical domain; out-of-domain values pool
+    in edge buckets — skew, never wrongness). Monetary uses the
+    decimal-exact sum so the quintile boundaries can't drift
+    cross-engine; NTILE ties break on o_custkey in both engines."""
     o = table(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("anchor"))
     rfm = (
@@ -574,23 +578,46 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r = F.ntile(5).over(
-        Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    from trireme_spark.operators.winframes import two_pass_ntile
+
+    n_rng = spark.sparkContext.defaultParallelism
+    # order-preserving pure-expression buckets per metric (ascending in
+    # SORT order, so the desc metrics negate): recency spans the order
+    # history (~2500 days), frequency is orders-per-customer (≲100 at
+    # any SF — the ratio |orders|/|customers| is SF-invariant), monetary
+    # is the per-customer revenue sum (≲1e7 by the same ratio)
+    def _bkt(v, lo, hi):
+        raw = ((v - F.lit(lo)) / F.lit((hi - lo) / n_rng)).cast("int")
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(n_rng - 1))
+
+    scored = two_pass_ntile(
+        rfm,
+        [F.col("recency_days").asc(), F.col("o_custkey")],
+        _bkt(F.col("recency_days"), 0, 3000),
+        5,
+        "r_score",
     )
-    f = F.ntile(5).over(
-        Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    scored = two_pass_ntile(
+        scored,
+        [F.col("frequency").desc(), F.col("o_custkey")],
+        _bkt(-F.col("frequency"), -100, 0),
+        5,
+        "f_score",
     )
-    m = F.ntile(5).over(
-        Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
-    )
-    scored = rfm.select(
+    scored = two_pass_ntile(
+        scored,
+        [F.col("monetary").desc(), F.col("o_custkey")],
+        _bkt(-F.col("monetary"), -1e7, 0),
+        5,
+        "m_score",
+    ).select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        r.alias("r_score"),
-        f.alias("f_score"),
-        m.alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
     seg = (
         F.when(
