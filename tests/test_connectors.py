@@ -4,6 +4,8 @@ the parquet emulation here (no connector jars in this container)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -75,3 +77,57 @@ def test_solr_sink_batch_commit_visible_atomically(spark, tmp_path):
     )
     sink.write(df)
     assert sink.read_back(spark).count() == 100
+
+
+def _jar_present(spark, cls: str) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(cls)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def test_cassandra_live_roundtrip(spark):
+    """LIVE integration (skipped-by-default): given the connector jar on
+    the classpath AND a reachable cluster (env TRIREME_CASSANDRA_HOST),
+    a real token-range scan must return the fixture keyspace. This is
+    the executable form of the drop-in claim — runs the day the env has
+    network + jars, costs one skip here."""
+    if not _jar_present(
+        spark, "com.datastax.spark.connector.datasource.CassandraCatalog"
+    ):
+        pytest.skip("spark-cassandra-connector jar not on classpath")
+    host = os.environ.get("TRIREME_CASSANDRA_HOST")
+    if not host:
+        pytest.skip("TRIREME_CASSANDRA_HOST not set")
+    src = CassandraSource(
+        keyspace="tpch", table="customer", contact_points=host
+    )
+    df = src.read(spark, emulate=False)
+    assert df.count() > 0
+    assert "c_custkey" in df.columns
+
+
+def test_solr_live_roundtrip(spark):
+    """LIVE integration (skipped-by-default): with the spark-solr jar and
+    a reachable ZK (env TRIREME_SOLR_ZKHOST), write-then-read one keyed
+    batch through a real collection and assert last-write-wins by
+    uniqueKey — the overwrite semantics the emulation mirrors."""
+    if not _jar_present(spark, "com.lucidworks.spark.SolrRelation"):
+        pytest.skip("spark-solr jar not on classpath")
+    zk = os.environ.get("TRIREME_SOLR_ZKHOST")
+    if not zk:
+        pytest.skip("TRIREME_SOLR_ZKHOST not set")
+    sink = SolrSink(collection="trireme_it", unique_key="id", zkhost=zk)
+    df = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2)], "id long, payload string, version int"
+    )
+    sink.write(df, order_col="version", emulate=False)
+    back = (
+        spark.read.format("solr")
+        .option("zkhost", zk)
+        .option("collection", "trireme_it")
+        .load()
+    )
+    rows = {r["id"]: r["payload"] for r in back.collect()}
+    assert rows[1] == "b"

@@ -169,16 +169,11 @@ def test_stream_stream_join_equals_batch(spark):
 
 
 def _tws_available() -> bool:
-    """transformWithState's Python state server speaks protobuf; this
-    container's protobuf install is broken (`cannot import name
-    'descriptor'`), which crashes the TWS driver worker. The builder and
-    this test are the ready-to-run surface for a healthy environment."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    """Shared env probe (streaming/builders.tws_available) — also gates
+    the conditional stream_transform_with_state registry key."""
+    from trireme_spark.streaming.builders import tws_available
 
-        return True
-    except ImportError:
-        return False
+    return tws_available()
 
 
 import pytest as _pytest  # noqa: E402

