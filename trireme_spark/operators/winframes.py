@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from trireme_spark.parity import DSCALE
+from trireme_spark.parity import DSCALE, meta_part
 
 
 def _bucket(v, lo, hi, n: int):
@@ -90,7 +90,7 @@ def global_range_frame_sum(
     # O(#buckets) offset table, but a non-empty partition spec silences
     # the scary-but-benign "No Partition Defined for Window" warning
     w_prev = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(meta_part("rng"))
         .orderBy("rng")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -185,7 +185,7 @@ def two_pass_ntile(
     w_in = Window.partitionBy("__rng").orderBy(*order)
     local = d.withColumn("__loc", F.row_number().over(w_in))
     w_prev = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(meta_part("__rng"))
         .orderBy("__rng")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -58,3 +58,24 @@ def ts_ms(col: Column | str) -> Column:
 
 
 ORACLE_TS_MS = "date_trunc('millisecond', {col})"
+
+
+def meta_part(col: Column | str) -> Column:
+    """Constant-but-NON-FOLDABLE partition key for metadata windows.
+
+    The two-pass rewrites run their per-range offset/carry windows over
+    O(#ranges) metadata rows in one deliberate partition. ``lit(0)`` as
+    the partition key gets constant-folded out of the window spec by
+    Catalyst, leaving an EMPTY partition spec and resurrecting the
+    scary-but-benign "No Partition Defined for Window operation" warning
+    storm in the driver log. ``col * 0`` is NOT safe either: once the
+    column is provably non-nullable the optimizer simplifies the product
+    to the literal 0 and the partition spec is eliminated again (observed
+    on Spark 4.1.2 with a ``least(...)``-derived column).
+    ``shiftright(col, 62)`` is 0 for every NON-NEGATIVE long (range ids
+    and epoch timestamps are), has no simplification rule, and keeps the
+    spec — verified on Spark 4.1.2 optimized plans for all six two-pass
+    call sites.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.shiftright(c.cast("long"), 62)

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from trireme_spark.functions.text import tokenize
 from trireme_spark.operators.skew import salted_join, two_phase_agg
-from trireme_spark.parity import oracle_sum
+from trireme_spark.parity import meta_part, oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -445,7 +445,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_prev = (
         # lit(0) partition key silences the benign "No Partition Defined"
         # warning; execution over the #buckets metadata rows is unchanged
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(meta_part("rng"))
         .orderBy("rng")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from trireme_spark.parity import dsum, oracle_sum
+from trireme_spark.parity import dsum, meta_part, oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -82,7 +82,7 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lit(0) partition key = same single-partition run over #buckets rows,
     # without the benign "No Partition Defined" warning in the driver log
     w_prev = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(meta_part("rng"))
         .orderBy("rng")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from trireme_spark.parity import dsum, oracle_sum
+from trireme_spark.parity import dsum, meta_part, oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -691,7 +691,7 @@ def orders_daily_revenue_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("o_orderdate")).alias("day")
     ).agg(dsum("o_totalprice").alias("revenue"))
     w = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(meta_part("day"))
         .orderBy("day")
         .rowsBetween(-6, Window.currentRow)
     )

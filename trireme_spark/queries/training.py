@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from trireme_spark.functions.text import STOPWORDS, tokenize
 from trireme_spark.operators.similarity import shingles
-from trireme_spark.parity import davg, oracle_avg
+from trireme_spark.parity import davg, meta_part, oracle_avg
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -378,7 +378,7 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lit(0) partition key = same single-partition run over #buckets rows,
     # without the benign "No Partition Defined" warning in the driver log
     w_prev = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(meta_part("rng"))
         .orderBy("rng")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
