@@ -37,12 +37,21 @@ DEFAULT_KEYS = [
     "dedup_minhash_clusters",
     "etl_training_corpus",
     "sim_sparse_cosine_tfidf",
+    # round-4 batch-5 composites (added r5): the duplicate-×10 layer is
+    # where this repo's real scale bugs have surfaced every round
+    "lineitem_market_basket",
+    "events_active_users",
+    "text_template_detect",
 ]
 
 ID_COLS = {
     "documents": "doc_id",
     "embeddings": "vec_id",
     "events": "event_id",
+    # lineitem duplicates by shifting l_orderkey: 10× baskets with the
+    # same part mix — exactly the duplicate skew market-basket pair
+    # fan-out must survive (pairs stay per-basket bounded)
+    "lineitem": "l_orderkey",
 }
 
 

@@ -246,3 +246,38 @@ def test_stream_static_join_broadcasts_dimension(spark):
         ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "inner")
     )
     assert "BroadcastHashJoin" in p
+
+
+def test_market_basket_order_keyed_self_join(spark):
+    """lineitem_market_basket: pair generation must be the ORDER-KEYED
+    self-join (per-basket |items|² fan-out, never corpus²) with the
+    top-50 folded into TakeOrderedAndProject."""
+    p = plan(registry.QUERIES["lineitem_market_basket"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_active_users_bounded_fanout(spark):
+    """events_active_users: the sliding distinct must ride the bounded
+    ≤7-day explode (Generate) over the DISTINCT (user, day) activity —
+    never a window over the raw event stream or a per-day re-scan."""
+    p = plan(registry.QUERIES["events_active_users"](spark, SF_SMOKE))
+    assert "Generate" in p  # the ≤7-day sequence explode
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_snapshot_diff_single_full_outer(spark):
+    """etl_snapshot_diff: one full-outer shuffle join on the key — the
+    minimum for a diff; no nested-loop fallback, no second join."""
+    p = plan(registry.QUERIES["etl_snapshot_diff"](spark, SF_SMOKE))
+    assert p.count("SortMergeJoin FullOuter (") == 1  # the one tree node
+    # and no OTHER join operator anywhere in the plan
+    for op in (
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert op not in p, op

@@ -66,8 +66,13 @@ _SWEEP_PRIORITY = [
     "etl_backfill_partition_overwrite",
     # streaming (costliest of the 22)
     "stream_static_join",
-    # --- round-5 new keys are inserted here as they land (never-swept
-    #     beats re-confirmation; see module registration order) ---
+    # --- slots 23-27: round-5 new keys (never-swept beats
+    #     re-confirmation), cheapest first ---
+    "sample_reservoir_per_group",
+    "events_attribution_last_touch",
+    "lineitem_pareto_abc",
+    "text_bigram_logprob",
+    "graph_pagerank_copurchase",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

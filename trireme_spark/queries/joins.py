@@ -624,3 +624,140 @@ def lineitem_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank_copurchase — 3 power iterations over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration as a DuckDB CTE body (see the
+    Spark mirror below for the quantization contract)."""
+    return f"""{out} AS (
+  SELECT e2.dst AS node,
+         FLOOR((0.15 / n.nn + 0.85 * (CAST(SUM(
+             CAST(FLOOR({prev}.r * e2.frac * 1e15) AS BIGINT)
+         ) AS DOUBLE) / 1e15)) * 1e12) / 1e12 AS r
+  FROM e2
+  JOIN {prev} ON e2.src = {prev}.node
+  CROSS JOIN n
+  GROUP BY e2.dst, n.nn
+)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+deg AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src),
+e2 AS (
+  SELECT e.src, e.dst,
+         CAST(e.w AS DOUBLE) / CAST(deg.outw AS DOUBLE) AS frac
+  FROM e JOIN deg ON e.src = deg.src
+),
+n AS (SELECT COUNT(DISTINCT src) AS nn FROM e),
+r0 AS (SELECT src AS node, 1.0 / nn AS r FROM deg CROSS JOIN n),
+{_pr_iter_sql('r0', 'r1')},
+{_pr_iter_sql('r1', 'r2')},
+{_pr_iter_sql('r2', 'r3')}
+SELECT node, r AS rank FROM r3
+"""
+
+
+@register("graph_pagerank_copurchase", oracle=_PAGERANK_ORACLE)
+def graph_pagerank_copurchase(
+    spark: SparkSession, sf_dir: str, iters: int = 3
+) -> DataFrame:
+    """PageRank (damping 0.85, 3 power iterations) over the co-purchase
+    part graph — the iterative-linear-algebra workload class (centrality,
+    label propagation, embedding propagation) expressed as pure keyed
+    DataFrame algebra: edges × ranks join, per-destination aggregation,
+    repeat. Co-purchase edges are symmetric, so no dangling-node mass
+    loss and the in/out node sets coincide.
+
+    Scale design: the degree fraction w/outdeg folds into the cached
+    edge list ONCE, so each iteration is exactly one keyed join of the
+    transition matrix with the rank vector plus one map-side-combined
+    aggregation on dst. Edge fan-out is per-basket-bounded (the
+    market-basket property). The only driver state is the 1-row node
+    count (bounded model state, the k-means/PQ doctrine), which turns
+    the rank update into pure column algebra — no per-iteration
+    broadcast. Cross-engine parity contract: each edge contribution
+    r·frac is computed in double and FLOOR-quantized to an int64 of
+    1e-15 units before the sum (integer sum = exact and
+    order-independent; floor has no round-half tie, which made a
+    ROUND/decimal-cast version diverge by 1 ulp on one node), and each
+    new rank floor-quantizes to 12 dp — so every iteration's input is
+    bit-identical in both engines and float drift cannot compound.
+    Overflow-safe: a node's incoming quantized mass is ≤ 1e15 ≪ 2^53,
+    so even the double cast of the sum is exact.
+
+    Fixed iteration count = bounded plan depth (the
+    dedup_connected_components loud-budget doctrine); convergence-driven
+    stopping would go in a driver loop over materialized checkpoints."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    deg = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    # transition matrix, cached + eagerly materialized: it feeds every
+    # iteration plus the node count and r0 — uncached, the lineitem
+    # self-join subtree re-executes once per consumer in the unrolled
+    # plan (measured 48 s → ~3 s at sf0.01). Stays cached for the
+    # lazily-returned plan (the clustering.py precedent); bounded by
+    # the co-occurrence pair set.
+    e2 = (
+        e.join(deg, "src")
+        .select(
+            "src",
+            "dst",
+            (
+                F.col("w").cast("double") / F.col("outw").cast("double")
+            ).alias("frac"),
+        )
+        .cache()
+    )
+    nn = e2.select("src").distinct().count()  # 1 scalar; fills the cache
+    r = e2.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0 / nn).alias("r")
+    )
+    for _ in range(iters):
+        r = (
+            e2.join(r, e2.src == r.node)
+            .select(
+                "dst",
+                F.floor(F.col("r") * F.col("frac") * F.lit(1e15))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.floor(
+                        (
+                            F.lit(0.15 / nn)
+                            + 0.85
+                            * (F.col("s").cast("double") / F.lit(1e15))
+                        )
+                        * F.lit(1e12)
+                    )
+                    / F.lit(1e12)
+                ).alias("r"),
+            )
+        )
+    return r.select("node", F.col("r").alias("rank"))

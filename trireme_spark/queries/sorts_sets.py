@@ -372,3 +372,105 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trireme_spark.sql import run_sql
 
     return run_sql(spark, sf_dir, _GBA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# lineitem_pareto_abc — cumulative revenue share → ABC inventory classes
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH pr AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+             AS rev
+  FROM lineitem GROUP BY l_partkey
+), tot AS (SELECT SUM(rev) AS t FROM pr),
+c AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum
+  FROM pr
+)
+SELECT l_partkey,
+       CAST(rev AS DOUBLE) AS revenue,
+       ROUND(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share,
+       CASE WHEN 2 * cum <= t THEN 'A'
+            WHEN 5 * cum <= 4 * t THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c, tot
+"""
+
+
+@register("lineitem_pareto_abc", oracle=_PARETO_ORACLE)
+def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis — every part's cumulative share of total
+    revenue in descending-revenue order, classed A (top 50% of revenue),
+    B (next 30%), C (tail): the 80/20 concentration cut every inventory
+    and curation pipeline runs (same shape ranks data sources by token
+    contribution in a corpus-mixture audit).
+
+    Scale design: the corpus-sized work is ONE map-side-combined rollup
+    to parts; the global prefix sum over the part dimension is the
+    DISTRIBUTED two-pass form (equal-width revenue buckets from a 1-row
+    bounds aggregate — order-preserving pure expression of the sort key
+    — local running sums, broadcast per-bucket offsets), never a
+    one-reducer window. All sums stay decimal, and the class boundaries
+    compare 2·cum ≤ t / 5·cum ≤ 4·t in EXACT integer-scaled arithmetic,
+    so no division-rounding drift can flip a class cross-engine; the
+    reported cum_share divides as double only for display (round 6)."""
+    li = table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(27,6)"
+            )
+        ).alias("rev")
+    )
+    n_rng = spark.sparkContext.defaultParallelism
+    bounds = pr.agg(F.min("rev").alias("lo"), F.max("rev").alias("hi"))
+    # descending revenue order → bucket ascends with (hi - rev)
+    width = (F.col("hi") - F.col("lo")) / n_rng
+    raw = ((F.col("hi") - F.col("rev")) / width).cast("int")
+    ranged = pr.crossJoin(F.broadcast(bounds)).withColumn(
+        "rng",
+        F.least(F.greatest(raw, F.lit(0)), F.lit(n_rng - 1)),
+    )
+    w_in = (
+        Window.partitionBy("rng")
+        .orderBy(F.col("rev").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("cum_local", F.sum("rev").over(w_in))
+    w_prev = (
+        Window.partitionBy(meta_part("rng"))
+        .orderBy("rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        local.groupBy("rng")
+        .agg(F.sum("rev").alias("rng_tot"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("rng_tot").over(w_prev),
+                F.lit(0).cast("decimal(38,6)"),
+            ),
+        )
+        .select("rng", "off")
+    )
+    tot = pr.agg(F.sum("rev").alias("t"))
+    cum = F.col("cum_local") + F.col("off")
+    return (
+        local.join(F.broadcast(offs), "rng")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(
+                cum.cast("double") / F.col("t").cast("double"), 6
+            ).alias("cum_share"),
+            F.when(2 * cum <= F.col("t"), "A")
+            .when(5 * cum <= 4 * F.col("t"), "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )

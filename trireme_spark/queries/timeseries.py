@@ -700,3 +700,78 @@ def orders_daily_revenue_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.avg("revenue").over(w), 4).alias("revenue_7d_ma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_last_touch — purchases credited to the latest prior click
+# ---------------------------------------------------------------------------
+
+_ATTR_ORACLE = """
+WITH m AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+         CASE WHEN event_type = 'click' THEN ts END AS c_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+), f AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+         value AS purchase_value, event_type,
+         last_value(c_id IGNORE NULLS) OVER w AS click_id,
+         last_value(c_ts IGNORE NULLS) OVER w AS click_ts
+  FROM m
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT purchase_id, user_id, purchase_ts, purchase_value,
+       click_id, click_ts
+FROM f WHERE event_type = 'purchase'
+"""
+
+
+@register("events_attribution_last_touch", oracle=_ATTR_ORACLE)
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution — every purchase credited to the same
+    user's most recent PRIOR click (NULL when none): the revenue-
+    attribution join every marketing pipeline runs, and the classic
+    as-of shape solved WITHOUT a range join.
+
+    Scale design: clicks and purchases interleave in ONE per-user
+    time-ordered window (ts, event_id total order — a click at the
+    exact purchase ts attributes iff its event_id sorts first, same
+    rule both engines) and the click id/ts carry forward via
+    last_value(ignore nulls) — one keyed shuffle on user_id, O(1)
+    window state, no click×purchase candidate blowup, unbounded
+    lookback for free. The union-LOCF trick is operators/asof.py's;
+    inlined here because the carried payload is two columns."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_click = F.col("event_type") == "click"
+    m = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(is_click, F.col("event_id")).alias("c_id"),
+        F.when(is_click, F.col("ts")).alias("c_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        m.select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+            F.last("c_id", ignorenulls=True).over(w).alias("click_id"),
+            F.last("c_ts", ignorenulls=True).over(w).alias("click_ts"),
+            "event_type",
+        )
+        .where(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )

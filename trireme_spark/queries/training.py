@@ -686,3 +686,51 @@ def etl_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "checked",
     ).withColumn("pass", F.col("violations") == 0)
+
+
+# ---------------------------------------------------------------------------
+# sample_reservoir_per_group — deterministic k-per-group sample
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_ORACLE = """
+SELECT event_id, event_type, value, pick_order
+FROM (
+  SELECT event_id, event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS pick_order
+  FROM events
+)
+WHERE pick_order <= 5
+"""
+
+
+@register("sample_reservoir_per_group", oracle=_RESERVOIR_ORACLE)
+def sample_reservoir_per_group(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Deterministic "reservoir" of k=5 examples per group (event_type):
+    the eval-set / debugging sample every pipeline stage wants — same k
+    rows on any cluster size, any partitioning, any retry, because the
+    reservoir order is a content hash (md5 — cross-engine identical),
+    not RNG state.
+
+    Scale design: one keyed window (partition by group, order by hash) —
+    a single shuffle; Spark's WindowGroupLimit pushes the rank<=k filter
+    into per-partition top-k heaps before the shuffle, so only
+    k·partitions rows per group move (the limit_topk property, per
+    group). Skewed groups cost a bounded heap, never a sort spill."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("pick_order"),
+        )
+        .where(F.col("pick_order") <= k)
+    )
