@@ -26,6 +26,7 @@ from trireme_spark.queries import timeseries  # noqa: F401
 from trireme_spark.queries import training  # noqa: F401
 from trireme_spark.queries import windows  # noqa: F401
 from trireme_spark.queries import scans  # noqa: F401
+from trireme_spark.queries import search  # noqa: F401
 from trireme_spark.queries import sorts_sets  # noqa: F401
 from trireme_spark.queries import streaming  # noqa: F401
 from trireme_spark.queries import udfs  # noqa: F401
@@ -69,6 +70,10 @@ _SWEEP_PRIORITY = [
     # --- slots 23-27: round-5 new keys (never-swept beats
     #     re-confirmation), cheapest first ---
     "sample_reservoir_per_group",
+    "search_highlight",
+    "search_prefix_suggest",
+    "search_facets",
+    "search_bm25_topk",
     "events_attribution_last_touch",
     "lineitem_pareto_abc",
     "text_bigram_logprob",

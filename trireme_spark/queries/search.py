@@ -1,0 +1,212 @@
+"""Search-engine keys — the Solr side of the reference's
+Cassandra→Solr migration surface (SURVEY.md §1.1), re-expressed as
+DataFrame algebra over the ``documents`` table: BM25 ranked retrieval,
+faceting, prefix suggest, and highlighting. A user who ran these against
+the search sink runs the same semantics here, batch-side.
+
+Scale shapes: ranking is explode → keyed tf/df aggregations → broadcast
+of the QUERY-sized statistics (never the corpus); facets are one
+grouping pass over the filtered scan; suggest is a bounded-prefix
+aggregation folding into TakeOrderedAndProject; highlighting is a
+codegen'd regexp projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trireme_spark.functions.text import tokenize
+from trireme_spark.registry import register
+from trireme_spark.sources.io import table
+
+# deterministic multi-term query over the fixture vocabulary; mirrored
+# literally in the oracles
+_QUERY_TERMS = ["hash", "merge", "vector"]
+_Q_SQL = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+
+# Lucene-flavored BM25 constants
+_K1 = 1.2
+_B = 0.75
+
+_BM25_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM base
+), tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+  FROM (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM base)
+  WHERE tok IN ({_Q_SQL})
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({_K1} + 1.0))
+           / (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))
+           AS DECIMAL(27,6)) AS s
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+)
+SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 4) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
+@register("search_bm25_topk", oracle=_BM25_ORACLE)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75, Lucene-style idf) for a
+    fixed multi-term query, top-10 — the scoring core of the search
+    sink the reference migrates into, run batch-side.
+
+    Scale design: one explode → the tf aggregation keeps ONLY query
+    terms (the filter rides the explode, so the shuffle carries
+    |query|·|matching docs| rows, not the corpus postings); df and the
+    corpus stats (N, avgdl) are query-/1-row-sized broadcasts back into
+    the scored stream; top-10 folds into TakeOrderedAndProject.
+    Per-(doc,term) scores decimal-quantize before the order-independent
+    sum; ROUND(4) absorbs ln() ulp drift (the LM-key parity contract)."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokenize("text").alias("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .where(F.col("term").isin(_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.any_value("dl").alias("dl"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    s = (
+        idf
+        * (F.col("tf") * (_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+        )
+    ).cast("decimal(27,6)")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s").cast("double"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+_FACETS_ORACLE = """
+WITH hits AS (
+  SELECT lang, source FROM documents
+  WHERE list_contains(string_split_regex(lower(text), '\\s+'), 'hash')
+)
+SELECT 'lang' AS facet_field, lang AS facet_value, COUNT(*) AS n
+FROM hits GROUP BY lang
+UNION ALL
+SELECT 'source' AS facet_field, source AS facet_value, COUNT(*) AS n
+FROM hits GROUP BY source
+"""
+
+
+@register("search_facets", oracle=_FACETS_ORACLE)
+def search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search counts — per-field value histograms over the
+    result set of a term query ('hash'), the Solr facet response shape.
+
+    Scale design: the match predicate evaluates once in the scan's
+    codegen stage; each facet is a map-side-combined aggregation over a
+    dimension-sized key space, unioned — at 100× you'd fuse them into
+    one grouping-sets pass (agg_grouping_sets machinery) to halve the
+    scan; two facets over one cached-by-OS scan doesn't earn it."""
+    d = table(spark, sf_dir, "documents")
+    hits = d.where(F.array_contains(tokenize("text"), "hash")).select(
+        "lang", "source"
+    )
+    by_lang = hits.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("lang").alias("facet_field"),
+        F.col("lang").alias("facet_value"),
+        "n",
+    )
+    by_source = (
+        hits.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("source").alias("facet_field"),
+            F.col("source").alias("facet_value"),
+            "n",
+        )
+    )
+    return by_lang.unionByName(by_source)
+
+
+_SUGGEST_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+)
+SELECT tok AS suggestion, COUNT(*) AS n
+FROM toks WHERE tok LIKE 's%'
+GROUP BY tok ORDER BY n DESC, tok LIMIT 10
+"""
+
+
+@register("search_prefix_suggest", oracle=_SUGGEST_ORACLE)
+def search_prefix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete — top-10 completions of 's' by corpus
+    frequency: the Solr suggester, batch-built.
+
+    Scale design: prefix filter rides the explode (no full posting
+    shuffle — only matching tokens move), one keyed aggregation,
+    TakeOrderedAndProject. A serving-side suggester would sink this
+    aggregation to its index; the build is this exact plan."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokenize("text")).alias("tok"))
+        .where(F.col("tok").startswith("s"))
+        .groupBy(F.col("tok").alias("suggestion"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "suggestion")
+        .limit(10)
+    )
+
+
+# ±3 words of context around the first 'merge' hit; pattern stays in the
+# Java-regex ∩ RE2 subset (counted repeats + non-capturing groups, no
+# lookaround) so both engines segment identically
+_SNIPPET_RE = r"(?:\S+\s+){0,3}merge(?:\s+\S+){0,3}"
+
+_HIGHLIGHT_ORACLE = f"""
+SELECT doc_id,
+       regexp_extract(lower(text), '{_SNIPPET_RE}') AS snippet
+FROM documents
+WHERE list_contains(string_split_regex(lower(text), '\\s+'), 'merge')
+"""
+
+
+@register("search_highlight", oracle=_HIGHLIGHT_ORACLE)
+def search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search highlighting — the first 'merge' hit with ±3 words of
+    context per matching doc (the Solr highlighter response, batch
+    form). Pure codegen'd regexp projection over the filtered scan —
+    linear, shuffle-free at any scale."""
+    d = table(spark, sf_dir, "documents")
+    return d.where(
+        F.array_contains(tokenize("text"), "merge")
+    ).select(
+        "doc_id",
+        F.regexp_extract(F.lower("text"), _SNIPPET_RE, 0).alias("snippet"),
+    )
