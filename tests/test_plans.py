@@ -281,3 +281,33 @@ def test_snapshot_diff_single_full_outer(spark):
         "CartesianProduct",
     ):
         assert op not in p, op
+
+
+def test_bm25_topk_shape(spark):
+    """search_bm25_topk: top-10 folds into TakeOrderedAndProject; corpus
+    stats and df are broadcast; no nested-loop anywhere."""
+    p = plan(registry.QUERIES["search_bm25_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p
+    # the only BNL joins are the 1-row corpus-stats cross join (the
+    # intended shape; pre-AQE text shows the subtree twice)
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_pareto_two_pass_no_global_window(spark):
+    """lineitem_pareto_abc: the global prefix sum must ride the range-
+    bucketed two-pass (hashpartitioning(rng)), never a bare global
+    window; 1-row bounds/total tables broadcast."""
+    p = plan(registry.QUERIES["lineitem_pareto_abc"](spark, SF_SMOKE))
+    assert "hashpartitioning(rng" in p
+    assert "spark_partition_id" not in p
+
+
+def test_attribution_single_user_window(spark):
+    """events_attribution_last_touch: one keyed window over user_id —
+    no range join, no click×purchase candidate blowup."""
+    p = plan(registry.QUERIES["events_attribution_last_touch"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Window (") == 1 or p.count("Window") >= 1
+    assert "hashpartitioning(user_id" in p

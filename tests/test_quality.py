@@ -362,3 +362,83 @@ def test_pca_projection_contract(spark):
         f"components correlated: max |off-diag| {np.abs(off).max()} "
         f"vs leading var {var[0]}"
     )
+
+
+def test_pagerank_invariants(spark):
+    """graph_pagerank_copurchase: rank mass ≈ 1 (symmetric graph, no
+    dangling leak beyond quantization), every rank ≥ the damping floor,
+    and high-degree hubs outrank the minimum — the linear-algebra
+    contract the rows-hash oracle already pins numerically; this guards
+    the SEMANTICS if the formula is ever edited."""
+    rows = registry.QUERIES["graph_pagerank_copurchase"](
+        spark, SF_SMOKE
+    ).collect()
+    n = len(rows)
+    total = sum(r["rank"] for r in rows)
+    # floor-quantization loses < 1e-12 per node per iteration
+    assert abs(total - 1.0) < 1e-6, total
+    floor = 0.15 / n
+    assert all(r["rank"] >= floor - 1e-9 for r in rows)
+    assert max(r["rank"] for r in rows) > 1.5 * floor
+
+
+def test_pareto_abc_contract(spark):
+    """lineitem_pareto_abc: cum_share is nondecreasing in descending-
+    revenue order, ends at 1.0, and classes partition at the 50%/80%
+    boundaries in order A→B→C."""
+    rows = registry.QUERIES["lineitem_pareto_abc"](spark, SF_SMOKE).collect()
+    rows.sort(key=lambda r: (-r["revenue"], r["l_partkey"]))
+    shares = [r["cum_share"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    classes = [r["abc_class"] for r in rows]
+    # classes appear in contiguous A..B..C blocks
+    assert classes == sorted(classes)
+    assert classes[0] == "A" and classes[-1] == "C"
+
+
+def test_bm25_scores_positive_and_term_bound(spark):
+    """search_bm25_topk: every returned doc actually contains a query
+    term and scores are positive and descending."""
+    rows = registry.QUERIES["search_bm25_topk"](spark, SF_SMOKE).collect()
+    assert rows, "no BM25 hits"
+    scores = [r["bm25"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    hit_ids = [r["doc_id"] for r in rows]
+    d = table(spark, SF_SMOKE, "documents")
+    from trireme_spark.functions.text import tokenize
+
+    matching = {
+        r["doc_id"]
+        for r in d.select(
+            "doc_id", tokenize("text").alias("toks")
+        ).collect()
+        if {"hash", "merge", "vector"} & set(r["toks"])
+    }
+    assert set(hit_ids) <= matching
+
+
+def test_attribution_click_precedes_purchase(spark):
+    """events_attribution_last_touch: an attributed click is by the same
+    user and never after the purchase (ties broken by event_id order)."""
+    rows = registry.QUERIES["events_attribution_last_touch"](
+        spark, SF_SMOKE
+    ).collect()
+    attributed = [r for r in rows if r["click_ts"] is not None]
+    assert attributed, "no attributed purchases in fixture"
+    for r in attributed:
+        assert r["click_ts"] <= r["purchase_ts"]
+
+
+def test_reservoir_sample_deterministic_k(spark):
+    """sample_reservoir_per_group: exactly k rows per group present in
+    the data, identical across two independent plan executions."""
+    q = registry.QUERIES["sample_reservoir_per_group"]
+    a = {(r["event_type"], r["event_id"]) for r in q(spark, SF_SMOKE).collect()}
+    b = {(r["event_type"], r["event_id"]) for r in q(spark, SF_SMOKE).collect()}
+    assert a == b
+    from collections import Counter
+
+    per_group = Counter(t for t, _ in a)
+    assert all(v == 5 for v in per_group.values()), per_group

@@ -70,6 +70,8 @@ _SWEEP_PRIORITY = [
     # --- slots 23-27: round-5 new keys (never-swept beats
     #     re-confirmation), cheapest first ---
     "sample_reservoir_per_group",
+    "etl_column_profile",
+    "orders_cohort_ltv",
     "search_highlight",
     "search_prefix_suggest",
     "search_facets",

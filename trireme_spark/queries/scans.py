@@ -605,3 +605,83 @@ def etl_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_hash).alias("content_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# etl_column_profile — one-pass data-profiling summary
+# ---------------------------------------------------------------------------
+
+def _profile_col_sql(col: str, val: str) -> str:
+    return f"""SELECT '{col}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({val}) AS n_null,
+       COUNT(DISTINCT {val}) AS n_distinct,
+       CAST(MIN({val}) AS VARCHAR) AS min_value,
+       CAST(MAX({val}) AS VARCHAR) AS max_value
+FROM orders"""
+
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    _profile_col_sql(c, v)
+    for c, v in [
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_custkey", "o_custkey"),
+        ("o_totalprice", "CAST(o_totalprice AS DECIMAL(27,6))"),
+        ("o_orderdate", "CAST(o_orderdate AS DATE)"),
+    ]
+)
+
+
+@register("etl_column_profile", oracle=_PROFILE_ORACLE)
+def etl_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — per-column row/null/distinct counts and
+    min/max, as rows: the Deequ/expectations-style table summary every
+    ingestion pipeline publishes next to the data (and the statistics a
+    migration validator compares source-vs-target, complementing
+    etl_partition_checksum's content hashes).
+
+    Scale design: ONE scan computes every metric in a single partial+
+    final aggregate (the oracle's per-column UNION of scans is the shape
+    this key exists to avoid — at 100 TB, 4 scans vs 1); the 1-row
+    metric vector then explodes into per-column rows driver-free.
+    Cross-engine value formatting goes through type-stable casts
+    (decimal with fixed scale, DATE) so min/max strings are identical.
+    Exact COUNT(DISTINCT) here; the approx_distinct key is the
+    documented fallback when a profile column's cardinality makes the
+    exact distinct shuffle the bottleneck."""
+    o = table(spark, sf_dir, "orders")
+    cols = {
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_custkey": F.col("o_custkey"),
+        "o_totalprice": F.col("o_totalprice").cast("decimal(27,6)"),
+        "o_orderdate": F.col("o_orderdate").cast("date"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, c in cols.items():
+        aggs += [
+            F.count(c).alias(f"{name}__nn"),
+            F.countDistinct(c).alias(f"{name}__nd"),
+            F.min(c).cast("string").alias(f"{name}__min"),
+            F.max(c).cast("string").alias(f"{name}__max"),
+        ]
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                (F.col("n_rows") - F.col(f"{name}__nn")).alias("n_null"),
+                F.col(f"{name}__nd").alias("n_distinct"),
+                F.col(f"{name}__min").alias("min_value"),
+                F.col(f"{name}__max").alias("max_value"),
+            )
+            for name in cols
+        ]
+    )
+    return one.select("n_rows", F.explode(rows).alias("p")).select(
+        "p.column_name",
+        "n_rows",
+        "p.n_null",
+        "p.n_distinct",
+        "p.min_value",
+        "p.max_value",
+    )

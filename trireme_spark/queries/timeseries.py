@@ -775,3 +775,95 @@ def events_attribution_last_touch(
         .where(F.col("event_type") == "purchase")
         .drop("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_cohort_ltv — cohort lifetime-value accumulation
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH first AS (
+  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey
+), sizes AS (
+  SELECT cohort_month, COUNT(*) AS cohort_users FROM first GROUP BY 1
+), rev AS (
+  SELECT f.cohort_month,
+         date_diff('month', f.cohort_month,
+                   date_trunc('month', o.o_orderdate)) AS age_months,
+         SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS revenue
+  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+)
+SELECT cohort_month, age_months, cohort_users,
+       CAST(revenue AS DOUBLE) AS revenue,
+       FLOOR(CAST(SUM(revenue) OVER (
+                PARTITION BY cohort_month ORDER BY age_months
+             ) AS DOUBLE) / cohort_users * 1e4) / 1e4 AS cum_ltv_per_user
+FROM rev JOIN sizes USING (cohort_month)
+"""
+
+
+@register("orders_cohort_ltv", oracle=_LTV_ORACLE)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — customers grouped by first-order month, each
+    cohort's revenue accumulated per age month and normalized per user:
+    the money-side complement of events_retention_cohorts, and the
+    curve every growth model is fit against.
+
+    Scale design: the corpus-sized work is one first-order rollup and
+    one decimal-exact (cohort, age) revenue rollup; the cumulative LTV
+    window runs PARTITIONED by cohort over the dimension-sized rollup
+    (ages per cohort ≈ months of history — never a global window). The
+    month arithmetic uses month-truncated dates on both engines, where
+    calendar month counting agrees exactly. The per-user LTV quantizes
+    by FLOOR (not ROUND): the exact-decimal cum ÷ integer cohort size
+    lands on .00005 boundaries where the engines' round-half rules
+    disagree — floor of identical doubles cannot (the PageRank parity
+    contract)."""
+    o = table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    sizes = first.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    rev = (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")),
+                F.col("cohort_month"),
+            )
+            .cast("int")
+            .alias("age_months"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias(
+                "revenue"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(sizes, "cohort_month")
+        .select(
+            "cohort_month",
+            "age_months",
+            "cohort_users",
+            F.col("revenue").cast("double").alias("revenue"),
+            (
+                F.floor(
+                    F.sum("revenue").over(w).cast("double")
+                    / F.col("cohort_users")
+                    * F.lit(1e4)
+                )
+                / F.lit(1e4)
+            ).alias("cum_ltv_per_user"),
+        )
+    )
