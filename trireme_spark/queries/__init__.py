@@ -79,6 +79,7 @@ _SWEEP_PRIORITY = [
     "events_attribution_last_touch",
     "lineitem_pareto_abc",
     "text_bigram_logprob",
+    "stream_complete_mode",
     "graph_pagerank_copurchase",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",

@@ -311,3 +311,32 @@ if tws_available():
         return updates.groupBy("user_id").agg(
             F.max("n_events").alias("n_events")
         )
+
+
+_T11_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       {oracle_sum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("stream_complete_mode", oracle=_T11_ORACLE)
+def stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t11 — COMPLETE output mode over a real 4-file micro-batch replay:
+    the third of the three output modes (t4 pins append, t6 update).
+    Complete re-emits the ENTIRE aggregate each trigger, so the memory
+    sink's final state is exactly the full tumbling aggregate and
+    hash-matches the plain GROUP BY oracle with no watermark dance.
+
+    Scale design: complete mode keeps every group in the state store and
+    re-emits all of them per trigger — correct only while the aggregate
+    is dimension-sized (hour × event_type here). The docstring IS the
+    contract: corpus-keyed aggregates belong in update/append mode;
+    complete is for small live dashboards."""
+    staged = stage_events_files(spark, sf_dir, n_files=4, tag="shared")
+    ev = events_stream_staged(spark, staged, max_files_per_trigger=1)
+    agg = tumbling_counts(ev)  # no watermark: complete mode retains all
+    return run_to_memory(agg, mode="complete")
