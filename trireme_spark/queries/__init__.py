@@ -16,6 +16,7 @@ keys dead last — a truncated sweep loses the least information that way.
 from trireme_spark.queries import aggregates  # noqa: F401
 from trireme_spark.queries import clustering  # noqa: F401
 from trireme_spark.queries import filters  # noqa: F401
+from trireme_spark.queries import geo  # noqa: F401
 from trireme_spark.queries import functions_scalar  # noqa: F401
 from trireme_spark.queries import joins  # noqa: F401
 from trireme_spark.queries import llm_sim  # noqa: F401
@@ -70,6 +71,8 @@ _SWEEP_PRIORITY = [
     # --- slots 23-27: round-5 new keys (never-swept beats
     #     re-confirmation), cheapest first ---
     "sample_reservoir_per_group",
+    "events_outlier_mad",
+    "geo_distance_join",
     "etl_column_profile",
     "orders_cohort_ltv",
     "search_highlight",

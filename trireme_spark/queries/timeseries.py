@@ -867,3 +867,67 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_outlier_mad — robust (median/MAD) outlier flagging
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, median(abs(e.value - med.med)) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       FLOOR(0.6745 * (e.value - med.med) / mad.mad * 1e3) / 1e3
+           AS robust_z
+FROM events e
+JOIN med USING (event_type)
+JOIN mad USING (event_type)
+WHERE abs(0.6745 * (e.value - med.med) / mad.mad) > 3.5
+"""
+
+
+@register("events_outlier_mad", oracle=_MAD_ORACLE)
+def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen — median/MAD z-scores (|z| > 3.5, the
+    Iglewicz-Hoaglin cut): the heavy-tail-safe complement of
+    events_anomaly_zscore, whose mean/stddev are themselves dragged by
+    the outliers they hunt. The standard robust filter for quality
+    scores and metrics with fat tails.
+
+    Scale design: two per-group medians (exact interpolated percentile —
+    a keyed sort-based aggregate over each group) broadcast back as
+    dimension-sized stats; the flagging pass is one codegen'd projection
+    over the stream. Exact medians beat approx here because the stats
+    table is group-count-sized; at corpus-keyed cardinality the
+    approx_percentile sketch is the documented swap. Robust z
+    floor-quantizes (memory: round-half rules differ cross-engine)."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))
+            .alias("mad")
+        )
+    )
+    rz = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        ev.join(med, "event_type")
+        .join(mad, "event_type")
+        .where(F.abs(rz) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.floor(rz * F.lit(1e3)) / F.lit(1e3)).alias("robust_z"),
+        )
+    )
