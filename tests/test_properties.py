@@ -268,3 +268,39 @@ def test_backfill_touches_only_target_partition(spark):
     assert min(target) > max(others), (
         "backfill rewrote files outside the target partition"
     )
+
+
+def test_zorder_layout_clusters_both_dimensions(spark):
+    """etl_zorder_layout: the Z-curve must make file-level min/max stats
+    TIGHT on both filter dimensions — the selective customer-range read
+    must touch a strict subset of the files (a random layout puts hits
+    in every file; single-column sort would pass for custkey but fail a
+    date-range probe)."""
+    from pyspark.sql import functions as F
+
+    from trireme_spark.queries.scans import _tmp
+    from trireme_spark import registry
+
+    registry.QUERIES["etl_zorder_layout"](spark, SF_SMOKE).collect()
+    out = _tmp("zorder", SF_SMOKE)
+    full = spark.read.parquet(out).withColumn(
+        "f", F.input_file_name()
+    )
+    n_files = full.select("f").distinct().count()
+    assert n_files >= 4, "layout degenerated to too few files to test"
+    # domain-relative ~12% slices of EACH dimension: a random layout puts
+    # hits in every file; single-column sort passes one dim, fails the other
+    b = full.agg(
+        F.min("o_custkey").alias("c_lo"), F.max("o_custkey").alias("c_hi"),
+        F.min("o_orderdate").alias("d_lo"), F.max("o_orderdate").alias("d_hi"),
+    ).first()
+    c_cut = b["c_lo"] + (b["c_hi"] - b["c_lo"]) // 8
+    d_cut = b["d_lo"] + (b["d_hi"] - b["d_lo"]) / 8
+    for pred in (
+        F.col("o_custkey") <= c_cut,
+        F.col("o_orderdate") <= F.lit(d_cut),
+    ):
+        touched = full.where(pred).select("f").distinct().count()
+        assert touched < n_files, (
+            f"selective read touched all {n_files} files — no clustering"
+        )

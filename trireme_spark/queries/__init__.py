@@ -75,6 +75,8 @@ _SWEEP_PRIORITY = [
     "geo_distance_join",
     "etl_column_profile",
     "orders_cohort_ltv",
+    "etl_incremental_agg_merge",
+    "etl_zorder_layout",
     "search_highlight",
     "search_prefix_suggest",
     "search_facets",

@@ -685,3 +685,157 @@ def etl_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p.min_value",
         "p.max_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# etl_incremental_agg_merge — incremental rollup maintenance
+# ---------------------------------------------------------------------------
+
+_INC_ORACLE = """
+SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("etl_incremental_agg_merge", oracle=_INC_ORACLE)
+def etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the daily-rollup table kept
+    up to date by MERGING each ingest batch's PARTIAL aggregate into the
+    store, never re-scanning history: four deterministic ingest batches
+    each write their partial (day, count, decimal sum) to the rollup
+    directory, and readers combine partials by key. The oracle is the
+    full-table batch recompute, so the check IS the
+    incremental-equals-batch contract every incremental pipeline must
+    honor (and additivity is why sums/counts are kept, with avg derived
+    at read time — the non-additive-metric trap).
+
+    Scale design: each batch's work is one map-side-combined aggregation
+    over THAT batch only; the merge-on-read combines |days|×|batches|
+    partial rows — dimension-sized forever. The decimal partial sums
+    make the merge order-independent and exactly additive."""
+    store = _tmp("inc_agg", sf_dir)
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+    o = table(spark, sf_dir, "orders")
+    for batch in range(4):  # deterministic ingest batches
+        part = (
+            o.where(F.col("o_orderkey") % 4 == batch)
+            .groupBy(
+                F.date_format(
+                    F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd"
+                ).alias("day")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias(
+                    "rev_partial"
+                ),
+            )
+        )
+        part.write.mode("append").parquet(store)
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("day")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_partial").cast("double").alias("revenue"),
+        )
+    )
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# etl_zorder_layout — space-filling-curve file clustering
+# ---------------------------------------------------------------------------
+
+_ZORDER_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 200
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+"""
+
+
+def _interleave_bits(a, b, nbits: int = 8):
+    """Morton/Z-value of two nbits-wide ints — pure integer expression
+    (bit i of a → bit 2i+1, bit i of b → bit 2i)."""
+    z = F.lit(0).cast("long")
+    for i in range(nbits):
+        z = (
+            z
+            + (F.shiftright(a, i) % 2) * F.lit(1 << (2 * i + 1))
+            + (F.shiftright(b, i) % 2) * F.lit(1 << (2 * i))
+        )
+    return z
+
+
+@register("etl_zorder_layout", oracle=_ZORDER_ORACLE)
+def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) file clustering — the OPTIMIZE ZORDER BY
+    of Delta/Iceberg table maintenance, built from primitives: rows sort
+    by the bit-interleaved Z-value of the two filter dimensions
+    (customer bucket × day bucket) before the write, so a reader
+    filtering on EITHER dimension touches few row groups — single-column
+    sorting clusters one dimension and scatters the other; the Z-curve
+    keeps both locally dense.
+
+    Scale design: the Z-value is a pure integer expression (no UDF);
+    the write is one range-sort by zval (sortWithinPartitions after a
+    repartitionByRange — at cluster scale that is the standard
+    one-shuffle re-layout); parquet row-group min/max stats on the
+    ORIGINAL columns then do the pruning — the curve exists purely to
+    make those stats tight. The oracle reads the same slice straight
+    from the source, so the re-layout is value-checked lossless."""
+    out = _tmp("zorder", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    # 8-bit equal-width buckets over the ACTUAL per-dimension domains
+    # (a 1-row bounds aggregate, broadcast — what a real OPTIMIZE ZORDER
+    # reads from table stats); fixed-constant domains clamp at scale and
+    # collapse the curve's tail into one bucket (measured: the date tail
+    # degenerated and killed file pruning on that dimension)
+    bounds = o.agg(
+        F.min("o_custkey").alias("c_lo"),
+        F.max("o_custkey").alias("c_hi"),
+        F.min("o_orderdate").alias("d_lo"),
+        F.max("o_orderdate").alias("d_hi"),
+    )
+
+    def _bucket8(v, lo, hi):
+        raw = ((v - lo) * 256.0 / (hi - lo + 1)).cast("long")
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(255))
+
+    ob = o.crossJoin(F.broadcast(bounds))
+    cb = _bucket8(F.col("o_custkey"), F.col("c_lo"), F.col("c_hi"))
+    db = _bucket8(
+        F.datediff(F.col("o_orderdate"), F.col("d_lo")).cast("long"),
+        F.lit(0),
+        F.datediff(F.col("d_hi"), F.col("d_lo")).cast("long"),
+    )
+    zval = _interleave_bits(cb, db)
+    o = ob
+    (
+        o.withColumn("zval", zval)
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval", "c_lo", "c_hi", "d_lo", "d_hi")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).where(
+        (F.col("o_custkey").between(100, 200))
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    )
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd")
+        .alias("day"),
+    )
