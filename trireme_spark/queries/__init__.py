@@ -71,6 +71,8 @@ _SWEEP_PRIORITY = [
     # --- slots 23-27: round-5 new keys (never-swept beats
     #     re-confirmation), cheapest first ---
     "sample_reservoir_per_group",
+    "events_funnel_latency",
+    "dedup_fuzzy_names",
     "events_outlier_mad",
     "geo_distance_join",
     "etl_column_profile",

@@ -1055,3 +1055,70 @@ def sim_sparse_cosine_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dots.where(sim >= 0.5).select(
         "doc_a", "doc_b", F.round(sim, 4).alias("cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_fuzzy_names — entity resolution via symmetric-delete blocking
+# ---------------------------------------------------------------------------
+
+_FUZZY_NAMES_ORACLE = """
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       levenshtein(a.c_name, b.c_name) AS edit_dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@register("dedup_fuzzy_names", oracle=_FUZZY_NAMES_ORACLE)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution — every customer-name pair within edit
+    distance 1, found WITHOUT an all-pairs Levenshtein: each name
+    generates its 1-character-deletion neighborhood (SymSpell's
+    symmetric-delete trick — names at edit distance ≤ 1 ALWAYS share a
+    variant: a deletion pair meets at the shorter string, a
+    substitution pair at the both-sides-deleted string), candidates
+    meet through an equi-join on the variant, and the exact Levenshtein
+    verifies only candidates.
+
+    Scale design: the variant fan-out is |name|+1 per row (bounded,
+    pure column algebra — no UDF), the join is hash-partitionable on
+    the variant string, and verification is per-candidate — the classic
+    bucket-then-verify doctrine applied to edit distance. The oracle is
+    the BRUTE-FORCE cross join, so the blocking's COMPLETENESS (no pair
+    missed) is value-checked, not assumed. At higher edit radii the
+    same construction uses deeper deletion neighborhoods (SymSpell) at
+    |name|^k fan-out — the documented trade."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    variants = F.array_distinct(
+        F.concat(
+            F.array(F.col("c_name")),  # identity: catches pure ins/del
+            F.expr(
+                "transform(sequence(0, length(c_name) - 1), i -> "
+                "concat(substring(c_name, 1, i), "
+                "substring(c_name, i + 2, 1000)))"
+            ),
+        )
+    )
+    v = c.select(
+        "c_custkey", "c_name", F.explode(variants).alias("variant")
+    )
+    a = v.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_name").alias("name_a"),
+        "variant",
+    )
+    b = v.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_name").alias("name_b"),
+        "variant",
+    )
+    cand = (
+        a.join(b, "variant")
+        .where(F.col("cust_a") < F.col("cust_b"))
+        .select("cust_a", "cust_b", "name_a", "name_b")
+        .distinct()
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return cand.where(lev <= 1).select(
+        "cust_a", "cust_b", lev.alias("edit_dist")
+    )

@@ -931,3 +931,69 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(rz * F.lit(1e3)) / F.lit(1e3)).alias("robust_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_latency — conversion-time distribution
+# ---------------------------------------------------------------------------
+
+_FUNNEL_LAT_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id,
+         MIN(epoch_us(e.ts) - epoch_us(s.signup_ts)) AS latency_us
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_converted,
+       CAST(FLOOR(quantile_cont(latency_us, 0.5) / 1e6) AS BIGINT) AS p50_s,
+       CAST(FLOOR(quantile_cont(latency_us, 0.9) / 1e6) AS BIGINT) AS p90_s,
+       CAST(FLOOR(quantile_cont(latency_us, 0.99) / 1e6) AS BIGINT) AS p99_s
+FROM p
+"""
+
+
+@register("events_funnel_latency", oracle=_FUNNEL_LAT_ORACLE)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution — p50/p90/p99 of time from first
+    signup to first subsequent purchase: the latency histogram behind
+    every funnel dashboard, complementing events_funnel's stage counts.
+
+    Scale design: two keyed aggregations (first signup, first later
+    purchase) shuffled on user_id, then ONE exact percentile aggregate
+    over the per-user latencies (converted-users-sized — a dimension);
+    approx_percentile is the documented swap when the converted set is
+    itself corpus-scale. Latencies are integral epoch seconds; the
+    FLOOR on the interpolated quantile keeps cross-engine parity."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    # EXACT microsecond latencies: DuckDB's epoch() keeps fractional
+    # seconds while unix_timestamp() truncates — integral µs on both
+    # sides makes the interpolated quantiles bit-identical
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("signup_ts").cast("timestamp"))
+            ).alias("latency_us")
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.floor(F.percentile("latency_us", F.lit(0.5)) / 1e6).alias("p50_s"),
+        F.floor(F.percentile("latency_us", F.lit(0.9)) / 1e6).alias("p90_s"),
+        F.floor(F.percentile("latency_us", F.lit(0.99)) / 1e6).alias(
+            "p99_s"
+        ),
+    )
