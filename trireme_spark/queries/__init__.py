@@ -72,6 +72,7 @@ _SWEEP_PRIORITY = [
     #     re-confirmation), cheapest first ---
     "sample_reservoir_per_group",
     "events_funnel_latency",
+    "multimodal_audio_frames",
     "dedup_fuzzy_names",
     "events_outlier_mad",
     "geo_distance_join",

@@ -101,3 +101,72 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return resize_stub(binary_df, factor=4)
+
+
+_MMA_ORACLE = """
+WITH b AS (
+  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(f.frame_no AS INTEGER) AS frame_no,
+       CAST(least(n - f.frame_no * 160, 400) AS INTEGER) AS n_samples,
+       CAST(list_sum(list_transform(
+           range(CAST(least(n - f.frame_no * 160, 400) AS BIGINT)),
+           i -> ascii(substr(text,
+                CAST(f.frame_no * 160 + i AS INT) + 1, 1)) ^ 2
+       )) AS BIGINT) AS energy
+FROM b, LATERAL (
+  SELECT UNNEST(range(
+      CAST(greatest(n - 400, 0) // 160 AS BIGINT) + 1)) AS frame_no
+) f
+"""
+
+
+@register("multimodal_audio_frames", oracle=_MMA_ORACLE)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing — overlapping analysis windows (400-sample frames,
+    160-sample hop: the standard 25 ms/10 ms speech framing) with
+    per-frame energy, over an opaque byte payload: the first step of
+    every audio featurizer (STFT, MFCC, VAD).
+
+    The payload is the doc text's UTF-8 bytes (no media fixtures in the
+    container — the multimodal_decode planting pattern), so the per-
+    frame integer energies are mirrored exactly by the oracle via char
+    codes and the ENTIRE Arrow pipeline is value-checked: binary column
+    → mapInPandas → numpy frombuffer → strided framing → typed rows
+    back. A real PCM decoder drops in at the frombuffer line.
+
+    Scale design: framing is embarrassingly parallel per row; the UDF
+    emits (doc, frame) rows — ~n/hop per doc, bounded fan-out — and the
+    heavy bytes never leave the executor (only frame STATS return).
+    Arrow batches amortize the Python hop; no shuffle anywhere."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    binary_df = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def frames(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "n_samples": [],
+                   "energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(x)
+                n_frames = max(n - 400, 0) // 160 + 1
+                for k in range(n_frames):
+                    seg = x[k * 160 : k * 160 + 400]
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(k)
+                    out["n_samples"].append(len(seg))
+                    out["energy"].append(int((seg * seg).sum()))
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(
+        frames,
+        "doc_id long, frame_no int, n_samples int, energy long",
+    )
