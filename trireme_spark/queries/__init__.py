@@ -36,10 +36,11 @@ from trireme_spark.queries import udfs  # noqa: F401
 # per sweep. Slots 1-22: the 21 round-4 additions that overflowed the r4
 # window and have never received a driver row, plus the embed_pca_project
 # retest (r4's one red row — output reshaped to scalar cells this round).
-# Cheapest first so a time-budgeted sweep loses the least. New round-5
-# keys slot in right after (never-swept beats re-confirmation). The
-# remaining slots go to the STALEST re-confirmations: the r1-only-evidence
-# §2 block (conditional_case, fn_*, joins, aggs). Unlisted/new keys
+# Slots 23-39: the 17 round-5 keys (never-swept beats re-confirmation),
+# cheapest first so a time-budgeted sweep loses the least. Slots 40-50:
+# the STALEST re-confirmations — the r1-only-evidence §2 block
+# (conditional_case, fn_*, first joins); the rest of that block rotates
+# next round, exactly as the r3→r4→r5 rotation has. Unlisted/new keys
 # append after the list in module registration order.
 _SWEEP_PRIORITY = [
     # --- slots 1-22: never-driver-swept r4 keys + the r4 red retest ---
@@ -68,7 +69,7 @@ _SWEEP_PRIORITY = [
     "etl_backfill_partition_overwrite",
     # streaming (costliest of the 22)
     "stream_static_join",
-    # --- slots 23-27: round-5 new keys (never-swept beats
+    # --- slots 23-39: round-5 new keys (never-swept beats
     #     re-confirmation), cheapest first ---
     "sample_reservoir_per_group",
     "events_funnel_latency",
