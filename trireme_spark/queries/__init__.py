@@ -81,6 +81,7 @@ _SWEEP_PRIORITY = [
     "orders_cohort_ltv",
     "etl_incremental_agg_merge",
     "etl_zorder_layout",
+    "source_python_datasource",
     "search_highlight",
     "search_prefix_suggest",
     "search_facets",

@@ -839,3 +839,50 @@ def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd")
         .alias("day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# source_python_datasource — Spark 4 Python DataSource plugin surface
+# ---------------------------------------------------------------------------
+
+_PYDS_ORACLE = f"""
+WITH src AS (
+  SELECT i AS record_id,
+         CAST(i // 1000 AS INTEGER) AS shard,
+         ((i % 2147483648) * 2654435761) % 4294967296 AS value
+  FROM range(8000) t(i)
+)
+SELECT shard, COUNT(*) AS n_rows,
+       CAST(SUM(value) AS BIGINT) AS value_sum,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max
+FROM src GROUP BY shard
+"""
+
+
+@register("source_python_datasource", oracle=_PYDS_ORACLE)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON data source (Spark 4 ``pyspark.sql.datasource``) —
+    the connector plugin surface when no JVM driver exists (REST pagers,
+    token-range scans, queue snapshots): partition planning returns one
+    InputPartition per shard, each read independently executor-side,
+    rows flowing through Arrow into the ordinary DataFrame algebra.
+    Content is hash-deterministic, so the oracle value-checks the full
+    plumbing (planning → per-partition iteration → schema → agg);
+    sources/pydatasource.py is the drop-in template a real connector
+    fills with its client calls.
+
+    Scale design: partitions are the parallelism unit exactly like
+    parquet splits — a 100 TB external scan is N_SHARDS=token-ranges
+    wide; the per-shard aggregation combines map-side so only
+    shard-level stats shuffle."""
+    from trireme_spark.sources.pydatasource import ShardedSyntheticSource
+
+    spark.dataSource.register(ShardedSyntheticSource)
+    src = spark.read.format("trireme_shards").load()
+    return src.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("value_sum"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    )
