@@ -131,3 +131,32 @@ def test_solr_live_roundtrip(spark):
     )
     rows = {r["id"]: r["payload"] for r in back.collect()}
     assert rows[1] == "b"
+
+
+def test_python_sink_commit_protocol(spark, tmp_path):
+    """The Python sink's two-phase commit: parts written during write()
+    stay INVISIBLE until commit() publishes the manifest; abort()
+    removes parts so a failed job leaves nothing behind."""
+    import json
+
+    from pyspark.sql import Row
+
+    from trireme_spark.sources.pydatasource import _DocSinkWriter
+
+    out = str(tmp_path / "sink")
+    w = _DocSinkWriter({"path": out})
+    msg = w.write(iter([Row(a=1), Row(a=2)]))
+    assert os.path.exists(msg.path) and msg.n_rows == 2
+    # no manifest yet → not visible
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    w.commit([msg])
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["parts"] == [msg.path]
+    assert manifest["n_rows"] == 2
+    # abort of a second attempt removes its part, manifest untouched
+    msg2 = w.write(iter([Row(a=3)]))
+    w.abort([msg2])
+    assert not os.path.exists(msg2.path)
+    assert json.load(open(os.path.join(out, "_MANIFEST.json")))["parts"] == [
+        msg.path
+    ]

@@ -82,6 +82,7 @@ _SWEEP_PRIORITY = [
     "etl_incremental_agg_merge",
     "etl_zorder_layout",
     "source_python_datasource",
+    "sink_python_datasource",
     "search_highlight",
     "search_prefix_suggest",
     "search_facets",

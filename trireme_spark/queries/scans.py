@@ -886,3 +886,44 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("value_min"),
         F.max("value").alias("value_max"),
     )
+
+
+_PYSINK_ORACLE = "SELECT doc_id, source, n_chars FROM documents"
+
+
+@register("sink_python_datasource", oracle=_PYSINK_ORACLE)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON data sink (Spark 4 DataSourceWriter) with a real
+    two-phase commit: executors write unlisted JSONL part files and
+    return commit messages; the driver's commit() publishes a manifest,
+    and the read-back resolves ONLY manifest-listed parts — atomic
+    visibility exactly like a lakehouse commit log or a search-engine
+    bulk load's final commit. abort() removes parts, so failed jobs are
+    invisible and task retries merely orphan unlisted files. The
+    round-trip is value-oracled lossless.
+
+    Scale design: one part file per task, commit metadata is
+    O(#partitions) — the driver never sees row data; readers list the
+    manifest, not the directory (object-store-safe)."""
+    import shutil
+
+    from trireme_spark.sources.pydatasource import (
+        KeyedDocSink,
+        read_manifest_parts,
+    )
+
+    spark.dataSource.register(KeyedDocSink)
+    out = _tmp("pydocsink", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    (
+        d.write.format("trireme_docsink")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    return read_manifest_parts(
+        spark, out, "doc_id long, source string, n_chars long"
+    )

@@ -54,3 +54,79 @@ class ShardedSyntheticSource(DataSource):
 
     def reader(self, schema):  # noqa: ARG002 - fixed-schema source
         return _ShardReader()
+
+
+# ---------------------------------------------------------------------------
+# Sink side: Python DataSourceWriter with a real two-phase commit
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import uuid as _uuid
+from dataclasses import dataclass as _dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@_dataclass
+class _PartCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class _DocSinkWriter(DataSourceWriter):
+    """JSONL part files + manifest commit — the two-phase protocol every
+    exactly-once sink implements: executors write UNLISTED part files
+    and return commit messages; only the driver's commit() makes them
+    visible by writing the manifest; abort() leaves no manifest, so a
+    failed job is invisible to readers (task retries just orphan an
+    unlisted file). This is the Solr/ES bulk-load shape with the commit
+    made explicit."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("trireme_docsink requires option 'path'")
+
+    def write(self, iterator):
+        _os.makedirs(self.path, exist_ok=True)
+        part = _os.path.join(
+            self.path, f"part-{_uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(part, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartCommit(path=part, n_rows=n)
+
+    def commit(self, messages):
+        manifest = {
+            "parts": sorted(m.path for m in messages if m),
+            "n_rows": sum(m.n_rows for m in messages if m),
+        }
+        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            _json.dump(manifest, fh)
+
+    def abort(self, messages):
+        for m in messages:
+            if m and _os.path.exists(m.path):
+                _os.remove(m.path)
+
+
+class KeyedDocSink(DataSource):
+    """`df.write.format("trireme_docsink").option("path", …)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "trireme_docsink"
+
+    def writer(self, schema, overwrite):  # noqa: ARG002
+        return _DocSinkWriter(self.options)
+
+
+def read_manifest_parts(spark, path: str, schema: str):
+    """Read back ONLY manifest-listed part files (atomic visibility)."""
+    with open(_os.path.join(path, "_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    return spark.read.schema(schema).json(manifest["parts"])
