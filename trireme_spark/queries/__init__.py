@@ -91,6 +91,7 @@ _SWEEP_PRIORITY = [
     "lineitem_pareto_abc",
     "text_bigram_logprob",
     "stream_complete_mode",
+    "stream_python_datasource",
     "graph_pagerank_copurchase",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",

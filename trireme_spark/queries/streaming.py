@@ -340,3 +340,39 @@ def stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream_staged(spark, staged, max_files_per_trigger=1)
     agg = tumbling_counts(ev)  # no watermark: complete mode retains all
     return run_to_memory(agg, mode="complete")
+
+
+_T12_ORACLE = """
+WITH src AS (
+  SELECT i AS record_id, CAST(i % 10 AS INTEGER) AS bucket,
+         ((i % 2147483648) * 2654435761) % 4294967296 AS value
+  FROM range(2000) t(i)
+)
+SELECT bucket, COUNT(*) AS n, CAST(SUM(value) AS BIGINT) AS value_sum
+FROM src GROUP BY bucket
+"""
+
+
+@register("stream_python_datasource", oracle=_T12_ORACLE)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t12 — custom PYTHON streaming source (Spark 4
+    ``SimpleDataSourceStreamReader``): an offset-managed micro-batch
+    feed (the queue-consumer shape) drained by availableNow through a
+    stateful aggregation. The engine checkpoints the source-returned
+    offsets; replay between committed offsets is deterministic, so the
+    final complete-mode aggregate hash-matches the arithmetic oracle —
+    the exactly-once contract, value-checked through a source WE wrote.
+
+    Scale design: offsets are O(1) driver state; rows flow executor-
+    side; the aggregation is the ordinary partial+final over a
+    10-bucket dimension. A real consumer swaps _rows() for client
+    fetches — the offset/commit plumbing is unchanged."""
+    from trireme_spark.sources.pydatasource import TickStreamSource
+
+    spark.dataSource.register(TickStreamSource)
+    stream = spark.readStream.format("trireme_ticks").load()
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("value_sum"),
+    )
+    return run_to_memory(agg, mode="complete")

@@ -130,3 +130,63 @@ def read_manifest_parts(spark, path: str, schema: str):
     with open(_os.path.join(path, "_MANIFEST.json")) as fh:
         manifest = _json.load(fh)
     return spark.read.schema(schema).json(manifest["parts"])
+
+
+# ---------------------------------------------------------------------------
+# Streaming side: Python streaming source with offset management
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+BATCH_SIZE = 500
+N_BATCHES = 4  # finite feed: availableNow drains it in 4 micro-batches
+
+
+class _TickStreamReader(SimpleDataSourceStreamReader):
+    """Offset-managed micro-batch feed — the queue-consumer shape: each
+    trigger reads [start, start+BATCH_SIZE) of a monotonically growing
+    log (content hash-deterministic per offset, standing in for the
+    remote queue exactly like the batch shards), the engine checkpoints
+    the returned end offset, and replay between committed offsets is
+    idempotent by construction — the exactly-once contract a real
+    consumer gets from (offset, content) determinism."""
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        # each call returns EVERYTHING currently available (a real
+        # consumer returns the broker's latest): availableNow snapshots
+        # the end offset at query start and drains exactly to it, so
+        # anything held back would be silently dropped from the run
+        lo = start["offset"]
+        end = BATCH_SIZE * N_BATCHES
+        if lo >= end:  # feed drained
+            return [], {"offset": lo}
+        return self._rows(lo, end), {"offset": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["offset"], end["offset"])
+
+    @staticmethod
+    def _rows(lo: int, hi: int):
+        # a LIST, not a generator: the simple-reader prefetch pickles
+        # the batch to ship it to executors (generators can't pickle)
+        return [
+            (rid, rid % 10, ((rid % _M31) * _KNUTH) % _M32)
+            for rid in range(lo, hi)
+        ]
+
+
+class TickStreamSource(DataSource):
+    """`spark.readStream.format("trireme_ticks")` — finite 2000-row feed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "trireme_ticks"
+
+    def schema(self) -> str:
+        return "record_id long, bucket int, value long"
+
+    def simpleStreamReader(self, schema):  # noqa: ARG002
+        return _TickStreamReader()
