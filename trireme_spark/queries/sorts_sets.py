@@ -427,8 +427,14 @@ def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_rng = spark.sparkContext.defaultParallelism
     bounds = pr.agg(F.min("rev").alias("lo"), F.max("rev").alias("hi"))
-    # descending revenue order → bucket ascends with (hi - rev)
-    width = (F.col("hi") - F.col("lo")) / n_rng
+    # descending revenue order → bucket ascends with (hi - rev); the
+    # greatest() keeps a degenerate all-equal-revenue input from a
+    # divide-by-zero (ANSI mode errors) — everything pools in bucket 0,
+    # which is skew, never wrongness
+    width = F.greatest(
+        (F.col("hi") - F.col("lo")) / n_rng,
+        F.lit(1).cast("decimal(27,6)"),
+    )
     raw = ((F.col("hi") - F.col("rev")) / width).cast("int")
     ranged = pr.crossJoin(F.broadcast(bounds)).withColumn(
         "rng",
