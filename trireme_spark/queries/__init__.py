@@ -73,6 +73,8 @@ _SWEEP_PRIORITY = [
     #     re-confirmation), cheapest first ---
     "sample_reservoir_per_group",
     "events_funnel_latency",
+    "sql_pipe_syntax",
+    "events_bounce_rate",
     "multimodal_audio_frames",
     "dedup_fuzzy_names",
     "events_outlier_mad",

@@ -480,3 +480,43 @@ def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abc_class"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sql_pipe_syntax — Spark 4 pipe-operator SQL surface
+# ---------------------------------------------------------------------------
+
+_PIPE_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+           AS revenue
+FROM orders
+WHERE o_totalprice > 100000
+GROUP BY o_orderstatus
+HAVING COUNT(*) > 10
+"""
+
+_PIPE_SPARK = """
+FROM orders
+|> WHERE o_totalprice > 100000
+|> AGGREGATE COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                 AS revenue
+   GROUP BY o_orderstatus
+|> WHERE n > 10
+|> SELECT o_orderstatus, n, revenue
+"""
+
+
+@register("sql_pipe_syntax", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's pipe-operator SQL (`|>`) — the linear query dialect
+    (scan |> filter |> aggregate |> post-filter) added in Spark 4.0,
+    value-checked against the classic GROUP BY/HAVING form the oracle
+    runs: one more full engine SURFACE (parser dialect), zero new
+    physical semantics — the pipe text lowers to exactly the same
+    partial+final aggregate plan."""
+    from trireme_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _PIPE_SPARK)

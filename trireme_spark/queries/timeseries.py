@@ -997,3 +997,96 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_s"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_bounce_rate — sessionized single-event-session ratio per day
+# ---------------------------------------------------------------------------
+
+_BOUNCE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+              ) > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+              ) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+), per_session AS (
+  SELECT user_id, session_no,
+         MIN(ts) AS session_start, COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_no
+)
+SELECT strftime(date_trunc('day', session_start), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       FLOOR(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) * 1e4) / 1e4 AS bounce_rate
+FROM per_session GROUP BY 1
+"""
+
+
+@register("events_bounce_rate", oracle=_BOUNCE_ORACLE)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate — share of sessions (30-min inactivity gap)
+    containing exactly one event: the engagement-quality headline
+    metric, and the batch gaps-and-islands twin of the t3 streaming
+    session windows.
+
+    Scale design: sessionization is ONE per-user keyed window chain
+    (lag → running sum — O(1) state, both windows share the user_id
+    shuffle), then two keyed aggregations; the final per-day table is
+    dimension-sized. Bounce ratio floor-quantizes (cross-engine
+    round-half rule)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ timestamps don't cast to long — go through unix_micros
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounces = F.sum(
+        F.when(F.col("n_events") == 1, 1).otherwise(0)
+    ).cast("long")
+    return per_session.groupBy(
+        F.date_format(
+            F.date_trunc("day", "session_start"), "yyyy-MM-dd"
+        ).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounces.alias("n_bounces"),
+        (
+            F.floor(
+                bounces.cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1e4)
+            )
+            / F.lit(1e4)
+        ).alias("bounce_rate"),
+    )
