@@ -36,6 +36,7 @@ HEAVY_3X = {
     # join/agg rounds), the order-keyed self-join, and the bigram-LM
     # triple-consumer explode are all legitimately multi-stage cold
     "graph_pagerank_copurchase",
+    "graph_triangle_count",
     "lineitem_market_basket",
     "text_bigram_logprob",
     "orders_cohort_ltv",

@@ -36,11 +36,10 @@ from trireme_spark.queries import udfs  # noqa: F401
 # per sweep. Slots 1-22: the 21 round-4 additions that overflowed the r4
 # window and have never received a driver row, plus the embed_pca_project
 # retest (r4's one red row — output reshaped to scalar cells this round).
-# Slots 23-39: the 17 round-5 keys (never-swept beats re-confirmation),
-# cheapest first so a time-budgeted sweep loses the least. Slots 40-50:
-# the STALEST re-confirmations — the r1-only-evidence §2 block
-# (conditional_case, fn_*, first joins); the rest of that block rotates
-# next round, exactly as the r3→r4→r5 rotation has. Unlisted/new keys
+# Then: the round-5 keys (never-swept beats re-confirmation), cheapest
+# first so a time-budgeted sweep loses the least — more than fill the
+# window now, so the stale-§2 re-confirmation block below rotates into
+# round 6, exactly as the r3→r4→r5 rotation has. Unlisted/new keys
 # append after the list in module registration order.
 _SWEEP_PRIORITY = [
     # --- slots 1-22: never-driver-swept r4 keys + the r4 red retest ---
@@ -95,6 +94,20 @@ _SWEEP_PRIORITY = [
     "stream_complete_mode",
     "stream_python_datasource",
     "graph_pagerank_copurchase",
+    # --- round-5 batch 12 (never-swept beats re-confirmation) ---
+    "agg_boolean_countif",
+    "agg_bitmap_distinct",
+    "fn_aes_roundtrip",
+    "udf_pandas_iter",
+    "etl_merge_cdc_apply",
+    "orders_open_backlog_daily",
+    "ts_interpolate_linear",
+    "graph_triangle_count",
+    # --- round-5 batch 13 ---
+    "win_pattern_runs",
+    "fn_interval_arith",
+    "search_boolean_minmatch",
+    "sim_maxsim_late_interaction",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -380,3 +380,86 @@ def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top.p").alias("top_price"),
         F.col("top.k").alias("top_orderkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_boolean_countif — conditional-count / boolean aggregate surface
+# ---------------------------------------------------------------------------
+
+_BOOL_ORACLE = """
+SELECT event_type,
+       CAST(count_if(value > 50) AS BIGINT) AS n_high,
+       CAST(count_if(value IS NULL) AS BIGINT) AS n_null,
+       bool_and(value > 0) AS all_positive,
+       bool_or(value > 90) AS any_extreme
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_boolean_countif", oracle=_BOOL_ORACLE)
+def agg_boolean_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: count_if / bool_and / bool_or per
+    event_type — the data-quality predicates every monitoring rollup is
+    made of ("how many rows violate X", "does every row satisfy Y").
+
+    All four metrics are decomposable boolean algebra, so the whole
+    answer is ONE map-side-combined hash aggregate over one scan —
+    adding predicates adds expressions, never passes (the same design
+    rule as etl_expectations, here on the raw aggregate surface).
+    NULL semantics are the cross-engine trap this key pins: count_if
+    counts only TRUE (a NULL predicate is not TRUE in either engine)
+    and bool_and/bool_or skip NULL inputs; n_null makes the NULL
+    population explicit so the oracle hash would catch any drift."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("n_high"),
+        F.count_if(F.col("value").isNull()).alias("n_null"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 90).alias("any_extreme"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_bitmap_distinct — mergeable EXACT distinct via Spark-4 bitmap aggs
+# ---------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_bitmap_distinct", oracle=_BITMAP_ORACLE)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event_type computed as a MERGEABLE bitmap
+    rollup (Spark 4 bitmap_* aggregates) instead of a COUNT(DISTINCT)
+    expand — the pre-aggregation pattern behind exact-distinct OLAP
+    cubes: daily partials keep one bitmap per (key, 32k-id bucket),
+    later grains merge partials with bitmap_or_agg and never rescan
+    facts, and unlike HLL (a4 / the sketch keys) the merge is exact.
+
+    Plan shape: level 1 groups by (event_type, day, bucket) and
+    collapses each group to a fixed 4 KB bitmap via
+    bitmap_construct_agg (map-side combinable — the shuffle carries
+    bitmaps, not user ids); level 2 OR-merges the daily partials per
+    (event_type, bucket); the final count is a sum of per-bucket
+    popcounts. The oracle runs the plain COUNT(DISTINCT), pinning the
+    bitmap pipeline's exactness end-to-end."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("user_id"))
+        ).alias("bm")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.bitmap_or_agg(F.col("bm")).alias("bm")
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_users")
+    )

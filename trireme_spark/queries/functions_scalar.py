@@ -573,3 +573,89 @@ def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("hx", 21, 12),
     )
     return base.select("doc_id", uid.alias("stable_id"))
+
+
+# ---------------------------------------------------------------------------
+# fn_aes_roundtrip — column-level encryption surface
+# ---------------------------------------------------------------------------
+
+_AES_ORACLE = """
+SELECT doc_id,
+       text AS decrypted,
+       CAST((strlen(text) // 16 + 1) * 16 AS BIGINT) AS cipher_len
+FROM documents
+"""
+
+
+@register("fn_aes_roundtrip", oracle=_AES_ORACLE)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption: aes_encrypt → aes_decrypt roundtrip over
+    document text (the at-rest PII-column pattern — encrypt on ingest,
+    decrypt inside the governed query path; complements text_pii_redact,
+    which destroys the value instead of protecting it).
+
+    ECB + PKCS padding makes the ciphertext a deterministic function of
+    (plaintext, key) — required here so the key is value-checkable (GCM
+    salts a random IV per row; its roundtrip still passes but its
+    ciphertext bytes are unhashable cross-run; the docstring trade:
+    real deployments want GCM, determinism-dependent tests want ECB).
+    The oracle can't run AES, so it pins the roundtrip IDENTITY
+    (decrypted == source text, value-hashed) plus the PKCS#5 length
+    contract (padded to the next 16-byte boundary: octet_len//16*16+16)
+    — both would break on any codec/charset drift. Everything is
+    codegen'd JVM crypto: one projection, no shuffle, no Python."""
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key, fixture-fixed
+    d = table(spark, sf_dir, "documents")
+    enc = F.aes_encrypt(F.col("text"), key, F.lit("ECB"), F.lit("PKCS"))
+    return d.select(
+        "doc_id",
+        F.aes_decrypt(
+            F.unbase64(F.base64(enc)), key, F.lit("ECB"), F.lit("PKCS")
+        ).cast("string").alias("decrypted"),
+        F.length(enc).cast("long").alias("cipher_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_interval_arith — ANSI interval-type arithmetic
+# ---------------------------------------------------------------------------
+
+_INTERVAL_ORACLE = """
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 18 MONTH AS plus_ym,
+       o_orderdate + INTERVAL 3 DAY + INTERVAL '12:30:15' AS plus_dts,
+       o_orderdate - INTERVAL 45 MINUTE AS minus_min,
+       o_orderdate + (o_orderkey % 7) * INTERVAL 1 MONTH AS plus_var_m
+FROM orders
+"""
+
+
+@register("fn_interval_arith", oracle=_INTERVAL_ORACLE)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI interval-type arithmetic: year-month and day-time INTERVAL
+    literals added to timestamps, plus a column-driven month offset —
+    the SLA/billing-window/retention-cutoff date algebra (f3 covers the
+    date FUNCTIONS; this key covers the interval TYPE surface Spark 4
+    treats as first-class ANSI intervals).
+
+    The month-addition end-of-month clamp (Jan 31 + 1 month = Feb 28)
+    follows the same rule in both engines, which the variable-offset
+    column exercises across the whole fixture; day-time intervals are
+    exact µs arithmetic. Everything is a codegen'd projection — no
+    shuffle, no UDF."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "o_orderdate + INTERVAL '1-6' YEAR TO MONTH"
+        ).alias("plus_ym"),
+        F.expr(
+            "o_orderdate + INTERVAL '3 12:30:15' DAY TO SECOND"
+        ).alias("plus_dts"),
+        F.expr(
+            "o_orderdate - INTERVAL '45' MINUTE"
+        ).alias("minus_min"),
+        F.expr(
+            "o_orderdate + make_ym_interval(0, o_orderkey % 7)"
+        ).alias("plus_var_m"),
+    )

@@ -761,3 +761,124 @@ def graph_pagerank_copurchase(
             )
         )
     return r.select("node", F.col("r").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_count — degree-oriented triangle counting (cohesion metric)
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS c
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT x, y FROM p WHERE c >= 2)
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*)
+        FROM e e1
+        JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+        JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y) AS n_triangles
+"""
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-purchase part graph (support ≥ 2 edges)
+    — the graph-cohesion primitive behind clustering coefficients and
+    community pre-screens, and the canonical "joins explode if you're
+    naive" workload.
+
+    Scale design — degree-ordered orientation (the MPS/Cohen algorithm):
+    every undirected edge directs from its lower-(degree, id) endpoint
+    to the higher one, so a node's OUT-degree is bounded by O(sqrt(|E|))
+    on any graph (a high-degree hub keeps almost no out-edges — its
+    neighbors rank below it). Wedges then enumerate only out×out pairs
+    per pivot (sum of out-deg² ≤ O(|E|^1.5) total, vs out-deg² on raw
+    degrees where one celebrity node alone is quadratic), and each
+    triangle materializes EXACTLY once (its unique 2-out-edge pivot),
+    closing with one hash semi-join against the oriented edge list. The
+    oracle brute-forces the canonical x<y<z triple join, value-checking
+    that orientation loses and duplicates nothing. All keyed shuffles;
+    the (deg, id) order key packs into one long so the orientation join
+    carries 8 bytes per endpoint."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .count()
+        .where(F.col("count") >= 2)
+        .select("x", "y")
+    )
+    # Staged to tmp parquet, not .cache(): edges feed FOUR consumers
+    # (degrees, the orientation join, the closing-edge semi-join, the
+    # edge count); a cache would leak across shared sweep sessions (the
+    # registry's lazy return has no unpersist hook — round-4 doctrine,
+    # same shape as sim_sparse_cosine_tfidf's staged postings).
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"trireme_tri_edges_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    edges.write.mode("overwrite").parquet(stage)
+    edges = spark.read.parquet(stage)
+    deg = (
+        edges.select(F.col("x").alias("node"))
+        .unionAll(edges.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        # (deg, id) packed into one long: a total order, join-cheap
+        .select(
+            "node",
+            (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("ord"),
+        )
+    )
+    ordered = (
+        edges.join(deg.withColumnRenamed("node", "x"), "x")
+        .withColumnRenamed("ord", "ord_x")
+        .join(
+            deg.withColumnRenamed("node", "y").withColumnRenamed(
+                "ord", "ord_y"
+            ),
+            "y",
+        )
+    )
+    # orient: src = lower (deg, id), dst = higher; carry dst's order key
+    fwd = ordered.select(
+        F.when(F.col("ord_x") < F.col("ord_y"), F.col("x"))
+        .otherwise(F.col("y"))
+        .alias("src"),
+        F.when(F.col("ord_x") < F.col("ord_y"), F.col("y"))
+        .otherwise(F.col("x"))
+        .alias("dst"),
+        F.greatest("ord_x", "ord_y").alias("ord_dst"),
+    )
+    w1, w2 = fwd.alias("w1"), fwd.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (F.col("w1.ord_dst") < F.col("w2.ord_dst")),
+    ).select(F.col("w1.dst").alias("v"), F.col("w2.dst").alias("w"))
+    closing = fwd.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edge = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    # two 1-row aggregates
+    return n_edge.crossJoin(n_tri).select("n_edges", "n_triangles")

@@ -34,6 +34,7 @@ from trireme_spark.operators.similarity import (
     sample_kmeans_centroids,
     shingles,
 )
+from trireme_spark.parity import dsum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -1121,4 +1122,120 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     lev = F.levenshtein("name_a", "name_b")
     return cand.where(lev <= 1).select(
         "cust_a", "cust_b", lev.alias("edit_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_maxsim_late_interaction — ColBERT-style MaxSim retrieval scoring
+# ---------------------------------------------------------------------------
+
+def _duck_tok_dot(a: str, b: str) -> str:
+    """8-dim token-slice dot product, sequential order (parity with
+    F.aggregate's left fold)."""
+    return (
+        f"list_sum(list_transform(range(8), "
+        f"i -> {a}[CAST(i AS INT)+1] * {b}[CAST(i AS INT)+1]))"
+    )
+
+
+_MAXSIM_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_DUCK_EMB} AS emb FROM embeddings),
+tok AS (
+  SELECT vec_id, t AS pos, e.emb[t*8+1 : t*8+8] AS tv
+  FROM e, (SELECT unnest(range(8)) AS t)
+),
+q AS (SELECT vec_id AS qid, pos AS qpos, tv AS qv FROM tok WHERE vec_id < 3),
+pair AS (
+  SELECT q.qid, d.vec_id AS did, q.qpos,
+         ROUND({_duck_tok_dot('q.qv', 'd.tv')}
+               / (sqrt({_duck_tok_dot('q.qv', 'q.qv')})
+                  * sqrt({_duck_tok_dot('d.tv', 'd.tv')})), 6) AS c
+  FROM q JOIN tok d ON d.vec_id <> q.qid
+),
+mx AS (SELECT qid, did, qpos, MAX(c) AS m FROM pair GROUP BY 1, 2, 3),
+score AS (
+  SELECT qid, did,
+         CAST(SUM(CAST(m AS DECIMAL(27,6))) AS DOUBLE) AS maxsim
+  FROM mx GROUP BY 1, 2
+)
+SELECT qid, did, maxsim, rn FROM (
+  SELECT qid, did, maxsim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY maxsim DESC, did ASC) AS rn
+  FROM score
+) WHERE rn <= 5
+"""
+
+
+@register("sim_maxsim_late_interaction", oracle=_MAXSIM_ORACLE)
+def sim_maxsim_late_interaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: each 64-d vector is
+    treated as EIGHT 8-d token vectors; a query scores a document by
+    MaxSim = Σ over query tokens of the max token-level cosine — the
+    multi-vector scoring family between single-vector cosine (l6) and
+    full cross-attention, and the modern neural-retrieval re-rank step.
+
+    Scale design: the 3 query docs explode into a 24-row token table
+    that BROADCASTS; document token rows (corpus × 8, a bounded ×8
+    fan-out, pure column algebra) stream past it map-side, so the only
+    shuffles are the two keyed aggregations (per-(q,doc,qtoken) max,
+    then per-(q,doc) sum) and the top-5 window per query — no
+    corpus×corpus pair ever materializes, and the shape is exactly the
+    production one (queries ≪ corpus). Parity: token cosines round at
+    6 dp (identical sequential folds both engines), the 8-term MaxSim
+    sum runs in DECIMAL(27,6) (order-independent, exact), and the
+    top-5 cut ranks on the rounded score with a did tie-break."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    tok = v.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("pos"),
+                    F.slice("emb", t * 8 + 1, 8).alias("tv"),
+                )
+                for t in range(8)
+            ])
+        ).alias("tk"),
+    ).select("vec_id", F.col("tk.pos").alias("pos"), F.col("tk.tv").alias("tv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    q = tok.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("pos").alias("qpos"),
+        F.col("tv").alias("qv"),
+    )
+    pair = tok.alias("d").join(
+        F.broadcast(q), F.col("d.vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        F.col("d.vec_id").alias("did"),
+        "qpos",
+        F.round(
+            dot(F.col("qv"), F.col("d.tv"))
+            / (
+                F.sqrt(dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(dot(F.col("d.tv"), F.col("d.tv")))
+            ),
+            6,
+        ).alias("c"),
+    )
+    mx = pair.groupBy("qid", "did", "qpos").agg(F.max("c").alias("m"))
+    score = mx.groupBy("qid", "did").agg(dsum("m").alias("maxsim"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("maxsim").desc(), F.col("did").asc()
+    )
+    return (
+        score.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "did", "maxsim", "rn")
     )

@@ -927,3 +927,93 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_manifest_parts(
         spark, out, "doc_id long, source string, n_chars long"
     )
+
+
+# ---------------------------------------------------------------------------
+# etl_merge_cdc_apply — MERGE-INTO semantics: apply a CDC changelog
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+SELECT o_orderkey,
+       CASE o_orderkey % 4
+         WHEN 1 THEN ROUND(o_totalprice + 10.0, 2)
+         ELSE ROUND(o_totalprice, 2)
+       END AS price,
+       CAST(CASE o_orderkey % 4
+         WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 1
+       END AS BIGINT) AS version
+FROM orders
+WHERE o_orderkey % 4 <> 2
+"""
+
+
+@register("etl_merge_cdc_apply", oracle=_CDC_ORACLE)
+def etl_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics from primitives: apply a CDC changelog
+    (insert / update / delete ops with monotone sequence numbers) to a
+    base snapshot — the Debezium-consumer / lakehouse-merge shape that
+    incremental migration pipelines live on (complement of
+    etl_incremental_migration's append-only LWW and etl_snapshot_diff's
+    diff DETECTION: this key APPLIES a diff).
+
+    The changelog derives deterministically from the key space so the
+    final state is SQL-expressible: base holds keys ≢3 (mod 4);
+    the log INSERTs the ≡3 keys (seq 1), UPDATEs the ≡1 keys twice
+    (seq 1: +5, seq 2: +10 — last-writer must win within one batch),
+    and DELETEs the ≡2 keys (seq 1).
+
+    Scale design: base rows enter the union tagged seq 0, one
+    key-shuffled window picks the max-seq row per key, the anti-delete
+    filter drops tombstones LAST (a delete must beat the base row it
+    tombstones, and a later re-insert would beat the delete — ordering
+    handled by seq, not op precedence). One shuffle total; the
+    changelog side would be the (small) delta in production, and the
+    same plan serves both the one-shot merge and the foreachBatch
+    incremental form (t7). Prices round at the product's 2-dp decimal
+    grain in both engines."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    mod = F.col("o_orderkey") % 4
+    base = o.where(mod != 3).select(
+        "o_orderkey",
+        "price",
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("B").alias("op"),
+    )
+    ins = o.where(mod == 3).select(
+        "o_orderkey",
+        "price",
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    upd1 = o.where(mod == 1).select(
+        "o_orderkey",
+        (F.col("price") + 5.0).alias("price"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    upd2 = o.where(mod == 1).select(
+        "o_orderkey",
+        (F.col("price") + 10.0).alias("price"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = o.where(mod == 2).select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("price"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    log = base.unionAll(ins).unionAll(upd1).unionAll(upd2).unionAll(dele)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .where(F.col("op") != "D")
+    )
+    return latest.select(
+        "o_orderkey",
+        F.round("price", 2).alias("price"),
+        F.col("seq").alias("version"),
+    )

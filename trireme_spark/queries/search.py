@@ -210,3 +210,63 @@ def search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_extract(F.lower("text"), _SNIPPET_RE, 0).alias("snippet"),
     )
+
+
+# ---------------------------------------------------------------------------
+# search_boolean_minmatch — Lucene boolean query with minimum_should_match
+# ---------------------------------------------------------------------------
+
+_MUST = "hash"
+_MUST_NOT = "broken"
+_SHOULD = ["merge", "vector", "stream", "index"]
+_SHOULD_SQL = ", ".join(f"'{t}'" for t in _SHOULD)
+
+_BOOLQ_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents
+), per_doc AS (
+  SELECT doc_id,
+         CAST(count_if(tok = '{_MUST}') > 0 AS BOOLEAN) AS has_must,
+         CAST(count_if(tok = '{_MUST_NOT}') > 0 AS BOOLEAN) AS has_not,
+         CAST(COUNT(DISTINCT CASE WHEN tok IN ({_SHOULD_SQL})
+                                  THEN tok END) AS BIGINT) AS n_should
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_should
+FROM per_doc
+WHERE has_must AND NOT has_not AND n_should >= 2
+"""
+
+
+@register("search_boolean_minmatch", oracle=_BOOLQ_ORACLE)
+def search_boolean_minmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene/Solr boolean query semantics: ``+{_MUST} -{_MUST_NOT}
+    (merge vector stream index)~2`` — a MUST term, a MUST_NOT term, and
+    a SHOULD list with minimum_should_match=2, the filter language of
+    every search engine (and of the reference's Solr sink). Returns
+    matching docs with how many should-terms hit (coord factor input).
+
+    Scale design: the three clause families fold into ONE explode +
+    ONE doc-keyed aggregation — boolean algebra over count_if plus a
+    conditional COUNT(DISTINCT) for the should-set (the two-phase
+    distinct plan handles it; the distinct set is bounded by the query
+    length, not the corpus). No per-clause scans, no joins: adding
+    clauses adds expressions. The same predicate tree pushed into a
+    posting-list index is what Lucene does; over raw parquet this is
+    its one-pass scan equivalent."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokenize("text")).alias("tok")
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        (F.count_if(F.col("tok") == _MUST) > 0).alias("has_must"),
+        (F.count_if(F.col("tok") == _MUST_NOT) > 0).alias("has_not"),
+        F.count_distinct(
+            F.when(F.col("tok").isin(_SHOULD), F.col("tok"))
+        ).alias("n_should"),
+    )
+    return per_doc.where(
+        F.col("has_must") & ~F.col("has_not") & (F.col("n_should") >= 2)
+    ).select("doc_id", "n_should")

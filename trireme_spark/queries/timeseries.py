@@ -1090,3 +1090,195 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e4)
         ).alias("bounce_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_interpolate_linear — gap interpolation on the hourly resample spine
+# ---------------------------------------------------------------------------
+
+_INTERP_ORACLE = f"""
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+u AS (SELECT DISTINCT user_id FROM events),
+agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         {oracle_sum('value')} AS v
+  FROM events GROUP BY 1, 2
+),
+sp AS (
+  SELECT u.user_id, h.hr, a.v,
+         last_value(a.v IGNORE NULLS) OVER w AS pv,
+         last_value(CASE WHEN a.v IS NOT NULL THEN h.hr END IGNORE NULLS)
+             OVER w AS ph,
+         first_value(a.v IGNORE NULLS) OVER w2 AS nv,
+         first_value(CASE WHEN a.v IS NOT NULL THEN h.hr END IGNORE NULLS)
+             OVER w2 AS nh
+  FROM u CROSS JOIN h
+  LEFT JOIN agg a ON a.user_id = u.user_id AND a.hr = h.hr
+  WINDOW w AS (PARTITION BY u.user_id ORDER BY h.hr
+               ROWS UNBOUNDED PRECEDING),
+         w2 AS (PARTITION BY u.user_id ORDER BY h.hr
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, hr, v,
+       CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           FLOOR((pv + (nv - pv)
+                  * (CAST(date_diff('hour', ph, hr) AS DOUBLE)
+                     / CAST(date_diff('hour', ph, nh) AS DOUBLE))) * 1e6)
+           / 1e6
+       END AS v_li
+FROM sp
+"""
+
+
+@register("ts_interpolate_linear", oracle=_INTERP_ORACLE)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation through gaps on the hourly (user × hour)
+    spine — the metrics-store companion to ts_resample_fill's step
+    fill: missing cells take the line between their nearest known
+    neighbors; leading/trailing gaps (no neighbor on one side) stay
+    NULL on both engines.
+
+    Scale design: the spine reuses the resample generator (1-row bounds
+    → sequence explode → broadcast cross join) and BOTH neighbor
+    lookups ride the same user_id-keyed shuffle — one window forward
+    (last ignorenulls), one backward (first ignorenulls), O(1) state
+    each, never a per-gap join. The hour index rides the spine rows as
+    a plain long (posexplode), so the interpolation fraction is integer
+    arithmetic — no timestamp subtraction in the hot path (events.ts is
+    NTZ, which refuses long casts). Interpolated values floor-quantize
+    to 1e-6: both engines compute pv + (nv-pv)·frac on identical
+    doubles in the same operation order, and the floor stops a final
+    print-boundary ulp from flipping a cell."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(dsum("value").alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.posexplode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("idx", "hr")
+    )
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(hours))
+    joined = spine.join(hourly, ["user_id", "hr"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_idx = F.when(F.col("v").isNotNull(), F.col("idx"))
+    g = joined.select(
+        "user_id",
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(known_idx, ignorenulls=True).over(wb).alias("pi"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(known_idx, ignorenulls=True).over(wf).alias("ni"),
+        "idx",
+    )
+    frac = (F.col("idx") - F.col("pi")).cast("double") / (
+        F.col("ni") - F.col("pi")
+    ).cast("double")
+    interp = (
+        F.floor((F.col("pv") + (F.col("nv") - F.col("pv")) * frac) * 1e6)
+        / 1e6
+    )
+    return g.select(
+        "user_id",
+        "hr",
+        "v",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
+        )
+        .alias("v_li"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_open_backlog_daily — interval-stabbing backlog via +1/-1 deltas
+# ---------------------------------------------------------------------------
+
+_BACKLOG_ORACLE = """
+WITH o AS (
+  SELECT date_trunc('day', o_orderdate) AS d0,
+         date_trunc('day', o_orderdate)
+           + (o_orderkey % 30 + 1) * INTERVAL 1 DAY AS d1
+  FROM orders
+),
+b AS (SELECT min(d0) AS lo, max(d1) AS hi FROM o),
+days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b)
+SELECT day,
+       CAST((SELECT COUNT(*) FROM o
+             WHERE o.d0 <= days.day AND days.day < o.d1) AS BIGINT)
+           AS open_orders
+FROM days
+"""
+
+
+@register("orders_open_backlog_daily", oracle=_BACKLOG_ORACLE)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog — how many orders are open (placed, not
+    yet fulfilled) on every calendar day. Fulfillment time derives
+    deterministically from the key (1–30 days), making the check exact;
+    swap one expression for a real close-date column.
+
+    Scale design — interval stabbing WITHOUT the interval join: each
+    order contributes two DELTA events (+1 at open, −1 at close), one
+    map-side-combined agg collapses them to per-day net change, and a
+    running sum over the DAY spine (calendar-bounded, dimension-sized
+    forever) rebuilds the level. Corpus-sized work is O(n) row algebra
+    + one tiny shuffle — against the naive day×interval join the oracle
+    runs (O(n·days), the plan that dies first on long-lived intervals).
+    The day spine generates in-plan from a 1-row bounds aggregate so
+    zero-change days still appear; the cumulative window rides
+    meta_part (constant for non-negative longs) to stay warning-free."""
+    o = table(spark, sf_dir, "orders").select(
+        F.date_trunc("day", "o_orderdate").alias("d0"),
+        F.timestamp_add(
+            "DAY",
+            (F.col("o_orderkey") % 30 + 1).cast("int"),
+            F.date_trunc("day", "o_orderdate"),
+        ).alias("d1"),
+    )
+    deltas = (
+        o.select(F.col("d0").alias("day"), F.lit(1).alias("d"))
+        .unionAll(o.select(F.col("d1").alias("day"), F.lit(-1).alias("d")))
+        .groupBy("day")
+        .agg(F.sum("d").alias("net"))
+    )
+    bounds = o.agg(F.min("d0").alias("lo"), F.max("d1").alias("hi"))
+    days = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    spine = days.join(deltas, "day", "left").select(
+        "day", F.coalesce("net", F.lit(0)).alias("net")
+    )
+    # meta_part over the DAY (epoch ≥ 0 — "net" can be negative, where
+    # the arithmetic shiftright would split the spec by sign)
+    w = (
+        Window.partitionBy(meta_part("day"))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.select(
+        "day", F.sum("net").over(w).cast("long").alias("open_orders")
+    )

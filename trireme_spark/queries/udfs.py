@@ -14,6 +14,7 @@ formulas and round coarsely enough that cross-engine float drift (≤1e-8 on
 from __future__ import annotations
 
 import math
+from typing import Iterator, Tuple
 
 import pandas as pd
 
@@ -281,4 +282,50 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round("charge_raw", 6).alias("charge"),
+    )
+
+
+_XI_ORACLE = """
+SELECT o_orderkey,
+       FLOOR(o_totalprice * (1.0 - 0.04 * (o_orderkey % 5)) * 1e4) / 1e4
+           AS adjusted
+FROM orders
+"""
+
+
+@register("udf_pandas_iter", oracle=_XI_ORACLE)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (Iterator[batches] → Iterator[batches])
+    — THE Python-UDF shape for model inference at scale: expensive
+    state (a model checkpoint, a tokenizer, an ONNX session) loads ONCE
+    per task inside the generator prologue, then every Arrow batch
+    streams through the resident state. The scalar form (x2) would
+    amortize nothing; a per-row UDF would pay per row.
+
+    Here the "model" is a 5-entry discount table built in the prologue
+    (deterministic, so the oracle mirrors it as arithmetic); real
+    pipelines swap exactly that line for torch.load / ort.InferenceSession.
+    Results floor-quantize to 1e-4 so the numpy-vs-JVM double products
+    can't straddle a print boundary. Executor memory stays bounded:
+    batches stream through the generator one at a time (backpressure is
+    Arrow's reader loop), nothing accumulates per task."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def adjust(
+        batches: Iterator[Tuple[pd.Series, pd.Series]]
+    ) -> Iterator[pd.Series]:
+        # one-time per-task init — the model-load slot
+        model = np.array([1.0 - 0.04 * k for k in range(5)])
+        for key, price in batches:
+            yield pd.Series(
+                np.floor(
+                    price.to_numpy() * model[(key.to_numpy() % 5)] * 1e4
+                ) / 1e4
+            )
+
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        adjust("o_orderkey", "o_totalprice").alias("adjusted"),
     )

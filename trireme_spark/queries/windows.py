@@ -278,3 +278,73 @@ def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_types_so_far"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# win_pattern_runs — MATCH_RECOGNIZE-style monotone-run detection
+# ---------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+WITH s AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), r AS (
+  SELECT user_id, ts, event_id, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM s
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+       CAST(COUNT(*) AS BIGINT) AS run_len,
+       MIN(event_id) AS first_event,
+       ROUND(MAX(value) - MIN(value), 6) AS gain
+FROM r
+GROUP BY user_id, run_id
+HAVING COUNT(*) >= 4
+"""
+
+
+@register("win_pattern_runs", oracle=_RUNS_ORACLE)
+def win_pattern_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (MATCH_RECOGNIZE-lite): maximal
+    strictly-increasing runs of ``value`` per user, reported when the
+    run spans ≥ 4 events — the trend/CEP shape (ramp detection, retry
+    storms, escalating latencies) that pattern-matching clauses express
+    and plain SQL engines answer with gaps-and-islands algebra.
+
+    Scale design: ONE user_id-keyed shuffle serves the whole pattern —
+    the break flag (lag), the run id (running sum of breaks), and the
+    per-run aggregate all ride the same partitioning (Catalyst reuses
+    the exchange; the agg is map-side combinable on (user, run)).
+    A NULL or non-increasing step breaks the run (CASE ... ELSE 1 —
+    NULL-safe by construction, same rule both engines); runs aggregate
+    min/max only, so gain is exact at the fixture's 6-dp value grain.
+    Run ids are per-user ordinal positions — deterministic under any
+    partitioning, nothing global."""
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.col("value") > F.lag("value").over(wo), F.lit(0)
+    ).otherwise(F.lit(1))
+    s = ev.select("user_id", "ts", "event_id", "value", brk.alias("brk"))
+    run = s.withColumn(
+        "run_id",
+        F.sum("brk")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long"),
+    )
+    return (
+        run.groupBy("user_id", "run_id")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("event_id").alias("first_event"),
+            F.round(F.max("value") - F.min("value"), 6).alias("gain"),
+        )
+        .where(F.col("run_len") >= 4)
+    )
