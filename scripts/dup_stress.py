@@ -41,6 +41,16 @@ DEFAULT_KEYS = [
     "lineitem_market_basket",
     "events_active_users",
     "text_template_detect",
+    # round-5 batch-12/15 additions: 10× baskets stress the wedge join
+    # and the rule ratio joins (same distinct edge set, 10× pair
+    # instances); ×10 docs stress the CMS vocab explode and the URL
+    # collision groups; ×10 vectors stress the MaxSim token fan-out
+    "graph_triangle_count",
+    "lineitem_association_rules",
+    "sim_maxsim_late_interaction",
+    "agg_cms_heavy_hitters",
+    "dedup_url_canonical",
+    "ts_interpolate_linear",
     # sim_sparse_cosine_tfidf is deliberately NOT here: exact all-pairs
     # sparse cosine over this fixture's shared ~100-word vocabulary is
     # Σ|posting|² — measured 43 M candidate pairs at 5 k docs (sf0.1),

@@ -311,3 +311,62 @@ def test_attribution_single_user_window(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("Window (") == 1 or p.count("Window") >= 1
     assert "hashpartitioning(user_id" in p
+
+
+def test_triangle_count_never_cartesian(spark):
+    """Triangle counting must stay hash-equi-joined end to end — the
+    degree orientation and the closing-edge check are all equi-keys;
+    a cartesian/BNL anywhere means the orientation rewrite regressed."""
+    p = plan(registry.QUERIES["graph_triangle_count"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    # exactly one BNLJ NODE is allowed: the 1-row × 1-row aggregate
+    # combiner at the very top — the wedge/closing joins themselves must
+    # hash ('formatted' mentions each node twice: tree line + detail)
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_maxsim_broadcasts_query_tokens(spark):
+    """MaxSim's query token table must broadcast (it is queries×8 rows);
+    the corpus side must never shuffle into a join against it."""
+    p = plan(
+        registry.QUERIES["sim_maxsim_late_interaction"](spark, SF_SMOKE)
+    )
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_association_rules_topk_is_take_ordered(spark):
+    """The rule cut must fold into TakeOrderedAndProject — a global
+    row_number window over the pair table is the one-reducer shape the
+    RFM de-weak removed."""
+    p = plan(
+        registry.QUERIES["lineitem_association_rules"](spark, SF_SMOKE)
+    )
+    assert "TakeOrderedAndProject" in p
+
+
+def test_interpolation_has_no_unbounded_following_frame(spark):
+    """Both neighbor lookups must be RUNNING frames (asc + desc) —
+    a (currentRow, unboundedFollowing) frame re-scans the partition
+    tail per row (O(n²)/partition, the win_analytic round-2 class)."""
+    p = plan(registry.QUERIES["ts_interpolate_linear"](spark, SF_SMOKE))
+    assert "unboundedfollowing" not in p.lower()
+
+
+def test_backlog_cumulative_rides_day_spine(spark):
+    """The backlog running sum must partition on the meta_part key —
+    a bare global orderBy window would warn and single-thread."""
+    p = plan(registry.QUERIES["orders_open_backlog_daily"](spark, SF_SMOKE))
+    assert "shiftright" in p.lower()
+
+
+def test_bitmap_distinct_has_no_expand(spark):
+    """The bitmap rollup's point: exact distinct WITHOUT the
+    count-distinct Expand replication — three hash aggregates over
+    bitmaps instead."""
+    p = plan(registry.QUERIES["agg_bitmap_distinct"](spark, SF_SMOKE))
+    assert "Expand" not in p
+    # bitmap_construct_agg / bitmap_or_agg are typed-imperative
+    # aggregates → SortAggregate nodes; their presence (plus no Expand)
+    # is the signature of the bitmap rollup
+    assert "SortAggregate" in p

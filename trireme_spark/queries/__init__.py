@@ -108,6 +108,17 @@ _SWEEP_PRIORITY = [
     "fn_interval_arith",
     "search_boolean_minmatch",
     "sim_maxsim_late_interaction",
+    # --- round-5 batch 14 ---
+    "fn_xml_roundtrip",
+    "scan_file_metadata",
+    "agg_cms_heavy_hitters",
+    # --- round-5 batch 15 ---
+    "sql_parameterized",
+    "udtf_polymorphic",
+    "text_sentence_split",
+    "dedup_url_canonical",
+    "multimodal_image_patches",
+    "lineitem_association_rules",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -659,3 +659,48 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate + make_ym_interval(0, o_orderkey % 7)"
         ).alias("plus_var_m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_xml_roundtrip — XML serialize/parse surface (Spark 4 native XML)
+# ---------------------------------------------------------------------------
+
+_XML_ORACLE = """
+SELECT doc_id, source, n_chars, trim(substr(text, 1, 40)) AS t40
+FROM documents
+"""
+
+
+@register("fn_xml_roundtrip", oracle=_XML_ORACLE)
+def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface: struct → to_xml → from_xml roundtrip (Spark 4's
+    native XML support — the enterprise-integration format the
+    reference's ecosystem, Solr included, still speaks). The oracle
+    can't parse XML, so it pins the roundtrip IDENTITY: every field
+    must survive serialize→escape→parse→unescape bit-exactly, which
+    any entity-escaping, charset, or numeric-coercion drift breaks.
+
+    Field values trim at the edges because XML parsers normalize
+    leading/trailing whitespace in simple content (trimmed on BOTH
+    sides, so the identity is over the parser-stable value — the
+    documented contract, not a fudge). Codegen'd projection; the XML
+    machinery runs JVM-side, no UDF, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    rec = F.struct(
+        F.col("doc_id"),
+        F.col("source"),
+        F.col("n_chars"),
+        F.trim(F.substring("text", 1, 40)).alias("t40"),
+    )
+    xml = F.to_xml(rec, {"rowTag": "doc"})
+    parsed = F.from_xml(
+        xml,
+        "doc_id BIGINT, source STRING, n_chars BIGINT, t40 STRING",
+        {"rowTag": "doc"},
+    )
+    return d.select(parsed.alias("p")).select(
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.source").alias("source"),
+        F.col("p.n_chars").alias("n_chars"),
+        F.col("p.t40").alias("t40"),
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from trireme_spark.operators.asof import asof_join
-from trireme_spark.parity import dsum, oracle_sum
+from trireme_spark.parity import dsum, meta_part, oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -882,3 +882,120 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edge = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     # two 1-row aggregates
     return n_edge.crossJoin(n_tri).select("n_edges", "n_triangles")
+
+
+# ---------------------------------------------------------------------------
+# lineitem_association_rules — confidence / lift over co-purchase pairs
+# ---------------------------------------------------------------------------
+
+_ASSOC_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS nb FROM li),
+item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM li GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, CAST(COUNT(*) AS BIGINT) AS sxy
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+rules AS (
+  SELECT p.x AS antecedent, p.y AS consequent, p.sxy AS support_n,
+         FLOOR(CAST(p.sxy AS DOUBLE) / ix.s * 1e6) / 1e6 AS confidence,
+         FLOOR(CAST(p.sxy AS DOUBLE) * nb / (ix.s * iy.s) * 1e6) / 1e6
+             AS lift
+  FROM pair p
+  JOIN item ix ON ix.l_partkey = p.x
+  JOIN item iy ON iy.l_partkey = p.y
+  CROSS JOIN n
+  WHERE p.sxy >= 2
+)
+SELECT antecedent, consequent, support_n, confidence, lift, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      ORDER BY lift DESC, antecedent, consequent) AS rn
+  FROM rules
+) WHERE rn <= 20
+"""
+
+
+@register("lineitem_association_rules", oracle=_ASSOC_ORACLE)
+def lineitem_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchase pairs: for each DIRECTED rule
+    A→B with pair support ≥ 2, confidence = P(B|A) and lift =
+    P(A,B)/(P(A)·P(B)) — the recommender/affinity metrics one step past
+    lineitem_market_basket's raw co-occurrence counts (support alone
+    ranks popular-with-everything pairs; lift corrects for the base
+    rates).
+
+    Scale design: the pair table is the ORDER-KEYED self-join (bounded
+    per-basket |items|² fan-out, the market-basket property); item
+    supports and the basket count are one keyed agg + a 1-row aggregate,
+    joined back onto the DIMENSION-sized pair/item tables — corpus-sized
+    data is touched exactly twice (distinct pass, pair pass). Ratios
+    floor-quantize at 1e-6 (identical division operands both engines —
+    the floor stops print-boundary ulps), and the top-20 ranks on the
+    quantized lift with full key tie-breaks."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("nb")
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("x"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("y"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .where(F.col("x") != F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("sxy"))
+        .where(F.col("sxy") >= 2)
+    )
+    ix = item.withColumnRenamed("l_partkey", "x").withColumnRenamed(
+        "s", "sx"
+    )
+    iy = item.withColumnRenamed("l_partkey", "y").withColumnRenamed(
+        "s", "sy"
+    )
+    rules = (
+        pair.join(ix, "x")
+        .join(iy, "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            F.col("sxy").alias("support_n"),
+            (
+                F.floor(
+                    F.col("sxy").cast("double") / F.col("sx") * 1e6
+                )
+                / 1e6
+            ).alias("confidence"),
+            (
+                F.floor(
+                    F.col("sxy").cast("double")
+                    * F.col("nb")
+                    / (F.col("sx") * F.col("sy"))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("lift"),
+        )
+    )
+    # top-20 via TakeOrderedAndProject (per-partition heaps, never a
+    # global window over the pair table); the rank label attaches AFTER
+    # the cut, over 20 metadata rows on a meta_part spec — the
+    # two-pass-window doctrine, so no single-reducer pass and no
+    # "No Partition Defined" warning
+    top = rules.orderBy(
+        F.col("lift").desc(),
+        F.col("antecedent").asc(),
+        F.col("consequent").asc(),
+    ).limit(20)
+    w = Window.partitionBy(meta_part("antecedent")).orderBy(
+        F.col("lift").desc(),
+        F.col("antecedent").asc(),
+        F.col("consequent").asc(),
+    )
+    return top.withColumn("rn", F.row_number().over(w))

@@ -693,3 +693,189 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bigram_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_cms_heavy_hitters — count-min sketch term frequency estimation
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4       # hash rows
+_CMS_W = 256     # counters per row
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
+seeds AS (SELECT unnest(range({_CMS_D})) AS s),
+cells AS (
+  SELECT s,
+         ('0x' || substr(md5(s::VARCHAR || '|' || term), 1, 8))::BIGINT
+             % {_CMS_W} AS col,
+         CAST(SUM(c) AS BIGINT) AS v
+  FROM cnt CROSS JOIN seeds
+  GROUP BY 1, 2
+),
+top AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 20)
+SELECT t.term, t.c AS true_cnt, CAST(MIN(cells.v) AS BIGINT) AS est_cnt
+FROM top t
+CROSS JOIN seeds ss
+JOIN cells ON cells.s = ss.s
+  AND cells.col = ('0x' || substr(md5(ss.s::VARCHAR || '|' || t.term), 1, 8)
+                  )::BIGINT % {_CMS_W}
+GROUP BY 1, 2
+"""
+
+
+@register("agg_cms_heavy_hitters", oracle=_CMS_ORACLE)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch from pure column algebra: a 4×256
+    counter grid summarizes the whole term-frequency distribution in
+    fixed space, then answers point queries (here: the true top-20
+    terms) as the min over the term's 4 counters — the streaming
+    heavy-hitters primitive (CM sketch, Cormode & Muthukrishnan 2005)
+    that production token-stats pipelines keep as a tiny mergeable
+    artifact instead of a corpus-sized vocabulary.
+
+    The check is EXACT, not bound-based: hashes are md5-prefix ints
+    (bit-identical cross-engine, the shuffle_deterministic pattern), so
+    both engines build the identical sketch and the identical
+    estimates, overestimation collisions included — est_cnt ≥ true_cnt
+    by construction, with equality exactly when a term's 4
+    counters are all collision-free. Scale design: one term-count
+    shuffle (vocab-sized), then the sketch build is a map-side ×4
+    explode over the VOCAB (never the corpus) into ≤4·256
+    cells; merging shards is counter addition (sum), and queries touch
+    the 1 KB-scale grid, not the data."""
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    seeds = F.array(*[F.lit(s) for s in range(_CMS_D)])
+
+    def col_for(seed_col, term_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            seed_col.cast("string"), F.lit("|"), term_col
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    exploded = cnt.select(
+        "term", "c", F.explode(seeds).alias("s")
+    )
+    cells = (
+        exploded.groupBy(
+            "s", col_for(F.col("s"), F.col("term")).alias("col")
+        )
+        .agg(F.sum("c").alias("v"))
+    )
+    top = (
+        cnt.orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(20)
+        .select("term", F.col("c").alias("true_cnt"))
+    )
+    probes = top.select(
+        "term", "true_cnt", F.explode(seeds).alias("s")
+    ).withColumn("col", col_for(F.col("s"), F.col("term")))
+    est = (
+        F.broadcast(probes)
+        .join(cells, ["s", "col"])
+        .groupBy("term", "true_cnt")
+        .agg(F.min("v").alias("est_cnt"))
+    )
+    return est
+
+
+# ---------------------------------------------------------------------------
+# text_sentence_split — sentence segmentation with per-sentence stats
+# ---------------------------------------------------------------------------
+
+_SENT_ORACLE = """
+WITH planted AS (
+  SELECT doc_id,
+         regexp_replace(text, ' (spark|table|merge) ', ' \\1. ', 'g') AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         unnest(string_split(
+             regexp_replace(t, '([.!?])\\s+', '\\1\x01', 'g'),
+             '\x01')) AS sent
+  FROM planted
+), t AS (
+  SELECT doc_id, trim(sent) AS sent FROM s WHERE trim(sent) <> ''
+), n AS (
+  SELECT doc_id, sent,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, sent
+                            ORDER BY sent) AS dedup_rn,
+         CAST(len(string_split_regex(sent, '\\s+')) AS BIGINT) AS n_words
+  FROM t
+)
+SELECT doc_id, sent, n_words
+FROM n WHERE dedup_rn = 1
+"""
+
+
+@register("text_sentence_split", oracle=_SENT_ORACLE)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation — split documents at terminal punctuation
+    (terminal [.!?] + whitespace, via a backreference sentinel rewrite —
+    RE2, DuckDB's engine, has no lookbehind, so the split rule stays in
+    the cross-engine-safe subset; the rule-based segmenter every corpus
+    pipeline starts from) with per-sentence word counts. The fixture
+    text carries no punctuation, so terminal periods are PLANTED
+    deterministically after three marker words first (the planted-PII/
+    geo-coordinate doctrine: both engines run the identical plant, so
+    the segmenter exercises real boundaries and stays value-checked;
+    leftmost non-overlapping regex scanning is the same rule in Java
+    and RE2),
+    deduplicated per doc (repeated boilerplate sentences collapse —
+    the unit text_template_detect works at page level, this key
+    provides at sentence level, and the unit sentence-dedup corpus
+    cleaning operates on).
+
+    Scale design: one codegen'd regex split + explode (per-doc bounded
+    fan-out, no shuffle for the split itself), one doc-keyed window for
+    the per-doc dedup. The lookbehind pattern is in the Java∩RE2-safe
+    subset the PII key established. Word counts recount from the
+    sentence (cheap column algebra) rather than threading token arrays
+    through the explode."""
+    d = table(spark, sf_dir, "documents")
+    planted = F.regexp_replace(
+        F.col("text"), r" (spark|table|merge) ", " $1. "
+    )
+    sent = d.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.regexp_replace(planted, r"([.!?])\s+", "$1\u0001"),
+                "\u0001",
+            )
+        ).alias("sent"),
+    ).select("doc_id", F.trim("sent").alias("sent")).where(
+        F.col("sent") != ""
+    )
+    w = Window.partitionBy("doc_id", "sent").orderBy("sent")
+    return (
+        sent.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "sent",
+            F.size(F.split("sent", r"\s+")).cast("long").alias("n_words"),
+        )
+    )

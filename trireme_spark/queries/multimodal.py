@@ -170,3 +170,101 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames,
         "doc_id long, frame_no int, n_samples int, energy long",
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_patches — ViT-style patch extraction over opaque bytes
+# ---------------------------------------------------------------------------
+
+_MMP_ORACLE = """
+WITH b AS (
+  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+  FROM documents
+),
+grid AS (
+  SELECT doc_id, text, n, pr.pr, pc.pc
+  FROM b,
+       (SELECT UNNEST(range(2)) AS pr) pr,
+       (SELECT UNNEST(range(2)) AS pc) pc
+)
+SELECT doc_id,
+       CAST(pr AS INTEGER) AS patch_row,
+       CAST(pc AS INTEGER) AS patch_col,
+       CAST(list_sum(list_transform(range(256), i ->
+           CASE WHEN (pr * 16 + i // 16) * 32 + pc * 16 + i % 16 < n
+                THEN ascii(substr(text,
+                     CAST((pr * 16 + i // 16) * 32
+                          + pc * 16 + i % 16 AS INT) + 1, 1))
+                ELSE 0 END)) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(range(256), i ->
+           CASE WHEN (pr * 16 + i // 16) * 32 + pc * 16 + i % 16 < n
+                THEN 1 ELSE 0 END)) AS BIGINT) AS px_valid
+FROM grid
+"""
+
+
+@register("multimodal_image_patches", oracle=_MMP_ORACLE)
+def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style image patching: a 32×32 single-channel "image" (the
+    payload's first 1024 bytes, row-major; short payloads zero-pad)
+    splits into four 16×16 patches with per-patch pixel sums — the
+    tokenization step of every vision transformer, and the 2-D analog
+    of multimodal_audio_frames' 1-D striding.
+
+    The payload is the doc text's UTF-8 bytes (no image codecs in the
+    container — the multimodal_decode planting doctrine), so per-patch
+    integer sums mirror exactly via char codes and the whole Arrow
+    pipeline is value-checked: binary → mapInPandas → numpy frombuffer
+    → 2-D reshape → strided 16×16 blocks → typed rows. A real image
+    decoder (PIL/cv2) drops in at the frombuffer line.
+
+    Scale design: per-row bounded fan-out (exactly 4 patch rows/doc),
+    bytes never leave the executor (only patch statistics return),
+    Arrow batches amortize the Python hop, no shuffle. px_valid counts
+    in-payload pixels so the zero-pad region is explicit in the
+    contract rather than silently folded into the sums."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    binary_df = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def patches(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "patch_row": [],
+                "patch_col": [],
+                "px_sum": [],
+                "px_valid": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(payload[:1024], dtype=np.uint8)
+                n = len(raw)
+                img = np.zeros(1024, dtype=np.int64)
+                img[:n] = raw
+                img = img.reshape(32, 32)
+                valid = np.zeros(1024, dtype=np.int64)
+                valid[:n] = 1
+                valid = valid.reshape(32, 32)
+                for pr in range(2):
+                    for pc in range(2):
+                        blk = img[pr * 16 : pr * 16 + 16,
+                                  pc * 16 : pc * 16 + 16]
+                        vblk = valid[pr * 16 : pr * 16 + 16,
+                                     pc * 16 : pc * 16 + 16]
+                        out["doc_id"].append(doc_id)
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        out["px_sum"].append(int(blk.sum()))
+                        out["px_valid"].append(int(vblk.sum()))
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(
+        patches,
+        "doc_id long, patch_row int, patch_col int, "
+        "px_sum long, px_valid long",
+    )

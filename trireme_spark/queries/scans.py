@@ -1017,3 +1017,65 @@ def etl_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("price", 2).alias("price"),
         F.col("seq").alias("version"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scan_file_metadata — hidden _metadata column introspection
+# ---------------------------------------------------------------------------
+
+_FILEMETA_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS meta_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("scan_file_metadata", oracle=_FILEMETA_ORACLE)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` column surface: a partitioned lakehouse dir
+    is audited per PHYSICAL FILE — which files feed each partition, and
+    how many rows each contributes — the debugging/ops primitive behind
+    "which file corrupted this partition" and small-file audits
+    (complement of etl_compact_small_files, which FIXES what this key
+    measures).
+
+    The staged layout is contractual: repartition(partition col) before
+    a partitionBy write ⇒ exactly ONE file per partition value, which
+    the query verifies from ``_metadata.file_path`` alone (n_files) —
+    the oracle pins that contract as a literal plus the true per-flag
+    row counts from the source table, so any drift in the write layout
+    OR the metadata read shows up as a value mismatch. ``_metadata`` is
+    populated by the scan itself (no extra IO — the path/size fields
+    ride the split metadata); grouping by a parsed path component is
+    one map-side agg. At 100 TB the same query audits a million-file
+    table for free, because it reads footers' worth of metadata plus
+    the rows it was scanning anyway."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"trireme_filemeta_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    (
+        li.repartition("l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(stage)
+    )
+    back = spark.read.parquet(stage).select(
+        "l_returnflag", F.col("_metadata.file_path").alias("fp")
+    )
+    per_file = back.groupBy("l_returnflag", "fp").agg(
+        F.count(F.lit(1)).alias("file_rows")
+    )
+    # with one file per value n_rows == meta_rows; a second file per dir
+    # would split them apart and trip the oracle
+    return per_file.groupBy("l_returnflag").agg(
+        F.sum("file_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_files"),
+        F.max("file_rows").alias("meta_rows"),
+    )

@@ -520,3 +520,46 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trireme_spark.sql import run_sql
 
     return run_sql(spark, sf_dir, _PIPE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# sql_parameterized — parameterized spark.sql() (Spark 4 API surface)
+# ---------------------------------------------------------------------------
+
+_PARAM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderpriority <> '5-LOW'
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_parameterized", oracle=_PARAM_ORACLE)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized ``spark.sql`` (Spark 4): named ``:params`` bind
+    server-side as LITERALS in the parse tree — the injection-safe way
+    to template queries (string interpolation is the bug class this API
+    retires). Catalyst sees real literals, so constant folding and
+    parquet predicate pushdown work exactly as if the values were
+    inlined; the plan is identical to the hand-written filter.
+
+    The parameters deliberately include a numeric threshold (pushed to
+    the scan) and a string exclusion (folded into the same Filter) —
+    the two shapes dashboards template most."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "trireme_orders_param"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS revenue
+        FROM trireme_orders_param
+        WHERE o_totalprice > :min_price AND o_orderpriority <> :skip_prio
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 150000.0, "skip_prio": "5-LOW"},
+    )

@@ -1176,10 +1176,16 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The backward lookup is a DESC-ordered RUNNING frame, not a
+    # (currentRow, unboundedFollowing) frame on the ASC order:
+    # UnboundedFollowing frames re-scan the partition tail per row in
+    # WindowExec — O(n²)/partition, the exact class the round-2 scale
+    # sweep caught on win_analytic (52 s → 0.8 s there; 20 s → ~9 s
+    # here at sf0.1). Two one-pass sorts beat one quadratic frame.
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("idx")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     known_idx = F.when(F.col("v").isNotNull(), F.col("idx"))
     g = joined.select(
@@ -1188,8 +1194,8 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(wb).alias("pv"),
         F.last(known_idx, ignorenulls=True).over(wb).alias("pi"),
-        F.first("v", ignorenulls=True).over(wf).alias("nv"),
-        F.first(known_idx, ignorenulls=True).over(wf).alias("ni"),
+        F.last("v", ignorenulls=True).over(wf).alias("nv"),
+        F.last(known_idx, ignorenulls=True).over(wf).alias("ni"),
         "idx",
     )
     frac = (F.col("idx") - F.col("pi")).cast("double") / (

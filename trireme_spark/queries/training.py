@@ -734,3 +734,113 @@ def sample_reservoir_per_group(
         )
         .where(F.col("pick_order") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_url_canonical — URL canonicalization + survivor dedup (crawl verb)
+# ---------------------------------------------------------------------------
+
+_URLDEDUP_ORACLE = """
+WITH messy AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 3 = 0
+             THEN upper('www.site' || (doc_id % 250) % 5 || '.com')
+             ELSE 'www.site' || (doc_id % 250) % 5 || '.com' END)
+         || '/p/' || (doc_id % 250)
+         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0
+             THEN '?utm_source=feed&q=' || (doc_id % 250)
+             ELSE '?q=' || (doc_id % 250) || '&utm_medium=email' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         'https://'
+         || lower(regexp_extract(url, '^https?://([^/]+)', 1))
+         || regexp_replace(
+                regexp_extract(url, '^https?://[^/]+([^?#]*)', 1),
+                '/$', '')
+         || '?q=' || regexp_extract(url, '[?&]q=([0-9]+)', 1)
+             AS canonical_url
+  FROM messy
+)
+SELECT canonical_url,
+       MIN(doc_id) AS survivor_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_dupes
+FROM canon
+GROUP BY canonical_url
+"""
+
+
+@register("dedup_url_canonical", oracle=_URLDEDUP_ORACLE)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the FIRST dedup pass of every web
+    crawl: scheme upgrade, host case-folding, trailing-slash removal,
+    tracking-parameter (utm_*) stripping, fragment removal, then
+    min-id survivor election per canonical URL. The same page arrives
+    under dozens of surface forms; canonicalization collapses them
+    BEFORE content dedup ever runs (cheaper than any MinHash, and the
+    reason crawl dedup is staged: URL → exact content → fuzzy).
+
+    Messy URLs are synthesized deterministically from doc metadata
+    (the fixture has no URL column — the fn_url_parse planting pattern)
+    with page collisions built in (doc_id mod 250 → two surface forms
+    per page), so the dedup does real work and the oracle checks it
+    exactly. Scale design: canonicalization is one codegen'd regex
+    projection (Java∩RE2-safe patterns, identical scanning rule both
+    engines); the survivor election is ONE hash-keyed aggregate on the
+    canonical string — the dedup_exact plan, nothing quadratic."""
+    d = table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 2
+    host = F.concat(
+        F.lit("www.site"),
+        ((F.col("doc_id") % 250) % 5).cast("string"),
+        F.lit(".com"),
+    )
+    url = F.concat(
+        F.when(mod == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.upper(host)
+        ).otherwise(host),
+        F.lit("/p/"),
+        (F.col("doc_id") % 250).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            mod == 0,
+            F.concat(
+                F.lit("?utm_source=feed&q="),
+                (F.col("doc_id") % 250).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("?q="),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit("&utm_medium=email"),
+            )
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#sec")).otherwise(
+            F.lit("")
+        ),
+    )
+    messy = d.select("doc_id", url.alias("url"))
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract("url", r"^https?://([^/]+)", 1)),
+        F.regexp_replace(
+            F.regexp_extract("url", r"^https?://[^/]+([^?#]*)", 1),
+            r"/$",
+            "",
+        ),
+        F.lit("?q="),
+        F.regexp_extract("url", r"[?&]q=([0-9]+)", 1),
+    )
+    return (
+        messy.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("survivor_doc"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )

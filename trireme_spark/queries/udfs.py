@@ -329,3 +329,54 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         adjust("o_orderkey", "o_totalprice").alias("adjusted"),
     )
+
+
+_XP_ORACLE = """
+SELECT doc_id,
+       string_split(source, '-')[1] AS f0,
+       string_split(source, '-')[2] AS f1
+FROM documents
+"""
+
+
+@register("udtf_polymorphic", oracle=_XP_ORACLE)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4): the output SCHEMA is computed
+    at plan time by a static ``analyze()`` from the call's literal
+    arguments — here a delimited-field splitter whose column count
+    derives from the requested width, the shape generic ingest tools
+    need (one UDTF serves any column layout without per-layout
+    registration).
+
+    analyze() runs ONCE on the driver during analysis (plan-time
+    metadata, zero data motion); eval() then streams executor-side
+    rows against the already-fixed schema, so the polymorphism costs
+    nothing at runtime. The oracle mirrors the two-field split in
+    SQL; missing fields pad NULL, same rule both engines."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import StringType, StructType
+
+    @F.udtf
+    class SplitFields:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument):
+            width = n.value  # literal arg → plan-time constant
+            schema = StructType()
+            for i in range(width):
+                schema = schema.add(f"f{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            parts = (text or "").split("-")
+            yield tuple(
+                parts[i] if i < len(parts) else None for i in range(n)
+            )
+
+    spark.udtf.register("trireme_split_fields", SplitFields)
+    table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "trireme_docs_xp"
+    )
+    return spark.sql(
+        "SELECT doc_id, t.* FROM trireme_docs_xp, "
+        "LATERAL trireme_split_fields(source, 2) t"
+    )
