@@ -370,3 +370,12 @@ def test_bitmap_distinct_has_no_expand(spark):
     # aggregates → SortAggregate nodes; their presence (plus no Expand)
     # is the signature of the bitmap rollup
     assert "SortAggregate" in p
+
+
+def test_row_security_predicates_push_to_scan(spark):
+    """Governance-as-rewrite only holds if the row policy reaches the
+    scan: the segment exclusion must appear in PushedFilters, and the
+    dims must broadcast."""
+    p = plan(registry.QUERIES["etl_row_column_security"](spark, SF_SMOKE))
+    assert "c_mktsegment" in p.split("PushedFilters", 1)[1][:200]
+    assert "BroadcastHashJoin" in p

@@ -442,3 +442,48 @@ def test_reservoir_sample_deterministic_k(spark):
 
     per_group = Counter(t for t, _ in a)
     assert all(v == 5 for v in per_group.values()), per_group
+
+
+def test_wau_hll_error_bound(spark):
+    """events_wau_hll_sliding: the sketch WAU is within 5% of the exact
+    trailing-7-day distinct for every window (lgK=14 ⇒ ~0.4% typical;
+    5% is the loud-failure bound)."""
+    import pyspark.sql.functions as F
+
+    from trireme_spark.sources.io import table
+
+    approx = {
+        r["window_end"]: r["wau_approx"]
+        for r in registry.QUERIES["events_wau_hll_sliding"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    # calendar spine: every day min..max is a window end (the key's
+    # contract), even data-less days inside the range
+    spine = ev.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).select(
+        F.explode(F.sequence("lo", "hi")).alias("window_end")
+    )
+    exact = {
+        r["window_end"]: r["wau"]
+        for r in (
+            spine.join(
+                ev,
+                (F.col("day") >= F.date_sub(F.col("window_end"), 6))
+                & (F.col("day") <= F.col("window_end")),
+            )
+            .select("window_end", "user_id")
+            .distinct()
+            .groupBy("window_end")
+            .agg(F.count(F.lit(1)).alias("wau"))
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact)
+    for day, est in approx.items():
+        true = exact[day]
+        assert abs(est - true) <= max(1, 0.05 * true), (day, est, true)

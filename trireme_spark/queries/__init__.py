@@ -17,6 +17,7 @@ from trireme_spark.queries import aggregates  # noqa: F401
 from trireme_spark.queries import clustering  # noqa: F401
 from trireme_spark.queries import filters  # noqa: F401
 from trireme_spark.queries import geo  # noqa: F401
+from trireme_spark.queries import governance  # noqa: F401
 from trireme_spark.queries import functions_scalar  # noqa: F401
 from trireme_spark.queries import joins  # noqa: F401
 from trireme_spark.queries import llm_sim  # noqa: F401
@@ -119,6 +120,10 @@ _SWEEP_PRIORITY = [
     "dedup_url_canonical",
     "multimodal_image_patches",
     "lineitem_association_rules",
+    # --- round-5 batch 16: governance + sketch rollup ---
+    "etl_row_column_security",
+    "etl_gdpr_crypto_shred",
+    "events_wau_hll_sliding",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

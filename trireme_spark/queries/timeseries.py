@@ -1288,3 +1288,60 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.select(
         "day", F.sum("net").over(w).cast("long").alias("open_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_wau_hll_sliding — sliding-window distinct via mergeable sketches
+# ---------------------------------------------------------------------------
+
+@register("events_wau_hll_sliding")  # rows-only: sketch estimates are
+# engine-specific; tests/test_quality.py bounds the error vs the exact WAU
+def events_wau_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day weekly-active-users via HLL sketch UNION — the
+    approximate sibling of events_active_users' exact two-phase
+    distinct, and the shape that wins at corpus scale: ONE daily sketch
+    per day is the only thing ever persisted (a few KB), and every
+    sliding window is a UNION of 7 sketches — no per-window re-distinct
+    over raw events, no (user, day)×7 fan-out, and yesterday's sketches
+    never recompute when today's data lands (the incremental-rollup
+    property exact distinct fundamentally lacks).
+
+    Plan shape: one day-keyed sketch aggregation over the corpus, a
+    bounded ≤7-day explode over the DAY-levelled sketch table, one
+    union-merge per window day. Estimates are deterministic for a given
+    input (DataSketches HLL is seed-fixed), so the driver's rows-only
+    check is stable; the quality gate asserts ≤5% relative error vs
+    the exact key."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    # each daily sketch serves the 7 windows ending on day..day+6
+    bounds = daily.agg(
+        F.max(F.col("day").cast("date")).alias("max_day")
+    )
+    fan = (
+        daily.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+            "day",
+            "sk",
+        )
+        .select(
+            F.date_add(F.col("day").cast("date"), F.col("off")).alias(
+                "window_end"
+            ),
+            "sk",
+        )
+        # windows ending past the data range are partial-future noise
+        .join(F.broadcast(bounds), F.col("window_end") <= F.col("max_day"))
+        .drop("max_day")
+    )
+    return (
+        fan.groupBy("window_end")
+        .agg(
+            F.ceil(
+                F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            ).cast("long").alias("wau_approx")
+        )
+        .orderBy("window_end")
+    )
