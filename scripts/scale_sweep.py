@@ -37,6 +37,7 @@ HEAVY_3X = {
     # triple-consumer explode are all legitimately multi-stage cold
     "graph_pagerank_copurchase",
     "graph_triangle_count",
+    "cluster_dbscan_grid",
     "lineitem_market_basket",
     "text_bigram_logprob",
     "orders_cohort_ltv",

@@ -45,10 +45,18 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
     )
+    # localCheckpoint, not cache(): each round's plan references the
+    # previous round's frame TWICE (the neighbor join and the merge), so
+    # under cache() the LOGICAL plan doubles per round — analysis cost
+    # grows 2^rounds and OOMs the driver near round ~7 on any
+    # high-diameter graph (observed on the DBSCAN eps-graph; the
+    # low-diameter dedup graphs converged before the wall). Checkpoint
+    # truncates lineage so every round plans against a leaf. At cluster
+    # scale prefer a reliable checkpoint dir (localCheckpoint loses
+    # partitions with a dead executor); the shape is identical.
     cc = nodes.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("comp")
-    ).cache()
-    cc.count()
+    ).localCheckpoint(eager=True)
     changed = -1
     for _ in range(max_iter):
         nbr_min = (
@@ -56,18 +64,37 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        step = cc.join(nbr_min, cc["v"] == nbr_min["s"], "left").select(
+            "v",
+            F.least(
+                F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+            ).alias("comp"),
+            (F.col("nbr_comp") < F.col("comp")).alias("_shrank"),
+        )
+        # pointer jumping (path compression): also adopt the label OF the
+        # current label — min-label propagation alone needs O(diameter)
+        # rounds; the extra keyed join shortcuts long chains to
+        # O(log diameter). Correctness is unchanged: a label is always
+        # the id of some node in the same component, and least() is
+        # monotone, so the fixpoint (= component min) is identical.
+        lk = step.select(
+            F.col("v").alias("lv"), F.col("comp").alias("lcomp")
+        )
         nxt = (
-            cc.join(nbr_min, cc["v"] == nbr_min["s"], "left")
+            step.join(lk, step["comp"] == lk["lv"], "left")
             .select(
                 "v",
                 F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                    F.col("comp"), F.coalesce("lcomp", F.col("comp"))
                 ).alias("comp"),
-                (F.col("nbr_comp") < F.col("comp")).alias("_shrank"),
+                (
+                    F.col("_shrank")
+                    | (F.col("lcomp") < F.col("comp"))
+                ).alias("_shrank"),
             )
-        ).cache()
+            .localCheckpoint(eager=True)
+        )
         changed = nxt.where(F.col("_shrank")).count()
-        cc.unpersist()
         cc = nxt.select("v", "comp")
         if changed == 0:
             break

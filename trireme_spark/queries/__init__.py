@@ -124,6 +124,7 @@ _SWEEP_PRIORITY = [
     "etl_row_column_security",
     "etl_gdpr_crypto_shred",
     "events_wau_hll_sliding",
+    "cluster_dbscan_grid",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

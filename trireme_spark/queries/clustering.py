@@ -138,3 +138,187 @@ def embed_pq_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("recon_mse", 6).alias("recon_mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster_dbscan_grid — density clustering, grid-bucketed (no all-pairs)
+# ---------------------------------------------------------------------------
+
+_EPS = 0.04
+_MINPTS = 5
+
+_DBSCAN_ORACLE = f"""
+WITH RECURSIVE
+p AS (
+  SELECT vec_id,
+         CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+),
+pair AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM p a JOIN p b ON a.vec_id <> b.vec_id
+  WHERE FLOOR(((a.x - b.x) ^ 2 + (a.y - b.y) ^ 2) * 1e12) / 1e12
+        <= {_EPS * _EPS}
+),
+deg AS (
+  SELECT p.vec_id,
+         1 + COALESCE((SELECT COUNT(*) FROM pair
+                       WHERE pair.a = p.vec_id), 0) AS n_eps
+  FROM p
+),
+core AS (SELECT vec_id FROM deg WHERE n_eps >= {_MINPTS}),
+ce AS (
+  SELECT pair.a AS src, pair.b AS dst FROM pair
+  JOIN core ca ON ca.vec_id = pair.a
+  JOIN core cb ON cb.vec_id = pair.b
+),
+reach(v, c) AS (
+  SELECT vec_id, vec_id FROM core
+  UNION
+  SELECT ce.dst, r.c FROM reach r JOIN ce ON ce.src = r.v
+),
+core_lbl AS (SELECT v AS vec_id, MIN(c) AS cluster FROM reach GROUP BY v),
+border AS (
+  SELECT pair.a AS vec_id, MIN(cl.cluster) AS cluster
+  FROM pair
+  JOIN core_lbl cl ON cl.vec_id = pair.b
+  WHERE pair.a NOT IN (SELECT vec_id FROM core)
+  GROUP BY pair.a
+)
+SELECT p.vec_id,
+       CASE WHEN cl.vec_id IS NOT NULL THEN 'core'
+            WHEN bo.vec_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(cl.cluster, bo.cluster) AS cluster
+FROM p
+LEFT JOIN core_lbl cl ON cl.vec_id = p.vec_id
+LEFT JOIN border bo ON bo.vec_id = p.vec_id
+"""
+
+
+@register("cluster_dbscan_grid", oracle=_DBSCAN_ORACLE)
+def cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering over the embedding plane (first two
+    dims), grid-bucketed: core points have ≥ minPts neighbors within
+    eps (self included), clusters are connected components of the
+    core-core eps-graph, borders adopt their smallest core neighbor's
+    cluster, the rest is noise — the density family (cluster count
+    emerges from the data) beside k-means' fixed-k, and THE standard
+    spatial clustering for outlier-aware grouping.
+
+    Scale design — the same bucket-then-verify doctrine as geo/MinHash:
+    points map to eps-sized grid cells (pure expression), each point
+    probes its 3×3 cell neighborhood (bounded ×9 fan-out), exact
+    distances evaluate ONLY on co-cell candidates — an eps-ball can
+    never cross more cells, so candidates are complete and all-pairs
+    never happens. Neighbor counting is one keyed agg; clustering
+    reuses the distributed min-label CC operator (keyed shuffles,
+    loud non-convergence). Squared distances floor-quantize at 1e-12
+    before the eps² compare (geo doctrine — identical doubles both
+    engines, no boundary ulp). The brute-force recursive-CTE oracle
+    value-checks grid completeness AND the full role/label assignment."""
+    from trireme_spark.operators.graph import connected_components
+
+    e = table(spark, sf_dir, "embeddings")
+    p = e.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    inv = 1.0 / _EPS
+    cell = (
+        (F.floor(F.col("x") * inv) + 1000) * 100000
+        + (F.floor(F.col("y") * inv) + 1000)
+    ).cast("long")
+    pts = p.withColumn("cell", cell)
+    offsets = F.array(
+        *[F.lit(dx * 100000 + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    )
+    probe = pts.select(
+        F.col("vec_id").alias("a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(
+            F.transform(offsets, lambda o: o + F.col("cell"))
+        ).alias("cell"),
+    )
+    build = pts.select(
+        F.col("vec_id").alias("b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        "cell",
+    )
+    d2 = (
+        F.floor(
+            (
+                (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+                + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+            )
+            * 1e12
+        )
+        / 1e12
+    )
+    pair = (
+        probe.join(build, "cell")
+        .where(F.col("a") != F.col("b"))
+        .where(d2 <= _EPS * _EPS)
+        .select("a", "b")
+    )
+    # Staged: pairs feed degree counting, the core-core edge filter, and
+    # border attachment (3 consumers) — tmp parquet, no cache leak
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"trireme_dbscan_pairs_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    pair.write.mode("overwrite").parquet(stage)
+    pair = spark.read.parquet(stage)
+    deg = pair.groupBy("a").agg((F.count(F.lit(1)) + 1).alias("n_eps"))
+    core = (
+        deg.where(F.col("n_eps") >= _MINPTS)
+        .select(F.col("a").alias("vec_id"))
+    )
+    ca = core.select(F.col("vec_id").alias("a"))
+    cb = core.select(F.col("vec_id").alias("b"))
+    ce = pair.join(ca, "a", "left_semi").join(cb, "b", "left_semi")
+    cc = connected_components(
+        core, ce, id_col="vec_id", src_col="a", dst_col="b"
+    )
+    core_lbl = cc.select(
+        "vec_id", F.col("component").alias("cluster")
+    )
+    border = (
+        pair.join(ca.withColumnRenamed("a", "a_"),
+                  pair["a"] == F.col("a_"), "left_anti")
+        .join(
+            core_lbl.withColumnRenamed("vec_id", "b"),
+            "b",
+        )
+        .groupBy("a")
+        .agg(F.min("cluster").alias("cluster"))
+        .withColumnRenamed("a", "vec_id")
+    )
+    out = (
+        p.select("vec_id")
+        .join(
+            core_lbl.withColumnRenamed("cluster", "core_cluster"),
+            "vec_id",
+            "left",
+        )
+        .join(
+            border.withColumnRenamed("cluster", "border_cluster"),
+            "vec_id",
+            "left",
+        )
+    )
+    return out.select(
+        "vec_id",
+        F.when(F.col("core_cluster").isNotNull(), "core")
+        .when(F.col("border_cluster").isNotNull(), "border")
+        .otherwise("noise")
+        .alias("role"),
+        F.coalesce("core_cluster", "border_cluster").alias("cluster"),
+    )
