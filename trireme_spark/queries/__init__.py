@@ -125,6 +125,8 @@ _SWEEP_PRIORITY = [
     "etl_gdpr_crypto_shred",
     "events_wau_hll_sliding",
     "cluster_dbscan_grid",
+    "text_boilerplate_removal",
+    "etl_manifest_vacuum",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

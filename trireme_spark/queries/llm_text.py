@@ -879,3 +879,129 @@ def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split("sent", r"\s+")).cast("long").alias("n_words"),
         )
     )
+
+
+
+# ---------------------------------------------------------------------------
+# text_boilerplate_removal — corpus-level repeated-sentence stripping (C4)
+# ---------------------------------------------------------------------------
+
+_BP_MIN_DOCS = 20  # a sentence in >= this many docs is boilerplate
+
+_BOILER_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id,
+         text || '.'
+         || (CASE WHEN doc_id % 2 = 0
+             THEN ' subscribe to the newsletter.' ELSE '' END)
+         || ' all rights reserved.' AS t
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         string_split(regexp_replace(t, '([.!?]) ', '\\1\x01', 'g'),
+                      '\x01') AS arr
+  FROM src
+),
+s AS (
+  SELECT doc_id, unnest(arr) AS sent,
+         generate_subscripts(arr, 1) AS idx
+  FROM sp
+),
+t AS (
+  SELECT doc_id, trim(sent) AS sent, idx FROM s WHERE trim(sent) <> ''
+),
+df AS (
+  SELECT sent, COUNT(DISTINCT doc_id) AS n_docs FROM t GROUP BY sent
+),
+flag AS (
+  SELECT t.doc_id, t.sent, t.idx,
+         df.n_docs >= {_BP_MIN_DOCS} AS is_bp
+  FROM t JOIN df USING (sent)
+)
+SELECT doc_id,
+       string_agg(CASE WHEN NOT is_bp THEN sent END, ' ' ORDER BY idx)
+           AS cleaned,
+       CAST(count_if(is_bp) AS BIGINT) AS n_removed
+FROM flag
+GROUP BY doc_id
+"""
+
+
+@register("text_boilerplate_removal", oracle=_BOILER_ORACLE)
+def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate stripping: sentences that repeat across >= 20
+    documents (cookie banners, footers, newsletter prompts) are removed
+    from every document, and the cleaned text reassembles in original
+    sentence order — the corpus-LEVEL cleaning verb that per-document
+    quality scoring cannot express, and a standard pass in every
+    web-crawl training-data pipeline.
+
+    Planting: the fixture text has no cross-document repeats, so two
+    footer sentences are appended deterministically first (the content
+    gains a terminal period so footers split off as their own
+    sentences; 'all rights reserved.' lands everywhere, a newsletter
+    prompt on even docs) — both
+    engines run the identical plant, so the removal is value-checked
+    end-to-end including the reassembled text (planted-PII doctrine).
+
+    Scale design: ONE sentence explode feeds both the global
+    document-frequency aggregation (sentence-keyed, map-side combined —
+    the corpus-wide signal) and the per-doc reassembly; the df table
+    joins back on the sentence key (hash shuffle; at web scale you'd
+    pre-hash sentences to longs exactly like text_decontaminate's
+    grams). Reassembly is one doc-keyed collect_list of (idx, sent)
+    structs sorted in-row — per-doc bounded, never a global sort."""
+    d = table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit("."),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit(" subscribe to the newsletter."),
+        ).otherwise(F.lit("")),
+        F.lit(" all rights reserved."),
+    )
+    sent = (
+        d.select("doc_id", planted.alias("t"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(
+                    F.regexp_replace(
+                        F.col("t"), r"([.!?]) ", "$1\u0001"
+                    ),
+                    "\u0001",
+                )
+            ).alias("idx0", "sent"),
+        )
+        .select(
+            "doc_id",
+            (F.col("idx0") + 1).alias("idx"),  # 1-based like the oracle
+            F.trim("sent").alias("sent"),
+        )
+        .where(F.col("sent") != "")
+    )
+    df_tbl = sent.groupBy("sent").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    flag = sent.join(df_tbl, "sent").select(
+        "doc_id",
+        "sent",
+        "idx",
+        (F.col("n_docs") >= _BP_MIN_DOCS).alias("is_bp"),
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    ~F.col("is_bp"), F.struct(F.col("idx"), F.col("sent"))
+                )
+            )
+        ),
+        lambda s: s["sent"],
+    )
+    return flag.groupBy("doc_id").agg(
+        F.array_join(kept_sorted, " ").alias("cleaned"),
+        F.count_if(F.col("is_bp")).alias("n_removed"),
+    )

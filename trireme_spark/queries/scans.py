@@ -1079,3 +1079,83 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_files"),
         F.max("file_rows").alias("meta_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# etl_manifest_vacuum — orphan-file detection against the commit manifest
+# ---------------------------------------------------------------------------
+
+_VACUUM_ORACLE = """
+SELECT * FROM (VALUES ('orphan-0.jsonl', CAST(2 AS BIGINT)),
+                      ('orphan-1.jsonl', CAST(2 AS BIGINT)))
+       AS t(orphan_file, n_rows)
+"""
+
+
+@register("etl_manifest_vacuum", oracle=_VACUUM_ORACLE)
+def etl_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM's detection half: diff the PHYSICAL directory listing
+    against the commit manifest and surface orphan part files — the
+    debris failed jobs and zombie task retries leave behind under any
+    manifest-committed sink (the sink_python_datasource protocol
+    documents that aborts/retries orphan unlisted files by design;
+    this key is the maintenance pass that finds them). Two orphans are
+    planted to mimic a dead task's output; their rows are counted
+    through a quarantine read before the (real) vacuum would unlink.
+
+    Scale design: the diff is manifest-set vs listing-set — pure
+    metadata, no row data moves for detection (at object-store scale
+    the listing side comes from an S3 Inventory/filesystem report and
+    the diff becomes one anti-join of two path tables; the local
+    os.listdir here is that report's 1-node stand-in). Only ORPHAN
+    files are ever opened, and only to count what deletion will
+    destroy — the audit trail a safe vacuum logs before unlinking."""
+    import json as _json
+    import shutil
+
+    from trireme_spark.sources.pydatasource import KeyedDocSink
+
+    spark.dataSource.register(KeyedDocSink)
+    out = _tmp("pyvacuum", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    (
+        d.write.format("trireme_docsink")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    # plant two orphans: part-shaped files a failed task would leave
+    for i in range(2):
+        with open(os.path.join(out, f"orphan-{i}.jsonl"), "w") as fh:
+            for r in range(2):
+                fh.write(
+                    _json.dumps(
+                        {"doc_id": -1 - i, "source": "dead-task",
+                         "n_chars": r}
+                    )
+                    + "\n"
+                )
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        listed = {
+            os.path.basename(pth) for pth in _json.load(fh)["parts"]
+        }
+    on_disk = {
+        f
+        for f in os.listdir(out)
+        if f.endswith(".jsonl")
+    }
+    orphans = sorted(on_disk - listed)
+    quarantine = spark.read.schema(
+        "doc_id long, source string, n_chars long"
+    ).json([os.path.join(out, f) for f in orphans])
+    return (
+        quarantine.withColumn(
+            "orphan_file",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        .groupBy("orphan_file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
