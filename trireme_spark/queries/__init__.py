@@ -127,6 +127,9 @@ _SWEEP_PRIORITY = [
     "cluster_dbscan_grid",
     "text_boilerplate_removal",
     "etl_manifest_vacuum",
+    "events_ab_test_analysis",
+    "text_instruction_format",
+    "embed_matryoshka_topk",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -1239,3 +1239,96 @@ def sim_maxsim_late_interaction(
         .where(F.col("rn") <= 5)
         .select("qid", "did", "maxsim", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# embed_matryoshka_topk — MRL prefix-dim retrieval quality sweep
+# ---------------------------------------------------------------------------
+
+def _duck_dim_dot(a: str, b: str, d: str) -> str:
+    """Prefix-dimension dot product (sequential fold, parity with
+    F.aggregate)."""
+    return (
+        f"list_sum(list_transform(range({d}), "
+        f"i -> {a}[CAST(i AS INT)+1] * {b}[CAST(i AS INT)+1]))"
+    )
+
+
+_MRL_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_DUCK_EMB} AS emb FROM embeddings),
+dims AS (SELECT unnest([8, 16, 64]) AS d),
+q AS (SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid, dims.d, e.vec_id AS neighbor,
+         ROUND({_duck_dim_dot('q.qv', 'e.emb', 'dims.d')}
+               / (sqrt({_duck_dim_dot('q.qv', 'q.qv', 'dims.d')})
+                  * sqrt({_duck_dim_dot('e.emb', 'e.emb', 'dims.d')})),
+               6) AS cos_sim
+  FROM q CROSS JOIN dims JOIN e ON e.vec_id <> q.qid
+)
+SELECT qid, d, neighbor, cos_sim, rn FROM (
+  SELECT qid, d, neighbor, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid, d
+             ORDER BY cos_sim DESC, neighbor ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register("embed_matryoshka_topk", oracle=_MRL_ORACLE)
+def embed_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) retrieval sweep: top-5 neighbors per query at
+    PREFIX dimensionalities 8 / 16 / 64 of the same embeddings — the
+    eval behind truncatable-embedding serving (store one vector, search
+    at the cheapest prefix that holds quality; re-rank at full width).
+    Comparing the per-dim result sets IS the retrieval-quality-vs-cost
+    curve every MRL deployment tunes.
+
+    Scale design: queries × dims is a 9-row broadcast; the corpus
+    streams past it map-side computing all three prefix cosines from
+    ONE stored vector (slice of the same array — no per-dim copies of
+    the corpus), then one (qid, d)-keyed top-5 window. Shuffle volume
+    is |corpus|·|dims| score rows of 4 small columns, never embeddings.
+    Cosines round at 6 dp (identical sequential folds both engines)
+    and rank with a neighbor tie-break."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+
+    def dot_d(a, b, d):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(a, 1, d), F.slice(b, 1, d), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    q = v.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qv")
+    )
+    qd = q.crossJoin(spark.createDataFrame([(8,), (16,), (64,)], "d int"))
+    scored = v.alias("e").join(
+        F.broadcast(qd), F.col("e.vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "d",
+        F.col("e.vec_id").alias("neighbor"),
+        F.round(
+            dot_d(F.col("qv"), F.col("e.emb"), F.col("d"))
+            / (
+                F.sqrt(dot_d(F.col("qv"), F.col("qv"), F.col("d")))
+                * F.sqrt(
+                    dot_d(F.col("e.emb"), F.col("e.emb"), F.col("d"))
+                )
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid", "d").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "d", "neighbor", "cos_sim", "rn")
+    )

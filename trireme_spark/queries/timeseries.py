@@ -1345,3 +1345,103 @@ def events_wau_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_end")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_test_analysis — deterministic experiment assignment + readout
+# ---------------------------------------------------------------------------
+
+_ABTEST_ORACLE = """
+WITH assign AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || '|exp42'), 1, 8)
+                   )::BIGINT % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS variant
+  FROM events
+),
+conv AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+cell AS (
+  SELECT a.variant,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(count_if(c.user_id IS NOT NULL) AS BIGINT) AS n_converted
+  FROM assign a LEFT JOIN conv c USING (user_id)
+  GROUP BY a.variant
+)
+SELECT variant, n_users, n_converted,
+       FLOOR(CAST(n_converted AS DOUBLE) / n_users * 1e6) / 1e6 AS cvr
+FROM cell
+"""
+
+
+@register("events_ab_test_analysis", oracle=_ABTEST_ORACLE)
+def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assign to control/treatment by a
+    SEEDED HASH of (user_id, experiment key) — the industry-standard
+    bucketing that is stable across sessions, devices, and reruns
+    without an assignment table — then per-variant users, conversions,
+    and conversion rate. The hash is md5-prefix (bit-identical
+    cross-engine, the shuffle_deterministic pattern), so the entire
+    experiment pipeline — assignment included — is value-checked, and
+    adding experiments costs a new salt, not new infrastructure.
+
+    Scale design: assignment is a codegen'd projection on the distinct-
+    user pass; conversion is a second distinct collapse; the readout is
+    a 2-row aggregate. Two user-keyed shuffles total, both two-phase
+    distinct plans; nothing corpus-sized survives past them. The CVR
+    floor-quantizes at 1e-6 (identical division operands both engines)."""
+    ev = table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("user_id").cast("string"), F.lit("|exp42"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    assign = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(bucket == 0, "control")
+            .otherwise("treatment")
+            .alias("variant"),
+        )
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    cell = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count_if(F.col("converted").isNotNull()).alias(
+                "n_converted"
+            ),
+        )
+    )
+    return cell.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        (
+            F.floor(
+                F.col("n_converted").cast("double")
+                / F.col("n_users")
+                * 1e6
+            )
+            / 1e6
+        ).alias("cvr"),
+    )

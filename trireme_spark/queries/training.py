@@ -844,3 +844,70 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_dupes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_instruction_format — SFT chat-template assembly with token budget
+# ---------------------------------------------------------------------------
+
+_SFT_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1:(10 + doc_id % 30)], ' ') AS ctx,
+         array_to_string(string_split(text, ' ')[1:8], ' ') AS tgt
+  FROM documents
+),
+fmt AS (
+  SELECT doc_id,
+         '<|system|>You are a concise assistant.<|end|>'
+         || '<|user|>Summarize: ' || ctx || '<|end|>'
+         || '<|assistant|>' || tgt || '<|end|>' AS prompt_text
+  FROM base
+)
+SELECT doc_id, prompt_text,
+       CAST(len(string_split(prompt_text, ' ')) AS BIGINT) AS n_tokens
+FROM fmt
+WHERE len(string_split(prompt_text, ' ')) <= 40
+"""
+
+
+@register("text_instruction_format", oracle=_SFT_ORACLE)
+def text_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template assembly — the LAST transform of every
+    instruction-tuning pipeline: (system, user, assistant) turns render
+    into the model's special-token template, and examples over the
+    token budget drop (truncating the ASSISTANT turn would teach the
+    model to truncate). Context and target derive deterministically
+    from the doc text (a per-doc 10-39-word context / first 8 words —
+    varied so the budget predicate actually partitions the corpus), so
+    the full rendered
+    string is value-checked — delimiter drift, a missing <|end|>, or
+    an off-by-one in the slice all break the hash.
+
+    Scale design: pure codegen'd string algebra (slice + array_join +
+    concat), one projection, no shuffle; the budget filter is a plain
+    predicate. A real tokenizer swaps in behind the same budget column
+    as a Pandas-UDF count (udf_pandas_iter is the amortized-model-load
+    template for exactly that)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    ctx = F.array_join(
+        F.slice(words, 1, (F.lit(10) + F.col("doc_id") % 30).cast("int")),
+        " ",
+    )
+    tgt = F.array_join(F.slice(words, 1, 8), " ")
+    prompt = F.concat(
+        F.lit("<|system|>You are a concise assistant.<|end|>"),
+        F.lit("<|user|>Summarize: "),
+        ctx,
+        F.lit("<|end|>"),
+        F.lit("<|assistant|>"),
+        tgt,
+        F.lit("<|end|>"),
+    )
+    out = d.select(
+        "doc_id",
+        prompt.alias("prompt_text"),
+        F.size(F.split(prompt, " ")).cast("long").alias("n_tokens"),
+    )
+    return out.where(F.col("n_tokens") <= 40)
