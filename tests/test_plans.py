@@ -379,3 +379,32 @@ def test_row_security_predicates_push_to_scan(spark):
     p = plan(registry.QUERIES["etl_row_column_security"](spark, SF_SMOKE))
     assert "c_mktsegment" in p.split("PushedFilters", 1)[1][:200]
     assert "BroadcastHashJoin" in p
+
+
+def test_runtime_bloom_filter_reaches_probe_side(spark):
+    """join_runtime_bloom_filter's point: under its confs, Catalyst must
+    inject might_contain(...) into the probe (lineitem) side before the
+    shuffle — the row-level pruning the key demonstrates."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = table(spark, SF_SMOKE, "orders").where(
+            F.col("o_totalprice") > 450000
+        )
+        li = table(spark, SF_SMOKE, "lineitem")
+        p = plan(li.join(o, li.l_orderkey == o.o_orderkey))
+        assert "might_contain" in p
+        assert "bloom_filter_agg" in p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -487,3 +487,55 @@ def test_wau_hll_error_bound(spark):
     for day, est in approx.items():
         true = exact[day]
         assert abs(est - true) <= max(1, 0.05 * true), (day, est, true)
+
+
+def test_bpe_first_merge_matches_exact_pair_count(spark):
+    """text_bpe_train_merges: merge #1 must equal the exact weighted
+    adjacent-char pair argmax computed independently, and the learned
+    rules must be deterministic across runs with descending counts."""
+    import pyspark.sql.functions as F
+
+    from trireme_spark.functions.text import tokenize
+    from trireme_spark.sources.io import table
+
+    rules = registry.QUERIES["text_bpe_train_merges"](
+        spark, SF_SMOKE
+    ).collect()
+    assert [r["merge_rank"] for r in rules] == [1, 2, 3, 4, 5]
+    counts = [r["pair_count"] for r in rules]
+    assert counts == sorted(counts, reverse=True)
+
+    words = (
+        table(spark, SF_SMOKE, "documents")
+        .select(F.explode(tokenize("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    first = (
+        words.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1), "
+                    "i -> struct(substr(word, i, 1) AS l, "
+                    "substr(word, i + 1, 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("wc").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "l", "r")
+        .limit(1)
+        .collect()[0]
+    )
+    assert (rules[0]["left"], rules[0]["right"], rules[0]["pair_count"]) == (
+        first["l"],
+        first["r"],
+        int(first["cnt"]),
+    )
+
+    rerun = registry.QUERIES["text_bpe_train_merges"](
+        spark, SF_SMOKE
+    ).collect()
+    assert [tuple(r) for r in rerun] == [tuple(r) for r in rules]

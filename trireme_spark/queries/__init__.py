@@ -130,6 +130,8 @@ _SWEEP_PRIORITY = [
     "events_ab_test_analysis",
     "text_instruction_format",
     "embed_matryoshka_topk",
+    "join_runtime_bloom_filter",
+    "text_bpe_train_merges",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

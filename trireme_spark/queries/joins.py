@@ -11,6 +11,9 @@ cartesian product.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -999,3 +1002,68 @@ def lineitem_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("consequent").asc(),
     )
     return top.withColumn("rn", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# join_runtime_bloom_filter — runtime row-level filter pruning
+# ---------------------------------------------------------------------------
+
+_BLOOM_ORACLE = """
+SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_totalprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 450000
+"""
+
+
+@register("join_runtime_bloom_filter", oracle=_BLOOM_ORACLE)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: when a selective dimension
+    side feeds a SHUFFLE join, Catalyst builds a bloom filter over the
+    build-side keys and injects `might_contain(...)` into the PROBE
+    side's scan — fact rows that cannot match drop before the shuffle,
+    the row-level sibling of dynamic partition pruning and the single
+    biggest IO lever on selective fact-dim joins at 100 TB (the probe
+    side here is the 4/7-of-lineitem that survives; at cluster scale
+    it's the 0.1% that matches a filtered dimension).
+
+    The optimizer rule only fires at physical planning, so the session
+    confs enabling it must be live at EXECUTION: the join materializes
+    to tmp parquet inside this builder (the staged-write doctrine) and
+    every touched conf restores in `finally` — a shared sweep session
+    never sees the disabled broadcast threshold (broadcast joins take
+    the DPP path instead of bloom, so the demo forces the shuffle
+    join). tests/test_plans.py asserts might_contain reaches the probe
+    scan under these confs."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"trireme_bloomjoin_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    try:
+        o = table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 450000
+        )
+        li = table(spark, sf_dir, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice"
+        )
+        j.write.mode("overwrite").parquet(stage)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(stage)

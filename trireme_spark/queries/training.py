@@ -911,3 +911,88 @@ def text_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(prompt, " ")).cast("long").alias("n_tokens"),
     )
     return out.where(F.col("n_tokens") <= 40)
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_train_merges — distributed BPE merge learning (rows-only)
+# ---------------------------------------------------------------------------
+
+@register("text_bpe_train_merges")  # rows-only: per-iteration argmax over
+# merged state is not expressible as one SQL query; tests/test_quality.py
+# pins merge 1 against an exact SQL pair count, plus determinism and
+# monotone-count invariants
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, distributed: learn the first 5 merge
+    rules over the corpus — per round, count adjacent symbol pairs
+    (weighted by word frequency), adopt the most frequent pair as a new
+    symbol, rewrite the vocabulary, repeat. This is the actual
+    algorithm behind GPT/Llama tokenizers (Sennrich et al., 2016),
+    expressed as keyed DataFrame algebra.
+
+    Scale design — the two-level trick real BPE trainers use: the
+    corpus collapses ONCE into (word, count) — vocabulary-sized, which
+    is bounded by the language, not the corpus — and every iteration
+    runs over that collapsed table: adjacent pairs via an in-row
+    arrays_zip of two slices (no explode join), one map-side-combined
+    weighted count, a 1-ROW argmax collect (bounded driver state, the
+    k-means doctrine), and an in-row left-to-right fold rewriting each
+    word's symbols. localCheckpoint between rounds keeps the plan flat
+    (the connected-components lesson). Output: (merge_rank, left,
+    right, pair_count) — deterministic via (count DESC, left, right)
+    tie-breaks, so reruns are bit-identical."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokenize("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    vocab = words.select(
+        "wc",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+    merges = []
+    for rank in range(1, 6):
+        pairs = vocab.select(
+            "wc",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1).alias(
+                        "l"
+                    ),
+                    F.expr("slice(syms, 2, size(syms) - 1)").alias("r"),
+                )
+            ).alias("p"),
+        ).select("wc", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((rank, l, r, int(cnt)))
+        if "'" in l + r or "\\" in l + r:
+            # symbols embed in the fold expression below as SQL string
+            # literals; the fixture vocabulary is alphanumeric, so a
+            # quote/backslash means something upstream changed — fail
+            # loudly rather than emit a broken expression
+            raise ValueError(f"unescapable BPE symbol pair: {l!r},{r!r}")
+        # left-to-right non-overlapping merge fold, pure column algebra
+        vocab = vocab.select(
+            "wc",
+            F.expr(
+                "aggregate(syms, array()::array<string>, (acc, x) -> "
+                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{l}' "
+                f"AND x = '{r}' THEN concat(slice(acc, 1, size(acc) - 1), "
+                f"array('{l}{r}')) ELSE concat(acc, array(x)) END)"
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )
