@@ -132,6 +132,11 @@ _SWEEP_PRIORITY = [
     "embed_matryoshka_topk",
     "join_runtime_bloom_filter",
     "text_bpe_train_merges",
+    "etl_observe_metrics",
+    "win_nth_value",
+    "agg_listagg_ordered",
+    "sql_select_except",
+    "events_attribution_linear",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -463,3 +463,48 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("event_type").agg(
         F.sum(F.bitmap_count(F.col("bm"))).alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_listagg_ordered — SQL:2023 LISTAGG ... WITHIN GROUP
+# ---------------------------------------------------------------------------
+
+_LISTAGG_ORACLE = """
+SELECT o_orderpriority,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses,
+       string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+           AS distinct_statuses
+FROM orders
+WHERE o_orderkey <= 200
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_listagg_ordered", oracle=_LISTAGG_ORACLE)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 LISTAGG ... WITHIN GROUP (ORDER BY ...) — the standard
+    ordered string aggregation Spark 4 added (a6's collect_list +
+    sort_array expresses the same result as array algebra; this key
+    covers the STANDARD surface, including the DISTINCT variant, so
+    SQL written for other warehouses runs verbatim).
+
+    The WITHIN GROUP ordering makes the concatenation deterministic
+    under any partitioning — without it LISTAGG output depends on
+    arrival order and can't be value-checked (or trusted in
+    production). Bounded input slice keeps oracle strings short; the
+    plan is one partial+final aggregation either way."""
+    table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") <= 200
+    ).createOrReplaceTempView("trireme_orders_listagg")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderkey) AS statuses,
+               listagg(DISTINCT o_orderstatus, '|')
+                   WITHIN GROUP (ORDER BY o_orderstatus)
+                   AS distinct_statuses
+        FROM trireme_orders_listagg
+        GROUP BY o_orderpriority
+        """
+    )

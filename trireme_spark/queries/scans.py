@@ -1159,3 +1159,67 @@ def etl_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("orphan_file")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# etl_observe_metrics — pipeline observability via the Observation API
+# ---------------------------------------------------------------------------
+
+_OBSERVE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+       CAST(count_if(o_orderstatus IS NULL) AS BIGINT) AS n_null_status,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+FROM orders
+"""
+
+
+@register("etl_observe_metrics", oracle=_OBSERVE_ORACLE)
+def etl_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability — ``df.observe()`` metrics (the
+    CollectMetrics operator): data-quality counters ride the SAME pass
+    as the real work and surface after the action, so a production
+    write publishes row counts, rule violations, and control totals
+    with ZERO extra scans — the difference between "the job ran" and
+    "the job ran and moved what it should have" (Deequ-style checks as
+    a side effect instead of a second job; complements
+    etl_expectations, which is the standalone-audit form).
+
+    Scale design: metrics are decomposable aggregates computed
+    map-side inside the existing plan — adding a metric adds an
+    expression, never a pass; the observed pipeline here is a real
+    filtered write (staged parquet). The metric VALUES come back as a
+    bounded 1-row driver payload (the k-means doctrine) and are
+    re-emitted as the result frame so the oracle can pin them."""
+    from pyspark.sql import Observation
+
+    obs = Observation("trireme_etl_metrics")
+    o = table(spark, sf_dir, "orders")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.count_if(F.col("o_orderstatus").isNull()).alias(
+            "n_null_status"
+        ),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    stage = _tmp("observe_sink", sf_dir)
+    # the action that both does the work AND materializes the metrics
+    observed.where(F.col("o_totalprice") > 150000).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_big"]),
+                int(m["n_null_status"]),
+                float(m["sum_price"]),
+            )
+        ],
+        "n_rows long, n_big long, n_null_status long, sum_price double",
+    )

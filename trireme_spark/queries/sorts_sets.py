@@ -563,3 +563,41 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 150000.0, "skip_prio": "5-LOW"},
     )
+
+
+# ---------------------------------------------------------------------------
+# sql_select_except — star-modifier projection + ORDER BY ALL
+# ---------------------------------------------------------------------------
+
+_EXCEPT_ORACLE = """
+SELECT * EXCLUDE (c_acctbal, c_mktsegment) FROM customer
+WHERE c_nationkey < 5
+ORDER BY ALL
+"""
+
+
+@register("sql_select_except", oracle=_EXCEPT_ORACLE)
+def sql_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-modifier SQL surface: ``SELECT * EXCEPT (cols)`` (Spark 4;
+    DuckDB spells it EXCLUDE) plus ``ORDER BY ALL`` — the
+    wide-table ergonomics that modern warehouse SQL standardized:
+    project everything but the columns you're dropping without
+    enumerating a 300-column schema, order deterministically without
+    repeating the list.
+
+    Although the sugar differs per dialect (EXCEPT/EXCLUDE), both lower
+    to the identical pruned projection — column pruning still reaches
+    the scan because the star expands at analysis time, not runtime.
+    ORDER BY ALL orders by every projected column left-to-right, which
+    both engines define identically."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "trireme_cust_except"
+    )
+    return spark.sql(
+        """
+        SELECT * EXCEPT (c_acctbal, c_mktsegment)
+        FROM trireme_cust_except
+        WHERE c_nationkey < 5
+        ORDER BY ALL
+        """
+    )

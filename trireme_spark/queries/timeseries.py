@@ -1445,3 +1445,89 @@ def events_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("cvr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_linear — multi-touch credit splitting
+# ---------------------------------------------------------------------------
+
+_LINEAR_ATTR_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT p.purchase_id, p.user_id, p.value, c.click_id,
+         CAST(COUNT(*) OVER (PARTITION BY p.purchase_id) AS BIGINT)
+             AS n_touches
+  FROM purchases p
+  JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.click_ts <= p.purchase_ts
+   AND c.click_ts >= p.purchase_ts - INTERVAL 7 DAY
+)
+SELECT purchase_id, user_id, click_id, n_touches,
+       FLOOR(value / n_touches * 1e6) / 1e6 AS credit
+FROM touch
+"""
+
+
+@register("events_attribution_linear", oracle=_LINEAR_ATTR_ORACLE)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the 7 days before
+    a purchase shares the purchase value EQUALLY — the fairness-model
+    complement of events_attribution_last_touch (last-touch rewards
+    the closer; linear pays the whole journey, and the delta between
+    the two models is the standard marketing-mix diagnostic).
+
+    Scale design: the touch join carries the user_id equi key with the
+    7-day range as a post-join conjunct (hash join, never BNL — the j8
+    doctrine), so fan-out is per-user clicks×purchases within the
+    window, bounded by user activity, not the corpus. The per-purchase
+    touch count rides a purchase-keyed window on the SAME shuffled
+    rows, and credits floor-quantize at 1e-6 so the equal split is
+    bit-identical cross-engine. Unbounded lookback is the documented
+    trade against the last-touch key's O(1)-state window."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    touch = purchases.join(
+        clicks,
+        (clicks["user_id"] == purchases["user_id"])
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 7 DAY")
+        ),
+    ).select(
+        "purchase_id",
+        purchases["user_id"].alias("user_id"),
+        "value",
+        "click_id",
+    )
+    w = Window.partitionBy("purchase_id")
+    return touch.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.count(F.lit(1)).over(w).alias("n_touches"),
+        (
+            F.floor(
+                F.col("value") / F.count(F.lit(1)).over(w) * 1e6
+            )
+            / 1e6
+        ).alias("credit"),
+    )

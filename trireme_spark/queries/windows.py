@@ -348,3 +348,47 @@ def win_pattern_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("run_len") >= 4)
     )
+
+
+# ---------------------------------------------------------------------------
+# win_nth_value — positional value extraction over running frames
+# ---------------------------------------------------------------------------
+
+_NTH_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       nth_value(o_totalprice, 2) OVER w AS second_price,
+       first_value(o_orderkey) OVER w AS first_key,
+       last_value(o_orderkey) OVER w AS latest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_nth_value", oracle=_NTH_ORACLE)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window extraction: nth_value(2) (the runner-up price
+    seen so far), first_value and last_value over an explicit RUNNING
+    frame per customer — the "compare each row to the leaders so far"
+    analytic (price anchoring, second-best bids, leaderboard deltas).
+
+    The frame is pinned ROWS UNBOUNDED PRECEDING..CURRENT on BOTH
+    engines: nth_value's default-frame behavior differs subtly across
+    engines (RANGE vs ROWS on ties), so the explicit frame is the
+    parity contract, with (price DESC, orderkey) making every frame
+    prefix deterministic. One customer-keyed shuffle, O(1) frame state
+    per function, no unbounded-following scans."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("latest_key"),
+    )
