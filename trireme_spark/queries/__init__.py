@@ -137,6 +137,10 @@ _SWEEP_PRIORITY = [
     "agg_listagg_ordered",
     "sql_select_except",
     "events_attribution_linear",
+    "search_phrase_query",
+    "events_cumulative_adoption",
+    "fn_binary_encoding",
+    "ts_gap_detection",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

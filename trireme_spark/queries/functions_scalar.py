@@ -704,3 +704,43 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.n_chars").alias("n_chars"),
         F.col("p.t40").alias("t40"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_binary_encoding — base64 / hex / byte-level codec surface
+# ---------------------------------------------------------------------------
+
+_BINENC_ORACLE = """
+SELECT doc_id,
+       base64(encode(substr(text, 1, 24))) AS b64,
+       lower(hex(encode(substr(text, 1, 12)))) AS hx,
+       decode(from_base64(base64(encode(substr(text, 1, 24))))) AS b64_rt,
+       decode(from_hex(hex(encode(substr(text, 1, 12))))) AS hex_rt,
+       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
+FROM documents
+"""
+
+
+@register("fn_binary_encoding", oracle=_BINENC_ORACLE)
+def fn_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec surface: base64 and hex encodings of UTF-8 bytes
+    with full decode roundtrips, plus byte-level inspection (ascii) —
+    the wire-format plumbing every external-system bridge needs
+    (payloads in JSON envelopes, digest columns, debugging opaque
+    blobs). fn_hash covers digests; this key covers reversible
+    TRANSPORT encodings, value-checked both directions.
+
+    All codegen'd projections; the encode('UTF-8') leg pins the
+    charset so multi-byte text can't silently diverge between the
+    engines' default encodings."""
+    d = table(spark, sf_dir, "documents")
+    t24 = F.encode(F.substring("text", 1, 24), "UTF-8")
+    t12 = F.encode(F.substring("text", 1, 12), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.base64(t24).alias("b64"),
+        F.lower(F.hex(t12)).alias("hx"),
+        F.unbase64(F.base64(t24)).cast("string").alias("b64_rt"),
+        F.decode(F.unhex(F.hex(t12)), "UTF-8").alias("hex_rt"),
+        F.ascii(F.substring("text", 1, 1)).alias("first_byte"),
+    )

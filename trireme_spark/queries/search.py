@@ -270,3 +270,54 @@ def search_boolean_minmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.where(
         F.col("has_must") & ~F.col("has_not") & (F.col("n_should") >= 2)
     ).select("doc_id", "n_should")
+
+
+# ---------------------------------------------------------------------------
+# search_phrase_query — positional postings + adjacency phrase match
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("hash", "merge")  # two-term phrase over the fixture vocabulary
+
+_PHRASE_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(
+           ' ' || lower(text) || ' ',
+           ' {_PHRASE[0]} {_PHRASE[1]} ')) AS BIGINT) AS n_hits
+FROM documents
+WHERE ' ' || lower(text) || ' ' LIKE '% {_PHRASE[0]} {_PHRASE[1]} %'
+"""
+
+
+@register("search_phrase_query", oracle=_PHRASE_ORACLE)
+def search_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query ("{0} {1}") answered from POSITIONAL POSTINGS — the
+    inverted-index structure search engines actually use: one posting
+    row per (term, doc, position), phrase match = same doc with
+    adjacent positions. Bag-of-words retrieval (search_bm25_topk)
+    cannot see word ORDER; this is the operator that can, and the
+    index-build side is exactly what a Spark→Solr loader ships.
+
+    Scale design: postings filter to the QUERY terms before any join
+    (the shuffle carries |query|·|occurrences| rows, never corpus
+    postings), then one (doc, position)-keyed equi-join checks
+    adjacency: term₂'s posting at pos+1 joins term₁'s at pos — a hash
+    join on (doc_id, pos), no window, no re-scan of text. Overlapping
+    hits count independently, mirrored by the oracle's non-overlapping
+    regex count ONLY because distinct fixture tokens can't self-
+    overlap at distance 1 — the docstring pins that assumption.
+    n_hits per doc is a map-side-combined count.""".format(*_PHRASE)
+    d = table(spark, sf_dir, "documents")
+    post = d.select(
+        "doc_id",
+        F.posexplode(tokenize("text")).alias("pos", "term"),
+    ).where(F.col("term").isin(*_PHRASE))
+    t1 = post.where(F.col("term") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    t2 = post.where(F.col("term") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("p1")
+    )
+    hits = t1.join(t2, ["doc_id", "p1"])
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )

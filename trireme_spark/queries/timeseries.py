@@ -1531,3 +1531,118 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_cumulative_adoption — running distinct users without the trap
+# ---------------------------------------------------------------------------
+
+_ADOPTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+  FROM events GROUP BY user_id
+),
+b AS (SELECT min(date_trunc('day', ts)) AS lo, max(date_trunc('day', ts)) AS hi
+      FROM events),
+days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b)
+SELECT day,
+       CAST((SELECT COUNT(*) FROM f WHERE f.first_day <= days.day) AS BIGINT)
+           AS total_users
+FROM days
+"""
+
+
+@register("events_cumulative_adoption", oracle=_ADOPTION_ORACLE)
+def events_cumulative_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative adoption curve: total distinct users EVER seen, per
+    calendar day — the all-time-uniques dashboard line. The naive form
+    is COUNT(DISTINCT) over an ever-EXPANDING window (per-day re-
+    distinct over all history: O(days·corpus), the classic cumulative-
+    uniques trap). The scalable identity: a user enters the cumulative
+    count exactly once, on their FIRST day — so collapse to (user,
+    first_day) once, count first-seens per day, and prefix-sum over the
+    calendar-bounded day spine.
+
+    Scale design: one user-keyed min aggregation (two-phase distinct
+    shape), one dimension-sized daily count, one meta_part running sum
+    over the spine; history never rescans when a new day lands (the
+    incremental property: yesterday's counts are final). The oracle
+    runs the naive expanding count, value-checking the rewrite."""
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    per_day = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    spine = days.join(per_day, "day", "left").select(
+        "day", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    w = (
+        Window.partitionBy(meta_part("day"))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.select(
+        "day", F.sum("n_new").over(w).cast("long").alias("total_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_gap_detection — reporting-outage detection per source
+# ---------------------------------------------------------------------------
+
+_GAPS_ORACLE = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_ts
+  FROM events
+)
+SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+       (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS gap_seconds
+FROM s
+WHERE (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 > 172800
+"""
+
+
+@register("ts_gap_detection", oracle=_GAPS_ORACLE)
+def ts_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reporting-gap detection: per-user silences longer than 48 h,
+    with exact gap boundaries — the monitoring primitive behind
+    "sensor X stopped reporting" / "pipeline Y skipped a day" alerts,
+    and the inverse view of ts_resample_fill (which papers over the
+    gaps this key surfaces).
+
+    Scale design: ONE lag window per user (the same user_id-keyed
+    shuffle every sessionization key rides), then a codegen'd
+    predicate — no spine, no join; cost is one sort per user
+    partition regardless of how long the history is. Gap length in
+    whole seconds keeps the compare integer-exact (events.ts is µs
+    precision in both engines; both sides floor-divide the µs epoch
+    delta — date_diff('second') would count BOUNDARY CROSSINGS, the
+    cross-engine trap this oracle avoids)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
+    )
+    gap_s = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+    ) / 1000000
+    return s.where(gap_s > 172800).select(
+        "user_id",
+        F.col("prev_ts").alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        F.floor(gap_s).cast("long").alias("gap_seconds"),
+    )
