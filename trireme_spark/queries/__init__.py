@@ -141,6 +141,9 @@ _SWEEP_PRIORITY = [
     "events_cumulative_adoption",
     "fn_binary_encoding",
     "ts_gap_detection",
+    "fn_regexp_extended",
+    "features_user_vector",
+    "events_alert_throttle",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -744,3 +744,53 @@ def fn_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.unhex(F.hex(t12)), "UTF-8").alias("hex_rt"),
         F.ascii(F.substring("text", 1, 1)).alias("first_byte"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_regexp_extended — regexp_count / instr / substr / extract_all
+# ---------------------------------------------------------------------------
+
+_REGEXP_EXT_ORACLE = """
+SELECT p_partkey,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT)
+           AS vowel_runs,
+       CASE WHEN regexp_extract(p_name, '[aeiou]{2,}') = ''
+            THEN NULL
+            ELSE regexp_extract(p_name, '[aeiou]{2,}') END
+           AS first_double_vowel,
+       COALESCE(
+           array_to_string(regexp_extract_all(p_name, '[a-z]{5,}'), '|'),
+           '') AS long_words,
+       CAST(strpos(p_name, ' ') AS BIGINT) AS first_space_at
+FROM part
+"""
+
+
+@register("fn_regexp_extended", oracle=_REGEXP_EXT_ORACLE)
+def fn_regexp_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended regexp surface (Spark 3.5+): regexp_count,
+    regexp_substr, regexp_extract_all — the pattern-mining trio beyond
+    f1's extract/replace (how many matches, the first match, every
+    match), the workhorses of log parsing and token mining.
+
+    Parity notes pinned by the oracle: regexp_substr returns NULL on
+    no-match where DuckDB's regexp_extract returns '' (bridged with a
+    CASE); extract_all arrays compare via a joined string so the cell
+    stays scalar for the driver canonicalizer (the agg_collect/pca
+    lesson). All codegen'd projections in the Java∩RE2-safe subset."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_count("p_name", F.lit("[aeiou]+")).cast("long").alias(
+            "vowel_runs"
+        ),
+        F.regexp_substr("p_name", F.lit("[aeiou]{2,}")).alias(
+            "first_double_vowel"
+        ),
+        F.array_join(
+            # idx=0 = whole match: Spark defaults to group 1 and throws
+            # on group-free patterns (DuckDB defaults to 0)
+            F.regexp_extract_all("p_name", F.lit("[a-z]{5,}"), 0), "|"
+        ).alias("long_words"),
+        F.instr("p_name", " ").cast("long").alias("first_space_at"),
+    )

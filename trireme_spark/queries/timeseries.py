@@ -1646,3 +1646,91 @@ def ts_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("gap_end"),
         F.floor(gap_s).cast("long").alias("gap_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_alert_throttle — at-most-one-alert-per-window suppression
+# ---------------------------------------------------------------------------
+
+_THROTTLE_ORACLE = """
+WITH a AS (
+  SELECT user_id, event_id, ts
+  FROM events WHERE event_type = 'error'
+),
+marked AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_ts
+  FROM a
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 21600000000
+              THEN 1 ELSE 0 END AS opens
+  FROM marked
+),
+runs AS (
+  SELECT user_id, event_id, ts, opens,
+         SUM(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS burst_id
+  FROM flagged
+)
+SELECT user_id, CAST(burst_id AS BIGINT) AS burst_id,
+       MIN(event_id) AS alert_event,
+       MIN(ts) AS alert_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_suppressed
+FROM runs
+GROUP BY user_id, burst_id
+"""
+
+
+@register("events_alert_throttle", oracle=_THROTTLE_ORACLE)
+def events_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert throttling: error events collapse into BURSTS separated by
+    >6 h of silence; each burst raises exactly ONE alert (its first
+    event) and reports how many events it suppressed — the dedup layer
+    between detectors and pagers (a detector that fires per event
+    melts the on-call; per-burst is the operable unit). Same
+    gaps-and-islands algebra as the bounce-rate sessions, pointed at
+    the ops domain with the suppression count as the payload.
+
+    Scale design: ONE user-keyed shuffle carries the lag, the running
+    burst-id sum, and the per-burst aggregate (Catalyst reuses the
+    exchange); epoch-µs arithmetic both engines (the date_diff
+    boundary-crossing trap); burst ids are per-user ordinals —
+    deterministic under any partitioning."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "error"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("ts").over(wo).alias("prev_ts"),
+    )
+    gap_us = F.unix_micros(
+        F.col("ts").cast("timestamp")
+    ) - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+    opens = F.when(
+        F.col("prev_ts").isNull() | (gap_us > 21600000000), 1
+    ).otherwise(0)
+    runs = marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(opens)
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long")
+        .alias("burst_id"),
+    )
+    return runs.groupBy("user_id", "burst_id").agg(
+        F.min("event_id").alias("alert_event"),
+        F.min("ts").alias("alert_ts"),
+        F.count(F.lit(1)).alias("n_suppressed"),
+    )

@@ -996,3 +996,86 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# features_user_vector — feature-store vector materialization
+# ---------------------------------------------------------------------------
+
+_FEATVEC_ORACLE = """
+WITH b AS (SELECT max(ts) AS now FROM events),
+agg AS (
+  SELECT user_id,
+         CAST(count_if(event_type = 'click') AS DOUBLE) AS f_clicks,
+         CAST(count_if(event_type = 'view') AS DOUBLE) AS f_views,
+         CAST(count_if(event_type = 'purchase') AS DOUBLE) AS f_purch,
+         CAST(count_if(event_type = 'error') AS DOUBLE) AS f_errors,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS f_value,
+         FLOOR((epoch_us(now) - epoch_us(max(ts))) / 86400e6 * 1e6) / 1e6
+             AS f_recency_days
+  FROM events CROSS JOIN b
+  GROUP BY user_id, now
+)
+SELECT user_id, f_clicks, f_views, f_purch, f_errors, f_value,
+       f_recency_days
+FROM agg
+"""
+
+
+@register("features_user_vector", oracle=_FEATVEC_ORACLE)
+def features_user_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store materialization: one fixed-layout numeric vector
+    per user — behavioral counts, decimal-exact monetary total, and a
+    recency feature anchored to the corpus watermark — the offline
+    half of every feature platform (join_point_in_time is the serving
+    half; this key BUILDS what that key serves, and the array layout
+    is what a model consumes without per-feature joins).
+
+    Scale design: every feature folds into ONE map-side-combined
+    aggregation over one scan (conditional partial sums — the
+    etl_expectations rule: features add expressions, never passes);
+    the watermark anchor is a 1-row broadcast. Recency
+    floor-quantizes at 1e-6 days."""
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("now"))
+    agg = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "now")
+        .agg(
+            F.count_if(F.col("event_type") == "click")
+            .cast("double")
+            .alias("f_clicks"),
+            F.count_if(F.col("event_type") == "view")
+            .cast("double")
+            .alias("f_views"),
+            F.count_if(F.col("event_type") == "purchase")
+            .cast("double")
+            .alias("f_purch"),
+            F.count_if(F.col("event_type") == "error")
+            .cast("double")
+            .alias("f_errors"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("f_value"),
+            (
+                F.floor(
+                    (
+                        F.unix_micros(F.col("now").cast("timestamp"))
+                        - F.unix_micros(F.max("ts").cast("timestamp"))
+                    )
+                    / 86400e6
+                    * 1e6
+                )
+                / 1e6
+            ).alias("f_recency_days"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        "f_clicks",
+        "f_views",
+        "f_purch",
+        "f_errors",
+        "f_value",
+        "f_recency_days",
+    )
