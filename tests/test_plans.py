@@ -408,3 +408,11 @@ def test_runtime_bloom_filter_reaches_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """join_dpp_partitioned: the fact scan must carry a dynamicpruning
+    partition filter fed by the dim side — directory pruning decided at
+    runtime, the third leg of the pruning trio."""
+    p = plan(registry.QUERIES["join_dpp_partitioned"](spark, SF_SMOKE))
+    assert "dynamicpruning" in p.lower()

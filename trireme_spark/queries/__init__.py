@@ -144,6 +144,8 @@ _SWEEP_PRIORITY = [
     "fn_regexp_extended",
     "features_user_vector",
     "events_alert_throttle",
+    "join_dpp_partitioned",
+    "agg_grouping_sets_explicit",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -508,3 +508,43 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_grouping_sets_explicit — hand-picked grouping sets
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n, {oracle_sum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("agg_grouping_sets_explicit", oracle=_GSETS_ORACLE)
+def agg_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the hand-picked aggregation lattice
+    (per-flag, per-status, grand total — WITHOUT the cross
+    combinations a CUBE would add): the report-workload shape where
+    rollup/cube (a5) compute strictly more than the dashboard needs.
+
+    Plans as one Expand (3 replicas — exactly the requested sets, vs
+    4 for cube) into one partial+final aggregate; grouping_id
+    disambiguates the NULL-as-total rows from genuine NULL keys, bit
+    order pinned identical to DuckDB's GROUPING."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "trireme_li_gsets"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                   AS sum_qty
+        FROM trireme_li_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

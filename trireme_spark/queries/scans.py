@@ -1223,3 +1223,64 @@ def etl_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, n_big long, n_null_status long, sum_price double",
     )
+
+
+# ---------------------------------------------------------------------------
+# join_dpp_partitioned — dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+_DPP_ORACLE = """
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice
+FROM lineitem l
+JOIN (SELECT l_returnflag FROM lineitem
+      GROUP BY l_returnflag
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(*) > 25.33) d
+  ON l.l_returnflag = d.l_returnflag
+"""
+
+
+@register("join_dpp_partitioned", oracle=_DPP_ORACLE)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is PARTITIONED on the
+    join column, the dim side's filter is only known at runtime — DPP
+    turns the dim's qualifying keys into a partition filter on the
+    fact scan, so entire directories never open. With static pruning
+    (s5), runtime bloom filters (join_runtime_bloom_filter), and this
+    key, the pruning trio that carries selective joins at 100 TB is
+    complete: directory-level, row-level, and runtime-directory-level.
+
+    The fact stages as a partitioned tmp write (the s5 layout); the
+    dim filter is on an AGGREGATE attribute (per-flag mean quantity),
+    so the qualifying partition keys are genuinely unknowable until
+    runtime — a literal dim filter would be folded into a static
+    partition filter and no DPP would fire (observed).
+    tests/test_plans.py asserts ``dynamicpruning`` lands in the fact
+    scan's partition filters."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
+    )
+    stage = _tmp("dpp_fact", sf_dir)
+    (
+        li.write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(stage)
+    )
+    fact = spark.read.parquet(stage)
+    dim = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("avg_qty")
+        )
+        .where(F.col("avg_qty") > 25.33)
+        .select("l_returnflag")
+    )
+    return fact.join(dim, "l_returnflag").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
