@@ -213,3 +213,89 @@ def test_transform_with_state_matches_batch(spark):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_stream_restart_resume_exactly_once(spark, tmp_path):
+    """Checkpoint restart: a query drains two source files, STOPS, two
+    more files land, and a RESTARTED query with the same checkpoint
+    processes only the new files — the already-committed offsets never
+    replay, so an append (at-least-once-looking) sink still ends up
+    exactly-once. This is the recovery contract every production
+    stream rests on; the equivalence tests above never stop a query.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    staged = B.stage_events_files(spark, SF_SMOKE, n_files=4, tag="pytest")
+    files = sorted(
+        f for f in os.listdir(staged) if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src)
+
+    schema = spark.read.parquet(staged).schema
+
+    def run_drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+        def write_batch(df, batch_id):
+            df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(sink)
+
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for f in files[:2]:
+        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+    run_drain()
+    for f in files[2:]:
+        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+    run_drain()
+
+    out = spark.read.parquet(sink)
+    # update-mode foreachBatch appends per-batch deltas; the LAST write
+    # per key carries the complete running count IF no offsets replayed
+    final = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("batch_id").desc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("event_type", "n")
+    )
+    expect = (
+        spark.read.parquet(staged)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    # replayed offsets would re-emit earlier batch ids after restart:
+    # batch ids must be strictly increasing with no duplicates
+    bids = [r["batch_id"] for r in out.select("batch_id").distinct().collect()]
+    assert len(bids) == len(set(bids))
+    assert max(bids) + 1 == len(bids)  # contiguous 0..n-1 across restarts

@@ -146,6 +146,7 @@ _SWEEP_PRIORITY = [
     "events_alert_throttle",
     "join_dpp_partitioned",
     "agg_grouping_sets_explicit",
+    "agg_percentile_disc",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

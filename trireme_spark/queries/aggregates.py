@@ -548,3 +548,40 @@ def agg_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_percentile_disc — SQL-standard discrete percentile
+# ---------------------------------------------------------------------------
+
+_PDISC_ORACLE = """
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.5) AS median_disc,
+       quantile_disc(o_totalprice, 0.9) AS p90_disc
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("agg_percentile_disc", oracle=_PDISC_ORACLE)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard PERCENTILE_DISC ... WITHIN GROUP: the DISCRETE
+    quantile — an actual data value, never an interpolation (a7 covers
+    the continuous form). Load-bearing distinction for monetary and
+    latency reporting: the interpolated median of an even-sized group
+    is a price nobody paid; the discrete one is auditable back to a
+    row. Value parity is exact by construction — both engines return a
+    stored double, no arithmetic to drift."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "trireme_orders_pdisc"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS median_disc,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p90_disc
+        FROM trireme_orders_pdisc
+        GROUP BY o_orderpriority
+        """
+    )
