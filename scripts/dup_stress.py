@@ -51,6 +51,12 @@ DEFAULT_KEYS = [
     "agg_cms_heavy_hitters",
     "dedup_url_canonical",
     "ts_interpolate_linear",
+    # ×10 exact copies make EVERY point a DBSCAN core (9 zero-distance
+    # neighbors) and multiply co-cell pairs ×100 — the worst case the
+    # grid + CC path must absorb; boilerplate's planted footers repeat
+    # across 10× the docs, stressing the sentence-df join
+    "cluster_dbscan_grid",
+    "text_boilerplate_removal",
     # sim_sparse_cosine_tfidf is deliberately NOT here: exact all-pairs
     # sparse cosine over this fixture's shared ~100-word vocabulary is
     # Σ|posting|² — measured 43 M candidate pairs at 5 k docs (sf0.1),

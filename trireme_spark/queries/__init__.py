@@ -147,6 +147,8 @@ _SWEEP_PRIORITY = [
     "join_dpp_partitioned",
     "agg_grouping_sets_explicit",
     "agg_percentile_disc",
+    "events_kpi_daily_scorecard",
+    "etl_early_arriving_facts",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -1284,3 +1284,62 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.join(dim, "l_returnflag").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
     )
+
+
+# ---------------------------------------------------------------------------
+# etl_early_arriving_facts — pending-queue resolution across dim batches
+# ---------------------------------------------------------------------------
+
+_EARLY_FACTS_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name,
+       CASE WHEN o.o_custkey % 3 = 0 THEN 'batch2' ELSE 'batch1' END
+           AS resolved_in
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("etl_early_arriving_facts", oracle=_EARLY_FACTS_ORACLE)
+def etl_early_arriving_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-arriving facts: orders land BEFORE their customer
+    dimension rows exist (dim batch 1 is missing every third customer
+    — the classic warehouse race). Unmatched facts go to a PENDING
+    queue instead of being dropped or crashing the load; when dim
+    batch 2 lands, the queue drains and each fact records which batch
+    resolved it — the retry-with-state pattern every incremental
+    dimension load needs (dropping unmatched facts undercounts
+    revenue; failing the job blocks the pipeline on upstream timing).
+
+    Scale design: each resolution round is one fact×dim equi-join plus
+    a LEFT-ANTI split of the still-pending remainder; pending is
+    corpus-sized only in the pathological all-dims-late case and
+    shrinks monotonically per round. The final union carries the
+    resolution provenance; the oracle pins it via the planted
+    missing-dim rule, so the queue mechanics — not just the final
+    join — are value-checked."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dim_b1 = c.where(F.col("c_custkey") % 3 != 0)
+    dim_b2 = c.where(F.col("c_custkey") % 3 == 0)
+
+    def resolve(facts: DataFrame, dim: DataFrame, tag: str):
+        matched = facts.join(
+            dim, facts.o_custkey == dim.c_custkey
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "c_name",
+            F.lit(tag).alias("resolved_in"),
+        )
+        pending = facts.join(
+            dim, facts.o_custkey == dim.c_custkey, "left_anti"
+        )
+        return matched, pending
+
+    m1, pending = resolve(o, dim_b1, "batch1")
+    m2, still_pending = resolve(pending, dim_b2, "batch2")
+    # the fixture's dim is complete after batch 2; a real pipeline loops
+    # with the pending table persisted between loads
+    return m1.unionByName(m2)

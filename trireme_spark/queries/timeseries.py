@@ -1734,3 +1734,93 @@ def events_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("alert_ts"),
         F.count(F.lit(1)).alias("n_suppressed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_kpi_daily_scorecard — one scan, every headline metric
+# ---------------------------------------------------------------------------
+
+_SCORECARD_ORACLE = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, user_id, event_type, value
+  FROM events
+),
+base AS (
+  SELECT day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+         CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchases,
+         CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE)
+             AS revenue,
+         CAST(count_if(event_type = 'error') AS BIGINT) AS n_errors
+  FROM d GROUP BY day
+)
+SELECT day, n_events, dau, n_purchases, revenue, n_errors,
+       FLOOR(CAST(n_errors AS DOUBLE) / n_events * 1e6) / 1e6
+           AS error_rate,
+       FLOOR(CAST(n_purchases AS DOUBLE) / dau * 1e6) / 1e6
+           AS purchases_per_dau
+FROM base
+"""
+
+
+@register("events_kpi_daily_scorecard", oracle=_SCORECARD_ORACLE)
+def events_kpi_daily_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily KPI scorecard: events, DAU, purchases, decimal-exact
+    revenue, errors, error rate, purchases-per-DAU — every headline
+    metric a product dashboard opens with, in ONE day-keyed
+    aggregation over ONE scan. The individual keys (active_users,
+    revenue_ma, bounce, anomaly) each own a metric in depth; this
+    composite pins the "one pass, many metrics" production shape —
+    adding a KPI adds an expression, and the scan cost NEVER grows
+    with the metric count (the etl_expectations rule applied to the
+    dashboard workload).
+
+    The exact DAU makes this a two-phase-distinct plan (Expand on the
+    distinct column only); every other metric is a conditional partial
+    sum riding the same exchange. Ratios floor-quantize at 1e-6."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    base = d.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("dau"),
+        F.count_if(F.col("event_type") == "purchase").alias(
+            "n_purchases"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+            .cast("decimal(27,6)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+    )
+    return base.select(
+        "day",
+        "n_events",
+        "dau",
+        "n_purchases",
+        "revenue",
+        "n_errors",
+        (
+            F.floor(
+                F.col("n_errors").cast("double")
+                / F.col("n_events")
+                * 1e6
+            )
+            / 1e6
+        ).alias("error_rate"),
+        (
+            F.floor(
+                F.col("n_purchases").cast("double") / F.col("dau") * 1e6
+            )
+            / 1e6
+        ).alias("purchases_per_dau"),
+    )
