@@ -149,6 +149,10 @@ _SWEEP_PRIORITY = [
     "agg_percentile_disc",
     "events_kpi_daily_scorecard",
     "etl_early_arriving_facts",
+    "search_hybrid_rrf",
+    "source_csv_malformed_modes",
+    "fn_unicode_lengths",
+    "agg_corr_matrix",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -585,3 +585,54 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_corr_matrix — pairwise correlation matrix in one pass
+# ---------------------------------------------------------------------------
+
+_CORRM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_CORRM_ORACLE = " UNION ALL ".join(
+    f"SELECT '{a}' AS var_a, '{b}' AS var_b, "
+    f"ROUND(corr({a}, {b}), 6) AS r FROM lineitem"
+    for i, a in enumerate(_CORRM_COLS)
+    for b in _CORRM_COLS[i + 1 :]
+)
+
+
+@register("agg_corr_matrix", oracle=_CORRM_ORACLE)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix over the lineitem measures — the EDA
+    opener of every modeling effort ("which features are redundant")
+    and the statistical sibling of embed_gram_matrix's second moments.
+    All six upper-triangle pairs compute in ONE aggregation over ONE
+    scan: corr is decomposable sufficient statistics (the regr_*
+    doctrine), so adding variables grows expressions quadratically but
+    passes not at all — against the naive per-pair scan loop the
+    oracle's UNION spells out.
+
+    Correlations round at 6 dp (ratio of large co-moment sums — the
+    ≤1e-9-relative cross-engine band the a9/stats keys established)."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    names = []
+    for i, a in enumerate(_CORRM_COLS):
+        for b in _CORRM_COLS[i + 1 :]:
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"r_{i}_{b}"))
+            names.append((a, b, f"r_{i}_{b}"))
+    wide = li.agg(*aggs)
+    # unpivot the 1-row wide result into (var_a, var_b, r) rows
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("var_a"),
+                F.lit(b).alias("var_b"),
+                F.col(c).alias("r"),
+            )
+            for a, b, c in names
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("p")).select(
+        "p.var_a", "p.var_b", "p.r"
+    )

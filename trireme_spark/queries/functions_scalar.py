@@ -794,3 +794,51 @@ def fn_regexp_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("long_words"),
         F.instr("p_name", " ").cast("long").alias("first_space_at"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_unicode_lengths — char vs byte semantics on multibyte text
+# ---------------------------------------------------------------------------
+
+_UNICODE_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         substr(text, 1, 10) || ' café 日本 🚀' AS s
+  FROM documents
+)
+SELECT doc_id,
+       length(s) AS n_chars,
+       strlen(s) AS n_bytes,
+       upper(s) AS up,
+       reverse(s) AS rev,
+       substr(s, length(s) - 4, 5) AS tail5
+FROM u
+"""
+
+
+@register("fn_unicode_lengths", oracle=_UNICODE_ORACLE)
+def fn_unicode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode semantics under multibyte text (planted accents, CJK,
+    and an astral-plane emoji): length counts CODE POINTS, byte length
+    counts UTF-8 bytes, and upper/reverse/substr must all operate on
+    code points — the i18n contract a text pipeline breaks the day it
+    meets non-ASCII data if anything in the stack is byte-indexed
+    (JVM strings are UTF-16: the emoji is a surrogate PAIR there, so a
+    code-unit-based length would read 1 high — this key would catch
+    exactly that drift).
+
+    Codegen'd projections; oracle aliases: DuckDB length=code points,
+    strlen=bytes, vs Spark length/octet_length."""
+    d = table(spark, sf_dir, "documents")
+    s = F.concat(F.substring("text", 1, 10), F.lit(" café 日本 🚀"))
+    u = d.select("doc_id", s.alias("s"))
+    return u.select(
+        "doc_id",
+        F.length("s").cast("long").alias("n_chars"),
+        F.octet_length("s").cast("long").alias("n_bytes"),
+        F.upper("s").alias("up"),
+        F.reverse("s").alias("rev"),
+        F.substring(
+            F.col("s"), F.length("s") - 4, F.lit(5)
+        ).alias("tail5"),
+    )

@@ -1343,3 +1343,88 @@ def etl_early_arriving_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixture's dim is complete after batch 2; a real pipeline loops
     # with the pending table persisted between loads
     return m1.unionByName(m2)
+
+
+# ---------------------------------------------------------------------------
+# source_csv_malformed_modes — the CSV parse-mode robustness matrix
+# ---------------------------------------------------------------------------
+
+_CSV_MODES_ORACLE = """
+SELECT 'permissive' AS mode,
+       CAST((SELECT COUNT(*) FROM orders) + 2 AS BIGINT) AS n_rows,
+       CAST(2 AS BIGINT) AS n_quarantined
+UNION ALL
+SELECT 'dropmalformed' AS mode,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_quarantined
+"""
+
+
+@register("source_csv_malformed_modes", oracle=_CSV_MODES_ORACLE)
+def source_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV parse-mode matrix over a file with PLANTED corruption (two
+    rows with a non-numeric key and a truncated column count):
+    PERMISSIVE keeps every line and quarantines the broken ones into
+    _corrupt_record; DROPMALFORMED silently sheds them — the two
+    survivable answers to dirty ingest (FAILFAST, the third mode, is
+    exercised in pytest where its exception belongs). The JSON twin is
+    etl_corrupt_quarantine; CSV's column-count failure class is
+    different enough to earn its own contract.
+
+    The oracle pins the exact bookkeeping: permissive = all rows + 2
+    quarantined, dropmalformed = clean rows + 0 — so a parser-mode
+    regression (or a quarantine column that stops populating) is a
+    value mismatch, not a silent row-count drift at 3 AM.
+
+    Scale design: parsing is per-line executor work; the mode matrix
+    reads the same staged file twice with different parse contracts —
+    at 100 TB you run PERMISSIVE once and route on the quarantine
+    column instead (the documented production form)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    stage = _tmp("csv_modes", sf_dir)
+    o.write.mode("overwrite").option("header", "false").csv(stage)
+    # plant two malformed lines in their own part file
+    with open(os.path.join(stage, "part-junk.csv"), "w") as fh:
+        fh.write("not_a_number,1,2.0\n")
+        fh.write("123\n")
+    schema = (
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "_corrupt_record string"
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(stage)
+    )
+    # Spark refuses to aggregate the corrupt-record column straight off
+    # the parser (the internal-column pushdown restriction) — the parse
+    # must materialize first; tmp parquet per the staging doctrine
+    pstage = _tmp("csv_modes_parsed", sf_dir)
+    permissive.write.mode("overwrite").parquet(pstage)
+    permissive = spark.read.parquet(pstage)
+    p_counts = permissive.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_quarantined"),
+    ).select(F.lit("permissive").alias("mode"), "n_rows", "n_quarantined")
+    dropped = (
+        spark.read.schema("o_orderkey long, o_custkey long, o_totalprice double")
+        .option("mode", "DROPMALFORMED")
+        .csv(stage)
+    )
+    # same materialization trap, sharper teeth: a bare count() prunes
+    # every column, the parser parses NOTHING, and DROPMALFORMED drops
+    # nothing — the count silently includes the malformed lines
+    # (observed: 15002). Materializing all columns forces real parsing.
+    dstage = _tmp("csv_modes_dropped", sf_dir)
+    dropped.write.mode("overwrite").parquet(dstage)
+    dropped = spark.read.parquet(dstage)
+    d_counts = dropped.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(0).cast("long").alias("n_quarantined"),
+    ).select(
+        F.lit("dropmalformed").alias("mode"), "n_rows", "n_quarantined"
+    )
+    return p_counts.unionByName(d_counts)

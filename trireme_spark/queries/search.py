@@ -321,3 +321,216 @@ def search_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
+
+
+# ---------------------------------------------------------------------------
+# search_hybrid_rrf — BM25 ⊕ vector retrieval via reciprocal rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_HYBRID_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM base
+), tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+  FROM (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM base)
+  WHERE tok IN ({_Q_SQL})
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), bm AS (
+  SELECT tf.doc_id,
+         ROUND(CAST(SUM(CAST(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({_K1} + 1.0))
+           / (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))
+           AS DECIMAL(27,6))) AS DOUBLE), 4) AS bm25
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), bm_rank AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+    FROM bm) WHERE r <= 100
+), e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(list_sum(list_transform(range(64),
+               i -> q.qv[CAST(i AS INT)+1] * e.emb[CAST(i AS INT)+1]))
+           / (sqrt(list_sum(list_transform(range(64),
+               i -> q.qv[CAST(i AS INT)+1] * q.qv[CAST(i AS INT)+1])))
+              * sqrt(list_sum(list_transform(range(64),
+               i -> e.emb[CAST(i AS INT)+1] * e.emb[CAST(i AS INT)+1])))),
+           6) AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+), vec_rank AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r
+    FROM vec) WHERE r <= 100
+), fused AS (
+  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         FLOOR((COALESCE(1.0 / ({_RRF_K} + b.r), 0)
+                + COALESCE(1.0 / ({_RRF_K} + v.r), 0)) * 1e9) / 1e9
+             AS rrf,
+         b.r AS bm25_rank, v.r AS vec_rank
+  FROM bm_rank b FULL JOIN vec_rank v USING (doc_id)
+)
+SELECT doc_id, rrf, bm25_rank, vec_rank, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM fused
+) WHERE rn <= 10
+"""
+
+
+@register("search_hybrid_rrf", oracle=_HYBRID_ORACLE)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical BM25 and dense-vector cosine rankings
+    FUSED by reciprocal rank fusion (RRF, k=60) — the de-facto standard
+    of modern search stacks (Elasticsearch/Vespa/Azure all ship exactly
+    this): rank-space fusion needs no score normalization, and a doc
+    missing from one ranking just contributes nothing there.
+
+    Scale design: each leg is its own already-scaled plan (the BM25
+    explode pipeline; the 1-query broadcast cosine pass) and TRUNCATES
+    to its top-100 via TakeOrderedAndProject before ranks attach (over
+    100 metadata rows — never a corpus-sized global window; docs
+    outside a leg's shortlist contribute nothing to RRF, which is the
+    production contract too). The fusion full-join runs over ≤200
+    rows. RRF floor-quantizes at 1e-9 (sum of two
+    exact reciprocals of small ints — identical doubles both engines);
+    ranks break ties on doc_id so both rankings are total orders.
+    documents.doc_id ≡ embeddings.vec_id is the fixture's id bridge
+    (the multimodal_struct contract)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(tokenize("text")).alias("term"),
+        F.size(tokenize("text")).alias("dl"),
+    ).where(F.col("term").isin(_QUERY_TERMS))
+    stats = d.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokenize("text"))).alias("avgdl"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    bm = (
+        tf.join(F.broadcast(dfr), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _K1
+                    * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+                )
+            )
+            .cast("decimal(27,6)")
+            .alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s").cast("double"), 4).alias("bm25"))
+    )
+    from pyspark.sql.window import Window as W
+
+    from trireme_spark.parity import meta_part
+
+    # each leg TRUNCATES to its top-100 via TakeOrderedAndProject
+    # BEFORE ranking — production hybrid fusion never ranks the full
+    # corpus (a doc outside a leg's shortlist contributes nothing to
+    # RRF there), and the rank window then runs over 100 metadata rows
+    # on a meta_part spec instead of a corpus-sized single reducer
+    bm_top = bm.orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    ).limit(100)
+    bm_rank = bm_top.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            W.partitionBy(meta_part("doc_id")).orderBy(
+                F.col("bm25").desc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("bm25_rank"),
+    )
+    e = table(spark, sf_dir, "embeddings")
+    from trireme_spark.queries.llm_sim import as_double
+
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    qv = v.where(F.col("vec_id") == 0).select(
+        F.col("emb").alias("qv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    vec = (
+        v.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot(F.col("qv"), F.col("emb"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("emb"), F.col("emb")))
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    vec_top = vec.orderBy(
+        F.col("cos").desc(), F.col("doc_id").asc()
+    ).limit(100)
+    vec_rank = vec_top.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            W.partitionBy(meta_part("doc_id")).orderBy(
+                F.col("cos").desc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("vec_rank"),
+    )
+    fused = bm_rank.join(vec_rank, "doc_id", "full").select(
+        "doc_id",
+        (
+            F.floor(
+                (
+                    F.coalesce(
+                        1.0 / (_RRF_K + F.col("bm25_rank")), F.lit(0.0)
+                    )
+                    + F.coalesce(
+                        1.0 / (_RRF_K + F.col("vec_rank")), F.lit(0.0)
+                    )
+                )
+                * 1e9
+            )
+            / 1e9
+        ).alias("rrf"),
+        "bm25_rank",
+        "vec_rank",
+    )
+    top = fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(
+        10
+    )
+    w_rn = W.partitionBy(meta_part("doc_id")).orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return top.withColumn("rn", F.row_number().over(w_rn))
