@@ -539,3 +539,27 @@ def test_bpe_first_merge_matches_exact_pair_count(spark):
         spark, SF_SMOKE
     ).collect()
     assert [tuple(r) for r in rerun] == [tuple(r) for r in rules]
+
+
+def test_binary_quantize_shortlist_recall(spark):
+    """embed_binary_quantize_hamming: the 1-bit shortlist must stay
+    correlated with float cosine — every query's Hamming top-5 holds at
+    least one of its exact cosine top-5 (the rescore-pipeline contract:
+    the shortlist may be rough, but it cannot be orthogonal to truth)."""
+    import pyspark.sql.functions as F
+
+    exact = {}
+    for r in (
+        registry.QUERIES["sim_knn_per_query"](spark, SF_SMOKE)
+        .where(F.col("query_id") < 3)
+        .collect()
+    ):
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    bq = {}
+    for r in registry.QUERIES["embed_binary_quantize_hamming"](
+        spark, SF_SMOKE
+    ).collect():
+        bq.setdefault(r["qid"], set()).add(r["neighbor"])
+    assert set(exact) == set(bq)
+    for q in exact:
+        assert exact[q] & bq[q], f"query {q}: BQ shortlist orthogonal"

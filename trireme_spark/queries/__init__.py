@@ -153,6 +153,8 @@ _SWEEP_PRIORITY = [
     "source_csv_malformed_modes",
     "fn_unicode_lengths",
     "agg_corr_matrix",
+    "embed_binary_quantize_hamming",
+    "orders_seasonality_index",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

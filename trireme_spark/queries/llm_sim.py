@@ -1332,3 +1332,93 @@ def embed_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("qid", "d", "neighbor", "cos_sim", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# embed_binary_quantize_hamming — 1-bit embeddings + Hamming retrieval
+# ---------------------------------------------------------------------------
+
+def _duck_signbits(col: str) -> str:
+    """Pack sign bits of a 64-d list into one BIGINT (bit i = dim i>0).
+    Bit 63 lands on the sign bit, so the sum wraps negative exactly as
+    Spark's long arithmetic does — two's complement both engines."""
+    return (
+        f"list_sum(list_transform(range(64), i -> CASE WHEN "
+        f"{col}[CAST(i AS INT)+1] > 0 THEN "
+        f"CASE WHEN i = 63 THEN -9223372036854775808 "
+        f"ELSE (1::BIGINT << CAST(i AS INT)) END ELSE 0 END))::BIGINT"
+    )
+
+
+_BQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_DUCK_EMB} AS emb FROM embeddings),
+sig AS (SELECT vec_id, {_duck_signbits('emb')} AS sig FROM e),
+q AS (SELECT vec_id AS qid, sig AS qsig FROM sig WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid, s.vec_id AS neighbor,
+         CAST(bit_count(xor(q.qsig, s.sig)) AS BIGINT) AS hamming
+  FROM q JOIN sig s ON s.vec_id <> q.qid
+)
+SELECT qid, neighbor, hamming, rn FROM (
+  SELECT qid, neighbor, hamming,
+         ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY hamming ASC, neighbor ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register("embed_binary_quantize_hamming", oracle=_BQ_ORACLE)
+def embed_binary_quantize_hamming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary quantization retrieval: 64-d float vectors compress to
+    ONE 64-bit sign signature (32× smaller than float32), and
+    nearest-neighbor shortlists come from Hamming distance — a single
+    XOR + popcount per comparison. This is the 1-bit end of the
+    compression ladder (float → PQ → binary) that modern vector
+    systems ship for the first-pass shortlist, with float re-ranking
+    on the survivors (the sim_ann_ivfpq ADC pattern at even lower
+    cost); the quality gate in tests/test_quality.py pins shortlist
+    recall against exact cosine.
+
+    Scale design: signatures build in one codegen'd projection (the
+    SimHash bit machinery — bit 63 wraps negative identically in both
+    engines' two's-complement longs); the 3-query signature table
+    broadcasts and the corpus streams past it at 8 BYTES per vector —
+    the whole point: a billion vectors of signatures fit where 3% of
+    the floats would. Top-5 per query via one keyed window; distances
+    are exact integers, so parity is trivial."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    bit_terms = [
+        F.when(
+            F.col("emb").getItem(i) > 0,
+            F.lit(-(2**63)) if i == 63 else F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(64)
+    ]
+    sig_expr = bit_terms[0]
+    for t in bit_terms[1:]:
+        sig_expr = sig_expr + t
+    sig = v.select("vec_id", sig_expr.cast("long").alias("sig"))
+    q = sig.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("sig").alias("qsig")
+    )
+    scored = sig.alias("s").join(
+        F.broadcast(q), F.col("s.vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        F.col("s.vec_id").alias("neighbor"),
+        F.bit_count(
+            F.col("qsig").bitwiseXOR(F.col("s.sig"))
+        ).cast("long").alias("hamming"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("hamming").asc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "neighbor", "hamming", "rn")
+    )

@@ -1824,3 +1824,77 @@ def events_kpi_daily_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("purchases_per_dau"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_seasonality_index — month-of-year revenue decomposition
+# ---------------------------------------------------------------------------
+
+_SEASON_ORACLE = """
+WITH m AS (
+  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2
+),
+momo AS (
+  SELECT mo,
+         CAST(SUM(CAST(rev AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(*) AS avg_rev,
+         CAST(COUNT(*) AS BIGINT) AS n_years
+  FROM m GROUP BY mo
+),
+tot AS (
+  SELECT CAST(SUM(CAST(avg_rev AS DECIMAL(27,6))) AS DOUBLE) / 12
+      AS grand_avg
+  FROM momo
+)
+SELECT mo, n_years, avg_rev,
+       FLOOR(avg_rev / grand_avg * 1e6) / 1e6 AS seasonal_index
+FROM momo CROSS JOIN tot
+"""
+
+
+@register("orders_seasonality_index", oracle=_SEASON_ORACLE)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index: each calendar month's average
+    revenue (across years) relative to the overall monthly average —
+    index > 1 = a seasonally strong month. The classical decomposition
+    input for demand planning and anomaly BASELINES (an "anomalous"
+    December is often just December; the zscore/MAD keys flag raw
+    outliers, this key supplies the seasonal expectation to judge them
+    against).
+
+    Scale design: corpus-sized work is one (year, month) rollup
+    (decimal-exact); everything after runs on ≤ 12·years dimension
+    rows with a 1-row grand-average broadcast. Index floor-quantizes
+    at 1e-6 (identical division operands both engines)."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    momo = m.groupBy("mo").agg(
+        (
+            F.sum(F.col("rev").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_rev"),
+        F.count(F.lit(1)).alias("n_years"),
+    )
+    tot = momo.agg(
+        (
+            F.sum(F.col("avg_rev").cast("decimal(27,6)")).cast("double")
+            / 12
+        ).alias("grand_avg")
+    )
+    return momo.crossJoin(F.broadcast(tot)).select(
+        "mo",
+        "n_years",
+        "avg_rev",
+        (
+            F.floor(F.col("avg_rev") / F.col("grand_avg") * 1e6) / 1e6
+        ).alias("seasonal_index"),
+    )
