@@ -563,3 +563,21 @@ def test_binary_quantize_shortlist_recall(spark):
     assert set(exact) == set(bq)
     for q in exact:
         assert exact[q] & bq[q], f"query {q}: BQ shortlist orthogonal"
+
+
+def test_bpe_encode_lossless_and_compressive(spark):
+    """text_bpe_encode: concatenating a word's tokens reproduces the
+    word exactly (lossless), token counts never exceed character
+    counts, at least one word actually compressed (the merges did
+    something), and reruns are bit-identical."""
+    rows = registry.QUERIES["text_bpe_encode"](spark, SF_SMOKE).collect()
+    assert rows
+    compressed = 0
+    for r in rows:
+        assert r["tokens"].replace(" ", "") == r["word"], r
+        assert r["n_tokens"] <= len(r["word"])
+        if r["n_tokens"] < len(r["word"]):
+            compressed += 1
+    assert compressed > 0
+    rerun = registry.QUERIES["text_bpe_encode"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rerun)) == sorted(map(tuple, rows))

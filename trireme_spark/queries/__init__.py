@@ -155,6 +155,8 @@ _SWEEP_PRIORITY = [
     "agg_corr_matrix",
     "embed_binary_quantize_hamming",
     "orders_seasonality_index",
+    "agg_skewness_kurtosis",
+    "text_bpe_encode",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

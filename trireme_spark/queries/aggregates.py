@@ -636,3 +636,47 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.explode(pairs).alias("p")).select(
         "p.var_a", "p.var_b", "p.r"
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_skewness_kurtosis — higher-moment stats, bias correction bridged
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH s AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         skewness(o_totalprice) AS g1_sample,
+         kurtosis(o_totalprice) AS g2_sample
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n,
+       ROUND(g1_sample * (n - 2) / sqrt(n * (n - 1)), 6) AS skew,
+       ROUND((g2_sample * (n - 2) * (n - 3) / (n - 1) - 6) / (n + 1), 6)
+           AS kurt
+FROM s
+"""
+
+
+@register("agg_skewness_kurtosis", oracle=_SKEW_ORACLE)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher central moments per group: skewness and excess kurtosis —
+    the distribution-shape diagnostics behind heavy-tail detection and
+    the inputs to the anomaly keys' normality assumptions.
+
+    THE cross-engine trap this key pins: Spark computes POPULATION
+    moment ratios (g1, g2) while DuckDB applies the SAMPLE bias
+    corrections (G1, G2 — the Fisher-Pearson adjusted forms) — a
+    ~3/n relative gap that silently fails any value comparison. The
+    oracle inverts DuckDB's corrections analytically
+    (g1 = G1·(n−2)/√(n(n−1)); g2 = (G2·(n−2)(n−3)/(n−1) − 6)/(n+1)),
+    so the check is exact to the 6-dp round rather than papered over
+    with a loose tolerance. Decomposable sufficient statistics —
+    map-side combine, one exchange."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.skewness("o_totalprice"), 6).alias("skew"),
+        F.round(F.kurtosis("o_totalprice"), 6).alias("kurt"),
+    )

@@ -984,15 +984,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             # loudly rather than emit a broken expression
             raise ValueError(f"unescapable BPE symbol pair: {l!r},{r!r}")
         # left-to-right non-overlapping merge fold, pure column algebra
-        vocab = vocab.select(
-            "wc",
-            F.expr(
-                "aggregate(syms, array()::array<string>, (acc, x) -> "
-                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{l}' "
-                f"AND x = '{r}' THEN concat(slice(acc, 1, size(acc) - 1), "
-                f"array('{l}{r}')) ELSE concat(acc, array(x)) END)"
-            ).alias("syms"),
-        ).localCheckpoint(eager=True)
+        vocab = _apply_merge(vocab, l, r).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
@@ -1078,4 +1070,68 @@ def features_user_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_errors",
         "f_value",
         "f_recency_days",
+    )
+
+
+def _apply_merge(vocab: DataFrame, l: str, r: str) -> DataFrame:
+    """Left-to-right non-overlapping merge of adjacent (l, r) symbols —
+    the shared fold of BPE train (above) and encode (below)."""
+    return vocab.withColumn(
+        "syms",
+        F.expr(
+            "aggregate(syms, array()::array<string>, (acc, x) -> "
+            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{l}' "
+            f"AND x = '{r}' THEN concat(slice(acc, 1, size(acc) - 1), "
+            f"array('{l}{r}')) ELSE concat(acc, array(x)) END)"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_encode — apply learned merges (the tokenizer's encode side)
+# ---------------------------------------------------------------------------
+
+@register("text_bpe_encode")  # rows-only: token boundaries depend on the
+# learned merge table (not SQL-expressible — see text_bpe_train_merges);
+# tests/test_quality.py pins losslessness, compression, and determinism
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE: apply the 5 learned merge rules to the vocabulary —
+    the serving side of the tokenizer (train learns merges once;
+    encode runs on every document forever, so ITS cost profile is the
+    one that matters). Output: each distinct word, its token sequence,
+    and its token count.
+
+    Scale design: the merge table is bounded model state (5 rows
+    collected — the k-means doctrine); each rule applies as ONE in-row
+    fold over the language-bounded vocabulary, and real corpora encode
+    by joining words to this vocab table (the two-level trick again:
+    corpus tokens hit a pre-encoded dictionary, chars are only ever
+    folded per DISTINCT word). localCheckpoint between rules keeps the
+    plan flat."""
+    merges = [
+        (r["left"], r["right"])
+        for r in text_bpe_train_merges(spark, sf_dir).collect()
+    ]
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokenize("text")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+        .select(
+            "word",
+            F.expr(
+                "transform(sequence(1, length(word)), "
+                "i -> substr(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for l, r in merges:
+        if "'" in l + r or "\\" in l + r:
+            raise ValueError(f"unescapable BPE symbols: {l!r},{r!r}")
+        vocab = _apply_merge(vocab, l, r).localCheckpoint(eager=True)
+    return vocab.select(
+        "word",
+        F.array_join("syms", " ").alias("tokens"),
+        F.size("syms").cast("long").alias("n_tokens"),
     )
