@@ -581,3 +581,39 @@ def test_bpe_encode_lossless_and_compressive(spark):
     assert compressed > 0
     rerun = registry.QUERIES["text_bpe_encode"](spark, SF_SMOKE).collect()
     assert sorted(map(tuple, rerun)) == sorted(map(tuple, rows))
+
+
+def test_deletion_vector_sidecar_is_positional(spark):
+    """etl_deletion_vectors: the sidecar on disk holds ONLY (file,
+    position) — no keys, no payload (the content-agnostic DV contract)
+    — and the read path drops every flagged position."""
+    import os
+    import tempfile
+
+    registry.QUERIES["etl_deletion_vectors"](spark, SF_SMOKE).collect()
+    tag = os.path.basename(SF_SMOKE.rstrip("/"))
+    dv_path = os.path.join(tempfile.gettempdir(), f"trireme_dv_sidecar_{tag}")
+    sidecar = spark.read.parquet(dv_path)
+    assert sorted(sidecar.columns) == ["__file", "__pos"]
+    assert sidecar.count() > 0
+
+
+def test_ewma_matches_sequential_fold(spark):
+    """ts_ewma_smoothing equals a driver-side literal fold of the same
+    recurrence for one user (independent of the oracle path)."""
+    rows = (
+        registry.QUERIES["ts_ewma_smoothing"](spark, SF_SMOKE)
+        .where("user_id = 1")
+        .collect()
+    )
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .where("user_id = 1")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    got = {r["event_id"]: r["ewma"] for r in rows}
+    y = None
+    for e in ev:
+        y = e["value"] if y is None else 0.3 * e["value"] + 0.7 * y
+        assert abs(got[e["event_id"]] - round(y, 6)) < 1e-9

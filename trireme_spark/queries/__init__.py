@@ -157,6 +157,13 @@ _SWEEP_PRIORITY = [
     "orders_seasonality_index",
     "agg_skewness_kurtosis",
     "text_bpe_encode",
+    # --- round-5 batch 30 ---
+    "text_code_detect",
+    "orders_forecast_seasonal_naive",
+    "search_spellcheck",
+    "ts_ewma_smoothing",
+    "etl_deletion_vectors",
+    "search_more_like_this",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

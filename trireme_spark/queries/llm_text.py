@@ -1005,3 +1005,68 @@ def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(kept_sorted, " ").alias("cleaned"),
         F.count_if(F.col("is_bp")).alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_code_detect — code-vs-prose classification for corpus routing
+# ---------------------------------------------------------------------------
+
+# planted inside the query (the fixture prose contains no code):
+# docs ≡ 0 (mod 7) get a code tail appended — mirrored literally below
+_CODE_SNIPPET = " function f(x) { if (x == null) { return 0; } s += x[i]; }"
+
+_CODE_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || '{_CODE_SNIPPET}' ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[{{}}]')) AS BIGINT) AS braces,
+       CAST(len(regexp_extract_all(t, ';')) AS BIGINT) AS semis,
+       CAST(len(regexp_extract_all(t, '\\b(function|return|if)\\b'))
+            AS BIGINT) AS kw_hits,
+       (len(regexp_extract_all(t, '[{{}}]')) >= 2
+        AND len(regexp_extract_all(t, ';')) >= 1) AS is_code
+FROM aug
+"""
+
+
+@register("text_code_detect", oracle=_CODE_ORACLE)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection — the corpus-routing filter that sends
+    code to a code-model pipeline and keeps prose corpora clean (both
+    directions matter at pretraining scale). Signals: brace density,
+    statement terminators, keyword hits; classification is a
+    conjunction of structural signals so a prose doc mentioning
+    'function' alone never flips.
+
+    The fixture prose contains no code, so deterministic snippets are
+    PLANTED inside the query (docs ≡ 0 mod 7, mirrored literally in the
+    oracle — the sentence-split/CSV-corruption doctrine), making both
+    the detector's hits AND its non-hits value-checked.
+
+    Scale design: pure codegen'd regexp projections in the Java∩RE2
+    subset — no shuffle, no UDF; a real deployment adds signals as
+    expressions in the same single pass."""
+    d = table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(_CODE_SNIPPET)),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    braces = F.regexp_count("t", F.lit(r"[{}]")).cast("long")
+    semis = F.regexp_count("t", F.lit(";")).cast("long")
+    kw = F.regexp_count("t", F.lit(r"\b(function|return|if)\b")).cast("long")
+    return aug.select(
+        "doc_id",
+        braces.alias("braces"),
+        semis.alias("semis"),
+        kw.alias("kw_hits"),
+        ((braces >= 2) & (semis >= 1)).alias("is_code"),
+    )

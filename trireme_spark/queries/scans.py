@@ -1428,3 +1428,56 @@ def source_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("dropmalformed").alias("mode"), "n_rows", "n_quarantined"
     )
     return p_counts.unionByName(d_counts)
+
+
+# ---------------------------------------------------------------------------
+# etl_deletion_vectors — merge-on-read positional deletes
+# ---------------------------------------------------------------------------
+
+_DV_ORACLE = "SELECT * FROM orders WHERE o_orderkey % 97 <> 0"
+
+
+@register("etl_deletion_vectors", oracle=_DV_ORACLE)
+def etl_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read POSITIONAL deletes (the Delta/Iceberg deletion-vector
+    mechanism): deletes never rewrite data files — a sidecar records
+    (file, row position) pairs and readers anti-join positions at scan
+    time. The positions come from the hidden ``_metadata.row_index`` /
+    ``_metadata.file_path`` parquet scan columns, so the sidecar holds
+    NO keys and NO predicate — exactly what a DV is (storage-level
+    positions, content-agnostic).
+
+    Value contract: base snapshot staged to a multi-file parquet dir;
+    the DV is built from a one-time predicate pass (o_orderkey % 97 = 0
+    stands in for the MERGE/DELETE that produced it); the read path is
+    base ⟕̸ DV on (file, position) and must equal the logically-filtered
+    table — which the oracle checks COLUMN-FOR-COLUMN, so a position
+    drift (row_index misread, file split reorder) surfaces as a hash
+    mismatch, not silence.
+
+    Scale design: a delete of d rows costs O(d) sidecar bytes while the
+    petabyte base stays immobile; the read-side anti-join keys on
+    (file, position) — broadcastable while DVs are small (AQE decides;
+    no hint — DVs can grow), and at 100 TB the join prunes to only the
+    files that appear in the DV (file_path equi-key). Compaction
+    (etl_compact_small_files) is the documented reconciliation that
+    rewrites files and retires their DVs."""
+    stage = _tmp("dv_base", sf_dir)
+    table(spark, sf_dir, "orders").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    with_pos = spark.read.parquet(stage).select(
+        "*",
+        F.col("_metadata.file_path").alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    dv = with_pos.where(F.col("o_orderkey") % 97 == 0).select(
+        "__file", "__pos"
+    )
+    dv_path = _tmp("dv_sidecar", sf_dir)
+    dv.write.mode("overwrite").parquet(dv_path)
+    sidecar = spark.read.parquet(dv_path)
+    return (
+        with_pos.join(sidecar, ["__file", "__pos"], "left_anti")
+        .drop("__file", "__pos")
+    )

@@ -534,3 +534,202 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rrf").desc(), F.col("doc_id").asc()
     )
     return top.withColumn("rn", F.row_number().over(w_rn))
+
+
+# ---------------------------------------------------------------------------
+# search_more_like_this — Solr/Lucene MLT: seed-doc interesting terms
+# ---------------------------------------------------------------------------
+
+_MLT_SEED = 42
+_MLT_MAX_QT = 10  # Solr mlt.maxqt: interesting-term budget
+
+_MLT_STOP_SQL = ", ".join(f"'{s}'" for s in ["the", "a", "and", "of", "to", "in"])
+
+_MLT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t NOT IN ({_MLT_STOP_SQL}) AND t <> '') AS toks
+  FROM documents
+), n AS (SELECT COUNT(*) AS n_docs FROM base),
+post AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+  GROUP BY doc_id, tok
+), seed_tf AS (
+  SELECT term, tf FROM post WHERE doc_id = {_MLT_SEED}
+), seed_df AS (
+  SELECT p.term, COUNT(DISTINCT p.doc_id) AS df
+  FROM post p JOIN seed_tf s USING (term) GROUP BY p.term
+), interesting AS (
+  SELECT term, ROUND(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf
+  FROM seed_tf JOIN seed_df USING (term) CROSS JOIN n
+  ORDER BY ROUND(tf * ROUND(ln(CAST(n_docs AS DOUBLE) / df), 6), 6) DESC,
+           term ASC
+  LIMIT {_MLT_MAX_QT}
+), scored AS (
+  SELECT p.doc_id,
+         ROUND(SUM(i.idf), 4) AS mlt_score,
+         COUNT(*) AS n_shared
+  FROM (SELECT DISTINCT doc_id, term FROM post) p
+  JOIN interesting i USING (term)
+  WHERE p.doc_id <> {_MLT_SEED}
+  GROUP BY p.doc_id
+)
+SELECT doc_id, mlt_score, n_shared FROM scored
+ORDER BY mlt_score DESC, doc_id ASC LIMIT 10
+"""
+
+
+@register("search_more_like_this", oracle=_MLT_ORACLE)
+def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr MoreLikeThis: extract the seed document's ``interesting
+    terms`` (top-10 by tf·idf, the mlt.maxqt budget) and rank the rest
+    of the corpus by the summed idf of the interesting terms each doc
+    shares — recommendation-by-content, the third retrieval mode beside
+    BM25 (keyword) and kNN (dense).
+
+    Scale design: the seed profile is ONE doc's postings (bounded by
+    doc length); df is computed ONLY for seed terms — the corpus
+    postings stream is filtered by a broadcast semi-join on the ≤|doc|
+    seed-term set BEFORE any aggregation, so the df shuffle carries
+    |seed terms|·|matching docs| rows, never the full vocabulary.
+    The 10-row interesting-term table broadcasts back into the postings
+    stream; scoring is one doc-keyed aggregation folding into
+    TakeOrderedAndProject. idf quantizes to 6 dp before the ranking
+    product and the order-independent SUM (ln() ulp doctrine)."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.filter(
+            tokenize("text", drop_stopwords=True), lambda t: t != ""
+        ).alias("toks"),
+    )
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    post = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    seed_tf = post.where(F.col("doc_id") == _MLT_SEED).select("term", "tf")
+    seed_posts = post.join(F.broadcast(seed_tf.select("term")), "term")
+    seed_df = seed_posts.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    idf = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+    )
+    interesting = (
+        seed_tf.join(F.broadcast(seed_df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", idf.alias("idf"), F.col("tf"))
+        .orderBy(
+            F.round(F.col("tf") * F.col("idf"), 6).desc(),
+            F.col("term").asc(),
+        )
+        .limit(_MLT_MAX_QT)
+        .select("term", "idf")
+    )
+    scored = (
+        seed_posts.select("doc_id", "term")
+        .where(F.col("doc_id") != _MLT_SEED)
+        .join(F.broadcast(interesting), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("idf"), 4).alias("mlt_score"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    return scored.orderBy(
+        F.col("mlt_score").desc(), F.col("doc_id").asc()
+    ).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# search_spellcheck — did-you-mean via symmetric-delete blocking
+# ---------------------------------------------------------------------------
+
+_SPELL_QUERIES = ["merg", "vectr", "windoe", "batchh"]
+_SPELL_Q_SQL = ", ".join(f"('{q}')" for q in _SPELL_QUERIES)
+
+_SPELL_ORACLE = f"""
+WITH vocab AS (
+  SELECT tok AS term, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok
+), q(query) AS (VALUES {_SPELL_Q_SQL}),
+cand AS (
+  SELECT q.query, v.term, v.freq,
+         levenshtein(q.query, v.term) AS edit_dist
+  FROM q CROSS JOIN vocab v
+  WHERE levenshtein(q.query, v.term) <= 1
+)
+SELECT query, term AS suggestion, freq, edit_dist
+FROM cand
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query
+                           ORDER BY freq DESC, term ASC) = 1
+"""
+
+
+@register("search_spellcheck", oracle=_SPELL_ORACLE)
+def search_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr spellcheck ("did you mean"): each misspelled query term maps
+    to the corpus-frequency-maximal vocabulary term within edit
+    distance 1 — found WITHOUT brute-force Levenshtein against the
+    vocabulary, via the same symmetric-delete blocking as
+    dedup_fuzzy_names but asymmetric: the 4-row query side and the
+    corpus vocabulary both expand to 1-deletion neighborhoods and meet
+    on the variant key.
+
+    Scale design: the vocabulary is language-bounded (the two-level
+    doctrine — corpus collapses to distinct terms ONCE, with freq as
+    the ranking payload); variant fan-out is |term|+1 per vocab row,
+    pure column algebra; candidates equi-join on the variant and only
+    candidates pay the exact Levenshtein; best-per-query is a 4-group
+    window. The oracle is the BRUTE-FORCE scan, so blocking
+    completeness is value-checked, not assumed."""
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokenize("text")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+    def deletes(col: str) -> F.Column:
+        return F.array_distinct(
+            F.concat(
+                F.array(F.col(col)),
+                F.expr(
+                    f"transform(sequence(0, length({col}) - 1), i -> "
+                    f"concat(substring({col}, 1, i), "
+                    f"substring({col}, i + 2, 1000)))"
+                ),
+            )
+        )
+
+    v = vocab.select(
+        "term", "freq", F.explode(deletes("term")).alias("variant")
+    )
+    q = spark.createDataFrame(
+        [(t,) for t in _SPELL_QUERIES], "query string"
+    ).select("query", F.explode(deletes("query")).alias("variant"))
+    cand = (
+        v.join(F.broadcast(q), "variant")
+        .select("query", "term", "freq")
+        .distinct()
+        .withColumn("edit_dist", F.levenshtein("query", "term"))
+        .where(F.col("edit_dist") <= 1)
+    )
+    from pyspark.sql.window import Window as W
+
+    best = W.partitionBy("query").orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .select("query", F.col("term").alias("suggestion"), "freq", "edit_dist")
+    )

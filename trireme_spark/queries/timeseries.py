@@ -1898,3 +1898,127 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("avg_rev") / F.col("grand_avg") * 1e6) / 1e6
         ).alias("seasonal_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_ewma_smoothing — per-user exponentially weighted moving average
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, event_id, rn, value AS ewma FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.rn, 0.3 * s.value + 0.7 * r.ewma
+  FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, event_id, ROUND(ewma, 6) AS ewma FROM r
+"""
+
+
+@register("ts_ewma_smoothing", oracle=_EWMA_ORACLE)
+def ts_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α = 0.3, y₀ = x₀) over the time-ordered value
+    stream — the smoothing primitive behind anomaly baselines and
+    latency dashboards, and a genuinely RECURSIVE computation: y_t
+    depends on y_{t-1}, which no window frame expresses.
+
+    Scale design: the recurrence is sequential PER USER but
+    embarrassingly parallel ACROSS users — exactly applyInPandas'
+    shape: one user-keyed shuffle, each group folds in Arrow-batched
+    executor memory, state is one double. The fold is written as the
+    LITERAL expression `0.3*x + 0.7*y` (not pandas .ewm, whose
+    normalized form divides by (0.3+0.7) ≠ 1.0 in IEEE double) so the
+    operation sequence is bit-identical to the oracle's recursive CTE
+    and ROUND(6) compares exact values, not tolerances. The documented
+    degenerate case — ONE giant key — is real but benign here: a single
+    user's history fits any executor; a per-(user, era) re-anchored
+    variant is the unbounded-history swap."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out, y = [], None
+        for x in pdf["value"].to_numpy():
+            y = float(x) if y is None else 0.3 * float(x) + 0.7 * y
+            out.append(y)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ewma": out,
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(fold, "user_id long, event_id long, ewma double")
+        .select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_forecast_seasonal_naive — forecast backtest + MAPE scoring
+# ---------------------------------------------------------------------------
+
+_SNAIVE_ORACLE = f"""
+WITH m AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         EXTRACT(month FROM o_orderdate) AS mo,
+         {oracle_sum('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT a.yr, a.mo, a.revenue AS actual, f.revenue AS forecast,
+       FLOOR(ABS(a.revenue - f.revenue) / a.revenue * 1e6) / 1e6 AS ape
+FROM m a JOIN m f ON f.yr = a.yr - 1 AND f.mo = a.mo
+"""
+
+
+@register("orders_forecast_seasonal_naive", oracle=_SNAIVE_ORACLE)
+def orders_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST: predict each month's revenue as
+    the same month one year earlier and score the absolute percentage
+    error — the baseline every real forecasting model must beat, and
+    the backtest harness shape (join actuals to lagged forecasts,
+    score) is identical for any model that replaces the naive one.
+
+    Scale design: the corpus collapses to a (year, month) decimal-exact
+    rollup in ONE map-side-combined aggregation; the actual↔forecast
+    join and APE scoring run on the ≤12·years-row dimension table. APE
+    divides exact decimals in double and FLOOR-quantizes (round-half
+    boundaries are where engines disagree — the cohort-LTV lesson)."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    a = m.alias("a")
+    f_ = m.alias("f")
+    joined = a.join(
+        f_,
+        (F.col("f.yr") == F.col("a.yr") - 1)
+        & (F.col("f.mo") == F.col("a.mo")),
+    )
+    ape = (
+        F.floor(
+            F.abs(F.col("a.revenue") - F.col("f.revenue"))
+            / F.col("a.revenue")
+            * 1e6
+        )
+        / 1e6
+    )
+    return joined.select(
+        F.col("a.yr").alias("yr"),
+        F.col("a.mo").alias("mo"),
+        F.col("a.revenue").alias("actual"),
+        F.col("f.revenue").alias("forecast"),
+        ape.alias("ape"),
+    )
