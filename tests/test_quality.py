@@ -617,3 +617,14 @@ def test_ewma_matches_sequential_fold(spark):
     for e in ev:
         y = e["value"] if y is None else 0.3 * e["value"] + 0.7 * y
         assert abs(got[e["event_id"]] - round(y, 6)) < 1e-9
+
+
+def test_jdbc_read_is_partitioned(spark):
+    """source_jdbc_partitioned: the JDBC scan plans 4 range-bounded
+    input partitions (the connector's parallelism mechanism), and every
+    row lands in exactly one of them (no overlap/loss across ranges)."""
+    df = registry.QUERIES["source_jdbc_partitioned"](spark, SF_SMOKE)
+    assert df.rdd.getNumPartitions() == 4
+    per_part = df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    assert sum(per_part) == df.count()
+    assert sum(1 for n in per_part if n > 0) >= 2  # ranges actually split

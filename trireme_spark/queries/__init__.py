@@ -164,6 +164,12 @@ _SWEEP_PRIORITY = [
     "ts_ewma_smoothing",
     "etl_deletion_vectors",
     "search_more_like_this",
+    # --- round-5 batch 31 ---
+    "sql_identifier_dynamic",
+    "fn_struct_manipulate",
+    "win_time_range_trailing",
+    "udf_python_arrow",
+    "source_jdbc_partitioned",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -842,3 +842,59 @@ def fn_unicode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s"), F.length("s") - 4, F.lit(5)
         ).alias("tail5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_struct_manipulate — withField / dropFields nested-struct surgery
+# ---------------------------------------------------------------------------
+
+_STRUCT_ORACLE = """
+SELECT c_custkey,
+       '{"name":"' || c_name || '","seg":"' || lower(c_mktsegment)
+         || '","bal_band":'
+         || CAST(CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS VARCHAR)
+         || '}' AS profile_json,
+       c_name AS name, lower(c_mktsegment) AS seg,
+       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+FROM customer
+"""
+
+
+@register("fn_struct_manipulate", oracle=_STRUCT_ORACLE)
+def fn_struct_manipulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct surgery — ``withField`` (add AND overwrite-in-
+    place) and ``dropFields``: the column-algebra that evolves nested
+    schemas WITHOUT exploding and rebuilding them, the everyday verb of
+    document/event pipelines with deep payloads.
+
+    The contract pinned by the oracle's hand-built JSON mirror:
+    overwriting ``seg`` keeps its ORIGINAL position, a new field
+    appends at the END, and the dropped ``bal`` is absent — i.e. field
+    ORDER semantics, which ``to_json`` serializes and the value hash
+    therefore locks. Scalar leaves ride alongside for the
+    canonicalizer (array/struct cells never reach the driver — the
+    agg_collect doctrine).
+
+    Scale: pure codegen'd projections; at 100 TB struct surgery in
+    place means parquet reads only the touched subfields (nested
+    schema pruning), vs a rebuild forcing the full struct read."""
+    c = table(spark, sf_dir, "customer")
+    profile = F.struct(
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    evolved = (
+        profile.withField("seg", F.lower(F.col("c_mktsegment")))
+        .withField(
+            "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+        )
+        .dropFields("bal")
+    )
+    return c.select(
+        "c_custkey",
+        F.to_json(evolved).alias("profile_json"),
+        evolved.getField("name").alias("name"),
+        evolved.getField("seg").alias("seg"),
+        evolved.getField("bal_band").alias("bal_band"),
+    )

@@ -601,3 +601,46 @@ def sql_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# sql_identifier_dynamic — IDENTIFIER() clause: safe dynamic names
+# ---------------------------------------------------------------------------
+
+_IDENT_ORACLE = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("sql_identifier_dynamic", oracle=_IDENT_ORACLE)
+def sql_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (Spark 3.5+): table AND column names arrive
+    as parameters but bind as NAMES, not strings — the injection-safe
+    complement of sql_parameterized (that key templates VALUES; this
+    one templates IDENTIFIERS, the other half of every dashboard/
+    multi-tenant query generator, where f-string interpolation is the
+    classic SQL-injection hole).
+
+    The identifier resolves at ANALYSIS time, so column pruning and
+    aggregate planning are identical to the hand-written name — zero
+    plan cost for the indirection."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "trireme_cust_ident"
+    )
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp_col) AS c_mktsegment,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(IDENTIFIER(:val_col) AS DECIMAL(27,6)))
+                    AS DOUBLE) AS bal
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp_col)
+        """,
+        args={
+            "grp_col": "c_mktsegment",
+            "val_col": "c_acctbal",
+            "tbl": "trireme_cust_ident",
+        },
+    )

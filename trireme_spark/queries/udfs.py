@@ -380,3 +380,39 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, t.* FROM trireme_docs_xp, "
         "LATERAL trireme_split_fields(source, 2) t"
     )
+
+
+# ---------------------------------------------------------------------------
+# udf_python_arrow — arrow-optimized scalar Python UDF (Spark 3.5+)
+# ---------------------------------------------------------------------------
+
+_ARROW_UDF_ORACLE = """
+SELECT o_orderkey,
+       CAST(substr(o_orderpriority, 1, 1) AS INTEGER)
+         * CASE WHEN o_orderstatus = 'F' THEN -1 ELSE 1 END AS signed_prio
+FROM orders
+"""
+
+
+@register("udf_python_arrow", oracle=_ARROW_UDF_ORACLE)
+def udf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED scalar Python UDF (``useArrow=True``, Spark
+    3.5+): the same per-row lambda API as x1, but serialized over Arrow
+    batches instead of pickled rows — the migration path for legacy
+    row UDFs that can't be rewritten as pandas UDFs (x2) because their
+    logic is genuinely scalar Python. Same author surface, ~an order
+    of magnitude less serialization overhead; semantics pinned
+    value-exact against the SQL mirror.
+
+    Still Python-per-row inside the batch (kept off hot paths — the
+    x1 doctrine); the fully-vectorized tier remains x2/x3."""
+    signed = F.udf(
+        lambda prio, status: int(prio[0]) * (-1 if status == "F" else 1),
+        IntegerType(),
+        useArrow=True,
+    )
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        signed("o_orderpriority", "o_orderstatus").alias("signed_prio"),
+    )

@@ -392,3 +392,56 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_key"),
         F.last("o_orderkey").over(w).alias("latest_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# win_time_range_trailing — per-key trailing-interval RANGE frame
+# ---------------------------------------------------------------------------
+
+_30D_US = 30 * 86400 * 10**6
+
+_TRAILING_ORACLE = f"""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+         PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+         RANGE BETWEEN {_30D_US} PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_30d_spend
+FROM orders
+"""
+
+
+@register("win_time_range_trailing", oracle=_TRAILING_ORACLE)
+def win_time_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day spend per customer at each order — the
+    time-interval RANGE frame ("rolling sum over the last N days"),
+    the per-key sibling of w4/w6's global numeric frame. RANGE (not
+    ROWS) is the semantic point: same-instant orders are frame PEERS
+    and always aggregate together, so the result is independent of any
+    tie-breaking order.
+
+    Cross-engine contract: both engines order by the EPOCH-MICROSECOND
+    long (NTZ timestamps don't cast to long — the unix_micros bridge)
+    with an integer frame width, so frame membership is exact integer
+    arithmetic — no interval-type or calendar semantics can diverge.
+    Decimal-exact partial sums (order-independent within the frame).
+
+    Scale design: one customer-keyed shuffle; the running RANGE frame
+    evaluates incrementally (O(1) amortized per row, bounded by events
+    inside the window) — never a per-row rescan; key cardinality is
+    |customers|, so parallelism scales with the dimension and no global
+    single-reducer window exists."""
+    o = table(spark, sf_dir, "orders")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(us)
+        .rangeBetween(-_30D_US, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast(DSCALE))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_spend"),
+    )
