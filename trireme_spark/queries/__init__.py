@@ -170,6 +170,13 @@ _SWEEP_PRIORITY = [
     "win_time_range_trailing",
     "udf_python_arrow",
     "source_jdbc_partitioned",
+    # --- round-5 batch 32 ---
+    "split_leakage_safe",
+    "agg_weighted_median",
+    "scan_glob_recursive",
+    "events_funnel_windowed",
+    "events_ab_cuped",
+    "ts_cusum_changepoint",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -11,7 +11,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from trireme_spark.parity import davg, dsum, oracle_avg, oracle_sum
+from pyspark.sql.window import Window
+
+from trireme_spark.parity import DSCALE, davg, dsum, oracle_avg, oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -679,4 +681,66 @@ def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.skewness("o_totalprice"), 6).alias("skew"),
         F.round(F.kurtosis("o_totalprice"), 6).alias("kurt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_median — weighted quantile via cumulative-weight cut
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,6)))
+              AS DECIMAL(27,6)) AS wt
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+), c AS (
+  SELECT l_returnflag, price, wt,
+         SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY price
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(wt) OVER (PARTITION BY l_returnflag) AS total
+  FROM w
+)
+SELECT l_returnflag, MIN(price) AS weighted_median
+FROM c WHERE 2 * cum >= total
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_weighted_median", oracle=_WMEDIAN_ORACLE)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median per group — smallest price whose cumulative
+    quantity-weight reaches half the group's total: the
+    revenue/volume-correct center ("half the UNITS ship at or below
+    this price"), which the plain median (a7) cannot express.
+
+    Exactness: weights collapse per distinct (group, value) FIRST
+    (decimal-exact), the running total is a keyed cumulative window,
+    and the cut compares 2·cum ≥ total in exact decimal — no division
+    can wobble the cut row (the pareto_abc doctrine).
+
+    Scale design: the collapse is one partial+final agg; the window
+    partitions by group (parallelism = |groups|, no global window);
+    per-group distinct prices bound the window rows. The documented
+    corpus-keyed swap is approx_percentile over weight-replicated
+    buckets; this key is the exact tier."""
+    li = table(spark, sf_dir, "lineitem")
+    w = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast(DSCALE)).alias("wt"))
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = w.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(win).alias("cum"),
+        F.sum("wt").over(Window.partitionBy("l_returnflag")).alias("total"),
+    )
+    return (
+        c.where(2 * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price").alias("weighted_median"))
     )

@@ -833,3 +833,50 @@ def text_chunk_long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("chunk_id") * 32
         ).alias("n_chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_safe — group-aware train/test split (no contamination)
+# ---------------------------------------------------------------------------
+
+_LEAK_ORACLE = """
+SELECT doc_id, source,
+       CASE WHEN CAST(('0x' || substr(md5(source || '|split1'), 1, 8))
+                 AS BIGINT) % 10 < 8
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("split_leakage_safe", oracle=_LEAK_ORACLE)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/test split: the unit of assignment is the
+    SOURCE (crawl domain / feed), not the document — every doc from one
+    source lands on the same side. This is the leakage-safe upgrade of
+    split_train_holdout: near-duplicates and templated families cluster
+    within sources, so a doc-level split leaks shared content across
+    the boundary and inflates eval scores; group-level assignment
+    closes that channel by construction (the same doctrine as
+    cluster-aware dedup splits — swap `source` for any group key, e.g.
+    the minhash-cluster label, and the machinery is unchanged).
+
+    Scale design: assignment = seeded md5-prefix of the GROUP KEY — a
+    codegen'd projection, no assignment table, no join, no shuffle;
+    reproducible on any cluster/partitioning. Group keys never
+    collect: the hash IS the lookup."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("source"), F.lit("|split1"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(bucket < 8, "train").otherwise("test").alias("split"),
+    )

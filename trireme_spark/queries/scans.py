@@ -1543,3 +1543,56 @@ def source_jdbc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.withColumn(
         "o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd")
     )
+
+
+# ---------------------------------------------------------------------------
+# scan_glob_recursive — recursive lookup + glob-filtered directory scans
+# ---------------------------------------------------------------------------
+
+_GLOB_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+"""
+
+
+@register("scan_glob_recursive", oracle=_GLOB_ORACLE)
+def scan_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive directory ingestion over a NON-Hive layout: data lands
+    in arbitrary nested folders (`batch=.../year/...` as upstream
+    dumps tend to arrive — no `col=value` names, so partition
+    discovery cannot help), read with ``recursiveFileLookup`` +
+    ``pathGlobFilter``. The glob keeps only `*.parquet`, so the
+    planted `_manifest.txt` debris in the same tree is NEVER opened —
+    the value check proves both the recursive traversal (all years
+    present) and the filter (junk files would crash the parquet
+    reader or change counts).
+
+    Scale design: file listing is driver-side metadata (distributed
+    listing kicks in past the parallelism threshold); the glob prunes
+    AT LISTING time, before any reader task launches — at a
+    million-file landing zone that is the difference between a
+    metadata pass and a job that opens junk. Pruning by PATH here
+    complements pruning by PARTITION VALUE (s5) and by FILE STATS
+    (etl_zorder_layout)."""
+    stage = _tmp("glob_tree", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("long").alias("yr"),
+    )
+    for yr in (1996, 1997):
+        o.where(F.col("yr") == yr).write.mode("overwrite").parquet(
+            os.path.join(stage, f"dump_{yr}", "part-a")
+        )
+        # plant non-data debris the glob must skip
+        with open(
+            os.path.join(stage, f"dump_{yr}", "_manifest.txt"), "w"
+        ) as fh:
+            fh.write("uploaded\n")
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(stage)
+    )

@@ -2022,3 +2022,284 @@ def orders_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("f.revenue").alias("forecast"),
         ape.alias("ape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_cusum_changepoint — CUSUM drift detection (recursive, like EWMA)
+# ---------------------------------------------------------------------------
+
+_CUSUM_TARGET = 50.0  # ≈ fixture mean(value); the in-control reference
+_CUSUM_H = 200.0  # alarm threshold
+
+_CUSUM_ORACLE = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, event_id, rn,
+         GREATEST(0.0, value - {_CUSUM_TARGET}) AS cusum
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.rn,
+         GREATEST(0.0, r.cusum + s.value - {_CUSUM_TARGET})
+  FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, event_id, ROUND(cusum, 6) AS cusum,
+       cusum > {_CUSUM_H} AS alarm
+FROM r
+"""
+
+
+@register("ts_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector per user: s_t = max(0, s_{t-1} +
+    x_t − target), alarm when s crosses h — the classic sequential
+    change-point statistic behind metric-drift monitors, and (like
+    EWMA) a genuinely RECURSIVE op: the max-clamp makes it non-linear,
+    so not even a prefix-sum trick expresses it.
+
+    Same machinery as ts_ewma_smoothing: applyInPandas fold (sequential
+    per user, parallel across users, O(1) state), the fold written as
+    the LITERAL `max(0, s + x − target)` so the double-op sequence is
+    bit-identical to the oracle's recursive CTE — ROUND(6) compares
+    exact values. The reset-to-zero clamp also bounds numeric growth,
+    so unlike EWMA's closed forms there is no overflow-prone rewrite
+    to even be tempted by."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out, s = [], 0.0
+        for x in pdf["value"].to_numpy():
+            s = max(0.0, s + float(x) - _CUSUM_TARGET)
+            out.append(s)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "cusum": out,
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(fold, "user_id long, event_id long, cusum double")
+        .select(
+            "user_id",
+            "event_id",
+            F.round("cusum", 6).alias("cusum"),
+            (F.col("cusum") > _CUSUM_H).alias("alarm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_cuped — CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT = "2024-01-16"
+
+_CUPED_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         {oracle_sum("CASE WHEN ts <  TIMESTAMP '" + _CUPED_SPLIT + "' THEN value ELSE 0 END")} AS x,
+         {oracle_sum("CASE WHEN ts >= TIMESTAMP '" + _CUPED_SPLIT + "' THEN value ELSE 0 END")} AS y,
+         CAST(('0x' || substr(md5(user_id::VARCHAR || '|cuped'), 1, 8))
+              AS BIGINT) % 2 AS variant
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_all,
+         {oracle_sum('x')} AS sx, {oracle_sum('x * x')} AS sxx,
+         {oracle_sum('y')} AS sy, {oracle_sum('x * y')} AS sxy
+  FROM u
+), t AS (
+  SELECT (sxy - sx * sy / n_all) / (sxx - sx * sx / n_all) AS theta,
+         sx / n_all AS xbar
+  FROM g
+)
+SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND({oracle_sum('y')} / COUNT(*), 6) AS mean_post,
+       ROUND(({oracle_sum('y')} - theta * ({oracle_sum('x')}
+              - COUNT(*) * xbar)) / COUNT(*), 6) AS mean_adj
+FROM u CROSS JOIN t
+GROUP BY variant, theta, xbar
+"""
+
+
+@register("events_ab_cuped", oracle=_CUPED_ORACLE)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013):
+    each user's post-period metric y adjusts by θ·(x − x̄) of their
+    PRE-period covariate x, removing the between-user variance the
+    experiment didn't cause — the standard trick that shrinks A/B
+    confidence intervals ~30-50% for retention/spend metrics.
+
+    Cross-engine exactness: the per-user sums are decimal-exact; θ and
+    the adjusted means reduce ALGEBRAICALLY to sufficient statistics
+    (Σx, Σy, Σxx, Σxy — mean_adj = (Σy − θ(Σx − n·x̄))/n), so no
+    per-user float accumulation order exists to diverge; both engines
+    run the identical double expression over identical exact inputs.
+    Assignment is the seeded md5-prefix hash (the ab_test_analysis
+    pattern) — stable, table-free.
+
+    Scale design: ONE user-keyed aggregation builds (x, y, variant);
+    a 1-row global-stats aggregate broadcasts θ and x̄ back; the
+    readout is a 2-row group. Adding covariates adds columns to the
+    sufficient-stats row, never passes."""
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp_ntz")
+    u = ev.groupBy("user_id").agg(
+        dsum(
+            F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)
+        ).alias("x"),
+        dsum(
+            F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)
+        ).alias("y"),
+    )
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("user_id").cast("string"), F.lit("|cuped"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = u.withColumn("variant", variant)
+    g = u.agg(
+        F.count(F.lit(1)).cast("double").alias("n_all"),
+        dsum("x").alias("sx"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    ).select(
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n_all"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_all"))
+        ).alias("theta"),
+        (F.col("sx") / F.col("n_all")).alias("xbar"),
+    )
+    return (
+        u.crossJoin(F.broadcast(g))
+        .groupBy("variant", "theta", "xbar")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            dsum("y").alias("sy_v"),
+            dsum("x").alias("sx_v"),
+        )
+        .select(
+            "variant",
+            "n_users",
+            F.round(F.col("sy_v") / F.col("n_users"), 6).alias("mean_post"),
+            F.round(
+                (
+                    F.col("sy_v")
+                    - F.col("theta")
+                    * (F.col("sx_v") - F.col("n_users") * F.col("xbar"))
+                )
+                / F.col("n_users"),
+                6,
+            ).alias("mean_adj"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_windowed — windowFunnel: per-step conversion deadlines
+# ---------------------------------------------------------------------------
+
+_WFUNNEL_H = 72  # hours allowed per step
+
+_WFUNNEL_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT s.user_id, s.signup_ts, MIN(e.ts) AS click_ts
+  FROM s JOIN events e ON e.user_id = s.user_id
+   AND e.event_type = 'click' AND e.ts > s.signup_ts
+   AND epoch_us(e.ts) - epoch_us(s.signup_ts) <= {_WFUNNEL_H} * 3600000000::BIGINT
+  GROUP BY s.user_id, s.signup_ts
+), p AS (
+  SELECT c.user_id, c.click_ts, MIN(e.ts) AS purchase_ts
+  FROM c JOIN events e ON e.user_id = c.user_id
+   AND e.event_type = 'purchase' AND e.ts > c.click_ts
+   AND epoch_us(e.ts) - epoch_us(c.click_ts) <= {_WFUNNEL_H} * 3600000000::BIGINT
+  GROUP BY c.user_id, c.click_ts
+)
+SELECT s.user_id,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            ELSE 1 END AS stage
+FROM s LEFT JOIN c ON c.user_id = s.user_id
+       LEFT JOIN p ON p.user_id = s.user_id
+"""
+
+
+@register("events_funnel_windowed", oracle=_WFUNNEL_ORACLE)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (the ClickHouse windowFunnel semantics): each
+    step must land within 72 h of the PREVIOUS step's anchor — the
+    time-bounded variant of events_funnel, which measures real
+    conversion (a purchase three months after the click is not this
+    campaign's conversion).
+
+    Scale design: same three user-keyed aggregations as the unbounded
+    funnel — the deadline is ONE extra epoch-µs conjunct riding each
+    step's join, zero new shuffles; AQE co-partitions the chain on
+    user_id. Deadlines compare exact integer microseconds (the
+    funnel-latency parity lesson: DuckDB epoch() keeps fractions)."""
+    ev = table(spark, sf_dir, "events")
+    lim = F.lit(_WFUNNEL_H * 3600 * 10**6)
+
+    def us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        s.join(ev, "user_id")
+        .where(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("signup_ts"))
+            & (us("ts") - us("signup_ts") <= lim)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        c.join(ev, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("click_ts"))
+            & (us("ts") - us("click_ts") <= lim)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.join(c.select("user_id", F.lit(True).alias("has_c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(True).alias("has_p")), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("has_p"), 3)
+            .when(F.col("has_c"), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("stage"),
+        )
+    )
