@@ -416,3 +416,32 @@ def test_dpp_prunes_fact_partitions(spark):
     runtime, the third leg of the pruning trio."""
     p = plan(registry.QUERIES["join_dpp_partitioned"](spark, SF_SMOKE))
     assert "dynamicpruning" in p.lower()
+
+
+def test_mlt_broadcasts_term_profile(spark):
+    """search_more_like_this: the seed-term/interesting-term tables ride
+    broadcast joins (never a corpus-wide shuffle of the profile) and the
+    top-10 folds into TakeOrderedAndProject."""
+    p = plan(registry.QUERIES["search_more_like_this"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_trailing_range_frame_is_keyed(spark):
+    """win_time_range_trailing: the RANGE frame runs under a customer-
+    keyed partition spec — no global single-reducer window."""
+    p = plan(registry.QUERIES["win_time_range_trailing"](spark, SF_SMOKE))
+    assert "RangeFrame" in p
+    assert "windowspecdefinition(o_custkey" in p
+
+
+def test_deletion_vector_read_is_anti_join(spark):
+    """etl_deletion_vectors: the read path is a (file, pos) anti-join —
+    positions prune rows at scan-merge time, never a rewrite."""
+    p = plan(registry.QUERIES["etl_deletion_vectors"](spark, SF_SMOKE))
+    assert "LeftAnti" in p
+
+
+def test_weighted_median_window_is_keyed(spark):
+    p = plan(registry.QUERIES["agg_weighted_median"](spark, SF_SMOKE))
+    assert "hashpartitioning(l_returnflag" in p
