@@ -177,6 +177,11 @@ _SWEEP_PRIORITY = [
     "events_funnel_windowed",
     "events_ab_cuped",
     "ts_cusum_changepoint",
+    # --- round-5 batch 33 ---
+    "events_anomaly_seasonal_hour",
+    "catalog_managed_table",
+    "sim_knn_filtered",
+    "embed_outlier_centroid_distance",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -1422,3 +1422,85 @@ def embed_binary_quantize_hamming(
         .where(F.col("rn") <= 5)
         .select("qid", "neighbor", "hamming", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_knn_filtered — metadata-filtered vector search (the vector-DB verb)
+# ---------------------------------------------------------------------------
+
+_KNN_FILT_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, {_DUCK_EMB} AS emb FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+c AS (SELECT * FROM e WHERE label = 3),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+           ROUND({_duck_dot('q.emb', 'c.emb')}
+                 / (sqrt({_duck_dot('q.emb', 'q.emb')})
+                    * sqrt({_duck_dot('c.emb', 'c.emb')})), 6) AS cos_sim
+    FROM q JOIN c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, label, cos_sim, rn FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register("sim_knn_filtered", oracle=_KNN_FILT_ORACLE)
+def sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-5 neighbors per query among only
+    the vectors passing a metadata predicate (label = 3): the
+    "WHERE + ORDER BY similarity" verb every vector database serves,
+    and the one that breaks naive ANN deployments.
+
+    The design point this key pins: the filter applies BEFORE the
+    similarity ranking (pre-filter), so the top-k is exact over the
+    qualifying set. The tempting alternative — run plain ANN top-k,
+    THEN filter — silently under-returns when the predicate is
+    selective (top-k ∩ filter can be empty: the post-filter recall
+    trap, documented here because the l8/IVF path must fan out
+    k/selectivity candidates to survive it).
+
+    Scale design: the predicate prunes the corpus AT THE SCAN (parquet
+    pushdown on the label column — the same plan as any filter);
+    queries broadcast; per-query top-k via keyed window. Cost scales
+    with the FILTERED corpus, which is the point of pre-filtering."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    q = v.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qv")
+    )
+    c = v.where(F.col("label") == 3)
+    dot = lambda a, b: F.aggregate(  # noqa: E731 — house lambda-dot idiom
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(
+                dot(F.col("qv"), F.col("emb"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("emb"), F.col("emb")))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "label", "cos_sim", "rn")
+    )

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from trireme_spark.functions.text import tokenize
 from trireme_spark.operators.skew import salted_join, two_phase_agg
-from trireme_spark.parity import meta_part, oracle_sum
+from trireme_spark.parity import dsum, meta_part, oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -879,4 +879,69 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.when(bucket < 8, "train").otherwise("test").alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embed_outlier_centroid_distance — embedding-space outlier screen
+# ---------------------------------------------------------------------------
+
+_EMB_OUT_ORACLE = """
+WITH dims AS (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i)
+), cen AS (
+  SELECT pos,
+         CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS c
+  FROM dims GROUP BY pos
+), d2 AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(ROUND((val - c) * (val - c), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS dist2
+  FROM dims JOIN cen USING (pos)
+  GROUP BY vec_id
+)
+SELECT vec_id, ROUND(dist2, 6) AS dist2
+FROM d2 ORDER BY dist2 DESC, vec_id ASC LIMIT 5
+"""
+
+
+@register("embed_outlier_centroid_distance", oracle=_EMB_OUT_ORACLE)
+def embed_outlier_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen: the top-1% of vectors by squared
+    distance to the CORPUS CENTROID — the cheap first-pass curation
+    filter that catches encoder failures, empty-input embeddings, and
+    off-manifold junk before they poison clustering or ANN training
+    (the per-cluster variant swaps the global centroid for the k-means
+    assignment's centroid — same algebra, keyed by cluster).
+
+    Exactness: per-dimension centroid from decimal-exact sums; squared
+    deviations quantize to 12 dp BEFORE the order-independent decimal
+    sum (both engines quantize identically, so partial-sum order can't
+    drift). Top-5 cut on the rounded distance with vec_id tie-break.
+
+    Scale design: ONE posexplode pass → a 64-row centroid aggregate
+    (bounded model state, broadcast back) → one vec-keyed sum →
+    TakeOrderedAndProject. At 100 TB the centroid is still 64 rows and
+    the pipeline is two keyed shuffles; nothing corpus-sized ever sits
+    on the driver."""
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", F.col("v").cast("double").alias("val"))
+    cen = dims.groupBy("pos").agg(
+        (dsum("val") / F.count(F.lit(1))).alias("c")
+    )
+    term = F.round(
+        (F.col("val") - F.col("c")) * (F.col("val") - F.col("c")), 12
+    ).cast("decimal(38,12)")
+    d2 = (
+        dims.join(F.broadcast(cen), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(term).cast("double").alias("dist2"))
+    )
+    return (
+        d2.select("vec_id", F.round("dist2", 6).alias("dist2"))
+        .orderBy(F.col("dist2").desc(), F.col("vec_id").asc())
+        .limit(5)
     )

@@ -1596,3 +1596,53 @@ def scan_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.parquet")
         .parquet(stage)
     )
+
+
+# ---------------------------------------------------------------------------
+# catalog_managed_table — managed-table lifecycle (catalog + warehouse)
+# ---------------------------------------------------------------------------
+
+_CATALOG_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+UNION ALL
+SELECT * FROM (VALUES
+  (CAST(99000001 AS BIGINT), CAST(1 AS BIGINT), 111.11, '1-URGENT'),
+  (CAST(99000002 AS BIGINT), CAST(2 AS BIGINT), 222.22, '5-LOW'))
+"""
+
+
+@register("catalog_managed_table", oracle=_CATALOG_ORACLE)
+def catalog_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed-table lifecycle — the CATALOG surface: CREATE DATABASE
+    (explicit LOCATION), ``saveAsTable`` into it, ``INSERT INTO`` via
+    SQL, read back through the catalog name. This is the workflow of
+    every warehouse user (tables, not paths), and the value check pins
+    the full loop: the base load AND the SQL-inserted rows must both
+    surface — a write that lands in the wrong location or an insert
+    that misses the table's files breaks the hash.
+
+    Ordering contract: overwrite-then-insert per invocation, so the
+    key is idempotent under re-runs in a shared session (no append
+    accumulation — the sink_batched_upsert doctrine).
+
+    Scale design: the catalog stores METADATA; data is ordinary
+    partitioned parquet under the database location, so every scan
+    optimization (pruning, pushdown) is identical to path-based reads.
+    In production the same code targets a Hive metastore / Unity-style
+    catalog — the API is the session catalog either way."""
+    loc = _tmp("catalog_wh", sf_dir)
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS trireme_cat LOCATION '{loc}'"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    o.write.mode("overwrite").saveAsTable("trireme_cat.orders_m")
+    spark.sql(
+        """
+        INSERT INTO trireme_cat.orders_m VALUES
+          (99000001, 1, 111.11, '1-URGENT'),
+          (99000002, 2, 222.22, '5-LOW')
+        """
+    )
+    return spark.table("trireme_cat.orders_m")

@@ -2303,3 +2303,74 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_seasonal_hour — seasonality-adjusted anomaly screen
+# ---------------------------------------------------------------------------
+
+_SEAS_ANOM_ORACLE = f"""
+WITH h AS (
+  SELECT event_id, value, EXTRACT(hour FROM ts) AS hod
+  FROM events WHERE event_type = 'purchase'
+), stats AS (
+  SELECT hod, CAST(COUNT(*) AS DOUBLE) AS n,
+         {oracle_sum('value')} AS sx,
+         {oracle_sum('value * value')} AS sxx
+  FROM h GROUP BY hod
+), z AS (
+  SELECT h.event_id, h.hod, h.value,
+         FLOOR((h.value - sx / n)
+               / sqrt((sxx - sx * sx / n) / (n - 1)) * 1e6) / 1e6 AS zscore
+  FROM h JOIN stats USING (hod)
+)
+SELECT event_id, hod, value, zscore
+FROM z WHERE ABS(zscore) > 3.0
+"""
+
+
+@register("events_anomaly_seasonal_hour", oracle=_SEAS_ANOM_ORACLE)
+def events_anomaly_seasonal_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-ADJUSTED anomaly screen: each purchase is z-scored
+    against the baseline of ITS OWN hour-of-day — the fix for the raw
+    z-score key's (events_anomaly_zscore) classic false-positive mode,
+    where a normal 2 pm peak flags simply because nights drag the
+    global mean down. Same pattern generalizes to day-of-week or the
+    month index (orders_seasonality_index) as the grouping key.
+
+    Exactness: per-hour mean/std from decimal-exact Σx/Σx² (sample
+    std, n−1); z floor-quantizes at 1e-6 with identical double
+    operand order both engines, so the |z| > 3 cut cannot wobble.
+
+    Scale design: 24-row baseline table (bounded model state,
+    broadcast back into the stream); one map-side-combined stats agg +
+    one codegen'd flagging pass — adding seasonal keys multiplies the
+    baseline rows, never the passes."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    h = ev.select(
+        "event_id",
+        "value",
+        F.hour("ts").cast("long").alias("hod"),
+    )
+    stats = h.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("value").alias("sx"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    z = (
+        F.floor(
+            (F.col("value") - F.col("sx") / F.col("n"))
+            / F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+            * 1e6
+        )
+        / 1e6
+    )
+    flagged = h.join(F.broadcast(stats), "hod").select(
+        "event_id", "hod", "value", z.alias("zscore")
+    )
+    return flagged.where(F.abs(F.col("zscore")) > 3.0)
