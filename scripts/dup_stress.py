@@ -57,6 +57,17 @@ DEFAULT_KEYS = [
     # across 10× the docs, stressing the sentence-df join
     "cluster_dbscan_grid",
     "text_boilerplate_removal",
+    # round-5 batch-30+ additions: ×10 docs grow every df and the MLT
+    # postings stream; user_ids are NOT shifted, so ×10 events mean
+    # 10×-LONGER per-user sequences — exactly the recursion-length
+    # stress the applyInPandas folds (EWMA/CUSUM) must absorb; ×10
+    # baskets re-stress the weighted-median collapse (distinct prices
+    # unchanged, weights ×10)
+    "search_more_like_this",
+    "ts_ewma_smoothing",
+    "ts_cusum_changepoint",
+    "agg_weighted_median",
+    "events_funnel_windowed",
     # sim_sparse_cosine_tfidf is deliberately NOT here: exact all-pairs
     # sparse cosine over this fixture's shared ~100-word vocabulary is
     # Σ|posting|² — measured 43 M candidate pairs at 5 k docs (sf0.1),

@@ -182,6 +182,12 @@ _SWEEP_PRIORITY = [
     "catalog_managed_table",
     "sim_knn_filtered",
     "embed_outlier_centroid_distance",
+    # --- round-5 batch 34 ---
+    "orders_invoice_aging",
+    "events_error_budget_slo",
+    "graph_degree_distribution",
+    "udtf_table_argument",
+    "text_skipgram_pairs",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

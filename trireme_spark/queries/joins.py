@@ -1067,3 +1067,61 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(stage)
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_distribution — co-purchase graph degree histogram
+# ---------------------------------------------------------------------------
+
+_DEGDIST_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT pa AS node, pb FROM e
+    UNION ALL SELECT pb AS node, pa FROM e
+  ) GROUP BY node
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
+@register("graph_degree_distribution", oracle=_DEGDIST_ORACLE)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph — the first
+    diagnostic of any graph workload (is it power-law? where's the
+    hub tail that will skew every per-node shuffle?), and the input
+    that justifies the degree-ordered orientation the triangle key
+    uses.
+
+    Scale design: edges come from the basket-bounded self-join
+    (per-order pair fan-out, the market-basket shape — never an
+    all-parts cross join), deduped once; degrees are one node-keyed
+    count over both edge directions; the histogram collapses
+    degree-keyed — three shuffles total, each on keys whose
+    cardinality shrinks by orders of magnitude per step."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -1070,3 +1070,87 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         kw.alias("kw_hits"),
         ((braces >= 2) & (semis >= 1)).alias("is_code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_skipgram_pairs — word2vec-style (center, context) training pairs
+# ---------------------------------------------------------------------------
+
+_SKIPGRAM_ORACLE = """
+WITH t AS (
+  SELECT doc_id, tok, pos FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '\\s+')) AS tok,
+           generate_subscripts(string_split_regex(lower(text), '\\s+'), 1)
+             AS pos
+    FROM documents
+  ) WHERE tok <> ''
+), pairs AS (
+  SELECT a.tok AS center, b.tok AS context
+  FROM t a JOIN t b
+    ON a.doc_id = b.doc_id
+   AND abs(a.pos - b.pos) BETWEEN 1 AND 2
+)
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY center, context
+ORDER BY n DESC, center ASC, context ASC LIMIT 100
+"""
+
+
+@register("text_skipgram_pairs", oracle=_SKIPGRAM_ORACLE)
+def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs (window ±2): the (center, context)
+    co-occurrence counts that feed word2vec/GloVe-style embedding
+    training — the classic corpus-prep fan-out, top-100 pairs by count.
+
+    Scale design: pairs generate IN-ROW — for each offset o ∈ {1,2},
+    zip the token array against itself shifted by o (two bounded
+    slices per row, both directions emitted per zip) — so the only
+    shuffle is the final (center, context)-keyed count with map-side
+    combine. The ORACLE is the naive position self-join (token explode
+    → |doc|² candidate join per doc), so the in-row rewrite is
+    value-checked against brute force, not assumed. The fan-out is
+    4·|tokens| rows into a partial aggregation — at 100 TB the combine
+    collapses to the vocabulary² (language-bounded) before the
+    exchange.
+
+    Empty-string tokens are filtered BEFORE pairing on both sides:
+    positions must agree with the oracle's post-filter subscripts
+    (leading whitespace makes token 1 empty — the split-parity trap)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.filter(tokenize("text"), lambda t: t != "").alias("toks")
+    )
+
+    def zipped(o: int):
+        n = F.size("toks")
+        a = F.slice(F.col("toks"), 1, F.greatest(n - o, F.lit(0)))
+        b = F.expr(f"slice(toks, {o + 1}, greatest(size(toks) - {o}, 0))")
+        return F.zip_with(
+            a, b, lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))
+        )
+
+    pairs = toks.select(
+        F.explode(
+            F.concat(zipped(1), zipped(2))
+        ).alias("p")
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p.w1").alias("center"),
+                    F.col("p.w2").alias("context"),
+                ),
+                F.struct(
+                    F.col("p.w2").alias("center"),
+                    F.col("p.w1").alias("context"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.center", "d.context")
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("center").asc(), F.col("context").asc())
+        .limit(100)
+    )

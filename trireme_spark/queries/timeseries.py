@@ -2374,3 +2374,133 @@ def events_anomaly_seasonal_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "hod", "value", z.alias("zscore")
     )
     return flagged.where(F.abs(F.col("zscore")) > 3.0)
+
+
+# ---------------------------------------------------------------------------
+# orders_invoice_aging — AR aging buckets at a reference date
+# ---------------------------------------------------------------------------
+
+_AGING_ORACLE = f"""
+WITH ref AS (
+  SELECT CAST(MAX(o_orderdate) AS DATE) + 1 AS ref_date FROM orders
+), open_o AS (
+  SELECT o_orderkey, o_totalprice,
+         datediff('day', CAST(o_orderdate AS DATE), ref_date) AS age_days
+  FROM orders CROSS JOIN ref
+  WHERE o_orderstatus = 'O'
+)
+SELECT CASE WHEN age_days <= 30 THEN '0-30'
+            WHEN age_days <= 60 THEN '31-60'
+            WHEN age_days <= 90 THEN '61-90'
+            ELSE '90+' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {oracle_sum('o_totalprice')} AS outstanding
+FROM open_o GROUP BY 1
+"""
+
+
+@register("orders_invoice_aging", oracle=_AGING_ORACLE)
+def orders_invoice_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable AGING: open orders bucketed by days
+    outstanding at the data's own reference date (max order date + 1 —
+    self-anchored, so the key is deterministic on any snapshot) — the
+    0-30/31-60/61-90/90+ report every finance close runs.
+
+    Scale design: the reference date is a 1-row aggregate broadcast
+    into the scan; aging is a codegen'd datediff + CASE projection; the
+    report is one map-side-combined 4-group aggregate with the status
+    filter pushed to the parquet scan. Decimal-exact outstanding
+    totals. DAY arithmetic on DATE-cast values both engines — no
+    timestamp-fraction ambiguity can shift a bucket edge."""
+    o = table(spark, sf_dir, "orders")
+    ref = o.agg(
+        F.date_add(F.max(F.col("o_orderdate").cast("date")), 1).alias(
+            "ref_date"
+        )
+    )
+    open_o = (
+        o.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_totalprice",
+            F.datediff(
+                "ref_date", F.col("o_orderdate").cast("date")
+            ).alias("age_days"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 60, "31-60")
+        .when(F.col("age_days") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return open_o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("outstanding"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_error_budget_slo — SLO burn-rate accounting
+# ---------------------------------------------------------------------------
+
+_SLO_TARGET = 0.25  # error budget: 25% of daily events may be errors
+
+_SLO_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS events,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+           AS errors
+  FROM events GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day, events, errors,
+       FLOOR(errors * 1e6 / events) / 1e6 AS err_rate,
+       FLOOR((SUM(errors) OVER w) * 1e6
+             / ({_SLO_TARGET} * (SUM(events) OVER w))) / 1e6
+         AS cum_burn
+FROM d
+WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@register("events_error_budget_slo", oracle=_SLO_ORACLE)
+def events_error_budget_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn: daily error rate plus CUMULATIVE budget
+    consumption against a 25%-of-traffic budget (burn > 1.0 = budget
+    blown) — the SRE accounting that pages on slope, not spikes, and
+    the observability twin of the KPI scorecard.
+
+    Scale design: the corpus collapses to one day-keyed aggregate
+    (conditional count rides the same pass); the cumulative window
+    runs over the DIMENSION-sized daily table under a meta_part spec
+    (constant partition that survives the optimizer — the r5
+    warning-storm fix), so no corpus-sized global window exists.
+    Rates floor-quantize with identical integer-scaled operands both
+    engines."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("events"),
+        F.count_if(F.col("event_type") == "error").alias("errors"),
+    )
+    w = (
+        Window.partitionBy(meta_part("events"))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        F.col("day").cast("string").alias("day"),
+        "events",
+        "errors",
+        (F.floor(F.col("errors") * 1e6 / F.col("events")) / 1e6).alias(
+            "err_rate"
+        ),
+        (
+            F.floor(
+                F.sum("errors").over(w)
+                * 1e6
+                / (F.lit(_SLO_TARGET) * F.sum("events").over(w))
+            )
+            / 1e6
+        ).alias("cum_burn"),
+    )

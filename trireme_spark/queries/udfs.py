@@ -416,3 +416,79 @@ def udf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         signed("o_orderpriority", "o_orderstatus").alias("signed_prio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# udtf_table_argument — UDTF over TABLE(...) PARTITION BY / ORDER BY
+# ---------------------------------------------------------------------------
+
+_TBLARG_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us
+FROM g GROUP BY user_id
+"""
+
+
+@register("udtf_table_argument", oracle=_TBLARG_ORACLE)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x8 — Python UDTF consuming a TABLE ARGUMENT with ``PARTITION BY
+    user_id ORDER BY (ts, event_id)`` (Spark 4): the engine shuffles
+    and sorts the INPUT TABLE, instantiates the class once per
+    partition key, streams rows through ``eval`` and collects
+    ``terminate`` — imperative per-key stream processing as a SQL table
+    function, the third grouped-custom-logic tier beside x4
+    (applyInPandas) and t6 (stateful streaming). Here: per-user event
+    count and maximum inter-event gap, a sequential fold with O(1)
+    state.
+
+    The gap uses exact integer timedelta fields (days/seconds/micros)
+    — float ``total_seconds()`` would round 2.6e12 µs magnitudes.
+    Value-checked against the lag-window SQL, proving the engine's
+    partition/order contract (a missed sort would scramble gaps).
+
+    Scale: one keyed shuffle+sort planned by the engine; state is one
+    (count, prev_ts, max) triple per in-flight key — never a
+    materialized group."""
+    from pyspark.sql.types import Row
+
+    @F.udtf(returnType="user_id long, n_events long, max_gap_us long")
+    class UserGaps:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.prev = None
+            self.maxgap = 0
+
+        def eval(self, row: Row):
+            self.uid = row["user_id"]
+            self.n += 1
+            t = row["ts"]
+            if self.prev is not None:
+                d = t - self.prev
+                g = (
+                    d.days * 86_400_000_000
+                    + d.seconds * 1_000_000
+                    + d.microseconds
+                )
+                if g > self.maxgap:
+                    self.maxgap = g
+            self.prev = t
+
+        def terminate(self):
+            if self.uid is not None:
+                yield (self.uid, self.n, self.maxgap)
+
+    table(spark, sf_dir, "events").createOrReplaceTempView(
+        "trireme_ev_tblarg"
+    )
+    spark.udtf.register("trireme_user_gaps", UserGaps)
+    return spark.sql(
+        "SELECT * FROM trireme_user_gaps(TABLE(trireme_ev_tblarg) "
+        "PARTITION BY user_id ORDER BY (ts, event_id))"
+    )
