@@ -628,3 +628,39 @@ def test_jdbc_read_is_partitioned(spark):
     per_part = df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
     assert sum(per_part) == df.count()
     assert sum(1 for n in per_part if n > 0) >= 2  # ranges actually split
+
+
+def test_hll_intersection_error_bound(spark):
+    """agg_hll_intersection: inclusion-exclusion overlap within 10% of
+    the exact |clickers ∩ purchasers| (wider than a single sketch's
+    budget — three ±ε estimates compound), and the union estimate
+    within 5% of exact."""
+    row = registry.QUERIES["agg_hll_intersection"](spark, SF_SMOKE).first()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    a = {r[0] for r in ev.where("event_type = 'click'").select("user_id").distinct().collect()}
+    b = {r[0] for r in ev.where("event_type = 'purchase'").select("user_id").distinct().collect()}
+    exact_overlap = len(a & b)
+    exact_union = len(a | b)
+    assert abs(row["union_est"] - exact_union) / exact_union < 0.05
+    assert abs(row["overlap_est"] - exact_overlap) / max(exact_overlap, 1) < 0.10
+
+
+def test_parquet_codecs_reach_disk(spark):
+    """sink_parquet_codecs: the compression option reaches the writer —
+    part files carry the codec extension and sizes genuinely differ."""
+    import glob
+    import os
+    import tempfile
+
+    registry.QUERIES["sink_parquet_codecs"](spark, SF_SMOKE).collect()
+    tag = os.path.basename(SF_SMOKE.rstrip("/"))
+    sizes = {}
+    for c, ext in [("zstd", "zstd"), ("snappy", "snappy"), ("gzip", "gz")]:
+        parts = glob.glob(
+            os.path.join(tempfile.gettempdir(), f"trireme_codec_{c}_{tag}", "part-*")
+        )
+        assert parts, c
+        assert all(f".{ext}.parquet" in p for p in parts), (c, parts[:2])
+        sizes[c] = sum(os.path.getsize(p) for p in parts)
+    assert len(set(sizes.values())) == 3, sizes
+    assert sizes["zstd"] < sizes["snappy"], sizes  # zstd beats snappy on size

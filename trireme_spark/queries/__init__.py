@@ -188,6 +188,12 @@ _SWEEP_PRIORITY = [
     "graph_degree_distribution",
     "udtf_table_argument",
     "text_skipgram_pairs",
+    # --- round-5 batch 35 ---
+    "fn_rounding_semantics",
+    "agg_geometric_mean",
+    "sink_parquet_codecs",
+    "source_binary_files",
+    "agg_hll_intersection",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

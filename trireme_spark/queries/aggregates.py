@@ -744,3 +744,90 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("price").alias("weighted_median"))
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_intersection — sketch set algebra via inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+@register("agg_hll_intersection")  # rows-only: sketch estimates are
+# engine-specific; tests/test_quality.py gates the error vs exact
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience OVERLAP from mergeable sketches: |clickers ∩ purchasers|
+    ≈ |A| + |B| − |A ∪ B| by inclusion-exclusion over HLL unions — the
+    segment-overlap question every ad/analytics platform answers from
+    persisted per-segment sketches WITHOUT rescanning raw events (the
+    exact bitmap sibling is agg_bitmap_distinct; HLL trades exactness
+    for fixed 16 KB state at any cardinality).
+
+    Caveat pinned in the pytest gate: inclusion-exclusion compounds
+    HLL error (three ±ε estimates), so the relative-error budget is
+    wider than a single sketch's — and overlap estimates degrade as
+    |A ∩ B| shrinks relative to |A ∪ B|; below ~5% overlap the bitmap
+    tier is the honest tool.
+
+    Scale design: one pass builds both segment sketches (conditional
+    sketch aggs share the scan); the algebra is a 1-row projection."""
+    ev = table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id")), 14
+        ).alias("sk_a"),
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id")), 14
+        ).alias("sk_b"),
+        F.hll_sketch_agg(
+            F.when(
+                F.col("event_type").isin("click", "purchase"),
+                F.col("user_id"),
+            ),
+            14,
+        ).alias("sk_u"),
+    )
+    return sk.select(
+        F.round(F.hll_sketch_estimate("sk_a"), 1).alias("clickers"),
+        F.round(F.hll_sketch_estimate("sk_b"), 1).alias("purchasers"),
+        F.round(F.hll_sketch_estimate("sk_u"), 1).alias("union_est"),
+        F.round(
+            F.hll_sketch_estimate("sk_a")
+            + F.hll_sketch_estimate("sk_b")
+            - F.hll_sketch_estimate("sk_u"),
+            1,
+        ).alias("overlap_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_geometric_mean — log-space aggregation (multiplicative metrics)
+# ---------------------------------------------------------------------------
+
+_GEOMEAN_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(exp(CAST(SUM(CAST(ROUND(ln(o_totalprice), 12)
+                             AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*)), 4) AS geomean_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("agg_geometric_mean", oracle=_GEOMEAN_ORACLE)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean per group via log-space aggregation
+    (exp(mean(ln x))) — the correct average for multiplicative
+    quantities (growth rates, price ratios, benchmark speedups), where
+    the arithmetic mean systematically overstates.
+
+    Exactness: per-row ln() quantizes to 12 dp BEFORE the
+    order-independent decimal sum (the ln-ulp doctrine — raw double
+    partials would make the sum partition-order-dependent), then one
+    exp() on the 1-value-per-group result; ROUND(4) absorbs the final
+    exp ulp. Decomposable — map-side combine, one exchange; a direct
+    PRODUCT aggregate would overflow doubles at ~200 rows of 1e5-sized
+    values, which is WHY log space is the scalable form."""
+    o = table(spark, sf_dir, "orders")
+    lg = F.round(F.log(F.col("o_totalprice")), 12).cast("decimal(38,12)")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(
+            F.exp(F.sum(lg).cast("double") / F.count(F.lit(1))), 4
+        ).alias("geomean_price")
+    )

@@ -898,3 +898,62 @@ def fn_struct_manipulate(spark: SparkSession, sf_dir: str) -> DataFrame:
         evolved.getField("seg").alias("seg"),
         evolved.getField("bal_band").alias("bal_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_rounding_semantics — HALF_UP vs HALF_EVEN, negative scales, edges
+# ---------------------------------------------------------------------------
+
+_ROUNDING_ORACLE = """
+SELECT o_orderkey,
+       x,
+       COALESCE(NULLIF(round(CAST(x AS DOUBLE), 0), 0.0), 0.0) AS half_up,
+       COALESCE(NULLIF(round_even(CAST(x AS DOUBLE), 0), 0.0), 0.0)
+         AS half_even,
+       round(CAST(o_totalprice AS DOUBLE), -2) AS to_hundreds,
+       COALESCE(NULLIF(ceil(CAST(x AS DOUBLE)), 0.0), 0.0) AS ceil_x,
+       COALESCE(NULLIF(floor(CAST(x AS DOUBLE)), 0.0), 0.0) AS floor_x
+FROM (SELECT o_orderkey, o_totalprice,
+             (o_orderkey % 7) - 3 + 0.5 AS x
+      FROM orders)
+"""
+
+
+@register("fn_rounding_semantics", oracle=_ROUNDING_ORACLE)
+def fn_rounding_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-mode semantics pinned cross-engine on EXACT half
+    values ((k − 3) + 0.5 is binary-exact, so every row sits ON the
+    boundary): Spark ``round`` = HALF_UP (away from zero) ↔ DuckDB
+    ``round``; Spark ``bround`` = HALF_EVEN (banker's) ↔ DuckDB
+    ``round_even`` — plus negative-scale rounding (to hundreds) and
+    ceil/floor on negatives (toward/away from −∞, NOT truncation).
+
+    This key exists because the rest of the registry deliberately
+    AVOIDS round-half boundaries (the floor-quantization doctrine);
+    here the boundary IS the subject, and the mapping table above is
+    the documented contract for anyone porting financial rounding
+    onto the engine. All codegen'd projections.
+
+    Finding while pinning: HALF_EVEN(−0.5) and CEIL(−0.5) produce
+    NEGATIVE ZERO, whose repr differs cross-engine even though
+    −0.0 == 0.0 — normalized via nullif (a literal `+ 0.0` gets
+    constant-folded away)."""
+    o = table(spark, sf_dir, "orders")
+    x = (F.col("o_orderkey") % 7 - 3).cast("double") + 0.5
+
+    def nz(c):
+        # −0.0 → +0.0: reprs differ cross-engine even though == holds;
+        # nullif survives constant folding where `+ 0.0` would not
+        return F.coalesce(F.nullif(c, F.lit(0.0)), F.lit(0.0))
+
+    return o.select(
+        "o_orderkey",
+        x.alias("x"),
+        nz(F.round(x, 0)).alias("half_up"),
+        nz(F.bround(x, 0)).alias("half_even"),
+        F.round(F.col("o_totalprice").cast("double"), -2).alias(
+            "to_hundreds"
+        ),
+        nz(F.ceil(x).cast("double")).alias("ceil_x"),
+        nz(F.floor(x).cast("double")).alias("floor_x"),
+    )

@@ -1646,3 +1646,115 @@ def catalog_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.table("trireme_cat.orders_m")
+
+
+# ---------------------------------------------------------------------------
+# source_binary_files — binaryFile format: raw-blob ingestion
+# ---------------------------------------------------------------------------
+
+_BINFILE_N = 200  # blob landing zones are file-grained; bounded staging set
+
+_BINFILE_ORACLE = f"""
+SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.bin' AS fname,
+       CAST(strlen(text) AS BIGINT) AS length,
+       sha256(text) AS digest
+FROM documents WHERE doc_id < {_BINFILE_N}
+"""
+
+
+@register("source_binary_files", oracle=_BINFILE_ORACLE)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` ingestion — the raw-blob front door of every
+    multimodal pipeline (images/audio/models land as FILES, not rows):
+    a staged directory of .bin blobs reads back as (path, length,
+    content), and the value check digests every byte — SHA-256 of the
+    content column must equal the oracle's digest of the source text
+    the blob was written from, so truncation, charset mangling, or a
+    missed file all break the hash.
+
+    Scale design: one file = one row = one task unit; Spark's
+    binaryFile source lists distributively and never concatenates
+    blobs, so a million-blob landing zone parallelizes like any scan.
+    The documented pairing is mapInPandas decode (multimodal_decode)
+    downstream; the staging set is bounded (200 files) because the
+    SUBJECT is the connector, not the fixture's write throughput —
+    file-grained sources cost O(#files) driver-side metadata, which is
+    the real 100 TB design constraint (hence manifest/compaction
+    keys)."""
+    import hashlib  # noqa: F401 — digest computed engine-side, not here
+
+    stage = _tmp("binfiles", sf_dir)
+    os.makedirs(stage, exist_ok=True)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _BINFILE_N)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in docs:
+        with open(
+            os.path.join(stage, f"doc_{r['doc_id']:06d}.bin"), "wb"
+        ) as fh:
+            fh.write(r["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(stage)
+    return back.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("length"),
+        F.lower(F.sha2(F.col("content"), 256)).alias("digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sink_parquet_codecs — compression codec matrix, lossless roundtrips
+# ---------------------------------------------------------------------------
+
+_CODECS = ["zstd", "snappy", "gzip"]
+
+_CODEC_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS codec, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+          AS total_price
+    FROM lineitem"""
+    for c in _CODECS
+)
+
+
+@register("sink_parquet_codecs", oracle=_CODEC_ORACLE)
+def sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec matrix: the same table written with zstd,
+    snappy, and gzip, each read back and aggregate-checked lossless —
+    the storage knob that decides a 100 TB table's footprint (zstd ≈
+    gzip size at snappy-class speed — why it became the lakehouse
+    default) exercised through the real write path, not assumed.
+
+    Value contract: per codec, row count and the decimal-exact price
+    sum must equal the source, so a codec that silently corrupts or
+    drops pages fails the hash; the pytest gate additionally asserts
+    the on-disk part files carry the codec's extension and that the
+    codecs genuinely produce different byte sizes (i.e. the option
+    reached the writer).
+
+    Scale note: codec choice is per-write and readers auto-detect per
+    page, so tables MIX codecs across files — recompression is
+    rewrite-on-compact (etl_compact_small_files), never a blocking
+    migration."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    outs = []
+    for c in _CODECS:
+        path = _tmp(f"codec_{c}", sf_dir)
+        li.write.mode("overwrite").option("compression", c).parquet(path)
+        back = spark.read.parquet(path)
+        outs.append(
+            back.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+                .cast("double")
+                .alias("total_price"),
+            ).select(F.lit(c).alias("codec"), "n_rows", "total_price")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
