@@ -194,6 +194,11 @@ _SWEEP_PRIORITY = [
     "sink_parquet_codecs",
     "source_binary_files",
     "agg_hll_intersection",
+    # --- round-5 batch 36 ---
+    "text_feature_hashing",
+    "join_asof_tolerance",
+    "source_csv_quoted_multiline",
+    "orders_gini_coefficient",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -1125,3 +1125,83 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# join_asof_tolerance — as-of with a max-staleness bound
+# ---------------------------------------------------------------------------
+
+_TOL_US = 30 * 60 * 10**6  # 30 minutes
+
+_ASOF_TOL_ORACLE = f"""
+WITH clicks AS (
+  SELECT user_id, ts, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+), c AS (SELECT user_id, ts, value FROM clicks WHERE rn = 1),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+         c.ts AS m_ts, c.value AS m_value
+  FROM p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+)
+SELECT purchase_id, user_id, purchase_ts,
+       CASE WHEN epoch_us(purchase_ts) - epoch_us(m_ts) <= {_TOL_US}
+            THEN m_ts END AS asof_ts,
+       CASE WHEN epoch_us(purchase_ts) - epoch_us(m_ts) <= {_TOL_US}
+            THEN m_value END AS asof_value
+FROM m
+"""
+
+
+@register("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j7c — as-of join with a TOLERANCE bound (pandas merge_asof's
+    ``tolerance``): the latest click at or before each purchase counts
+    only if it is ≤ 30 min stale, else the enrichment is NULL — the
+    freshness contract of feature serving (a feature computed hours
+    ago must NOT silently leak into a prediction row that demands
+    recency; NULL forces the imputation path instead).
+
+    Implementation: the stock union-window as-of operator, then ONE
+    codegen'd staleness predicate nulls both carried columns together
+    (match atomicity — value without its timestamp would be
+    uninterpretable). Same single keyed shuffle and O(1) window state
+    as j7; the bound costs zero extra passes. Exact integer-µs
+    staleness both engines (the epoch_us bridge)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts", "value", "event_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        right_tie_col="event_id",
+    )
+    fresh = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        <= _TOL_US
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(fresh, F.col("asof_ts")).alias("asof_ts"),
+        F.when(fresh, F.col("asof_value")).alias("asof_value"),
+    )

@@ -1154,3 +1154,64 @@ def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("center").asc(), F.col("context").asc())
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_feature_hashing — hashing-trick featurization (fixed-dim sparse)
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 1024
+
+_FEATHASH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents WHERE doc_id < 50
+  ) WHERE tok <> ''
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_FH_DIM}
+           AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) % 2 = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM t
+)
+SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS feat
+FROM h GROUP BY doc_id, bucket
+HAVING SUM(sgn) <> 0
+"""
+
+
+@register("text_feature_hashing", oracle=_FEATHASH_ORACLE)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009): tokens map
+    to a FIXED 1024-dim space by hash, with a second hash bit choosing
+    ±1 so collisions cancel in expectation — the vectorizer that needs
+    NO vocabulary pass, no fitted state, and no coordination, which is
+    exactly why it scales to unbounded streaming vocabularies where
+    tf-idf's vocab table cannot.
+
+    Hash = md5-prefix (bit-identical cross-engine — the seeded-hash
+    doctrine; bucket from chars 1-8, sign from chars 9-16 so the two
+    are independent). Zero-sum buckets drop (exact cancellation is
+    part of the contract and the oracle checks it).
+
+    Scale design: one codegen'd projection per token → one
+    (doc, bucket)-keyed map-side-combined sum; output is bounded by
+    min(|tokens|, 1024) rows per doc regardless of vocabulary growth.
+    The doc_id < 50 slice bounds the FIXTURE output, not the design."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    t = d.select(
+        "doc_id", F.explode(tokenize("text")).alias("tok")
+    ).where(F.col("tok") != "")
+    h = F.md5("tok")
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _FH_DIM
+    sgn = F.when(
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 2 == 1, 1
+    ).otherwise(-1)
+    return (
+        t.select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("feat"))
+        .where(F.col("feat") != 0)
+    )

@@ -1758,3 +1758,61 @@ def sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# source_csv_quoted_multiline — CSV quoting/escaping/embedded-newline edges
+# ---------------------------------------------------------------------------
+
+_CSVQ_ORACLE = """
+SELECT doc_id,
+       'a,b "' || source || '"' || chr(10) || 'line2:' ||
+         substr(text, 1, 40) AS payload,
+       source
+FROM documents WHERE doc_id < 100
+"""
+
+
+@register("source_csv_quoted_multiline", oracle=_CSVQ_ORACLE)
+def source_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV QUOTING edge semantics — payloads containing the three
+    things that break naive CSV pipelines: embedded COMMAS, embedded
+    DOUBLE QUOTES, and embedded NEWLINES. The write path must quote
+    and escape; the read path must run in ``multiLine`` mode (without
+    it, the parser treats each physical line as a record and shreds the
+    quoted newline — the classic silent-corruption mode of log
+    exports). The roundtrip is value-checked byte-for-byte against
+    payloads the oracle constructs independently.
+
+    Scale note (the honest trade, pinned here): multiLine CSV is NOT
+    arbitrarily splittable — a record boundary can't be found mid-file
+    without parsing from the start, so Spark reads each multiLine file
+    as one unit. Big quoted-CSV drops must arrive as MANY files (or be
+    converted to parquet at the edge); that operational rule is why
+    this key exists."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    payload = F.concat(
+        F.lit('a,b "'),
+        F.col("source"),
+        F.lit('"\nline2:'),
+        F.substring("text", 1, 40),
+    )
+    staged = d.select("doc_id", payload.alias("payload"), "source")
+    path = _tmp("csv_quoted", sf_dir)
+    # TRAP found while pinning: the CSV WRITER trims leading/trailing
+    # whitespace by default (ignore*WhiteSpace=true on write) — a
+    # 40-char substring ending in ' ' came back 39 chars. Lossless
+    # text transport must disable both.
+    (
+        staged.write.mode("overwrite")
+        .option("header", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+    return (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .schema("doc_id long, payload string, source string")
+        .csv(path)
+    )

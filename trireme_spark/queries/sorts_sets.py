@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from trireme_spark.parity import dsum, meta_part, oracle_sum
+from trireme_spark.parity import DSCALE, dsum, meta_part, oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -643,4 +643,119 @@ def sql_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val_col": "c_acctbal",
             "tbl": "trireme_cust_ident",
         },
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_gini_coefficient — revenue concentration via two-pass global rank
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(27,6))) AS DECIMAL(27,6)) AS rev
+  FROM lineitem GROUP BY l_partkey
+), r AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev ASC, l_partkey ASC) AS pos
+  FROM pr
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(rev) AS DOUBLE) AS sx,
+         CAST(SUM(pos * rev) AS DOUBLE) AS sixi
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_parts, sx AS total_revenue,
+       FLOOR((2.0 * sixi / (n * sx) - (n + 1.0) / n) * 1e6) / 1e6 AS gini
+FROM s
+"""
+
+
+@register("orders_gini_coefficient", oracle=_GINI_ORACLE)
+def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-part revenue concentration (0 = equal,
+    →1 = winner-take-all) — the single-number inequality complement of
+    lineitem_pareto_abc's class bands, and the same statistic a corpus
+    team runs on token-share-per-source to detect source dominance.
+
+    Formula: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-ranked
+    values. The global rank uses the DISTRIBUTED two-pass form (the
+    pareto/sort machinery): equal-width revenue buckets from a 1-row
+    bounds aggregate → per-bucket row_number → broadcast bucket
+    offsets — never a single-reducer global window. Tie order cannot
+    change the value (equal x contribute the same Σi·x under any
+    permutation of their ranks), so the statistic is deterministic
+    even though tied ranks are not.
+
+    Exactness: rev and i·rev stay DECIMAL through the sums; the final
+    ratio is one double expression over exact operands, floor-
+    quantized at 1e-6."""
+    li = table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                DSCALE
+            )
+        ).alias("rev")
+    )
+    n_ranges = spark.sparkContext.defaultParallelism
+    bounds = pr.agg(
+        F.min("rev").alias("lo"), F.max("rev").alias("hi")
+    )
+    ranged = pr.crossJoin(F.broadcast(bounds)).withColumn(
+        "rng",
+        F.least(
+            F.greatest(
+                (
+                    (F.col("rev") - F.col("lo"))
+                    * n_ranges
+                    / (F.col("hi") - F.col("lo") + F.lit(1e-6))
+                ).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_ranges - 1),
+        ),
+    )
+    w_in = Window.partitionBy("rng").orderBy(
+        F.col("rev").asc(), F.col("l_partkey").asc()
+    )
+    local = ranged.withColumn("loc_pos", F.row_number().over(w_in))
+    w_prev = (
+        Window.partitionBy(meta_part("rng"))
+        .orderBy("rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("rng")
+        .agg(F.count(F.lit(1)).alias("rng_n"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("rng_n").over(w_prev), F.lit(0))
+        )
+        .select("rng", "offset")
+    )
+    s = (
+        local.join(F.broadcast(offsets), "rng")
+        .select(
+            "rev",
+            (F.col("loc_pos") + F.col("offset")).alias("pos"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("rev").cast("double").alias("sx"),
+            F.sum(F.col("pos") * F.col("rev")).cast("double").alias("sixi"),
+        )
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_parts"),
+        F.col("sx").alias("total_revenue"),
+        (
+            F.floor(
+                (
+                    2.0 * F.col("sixi") / (F.col("n") * F.col("sx"))
+                    - (F.col("n") + 1.0) / F.col("n")
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("gini"),
     )
