@@ -50,6 +50,9 @@ HEAVY_3X = {
     "etl_training_corpus",
     "doc_fingerprint",
     "stream_stateful",
+    # 6-trigger replay (4 data files + 2 sentinel watermark-drivers),
+    # per-batch state-store commit overhead dominates cold
+    "stream_stateful_timeout",
     "stream_watermark_late",
     "stream_foreachbatch_sink",
     "stream_static_join",

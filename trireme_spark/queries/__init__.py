@@ -199,6 +199,8 @@ _SWEEP_PRIORITY = [
     "join_asof_tolerance",
     "source_csv_quoted_multiline",
     "orders_gini_coefficient",
+    # --- round-5 batch 37 ---
+    "stream_stateful_timeout",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

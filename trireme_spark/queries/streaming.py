@@ -376,3 +376,71 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("value_sum"),
     )
     return run_to_memory(agg, mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# t13 — event-time TIMEOUT path of arbitrary stateful processing
+# ---------------------------------------------------------------------------
+
+_T13_ORACLE = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), i AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM i GROUP BY user_id, sid
+"""
+
+
+@register("stream_stateful_timeout", oracle=_T13_ORACLE)
+def stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t13 — REAL streaming run of the EVENT-TIME TIMEOUT path
+    (``GroupStateTimeout.EventTimeTimeout`` + ``state.hasTimedOut``):
+    per-user sessions that close either on an in-data gap or when the
+    WATERMARK passes the open session's end + 30 min — the state-
+    eviction mechanism t6 (NoTimeout) never exercises, and the one
+    that bounds state under users who go quiet forever.
+
+    The replay appends two SENTINEL files (far-future watermark
+    drivers): file 1 advances the watermark past every real session's
+    deadline; file 2 triggers the batch where those timeouts actually
+    FIRE — timeouts fire in the batch AFTER the watermark moves, the
+    off-by-one every event-time-timeout consumer hits (builders.py
+    documents it). Every real session therefore emits through either
+    the gap path or the timeout path, and the result is EXACTLY the
+    batch gaps-and-islands oracle — hash-checked, not approximated.
+
+    Scale: state is (start, last, n) per ACTIVE user only (timed-out
+    keys are removed), watermark-bounded — the 100 TB-safe shape."""
+    from trireme_spark.streaming.builders import (
+        stage_events_files_with_sentinels,
+        stateful_sessions_event_timeout,
+    )
+
+    staged = stage_events_files_with_sentinels(spark, sf_dir)
+    stream = events_stream_staged(spark, staged)
+    # State-store commits cost O(partitions × micro-batches) in files;
+    # the session-wide 32 shuffle partitions × 6 triggers is pure
+    # overhead at fixture cardinality (150 users). Stage a partition
+    # count sized to the KEY count and restore after — the same
+    # conf-staging discipline as join_runtime_bloom_filter; at cluster
+    # scale this knob goes UP with key cardinality, it is not a fixed 8.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        out = run_to_memory(
+            stateful_sessions_event_timeout(stream), mode="append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.where(F.col("user_id") >= 0)

@@ -327,3 +327,165 @@ def tws_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+SESSION_TIMEOUT_OUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, "
+    "n_events long"
+)
+SESSION_TIMEOUT_STATE_SCHEMA = "start long, last long, n long"
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def stateful_sessions_event_timeout(events: DataFrame) -> DataFrame:
+    """t13 — session windows via applyInPandasWithState with
+    EVENT-TIME TIMEOUT: sessions close EITHER when a >30-min gap
+    appears inside arriving data, OR when the WATERMARK passes the
+    open session's end + gap (``state.hasTimedOut``) — the timeout
+    path t6 never exercises, and the one that actually bounds state
+    in production (without it, a user who goes quiet forever pins
+    state forever).
+
+    State = (start, last, n) per user — O(1); timestamps are exact
+    epoch-µs longs (pandas .value is ns; floor-div 1000).
+    ``setTimeoutTimestamp`` is epoch-MILLIS by API contract.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        out = []
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        if not state.hasTimedOut:
+            chunks = [pdf[["ts"]] for pdf in pdfs if len(pdf)]
+            ts_us = (
+                sorted(
+                    int(t.value) // 1000
+                    for t in pd.concat(chunks)["ts"]
+                )
+                if chunks
+                else []
+            )
+            for t in ts_us:
+                if last is None:
+                    start, last, n = t, t, 1
+                elif t - last > _SESSION_GAP_US:
+                    out.append((key[0], start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+            if last is not None:
+                state.update((start, last, n))
+                # ms, and must sit beyond the current watermark — holds
+                # because staged files arrive in event-time order
+                state.setTimeoutTimestamp(
+                    (last + _SESSION_GAP_US) // 1000
+                )
+        else:
+            if last is not None:
+                out.append((key[0], start, last, n))
+            state.remove()
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "session_start_us",
+                "session_end_us",
+                "n_events",
+            ],
+        )
+
+    return events.withWatermark("ts", "1 second").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        fn,
+        SESSION_TIMEOUT_OUT_SCHEMA,
+        SESSION_TIMEOUT_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def stage_events_files_with_sentinels(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """Staged events files PLUS two trailing watermark-driver files: a
+    sentinel user (-1) with events hours past the real data. Sentinel
+    file 1 advances the watermark beyond every real session's timeout;
+    sentinel file 2 triggers the batch in which those timeouts FIRE
+    (timeouts fire in the batch AFTER the watermark moves). Without
+    the second file the final sessions would sit in state forever —
+    the off-by-one every event-time-timeout consumer hits."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trireme_spark.sources.io import table
+
+    base_dir = stage_events_files(spark, sf_dir, n_files=n_files)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"trireme_stream_sentinel_{sf_tag}_{n_files}",
+    )
+    n_existing = (
+        sum(f.endswith(".parquet") for f in os.listdir(out))
+        if os.path.isdir(out)
+        else 0
+    )
+    if n_existing != n_files + 2:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        parts = sorted(
+            f for f in os.listdir(base_dir) if f.endswith(".parquet")
+        )
+        for fn in parts:
+            shutil.copy2(
+                os.path.join(base_dir, fn), os.path.join(out, fn)
+            )
+        max_ts = (
+            table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+        )
+        for i, hours in enumerate((2, 3)):
+            sent = spark.createDataFrame(
+                [
+                    (
+                        -1 - i,
+                        max_ts,
+                        -1,
+                        "sentinel",
+                        0.0,
+                        "{}",
+                    )
+                ],
+                EVENTS_TS_SCHEMA,
+            ).withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {hours} HOURS")
+            )
+            sent.coalesce(1).write.mode("overwrite").parquet(
+                out + f"_sent{i}"
+            )
+            sfile = [
+                f
+                for f in os.listdir(out + f"_sent{i}")
+                if f.endswith(".parquet")
+            ][0]
+            shutil.copy2(
+                os.path.join(out + f"_sent{i}", sfile),
+                os.path.join(out, f"zz-sentinel-{i}.parquet"),
+            )
+        import time as _time
+
+        base_t = _time.time() - 1800
+        allparts = sorted(
+            f for f in os.listdir(out) if f.endswith(".parquet")
+        )
+        for i, fn in enumerate(allparts):
+            p = os.path.join(out, fn)
+            os.utime(p, (base_t + i * 10, base_t + i * 10))
+    return out
