@@ -201,6 +201,11 @@ _SWEEP_PRIORITY = [
     "orders_gini_coefficient",
     # --- round-5 batch 37 ---
     "stream_stateful_timeout",
+    # --- round-5 batch 38 ---
+    "fn_timezone_convert",
+    "filter_top_percent",
+    "udf_sql_registered",
+    "multimodal_audio_silence",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

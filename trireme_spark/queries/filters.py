@@ -199,3 +199,49 @@ def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("o_orderkey").cast("double"), F.col("o_totalprice"))
         .alias("least_mix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# filter_top_percent — percentile-threshold filtering (top 5% per group)
+# ---------------------------------------------------------------------------
+
+_TOPPCT_ORACLE = """
+WITH th AS (
+  SELECT o_orderpriority,
+         ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice, th.p95
+FROM orders o JOIN th USING (o_orderpriority)
+WHERE o.o_totalprice >= th.p95
+"""
+
+
+@register("filter_top_percent", oracle=_TOPPCT_ORACLE)
+def filter_top_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5%-per-group filter — "the whales": rows at or above their
+    OWN group's 95th percentile, the relative-threshold screen behind
+    outlier review queues and premium segmentation (an absolute
+    threshold drifts as the business grows; a percentile one doesn't).
+
+    Two-pass shape: pass 1 computes one exact percentile per group
+    (5-row threshold table), pass 2 re-scans with the broadcast
+    thresholds as a codegen'd filter — NO per-row rank window over the
+    corpus (the rank form shuffles everything; this shuffles nothing
+    on pass 2 and the threshold table is dimension-sized forever).
+    Spark percentile() and DuckDB quantile_cont share the linear-
+    interpolation definition (the a7 parity); ROUND(4) guards the
+    boundary, and ≥ on the ROUNDED threshold keeps the cut identical
+    both engines. approx_percentile is the documented swap at
+    corpus-keyed group cardinality."""
+    o = table(spark, sf_dir, "orders")
+    th = o.groupBy("o_orderpriority").agg(
+        F.round(
+            F.percentile(F.col("o_totalprice"), F.lit(0.95)), 4
+        ).alias("p95")
+    )
+    return (
+        o.join(F.broadcast(th), "o_orderpriority")
+        .where(F.col("o_totalprice") >= F.col("p95"))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "p95")
+    )

@@ -957,3 +957,59 @@ def fn_rounding_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         nz(F.ceil(x).cast("double")).alias("ceil_x"),
         nz(F.floor(x).cast("double")).alias("floor_x"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_timezone_convert — instant↔wall-time conversion across a DST boundary
+# ---------------------------------------------------------------------------
+
+_TZ_ORACLE = """
+SELECT event_id,
+       CAST(date_trunc('second',
+            timezone('America/New_York', ts AT TIME ZONE 'UTC'))
+            AS VARCHAR) AS ny_winter,
+       CAST(date_trunc('second',
+            timezone('America/New_York',
+                     (ts + INTERVAL 6 MONTHS) AT TIME ZONE 'UTC'))
+            AS VARCHAR) AS ny_summer,
+       CAST(date_trunc('second',
+            timezone('Asia/Kolkata', ts AT TIME ZONE 'UTC'))
+            AS VARCHAR) AS kolkata
+FROM events
+"""
+
+
+@register("fn_timezone_convert", oracle=_TZ_ORACLE)
+def fn_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion — UTC instants rendered as WALL TIME in
+    named IANA zones, across a DST boundary: the January fixture lands
+    in EST (UTC−5), the same instants shifted six months land in EDT
+    (UTC−4), so a hardcoded-offset implementation (the classic bug)
+    fails half the rows; Asia/Kolkata adds the half-hour-offset case
+    (UTC+5:30) that integer-hour assumptions break on.
+
+    Cross-engine contract: Spark ``from_utc_timestamp`` ↔ DuckDB
+    ``timezone(zone, ts AT TIME ZONE 'UTC')`` — both resolve through
+    the IANA tzdb, and the hash proves the two engines' tz databases
+    agree on these zones' 2024 rules. Wall times ship as strings (the
+    date doctrine: naive-timestamp cells compare differently per
+    pandas dtype). Codegen'd projections, no shuffle."""
+    ev = table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return ev.select(
+        "event_id",
+        F.date_format(
+            F.from_utc_timestamp(ts, "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("ny_winter"),
+        F.date_format(
+            F.from_utc_timestamp(
+                ts + F.expr("INTERVAL 6 MONTHS"), "America/New_York"
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("ny_summer"),
+        F.date_format(
+            F.from_utc_timestamp(ts, "Asia/Kolkata"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("kolkata"),
+    )

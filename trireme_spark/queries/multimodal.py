@@ -268,3 +268,134 @@ def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, patch_row int, patch_col int, "
         "px_sum long, px_valid long",
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_silence — VAD-style silence-run detection
+# ---------------------------------------------------------------------------
+
+_SIL_FRAME = 400  # non-overlapping frames for run semantics
+_SIL_TH = 1_000_000  # frame energy below this = silence (spaces ≈ 409 600)
+
+_SILENCE_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         substr(text, 1, 800) || repeat(' ', 700) ||
+           substr(text, 801, 100000) AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t, octet_length(CAST(t AS BLOB)) AS n FROM b
+), fr AS (
+  SELECT doc_id, f.frame_no,
+         CAST(list_sum(list_transform(
+             range(CAST(least(n - f.frame_no * {_SIL_FRAME},
+                              {_SIL_FRAME}) AS BIGINT)),
+             i -> ascii(substr(t,
+                  CAST(f.frame_no * {_SIL_FRAME} + i AS INT) + 1, 1)) ^ 2
+         )) AS BIGINT) AS energy
+  FROM sized, LATERAL (
+    SELECT UNNEST(range(CAST((n + {_SIL_FRAME} - 1) // {_SIL_FRAME}
+                             AS BIGINT))) AS frame_no
+  ) f
+), flagged AS (
+  SELECT doc_id, frame_no, (energy < {_SIL_TH}) AS quiet,
+         CASE WHEN (energy < {_SIL_TH}) <> COALESCE(
+                LAG(energy < {_SIL_TH}) OVER (PARTITION BY doc_id
+                                              ORDER BY frame_no), FALSE)
+              THEN 1 ELSE 0 END AS brk
+  FROM fr
+), runs AS (
+  SELECT doc_id, frame_no, quiet,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY frame_no
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(frame_no) AS INTEGER) AS run_start,
+       CAST(MAX(frame_no) AS INTEGER) AS run_end,
+       CAST(COUNT(*) AS BIGINT) AS n_frames
+FROM runs WHERE quiet GROUP BY doc_id, run_id
+HAVING COUNT(*) >= 1
+"""
+
+
+@register("multimodal_audio_silence", oracle=_SILENCE_ORACLE)
+def multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style SILENCE detection: non-overlapping 400-sample frames
+    classify quiet (energy < threshold), maximal quiet runs emit with
+    exact frame boundaries — the voice-activity front end that decides
+    what an ASR pipeline even transcribes, and the batch shape of
+    every run-detection over framed media (black video segments, flat
+    sensor spans).
+
+    A 700-byte silence block is PLANTED mid-payload (spaces: energy
+    409 600/frame vs ~4 M for text — same construction in the oracle),
+    so run boundaries are value-checked, not assumed. Pipeline: the
+    audio-frames Arrow pattern (bytes → mapInPandas → numpy framing,
+    bytes never leave the executor) → gaps-and-islands per doc (ONE
+    doc-keyed window chain — the alert-throttle machinery applied to
+    frames).
+
+    Scale: frame stats are the only shuffled rows (bounded n/400 per
+    doc); runs aggregate on the same doc-keyed exchange."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.substring("text", 1, 800),
+        F.lit(" " * 700),
+        F.substring("text", 801, 100000),
+    )
+    binary_df = d.select(
+        "doc_id", F.encode(payload, "UTF-8").alias("payload")
+    )
+
+    def frames(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "energy": []}
+            for doc_id, pay in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(pay, dtype=np.uint8).astype(np.int64)
+                n = len(x)
+                n_frames = (n + _SIL_FRAME - 1) // _SIL_FRAME
+                for k in range(n_frames):
+                    seg = x[k * _SIL_FRAME : (k + 1) * _SIL_FRAME]
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(k)
+                    out["energy"].append(int((seg * seg).sum()))
+            yield pd.DataFrame(out)
+
+    fr = binary_df.mapInPandas(
+        frames, "doc_id long, frame_no int, energy long"
+    )
+    from pyspark.sql.window import Window as W
+
+    quiet = F.col("energy") < _SIL_TH
+    w = W.partitionBy("doc_id").orderBy("frame_no")
+    flagged = fr.select(
+        "doc_id",
+        "frame_no",
+        quiet.alias("quiet"),
+        (
+            quiet
+            != F.coalesce(F.lag(quiet).over(w), F.lit(False))
+        )
+        .cast("int")
+        .alias("brk"),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("brk").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        runs.where("quiet")
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.min("frame_no").alias("run_start"),
+            F.max("frame_no").alias("run_end"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .select("doc_id", "run_start", "run_end", "n_frames")
+    )

@@ -492,3 +492,46 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM trireme_user_gaps(TABLE(trireme_ev_tblarg) "
         "PARTITION BY user_id ORDER BY (ts, event_id))"
     )
+
+
+# ---------------------------------------------------------------------------
+# udf_sql_registered — Python UDF callable FROM SQL (spark.udf.register)
+# ---------------------------------------------------------------------------
+
+_SQLUDF_ORACLE = """
+SELECT o_orderkey,
+       CAST(substr(o_orderpriority, 1, 1) AS INTEGER) * 10
+         + CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 3 END
+         AS prio_code
+FROM orders WHERE o_totalprice > 100000
+"""
+
+
+@register("udf_sql_registered", oracle=_SQLUDF_ORACLE)
+def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x9 — a Python UDF REGISTERED INTO THE SQL NAMESPACE
+    (``spark.udf.register``) and invoked from a plain SQL string: the
+    bridge that lets SQL-only consumers (BI tools, templated reports,
+    the reference's query front end) call Python extension logic
+    without touching the DataFrame API. Same execution tier as x1
+    (row pickling — keep off hot paths); the POINT is the namespace
+    surface, and that predicates AROUND the UDF still push to the scan
+    (the filter is a plain conjunct Catalyst separates from the
+    opaque UDF projection)."""
+    from pyspark.sql.types import IntegerType
+
+    def prio_code(prio: str, status: str) -> int:
+        return int(prio[0]) * 10 + {"O": 1, "F": 2}.get(status, 3)
+
+    spark.udf.register("trireme_prio_code", prio_code, IntegerType())
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "trireme_orders_sqludf"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               trireme_prio_code(o_orderpriority, o_orderstatus)
+                 AS prio_code
+        FROM trireme_orders_sqludf WHERE o_totalprice > 100000
+        """
+    )
