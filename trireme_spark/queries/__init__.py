@@ -206,6 +206,7 @@ _SWEEP_PRIORITY = [
     "filter_top_percent",
     "udf_sql_registered",
     "multimodal_audio_silence",
+    "ts_decompose_additive",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -2504,3 +2504,91 @@ def events_error_budget_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("cum_burn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_decompose_additive — trend + seasonal + residual decomposition
+# ---------------------------------------------------------------------------
+
+_DECOMP_ORACLE = f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr,
+         {oracle_sum('value')} AS v
+  FROM events GROUP BY 1
+), t AS (
+  SELECT hr, v,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(27,6))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w, 6) AS trend
+  FROM h
+  WINDOW w AS (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), d AS (
+  SELECT hr, v, trend,
+         CAST(ROUND(v - trend, 6) AS DECIMAL(27,6)) AS det
+  FROM t
+), s AS (
+  SELECT EXTRACT(hour FROM hr) AS hod,
+         ROUND(CAST(SUM(det) AS DOUBLE) / COUNT(*), 6) AS seasonal
+  FROM d GROUP BY 1
+)
+SELECT CAST(d.hr AS VARCHAR) AS hr, d.v, d.trend, s.seasonal,
+       ROUND(CAST(d.det AS DOUBLE) - s.seasonal, 6) AS residual
+FROM d JOIN s ON EXTRACT(hour FROM d.hr) = s.hod
+"""
+
+
+@register("ts_decompose_additive", oracle=_DECOMP_ORACLE)
+def ts_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive decomposition of the hourly value series —
+    value = TREND (centered 25-hour moving average) + SEASONAL
+    (hour-of-day mean of the detrended series) + RESIDUAL — the
+    classical-decomposition skeleton behind seasonal anomaly screens
+    (events_anomaly_seasonal_hour is its single-component shortcut)
+    and forecast baselines.
+
+    Exactness chain: hourly sums decimal-exact → trend =
+    decimal-frame-sum / frame-count (identical double division both
+    engines) → detrended QUANTIZES to decimal before the hour-of-day
+    mean (a raw double sum over days would be partition-order-
+    dependent — the geomean lesson) → residual one double subtraction,
+    rounded.
+
+    Scale design: the corpus collapses to the hourly rollup in one
+    keyed agg; everything downstream — centered MA, 24-row seasonal
+    table, residual join — runs on the DIMENSION-sized series (the MA
+    under a meta_part spec; at multi-year × per-key grain the same MA
+    becomes the keyed two-pass form, machinery already in-repo)."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        dsum("value").alias("v")
+    )
+    w = (
+        Window.partitionBy(meta_part("v"))
+        .orderBy("hr")
+        .rowsBetween(-12, 12)
+    )
+    t = h.select(
+        "hr",
+        "v",
+        F.round(
+            F.sum(F.col("v").cast("decimal(27,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("trend"),
+    )
+    d = t.withColumn(
+        "det", F.round(F.col("v") - F.col("trend"), 6).cast("decimal(27,6)")
+    ).withColumn("hod", F.hour("hr"))
+    s = d.groupBy("hod").agg(
+        F.round(
+            F.sum("det").cast("double") / F.count(F.lit(1)), 6
+        ).alias("seasonal")
+    )
+    return d.join(F.broadcast(s), "hod").select(
+        F.col("hr").cast("string").alias("hr"),
+        "v",
+        "trend",
+        "seasonal",
+        F.round(F.col("det").cast("double") - F.col("seasonal"), 6).alias(
+            "residual"
+        ),
+    )
