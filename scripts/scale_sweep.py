@@ -44,6 +44,9 @@ HEAVY_3X = {
     "sim_sparse_cosine_tfidf",
     "sim_ann_ivf",
     "sim_ann_ivfpq",
+    # full-graph GEMM + both-direction candidate emit + keyed top-k
+    # window: measured 10.0 s cold at sf0.1
+    "sim_knn_graph_all",
     "dedup_minhash_clusters",
     "dedup_connected_components",
     "dedup_ngram_jaccard",

@@ -534,3 +534,89 @@ def exact_threshold_pairs(
     return grouped.groupBy("pid").applyInPandas(
         pair_hits, "vec_a long, vec_b long, cos_sim double"
     )
+
+
+def knn_graph_topk(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+    n_blocks: int = None,
+    slack: int = 10,
+) -> DataFrame:
+    """Exact k-NN GRAPH — top-k cosine neighbors for EVERY vector (the
+    all-sources sibling of :func:`exact_topk_pairs`' global top pairs),
+    via the same distributed block-pair GEMM: no driver-side corpus,
+    B is the memory knob.
+
+    Unlike the pair ranking, the graph needs ORDERED neighbors, so
+    diagonal groups mask only self-similarity (not the lower
+    triangle) and cross-block groups emit BOTH directions: per-row
+    top-(k+slack) for the L side and per-column for the R side. Each
+    vector then carries ≤ (k+slack)·B candidates into one keyed window
+    that cuts the final k on the ROUNDED score (6 dp) with neighbor-id
+    tie-break — the slack makes the rounded cut exact unless >slack
+    candidates tie within 1e-6 at the boundary (the l6 doctrine).
+
+    Returns (vec_id, neighbor_id, cos_sim, rn) with rn ∈ [1, k].
+    """
+    from pyspark.sql.window import Window
+
+    if n_blocks is None:
+        n_blocks = _default_blocks(vectors.sparkSession)
+    grouped = _block_pair_groups(vectors, id_col, emb_col, n_blocks)
+    kk = k + slack
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == "L"]
+        diag = bool(pdf["diag"].iat[0])
+        b = a if diag else pdf[pdf["side"] == "R"]
+        if not len(a) or not len(b):
+            return _EMPTY_KNN.copy()
+        a_ids = a["vec_id"].to_numpy()
+        b_ids = b["vec_id"].to_numpy()
+        am = np.stack(a["emb"].to_numpy()).astype("float64")
+        bm = np.stack(b["emb"].to_numpy()).astype("float64")
+        an = am / np.linalg.norm(am, axis=1, keepdims=True)
+        bn = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        s = an @ bn.T
+        if diag:
+            s[a_ids[:, None] == b_ids[None, :]] = -np.inf
+        out_src, out_dst, out_s = [], [], []
+
+        def emit(mat, src_ids, dst_ids):
+            kc = min(kk, mat.shape[1])
+            idx = np.argpartition(mat, -kc, axis=1)[:, -kc:]
+            for r in range(mat.shape[0]):
+                cols = idx[r][mat[r, idx[r]] > -np.inf]
+                out_src.extend([src_ids[r]] * len(cols))
+                out_dst.extend(dst_ids[cols])
+                out_s.extend(mat[r, cols])
+
+        emit(s, a_ids, b_ids)
+        if not diag:
+            emit(s.T, b_ids, a_ids)
+        return pd.DataFrame(
+            {"vec_id": out_src, "neighbor_id": out_dst, "cos_sim": out_s}
+        )
+
+    cand = grouped.groupBy("pid").applyInPandas(
+        per_group, "vec_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
+_EMPTY_KNN = pd.DataFrame(
+    {"vec_id": [], "neighbor_id": [], "cos_sim": []}
+).astype({"vec_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"})

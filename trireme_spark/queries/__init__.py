@@ -207,6 +207,7 @@ _SWEEP_PRIORITY = [
     "udf_sql_registered",
     "multimodal_audio_silence",
     "ts_decompose_additive",
+    "sim_knn_graph_all",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -1504,3 +1504,46 @@ def sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "label", "cos_sim", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_knn_graph_all — exact k-NN graph over the whole corpus
+# ---------------------------------------------------------------------------
+
+_KNN_GRAPH_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_DUCK_EMB} AS emb FROM embeddings),
+scored AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           ROUND({_duck_dot('a.emb', 'b.emb')}
+                 / (sqrt({_duck_dot('a.emb', 'a.emb')})
+                    * sqrt({_duck_dot('b.emb', 'b.emb')})), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, cos_sim, rn FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register("sim_knn_graph_all", oracle=_KNN_GRAPH_ORACLE)
+def sim_knn_graph_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN GRAPH: top-5 cosine neighbors for EVERY vector — the
+    all-sources structure UMAP, HNSW construction, label propagation,
+    and graph-based dedup all start from (l6 ranks global top PAIRS,
+    l7 serves 5 queries; this key materializes the whole graph).
+
+    Runs on the distributed block-pair GEMM with BOTH directions
+    emitted per cross-block group (operators/similarity.knn_graph_topk)
+    — shuffle volume (B+1)·n rows, quadratic work confined to
+    executor numpy, candidates (k+slack)·B per vector into one keyed
+    window. The brute-force SQL window oracle value-checks the whole
+    graph. O(n²) GEMM work is inherent to the EXACT graph; the ANN
+    keys (l8, IVF) are the documented approximate path and this is
+    the baseline they're recall-gated against."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    from trireme_spark.operators.similarity import knn_graph_topk
+
+    return knn_graph_topk(v, k=5)

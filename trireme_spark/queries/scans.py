@@ -1630,6 +1630,8 @@ def catalog_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimization (pruning, pushdown) is identical to path-based reads.
     In production the same code targets a Hive metastore / Unity-style
     catalog — the API is the session catalog either way."""
+    import shutil
+
     loc = _tmp("catalog_wh", sf_dir)
     spark.sql(
         f"CREATE DATABASE IF NOT EXISTS trireme_cat LOCATION '{loc}'"
@@ -1637,6 +1639,15 @@ def catalog_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
+    # Fresh-session trap (caught by the full-registry sim): the
+    # in-memory catalog forgets the table across sessions but its
+    # LOCATION persists in the warehouse dir, and saveAsTable refuses
+    # to create a "new" managed table over an existing location
+    # (LOCATION_ALREADY_EXISTS). Drop what the catalog knows, then
+    # clear the orphaned location — the same reconciliation a real
+    # metastore's DROP TABLE does atomically.
+    spark.sql("DROP TABLE IF EXISTS trireme_cat.orders_m")
+    shutil.rmtree(os.path.join(loc, "orders_m"), ignore_errors=True)
     o.write.mode("overwrite").saveAsTable("trireme_cat.orders_m")
     spark.sql(
         """
