@@ -445,3 +445,12 @@ def test_deletion_vector_read_is_anti_join(spark):
 def test_weighted_median_window_is_keyed(spark):
     p = plan(registry.QUERIES["agg_weighted_median"](spark, SF_SMOKE))
     assert "hashpartitioning(l_returnflag" in p
+
+
+def test_distribute_sort_by_elides_window_exchange(spark):
+    """sql_distribute_sort_by: the window's required distribution and
+    ordering are satisfied by DISTRIBUTE/SORT BY, so Catalyst plans
+    exactly ONE exchange (the clause's), not two."""
+    p = plan(registry.QUERIES["sql_distribute_sort_by"](spark, SF_SMOKE))
+    assert p.count("Exchange (") == 1
+    assert "Window" in p

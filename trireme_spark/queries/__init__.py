@@ -208,6 +208,12 @@ _SWEEP_PRIORITY = [
     "multimodal_audio_silence",
     "ts_decompose_additive",
     "sim_knn_graph_all",
+    # --- round-5 batch 41 ---
+    "sql_distribute_sort_by",
+    "events_ab_diff_in_diff",
+    "search_pivot_facets",
+    "etl_referential_integrity",
+    "search_query_elevation",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -1827,3 +1827,89 @@ def source_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("doc_id long, payload string, source string")
         .csv(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# etl_referential_integrity — FK orphan audit across the star schema
+# ---------------------------------------------------------------------------
+
+_RI_ORACLE = """
+WITH live_cust AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0
+)
+SELECT 'orders->customer' AS relation,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_facts,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM live_cust c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem->part',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+            AS BIGINT)
+"""
+
+
+@register("etl_referential_integrity", oracle=_RI_ORACLE)
+def etl_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — orphaned foreign keys per relation
+    (facts whose dimension row is missing): the data-quality check that
+    catches late dimensions, botched deletes, and broken CDC ordering
+    before a join silently drops revenue (inner joins EAT orphans —
+    this key counts what those joins would lose). A deterministic
+    deletion is PLANTED on the customer dimension (every 97th key
+    "deleted" in-query, mirrored in the oracle) so the audit's nonzero
+    path is value-checked, and the clean relations pin the zero path.
+
+    Scale design: each relation is one LEFT ANTI join counted —
+    dimension side broadcasts while small, hash-shuffles when not;
+    counts combine map-side. The output is |relations| rows; adding a
+    relation adds one anti-join, and at 100 TB the audits share the
+    fact scans via caching or run per-partition incrementally
+    (etl_partition_checksum's layout)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    live_cust = table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 97 != 0
+    )
+
+    def audit(name, fact, dim, fk, pk):
+        n = fact.count()
+        orphans = (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti").count()
+        )
+        return spark.createDataFrame(
+            [(name, n, orphans)], "relation string, n_facts long, n_orphans long"
+        )
+
+    parts = [
+        audit("orders->customer", o, live_cust, "o_custkey", "c_custkey"),
+        audit(
+            "lineitem->orders",
+            li,
+            o.select("o_orderkey"),
+            "l_orderkey",
+            "o_orderkey",
+        ),
+        audit(
+            "lineitem->part",
+            li,
+            table(spark, sf_dir, "part").select("p_partkey"),
+            "l_partkey",
+            "p_partkey",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

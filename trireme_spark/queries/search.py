@@ -733,3 +733,181 @@ def search_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("query", F.col("term").alias("suggestion"), "freq", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# search_pivot_facets — hierarchical (pivot) facet counts
+# ---------------------------------------------------------------------------
+
+_PIVOT_FACET_ORACLE = """
+WITH hits AS (
+  SELECT * FROM documents
+  WHERE list_contains(string_split_regex(lower(text), '\\s+'), 'merge')
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(COUNT(*)) OVER (PARTITION BY source) AS BIGINT)
+         AS source_total
+FROM hits GROUP BY source, lang
+"""
+
+
+@register("search_pivot_facets", oracle=_PIVOT_FACET_ORACLE)
+def search_pivot_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr PIVOT facets (facet.pivot=source,lang): hierarchical value
+    counts over a term query's result set — each (source, lang) leaf
+    count plus its parent source total, the drill-down tree a search
+    UI renders next to results (flat facets are search_facets; this is
+    the nested form).
+
+    Scale design: the term predicate rides the scan; ONE grouping pass
+    produces the leaves and the parent totals come from a window over
+    the LEAF table (|sources|×|langs| rows — dimension-sized), not a
+    second corpus pass. Deeper pivots append group keys, never
+    passes."""
+    d = table(spark, sf_dir, "documents")
+    hits = d.where(F.array_contains(tokenize("text"), "merge"))
+    leaves = hits.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql.window import Window as W
+
+    return leaves.select(
+        "source",
+        "lang",
+        "n",
+        F.sum("n").over(W.partitionBy("source")).alias("source_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# search_query_elevation — editorial result pinning (Solr elevate.xml)
+# ---------------------------------------------------------------------------
+
+_ELEVATED = [17, 4]  # editorially pinned doc_ids for the fixture query
+
+_ELEVATION_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM base
+), tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+  FROM (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM base)
+  WHERE tok IN ({_Q_SQL})
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({_K1} + 1.0))
+           / (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))
+           AS DECIMAL(27,6)) AS s
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+), bm AS (
+  SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 4) AS bm25
+  FROM scored GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, bm25,
+         CASE WHEN doc_id = 17 THEN 1 WHEN doc_id = 4 THEN 2 ELSE 0 END
+           AS elev
+  FROM bm
+)
+SELECT doc_id, bm25, (elev > 0) AS elevated, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY CASE WHEN elev > 0 THEN 0 ELSE 1 END, elev,
+             bm25 DESC, doc_id) AS rn
+  FROM ranked
+) WHERE rn <= 10
+"""
+
+
+@register("search_query_elevation", oracle=_ELEVATION_ORACLE)
+def search_query_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr QueryElevationComponent (elevate.xml): editorially pinned
+    documents rank FIRST in their configured order, organic BM25 order
+    fills the rest — the merchandising/override layer every production
+    search deployment ends up needing, expressed as a rank key, not a
+    score hack (score boosting breaks when organic scores drift;
+    explicit rank tiers don't).
+
+    Scale design: the elevation table is configuration (2 rows,
+    broadcast-as-expression); ranking adds one CASE tier to the
+    existing BM25 top-k sort — same TakeOrderedAndProject fold, zero
+    new passes. Elevated docs must still MATCH the query (this one
+    does both — a non-matching pinned doc simply has no BM25 row),
+    exactly Solr's default behavior."""
+    # rebuild the scored set (the bm25 key truncates to top-10 BEFORE
+    # elevation could reorder — elevation must rank over ALL matches)
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokenize("text").alias("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .where(F.col("term").isin(_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.any_value("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    s = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _K1
+                    * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+                )
+            )
+            .cast("decimal(27,6)")
+            .alias("s"),
+        )
+    )
+    bm = s.groupBy("doc_id").agg(
+        F.round(F.sum("s").cast("double"), 4).alias("bm25")
+    )
+    elev = (
+        F.when(F.col("doc_id") == _ELEVATED[0], 1)
+        .when(F.col("doc_id") == _ELEVATED[1], 2)
+        .otherwise(0)
+    )
+    ranked = bm.withColumn("elev", elev)
+    top = ranked.orderBy(
+        F.when(F.col("elev") > 0, 0).otherwise(1).asc(),
+        F.col("elev").asc(),
+        F.col("bm25").desc(),
+        F.col("doc_id").asc(),
+    ).limit(10)
+    from pyspark.sql.window import Window as W
+
+    from trireme_spark.parity import meta_part
+
+    w_rn = W.partitionBy(meta_part("doc_id")).orderBy(
+        F.when(F.col("elev") > 0, 0).otherwise(1).asc(),
+        F.col("elev").asc(),
+        F.col("bm25").desc(),
+        F.col("doc_id").asc(),
+    )
+    return top.select(
+        "doc_id",
+        "bm25",
+        (F.col("elev") > 0).alias("elevated"),
+        F.row_number().over(w_rn).alias("rn"),
+    )

@@ -759,3 +759,47 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sql_distribute_sort_by — DISTRIBUTE BY / SORT BY physical-layout SQL
+# ---------------------------------------------------------------------------
+
+_DISTSORT_ORACLE = """
+SELECT o_custkey, CAST(o_orderdate AS VARCHAR) AS od, o_totalprice,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS seq
+FROM orders
+"""
+
+
+@register("sql_distribute_sort_by", oracle=_DISTSORT_ORACLE)
+def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTE BY ... SORT BY — the Hive-dialect surface for
+    PHYSICAL layout control: hash-partition rows by key, sort WITHIN
+    each partition (no global order) — what you write before a
+    partitioned sink or a partition-local algorithm when ORDER BY's
+    global sort would be a pointless single barrier.
+
+    The layout itself has no row-visible effect, so the key makes it
+    OBSERVABLE: a per-customer sequence computed by a window whose
+    required distribution+ordering is ALREADY satisfied by the
+    DISTRIBUTE/SORT BY — Catalyst elides the window's own exchange
+    and sort (one Exchange total in the plan, asserted by the plan
+    gate), which is precisely the optimization this clause exists to
+    enable."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "trireme_orders_distsort"
+    )
+    return spark.sql(
+        """
+        SELECT o_custkey, CAST(o_orderdate AS STRING) AS od, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS seq
+        FROM (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+          FROM trireme_orders_distsort
+          DISTRIBUTE BY o_custkey SORT BY o_custkey, o_orderdate, o_orderkey
+        )
+        """
+    )

@@ -2592,3 +2592,89 @@ def ts_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_diff_in_diff — difference-in-differences readout
+# ---------------------------------------------------------------------------
+
+_DID_SPLIT = "2024-01-16"
+
+_DID_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         {oracle_sum("CASE WHEN ts <  TIMESTAMP '" + _DID_SPLIT + "' THEN value ELSE 0 END")} AS pre,
+         {oracle_sum("CASE WHEN ts >= TIMESTAMP '" + _DID_SPLIT + "' THEN value ELSE 0 END")} AS post,
+         CAST(('0x' || substr(md5(user_id::VARCHAR || '|did'), 1, 8))
+              AS BIGINT) % 2 AS treated
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT treated, CAST(COUNT(*) AS DOUBLE) AS n,
+         {oracle_sum('pre')} AS spre, {oracle_sum('post')} AS spost
+  FROM u GROUP BY treated
+)
+SELECT t.n AS n_treated, c.n AS n_control,
+       ROUND(t.spost / t.n - t.spre / t.n, 6) AS delta_treated,
+       ROUND(c.spost / c.n - c.spre / c.n, 6) AS delta_control,
+       ROUND((t.spost / t.n - t.spre / t.n)
+             - (c.spost / c.n - c.spre / c.n), 6) AS did_estimate
+FROM (SELECT * FROM g WHERE treated = 1) t
+CROSS JOIN (SELECT * FROM g WHERE treated = 0) c
+"""
+
+
+@register("events_ab_diff_in_diff", oracle=_DID_ORACLE)
+def events_ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: (treated post − pre) − (control post
+    − pre) — the quasi-experimental estimator for rollouts WITHOUT
+    clean randomization (staged launches, geo splits), where raw
+    post-period comparison confounds with pre-existing group
+    differences; DiD nets out both the group baseline and the shared
+    time trend. Completes the experimentation trio: CVR readout
+    (ab_test), variance reduction (CUPED), quasi-experiment (this).
+
+    Exactness: the per-user pre/post sums are decimal-exact; every
+    mean and delta reduces to sufficient statistics, so both engines
+    run the identical double expression — no per-user accumulation
+    order exists. Assignment = seeded md5 of user_id.
+
+    Scale: one user-keyed aggregation + a 2-row group table; the
+    readout is a 1-row cross of the two groups."""
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(_DID_SPLIT).cast("timestamp_ntz")
+    treated = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|did"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = ev.groupBy("user_id").agg(
+        dsum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)).alias(
+            "pre"
+        ),
+        dsum(
+            F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)
+        ).alias("post"),
+    ).withColumn("treated", treated)
+    g = u.groupBy("treated").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("pre").alias("spre"),
+        dsum("post").alias("spost"),
+    )
+    t = g.where("treated = 1").alias("t")
+    c = g.where("treated = 0").alias("c")
+    d_t = F.col("t.spost") / F.col("t.n") - F.col("t.spre") / F.col("t.n")
+    d_c = F.col("c.spost") / F.col("c.n") - F.col("c.spre") / F.col("c.n")
+    return t.crossJoin(c).select(
+        F.col("t.n").alias("n_treated"),
+        F.col("c.n").alias("n_control"),
+        F.round(d_t, 6).alias("delta_treated"),
+        F.round(d_c, 6).alias("delta_control"),
+        F.round(d_t - d_c, 6).alias("did_estimate"),
+    )
