@@ -50,6 +50,9 @@ HEAVY_3X = {
     "dedup_minhash_clusters",
     "dedup_connected_components",
     "dedup_ngram_jaccard",
+    # asymmetric prefix candidates + two verify joins over staged
+    # shingle tables: 11.9 s cold at sf0.1
+    "dedup_containment",
     "etl_training_corpus",
     "doc_fingerprint",
     "stream_stateful",

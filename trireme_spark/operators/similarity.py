@@ -620,3 +620,61 @@ def knn_graph_topk(
 _EMPTY_KNN = pd.DataFrame(
     {"vec_id": [], "neighbor_id": [], "cos_sim": []}
 ).astype({"vec_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"})
+
+
+def candidate_pairs_containment(
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    set_col: str = "sset",
+) -> DataFrame:
+    """SOUND candidates for DIRECTED containment |A ∩ B| / |A| ≥ t —
+    the asymmetric sibling of :func:`candidate_pairs_prefix` (Jaccard's
+    length filter is INVALID here: a tiny excerpt is contained in a
+    huge doc).
+
+    If containment ≥ t, at most (1−t)·|A| of A's elements are missing
+    from B, so ANY ⌊(1−t)|A|⌋+1 elements of A must hit B — the prefix.
+    Ordering A's prefix rarest-first by CORPUS document frequency
+    (absent-from-corpus elements sort first and generate zero
+    candidates — correctly, they are proof of non-containment) keeps
+    the posting buckets tiny. Join = query prefixes × corpus postings
+    (full sets — B needs no prefix), two keyed shuffles.
+    """
+    q_elems = queries.select(
+        F.col(id_col).alias("qid"), F.explode(set_col).alias("s")
+    )
+    c_elems = corpus.select(
+        F.col(id_col).alias("cid"), F.explode(set_col).alias("s")
+    )
+    df_counts = c_elems.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        q_elems.join(F.broadcast(df_counts), "s", "left")
+        .select("qid", "s", F.coalesce("df", F.lit(0)).alias("df"))
+        .groupBy("qid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("s")))
+            ).alias("sorted_elems")
+        )
+        .select(
+            "qid",
+            F.transform(
+                F.col("sorted_elems"), lambda e: e.getField("s")
+            ).alias("sorted_set"),
+        )
+    )
+    prefix_len = (
+        F.size("sorted_set")
+        - F.ceil(F.size("sorted_set") * F.lit(threshold)).cast("int")
+        + 1
+    )
+    prefixes = ordered.select(
+        "qid", F.explode(F.slice("sorted_set", 1, prefix_len)).alias("s")
+    )
+    return (
+        prefixes.join(c_elems, "s")
+        .select("qid", "cid")
+        .distinct()
+    )

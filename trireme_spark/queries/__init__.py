@@ -214,6 +214,10 @@ _SWEEP_PRIORITY = [
     "search_pivot_facets",
     "etl_referential_integrity",
     "search_query_elevation",
+    # --- round-5 batch 42 ---
+    "text_gazetteer_ner",
+    "events_velocity_flag",
+    "dedup_containment",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -20,6 +20,7 @@ from trireme_spark.functions.text import char_ngrams, tokenize
 from trireme_spark.operators.similarity import (
     as_double,
     assign_cells,
+    candidate_pairs_containment,
     candidate_pairs_lsh,
     candidate_pairs_prefix,
     cosine,
@@ -1547,3 +1548,127 @@ def sim_knn_graph_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trireme_spark.operators.similarity import knn_graph_topk
 
     return knn_graph_topk(v, k=5)
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — directed excerpt/quote detection (asymmetric overlap)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.9
+
+_DUCK_SHINGLES = """
+list_distinct(list_transform(
+    range(1, greatest(len(toks) - 1, 1)),
+    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+"""
+
+_CONTAIN_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), docs AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS sset FROM d WHERE len(toks) >= 3
+), ex AS (
+  SELECT doc_id, toks[1 : greatest(CAST(len(toks) * 0.6 AS INT), 3)] AS toks
+  FROM d
+), excerpts AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS sset FROM ex WHERE len(toks) >= 3
+)
+SELECT e.doc_id AS excerpt_id, c.doc_id AS container_id,
+       FLOOR(CAST(len(list_intersect(e.sset, c.sset)) AS DOUBLE)
+             / len(e.sset) * 1e6) / 1e6 AS containment
+FROM excerpts e JOIN docs c
+  ON len(list_intersect(e.sset, c.sset)) >= {_CONTAIN_T} * len(e.sset)
+"""
+
+
+@register("dedup_containment", oracle=_CONTAIN_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment detection — |A ∩ B| / |A| ≥ 0.9 over
+    word-3-shingle sets: the EXCERPT/QUOTE relation symmetric Jaccard
+    cannot see (a 100-word quote inside a 10 000-word page has
+    J ≈ 0.01 but containment 1.0) — the dedup mode that catches
+    quote farms, syndication fragments, and prompt-in-output
+    contamination. Here every doc's leading-60% excerpt queries the
+    corpus; each must find its own source (the identity path) plus
+    any cross-doc containers.
+
+    Scale design: the asymmetric prefix filter
+    (operators/similarity.candidate_pairs_containment) — Jaccard's
+    length filter is INVALID for containment, but the rarity-prefix
+    bound still holds on the CONTAINED side: ⌊0.1|A|⌋+1 rarest-by-
+    corpus-df elements of A must hit any 0.9-container, so candidates
+    are keyed shuffles on rare shingles, never all-pairs. The ORACLE
+    is the brute-force cross join — blocking completeness is
+    value-checked. Shingles stay strings at fixture scale; the
+    xxhash64-to-long swap (the jaccard key's shuffle-width trick)
+    drops in unchanged."""
+    d = table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = (
+        d.repartition(n_parts, "doc_id")
+        .select(
+            "doc_id",
+            F.filter(tokenize("text"), lambda t: t != "").alias("toks"),
+        )
+        .repartition(n_parts, "doc_id")
+    )
+
+    def sh(col):
+        return F.array_distinct(shingles(col, 3))
+
+    # Three consumers each of docs and excerpts (prefix candidates +
+    # both verify joins): stage the shingle tables to tmp parquet ONCE
+    # (the jaccard/dbscan multi-consumer discipline — a cache would
+    # leak in shared sweep sessions; recompute measured 29.9 s vs
+    # 11.9 s staged at sf0.1)
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(tempfile.gettempdir(), f"trireme_contain_{tag}")
+    toks.where(F.size("toks") >= 3).select(
+        "doc_id", sh(F.col("toks")).alias("sset")
+    ).write.mode("overwrite").parquet(os.path.join(stage, "docs"))
+    ex_toks = toks.select(
+        "doc_id",
+        F.slice(
+            "toks",
+            1,
+            F.greatest(
+                (F.size("toks") * 0.6).cast("int"), F.lit(3)
+            ),
+        ).alias("toks"),
+    )
+    ex_toks.where(F.size("toks") >= 3).select(
+        "doc_id", sh(F.col("toks")).alias("sset")
+    ).write.mode("overwrite").parquet(os.path.join(stage, "excerpts"))
+    docs = spark.read.parquet(os.path.join(stage, "docs"))
+    excerpts = spark.read.parquet(os.path.join(stage, "excerpts"))
+    cand = candidate_pairs_containment(
+        excerpts, docs, _CONTAIN_T, id_col="doc_id", set_col="sset"
+    )
+    e = excerpts.select(
+        F.col("doc_id").alias("qid"), F.col("sset").alias("eset")
+    )
+    c = docs.select(
+        F.col("doc_id").alias("cid"), F.col("sset").alias("cset")
+    )
+    shared = F.size(F.array_intersect("eset", "cset"))
+    return (
+        cand.join(e, "qid")
+        .join(c, "cid")
+        .where(shared >= F.lit(_CONTAIN_T) * F.size("eset"))
+        .select(
+            F.col("qid").alias("excerpt_id"),
+            F.col("cid").alias("container_id"),
+            (
+                F.floor(
+                    shared.cast("double") / F.size("eset") * 1e6
+                )
+                / 1e6
+            ).alias("containment"),
+        )
+    )

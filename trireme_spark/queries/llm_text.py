@@ -1215,3 +1215,62 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").alias("feat"))
         .where(F.col("feat") != 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_gazetteer_ner — dictionary-based entity extraction with positions
+# ---------------------------------------------------------------------------
+
+_GAZETTEER = {
+    "spark": "ENGINE",
+    "vector": "DATATYPE",
+    "customer": "PARTY",
+    "merge": "OPERATION",
+}
+_GAZ_SQL = ", ".join(
+    f"('{t}', '{e}')" for t, e in sorted(_GAZETTEER.items())
+)
+
+_GAZ_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, tok, pos FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '\\s+')) AS tok,
+           generate_subscripts(string_split_regex(lower(text), '\\s+'), 1)
+             AS pos
+    FROM documents
+  )
+), gaz(term, entity_type) AS (VALUES {_GAZ_SQL})
+SELECT doc_id, CAST(pos AS BIGINT) AS token_pos, term, entity_type
+FROM t JOIN gaz ON t.tok = gaz.term
+"""
+
+
+@register("text_gazetteer_ner", oracle=_GAZ_ORACLE)
+def text_gazetteer_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer (dictionary) entity extraction: every mention of a
+    curated term list, with its TOKEN POSITION and entity type — the
+    deterministic NER tier (product catalogs, ticker symbols, drug
+    names) that runs before any model-based tagger, and whose
+    positional output feeds span-level redaction (text_pii_redact's
+    structured sibling) and entity-linking joins.
+
+    Scale design: the gazetteer is configuration — a broadcast
+    dimension joined against the token explode, so cost is one keyed
+    pass regardless of dictionary size (a 1 M-entry gazetteer still
+    broadcasts in MBs; past that, the join degrades to hash-shuffle
+    with nothing else changing). Position from posexplode rides free.
+    Multi-word entities compose via the shingle explode instead of
+    the token explode — same plan."""
+    gaz = spark.createDataFrame(
+        sorted(_GAZETTEER.items()), "term string, entity_type string"
+    )
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos0", "term")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("token_pos"), "term"
+    )
+    return toks.join(F.broadcast(gaz), "term").select(
+        "doc_id", "token_pos", "term", "entity_type"
+    )

@@ -2678,3 +2678,63 @@ def events_ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d_c, 6).alias("delta_control"),
         F.round(d_t - d_c, 6).alias("did_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_velocity_flag — sliding-window velocity rule (fraud screen)
+# ---------------------------------------------------------------------------
+
+_VEL_WINDOW_US = 12 * 3600 * 10**6  # 12 hours (fixture-calibrated)
+_VEL_N = 3  # purchases within the window that trip the rule
+
+_VELOCITY_ORACLE = f"""
+WITH p AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                           RANGE BETWEEN {_VEL_WINDOW_US} PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+         AS n_in_window
+FROM p
+QUALIFY n_in_window >= {_VEL_N}
+"""
+
+
+@register("events_velocity_flag", oracle=_VELOCITY_ORACLE)
+def events_velocity_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity rule — flag every purchase that is the ≥3rd by its user
+    within a trailing 12-hour window: the canonical card-fraud /
+    abuse screen ("too many, too fast"), and the COUNT form of the
+    trailing RANGE frame (win_time_range_trailing is the SUM form).
+    The window is calibrated to the fixture's purchase density (42
+    flags at sf0.01) — a card-fraud deployment shrinks it to minutes,
+    the plan is identical.
+
+    The frame counts the triggering event itself (RANGE ... AND
+    CURRENT ROW), so the rule reads "this is the Nth within the
+    window" — same-microsecond peers count together, making the flag
+    tie-order-independent. Exact integer-µs frame both engines.
+
+    Scale design: one user-keyed shuffle, incremental frame state
+    bounded by the window's event count; the streaming twin is the
+    t2 sliding-window count with the same keys."""
+    p = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-_VEL_WINDOW_US, 0)
+    )
+    return (
+        p.select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("string").alias("ts"),
+            F.count(F.lit(1)).over(w).alias("n_in_window"),
+        )
+        .where(F.col("n_in_window") >= _VEL_N)
+    )
