@@ -218,6 +218,10 @@ _SWEEP_PRIORITY = [
     "text_gazetteer_ner",
     "events_velocity_flag",
     "dedup_containment",
+    # --- round-5 batch 43 ---
+    "fn_json_flatten_nested",
+    "text_zipf_exponent",
+    "udtf_polymorphic_table",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

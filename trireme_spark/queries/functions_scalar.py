@@ -1013,3 +1013,83 @@ def fn_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd HH:mm:ss",
         ).alias("kolkata"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_json_flatten_nested — deep-nested JSON ingest → relational flatten
+# ---------------------------------------------------------------------------
+
+_JSON_NEST_ORACLE = """
+SELECT o.o_orderkey, c.c_mktsegment, l.l_linenumber, l.l_extendedprice
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey < 2000
+"""
+
+
+@register("fn_json_flatten_nested", oracle=_JSON_NEST_ORACLE)
+def fn_json_flatten_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-nested JSON round trip: each order serializes to a document
+    {order_id, customer:{segment}, items:[{line, price}…]} (struct →
+    array-of-struct nesting, the shape event buses and document APIs
+    actually deliver), then the INGEST side parses with an explicit
+    nested schema and flattens — explode the items array, reach
+    through the struct — back to relational rows. The oracle computes
+    the same rows straight from the tables, so the check proves the
+    ENTIRE serialize→parse→flatten loop loses nothing (a schema drift,
+    a dropped array element, or a misread nested field all change the
+    hash).
+
+    Scale design: serialization is to_json over a per-order collect
+    rolled up in ONE keyed agg (items sort in-row by line number for
+    determinism); parsing is codegen'd from_json with an explicit
+    schema — never schema inference, which at 100 TB means a second
+    full scan; the flatten is explode + struct field access, all
+    columnar. The items array is basket-bounded (the market-basket
+    guarantee), so no row outgrows executor memory."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("line"),
+                    F.col("l_extendedprice").alias("price"),
+                )
+            )
+        ).alias("items")
+    )
+    docs = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(items, o["o_orderkey"] == items["l_orderkey"])
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("order_id"),
+                    F.struct(
+                        F.col("c_mktsegment").alias("segment")
+                    ).alias("customer"),
+                    F.col("items"),
+                )
+            ).alias("payload")
+        )
+    )
+    schema = (
+        "order_id long, customer struct<segment:string>, "
+        "items array<struct<line:int, price:double>>"
+    )
+    parsed = docs.select(
+        F.from_json("payload", schema).alias("doc")
+    )
+    return parsed.select(
+        F.col("doc.order_id").alias("o_orderkey"),
+        F.col("doc.customer.segment").alias("c_mktsegment"),
+        F.explode("doc.items").alias("item"),
+    ).select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.col("item.line").alias("l_linenumber"),
+        F.col("item.price").alias("l_extendedprice"),
+    )

@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from trireme_spark.functions.text import STOPWORDS, tokenize
 from trireme_spark.operators.similarity import shingles
-from trireme_spark.parity import davg, dsum, oracle_avg, oracle_sum
+from trireme_spark.parity import davg, dsum, meta_part, oracle_avg, oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -1273,4 +1273,89 @@ def text_gazetteer_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return toks.join(F.broadcast(gaz), "term").select(
         "doc_id", "token_pos", "term", "entity_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_exponent — power-law fit over the rank-frequency curve
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH tf AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok
+), ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC) AS rnk
+  FROM tf
+), pts AS (
+  SELECT CAST(ROUND(ln(rnk), 12) AS DECIMAL(38,12)) AS x,
+         CAST(ROUND(ln(freq), 12) AS DECIMAL(38,12)) AS y
+  FROM ranked
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope,
+       ROUND(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n,
+             6) AS intercept
+FROM s
+"""
+
+
+@register("text_zipf_exponent", oracle=_ZIPF_ORACLE)
+def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit: OLS slope of ln(freq) on ln(rank) over the
+    corpus rank-frequency curve — natural text runs ≈ −1; strong
+    deviation flags templated/spun/machine-generated corpora, making
+    this a corpus-level quality diagnostic beside the per-doc keys
+    (gopher, bigram-LM).
+
+    Composition of in-repo machinery: vocabulary rollup (two-level
+    doctrine) → global rank (dimension-sized here; the two-pass
+    bucket rank is the corpus-keyed swap, per the Gini key) → OLS from
+    decimal-exact sufficient statistics with per-point ln() quantized
+    to 12 dp before the order-independent sums (the geomean
+    discipline). The regression itself is agg_regression's algebra
+    re-derived on log axes — one scan of the vocab table, 1-row
+    output."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokenize("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy(meta_part("freq")).orderBy(
+        F.col("freq").desc(), F.col("tok").asc()
+    )
+    pts = tf.select(
+        F.round(F.log(F.row_number().over(w)), 12)
+        .cast("decimal(38,12)")
+        .alias("x"),
+        F.round(F.log("freq"), 12).cast("decimal(38,12)").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 6
+        ).alias("intercept"),
     )

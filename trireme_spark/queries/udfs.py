@@ -535,3 +535,57 @@ def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM trireme_orders_sqludf WHERE o_totalprice > 100000
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# udtf_polymorphic_table — analyze() over a TABLE argument's schema
+# ---------------------------------------------------------------------------
+
+_POLYTBL_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_orderdate, o_orderpriority
+FROM orders
+"""
+
+
+@register("udtf_polymorphic_table", oracle=_POLYTBL_ORACLE)
+def udtf_polymorphic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x10 — the two Spark-4 UDTF features COMPOSED: ``analyze()``
+    receives a TABLE argument's StructType plus a literal, and derives
+    the output schema from the INPUT SCHEMA (here: pass through every
+    column whose name matches the literal prefix) — the shape of
+    schema-generic ingest tooling (column-subset extractors, PII
+    strippers, type-driven routers) that must work on ANY table
+    without per-table registration. udtf_polymorphic derives schema
+    from literals only; udtf_table_argument consumes a table with a
+    FIXED schema; this key needs both at once.
+
+    eval() re-derives the same name list from the literal (the
+    analyze/eval contract shares only the call's arguments — there is
+    deliberately no side channel), so NULL cells can't perturb the
+    arity. Plan-time polymorphism, executor-side streaming, zero
+    runtime cost."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import Row, StructType
+
+    @F.udtf
+    class PrefixSelect:
+        @staticmethod
+        def analyze(t: AnalyzeArgument, prefix: AnalyzeArgument):
+            schema = StructType()
+            for f in t.dataType.fields:
+                if f.name.startswith(prefix.value):
+                    schema = schema.add(f.name, f.dataType)
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, row: Row, prefix: str):
+            d = row.asDict()
+            yield tuple(v for k, v in d.items() if k.startswith(prefix))
+
+    spark.udtf.register("trireme_prefix_select", PrefixSelect)
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "trireme_orders_polytbl"
+    )
+    return spark.sql(
+        "SELECT * FROM trireme_prefix_select("
+        "TABLE(trireme_orders_polytbl), 'o_order')"
+    )
