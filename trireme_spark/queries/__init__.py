@@ -222,6 +222,10 @@ _SWEEP_PRIORITY = [
     "fn_json_flatten_nested",
     "text_zipf_exponent",
     "udtf_polymorphic_table",
+    # --- round-5 batch 44 ---
+    "text_char_entropy",
+    "sql_ctas_overwrite",
+    "ts_holt_linear_trend",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -1359,3 +1359,76 @@ def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 6
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_char_entropy — character-entropy gibberish/blob detector
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH ch AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, strlen(text) + 1),
+                                 i -> substr(text, CAST(i AS INT), 1))) AS c
+    FROM documents
+  ) GROUP BY doc_id, c
+), tot AS (
+  SELECT doc_id, CAST(SUM(cnt) AS DOUBLE) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM ch GROUP BY doc_id
+)
+SELECT ch.doc_id, tot.n_distinct,
+       ROUND(CAST(SUM(CAST(ROUND(
+           -(cnt / n) * ln(cnt / n) / ln(2.0), 12)
+           AS DECIMAL(38,12))) AS DOUBLE), 6) AS entropy_bits
+FROM ch JOIN tot USING (doc_id)
+GROUP BY ch.doc_id, tot.n_distinct
+"""
+
+
+@register("text_char_entropy", oracle=_ENTROPY_ORACLE)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document (bits/char) — the
+    cheapest gibberish detector in the corpus-quality stack: natural
+    English sits ≈ 4 bits, base64/hex blobs and random keys spike
+    toward 6, and repeated-template boilerplate collapses toward 2 —
+    catching BOTH failure directions one threshold at a time
+    (complements the token-level gopher rules, which can't see
+    inside a single giant unbroken token).
+
+    Exactness: per-term −p·log₂p quantizes to 12 dp before the
+    order-independent decimal sum (the geomean/ln discipline), so the
+    per-doc entropy is bit-stable under any partitioning.
+
+    Scale design: one char explode → (doc, char)-keyed count with
+    map-side combine (cardinality ≤ |alphabet| per doc) → one
+    doc-keyed reduce. At 100 TB the explode is the cost — the in-row
+    aggregate form (no explode, per-row loop over a 256-cell array)
+    is the documented swap once profiling demands it."""
+    d = table(spark, sf_dir, "documents")
+    ch = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "(?!^)")).alias("c"),
+        )
+        .where(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = ch.groupBy("doc_id").agg(
+        F.sum("cnt").cast("double").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    p = F.col("cnt") / F.col("n")
+    term = F.round(-p * F.log(p) / F.log(F.lit(2.0)), 12).cast(
+        "decimal(38,12)"
+    )
+    return (
+        ch.join(tot, "doc_id")
+        .groupBy("doc_id", "n_distinct")
+        .agg(
+            F.round(F.sum(term).cast("double"), 6).alias("entropy_bits")
+        )
+    )

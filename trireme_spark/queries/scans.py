@@ -1913,3 +1913,67 @@ def etl_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# sql_ctas_overwrite — CREATE TABLE AS SELECT + INSERT OVERWRITE
+# ---------------------------------------------------------------------------
+
+_CTAS_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM orders WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_ctas_overwrite", oracle=_CTAS_ORACLE)
+def sql_ctas_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS + INSERT OVERWRITE — the two SQL statements every
+    warehouse job scheduler is built from: CREATE TABLE AS SELECT
+    materializes a derived table; INSERT OVERWRITE atomically replaces
+    its contents on the next run (the idempotent-batch-job contract —
+    re-running a day's job must not double-count). The key runs BOTH:
+    CTAS seeds the table with a WRONG subset (status 'F'), INSERT
+    OVERWRITE replaces it with the correct one ('O') — so the value
+    check proves the overwrite actually replaced rather than appended
+    (an append would double rows and shift every aggregate).
+
+    Scale design: both statements are ordinary write jobs into the
+    catalog location (full scan-side optimization); OVERWRITE's
+    atomicity comes from staging-then-swap at the storage layer —
+    partition-scoped overwrite (etl_backfill_partition_overwrite) is
+    the incremental refinement."""
+    import shutil
+
+    loc = _tmp("catalog_wh", sf_dir)
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS trireme_cat LOCATION '{loc}'"
+    )
+    spark.sql("DROP TABLE IF EXISTS trireme_cat.prio_rollup")
+    shutil.rmtree(os.path.join(loc, "prio_rollup"), ignore_errors=True)
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "trireme_orders_ctas"
+    )
+    spark.sql(
+        """
+        CREATE TABLE trireme_cat.prio_rollup USING PARQUET AS
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                 AS revenue
+        FROM trireme_orders_ctas WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        """
+    )
+    spark.sql(
+        """
+        INSERT OVERWRITE trireme_cat.prio_rollup
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                 AS revenue
+        FROM trireme_orders_ctas WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        """
+    )
+    return spark.table("trireme_cat.prio_rollup")

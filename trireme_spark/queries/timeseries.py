@@ -2738,3 +2738,93 @@ def events_velocity_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_in_window") >= _VEL_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_holt_linear_trend — coupled-state exponential smoothing
+# ---------------------------------------------------------------------------
+
+_HOLT_A = 0.3  # level smoothing
+_HOLT_B = 0.1  # trend smoothing
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, event_id, rn, CAST(value AS DOUBLE) AS lvl,
+         CAST(0.0 AS DOUBLE) AS trd
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.rn,
+         {_HOLT_A} * s.value + (1 - {_HOLT_A}) * (r.lvl + r.trd),
+         {_HOLT_B} * (({_HOLT_A} * s.value
+                       + (1 - {_HOLT_A}) * (r.lvl + r.trd)) - r.lvl)
+           + (1 - {_HOLT_B}) * r.trd
+  FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, event_id, ROUND(lvl, 6) AS level,
+       ROUND(trd, 6) AS trend,
+       ROUND(lvl + trd, 6) AS forecast_next
+FROM r
+"""
+
+
+@register("ts_holt_linear_trend", oracle=_HOLT_ORACLE)
+def ts_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing per user — TWO COUPLED recursions
+    (level ℓ_t = αx + (1−α)(ℓ+b); trend b_t = β(ℓ_t−ℓ) + (1−β)b) with
+    a one-step-ahead forecast ℓ+b — the next rung past EWMA on the
+    forecasting ladder, and proof the applyInPandas-fold ↔
+    recursive-CTE parity machinery generalizes to MULTI-VARIABLE
+    state (EWMA: one double; this: two, mutually dependent within a
+    step — the level update feeds the same step's trend update, an
+    ordering the fold and the CTE must agree on exactly, and do).
+
+    Same literal-expression bit parity as EWMA/CUSUM: identical
+    double ops in identical order, ROUND(6) compares exact values.
+    Sequential per user, parallel across users, O(1) state."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        lvls, trds = [], []
+        lvl = trd = None
+        for x in pdf["value"].to_numpy():
+            x = float(x)
+            if lvl is None:
+                lvl, trd = x, 0.0
+            else:
+                new_lvl = _HOLT_A * x + (1 - _HOLT_A) * (lvl + trd)
+                trd = _HOLT_B * (new_lvl - lvl) + (1 - _HOLT_B) * trd
+                lvl = new_lvl
+            lvls.append(lvl)
+            trds.append(trd)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "lvl": lvls,
+                "trd": trds,
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            fold, "user_id long, event_id long, lvl double, trd double"
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.round("lvl", 6).alias("level"),
+            F.round("trd", 6).alias("trend"),
+            F.round(F.col("lvl") + F.col("trd"), 6).alias("forecast_next"),
+        )
+    )
