@@ -226,6 +226,10 @@ _SWEEP_PRIORITY = [
     "text_char_entropy",
     "sql_ctas_overwrite",
     "ts_holt_linear_trend",
+    # --- round-5 batch 45 ---
+    "agg_distinct_grouping_sets",
+    "embed_similarity_histogram",
+    "orders_duplicate_payments",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -831,3 +831,46 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.sum(lg).cast("double") / F.count(F.lit(1))), 4
         ).alias("geomean_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_distinct_grouping_sets — COUNT(DISTINCT) under the Expand operator
+# ---------------------------------------------------------------------------
+
+_DGS_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register("agg_distinct_grouping_sets", oracle=_DGS_ORACLE)
+def agg_distinct_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) under GROUPING SETS — the interaction the two
+    features' separate keys (a3, a5) never exercise together, and a
+    known planner stress point: Expand replicates every input row once
+    PER grouping set BEFORE the distinct can collapse anything, so the
+    pre-shuffle volume is |sets|·|rows| and the distinct needs its own
+    two-phase rewrite on top — Catalyst plans Expand → partial
+    distinct aggregate → exchange → final, which is the shape that
+    keeps this feasible (a naive per-set UNION of distinct queries
+    re-scans the table |sets| times instead).
+
+    Value semantics pinned: the per-set distinct counts over
+    DIFFERENT group keys (priority / status / grand total) must all
+    come from one statement, NULL-filling the inactive key per set —
+    identical NULL conventions both engines."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

@@ -945,3 +945,77 @@ def embed_outlier_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.col("dist2").desc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# embed_similarity_histogram — corpus geometry diagnostic
+# ---------------------------------------------------------------------------
+
+_SIMHIST_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id, b.vec_id AS bid,
+         list_sum(list_transform(range(64),
+             i -> a.emb[CAST(i AS INT)+1] * b.emb[CAST(i AS INT)+1]))
+           / (sqrt(list_sum(list_transform(range(64),
+                i -> a.emb[CAST(i AS INT)+1] * a.emb[CAST(i AS INT)+1])))
+              * sqrt(list_sum(list_transform(range(64),
+                i -> b.emb[CAST(i AS INT)+1] * b.emb[CAST(i AS INT)+1]))))
+           AS cos
+  FROM e a JOIN e b
+    ON b.vec_id = (a.vec_id + 37) % (SELECT COUNT(*) FROM e)
+   AND b.vec_id <> a.vec_id
+)
+SELECT CAST(FLOOR((cos + 1.0) * 10) AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1
+"""
+
+
+@register("embed_similarity_histogram", oracle=_SIMHIST_ORACLE)
+def embed_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine HISTOGRAM over a deterministic 1-per-vector pair
+    sample (partner = (id + 37) mod n) — the corpus-geometry
+    diagnostic behind embedding QA: a healthy corpus is a wide bump
+    near 0-0.3; a spike near 1.0 means duplicate/collapsed vectors
+    (encoder failure or dedup leak), a right-shifted mass means
+    anisotropy that silently inflates every ANN similarity threshold.
+    This is the measurement that CALIBRATES dedup_semantic's 0.95 and
+    the IVF probe counts.
+
+    Scale design: the sample is a self-JOIN on a pure key expression
+    (one hash shuffle, exactly n pairs — never n²) and the histogram
+    is a 20-bucket aggregate; sample density is a knob (more offsets =
+    more pairs), cost stays linear. Bucket edges floor on (cos+1) so
+    the [−1,1] domain maps to integer buckets without a signed-zero
+    edge."""
+    e = table(spark, sf_dir, "embeddings")
+    from trireme_spark.operators.similarity import as_double
+
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    n = v.count()
+    a = v.alias("a")
+    b = v.select(
+        F.col("vec_id").alias("bid"), F.col("emb").alias("bemb")
+    ).alias("b")
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, z: s + z
+    )
+    pairs = a.join(
+        b,
+        (F.col("bid") == (F.col("vec_id") + 37) % n)
+        & (F.col("bid") != F.col("vec_id")),
+    ).select(
+        (
+            dot(F.col("emb"), F.col("bemb"))
+            / (
+                F.sqrt(dot(F.col("emb"), F.col("emb")))
+                * F.sqrt(dot(F.col("bemb"), F.col("bemb")))
+            )
+        ).alias("cos")
+    )
+    return pairs.groupBy(
+        F.floor((F.col("cos") + 1.0) * 10).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -2828,3 +2828,94 @@ def ts_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("lvl") + F.col("trd"), 6).alias("forecast_next"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_duplicate_payments — near-duplicate transaction screen
+# ---------------------------------------------------------------------------
+
+_DUPPAY_AMT = 500.0  # amount proximity
+_DUPPAY_DAYS = 30  # temporal proximity
+
+_DUPPAY_ORACLE = f"""
+SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+       a.o_custkey AS custkey,
+       FLOOR(ABS(a.o_totalprice - b.o_totalprice) * 1e6) / 1e6
+         AS amount_delta,
+       datediff('day', CAST(a.o_orderdate AS DATE),
+                CAST(b.o_orderdate AS DATE)) AS days_apart
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+WHERE ABS(a.o_totalprice - b.o_totalprice) <= {_DUPPAY_AMT}
+  AND ABS(datediff('day', CAST(a.o_orderdate AS DATE),
+                   CAST(b.o_orderdate AS DATE))) <= {_DUPPAY_DAYS}
+"""
+
+
+@register("orders_duplicate_payments", oracle=_DUPPAY_ORACLE)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate TRANSACTION screen: same customer, amounts within
+    $500, dates within 30 days — the double-charge / resubmitted-
+    invoice detector, which is exactly the near-dup problem in one
+    numeric dimension (exact-match dedup finds NOTHING here — zero
+    exact amount collisions in the fixture — which is why finance
+    dedup must band, not group).
+
+    Scale design: candidates block on (customer, amount-band) with
+    each order probing its own and both adjacent bands (1-D version
+    of the geo grid's 3×3 — a ±δ pair cannot span more than two
+    δ-wide bands, so blocking is provably complete, and the BRUTE-
+    FORCE per-customer oracle value-checks that); exact |Δ| predicates
+    verify only co-band candidates. Per-customer order counts bound
+    the worst case; the amount band keeps even whale customers
+    sub-quadratic."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    band = F.floor(F.col("o_totalprice") / _DUPPAY_AMT).cast("long")
+    # probe ±1 band: the a<b role assignment is by ORDER KEY, so the
+    # probe side can sit in either the lower or higher band of a pair
+    probe = o.select(
+        "*", F.explode(F.array(band - 1, band, band + 1)).alias("band")
+    )
+    build = o.withColumn("band", band)
+    a = probe.alias("a")
+    b = build.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .where(
+            (
+                F.abs(F.col("a.o_totalprice") - F.col("b.o_totalprice"))
+                <= _DUPPAY_AMT
+            )
+            & (
+                F.abs(F.datediff(F.col("b.od"), F.col("a.od")))
+                <= _DUPPAY_DAYS
+            )
+        )
+        .select(
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.col("a.o_custkey").alias("custkey"),
+            (
+                F.floor(
+                    F.abs(
+                        F.col("a.o_totalprice") - F.col("b.o_totalprice")
+                    )
+                    * 1e6
+                )
+                / 1e6
+            ).alias("amount_delta"),
+            F.datediff(F.col("b.od"), F.col("a.od")).alias("days_apart"),
+        )
+        .distinct()
+    )
+    return pairs
