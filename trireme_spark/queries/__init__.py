@@ -230,6 +230,10 @@ _SWEEP_PRIORITY = [
     "agg_distinct_grouping_sets",
     "embed_similarity_histogram",
     "orders_duplicate_payments",
+    # --- round-5 batch 46 ---
+    "orders_currency_conversion",
+    "text_collocations_pmi",
+    "ts_ewma_control_chart",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -1432,3 +1432,105 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term).cast("double"), 6).alias("entropy_bits")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_collocations_pmi — pointwise mutual information collocation mining
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_N = 25  # support floor: PMI is unstable on rare pairs
+
+_PMI_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, tok, pos FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '\\s+')) AS tok,
+           generate_subscripts(string_split_regex(lower(text), '\\s+'), 1)
+             AS pos
+    FROM documents
+  ) WHERE tok <> ''
+), pairs AS (
+  SELECT a.tok AS w1, b.tok AS w2
+  FROM t a JOIN t b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), pc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+  FROM pairs GROUP BY w1, w2
+), uc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(n12) AS DOUBLE) AS total FROM pc
+)
+SELECT w1, w2, n12,
+       ROUND(ln((n12 / total) / ((u1.n / total) * (u2.n / total))), 6)
+         AS pmi
+FROM pc JOIN uc u1 ON pc.w1 = u1.tok
+        JOIN uc u2 ON pc.w2 = u2.tok
+        CROSS JOIN tot
+WHERE n12 >= {_PMI_MIN_N}
+ORDER BY pmi DESC, w1, w2 LIMIT 50
+"""
+
+
+@register("text_collocations_pmi", oracle=_PMI_ORACLE)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information — bigrams
+    whose co-occurrence beats the independence baseline (PMI =
+    ln p(a,b)/(p(a)p(b))): the statistic behind multiword-expression
+    detection ("new york"), tokenizer-merge candidates, and phrase
+    vocabularies — raw bigram counts (text_ngrams) surface FREQUENT
+    pairs, PMI surfaces ASSOCIATED ones; a support floor (n ≥ 25)
+    excludes the rare-pair instability PMI is notorious for.
+
+    Scale design: adjacent pairs come from the in-row zip (the
+    skipgram machinery at offset 1, one direction); pair and unigram
+    tables are both language-bounded rollups; PMI joins the pair
+    table to two broadcast unigram lookups + a 1-row total. The ln is
+    a single expression over exact integer counts — identical operand
+    doubles both engines — rounded at 6; top-50 folds into
+    TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.filter(tokenize("text"), lambda t: t != "").alias("toks")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(
+                    F.col("toks"),
+                    1,
+                    F.greatest(F.size("toks") - 1, F.lit(0)),
+                ),
+                F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    uc = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pc.agg(F.sum("n12").cast("double").alias("total"))
+    u1 = uc.select(F.col("tok").alias("w1"), F.col("n").alias("n1"))
+    u2 = uc.select(F.col("tok").alias("w2"), F.col("n").alias("n2"))
+    pmi = F.round(
+        F.log(
+            (F.col("n12") / F.col("total"))
+            / (
+                (F.col("n1") / F.col("total"))
+                * (F.col("n2") / F.col("total"))
+            )
+        ),
+        6,
+    )
+    return (
+        pc.where(F.col("n12") >= _PMI_MIN_N)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(50)
+    )

@@ -2919,3 +2919,182 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# orders_currency_conversion — multi-currency money math, decimal-safe
+# ---------------------------------------------------------------------------
+
+_FX = [("USD", "1.0"), ("EUR", "1.08"), ("JPY", "0.0068")]
+_FX_SQL = ", ".join(f"('{c}', {r})" for c, r in _FX)
+
+_FX_ORACLE = f"""
+WITH fx(currency, rate) AS (VALUES {_FX_SQL}),
+o AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE o_custkey % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR'
+              ELSE 'JPY' END AS currency
+  FROM orders
+)
+SELECT o.o_orderkey, o.currency,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+         AS amount_local,
+       CAST(FLOOR(CAST(o.o_totalprice AS DECIMAL(18,2))
+                  * CAST(rate AS DECIMAL(18,6)) * 100) / 100 AS DOUBLE)
+         AS amount_usd
+FROM o JOIN fx USING (currency)
+"""
+
+
+@register("orders_currency_conversion", oracle=_FX_ORACLE)
+def orders_currency_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-currency normalization — local amounts × a broadcast FX
+    rate table → settlement currency, with MONEY-SAFE arithmetic:
+    amounts and rates are DECIMAL end-to-end (a double would drift on
+    exactly the JPY-sized magnitudes regulators audit), and the cent
+    rounding is an EXPLICIT FLOOR-to-cents — not the engine's decimal
+    multiply scale rules, which differ (Spark truncates the product
+    scale with HALF_UP at 38 digits, DuckDB widens; pinning the
+    quantization in the query is the only portable money contract.)
+    Currency assignment is planted (custkey mod 3 — the fixture has
+    no currency column), mirrored in the oracle.
+
+    Scale design: the rate table is configuration (broadcast); the
+    conversion is one codegen'd decimal projection. Rate-AS-OF-date
+    joins ride join_point_in_time's machinery when rates become a
+    time series."""
+    fx = spark.createDataFrame(
+        [(c, r) for c, r in _FX], "currency string, rate_s string"
+    ).select("currency", F.col("rate_s").cast("decimal(18,6)").alias("rate"))
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amount_local"),
+        F.when(F.col("o_custkey") % 3 == 0, "USD")
+        .when(F.col("o_custkey") % 3 == 1, "EUR")
+        .otherwise("JPY")
+        .alias("currency"),
+    )
+    # decimal math INSIDE the plan; the OUTPUT casts to double (cent
+    # values are double-exact) because pandas renders Spark decimals as
+    # Decimal objects and DuckDB's as float64 — the canonicalizer would
+    # compare reprs unequal (the date-doctrine sibling for money)
+    return o.join(F.broadcast(fx), "currency").select(
+        "o_orderkey",
+        "currency",
+        F.col("amount_local").cast("double").alias("amount_local"),
+        (F.floor(F.col("amount_local") * F.col("rate") * 100) / 100)
+        .cast("double")
+        .alias("amount_usd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_ewma_control_chart — SPC flags against the smoothed baseline
+# ---------------------------------------------------------------------------
+
+_ECC_L = 3.0  # control limit width in sigma units
+
+_ECC_ORACLE = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, event_id, rn, CAST(value AS DOUBLE) AS ewma
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.rn, 0.3 * s.value + 0.7 * r.ewma
+  FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+), g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+  FROM events
+), lim AS (
+  SELECT {_ECC_L} * sqrt((sxx - sx * sx / n) / (n - 1)
+                         * (0.3 / (2 - 0.3))) AS width
+  FROM g
+), joined AS (
+  SELECT seq.user_id, seq.event_id, seq.value,
+         LAG(r.ewma) OVER (PARTITION BY seq.user_id ORDER BY seq.rn)
+           AS baseline
+  FROM seq JOIN r ON seq.user_id = r.user_id AND seq.rn = r.rn
+)
+SELECT user_id, event_id, value,
+       ROUND(baseline, 6) AS baseline,
+       ABS(value - baseline) > width AS out_of_control
+FROM joined CROSS JOIN lim
+WHERE baseline IS NOT NULL
+"""
+
+
+@register("ts_ewma_control_chart", oracle=_ECC_ORACLE)
+def ts_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959 / SPC): each observation tests
+    against the PREVIOUS smoothed baseline ± L·σ_ewma, where σ_ewma =
+    σ·√(α/(2−α)) — the steady-state standard deviation of the EWMA
+    statistic itself (narrower than raw σ: smoothing suppresses
+    variance, so raw-σ limits would under-alarm). Flags small
+    SUSTAINED shifts CUSUM-style point rules miss; "previous" matters
+    — testing against a baseline that already absorbed the new point
+    dilutes exactly the signal being tested.
+
+    Composition: the EWMA fold (bit-parity recursion) → one lag per
+    user (same keyed shuffle) → global σ from decimal-exact sufficient
+    stats broadcast as a 1-row limit. Comparison operands are
+    identical doubles both engines, so even the boolean flag is
+    hash-exact."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out, y = [], None
+        for x in pdf["value"].to_numpy():
+            y = float(x) if y is None else 0.3 * float(x) + 0.7 * y
+            out.append(y)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ewma": out,
+            }
+        )
+
+    sm = ev.groupBy("user_id").applyInPandas(
+        fold, "user_id long, event_id long, ewma double"
+    )
+    g = ev.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("value").alias("sx"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    width = (
+        F.lit(_ECC_L)
+        * F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+            * (0.3 / (2 - 0.3))
+        )
+    ).alias("width")
+    lim = g.select(width)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    joined = (
+        ev.join(sm, ["user_id", "event_id"])
+        .withColumn("baseline", F.lag("ewma").over(w))
+        .where(F.col("baseline").isNotNull())
+        .crossJoin(F.broadcast(lim))
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round("baseline", 6).alias("baseline"),
+        (F.abs(F.col("value") - F.col("baseline")) > F.col("width")).alias(
+            "out_of_control"
+        ),
+    )
