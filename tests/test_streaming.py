@@ -299,3 +299,31 @@ def test_stream_restart_resume_exactly_once(spark, tmp_path):
     bids = [r["batch_id"] for r in out.select("batch_id").distinct().collect()]
     assert len(bids) == len(set(bids))
     assert max(bids) + 1 == len(bids)  # contiguous 0..n-1 across restarts
+
+
+def test_stream_stream_left_outer_equals_batch(spark):
+    """t14: LEFT OUTER stream-stream join replayed as two watermarked
+    streams — unmatched clicks' NULL rows emit only after the purchase
+    watermark proves no match can arrive; with availableNow every
+    deferral resolves, so stream == batch EXACTLY, nulls included (and
+    the null rows must actually be present — an inner-join regression
+    would pass an equality check on matched rows alone)."""
+    batch = B.click_purchase_join(
+        table(spark, SF_SMOKE, "events"), how="leftOuter"
+    )
+    # trailing sentinels of BOTH types (negative user ids): the global
+    # watermark is the MIN across both sides' operators, so the final
+    # click's null can never emit unless the CLICK side also advances
+    # (observed: its own side's watermark stopped exactly at it) — and
+    # the extra batches fire the deferred-eviction off-by-one (t13)
+    staged = B.stage_events_files_with_sentinels(
+        spark, SF_SMOKE, n_files=4,
+        sentinel_types=("click", "purchase"), tag="pytest_outer",
+    )
+    s1 = B.events_stream_staged(spark, staged, max_files_per_trigger=1)
+    streamed = B.run_to_memory(
+        B.click_purchase_join(s1, watermark="1 second", how="leftOuter"),
+        mode="append",
+    ).where("user_id >= 0")
+    assert streamed.where("purchase_ts IS NULL").count() > 0
+    assert _canon(streamed) == _canon(batch)

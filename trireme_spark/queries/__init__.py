@@ -234,6 +234,8 @@ _SWEEP_PRIORITY = [
     "orders_currency_conversion",
     "text_collocations_pmi",
     "ts_ewma_control_chart",
+    # --- round-5 batch 47 ---
+    "stream_stream_left_outer",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

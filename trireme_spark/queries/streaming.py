@@ -444,3 +444,41 @@ def stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.where(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# t14 — stream-stream LEFT OUTER join (watermark-driven null emission)
+# ---------------------------------------------------------------------------
+
+_T14_ORACLE = """
+SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+       p.ts AS purchase_ts, p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("stream_stream_left_outer", oracle=_T14_ORACLE)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t14 — stream-stream LEFT OUTER join: every click emits, matched
+    or not — but on a real stream the NULL row for an unmatched click
+    can only emit once the purchase-side WATERMARK proves no match can
+    still arrive (before that, "no match yet" is indistinguishable
+    from "match in flight"). That deferred-null mechanism is the
+    semantic difference from t8's inner join, where unmatched rows
+    simply never appear; get the watermark wrong and outer results are
+    silently incomplete — which is why this is its own key.
+
+    Batch-equivalent form here (the oracle is the plain left join with
+    the range conjunct — on a COMPLETE input every deferral resolves);
+    tests/test_streaming.py replays the same builder as two
+    watermarked streams and asserts stream == batch, null rows
+    included. State bound: each side holds rows only until the other
+    side's watermark passes ts + 1 hour, same as t8."""
+    from trireme_spark.streaming.builders import click_purchase_join
+
+    return click_purchase_join(
+        table(spark, sf_dir, "events"), how="leftOuter"
+    )

@@ -227,7 +227,7 @@ def run_to_memory(
 
 
 def click_purchase_join(
-    events: DataFrame, watermark: str | None = None
+    events: DataFrame, watermark: str | None = None, how: str = "inner"
 ) -> DataFrame:
     """t8 — stream-stream inner join: each click joined to the same
     user's purchases within the following hour.
@@ -259,6 +259,7 @@ def click_purchase_join(
             F.col("purchase_ts")
             <= F.col("click_ts") + F.expr("interval 1 hour")
         ),
+        how,
     )
     return joined.select(
         "user_id", "click_id", "click_ts", "purchase_ts", "purchase_value"
@@ -410,7 +411,11 @@ def stateful_sessions_event_timeout(events: DataFrame) -> DataFrame:
 
 
 def stage_events_files_with_sentinels(
-    spark: SparkSession, sf_dir: str, n_files: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    sentinel_types: tuple = ("sentinel",),
+    tag: str = "sentinel",
 ) -> str:
     """Staged events files PLUS two trailing watermark-driver files: a
     sentinel user (-1) with events hours past the real data. Sentinel
@@ -418,7 +423,17 @@ def stage_events_files_with_sentinels(
     sentinel file 2 triggers the batch in which those timeouts FIRE
     (timeouts fire in the batch AFTER the watermark moves). Without
     the second file the final sessions would sit in state forever —
-    the off-by-one every event-time-timeout consumer hits."""
+    the off-by-one every event-time-timeout consumer hits.
+
+    ``sentinel_types``: watermarks only advance through rows that REACH
+    each watermark operator — a query that filters by event_type first
+    (the outer-join builder) never sees type='sentinel' rows, AND a
+    multi-watermark query uses the MIN across operators (default
+    multipleWatermarkPolicy), so EVERY side needs a sentinel that
+    survives its filter: the outer join passes ('click', 'purchase')
+    — found the hard way when the corpus's final click could never be
+    evicted because its own side's watermark stopped at it. Sentinel
+    users are negative; consumers filter user_id >= 0."""
     import os
 
     from pyspark.sql import functions as F
@@ -429,7 +444,7 @@ def stage_events_files_with_sentinels(
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(
         tempfile.gettempdir(),
-        f"trireme_stream_sentinel_{sf_tag}_{n_files}",
+        f"trireme_stream_{tag}_{sf_tag}_{n_files}",
     )
     n_existing = (
         sum(f.endswith(".parquet") for f in os.listdir(out))
@@ -455,13 +470,14 @@ def stage_events_files_with_sentinels(
             sent = spark.createDataFrame(
                 [
                     (
-                        -1 - i,
+                        -1 - i * len(sentinel_types) - j,
                         max_ts,
-                        -1,
-                        "sentinel",
+                        -1 - j,
+                        st,
                         0.0,
                         "{}",
                     )
+                    for j, st in enumerate(sentinel_types)
                 ],
                 EVENTS_TS_SCHEMA,
             ).withColumn(
