@@ -236,6 +236,10 @@ _SWEEP_PRIORITY = [
     "ts_ewma_control_chart",
     # --- round-5 batch 47 ---
     "stream_stream_left_outer",
+    # --- round-5 batch 48 ---
+    "fn_mask_builtin",
+    "udaf_pandas_window",
+    "events_feature_drift_psi",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

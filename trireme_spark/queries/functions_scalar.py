@@ -1093,3 +1093,76 @@ def fn_json_flatten_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item.line").alias("l_linenumber"),
         F.col("item.price").alias("l_extendedprice"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_mask_builtin — data-masking function surface
+# ---------------------------------------------------------------------------
+
+_MASK_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_name,
+         '+' || (10 + c_nationkey) || '-'
+           || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           || '-555' AS c_phone
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(
+         c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+         '[0-9]', 'n', 'g') AS name_masked,
+       regexp_replace(c_phone, '[0-9]', '*', 'g') AS phone_digits_hidden,
+       substr(c_phone, 1, 3)
+         || regexp_replace(substr(c_phone, 4, 100), '[0-9]', '*', 'g')
+         AS phone_partial
+FROM c
+"""
+
+
+@register("fn_mask_builtin", oracle=_MASK_ORACLE)
+def fn_mask_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mask()`` (Spark 3.4+) — the built-in data-masking projection:
+    uppercase→X, lowercase→x, digits→n, punctuation preserved — plus
+    the digit-only and PARTIAL-mask variants (country code visible,
+    subscriber digits hidden) that real PII policies actually ship.
+    Complements the governance keys: etl_row_column_security masks by
+    REWRITING expressions per policy; this is the single-function form
+    column masks compile down to. The oracle hand-builds the identical
+    character-class rewrite, pinning mask()'s exact semantics (which
+    characters count as "upper/lower/digit", punctuation passthrough).
+
+    Codegen'd projections, zero shuffle; masking at SELECT time means
+    no unmasked intermediate ever materializes."""
+    c = table(spark, sf_dir, "customer").withColumn(
+        "c_phone",  # planted: the fixture has no phone column
+        F.concat(
+            F.lit("+"),
+            (10 + F.col("c_nationkey")).cast("string"),
+            F.lit("-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+            F.lit("-555"),
+        ),
+    )
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("name_masked"),
+        # NULL char args mean KEEP (the SQL-form contract); Python None
+        # would mean "use the default replacement" — pass lit(NULL)
+        F.mask(
+            F.col("c_phone"),
+            F.lit(None).cast("string"),
+            F.lit(None).cast("string"),
+            F.lit("*"),
+            F.lit(None).cast("string"),
+        ).alias("phone_digits_hidden"),
+        F.concat(
+            F.substring("c_phone", 1, 3),
+            F.mask(
+                F.substring("c_phone", 4, 100),
+                F.lit(None).cast("string"),
+                F.lit(None).cast("string"),
+                F.lit("*"),
+                F.lit(None).cast("string"),
+            ),
+        ).alias("phone_partial"),
+    )

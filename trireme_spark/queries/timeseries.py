@@ -3098,3 +3098,114 @@ def ts_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "out_of_control"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_feature_drift_psi — population stability index (ML monitoring)
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-16"
+_PSI_BINS = 10
+
+_PSI_ORACLE = f"""
+WITH pre AS (
+  SELECT value FROM events WHERE ts < TIMESTAMP '{_PSI_SPLIT}'
+), post AS (
+  SELECT value FROM events WHERE ts >= TIMESTAMP '{_PSI_SPLIT}'
+), edges AS (
+  SELECT ROUND(UNNEST(quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])), 6) AS edge
+  FROM pre
+), binned AS (
+  SELECT era, rid, 1 + COUNT(e.edge) AS bin
+  FROM (SELECT 'pre' AS era, value AS v,
+               ROW_NUMBER() OVER (ORDER BY value) AS rid FROM pre
+        UNION ALL
+        SELECT 'post', value,
+               ROW_NUMBER() OVER (ORDER BY value) AS rid FROM post) x
+  LEFT JOIN edges e ON x.v > e.edge
+  GROUP BY era, rid
+), counts AS (
+  SELECT bin,
+         CAST(COUNT(*) FILTER (WHERE era = 'pre') AS DOUBLE) AS n_pre,
+         CAST(COUNT(*) FILTER (WHERE era = 'post') AS DOUBLE) AS n_post
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT SUM(n_pre) AS tp, SUM(n_post) AS tq FROM counts
+)
+SELECT CAST(bin AS INTEGER) AS bin,
+       CAST(n_pre AS BIGINT) AS n_pre, CAST(n_post AS BIGINT) AS n_post,
+       ROUND((GREATEST(n_post, 0.5) / tq - GREATEST(n_pre, 0.5) / tp)
+             * ln((GREATEST(n_post, 0.5) / tq)
+                  / (GREATEST(n_pre, 0.5) / tp)), 6) AS psi_term
+FROM counts CROSS JOIN tot
+"""
+
+
+@register("events_feature_drift_psi", oracle=_PSI_ORACLE)
+def events_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the ML-monitoring standard for
+    feature drift: decile the REFERENCE (pre) period, count both
+    periods into those fixed bins, PSI term = (q−p)·ln(q/p) per bin
+    (Σ > 0.2 = retrain alarm). Reference-period edges are the
+    contract: re-binning on the current period would hide exactly the
+    drift being measured.
+
+    Binning is oracle-mirrored via counting edges BELOW each value
+    (v > edge count), so boundary ties resolve identically in both
+    engines by construction — no bucket function semantics to align;
+    edges themselves are ROUNDED exact percentiles (the a7 parity).
+
+    Scale design: 9 edges from one exact-percentile pass over the
+    reference (approx_percentile is the corpus-scale swap), broadcast
+    as a 9-row table; binning is one join + count per (era, bin) —
+    two map-side-combined aggregations; the PSI terms are a 10-row
+    projection. Per-FEATURE drift sweeps add a feature key to every
+    group-by, never passes."""
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(_PSI_SPLIT).cast("timestamp_ntz")
+    # rid keeps duplicate values distinct: PSI counts OBSERVATIONS,
+    # not distinct values (the bin join groups per row, not per value)
+    labeled = ev.select(
+        F.when(F.col("ts") < split, "pre").otherwise("post").alias("era"),
+        F.col("value").alias("v"),
+        F.col("event_id").alias("rid"),
+    )
+    pre = labeled.where("era = 'pre'")
+    edges = pre.agg(
+        *[
+            F.round(
+                F.percentile(F.col("v"), F.lit(i / _PSI_BINS)), 6
+            ).alias(f"e{i}")
+            for i in range(1, _PSI_BINS)
+        ]
+    ).select(
+        F.explode(
+            F.array(*[F.col(f"e{i}") for i in range(1, _PSI_BINS)])
+        ).alias("edge")
+    )
+    binned = (
+        labeled.join(
+            F.broadcast(edges), F.col("v") > F.col("edge"), "left"
+        )
+        .groupBy("era", "rid")
+        .agg((1 + F.count("edge")).alias("bin"))
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count_if(F.col("era") == "pre").cast("double").alias("n_pre"),
+        F.count_if(F.col("era") == "post").cast("double").alias("n_post"),
+    )
+    tot = counts.agg(
+        F.sum("n_pre").alias("tp"), F.sum("n_post").alias("tq")
+    )
+    # ε-smoothing (max(count, 0.5)) — tied decile edges leave bins
+    # empty and a raw PSI term divides by zero (ANSI errors loudly, the
+    # classic PSI-implementation bug silent engines hide); 0.5 is the
+    # standard continuity correction, mirrored in the oracle
+    qp = F.greatest(F.col("n_post"), F.lit(0.5)) / F.col("tq")
+    pp = F.greatest(F.col("n_pre"), F.lit(0.5)) / F.col("tp")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n_pre").cast("long").alias("n_pre"),
+        F.col("n_post").cast("long").alias("n_post"),
+        F.round((qp - pp) * F.log(qp / pp), 6).alias("psi_term"),
+    )

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
+from pyspark.sql.window import Window
 
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
@@ -588,4 +589,53 @@ def udtf_polymorphic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * FROM trireme_prefix_select("
         "TABLE(trireme_orders_polytbl), 'o_order')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# udaf_pandas_window — pandas UDAF evaluated OVER a window frame
+# ---------------------------------------------------------------------------
+
+_PWIN_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       ROUND(AVG(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
+FROM orders
+"""
+
+
+@register("udaf_pandas_window", oracle=_PWIN_ORACLE)
+def udaf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x11 — a PANDAS aggregate UDF evaluated OVER A WINDOW FRAME (x3
+    runs pandas UDAFs in groupBy; this is the windowed evaluation
+    path): Spark materializes each row's bounded frame as a pandas
+    Series and calls the UDAF per frame — the API that lets custom
+    aggregations (trimmed means, downside deviation, anything numpy)
+    ride ordinary window specs. The UDAF here is a plain mean so the
+    SQL AVG oracle pins the frame semantics exactly (ROWS 2 PRECEDING
+    — tie order fixed by the date+key sort).
+
+    Scale/cost honesty: bounded-frame pandas UDAFs re-materialize the
+    frame per row (O(frame) per row Arrow transfer) — fine for small
+    frames, and the reason built-in window aggs (incremental JVM
+    state) stay the default; this key exists for the CUSTOM cases
+    builtins can't express."""
+    from pyspark.sql.functions import pandas_udf
+
+    def frame_mean(v) -> float:
+        return float(v.mean())
+
+    frame_mean.__annotations__ = {"v": pd.Series, "return": float}
+    fm = pandas_udf(frame_mean, "double")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(fm(F.col("o_totalprice")).over(w), 6).alias("rolling_avg"),
     )
