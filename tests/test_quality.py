@@ -664,3 +664,24 @@ def test_parquet_codecs_reach_disk(spark):
         sizes[c] = sum(os.path.getsize(p) for p in parts)
     assert len(set(sizes.values())) == 3, sizes
     assert sizes["zstd"] < sizes["snappy"], sizes  # zstd beats snappy on size
+
+
+def test_installments_sum_exactly_to_invoice(spark):
+    """orders_installments_split: per order, Σ installment cents ==
+    invoice cents EXACTLY (the whole point of the remainder-to-first
+    construction)."""
+    from pyspark.sql import functions as F
+
+    out = registry.QUERIES["orders_installments_split"](spark, SF_SMOKE)
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    got = (
+        out.groupBy("o_orderkey")
+        .agg(F.round(F.sum("amount") * 100).cast("long").alias("c"))
+    )
+    want = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c"),
+    )
+    assert got.join(want, ["o_orderkey", "c"]).count() == o.count()

@@ -240,6 +240,9 @@ _SWEEP_PRIORITY = [
     "fn_mask_builtin",
     "udaf_pandas_window",
     "events_feature_drift_psi",
+    # --- round-5 batch 49 ---
+    "orders_installments_split",
+    "text_extractive_summary",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -1534,3 +1534,139 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_extractive_summary — centroid-style one-sentence summaries
+# ---------------------------------------------------------------------------
+
+_XSUM_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), n AS (SELECT COUNT(*) AS n_docs FROM base),
+df AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) GROUP BY tok
+), planted AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), ' (spark|table|merge) ', ' \\1. ',
+                        'g') AS t
+  FROM documents
+), sent AS (
+  SELECT doc_id, trim(s) AS sent FROM (
+    SELECT doc_id,
+           unnest(string_split(
+               regexp_replace(t, '([.!?])\\s+', '\\1\x01', 'g'),
+               '\x01')) AS s
+    FROM planted
+  ) WHERE trim(s) <> ''
+), stok AS (
+  SELECT DISTINCT doc_id, sent,
+         regexp_replace(tok, '[.!?]', '', 'g') AS tok
+  FROM (SELECT doc_id, sent,
+               unnest(string_split_regex(sent, '\\s+')) AS tok
+        FROM sent)
+  WHERE regexp_replace(tok, '[.!?]', '', 'g') <> ''
+), scored AS (
+  SELECT s.doc_id, s.sent,
+         ROUND(CAST(SUM(CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / df.df), 12)
+                             AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*), 6) AS score
+  FROM stok s JOIN df ON s.tok = df.tok CROSS JOIN n
+  GROUP BY s.doc_id, s.sent
+)
+SELECT doc_id, sent AS summary, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, sent ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@register("text_extractive_summary", oracle=_XSUM_ORACLE)
+def text_extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive one-sentence summaries — centroid/tf-idf style: each
+    sentence scores by the MEAN idf of its distinct terms (rare-term-
+    dense sentences are the informative ones) and the top sentence per
+    doc is the summary — the classical pre-neural summarizer, and the
+    batch shape of any "pick the best span per document" selection
+    (the neural swap replaces the scorer with an iterator-UDF model,
+    the plan is unchanged).
+
+    Composition of in-repo machinery: the sentence-split planting
+    (terminal punctuation after planted terms — fixture prose has
+    none) → per-sentence distinct terms (punctuation stripped so
+    tokens match the corpus df table) → idf join → quantized-ln
+    decimal mean (the geomean discipline) → per-doc top-1 window with
+    (score, sentence) tie-break.
+
+    Scale: df/idf are language-bounded broadcasts; sentence scoring
+    is one (doc, sentence)-keyed aggregation; top-1 is a doc-keyed
+    window over sentence-grain rows."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.filter(tokenize("text"), lambda t: t != "").alias("toks"),
+    )
+    n_docs = base.count()
+    df_t = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    planted = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower("text"), r" (spark|table|merge) ", r" $1. "
+        ).alias("t"),
+    )
+    sent = (
+        planted.select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.regexp_replace("t", r"([.!?])\s+", "$1\x01"),
+                    "\x01",
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.trim("s").alias("sent"))
+        .where(F.col("sent") != "")
+    )
+    stok = (
+        sent.select(
+            "doc_id",
+            "sent",
+            F.explode(F.split("sent", r"\s+")).alias("tok0"),
+        )
+        .select(
+            "doc_id",
+            "sent",
+            F.regexp_replace("tok0", r"[.!?]", "").alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    idf = F.round(
+        F.log(F.lit(float(n_docs)) / F.col("df")), 12
+    ).cast("decimal(38,12)")
+    scored = (
+        stok.join(F.broadcast(df_t), "tok")
+        .groupBy("doc_id", "sent")
+        .agg(
+            F.round(
+                F.sum(idf).cast("double") / F.count(F.lit(1)), 6
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("sent").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("doc_id", F.col("sent").alias("summary"), "score")
+    )

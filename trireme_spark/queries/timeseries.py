@@ -3209,3 +3209,83 @@ def events_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_post").cast("long").alias("n_post"),
         F.round((qp - pp) * F.log(qp / pp), 6).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_installments_split — decimal-exact payment schedule explode
+# ---------------------------------------------------------------------------
+
+_N_INST = 3
+
+_INSTALL_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+         CAST(o_orderdate AS DATE) AS od
+  FROM orders
+), base AS (
+  SELECT o_orderkey, od,
+         CAST(total * 100 AS BIGINT) AS cents,
+         CAST(total * 100 AS BIGINT) // {_N_INST} AS part_cents
+  FROM o
+)
+SELECT o_orderkey, i AS installment_no,
+       CAST(od + CAST((i - 1) * 30 AS INTEGER) AS VARCHAR) AS due_date,
+       CAST(CASE WHEN i = 1
+            THEN cents - {_N_INST - 1} * part_cents
+            ELSE part_cents END AS DOUBLE) / 100 AS amount
+FROM base, (SELECT UNNEST(range(1, {_N_INST} + 1)) AS i)
+"""
+
+
+@register("orders_installments_split", oracle=_INSTALL_ORACLE)
+def orders_installments_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Installment-schedule explode: each order splits into 3 monthly
+    payments that sum EXACTLY to the invoice — the billing-engine
+    primitive where naive division loses cents (total/3 rounds to a
+    sum ≠ total): amounts compute in INTEGER CENTS (int64 floor
+    division; decimal division was tried first and the two engines'
+    scale rules split the same total differently) with the FIRST
+    installment carrying the remainder, so Σ amounts ≡ total by
+    construction — enforced row-by-row by the oracle hash.
+
+    Scale design: a bounded explode (×3) of a codegen'd decimal
+    projection — no shuffle, no state; due dates are day arithmetic
+    on DATE casts. Variable schedules (n per row) swap the literal
+    for a column in the same sequence() expression."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    # INTEGER CENTS, not decimal division: the engines' decimal
+    # division scale rules differ (observed: same total split to
+    # different parts) — int64 floor-division is the only portable
+    # money-split arithmetic, and exactness is by construction
+    cents = (F.col("total") * 100).cast("long")
+    base = o.withColumn("cents", cents).withColumn(
+        "part_cents", (cents / _N_INST).cast("long")
+    )
+    return base.select(
+        "o_orderkey",
+        "cents",
+        "part_cents",
+        "od",
+        F.explode(F.sequence(F.lit(1), F.lit(_N_INST))).alias(
+            "installment_no"
+        ),
+    ).select(
+        "o_orderkey",
+        "installment_no",
+        F.date_add("od", (F.col("installment_no") - 1) * 30)
+        .cast("string")
+        .alias("due_date"),
+        (
+            F.when(
+                F.col("installment_no") == 1,
+                F.col("cents") - (_N_INST - 1) * F.col("part_cents"),
+            )
+            .otherwise(F.col("part_cents"))
+            .cast("double")
+            / 100
+        ).alias("amount"),
+    )
