@@ -243,6 +243,9 @@ _SWEEP_PRIORITY = [
     # --- round-5 batch 49 ---
     "orders_installments_split",
     "text_extractive_summary",
+    # --- round-5 batch 50 ---
+    "ts_autocorrelation",
+    "orders_survival_km",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -3289,3 +3289,193 @@ def orders_installments_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("amount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_survival_km — Kaplan-Meier customer-lifetime curve
+# ---------------------------------------------------------------------------
+
+_KM_CHURN_GAP = 90  # days without orders before the snapshot ⇒ churned
+
+_KM_ORACLE = f"""
+WITH life AS (
+  SELECT o_custkey,
+         datediff('day', MIN(CAST(o_orderdate AS DATE)),
+                  MAX(CAST(o_orderdate AS DATE))) AS t,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY o_custkey
+), snap AS (SELECT MAX(last_d) AS snap_d FROM life),
+lab AS (
+  SELECT t, (datediff('day', last_d, snap_d) > {_KM_CHURN_GAP}) AS event
+  FROM life CROSS JOIN snap
+), n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM lab),
+times AS (
+  SELECT t, CAST(COUNT(*) FILTER (WHERE event) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM lab GROUP BY t
+), risk AS (
+  SELECT t, d,
+         n0 - COALESCE(SUM(leaving) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS n_at_risk
+  FROM times CROSS JOIN n_tot
+)
+SELECT t, d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       ROUND(exp(CAST(SUM(CAST(ROUND(
+           ln(1.0 - CAST(d AS DOUBLE) / n_at_risk), 12)
+           AS DECIMAL(38,12))) OVER (
+           ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6)
+         AS survival
+FROM risk WHERE d > 0
+"""
+
+
+@register("orders_survival_km", oracle=_KM_ORACLE)
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over customer lifetimes (first→last order
+    span; churn = silent for >90 days before the snapshot date, else
+    CENSORED): S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) — the estimator that makes
+    censoring honest (naive churn curves that drop censored customers
+    systematically understate survival), feeding LTV models and
+    retention targets.
+
+    Exactness: the running PRODUCT goes to log space with per-factor
+    ln quantized to 12 dp before the order-independent decimal sum
+    (the geomean discipline — a raw product is both overflow-prone
+    and order-dependent); dᵢ/nᵢ are exact integer ratios.
+
+    Scale design: the corpus collapses to one customer-keyed lifetime
+    rollup; everything after — event times, at-risk counts, the
+    cumulative log-sum — runs on the DIMENSION-sized distinct-time
+    table (cumulative window under meta_part; the two-pass form is
+    the corpus-keyed swap)."""
+    life = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("t"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        )
+    )
+    snap = life.agg(F.max("last_d").alias("snap_d"))
+    lab = life.crossJoin(F.broadcast(snap)).select(
+        "t",
+        (F.datediff("snap_d", "last_d") > _KM_CHURN_GAP).alias("event"),
+    )
+    n0 = lab.count()
+    per_t = lab.groupBy("t").agg(
+        F.count_if("event").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_prev = (
+        Window.partitionBy(meta_part("t"))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = per_t.withColumn(
+        "n_at_risk",
+        F.lit(n0) - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+    ).where(F.col("d") > 0)
+    lnf = F.round(
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")), 12
+    ).cast("decimal(38,12)")
+    w_cum = (
+        Window.partitionBy(meta_part("t"))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return risk.select(
+        "t",
+        "d",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.round(F.exp(F.sum(lnf).over(w_cum).cast("double")), 6).alias(
+            "survival"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_autocorrelation — ACF of the hourly series at lags 1..24
+# ---------------------------------------------------------------------------
+
+_ACF_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts))
+              // 3600000000 AS BIGINT) AS hidx,
+         {oracle_sum('value')} AS v
+  FROM events GROUP BY 1
+), g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {oracle_sum('v')} AS sx, {oracle_sum('v * v')} AS sxx
+  FROM h
+), pairs AS (
+  SELECT lag, CAST(ROUND((a.v - sx / n) * (b.v - sx / n), 6)
+                   AS DECIMAL(38,6)) AS prod
+  FROM h a CROSS JOIN g
+  JOIN (SELECT UNNEST(range(1, 25)) AS lag) l ON TRUE
+  JOIN h b ON b.hidx = a.hidx + l.lag
+)
+SELECT CAST(lag AS INTEGER) AS lag,
+       ROUND(CAST(SUM(prod) AS DOUBLE)
+             / ((SELECT sxx - sx * sx / n FROM g)), 6) AS acf
+FROM pairs GROUP BY lag
+"""
+
+
+@register("ts_autocorrelation", oracle=_ACF_ORACLE)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly value series at lags
+    1-24 — the diagnostic that DETECTS seasonality (a 24-hour spike
+    says "daily cycle": exactly what justifies the hour-of-day
+    baselines the seasonal keys assume) and whether residuals are
+    white after decomposition.
+
+    ACF(k) = Σ(xₜ−x̄)(xₜ₊ₖ−x̄) / Σ(xₜ−x̄)² from decimal-exact hourly
+    sums; each lag-k product quantizes to 6 dp before the
+    order-independent decimal sum (the geomean discipline), and the
+    denominator reduces to sufficient statistics.
+
+    Scale design: corpus → one hourly rollup; the lag pairing is a
+    self-equi-join on hour-index+k over the DIMENSION-sized series
+    (×24 bounded lag explode); at per-key grain the same join keys on
+    (key, hidx) and stays hash-partitioned."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        (
+            F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
+            / (3600 * 10**6)
+        )
+        .cast("long")
+        .alias("hidx")
+    ).agg(dsum("value").alias("v"))
+    g = h.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("v").alias("sx"),
+        dsum(F.col("v") * F.col("v")).alias("sxx"),
+    )
+    lags = spark.range(1, 25).select(F.col("id").cast("int").alias("lag"))
+    a = h.alias("a").crossJoin(F.broadcast(g)).crossJoin(F.broadcast(lags))
+    b = h.select(
+        F.col("hidx").alias("bhidx"), F.col("v").alias("bv")
+    )
+    prod = F.round(
+        (F.col("a.v") - F.col("sx") / F.col("n"))
+        * (F.col("bv") - F.col("sx") / F.col("n")),
+        6,
+    ).cast("decimal(38,6)")
+    pairs = a.join(
+        b, F.col("bhidx") == F.col("a.hidx") + F.col("lag")
+    ).select("lag", prod.alias("prod"), "sxx", "sx", "n")
+    return pairs.groupBy("lag", "sxx", "sx", "n").agg(
+        F.sum("prod").alias("num")
+    ).select(
+        "lag",
+        F.round(
+            F.col("num").cast("double")
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
+            6,
+        ).alias("acf"),
+    )
