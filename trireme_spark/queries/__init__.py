@@ -246,6 +246,10 @@ _SWEEP_PRIORITY = [
     # --- round-5 batch 50 ---
     "ts_autocorrelation",
     "orders_survival_km",
+    # --- round-5 batch 51 ---
+    "events_metric_decomposition",
+    "events_bot_regularity",
+    "lineitem_price_index",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

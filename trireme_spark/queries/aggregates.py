@@ -874,3 +874,89 @@ def agg_distinct_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_price_index — Laspeyres price index by month
+# ---------------------------------------------------------------------------
+
+_LASPEYRES_ORACLE = """
+WITH m AS (
+  SELECT l_partkey,
+         CAST(EXTRACT(year FROM l_shipdate) * 100
+              + EXTRACT(month FROM l_shipdate) AS BIGINT) AS ym,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6)))
+              AS DECIMAL(27,6)) AS spend,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,6)))
+              AS DECIMAL(27,6)) AS qty
+  FROM lineitem GROUP BY 1, 2
+), base AS (
+  SELECT l_partkey, spend / qty AS p0, qty AS q0
+  FROM m WHERE ym = (SELECT MIN(ym) FROM m)
+), idx AS (
+  SELECT m.ym,
+         CAST(SUM(CAST(ROUND(m.spend / m.qty * base.q0, 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS cur_basket,
+         CAST(SUM(CAST(ROUND(base.p0 * base.q0, 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS base_basket
+  FROM m JOIN base USING (l_partkey)
+  GROUP BY m.ym
+)
+SELECT ym, CAST(FLOOR(cur_basket / base_basket * 1e6) AS BIGINT)
+         AS index_ppm
+FROM idx
+"""
+
+
+@register("lineitem_price_index", oracle=_LASPEYRES_ORACLE)
+def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index per month — base-month basket (q₀) priced
+    at each month's unit prices vs base prices: Σp_t·q₀ / Σp₀·q₀ —
+    the fixed-basket inflation measure (the index every "price
+    change" dashboard actually wants, immune to quantity-mix drift by
+    construction; Paasche/Fisher swap the basket weights in the same
+    plan). Unit prices derive from spend/qty per (part, month) —
+    only parts present in BOTH the base month and the current month
+    contribute (the matched-basket rule).
+
+    Exactness: spends and quantities are decimal-exact; per-part
+    basket terms quantize to 6 dp before the order-independent sum;
+    the final ratio ships as FLOOR-quantized parts-per-million
+    (integer — no rounded-double repr risk at all).
+
+    Scale: one (part, month) rollup; the base-month basket is a
+    dimension-sized broadcast; index = one keyed agg per month."""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("ym"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast(DSCALE)).alias("spend"),
+        F.sum(F.col("l_quantity").cast(DSCALE)).alias("qty"),
+    )
+    base_ym = m.agg(F.min("ym")).first()[0]
+    base = m.where(F.col("ym") == base_ym).select(
+        "l_partkey",
+        (F.col("spend") / F.col("qty")).alias("p0"),
+        F.col("qty").alias("q0"),
+    )
+    cur_term = F.round(
+        F.col("spend") / F.col("qty") * F.col("q0"), 6
+    ).cast("decimal(38,6)")
+    base_term = F.round(F.col("p0") * F.col("q0"), 6).cast("decimal(38,6)")
+    idx = (
+        m.join(base, "l_partkey")
+        .groupBy("ym")
+        .agg(
+            F.sum(cur_term).cast("double").alias("cur_basket"),
+            F.sum(base_term).cast("double").alias("base_basket"),
+        )
+    )
+    return idx.select(
+        "ym",
+        F.floor(F.col("cur_basket") / F.col("base_basket") * 1e6)
+        .cast("long")
+        .alias("index_ppm"),
+    )

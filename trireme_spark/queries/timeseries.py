@@ -3479,3 +3479,190 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_bot_regularity — inter-event-timing bot heuristic
+# ---------------------------------------------------------------------------
+
+_BOT_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+), s AS (
+  SELECT user_id, CAST(COUNT(gap) AS DOUBLE) AS n,
+         CAST(SUM(CAST(gap AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT))
+              AS DOUBLE) AS sxx
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+  HAVING COUNT(gap) >= 10
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+       FLOOR(sqrt((sxx - sx * sx / n) / (n - 1)) / (sx / n) * 1e6) / 1e6
+         AS gap_cv,
+       FLOOR(sqrt((sxx - sx * sx / n) / (n - 1)) / (sx / n) * 1e6) / 1e6
+         < 0.3 AS bot_suspect
+FROM s
+"""
+
+
+@register("events_bot_regularity", oracle=_BOT_ORACLE)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by TIMING REGULARITY: the coefficient
+    of variation of a user's inter-event gaps — humans are bursty
+    (CV ≈ 1 for Poisson-ish arrivals, higher with sessions), schedulers
+    and scripts are metronomic (CV → 0); the cheap first-pass filter
+    before behavioral models, and a corpus-curation signal (scraped/
+    synthetic interaction logs score low).
+
+    Exactness: gaps are exact integer µs (one lag window); CV from
+    decimal-exact Σgap/Σgap² per user; floor-quantized at 1e-6 so the
+    0.3 flag threshold cannot wobble. Users need ≥10 gaps (CV is
+    noise below that — the PSI support-floor doctrine).
+
+    Scale: one user-keyed window + one keyed aggregation, both on the
+    same shuffle."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("gap").cast("decimal(18,0)"))
+            .cast("double")
+            .alias("sx"),
+            # cast BEFORE multiplying: µs gaps square past int64 (ANSI
+            # overflow error caught on first run — decimal(18)² stays
+            # inside decimal(38))
+            F.sum(
+                F.col("gap").cast("decimal(18,0)")
+                * F.col("gap").cast("decimal(18,0)")
+            )
+            .cast("double")
+            .alias("sxx"),
+        )
+        .where(F.col("n") >= 10)
+    )
+    cv = (
+        F.floor(
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+            / (F.col("sx") / F.col("n"))
+            * 1e6
+        )
+        / 1e6
+    )
+    return s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_gaps"),
+        cv.alias("gap_cv"),
+        (cv < 0.3).alias("bot_suspect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_metric_decomposition — mix-vs-rate change attribution
+# ---------------------------------------------------------------------------
+
+_MIXDECOMP_SPLIT = "2024-01-16"
+
+_MIXDECOMP_ORACLE = f"""
+WITH seg AS (
+  SELECT CASE WHEN ts < TIMESTAMP '{_MIXDECOMP_SPLIT}'
+              THEN 'p0' ELSE 'p1' END AS period,
+         user_id % 4 AS segment,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+              AS DOUBLE) AS conv
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT period, SUM(n) AS tn FROM seg GROUP BY period
+), m AS (
+  SELECT s.segment,
+         MAX(CASE WHEN s.period = 'p0' THEN s.n / t.tn END) AS share0,
+         MAX(CASE WHEN s.period = 'p1' THEN s.n / t.tn END) AS share1,
+         MAX(CASE WHEN s.period = 'p0' THEN s.conv / s.n END) AS rate0,
+         MAX(CASE WHEN s.period = 'p1' THEN s.conv / s.n END) AS rate1
+  FROM seg s JOIN tot t USING (period) GROUP BY s.segment
+)
+SELECT CAST(segment AS BIGINT) AS segment,
+       ROUND((share1 - share0) * rate0, 6) AS mix_effect,
+       ROUND(share1 * (rate1 - rate0), 6) AS rate_effect,
+       ROUND(share1 * rate1 - share0 * rate0, 6) AS total_delta
+FROM m
+"""
+
+
+@register("events_metric_decomposition", oracle=_MIXDECOMP_ORACLE)
+def events_metric_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Why did the metric move?" — period-over-period conversion-rate
+    change DECOMPOSED per segment into MIX effect ((Δshare)·rate₀ —
+    traffic moved between segments) and RATE effect (share₁·Δrate —
+    segments themselves converted differently); the two sum to each
+    segment's contribution and across segments to the headline delta
+    (the decomposition identity: Δ = Σ mix + Σ rate). This is the
+    analyst question every dashboard ends at, as algebra instead of
+    eyeballing.
+
+    Exactness: shares and rates are exact-count ratios; all four per-
+    segment statistics pivot out of ONE (period, segment) aggregation;
+    effects are single double expressions rounded at 6.
+
+    Scale: one corpus aggregation to |periods|×|segments| rows;
+    everything after is dimension-sized."""
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(_MIXDECOMP_SPLIT).cast("timestamp_ntz")
+    seg = ev.groupBy(
+        F.when(F.col("ts") < split, "p0").otherwise("p1").alias("period"),
+        (F.col("user_id") % 4).alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("double")
+        .alias("conv"),
+    )
+    tot = seg.groupBy("period").agg(F.sum("n").alias("tn"))
+    m = (
+        seg.join(tot, "period")
+        .groupBy("segment")
+        .agg(
+            F.max(
+                F.when(F.col("period") == "p0", F.col("n") / F.col("tn"))
+            ).alias("share0"),
+            F.max(
+                F.when(F.col("period") == "p1", F.col("n") / F.col("tn"))
+            ).alias("share1"),
+            F.max(
+                F.when(
+                    F.col("period") == "p0", F.col("conv") / F.col("n")
+                )
+            ).alias("rate0"),
+            F.max(
+                F.when(
+                    F.col("period") == "p1", F.col("conv") / F.col("n")
+                )
+            ).alias("rate1"),
+        )
+    )
+    return m.select(
+        "segment",
+        F.round((F.col("share1") - F.col("share0")) * F.col("rate0"), 6).alias(
+            "mix_effect"
+        ),
+        F.round(
+            F.col("share1") * (F.col("rate1") - F.col("rate0")), 6
+        ).alias("rate_effect"),
+        F.round(
+            F.col("share1") * F.col("rate1")
+            - F.col("share0") * F.col("rate0"),
+            6,
+        ).alias("total_delta"),
+    )
