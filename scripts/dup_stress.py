@@ -68,6 +68,15 @@ DEFAULT_KEYS = [
     "ts_cusum_changepoint",
     "agg_weighted_median",
     "events_funnel_windowed",
+    # batch 40-49 heavies: ×10 docs make every excerpt find 10 exact
+    # containers (candidate fan-out ×10 per prefix bucket); the kNN
+    # graph GEMM grows ×100 in work with ×10 duplicate vectors — the
+    # block decomposition must absorb it; PMI/skipgram pair tables
+    # stay language-bounded under duplication (the two-level claim)
+    "dedup_containment",
+    "sim_knn_graph_all",
+    "text_collocations_pmi",
+    "text_skipgram_pairs",
     # sim_sparse_cosine_tfidf is deliberately NOT here: exact all-pairs
     # sparse cosine over this fixture's shared ~100-word vocabulary is
     # Σ|posting|² — measured 43 M candidate pairs at 5 k docs (sf0.1),

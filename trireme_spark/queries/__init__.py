@@ -250,6 +250,10 @@ _SWEEP_PRIORITY = [
     "events_metric_decomposition",
     "events_bot_regularity",
     "lineitem_price_index",
+    # --- round-5 batch 52/53 ---
+    "orders_segment_migration",
+    "fn_explode_outer_semantics",
+    "lineitem_abc_xyz",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql.window import Window
 
-from trireme_spark.parity import DSCALE, davg, dsum, oracle_avg, oracle_sum
+from trireme_spark.parity import DSCALE, davg, dsum, meta_part, oracle_avg, oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -959,4 +959,134 @@ def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("cur_basket") / F.col("base_basket") * 1e6)
         .cast("long")
         .alias("index_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_abc_xyz — combined value/variability inventory classification
+# ---------------------------------------------------------------------------
+
+_ABCXYZ_ORACLE = """
+WITH pm AS (
+  SELECT l_partkey,
+         CAST(EXTRACT(year FROM l_shipdate) * 100
+              + EXTRACT(month FROM l_shipdate) AS BIGINT) AS ym,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS q
+  FROM lineitem GROUP BY 1, 2
+), var AS (
+  SELECT l_partkey, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(q AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(q * q AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM pm GROUP BY l_partkey HAVING COUNT(*) >= 3
+), rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6)))
+              AS DECIMAL(27,6)) AS r
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT rev.l_partkey, r,
+         SUM(r) OVER (ORDER BY r DESC, l_partkey
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(r) OVER () AS tot
+  FROM rev
+), abc AS (
+  SELECT l_partkey,
+         CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+              WHEN 20 * cum <= 19 * tot THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+), xyz AS (
+  SELECT l_partkey,
+         FLOOR(sqrt((sxx - sx * sx / n) / (n - 1)) / (sx / n) * 1e6)
+           / 1e6 AS cv
+  FROM var
+)
+SELECT abc_class,
+       CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y'
+            ELSE 'Z' END AS xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM abc JOIN xyz USING (l_partkey)
+GROUP BY 1, 2
+"""
+
+
+@register("lineitem_abc_xyz", oracle=_ABCXYZ_ORACLE)
+def lineitem_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory classification — the supply-chain planning
+    matrix: ABC = cumulative revenue share (A = first 80%, B = next
+    15%) crossed with XYZ = demand VARIABILITY (CV of monthly
+    quantities: X steady <0.5, Y seasonal <1.0, Z erratic) — A×X
+    items get automated replenishment, C×Z get made-to-order; the
+    same matrix classifies corpus sources by token share × arrival
+    stability.
+
+    Exactness: ABC boundaries compare k·cum ≤ m·tot in exact DECIMAL
+    (the pareto doctrine — no division can flip a class); CV from
+    decimal-exact monthly sufficient stats, floor-quantized; parts
+    need ≥3 active months (CV support floor).
+
+    Scale: two part-keyed rollups; the revenue rank uses the
+    dimension-sized cumulative (two-pass bucket rank is the
+    corpus-keyed swap, per the Gini key); output is a ≤9-cell
+    matrix."""
+    li = table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("ym"),
+    ).agg(F.sum(F.col("l_quantity").cast(DSCALE)).cast("double").alias("q"))
+    var = (
+        pm.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("q").cast(DSCALE)).cast("double").alias("sx"),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sxx"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(DSCALE)).alias("r")
+    )
+    w_cum = (
+        Window.partitionBy(meta_part("l_partkey"))
+        .orderBy(F.col("r").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(meta_part("l_partkey"))
+    ranked = rev.select(
+        "l_partkey",
+        F.sum("r").over(w_cum).alias("cum"),
+        F.sum("r").over(w_tot).alias("tot"),
+    )
+    abc = ranked.select(
+        "l_partkey",
+        F.when(5 * F.col("cum") <= 4 * F.col("tot"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    cv = (
+        F.floor(
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+            / (F.col("sx") / F.col("n"))
+            * 1e6
+        )
+        / 1e6
+    )
+    xyz = var.select(
+        "l_partkey",
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias(
+            "xyz_class"
+        ),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
     )

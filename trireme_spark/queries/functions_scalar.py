@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from trireme_spark.functions.text import tokenize
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -1166,3 +1167,66 @@ def fn_mask_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("phone_partial"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_explode_outer_semantics — generator null/empty contracts
+# ---------------------------------------------------------------------------
+
+_EXPL_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN []
+              WHEN doc_id % 3 = 1 THEN NULL
+              ELSE string_split_regex(lower(text), '\\s+')[1:3]
+         END AS arr
+  FROM documents
+)
+SELECT 'inner' AS mode, doc_id, u.tok, u.pos
+FROM d, LATERAL (
+  SELECT unnest(arr) AS tok,
+         generate_subscripts(arr, 1) - 1 AS pos
+) u
+UNION ALL
+SELECT 'outer', doc_id,
+       CASE WHEN len(COALESCE(arr, [])) = 0 THEN NULL ELSE u2.tok END,
+       CASE WHEN len(COALESCE(arr, [])) = 0 THEN NULL ELSE u2.pos END
+FROM d LEFT JOIN LATERAL (
+  SELECT unnest(arr) AS tok,
+         generate_subscripts(arr, 1) - 1 AS pos
+) u2 ON TRUE
+"""
+
+
+@register("fn_explode_outer_semantics", oracle=_EXPL_ORACLE)
+def fn_explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator NULL/EMPTY contracts — the silent-row-loss trap:
+    ``explode`` DROPS rows whose array is empty OR NULL (an inner
+    lateral), ``explode_outer`` keeps them with NULL element/position
+    (a left lateral). One third of the fixture gets an empty array and
+    one third NULL (planted), so both loss modes are value-checked —
+    pipelines that tokenize-then-explode lose every empty document
+    exactly this way, which is why the corpus keys filter AFTER outer
+    semantics or count docs before exploding.
+
+    posexplode's 0-based position rides along (DuckDB's
+    generate_subscripts is 1-based — bridged in the oracle).
+    Codegen'd generators, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    arr = (
+        F.when(F.col("doc_id") % 3 == 0, F.array().cast("array<string>"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(None).cast("array<string>"))
+        .otherwise(F.slice(tokenize("text"), 1, 3))
+    )
+    base = d.select("doc_id", arr.alias("arr"))
+    inner = base.select(
+        F.lit("inner").alias("mode"),
+        "doc_id",
+        F.posexplode("arr").alias("pos0", "tok"),
+    ).select("mode", "doc_id", "tok", F.col("pos0").cast("long").alias("pos"))
+    outer = base.select(
+        F.lit("outer").alias("mode"),
+        "doc_id",
+        F.posexplode_outer("arr").alias("pos0", "tok"),
+    ).select("mode", "doc_id", "tok", F.col("pos0").cast("long").alias("pos"))
+    return inner.unionByName(outer)

@@ -3666,3 +3666,86 @@ def events_metric_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("total_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_segment_migration — customer value-tier transition matrix
+# ---------------------------------------------------------------------------
+
+_SEGMIG_SPLIT = "1996-07-01"
+
+_SEGMIG_ORACLE = f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderdate < TIMESTAMP '{_SEGMIG_SPLIT}'
+              THEN 'p0' ELSE 'p1' END AS period,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS s
+  FROM orders GROUP BY 1, 2
+), med AS (
+  SELECT period, ROUND(quantile_cont(s, 0.5), 4) AS m
+  FROM spend GROUP BY period
+), tier AS (
+  SELECT o_custkey, spend.period,
+         CASE WHEN s >= m THEN 'high' ELSE 'low' END AS tier
+  FROM spend JOIN med ON spend.period = med.period
+), paired AS (
+  SELECT a.o_custkey,
+         a.tier AS tier_p0, COALESCE(b.tier, 'inactive') AS tier_p1
+  FROM (SELECT * FROM tier WHERE period = 'p0') a
+  LEFT JOIN (SELECT * FROM tier WHERE period = 'p1') b
+    ON a.o_custkey = b.o_custkey
+)
+SELECT tier_p0, tier_p1, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM paired GROUP BY tier_p0, tier_p1
+"""
+
+
+@register("orders_segment_migration", oracle=_SEGMIG_ORACLE)
+def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-tier MIGRATION matrix: each customer tiers
+    high/low against their period's own median spend, and the matrix
+    counts tier transitions between halves (including → 'inactive',
+    the churn cell) — the CRM view behind "are we upgrading or
+    leaking customers", and the discrete sibling of the RFM key
+    (re-tiering per period is the point: tiers are relative to the
+    cohort, so a rising market doesn't inflate everyone into 'high').
+
+    Exactness: per-period medians are exact percentiles (ROUND 4 —
+    the a7 parity) over decimal-exact customer spends; the ≥ cut on
+    the rounded median is identical both engines.
+
+    Scale: one (customer, period) rollup; medians are a 2-row
+    broadcast; the matrix is a ≤3×2-cell count. The per-period
+    median at corpus-keyed cardinality swaps to approx_percentile
+    (the documented tier)."""
+    o = table(spark, sf_dir, "orders")
+    split = F.lit(_SEGMIG_SPLIT).cast("timestamp_ntz")
+    spend = o.groupBy(
+        "o_custkey",
+        F.when(F.col("o_orderdate") < split, "p0")
+        .otherwise("p1")
+        .alias("period"),
+    ).agg(dsum("o_totalprice").alias("s"))
+    med = spend.groupBy("period").agg(
+        F.round(F.percentile(F.col("s"), F.lit(0.5)), 4).alias("m")
+    )
+    tier = spend.join(F.broadcast(med), "period").select(
+        "o_custkey",
+        "period",
+        F.when(F.col("s") >= F.col("m"), "high")
+        .otherwise("low")
+        .alias("tier"),
+    )
+    a = tier.where("period = 'p0'").select(
+        "o_custkey", F.col("tier").alias("tier_p0")
+    )
+    b = tier.where("period = 'p1'").select(
+        "o_custkey", F.col("tier").alias("tier_p1")
+    )
+    paired = a.join(b, "o_custkey", "left").select(
+        "tier_p0",
+        F.coalesce("tier_p1", F.lit("inactive")).alias("tier_p1"),
+    )
+    return paired.groupBy("tier_p0", "tier_p1").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
