@@ -254,6 +254,9 @@ _SWEEP_PRIORITY = [
     "orders_segment_migration",
     "fn_explode_outer_semantics",
     "lineitem_abc_xyz",
+    # --- round-5 batch 54 ---
+    "orders_cycle_time",
+    "ts_supervised_lag_features",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from trireme_spark.parity import dsum, meta_part, oracle_sum
+from trireme_spark.parity import DSCALE, dsum, meta_part, oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -3748,4 +3748,124 @@ def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return paired.groupBy("tier_p0", "tier_p1").agg(
         F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_cycle_time — order-to-first-ship cycle time distribution
+# ---------------------------------------------------------------------------
+
+_CYCLE_ORACLE = """
+WITH c AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         datediff('day', CAST(o.o_orderdate AS DATE),
+                  MIN(CAST(l.l_shipdate AS DATE))) AS cycle_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(quantile_cont(cycle_days, 0.5), 4) AS p50_days,
+       ROUND(quantile_cont(cycle_days, 0.9), 4) AS p90_days,
+       CAST(MAX(cycle_days) AS BIGINT) AS max_days
+FROM c GROUP BY o_orderpriority
+"""
+
+
+@register("orders_cycle_time", oracle=_CYCLE_ORACLE)
+def orders_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment CYCLE TIME distribution per priority —
+    the fulfillment SLA view (does '1-URGENT' actually ship faster?):
+    cycle = first line shipped minus order date, summarized as
+    p50/p90/max. The operational twin of events_funnel_latency on the
+    commerce tables, and the query shape of every lead-time dashboard
+    (swap ship for delivery/receipt dates unchanged).
+
+    Exactness: day arithmetic on DATE casts; exact percentiles with
+    the a7 ROUND(4) parity; per-order first-ship is one keyed MIN.
+
+    Scale: one fact-keyed join+MIN collapse (AQE co-partitions on
+    orderkey), then a 5-group percentile over order-grain rows —
+    approx_percentile is the corpus-scale swap."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(
+                F.min(F.col("l_shipdate").cast("date")),
+                F.col("o_orderdate").cast("date"),
+            ).alias("cycle_days")
+        )
+    )
+    return c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.percentile(F.col("cycle_days"), F.lit(0.5)), 4).alias(
+            "p50_days"
+        ),
+        F.round(F.percentile(F.col("cycle_days"), F.lit(0.9)), 4).alias(
+            "p90_days"
+        ),
+        F.max("cycle_days").cast("long").alias("max_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_supervised_lag_features — forecasting feature-frame builder
+# ---------------------------------------------------------------------------
+
+_LAGFEAT_ORACLE = """
+SELECT user_id, event_id, value,
+       LAG(value, 1) OVER w AS lag1,
+       LAG(value, 2) OVER w AS lag2,
+       LAG(value, 3) OVER w AS lag3,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+         / COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS roll_mean3,
+       LEAD(value, 1) OVER w AS target_next
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY lag3 IS NOT NULL AND target_next IS NOT NULL
+"""
+
+
+@register("ts_supervised_lag_features", oracle=_LAGFEAT_ORACLE)
+def ts_supervised_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised feature-frame builder for sequence forecasting: per
+    event, lags 1-3, the trailing-3 mean computed over STRICTLY PRIOR
+    rows (frame ends at 1 PRECEDING — including the current row is the
+    classic feature-leakage bug this key exists to pin), and the
+    LEAD(1) target — the exact table a gradient-boosted forecaster
+    trains on. Edge rows without full history or a target DROP
+    (incomplete feature vectors poison training silently; the outer
+    variant imputes instead — fn_explode_outer_semantics' lesson
+    applied to frames).
+
+    All features ride ONE user-keyed shuffle (every window shares the
+    partition+order); the rolling mean is decimal-exact sum /
+    frame count. At 100 TB this is the shape feature-store
+    materialization jobs run nightly per entity."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-3, -1)
+    out = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value", 1).over(w).alias("lag1"),
+        F.lag("value", 2).over(w).alias("lag2"),
+        F.lag("value", 3).over(w).alias("lag3"),
+        F.round(
+            F.sum(F.col("value").cast(DSCALE)).over(wf).cast("double")
+            / F.count(F.lit(1)).over(wf),
+            6,
+        ).alias("roll_mean3"),
+        F.lead("value", 1).over(w).alias("target_next"),
+    )
+    return out.where(
+        F.col("lag3").isNotNull() & F.col("target_next").isNotNull()
     )
