@@ -257,6 +257,7 @@ _SWEEP_PRIORITY = [
     # --- round-5 batch 54 ---
     "orders_cycle_time",
     "ts_supervised_lag_features",
+    "supplier_return_rate_wilson",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -1090,3 +1090,80 @@ def lineitem_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("abc_class", "xyz_class")
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
+
+
+# ---------------------------------------------------------------------------
+# supplier_return_rate_wilson — small-n-safe quality ranking
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.96
+
+_WILSON_ORACLE = f"""
+WITH s AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS r
+  FROM lineitem GROUP BY l_suppkey
+), w AS (
+  SELECT l_suppkey, n, r, r / n AS p,
+         ((r / n) + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+          - {_WILSON_Z} * sqrt((r / n) * (1 - r / n) / n
+              + {_WILSON_Z} * {_WILSON_Z} / (4 * n * n)))
+           / (1 + {_WILSON_Z} * {_WILSON_Z} / n) AS lb
+  FROM s
+)
+SELECT l_suppkey, CAST(n AS BIGINT) AS n_lines,
+       CAST(r AS BIGINT) AS n_returns,
+       FLOOR(p * 1e6) / 1e6 AS return_rate,
+       FLOOR(lb * 1e6) / 1e6 AS wilson_lower
+FROM w
+ORDER BY FLOOR(lb * 1e6) / 1e6 DESC, l_suppkey LIMIT 25
+"""
+
+
+@register("supplier_return_rate_wilson", oracle=_WILSON_ORACLE)
+def supplier_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst suppliers by RETURN RATE, ranked by the WILSON score lower
+    bound — the small-sample-safe ranking (a supplier with 1 return in
+    2 lines shows rate 0.5 but a wide interval; Wilson's lower bound
+    ranks honest certainty, the same statistic behind "sort by best
+    rated" done right). Raw-rate ranking — the naive version — is THE
+    classic leaderboard bug this key pins the fix for.
+
+    Exactness: n and r are exact counts; the Wilson expression is one
+    double formula over identical operands both engines, floor-
+    quantized at 1e-6 so both the ORDER and the displayed bound are
+    hash-stable; the top-25 cut sorts on the QUANTIZED bound (tie-
+    break suppkey).
+
+    Scale: one supplier-keyed conditional count (map-side combined),
+    a codegen'd formula projection, TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count_if(F.col("l_returnflag") == "R")
+        .cast("double")
+        .alias("r"),
+    )
+    z = _WILSON_Z
+    p = F.col("r") / F.col("n")
+    lb = (
+        p
+        + z * z / (2 * F.col("n"))
+        - z
+        * F.sqrt(
+            p * (1 - p) / F.col("n")
+            + z * z / (4 * F.col("n") * F.col("n"))
+        )
+    ) / (1 + z * z / F.col("n"))
+    qlb = F.floor(lb * 1e6) / 1e6
+    return (
+        s.select(
+            "l_suppkey",
+            F.col("n").cast("long").alias("n_lines"),
+            F.col("r").cast("long").alias("n_returns"),
+            (F.floor(p * 1e6) / 1e6).alias("return_rate"),
+            qlb.alias("wilson_lower"),
+        )
+        .orderBy(F.col("wilson_lower").desc(), "l_suppkey")
+        .limit(25)
+    )
