@@ -258,6 +258,11 @@ _SWEEP_PRIORITY = [
     "orders_cycle_time",
     "ts_supervised_lag_features",
     "supplier_return_rate_wilson",
+    # --- round-5 batch 56 ---
+    "ts_ar1_fit",
+    "events_user_behavior_entropy",
+    "ts_peak_detection",
+    "text_term_burstiness",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

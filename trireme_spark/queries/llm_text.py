@@ -1675,3 +1675,90 @@ def text_extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("rn = 1")
         .select("doc_id", F.col("sent").alias("summary"), "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_term_burstiness — variance-to-mean dispersion of term counts
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_TOTAL = 200
+
+_BURST_ORACLE = f"""
+WITH per_doc AS (
+  SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+'))
+          AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok, doc_id
+), nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+s AS (
+  SELECT tok, CAST(SUM(c) AS DOUBLE) AS total,
+         CAST(SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)))
+              AS DOUBLE) AS sqsum,
+         CAST(COUNT(*) AS DOUBLE) AS df
+  FROM per_doc GROUP BY tok HAVING SUM(c) >= {_BURST_MIN_TOTAL}
+)
+SELECT tok, CAST(total AS BIGINT) AS total,
+       FLOOR(((sqsum + 0) / n_docs
+              - (total / n_docs) * (total / n_docs))
+             / (total / n_docs) * 1e6) / 1e6 AS burstiness
+FROM s CROSS JOIN nd
+ORDER BY burstiness DESC, tok LIMIT 40
+"""
+
+
+@register("text_term_burstiness", oracle=_BURST_ORACLE)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term BURSTINESS — variance-to-mean ratio (index of dispersion)
+    of per-document counts across the corpus: Poisson-scattered
+    function words sit near 1, CONTENT words clump (a doc that says
+    "vector" once says it again) and score high — the corpus-
+    linguistics statistic behind keyword extraction and stop-list
+    induction that plain frequency can't see (a frequent-but-flat
+    term is noise; a frequent-and-bursty one is topical).
+
+    Variance uses the POPULATION form over ALL docs (zero counts
+    included — algebraically: E[c²] − E[c]² with sums over occurring
+    docs only, divided by the full doc count), so the zero cells never
+    materialize. Support floor ≥200 total occurrences. Exact integer
+    sufficient stats; floor-quantized ratio; top-40 by burstiness.
+
+    Scale: one (term, doc) count, one term-keyed reduce — both
+    language-bounded after the first collapse."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = float(d.count())
+    per_doc = (
+        d.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = (
+        per_doc.groupBy("tok")
+        .agg(
+            F.sum("c").cast("double").alias("total"),
+            F.sum(
+                F.col("c").cast("decimal(18,0)")
+                * F.col("c").cast("decimal(18,0)")
+            )
+            .cast("double")
+            .alias("sqsum"),
+        )
+        .where(F.col("total") >= _BURST_MIN_TOTAL)
+    )
+    mean = F.col("total") / n_docs
+    burst = (
+        F.floor(
+            ((F.col("sqsum") / n_docs) - mean * mean) / mean * 1e6
+        )
+        / 1e6
+    )
+    return (
+        s.select(
+            "tok",
+            F.col("total").cast("long").alias("total"),
+            burst.alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), "tok")
+        .limit(40)
+    )

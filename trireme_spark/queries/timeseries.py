@@ -3869,3 +3869,202 @@ def ts_supervised_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(
         F.col("lag3").isNotNull() & F.col("target_next").isNotNull()
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_ar1_fit — first-order autoregressive fit + one-step forecast
+# ---------------------------------------------------------------------------
+
+_AR1_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts))
+              // 3600000000 AS BIGINT) AS hidx,
+         {oracle_sum('value')} AS v
+  FROM events GROUP BY 1
+), p AS (
+  SELECT a.v AS x, b.v AS y
+  FROM h a JOIN h b ON b.hidx = a.hidx + 1
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {oracle_sum('x')} AS sx, {oracle_sum('y')} AS sy,
+         {oracle_sum('x * x')} AS sxx, {oracle_sum('x * y')} AS sxy
+  FROM p
+), fit AS (
+  SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS phi,
+         sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n AS c
+  FROM s
+), last_v AS (
+  SELECT v FROM h ORDER BY hidx DESC LIMIT 1
+)
+SELECT ROUND(phi, 4) AS phi, ROUND(c, 4) AS intercept,
+       ROUND(c + phi * v, 4) AS forecast_next
+FROM fit CROSS JOIN last_v
+"""
+
+
+@register("ts_ar1_fit", oracle=_AR1_ORACLE)
+def ts_ar1_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) fit of the hourly series — xₜ₊₁ = c + φ·xₜ by OLS on
+    consecutive pairs, plus the one-step forecast from the last
+    observation: the simplest model that BEATS seasonal-naive when
+    shocks persist (φ measures exactly that persistence; φ≈0 says
+    yesterday tells you nothing, the ACF key's lag-1 value in
+    model form).
+
+    Exactness: pairs from the hour-index self-join; OLS from
+    decimal-exact sufficient statistics; outputs ROUND(4) (the
+    coarse-grid doctrine — the Zipf lesson about >15-digit decimal
+    casts applies to any OLS over large sums).
+
+    Scale: hourly rollup → one +1-offset self-join → 1-row fit; the
+    per-key variant adds the key to every join/group."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        (
+            F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
+            / (3600 * 10**6)
+        )
+        .cast("long")
+        .alias("hidx")
+    ).agg(dsum("value").alias("v"))
+    a = h.alias("a")
+    b = h.select(
+        F.col("hidx").alias("bhidx"), F.col("v").alias("y")
+    )
+    p = a.join(b, F.col("bhidx") == F.col("a.hidx") + 1).select(
+        F.col("a.v").alias("x"), "y"
+    )
+    s = p.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    phi = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    c = F.col("sy") / F.col("n") - phi * F.col("sx") / F.col("n")
+    fit = s.select(phi.alias("phi"), c.alias("c"))
+    last_v = (
+        h.orderBy(F.col("hidx").desc()).limit(1).select("v")
+    )
+    return fit.crossJoin(F.broadcast(last_v)).select(
+        F.round("phi", 4).alias("phi"),
+        F.round("c", 4).alias("intercept"),
+        F.round(F.col("c") + F.col("phi") * F.col("v"), 4).alias(
+            "forecast_next"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_user_behavior_entropy — behavioral diversity score
+# ---------------------------------------------------------------------------
+
+_UBE_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id, event_type
+), t AS (
+  SELECT user_id, CAST(SUM(cnt) AS DOUBLE) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM c GROUP BY user_id
+)
+SELECT c.user_id, t.n_types,
+       ROUND(CAST(SUM(CAST(ROUND(
+           -(cnt / n) * ln(cnt / n) / ln(2.0), 12)
+           AS DECIMAL(38,12))) AS DOUBLE), 6) AS entropy_bits
+FROM c JOIN t USING (user_id)
+GROUP BY c.user_id, t.n_types
+"""
+
+
+@register("events_user_behavior_entropy", oracle=_UBE_ORACLE)
+def events_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral DIVERSITY per user — Shannon entropy of the
+    event-type distribution: single-action accounts (scrapers hitting
+    one endpoint, click farms) score near 0, engaged humans spread
+    across the catalog score high — the segmentation feature that
+    separates "active" from "genuinely engaged", and the char-entropy
+    key's pattern applied at the behavioral grain.
+
+    Same exactness: −p·log₂p quantized 12 dp before the decimal sum.
+    Scale: one (user, type) count + one user-keyed reduce — type
+    cardinality bounds the inner table at |users|·|types|."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("cnt").cast("double").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    pr = F.col("cnt") / F.col("n")
+    term = F.round(-pr * F.log(pr) / F.log(F.lit(2.0)), 12).cast(
+        "decimal(38,12)"
+    )
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "n_types")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("entropy_bits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_peak_detection — local maxima of the hourly series
+# ---------------------------------------------------------------------------
+
+_PEAK_ORACLE = f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, {oracle_sum('value')} AS v
+  FROM events GROUP BY 1
+), w AS (
+  SELECT hr, v,
+         LAG(v, 1) OVER o AS p1, LAG(v, 2) OVER o AS p2,
+         LEAD(v, 1) OVER o AS f1, LEAD(v, 2) OVER o AS f2
+  FROM h WINDOW o AS (ORDER BY hr)
+)
+SELECT CAST(hr AS VARCHAR) AS hr, v
+FROM w
+WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+  AND f1 IS NOT NULL AND f2 IS NOT NULL
+  AND v > p1 AND v > p2 AND v > f1 AND v > f2
+"""
+
+
+@register("ts_peak_detection", oracle=_PEAK_ORACLE)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum PEAK detection: hours strictly above both
+    neighbors on each side (±2 window) — the event-marking primitive
+    behind "what spiked" annotations and alert snapshotting; edge
+    hours without a full neighborhood are excluded (a peak claim
+    needs evidence on BOTH sides — the lag-features drop rule).
+
+    Decimal-exact hourly sums make the strict > comparisons
+    hash-stable. Scale: the window runs over the DIMENSION-sized
+    hourly series under meta_part; per-key peaks partition by the
+    key."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        dsum("value").alias("v")
+    )
+    w = Window.partitionBy(meta_part("v")).orderBy("hr")
+    out = h.select(
+        F.col("hr").cast("string").alias("hr"),
+        "v",
+        F.lag("v", 1).over(w).alias("p1"),
+        F.lag("v", 2).over(w).alias("p2"),
+        F.lead("v", 1).over(w).alias("f1"),
+        F.lead("v", 2).over(w).alias("f2"),
+    )
+    return out.where(
+        F.col("p1").isNotNull()
+        & F.col("p2").isNotNull()
+        & F.col("f1").isNotNull()
+        & F.col("f2").isNotNull()
+        & (F.col("v") > F.col("p1"))
+        & (F.col("v") > F.col("p2"))
+        & (F.col("v") > F.col("f1"))
+        & (F.col("v") > F.col("f2"))
+    ).select("hr", "v")
