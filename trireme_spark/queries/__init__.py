@@ -263,6 +263,7 @@ _SWEEP_PRIORITY = [
     "events_user_behavior_entropy",
     "ts_peak_detection",
     "text_term_burstiness",
+    "ts_holt_winters_additive",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

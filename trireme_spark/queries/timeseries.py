@@ -4068,3 +4068,114 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v") > F.col("f1"))
         & (F.col("v") > F.col("f2"))
     ).select("hr", "v")
+
+
+# ---------------------------------------------------------------------------
+# ts_holt_winters_additive — triple exponential smoothing (level+trend+seasonal)
+# ---------------------------------------------------------------------------
+
+_HW_A, _HW_B, _HW_G, _HW_P = 0.3, 0.1, 0.2, 24
+
+_HW_ORACLE = f"""
+WITH RECURSIVE h AS (
+  SELECT date_trunc('hour', ts) AS hr, {oracle_sum('value')} AS x
+  FROM events GROUP BY 1
+), seq AS (
+  SELECT hr, x, ROW_NUMBER() OVER (ORDER BY hr) AS rn FROM h
+), zero AS (
+  SELECT list_transform(range({_HW_P}), i -> CAST(0.0 AS DOUBLE)) AS z
+), r AS (
+  SELECT rn, hr, CAST(x AS DOUBLE) AS lvl, CAST(0.0 AS DOUBLE) AS trd,
+         CAST(0.0 AS DOUBLE) AS seas_used, z AS s
+  FROM seq CROSS JOIN zero WHERE rn = 1
+  UNION ALL
+  SELECT q.rn, q.hr,
+         {_HW_A} * (q.x - r.s[1]) + (1 - {_HW_A}) * (r.lvl + r.trd),
+         {_HW_B} * (({_HW_A} * (q.x - r.s[1])
+                     + (1 - {_HW_A}) * (r.lvl + r.trd)) - r.lvl)
+           + (1 - {_HW_B}) * r.trd,
+         r.s[1],
+         list_append(r.s[2:{_HW_P}],
+             {_HW_G} * (q.x - ({_HW_A} * (q.x - r.s[1])
+                 + (1 - {_HW_A}) * (r.lvl + r.trd)))
+               + (1 - {_HW_G}) * r.s[1])
+  FROM r JOIN seq q ON q.rn = r.rn + 1
+)
+SELECT CAST(hr AS VARCHAR) AS hr, ROUND(lvl, 6) AS level,
+       ROUND(trd, 6) AS trend, ROUND(seas_used, 6) AS seas_used
+FROM r
+"""
+
+
+@register("ts_holt_winters_additive", oracle=_HW_ORACLE)
+def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple smoothing over the hourly series
+    (period 24): level, trend, AND a rotating 24-slot seasonal state —
+    the capstone of the recursive-fold family (EWMA: 1 state var;
+    Holt: 2 coupled; this: 26, including a VECTOR the recursion
+    rotates each step) and the classical forecaster for seasonal
+    operational series. Cold-start is the documented simplified init
+    (ℓ₀=x₁, b₀=0, seasonal zeros — production uses a first-cycle
+    decomposition; the recursion is what's under test, and both
+    engines run the IDENTICAL one).
+
+    Parity: the oracle is a recursive CTE carrying a LIST column
+    (rotate = slice+append); the Spark fold mirrors every double op
+    in order, so ROUND(6) compares exact values — bit-parity proven
+    to survive vector state.
+
+    Scale: ONE dimension-sized series folds sequentially (that is the
+    recurrence's nature); across keys the same fold parallelizes per
+    group — exactly the EWMA shape with a bigger state tuple."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        dsum("value").alias("x")
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("hr")
+        out_lvl, out_trd, out_seas = [], [], []
+        lvl = trd = None
+        s = [0.0] * _HW_P
+        for x in pdf["x"].to_numpy():
+            x = float(x)
+            if lvl is None:
+                lvl, trd = x, 0.0
+                out_seas.append(0.0)
+            else:
+                seas = s[0]
+                new_lvl = _HW_A * (x - seas) + (1 - _HW_A) * (lvl + trd)
+                trd = _HW_B * (new_lvl - lvl) + (1 - _HW_B) * trd
+                new_seas = _HW_G * (x - new_lvl) + (1 - _HW_G) * seas
+                s = s[1:] + [new_seas]
+                lvl = new_lvl
+                out_seas.append(seas)
+            out_lvl.append(lvl)
+            out_trd.append(trd)
+        return pd.DataFrame(
+            {
+                "hr": pdf["hr"],
+                "lvl": out_lvl,
+                "trd": out_trd,
+                "seas_used": out_seas,
+            }
+        )
+
+    from trireme_spark.parity import meta_part as _mp
+
+    return (
+        h.withColumn("k", _mp("x"))
+        .groupBy("k")
+        .applyInPandas(
+            fold,
+            "hr timestamp_ntz, lvl double, trd double, seas_used double",
+        )
+        .select(
+            F.col("hr").cast("string").alias("hr"),
+            F.round("lvl", 6).alias("level"),
+            F.round("trd", 6).alias("trend"),
+            F.round("seas_used", 6).alias("seas_used"),
+        )
+    )
