@@ -264,6 +264,9 @@ _SWEEP_PRIORITY = [
     "ts_peak_detection",
     "text_term_burstiness",
     "ts_holt_winters_additive",
+    # --- round-5 batch 58 ---
+    "text_stylometry_attribution",
+    "lineitem_eoq_replenishment",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

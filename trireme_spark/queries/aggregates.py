@@ -1167,3 +1167,74 @@ def supplier_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("wilson_lower").desc(), "l_suppkey")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_eoq_replenishment — economic order quantity per part
+# ---------------------------------------------------------------------------
+
+_EOQ_S = 50.0  # fixed ordering cost per order
+_EOQ_H_RATE = 0.2  # annual holding cost as a fraction of unit price
+
+_EOQ_ORACLE = f"""
+WITH d AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+           AS annual_demand
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT d.l_partkey, CAST(annual_demand AS BIGINT) AS annual_demand,
+       FLOOR(sqrt(2 * annual_demand * {_EOQ_S}
+                  / ({_EOQ_H_RATE} * p.p_retailprice)) * 1e2) / 1e2
+         AS eoq_units,
+       CAST(CEIL(annual_demand
+            / (FLOOR(sqrt(2 * annual_demand * {_EOQ_S}
+                  / ({_EOQ_H_RATE} * p.p_retailprice)) * 1e2) / 1e2))
+            AS BIGINT) AS orders_per_year
+FROM d JOIN part p ON p.p_partkey = d.l_partkey
+"""
+
+
+@register("lineitem_eoq_replenishment", oracle=_EOQ_ORACLE)
+def lineitem_eoq_replenishment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic Order Quantity per part — √(2DS/H) with demand D from
+    the fact table and holding cost H from the part's price: the
+    inventory-policy output the ABC-XYZ matrix feeds (A×X items get
+    EOQ automation) — closing the supply-chain loop from
+    classification to an actionable order size and cadence.
+
+    Exactness: demand is decimal-exact; the EOQ formula is one double
+    expression over identical operands, floor-quantized at 1e-2
+    (units); orders/year ceilings on the QUANTIZED EOQ so both
+    engines cut identically.
+
+    Scale: one part-keyed rollup + a broadcast-or-shuffle dim join +
+    a codegen'd formula — the plan of every per-entity policy
+    computation."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    d = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(DSCALE))
+        .cast("double")
+        .alias("annual_demand")
+    )
+    eoq = (
+        F.floor(
+            F.sqrt(
+                2
+                * F.col("annual_demand")
+                * _EOQ_S
+                / (_EOQ_H_RATE * F.col("p_retailprice"))
+            )
+            * 1e2
+        )
+        / 1e2
+    )
+    return d.join(p, d["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey",
+        F.col("annual_demand").cast("long").alias("annual_demand"),
+        eoq.alias("eoq_units"),
+        F.ceil(F.col("annual_demand") / eoq).cast("long").alias(
+            "orders_per_year"
+        ),
+    )

@@ -1762,3 +1762,115 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("burstiness").desc(), "tok")
         .limit(40)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_stylometry_attribution — function-word fingerprints per source
+# ---------------------------------------------------------------------------
+
+_STYLE_WORDS = ["the", "a", "and", "of", "to", "in"]
+_STYLE_SQL = ", ".join(f"'{w}'" for w in _STYLE_WORDS)
+
+_STYLO_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, tok FROM (
+    SELECT doc_id, source,
+           unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), doc_prof AS (
+  SELECT doc_id, source, w.sw,
+         FLOOR(CAST(COUNT(*) FILTER (WHERE tok = w.sw) AS DOUBLE)
+               / COUNT(*) * 1e6) / 1e6 AS f
+  FROM t CROSS JOIN (SELECT UNNEST([{_STYLE_SQL}]) AS sw) w
+  GROUP BY doc_id, source, w.sw
+), src_prof AS (
+  SELECT source AS psrc, sw,
+         FLOOR(CAST(SUM(fc) AS DOUBLE) / SUM(tc) * 1e6) / 1e6 AS pf
+  FROM (
+    SELECT source, w.sw,
+           COUNT(*) FILTER (WHERE tok = w.sw) AS fc, COUNT(*) AS tc
+    FROM t CROSS JOIN (SELECT UNNEST([{_STYLE_SQL}]) AS sw) w
+    GROUP BY source, w.sw, doc_id
+  ) GROUP BY source, sw
+), dist AS (
+  SELECT d.doc_id, d.source, s.psrc,
+         FLOOR(SUM(ABS(d.f - s.pf)) * 1e6) / 1e6 AS l1
+  FROM doc_prof d JOIN src_prof s USING (sw)
+  GROUP BY d.doc_id, d.source, s.psrc
+), best AS (
+  SELECT doc_id, source, psrc,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY l1 ASC, psrc ASC) AS rn
+  FROM dist
+)
+SELECT source, psrc AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM best WHERE rn = 1 GROUP BY source, psrc
+"""
+
+
+@register("text_stylometry_attribution", oracle=_STYLO_ORACLE)
+def text_stylometry_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stylometric source attribution — the Mosteller-Wallace method in
+    miniature: FUNCTION-WORD frequency profiles (content-free, hence
+    author/source-revealing) per document, each document attributed to
+    the nearest SOURCE profile by L1 distance, reported as the
+    source × predicted confusion matrix. The forensics/contamination
+    view: a "new" source whose docs all attribute to an existing one
+    is a relabeled copy — provenance checking that survives content
+    paraphrase because it never looks at content words.
+
+    Exactness: per-doc and per-source frequencies floor-quantize at
+    1e-6 BEFORE the distances (ratio parity), L1 sums floor-quantize
+    before the argmin, ties break by source name.
+
+    Scale: profiles are |docs|×6 and |sources|×6 tables; attribution
+    is a doc-keyed join against the broadcast source profiles; the
+    confusion matrix is dimension-sized."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.explode(tokenize("text")).alias("tok")
+    ).where(F.col("tok") != "")
+    sw = spark.createDataFrame([(w,) for w in _STYLE_WORDS], "sw string")
+    base = t.crossJoin(F.broadcast(sw))
+    doc_prof = base.groupBy("doc_id", "source", "sw").agg(
+        (
+            F.floor(
+                F.count_if(F.col("tok") == F.col("sw")).cast("double")
+                / F.count(F.lit(1))
+                * 1e6
+            )
+            / 1e6
+        ).alias("f")
+    )
+    src_counts = base.groupBy("source", "sw", "doc_id").agg(
+        F.count_if(F.col("tok") == F.col("sw")).alias("fc"),
+        F.count(F.lit(1)).alias("tc"),
+    )
+    src_prof = src_counts.groupBy(
+        F.col("source").alias("psrc"), "sw"
+    ).agg(
+        (
+            F.floor(
+                F.sum("fc").cast("double") / F.sum("tc") * 1e6
+            )
+            / 1e6
+        ).alias("pf")
+    )
+    dist = (
+        doc_prof.join(F.broadcast(src_prof), "sw")
+        .groupBy("doc_id", "source", "psrc")
+        .agg(
+            (
+                F.floor(F.sum(F.abs(F.col("f") - F.col("pf"))) * 1e6)
+                / 1e6
+            ).alias("l1")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("l1").asc(), F.col("psrc").asc()
+    )
+    best = dist.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    return best.groupBy("source", F.col("psrc").alias("predicted")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
