@@ -267,6 +267,7 @@ _SWEEP_PRIORITY = [
     # --- round-5 batch 58 ---
     "text_stylometry_attribution",
     "lineitem_eoq_replenishment",
+    "multimodal_scene_cuts",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -399,3 +399,94 @@ def multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "run_start", "run_end", "n_frames")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_scene_cuts — frame-difference shot-boundary detection
+# ---------------------------------------------------------------------------
+
+_CUT_FRAME = 400
+_CUT_TH = 2_000_000  # |Δ energy| above this = cut
+
+_SCENE_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, text AS t, octet_length(CAST(text AS BLOB)) AS n
+  FROM documents
+), fr AS (
+  SELECT doc_id, f.frame_no,
+         CAST(list_sum(list_transform(
+             range(CAST(least(n - f.frame_no * {_CUT_FRAME},
+                              {_CUT_FRAME}) AS BIGINT)),
+             i -> ascii(substr(t,
+                  CAST(f.frame_no * {_CUT_FRAME} + i AS INT) + 1, 1)) ^ 2
+         )) AS BIGINT) AS energy
+  FROM sized, LATERAL (
+    SELECT UNNEST(range(CAST((n + {_CUT_FRAME} - 1) // {_CUT_FRAME}
+                             AS BIGINT))) AS frame_no
+  ) f
+)
+SELECT doc_id, CAST(frame_no AS INTEGER) AS cut_at_frame,
+       CAST(ABS(energy - LAG(energy) OVER (PARTITION BY doc_id
+                                           ORDER BY frame_no))
+            AS BIGINT) AS delta
+FROM fr
+QUALIFY LAG(energy) OVER (PARTITION BY doc_id ORDER BY frame_no)
+          IS NOT NULL
+    AND ABS(energy - LAG(energy) OVER (PARTITION BY doc_id
+                                       ORDER BY frame_no)) > {_CUT_TH}
+"""
+
+
+@register("multimodal_scene_cuts", oracle=_SCENE_ORACLE)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOT-BOUNDARY detection — the video-segmentation primitive:
+    frame-to-frame feature DELTA above a threshold marks a cut (here
+    the per-frame energy over the byte payload; a real pipeline swaps
+    in color-histogram or embedding distance at the same seam). The
+    last partial frame's energy drop naturally trips the detector —
+    the boundary every real cut-detector must handle; exact integer
+    deltas make every flagged cut value-checked.
+
+    Pipeline: the audio-frames Arrow pattern (non-overlapping frames,
+    bytes never leave the executor) → ONE doc-keyed lag window on the
+    frame stats. Silence runs (multimodal_audio_silence) detect
+    sustained LOW state; cuts detect CHANGE — together they are the
+    segmentation pair every media pipeline starts with."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    binary_df = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def frames(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "energy": []}
+            for doc_id, pay in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(pay, dtype=np.uint8).astype(np.int64)
+                n = len(x)
+                n_frames = (n + _CUT_FRAME - 1) // _CUT_FRAME
+                for k in range(n_frames):
+                    seg = x[k * _CUT_FRAME : (k + 1) * _CUT_FRAME]
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(k)
+                    out["energy"].append(int((seg * seg).sum()))
+            yield pd.DataFrame(out)
+
+    fr = binary_df.mapInPandas(
+        frames, "doc_id long, frame_no int, energy long"
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("frame_no")
+    out = fr.select(
+        "doc_id",
+        F.col("frame_no").alias("cut_at_frame"),
+        F.abs(F.col("energy") - F.lag("energy").over(w)).alias("delta"),
+        F.lag("energy").over(w).alias("prev"),
+    )
+    return out.where(
+        F.col("prev").isNotNull() & (F.col("delta") > _CUT_TH)
+    ).select("doc_id", "cut_at_frame", "delta")
