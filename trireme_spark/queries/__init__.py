@@ -268,6 +268,9 @@ _SWEEP_PRIORITY = [
     "text_stylometry_attribution",
     "lineitem_eoq_replenishment",
     "multimodal_scene_cuts",
+    # --- round-5 batch 59 ---
+    "orders_hhi_concentration",
+    "ts_seasonality_strength",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

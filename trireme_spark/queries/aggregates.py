@@ -1238,3 +1238,66 @@ def lineitem_eoq_replenishment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orders_per_year"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_hhi_concentration — Herfindahl-Hirschman revenue concentration
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH c AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+              AS DECIMAL(27,6)) AS r
+  FROM orders GROUP BY o_custkey
+), t AS (SELECT CAST(SUM(r) AS DOUBLE) AS tot,
+                CAST(COUNT(*) AS BIGINT) AS n FROM c)
+SELECT n AS n_customers,
+       CAST(FLOOR(SUM(CAST(ROUND(
+           (CAST(r AS DOUBLE) / tot) * (CAST(r AS DOUBLE) / tot) * 1e12,
+           0) AS DECIMAL(38,0)))) / 1e6 AS BIGINT) AS hhi_ppm,
+       (CAST(FLOOR(SUM(CAST(ROUND(
+           (CAST(r AS DOUBLE) / tot) * (CAST(r AS DOUBLE) / tot) * 1e12,
+           0) AS DECIMAL(38,0)))) / 1e6 AS BIGINT) > CAST(250000 AS BIGINT))
+         AS concentrated
+FROM c CROSS JOIN t GROUP BY n
+"""
+
+
+@register("orders_hhi_concentration", oracle=_HHI_ORACLE)
+def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of customer revenue concentration —
+    Σ(shareᵢ)², the antitrust-grade concentration number (>0.25 ≈ the
+    DOJ's "highly concentrated") and the single-metric complement of
+    the Gini/Pareto keys: HHI is dominated by the LARGEST shares
+    (it's the expected share of a revenue-weighted draw), so it
+    answers "how exposed are we to our top accounts" directly.
+
+    Exactness: shares from decimal-exact revenue; per-customer share²
+    terms ROUND to integer 1e-12 units before the order-independent
+    decimal sum; the index ships as integer parts-per-million.
+
+    Scale: one customer-keyed rollup + a 1-row total broadcast + one
+    map-side-combined sum — concentration of a 100 TB fact table
+    costs two aggregations."""
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DSCALE)).alias("r")
+    )
+    t = c.agg(
+        F.sum("r").cast("double").alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    share = F.col("r").cast("double") / F.col("tot")
+    term = F.round(share * share * 1e12, 0).cast("decimal(38,0)")
+    hhi = (F.floor(F.sum(term)) / 1e6).cast("long")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy(F.col("n").alias("n_customers"))
+        .agg(hhi.alias("hhi_ppm"))
+        .select(
+            "n_customers",
+            "hhi_ppm",
+            (F.col("hhi_ppm") > 2500 * 100).alias("concentrated"),
+        )
+    )

@@ -4179,3 +4179,115 @@ def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("seas_used", 6).alias("seas_used"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_seasonality_strength — variance share of the seasonal component
+# ---------------------------------------------------------------------------
+
+_SEAS_STR_ORACLE = f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, {oracle_sum('value')} AS v
+  FROM events GROUP BY 1
+), t AS (
+  SELECT hr, v,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(27,6))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w, 6) AS trend
+  FROM h
+  WINDOW w AS (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), d AS (
+  SELECT hr, CAST(ROUND(v - trend, 6) AS DECIMAL(27,6)) AS det,
+         EXTRACT(hour FROM hr) AS hod
+  FROM t
+), s AS (
+  SELECT hod, ROUND(CAST(SUM(det) AS DOUBLE) / COUNT(*), 6) AS seasonal
+  FROM d GROUP BY hod
+), r AS (
+  SELECT CAST(ROUND(CAST(d.det AS DOUBLE) - s.seasonal, 6)
+              AS DECIMAL(27,6)) AS resid, d.det
+  FROM d JOIN s USING (hod)
+), v AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(det) AS DOUBLE) AS sd,
+         CAST(SUM(det * det) AS DOUBLE) AS sdd,
+         CAST(SUM(resid) AS DOUBLE) AS sr,
+         CAST(SUM(resid * resid) AS DOUBLE) AS srr
+  FROM r
+)
+SELECT ROUND(GREATEST(0.0,
+         1.0 - (srr - sr * sr / n) / (sdd - sd * sd / n)), 4)
+       AS seasonal_strength
+FROM v
+"""
+
+
+@register("ts_seasonality_strength", oracle=_SEAS_STR_ORACLE)
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALITY STRENGTH (Hyndman's F_s): 1 − Var(residual)/
+    Var(detrended) over the additive decomposition — the single number
+    that says whether the hour-of-day structure is real (≈1: strongly
+    seasonal — invest in seasonal baselines; ≈0: the seasonal keys
+    are modeling noise). This is the GATE for the seasonal-anomaly/
+    decompose/Holt-Winters family: compute it first, deploy them
+    second.
+
+    Composition: the decompose pipeline's exact chain (decimal hourly
+    sums → frame-mean trend → quantized detrend → hour-of-day
+    seasonal → quantized residual) reduced to two variance
+    sufficient-stat pairs; one double expression at the end, clamped
+    at 0, ROUND(4) coarse grid.
+
+    Scale: everything after the hourly rollup is dimension-sized."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        dsum("value").alias("v")
+    )
+    w = (
+        Window.partitionBy(meta_part("v"))
+        .orderBy("hr")
+        .rowsBetween(-12, 12)
+    )
+    t = h.select(
+        "hr",
+        "v",
+        F.round(
+            F.sum(F.col("v").cast("decimal(27,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("trend"),
+    )
+    d = t.select(
+        F.round(F.col("v") - F.col("trend"), 6)
+        .cast("decimal(27,6)")
+        .alias("det"),
+        F.hour("hr").alias("hod"),
+    )
+    s = d.groupBy("hod").agg(
+        F.round(F.sum("det").cast("double") / F.count(F.lit(1)), 6).alias(
+            "seasonal"
+        )
+    )
+    r = d.join(F.broadcast(s), "hod").select(
+        "det",
+        F.round(F.col("det").cast("double") - F.col("seasonal"), 6)
+        .cast("decimal(27,6)")
+        .alias("resid"),
+    )
+    v = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("det").cast("double").alias("sd"),
+        F.sum(F.col("det") * F.col("det")).cast("double").alias("sdd"),
+        F.sum("resid").cast("double").alias("sr"),
+        F.sum(F.col("resid") * F.col("resid")).cast("double").alias("srr"),
+    )
+    return v.select(
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1.0
+                - (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n"))
+                / (F.col("sdd") - F.col("sd") * F.col("sd") / F.col("n")),
+            ),
+            4,
+        ).alias("seasonal_strength")
+    )
