@@ -271,6 +271,9 @@ _SWEEP_PRIORITY = [
     # --- round-5 batch 59 ---
     "orders_hhi_concentration",
     "ts_seasonality_strength",
+    # --- round-5 batch 60 ---
+    "text_langid_eval",
+    "events_ab_power_mde",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

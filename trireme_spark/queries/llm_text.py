@@ -1874,3 +1874,134 @@ def text_stylometry_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy("source", F.col("psrc").alias("predicted")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_langid_eval — classifier evaluation: confusion matrix + P/R/F1
+# ---------------------------------------------------------------------------
+
+_LID_EVAL_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           {_profile_sql('en')} AS s_en,
+           {_profile_sql('de')} AS s_de,
+           {_profile_sql('es')} AS s_es,
+           {_profile_sql('fr')} AS s_fr,
+           {_profile_sql('zh')} AS s_zh
+    FROM documents
+), pred AS (
+  SELECT lang AS labeled,
+         CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+              WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+              WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+              WHEN s_fr >= s_zh THEN 'fr'
+              ELSE 'zh' END AS predicted
+  FROM scored
+), cls AS (SELECT DISTINCT labeled AS c FROM pred),
+m AS (
+  SELECT c,
+         CAST(COUNT(*) FILTER (WHERE labeled = c AND predicted = c)
+              AS DOUBLE) AS tp,
+         CAST(COUNT(*) FILTER (WHERE predicted = c AND labeled <> c)
+              AS DOUBLE) AS fp,
+         CAST(COUNT(*) FILTER (WHERE labeled = c AND predicted <> c)
+              AS DOUBLE) AS fn
+  FROM pred CROSS JOIN cls GROUP BY c
+)
+SELECT c AS lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       FLOOR(tp / GREATEST(tp + fp, 1) * 1e6) / 1e6 AS precision_,
+       FLOOR(tp / GREATEST(tp + fn, 1) * 1e6) / 1e6 AS recall_,
+       FLOOR(2 * tp / GREATEST(2 * tp + fp + fn, 1) * 1e6) / 1e6 AS f1
+FROM m
+"""
+
+
+@register("text_langid_eval", oracle=_LID_EVAL_ORACLE)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION harness — per-class precision/recall/F1 of
+    the language-ID heuristic against the corpus's ground-truth lang
+    labels: the missing half of any deployed classifier (the langid
+    key PREDICTS; this key answers "should you trust it, per class").
+    The shape — predictions ⋈ labels → per-class tp/fp/fn → P/R/F1 —
+    is the evaluation plan of EVERY batch classifier on the engine,
+    model-based ones included (swap the CASE for an inference UDF).
+
+    Exactness: counts are exact; ratios floor-quantize at 1e-6 with
+    GREATEST(·,1) guarding empty classes (the PSI ε doctrine).
+    F1 computed as 2tp/(2tp+fp+fn) — the single-expression form that
+    avoids compounding two quantized ratios.
+
+    Scale: one prediction pass (codegen'd), one class-keyed count —
+    the |classes|-sized cross join is against a 5-row dimension."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in _PROFILES.items()
+    }
+    s = d.select(
+        F.col("lang").alias("labeled"),
+        *[scores[lang].alias(f"s_{lang}") for lang in _PROFILES],
+    )
+    pred_col = (
+        F.when(
+            F.col("s_en") >= F.greatest("s_de", "s_es", "s_fr", "s_zh"),
+            "en",
+        )
+        .when(F.col("s_de") >= F.greatest("s_es", "s_fr", "s_zh"), "de")
+        .when(F.col("s_es") >= F.greatest("s_fr", "s_zh"), "es")
+        .when(F.col("s_fr") >= F.col("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    pred = s.select("labeled", pred_col.alias("predicted"))
+    cls = pred.select(F.col("labeled").alias("c")).distinct()
+    m = (
+        pred.crossJoin(F.broadcast(cls))
+        .groupBy("c")
+        .agg(
+            F.count_if(
+                (F.col("labeled") == F.col("c"))
+                & (F.col("predicted") == F.col("c"))
+            )
+            .cast("double")
+            .alias("tp"),
+            F.count_if(
+                (F.col("predicted") == F.col("c"))
+                & (F.col("labeled") != F.col("c"))
+            )
+            .cast("double")
+            .alias("fp"),
+            F.count_if(
+                (F.col("labeled") == F.col("c"))
+                & (F.col("predicted") != F.col("c"))
+            )
+            .cast("double")
+            .alias("fn"),
+        )
+    )
+
+    def q(x):
+        return F.floor(x * 1e6) / 1e6
+
+    return m.select(
+        F.col("c").alias("lang"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        q(F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1.0))).alias(
+            "precision_"
+        ),
+        q(F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1.0))).alias(
+            "recall_"
+        ),
+        q(
+            2
+            * F.col("tp")
+            / F.greatest(
+                2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1.0)
+            )
+        ).alias("f1"),
+    )

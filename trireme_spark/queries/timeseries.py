@@ -4291,3 +4291,75 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("seasonal_strength")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_power_mde — experiment planning: minimum detectable effect
+# ---------------------------------------------------------------------------
+
+_MDE_Z_ALPHA = 1.959964  # two-sided α = 0.05
+_MDE_Z_BETA = 0.841621  # power = 0.80
+
+_MDE_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS converted
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(converted) AS conv FROM u
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       FLOOR(conv / n * 1e6) / 1e6 AS baseline_cvr,
+       FLOOR(({_MDE_Z_ALPHA} + {_MDE_Z_BETA})
+             * sqrt(2 * (conv / n) * (1 - conv / n) / (n / 2))
+             * 1e6) / 1e6 AS mde_abs,
+       FLOOR(({_MDE_Z_ALPHA} + {_MDE_Z_BETA})
+             * sqrt(2 * (conv / n) * (1 - conv / n) / (n / 2))
+             / (conv / n) * 1e6) / 1e6 AS mde_rel
+FROM s
+"""
+
+
+@register("events_ab_power_mde", oracle=_MDE_ORACLE)
+def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment PLANNING — the minimum detectable effect a 50/50
+    split of the current audience can resolve at α=0.05 / power 0.80:
+    MDE = (z_α/2 + z_β)·√(2p(1−p)/(n/2)) — the calculation that runs
+    BEFORE ab_test/CUPED/DiD and kills underpowered experiments on the
+    whiteboard ("we can only detect a 20% relative lift" is usually
+    the end of the meeting). Completes the experimentation suite:
+    plan (this) → randomize (ab_test) → tighten (CUPED) →
+    quasi-experiment fallback (DiD) → monitor (PSI).
+
+    Exactness: baseline CVR from exact distinct-user conversion
+    counts; the MDE is one double formula over identical operands
+    with literal z constants, floor-quantized.
+
+    Scale: one user-keyed collapse + a 1-row readout."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("converted")
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("converted").alias("conv"),
+    )
+    p = F.col("conv") / F.col("n")
+    mde = (_MDE_Z_ALPHA + _MDE_Z_BETA) * F.sqrt(
+        2 * p * (1 - p) / (F.col("n") / 2)
+    )
+
+    def q(x):
+        return F.floor(x * 1e6) / 1e6
+
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        q(p).alias("baseline_cvr"),
+        q(mde).alias("mde_abs"),
+        q(mde / p).alias("mde_rel"),
+    )
