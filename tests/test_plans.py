@@ -454,3 +454,36 @@ def test_distribute_sort_by_elides_window_exchange(spark):
     p = plan(registry.QUERIES["sql_distribute_sort_by"](spark, SF_SMOKE))
     assert p.count("Exchange (") == 1
     assert "Window" in p
+
+
+def test_skipgram_pairs_generate_in_row(spark):
+    """text_skipgram_pairs: pair generation is IN-ROW (zip of shifted
+    slices) — the plan must contain no join at all; the only shuffle
+    is the pair-count aggregation plus its TopK."""
+    p = plan(registry.QUERIES["text_skipgram_pairs"](spark, SF_SMOKE))
+    assert "Join" not in p
+    assert "Cartesian" not in p
+
+
+def test_containment_no_cartesian(spark):
+    """dedup_containment: asymmetric prefix blocking — candidates meet
+    through keyed equi-joins, never a cross join."""
+    p = plan(registry.QUERIES["dedup_containment"](spark, SF_SMOKE))
+    assert "Cartesian" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_knn_graph_is_grouped_gemm(spark):
+    """sim_knn_graph_all: the quadratic work lives in the block-pair
+    applyInPandas GEMM (FlatMapGroupsInPandas), not in any join."""
+    p = plan(registry.QUERIES["sim_knn_graph_all"](spark, SF_SMOKE))
+    assert "FlatMapGroupsInPandas" in p
+    assert "Cartesian" not in p
+
+
+def test_velocity_flag_keyed_range_frame(spark):
+    """events_velocity_flag: the sliding count is a keyed RANGE frame
+    (RangeFrame under a user_id windowspec), not a self-join."""
+    p = plan(registry.QUERIES["events_velocity_flag"](spark, SF_SMOKE))
+    assert "RangeFrame" in p
+    assert "windowspecdefinition(user_id" in p
