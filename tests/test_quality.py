@@ -685,3 +685,19 @@ def test_installments_sum_exactly_to_invoice(spark):
         .alias("c"),
     )
     assert got.join(want, ["o_orderkey", "c"]).count() == o.count()
+
+
+def test_procrustes_recovers_planted_rotation(spark):
+    """embed_procrustes_align: the SVD alignment must recover the
+    planted orthogonal transform EXACTLY — alignment MSE ~ 0, R
+    orthogonal to machine precision, and every dimension's planted
+    permutation slot recovered."""
+    rows = {
+        r["metric"]: r["value"]
+        for r in registry.QUERIES["embed_procrustes_align"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert rows["alignment_mse"] < 1e-12, rows
+    assert rows["orthogonality_err"] < 1e-10, rows
+    assert rows["perm_recovery"] == 1.0, rows

@@ -274,6 +274,9 @@ _SWEEP_PRIORITY = [
     # --- round-5 batch 60 ---
     "text_langid_eval",
     "events_ab_power_mde",
+    # --- round-5 batch 61 ---
+    "orders_benford_test",
+    "embed_procrustes_align",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -1301,3 +1301,75 @@ def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hhi_ppm") > 2500 * 100).alias("concentrated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_benford_test — first-digit forensic screen
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+c AS (
+  SELECT digit, CAST(COUNT(*) AS DOUBLE) AS observed
+  FROM d GROUP BY digit
+)
+SELECT CAST(digit AS INTEGER) AS digit,
+       CAST(observed AS BIGINT) AS observed,
+       CAST(FLOOR(n * ln(1.0 + 1.0 / digit) / ln(10.0)) AS BIGINT)
+         AS expected_floor,
+       FLOOR((observed - n * ln(1.0 + 1.0 / digit) / ln(10.0))
+             * (observed - n * ln(1.0 + 1.0 / digit) / ln(10.0))
+             / (n * ln(1.0 + 1.0 / digit) / ln(10.0)) * 1e4) / 1e4
+         AS chi2_term
+FROM c CROSS JOIN t
+"""
+
+
+@register("orders_benford_test", oracle=_BENFORD_ORACLE)
+def orders_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen — observed leading-digit counts
+    vs the log₁₀(1+1/d) expectation with per-digit χ² terms (Σ > 15.5
+    ≈ the 8-df 5% line): the forensic-accounting test for fabricated
+    amounts (humans inventing numbers overuse 5s and 6s; organic
+    multiplicative processes follow Benford) — and, notably, a case
+    where REJECTION is expected here: TPC-H prices are uniform-ish,
+    not multiplicative, and the χ² terms say so loudly. A screen whose
+    null CAN fail on honest data is exactly why the terms ship
+    per-digit instead of as one verdict bit.
+
+    Exactness: digits from integer-cast string heads (no float
+    formatting); expectations share one ln-based expression; χ² terms
+    floor-quantize at 1e-4.
+
+    Scale: one digit projection + a 9-group count + a 1-row total."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = o.select(
+        # explicit FLOOR before the integer cast: Spark's double→bigint
+        # truncates, DuckDB's ROUNDS — a leading digit can differ at
+        # x999.5+ (caught by the hash on first run)
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    t = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    c = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("double").alias("observed")
+    )
+    exp = F.col("n") * F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return c.crossJoin(F.broadcast(t)).select(
+        F.col("digit").cast("int").alias("digit"),
+        F.col("observed").cast("long").alias("observed"),
+        F.floor(exp).cast("long").alias("expected_floor"),
+        (
+            F.floor(
+                (F.col("observed") - exp) * (F.col("observed") - exp) / exp * 1e4
+            )
+            / 1e4
+        ).alias("chi2_term"),
+    )

@@ -1019,3 +1019,101 @@ def embed_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.floor((F.col("cos") + 1.0) * 10).cast("int").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# embed_procrustes_align — orthogonal alignment of two embedding spaces
+# ---------------------------------------------------------------------------
+
+@register("embed_procrustes_align")  # rows-only: SVD factors are
+# engine-specific; tests/test_quality.py gates recovery exactly
+def embed_procrustes_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthogonal Procrustes ALIGNMENT of two embedding spaces — the
+    model-migration primitive: when the encoder is retrained, old and
+    new vectors live in different bases and every stored similarity
+    breaks; the fix is the rotation R = UVᵀ from SVD(SᵀT) that maps
+    old→new, letting historical vectors keep serving. Here the target
+    space is a PLANTED orthogonal transform (dimension rotation by 7 +
+    sign flip on odd slots), so recovery is checkable: alignment MSE
+    must vanish and R must reproduce the planted permutation exactly
+    (pytest gates both; the key reports the metrics).
+
+    Scale design (the PCA doctrine): the 64×64 cross-covariance SᵀT
+    accumulates DISTRIBUTED via the posexplode pair aggregation — the
+    shuffle carries d² cells, never vectors; the driver holds only the
+    d×d matrix for SVD (bounded model state, corpus-independent); the
+    alignment-error pass re-broadcasts R as literal expressions. At
+    100 TB the same three passes apply — only the keyed aggs widen."""
+    import numpy as np
+
+    from trireme_spark.operators.similarity import as_double
+
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("s"))
+    d = 64
+    # planted target transform: t[i] = sign(i) * s[(i+7) % d]
+    tgt = v.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, 63), i -> "
+            "CASE WHEN i % 2 = 1 THEN -s[(i + 7) % 64] "
+            "ELSE s[(i + 7) % 64] END)"
+        ).alias("t"),
+        "s",
+    )
+    pairs = tgt.select(
+        F.posexplode("s").alias("i", "si"), F.col("t")
+    ).select("i", "si", F.posexplode("t").alias("j", "tj"))
+    cross = (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.col("si") * F.col("tj")).alias("m"))
+        .collect()
+    )
+    M = np.zeros((d, d))
+    for r in cross:
+        M[r["i"], r["j"]] = r["m"]
+    U, _, Vt = np.linalg.svd(M)
+    R = U @ Vt  # maps source → target
+    # alignment error, distributed: ||sR − t||² per vector
+    r_flat = [float(x) for x in R.ravel()]
+    r_lit = F.array(*[F.lit(x) for x in r_flat])
+    aligned = tgt.withColumn("r", r_lit).select(
+        "vec_id",
+        "t",
+        F.expr(
+            "transform(sequence(0, 63), j -> "
+            "aggregate(sequence(0, 63), 0.0D, "
+            "(acc, i) -> acc + s[i] * r[i * 64 + j]))"
+        ).alias("sr"),
+    )
+    err = aligned.select(
+        F.aggregate(
+            F.zip_with(
+                "sr", "t", lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("e")
+    ).agg(F.avg("e").alias("mse"))
+    mse = float(err.first()["mse"])
+    ortho_err = float(np.abs(R @ R.T - np.eye(d)).max())
+    # recovered permutation accuracy: each row of R should be ±e_perm(i);
+    # row-vector convention: (sR)[j] = Σᵢ s[i]·R[i,j] and t[j] = ±s[(j+7)%d],
+    # so row i's single slot sits at j = (i − 7) mod d
+    hits = 0
+    for i in range(d):
+        j = int(np.argmax(np.abs(R[i])))
+        if (
+            j == (i - 7) % d
+            and abs(abs(R[i, j]) - 1.0) < 1e-8
+            and np.abs(R[i]).sum() - abs(R[i, j]) < 1e-8
+        ):
+            hits += 1
+    return spark.createDataFrame(
+        [
+            ("alignment_mse", mse),
+            ("orthogonality_err", ortho_err),
+            ("perm_recovery", hits / d),
+        ],
+        "metric string, value double",
+    )
