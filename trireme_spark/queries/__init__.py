@@ -277,6 +277,9 @@ _SWEEP_PRIORITY = [
     # --- round-5 batch 61 ---
     "orders_benford_test",
     "embed_procrustes_align",
+    # --- round-5 batch 62 ---
+    "text_readability_fk",
+    "agg_winsorized_mean",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

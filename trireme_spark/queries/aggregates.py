@@ -1373,3 +1373,71 @@ def orders_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_winsorized_mean — robust mean via percentile clamping
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH th AS (
+  SELECT o_orderpriority,
+         ROUND(quantile_cont(o_totalprice, 0.05), 4) AS lo,
+         ROUND(quantile_cont(o_totalprice, 0.95), 4) AS hi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, th.lo), th.hi)
+                           AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4)
+         AS winsorized_mean,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(*), 4) AS raw_mean
+FROM orders o JOIN th USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("agg_winsorized_mean", oracle=_WINSOR_ORACLE)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED mean per group — values clamp to their group's own
+    [p5, p95] before averaging: the robust center that keeps the
+    mean's efficiency while capping tail leverage (a single fat-
+    fingered 100× amount moves the raw mean, not this one) — the
+    robust-statistics tier between the mean and the median, beside
+    MAD (events_outlier_mad) which flags outliers rather than
+    absorbing them. Reported next to the raw mean so the gap itself
+    is the tail-influence diagnostic.
+
+    Exactness: ROUNDED exact-percentile fences (a7 parity) so the
+    clamp cut is identical both engines; clamped values quantize to
+    decimal before the order-independent sum.
+
+    Scale: two passes — a 5-row fence table broadcast into a
+    codegen'd clamp + one map-side-combined aggregation
+    (approx_percentile fences at corpus-keyed cardinality)."""
+    o = table(spark, sf_dir, "orders")
+    th = o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.05)), 4).alias("lo"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("hi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")
+    )
+    return (
+        o.join(F.broadcast(th), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(clamped.cast(DSCALE)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("winsorized_mean"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DSCALE)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("raw_mean"),
+        )
+    )
