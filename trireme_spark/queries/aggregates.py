@@ -1247,20 +1247,21 @@ def lineitem_eoq_replenishment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HHI_ORACLE = """
 WITH c AS (
   SELECT o_custkey,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
-              AS DECIMAL(27,6)) AS r
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS r
   FROM orders GROUP BY o_custkey
-), t AS (SELECT CAST(SUM(r) AS DOUBLE) AS tot,
-                CAST(COUNT(*) AS BIGINT) AS n FROM c)
+), t AS (
+  SELECT CAST(SUM(CAST(r AS DECIMAL(18,2)) * CAST(r AS DECIMAL(18,2)))
+              AS DOUBLE) AS sumsq,
+         CAST(SUM(r) AS DOUBLE) AS tot,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM c
+)
 SELECT n AS n_customers,
-       CAST(FLOOR(SUM(CAST(ROUND(
-           (CAST(r AS DOUBLE) / tot) * (CAST(r AS DOUBLE) / tot) * 1e12,
-           0) AS DECIMAL(38,0)))) / 1e6 AS BIGINT) AS hhi_ppm,
-       (CAST(FLOOR(SUM(CAST(ROUND(
-           (CAST(r AS DOUBLE) / tot) * (CAST(r AS DOUBLE) / tot) * 1e12,
-           0) AS DECIMAL(38,0)))) / 1e6 AS BIGINT) > CAST(250000 AS BIGINT))
-         AS concentrated
-FROM c CROSS JOIN t GROUP BY n
+       CAST(FLOOR(sumsq * 1e6 / (tot * tot)) AS BIGINT) AS hhi_ppm,
+       (CAST(FLOOR(sumsq * 1e6 / (tot * tot)) AS BIGINT)
+          > CAST(250000 AS BIGINT)) AS concentrated
+FROM t
 """
 
 
@@ -1274,32 +1275,42 @@ def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers "how exposed are we to our top accounts" directly.
 
     Exactness: shares from decimal-exact revenue; per-customer share²
-    terms ROUND to integer 1e-12 units before the order-independent
-    decimal sum; the index ships as integer parts-per-million.
+    terms FLOOR to integer 1e-12 units before the order-independent
+    decimal sum (ROUND was tried first and diverged on a .5 term —
+    Spark rounds the shortest decimal repr, DuckDB the binary double);
+    the index ships as integer parts-per-million.
 
     Scale: one customer-keyed rollup + a 1-row total broadcast + one
     map-side-combined sum — concentration of a 100 TB fact table
     costs two aggregations."""
     o = table(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast(DSCALE)).alias("r")
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("r")
     )
+    # Σr² and tot stay EXACT DECIMAL; ONE double division at the end.
+    # Two earlier forms diverged by 1 index unit: per-term ROUND (Spark
+    # rounds the shortest decimal repr, DuckDB the binary double) and
+    # per-term FLOOR (150 decimal→double casts, each a 1-ulp straddle
+    # chance). A single division has one tiny (~1e-12 relative) chance
+    # instead of one per customer.
     t = c.agg(
+        F.sum(
+            F.col("r").cast("decimal(18,2)") * F.col("r").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("sumsq"),
         F.sum("r").cast("double").alias("tot"),
         F.count(F.lit(1)).alias("n"),
     )
-    share = F.col("r").cast("double") / F.col("tot")
-    term = F.round(share * share * 1e12, 0).cast("decimal(38,0)")
-    hhi = (F.floor(F.sum(term)) / 1e6).cast("long")
-    return (
-        c.crossJoin(F.broadcast(t))
-        .groupBy(F.col("n").alias("n_customers"))
-        .agg(hhi.alias("hhi_ppm"))
-        .select(
-            "n_customers",
-            "hhi_ppm",
-            (F.col("hhi_ppm") > 2500 * 100).alias("concentrated"),
-        )
+    hhi = F.floor(
+        F.col("sumsq") * 1e6 / (F.col("tot") * F.col("tot"))
+    ).cast("long")
+    return t.select(
+        F.col("n").alias("n_customers"),
+        hhi.alias("hhi_ppm"),
+        (hhi > 2500 * 100).alias("concentrated"),
     )
 
 
