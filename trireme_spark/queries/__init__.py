@@ -280,6 +280,9 @@ _SWEEP_PRIORITY = [
     # --- round-5 batch 62 ---
     "text_readability_fk",
     "agg_winsorized_mean",
+    # --- round-5 batch 63 ---
+    "agg_bimodality_coefficient",
+    "events_recency_weighted_engagement",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

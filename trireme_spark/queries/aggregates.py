@@ -1452,3 +1452,64 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("raw_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_bimodality_coefficient — distribution-shape two-population flag
+# ---------------------------------------------------------------------------
+
+_BIMODAL_ORACLE = """
+WITH s AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         skewness(o_totalprice) AS g1_sample,
+         kurtosis(o_totalprice) AS g2_sample
+  FROM orders GROUP BY o_orderpriority
+), m AS (
+  SELECT o_orderpriority, n,
+         g1_sample * (n - 2) / sqrt(n * (n - 1)) AS g1,
+         (g2_sample * (n - 2) * (n - 3) / (n - 1) - 6) / (n + 1) AS g2
+  FROM s
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+       FLOOR((g1 * g1 + 1) / (g2 + 3) * 1e6) / 1e6 AS bimodality_coef,
+       (FLOOR((g1 * g1 + 1) / (g2 + 3) * 1e6) / 1e6 > 0.555)
+         AS bimodal_suspect
+FROM m
+"""
+
+
+@register("agg_bimodality_coefficient", oracle=_BIMODAL_ORACLE)
+def agg_bimodality_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bimodality coefficient BC = (g₁²+1)/(g₂+3) per group — the
+    shape statistic that flags TWO POPULATIONS hiding in one metric
+    (uniform ≈ 0.555 is the conventional threshold; above it, a
+    single mean/median misleads and the mixture should be split
+    before modeling — the "why is our average weird" diagnostic that
+    composes the skewness/kurtosis key into a decision).
+
+    Exactness: the same population-moment bridge as
+    agg_skewness_kurtosis (Spark g₁/g₂ ↔ DuckDB's sample G₁/G₂
+    inverted analytically), combined UNROUNDED into one expression
+    and floor-quantized once at the end — quantizing the inputs first
+    would compound two grids (the langid-eval F1 lesson).
+
+    Scale: decomposable moments — map-side combine, one exchange."""
+    o = table(spark, sf_dir, "orders")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.skewness("o_totalprice").alias("g1"),
+        F.kurtosis("o_totalprice").alias("g2"),
+    )
+    bc = (
+        F.floor(
+            (F.col("g1") * F.col("g1") + 1) / (F.col("g2") + 3) * 1e6
+        )
+        / 1e6
+    )
+    return s.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        bc.alias("bimodality_coef"),
+        (bc > 0.555).alias("bimodal_suspect"),
+    )

@@ -4363,3 +4363,71 @@ def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(mde).alias("mde_abs"),
         q(mde / p).alias("mde_rel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_recency_weighted_engagement — exponential-decay scoring
+# ---------------------------------------------------------------------------
+
+_RWE_HALF_LIFE_D = 7.0  # engagement half-life in days
+
+_RWE_ORACLE = f"""
+WITH anchor AS (SELECT MAX(ts) AS now_ts FROM events),
+w AS (
+  SELECT user_id,
+         CAST(ROUND(
+             value * exp(-0.6931471805599453
+                 * (CAST(epoch_us(now_ts) - epoch_us(ts) AS DOUBLE)
+                    / 86400000000.0) / {_RWE_HALF_LIFE_D}), 8)
+           AS DECIMAL(38,8)) AS wv
+  FROM events CROSS JOIN anchor
+)
+SELECT user_id,
+       ROUND(CAST(SUM(wv) AS DOUBLE), 4) AS engagement_score,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM w GROUP BY user_id
+"""
+
+
+@register("events_recency_weighted_engagement", oracle=_RWE_ORACLE)
+def events_recency_weighted_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement — each event's value decays with a
+    7-day HALF-LIFE (weight = e^(−ln2·age/τ)) and sums per user: the
+    ranking/recsys feature that makes "active last week" outrank
+    "active last year" without any hard cutoff, and the continuous
+    upgrade of RFM's discrete recency tier. The anchor is the data's
+    own max timestamp (deterministic on any snapshot — the
+    invoice-aging convention).
+
+    Exactness: ages are exact integer µs; each decayed term quantizes
+    to 8 dp BEFORE the order-independent decimal sum (the geomean
+    discipline — exp() terms summed raw would be partition-order-
+    dependent); ROUND(4) on the final score.
+
+    Scale: 1-row anchor broadcast → codegen'd exp projection → one
+    user-keyed combine. Incremental maintenance at scale: scores
+    multiply by a constant decay per day, so yesterday's scores
+    re-anchor with ONE multiplication — never a rescan (the
+    incremental-agg doctrine applied to decayed sums)."""
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("now_ts"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    now_us = F.unix_micros(F.col("now_ts").cast("timestamp"))
+    age_days = (now_us - us).cast("double") / 86400000000.0
+    import math
+
+    wv = F.round(
+        F.col("value") * F.exp(-math.log(2) * age_days / _RWE_HALF_LIFE_D),
+        8,
+    ).cast("decimal(38,8)")
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .select("user_id", wv.alias("wv"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("wv").cast("double"), 4).alias(
+                "engagement_score"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
