@@ -283,6 +283,9 @@ _SWEEP_PRIORITY = [
     # --- round-5 batch 63 ---
     "agg_bimodality_coefficient",
     "events_recency_weighted_engagement",
+    # --- round-5 batch 64 ---
+    "events_longest_streak",
+    "orders_weekend_welch_ttest",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

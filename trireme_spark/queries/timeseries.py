@@ -4431,3 +4431,158 @@ def events_recency_weighted_engagement(spark: SparkSession, sf_dir: str) -> Data
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_longest_streak — consecutive-active-days gamification metric
+# ---------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), grp AS (
+  SELECT user_id, d,
+         CAST(d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY d) AS INTEGER)
+              AS VARCHAR) AS anchor
+  FROM days
+), runs AS (
+  SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len,
+         CAST(MIN(d) AS VARCHAR) AS streak_start
+  FROM grp GROUP BY user_id, anchor
+)
+SELECT user_id, len AS longest_streak, streak_start
+FROM runs
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY len DESC, streak_start ASC) = 1
+"""
+
+
+@register("events_longest_streak", oracle=_STREAK_ORACLE)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-days STREAK per user (with its start
+    date; earliest wins ties) — the gamification/habit metric every
+    consumer product ships, via the date-minus-row-number trick: days
+    in an unbroken run share the same (day − rank) anchor, turning
+    streaks into a plain GROUP BY — gaps-and-islands with arithmetic
+    instead of lag/flag chains (one window pass fewer than the
+    session keys).
+
+    Exactness: pure integer date arithmetic; anchors compare as
+    strings (date cells are the pandas-bridge trap — the house date
+    doctrine, applied even to intermediates that reach the output).
+
+    Scale: distinct (user, day) collapse → one user-keyed window +
+    one keyed count + one top-1 window, all on the same shuffle."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor",
+        F.date_sub(F.col("d"), F.row_number().over(w)).cast("string"),
+    )
+    runs = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("d").cast("string").alias("streak_start"),
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("streak_start").asc()
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(w_best))
+        .where("rn = 1")
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak"),
+            "streak_start",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_weekend_welch_ttest — two-sample mean comparison done right
+# ---------------------------------------------------------------------------
+
+_WELCH_ORACLE = """
+WITH g AS (
+  SELECT (dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6)) AS weekend,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))
+                  * CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+           AS sxx
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT MAX(CASE WHEN weekend THEN n END) AS n1,
+         MAX(CASE WHEN weekend THEN sx END) AS s1,
+         MAX(CASE WHEN weekend THEN sxx END) AS q1,
+         MAX(CASE WHEN NOT weekend THEN n END) AS n0,
+         MAX(CASE WHEN NOT weekend THEN sx END) AS s0,
+         MAX(CASE WHEN NOT weekend THEN sxx END) AS q0
+  FROM g
+)
+SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(n0 AS BIGINT) AS n_weekday,
+       ROUND(s1 / n1 - s0 / n0, 4) AS mean_diff,
+       ROUND((s1 / n1 - s0 / n0)
+             / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                    + ((q0 - s0 * s0 / n0) / (n0 - 1)) / n0), 4)
+         AS welch_t
+FROM w
+"""
+
+
+@register("orders_weekend_welch_ttest", oracle=_WELCH_ORACLE)
+def orders_weekend_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t — weekend vs weekday order values WITHOUT assuming
+    equal variances (Student's pooled t silently does, and group
+    variances rarely cooperate): t = Δmean/√(s₁²/n₁ + s₀²/n₀) — the
+    correct default two-sample test, completing the inferential kit
+    (proportions → MDE/ab_test; means → this; distributions → PSI).
+    |t| < 2 here is the expected honest null: TPC-H order dates don't
+    know about weekends — a test that can PASS the null on null data
+    is the calibration check.
+
+    Exactness: decimal-exact Σx/Σx² per group pivot into one row; the
+    t statistic is a single double expression, ROUND(4) coarse grid.
+    DOW semantics bridged: DuckDB dayofweek Sunday=0; Spark dayofweek
+    Sunday=1 — the off-by-one every cross-engine calendar hits.
+
+    Scale: one 2-group aggregation, map-side combined."""
+    o = table(spark, sf_dir, "orders")
+    # Spark dayofweek: Sunday=1 ... Saturday=7
+    weekend = F.dayofweek(F.col("o_orderdate").cast("date")).isin(1, 7)
+    g = o.groupBy(weekend.alias("weekend")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("o_totalprice").cast(DSCALE)).cast("double").alias("sx"),
+        F.sum(
+            F.col("o_totalprice").cast(DSCALE)
+            * F.col("o_totalprice").cast(DSCALE)
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("weekend"), F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("weekend"), F.col("sx"))).alias("s1"),
+        F.max(F.when(F.col("weekend"), F.col("sxx"))).alias("q1"),
+        F.max(F.when(~F.col("weekend"), F.col("n"))).alias("n0"),
+        F.max(F.when(~F.col("weekend"), F.col("sx"))).alias("s0"),
+        F.max(F.when(~F.col("weekend"), F.col("sxx"))).alias("q0"),
+    )
+    md = F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0")
+    se = F.sqrt(
+        ((F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1"))
+         / (F.col("n1") - 1))
+        / F.col("n1")
+        + ((F.col("q0") - F.col("s0") * F.col("s0") / F.col("n0"))
+           / (F.col("n0") - 1))
+        / F.col("n0")
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.col("n0").cast("long").alias("n_weekday"),
+        F.round(md, 4).alias("mean_diff"),
+        F.round(md / se, 4).alias("welch_t"),
+    )
