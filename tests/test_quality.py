@@ -701,3 +701,40 @@ def test_procrustes_recovers_planted_rotation(spark):
     assert rows["alignment_mse"] < 1e-12, rows
     assert rows["orthogonality_err"] < 1e-10, rows
     assert rows["perm_recovery"] == 1.0, rows
+
+
+def test_mmr_rerank_diversifies(spark):
+    """sim_mmr_rerank: deterministic across reruns; rank-1 equals the
+    plain top-1 (nothing picked yet ⇒ pure relevance); and the picked
+    set's max pairwise similarity is ≤ the plain top-5's (diversity
+    did its job or at worst matched)."""
+    import numpy as np
+
+    rows = registry.QUERIES["sim_mmr_rerank"](spark, SF_SMOKE).collect()
+    rerun = registry.QUERIES["sim_mmr_rerank"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    rel_sorted = sorted(rows, key=lambda r: -r["relevance"])
+    assert by_rank[0]["vec_id"] == rel_sorted[0]["vec_id"]
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in e}
+    q = emb[0]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    scores = sorted(
+        ((cos(q, v), k) for k, v in emb.items() if k != 0), reverse=True
+    )
+    top5 = [k for _, k in scores[:5]]
+    mmr5 = [r["vec_id"] for r in rows]
+
+    def max_pair_sim(ids):
+        return max(
+            cos(emb[a], emb[b])
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+        )
+
+    assert max_pair_sim(mmr5) <= max_pair_sim(top5) + 1e-9

@@ -286,6 +286,7 @@ _SWEEP_PRIORITY = [
     # --- round-5 batch 64 ---
     "events_longest_streak",
     "orders_weekend_welch_ttest",
+    "sim_mmr_rerank",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -1672,3 +1672,88 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_mmr_rerank — maximal-marginal-relevance diversity re-ranking
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_SHORTLIST = 20
+_MMR_K = 5
+
+
+@register("sim_mmr_rerank")  # rows-only: the greedy argmax chain is not
+# SQL-expressible; tests/test_quality.py pins determinism + the
+# diversity-vs-plain-topk contract
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-ranking (Carbonell & Goldstein 1998): from the query's
+    top-20 cosine shortlist, greedily pick 5 results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    diversity layer every retrieval stack bolts onto plain top-k
+    (near-duplicate hits waste result slots; MMR spends them on
+    coverage). λ=0.7 biases relevance; λ=1 degenerates to top-k
+    (pytest pins both facts).
+
+    Scale design: the DISTRIBUTED stage is the shortlist (broadcast
+    query × corpus scan, keyed top-k — the l7 plan); the greedy chain
+    is inherently sequential in k but runs over the SHORTLIST ONLY —
+    20 vectors of driver state (bounded, corpus-independent: the
+    k-means/PCA model-state doctrine), never the corpus. Per-query
+    parallelism at scale = one shortlist+greedy per query key via
+    applyInPandas; one query here keeps the demonstration exact."""
+    import numpy as np
+
+    from trireme_spark.operators.similarity import as_double
+
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    qv = v.where(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    scored = (
+        v.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "emb",
+            (
+                dot(F.col("q"), F.col("emb"))
+                / (
+                    F.sqrt(dot(F.col("q"), F.col("q")))
+                    * F.sqrt(dot(F.col("emb"), F.col("emb")))
+                )
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(_MMR_SHORTLIST)
+    )
+    rows = scored.collect()  # bounded: the 20-row shortlist only
+    ids = [r["vec_id"] for r in rows]
+    rel = np.array([r["rel"] for r in rows])
+    X = np.stack([np.array(r["emb"]) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sim = Xn @ Xn.T
+    picked: list[int] = []
+    out = []
+    for rank in range(1, _MMR_K + 1):
+        best_i, best_s = -1, -np.inf
+        for i in range(len(ids)):
+            if i in picked:
+                continue
+            penalty = max(sim[i][j] for j in picked) if picked else 0.0
+            s = _MMR_LAMBDA * rel[i] - (1 - _MMR_LAMBDA) * penalty
+            # deterministic tie-break on id
+            if s > best_s or (s == best_s and ids[i] < ids[best_i]):
+                best_i, best_s = i, s
+        picked.append(best_i)
+        out.append(
+            (rank, int(ids[best_i]), float(round(rel[best_i], 6)),
+             float(round(best_s, 6)))
+        )
+    return spark.createDataFrame(
+        out, "rank int, vec_id long, relevance double, mmr_score double"
+    )
