@@ -287,6 +287,9 @@ _SWEEP_PRIORITY = [
     "events_longest_streak",
     "orders_weekend_welch_ttest",
     "sim_mmr_rerank",
+    # --- round-5 batch 66 ---
+    "orders_skyline_2d",
+    "agg_trimmed_mean",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

@@ -1513,3 +1513,68 @@ def agg_bimodality_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         bc.alias("bimodality_coef"),
         (bc > 0.555).alias("bimodal_suspect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_trimmed_mean — the drop-the-tails robust mean (vs winsorized clamp)
+# ---------------------------------------------------------------------------
+
+_TRIM_ORACLE = """
+WITH th AS (
+  SELECT o_orderpriority,
+         ROUND(quantile_cont(o_totalprice, 0.05), 4) AS lo,
+         ROUND(quantile_cont(o_totalprice, 0.95), 4) AS hi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o.o_totalprice >= th.lo
+                               AND o.o_totalprice <= th.hi) AS BIGINT)
+         AS n_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6)))
+                  FILTER (WHERE o.o_totalprice >= th.lo
+                            AND o.o_totalprice <= th.hi) AS DOUBLE)
+             / COUNT(*) FILTER (WHERE o.o_totalprice >= th.lo
+                                  AND o.o_totalprice <= th.hi), 4)
+         AS trimmed_mean
+FROM orders o JOIN th USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("agg_trimmed_mean", oracle=_TRIM_ORACLE)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% TRIMMED mean per group — tail rows are DROPPED, not clamped:
+    the winsorized key's sibling, and the distinction matters
+    (trimming discards tail INFORMATION entirely — right when tails
+    are corrupt; winsorizing keeps a vote at the fence — right when
+    tails are real but heavy). Shipping both, sharing the fence
+    machinery, makes the choice explicit instead of accidental.
+
+    Same exactness contract as winsorized: ROUNDED exact-percentile
+    fences, decimal-quantized sums, conditional aggregation riding
+    the one combined pass (n_kept reported so the trim fraction is
+    auditable)."""
+    o = table(spark, sf_dir, "orders")
+    th = o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.05)), 4).alias("lo"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("hi"),
+    )
+    kept = (F.col("o_totalprice") >= F.col("lo")) & (
+        F.col("o_totalprice") <= F.col("hi")
+    )
+    return (
+        o.join(F.broadcast(th), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_if(kept).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.round(
+                F.sum(
+                    F.when(kept, F.col("o_totalprice").cast(DSCALE))
+                ).cast("double")
+                / F.count_if(kept),
+                4,
+            ).alias("trimmed_mean"),
+        )
+    )
