@@ -290,6 +290,9 @@ _SWEEP_PRIORITY = [
     # --- round-5 batch 66 ---
     "orders_skyline_2d",
     "agg_trimmed_mean",
+    # --- round-5 batch 67 ---
+    "fn_datetime_format_patterns",
+    "text_hapax_rate",
     # --- remaining slots to 50: stalest r1-only §2 keys ---
     "conditional_case",
     "fn_string",

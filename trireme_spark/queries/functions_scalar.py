@@ -1230,3 +1230,45 @@ def fn_explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode_outer("arr").alias("pos0", "tok"),
     ).select("mode", "doc_id", "tok", F.col("pos0").cast("long").alias("pos"))
     return inner.unionByName(outer)
+
+
+# ---------------------------------------------------------------------------
+# fn_datetime_format_patterns — calendar rendering + ISO week parity
+# ---------------------------------------------------------------------------
+
+_DTFMT_ORACLE = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%A') AS weekday_name,
+       strftime(o_orderdate, '%B') AS month_name,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS day_of_year,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+"""
+
+
+@register("fn_datetime_format_patterns", oracle=_DTFMT_ORACLE)
+def fn_datetime_format_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar RENDERING surface — weekday/month names, ISO week
+    number, day-of-year, quarter, year-month buckets: the report-label
+    layer where cross-engine calendars classically diverge (US vs ISO
+    week numbering is the notorious one — both engines here implement
+    ISO-8601 weekofyear, which the hash proves across 15 000 dates
+    spanning year boundaries, where week 52/53↔1 disagreements live;
+    names are locale-default English both sides — a deployment pinning
+    another locale owns that config explicitly).
+
+    Codegen'd projections, no shuffle; the f3 date-ARITHMETIC surface's
+    rendering twin."""
+    o = table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(od, "EEEE").alias("weekday_name"),
+        F.date_format(od, "MMMM").alias("month_name"),
+        F.weekofyear(od).alias("iso_week"),
+        F.dayofyear(od).alias("day_of_year"),
+        F.quarter(od).alias("qtr"),
+        F.date_format(od, "yyyy-MM").alias("ym"),
+    )

@@ -2089,3 +2089,61 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "syllables",
         grade_e4.alias("fk_grade_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_hapax_rate — once-occurring vocabulary share per source
+# ---------------------------------------------------------------------------
+
+_HAPAX_ORACLE = """
+WITH tf AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source,
+               unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY source, tok
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax,
+       FLOOR(CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE)
+             / COUNT(*) * 1e6) / 1e6 AS hapax_rate
+FROM tf GROUP BY source
+"""
+
+
+@register("text_hapax_rate", oracle=_HAPAX_ORACLE)
+def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena rate per source — the share of vocabulary
+    appearing exactly once: natural text runs ~40-60% hapax (Zipf's
+    long tail); templated/spun sources collapse toward 0 (the same
+    words forever) and OCR/gibberish sources spike toward 1 (every
+    error is a new "word") — the vocabulary-growth diagnostic that
+    pairs with Zipf's slope (global shape) and burstiness (per-term
+    clumping) to complete the corpus-statistics triad.
+
+    Exactness: exact counts; rate floor-quantized at 1e-6.
+    Scale: one (source, term) rollup (language-bounded per source) +
+    one source-keyed conditional count."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source", F.explode(tokenize("text")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.count_if(F.col("c") == 1).alias("hapax"),
+        (
+            F.floor(
+                F.count_if(F.col("c") == 1).cast("double")
+                / F.count(F.lit(1))
+                * 1e6
+            )
+            / 1e6
+        ).alias("hapax_rate"),
+    )
