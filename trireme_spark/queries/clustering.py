@@ -267,13 +267,9 @@ def cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Staged: pairs feed degree counting, the core-core edge filter, and
     # border attachment (3 consumers) — tmp parquet, no cache leak
-    import os
-    import tempfile
+    from trireme_spark.sources.io import staging_dir
 
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"trireme_dbscan_pairs_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    stage = staging_dir("dbscan_pairs", sf_dir)
     pair.write.mode("overwrite").parquet(stage)
     pair = spark.read.parquet(stage)
     deg = pair.groupBy("a").agg((F.count(F.lit(1)) + 1).alias("n_eps"))

@@ -107,27 +107,51 @@ def etl_gdpr_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs one keyring delete. try_aes_decrypt (not aes_decrypt) is
     load-bearing: reads over a shredded row must yield NULL, not kill
     the job (the ANSI try_* doctrine). The oracle pins the end state:
-    erased entities unrecoverable, everyone else intact."""
+    erased entities unrecoverable, everyone else intact.
+
+    Key hygiene (r5 ADVICE applied): per-entity keys derive from an
+    EPHEMERAL per-job master secret (``secrets.token_hex``, lives only
+    in this closure, never stored in any row or output), so a holder of
+    the data — custkey included — cannot recompute a key; once the job
+    ends, each key exists ONLY in its keyring row and deleting that row
+    genuinely destroys it. Mode is GCM (random IV per row —
+    semantically secure, no ECB equality leakage) with NONE padding;
+    ciphertexts are non-deterministic but the oracle-compared output is
+    the recovered PLAINTEXT, which is. The keyring join carries no
+    broadcast hint: AQE broadcasts while it is small and hash-joins at
+    scale."""
+    import secrets
+
     c = table(spark, sf_dir, "customer")
-    # per-entity derived data key (md5 hex = 32 bytes → AES-256)
-    key = F.md5(F.concat(F.col("c_custkey").cast("string"),
-                         F.lit("|trireme-kms")))
-    # ingest side: every row encrypts under ITS OWN key
-    enc = c.select(
+    # ephemeral KMS master secret — discarded with the job; per-entity
+    # data keys are HKDF-style derivations under it (sha2 prefix = 32
+    # hex chars = 32 bytes → AES-256), recoverable from the keyring only
+    master = secrets.token_hex(16)
+    keyring_full = c.select(
+        "c_custkey",
+        F.substring(
+            F.sha2(
+                F.concat(F.col("c_custkey").cast("string"), F.lit(master)),
+                256,
+            ),
+            1,
+            32,
+        ).alias("dk"),
+    )
+    # ingest side: every row encrypts under ITS OWN key from the keyring
+    enc = c.join(keyring_full, "c_custkey").select(
         "c_custkey",
         F.aes_encrypt(
-            F.col("c_name"), key, F.lit("ECB"), F.lit("PKCS")
+            F.col("c_name"), F.col("dk"), F.lit("GCM"), F.lit("NONE")
         ).alias("name_ct"),
     )
     # keyring AFTER erasure: every 10th customer's key is deleted
-    keyring = c.select(
-        "c_custkey", key.alias("dk")
-    ).where(F.col("c_custkey") % 10 != 0)
-    joined = enc.join(F.broadcast(keyring), "c_custkey", "left")
+    keyring = keyring_full.where(F.col("c_custkey") % 10 != 0)
+    joined = enc.join(keyring, "c_custkey", "left")
     return joined.select(
         "c_custkey",
         F.try_aes_decrypt(
-            F.col("name_ct"), F.col("dk"), F.lit("ECB"), F.lit("PKCS")
+            F.col("name_ct"), F.col("dk"), F.lit("GCM"), F.lit("NONE")
         )
         .cast("string")
         .alias("name_recovered"),

@@ -351,7 +351,8 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     saveAsTable); they are rebuilt only when absent.
     """
     import os
-    import tempfile
+
+    from trireme_spark.sources.io import staging_dir
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     names = {
@@ -360,7 +361,10 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     keys = {"orders": "o_custkey", "customer": "c_custkey"}
     for tbl, name in names.items():
-        path = os.path.join(tempfile.gettempdir(), f"{name}")
+        # per-process path: a shared path raced — a second session whose
+        # (session-local) catalog lacked the table would rmtree the data
+        # files a concurrent session's table was actively reading
+        path = staging_dir(f"b_{tbl}", tag)
         if not spark.catalog.tableExists(name):
             if os.path.isdir(path):
                 import shutil
@@ -831,13 +835,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge count); a cache would leak across shared sweep sessions (the
     # registry's lazy return has no unpersist hook — round-4 doctrine,
     # same shape as sim_sparse_cosine_tfidf's staged postings).
-    import os
-    import tempfile
+    from trireme_spark.sources.io import staging_dir
 
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"trireme_tri_edges_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    stage = staging_dir("tri_edges", sf_dir)
     edges.write.mode("overwrite").parquet(stage)
     edges = spark.read.parquet(stage)
     deg = (
@@ -1047,10 +1047,9 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             saved[k] = None
         spark.conf.set(k, v)
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"trireme_bloomjoin_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    from trireme_spark.sources.io import staging_dir
+
+    stage = staging_dir("bloomjoin", sf_dir)
     try:
         o = table(spark, sf_dir, "orders").where(
             F.col("o_totalprice") > 450000

@@ -990,13 +990,9 @@ def sim_sparse_cosine_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doctrine). A tmp-parquet checkpoint is the cluster-honest middle:
     # one materialization, lineage broken, storage owned by the job dir
     # exactly as a 100 TB pipeline would stage a reused intermediate.
-    import os
-    import tempfile
+    from trireme_spark.sources.io import staging_dir
 
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"trireme_sparse_w_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    stage = staging_dir("sparse_w", sf_dir)
     (
         w_full.withColumn("rn", F.row_number().over(w_rank))
         .where(F.col("rn") <= 10)
@@ -1625,10 +1621,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leak in shared sweep sessions; recompute measured 29.9 s vs
     # 11.9 s staged at sf0.1)
     import os
-    import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    stage = os.path.join(tempfile.gettempdir(), f"trireme_contain_{tag}")
+    from trireme_spark.sources.io import staging_dir
+
+    stage = staging_dir("contain", sf_dir)
     toks.where(F.size("toks") >= 3).select(
         "doc_id", sh(F.col("toks")).alias("sset")
     ).write.mode("overwrite").parquet(os.path.join(stage, "docs"))

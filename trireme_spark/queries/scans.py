@@ -27,8 +27,13 @@ from trireme_spark.sources.io import table, write_read_roundtrip
 
 
 def _tmp(name: str, sf_dir: str) -> str:
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(tempfile.gettempdir(), f"trireme_{name}_{tag}")
+    # per-process staging (r5 ADVICE): concurrent sessions must never
+    # share a staging path — including the embedded Derby DB dir, whose
+    # single-process lock otherwise reds source_jdbc_partitioned the
+    # moment another local session holds it
+    from trireme_spark.sources.io import staging_dir
+
+    return staging_dir(name, sf_dir)
 
 
 @register("scan_parquet", oracle="SELECT * FROM orders")
@@ -270,10 +275,7 @@ def etl_migration_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = SolrSink(
         collection="customers_" + os.path.basename(sf_dir.rstrip("/")),
         unique_key="id",
-        emulate_dir=os.path.join(
-            tempfile.gettempdir(),
-            "trireme_solr_mig_" + os.path.basename(sf_dir.rstrip("/")),
-        ),
+        emulate_dir=_tmp("solr_mig", sf_dir),
     )
     sink.write(docs)
     return sink.read_back(spark)
@@ -1056,10 +1058,7 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag"
     )
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"trireme_filemeta_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    stage = _tmp("filemeta", sf_dir)
     (
         li.repartition("l_returnflag")
         .write.mode("overwrite")

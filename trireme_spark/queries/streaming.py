@@ -190,8 +190,10 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape you'd hand to Delta/Iceberg MERGE INTO on a real lakehouse; plain
     parquet here keeps the container dependency-free."""
     staged = stage_events_files(spark, sf_dir, n_files=4, tag="shared")
-    out = os.path.join(tempfile.gettempdir(), "trireme_t7_sink")
-    ckpt = os.path.join(tempfile.gettempdir(), "trireme_t7_ckpt")
+    from trireme_spark.sources.io import staging_dir
+
+    out = staging_dir("t7_sink")
+    ckpt = staging_dir("t7_ckpt")
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
 

@@ -117,9 +117,9 @@ def stage_events_files(
     from trireme_spark.sources.io import table
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(
-        tempfile.gettempdir(), f"trireme_stream_{tag}_{sf_tag}_{n_files}"
-    )
+    from trireme_spark.sources.io import staging_dir
+
+    out = staging_dir(f"stream_{tag}_{n_files}", sf_tag)
     if (
         reuse
         and os.path.isdir(out)
@@ -377,7 +377,10 @@ def stateful_sessions_event_timeout(events: DataFrame) -> DataFrame:
                     out.append((key[0], start, last, n))
                     start, last, n = t, t, 1
                 else:
-                    last, n = t, n + 1
+                    # late-but-within-watermark events must never shrink
+                    # the session span or pull the timeout backwards:
+                    # extend with max/min, not assignment (r5 ADVICE)
+                    start, last, n = min(start, t), max(last, t), n + 1
             if last is not None:
                 state.update((start, last, n))
                 # ms, and must sit beyond the current watermark — holds
@@ -442,10 +445,9 @@ def stage_events_files_with_sentinels(
 
     base_dir = stage_events_files(spark, sf_dir, n_files=n_files)
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"trireme_stream_{tag}_{sf_tag}_{n_files}",
-    )
+    from trireme_spark.sources.io import staging_dir
+
+    out = staging_dir(f"stream_{tag}_{n_files}", sf_tag)
     n_existing = (
         sum(f.endswith(".parquet") for f in os.listdir(out))
         if os.path.isdir(out)
