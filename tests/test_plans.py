@@ -487,3 +487,30 @@ def test_velocity_flag_keyed_range_frame(spark):
     p = plan(registry.QUERIES["events_velocity_flag"](spark, SF_SMOKE))
     assert "RangeFrame" in p
     assert "windowspecdefinition(user_id" in p
+
+
+def test_broadcast_gate_small_vs_large(spark):
+    """broadcast_if_small hints at fixture scale (fast verify joins, the
+    bench-measured plan) and declines past the gate, where the verify
+    degrades to shuffle equi-joins — the r5 scale fix for l5/l8/ngram."""
+    from trireme_spark.operators.hints import broadcast_if_small, plan_size_bytes
+
+    docs = table(spark, SF_SMOKE, "documents")
+    sz = plan_size_bytes(docs)
+    assert 0 < sz < (1 << 40)
+    a = docs.select("doc_id")
+    b = docs.select(F.col("doc_id").alias("k"), "lang")
+    p_small = plan(a.join(broadcast_if_small(b), a.doc_id == b.k))
+    assert "BroadcastHashJoin" in p_small
+    p_large = plan(
+        a.join(broadcast_if_small(b, limit_bytes=1), a.doc_id == b.k)
+    )
+    assert "BroadcastHashJoin" not in p_large.split("AdaptiveSparkPlan")[-1] \
+        or "SortMergeJoin" in p_large or "ShuffledHashJoin" in p_large
+
+
+def test_minhash_verify_join_broadcasts_at_fixture_scale(spark):
+    """The l5 verify join keeps the bench-fast broadcast plan while the
+    corpus is small (the size gate must not regress the bench)."""
+    p = plan(registry.QUERIES["dedup_fuzzy_minhash"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p

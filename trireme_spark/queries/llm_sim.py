@@ -130,7 +130,9 @@ def dedup_fuzzy_minhash(
     Exact Jaccard verifies each candidate once either way.
     """
     n_parts = spark.sparkContext.defaultParallelism
-    sets = _shingle_sets(spark, sf_dir).cache()
+    from trireme_spark.operators.hints import cache_once
+
+    sets = cache_once(_shingle_sets(spark, sf_dir))
     cand = candidate_pairs_prefix(sets, "doc_id", "sset", threshold=0.8)
     if generators == "union":
         sigs = minhash_signatures(sets, "doc_id", "sset", n_perm=64)
@@ -144,18 +146,19 @@ def dedup_fuzzy_minhash(
         F.col("doc_id").alias("id_b"), F.col("sset").alias("sset_b")
     )
     sim = jaccard(F.col("sset_a"), F.col("sset_b"))
-    # Broadcast verify join — SCOPE NOTE (round-4 A/B): at bench scale the
-    # hints are worth 1.6× (2.14 s → 1.36 s; AQE won't auto-broadcast the
-    # array-heavy sets table), and the sf1×10 duplicate stress completes
-    # fine with them. But the broadcast state is O(corpus): past the point
-    # where the shingle-set table stops fitting an executor, DROP these
-    # two hints and the verify degrades to shuffle equi-joins on the pair
-    # keys — measured scale-positive on the cluster-key variant
-    # (llm_sim.py dedup_minhash_clusters, 87 s → 41 s at stress scale).
+    # SIZE-GATED verify join (r5 VERDICT #1): the r4 A/B showed the hint
+    # is worth 1.6× at bench scale (2.14 s → 1.36 s; AQE won't
+    # auto-broadcast the array-heavy sets table) but is O(corpus) state
+    # that OOMs past the gate — so the hint now applies only while
+    # Catalyst's scan-propagated size estimate fits, and degrades to
+    # shuffle equi-joins on the pair keys beyond it (measured
+    # scale-positive on dedup_minhash_clusters, 87 s → 41 s).
+    from trireme_spark.operators.hints import broadcast_if_small
+
     return (
         cand.repartition(n_parts)
-        .join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        .join(broadcast_if_small(a), "id_a")
+        .join(broadcast_if_small(b), "id_b")
         .where(sim >= 0.8)
         .select(
             F.col("id_a").alias("doc_a"),
@@ -237,7 +240,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",", F.array_sort("gset").cast("array<string>")
             )
         ),
-    ).cache()
+    )
+    from trireme_spark.operators.hints import cache_once
+
+    keyed = cache_once(keyed)
     groups = keyed.groupBy("ghash").agg(
         F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_members")
     )
@@ -246,8 +252,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             groups.select("rep_id"), keyed["doc_id"] == groups["rep_id"]
         )
         .select("doc_id", "gset")
-        .cache()
     )
+    reps = cache_once(reps)
     cand = candidate_pairs_prefix(reps, "doc_id", "gset", threshold=0.9)
     a = reps.select(
         F.col("doc_id").alias("id_a"), F.col("gset").alias("gset_a")
@@ -256,10 +262,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"), F.col("gset").alias("gset_b")
     )
     sim = jaccard(F.col("gset_a"), F.col("gset_b"))
+    from trireme_spark.operators.hints import broadcast_if_small
+
+    # size-gated verify hints (r5 VERDICT #1): see dedup_fuzzy_minhash
     rep_pairs = (
         cand.repartition(n_parts)
-        .join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        .join(broadcast_if_small(a), "id_a")
+        .join(broadcast_if_small(b), "id_b")
         .where(sim >= 0.9)
         .select("id_a", "id_b", F.round(sim, 6).alias("jaccard_sim"))
     )
@@ -462,9 +471,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b")
     )
     cos = cosine_pairs_vectorized()
+    # size-gated re-attach of embeddings (r5 VERDICT #1): broadcast only
+    # while the corpus embedding table fits; shuffle equi-join beyond
+    from trireme_spark.operators.hints import broadcast_if_small
+
     return (
-        cand.join(F.broadcast(ea), "vec_a")
-        .join(F.broadcast(eb), "vec_b")
+        cand.join(broadcast_if_small(ea), "vec_a")
+        .join(broadcast_if_small(eb), "vec_b")
         .select(
             "vec_a",
             "vec_b",
@@ -547,11 +560,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_b").alias("dup_id"))
         .distinct()
     )
+    # no broadcast hint on the duplicate-id set: it is O(#duplicates),
+    # which approaches O(corpus) exactly on the duplicate-heavy inputs
+    # semantic dedup targets — plain equi-joins; AQE broadcasts when the
+    # runtime size is genuinely small (r5 VERDICT "What's wrong" #2)
     return v.join(
-        F.broadcast(dups), v.vec_id == dups.dup_id, "left_anti"
+        dups, v.vec_id == dups.dup_id, "left_anti"
     ).select("vec_id", F.lit(True).alias("kept")).unionByName(
         v.join(
-            F.broadcast(dups), v.vec_id == dups.dup_id, "left_semi"
+            dups, v.vec_id == dups.dup_id, "left_semi"
         ).select("vec_id", F.lit(False).alias("kept"))
     )
 
@@ -753,7 +770,9 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trireme_spark.operators.similarity import candidate_pairs_prefix
 
     n_parts = spark.sparkContext.defaultParallelism
-    sets = _shingle_sets(spark, sf_dir).cache()
+    from trireme_spark.operators.hints import cache_once
+
+    sets = cache_once(_shingle_sets(spark, sf_dir))
     w_g = Window.partitionBy("gkey")
     grouped = sets.withColumn(
         "gkey", F.xxhash64(F.array_sort("sset"))
