@@ -77,16 +77,24 @@ DEFAULT_KEYS = [
     "sim_knn_graph_all",
     "text_collocations_pmi",
     "text_skipgram_pairs",
-    # sim_sparse_cosine_tfidf is deliberately NOT here: exact all-pairs
-    # sparse cosine over this fixture's shared ~100-word vocabulary is
-    # Σ|posting|² — measured 43 M candidate pairs at 5 k docs (sf0.1),
-    # i.e. ~4e11 pairs at the 500 k-doc duplicated stage. That is
-    # infeasible for ANY engine without changing the operator's exact
-    # contract (DIMSUM sampling / cosine prefix-filter / the ANN keys
-    # are the documented scale path). Running it here would hang the
-    # suite, not find bugs; the scale_sweep 10× budget at sf0.1 is the
-    # regression guard for this key.
+    # sim_sparse_cosine_tfidf's EXACT leg is deliberately NOT here:
+    # exact all-pairs sparse cosine over this fixture's shared ~100-word
+    # vocabulary is Σ|posting|² — measured 43 M candidate pairs at 5 k
+    # docs (sf0.1), i.e. ~4e11 pairs at the 500 k-doc duplicated stage —
+    # infeasible for ANY engine without changing the exact contract.
+    # The DIMSUM leg (generators='dimsum': collapse identical vectors →
+    # norm-weighted sampling → exact map-dot verify → expand) IS the
+    # documented scale path and runs below via SPECIAL_KEYS.
 ]
+
+# keys that run through a non-default generator at stress scale
+SPECIAL_KEYS = {
+    "sim_sparse_cosine_tfidf[dimsum]": (
+        "sim_sparse_cosine_tfidf",
+        {"generators": "dimsum"},
+    ),
+}
+DEFAULT_KEYS = DEFAULT_KEYS + list(SPECIAL_KEYS)
 
 ID_COLS = {
     "documents": "doc_id",
@@ -141,10 +149,13 @@ def main() -> None:
 
     failures = []
     for key in keys:
-        fn = registry.QUERIES[key]
+        base, kwargs = SPECIAL_KEYS.get(key, (key, {}))
+        fn = registry.QUERIES[base]
         t0 = time.perf_counter()
         try:
-            fn(spark, STAGE).write.format("noop").mode("overwrite").save()
+            fn(spark, STAGE, **kwargs).write.format("noop").mode(
+                "overwrite"
+            ).save()
             dt = time.perf_counter() - t0
             print(f"{key}: {dt:.1f}s", flush=True)
         except Exception as exc:  # noqa: BLE001 — report and continue

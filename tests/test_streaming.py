@@ -181,8 +181,11 @@ import pytest as _pytest  # noqa: E402
 
 @_pytest.mark.skipif(
     not _tws_available(),
-    reason="broken protobuf in container — transformWithState state "
-    "server cannot start (see builders.transform_with_state_user_counts)",
+    reason="protobuf absent in container (import google -> "
+    "ModuleNotFoundError; the pure-Python "
+    "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION fallback was probed and "
+    "cannot apply to a missing package) — transformWithState state "
+    "server cannot start (see builders.tws_available)",
 )
 def test_transform_with_state_matches_batch(spark):
     from pyspark.sql import functions as F

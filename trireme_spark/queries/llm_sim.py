@@ -953,7 +953,12 @@ WHERE dot / (na.nn * nb.nn) >= 0.5
 
 
 @register("sim_sparse_cosine_tfidf", oracle=_SPARSE_COS_ORACLE)
-def sim_sparse_cosine_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_sparse_cosine_tfidf(
+    spark: SparkSession,
+    sf_dir: str,
+    generators: str = "exact",
+    gamma: float = 200.0,
+) -> DataFrame:
     """Sparse cosine similarity join over tf-idf vectors — the
     term-at-a-time formulation (DIMSUM-family minus sampling): documents
     only ever meet through terms they SHARE, so the join fans out
@@ -1039,6 +1044,8 @@ def sim_sparse_cosine_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
         ),
     )
+    if generators == "dimsum":
+        return _sparse_cosine_dimsum(wn, gamma)
     # int64 fixed-point weights (wt is ROUND(6) → wt·1e6 integral): the
     # product-sum in 1e-12 units is exact, order-independent, and a long
     # sum beats a DECIMAL(27,6) sum by ~30% over the |pairs| fan-out —
@@ -1072,6 +1079,180 @@ def sim_sparse_cosine_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dots.where(sim >= 0.5).select(
         "doc_a", "doc_b", F.round(sim, 4).alias("cos_sim")
     )
+
+
+def _sparse_cosine_dimsum(wn: DataFrame, gamma: float) -> DataFrame:
+    """The at-scale leg of sim_sparse_cosine_tfidf (r5 VERDICT #6) —
+    DIMSUM-style sampled candidate generation, made sound for
+    duplicate-heavy corpora by COLLAPSING first:
+
+    1. collapse: identical truncated tf-idf vectors group under a
+       vector-identity hash; one representative indexes per group, so a
+       10x-duplicated crawl costs what its UNIQUE docs cost (the
+       dedup_ngram_jaccard doctrine) — this, not sampling, is what kills
+       the duplicate-quadratic pair blowup the exact leg cannot survive;
+    2. sample: per (term, rep-pair) posting products emit with
+       probability p = min(1, gamma / (na*nb)) — DIMSUM's norm-weighted
+       rate (Zadeh & Goel: oversampling factor gamma preserves
+       similarities above the threshold w.h.p.) — using a DETERMINISTIC
+       xxhash64 uniform so reruns and retried tasks agree; the estimator
+       divides the sampled partial sums by p;
+    3. verify: candidate pairs with estimated sim over a slacked
+       threshold (0.3 = 0.6 * the 0.5 contract) re-score EXACTLY via a
+       map-dot over the two <=10-entry vectors (two keyed joins, O(1)
+       per pair; same int64 fixed-point arithmetic as the exact leg, so
+       surviving pairs carry identical values);
+    4. expand: verified representative pairs fan back out to member
+       pairs, and each multi-member group emits its intra-group pairs
+       (identical vectors) scored through the same self-dot formula.
+
+    Output precision is exact (every emitted pair is verified); recall
+    is probabilistic in step 2 and pytest-gated vs the exact leg."""
+    wq = wn.withColumn(
+        "wq", F.round(F.col("wt") * 1e6).cast("long")
+    )
+    vec = wq.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "wq"))
+        ).alias("vmap"),
+        F.any_value("nn").alias("nn"),
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(":", "term", F.col("wq").cast("string"))
+                    )
+                ),
+            )
+        ).alias("vkey"),
+    )
+    groups = vec.groupBy("vkey").agg(F.min("doc_id").alias("rep_id"))
+    reps = vec.join(
+        groups.select("rep_id"), vec["doc_id"] == groups["rep_id"]
+    ).select("doc_id", "vmap", "nn", "vkey")
+    rep_post = wq.join(
+        reps.select("doc_id"), "doc_id", "left_semi"
+    )
+    a = rep_post.select(
+        F.col("doc_id").alias("doc_a"),
+        "term",
+        F.col("wq").alias("wa"),
+        F.col("nn").alias("na"),
+    )
+    b = rep_post.select(
+        F.col("doc_id").alias("doc_b"),
+        "term",
+        F.col("wq").alias("wb"),
+        F.col("nn").alias("nb"),
+    )
+    u = (
+        F.pmod(
+            F.xxhash64(F.col("term"), F.col("doc_a"), F.col("doc_b")),
+            F.lit(10**9),
+        ).cast("double")
+        / 1e9
+    )
+    p = F.least(F.lit(1.0), F.lit(gamma) / (F.col("na") * F.col("nb")))
+    est = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(u < p)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("sdot"),
+            F.any_value("na").alias("na"),
+            F.any_value("nb").alias("nb"),
+            F.any_value(p).alias("p"),
+        )
+        .where(
+            (F.col("sdot").cast("double") / 1e12 / F.col("p"))
+            / (F.col("na") * F.col("nb"))
+            >= 0.5 * 0.6
+        )
+        .select("doc_a", "doc_b")
+    )
+    # exact re-score of candidates: map-intersection dot in 1e-12 units
+    map_dot = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "ma",
+                "mb",
+                lambda k, x, y: F.coalesce(x, F.lit(0))
+                * F.coalesce(y, F.lit(0)),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    va = vec.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("vmap").alias("ma"),
+        F.col("nn").alias("na"),
+        F.col("vkey").alias("vkey_a"),
+    )
+    vb = vec.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("vmap").alias("mb"),
+        F.col("nn").alias("nb"),
+        F.col("vkey").alias("vkey_b"),
+    )
+    ver = (
+        est.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn(
+            "sim",
+            map_dot.cast("double") / 1e12 / (F.col("na") * F.col("nb")),
+        )
+        .where(F.col("sim") >= 0.5)
+        .select("vkey_a", "vkey_b", "sim")
+    )
+    members = vec.select("vkey", "doc_id")
+    cross = (
+        ver.join(
+            members.select(
+                F.col("vkey").alias("vkey_a"), F.col("doc_id").alias("ida")
+            ),
+            "vkey_a",
+        )
+        .join(
+            members.select(
+                F.col("vkey").alias("vkey_b"), F.col("doc_id").alias("idb")
+            ),
+            "vkey_b",
+        )
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            F.round(F.col("sim"), 4).alias("cos_sim"),
+        )
+    )
+    # intra-group pairs: identical vectors, scored via the same self-dot
+    self_sim = reps.select(
+        "vkey",
+        (
+            F.aggregate(
+                F.map_values(F.col("vmap")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v * v,
+            ).cast("double")
+            / 1e12
+            / (F.col("nn") * F.col("nn"))
+        ).alias("sim"),
+    )
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "vkey")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .join(self_sim, "vkey")
+        .where(F.col("sim") >= 0.5)
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.round(F.col("sim"), 4).alias("cos_sim"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------
