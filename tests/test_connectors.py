@@ -160,3 +160,31 @@ def test_python_sink_commit_protocol(spark, tmp_path):
     assert json.load(open(os.path.join(out, "_MANIFEST.json")))["parts"] == [
         msg.path
     ]
+
+
+def test_staging_dir_is_per_process():
+    """r5 ADVICE: staging paths must differ across processes (concurrent
+    sessions must never share a mid-overwrite path) and stay stable
+    within one (cross-call reuse)."""
+    import os
+    import subprocess
+    import sys
+
+    from trireme_spark.sources.io import staging_dir
+
+    a = staging_dir("probe", "/root/testdata/sf0.001")
+    b = staging_dir("probe", "/root/testdata/sf0.001")
+    assert a == b
+    assert f"p{os.getpid()}" in a
+    other = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from trireme_spark.sources.io import staging_dir;"
+            "print(staging_dir('probe', '/root/testdata/sf0.001'))",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    ).stdout.strip()
+    assert other and other != a

@@ -514,3 +514,31 @@ def test_minhash_verify_join_broadcasts_at_fixture_scale(spark):
     corpus is small (the size gate must not regress the bench)."""
     p = plan(registry.QUERIES["dedup_fuzzy_minhash"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p
+
+
+def test_skyline3d_local_then_broadcast_merge(spark):
+    """orders_skyline_3d: quadratic work confined to the per-partition
+    local skyline (MapInPandas); the candidate merge is a broadcast
+    nested-loop anti-join over the skyline-sized set, never a shuffle
+    cartesian over the input."""
+    p = plan(registry.QUERIES["orders_skyline_3d"](spark, SF_SMOKE))
+    assert "MapInPandas" in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_moving_quantile_is_keyed_bounded_frame(spark):
+    """win_moving_quantile: percentile rides a supplier-keyed ROWS frame
+    — no self-join, no global window."""
+    p = plan(registry.QUERIES["win_moving_quantile"](spark, SF_SMOKE))
+    assert "windowspecdefinition(l_suppkey" in p
+    assert "Join" not in p
+
+
+def test_paragraph_dedup_sentence_keyed_window(spark):
+    """text_paragraph_dedup: the global first-occurrence rule is a
+    sentence-keyed window (content-hash sharding), not any join of the
+    exploded table against itself."""
+    p = plan(registry.QUERIES["text_paragraph_dedup"](spark, SF_SMOKE))
+    assert "windowspecdefinition(sent" in p
+    assert "CartesianProduct" not in p

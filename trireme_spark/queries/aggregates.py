@@ -1578,3 +1578,59 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trimmed_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_theil_index — entropy-based inequality decomposition
+# ---------------------------------------------------------------------------
+
+_THEIL_ORACLE = """
+WITH mu AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(*) AS mean_price,
+         COUNT(*) AS n
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       ROUND(
+         CAST(SUM(CAST(ROUND(
+             (o.o_totalprice / m.mean_price)
+             * ln(o.o_totalprice / m.mean_price), 6)
+           AS DECIMAL(27,6))) AS DOUBLE) / m.n, 6) AS theil_t,
+       m.n AS n_orders
+FROM orders o JOIN mu m ON o.o_orderpriority = m.o_orderpriority
+GROUP BY o.o_orderpriority, m.n
+"""
+
+
+@register("agg_theil_index", oracle=_THEIL_ORACLE)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index per order priority — the entropy-based
+    inequality measure (T = mean of (x/mu)*ln(x/mu)): 0 for perfect
+    equality, ln(n) at maximal concentration. Complements the Gini key
+    (orders_gini_coefficient): Theil DECOMPOSES additively across
+    subgroups, which is why concentration monitoring prefers it.
+
+    Scale design: two keyed aggregations over the same grouping (mean,
+    then the entropy sum) — Catalyst plans the self-join of a
+    dimension-sized aggregate as a broadcast; no window, no sort.
+    Parity: the per-row term rounds to 6dp before the order-independent
+    decimal sum (parity.py doctrine — ln() drift absorbed per row)."""
+    o = table(spark, sf_dir, "orders")
+    mu = o.groupBy("o_orderpriority").agg(
+        davg("o_totalprice").alias("mean_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ratio = F.col("o_totalprice") / F.col("mean_price")
+    term = F.round(ratio * F.log(ratio), 6)
+    return (
+        o.join(F.broadcast(mu), "o_orderpriority")
+        .groupBy("o_orderpriority", "n")
+        .agg(F.round(dsum(term) / F.col("n"), 6).alias("theil_t"))
+        .select(
+            "o_orderpriority",
+            "theil_t",
+            F.col("n").alias("n_orders"),
+        )
+    )

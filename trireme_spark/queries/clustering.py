@@ -318,3 +318,113 @@ def cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("role"),
         F.coalesce("core_cluster", "border_cluster").alias("cluster"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster_silhouette — simplified (centroid-based) silhouette score
+# ---------------------------------------------------------------------------
+
+_SIL_ORACLE = f"""
+WITH c AS (
+    SELECT vec_id AS cid,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+    FROM embeddings ORDER BY vec_id LIMIT {_K}
+), v AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vemb
+    FROM embeddings
+), d AS (
+    SELECT vec_id, cid, {_DIST_SQL} AS dist_sq
+    FROM v CROSS JOIN c
+), ranked AS (
+    SELECT vec_id, cid, sqrt(dist_sq) AS dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist_sq, cid) AS rn
+    FROM d
+), ab AS (
+    SELECT a.vec_id, a.cid AS cluster_id,
+           ROUND(CASE WHEN greatest(a.dist, b.dist) = 0 THEN 0
+                 ELSE (b.dist - a.dist) / greatest(a.dist, b.dist)
+                 END, 6) AS s
+    FROM ranked a JOIN ranked b
+      ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+)
+SELECT cluster_id,
+       ROUND(CAST(SUM(CAST(s AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_silhouette,
+       COUNT(*) AS n_points
+FROM ab GROUP BY cluster_id
+"""
+
+
+@register("cluster_silhouette", oracle=_SIL_ORACLE)
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the standard
+    clustering-quality score, in the centroid form that scales: a = the
+    point's distance to its own (nearest) centroid, b = distance to the
+    second-nearest, s = (b−a)/max(a,b). The full silhouette's
+    all-pairs-within-cluster term is O(n²) and is exactly what the
+    centroid form replaces (sklearn's davies-bouldin/simplified
+    tradition); with cluster_assign's deterministic data-derived
+    centroids both engines can name the same clustering, making the
+    score value-checkable.
+
+    Scale design: k-row broadcast of centroids, codegen'd distance
+    fold per (row, centroid), vec-keyed window to rank the k distances,
+    then a dimension-sized keyed aggregation — one shuffle of n·k
+    id+distance rows, no pairwise joins. Parity: per-row s ROUND(6)
+    before the order-independent decimal mean (ln/sqrt drift absorbed
+    per row, the parity.py doctrine)."""
+    e = table(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cents = (
+        e.orderBy("vec_id")
+        .limit(_K)
+        .select(F.col("vec_id").alias("cid"), emb_d.alias("cemb"))
+    )
+    v = e.select("vec_id", emb_d.alias("vemb"))
+    dist_sq = F.round(
+        F.aggregate(
+            F.zip_with("vemb", "cemb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, t: s + t,
+        ),
+        6,
+    )
+    d = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", dist_sq.alias("dist_sq")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_sq", "cid")
+    ranked = d.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 2
+    )
+    a = ranked.where(F.col("rn") == 1).select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.sqrt("dist_sq").alias("dist_a"),
+    )
+    b = ranked.where(F.col("rn") == 2).select(
+        "vec_id", F.sqrt("dist_sq").alias("dist_b")
+    )
+    s = F.round(
+        F.when(F.greatest("dist_a", "dist_b") == 0, F.lit(0.0)).otherwise(
+            (F.col("dist_b") - F.col("dist_a"))
+            / F.greatest("dist_a", "dist_b")
+        ),
+        6,
+    )
+    from trireme_spark.parity import DSCALE
+
+    return (
+        a.join(b, "vec_id")
+        .select("cluster_id", s.alias("s"))
+        .groupBy("cluster_id")
+        .agg(
+            F.round(
+                F.sum(F.col("s").cast(DSCALE)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_silhouette"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )

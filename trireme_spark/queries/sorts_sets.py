@@ -933,3 +933,233 @@ def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("od").cast("string").alias("od"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_skyline_3d — higher-dimensional skyline (block-partition + merge)
+# ---------------------------------------------------------------------------
+
+_SKY3_ORACLE = """
+WITH pts AS (
+  SELECT l_orderkey, l_linenumber,
+         l_extendedprice AS price, l_quantity AS qty,
+         CAST(l_shipdate AS DATE) AS sd
+  FROM lineitem WHERE l_orderkey % 10 = 0
+)
+SELECT l_orderkey, l_linenumber, price, qty,
+       CAST(sd AS VARCHAR) AS ship_day
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.price >= a.price AND b.qty >= a.qty AND b.sd >= a.sd
+    AND (b.price > a.price OR b.qty > a.qty OR b.sd > a.sd)
+)
+"""
+
+
+@register("orders_skyline_3d", oracle=_SKY3_ORACLE)
+def orders_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D SKYLINE (Pareto frontier over price, quantity, ship recency)
+    — the d>2 case the 2-D sort-based identity (orders_skyline_2d)
+    cannot express, in the classic DISTRIBUTED block-partition form:
+
+    1. hash-partition the points; each partition computes its LOCAL
+       skyline with a sort-pruned scan (sorted by price desc, a point
+       only needs checking against already-kept points — O(m·s) per
+       partition for local skyline size s, all inside one Arrow batch);
+    2. the union of local skylines is a complete candidate set (a
+       globally undominated point is undominated in its own partition);
+    3. the final pass anti-joins candidates against candidates —
+       dominance is transitive, so a candidate dominated only by a
+       pruned point is also dominated by some candidate. Candidates are
+       skyline-sized (<< input), so the nested-loop anti-join
+       broadcasts under the size gate; a frontier too large to
+       broadcast would recurse the same block-partition step instead
+       (documented trade, loud via the gate falling back to a shuffle).
+
+    Sub-sampling (l_orderkey % 10) keeps the brute-force NOT-EXISTS
+    oracle quadratic-feasible at sweep scale; the operator itself never
+    goes quadratic in the input."""
+    import pandas as pd
+
+    from trireme_spark.operators.hints import broadcast_if_small
+
+    li = table(spark, sf_dir, "lineitem")
+    pts = (
+        li.where(F.col("l_orderkey") % 10 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_quantity").alias("qty"),
+            F.unix_date(F.col("l_shipdate").cast("date"))
+            .cast("long")
+            .alias("dt"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def local_skyline(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if len(pdf) == 0:
+            yield pdf
+            return
+        import numpy as np
+
+        m = pdf[["price", "qty", "dt"]].to_numpy(dtype="float64")
+        order = np.lexsort((-m[:, 2], -m[:, 1], -m[:, 0]))
+        kept_idx: list[int] = []
+        kept = np.empty((0, 3))
+        for i in order:
+            x = m[i]
+            if len(kept_idx):
+                dom = ((kept >= x).all(axis=1) & (kept > x).any(axis=1))
+                if dom.any():
+                    continue
+            kept_idx.append(i)
+            kept = m[kept_idx]
+        yield pdf.iloc[sorted(kept_idx)]
+
+    cand = pts.mapInPandas(local_skyline, pts.schema)
+    a = cand.alias("a")
+    b = cand.alias("b")
+    dominated = (
+        (F.col("b.price") >= F.col("a.price"))
+        & (F.col("b.qty") >= F.col("a.qty"))
+        & (F.col("b.dt") >= F.col("a.dt"))
+        & (
+            (F.col("b.price") > F.col("a.price"))
+            | (F.col("b.qty") > F.col("a.qty"))
+            | (F.col("b.dt") > F.col("a.dt"))
+        )
+    )
+    return (
+        a.join(broadcast_if_small(b), dominated, "left_anti")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "price",
+            "qty",
+            F.date_from_unix_date(F.col("dt").cast("int"))
+            .cast("string")
+            .alias("ship_day"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_lorenz_curve — decile cumulative-share points (Lorenz curve)
+# ---------------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH cs AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+              AS DECIMAL(27,6)) AS spend
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT spend, o_custkey,
+         ROW_NUMBER() OVER (ORDER BY spend ASC, o_custkey ASC) AS pos,
+         COUNT(*) OVER () AS n
+  FROM cs
+), d AS (
+  SELECT ((pos - 1) * 10) // n + 1 AS decile, spend FROM r
+), g AS (
+  SELECT decile,
+         CAST(SUM(spend) AS DECIMAL(27,6)) AS dspend,
+         COUNT(*) AS n_customers
+  FROM d GROUP BY decile
+)
+SELECT decile, CAST(dspend AS DOUBLE) AS decile_spend, n_customers,
+       ROUND(CAST(SUM(dspend) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(SUM(dspend) OVER () AS DOUBLE), 6) AS cum_share
+FROM g
+"""
+
+
+@register("orders_lorenz_curve", oracle=_LORENZ_ORACLE)
+def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve points: customers ranked by total spend, cut into
+    deciles, each decile's cumulative share of all revenue — the curve
+    whose area complement IS the Gini key's number; dashboards want the
+    curve, not just the scalar ("bottom 50% of customers = 19% of
+    revenue").
+
+    Scale design: per-customer totals are a keyed decimal agg; the
+    global rank reuses the DISTRIBUTED two-pass machinery (equal-width
+    spend buckets → per-bucket row_number → broadcast prefix offsets —
+    no single-reducer window over data); decile assignment is integer
+    floor arithmetic on (pos, n) so both engines cut identically even
+    through ties (the total order is pinned by the custkey tie-break);
+    the cumulative share runs over TEN metadata rows. Spend stays
+    DECIMAL to the final division."""
+    o = table(spark, sf_dir, "orders")
+    cs = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DSCALE)).alias("spend")
+    )
+    n_ranges = spark.sparkContext.defaultParallelism
+    bounds = cs.agg(
+        F.min("spend").alias("lo"),
+        F.max("spend").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranged = cs.crossJoin(F.broadcast(bounds)).withColumn(
+        "rng",
+        F.least(
+            F.greatest(
+                (
+                    (F.col("spend") - F.col("lo"))
+                    * n_ranges
+                    / (F.col("hi") - F.col("lo") + F.lit(1e-6))
+                ).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_ranges - 1),
+        ),
+    )
+    w_in = Window.partitionBy("rng").orderBy(
+        F.col("spend").asc(), F.col("o_custkey").asc()
+    )
+    local = ranged.withColumn("loc_pos", F.row_number().over(w_in))
+    w_prev = (
+        Window.partitionBy(meta_part("rng"))
+        .orderBy("rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("rng")
+        .agg(F.count(F.lit(1)).alias("rng_n"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("rng_n").over(w_prev), F.lit(0))
+        )
+        .select("rng", "offset")
+    )
+    d = (
+        local.join(F.broadcast(offsets), "rng")
+        .select(
+            "spend",
+            F.expr(
+                "((loc_pos + offset - 1) * 10) DIV n + 1"
+            ).alias("decile"),
+        )
+    )
+    g = d.groupBy("decile").agg(
+        F.sum("spend").alias("dspend"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    w_cum = (
+        Window.partitionBy(meta_part("decile"))
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(meta_part("decile"))
+    return g.select(
+        "decile",
+        F.col("dspend").cast("double").alias("decile_spend"),
+        "n_customers",
+        F.round(
+            F.sum("dspend").over(w_cum).cast("double")
+            / F.sum("dspend").over(w_tot).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )

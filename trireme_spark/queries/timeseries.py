@@ -4586,3 +4586,186 @@ def orders_weekend_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(md, 4).alias("mean_diff"),
         F.round(md / se, 4).alias("welch_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_bollinger_bands — keyed rolling mean ± 2σ price bands
+# ---------------------------------------------------------------------------
+
+_BOLL_ORACLE = """
+WITH sums AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+         CAST(l_shipdate AS DATE) AS sd,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) OVER w
+              AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                       AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sx2,
+         COUNT(*) OVER w AS n_window
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+), seq AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice, sd,
+         n_window,
+         sx / n_window AS ma,
+         ROUND(sqrt((sx2 - sx * sx / n_window)
+                    / (n_window - 1)), 3) AS sigma
+  FROM sums WHERE n_window >= 2
+)
+SELECT l_partkey, l_orderkey, l_linenumber,
+       CAST(sd AS VARCHAR) AS ship_day, l_extendedprice, ma, sigma,
+       CAST(l_extendedprice > ma + 2 * sigma
+            OR l_extendedprice < ma - 2 * sigma AS BOOLEAN) AS outside
+FROM seq WHERE n_window >= 5 AND sigma IS NOT NULL
+"""
+
+
+@register("ts_bollinger_bands", oracle=_BOLL_ORACLE)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands per part: trailing-10 rolling mean ± 2σ of line
+    price along ship time, flagging prices outside the band — the
+    volatility-normalized outlier monitor (vs the EWMA control chart's
+    smoothed-level form and the MAD key's robust-global form). Rows with
+    fewer than 5 trailing observations are suppressed (bands from 2-3
+    points are noise, the standard warm-up rule).
+
+    Scale design: one keyed ROWS window per part (shuffle on l_partkey,
+    bounded 10-row frame state, streams under codegen) — no self-join,
+    no global order. Parity: mean and σ derive from EXACT decimal
+    window sums of x and x² (σ² = (Σx² − (Σx)²/n)/(n−1)), so both
+    engines compute the same IEEE doubles (ma emits UNROUNDED — sx/n is
+    bit-identical, while ROUND(...,3) hits half-way ties like .7925
+    that Java HALF_UP and DuckDB's float rounding break differently;
+    sigma keeps ROUND(3), sqrt outputs don't tie) — plain
+    windowed AVG/STDDEV straddled the rounding boundary on 3 of 52 000
+    rows at sf0.01 (order-dependent double summation), which the
+    exact-sum form eliminates rather than papers over."""
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-9, 0)
+    )
+    x = F.col("l_extendedprice")
+    sx = F.sum(x.cast(DSCALE)).over(w).cast("double")
+    sx2 = F.sum((x * x).cast(DSCALE)).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    seq = li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
+        (sx / n).alias("ma"),
+        F.round(F.sqrt((sx2 - sx * sx / n) / (n - 1)), 3).alias("sigma"),
+        n.alias("n_window"),
+    )
+    return (
+        seq.where((F.col("n_window") >= 5) & F.col("sigma").isNotNull())
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            "ship_day",
+            "l_extendedprice",
+            "ma",
+            "sigma",
+            (
+                (F.col("l_extendedprice") > F.col("ma") + 2 * F.col("sigma"))
+                | (
+                    F.col("l_extendedprice")
+                    < F.col("ma") - 2 * F.col("sigma")
+                )
+            ).alias("outside"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_sma_crossover — fast/slow moving-average crossover signals
+# ---------------------------------------------------------------------------
+
+_SMA_X_ORACLE = """
+WITH seq AS (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         CAST(l_shipdate AS DATE) AS sd,
+         ROW_NUMBER() OVER w AS rn,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6)))
+              OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+              AS DOUBLE) / 5 AS fast,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6)))
+              OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+              AS DOUBLE) / 20 AS slow
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber)
+), sig AS (
+  SELECT *, sign(fast - slow) AS s,
+         LAG(sign(fast - slow)) OVER (PARTITION BY l_partkey
+                                      ORDER BY rn) AS prev_s
+  FROM seq WHERE rn >= 20
+)
+SELECT l_partkey, l_orderkey, l_linenumber,
+       CAST(sd AS VARCHAR) AS ship_day, fast, slow,
+       CASE WHEN s > prev_s THEN 'golden' ELSE 'death' END AS crossover
+FROM sig WHERE prev_s IS NOT NULL AND s <> prev_s
+"""
+
+
+@register("ts_sma_crossover", oracle=_SMA_X_ORACLE)
+def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast(5)/slow(20) moving-average crossover detection per part —
+    the classic trend-change signal ('golden cross' = fast rises
+    through slow, 'death cross' = the reverse), emitted only at the
+    flip rows. Signals start once the slow window is full (rn >= 20);
+    partial-window averages cross constantly and mean nothing.
+
+    Scale design: both averages ride ONE keyed time-ordered window
+    (bounded ROWS frames, codegen), the flip test is a lag over the
+    same key — no self-join, the output is signal-sparse. Parity:
+    averages from exact decimal sums (identical doubles both engines —
+    the bollinger lesson), and sign() of an identical double is
+    tie-safe without rounding."""
+    li = table(spark, sf_dir, "lineitem")
+    wo = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    x = F.col("l_extendedprice").cast(DSCALE)
+    fast = F.sum(x).over(wo.rowsBetween(-4, 0)).cast("double") / 5
+    slow = F.sum(x).over(wo.rowsBetween(-19, 0)).cast("double") / 20
+    seq = li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
+        F.row_number().over(wo).alias("rn"),
+        fast.alias("fast"),
+        slow.alias("slow"),
+    ).where(F.col("rn") >= 20)
+    w_sig = Window.partitionBy("l_partkey").orderBy("rn")
+    s = F.signum(F.col("fast") - F.col("slow"))
+    sig = seq.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "ship_day",
+        "fast",
+        "slow",
+        s.alias("s"),
+        F.lag(s).over(w_sig).alias("prev_s"),
+    )
+    return (
+        sig.where(F.col("prev_s").isNotNull() & (F.col("s") != F.col("prev_s")))
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            "ship_day",
+            "fast",
+            "slow",
+            F.when(F.col("s") > F.col("prev_s"), "golden")
+            .otherwise("death")
+            .alias("crossover"),
+        )
+    )

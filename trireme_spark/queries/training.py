@@ -1135,3 +1135,119 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("syms", " ").alias("tokens"),
         F.size("syms").cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_paragraph_dedup — corpus-level exact sentence dedup + reassembly
+# ---------------------------------------------------------------------------
+
+_PARA_DEDUP_ORACLE = """
+WITH planted AS (
+  SELECT doc_id,
+         regexp_replace(text, ' (spark|table|merge) ', ' \\1. ', 'g') AS t
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         string_split(
+             regexp_replace(t, '([.!?])\\s+', '\\1\x01', 'g'),
+             '\x01') AS ps
+  FROM planted
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(ps)), i ->
+             struct_pack(ord := i,
+                         sent := ps[CAST(i AS INT) + 1]))) AS u
+  FROM parts
+),
+t AS (
+  SELECT doc_id, trim(u.sent) AS sent, u.ord AS ord
+  FROM s WHERE trim(u.sent) <> ''
+),
+r AS (
+  SELECT doc_id, sent, ord,
+         ROW_NUMBER() OVER (PARTITION BY sent
+                            ORDER BY doc_id, ord) AS occ
+  FROM t
+),
+kept AS (
+  SELECT doc_id,
+         string_agg(sent, ' ' ORDER BY ord) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM r WHERE occ = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_total FROM t GROUP BY doc_id)
+SELECT tot.doc_id,
+       COALESCE(kept.clean_text, '') AS clean_text,
+       COALESCE(kept.n_kept, 0) AS n_kept,
+       tot.n_total - COALESCE(kept.n_kept, 0) AS n_dropped
+FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+"""
+
+
+@register("text_paragraph_dedup", oracle=_PARA_DEDUP_ORACLE)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-level exact sentence dedup with document reassembly — the
+    C4/CCNet "remove duplicated lines across the corpus" cleaning op:
+    the FIRST occurrence of each distinct sentence (by (doc_id,
+    position) order) survives; every later occurrence — boilerplate
+    footers, syndicated passages, within-doc repeats — is cut, and each
+    document is rebuilt from its surviving sentences in original order.
+    Complements text_sentence_split (per-doc segmentation),
+    text_boilerplate_removal (df-thresholded), and dedup_doc_canonical
+    (whole-doc): this is the cross-doc EXACT-match grain. Sentence
+    boundaries use the established planted-punctuation segmenter so
+    both engines split identically.
+
+    Scale design: segmenting is a codegen'd regex + posexplode (per-doc
+    bounded fan-out); the global first-occurrence rule is ONE window
+    keyed on the sentence hash (sentence-keyed shuffle — exactly how a
+    100 TB line-dedup shards, by content hash); reassembly is a
+    doc-keyed sort_array over (position, sentence) structs. Nothing is
+    ever all-pairs; memory per key is one sentence's occurrence list
+    frame-bounded to row_number state."""
+    d = table(spark, sf_dir, "documents")
+    planted = F.regexp_replace(
+        F.col("text"), r" (spark|table|merge) ", " $1. "
+    )
+    sents = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.split(
+                    F.regexp_replace(planted, r"([.!?])\s+", "$1\u0001"),
+                    "\u0001",
+                )
+            ).alias("ord", "sent"),
+        )
+        .select("doc_id", "ord", F.trim("sent").alias("sent"))
+        .where(F.col("sent") != "")
+    )
+    w = Window.partitionBy("sent").orderBy("doc_id", "ord")
+    ranked = sents.withColumn("occ", F.row_number().over(w))
+    kept = (
+        ranked.where(F.col("occ") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ord", "sent"))
+                    ),
+                    lambda st: st["sent"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    tot = sents.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    return tot.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_dropped"
+        ),
+    )
