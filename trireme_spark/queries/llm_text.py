@@ -2147,3 +2147,78 @@ def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("hapax_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_coverage — fixed-vocab coverage / OOV rate per document
+# ---------------------------------------------------------------------------
+
+_VOCAB_COV_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+), freq AS (
+  SELECT term, COUNT(*) AS n FROM tok WHERE term <> '' GROUP BY term
+), vocab AS (
+  SELECT term FROM (
+    SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rk
+    FROM freq
+  ) WHERE rk <= 100
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_in_vocab,
+       ROUND(SUM(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+FROM tok t LEFT JOIN vocab v ON t.term = v.term
+WHERE t.term <> ''
+GROUP BY t.doc_id
+"""
+
+
+@register("text_vocab_coverage", oracle=_VOCAB_COV_ORACLE)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage per document: with the vocab fixed
+    to the corpus's top-100 tokens (deterministic (freq desc, term asc)
+    cut), what fraction of each doc's token INSTANCES are in-vocab —
+    the OOV-rate eval every tokenizer/vocab decision is scored by
+    (coverage low → doc will fragment into many subword pieces or
+    <unk>s). Complements text_bpe_encode (which encodes against a
+    learned subword vocab) with the word-level coverage audit that
+    picks vocab size in the first place.
+
+    Scale design: vocab derivation is one map-side-combined token count
+    + a TakeOrdered-style top-k; scoring re-joins the 100-row vocab to
+    the exploded tokens (broadcast — genuinely bounded by the top-k
+    constant, not corpus-sized) and aggregates per doc. Ratio is one
+    division of exact integers, ROUND(6)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokenize("text")).alias("term")
+    ).where(F.col("term") != "")
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        freq.orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(100)
+        .select("term")
+    )
+    return (
+        tok.join(
+            F.broadcast(vocab.withColumn("in_v", F.lit(1))), "term", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("in_v", F.lit(0))).alias("n_in_vocab"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_in_vocab",
+            F.round(
+                F.col("n_in_vocab") / F.col("n_tokens").cast("double"), 6
+            ).alias("coverage"),
+        )
+    )

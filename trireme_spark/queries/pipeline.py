@@ -1117,3 +1117,65 @@ def embed_procrustes_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "metric string, value double",
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_temperature_weights — temperature-scaled mixture weights
+# ---------------------------------------------------------------------------
+
+_TEMP_MIX_ORACLE = """
+WITH c AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs, ROUND(sqrt(n_docs), 6) AS raw_w FROM c
+), z AS (
+  SELECT CAST(SUM(CAST(raw_w AS DECIMAL(27,6))) AS DOUBLE) AS zsum,
+         CAST(SUM(n_docs) AS DOUBLE) AS n_total
+  FROM w
+)
+SELECT w.source, w.n_docs,
+       ROUND(w.raw_w / z.zsum, 6) AS sample_prob,
+       ROUND((w.raw_w / z.zsum) * z.n_total / w.n_docs, 6)
+           AS epochs_per_pass
+FROM w CROSS JOIN z
+"""
+
+
+@register("sample_temperature_weights", oracle=_TEMP_MIX_ORACLE)
+def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (alpha = 0.5, i.e.
+    sqrt) — THE multilingual/multi-source rebalancing rule (XLM-R,
+    mT5 family): sampling probability q_i ∝ n_i^alpha upweights small
+    sources without letting giants dominate. epochs_per_pass = how many
+    times each source's data repeats per epoch of the mixed corpus —
+    the number a data engineer checks against the repetition-harm
+    budget before training. Complements sample_source_mixture (which
+    APPLIES per-source keep rates); this key DERIVES the rates from
+    corpus statistics.
+
+    Scale design: one map-side-combined keyed count, then arithmetic
+    over a dimension-sized (|sources|-row) table. Parity: sqrt output
+    rounds to 6dp before the order-independent decimal normalizer sum
+    (parity.py doctrine)."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = c.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt("n_docs"), 6).alias("raw_w"),
+    )
+    z = w.agg(
+        dsum("raw_w").alias("zsum"),
+        F.sum("n_docs").cast("double").alias("n_total"),
+    )
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("raw_w") / F.col("zsum"), 6).alias("sample_prob"),
+        F.round(
+            (F.col("raw_w") / F.col("zsum"))
+            * F.col("n_total")
+            / F.col("n_docs"),
+            6,
+        ).alias("epochs_per_pass"),
+    )
