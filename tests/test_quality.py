@@ -893,3 +893,30 @@ def test_sparse_cosine_dimsum_recall_and_exactness(spark):
     assert all(
         abs(exact[k] - approx[k]) < 1e-9 for k in set(exact) & set(approx)
     )
+
+
+def test_bootstrap_ci_brackets_sample_mean(spark):
+    """events_bootstrap_ci: Poisson-bootstrap replicate means center on
+    the sample mean, so the rank-based 95% CI must bracket it, be
+    properly ordered, and be tight relative to the value scale."""
+    ci = {
+        r["event_type"]: r
+        for r in registry.QUERIES["events_bootstrap_ci"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["m"]
+        for r in table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("m"))
+        .collect()
+    }
+    assert set(ci) == set(exact)
+    for t, row in ci.items():
+        assert row["n_replicates"] == 64
+        assert row["ci_lo"] < row["ci_hi"]
+        assert row["ci_lo"] <= exact[t] <= row["ci_hi"], (
+            t, row["ci_lo"], exact[t], row["ci_hi"]
+        )
+        assert (row["ci_hi"] - row["ci_lo"]) < abs(exact[t])

@@ -4769,3 +4769,139 @@ def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("crossover"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_bootstrap_ci — Poisson-bootstrap confidence interval for a mean
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF thresholds for the inverse-transform draw (shared
+# constants, identical CASE chain both engines; capped at 8 — P(k>8) < 2e-6)
+_POIS_CDF = [
+    0.36787944, 0.73575888, 0.9196986, 0.98101184,
+    0.99634015, 0.99940582, 0.99991676, 0.99998975,
+]
+_B = 64  # bootstrap replicates
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+# shared Knuth multiplicative hash (pipeline.py _kbucket — pure integer
+# arithmetic, bit-identical on any engine) over key = event_id*B + b
+_BOOT_U_SQL = (
+    f"((((e.event_id * {_B} + r.b) % 2147483648) * 2654435761)"
+    f" % 4294967296) % 1000000 / 1000000.0"
+)
+
+_BOOT_ORACLE = f"""
+WITH reps AS (
+  SELECT e.event_type, e.value, r.b,
+         {_pois_case_sql(_BOOT_U_SQL)} AS k
+  FROM events e CROSS JOIN (SELECT unnest(range({_B})) AS b) r
+), means AS (
+  SELECT event_type, b,
+         ROUND(CAST(SUM(CAST(k * value AS DECIMAL(27,6))) AS DOUBLE)
+               / SUM(k), 6) AS m
+  FROM reps GROUP BY event_type, b HAVING SUM(k) > 0
+), ranked AS (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY m ASC, b ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS nb
+  FROM means
+)
+SELECT event_type,
+       MIN(CASE WHEN rk = 2 THEN m END) AS ci_lo,
+       MIN(CASE WHEN rk = nb - 1 THEN m END) AS ci_hi,
+       CAST(MAX(nb) AS BIGINT) AS n_replicates
+FROM ranked GROUP BY event_type
+"""
+
+
+@register("events_bootstrap_ci", oracle=_BOOT_ORACLE)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean(value) per event type via
+    the POISSON bootstrap — the resampling scheme that actually
+    distributes: instead of drawing n rows with replacement B times
+    (impossible without global coordination), every row independently
+    contributes Poisson(1) copies to each replicate. One pass, no
+    sampling shuffle, provably equivalent to the multinomial bootstrap
+    as n grows (Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams" — the Google large-scale-bootstrap doctrine).
+
+    Determinism: the Poisson draw is an inverse-CDF transform of a
+    HASH-derived uniform on (event_id, replicate) — identical counts on
+    any engine, any partitioning, any rerun; the shared Knuth
+    multiplicative hash (pipeline.py's split/sample machinery) keeps
+    the draw in pure integer arithmetic. The CI is rank-based
+    (2nd / 63rd of B=64 sorted replicate means ≈ 95%), not
+    interpolated, so no quantile-interpolation parity trap.
+
+    Scale design: the B-way explode is a bounded constant fan-out
+    (B·n rows carrying (type, b, k, value) — at 100 TB you'd fold k
+    into partial aggregates per (type, b) map-side, which is exactly
+    what Catalyst's partial HashAggregate does here); replicate means
+    are a (|types|·B)-row table; the order statistic is a keyed window
+    over B rows per type."""
+    ev = table(spark, sf_dir, "events")
+    reps = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
+    ).withColumn(
+        "u",
+        F.pmod(
+            F.pmod(
+                F.pmod(
+                    F.col("event_id") * _B + F.col("b"),
+                    F.lit(2147483648),
+                )
+                * F.lit(2654435761),
+                F.lit(4294967296),
+            ),
+            F.lit(1_000_000),
+        )
+        / 1e6,
+    )
+    k = F.lit(8)
+    for kk in range(len(_POIS_CDF) - 1, -1, -1):
+        k = F.when(F.col("u") < _POIS_CDF[kk], F.lit(kk)).otherwise(k)
+    means = (
+        reps.withColumn("k", k)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum((F.col("k") * F.col("value")).cast(DSCALE))
+            .cast("double")
+            .alias("skx"),
+            F.sum("k").alias("sk"),
+        )
+        .where(F.col("sk") > 0)
+        .select(
+            "event_type",
+            "b",
+            F.round(F.col("skx") / F.col("sk"), 6).alias("m"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("m").asc(), F.col("b").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = means.select(
+        "event_type",
+        "m",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("nb"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rk") == 2, F.col("m"))).alias("ci_lo"),
+        F.min(
+            F.when(F.col("rk") == F.col("nb") - 1, F.col("m"))
+        ).alias("ci_hi"),
+        F.max("nb").cast("long").alias("n_replicates"),
+    )
