@@ -4905,3 +4905,162 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ci_hi"),
         F.max("nb").cast("long").alias("n_replicates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_max_drawdown — peak-to-trough decline of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+dd AS (
+  SELECT day, rev,
+         MAX(rev) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS peak
+  FROM daily
+)
+SELECT CAST(day AS VARCHAR) AS trough_day, rev AS trough_rev,
+       peak AS peak_rev, ROUND(peak - rev, 6) AS max_drawdown
+FROM dd
+ORDER BY peak - rev DESC, day ASC
+LIMIT 1
+"""
+
+
+@register("orders_max_drawdown", oracle=_DRAWDOWN_ORACLE)
+def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily revenue series — the largest
+    peak-to-trough decline (running max minus current), THE downside
+    statistic for any monitored level series; emitted with the trough
+    day and the peak it fell from.
+
+    Scale design: the corpus-sized work is one map-side-combined daily
+    rollup (decimal-exact); the running max + argmax then run over the
+    DAY-levelled table (dimension-sized, meta_part partition key — the
+    two-pass bucket machinery is the at-scale fallback if the day spine
+    ever stopped fitting, same doctrine as orders_daily_revenue_ma);
+    the final argmax folds into TakeOrderedAndProject. Exact doubles
+    from decimal sums both sides; ROUND(6) on the difference only."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(dsum("o_totalprice").alias("rev"))
+    w = (
+        Window.partitionBy(meta_part(F.unix_date(F.col("day"))))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = daily.select(
+        "day", "rev", F.max("rev").over(w).alias("peak")
+    )
+    return (
+        dd.orderBy((F.col("peak") - F.col("rev")).desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").cast("string").alias("trough_day"),
+            F.col("rev").alias("trough_rev"),
+            F.col("peak").alias("peak_rev"),
+            F.round(F.col("peak") - F.col("rev"), 6).alias("max_drawdown"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_runs_test — Wald–Wolfowitz runs test on daily revenue direction
+# ---------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+diffs AS (
+  SELECT day, sign(rev - LAG(rev) OVER (ORDER BY day)) AS s
+  FROM daily
+),
+seq AS (SELECT day, s FROM diffs WHERE s IS NOT NULL AND s <> 0),
+runs AS (
+  SELECT s,
+         CASE WHEN s <> LAG(s) OVER (ORDER BY day) OR
+                   LAG(s) OVER (ORDER BY day) IS NULL
+              THEN 1 ELSE 0 END AS new_run
+  FROM seq
+),
+agg AS (
+  SELECT CAST(SUM(new_run) AS BIGINT) AS r,
+         CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n2
+  FROM runs
+)
+SELECT r AS n_runs, CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down,
+       ROUND((r - (2 * n1 * n2 / (n1 + n2) + 1))
+             / sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 6) AS z
+FROM agg
+"""
+
+
+@register("ts_runs_test", oracle=_RUNS_ORACLE)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily-revenue direction sequence
+    — is the up/down pattern random, or trending/oscillating? (|z| > 2:
+    too few runs = momentum/trend, too many = mean-reverting
+    oscillation.) The randomness audit behind "is this KPI wiggle
+    signal or noise", complementing ts_autocorrelation's lag-space view
+    with the distribution-free order-statistics one. Zero-change days
+    are excluded (the standard treatment).
+
+    Scale design: corpus work is the one daily decimal rollup; the
+    direction lags, run-boundary flags and the final count run over the
+    DAY-levelled series (dimension-sized, meta_part key — the
+    daily_revenue_ma doctrine). The z formula is one double expression
+    over exact integer counts, ROUND(6)."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(dsum("o_totalprice").alias("rev"))
+    mp = meta_part(F.unix_date(F.col("day")))
+    w = Window.partitionBy(mp).orderBy("day")
+    seq = (
+        daily.select(
+            "day",
+            F.signum(F.col("rev") - F.lag("rev").over(w)).alias("s"),
+        )
+        .where(F.col("s").isNotNull() & (F.col("s") != 0))
+    )
+    runs = seq.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull()
+            | (F.col("s") != F.lag("s").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").cast("long").alias("r"),
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        r.alias("n_runs"),
+        n1.cast("long").alias("n_up"),
+        n2.cast("long").alias("n_down"),
+        F.round((r - mu) / F.sqrt(var), 6).alias("z"),
+    )
