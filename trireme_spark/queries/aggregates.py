@@ -1634,3 +1634,179 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_neyman_allocation — optimal stratified sample allocation
+# ---------------------------------------------------------------------------
+
+_NEYMAN_ORACLE = """
+WITH s AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS nh,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(27,6)))
+              AS DOUBLE) AS sx2
+  FROM orders GROUP BY o_orderpriority
+), w AS (
+  SELECT o_orderpriority, nh,
+         ROUND(sqrt((sx2 - sx * sx / nh) / (nh - 1)), 6) AS sh,
+         ROUND(nh * sqrt((sx2 - sx * sx / nh) / (nh - 1)), 6) AS wh
+  FROM s
+), z AS (
+  SELECT CAST(SUM(CAST(wh AS DECIMAL(27,6))) AS DOUBLE) AS zsum FROM w
+)
+SELECT w.o_orderpriority AS stratum, w.nh AS stratum_size, w.sh AS stddev,
+       CAST(FLOOR(1000 * w.wh / z.zsum) AS BIGINT) AS allocated
+FROM w CROSS JOIN z
+"""
+
+
+@register("sample_neyman_allocation", oracle=_NEYMAN_ORACLE)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: for a fixed total
+    budget (n=1000), allocate n_h ∝ N_h·S_h — more samples to big AND
+    volatile strata, the design that minimizes the stratified mean's
+    variance (Neyman 1934; survey sampling's workhorse). Complements
+    sample_stratified (equal-rate) with the DESIGN step that decides
+    the rates.
+
+    Scale design: one keyed pass collects (count, Σx, Σx²) per stratum
+    — stddev from exact decimal sums so both engines compute identical
+    doubles (the bollinger doctrine) — then arithmetic over the
+    |strata|-row table; the N_h·S_h weight rounds to 6dp before the
+    order-independent decimal normalizer sum, and the allocation is
+    FLOOR arithmetic on identical doubles."""
+    o = table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(x.cast(DSCALE)).cast("double").alias("sx"),
+        F.sum((x * x).cast(DSCALE)).cast("double").alias("sx2"),
+    )
+    sh = F.sqrt(
+        (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("nh"))
+        / (F.col("nh") - 1)
+    )
+    w = s.select(
+        "o_orderpriority",
+        "nh",
+        F.round(sh, 6).alias("sh"),
+        F.round(F.col("nh") * sh, 6).alias("wh"),
+    )
+    z = w.agg(dsum("wh").alias("zsum"))
+    return w.crossJoin(F.broadcast(z)).select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.col("nh").alias("stratum_size"),
+        F.col("sh").alias("stddev"),
+        F.floor(1000 * F.col("wh") / F.col("zsum"))
+        .cast("long")
+        .alias("allocated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_mannwhitney_u — rank-sum test (weekend vs weekday prices)
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+WITH base AS (
+  SELECT ROUND(o_totalprice * 100) AS cents,
+         CAST(dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6)
+              AS INT) AS is_wknd
+  FROM orders
+),
+v AS (
+  SELECT cents, COUNT(*) AS cnt,
+         CAST(SUM(is_wknd) AS BIGINT) AS wcnt
+  FROM base GROUP BY cents
+),
+r AS (
+  SELECT cents, cnt, wcnt,
+         CAST(SUM(cnt) OVER (ORDER BY cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS BIGINT) AS below
+  FROM v
+),
+agg AS (
+  SELECT CAST(SUM(wcnt) AS DOUBLE) AS n1,
+         CAST(SUM(cnt - wcnt) AS DOUBLE) AS n2,
+         CAST(SUM(wcnt * (2 * COALESCE(below, 0) + cnt + 1))
+              AS DOUBLE) AS r1x2,
+         CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS ties
+  FROM r
+)
+SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(n2 AS BIGINT) AS n_weekday,
+       ROUND((r1x2 - n1 * (n1 + 1)) / 2 - n1 * n2 / 2, 1) AS u_minus_mean,
+       ROUND(((r1x2 - n1 * (n1 + 1)) / 2 - n1 * n2 / 2)
+             / sqrt(n1 * n2 / 12 *
+                    ((n1 + n2 + 1) - ties
+                     / ((n1 + n2) * (n1 + n2 - 1)))), 6) AS z
+FROM agg
+"""
+
+
+@register("orders_mannwhitney_u", oracle=_MWU_ORACLE)
+def orders_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) test: do weekend orders price
+    differently from weekday orders, WITHOUT assuming normality — the
+    distribution-free counterpart of orders_weekend_welch_ttest, with
+    the tie-corrected normal approximation (midranks for tied prices,
+    Σ(t³−t) variance correction).
+
+    Scale design: ranks are never assigned per row. Prices collapse to
+    DISTINCT cents-scaled values (keyed agg holding total + weekend
+    counts); the midrank of a tied value is pure arithmetic on (count
+    below, tie size) — 2·midrank = 2·below + cnt + 1, kept in exact
+    integers — so the rank-sum is one weighted aggregation over the
+    distinct-value table. The prefix count runs over distinct values
+    (here a meta-scale running sum; the pareto two-pass bucket
+    machinery is the drop-in when the distinct-value table itself is
+    corpus-sized). The z statistic is one double expression over exact
+    integer sums, identical both engines."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.dayofweek(F.col("o_orderdate").cast("date"))
+        .isin(1, 7)
+        .cast("int")
+        .alias("is_wknd"),
+    )
+    v = base.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("is_wknd").cast("long").alias("wcnt"),
+    )
+    w_below = (
+        Window.partitionBy(meta_part("cents"))
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = v.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(w_below), F.lit(0))
+    )
+    agg = r.agg(
+        F.sum("wcnt").cast("double").alias("n1"),
+        F.sum(F.col("cnt") - F.col("wcnt")).cast("double").alias("n2"),
+        F.sum(
+            F.col("wcnt") * (2 * F.col("below") + F.col("cnt") + 1)
+        )
+        .cast("double")
+        .alias("r1x2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("double")
+        .alias("ties"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u_centered = (F.col("r1x2") - n1 * (n1 + 1)) / 2 - n1 * n2 / 2
+    var = (
+        n1 * n2 / 12
+        * ((n1 + n2 + 1) - F.col("ties") / ((n1 + n2) * (n1 + n2 - 1)))
+    )
+    return agg.select(
+        n1.cast("long").alias("n_weekend"),
+        n2.cast("long").alias("n_weekday"),
+        F.round(u_centered, 1).alias("u_minus_mean"),
+        F.round(u_centered / F.sqrt(var), 6).alias("z"),
+    )

@@ -1163,3 +1163,73 @@ def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sql_scripting_control_flow — Spark 4 SQL scripting (BEGIN/DECLARE/IF)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_ORACLE = """
+WITH thr AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+         / COUNT(*) AS t
+  FROM orders
+)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_above,
+       ROUND(thr.t, 6) AS threshold,
+       CASE WHEN thr.t > 100000 THEN 'high-value-era'
+            ELSE 'low-value-era' END AS regime
+FROM orders o CROSS JOIN thr
+WHERE o.o_totalprice > thr.t
+GROUP BY o.o_orderpriority, thr.t
+"""
+
+
+@register("sql_scripting_control_flow", oracle=_SCRIPT_ORACLE)
+def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (SQL/PSM): a BEGIN…END block with DECLARE,
+    SET from a scalar subquery, and IF/ELSE control flow — the
+    stored-procedure-style surface (4.0+) that lets a SQL-only user
+    express multi-step logic the engine previously required DataFrame
+    glue for. The script computes a corpus-derived threshold into a
+    variable, branches on it, and the taken branch's SELECT is the
+    script's result; the oracle is the equivalent single declarative
+    query, proving the scripted form changes dialect, not semantics.
+
+    Scale design: each script statement compiles to a normal Catalyst
+    plan (the threshold subquery is one agg; the branch query is one
+    filtered agg with the variable folded as a LITERAL — predicate
+    pushdown works exactly as if hand-inlined)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "trireme_orders_script"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 0;
+          SET thr = (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                        AS DOUBLE) / COUNT(*)
+            FROM trireme_orders_script
+          );
+          IF thr > 100000 THEN
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_above,
+                   ROUND(thr, 6) AS threshold,
+                   'high-value-era' AS regime
+            FROM trireme_orders_script
+            WHERE o_totalprice > thr
+            GROUP BY o_orderpriority;
+          ELSE
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_above,
+                   ROUND(thr, 6) AS threshold,
+                   'low-value-era' AS regime
+            FROM trireme_orders_script
+            WHERE o_totalprice > thr
+            GROUP BY o_orderpriority;
+          END IF;
+        END
+        """
+    )
