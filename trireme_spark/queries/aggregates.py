@@ -1810,3 +1810,101 @@ def orders_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u_centered, 1).alias("u_minus_mean"),
         F.round(u_centered / F.sqrt(var), 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_ks_test — two-sample Kolmogorov–Smirnov (weekend vs weekday)
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH base AS (
+  SELECT ROUND(o_totalprice * 100) AS cents,
+         CAST(dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6)
+              AS INT) AS is_wknd
+  FROM orders
+),
+v AS (
+  SELECT cents,
+         CAST(SUM(is_wknd) AS BIGINT) AS c1,
+         CAST(SUM(1 - is_wknd) AS BIGINT) AS c2
+  FROM base GROUP BY cents
+),
+cum AS (
+  SELECT cents,
+         CAST(SUM(c1) OVER (ORDER BY cents) AS BIGINT) AS f1,
+         CAST(SUM(c2) OVER (ORDER BY cents) AS BIGINT) AS f2
+  FROM v
+),
+tot AS (
+  SELECT CAST(MAX(f1) AS DOUBLE) AS n1, CAST(MAX(f2) AS DOUBLE) AS n2
+  FROM cum
+)
+SELECT CAST(tot.n1 AS BIGINT) AS n_weekend,
+       CAST(tot.n2 AS BIGINT) AS n_weekday,
+       ROUND(MAX(abs(cum.f1 / tot.n1 - cum.f2 / tot.n2)), 6) AS d_stat,
+       ROUND(MAX(abs(cum.f1 / tot.n1 - cum.f2 / tot.n2))
+             * sqrt(tot.n1 * tot.n2 / (tot.n1 + tot.n2)), 6) AS ks_z
+FROM cum CROSS JOIN tot
+GROUP BY tot.n1, tot.n2
+"""
+
+
+@register("orders_ks_test", oracle=_KS_ORACLE)
+def orders_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov: D = max |ECDF_wknd − ECDF_wkday|
+    over order prices — the SHAPE test beside orders_mannwhitney_u's
+    location test (a distribution can shift nowhere on average yet
+    differ in spread/tails; KS sees it, rank-sum doesn't). ks_z =
+    D·sqrt(n1·n2/n) is the usual asymptotic statistic.
+
+    Scale design: identical machinery to the MWU key — prices collapse
+    to distinct cents values carrying per-group counts, the ECDFs are
+    running sums over the distinct-value table (meta-scale here; the
+    two-pass bucket machinery is the corpus-sized drop-in), and D is a
+    max over that table. ECDF values are exact integer ratios, so the
+    max and the final ROUND(6) are cross-engine stable."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.dayofweek(F.col("o_orderdate").cast("date"))
+        .isin(1, 7)
+        .cast("int")
+        .alias("is_wknd"),
+    )
+    v = base.groupBy("cents").agg(
+        F.sum("is_wknd").cast("long").alias("c1"),
+        F.sum(1 - F.col("is_wknd")).cast("long").alias("c2"),
+    )
+    w_cum = (
+        Window.partitionBy(meta_part("cents"))
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = v.select(
+        F.sum("c1").over(w_cum).alias("f1"),
+        F.sum("c2").over(w_cum).alias("f2"),
+    )
+    tot = cum.agg(
+        F.max("f1").cast("double").alias("n1"),
+        F.max("f2").cast("double").alias("n2"),
+    )
+    d = F.abs(
+        F.col("f1") / F.col("n1") - F.col("f2") / F.col("n2")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(F.max(d).alias("dmax"))
+        .select(
+            F.col("n1").cast("long").alias("n_weekend"),
+            F.col("n2").cast("long").alias("n_weekday"),
+            F.round(F.col("dmax"), 6).alias("d_stat"),
+            F.round(
+                F.col("dmax")
+                * F.sqrt(
+                    F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2"))
+                ),
+                6,
+            ).alias("ks_z"),
+        )
+    )

@@ -639,3 +639,71 @@ def udaf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(fm(F.col("o_totalprice")).over(w), 6).alias("rolling_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# udtf_arrow_grouped — grouped-map directly on Arrow tables (Spark 4)
+# ---------------------------------------------------------------------------
+
+_ARROW_GRP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(27,6)))
+                  AS DOUBLE) / COUNT(*), 6) AS mean_value,
+       ROUND(MAX(value) - MIN(value), 6) AS value_range
+FROM events GROUP BY event_type
+"""
+
+
+@register("udtf_arrow_grouped", oracle=_ARROW_GRP_ORACLE)
+def udtf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF on RAW Arrow tables (``applyInArrow``, Spark 4)
+    — the zero-copy sibling of x4's applyInPandas: the group arrives as
+    a ``pyarrow.Table`` and the pandas conversion layer (with its
+    dtype coercions and per-batch DataFrame construction cost) is
+    skipped entirely. The right surface when the Python side is
+    numpy/Arrow-compute anyway — measured wins come exactly from the
+    conversion it doesn't do.
+
+    The group body computes count / exact-decimal mean / range with
+    Arrow compute kernels; the oracle is the plain SQL aggregate, so
+    the check proves the Arrow path changes the transport, not the
+    values. Decimal quantization happens on the Python side (6dp
+    round before summing as integers) mirroring the oracle's decimal
+    sum.
+
+    Scale design: one keyed shuffle; per-group state is the Arrow
+    record batch; output is one row per group. (For plain aggregates a
+    real pipeline uses built-in aggs — this key pins the API surface
+    for bodies that genuinely need custom Python over columnar
+    buffers.)"""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+
+    def stats(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        n = len(t)
+        # 6dp-quantized integer sum == the oracle's DECIMAL(27,6) sum
+        q = pc.round(pc.multiply(v, pa.scalar(1e6)), 0)
+        total = pc.sum(q).as_py() or 0
+        mean = round(total / 1e6 / n, 6)
+        rng = round(
+            pc.max(v).as_py() - pc.min(v).as_py(), 6
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [t.column("event_type")[0].as_py()], pa.string()
+                ),
+                "n": pa.array([n], pa.int64()),
+                "mean_value": pa.array([mean], pa.float64()),
+                "value_range": pa.array([rng], pa.float64()),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInArrow(
+        stats,
+        "event_type string, n long, mean_value double, value_range double",
+    )
