@@ -920,3 +920,22 @@ def test_bootstrap_ci_brackets_sample_mean(spark):
             t, row["ci_lo"], exact[t], row["ci_hi"]
         )
         assert (row["ci_hi"] - row["ci_lo"]) < abs(exact[t])
+
+
+def test_dp_noisy_counts_calibration(spark):
+    """etl_dp_noisy_counts (rows-only): noise = noisy_n - true_n must be
+    Laplace(b=2)-calibrated — centered near 0, bounded by the inverse-CDF
+    envelope (|noise| <= b*ln(1/u_min)), deterministic across reruns."""
+    import math
+
+    rows = registry.QUERIES["etl_dp_noisy_counts"](spark, SF_SMOKE).collect()
+    rerun = registry.QUERIES["etl_dp_noisy_counts"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
+    noises = [r["noisy_n"] - r["true_n"] for r in rows]
+    b = 2.0
+    # hash-uniform grid is (k+0.5)/1e6+1 -> |noise| <= b*ln(1e6)
+    assert all(abs(x) <= b * math.log(2_000_002) for x in noises)
+    assert any(x != 0 for x in noises)
+    mean = sum(noises) / len(noises)
+    # Laplace(2) has sd ~2.83; 25 groups -> se ~0.57; generous 4-se band
+    assert abs(mean) < 2.5, mean

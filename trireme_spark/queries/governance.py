@@ -157,3 +157,121 @@ def etl_gdpr_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("name_recovered"),
         F.col("dk").isNull().alias("erased"),
     )
+
+
+# ---------------------------------------------------------------------------
+# etl_k_anonymity_audit — quasi-identifier group-size audit
+# ---------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+WITH g AS (
+  SELECT n_name,
+         c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'negative'
+              WHEN c_acctbal < 5000 THEN 'low'
+              ELSE 'high' END AS bal_band,
+         COUNT(*) AS grp_n
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(MIN(grp_n) AS BIGINT) AS k_anonymity,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)
+            AS BIGINT) AS rows_below_k5,
+       ROUND(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)
+             / CAST(SUM(grp_n) AS DOUBLE), 6) AS frac_below_k5
+FROM g
+"""
+
+
+@register("etl_k_anonymity_audit", oracle=_KANON_ORACLE)
+def etl_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity AUDIT over the quasi-identifier tuple (nation,
+    market segment, balance band): the dataset's k = its smallest
+    equivalence-class size, plus how many rows sit in classes below
+    the k=5 policy line — the measurement step that decides whether
+    the generalization the export view applies
+    (etl_row_column_security's bands) is actually sufficient, and the
+    re-identification risk number a privacy review asks for first.
+
+    Scale design: one keyed aggregation over the quasi-identifier
+    tuple (dimension-bounded groups), then a scalar rollup — the audit
+    costs one pass regardless of table size; the dim join broadcasts."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    g = (
+        c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_mktsegment", band.alias("bal_band"))
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+    )
+    below = F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0)
+    return g.agg(
+        F.min("grp_n").cast("long").alias("k_anonymity"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(below).cast("long").alias("rows_below_k5"),
+        F.round(
+            F.sum(below) / F.sum("grp_n").cast("double"), 6
+        ).alias("frac_below_k5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# etl_dp_noisy_counts — Laplace-mechanism counts (calibrated noise)
+# ---------------------------------------------------------------------------
+
+
+
+@register("etl_dp_noisy_counts")  # rows-only: engine hash families differ
+def etl_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism counts per nation (epsilon = 0.5, sensitivity
+    1 → scale b = 2): noisy_n = true_n + Laplace(b) via the inverse-CDF
+    transform of a uniform — the differential-privacy release shape for
+    COUNT queries. The uniform here is HASH-derived for test
+    determinism (both the draw pipeline and the calibration are what
+    the key pins); a production release substitutes a cryptographic
+    RNG for the hash — the one-line swap is the documented difference,
+    because deterministic noise provides NO privacy.
+
+    Rows-only by design: the noise draw hashes the group label, and
+    Spark's xxhash64 and DuckDB's hash() are different families, so
+    values can't cross-check; pytest gates pin calibration instead
+    (noise centered, |noise| tail bounded by b·ln(1/delta), true_n
+    recoverable within the expected envelope).
+
+    Scale design: one keyed count + per-row arithmetic — the DP layer
+    costs nothing at any scale."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    counts = (
+        c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    u = (
+        (
+            F.pmod(
+                F.pmod(
+                    F.pmod(F.xxhash64("n_name"), F.lit(1_000_000_000)),
+                    F.lit(2147483648),
+                )
+                * F.lit(2654435761),
+                F.lit(4294967296),
+            )
+            % 1_000_000
+        ).cast("double")
+        + 0.5
+    ) / 1_000_001.0
+    b = 2.0  # sensitivity 1 / epsilon 0.5
+    noise = F.when(
+        u < 0.5, b * F.log(2.0 * u)
+    ).otherwise(-b * F.log(2.0 - 2.0 * u))
+    return counts.select(
+        "n_name",
+        "true_n",
+        F.round(F.col("true_n") + noise, 6).alias("noisy_n"),
+    )
