@@ -939,3 +939,64 @@ def test_dp_noisy_counts_calibration(spark):
     mean = sum(noises) / len(noises)
     # Laplace(2) has sd ~2.83; 25 groups -> se ~0.57; generous 4-se band
     assert abs(mean) < 2.5, mean
+
+
+def test_kcore_exact_on_known_graph_and_invariants(spark):
+    """kcore: exact result on a constructed graph with a known 3-core
+    (K4 plus a pendant path — the 3-core is exactly the K4), and
+    fixture-output invariants: min in-core degree >= k and idempotence
+    (peeling the core again removes nothing)."""
+    from trireme_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [
+            # K4 on 1-4 (every node degree 3)
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            # pendant path 4-5-6 (degrees 1-2: peeled)
+            (4, 5), (5, 6),
+            # a triangle 7-8-9 (degree 2: peeled at k=3)
+            (7, 8), (7, 9), (8, 9),
+        ],
+        "src int, dst int",
+    )
+    got = {
+        (r["node"], r["core_deg"]) for r in kcore(edges, k=3).collect()
+    }
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+    core = registry.QUERIES["graph_kcore"](spark, SF_SMOKE)
+    rows = core.collect()
+    assert all(r["core_deg"] >= 3 for r in rows)
+    nodes = {r["node"] for r in rows}
+    # idempotence on the real core subgraph: rebuild its edges and peel
+    from trireme_spark.sources.io import table as _t
+    from pyspark.sql import functions as _F
+
+    li = _t(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a2, b2 = li.alias("a"), li.alias("b")
+    e = (
+        a2.join(
+            b2,
+            (_F.col("a.l_orderkey") == _F.col("b.l_orderkey"))
+            & (_F.col("a.l_partkey") < _F.col("b.l_partkey")),
+        )
+        .groupBy(
+            _F.col("a.l_partkey").alias("src"),
+            _F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(_F.count(_F.lit(1)).alias("c"))
+        .where(_F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    node_df = spark.createDataFrame(
+        [(n,) for n in nodes], "node long"
+    )
+    core_edges = e.join(node_df, e.src == node_df.node, "left_semi").join(
+        node_df.select(_F.col("node").alias("n2")),
+        e.dst == _F.col("n2"),
+        "left_semi",
+    )
+    re_peeled = {r["node"] for r in kcore(core_edges, k=3).collect()}
+    assert re_peeled == nodes

@@ -109,3 +109,61 @@ def connected_components(
             "exceeds the propagation budget"
         )
     return cc.select(F.col("v").alias(id_col), F.col("comp").alias("component"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core of an undirected graph via iterative peeling: repeatedly
+    delete every node of degree < k (degrees recomputed after each
+    deletion wave) until stable; what survives is the unique maximal
+    subgraph of minimum degree >= k — the standard cohesion filter
+    (spam/bot subnetwork mining, community seeding, nucleus of the
+    copurchase graph).
+
+    ``edges`` is one row per undirected edge (src < dst). Returns
+    (node, core_deg) for surviving nodes, core_deg = degree INSIDE the
+    core.
+
+    Scale design: each round is a keyed degree aggregation plus two
+    semi-joins of the edge list against surviving nodes — fully keyed
+    shuffles, no driver state beyond the survivor count; rounds are
+    bounded by the degeneracy ordering depth (loud RuntimeError on
+    budget exhaustion, never a silent partial answer). localCheckpoint
+    per round truncates the growing lineage exactly like the
+    connected-components loop above.
+    """
+    adj = edges.select(
+        F.col(src_col).alias("node"), F.col(dst_col).alias("nbr")
+    ).unionByName(
+        edges.select(
+            F.col(dst_col).alias("node"), F.col(src_col).alias("nbr")
+        )
+    ).localCheckpoint(eager=True)
+    n_prev = adj.select("node").distinct().count()
+    for _ in range(max_rounds):
+        deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("node")
+        n_now = keep.count()
+        if n_now == 0:
+            return keep.withColumn("core_deg", F.lit(0).cast("long"))
+        if n_now == n_prev:
+            return (
+                adj.groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+            )
+        adj = (
+            adj.join(keep, "node", "left_semi")
+            .join(
+                keep.select(F.col("node").alias("nbr")), "nbr", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_prev = n_now
+    raise RuntimeError(
+        f"kcore: no fixpoint within {max_rounds} rounds (k={k})"
+    )

@@ -1326,3 +1326,43 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register("graph_kcore")  # rows-only: iterative peeling has no SQL form
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the copurchase graph (same edge rule as
+    graph_triangle_count): the maximal subgraph where every part
+    co-occurs with >= 3 other core parts — the cohesion nucleus used to
+    seed communities and filter incidental co-purchases. Rows-only by
+    design (iterate-to-fixpoint with per-round aggregation is outside
+    SQL's recursive-CTE restrictions); exactness is pytest-gated on a
+    constructed graph with a known 3-core plus fixpoint/min-degree
+    invariants on the fixture output (tests/test_quality.py).
+
+    Scale design: operators/graph.py::kcore — keyed degree aggs +
+    semi-join peeling waves, localCheckpoint-truncated lineage, loud
+    round budget."""
+    from trireme_spark.operators.graph import kcore
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a2 = li.alias("a")
+    b2 = li.alias("b")
+    e = (
+        a2.join(
+            b2,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    return kcore(e, k=3).orderBy("node")

@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from trireme_spark.functions.text import STOPWORDS, tokenize
 from trireme_spark.operators.similarity import shingles
-from trireme_spark.parity import davg, dsum, meta_part, oracle_avg, oracle_sum
+from trireme_spark.parity import DSCALE, davg, dsum, meta_part, oracle_avg, oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -2221,4 +2221,145 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_in_vocab") / F.col("n_tokens").cast("double"), 6
             ).alias("coverage"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_rake_keyphrases — RAKE keyphrase extraction (degree/freq scoring)
+# ---------------------------------------------------------------------------
+
+_RAKE_ORACLE = """
+WITH parts AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ps
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(ps)), i ->
+             struct_pack(ord := i,
+                         term := ps[CAST(i AS INT) + 1]))) AS u
+  FROM parts
+),
+t AS (
+  SELECT doc_id, u.ord AS ord, u.term AS term FROM tok
+  WHERE u.term <> ''
+),
+ns AS (
+  SELECT doc_id, ord, term,
+         ord - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY ord) AS grp
+  FROM t WHERE term NOT IN ('the', 'a', 'and', 'of', 'to', 'in')
+),
+phr AS (
+  SELECT doc_id, grp,
+         string_agg(term, ' ' ORDER BY ord) AS phrase,
+         COUNT(*) AS plen
+  FROM ns GROUP BY doc_id, grp
+  HAVING COUNT(*) <= 4
+),
+pw AS (
+  SELECT phrase, plen,
+         unnest(string_split(phrase, ' ')) AS w
+  FROM phr
+),
+ws AS (
+  SELECT w,
+         ROUND(SUM(plen) / CAST(COUNT(*) AS DOUBLE), 6) AS wscore
+  FROM pw GROUP BY w
+),
+scored AS (
+  SELECT p.phrase,
+         MAX(p.plen) AS n_words,
+         COUNT(*) / MAX(p.plen) AS n_occurrences,
+         ROUND(CAST(SUM(CAST(ws.wscore AS DECIMAL(27,6))) AS DOUBLE)
+               / (COUNT(*) / MAX(p.plen)), 6) AS score
+  FROM pw p JOIN ws ON ws.w = p.w
+  GROUP BY p.phrase
+)
+SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences, score
+FROM scored
+ORDER BY score DESC, phrase ASC
+LIMIT 20
+"""
+
+
+@register("text_rake_keyphrases", oracle=_RAKE_ORACLE)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010), corpus-wide:
+    candidate phrases are maximal stopword-free token runs (the
+    gaps-and-islands trick — group key = position minus non-stop rank),
+    capped at 4 words (the practical cap; synthetic stopword-poor text
+    otherwise yields page-long "phrases"); each word scores
+    degree/frequency (degree = Σ phrase-length over its phrase
+    instances — co-occurrence reach; frequency = instance count), a
+    phrase scores the sum of its words' scores, and the corpus top-20
+    emerges. The unsupervised keyword extractor everything from search
+    indexing to corpus labeling starts with.
+
+    Scale design: tokenize + posexplode (per-doc bounded), ONE doc-keyed
+    window for the island grouping, phrase assembly as a (doc,
+    run)-keyed agg, word stats as token-keyed aggs, scoring as one join
+    of phrase words against the word-score table, top-20 via
+    TakeOrderedAndProject. No pairwise anything. Parity: word scores
+    ROUND(6) before the order-independent decimal phrase sum."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.posexplode(tokenize("text")).alias("ord", "term"),
+        )
+        .where(F.col("term") != "")
+    )
+    ns = tok.where(~F.col("term").isin(STOPWORDS)).withColumn(
+        "grp",
+        F.col("ord")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("ord")
+        ),
+    )
+    phr = (
+        ns.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "term"))),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .where(F.col("plen") <= 4)
+    )
+    pw = phr.select(
+        "phrase", "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    ws = pw.groupBy("w").agg(
+        F.round(
+            F.sum("plen") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("wscore")
+    )
+    scored = (
+        pw.join(ws, "w")
+        .groupBy("phrase")
+        .agg(
+            F.max("plen").alias("n_words"),
+            (F.count(F.lit(1)) / F.max("plen")).alias("n_occ"),
+            F.round(
+                F.sum(F.col("wscore").cast(DSCALE)).cast("double")
+                / (F.count(F.lit(1)) / F.max("plen")),
+                6,
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.select(
+            "phrase",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_occ").cast("long").alias("n_occurrences"),
+            "score",
+        )
+        .orderBy(F.col("score").desc(), F.col("phrase").asc())
+        .limit(20)
     )
