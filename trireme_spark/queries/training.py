@@ -1251,3 +1251,114 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dropped"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_dedup_repeated_spans — corpus-repeated substring span detection
+# ---------------------------------------------------------------------------
+
+_SPAN_L = 30  # window length in characters
+
+_REPEAT_SPANS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, len(text) AS n FROM documents
+  WHERE len(text) >= {_SPAN_L}
+),
+pos AS (
+  SELECT doc_id,
+         CAST(unnest(range(n - {_SPAN_L} + 1)) AS BIGINT) AS p,
+         text
+  FROM d
+),
+w AS (
+  SELECT doc_id, p, substr(text, CAST(p AS INT) + 1, {_SPAN_L}) AS win
+  FROM pos
+),
+rep AS (
+  SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2
+),
+hits AS (
+  SELECT w.doc_id, w.p FROM w JOIN rep ON rep.win = w.win
+),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p > LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                      + {_SPAN_L}
+              OR LAG(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+              THEN 1 ELSE 0 END AS new_span
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, p,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM isl
+)
+SELECT doc_id,
+       CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) + {_SPAN_L} AS BIGINT) AS span_end,
+       CAST(MAX(p) - MIN(p) + {_SPAN_L} AS BIGINT) AS span_len
+FROM grp GROUP BY doc_id, g
+"""
+
+
+@register("text_dedup_repeated_spans", oracle=_REPEAT_SPANS_ORACLE)
+def text_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-repeated SUBSTRING span detection — the bounded-window
+    form of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": repeated spans, not
+    just repeated documents, cause memorization): every 30-char window
+    that occurs >= 2 times anywhere in the corpus marks its positions,
+    and overlapping/adjacent marked positions merge into maximal
+    cut-candidate spans per document. The suffix-array formulation
+    finds unbounded-length repeats; the fixed-L window catches every
+    repeat of length >= L with linear work — the standard scale
+    trade, and L=30 is the paper's ballpark threshold.
+
+    Scale design: per-doc window explode is length-bounded (n−L+1
+    rows/doc); repetition detection is ONE content-keyed aggregation
+    (the window string is the shuffle key — character-level analogue of
+    the sentence-dedup sharding); span merging is a doc-keyed
+    gaps-and-islands window. Identical window STRINGS (not hashes) are
+    the group key, so the oracle cross-checks exactly; a 100 TB run
+    swaps the string key for xxhash64(win) to shrink shuffle width —
+    same plan shape."""
+    d = table(spark, sf_dir, "documents").where(
+        F.length("text") >= _SPAN_L
+    )
+    w = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.length("text") - _SPAN_L)
+        ).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        "p",
+        F.substring(F.col("text"), F.col("p") + 1, _SPAN_L).alias("win"),
+    )
+    rep = w.groupBy("win").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") >= 2
+    )
+    hits = w.join(rep.select("win"), "win", "left_semi").select(
+        "doc_id", "p"
+    )
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    isl = hits.withColumn(
+        "new_span",
+        F.when(
+            F.lag("p").over(wd).isNull()
+            | (F.col("p") > F.lag("p").over(wd) + _SPAN_L),
+            1,
+        ).otherwise(0),
+    )
+    grp = isl.withColumn(
+        "g",
+        F.sum("new_span").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return grp.groupBy("doc_id", "g").agg(
+        F.min("p").cast("long").alias("span_start"),
+        (F.max("p") + _SPAN_L).cast("long").alias("span_end"),
+        (F.max("p") - F.min("p") + _SPAN_L).cast("long").alias("span_len"),
+    ).select("doc_id", "span_start", "span_end", "span_len")
