@@ -149,3 +149,130 @@ def geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dist_km") <= _RADIUS_KM)
     )
+
+
+# ---------------------------------------------------------------------------
+# geo_hotspot_gi — Getis-Ord-style grid hot-spot z-scores
+# ---------------------------------------------------------------------------
+
+_HOTSPOT_ORACLE = f"""
+WITH c AS (
+  SELECT c_custkey,
+         {_plant_sql('c_custkey', 1)} * 120 - 60 AS lat,
+         {_plant_sql('c_custkey', 2)} * 240 - 120 AS lon
+  FROM customer
+),
+cells AS (
+  SELECT CAST(FLOOR(lat) AS BIGINT) * 1000 + CAST(FLOOR(lon) AS BIGINT)
+             AS cell,
+         COUNT(*) AS n
+  FROM c GROUP BY 1
+),
+stats AS (
+  SELECT COUNT(*) AS nc,
+         CAST(SUM(n) AS DOUBLE) / COUNT(*) AS xbar,
+         sqrt((CAST(SUM(n * n) AS DOUBLE)
+               - CAST(SUM(n) AS DOUBLE) * SUM(n) / COUNT(*))
+              / (COUNT(*) - 1)) AS sd
+  FROM cells
+),
+nbr AS (
+  SELECT a.cell,
+         CAST(SUM(b.n) AS DOUBLE) AS s,
+         COUNT(*) AS m
+  FROM cells a JOIN cells b
+    ON b.cell IN (a.cell - 1001, a.cell - 1000, a.cell - 999,
+                  a.cell - 1,    a.cell,        a.cell + 1,
+                  a.cell + 999,  a.cell + 1000, a.cell + 1001)
+  GROUP BY a.cell
+)
+SELECT nbr.cell, CAST(nbr.s AS BIGINT) AS nbhd_count,
+       CAST(nbr.m AS BIGINT) AS n_nbr_cells,
+       ROUND((nbr.s - stats.xbar * nbr.m)
+             / (stats.sd * sqrt((stats.nc * nbr.m - nbr.m * nbr.m)
+                                / (stats.nc - 1.0))), 6) AS gi_z
+FROM nbr CROSS JOIN stats
+ORDER BY gi_z DESC, cell ASC
+LIMIT 20
+"""
+
+
+@register("geo_hotspot_gi", oracle=_HOTSPOT_ORACLE)
+def geo_hotspot_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid hot-spot detection, Getis-Ord Gi* form: z-score of each
+    cell's 3×3-neighborhood customer count against the global cell
+    distribution — the spatial-statistics answer to "where is demand
+    CLUSTERED, not just high" (a lone busy cell scores lower than a
+    busy cell among busy neighbors). Top-20 hotspots emitted. Analysis
+    runs over POPULATED cells (binary weights over present neighbors,
+    m tracked per cell — the boundary-correct small-sample form).
+
+    Scale design: cell counts are one keyed agg over a pure grid
+    expression; neighborhood sums reuse the distance-join doctrine —
+    each cell probes its 9-cell neighborhood via a bounded explode +
+    equi-join on cell id (never a spatial all-pairs); global moments
+    are a 1-row broadcast. Exact integer counts into one double z
+    expression, ROUND(6); top-20 via TakeOrderedAndProject."""
+    cust = table(spark, sf_dir, "customer").select(
+        (_plant("c_custkey", 1) * 120 - 60).alias("lat"),
+        (_plant("c_custkey", 2) * 240 - 120).alias("lon"),
+    )
+    cells = cust.select(
+        (
+            F.floor(F.col("lat")).cast("long") * 1000
+            + F.floor(F.col("lon")).cast("long")
+        ).alias("cell")
+    ).groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("nc"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("xbar"),
+        F.sqrt(
+            (
+                F.sum(F.col("n") * F.col("n")).cast("double")
+                - F.sum("n").cast("double")
+                * F.sum("n")
+                / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sd"),
+    )
+    offsets = [dy * 1000 + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    probe = cells.select(
+        F.col("cell").alias("bcell"), F.col("n").alias("bn")
+    ).withColumn(
+        "cell",
+        F.explode(F.array(*[F.col("bcell") + F.lit(o) for o in offsets])),
+    )
+    nbr = (
+        cells.select("cell")
+        .join(probe, "cell")
+        .groupBy("cell")
+        .agg(
+            F.sum("bn").cast("double").alias("s"),
+            F.count(F.lit(1)).alias("m"),
+        )
+    )
+    return (
+        nbr.crossJoin(F.broadcast(stats))
+        .select(
+            "cell",
+            F.col("s").cast("long").alias("nbhd_count"),
+            F.col("m").cast("long").alias("n_nbr_cells"),
+            F.round(
+                (F.col("s") - F.col("xbar") * F.col("m"))
+                / (
+                    F.col("sd")
+                    * F.sqrt(
+                        (
+                            F.col("nc") * F.col("m")
+                            - F.col("m") * F.col("m")
+                        )
+                        / (F.col("nc") - 1.0)
+                    )
+                ),
+                6,
+            ).alias("gi_z"),
+        )
+        .orderBy(F.col("gi_z").desc(), F.col("cell").asc())
+        .limit(20)
+    )
