@@ -1000,3 +1000,19 @@ def test_kcore_exact_on_known_graph_and_invariants(spark):
     )
     re_peeled = {r["node"] for r in kcore(core_edges, k=3).collect()}
     assert re_peeled == nodes
+
+
+def test_bayesian_ab_matches_monte_carlo(spark):
+    """events_ab_bayesian: the lgamma-free closed form must agree with an
+    independent Monte-Carlo estimate of P(p_B > p_A) (the oracle shares
+    the algebra, so this guards the FORMULA, not just parity)."""
+    import numpy as np
+
+    row = registry.QUERIES["events_ab_bayesian"](spark, SF_SMOKE).collect()[0]
+    aA, bA = row["conv_a"] + 1, row["users_a"] - row["conv_a"] + 1
+    aB, bB = row["conv_b"] + 1, row["users_b"] - row["conv_b"] + 1
+    rng = np.random.RandomState(0)
+    mc = (rng.beta(aB, bB, 2_000_000) > rng.beta(aA, bA, 2_000_000)).mean()
+    assert abs(row["p_b_beats_a"] - mc) < 0.003
+    lift = aB / (aB + bB) - aA / (aA + bA)
+    assert abs(row["posterior_lift"] - lift) < 1e-6

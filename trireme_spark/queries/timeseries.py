@@ -5064,3 +5064,290 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.cast("long").alias("n_down"),
         F.round((r - mu) / F.sqrt(var), 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_match_recognize — sequence-pattern matching over event streams
+# ---------------------------------------------------------------------------
+
+_MATCH_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+             AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(s) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, 'cv*p')) AS BIGINT) AS n_matches
+FROM seq
+WHERE len(regexp_extract_all(s, 'cv*p')) > 0
+"""
+
+
+@register("events_match_recognize", oracle=_MATCH_ORACLE)
+def events_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern matching, emulated: per user,
+    count non-overlapping occurrences of the pattern
+    click (view)* purchase in the time-ordered event sequence — the
+    SQL:2016 row-pattern feature (Flink/Oracle MATCH_RECOGNIZE) Spark
+    lacks, re-expressed by compiling the event stream to a per-user
+    type-initial STRING and the row pattern to a regex (initials are
+    distinct across the five fixture types; leftmost non-overlapping
+    regex scanning = MATCH_RECOGNIZE's AFTER MATCH SKIP PAST LAST ROW
+    semantics, identical in Java and RE2).
+
+    Complements events_funnel (fixed steps, one conversion per user)
+    with arbitrary-pattern, multiple-match counting — the general
+    sequence-analytics verb.
+
+    Scale design: one user-keyed collect into the ordered initial
+    string (per-user sequence lengths are session-bounded; a 100 TB
+    run shards long histories by (user, time-bucket) first — the
+    ts_supervised_lag doctrine), then a codegen'd regex per user row.
+    No joins, no explosion."""
+    ev = table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.substring("event_type", 1, 1).alias("i"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "i"))
+                    ),
+                    lambda s: s["i"],
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    n_matches = F.size(F.regexp_extract_all(F.col("s"), F.lit(r"cv*p"), 0))
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        n_matches.cast("long").alias("n_matches"),
+    ).where(F.col("n_matches") > 0)
+
+
+
+
+# ---------------------------------------------------------------------------
+# events_ab_bayesian — exact Beta-posterior P(B beats A), lgamma-free
+# ---------------------------------------------------------------------------
+
+_BAYES_AB_ORACLE = """
+WITH assign AS (
+  SELECT user_id,
+         CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|exp42'),
+                                   1, 8)) AS BIGINT) % 2 AS INT) AS grp
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+conv AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+cells AS (
+  SELECT a.grp, COUNT(*) AS n_users,
+         CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_conv
+  FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+  GROUP BY a.grp
+),
+par AS (
+  SELECT
+    1 + MAX(CASE WHEN grp = 0 THEN n_conv END) AS aa,
+    1 + MAX(CASE WHEN grp = 0 THEN n_users - n_conv END) AS ba,
+    1 + MAX(CASE WHEN grp = 1 THEN n_conv END) AS ab,
+    1 + MAX(CASE WHEN grp = 1 THEN n_users - n_conv END) AS bb,
+    MAX(CASE WHEN grp = 0 THEN n_users END) AS nu_a,
+    MAX(CASE WHEN grp = 1 THEN n_users END) AS nu_b
+  FROM cells
+),
+l0 AS (
+  SELECT SUM(CAST(ROUND(ln(ba + j) - ln(ba + bb + j), 9)
+                  AS DECIMAL(27,9))) AS lt0
+  FROM par, unnest(range(aa)) AS t(j)
+),
+ratios AS (
+  SELECT i,
+         CAST(ROUND(ln(aa + i - 1) + ln(bb + i - 1) - ln(i)
+                    - ln(aa + ba + bb + i - 1), 9)
+              AS DECIMAL(27,9)) AS lr
+  FROM par, unnest(range(1, ab)) AS t(i)
+),
+lterms AS (
+  SELECT CAST(l0.lt0 AS DOUBLE) AS lt
+  FROM l0
+  UNION ALL
+  SELECT CAST(l0.lt0 + SUM(r.lr) OVER (ORDER BY r.i) AS DOUBLE)
+  FROM ratios r CROSS JOIN l0
+),
+summed AS (
+  SELECT CAST(SUM(CAST(ROUND(exp(lt), 8) AS DECIMAL(27,8)))
+              AS DOUBLE) AS p
+  FROM lterms
+)
+SELECT CAST(par.nu_a AS BIGINT) AS users_a,
+       CAST(par.nu_b AS BIGINT) AS users_b,
+       CAST(par.aa - 1 AS BIGINT) AS conv_a,
+       CAST(par.ab - 1 AS BIGINT) AS conv_b,
+       ROUND(summed.p, 4) AS p_b_beats_a,
+       ROUND(CAST(par.ab AS DOUBLE) / (par.ab + par.bb)
+             - CAST(par.aa AS DOUBLE) / (par.aa + par.ba), 6)
+           AS posterior_lift
+FROM par CROSS JOIN summed
+"""
+
+
+@register("events_ab_bayesian", oracle=_BAYES_AB_ORACLE)
+def events_ab_bayesian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout: EXACT P(p_B > p_A) under independent
+    Beta(1,1)-prior posteriors — the "chance to beat control" number
+    Bayesian dashboards report instead of a p-value — plus the
+    posterior-mean lift. Same md5-bucket assignment as
+    events_ab_test_analysis; conversion = any purchase.
+
+    The closed form P = Σ_{i=0}^{a_B−1} B(a_A+i, b_A+b_B) /
+    ((b_B+i)·B(1+i,b_B)·B(a_A,b_A)) is evaluated WITHOUT lgamma
+    (Spark has none): term_0 telescopes to
+    Σ_{j=0}^{a_A−1} [ln(b_A+j) − ln(b_A+b_B+j)] (a distributed sum),
+    and successive terms differ by the rational log-ratio
+    ln(a_A+i−1)+ln(b_B+i−1)−ln(i)−ln(a_A+b_A+b_B+i−1), prefix-summed.
+    Every ln quantizes to 9dp before the order-independent decimal
+    sums, so both engines assemble identical log-terms; exp + an 8dp
+    term quantization + a decimal total make the headline P stable to
+    its 4dp.
+
+    Scale design: two distinct collapses + a 2-row cell table do the
+    corpus work; the a_A-term and a_B-term sums explode to rows and
+    aggregate distributedly (conversions-many rows; beyond ~1e6 terms
+    the documented switch is the normal approximation); the prefix sum
+    runs over the a_B-row ratio table (meta_part key — the two-pass
+    machinery is the at-scale drop-in)."""
+    ev = table(spark, sf_dir, "events")
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"), F.lit("|exp42")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 2
+    ).cast("int")
+    assign = (
+        ev.select("user_id").distinct().select("user_id", grp.alias("grp"))
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("is_conv", F.lit(1))
+    )
+    cells = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce("is_conv", F.lit(0))).alias("n_conv"),
+        )
+    )
+    par = cells.agg(
+        (1 + F.max(F.when(F.col("grp") == 0, F.col("n_conv")))).alias("aa"),
+        (
+            1
+            + F.max(
+                F.when(
+                    F.col("grp") == 0, F.col("n_users") - F.col("n_conv")
+                )
+            )
+        ).alias("ba"),
+        (1 + F.max(F.when(F.col("grp") == 1, F.col("n_conv")))).alias("ab"),
+        (
+            1
+            + F.max(
+                F.when(
+                    F.col("grp") == 1, F.col("n_users") - F.col("n_conv")
+                )
+            )
+        ).alias("bb"),
+        F.max(F.when(F.col("grp") == 0, F.col("n_users"))).alias("nu_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_users"))).alias("nu_b"),
+    )
+    dec9 = "decimal(27,9)"
+    l0 = (
+        par.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.col("aa") - 1)).alias("j"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.log(F.col("ba") + F.col("j"))
+                    - F.log(F.col("ba") + F.col("bb") + F.col("j")),
+                    9,
+                ).cast(dec9)
+            ).alias("lt0")
+        )
+    )
+    ratios = par.select(
+        "*",
+        F.explode(F.sequence(F.lit(1), F.col("ab") - 1)).alias("i"),
+    ).select(
+        "i",
+        F.round(
+            F.log(F.col("aa") + F.col("i") - 1)
+            + F.log(F.col("bb") + F.col("i") - 1)
+            - F.log(F.col("i").cast("double"))
+            - F.log(
+                F.col("aa") + F.col("ba") + F.col("bb") + F.col("i") - 1
+            ),
+            9,
+        )
+        .cast(dec9)
+        .alias("lr"),
+    )
+    w_pre = (
+        Window.partitionBy(meta_part("i"))
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lterms = (
+        l0.select(F.col("lt0").cast("double").alias("lt"))
+        .unionByName(
+            ratios.withColumn("cum", F.sum("lr").over(w_pre))
+            .crossJoin(F.broadcast(l0))
+            .select(
+                (F.col("lt0") + F.col("cum")).cast("double").alias("lt")
+            )
+        )
+    )
+    summed = lterms.agg(
+        F.sum(F.round(F.exp("lt"), 8).cast("decimal(27,8)"))
+        .cast("double")
+        .alias("p")
+    )
+    return par.crossJoin(F.broadcast(summed)).select(
+        F.col("nu_a").cast("long").alias("users_a"),
+        F.col("nu_b").cast("long").alias("users_b"),
+        (F.col("aa") - 1).cast("long").alias("conv_a"),
+        (F.col("ab") - 1).cast("long").alias("conv_b"),
+        F.round(F.col("p"), 4).alias("p_b_beats_a"),
+        F.round(
+            F.col("ab").cast("double") / (F.col("ab") + F.col("bb"))
+            - F.col("aa").cast("double") / (F.col("aa") + F.col("ba")),
+            6,
+        ).alias("posterior_lift"),
+    )
