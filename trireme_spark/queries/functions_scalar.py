@@ -1272,3 +1272,42 @@ def fn_datetime_format_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(od).alias("qtr"),
         F.date_format(od, "yyyy-MM").alias("ym"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_approx_topk — approx_top_k sketch aggregate (Spark 4 surface)
+# ---------------------------------------------------------------------------
+
+_ATOPK_ORACLE = """
+SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type
+"""
+
+
+@register("fn_approx_topk", oracle=_ATOPK_ORACLE)
+def fn_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` (Spark 4's built-in frequent-items sketch
+    aggregate — the engine-native sibling of the hand-rolled
+    count-min key agg_cms_heavy_hitters): top event types with
+    approximate counts in ONE sketch aggregation, no full groupBy at
+    the reducer.
+
+    Value-checked EXACTLY: the domain (5 event types) sits far inside
+    the sketch's default 10 000-item capacity, where the sketch
+    degenerates to exact counting — so the oracle is the plain GROUP
+    BY, and k=10 > |domain| means no tie-sensitive cut. (At real
+    cardinalities the sketch is approximate by design; this key pins
+    the API surface and the exact-regime contract.) The struct-array
+    result explodes to scalar rows for the driver canonicalizer
+    (agg_collect lesson)."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("trireme_events_atopk")
+    return spark.sql(
+        """
+        SELECT t.item AS item, t.count AS cnt
+        FROM (
+          SELECT explode(approx_top_k(event_type, 10)) AS t
+          FROM trireme_events_atopk
+        )
+        """
+    )

@@ -490,3 +490,138 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(
         F.col("prev").isNotNull() & (F.col("delta") > _CUT_TH)
     ).select("doc_id", "cut_at_frame", "delta")
+
+
+# ---------------------------------------------------------------------------
+# multimodal_phash_dedup — perceptual-hash (aHash) near-duplicate assets
+# ---------------------------------------------------------------------------
+
+# 64 sampled "pixels" -> mean-threshold bits -> two 32-bit halves.
+# Shared bit algebra, mirrored verbatim in the oracle.
+
+_PHASH_ORACLE = """
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(64), i ->
+             ascii(substr(text,
+                 CAST(1 + (i * len(text)) // 64 AS INT), 1))) AS pix
+  FROM documents WHERE len(text) >= 1
+),
+h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(32), i ->
+             CASE WHEN pix[CAST(i AS INT) + 1] * 64 >
+                       list_sum(pix) THEN CAST(2 ** i AS BIGINT)
+                  ELSE 0 END)) AS BIGINT) AS h1,
+         CAST(list_sum(list_transform(range(32), i ->
+             CASE WHEN pix[CAST(i AS INT) + 33] * 64 >
+                       list_sum(pix) THEN CAST(2 ** i AS BIGINT)
+                  ELSE 0 END)) AS BIGINT) AS h2
+  FROM px
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2))
+            AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 7
+"""
+
+
+@register("multimodal_phash_dedup", oracle=_PHASH_ORACLE)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (average-hash) near-duplicate detection over
+    binary assets: 64 pixels sampled evenly across the payload,
+    mean-thresholded into a 64-bit signature (two 32-bit halves — no
+    sign-bit traps), candidates blocked by 8-bit signature chunks
+    (Hamming <= 7 pigeonholes at least one IDENTICAL chunk among 8, so
+    the blocking is provably complete at this threshold — the SimHash
+    doctrine), exact Hamming verify on candidates only. The asset-level
+    analogue of text near-dup: thumbnails, re-encoded images and
+    crops collide in aHash space while exact digests differ. Pseudo
+    pixels derive from the payload bytes (stub-decode doctrine: the
+    real decoder drops into the same pipeline).
+
+    The brute-force oracle value-checks the BLOCKED plan's
+    completeness, exactly like geo_distance_join's radius join.
+
+    Scale design: signatures are per-row column algebra; candidate
+    generation is a keyed equi-join on (chunk_idx, chunk_value) —
+    never all-pairs; verify runs bit_count on candidate pairs only."""
+    d = table(spark, sf_dir, "documents").where(F.length("text") >= 1)
+    pix = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.ascii(
+            F.substring(
+                F.col("text"),
+                (1 + (i * F.length("text")).cast("long") / 64).cast("int"),
+                1,
+            )
+        ),
+    )
+    px = d.select("doc_id", pix.alias("pix")).withColumn(
+        "psum", F.aggregate("pix", F.lit(0), lambda a, x: a + x)
+    )
+    def half(lo):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at("pix", (i + lo + 1).cast("int")) * 64
+                > F.col("psum"),
+                F.pow(F.lit(2.0), i).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    h = px.select(
+        "doc_id", half(F.lit(0)).alias("h1"), half(F.lit(32)).alias("h2")
+    )
+    # chunk blocking: 8 x 8-bit chunks (complete for Hamming <= 7)
+    chunks = h.select(
+        "doc_id",
+        "h1",
+        "h2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("ck"),
+                        (
+                            F.shiftrightunsigned(
+                                F.col("h1") if k < 4 else F.col("h2"),
+                                8 * (k % 4),
+                            )
+                            % 256
+                        ).alias("cv"),
+                    )
+                    for k in range(8)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "h1", "h2", F.col("c.ck").alias("ck"), F.col("c.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.h1").alias("h1a"),
+            F.col("a.h2").alias("h2a"),
+            F.col("b.h1").alias("h1b"),
+            F.col("b.h2").alias("h2b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = (
+        F.bit_count(F.col("h1a").bitwiseXOR(F.col("h1b")))
+        + F.bit_count(F.col("h2a").bitwiseXOR(F.col("h2b")))
+    )
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= 7)
