@@ -1908,3 +1908,79 @@ def orders_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_boxplot_stats — five-number summary + IQR outlier counts per group
+# ---------------------------------------------------------------------------
+
+_BOXPLOT_ORACLE = """
+WITH q AS (
+  SELECT o_orderpriority,
+         ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+         ROUND(quantile_cont(o_totalprice, 0.50), 4) AS median,
+         ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q3,
+         MIN(o_totalprice) AS lo,
+         MAX(o_totalprice) AS hi,
+         COUNT(*) AS n
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT q.o_orderpriority, q.n, q.q1, q.median, q.q3, q.lo, q.hi,
+       CAST(SUM(CASE WHEN o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                       OR o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority
+GROUP BY q.o_orderpriority, q.n, q.q1, q.median, q.q3, q.lo, q.hi
+"""
+
+
+@register("agg_boxplot_stats", oracle=_BOXPLOT_ORACLE)
+def agg_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boxplot (five-number + Tukey outliers) per order priority — the
+    distribution summary every dashboard draws: exact quartiles,
+    extremes, and the count of points beyond the 1.5·IQR fences.
+    Composes the exact percentile surface (a7) into the full plotting
+    contract in ONE pass + one re-join.
+
+    Scale design: quartiles are one keyed exact-percentile aggregation
+    (Spark's percentile is a partial-merge aggregate, not a sort);
+    fence counting re-joins the 5-row quartile table back (broadcast)
+    for a second keyed pass. Parity: quartiles ROUND(4) on both
+    engines (Spark percentile and DuckDB quantile_cont both linearly
+    interpolate), and the fence comparison runs on the ROUNDED
+    quartiles so an interpolation ulp cannot flip a boundary point."""
+    o = table(spark, sf_dir, "orders")
+    q = o.groupBy("o_orderpriority").agg(
+        F.round(
+            F.percentile("o_totalprice", F.lit(0.25)), 4
+        ).alias("q1"),
+        F.round(
+            F.percentile("o_totalprice", F.lit(0.50)), 4
+        ).alias("median"),
+        F.round(
+            F.percentile("o_totalprice", F.lit(0.75)), 4
+        ).alias("q3"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out_flag = (
+        (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr)
+        | (F.col("o_totalprice") > F.col("q3") + 1.5 * iqr)
+    )
+    return (
+        o.join(F.broadcast(q), "o_orderpriority")
+        .groupBy(
+            "o_orderpriority", "n", "q1", "median", "q3", "lo", "hi"
+        )
+        .agg(
+            F.sum(F.when(out_flag, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "o_orderpriority", "n", "q1", "median", "q3", "lo", "hi",
+            "n_outliers",
+        )
+    )

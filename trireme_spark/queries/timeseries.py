@@ -5351,3 +5351,64 @@ def events_ab_bayesian(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("posterior_lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_dispersion_index — Poisson over/under-dispersion per event type
+# ---------------------------------------------------------------------------
+
+_DISPERSION_ORACLE = """
+WITH m AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         COUNT(*) AS n_hours,
+         CAST(SUM(c) AS DOUBLE) AS sx,
+         CAST(SUM(c * c) AS DOUBLE) AS sx2
+  FROM m GROUP BY event_type
+)
+SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+       ROUND(sx / n_hours, 6) AS mean_per_hour,
+       ROUND(((sx2 - sx * sx / n_hours) / (n_hours - 1))
+             / (sx / n_hours), 6) AS dispersion_index,
+       CAST(((sx2 - sx * sx / n_hours) / (n_hours - 1))
+            / (sx / n_hours) > 1.5 AS BOOLEAN) AS overdispersed
+FROM s
+"""
+
+
+@register("events_dispersion_index", oracle=_DISPERSION_ORACLE)
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion index (variance-to-mean ratio of hourly counts) per
+    event type — the Poisson-assumption audit: D ≈ 1 means arrivals are
+    Poisson-consistent (alerting thresholds from Poisson tails are
+    valid), D >> 1 means bursty/clumped traffic (they are not — switch
+    to negative-binomial envelopes). Flags D > 1.5 as overdispersed.
+    The diagnostic that belongs BEFORE events_alert_throttle-style
+    threshold setting.
+
+    Scale design: one (type, hour)-keyed count, then per-type moment
+    sums over the hour-levelled table — exact integer sums into one
+    double expression (identical both engines), ROUND(6)."""
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    s = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").cast("double").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("sx2"),
+    )
+    var = (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n_hours")) / (
+        F.col("n_hours") - 1
+    )
+    disp = var / (F.col("sx") / F.col("n_hours"))
+    return s.select(
+        "event_type",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.round(F.col("sx") / F.col("n_hours"), 6).alias("mean_per_hour"),
+        F.round(disp, 6).alias("dispersion_index"),
+        (disp > 1.5).alias("overdispersed"),
+    )
