@@ -1976,3 +1976,194 @@ def sql_ctas_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.table("trireme_cat.prio_rollup")
+
+
+# ---------------------------------------------------------------------------
+# source_cassandra_cell_lww — per-CELL last-write-wins snapshot merge
+# ---------------------------------------------------------------------------
+
+_CELL_LWW_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price,
+         1000 AS status_wt, 1000 AS price_wt
+  FROM orders
+),
+upd AS (
+  SELECT o_orderkey AS k, 'R' AS status, o_totalprice * 1.1 AS price,
+         CASE WHEN o_orderkey % 3 = 0 THEN 2000 ELSE 500 END AS status_wt,
+         CASE WHEN o_orderkey % 5 = 0 THEN 2000 ELSE 500 END AS price_wt
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+SELECT k AS o_orderkey,
+       MAX(CASE WHEN status_wt = m_swt THEN status END) AS status,
+       ROUND(MAX(CASE WHEN price_wt = m_pwt THEN price END), 4) AS price,
+       CAST(m_swt AS BIGINT) AS status_writetime,
+       CAST(m_pwt AS BIGINT) AS price_writetime
+FROM (
+  SELECT u.*, MAX(status_wt) OVER (PARTITION BY k) AS m_swt,
+         MAX(price_wt) OVER (PARTITION BY k) AS m_pwt
+  FROM u
+)
+GROUP BY k, m_swt, m_pwt
+"""
+
+
+@register("source_cassandra_cell_lww", oracle=_CELL_LWW_ORACLE)
+def source_cassandra_cell_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cassandra CELL-level last-write-wins reconciliation — the
+    reference's source semantics at its most granular: every column of
+    a row carries its own writetime, and merging two SSTable
+    dumps/snapshots must pick the newest value PER CELL, not per row (a
+    row-level merge silently resurrects stale cells whenever different
+    columns were updated at different times — the classic
+    Cassandra-export bug). Emulated with a planted update snapshot:
+    even keys get an update whose status/price writetimes land newer or
+    older per a deterministic schedule, so the merged row mixes cells
+    from BOTH snapshots exactly where it should.
+
+    Scale design: union + one key-partitioned max per cell column
+    (max_by is the agg form; the window form here keeps the per-cell
+    writetime visible in the output for auditability) — one shuffle on
+    the row key, linear in cells."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(1000).alias("status_wt"),
+        F.lit(1000).alias("price_wt"),
+    )
+    upd = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("R").alias("status"),
+        (F.col("o_totalprice") * 1.1).alias("price"),
+        F.when(F.col("o_orderkey") % 3 == 0, 2000)
+        .otherwise(500)
+        .alias("status_wt"),
+        F.when(F.col("o_orderkey") % 5 == 0, 2000)
+        .otherwise(500)
+        .alias("price_wt"),
+    )
+    u = base.unionByName(upd)
+    return u.groupBy("k").agg(
+        F.max_by("status", "status_wt").alias("status"),
+        F.round(F.max_by("price", "price_wt"), 4).alias("price"),
+        F.max("status_wt").cast("long").alias("status_writetime"),
+        F.max("price_wt").cast("long").alias("price_writetime"),
+    ).select(
+        F.col("k").alias("o_orderkey"),
+        "status",
+        "price",
+        "status_writetime",
+        "price_writetime",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sink_solr_atomic_updates — Solr-style set/inc atomic update folding
+# ---------------------------------------------------------------------------
+
+_ATOMIC_UPD_ORACLE = """
+WITH ops AS (
+  SELECT o_orderkey AS id, 1 AS seq, 'set' AS op,
+         o_totalprice AS val
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, 'inc', 10.0 FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'set', 500.0 FROM orders WHERE o_orderkey % 6 = 0
+  UNION ALL
+  SELECT o_orderkey, 4, 'inc', -3.5 FROM orders WHERE o_orderkey % 3 = 0
+),
+last_set AS (
+  SELECT id, MAX(CASE WHEN op = 'set' THEN seq END) AS ls FROM ops
+  GROUP BY id
+)
+SELECT o.id AS o_orderkey,
+       ROUND(MAX(CASE WHEN o.seq = s.ls THEN o.val END)
+             + COALESCE(SUM(CASE WHEN o.op = 'inc' AND o.seq > s.ls
+                                 THEN o.val END), 0), 4) AS final_value,
+       CAST(COUNT(*) AS BIGINT) AS n_ops
+FROM ops o JOIN last_set s ON o.id = s.id
+GROUP BY o.id
+"""
+
+
+@register("sink_solr_atomic_updates", oracle=_ATOMIC_UPD_ORACLE)
+def sink_solr_atomic_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ATOMIC UPDATE folding — the sink-side semantics the
+    reference's upsert path needs when updates are partial: a stream of
+    per-document {set, inc} operations (ordered by sequence) must fold
+    to the same final field value Solr would hold after applying them
+    one-by-one. The declarative identity: final = (value of the LAST
+    set) + (sum of incs AFTER that set) — no per-row iteration, no
+    UDF, order captured entirely by the seq comparison. The planted op
+    log exercises every interleaving: inc-after-set, set-overriding-
+    incs, multiple sets, trailing negative incs.
+
+    Scale design: one keyed agg finds each doc's last set; one more
+    keyed agg folds the ops against it — two shuffles on the doc id,
+    linear in ops. This is exactly how a Spark job compacts a CDC/op
+    log before a bulk Solr reindex, replacing millions of atomic-update
+    round-trips with one upsert per doc."""
+    o = table(spark, sf_dir, "orders")
+    ops = (
+        o.select(
+            F.col("o_orderkey").alias("id"),
+            F.lit(1).alias("seq"),
+            F.lit("set").alias("op"),
+            F.col("o_totalprice").alias("val"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 2 == 0).select(
+                F.col("o_orderkey").alias("id"),
+                F.lit(2).alias("seq"),
+                F.lit("inc").alias("op"),
+                F.lit(10.0).alias("val"),
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 6 == 0).select(
+                F.col("o_orderkey").alias("id"),
+                F.lit(3).alias("seq"),
+                F.lit("set").alias("op"),
+                F.lit(500.0).alias("val"),
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 3 == 0).select(
+                F.col("o_orderkey").alias("id"),
+                F.lit(4).alias("seq"),
+                F.lit("inc").alias("op"),
+                F.lit(-3.5).alias("val"),
+            )
+        )
+    )
+    last_set = ops.where(F.col("op") == "set").groupBy("id").agg(
+        F.max("seq").alias("ls")
+    )
+    return (
+        ops.join(last_set, "id")
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("seq") == F.col("ls"), F.col("val")))
+                + F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("op") == "inc")
+                            & (F.col("seq") > F.col("ls")),
+                            F.col("val"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("final_value"),
+            F.count(F.lit(1)).cast("long").alias("n_ops"),
+        )
+        .select(
+            F.col("id").alias("o_orderkey"), "final_value", "n_ops"
+        )
+    )
