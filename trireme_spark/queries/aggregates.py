@@ -1984,3 +1984,118 @@ def agg_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_mutual_information — categorical MI with entropy normalization
+# ---------------------------------------------------------------------------
+
+_MI_ORACLE = """
+WITH c AS (
+  SELECT o_orderpriority AS x,
+         dayofweek(CAST(o_orderdate AS DATE)) AS y,
+         COUNT(*) AS nxy
+  FROM orders GROUP BY 1, 2
+),
+mx AS (SELECT x, SUM(nxy) AS nx FROM c GROUP BY x),
+my AS (SELECT y, SUM(nxy) AS ny FROM c GROUP BY y),
+n AS (SELECT SUM(nxy) AS n FROM c),
+mi AS (
+  SELECT SUM(CAST(ROUND((CAST(c.nxy AS DOUBLE) / n.n)
+                 * ln(CAST(c.nxy AS DOUBLE) * n.n
+                      / (CAST(mx.nx AS DOUBLE) * my.ny)), 9)
+             AS DECIMAL(27,9))) AS mi_nats,
+         COUNT(*) AS n_cells
+  FROM c JOIN mx ON c.x = mx.x JOIN my ON c.y = my.y CROSS JOIN n
+),
+hx AS (
+  SELECT SUM(CAST(ROUND(-(CAST(nx AS DOUBLE) / n.n)
+                        * ln(CAST(nx AS DOUBLE) / n.n), 9)
+             AS DECIMAL(27,9))) AS h
+  FROM mx CROSS JOIN n
+),
+hy AS (
+  SELECT SUM(CAST(ROUND(-(CAST(ny AS DOUBLE) / n.n)
+                        * ln(CAST(ny AS DOUBLE) / n.n), 9)
+             AS DECIMAL(27,9))) AS h
+  FROM my CROSS JOIN n
+)
+SELECT ROUND(CAST(mi.mi_nats AS DOUBLE), 6) AS mi_nats,
+       CAST(mi.n_cells AS BIGINT) AS n_cells,
+       ROUND(CAST(hx.h AS DOUBLE), 6) AS h_priority,
+       ROUND(CAST(hy.h AS DOUBLE), 6) AS h_weekday,
+       ROUND(CAST(mi.mi_nats AS DOUBLE)
+             / least(CAST(hx.h AS DOUBLE), CAST(hy.h AS DOUBLE)), 6)
+           AS normalized_mi
+FROM mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+
+@register("agg_mutual_information", oracle=_MI_ORACLE)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order priority and weekday (nats),
+    with marginal entropies and min-entropy normalization — the
+    dependence measure feature selection and leakage hunting use where
+    correlation can't see non-linear/categorical structure (MI = 0 iff
+    independent; normalized MI in [0,1] is comparable across feature
+    pairs).
+
+    Scale design: ONE contingency aggregation (|X|·|Y| cells —
+    dimension-sized regardless of corpus), marginals derived from it
+    (no second scan), then per-cell p·ln terms ROUND(9) into
+    order-independent decimal sums (parity.py doctrine)."""
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderpriority").alias("x"),
+        F.dayofweek(F.col("o_orderdate").cast("date")).alias("y"),
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    c = c.localCheckpoint(eager=True)
+    mx = c.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = c.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    n = c.agg(F.sum("nxy").alias("n"))
+    dec9 = "decimal(27,9)"
+    mi_term = F.round(
+        (F.col("nxy").cast("double") / F.col("n"))
+        * F.log(
+            F.col("nxy").cast("double")
+            * F.col("n")
+            / (F.col("nx").cast("double") * F.col("ny"))
+        ),
+        9,
+    ).cast(dec9)
+    mi = (
+        c.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(mi_term).alias("mi_nats"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )
+    def ent(df, cnt):
+        t = F.round(
+            -(F.col(cnt).cast("double") / F.col("n"))
+            * F.log(F.col(cnt).cast("double") / F.col("n")),
+            9,
+        ).cast(dec9)
+        return df.crossJoin(F.broadcast(n)).agg(F.sum(t).alias("h"))
+
+    hx = ent(mx, "nx")
+    hy = ent(my, "ny")
+    return (
+        mi.crossJoin(F.broadcast(hx.select(F.col("h").alias("hx"))))
+        .crossJoin(F.broadcast(hy.select(F.col("h").alias("hy"))))
+        .select(
+            F.round(F.col("mi_nats").cast("double"), 6).alias("mi_nats"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.round(F.col("hx").cast("double"), 6).alias("h_priority"),
+            F.round(F.col("hy").cast("double"), 6).alias("h_weekday"),
+            F.round(
+                F.col("mi_nats").cast("double")
+                / F.least(
+                    F.col("hx").cast("double"), F.col("hy").cast("double")
+                ),
+                6,
+            ).alias("normalized_mi"),
+        )
+    )

@@ -2363,3 +2363,95 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("phrase").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_js_divergence — per-source vocabulary divergence from the corpus
+# ---------------------------------------------------------------------------
+
+_JSD_ORACLE = """
+WITH tok AS (
+  SELECT source,
+         unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+),
+t AS (SELECT source, term FROM tok WHERE term <> ''),
+st AS (SELECT source, term, COUNT(*) AS c FROM t GROUP BY 1, 2),
+ct AS (SELECT term, COUNT(*) AS cc FROM t GROUP BY term),
+stot AS (SELECT source, SUM(c) AS ns FROM st GROUP BY source),
+ctot AS (SELECT SUM(cc) AS nc FROM ct),
+grid AS (
+  SELECT s.source, v.term, v.cc, s.ns, COALESCE(st.c, 0) AS c
+  FROM stot s
+  CROSS JOIN ct v
+  LEFT JOIN st ON st.source = s.source AND st.term = v.term
+),
+terms AS (
+  SELECT g.source,
+         CAST(ROUND(
+           0.5 * CASE WHEN g.c > 0 THEN
+             (CAST(g.c AS DOUBLE) / g.ns)
+             * ln((CAST(g.c AS DOUBLE) / g.ns)
+                  / ((CAST(g.c AS DOUBLE) / g.ns
+                      + CAST(g.cc AS DOUBLE) / ctot.nc) / 2))
+             ELSE 0 END
+           + 0.5 * (CAST(g.cc AS DOUBLE) / ctot.nc)
+             * ln((CAST(g.cc AS DOUBLE) / ctot.nc)
+                  / ((CAST(g.c AS DOUBLE) / g.ns
+                      + CAST(g.cc AS DOUBLE) / ctot.nc) / 2)), 9)
+         AS DECIMAL(27,9)) AS jt
+  FROM grid g CROSS JOIN ctot
+)
+SELECT source,
+       ROUND(CAST(SUM(jt) AS DOUBLE), 6) AS js_nats,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM terms GROUP BY source
+"""
+
+
+@register("text_js_divergence", oracle=_JSD_ORACLE)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each SOURCE's unigram
+    distribution and the corpus distribution — the symmetric, bounded
+    (≤ ln 2) domain-shift measure a mixture designer reads before
+    weighting sources (KL explodes on vocabulary gaps; JS doesn't,
+    because the mixture midpoint m=(p+q)/2 is never zero where either
+    side has mass). Complements events_feature_drift_psi (numeric
+    features, binned) with the text-distribution form.
+
+    Scale design: source-term and corpus-term counts are keyed aggs;
+    the per-(source, term) grid is |sources|×|vocab| (dimension-scale
+    here; at web scale the documented restriction is the top-k vocab —
+    text_vocab_coverage's cut); each JS term quantizes to 9dp before
+    the order-independent per-source decimal sum."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", F.explode(tokenize("text")).alias("term")
+    ).where(F.col("term") != "")
+    st = t.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    st = st.localCheckpoint(eager=True)
+    ct = st.groupBy("term").agg(F.sum("c").alias("cc"))
+    stot = st.groupBy("source").agg(F.sum("c").alias("ns"))
+    ctot = ct.agg(F.sum("cc").alias("nc"))
+    grid = (
+        stot.crossJoin(ct)
+        .join(st, ["source", "term"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .crossJoin(F.broadcast(ctot))
+    )
+    p = F.col("c").cast("double") / F.col("ns")
+    q = F.col("cc").cast("double") / F.col("nc")
+    m = (p + q) / 2
+    jt = F.round(
+        0.5 * F.when(F.col("c") > 0, p * F.log(p / m)).otherwise(0.0)
+        + 0.5 * q * F.log(q / m),
+        9,
+    ).cast("decimal(27,9)")
+    return (
+        grid.select("source", jt.alias("jt"))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum("jt").cast("double"), 6).alias("js_nats"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )

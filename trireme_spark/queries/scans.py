@@ -2167,3 +2167,87 @@ def sink_solr_atomic_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("o_orderkey"), "final_value", "n_ops"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# source_cassandra_tombstones — delete markers + gc_grace purge semantics
+# ---------------------------------------------------------------------------
+
+_TOMBSTONE_ORACLE = """
+WITH live AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, 1000 AS wt,
+         FALSE AS is_tombstone
+  FROM orders
+),
+dels AS (
+  SELECT o_orderkey AS k, CAST(NULL AS DOUBLE) AS price,
+         CASE WHEN o_orderkey % 4 = 0 THEN 2000 ELSE 500 END AS wt,
+         TRUE AS is_tombstone
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+u AS (SELECT * FROM live UNION ALL SELECT * FROM dels),
+win AS (
+  SELECT k, price, wt, is_tombstone,
+         MAX(wt) OVER (PARTITION BY k) AS m_wt
+  FROM u
+),
+merged AS (
+  SELECT k,
+         MAX(CASE WHEN wt = m_wt THEN price END) AS price,
+         BOOL_OR(CASE WHEN wt = m_wt THEN is_tombstone END) AS dead,
+         m_wt
+  FROM win GROUP BY k, m_wt
+)
+SELECT k AS o_orderkey,
+       CASE WHEN dead THEN NULL ELSE price END AS price,
+       dead AS deleted,
+       CAST(dead AND m_wt < 1500 AS BOOLEAN) AS purgeable
+FROM merged
+"""
+
+
+@register("source_cassandra_tombstones", oracle=_TOMBSTONE_ORACLE)
+def source_cassandra_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cassandra TOMBSTONE semantics — the delete half of the LWW merge
+    (source_cassandra_cell_lww is the update half): a delete is a
+    MARKER cell with its own writetime; it suppresses any older write
+    of the same cell but LOSES to a newer one (the planted schedule
+    exercises both: %4 keys' tombstones are newest → row reads as
+    deleted; other even keys' tombstones are older than the live write
+    → the data survives). Tombstones older than gc_grace (wt < 1500
+    here) are additionally flagged purgeable — the compaction decision
+    that keeps an export from resurrecting deleted data on a node that
+    missed the delete.
+
+    Scale design: identical shape to the LWW merge — union + one
+    key-partitioned newest-cell resolution; the gc_grace flag is pure
+    row algebra on the merged result."""
+    o = table(spark, sf_dir, "orders")
+    live = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(1000).alias("wt"),
+        F.lit(False).alias("is_tombstone"),
+    )
+    dels = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(None).cast("double").alias("price"),
+        F.when(F.col("o_orderkey") % 4 == 0, 2000)
+        .otherwise(500)
+        .alias("wt"),
+        F.lit(True).alias("is_tombstone"),
+    )
+    u = live.unionByName(dels)
+    merged = u.groupBy("k").agg(
+        F.max_by("price", "wt").alias("price"),
+        F.max_by("is_tombstone", "wt").alias("dead"),
+        F.max("wt").alias("m_wt"),
+    )
+    return merged.select(
+        F.col("k").alias("o_orderkey"),
+        F.when(F.col("dead"), F.lit(None).cast("double"))
+        .otherwise(F.col("price"))
+        .alias("price"),
+        F.col("dead").alias("deleted"),
+        (F.col("dead") & (F.col("m_wt") < 1500)).alias("purgeable"),
+    )
