@@ -1953,3 +1953,124 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "rank int, vec_id long, relevance double, mmr_score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster_dendrogram_profile — agglomerative cut profile over thresholds
+# ---------------------------------------------------------------------------
+
+_DENDRO_THRESHOLDS = (0.90, 0.95, 0.99)
+
+
+def _dendro_level_sql(thr: float) -> str:
+    return f"""
+SELECT {thr} AS threshold,
+       (SELECT COUNT(*) FROM pairs{int(thr * 100)}) AS n_pairs,
+       (SELECT COUNT(*) FROM (
+            SELECT cluster FROM lab{int(thr * 100)}
+            GROUP BY cluster HAVING COUNT(*) >= 2)) AS n_clusters,
+       (SELECT COUNT(*) FROM (
+            SELECT v, COUNT(*) OVER (PARTITION BY cluster) AS cs
+            FROM lab{int(thr * 100)}) WHERE cs >= 2) AS n_clustered_vecs,
+       (SELECT MAX(cs) FROM (
+            SELECT COUNT(*) AS cs FROM lab{int(thr * 100)}
+            GROUP BY cluster)) AS largest_cluster
+"""
+
+
+def _dendro_level_ctes(thr: float) -> str:
+    t = int(thr * 100)
+    return f"""
+pairs{t} AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_duck_dot('a.emb', 'b.emb')}
+          / (sqrt({_duck_dot('a.emb', 'a.emb')})
+             * sqrt({_duck_dot('b.emb', 'b.emb')})) >= {thr}
+),
+ed{t} AS (
+    SELECT va AS src, vb AS dst FROM pairs{t}
+    UNION ALL SELECT vb, va FROM pairs{t}
+),
+reach{t}(v, c) AS (
+    SELECT vec_id, vec_id FROM e
+    UNION
+    SELECT ed{t}.dst, r.c FROM reach{t} r JOIN ed{t} ON ed{t}.src = r.v
+),
+lab{t} AS (SELECT v, MIN(c) AS cluster FROM reach{t} GROUP BY v)
+"""
+
+
+_DENDRO_ORACLE = (
+    "WITH RECURSIVE e AS (SELECT vec_id, "
+    + _DUCK_EMB
+    + " AS emb FROM embeddings),"
+    + ",".join(_dendro_level_ctes(t) for t in _DENDRO_THRESHOLDS)
+    + " ".join(
+        ("UNION ALL" if i else "") + _dendro_level_sql(t)
+        for i, t in enumerate(_DENDRO_THRESHOLDS)
+    )
+)
+
+
+@register("cluster_dendrogram_profile", oracle=_DENDRO_ORACLE)
+def cluster_dendrogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agglomerative (single-linkage) CUT PROFILE: cluster structure of
+    the embedding corpus at three cosine thresholds — pair count,
+    cluster count, clustered-vector count, largest cluster per level —
+    the dendrogram summary that picks a dedup/grouping threshold
+    empirically (watch the largest cluster explode as the threshold
+    drops: that's the chaining regime single-linkage is famous for,
+    and exactly what this profile makes visible before anyone commits
+    to a cutoff).
+
+    Scale design: ONE block-pair GEMM at the loosest threshold carries
+    the cosine, tighter levels are filters over it (no re-scoring);
+    each level's components run the distributed min-label propagation
+    (operators/graph.py). The recursive-CTE oracle value-checks all
+    three levels' cluster algebra."""
+    from trireme_spark.operators.graph import connected_components
+    from trireme_spark.operators.similarity import exact_threshold_pairs
+
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    base = exact_threshold_pairs(
+        v, threshold=min(_DENDRO_THRESHOLDS)
+    ).localCheckpoint(eager=True)
+    nodes = v.select("vec_id")
+    out = None
+    for thr in _DENDRO_THRESHOLDS:
+        pairs = base.where(F.col("cos_sim") >= thr).select(
+            F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+        )
+        lab = connected_components(
+            nodes, pairs, id_col="vec_id", src_col="src", dst_col="dst"
+        )
+        sizes = lab.groupBy("component").agg(
+            F.count(F.lit(1)).alias("cs")
+        )
+        level = (
+            pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+            .crossJoin(
+                sizes.agg(
+                    F.sum(F.when(F.col("cs") >= 2, 1).otherwise(0))
+                    .cast("long")
+                    .alias("n_clusters"),
+                    F.sum(
+                        F.when(F.col("cs") >= 2, F.col("cs")).otherwise(0)
+                    )
+                    .cast("long")
+                    .alias("n_clustered_vecs"),
+                    F.max("cs").cast("long").alias("largest_cluster"),
+                )
+            )
+            .select(
+                F.lit(thr).alias("threshold"),
+                "n_pairs",
+                "n_clusters",
+                "n_clustered_vecs",
+                "largest_cluster",
+            )
+        )
+        out = level if out is None else out.unionByName(level)
+    return out

@@ -5412,3 +5412,109 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(disp, 6).alias("dispersion_index"),
         (disp > 1.5).alias("overdispersed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_periodogram — DFT power at candidate periods (dominant-cycle scan)
+# ---------------------------------------------------------------------------
+
+_PERIODOGRAM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT rev,
+         ROW_NUMBER() OVER (ORDER BY day) - 1 AS t,
+         COUNT(*) OVER () AS n,
+         CAST(SUM(CAST(rev AS DECIMAL(27,6))) OVER () AS DOUBLE)
+             / COUNT(*) OVER () AS mu
+  FROM daily
+),
+freqs AS (SELECT unnest(range(1, 15)) AS k),
+terms AS (
+  SELECT f.k,
+         CAST(ROUND((i.rev - i.mu)
+              * cos(2 * pi() * f.k * i.t / i.n), 6)
+              AS DECIMAL(27,6)) AS ct,
+         CAST(ROUND((i.rev - i.mu)
+              * sin(2 * pi() * f.k * i.t / i.n), 6)
+              AS DECIMAL(27,6)) AS st,
+         i.n
+  FROM idx i CROSS JOIN freqs f
+),
+pw AS (
+  SELECT k, MAX(n) AS n,
+         CAST(SUM(ct) AS DOUBLE) AS sc,
+         CAST(SUM(st) AS DOUBLE) AS ss
+  FROM terms GROUP BY k
+)
+SELECT k AS harmonic,
+       ROUND(CAST(n AS DOUBLE) / k, 2) AS period_days,
+       ROUND((sc * sc + ss * ss) / n, 2) AS power
+FROM pw
+"""
+
+
+@register("ts_periodogram", oracle=_PERIODOGRAM_ORACLE)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram of the daily revenue series at the first 14
+    harmonics — the DFT power scan that finds the DOMINANT CYCLE
+    (weekly? monthly?) without presupposing one, upstream of
+    ts_seasonality_strength (which tests a GIVEN period) and
+    ts_decompose_additive (which removes it). Power_k =
+    (Σ(x−μ)cos(2πkt/n))² + (Σ(x−μ)sin(·))², the classic Schuster form.
+
+    Scale design: the DFT at m candidate frequencies is m pairs of
+    DISTRIBUTED weighted sums — the day-levelled series crosses the
+    14-row frequency table (bounded fan-out) and everything reduces in
+    one keyed aggregation; no FFT, no global order beyond the day
+    index (two-pass machinery at corpus scale). Per-term products
+    ROUND(6) into decimal sums; cos/sin of identical doubles agree
+    cross-engine at that quantization."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(dsum("o_totalprice").alias("rev"))
+    w_all = Window.partitionBy(meta_part(F.unix_date(F.col("day"))))
+    w_ord = w_all.orderBy("day")
+    idx = daily.select(
+        "rev",
+        (F.row_number().over(w_ord) - 1).alias("t"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        (
+            F.sum(F.col("rev").cast(DSCALE)).over(w_all).cast("double")
+            / F.count(F.lit(1)).over(w_all)
+        ).alias("mu"),
+    )
+    import math
+
+    freqs = spark.range(1, 15).select(F.col("id").alias("k"))
+    ang = 2 * math.pi * F.col("k") * F.col("t") / F.col("n")
+    terms = idx.crossJoin(F.broadcast(freqs)).select(
+        "k",
+        "n",
+        F.round((F.col("rev") - F.col("mu")) * F.cos(ang), 6)
+        .cast(DSCALE)
+        .alias("ct"),
+        F.round((F.col("rev") - F.col("mu")) * F.sin(ang), 6)
+        .cast(DSCALE)
+        .alias("st"),
+    )
+    pw = terms.groupBy("k").agg(
+        F.max("n").alias("n"),
+        F.sum("ct").cast("double").alias("sc"),
+        F.sum("st").cast("double").alias("ss"),
+    )
+    return pw.select(
+        F.col("k").alias("harmonic"),
+        F.round(F.col("n").cast("double") / F.col("k"), 2).alias(
+            "period_days"
+        ),
+        F.round(
+            (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+            / F.col("n"),
+            2,
+        ).alias("power"),
+    )
