@@ -2099,3 +2099,84 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("normalized_mi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_cramers_v — chi-square association with effect size
+# ---------------------------------------------------------------------------
+
+_CRAMER_ORACLE = """
+WITH c AS (
+  SELECT o_orderpriority AS x,
+         dayofweek(CAST(o_orderdate AS DATE)) AS y,
+         COUNT(*) AS nxy
+  FROM orders GROUP BY 1, 2
+),
+mx AS (SELECT x, SUM(nxy) AS nx FROM c GROUP BY x),
+my AS (SELECT y, SUM(nxy) AS ny FROM c GROUP BY y),
+n AS (SELECT SUM(nxy) AS n FROM c),
+chi AS (
+  SELECT SUM(CAST(ROUND(
+           (c.nxy - CAST(mx.nx AS DOUBLE) * my.ny / n.n)
+           * (c.nxy - CAST(mx.nx AS DOUBLE) * my.ny / n.n)
+           / (CAST(mx.nx AS DOUBLE) * my.ny / n.n), 6)
+         AS DECIMAL(27,6))) AS chi2,
+         (SELECT COUNT(*) FROM mx) AS r,
+         (SELECT COUNT(*) FROM my) AS cc,
+         MAX(n.n) AS n
+  FROM c JOIN mx ON c.x = mx.x JOIN my ON c.y = my.y CROSS JOIN n
+)
+SELECT ROUND(CAST(chi2 AS DOUBLE), 4) AS chi2,
+       CAST((r - 1) * (cc - 1) AS BIGINT) AS dof,
+       ROUND(sqrt(CAST(chi2 AS DOUBLE) / (n * (least(r, cc) - 1))), 6)
+           AS cramers_v
+FROM chi
+"""
+
+
+@register("agg_cramers_v", oracle=_CRAMER_ORACLE)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (priority × weekday) with
+    Cramér's V effect size — the classical counterpart of
+    agg_mutual_information over the SAME contingency table: chi2 + dof
+    feed a significance decision, V ∈ [0,1] makes strength comparable
+    across tables of any shape (the number a dashboard shows next to
+    "is this association real").
+
+    Scale design: identical contingency machinery to the MI key — one
+    dimension-sized aggregation, marginals derived, per-cell (O−E)²/E
+    ROUND(6) into the order-independent decimal chi-square sum."""
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderpriority").alias("x"),
+        F.dayofweek(F.col("o_orderdate").cast("date")).alias("y"),
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    c = c.localCheckpoint(eager=True)
+    mx = c.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = c.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    n = c.agg(F.sum("nxy").alias("n"))
+    expected = F.col("nx").cast("double") * F.col("ny") / F.col("n")
+    cell = F.round(
+        (F.col("nxy") - expected) * (F.col("nxy") - expected) / expected, 6
+    ).cast(DSCALE)
+    r_cnt = mx.agg(F.count(F.lit(1)).alias("r"))
+    c_cnt = my.agg(F.count(F.lit(1)).alias("cc"))
+    chi = (
+        c.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+        .agg(F.sum(cell).alias("chi2"), F.max("n").alias("n"))
+        .crossJoin(F.broadcast(r_cnt))
+        .crossJoin(F.broadcast(c_cnt))
+    )
+    return chi.select(
+        F.round(F.col("chi2").cast("double"), 4).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("cc") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2").cast("double")
+                / (F.col("n") * (F.least("r", "cc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

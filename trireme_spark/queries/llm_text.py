@@ -2455,3 +2455,81 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_terms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_heaps_law — vocabulary-growth exponent (Heaps' law fit)
+# ---------------------------------------------------------------------------
+
+_HEAPS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+         len(list_distinct(string_split_regex(lower(text), '\\s+')))
+             AS n_types
+  FROM documents
+  WHERE len(string_split_regex(lower(text), '\\s+')) >= 2
+),
+pts AS (
+  SELECT ROUND(ln(n_tokens), 6) AS x, ROUND(ln(n_types), 6) AS y FROM d
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(27,6))) AS DOUBLE)
+             AS sxy,
+         CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(27,6))) AS DOUBLE)
+             AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+       ROUND(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n), 4) AS k
+FROM s
+"""
+
+
+@register("text_heaps_law", oracle=_HEAPS_ORACLE)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K·n^β over per-document (tokens, types)
+    points — the vocabulary-growth exponent that predicts how the type
+    inventory scales with corpus size (β ≈ 0.4-0.6 for natural text;
+    synthetic word soup runs higher). The companion of
+    text_zipf_exponent (rank-frequency) on the growth side: together
+    they are the two classic lexical-statistics laws, and the pair a
+    tokenizer-vocab plan extrapolates from.
+
+    Scale design: per-doc token/type counts are row algebra; the
+    log-log OLS runs on 4 decimal-exact moment sums (the agg_regression
+    machinery) — one pass, dimension-free state."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    pts = d.select(
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    ).where(F.col("n_tokens") >= 2)
+    x = F.round(F.log("n_tokens"), 6)
+    y = F.round(F.log("n_types"), 6)
+    s = pts.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(DSCALE)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DSCALE)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast(DSCALE))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast(DSCALE))
+        .cast("double")
+        .alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(beta, 6).alias("beta"),
+        F.round(
+            F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 4
+        ).alias("k"),
+    )
