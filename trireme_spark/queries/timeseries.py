@@ -5518,3 +5518,136 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("power"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_croston_intermittent — Croston's method for intermittent demand
+# ---------------------------------------------------------------------------
+
+_CROSTON_ORACLE = """
+WITH RECURSIVE
+wk AS (
+  SELECT DISTINCT date_trunc('week', l_shipdate) AS w FROM lineitem
+),
+pk AS (
+  SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey % 20 = 0
+),
+dem AS (
+  SELECT l_partkey, date_trunc('week', l_shipdate) AS w,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS d
+  FROM lineitem WHERE l_partkey % 20 = 0
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT pk.l_partkey, wk.w,
+         ROW_NUMBER() OVER (PARTITION BY pk.l_partkey ORDER BY wk.w)
+             AS rn,
+         COALESCE(dem.d, 0.0) AS d
+  FROM pk CROSS JOIN wk
+  LEFT JOIN dem ON dem.l_partkey = pk.l_partkey AND dem.w = wk.w
+),
+r AS (
+  SELECT l_partkey, rn, d,
+         CAST(CASE WHEN d > 0 THEN d END AS DOUBLE) AS z,
+         CAST(CASE WHEN d > 0 THEN 1.0 END AS DOUBLE) AS p,
+         CAST(CASE WHEN d > 0 THEN 0 ELSE NULL END AS BIGINT) AS gap
+  FROM spine WHERE rn = 1
+  UNION ALL
+  SELECT s.l_partkey, s.rn, s.d,
+         CASE WHEN s.d > 0 THEN
+           CASE WHEN r.z IS NULL THEN s.d
+                ELSE ROUND(0.2 * s.d + 0.8 * r.z, 9) END
+         ELSE r.z END,
+         CASE WHEN s.d > 0 THEN
+           CASE WHEN r.z IS NULL THEN 1.0
+                ELSE ROUND(0.2 * (r.gap + 1) + 0.8 * r.p, 9) END
+         ELSE r.p END,
+         CASE WHEN s.d > 0 THEN 0 ELSE r.gap + 1 END
+  FROM r JOIN spine s
+    ON s.l_partkey = r.l_partkey AND s.rn = r.rn + 1
+),
+fin AS (
+  SELECT l_partkey, z, p,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY rn DESC) AS rev
+  FROM r
+)
+SELECT l_partkey, ROUND(z, 6) AS demand_size_est,
+       ROUND(p, 6) AS interval_est,
+       ROUND(z / p, 6) AS croston_forecast
+FROM fin WHERE rev = 1 AND z IS NOT NULL
+"""
+
+
+@register("ts_croston_intermittent", oracle=_CROSTON_ORACLE)
+def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) — THE forecaster for INTERMITTENT demand
+    (mostly-zero series, where plain EWMA decays toward zero between
+    demands and systematically under-forecasts): two conditional EWMAs,
+    one over nonzero demand SIZES, one over the INTERVALS between them,
+    updated only when demand occurs; forecast = size / interval. Run
+    per part over the weekly demand spine (sampled parts keep the
+    recursive-CTE oracle tractable); sparse part-week series are
+    exactly the regime Croston exists for.
+
+    Scale design: the recursion is the applyInPandas fold family
+    (sequential per part, parallel across parts — the EWMA/Holt
+    doctrine) over a part×week spine built with one keyed agg + a
+    bounded cross join; state is two doubles + a gap counter. Fold
+    arithmetic is the LITERAL expression sequence the recursive CTE
+    mirrors (9dp rounds at each update), so values match exactly."""
+    import pandas as pd
+
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") % 20 == 0
+    )
+    wk = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.date_trunc("week", "l_shipdate").alias("w"))
+        .distinct()
+    )
+    pk = li.select("l_partkey").distinct()
+    dem = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("w")
+    ).agg(F.sum(F.col("l_quantity").cast(DSCALE)).cast("double").alias("d"))
+    spine = (
+        pk.crossJoin(wk)
+        .join(dem, ["l_partkey", "w"], "left")
+        .withColumn("d", F.coalesce("d", F.lit(0.0)))
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("w")
+        z = p = None
+        gap = 0
+        for d in pdf["d"].to_numpy():
+            d = float(d)
+            if d > 0:
+                if z is None:
+                    z, p = d, 1.0
+                else:
+                    z = round(0.2 * d + 0.8 * z, 9)
+                    p = round(0.2 * (gap + 1) + 0.8 * p, 9)
+                gap = 0
+            else:
+                gap += 1
+        key = pdf["l_partkey"].iloc[0]
+        if z is None:
+            return pd.DataFrame(
+                columns=["l_partkey", "demand_size_est", "interval_est",
+                         "croston_forecast"]
+            )
+        return pd.DataFrame(
+            {
+                "l_partkey": [key],
+                "demand_size_est": [round(z, 6)],
+                "interval_est": [round(p, 6)],
+                "croston_forecast": [round(z / p, 6)],
+            }
+        )
+
+    return spine.groupBy("l_partkey").applyInPandas(
+        fold,
+        "l_partkey long, demand_size_est double, interval_est double, "
+        "croston_forecast double",
+    )
