@@ -1233,3 +1233,50 @@ def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# sql_filter_clause — FILTER (WHERE ...) aggregate modifiers
+# ---------------------------------------------------------------------------
+
+_FILTER_CLAUSE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+           AS n_big,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f,
+       CAST(COUNT(DISTINCT o_custkey)
+            FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+           AS big_customers
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("sql_filter_clause", oracle=_FILTER_CLAUSE_ORACLE)
+def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2003 ``FILTER (WHERE ...)`` aggregate modifier —
+    conditional aggregation WITHOUT the CASE-WHEN contortion (and,
+    unlike CASE, composable with COUNT(DISTINCT)): multiple differently
+    filtered aggregates in ONE grouped pass. One more parser surface
+    (alongside pipe syntax/scripting) lowering to the identical
+    partial+final aggregate plan — the oracle runs the same FILTER
+    text, proving cross-dialect agreement.
+
+    Scale design: one keyed aggregation; every FILTER is a codegen'd
+    predicate inside the aggregate — no extra scans, no joins."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "trireme_orders_filter"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f,
+               COUNT(DISTINCT o_custkey)
+                   FILTER (WHERE o_totalprice > 150000) AS big_customers
+        FROM trireme_orders_filter GROUP BY o_orderpriority
+        """
+    )

@@ -5651,3 +5651,140 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey long, demand_size_est double, interval_est double, "
         "croston_forecast double",
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_yoy_calendar_join — year-over-year comparison via calendar self-join
+# ---------------------------------------------------------------------------
+
+_YOY_ORACLE = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mo,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS rev,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT CAST(CAST(cur.mo AS DATE) AS VARCHAR) AS month,
+       cur.rev AS revenue, prev.rev AS revenue_prior_year,
+       ROUND((cur.rev - prev.rev) / prev.rev, 6) AS yoy_pct,
+       CAST(cur.n_orders - prev.n_orders AS BIGINT) AS order_delta
+FROM m cur JOIN m prev ON prev.mo = cur.mo - INTERVAL 1 YEAR
+"""
+
+
+@register("ts_yoy_calendar_join", oracle=_YOY_ORACLE)
+def ts_yoy_calendar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue via a CALENDAR SELF-JOIN — not
+    LAG(12): a positional lag silently compares against the wrong month
+    the moment any month is missing from the series (new product lines,
+    data gaps), where the calendar join (month = month − 1 year) is
+    correct by construction and simply drops months with no prior-year
+    partner. The staple growth readout, done the robust way.
+
+    Scale design: one month-keyed rollup (dimension-sized), then an
+    equi-join of the month table to itself on the shifted calendar key
+    — broadcastable, no window, no global order."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mo")
+    ).agg(
+        dsum("o_totalprice").alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    cur = m.alias("cur")
+    prev = m.select(
+        (F.col("mo") + F.expr("INTERVAL 1 YEAR")).alias("mo"),
+        F.col("rev").alias("prev_rev"),
+        F.col("n_orders").alias("prev_n"),
+    )
+    return cur.join(prev, "mo").select(
+        F.col("mo").cast("date").cast("string").alias("month"),
+        F.col("rev").alias("revenue"),
+        F.col("prev_rev").alias("revenue_prior_year"),
+        F.round(
+            (F.col("rev") - F.col("prev_rev")) / F.col("prev_rev"), 6
+        ).alias("yoy_pct"),
+        (F.col("n_orders") - F.col("prev_n")).cast("long").alias(
+            "order_delta"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_type_overlap_jaccard — exact audience-overlap matrix
+# ---------------------------------------------------------------------------
+
+_TYPE_OVERLAP_ORACLE = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sz AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS both_users
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, CAST(i.both_users AS BIGINT) AS both_users,
+       CAST(sa.n AS BIGINT) AS users_a, CAST(sb.n AS BIGINT) AS users_b,
+       ROUND(i.both_users
+             / CAST(sa.n + sb.n - i.both_users AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.event_type = i.type_a
+JOIN sz sb ON sb.event_type = i.type_b
+"""
+
+
+@register("events_type_overlap_jaccard", oracle=_TYPE_OVERLAP_ORACLE)
+def events_type_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience-overlap (Jaccard) matrix between event types —
+    which behaviors share users ("do clickers purchase?"), the exact
+    small-matrix complement of agg_hll_intersection's sketch form: with
+    |types|² cells the exact answer is cheap and the sketch is for when
+    the DIMENSION explodes (audiences × audiences), not the users.
+
+    Scale design: one distinct collapse to (type, user), pair
+    intersections via the user-keyed self-join (each user contributes
+    its type-pair combinations — bounded by |types|² per user), union
+    sizes by degree arithmetic (the graph_jaccard_links identity) —
+    user sets are never materialized per pair."""
+    ev = table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sz = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.alias("a")
+    b = tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("both_users"))
+    )
+    sa = sz.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("users_a")
+    )
+    sb = sz.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("users_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("both_users").cast("long").alias("both_users"),
+            F.col("users_a").cast("long").alias("users_a"),
+            F.col("users_b").cast("long").alias("users_b"),
+            F.round(
+                F.col("both_users")
+                / (
+                    F.col("users_a") + F.col("users_b") - F.col("both_users")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
