@@ -1311,3 +1311,96 @@ def fn_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_business_days — weekend-aware date arithmetic (NETWORKDAYS)
+# ---------------------------------------------------------------------------
+
+# Business days between d1 <= d2, Mon-Fri, inclusive of both endpoints:
+# full weeks contribute 5; the remainder counts non-weekend offsets from
+# d1's weekday. Pure integer algebra -> bit-identical cross-engine.
+
+_BUSDAYS_ORACLE = """
+WITH pairs AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(o_orderdate AS DATE) AS d1,
+         CAST(l_shipdate AS DATE) AS d2
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % 10 = 0
+),
+c AS (
+  SELECT l_orderkey, l_linenumber, d1, d2,
+         date_diff('day', d1, d2) AS span,
+         least(d1, d2) AS lo,
+         date_diff('day', least(d1, d2), greatest(d1, d2)) AS aspan,
+         CASE WHEN d2 >= d1 THEN 1 ELSE -1 END AS sgn
+  FROM pairs
+),
+w AS (
+  SELECT *, ((dayofweek(lo) + 6) % 7) AS w1 FROM c
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(d1 AS VARCHAR) AS order_day, CAST(d2 AS VARCHAR) AS ship_day,
+       CAST(span AS BIGINT) AS calendar_days,
+       CAST(sgn * (((aspan + 1) // 7) * 5
+            + len(list_filter(range((aspan + 1) % 7),
+                  i -> (w1 + i) % 7 < 5))) AS BIGINT) AS business_days
+FROM w
+"""
+
+
+@register("fn_business_days", oracle=_BUSDAYS_ORACLE)
+def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NETWORKDAYS-style business-day arithmetic: Mon-Fri days between
+    order and ship date, inclusive — the date verb every SLA/lead-time
+    report needs (calendar-day lags overstate weekend-spanning spans by
+    up to 2/7). Identity: full weeks x 5 + the remainder's non-weekend
+    offsets from the start weekday — pure integer algebra, no calendar
+    table, no UDF (a holiday calendar would broadcast-join into the
+    same expression as an exclusion count).
+
+    Scale design: codegen'd per-row expression after one equi-join;
+    the remainder fold is over at most 6 elements."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 10 == 0
+    )
+    o = table(spark, sf_dir, "orders")
+    pairs = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("o_orderdate").cast("date").alias("d1"),
+        F.col("l_shipdate").cast("date").alias("d2"),
+    )
+    span = F.datediff(F.col("d2"), F.col("d1"))
+    # the fixture's synthetic dates are NOT ordered (ship can precede
+    # order) — compute over the ordered interval and sign the result,
+    # Excel NETWORKDAYS-style; this also keeps every mod/div on
+    # NON-NEGATIVE operands, where Spark and DuckDB agree (they split
+    # on negative % and integer-division rounding)
+    lo = F.least("d1", "d2")
+    aspan = F.datediff(F.greatest("d1", "d2"), lo)
+    sgn = F.when(F.col("d2") >= F.col("d1"), 1).otherwise(-1)
+    # Monday=0 ... Sunday=6 (Spark dayofweek: Sunday=1)
+    w1 = (F.dayofweek(lo) + 5) % 7
+    rem = (aspan + 1) % 7
+    # sequence(0, -1) is DESCENDING in Spark, not empty — guard rem = 0
+    rem_days = F.when(rem == 0, F.lit(0)).otherwise(
+        F.size(
+            F.filter(
+                F.sequence(F.lit(0), rem - 1),
+                lambda i: (w1 + i) % 7 < 5,
+            )
+        )
+    )
+    busdays = sgn * (((aspan + 1) / 7).cast("long") * 5 + rem_days)
+    return pairs.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("d1").cast("string").alias("order_day"),
+        F.col("d2").cast("string").alias("ship_day"),
+        span.cast("long").alias("calendar_days"),
+        busdays.cast("long").alias("business_days"),
+    )

@@ -2533,3 +2533,79 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 4
         ).alias("k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_homoglyph_skeleton — confusable-character spoof detection
+# ---------------------------------------------------------------------------
+
+# Planted confusables (Cyrillic/Greek lookalikes) and their ASCII
+# skeletons — the same translate() table on both engines.
+_CONFUSABLES = "аеорсхɡο"
+_SKELETON = "aeopcxgo"
+
+_HOMOGLYPH_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, text AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         translate(text, '{_SKELETON}', '{_CONFUSABLES}')
+  FROM documents WHERE doc_id % 7 = 0
+),
+sk AS (
+  SELECT doc_id, t,
+         translate(t, '{_CONFUSABLES}', '{_SKELETON}') AS skel,
+         (t <> translate(t, '{_CONFUSABLES}', '{_SKELETON}'))
+             AS has_confusables
+  FROM planted
+),
+h AS (SELECT doc_id, md5(skel) AS skh, has_confusables FROM sk)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       (a.has_confusables OR b.has_confusables) AS spoof_suspect
+FROM h a JOIN h b ON a.skh = b.skh AND a.doc_id < b.doc_id
+"""
+
+
+@register("text_homoglyph_skeleton", oracle=_HOMOGLYPH_ORACLE)
+def text_homoglyph_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-confusable (homoglyph) spoof detection — the UTS #39
+    skeleton idea: map lookalike characters (Cyrillic а, Greek ο, ...)
+    to their ASCII skeletons and find documents whose skeletons collide
+    while at least one side actually used confusables — phishing-title
+    and plagiarism-evasion detection, and a dedup grain exact hashing
+    misses BY CONSTRUCTION (the spoof exists to defeat it). Spoofed
+    TWINS are PLANTED (%7 docs gain an id-shifted copy run through the
+    confusable map, the planted-PII doctrine) so the detector
+    demonstrably pairs each original with its spoof, and both engines
+    run the identical translate() table.
+
+    Scale design: skeletonization is one codegen'd translate() per row;
+    collisions are a skeleton-hash-keyed self-join (content-hash
+    sharding, never all-pairs)."""
+    d = table(spark, sf_dir, "documents")
+    planted = d.select("doc_id", F.col("text").alias("t")).unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.translate("text", _SKELETON, _CONFUSABLES).alias("t"),
+        )
+    )
+    sk = planted.select(
+        "doc_id",
+        F.md5(F.translate("t", _CONFUSABLES, _SKELETON)).alias("skh"),
+        (
+            F.col("t") != F.translate("t", _CONFUSABLES, _SKELETON)
+        ).alias("has_confusables"),
+    )
+    a = sk.alias("a")
+    b = sk.alias("b")
+    return a.join(
+        b,
+        (F.col("a.skh") == F.col("b.skh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        (
+            F.col("a.has_confusables") | F.col("b.has_confusables")
+        ).alias("spoof_suspect"),
+    )
