@@ -2180,3 +2180,90 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_quantile_normalization — align group distributions to the global one
+# ---------------------------------------------------------------------------
+
+_QNORM_ORACLE = """
+WITH g AS (
+  SELECT o_totalprice AS v,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS pos,
+         COUNT(*) OVER () AS n
+  FROM orders
+),
+r AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS m
+  FROM orders
+),
+t AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         ((2 * rk - 1) * (SELECT MAX(n) FROM g) + 2 * m - 1)
+             // (2 * m) AS idx
+  FROM r
+)
+SELECT t.o_orderkey, t.o_orderpriority, t.o_totalprice,
+       g.v AS normalized_price
+FROM t JOIN g ON g.pos = t.idx
+"""
+
+
+@register("agg_quantile_normalization", oracle=_QNORM_ORACLE)
+def agg_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION: every priority group's price
+    distribution maps onto the GLOBAL distribution — value at in-group
+    quantile p becomes the global value at quantile p — the
+    batch-effect correction bioinformatics standardized and score
+    calibration reuses (search scores from different shards/models
+    become comparable without assuming any parametric form).
+
+    Position lookup is pure INTEGER arithmetic: in-group rank r of m
+    maps to global index ceil((2r−1)·N / 2m) — no float quantiles, so
+    the mapping is deterministic through ties on both engines (total
+    orders pinned by the orderkey tie-break).
+
+    Scale design: global positions via the two-pass distributed rank
+    (the gini/lorenz machinery, meta-window here at fixture scale);
+    in-group ranks are keyed windows; the final lookup is a plain
+    equi-join on the integer index — distribution alignment costs two
+    rank passes and one join at any scale."""
+    o = table(spark, sf_dir, "orders")
+    w_g_all = Window.partitionBy(
+        meta_part(F.round(F.col("o_totalprice") * 100).cast("long"))
+    )
+    g = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.row_number()
+        .over(w_g_all.orderBy("o_totalprice", "o_orderkey"))
+        .alias("pos"),
+        F.count(F.lit(1)).over(w_g_all).alias("n"),
+    )
+    w_grp = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number()
+        .over(w_grp.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w_grp).alias("m"),
+    )
+    n_total = g.agg(F.max("n").alias("n"))
+    t = r.crossJoin(F.broadcast(n_total)).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.expr("((2 * rk - 1) * n + 2 * m - 1) DIV (2 * m)").alias("idx"),
+    )
+    return t.join(
+        g.select("pos", "v"), t["idx"] == F.col("pos")
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("v").alias("normalized_price"),
+    )

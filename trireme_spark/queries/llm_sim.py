@@ -35,7 +35,7 @@ from trireme_spark.operators.similarity import (
     sample_kmeans_centroids,
     shingles,
 )
-from trireme_spark.parity import dsum
+from trireme_spark.parity import DSCALE, dsum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -2074,3 +2074,112 @@ def cluster_dendrogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = level if out is None else out.unionByName(level)
     return out
+
+
+# ---------------------------------------------------------------------------
+# embed_isotropy_meancos — embedding-space isotropy probe
+# ---------------------------------------------------------------------------
+
+_ISO_N_PAIRS = 2000
+
+_ISO_ORACLE = f"""
+WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+idx AS (
+  SELECT i,
+         CAST((((i + 11) % 2147483648) * 2654435761) % 4294967296
+              AS BIGINT) %% (SELECT n FROM n) AS ia,
+         CAST((((i + 77) % 2147483648) * 2654435761) % 4294967296
+              AS BIGINT) %% (SELECT n FROM n) AS ib
+  FROM (SELECT unnest(range({_ISO_N_PAIRS})) AS i)
+),
+pairs AS (SELECT i, ia, ib FROM idx WHERE ia <> ib),
+e AS (SELECT vec_id, {{emb}} AS emb FROM embeddings),
+cs AS (
+  SELECT p.i,
+         ROUND(abs({{dot_ab}})
+               / (sqrt({{dot_aa}}) * sqrt({{dot_bb}})), 6) AS ac
+  FROM pairs p
+  JOIN e a ON a.vec_id = p.ia
+  JOIN e b ON b.vec_id = p.ib
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ac AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_abs_cos,
+       ROUND(MAX(ac), 6) AS max_abs_cos
+FROM cs
+"""
+
+
+def _iso_oracle() -> str:
+    return (
+        _ISO_ORACLE.replace("{emb}", _DUCK_EMB)
+        .replace("{dot_ab}", _duck_dot("a.emb", "b.emb"))
+        .replace("{dot_aa}", _duck_dot("a.emb", "a.emb"))
+        .replace("{dot_bb}", _duck_dot("b.emb", "b.emb"))
+        .replace("%%", "%")
+    )
+
+
+@register("embed_isotropy_meancos", oracle=_iso_oracle())
+def embed_isotropy_meancos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space ISOTROPY probe: mean |cosine| over a
+    deterministic hash-sampled set of vector pairs — near 0 for an
+    isotropic space (directions spread evenly), drifting up as
+    embeddings collapse toward a dominant direction (the anisotropy
+    failure mode of contextual embedding models; Ethayarajh 2019). The
+    one-number health check a retrieval stack runs before trusting
+    cosine ranking, complementing embed_similarity_histogram's full
+    distribution with a bounded-cost sampled probe.
+
+    Scale design: the pair SAMPLE is the scale lever — 2000 Knuth-hash
+    index pairs regardless of corpus size; two keyed joins attach the
+    vectors (ids from hash mod n; vec_ids are dense 0..n−1 in the
+    fixture — a sparse-id corpus would join via a rank table), one
+    codegen'd dot fold each, a 3-cell rollup. Per-pair |cos| ROUND(6)
+    before the decimal mean."""
+    e = table(spark, sf_dir, "embeddings")
+    n = e.count()
+    idx = spark.range(_ISO_N_PAIRS).select(
+        F.col("id").alias("i"),
+        (
+            F.pmod(
+                F.pmod(F.col("id") + 11, F.lit(2147483648))
+                * F.lit(2654435761),
+                F.lit(4294967296),
+            )
+            % n
+        ).alias("ia"),
+        (
+            F.pmod(
+                F.pmod(F.col("id") + 77, F.lit(2147483648))
+                * F.lit(2654435761),
+                F.lit(4294967296),
+            )
+            % n
+        ).alias("ib"),
+    ).where(F.col("ia") != F.col("ib"))
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    va = v.select(F.col("vec_id").alias("ia"), F.col("emb").alias("ea"))
+    vb = v.select(F.col("vec_id").alias("ib"), F.col("emb").alias("eb"))
+    ac = F.round(
+        F.abs(dot(F.col("ea"), F.col("eb")))
+        / (
+            F.sqrt(dot(F.col("ea"), F.col("ea")))
+            * F.sqrt(dot(F.col("eb"), F.col("eb")))
+        ),
+        6,
+    )
+    return (
+        idx.join(va, "ia")
+        .join(vb, "ib")
+        .select(ac.alias("ac"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("ac").cast(DSCALE)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_abs_cos"),
+            F.round(F.max("ac"), 6).alias("max_abs_cos"),
+        )
+    )
