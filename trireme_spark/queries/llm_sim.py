@@ -2183,3 +2183,86 @@ def embed_isotropy_meancos(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("ac"), 6).alias("max_abs_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embed_hard_negatives — cross-label nearest-neighbor mining
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+WITH e AS (
+  SELECT em.vec_id, {_DUCK_EMB.replace('embedding', 'em.embedding')} AS emb,
+         d.lang
+  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+),
+q AS (SELECT * FROM e WHERE vec_id < 30),
+scored AS (
+  SELECT q.vec_id AS anchor_id, q.lang AS anchor_lang,
+         e.vec_id AS negative_id, e.lang AS negative_lang,
+         ROUND({_duck_dot('q.emb', 'e.emb')}
+               / (sqrt({_duck_dot('q.emb', 'q.emb')})
+                  * sqrt({_duck_dot('e.emb', 'e.emb')})), 6) AS cos_sim
+  FROM q JOIN e
+    ON q.vec_id <> e.vec_id AND q.lang <> e.lang
+)
+SELECT anchor_id, anchor_lang, negative_id, negative_lang, cos_sim
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY anchor_id
+                           ORDER BY cos_sim DESC, negative_id ASC) = 1
+"""
+
+
+@register("embed_hard_negatives", oracle=_HARDNEG_ORACLE)
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive embedding training: for
+    each anchor, the most similar vector with a DIFFERENT label (lang
+    here) — the pairs that actually teach a bi-encoder (random
+    negatives are trivially separable; hard negatives near the anchor
+    carry the gradient — the DPR/SimCSE recipe). 30 anchors keep the
+    brute-force oracle tractable; the registered path is the l7
+    broadcast-queries shape.
+
+    Scale design: anchors broadcast against the corpus (one pass,
+    codegen'd dot fold), the label-mismatch predicate prunes in the
+    join, per-anchor argmax via keyed window — at harvest scale the
+    anchor set shards and the ANN keys (IVF/LSH) replace the exact
+    pass, same contract."""
+    e = table(spark, sf_dir, "embeddings")
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    v = e.select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    ).join(d, "vec_id")
+    q = v.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("lang").alias("anchor_lang"),
+    )
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("emb"))
+        / (
+            F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+            * F.sqrt(dot(F.col("emb"), F.col("emb")))
+        ),
+        6,
+    )
+    scored = v.join(
+        F.broadcast(q),
+        (F.col("anchor_id") != F.col("vec_id"))
+        & (F.col("anchor_lang") != F.col("lang")),
+    ).select(
+        "anchor_id",
+        "anchor_lang",
+        F.col("vec_id").alias("negative_id"),
+        F.col("lang").alias("negative_lang"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -2609,3 +2609,60 @@ def text_homoglyph_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.has_confusables") | F.col("b.has_confusables")
         ).alias("spoof_suspect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_tokenizer_fertility — subword fertility / compression per language
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = """
+WITH d AS (
+  SELECT lang,
+         len(string_split_regex(lower(text), '\\s+')) AS n_words,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+             AS n_pieces,
+         len(text) AS n_chars
+  FROM documents
+  WHERE len(string_split_regex(lower(text), '\\s+')) >= 1
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(n_pieces) AS DOUBLE) / SUM(n_words), 6)
+           AS fertility,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_pieces), 6)
+           AS chars_per_piece
+FROM d GROUP BY lang
+"""
+
+
+@register("text_tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: subword pieces per whitespace
+    word (the BPE-ish segmenter over words) and characters per piece —
+    the two numbers multilingual tokenizer evaluations report
+    (high-fertility languages pay more sequence length per word, which
+    skews compute budgets and effective context; the metric behind
+    vocab-allocation debates). Corpus-ratio form (Σpieces/Σwords), not
+    mean-of-ratios, so long docs weigh proportionally.
+
+    Scale design: two codegen'd regex counts per row, one lang-keyed
+    aggregation of exact integers into single-division ratios."""
+    d = table(spark, sf_dir, "documents")
+    low = F.lower("text")
+    stats = d.select(
+        "lang",
+        F.size(F.split(low, r"\s+")).alias("n_words"),
+        F.size(
+            F.regexp_extract_all(low, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("n_pieces"),
+        F.length("text").alias("n_chars"),
+    ).where(F.col("n_words") >= 1)
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("n_pieces").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_pieces"), 6
+        ).alias("chars_per_piece"),
+    )

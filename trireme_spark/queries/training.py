@@ -1362,3 +1362,73 @@ def text_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("p") + _SPAN_L).cast("long").alias("span_end"),
         (F.max("p") - F.min("p") + _SPAN_L).cast("long").alias("span_len"),
     ).select("doc_id", "span_start", "span_end", "span_len")
+
+
+# ---------------------------------------------------------------------------
+# text_mlm_masking — deterministic BERT-style token masking
+# ---------------------------------------------------------------------------
+
+_MLM_ORACLE = """
+WITH parts AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ps
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         list_transform(range(len(ps)), i ->
+             CASE WHEN ((((doc_id * 131071 + i) % 2147483648)
+                         * 2654435761) % 4294967296) % 100 < 15
+                  THEN '[MASK]' ELSE ps[CAST(i AS INT) + 1] END) AS toks,
+         len(ps) AS n_tokens
+  FROM parts
+)
+SELECT doc_id,
+       array_to_string(toks, ' ') AS masked_text,
+       CAST(len(list_filter(toks, t -> t = '[MASK]')) AS BIGINT)
+           AS n_masked,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM m
+"""
+
+
+@register("text_mlm_masking", oracle=_MLM_ORACLE)
+def text_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style masked-language-model corpus preparation: ~15% of
+    each document's tokens replace with [MASK], chosen by a
+    DETERMINISTIC hash of (doc_id, position) — the property that makes
+    a masking pass reproducible across reruns, partitionings and
+    machines (seeded RNG masking changes with partitioning; hash
+    masking is the split_train_holdout doctrine applied inside the
+    document). Emits the masked text plus audit counts; the 80/10/10
+    mask/keep/random refinement swaps in as two more hash bands on the
+    same draw.
+
+    Scale design: pure per-row array algebra under codegen — transform
+    over the token array with an integer hash per element; no shuffle
+    at all."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    doc_id = F.col("doc_id")
+    masked = F.transform(
+        toks,
+        lambda t, i: F.when(
+            F.pmod(
+                F.pmod(
+                    F.pmod(doc_id * 131071 + i, F.lit(2147483648))
+                    * F.lit(2654435761),
+                    F.lit(4294967296),
+                ),
+                F.lit(100),
+            )
+            < 15,
+            F.lit("[MASK]"),
+        ).otherwise(t),
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(masked, " ").alias("masked_text"),
+        F.size(
+            F.filter(masked, lambda t: t == "[MASK]")
+        ).cast("long").alias("n_masked"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
