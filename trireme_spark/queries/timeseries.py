@@ -5788,3 +5788,115 @@ def events_type_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_peak_concurrency — max simultaneous sessions (boundary sweep)
+# ---------------------------------------------------------------------------
+
+_PEAK_CONC_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end
+  FROM (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts,
+                                  event_id) AS sid
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+  ) GROUP BY user_id, sid
+),
+b AS (
+  SELECT session_start AS t, 1 AS delta FROM s
+  UNION ALL
+  SELECT session_end, -1 FROM s
+),
+sweep AS (
+  SELECT t, SUM(delta) OVER (ORDER BY t, delta) AS concurrent
+  FROM b
+)
+SELECT CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent,
+       CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sessions,
+       CAST(MIN(CASE WHEN concurrent = (SELECT MAX(concurrent) FROM sweep)
+                THEN t END) AS VARCHAR) AS peak_start
+FROM sweep
+"""
+
+
+@register("events_peak_concurrency", oracle=_PEAK_CONC_ORACLE)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY: the maximum number of simultaneously open
+    sessions (30-min-gap sessions, end = last event + gap) — the
+    capacity/licensing number ("how many seats do we actually need"),
+    computed by the classic BOUNDARY SWEEP: +1 at each session start,
+    −1 at each end, running sum, take the max. Ends sort BEFORE starts
+    at the same instant (delta ascending), so back-to-back sessions
+    don't double-count — the half-open-interval convention.
+
+    Scale design: sessionization is the t3 gaps-and-islands form (one
+    user-keyed window); the sweep's running sum is a GLOBAL-order
+    dependency over 2·|sessions| boundary rows — session-grain, not
+    event-grain, so it rides the meta-window here and the two-pass
+    bucket machinery (time-bucket offsets) past that; the argmin of
+    the peak folds into the same pass."""
+    ev = table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w_u).isNull()
+        | (
+            F.col("ts") - F.lag("ts").over(w_u)
+            >= F.expr("INTERVAL 30 MINUTES")
+        ),
+        1,
+    ).otherwise(0)
+    sid = ev.select(
+        "user_id", "ts", "event_id", new_s.alias("new_session")
+    ).withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w_u.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    s = sid.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+    )
+    b = s.select(
+        F.col("session_start").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        s.select(F.col("session_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w_sweep = Window.partitionBy(
+        meta_part(F.unix_date(F.col("t").cast("date")))
+    ).orderBy("t", "delta")
+    sweep = b.withColumn(
+        "concurrent",
+        F.sum("delta").over(
+            w_sweep.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    n_sessions = s.agg(F.count(F.lit(1)).alias("ns"))
+    peak = sweep.agg(F.max("concurrent").alias("pk"))
+    return (
+        sweep.crossJoin(F.broadcast(peak))
+        .where(F.col("concurrent") == F.col("pk"))
+        .agg(
+            F.max("pk").cast("long").alias("peak_concurrent"),
+            F.min("t").cast("string").alias("peak_start"),
+        )
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "peak_concurrent",
+            F.col("ns").cast("long").alias("n_sessions"),
+            "peak_start",
+        )
+    )
