@@ -12,7 +12,6 @@ State-store scale notes (100 TB / unbounded streams):
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
