@@ -2267,3 +2267,86 @@ def agg_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.col("v").alias("normalized_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_histogram_equi_depth — quantile-boundary (equi-depth) histogram
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_ORACLE = """
+WITH b AS (
+  SELECT ROUND(quantile_cont(o_totalprice, 0.125), 4) AS b1,
+         ROUND(quantile_cont(o_totalprice, 0.250), 4) AS b2,
+         ROUND(quantile_cont(o_totalprice, 0.375), 4) AS b3,
+         ROUND(quantile_cont(o_totalprice, 0.500), 4) AS b4,
+         ROUND(quantile_cont(o_totalprice, 0.625), 4) AS b5,
+         ROUND(quantile_cont(o_totalprice, 0.750), 4) AS b6,
+         ROUND(quantile_cont(o_totalprice, 0.875), 4) AS b7
+  FROM orders
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(o_totalprice), 4) AS lo,
+       ROUND(MAX(o_totalprice), 4) AS hi
+FROM (
+  SELECT o_totalprice,
+         CASE WHEN o_totalprice <= b.b1 THEN 1
+              WHEN o_totalprice <= b.b2 THEN 2
+              WHEN o_totalprice <= b.b3 THEN 3
+              WHEN o_totalprice <= b.b4 THEN 4
+              WHEN o_totalprice <= b.b5 THEN 5
+              WHEN o_totalprice <= b.b6 THEN 6
+              WHEN o_totalprice <= b.b7 THEN 7
+              ELSE 8 END AS bucket
+  FROM orders CROSS JOIN b
+)
+GROUP BY bucket
+"""
+
+
+@register("agg_histogram_equi_depth", oracle=_EQUIDEPTH_ORACLE)
+def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (8 buckets at the octile boundaries) — the
+    histogram query OPTIMIZERS build (equi-width buckets starve on
+    skewed data: one bucket holds everything and selectivity estimates
+    collapse; equi-depth puts ≈n/8 rows in every bucket by
+    construction, so any range predicate's selectivity reads off the
+    bucket overlaps). Complements agg_histogram's equi-width form with
+    the statistics-grade one; per-bucket min/max emitted as the bucket
+    metadata an optimizer stores.
+
+    Scale design: boundaries are ONE exact-percentile aggregation
+    (7 values broadcast), assignment is a codegen'd CASE chain, counts
+    one keyed agg — two passes total. Boundaries ROUND(4) on both
+    engines before comparison, so an interpolation ulp cannot move a
+    row across a bucket edge."""
+    o = table(spark, sf_dir, "orders")
+    b = o.agg(
+        *[
+            F.round(
+                F.percentile("o_totalprice", F.lit(q)), 4
+            ).alias(f"b{i}")
+            for i, q in enumerate(
+                (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875), start=1
+            )
+        ]
+    )
+    x = F.col("o_totalprice")
+    bucket = (
+        F.when(x <= F.col("b1"), 1)
+        .when(x <= F.col("b2"), 2)
+        .when(x <= F.col("b3"), 3)
+        .when(x <= F.col("b4"), 4)
+        .when(x <= F.col("b5"), 5)
+        .when(x <= F.col("b6"), 6)
+        .when(x <= F.col("b7"), 7)
+        .otherwise(8)
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min(x), 4).alias("lo"),
+            F.round(F.max(x), 4).alias("hi"),
+        )
+    )
