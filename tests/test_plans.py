@@ -542,3 +542,50 @@ def test_paragraph_dedup_sentence_keyed_window(spark):
     p = plan(registry.QUERIES["text_paragraph_dedup"](spark, SF_SMOKE))
     assert "windowspecdefinition(sent" in p
     assert "CartesianProduct" not in p
+
+
+def test_bootstrap_ci_partial_aggregates_fanout(spark):
+    """events_bootstrap_ci: the B-way explode must fold into partial
+    HashAggregates map-side (no join anywhere in the replicate path)."""
+    p = plan(registry.QUERIES["events_bootstrap_ci"](spark, SF_SMOKE))
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+
+
+def test_mannwhitney_no_per_row_ranking(spark):
+    """orders_mannwhitney_u: ranks are arithmetic over the distinct-value
+    table — no row_number over the raw orders (the windowspec must be
+    the meta-partition prefix only, never an unpartitioned rank over
+    order rows)."""
+    p = plan(registry.QUERIES["orders_mannwhitney_u"](spark, SF_SMOKE))
+    assert "row_number" not in p.lower()
+
+
+def test_quantile_normalization_integer_index_join(spark):
+    """agg_quantile_normalization: the position lookup is an equi-join
+    on the integer index (a hash/SMJ join). The only nested-loop in the
+    plan is the benign 1-row n_total cross join — assert the lookup
+    join exists and nothing is a CartesianProduct."""
+    p = plan(registry.QUERIES["agg_quantile_normalization"](spark, SF_SMOKE))
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+    assert "CartesianProduct" not in p
+
+
+def test_jaccard_links_wedge_not_setintersect(spark):
+    """graph_jaccard_links: common neighbors come from the middle-node
+    wedge join; neighbor arrays are never collected (no collect_list /
+    array_intersect in the plan)."""
+    p = plan(registry.QUERIES["graph_jaccard_links"](spark, SF_SMOKE))
+    assert "collect_list" not in p
+    assert "array_intersect" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_phash_dedup_chunk_blocked(spark):
+    """multimodal_phash_dedup: candidates come from the (chunk, value)
+    equi-join — no cartesian, no nested-loop."""
+    p = plan(registry.QUERIES["multimodal_phash_dedup"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

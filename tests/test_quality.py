@@ -1016,3 +1016,45 @@ def test_bayesian_ab_matches_monte_carlo(spark):
     assert abs(row["p_b_beats_a"] - mc) < 0.003
     lift = aB / (aB + bB) - aA / (aA + bA)
     assert abs(row["posterior_lift"] - lift) < 1e-6
+
+
+def test_quantile_normalization_aligns_distributions(spark):
+    """agg_quantile_normalization: every group's normalized values are
+    drawn from the global value multiset, and each group's octiles after
+    normalization sit close to the global octiles (the whole point)."""
+    import numpy as np
+
+    out = registry.QUERIES["agg_quantile_normalization"](
+        spark, SF_SMOKE
+    ).toPandas()
+    global_vals = np.sort(out["o_totalprice"].to_numpy())
+    assert set(out["normalized_price"]) <= set(out["o_totalprice"])
+    gq = np.quantile(global_vals, [0.25, 0.5, 0.75])
+    for _, grp in out.groupby("o_orderpriority"):
+        nq = np.quantile(np.sort(grp["normalized_price"].to_numpy()),
+                         [0.25, 0.5, 0.75])
+        assert np.all(
+            np.abs(nq - gq) / gq < 0.05
+        ), (nq, gq)
+
+
+def test_ks_statistic_matches_numpy_reference(spark):
+    """orders_ks_test: D must equal an independent numpy ECDF
+    computation (guards the cum-count formula, not just oracle parity)."""
+    import numpy as np
+
+    row = registry.QUERIES["orders_ks_test"](spark, SF_SMOKE).collect()[0]
+    o = table(spark, SF_SMOKE, "orders").select(
+        "o_totalprice", "o_orderdate"
+    ).toPandas()
+    import pandas as pd
+
+    dow = pd.to_datetime(o["o_orderdate"]).dt.dayofweek
+    wknd = o.loc[dow >= 5, "o_totalprice"].to_numpy()
+    wday = o.loc[dow < 5, "o_totalprice"].to_numpy()
+    grid = np.unique(np.concatenate([wknd, wday]))
+    f1 = np.searchsorted(np.sort(wknd), grid, side="right") / len(wknd)
+    f2 = np.searchsorted(np.sort(wday), grid, side="right") / len(wday)
+    d_ref = float(np.max(np.abs(f1 - f2)))
+    assert abs(row["d_stat"] - d_ref) < 1e-5, (row["d_stat"], d_ref)
+    assert row["n_weekend"] == len(wknd)
