@@ -1365,3 +1365,134 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return kcore(e, k=3).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# graph_modularity_score — partition quality of copurchase components
+# ---------------------------------------------------------------------------
+
+_MODULARITY_ORACLE = """
+WITH RECURSIVE
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS c
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT x, y FROM p WHERE c >= 2),
+nodes AS (SELECT DISTINCT x AS v FROM e UNION SELECT DISTINCT y FROM e),
+sym AS (SELECT x AS src, y AS dst FROM e UNION ALL SELECT y, x FROM e),
+reach(v, c) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT sym.dst, r.c FROM reach r JOIN sym ON sym.src = r.v
+),
+lab AS (SELECT v, MIN(c) AS comp FROM reach GROUP BY v),
+m AS (SELECT COUNT(*) AS m FROM e),
+deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src),
+comp_stats AS (
+  SELECT la.comp,
+         CAST(SUM(deg.d) AS DOUBLE) AS d_c
+  FROM lab la JOIN deg ON deg.v = la.v
+  GROUP BY la.comp
+),
+intra AS (
+  SELECT la.comp, COUNT(*) AS e_c
+  FROM e JOIN lab la ON la.v = e.x
+  JOIN lab lb ON lb.v = e.y AND lb.comp = la.comp
+  GROUP BY la.comp
+),
+terms AS (
+  SELECT cs.comp,
+         CAST(COALESCE(i.e_c, 0) AS DOUBLE) / m.m
+         - (cs.d_c / (2 * m.m)) * (cs.d_c / (2 * m.m)) AS q_c
+  FROM comp_stats cs LEFT JOIN intra i ON i.comp = cs.comp
+  CROSS JOIN m
+)
+SELECT CAST((SELECT COUNT(*) FROM terms) AS BIGINT) AS n_components,
+       CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
+       ROUND(SUM(q_c), 6) AS modularity
+FROM terms
+"""
+
+
+@register("graph_modularity_score", oracle=_MODULARITY_ORACLE)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODULARITY Q of the copurchase graph partitioned by its connected
+    components — Q = Σ_c [e_c/m − (d_c/2m)²], the partition-quality
+    score every community-detection method optimizes; computed here for
+    the CC partition, it reports how much intra-component edge mass
+    exceeds the degree-preserving random expectation (Q ≈ 0 for one
+    giant component, rising as the graph genuinely fragments). The
+    evaluation half of the graph family: CC/k-core FIND structure, this
+    key SCORES it.
+
+    Scale design: edges/degrees/labels are the established keyed
+    shapes (distributed CC from operators/graph.py); e_c and d_c are
+    two keyed aggs over component labels; Q is an exact-integer
+    expression per component, decimal-free because every term divides
+    by the same m (one double expression, ROUND(6) on the total —
+    components are dimension-scale)."""
+    from trireme_spark.operators.graph import connected_components
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a2, b2 = li.alias("a"), li.alias("b")
+    e = (
+        a2.join(
+            b2,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("x", "y")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("x").alias("v"))
+        .unionByName(e.select(F.col("y").alias("v")))
+        .distinct()
+    )
+    lab = connected_components(
+        nodes, e, id_col="v", src_col="x", dst_col="y"
+    )
+    m = e.count()
+    sym = e.select(F.col("x").alias("v")).unionByName(
+        e.select(F.col("y").alias("v"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    comp_stats = (
+        lab.join(deg, "v")
+        .groupBy("component")
+        .agg(F.sum("d").cast("double").alias("d_c"))
+    )
+    la = lab.select(F.col("v").alias("x"), F.col("component").alias("ca"))
+    lb = lab.select(F.col("v").alias("y"), F.col("component").alias("cb"))
+    intra = (
+        e.join(la, "x")
+        .join(lb, "y")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("component"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    terms = comp_stats.join(intra, "component", "left").select(
+        "component",
+        (
+            F.coalesce("e_c", F.lit(0)).cast("double") / m
+            - (F.col("d_c") / (2 * m)) * (F.col("d_c") / (2 * m))
+        ).alias("q_c"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.lit(m).cast("long").alias("n_edges"),
+        F.round(F.sum("q_c"), 6).alias("modularity"),
+    ).select("n_components", "n_edges", "modularity")
