@@ -2350,3 +2350,96 @@ def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(x), 4).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_simpsons_check — aggregation-reversal (Simpson's paradox) audit
+# ---------------------------------------------------------------------------
+
+_SIMPSON_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6) AS INT)
+             AS is_wknd,
+         o_totalprice
+  FROM orders
+),
+strata AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+              FILTER (WHERE is_wknd = 1) AS DOUBLE)
+         / COUNT(*) FILTER (WHERE is_wknd = 1) AS m_wknd,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+              FILTER (WHERE is_wknd = 0) AS DOUBLE)
+         / COUNT(*) FILTER (WHERE is_wknd = 0) AS m_wday
+  FROM base GROUP BY o_orderpriority
+),
+overall AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+              FILTER (WHERE is_wknd = 1) AS DOUBLE)
+         / COUNT(*) FILTER (WHERE is_wknd = 1)
+         - CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                FILTER (WHERE is_wknd = 0) AS DOUBLE)
+         / COUNT(*) FILTER (WHERE is_wknd = 0) AS overall_effect
+  FROM base
+)
+SELECT s.o_orderpriority,
+       ROUND(s.m_wknd - s.m_wday, 6) AS stratum_effect,
+       ROUND(o.overall_effect, 6) AS overall_effect,
+       CAST(sign(s.m_wknd - s.m_wday) <> sign(o.overall_effect)
+            AS BOOLEAN) AS reversed
+FROM strata s CROSS JOIN overall o
+"""
+
+
+@register("orders_simpsons_check", oracle=_SIMPSON_ORACLE)
+def orders_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S-PARADOX audit: the weekend-vs-weekday price effect
+    overall AND within every priority stratum, flagging strata whose
+    effect sign REVERSES the aggregate's — the aggregation trap every
+    metrics review must rule out before acting on a topline delta
+    (mix shift across strata can manufacture or hide an effect; a
+    reversal flag says "the aggregate number is lying about at least
+    part of the business").
+
+    Scale design: one grouped pass with FILTERed decimal aggregates
+    per stratum + a 1-row overall aggregate broadcast back — the
+    entire audit costs one scan. Means from exact decimal sums,
+    ROUND(6) on the emitted effects, sign comparison on the raw
+    doubles (identical both engines)."""
+    o = table(spark, sf_dir, "orders")
+    is_wknd = (
+        F.dayofweek(F.col("o_orderdate").cast("date")).isin(1, 7)
+    ).cast("int")
+    base = o.select(
+        "o_orderpriority",
+        is_wknd.alias("is_wknd"),
+        "o_totalprice",
+    )
+
+    def mean_where(cond):
+        return F.sum(
+            F.when(cond, F.col("o_totalprice")).cast(DSCALE)
+        ).cast("double") / F.sum(F.when(cond, 1).otherwise(0))
+
+    strata = base.groupBy("o_orderpriority").agg(
+        mean_where(F.col("is_wknd") == 1).alias("m_wknd"),
+        mean_where(F.col("is_wknd") == 0).alias("m_wday"),
+    )
+    overall = base.agg(
+        (
+            mean_where(F.col("is_wknd") == 1)
+            - mean_where(F.col("is_wknd") == 0)
+        ).alias("overall_effect")
+    )
+    return strata.crossJoin(F.broadcast(overall)).select(
+        "o_orderpriority",
+        F.round(F.col("m_wknd") - F.col("m_wday"), 6).alias(
+            "stratum_effect"
+        ),
+        F.round("overall_effect", 6).alias("overall_effect"),
+        (
+            F.signum(F.col("m_wknd") - F.col("m_wday"))
+            != F.signum(F.col("overall_effect"))
+        ).alias("reversed"),
+    )

@@ -5900,3 +5900,111 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_start",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_time_decay — exponentially decayed multi-touch credit
+# ---------------------------------------------------------------------------
+
+_DECAY_ATTR_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT p.purchase_id, p.user_id, p.value, c.click_id,
+         ROUND(exp(-CAST(date_diff('second', c.click_ts, p.purchase_ts)
+                         AS DOUBLE) / 86400.0), 9) AS w
+  FROM purchases p
+  JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.click_ts <= p.purchase_ts
+   AND c.click_ts >= p.purchase_ts - INTERVAL 7 DAY
+),
+z AS (
+  SELECT purchase_id,
+         CAST(SUM(CAST(w AS DECIMAL(27,9))) AS DOUBLE) AS zsum,
+         CAST(COUNT(*) AS BIGINT) AS n_touches
+  FROM touch GROUP BY purchase_id
+)
+SELECT t.purchase_id, t.user_id, t.click_id, z.n_touches,
+       FLOOR(t.value * t.w / z.zsum * 1e6) / 1e6 AS credit
+FROM touch t JOIN z ON z.purchase_id = t.purchase_id
+"""
+
+
+@register("events_attribution_time_decay", oracle=_DECAY_ATTR_ORACLE)
+def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: each purchase's value splits
+    across its prior-7-day clicks with weights exp(−Δt / 1 day) — the
+    recency-weighted middle ground between last-touch (all credit to
+    the final click) and linear (equal split): a click an hour before
+    conversion earns ~e× the credit of one a day earlier. Touch set and
+    window identical to the linear key, so the three models
+    (last/linear/decay) are directly comparable per purchase.
+
+    Scale design: same user-keyed touch join as the linear key; the
+    per-purchase normalizer is one keyed agg re-joined back. Parity:
+    Δt is exact integer seconds (µs-truncated timestamps both engines),
+    each weight ROUND(9) before the order-independent decimal
+    normalizer sum, credit floor-quantized at 1e-6."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    # events ts is TIMESTAMP_NTZ; the session is pinned UTC (prep()),
+    # so the cast to TIMESTAMP is value-preserving and unix_micros gives
+    # the same integer microseconds DuckDB's tz-free date_diff sees
+    # whole seconds (floor per timestamp, then subtract) — exactly
+    # DuckDB's date_diff('second', ...) boundary-crossing count
+    dt_sec = (
+        F.floor(
+            F.unix_micros(F.col("purchase_ts").cast("timestamp")) / 1e6
+        )
+        - F.floor(
+            F.unix_micros(F.col("click_ts").cast("timestamp")) / 1e6
+        )
+    )
+    touch = purchases.join(
+        clicks,
+        (purchases["user_id"] == clicks["user_id"])
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 7 DAYS")
+        ),
+    ).select(
+        "purchase_id",
+        purchases["user_id"].alias("user_id"),
+        "value",
+        "click_id",
+        F.round(F.exp(-dt_sec.cast("double") / 86400.0), 9).alias("w"),
+    )
+    z = touch.groupBy("purchase_id").agg(
+        F.sum(F.col("w").cast("decimal(27,9)"))
+        .cast("double")
+        .alias("zsum"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+    )
+    return touch.join(z, "purchase_id").select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        "n_touches",
+        (
+            F.floor(F.col("value") * F.col("w") / F.col("zsum") * 1e6)
+            / 1e6
+        ).alias("credit"),
+    )
