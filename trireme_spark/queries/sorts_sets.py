@@ -1280,3 +1280,57 @@ def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM trireme_orders_filter GROUP BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# sql_lateral_view — Hive-compat LATERAL VIEW [OUTER] explode syntax
+# ---------------------------------------------------------------------------
+
+_LATERAL_VIEW_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN []
+              ELSE string_split_regex(lower(text), '\\s+')[:5] END AS toks
+  FROM documents
+)
+SELECT doc_id, unnest(toks) AS tok, 'inner' AS mode FROM d
+UNION ALL
+SELECT d.doc_id, i.tok, 'outer'
+FROM d LEFT JOIN (SELECT doc_id, unnest(toks) AS tok FROM d) i
+  ON i.doc_id = d.doc_id
+"""
+
+
+@register("sql_lateral_view", oracle=_LATERAL_VIEW_ORACLE)
+def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-compat ``LATERAL VIEW explode`` — the table-generating-
+    function syntax a decade of Hive/Spark SQL migrations carry, in
+    BOTH variants: plain (empty arrays DROP the row) and OUTER (empty
+    arrays keep the row with NULL) — the semantics difference that
+    silently loses documents in a migration when someone "simplifies"
+    OUTER away (%10 docs get an empty array planted to force the
+    divergence). One more parser surface lowering to the same Generate
+    operator as explode()/explode_outer().
+
+    Scale design: Generate is a per-row fan-out under codegen; no
+    shuffle."""
+    d = table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.array().cast("array<string>")
+        )
+        .otherwise(F.slice(F.split(F.lower("text"), r"\s+"), 1, 5))
+        .alias("toks"),
+    )
+    planted.createOrReplaceTempView("trireme_lateral_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, tok, 'inner' AS mode
+        FROM trireme_lateral_docs LATERAL VIEW explode(toks) t AS tok
+        UNION ALL
+        SELECT doc_id, tok, 'outer' AS mode
+        FROM trireme_lateral_docs
+        LATERAL VIEW OUTER explode(toks) t AS tok
+        """
+    )
