@@ -6008,3 +6008,178 @@ def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame
             / 1e6
         ).alias("credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_eb_shrinkage — empirical-Bayes conversion-rate shrinkage
+# ---------------------------------------------------------------------------
+
+_EB_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+r AS (SELECT user_id, n, x, CAST(x AS DOUBLE) / n AS p FROM u),
+mom AS (
+  SELECT CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(27,9))) AS DOUBLE)
+             / COUNT(*) AS mu,
+         (CAST(SUM(CAST(ROUND(p * p, 9) AS DECIMAL(27,9))) AS DOUBLE)
+          - CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(27,9))) AS DOUBLE)
+            * SUM(CAST(ROUND(p, 9) AS DECIMAL(27,9))) / COUNT(*))
+         / (COUNT(*) - 1) AS var
+  FROM r
+),
+prior AS (
+  SELECT mu, var,
+         mu * (mu * (1 - mu) / var - 1) AS alpha,
+         (1 - mu) * (mu * (1 - mu) / var - 1) AS beta
+  FROM mom
+)
+SELECT r.user_id, r.n, r.x,
+       ROUND(r.p, 6) AS raw_rate,
+       ROUND((r.x + prior.alpha) / (r.n + prior.alpha + prior.beta), 6)
+           AS shrunk_rate,
+       ROUND(prior.alpha, 6) AS prior_alpha,
+       ROUND(prior.beta, 6) AS prior_beta
+FROM r CROSS JOIN prior
+"""
+
+
+@register("events_eb_shrinkage", oracle=_EB_ORACLE)
+def events_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user purchase rates: a
+    Beta(α, β) prior fit by method of moments from the OBSERVED rate
+    distribution, each user's rate re-estimated as (x+α)/(n+α+β) —
+    the fix for every "top converters" leaderboard dominated by
+    3-event users at 100%: small samples shrink hard toward the global
+    mean, big samples barely move (Robinson's baseball-batting
+    classic). The raw and shrunk rates emit side by side with the
+    fitted prior, so the shrinkage is auditable.
+
+    Scale design: one user-keyed count pass; the prior is a 1-row
+    moments aggregate (9dp-quantized decimal sums) broadcast back; the
+    shrunk estimate is per-row algebra. Nothing iterative — method of
+    moments, not MLE, exactly so the whole fit stays one scan."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    r = u.withColumn("p", F.col("x").cast("double") / F.col("n"))
+    dec9 = "decimal(27,9)"
+    mom = r.agg(
+        (
+            F.sum(F.round("p", 9).cast(dec9)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        (
+            (
+                F.sum(F.round(F.col("p") * F.col("p"), 9).cast(dec9)).cast(
+                    "double"
+                )
+                - F.sum(F.round("p", 9).cast(dec9)).cast("double")
+                * F.sum(F.round("p", 9).cast(dec9))
+                / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("var"),
+    )
+    k = F.col("mu") * (1 - F.col("mu")) / F.col("var") - 1
+    prior = mom.select(
+        (F.col("mu") * k).alias("alpha"),
+        ((1 - F.col("mu")) * k).alias("beta"),
+    )
+    return r.crossJoin(F.broadcast(prior)).select(
+        "user_id",
+        "n",
+        "x",
+        F.round("p", 6).alias("raw_rate"),
+        F.round(
+            (F.col("x") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta")),
+            6,
+        ).alias("shrunk_rate"),
+        F.round("alpha", 6).alias("prior_alpha"),
+        F.round("beta", 6).alias("prior_beta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_newsvendor_stock — critical-fractile stocking levels
+# ---------------------------------------------------------------------------
+
+_NEWSVENDOR_ORACLE = """
+WITH wk AS (
+  SELECT DISTINCT date_trunc('week', l_shipdate) AS w FROM lineitem
+),
+pk AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey % 20 = 0),
+dem AS (
+  SELECT l_partkey, date_trunc('week', l_shipdate) AS w,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS d
+  FROM lineitem WHERE l_partkey % 20 = 0 GROUP BY 1, 2
+),
+spine AS (
+  SELECT pk.l_partkey, wk.w, COALESCE(dem.d, 0.0) AS d
+  FROM pk CROSS JOIN wk
+  LEFT JOIN dem ON dem.l_partkey = pk.l_partkey AND dem.w = wk.w
+)
+SELECT l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_weeks,
+       ROUND(CAST(SUM(CAST(d AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_weekly_demand,
+       ROUND(quantile_cont(d, 0.8), 4) AS stock_level_p80
+FROM spine GROUP BY l_partkey
+"""
+
+
+@register("lineitem_newsvendor_stock", oracle=_NEWSVENDOR_ORACLE)
+def lineitem_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWSVENDOR stocking level per part: the critical-fractile
+    solution — stock the q-th quantile of weekly demand, q = Cu/(Cu+Co)
+    (0.8 here: underage costs 4x overage) — the stochastic-inventory
+    counterpart of the deterministic EOQ key: EOQ answers "how much per
+    order", the newsvendor answers "how much to stock under demand
+    UNCERTAINTY", and the empirical quantile needs no distribution
+    assumption. Zero-demand weeks belong in the distribution (the
+    croston spine), or the quantile overstates demand.
+
+    Scale design: weekly demand over a part×week spine (keyed agg +
+    bounded cross join), one keyed exact-percentile aggregation per
+    part. Quantile ROUND(4) both engines (shared interpolation)."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") % 20 == 0
+    )
+    wk = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.date_trunc("week", "l_shipdate").alias("w"))
+        .distinct()
+    )
+    pk = li.select("l_partkey").distinct()
+    dem = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("w")
+    ).agg(
+        F.sum(F.col("l_quantity").cast(DSCALE)).cast("double").alias("d")
+    )
+    spine = (
+        pk.crossJoin(wk)
+        .join(dem, ["l_partkey", "w"], "left")
+        .withColumn("d", F.coalesce("d", F.lit(0.0)))
+    )
+    return spine.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.round(
+            F.sum(F.col("d").cast(DSCALE)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_weekly_demand"),
+        F.round(F.percentile("d", F.lit(0.8)), 4).alias(
+            "stock_level_p80"
+        ),
+    )
