@@ -6183,3 +6183,114 @@ def lineitem_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stock_level_p80"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ipw_ate — inverse-propensity-weighted treatment effect
+# ---------------------------------------------------------------------------
+
+_IPW_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_type, value,
+         CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                    || '|exp42'), 1, 8)) AS BIGINT) % 2 AS INT) AS treat
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+),
+prop AS (
+  SELECT event_type,
+         CAST(SUM(treat) AS DOUBLE) / COUNT(*) AS p
+  FROM base GROUP BY event_type
+),
+w AS (
+  SELECT b.treat, b.value,
+         CASE WHEN b.treat = 1 THEN 1.0 / p.p
+              ELSE 1.0 / (1.0 - p.p) END AS wt
+  FROM base b JOIN prop p ON p.event_type = b.event_type
+),
+arms AS (
+  SELECT treat,
+         CAST(SUM(CAST(ROUND(wt * value, 6) AS DECIMAL(27,6)))
+              AS DOUBLE)
+         / CAST(SUM(CAST(ROUND(wt, 6) AS DECIMAL(27,6))) AS DOUBLE)
+             AS wmean,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM w GROUP BY treat
+)
+SELECT MAX(CASE WHEN treat = 1 THEN n END) AS n_treated,
+       MAX(CASE WHEN treat = 0 THEN n END) AS n_control,
+       ROUND(MAX(CASE WHEN treat = 1 THEN wmean END), 6)
+           AS treated_wmean,
+       ROUND(MAX(CASE WHEN treat = 0 THEN wmean END), 6)
+           AS control_wmean,
+       ROUND(MAX(CASE WHEN treat = 1 THEN wmean END)
+             - MAX(CASE WHEN treat = 0 THEN wmean END), 6) AS ate_ipw
+FROM arms
+"""
+
+
+@register("events_ipw_ate", oracle=_IPW_ORACLE)
+def events_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect: outcomes
+    reweight by 1/P(treatment | stratum) (strata = event type,
+    propensities estimated empirically per stratum), Hájek-normalized
+    weighted means per arm, ATE = their difference — the
+    observational-causal workhorse when assignment ISN'T randomized and
+    arms differ in composition (here the md5 assignment is random, so
+    IPW ≈ the naive difference — exactly the null check the machinery
+    should pass; swap the treat column for any real exposure flag and
+    the same plan corrects composition bias). Completes the causal
+    shelf: A/B (randomized), CUPED (variance reduction), DiD (parallel
+    trends), IPW (observational).
+
+    Scale design: one stratum-keyed propensity agg (dimension-sized)
+    joined back, then a 2-row weighted rollup; weights and weighted
+    outcomes ROUND(6) into decimal sums (Hájek ratio of two exact
+    sums)."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    treat = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"), F.lit("|exp42")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 2
+    ).cast("int")
+    base = ev.select("event_type", "value", treat.alias("treat"))
+    prop = base.groupBy("event_type").agg(
+        (F.sum("treat").cast("double") / F.count(F.lit(1))).alias("p")
+    )
+    w = base.join(F.broadcast(prop), "event_type").select(
+        "treat",
+        "value",
+        F.when(F.col("treat") == 1, 1.0 / F.col("p"))
+        .otherwise(1.0 / (1.0 - F.col("p")))
+        .alias("wt"),
+    )
+    arms = w.groupBy("treat").agg(
+        (
+            F.sum(F.round(F.col("wt") * F.col("value"), 6).cast(DSCALE))
+            .cast("double")
+            / F.sum(F.round("wt", 6).cast(DSCALE)).cast("double")
+        ).alias("wmean"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    t = F.max(F.when(F.col("treat") == 1, F.col("wmean")))
+    c = F.max(F.when(F.col("treat") == 0, F.col("wmean")))
+    return arms.agg(
+        F.max(F.when(F.col("treat") == 1, F.col("n"))).alias("n_treated"),
+        F.max(F.when(F.col("treat") == 0, F.col("n"))).alias("n_control"),
+        F.round(t, 6).alias("treated_wmean"),
+        F.round(c, 6).alias("control_wmean"),
+        F.round(t - c, 6).alias("ate_ipw"),
+    )
