@@ -1334,3 +1334,67 @@ def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW OUTER explode(toks) t AS tok
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# sql_not_in_null_trap — three-valued-logic anti-join semantics
+# ---------------------------------------------------------------------------
+
+_NOT_IN_ORACLE = """
+WITH probe AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 100 = 0
+),
+keys AS (
+  SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END AS k
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT 'not_in' AS mode, CAST(COUNT(*) AS BIGINT) AS n FROM probe
+WHERE o_custkey NOT IN (SELECT k FROM keys)
+UNION ALL
+SELECT 'not_exists', CAST(COUNT(*) AS BIGINT) FROM probe p
+WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = p.o_custkey)
+UNION ALL
+SELECT 'not_in_null_filtered', CAST(COUNT(*) AS BIGINT) FROM probe
+WHERE o_custkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL)
+"""
+
+
+@register("sql_not_in_null_trap", oracle=_NOT_IN_ORACLE)
+def sql_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN / NULL three-valued-logic trap, pinned as a contract:
+    with even ONE NULL in the subquery, ``NOT IN`` returns ZERO rows
+    (x <> NULL is UNKNOWN, so nothing is provably "not in"), while
+    ``NOT EXISTS`` with an equality correlate ignores NULLs and returns
+    the real anti-join — the single most-reported wrong-results bug in
+    SQL migrations, reproduced here with planted NULL keys and all
+    three spellings side by side (the n=0 row IS the assertion). Both
+    engines must agree exactly on all three counts.
+
+    Scale design: NOT IN with a nullable subquery plans as a
+    null-aware anti join (Spark: NAAJ broadcast); NOT EXISTS is a
+    plain left-anti — same data, different operators, which is exactly
+    why the semantics diverge."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    o.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_custkey"
+    ).createOrReplaceTempView("trireme_notin_probe")
+    c.where(F.col("c_custkey") % 3 == 0).select(
+        F.when(F.col("c_custkey") % 50 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("k")
+    ).createOrReplaceTempView("trireme_notin_keys")
+    return spark.sql(
+        """
+        SELECT 'not_in' AS mode, COUNT(*) AS n FROM trireme_notin_probe
+        WHERE o_custkey NOT IN (SELECT k FROM trireme_notin_keys)
+        UNION ALL
+        SELECT 'not_exists', COUNT(*) FROM trireme_notin_probe p
+        WHERE NOT EXISTS (SELECT 1 FROM trireme_notin_keys
+                          WHERE k = p.o_custkey)
+        UNION ALL
+        SELECT 'not_in_null_filtered', COUNT(*) FROM trireme_notin_probe
+        WHERE o_custkey NOT IN (SELECT k FROM trireme_notin_keys
+                                WHERE k IS NOT NULL)
+        """
+    )
