@@ -5977,17 +5977,19 @@ def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame
             F.unix_micros(F.col("click_ts").cast("timestamp")) / 1e6
         )
     )
-    touch = purchases.join(
-        clicks,
-        (purchases["user_id"] == clicks["user_id"])
-        & (F.col("click_ts") <= F.col("purchase_ts"))
+    p_a = purchases.alias("p")
+    c_a = clicks.withColumnRenamed("user_id", "c_user_id").alias("c")
+    touch = p_a.join(
+        c_a,
+        (F.col("p.user_id") == F.col("c.c_user_id"))
+        & (F.col("c.click_ts") <= F.col("p.purchase_ts"))
         & (
-            F.col("click_ts")
-            >= F.col("purchase_ts") - F.expr("INTERVAL 7 DAYS")
+            F.col("c.click_ts")
+            >= F.col("p.purchase_ts") - F.expr("INTERVAL 7 DAYS")
         ),
     ).select(
         "purchase_id",
-        purchases["user_id"].alias("user_id"),
+        F.col("p.user_id").alias("user_id"),
         "value",
         "click_id",
         F.round(F.exp(-dt_sec.cast("double") / 86400.0), 9).alias("w"),
