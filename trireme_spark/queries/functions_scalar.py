@@ -1404,3 +1404,94 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         span.cast("long").alias("calendar_days"),
         busdays.cast("long").alias("business_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_luhn_checksum — Luhn mod-10 validation (planted account numbers)
+# ---------------------------------------------------------------------------
+
+_LUHN_ORACLE = """
+WITH acct AS (
+  SELECT c_custkey,
+         lpad(CAST(c_custkey * 52361 + 40000000000000 AS VARCHAR),
+              15, '0') AS body
+  FROM customer WHERE c_custkey % 25 = 0
+),
+digits AS (
+  SELECT c_custkey, body,
+         list_transform(range(15), i ->
+             CAST(substr(body, 15 - CAST(i AS INT), 1) AS INT)) AS ds
+  FROM acct
+),
+s AS (
+  SELECT c_custkey, body,
+         CAST(list_sum(list_transform(range(15), i ->
+             CASE WHEN i % 2 = 0
+                  THEN CASE WHEN ds[CAST(i AS INT) + 1] * 2 > 9
+                            THEN ds[CAST(i AS INT) + 1] * 2 - 9
+                            ELSE ds[CAST(i AS INT) + 1] * 2 END
+                  ELSE ds[CAST(i AS INT) + 1] END)) AS BIGINT) AS tot
+  FROM digits
+)
+SELECT c_custkey,
+       body || CAST((10 - tot % 10) % 10 AS VARCHAR) AS account_number,
+       CAST((10 - tot % 10) % 10 AS BIGINT) AS check_digit,
+       TRUE AS luhn_valid
+FROM s
+"""
+
+
+@register("fn_luhn_checksum", oracle=_LUHN_ORACLE)
+def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) CHECK-DIGIT generation over planted 15-digit
+    account bodies — the checksum behind card/IMEI/account validation,
+    and the data-quality verb an ingest pipeline runs to reject
+    fat-fingered identifiers before they join anything. Digits double
+    from the rightmost position, >9 folds by −9, check digit
+    completes the sum to a multiple of 10 — pure integer/array algebra
+    identical on both engines (the planted-construction doctrine: the
+    fixture has no real account numbers, so bodies derive
+    deterministically from custkey).
+
+    Scale design: per-row array fold under codegen; no shuffle. The
+    validation direction is the same fold on all 16 digits == 0 mod
+    10."""
+    c = table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 25 == 0
+    )
+    body = F.lpad(
+        (F.col("c_custkey") * 52361 + 40000000000000).cast("string"),
+        15,
+        "0",
+    )
+    acct = c.select("c_custkey", body.alias("body"))
+    ds = F.transform(
+        F.sequence(F.lit(0), F.lit(14)),
+        lambda i: F.substring(
+            F.col("body"), (15 - i).cast("int"), 1
+        ).cast("int"),
+    )
+    tot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(14)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 0,
+            F.when(
+                F.element_at(F.col("ds"), (i + 1).cast("int")) * 2 > 9,
+                F.element_at(F.col("ds"), (i + 1).cast("int")) * 2 - 9,
+            ).otherwise(
+                F.element_at(F.col("ds"), (i + 1).cast("int")) * 2
+            ),
+        ).otherwise(F.element_at(F.col("ds"), (i + 1).cast("int"))),
+    )
+    s = acct.withColumn("ds", ds).withColumn("tot", tot)
+    check = (10 - F.col("tot") % 10) % 10
+    return s.select(
+        "c_custkey",
+        F.concat(F.col("body"), check.cast("string")).alias(
+            "account_number"
+        ),
+        check.cast("long").alias("check_digit"),
+        F.lit(True).alias("luhn_valid"),
+    )

@@ -6296,3 +6296,84 @@ def events_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c, 6).alias("control_wmean"),
         F.round(t - c, 6).alias("ate_ipw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_markov_entropy_rate — behavioral predictability of the event chain
+# ---------------------------------------------------------------------------
+
+_MARKOV_H_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS a,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+  FROM events
+),
+t AS (
+  SELECT a, b, COUNT(*) AS nab FROM seq WHERE b IS NOT NULL GROUP BY a, b
+),
+ma AS (SELECT a, SUM(nab) AS na FROM t GROUP BY a),
+n AS (SELECT SUM(nab) AS n FROM t),
+h AS (
+  SELECT SUM(CAST(ROUND(
+           (CAST(t.nab AS DOUBLE) / n.n)
+           * ln(CAST(t.nab AS DOUBLE) / ma.na), 9)
+         AS DECIMAL(27,9))) AS hsum,
+         COUNT(*) AS n_transitions_kinds
+  FROM t JOIN ma ON ma.a = t.a CROSS JOIN n
+)
+SELECT ROUND(-CAST(hsum AS DOUBLE), 6) AS entropy_rate_nats,
+       CAST(n_transitions_kinds AS BIGINT) AS n_transition_kinds,
+       ROUND(-CAST(hsum AS DOUBLE) / ln(5), 6) AS normalized
+FROM h
+"""
+
+
+@register("events_markov_entropy_rate", oracle=_MARKOV_H_ORACLE)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTROPY RATE of the first-order event-type Markov chain:
+    H = −Σ_{a,b} p(a,b)·ln p(b|a) — how unpredictable the NEXT action
+    is given the current one (0 = deterministic flows, ln|types| =
+    uniform chaos; normalized by ln 5 for the fixture's 5 types). The
+    one-number sequel to events_top_paths' transition table: paths list
+    WHAT follows what, the entropy rate says how much that structure
+    actually constrains behavior — the personalization-headroom
+    number.
+
+    Scale design: one keyed lag window (the top_paths shape), a
+    |types|²-cell transition count, marginals derived from it, 9dp
+    decimal term sums (parity doctrine)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    t = seq.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
+    t = t.localCheckpoint(eager=True)
+    ma = t.groupBy("a").agg(F.sum("nab").alias("na"))
+    n = t.agg(F.sum("nab").alias("n"))
+    term = F.round(
+        (F.col("nab").cast("double") / F.col("n"))
+        * F.log(F.col("nab").cast("double") / F.col("na")),
+        9,
+    ).cast("decimal(27,9)")
+    h = (
+        t.join(F.broadcast(ma), "a")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(term).alias("hsum"),
+            F.count(F.lit(1)).alias("kinds"),
+        )
+    )
+    import math
+
+    return h.select(
+        F.round(-F.col("hsum").cast("double"), 6).alias(
+            "entropy_rate_nats"
+        ),
+        F.col("kinds").cast("long").alias("n_transition_kinds"),
+        F.round(
+            -F.col("hsum").cast("double") / math.log(5), 6
+        ).alias("normalized"),
+    )
