@@ -6377,3 +6377,88 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.col("hsum").cast("double") / math.log(5), 6
         ).alias("normalized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_next_event_baseline — most-likely-next-action accuracy
+# ---------------------------------------------------------------------------
+
+_NEXT_BASE_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS a,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+  FROM events
+),
+t AS (
+  SELECT a, b, COUNT(*) AS nab FROM seq WHERE b IS NOT NULL GROUP BY a, b
+),
+pred AS (
+  SELECT a, b AS predicted, nab
+  FROM t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY a
+                             ORDER BY nab DESC, b ASC) = 1
+),
+score AS (
+  SELECT t.a, SUM(t.nab) AS n_from,
+         SUM(CASE WHEN t.b = pred.predicted THEN t.nab ELSE 0 END)
+             AS n_correct
+  FROM t JOIN pred ON pred.a = t.a
+  GROUP BY t.a
+)
+SELECT s.a AS current_event, p.predicted AS predicted_next,
+       CAST(s.n_from AS BIGINT) AS n_transitions,
+       ROUND(CAST(s.n_correct AS DOUBLE) / s.n_from, 6) AS accuracy
+FROM score s JOIN pred p ON p.a = s.a
+"""
+
+
+@register("events_next_event_baseline", oracle=_NEXT_BASE_ORACLE)
+def events_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOST-LIKELY-NEXT baseline: predict each state's modal successor
+    and score its accuracy on the observed transitions — the floor any
+    sequence model (Markov, RNN, transformer) must beat before it earns
+    its complexity, and the operational twin of
+    events_markov_entropy_rate (high entropy rate ⇒ this baseline is
+    weak ⇒ personalization headroom exists). Tie-broken (count desc,
+    type asc) so the prediction is deterministic.
+
+    Scale design: the transition table IS the model — |types|² cells;
+    argmax via a keyed window over those cells, scoring one more pass
+    over the same dimension-sized table. The corpus is touched once
+    (the lag window)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    t = seq.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
+    t = t.localCheckpoint(eager=True)
+    wp = Window.partitionBy("a").orderBy(
+        F.col("nab").desc(), F.col("b").asc()
+    )
+    pred = (
+        t.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select("a", F.col("b").alias("predicted"))
+    )
+    score = (
+        t.join(F.broadcast(pred), "a")
+        .groupBy("a", "predicted")
+        .agg(
+            F.sum("nab").alias("n_from"),
+            F.sum(
+                F.when(F.col("b") == F.col("predicted"), F.col("nab"))
+                .otherwise(0)
+            ).alias("n_correct"),
+        )
+    )
+    return score.select(
+        F.col("a").alias("current_event"),
+        F.col("predicted").alias("predicted_next"),
+        F.col("n_from").cast("long").alias("n_transitions"),
+        F.round(
+            F.col("n_correct").cast("double") / F.col("n_from"), 6
+        ).alias("accuracy"),
+    )

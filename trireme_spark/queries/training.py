@@ -1432,3 +1432,81 @@ def text_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_masked"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty — per-doc novelty decay across the corpus order
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(greatest(len(ts) - 2, 0)),
+             i -> ts[CAST(i AS INT) + 1] || ' ' ||
+                  ts[CAST(i AS INT) + 2] || ' ' ||
+                  ts[CAST(i AS INT) + 3])) AS grams
+  FROM toks WHERE len(ts) >= 3
+),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+first_seen AS (SELECT gram, MIN(doc_id) AS fd FROM e GROUP BY gram)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       ROUND(SUM(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM e JOIN first_seen f ON f.gram = e.gram
+GROUP BY e.doc_id
+"""
+
+
+@register("text_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY per document in corpus (doc_id) order: the share
+    of a doc's distinct 3-grams appearing for the FIRST time at that
+    doc — the novelty-decay curve a training-data curator watches to
+    decide when more of a source stops adding information (novelty
+    falling toward zero = the source is repeating itself; the
+    aggregate version of the dedup family's pairwise view, and the
+    empirical face of Heaps' law). First occurrence keys on the
+    SMALLEST doc_id, so the measure is deterministic and order-stable.
+
+    Scale design: per-doc distinct 3-grams (bounded row algebra),
+    first-seen = one gram-keyed MIN aggregation (content sharding),
+    scoring one keyed join + doc-keyed rollup — linear, no pairwise
+    anything."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize("text").alias("ts")).where(
+        F.size("ts") >= 3
+    )
+    g = toks.select(
+        "doc_id",
+        F.array_distinct(shingles(F.col("ts"), 3)).alias("grams"),
+    )
+    e = g.select("doc_id", F.explode("grams").alias("gram"))
+    first_seen = e.groupBy("gram").agg(F.min("doc_id").alias("fd"))
+    return (
+        e.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_grams").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
