@@ -2443,3 +2443,117 @@ def orders_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             != F.signum(F.col("overall_effect"))
         ).alias("reversed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_anova_oneway — variance decomposition + F statistic
+# ---------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH g AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(*) AS m
+  FROM orders GROUP BY o_orderpriority
+),
+tot AS (
+  SELECT SUM(n) AS n, COUNT(*) AS k,
+         (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                      AS DOUBLE) / COUNT(*) FROM orders) AS gm
+  FROM g
+),
+ssb AS (
+  SELECT CAST(SUM(CAST(ROUND(g.n * (g.m - tot.gm) * (g.m - tot.gm), 4)
+                       AS DECIMAL(27,4))) AS DOUBLE) AS ssb
+  FROM g CROSS JOIN tot
+),
+ssw AS (
+  SELECT CAST(SUM(CAST(ROUND((o.o_totalprice - g.m)
+                             * (o.o_totalprice - g.m), 4)
+                       AS DECIMAL(27,4))) AS DOUBLE) AS ssw
+  FROM orders o JOIN g ON g.o_orderpriority = o.o_orderpriority
+)
+SELECT CAST(tot.k AS BIGINT) AS n_groups,
+       CAST(tot.n AS BIGINT) AS n_rows,
+       ROUND(ssb.ssb, 2) AS ss_between, ROUND(ssw.ssw, 2) AS ss_within,
+       ROUND((ssb.ssb / (tot.k - 1)) / (ssw.ssw / (tot.n - tot.k)), 6)
+           AS f_stat,
+       ROUND(ssb.ssb / (ssb.ssb + ssw.ssw), 6) AS eta_squared
+FROM tot CROSS JOIN ssb CROSS JOIN ssw
+"""
+
+
+@register("agg_anova_oneway", oracle=_ANOVA_ORACLE)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA over order priorities: the between/within variance
+    decomposition, F statistic, and η² effect size — the k-group
+    generalization of the Welch key's two-group t (does priority
+    explain ANY price variance, and how much). η² = SSB/SST is the
+    variance-explained number a feature audit reads directly.
+
+    Parity lesson (caught pre-commit): the textbook Σx²−(Σx)²/n form
+    puts ROUND(·,6) on ~1e13-magnitude terms, past double's 6dp
+    representable range — the r5 zipf 17-digit trap — and the engines'
+    rounding diverged by ~0.1. The CENTERED form keeps every quantized
+    term at ~1e10 where 4dp sits far inside an ulp: group means from
+    exact decimal sums (bit-identical), per-row (x−m)² and per-group
+    n·(m−gm)² each ROUND(4) into order-independent decimal totals.
+
+    Scale design: one keyed means pass + one centered pass with the
+    5-row means broadcast — two scans, dimension-free state."""
+    o = table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(x.cast(DSCALE)).cast("double") / F.count(F.lit(1))).alias(
+            "m"
+        ),
+    )
+    g = g.localCheckpoint(eager=True)
+    tot = o.agg(
+        (F.sum(x.cast(DSCALE)).cast("double") / F.count(F.lit(1))).alias(
+            "gm"
+        ),
+        F.count(F.lit(1)).alias("nt"),
+    )
+    dec4 = "decimal(27,4)"
+    ssb_df = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                F.col("n") * (F.col("m") - F.col("gm"))
+                * (F.col("m") - F.col("gm")),
+                4,
+            ).cast(dec4)
+        )
+        .cast("double")
+        .alias("ssb"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    ssw_df = (
+        o.join(F.broadcast(g), "o_orderpriority")
+        .agg(
+            F.sum(
+                F.round((x - F.col("m")) * (x - F.col("m")), 4).cast(dec4)
+            )
+            .cast("double")
+            .alias("ssw")
+        )
+    )
+    ssb, ssw = F.col("ssb"), F.col("ssw")
+    return (
+        ssb_df.crossJoin(F.broadcast(ssw_df))
+        .crossJoin(F.broadcast(tot.select("nt")))
+        .select(
+            F.col("k").cast("long").alias("n_groups"),
+            F.col("nt").cast("long").alias("n_rows"),
+            F.round(ssb, 2).alias("ss_between"),
+            F.round(ssw, 2).alias("ss_within"),
+            F.round(
+                (ssb / (F.col("k") - 1))
+                / (ssw / (F.col("nt") - F.col("k"))),
+                6,
+            ).alias("f_stat"),
+            F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
+        )
+    )

@@ -1496,3 +1496,95 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(m).cast("long").alias("n_edges"),
         F.round(F.sum("q_c"), 6).alias("modularity"),
     ).select("n_components", "n_edges", "modularity")
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_assortativity — degree-degree correlation over edges
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS c
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT x, y FROM p WHERE c >= 2),
+sym AS (SELECT x AS src, y AS dst FROM e UNION ALL SELECT y, x FROM e),
+deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY src),
+ends AS (
+  SELECT dx.d AS di, dy.d AS dj
+  FROM sym JOIN deg dx ON dx.v = sym.src JOIN deg dy ON dy.v = sym.dst
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m2,
+         CAST(SUM(di) AS DOUBLE) AS s1,
+         CAST(SUM(di * dj) AS DOUBLE) AS sij,
+         CAST(SUM(di * di) AS DOUBLE) AS s2
+  FROM ends
+)
+SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+       ROUND((sij / m2 - (s1 / m2) * (s1 / m2))
+             / (s2 / m2 - (s1 / m2) * (s1 / m2)), 6) AS assortativity
+FROM s
+"""
+
+
+@register("graph_degree_assortativity", oracle=_ASSORT_ORACLE)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree ASSORTATIVITY of the copurchase graph — the Pearson
+    correlation of degrees across edge endpoints (Newman 2002):
+    positive = hubs link to hubs (social-style), negative = hubs link
+    to leaves (technological/retail-style) — the one-number structure
+    diagnosis that decides whether hub-capping (the wedge-join lever)
+    will bite. Computed over the symmetrized edge list so the
+    correlation is exchange-symmetric; all moment sums are exact
+    integers into one double expression.
+
+    Scale design: degrees are one keyed count; the endpoint-degree
+    table is two keyed joins of the edge list against it; moments are
+    a single rollup — nothing quadratic, no windows."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a2, b2 = li.alias("a"), li.alias("b")
+    e = (
+        a2.join(
+            b2,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("x", "y")
+        .localCheckpoint(eager=True)
+    )
+    sym = e.select(
+        F.col("x").alias("src"), F.col("y").alias("dst")
+    ).unionByName(e.select(F.col("y").alias("src"), F.col("x").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    dx = deg.select(F.col("src"), F.col("d").alias("di"))
+    dy = deg.select(F.col("src").alias("dst"), F.col("d").alias("dj"))
+    ends = sym.join(dx, "src").join(dy, "dst")
+    s = ends.agg(
+        F.count(F.lit(1)).cast("double").alias("m2"),
+        F.sum("di").cast("double").alias("s1"),
+        F.sum(F.col("di") * F.col("dj")).cast("double").alias("sij"),
+        F.sum(F.col("di") * F.col("di")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("m2")
+    return s.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        F.round(
+            (F.col("sij") / F.col("m2") - mean * mean)
+            / (F.col("s2") / F.col("m2") - mean * mean),
+            6,
+        ).alias("assortativity"),
+    )
