@@ -6462,3 +6462,90 @@ def events_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_correct").cast("double") / F.col("n_from"), 6
         ).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_price_elasticity — pooled log-log demand elasticity
+# ---------------------------------------------------------------------------
+
+_ELASTICITY_ORACLE = """
+WITH obs AS (
+  SELECT l_partkey, date_trunc('week', l_shipdate) AS w,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS q,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+             AS unit_p
+  FROM lineitem GROUP BY 1, 2
+),
+pts AS (
+  SELECT ROUND(ln(unit_p), 6) AS x, ROUND(ln(q), 6) AS y
+  FROM obs WHERE q > 0 AND unit_p > 0
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(27,6))) AS DOUBLE)
+             AS sxy,
+         CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(27,6))) AS DOUBLE)
+             AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_obs,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           AS elasticity,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             6) AS log_intercept
+FROM s
+"""
+
+
+@register("lineitem_price_elasticity", oracle=_ELASTICITY_ORACLE)
+def lineitem_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled PRICE ELASTICITY of demand: OLS slope of ln(weekly qty)
+    on ln(unit price) over (part, week) observations — the %-demand
+    per %-price number behind every pricing decision (β ≈ −1 is
+    revenue-neutral; the fixture's randomized prices make this a
+    near-zero null, which is itself the honest reading: no real price
+    experiment, no elasticity). The Heaps-law OLS machinery pointed at
+    econometrics; per-part fixed effects are the documented refinement
+    (demean within part first, same two passes).
+
+    Scale design: one (part, week)-keyed rollup, then 4 decimal moment
+    sums — one scan + dimension-free state; log points ROUND(6) before
+    the order-independent sums."""
+    li = table(spark, sf_dir, "lineitem")
+    obs = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("w")
+    ).agg(
+        F.sum(F.col("l_quantity").cast(DSCALE)).cast("double").alias("q"),
+        (
+            F.sum(F.col("l_extendedprice").cast(DSCALE)).cast("double")
+            / F.sum(F.col("l_quantity").cast(DSCALE)).cast("double")
+        ).alias("unit_p"),
+    )
+    pts = obs.where((F.col("q") > 0) & (F.col("unit_p") > 0)).select(
+        F.round(F.log("unit_p"), 6).alias("x"),
+        F.round(F.log("q"), 6).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(DSCALE)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DSCALE)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast(DSCALE))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast(DSCALE))
+        .cast("double")
+        .alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(beta, 6).alias("elasticity"),
+        F.round(
+            (F.col("sy") - beta * F.col("sx")) / F.col("n"), 6
+        ).alias("log_intercept"),
+    )
