@@ -6549,3 +6549,196 @@ def lineitem_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - beta * F.col("sx")) / F.col("n"), 6
         ).alias("log_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_conversion_window_sensitivity — attribution-window robustness
+# ---------------------------------------------------------------------------
+
+_CONV_WINDOW_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.event_id,
+         MAX(CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END) AS w1h,
+         MAX(CASE WHEN c.ts >= p.ts - INTERVAL 1 DAY
+                  THEN 1 ELSE 0 END) AS w1d,
+         MAX(1) AS w7d
+  FROM purch p JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+  GROUP BY p.event_id
+),
+tot AS (SELECT COUNT(*) AS n_purchases FROM purch)
+SELECT CAST(tot.n_purchases AS BIGINT) AS n_purchases,
+       CAST(SUM(w1h) AS BIGINT) AS attributed_1h,
+       CAST(SUM(w1d) AS BIGINT) AS attributed_1d,
+       CAST(SUM(w7d) AS BIGINT) AS attributed_7d,
+       ROUND(SUM(w1h) / CAST(tot.n_purchases AS DOUBLE), 6) AS rate_1h,
+       ROUND(SUM(w1d) / CAST(tot.n_purchases AS DOUBLE), 6) AS rate_1d,
+       ROUND(SUM(w7d) / CAST(tot.n_purchases AS DOUBLE), 6) AS rate_7d
+FROM j CROSS JOIN tot
+GROUP BY tot.n_purchases
+"""
+
+
+@register("events_conversion_window_sensitivity", oracle=_CONV_WINDOW_ORACLE)
+def events_conversion_window_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attribution-WINDOW sensitivity: the share of purchases with a
+    prior click within 1 h / 1 d / 7 d, side by side — the robustness
+    check every attribution methodology review demands (if credited
+    conversions swing hard with the window, the reported number is a
+    parameter choice, not a fact). One join at the WIDEST window;
+    narrower windows are conditional flags inside it, so the sweep
+    costs one pass — the general recipe for parameter-sensitivity
+    analysis in one query.
+
+    Scale design: user-keyed equi-join with the time band as a
+    post-join predicate (the j5 doctrine), per-purchase flag rollup,
+    3-cell output."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts").alias("p_ts")
+    )
+    j = (
+        purch.join(
+            clicks,
+            (F.col("c_uid") == F.col("user_id"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (
+                F.col("c_ts")
+                >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")
+            ),
+        )
+        .groupBy("event_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("c_ts")
+                    >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"),
+                    1,
+                ).otherwise(0)
+            ).alias("w1h"),
+            F.max(
+                F.when(
+                    F.col("c_ts")
+                    >= F.col("p_ts") - F.expr("INTERVAL 1 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("w1d"),
+            F.max(F.lit(1)).alias("w7d"),
+        )
+    )
+    tot = purch.agg(F.count(F.lit(1)).alias("n_purchases"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .groupBy("n_purchases")
+        .agg(
+            F.sum("w1h").cast("long").alias("attributed_1h"),
+            F.sum("w1d").cast("long").alias("attributed_1d"),
+            F.sum("w7d").cast("long").alias("attributed_7d"),
+            F.round(
+                F.sum("w1h") / F.col("n_purchases").cast("double"), 6
+            ).alias("rate_1h"),
+            F.round(
+                F.sum("w1d") / F.col("n_purchases").cast("double"), 6
+            ).alias("rate_1d"),
+            F.round(
+                F.sum("w7d") / F.col("n_purchases").cast("double"), 6
+            ).alias("rate_7d"),
+        )
+        .select(
+            F.col("n_purchases").cast("long").alias("n_purchases"),
+            "attributed_1h",
+            "attributed_1d",
+            "attributed_7d",
+            "rate_1h",
+            "rate_1d",
+            "rate_7d",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_temporal_coalesce — merge contiguous same-value periods
+# ---------------------------------------------------------------------------
+
+_TEMPORAL_COALESCE_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderstatus,
+         CAST(o_orderdate AS DATE) AS d,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN LAG(o_orderstatus) OVER w IS NULL
+                OR LAG(o_orderstatus) OVER w <> o_orderstatus
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+grp AS (
+  SELECT o_custkey, o_orderstatus, d,
+         SUM(chg) OVER (PARTITION BY o_custkey ORDER BY rn) AS g
+  FROM seq
+)
+SELECT o_custkey, o_orderstatus AS status,
+       CAST(MIN(d) AS VARCHAR) AS valid_from,
+       CAST(MAX(d) AS VARCHAR) AS valid_to,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM grp GROUP BY o_custkey, o_orderstatus, g
+"""
+
+
+@register("orders_temporal_coalesce", oracle=_TEMPORAL_COALESCE_ORACLE)
+def orders_temporal_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL COALESCE: collapse each customer's order-status
+    timeline into maximal runs of the same value with [valid_from,
+    valid_to] bounds — the range-merge every temporal/bitemporal model
+    needs before storage (uncoalesced ranges bloat SCD tables and
+    break period arithmetic), and the inverse of what etl_scd2's
+    change detection expands. Same-status runs key on the
+    gaps-and-islands group = running count of change points.
+
+    Scale design: one customer-keyed ordered window pair (change flag
+    + running sum) and a (customer, run)-keyed rollup — the
+    sessionization shape applied to value changes instead of time
+    gaps."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.row_number().over(w).alias("rn"),
+        F.when(
+            F.lag("o_orderstatus").over(w).isNull()
+            | (F.lag("o_orderstatus").over(w) != F.col("o_orderstatus")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    wg = Window.partitionBy("o_custkey").orderBy("rn")
+    grp = seq.withColumn(
+        "g",
+        F.sum("chg").over(wg.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return grp.groupBy("o_custkey", "o_orderstatus", "g").agg(
+        F.min("d").cast("string").alias("valid_from"),
+        F.max("d").cast("string").alias("valid_to"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    ).select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        "valid_from",
+        "valid_to",
+        "n_orders",
+    )
