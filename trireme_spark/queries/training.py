@@ -1510,3 +1510,112 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# etl_curation_policy — composite accept/review/reject with reason codes
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(text), '\\s+')) AS n_tok,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             t -> list_contains(['the','a','and','of','to','in'], t)))
+             AS n_stop,
+         len(list_distinct(string_split_regex(lower(text), '\\s+')))
+             AS n_types
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, n_tok,
+         CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+         CAST(n_types AS DOUBLE) / n_tok AS ttr
+  FROM f WHERE n_tok >= 1
+),
+flags AS (
+  SELECT doc_id, n_tok,
+         CAST(n_tok < 20 AS INT) AS too_short,
+         CAST(n_tok > 2000 AS INT) AS too_long,
+         CAST(stop_ratio < 0.01 AS INT) AS no_stopwords,
+         CAST(ttr < 0.2 AS INT) AS repetitive
+  FROM sig
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       CASE WHEN too_short + too_long >= 1 THEN 'reject'
+            WHEN no_stopwords + repetitive >= 2 THEN 'reject'
+            WHEN no_stopwords + repetitive = 1 THEN 'review'
+            ELSE 'accept' END AS decision,
+       concat_ws(',',
+         CASE WHEN too_short = 1 THEN 'too_short' END,
+         CASE WHEN too_long = 1 THEN 'too_long' END,
+         CASE WHEN no_stopwords = 1 THEN 'no_stopwords' END,
+         CASE WHEN repetitive = 1 THEN 'repetitive' END) AS reasons
+FROM flags
+"""
+
+
+@register("etl_curation_policy", oracle=_CURATION_ORACLE)
+def etl_curation_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURATION POLICY layer: cheap per-doc signals (length bounds,
+    stopword presence, type-token repetitiveness) compile into an
+    accept / review / reject decision WITH machine-readable reason
+    codes — the shape every production corpus filter actually ships
+    (signals alone don't delete documents; a policy with an audit
+    trail does; hard gates reject outright, two soft flags reject, one
+    sends to review). The per-signal keys (gopher, langid, quality
+    score) measure; this key DECIDES, and the reasons column is what
+    makes the decision appealable and the filter tunable.
+
+    Scale design: pure per-row token algebra under codegen — the
+    policy costs a projection; thresholds are literals that fold."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    f = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(STOPWORDS))
+        ).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    ).where(F.col("n_tok") >= 1)
+    sig = f.select(
+        "doc_id",
+        "n_tok",
+        (F.col("n_stop").cast("double") / F.col("n_tok")).alias(
+            "stop_ratio"
+        ),
+        (F.col("n_types").cast("double") / F.col("n_tok")).alias("ttr"),
+    )
+    too_short = (F.col("n_tok") < 20).cast("int")
+    too_long = (F.col("n_tok") > 2000).cast("int")
+    no_stop = (F.col("stop_ratio") < 0.01).cast("int")
+    repetitive = (F.col("ttr") < 0.2).cast("int")
+    flags = sig.select(
+        "doc_id",
+        "n_tok",
+        too_short.alias("too_short"),
+        too_long.alias("too_long"),
+        no_stop.alias("no_stopwords"),
+        repetitive.alias("repetitive"),
+    )
+    soft = F.col("no_stopwords") + F.col("repetitive")
+    decision = (
+        F.when(F.col("too_short") + F.col("too_long") >= 1, "reject")
+        .when(soft >= 2, "reject")
+        .when(soft == 1, "review")
+        .otherwise("accept")
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("too_short") == 1, "too_short"),
+        F.when(F.col("too_long") == 1, "too_long"),
+        F.when(F.col("no_stopwords") == 1, "no_stopwords"),
+        F.when(F.col("repetitive") == 1, "repetitive"),
+    )
+    return flags.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        decision.alias("decision"),
+        reasons.alias("reasons"),
+    )
