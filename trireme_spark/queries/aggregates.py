@@ -2557,3 +2557,110 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_spearman_rank_corr — tie-corrected rank correlation, rank-free form
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS xv,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yv
+  FROM lineitem
+),
+vx AS (
+  SELECT xv, COUNT(*) AS cnt,
+         CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY xv
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+  FROM base GROUP BY xv
+),
+vy AS (
+  SELECT yv, COUNT(*) AS cnt,
+         CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY yv
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+  FROM base GROUP BY yv
+),
+r AS (
+  SELECT (2 * vx.below + vx.cnt + 1) AS mx,
+         (2 * vy.below + vy.cnt + 1) AS my
+  FROM base JOIN vx ON vx.xv = base.xv JOIN vy ON vy.yv = base.yv
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(mx) AS DOUBLE) AS sx, CAST(SUM(my) AS DOUBLE) AS sy,
+         CAST(SUM(mx * my) AS DOUBLE) AS sxy,
+         CAST(SUM(mx * mx) AS DOUBLE) AS sxx,
+         CAST(SUM(my * my) AS DOUBLE) AS syy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           AS spearman_rho
+FROM s
+"""
+
+
+@register("agg_spearman_rank_corr", oracle=_SPEARMAN_ORACLE)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs price), tie-corrected —
+    the monotonic-association measure that survives outliers and
+    nonlinearity where Pearson (agg_regression/corr_matrix) assumes
+    linearity; quantity's 50-value domain makes ties the NORM, so
+    midranks are load-bearing, not a corner case.
+
+    Rank-free form (the Mann-Whitney doctrine): no row ever gets a
+    row_number — each variable collapses to distinct values carrying
+    (count, count-below), midranks are arithmetic (2·mr = 2·below +
+    cnt + 1), and rho is Pearson over exact-integer doubled midranks —
+    five integer moment sums, one double expression. Rank windows over
+    corpus rows never happen.
+
+    Scale design: two distinct-value collapses (keyed; prefix via the
+    two-pass machinery when value domains are corpus-sized), two
+    equi-joins back, one rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("xv"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yv"),
+    )
+    base = base.localCheckpoint(eager=True)
+
+    def midranks(col):
+        v = base.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = (
+            Window.partitionBy(meta_part(col))
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return v.withColumn(
+            "below", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        ).select(
+            col,
+            (2 * F.col("below") + F.col("cnt") + 1).alias(f"m_{col}"),
+        )
+
+    r = base.join(midranks("xv"), "xv").join(midranks("yv"), "yv")
+    s = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("m_xv").cast("double").alias("sx"),
+        F.sum("m_yv").cast("double").alias("sy"),
+        F.sum(F.col("m_xv") * F.col("m_yv")).cast("double").alias("sxy"),
+        F.sum(F.col("m_xv") * F.col("m_xv")).cast("double").alias("sxx"),
+        F.sum(F.col("m_yv") * F.col("m_yv")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return s.select(
+        n.cast("long").alias("n_rows"),
+        F.round(
+            (n * F.col("sxy") - sx * sy)
+            / F.sqrt(
+                (n * F.col("sxx") - sx * sx)
+                * (n * F.col("syy") - sy * sy)
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
