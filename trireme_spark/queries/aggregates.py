@@ -2664,3 +2664,95 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# supplier_concentration_risk — top-supplier revenue share per nation
+# ---------------------------------------------------------------------------
+
+_SUPP_RISK_ORACLE = """
+WITH rev AS (
+  SELECT n.n_name, l.l_suppkey,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(27,6))) AS DECIMAL(27,6)) AS r
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT n_name, l_suppkey AS top_suppkey, r AS top_rev
+  FROM rev
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY n_name
+                             ORDER BY r DESC, l_suppkey ASC) = 1
+),
+tot AS (
+  SELECT n_name, CAST(SUM(r) AS DOUBLE) AS total_rev,
+         COUNT(*) AS n_suppliers
+  FROM rev GROUP BY n_name
+)
+SELECT t.n_name, top.top_suppkey,
+       CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+       ROUND(CAST(top.top_rev AS DOUBLE), 4) AS top_supplier_rev,
+       ROUND(CAST(top.top_rev AS DOUBLE) / t.total_rev, 6)
+           AS revenue_at_risk_share
+FROM tot t JOIN top ON top.n_name = t.n_name
+"""
+
+
+@register("supplier_concentration_risk", oracle=_SUPP_RISK_ORACLE)
+def supplier_concentration_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-SUPPLIER exposure per nation: the revenue share flowing
+    through each nation's top supplier — the what-if-they-fail number
+    a supply-chain review reads next to the HHI (HHI says "how
+    concentrated overall"; this says "how bad is losing exactly the
+    biggest one"). Deterministic top pick via (revenue desc, suppkey)
+    tie-break.
+
+    Scale design: one (nation, supplier)-keyed decimal revenue rollup,
+    a keyed argmax window over the supplier-grain table, a nation
+    rollup — dimension-sized everything after the first agg; dims
+    broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = F.broadcast(table(spark, sf_dir, "supplier"))
+    nat = F.broadcast(table(spark, sf_dir, "nation"))
+    rev = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name", "l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast(DSCALE)
+            ).alias("r")
+        )
+    )
+    rev = rev.localCheckpoint(eager=True)
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("r").desc(), F.col("l_suppkey").asc()
+    )
+    top = (
+        rev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "n_name",
+            F.col("l_suppkey").alias("top_suppkey"),
+            F.col("r").alias("top_rev"),
+        )
+    )
+    tot = rev.groupBy("n_name").agg(
+        F.sum("r").cast("double").alias("total_rev"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    return tot.join(top, "n_name").select(
+        "n_name",
+        "top_suppkey",
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        F.round(F.col("top_rev").cast("double"), 4).alias(
+            "top_supplier_rev"
+        ),
+        F.round(
+            F.col("top_rev").cast("double") / F.col("total_rev"), 6
+        ).alias("revenue_at_risk_share"),
+    )

@@ -6742,3 +6742,58 @@ def orders_temporal_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "n_orders",
     )
+
+
+# ---------------------------------------------------------------------------
+# events_reactivation_winback — dormancy-return lifecycle events
+# ---------------------------------------------------------------------------
+
+_WINBACK_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+react AS (
+  SELECT user_id, ts,
+         date_trunc('week', ts) AS wk
+  FROM seq
+  WHERE prev_ts IS NOT NULL AND ts - prev_ts >= INTERVAL 24 HOUR
+)
+SELECT CAST(wk AS VARCHAR) AS week,
+       CAST(COUNT(*) AS BIGINT) AS n_reactivations,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM react GROUP BY wk
+"""
+
+
+@register("events_reactivation_winback", oracle=_WINBACK_ORACLE)
+def events_reactivation_winback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIN-BACK detection: events arriving after >= 24 hours of user
+    dormancy (the fixture spans one week, so day-scale dormancy is the
+    realistic grain; production swaps the literal), rolled up per week — the lifecycle moment retention teams
+    target (a reactivated user is neither "new" nor "retained"; cohort
+    tables and streak counters both miss the RETURN event itself, which
+    is exactly when a win-back campaign either worked or didn't).
+
+    Scale design: one user-keyed lag window marks dormancy returns; a
+    week-keyed rollup counts them — two keyed shuffles, no spine, no
+    self-join."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    react = seq.where(
+        F.col("prev_ts").isNotNull()
+        & (F.col("ts") - F.col("prev_ts") >= F.expr("INTERVAL 24 HOURS"))
+    ).select("user_id", F.date_trunc("week", "ts").alias("wk"))
+    return react.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reactivations"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    ).select(
+        F.col("wk").cast("date").cast("string").alias("week"),
+        "n_reactivations",
+        "n_users",
+    )
