@@ -6797,3 +6797,84 @@ def events_reactivation_winback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_reactivations",
         "n_users",
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_overdue_customers — cadence-relative churn-risk flags
+# ---------------------------------------------------------------------------
+
+_OVERDUE_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+             LAG(CAST(o_orderdate AS DATE)) OVER w,
+             CAST(o_orderdate AS DATE)) AS gap,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+c AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(gap AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(gap) AS mean_gap,
+         COUNT(gap) AS n_gaps,
+         MAX(d) AS last_order
+  FROM gaps GROUP BY o_custkey HAVING COUNT(gap) >= 3
+),
+now AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS today FROM orders)
+SELECT c.o_custkey,
+       CAST(c.n_gaps + 1 AS BIGINT) AS n_orders,
+       ROUND(c.mean_gap, 4) AS mean_gap_days,
+       CAST(date_diff('day', c.last_order, now.today) AS BIGINT)
+           AS days_since_last,
+       CAST(date_diff('day', c.last_order, now.today) > 2 * c.mean_gap
+            AS BOOLEAN) AS overdue
+FROM c CROSS JOIN now
+"""
+
+
+@register("orders_overdue_customers", oracle=_OVERDUE_ORACLE)
+def orders_overdue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERDUE detection against each customer's OWN cadence: a
+    customer is flagged when their silence exceeds 2× their historical
+    mean inter-order gap — the churn-risk trigger that a global
+    "inactive 30 days" rule gets wrong in both directions (weekly
+    buyers are long lost at day 30; quarterly buyers are fine).
+    Requires >= 3 observed gaps so the cadence estimate means
+    something; "today" anchors to the corpus max date for
+    determinism.
+
+    Scale design: one customer-keyed lag window, one keyed gap
+    aggregate, a 1-row anchor broadcast — the per-entity-baseline
+    pattern (bot_regularity, velocity_flag) pointed at lifecycle."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    d = F.col("o_orderdate").cast("date")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(d, F.lag(d).over(w)).alias("gap"),
+        d.alias("d"),
+    )
+    c = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            (
+                F.sum(F.col("gap").cast(DSCALE)).cast("double")
+                / F.count("gap")
+            ).alias("mean_gap"),
+            F.count("gap").alias("n_gaps"),
+            F.max("d").alias("last_order"),
+        )
+        .where(F.col("n_gaps") >= 3)
+    )
+    now = o.agg(F.max(d).alias("today"))
+    days_since = F.datediff(F.col("today"), F.col("last_order"))
+    return c.crossJoin(F.broadcast(now)).select(
+        "o_custkey",
+        (F.col("n_gaps") + 1).cast("long").alias("n_orders"),
+        F.round("mean_gap", 4).alias("mean_gap_days"),
+        days_since.cast("long").alias("days_since_last"),
+        (days_since > 2 * F.col("mean_gap")).alias("overdue"),
+    )
