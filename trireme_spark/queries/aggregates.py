@@ -2756,3 +2756,83 @@ def supplier_concentration_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_rev").cast("double") / F.col("total_rev"), 6
         ).alias("revenue_at_risk_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_share_of_group — contribution shares at two grouping levels
+# ---------------------------------------------------------------------------
+
+_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name, n.n_name,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(27,6))) AS DECIMAL(27,6)) AS rv
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name,
+       ROUND(CAST(rv AS DOUBLE), 4) AS revenue,
+       ROUND(CAST(rv AS DOUBLE)
+             / CAST(SUM(rv) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+           AS share_of_region,
+       ROUND(CAST(rv AS DOUBLE)
+             / CAST(SUM(rv) OVER () AS DOUBLE), 6) AS share_of_total,
+       CAST(RANK() OVER (PARTITION BY r_name ORDER BY rv DESC, n_name)
+            AS BIGINT) AS rank_in_region
+FROM rev
+"""
+
+
+@register("agg_share_of_group", oracle=_SHARE_ORACLE)
+def agg_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRIBUTION analysis: each nation's revenue as a share of its
+    region AND of the world, with its in-region rank — the
+    percent-of-total window pattern every drill-down report is built
+    from, at two grouping levels in one pass (the denominator windows
+    reuse the same dimension-sized aggregate; nothing rescans).
+
+    Scale design: one keyed decimal rollup to (region, nation) grain —
+    25 rows — then window shares over that metadata-sized table (the
+    global denominator rides meta_part); dims broadcast into the fact
+    scan."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = F.broadcast(table(spark, sf_dir, "supplier"))
+    nat = F.broadcast(table(spark, sf_dir, "nation"))
+    reg = F.broadcast(table(spark, sf_dir, "region"))
+    rev = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast(DSCALE)
+            ).alias("rv")
+        )
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy(meta_part(F.length("r_name").cast("long")))
+    w_rank = Window.partitionBy("r_name").orderBy(
+        F.col("rv").desc(), F.col("n_name").asc()
+    )
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("rv").cast("double"), 4).alias("revenue"),
+        F.round(
+            F.col("rv").cast("double")
+            / F.sum("rv").over(w_region).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.col("rv").cast("double")
+            / F.sum("rv").over(w_all).cast("double"),
+            6,
+        ).alias("share_of_total"),
+        F.rank().over(w_rank).cast("long").alias("rank_in_region"),
+    )

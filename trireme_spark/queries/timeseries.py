@@ -6878,3 +6878,69 @@ def orders_overdue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         days_since.cast("long").alias("days_since_last"),
         (days_since > 2 * F.col("mean_gap")).alias("overdue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_error_burst_scan — scan-statistic burst detection
+# ---------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH err AS (
+  SELECT ts FROM events WHERE event_type = 'error'
+),
+cnt AS (
+  SELECT ts,
+         COUNT(*) OVER (ORDER BY ts
+                        RANGE BETWEEN CURRENT ROW
+                        AND INTERVAL 10 MINUTE FOLLOWING) AS burst
+  FROM err
+)
+SELECT CAST(MAX(burst) AS BIGINT) AS max_burst,
+       CAST(MIN(CASE WHEN burst = (SELECT MAX(burst) FROM cnt)
+                     THEN ts END) AS VARCHAR) AS burst_start,
+       CAST((SELECT COUNT(*) FROM err) AS BIGINT) AS n_errors
+FROM cnt
+"""
+
+
+@register("events_error_burst_scan", oracle=_BURST_ORACLE)
+def events_error_burst_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN-STATISTIC burst detection: the maximum number of errors in
+    ANY 10-minute window (anchored at error instants — the sliding-max
+    identity: the densest window starts at some event), plus when it
+    began — the exact form of "did errors burst" that fixed tumbling
+    buckets blur across boundaries (a burst straddling two buckets
+    halves in both). Complements events_dispersion_index: dispersion
+    says bursty-on-average; the scan statistic finds THE burst.
+
+    Scale design: errors are a filtered slice; the forward RANGE frame
+    runs over the error-grain series (meta-scale here; keyed by
+    day-bucket with boundary overlap as the corpus-scale drop-in —
+    a 10-min window spans at most two buckets); argmin folds into the
+    same pass."""
+    ev = table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select("ts")
+    w = (
+        Window.partitionBy(
+            meta_part(F.unix_date(F.col("ts").cast("date")))
+        )
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(0, 600)
+    )
+    cnt = err.withColumn("burst", F.count(F.lit(1)).over(w))
+    peak = cnt.agg(F.max("burst").alias("mx"))
+    n = err.agg(F.count(F.lit(1)).alias("ne"))
+    return (
+        cnt.crossJoin(F.broadcast(peak))
+        .where(F.col("burst") == F.col("mx"))
+        .agg(
+            F.max("mx").cast("long").alias("max_burst"),
+            F.min("ts").cast("string").alias("burst_start"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "max_burst",
+            "burst_start",
+            F.col("ne").cast("long").alias("n_errors"),
+        )
+    )
