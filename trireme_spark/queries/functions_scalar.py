@@ -1495,3 +1495,99 @@ def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         check.cast("long").alias("check_digit"),
         F.lit(True).alias("luhn_valid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_fiscal_445 — 4-4-5 fiscal calendar mapping
+# ---------------------------------------------------------------------------
+
+# Fiscal year starts the Monday of the ISO week containing Feb 1.
+# Periods repeat 4-4-5 weeks per quarter: P1=4, P2=4, P3=5, ...
+
+_FISCAL_ORACLE = """
+WITH d AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+  FROM orders WHERE o_orderkey % 50 = 0
+),
+fy AS (
+  SELECT o_orderkey, od,
+         CASE WHEN od >= date_trunc('week', make_date(year(od), 2, 1))
+              THEN year(od)
+              ELSE year(od) - 1 END AS fyear
+  FROM d
+),
+wk AS (
+  SELECT o_orderkey, od, fyear,
+         CAST(date_diff('day',
+              date_trunc('week', make_date(fyear, 2, 1)), od) // 7
+              AS BIGINT) AS fweek0
+  FROM fy
+),
+p AS (
+  SELECT o_orderkey, od, fyear, fweek0,
+         least(fweek0 // 13, 3) AS fq0,
+         fweek0 % 13 AS wq
+  FROM wk
+)
+SELECT o_orderkey, CAST(od AS VARCHAR) AS order_day,
+       CAST(fyear AS BIGINT) AS fiscal_year,
+       CAST(fq0 + 1 AS BIGINT) AS fiscal_quarter,
+       CAST(fq0 * 3 + CASE WHEN wq < 4 THEN 1
+                           WHEN wq < 8 THEN 2 ELSE 3 END
+            AS BIGINT) AS fiscal_period,
+       CAST(fweek0 + 1 AS BIGINT) AS fiscal_week
+FROM p
+"""
+
+
+@register("fn_fiscal_445", oracle=_FISCAL_ORACLE)
+def fn_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-4-5 FISCAL calendar mapping: every date lands in a fiscal
+    (year, quarter, period, week) where quarters hold 4+4+5 whole
+    weeks — the retail/finance calendar that makes period-over-period
+    comparable (every period has the same weekday mix, which Gregorian
+    months never do). Year anchors at the Monday of the week holding
+    Feb 1; week 53, when it occurs, pools into Q4 (the standard
+    treatment, via the quarter clamp). Pure integer date algebra —
+    no calendar table.
+
+    Scale design: a codegen projection per row; the expression folds
+    into any scan. Sub-sampled keys keep the oracle diff readable."""
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 50 == 0
+    )
+    od = F.col("o_orderdate").cast("date")
+    def anchor(y):
+        return F.date_trunc(
+            "week", F.make_date(y, F.lit(2), F.lit(1))
+        ).cast("date")
+    fyear = F.when(od >= anchor(F.year(od)), F.year(od)).otherwise(
+        F.year(od) - 1
+    )
+    d = o.select("o_orderkey", od.alias("od"), fyear.alias("fyear"))
+    fweek0 = (
+        F.datediff(F.col("od"), anchor(F.col("fyear"))) / 7
+    ).cast("long")
+    p = d.select(
+        "o_orderkey",
+        "od",
+        "fyear",
+        fweek0.alias("fweek0"),
+    ).select(
+        "*",
+        F.least(F.expr("fweek0 DIV 13"), F.lit(3)).alias("fq0"),
+        (F.col("fweek0") % 13).alias("wq"),
+    )
+    period_in_q = (
+        F.when(F.col("wq") < 4, 1).when(F.col("wq") < 8, 2).otherwise(3)
+    )
+    return p.select(
+        "o_orderkey",
+        F.col("od").cast("string").alias("order_day"),
+        F.col("fyear").cast("long").alias("fiscal_year"),
+        (F.col("fq0") + 1).cast("long").alias("fiscal_quarter"),
+        (F.col("fq0") * 3 + period_in_q).cast("long").alias(
+            "fiscal_period"
+        ),
+        (F.col("fweek0") + 1).cast("long").alias("fiscal_week"),
+    )
