@@ -6944,3 +6944,150 @@ def events_error_burst_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ne").cast("long").alias("n_errors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_srm_check — sample-ratio-mismatch validity gate
+# ---------------------------------------------------------------------------
+
+_SRM_ORACLE = """
+WITH assign AS (
+  SELECT user_id,
+         CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                    || '|exp42'), 1, 8)) AS BIGINT) % 2 AS INT) AS grp
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+c AS (
+  SELECT CAST(SUM(grp) AS DOUBLE) AS n1,
+         CAST(SUM(1 - grp) AS DOUBLE) AS n0
+  FROM assign
+)
+SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treated,
+       ROUND((n0 - (n0 + n1) / 2) * (n0 - (n0 + n1) / 2)
+             / ((n0 + n1) / 2)
+             + (n1 - (n0 + n1) / 2) * (n1 - (n0 + n1) / 2)
+             / ((n0 + n1) / 2), 6) AS chi2,
+       CAST((n0 - (n0 + n1) / 2) * (n0 - (n0 + n1) / 2)
+            / ((n0 + n1) / 2)
+            + (n1 - (n0 + n1) / 2) * (n1 - (n0 + n1) / 2)
+            / ((n0 + n1) / 2) > 3.841 AS BOOLEAN) AS srm_detected
+FROM c
+"""
+
+
+@register("events_ab_srm_check", oracle=_SRM_ORACLE)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO MISMATCH check: chi-square of the observed
+    A/B split against the designed 50/50 (1 dof; 3.841 = the 5%
+    critical value) — the validity gate that runs BEFORE any
+    experiment readout, because an SRM means the assignment or logging
+    is broken and every downstream p-value is garbage (the most common
+    silent A/B failure in practice). Same md5 bucketing as the
+    ab_test/bayesian/IPW keys, so the whole experimentation shelf
+    shares one assignment.
+
+    Scale design: one distinct collapse + a 2-cell count; the test is
+    one expression."""
+    ev = table(spark, sf_dir, "events")
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"), F.lit("|exp42")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 2
+    ).cast("int")
+    c = (
+        ev.select("user_id")
+        .distinct()
+        .select(grp.alias("grp"))
+        .agg(
+            F.sum("grp").cast("double").alias("n1"),
+            F.sum(1 - F.col("grp")).cast("double").alias("n0"),
+        )
+    )
+    e = (F.col("n0") + F.col("n1")) / 2
+    chi2 = (
+        (F.col("n0") - e) * (F.col("n0") - e) / e
+        + (F.col("n1") - e) * (F.col("n1") - e) / e
+    )
+    return c.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treated"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_nb_fit — negative-binomial parameters for bursty counts
+# ---------------------------------------------------------------------------
+
+_NB_ORACLE = """
+WITH m AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(c) AS DOUBLE) AS sx,
+         CAST(SUM(c * c) AS DOUBLE) AS sx2
+  FROM m GROUP BY event_type
+),
+mom AS (
+  SELECT event_type, n, sx / n AS mu,
+         (sx2 - sx * sx / n) / (n - 1) AS var
+  FROM s
+)
+SELECT event_type,
+       ROUND(mu, 6) AS mean_per_hour,
+       ROUND(var, 6) AS var_per_hour,
+       CASE WHEN var > mu
+            THEN ROUND(mu * mu / (var - mu), 6) END AS nb_r,
+       CASE WHEN var > mu
+            THEN ROUND(mu / var, 6) END AS nb_p
+FROM mom
+"""
+
+
+@register("events_nb_fit", oracle=_NB_ORACLE)
+def events_nb_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE-BINOMIAL fit (method of moments: r = μ²/(σ²−μ),
+    p = μ/σ²) for hourly event counts per type — the distribution that
+    actually fits bursty arrivals after events_dispersion_index has
+    rejected Poisson; NULL parameters where variance <= mean are the
+    honest answer (NB degenerates to Poisson there, and MoM has no
+    solution). nb_r and nb_p feed directly into NB tail quantiles for
+    alert thresholds.
+
+    Scale design: the dispersion key's moment machinery + two
+    expressions — one (type, hour) count, one per-type rollup."""
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    s = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("double").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("sx2"),
+    )
+    mu = F.col("sx") / F.col("n")
+    var = (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return s.select(
+        "event_type",
+        F.round(mu, 6).alias("mean_per_hour"),
+        F.round(var, 6).alias("var_per_hour"),
+        F.when(var > mu, F.round(mu * mu / (var - mu), 6)).alias("nb_r"),
+        F.when(var > mu, F.round(mu / var, 6)).alias("nb_p"),
+    )
