@@ -589,3 +589,35 @@ def test_phash_dedup_chunk_blocked(spark):
     p = plan(registry.QUERIES["multimodal_phash_dedup"](spark, SF_SMOKE))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_prefix_vocab_broadcast_is_size_gated(spark, monkeypatch):
+    """candidate_pairs_prefix: the shingle-vocabulary (document-frequency)
+    join is broadcast ONLY under the size gate. Vocabulary grows with the
+    corpus (Heaps-law), so at 100 TB the gate must decline and the join
+    must degrade to a plain shuffle equi-join — inject a corpus-scale
+    size estimate and assert no BroadcastExchange survives anywhere in
+    the candidate plan. autoBroadcastJoinThreshold is disabled for the
+    duration so the only broadcasts visible are the explicit hints."""
+    from trireme_spark.operators import hints, similarity
+
+    docs = table(spark, SF_SMOKE, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("sset"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # fixture scale: gate passes -> the fast path broadcasts the vocab
+        p_small = plan(
+            similarity.candidate_pairs_prefix(docs, "id", "sset", 0.8)
+        )
+        assert "BroadcastExchange" in p_small
+        # simulated 100 TB vocab: estimate exceeds any gate -> shuffle join
+        monkeypatch.setattr(hints, "plan_size_bytes", lambda _df: 1 << 62)
+        p_large = plan(
+            similarity.candidate_pairs_prefix(docs, "id", "sset", 0.8)
+        )
+        assert "BroadcastExchange" not in p_large
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

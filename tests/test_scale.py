@@ -1,0 +1,59 @@
+"""Trimmed sf0.1 scale slice — in the DEFAULT pytest run.
+
+`scripts/scale_sweep.py` (every key, ~2 min) and `scripts/dup_stress.py`
+(duplicate-×10 sf1 stage, ~10 min) stay the out-of-band deep gates; this
+module promotes a ~45 s slice of them into every suite run so a scale
+regression (a reintroduced unconditional broadcast, a lost truncation, a
+window frame collapsing to one reducer) trips the same `pytest tests/`
+command every round already runs — not just the occasional manual sweep.
+
+Selection: the keys where this repo's real scale bugs have actually
+surfaced (prefix-filter dedup family, GEMM kNN, decontamination's
+benchmark-gram join, the order-keyed basket self-join) plus the flagship
+aggregate as a canary. Budgets are 3× the cold times measured on this
+host under concurrent load — loose enough not to flake, tight enough
+that the historical failure mode (minutes over, not seconds) still trips.
+
+Run just this slice:  python -m pytest tests/ -m scale -q
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from trireme_spark import registry
+
+SF_SCALE = os.environ.get("TRIREME_TEST_SF_SCALE", "/root/testdata/sf0.1")
+
+# (key, per-key budget seconds). Cold-measured r7 on local[8] under
+# load; budget = measured × ~3.
+SLICE = [
+    ("agg_pricing_summary", 20),
+    ("dedup_fuzzy_minhash", 45),
+    ("dedup_ngram_jaccard", 45),
+    ("dedup_containment", 60),
+    ("sim_knn_cosine", 30),
+    ("text_decontaminate", 30),
+    ("lineitem_market_basket", 45),
+    ("win_range_frame_distributed", 30),
+]
+
+
+@pytest.mark.scale
+@pytest.mark.parametrize(
+    "key,budget", SLICE, ids=[k for k, _ in SLICE]
+)
+def test_scale_slice(spark, key, budget):
+    t0 = time.monotonic()
+    registry.QUERIES[key](spark, SF_SCALE).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.monotonic() - t0
+    assert dt <= budget, (
+        f"{key}: {dt:.1f}s at sf0.1 exceeds the {budget}s scale budget — "
+        "check for a de-optimized plan (scripts/scale_sweep.py for the "
+        "full sweep)"
+    )

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from trireme_spark.operators.hints import broadcast_if_small
+
 
 # ---------- text shingles / MinHash / LSH ----------------------------------
 
@@ -152,12 +154,16 @@ def candidate_pairs_prefix(
     )
     # df counts: map-side-combined groupBy (a window formulation saves a
     # shuffle but loses partial aggregation — measured slower), then a
-    # BROADCAST join back: the distinct-element vocabulary is
-    # dimension-sized. If vocab ever outgrew broadcast, drop the hint and
-    # this degrades to a plain shuffle join, nothing else changes.
+    # SIZE-GATED broadcast join back. The shingle vocabulary is NOT
+    # dimension-sized: distinct k-shingles grow with the corpus (Heaps-law
+    # sublinear, still billions at 100 TB), so an unconditional broadcast
+    # here is the same O(corpus) executor-OOM class the verify joins were
+    # gated against. Under the gate the plan is identical to the measured
+    # fast path; over it this degrades to a plain shuffle equi-join on
+    # `s`, which is semantics-identical and key-partitioned.
     df_counts = elems.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
-        elems.join(F.broadcast(df_counts), "s")
+        elems.join(broadcast_if_small(df_counts), "s")
         .groupBy("id")
         .agg(
             F.array_sort(
