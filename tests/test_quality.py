@@ -541,6 +541,69 @@ def test_bpe_first_merge_matches_exact_pair_count(spark):
     assert [tuple(r) for r in rerun] == [tuple(r) for r in rules]
 
 
+def _bpe_sequential_reference(word_counts, n_merges):
+    """Driver-side strict one-merge-at-a-time BPE over (word, count) —
+    the semantic ground truth the distributed batched trainer must
+    reproduce exactly: overlapping adjacent-pair counting, argmax by
+    (count DESC, left, right), left-to-right non-overlapping rewrite."""
+    vocab = [(list(w), c) for w, c in word_counts]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for syms, c in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, cnt))
+        new_vocab = []
+        for syms, c in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((out, c))
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_batched_equals_sequential_16_merges(spark):
+    """_bpe_train adopts multiple merges per corpus scan; the batch
+    guard (_bpe_safe_batch) claims exact equivalence to strict
+    sequential BPE. Prove it on the real fixture at depth 16, and
+    assert the batching actually amortizes scans (the whole point:
+    a 32k-merge vocabulary must not cost 32k Spark jobs)."""
+    import pyspark.sql.functions as F
+
+    from trireme_spark.functions.text import tokenize
+    from trireme_spark.queries.training import _bpe_train
+    from trireme_spark.sources.io import table
+
+    wc = [
+        (r["word"], r["wc"])
+        for r in (
+            table(spark, SF_SMOKE, "documents")
+            .select(F.explode(tokenize("text")).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("wc"))
+        ).collect()
+    ]
+    expected = _bpe_sequential_reference(wc, 16)
+    merges, scans = _bpe_train(spark, SF_SMOKE, n_merges=16)
+    assert merges == expected
+    assert scans < len(merges), (
+        f"batching never amortized: {scans} scans for {len(merges)} merges"
+    )
+
+
 def test_binary_quantize_shortlist_recall(spark):
     """embed_binary_quantize_hamming: the 1-bit shortlist must stay
     correlated with float cosine — every query's Hamming top-5 holds at

@@ -917,29 +917,62 @@ def text_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_bpe_train_merges — distributed BPE merge learning (rows-only)
 # ---------------------------------------------------------------------------
 
-@register("text_bpe_train_merges")  # rows-only: per-iteration argmax over
-# merged state is not expressible as one SQL query; tests/test_quality.py
-# pins merge 1 against an exact SQL pair count, plus determinism and
-# monotone-count invariants
-def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer TRAINING, distributed: learn the first 5 merge
-    rules over the corpus — per round, count adjacent symbol pairs
-    (weighted by word frequency), adopt the most frequent pair as a new
-    symbol, rewrite the vocabulary, repeat. This is the actual
-    algorithm behind GPT/Llama tokenizers (Sennrich et al., 2016),
-    expressed as keyed DataFrame algebra.
+def _bpe_safe_batch(rows, want: int):
+    """From pair rows sorted by (cnt DESC, l, r), the longest prefix whose
+    batched adoption is EXACTLY equivalent to adopting them one scan at a
+    time (strict sequential BPE).
 
-    Scale design — the two-level trick real BPE trainers use: the
-    corpus collapses ONCE into (word, count) — vocabulary-sized, which
-    is bounded by the language, not the corpus — and every iteration
-    runs over that collapsed table: adjacent pairs via an in-row
-    arrays_zip of two slices (no explode join), one map-side-combined
-    weighted count, a 1-ROW argmax collect (bounded driver state, the
-    k-means doctrine), and an in-row left-to-right fold rewriting each
-    word's symbols. localCheckpoint between rounds keeps the plan flat
-    (the connected-components lesson). Output: (merge_rank, left,
-    right, pair_count) — deterministic via (count DESC, left, right)
-    tie-breaks, so reruns are bit-identical."""
+    Soundness argument (each adopted p_i must be what sequential BPE
+    would pick at its step, given p_1..p_{i-1} already merged):
+
+    * Old pairs: under merges whose symbols are disjoint from a pair's
+      own, its count can only stay equal or (never) grow, and the global
+      sort already ranks every non-adopted old pair at/after the stop
+      position, so none can overtake p_i; ties lose because a tied old
+      pair sorting before p_i would itself have been position < i.
+    * New pairs: a pair created by merging p_j = (a, b) is (x, a·b),
+      (a·b, y), or (a·b, a·b); each instance contains an ORIGINAL
+      occurrence of some pair sharing a symbol with p_j (x·a, b·y, or
+      b·a), so its count is bounded by that sharing pair's original
+      count. Every sharing pair is non-adopted (disjointness) and — key
+      step — cannot sort inside the adopted prefix (the walk stops at
+      the first symbol-sharing pair), so its count ≤ c_stop. Requiring
+      cnt(p_i) > c_stop strictly therefore beats every possible new
+      pair, ties included.
+    * l == r pairs self-share and generate (a·a, a·a) chains whose
+      bound IS the adopted pair itself; they stop the batch and are
+      taken via the always-exact single-adopt fallback.
+    """
+    used: set[str] = set()
+    stop = len(rows)
+    for i, row in enumerate(rows):
+        if (
+            i >= want
+            or row["l"] == row["r"]
+            or row["l"] in used
+            or row["r"] in used
+        ):
+            stop = i
+            break
+        used.add(row["l"])
+        used.add(row["r"])
+    # counts at/after the stop position bound every competitor the
+    # adopted prefix must beat; if the collected page ends cleanly the
+    # tail (if any) is bounded by the last row seen
+    c_stop = int(rows[stop]["cnt"]) if stop < len(rows) else (
+        int(rows[-1]["cnt"]) if rows else 0
+    )
+    batch = [row for row in rows[:stop] if int(row["cnt"]) > c_stop]
+    # progress guarantee: adopting only the argmax is plain sequential
+    # BPE and needs no guard
+    return batch or rows[:1]
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int, page: int = 64
+):
+    """Shared trainer: returns (merges, n_scans). Each scan counts pairs
+    once and adopts the provably-safe batch (see _bpe_safe_batch)."""
     d = table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(tokenize("text")).alias("word"))
@@ -953,8 +986,9 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
         ).alias("syms"),
     ).localCheckpoint(eager=True)
-    merges = []
-    for rank in range(1, 6):
+    merges: list[tuple[int, str, str, int]] = []
+    scans = 0
+    while len(merges) < n_merges:
         pairs = vocab.select(
             "wc",
             F.explode(
@@ -970,21 +1004,63 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.groupBy("l", "r")
             .agg(F.sum("wc").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(1)
+            .limit(page)  # bounded driver page (TakeOrderedAndProject)
             .collect()
         )
+        scans += 1
         if not top:
             break
-        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
-        merges.append((rank, l, r, int(cnt)))
-        if "'" in l + r or "\\" in l + r:
-            # symbols embed in the fold expression below as SQL string
-            # literals; the fixture vocabulary is alphanumeric, so a
-            # quote/backslash means something upstream changed — fail
-            # loudly rather than emit a broken expression
-            raise ValueError(f"unescapable BPE symbol pair: {l!r},{r!r}")
-        # left-to-right non-overlapping merge fold, pure column algebra
-        vocab = _apply_merge(vocab, l, r).localCheckpoint(eager=True)
+        batch = _bpe_safe_batch(top, n_merges - len(merges))
+        for row in batch:
+            l, r = row["l"], row["r"]
+            if "'" in l + r or "\\" in l + r:
+                # symbols embed in the fold expression below as SQL
+                # string literals; the fixture vocabulary is
+                # alphanumeric, so a quote/backslash means something
+                # upstream changed — fail loudly rather than emit a
+                # broken expression
+                raise ValueError(
+                    f"unescapable BPE symbol pair: {l!r},{r!r}"
+                )
+            merges.append((len(merges) + 1, l, r, int(row["cnt"])))
+            # left-to-right non-overlapping fold, pure column algebra;
+            # batch folds chain into ONE job, checkpointed once below
+            vocab = _apply_merge(vocab, l, r)
+        vocab = vocab.localCheckpoint(eager=True)
+    return merges, scans
+
+
+@register("text_bpe_train_merges")  # rows-only: per-iteration argmax over
+# merged state is not expressible as one SQL query; tests/test_quality.py
+# pins merge 1 against an exact SQL pair count, batched-vs-sequential
+# equivalence, determinism, and monotone-count invariants
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, distributed: learn the first 5 merge
+    rules over the corpus — count adjacent symbol pairs (weighted by
+    word frequency), adopt the most frequent as new symbols, rewrite
+    the vocabulary, repeat. This is the actual algorithm behind
+    GPT/Llama tokenizers (Sennrich et al., 2016), expressed as keyed
+    DataFrame algebra, with output bit-identical to strict one-at-a-time
+    sequential BPE.
+
+    Scale design — the two-level trick real BPE trainers use: the
+    corpus collapses ONCE into (word, count) — vocabulary-sized, which
+    is bounded by the language, not the corpus — and every SCAN runs
+    over that collapsed table: adjacent pairs via an in-row arrays_zip
+    of two slices (no explode join), one map-side-combined weighted
+    count, a bounded top-page collect (the k-means doctrine), and
+    in-row left-to-right folds rewriting each word's symbols. Each scan
+    adopts a BATCH of merges — the longest disjoint prefix of the pair
+    ranking that is provably equivalent to adopting them sequentially
+    (_bpe_safe_batch) — so a 32k-merge production vocabulary costs
+    ~vocab/batch scans (tens of merges per scan on natural text), NOT
+    32k sequential Spark jobs; the adversarial worst case (every top
+    pair sharing symbols) degrades gracefully to one merge per scan,
+    which is plain sequential BPE. localCheckpoint once per scan keeps
+    the plan flat (the connected-components lesson). Output:
+    (merge_rank, left, right, pair_count) — deterministic via
+    (count DESC, left, right) tie-breaks, so reruns are bit-identical."""
+    merges, _ = _bpe_train(spark, sf_dir, n_merges=5)
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
