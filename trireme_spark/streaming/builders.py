@@ -328,9 +328,15 @@ def tws_available() -> bool:
     established the fallback cannot apply: ``import google`` itself
     raises ModuleNotFoundError — the protobuf package is absent
     entirely, not miscompiled — and installs are off-limits, so there
-    is no pure-Python implementation to select. The env var is still
-    set on the retry path for environments where the C extension is
-    what's broken."""
+    is no pure-Python implementation to select. Notably pyspark DOES
+    ship the generated message module the state server needs
+    (pyspark/sql/streaming/proto/StateMessage_pb2.py) — the gap is
+    solely the ``google.protobuf`` runtime it imports, so any env that
+    provides protobuf (C or pure-Python) makes this probe return True
+    with no code change here, the conditional key registers, and
+    tests/test_streaming.py::test_transform_with_state_matches_batch
+    runs instead of skipping. The env var is still set on the retry
+    path for environments where the C extension is what's broken."""
     import importlib
     import os
 
