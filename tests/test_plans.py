@@ -621,3 +621,30 @@ def test_prefix_vocab_broadcast_is_size_gated(spark, monkeypatch):
         assert "BroadcastExchange" not in p_large
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_containment_vocab_broadcast_is_size_gated(spark, monkeypatch):
+    """candidate_pairs_containment: same contract as the prefix test —
+    the corpus document-frequency table rides broadcast_if_small, so a
+    corpus-scale size estimate must push the rarity-ordering join to a
+    plain shuffle (no BroadcastExchange anywhere in the candidate plan)."""
+    from trireme_spark.operators import hints, similarity
+
+    docs = table(spark, SF_SMOKE, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("sset"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_small = plan(
+            similarity.candidate_pairs_containment(docs, docs, 0.8)
+        )
+        assert "BroadcastExchange" in p_small
+        monkeypatch.setattr(hints, "plan_size_bytes", lambda _df: 1 << 62)
+        p_large = plan(
+            similarity.candidate_pairs_containment(docs, docs, 0.8)
+        )
+        assert "BroadcastExchange" not in p_large
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

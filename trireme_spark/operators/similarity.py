@@ -656,7 +656,7 @@ def candidate_pairs_containment(
     )
     df_counts = c_elems.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
-        q_elems.join(F.broadcast(df_counts), "s", "left")
+        q_elems.join(broadcast_if_small(df_counts), "s", "left")
         .select("qid", "s", F.coalesce("df", F.lit(0)).alias("df"))
         .groupBy("qid")
         .agg(

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from trireme_spark.functions.text import STOPWORDS, tokenize
+from trireme_spark.operators.hints import broadcast_if_small
 from trireme_spark.operators.similarity import shingles
 from trireme_spark.parity import DSCALE, davg, dsum, meta_part, oracle_avg, oracle_sum
 from trireme_spark.registry import register
@@ -434,10 +435,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     their vocabulary is (rare-word soup scores low, common prose high).
 
     Scale design: the LM "training" is one map-side-combined groupBy over
-    the exploded tokens; scoring joins the vocabulary back (broadcast
-    here — the distinct-token vocab is dimension-sized at graded sf; if a
-    100 TB vocab outgrew broadcast, drop the hint and it degrades to a
-    shuffle join, nothing else changes). Per-token ln values are decimal-
+    the exploded tokens; scoring joins the vocabulary back via
+    ``broadcast_if_small`` — the distinct-token vocab is small at graded
+    sf so the hint applies, but it grows Heaps-law with the corpus, so
+    past the size gate the join automatically degrades to a shuffle
+    equi-join, nothing else changes. Per-token ln values are decimal-
     quantized before the sum (parity.py) so the per-doc mean is
     order-independent; the final ROUND(4) absorbs cross-engine ln() ulp
     drift."""
@@ -449,7 +451,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(27,6)"
     )
     return (
-        terms.join(F.broadcast(vocab), "term")
+        terms.join(broadcast_if_small(vocab), "term")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -1532,8 +1534,8 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pc.where(F.col("n12") >= _PMI_MIN_N)
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(broadcast_if_small(u1), "w1")
+        .join(broadcast_if_small(u2), "w2")
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "n12", pmi.alias("pmi"))
         .orderBy(F.col("pmi").desc(), "w1", "w2")
@@ -1659,7 +1661,7 @@ def text_extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.lit(float(n_docs)) / F.col("df")), 12
     ).cast("decimal(38,12)")
     scored = (
-        stok.join(F.broadcast(df_t), "tok")
+        stok.join(broadcast_if_small(df_t), "tok")
         .groupBy("doc_id", "sent")
         .agg(
             F.round(
