@@ -648,3 +648,39 @@ def test_containment_vocab_broadcast_is_size_gated(spark, monkeypatch):
         assert "BroadcastExchange" not in p_large
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _rows_canon(df):
+    return sorted(repr(tuple(r)) for r in df.collect())
+
+
+import pytest as _pytest  # noqa: E402
+
+_GATED_KEYS = [
+    # every registered key whose plan rides broadcast_if_small on a
+    # corpus-derived table; the claim "past the gate it degrades to a
+    # shuffle join, nothing else changes" is a RESULT claim, so prove it
+    # on results, not just plan shape
+    "dedup_fuzzy_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "text_unigram_logprob",
+    "text_collocations_pmi",
+    "text_extractive_summary",
+]
+
+
+@_pytest.mark.parametrize("key", _GATED_KEYS)
+def test_gate_fallback_results_identical(spark, key, monkeypatch):
+    """broadcast_if_small A/B at sf0.001: the broadcast fast path and the
+    over-the-gate shuffle fallback must return IDENTICAL rows — the gate
+    may only ever change join strategy, never semantics. Every value in
+    these pipelines is decimal-quantized/rounded order-independently
+    (parity.py doctrine), so the comparison is exact, not approximate."""
+    from trireme_spark.operators import hints
+
+    fn = registry.QUERIES[key]
+    fast = _rows_canon(fn(spark, SF_SMOKE))
+    monkeypatch.setattr(hints, "plan_size_bytes", lambda _df: 1 << 62)
+    slow = _rows_canon(fn(spark, SF_SMOKE))
+    assert fast == slow
