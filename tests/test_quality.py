@@ -649,14 +649,14 @@ def test_bpe_encode_lossless_and_compressive(spark):
 def test_deletion_vector_sidecar_is_positional(spark):
     """etl_deletion_vectors: the sidecar on disk holds ONLY (file,
     position) — no keys, no payload (the content-agnostic DV contract)
-    — and the read path drops every flagged position."""
-    import os
-    import tempfile
+    — and the read path drops every flagged position. The sidecar lives
+    under the per-process staging path (sources/io.staging_dir — this
+    test hard-coded the pre-r6 shared path and kept passing off a
+    leftover /tmp dir until the container was recycled)."""
+    from trireme_spark.sources.io import staging_dir
 
     registry.QUERIES["etl_deletion_vectors"](spark, SF_SMOKE).collect()
-    tag = os.path.basename(SF_SMOKE.rstrip("/"))
-    dv_path = os.path.join(tempfile.gettempdir(), f"trireme_dv_sidecar_{tag}")
-    sidecar = spark.read.parquet(dv_path)
+    sidecar = spark.read.parquet(staging_dir("dv_sidecar", SF_SMOKE))
     assert sorted(sidecar.columns) == ["__file", "__pos"]
     assert sidecar.count() > 0
 
@@ -713,14 +713,14 @@ def test_parquet_codecs_reach_disk(spark):
     part files carry the codec extension and sizes genuinely differ."""
     import glob
     import os
-    import tempfile
+
+    from trireme_spark.sources.io import staging_dir
 
     registry.QUERIES["sink_parquet_codecs"](spark, SF_SMOKE).collect()
-    tag = os.path.basename(SF_SMOKE.rstrip("/"))
     sizes = {}
     for c, ext in [("zstd", "zstd"), ("snappy", "snappy"), ("gzip", "gz")]:
         parts = glob.glob(
-            os.path.join(tempfile.gettempdir(), f"trireme_codec_{c}_{tag}", "part-*")
+            os.path.join(staging_dir(f"codec_{c}", SF_SMOKE), "part-*")
         )
         assert parts, c
         assert all(f".{ext}.parquet" in p for p in parts), (c, parts[:2])
