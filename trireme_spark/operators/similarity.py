@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from trireme_spark.functions.text import let
 from trireme_spark.operators.hints import broadcast_if_small
 
 
@@ -34,18 +35,28 @@ def shingles(tokens: Column, k: int = 3) -> Column:
     """k-word shingles from a token array (empty if fewer than k tokens).
 
     Guarded, not clamped: ``sequence(1, 0)`` is DESCENDING ``[1, 0]`` in
-    Spark, so the un-guarded form fabricates shingles for short inputs."""
-    idx = F.sequence(F.lit(1), F.size(tokens) - (k - 1))
-    return F.when(
-        F.size(tokens) < k, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens, i + j) for j in range(k)]
-            ),
+    Spark, so the un-guarded form fabricates shingles for short inputs.
+
+    ``tokens`` is let-bound (functions/text.let) so the caller may pass a
+    raw expression chain (``split(lower(text))``): the chain evaluates
+    once per row, not once per captured element — without the binding,
+    CollapseProject inlines it into each of the k element_at sites inside
+    the lambda and the tokenizer re-runs O(k·L) times per row."""
+
+    def build(ts: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(ts) - (k - 1))
+        return F.when(
+            F.size(ts) < k, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(ts, i + j) for j in range(k)]
+                ),
+            )
         )
-    )
+
+    return let(tokens, build)
 
 
 def minhash_signature(shingle_set: Column, n_perm: int = 64) -> Column:
@@ -53,11 +64,16 @@ def minhash_signature(shingle_set: Column, n_perm: int = 64) -> Column:
 
     Hash family: h_i(s) = xxhash64(s, i) — one JVM hash call per
     (shingle, permutation), evaluated inside codegen; the signature for a
-    doc with S shingles costs S·n_perm hashes, no shuffle."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_perm - 1)),
-        lambda i: F.array_min(
-            F.transform(shingle_set, lambda s: F.xxhash64(s, i))
+    doc with S shingles costs S·n_perm hashes, no shuffle. The set is
+    let-bound so a raw shingle expression evaluates once per row, not
+    once per permutation."""
+    return let(
+        shingle_set,
+        lambda ss: F.transform(
+            F.sequence(F.lit(0), F.lit(n_perm - 1)),
+            lambda i: F.array_min(
+                F.transform(ss, lambda s: F.xxhash64(s, i))
+            ),
         ),
     )
 
