@@ -111,20 +111,25 @@ def lsh_band_keys(sig: Column, bands: int = 8, rows: int = 8) -> Column:
 
     Two docs sharing any band key become candidates; for t≈(1/bands)^(1/rows)
     (~0.77 for 8×8) the S-curve catches J ≥ 0.8 pairs with high probability.
+    ``sig`` is let-bound: a raw signature expression evaluates once per
+    row, not once per band slice.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(sig, b * rows + 1, rows),
-                        lambda v: v.cast("string"),
-                    ),
-                )
-            ).alias("bucket"),
+    return let(
+        sig,
+        lambda sg: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(sg, b * rows + 1, rows),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ).alias("bucket"),
+            ),
         ),
     )
 
