@@ -39,6 +39,10 @@ SLICE = [
     ("text_decontaminate", 30),
     ("lineitem_market_basket", 45),
     ("win_range_frame_distributed", 30),
+    # r7: the HOF capture-inlining trap (shingles re-running the
+    # tokenizer per element) surfaced HERE first — 35.8 s before the
+    # let-binding fix, ~11 s cold after; the budget holds the fixed cost
+    ("text_ngram_novelty", 30),
 ]
 
 

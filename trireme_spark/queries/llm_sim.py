@@ -54,19 +54,16 @@ def _duck_dot(a: str, b: str) -> str:
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     n_parts = spark.sparkContext.defaultParallelism
-    # The repartition between tokenize and shingling is a deliberate
-    # optimization barrier, not just parallelism: Catalyst inlines projected
-    # expressions into higher-order-function lambdas (no CSE inside lambda
-    # eval), so without it the regex split re-executes for every element_at
-    # reference per shingle — measured 18× slower. The exchange makes
-    # ``toks`` a materialized attribute. It also spreads the single-file
-    # fixture scan; at real scale the scan is already partitioned.
-    toks = (
-        d.repartition(n_parts, "doc_id")  # CPU-bound: don't inherit
-        .select("doc_id", tokenize("text").alias("toks"))  # input splits
-        .where(F.size(tokenize("text")) >= 3)
-        .repartition(n_parts, "doc_id")
-    )
+    # One repartition, for parallelism only: the single-file fixture scan
+    # arrives as one input split and the shingling below is CPU-bound; at
+    # real scale the scan is already partitioned. (A second repartition
+    # used to sit between tokenize and shingling as a CSE barrier —
+    # Catalyst inlines projected expressions into HOF lambdas, re-running
+    # the regex split per element_at, measured 18× slower — but
+    # shingles() now let-binds its input, so the barrier shuffle is gone.)
+    toks = d.repartition(n_parts, "doc_id").select(
+        "doc_id", tokenize("text").alias("toks")
+    ).where(F.size(tokenize("text")) >= 3)
     return toks.select(
         "doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("sset")
     )
@@ -226,7 +223,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt = (
         d.select("doc_id", F.lower("text").alias("lt"))
         .where(F.length("lt") >= 4)
-        .repartition(n_parts, "doc_id")  # barrier: see _shingle_sets
+        .repartition(n_parts, "doc_id")  # parallelism: spread the
+        # single-split fixture scan before the CPU-bound n-gram hashing
+        # (char_ngrams let-binds its input now, so no CSE barrier needed)
     )
     keyed = lt.select(
         "doc_id",
