@@ -90,7 +90,7 @@ import __spark_entry__ as e  # noqa: E402
 
 qs = e.queries()
 t0 = time.time()
-slow, fails = [], []
+slow, fails, timed = [], [], []
 for k, fn in qs.items():
     # NOTE: caches deliberately persist across keys — identical cached
     # subtrees (the shingle-set scan every dedup key shares) hit the same
@@ -104,6 +104,7 @@ for k, fn in qs.items():
         fails.append((k, f"{type(ex).__name__}: {str(ex)[:200]}"))
         continue
     dt = time.time() - t1
+    timed.append((dt, k))
     budget = BUDGET_S * (
         10 if k in HEAVY_10X else 3 if k in HEAVY_3X else 1
     )
@@ -111,6 +112,10 @@ for k, fn in qs.items():
         slow.append((k, round(dt, 1), budget))
 
 print(f"TOTAL {time.time() - t0:.1f}s for {len(qs)} keys at {SF_DIR}")
+# near-budget telemetry: the next capture-inlining-class regression
+# shows up here as a creeping cold time long before it breaches budget
+for dt, k in sorted(timed, reverse=True)[:10]:
+    print(f"TOP {k}: {dt:.1f}s")
 for k, msg in fails:
     print(f"FAIL {k}: {msg}")
 for k, dt, budget in slow:
