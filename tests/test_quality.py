@@ -5,6 +5,8 @@ property-based spot checks.
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -679,7 +681,8 @@ def test_ewma_matches_sequential_fold(spark):
     y = None
     for e in ev:
         y = e["value"] if y is None else 0.3 * e["value"] + 0.7 * y
-        assert abs(got[e["event_id"]] - round(y, 6)) < 1e-9
+        # emission is the tie-free floor-quantize (parity.fquant)
+        assert got[e["event_id"]] == math.floor(y * 1e6) / 1e6
 
 
 def test_jdbc_read_is_partitioned(spark):

@@ -51,6 +51,33 @@ def oracle_avg(sql_expr: str) -> str:
     return f"{oracle_sum(sql_expr)} / COUNT(*)"
 
 
+def fquant(expr: Column | str, digits: int = 6) -> Column:
+    """Floor-quantize a double at 10^-digits — the TIE-FREE cross-engine
+    rounding for values that are bit-identical in both engines.
+
+    ``ROUND(x, 6)`` is NOT cross-engine-deterministic even on identical
+    doubles: Spark rounds the double's SHORTEST decimal repr half-up
+    (``BigDecimal.valueOf``), DuckDB rounds the exact binary value. A
+    recursive chain over 2-decimal inputs with decimal constants (0.3x +
+    0.7y) produces early-step values whose shortest repr has exactly 7
+    fractional digits ending in 5 — a genuine tie, resolved differently:
+    observed at sf0.1, ewma = 66.2913725 (binary ...724999994) → Spark
+    66.291373, DuckDB 66.291372. ``FLOOR(x*1e6)/1e6`` has no tie concept:
+    multiply, floor, divide are single IEEE ops on identical operands, so
+    both engines agree for EVERY input at EVERY scale. Requires
+    |x|·10^digits < 2^53.
+    Oracle mirror: :func:`oracle_fquant`.
+    """
+    c = F.col(expr) if isinstance(expr, str) else expr
+    s = F.lit(float(10**digits))
+    return F.floor(c * s) / s
+
+
+def oracle_fquant(sql_expr: str, digits: int = 6) -> str:
+    """DuckDB mirror of :func:`fquant`."""
+    return f"FLOOR(({sql_expr}) * 1e{digits}) / 1e{digits}"
+
+
 def ts_ms(col: Column | str) -> Column:
     """Truncate a timestamp to millisecond precision (ns/µs parity)."""
     c = F.col(col) if isinstance(col, str) else col

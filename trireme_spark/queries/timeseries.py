@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from trireme_spark.parity import DSCALE, dsum, meta_part, oracle_sum
+from trireme_spark.parity import (
+    DSCALE,
+    dsum,
+    fquant,
+    meta_part,
+    oracle_sum,
+)
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -1916,7 +1922,7 @@ WITH RECURSIVE seq AS (
   SELECT s.user_id, s.event_id, s.rn, 0.3 * s.value + 0.7 * r.ewma
   FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
 )
-SELECT user_id, event_id, ROUND(ewma, 6) AS ewma FROM r
+SELECT user_id, event_id, FLOOR(ewma * 1e6) / 1e6 AS ewma FROM r
 """
 
 
@@ -1933,8 +1939,10 @@ def ts_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor memory, state is one double. The fold is written as the
     LITERAL expression `0.3*x + 0.7*y` (not pandas .ewm, whose
     normalized form divides by (0.3+0.7) ≠ 1.0 in IEEE double) so the
-    operation sequence is bit-identical to the oracle's recursive CTE
-    and ROUND(6) compares exact values, not tolerances. The documented
+    operation sequence is bit-identical to the oracle's recursive CTE;
+    outputs floor-quantize at 1e-6 (parity.fquant — ROUND(6) ties on
+    short-repr chain values resolve differently cross-engine, observed
+    at sf0.1: 66.2913725). The documented
     degenerate case — ONE giant key — is real but benign here: a single
     user's history fits any executor; a per-(user, era) re-anchored
     variant is the unbounded-history swap."""
@@ -1961,7 +1969,7 @@ def ts_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .applyInPandas(fold, "user_id long, event_id long, ewma double")
-        .select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))
+        .select("user_id", "event_id", fquant("ewma").alias("ewma"))
     )
 
 
@@ -2046,7 +2054,7 @@ WITH RECURSIVE seq AS (
          GREATEST(0.0, r.cusum + s.value - {_CUSUM_TARGET})
   FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
 )
-SELECT user_id, event_id, ROUND(cusum, 6) AS cusum,
+SELECT user_id, event_id, FLOOR(cusum * 1e6) / 1e6 AS cusum,
        cusum > {_CUSUM_H} AS alarm
 FROM r
 """
@@ -2063,8 +2071,9 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same machinery as ts_ewma_smoothing: applyInPandas fold (sequential
     per user, parallel across users, O(1) state), the fold written as
     the LITERAL `max(0, s + x − target)` so the double-op sequence is
-    bit-identical to the oracle's recursive CTE — ROUND(6) compares
-    exact values. The reset-to-zero clamp also bounds numeric growth,
+    bit-identical to the oracle's recursive CTE — outputs floor-quantize
+    (parity.fquant, tie-free cross-engine). The reset-to-zero clamp
+    also bounds numeric growth,
     so unlike EWMA's closed forms there is no overflow-prone rewrite
     to even be tempted by."""
     import pandas as pd
@@ -2093,7 +2102,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.round("cusum", 6).alias("cusum"),
+            fquant("cusum").alias("cusum"),
             (F.col("cusum") > _CUSUM_H).alias("alarm"),
         )
     )
@@ -2765,9 +2774,9 @@ WITH RECURSIVE seq AS (
            + (1 - {_HOLT_B}) * r.trd
   FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
 )
-SELECT user_id, event_id, ROUND(lvl, 6) AS level,
-       ROUND(trd, 6) AS trend,
-       ROUND(lvl + trd, 6) AS forecast_next
+SELECT user_id, event_id, FLOOR(lvl * 1e6) / 1e6 AS level,
+       FLOOR(trd * 1e6) / 1e6 AS trend,
+       FLOOR((lvl + trd) * 1e6) / 1e6 AS forecast_next
 FROM r
 """
 
@@ -2784,7 +2793,8 @@ def ts_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering the fold and the CTE must agree on exactly, and do).
 
     Same literal-expression bit parity as EWMA/CUSUM: identical
-    double ops in identical order, ROUND(6) compares exact values.
+    double ops in identical order; outputs floor-quantize
+    (parity.fquant, tie-free cross-engine).
     Sequential per user, parallel across users, O(1) state."""
     import pandas as pd
 
@@ -2823,9 +2833,9 @@ def ts_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.round("lvl", 6).alias("level"),
-            F.round("trd", 6).alias("trend"),
-            F.round(F.col("lvl") + F.col("trd"), 6).alias("forecast_next"),
+            fquant("lvl").alias("level"),
+            fquant("trd").alias("trend"),
+            fquant(F.col("lvl") + F.col("trd")).alias("forecast_next"),
         )
     )
 
@@ -3022,7 +3032,7 @@ WITH RECURSIVE seq AS (
   FROM seq JOIN r ON seq.user_id = r.user_id AND seq.rn = r.rn
 )
 SELECT user_id, event_id, value,
-       ROUND(baseline, 6) AS baseline,
+       FLOOR(baseline * 1e6) / 1e6 AS baseline,
        ABS(value - baseline) > width AS out_of_control
 FROM joined CROSS JOIN lim
 WHERE baseline IS NOT NULL
@@ -3093,7 +3103,7 @@ def ts_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "value",
-        F.round("baseline", 6).alias("baseline"),
+        fquant("baseline").alias("baseline"),
         (F.abs(F.col("value") - F.col("baseline")) > F.col("width")).alias(
             "out_of_control"
         ),
@@ -4101,8 +4111,9 @@ WITH RECURSIVE h AS (
                + (1 - {_HW_G}) * r.s[1])
   FROM r JOIN seq q ON q.rn = r.rn + 1
 )
-SELECT CAST(hr AS VARCHAR) AS hr, ROUND(lvl, 6) AS level,
-       ROUND(trd, 6) AS trend, ROUND(seas_used, 6) AS seas_used
+SELECT CAST(hr AS VARCHAR) AS hr, FLOOR(lvl * 1e6) / 1e6 AS level,
+       FLOOR(trd * 1e6) / 1e6 AS trend,
+       FLOOR(seas_used * 1e6) / 1e6 AS seas_used
 FROM r
 """
 
@@ -4121,8 +4132,8 @@ def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: the oracle is a recursive CTE carrying a LIST column
     (rotate = slice+append); the Spark fold mirrors every double op
-    in order, so ROUND(6) compares exact values — bit-parity proven
-    to survive vector state.
+    in order, and outputs floor-quantize (parity.fquant, tie-free
+    cross-engine) — bit-parity proven to survive vector state.
 
     Scale: ONE dimension-sized series folds sequentially (that is the
     recurrence's nature); across keys the same fold parallelizes per
@@ -4174,9 +4185,9 @@ def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("hr").cast("string").alias("hr"),
-            F.round("lvl", 6).alias("level"),
-            F.round("trd", 6).alias("trend"),
-            F.round("seas_used", 6).alias("seas_used"),
+            fquant("lvl").alias("level"),
+            fquant("trd").alias("trend"),
+            fquant("seas_used").alias("seas_used"),
         )
     )
 
@@ -5435,24 +5446,24 @@ idx AS (
 freqs AS (SELECT unnest(range(1, 15)) AS k),
 terms AS (
   SELECT f.k,
-         CAST(ROUND((i.rev - i.mu)
-              * cos(2 * pi() * f.k * i.t / i.n), 6)
-              AS DECIMAL(27,6)) AS ct,
-         CAST(ROUND((i.rev - i.mu)
-              * sin(2 * pi() * f.k * i.t / i.n), 6)
-              AS DECIMAL(27,6)) AS st,
+         CAST(FLOOR((i.rev - i.mu)
+              * (FLOOR(cos(2 * pi() * f.k * i.t / i.n) * 1e8) / 1e8)
+              * 1e6) AS BIGINT) AS ct,
+         CAST(FLOOR((i.rev - i.mu)
+              * (FLOOR(sin(2 * pi() * f.k * i.t / i.n) * 1e8) / 1e8)
+              * 1e6) AS BIGINT) AS st,
          i.n
   FROM idx i CROSS JOIN freqs f
 ),
 pw AS (
   SELECT k, MAX(n) AS n,
-         CAST(SUM(ct) AS DOUBLE) AS sc,
-         CAST(SUM(st) AS DOUBLE) AS ss
+         CAST(SUM(ct) AS DOUBLE) / 1e6 AS sc,
+         CAST(SUM(st) AS DOUBLE) / 1e6 AS ss
   FROM terms GROUP BY k
 )
 SELECT k AS harmonic,
-       ROUND(CAST(n AS DOUBLE) / k, 2) AS period_days,
-       ROUND((sc * sc + ss * ss) / n, 2) AS power
+       FLOOR(CAST(n AS DOUBLE) / k * 100) / 100 AS period_days,
+       FLOOR((sc * sc + ss * ss) / n * 100) / 100 AS power
 FROM pw
 """
 
@@ -5470,9 +5481,12 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTRIBUTED weighted sums — the day-levelled series crosses the
     14-row frequency table (bounded fan-out) and everything reduces in
     one keyed aggregation; no FFT, no global order beyond the day
-    index (two-pass machinery at corpus scale). Per-term products
-    ROUND(6) into decimal sums; cos/sin of identical doubles agree
-    cross-engine at that quantization."""
+    index (two-pass machinery at corpus scale). Parity: cos/sin of
+    identical doubles differ by 1 ULP between the JVM and libm, so
+    both floor-quantize at 1e-8 BEFORE the product (flip probability
+    ~1e-8/term); terms then floor-quantize into exact BIGINT sums
+    (order-independent), and outputs floor-quantize (parity.fquant
+    doctrine — ROUND ties resolve differently cross-engine)."""
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.col("o_orderdate").cast("date").alias("day")
@@ -5495,24 +5509,24 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = idx.crossJoin(F.broadcast(freqs)).select(
         "k",
         "n",
-        F.round((F.col("rev") - F.col("mu")) * F.cos(ang), 6)
-        .cast(DSCALE)
-        .alias("ct"),
-        F.round((F.col("rev") - F.col("mu")) * F.sin(ang), 6)
-        .cast(DSCALE)
-        .alias("st"),
+        F.floor(
+            (F.col("rev") - F.col("mu")) * fquant(F.cos(ang), 8) * 1e6
+        ).alias("ct"),
+        F.floor(
+            (F.col("rev") - F.col("mu")) * fquant(F.sin(ang), 8) * 1e6
+        ).alias("st"),
     )
     pw = terms.groupBy("k").agg(
         F.max("n").alias("n"),
-        F.sum("ct").cast("double").alias("sc"),
-        F.sum("st").cast("double").alias("ss"),
+        (F.sum("ct").cast("double") / 1e6).alias("sc"),
+        (F.sum("st").cast("double") / 1e6).alias("ss"),
     )
     return pw.select(
         F.col("k").alias("harmonic"),
-        F.round(F.col("n").cast("double") / F.col("k"), 2).alias(
+        fquant(F.col("n").cast("double") / F.col("k"), 2).alias(
             "period_days"
         ),
-        F.round(
+        fquant(
             (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
             / F.col("n"),
             2,
@@ -5556,11 +5570,16 @@ r AS (
   SELECT s.l_partkey, s.rn, s.d,
          CASE WHEN s.d > 0 THEN
            CASE WHEN r.z IS NULL THEN s.d
-                ELSE ROUND(0.2 * s.d + 0.8 * r.z, 9) END
+                ELSE FLOOR((0.2 * s.d + 0.8 * r.z) * 1e9) / 1e9 END
          ELSE r.z END,
          CASE WHEN s.d > 0 THEN
            CASE WHEN r.z IS NULL THEN 1.0
-                ELSE ROUND(0.2 * (r.gap + 1) + 0.8 * r.p, 9) END
+                -- CAST: decimal-literal × integer is EXACT decimal in
+                -- DuckDB (0.2*39 = 7.8, not fl(0.2·39.0)); force the
+                -- IEEE double product the Python fold computes
+                ELSE FLOOR((0.2 * CAST(r.gap + 1 AS DOUBLE) + 0.8 * r.p)
+                           * 1e9) / 1e9
+           END
          ELSE r.p END,
          CASE WHEN s.d > 0 THEN 0 ELSE r.gap + 1 END
   FROM r JOIN spine s
@@ -5572,9 +5591,9 @@ fin AS (
                             ORDER BY rn DESC) AS rev
   FROM r
 )
-SELECT l_partkey, ROUND(z, 6) AS demand_size_est,
-       ROUND(p, 6) AS interval_est,
-       ROUND(z / p, 6) AS croston_forecast
+SELECT l_partkey, FLOOR(z * 1e6) / 1e6 AS demand_size_est,
+       FLOOR(p * 1e6) / 1e6 AS interval_est,
+       FLOOR(z / p * 1e6) / 1e6 AS croston_forecast
 FROM fin WHERE rev = 1 AND z IS NOT NULL
 """
 
@@ -5595,7 +5614,10 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
     doctrine) over a part×week spine built with one keyed agg + a
     bounded cross join; state is two doubles + a gap counter. Fold
     arithmetic is the LITERAL expression sequence the recursive CTE
-    mirrors (9dp rounds at each update), so values match exactly."""
+    mirrors (9dp floor-quantize at each update — tie-free cross-engine,
+    see parity.fquant), so values match exactly."""
+    import math
+
     import pandas as pd
 
     li = table(spark, sf_dir, "lineitem").where(
@@ -5626,8 +5648,8 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if z is None:
                     z, p = d, 1.0
                 else:
-                    z = round(0.2 * d + 0.8 * z, 9)
-                    p = round(0.2 * (gap + 1) + 0.8 * p, 9)
+                    z = math.floor((0.2 * d + 0.8 * z) * 1e9) / 1e9
+                    p = math.floor((0.2 * (gap + 1) + 0.8 * p) * 1e9) / 1e9
                 gap = 0
             else:
                 gap += 1
@@ -5640,9 +5662,9 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "l_partkey": [key],
-                "demand_size_est": [round(z, 6)],
-                "interval_est": [round(p, 6)],
-                "croston_forecast": [round(z / p, 6)],
+                "demand_size_est": [math.floor(z * 1e6) / 1e6],
+                "interval_est": [math.floor(p * 1e6) / 1e6],
+                "croston_forecast": [math.floor(z / p * 1e6) / 1e6],
             }
         )
 
