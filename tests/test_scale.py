@@ -61,3 +61,26 @@ def test_scale_slice(spark, key, budget):
         "check for a de-optimized plan (scripts/scale_sweep.py for the "
         "full sweep)"
     )
+
+
+# r7: 4 keys were correct at the driver's sf0.01 gate but diverged from
+# the oracle at sf0.1 — more rows means more draws in the rounding
+# lottery (Spark ROUND ties on shortest-repr vs DuckDB exact-binary;
+# JVM-vs-libm cos 1-ULP). Fixed via the parity.fquant floor-quantize
+# doctrine; these two representatives (one per failure class) pin
+# VALUE parity at 10x the grading scale so a reintroduced ROUND or an
+# unquantized transcendental trips the default suite, not just the
+# out-of-band sf0.1 oracle pass.
+PARITY_AT_SCALE = [
+    "ts_ewma_smoothing",  # recursive chain → ROUND-tie class
+    "ts_periodogram",  # cos/sin ULP + large-magnitude sum class
+]
+
+
+@pytest.mark.scale
+@pytest.mark.parametrize("key", PARITY_AT_SCALE)
+def test_oracle_parity_at_scale(spark, key):
+    from tests.conftest import assert_matches_oracle
+
+    df = registry.QUERIES[key](spark, SF_SCALE)
+    assert_matches_oracle(df, registry.ORACLES[key], SF_SCALE)
