@@ -53,6 +53,12 @@ HEAVY_3X = {
     # asymmetric prefix candidates + two verify joins over staged
     # shingle tables: 11.9 s cold at sf0.1
     "dedup_containment",
+    # bounded-frame pandas UDAF re-materializes the frame per row
+    # through Arrow by design (SURVEY x11 cost-honesty note): measured
+    # 11.9 s cold / 6.3 s warm at sf0.1 in isolation on the r7 host —
+    # sits on the 1× budget boundary; a quadratic regression would
+    # still blow through 3×
+    "udaf_pandas_window",
     "etl_training_corpus",
     "doc_fingerprint",
     "stream_stateful",
