@@ -415,10 +415,20 @@ def stateful_sessions_event_timeout(events: DataFrame) -> DataFrame:
                     start, last, n = min(start, t), max(last, t), n + 1
             if last is not None:
                 state.update((start, last, n))
-                # ms, and must sit beyond the current watermark — holds
-                # because staged files arrive in event-time order
+                # ms, and Spark rejects a timeout at-or-before the
+                # current watermark. Event-time order of the staged
+                # files makes last+gap > watermark in the common case,
+                # but the margin is not TZ-invariant (the Arrow wall-
+                # clock epoch and the JVM watermark epoch can skew by
+                # the session-tz offset), so clamp: a session whose
+                # gap deadline the watermark already passed must close
+                # at the very next opportunity, which is exactly what
+                # watermark+1 requests.
                 state.setTimeoutTimestamp(
-                    (last + _SESSION_GAP_US) // 1000
+                    max(
+                        (last + _SESSION_GAP_US) // 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
                 )
         else:
             if last is not None:
@@ -497,15 +507,20 @@ def stage_events_files_with_sentinels(
             shutil.copy2(
                 os.path.join(base_dir, fn), os.path.join(out, fn)
             )
-        max_ts = (
-            table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+        # The sentinel timestamp must NOT round-trip through a Python
+        # datetime (collect + createDataFrame interpret naive datetimes
+        # through process-local conversions, so the staged epoch would
+        # drift with the host TZ — found by an alternate-TZ driver-sim
+        # in r7). Build the rows JVM-side: max(ts) stays a Spark
+        # timestamp end-to-end and the staged epoch is TZ-invariant.
+        max_ts_df = table(spark, sf_dir, "events").agg(
+            F.max("ts").alias("ts")
         )
         for i, hours in enumerate((2, 3)):
-            sent = spark.createDataFrame(
+            spec = spark.createDataFrame(
                 [
                     (
                         -1 - i * len(sentinel_types) - j,
-                        max_ts,
                         -1 - j,
                         st,
                         0.0,
@@ -513,9 +528,18 @@ def stage_events_files_with_sentinels(
                     )
                     for j, st in enumerate(sentinel_types)
                 ],
-                EVENTS_TS_SCHEMA,
-            ).withColumn(
-                "ts", F.col("ts") + F.expr(f"INTERVAL {hours} HOURS")
+                "event_id long, user_id long, event_type string, "
+                "value double, props string",
+            )
+            sent = spec.crossJoin(max_ts_df).select(
+                "event_id",
+                (F.col("ts") + F.expr(f"INTERVAL {hours} HOURS")).alias(
+                    "ts"
+                ),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
             )
             sent.coalesce(1).write.mode("overwrite").parquet(
                 out + f"_sent{i}"
