@@ -11,6 +11,7 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -654,8 +655,6 @@ def _rows_canon(df):
     return sorted(repr(tuple(r)) for r in df.collect())
 
 
-import pytest as _pytest  # noqa: E402
-
 _GATED_KEYS = [
     # every registered key whose plan rides broadcast_if_small on a
     # corpus-derived table; the claim "past the gate it degrades to a
@@ -670,7 +669,7 @@ _GATED_KEYS = [
 ]
 
 
-@_pytest.mark.parametrize("key", _GATED_KEYS)
+@pytest.mark.parametrize("key", _GATED_KEYS)
 def test_gate_fallback_results_identical(spark, key, monkeypatch):
     """broadcast_if_small A/B at sf0.001: the broadcast fast path and the
     over-the-gate shuffle fallback must return IDENTICAL rows — the gate
@@ -684,3 +683,32 @@ def test_gate_fallback_results_identical(spark, key, monkeypatch):
     monkeypatch.setattr(hints, "plan_size_bytes", lambda _df: 1 << 62)
     slow = _rows_canon(fn(spark, SF_SMOKE))
     assert fast == slow
+
+
+def test_let_binding_survives_optimizer(spark):
+    """functions.core.let's once-per-row guarantee rests on Catalyst NOT
+    inlining transform-over-literal-array: the HOF input slot is the one
+    place an expression is evaluated exactly once and referenced cheaply
+    by the lambda variable. If a future optimizer rule collapses
+    ``element_at(transform(array(e), f), 1)`` back into ``f(e)``, every
+    capture site re-inlines the whole upstream chain (the measured
+    18.2 s -> 0.74 s regression, see core.let docstring) — so pin the
+    OPTIMIZED plan: the transform wrapper must survive, and the bound
+    expression must appear once, not once per use in the body."""
+    from trireme_spark.functions.core import let
+
+    expensive = F.concat(F.lit("x"), F.col("id").cast("string"))
+    df = spark.range(3).select(
+        let(expensive, lambda s: F.concat(s, s, s)).alias("out")
+    )
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "transform(array(" in opt, opt
+    # the bound expression is inlined exactly once (the array input),
+    # not once per lambda-variable use in the body
+    assert opt.count("concat(x,") == 1, opt
+    # and semantics: s appears three times in the body, evaluated once
+    assert sorted(r.out for r in df.collect()) == [
+        "x0x0x0",
+        "x1x1x1",
+        "x2x2x2",
+    ]

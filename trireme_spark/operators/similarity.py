@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from trireme_spark.functions.text import let
+from trireme_spark.functions.core import let
 from trireme_spark.operators.hints import broadcast_if_small
 
 

@@ -5456,9 +5456,13 @@ terms AS (
   FROM idx i CROSS JOIN freqs f
 ),
 pw AS (
+  -- explicit HUGEINT sums, mirroring the Spark side's DECIMAL(38,0):
+  -- both engines sum the floored terms exactly in ~128-bit headroom
+  -- (a bare SUM(BIGINT) already widens to HUGEINT in DuckDB; the cast
+  -- documents the overflow contract rather than relying on it)
   SELECT k, MAX(n) AS n,
-         CAST(SUM(ct) AS DOUBLE) / 1e6 AS sc,
-         CAST(SUM(st) AS DOUBLE) / 1e6 AS ss
+         CAST(SUM(CAST(ct AS HUGEINT)) AS DOUBLE) / 1e6 AS sc,
+         CAST(SUM(CAST(st AS HUGEINT)) AS DOUBLE) / 1e6 AS ss
   FROM terms GROUP BY k
 )
 SELECT k AS harmonic,
@@ -5516,10 +5520,19 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev") - F.col("mu")) * fquant(F.sin(ang), 8) * 1e6
         ).alias("st"),
     )
+    # Sum as DECIMAL(38,0), not BIGINT: Spark's sum(long) silently wraps
+    # at 2^63 under the default non-ANSI config while DuckDB widens
+    # SUM(BIGINT) to HUGEINT (2^127). Per-term magnitude |rev-mu|*1e6
+    # grows linearly with scale factor, so the per-harmonic BIGINT sum
+    # would approach 2^63 around sf100-1000 and diverge SILENTLY past
+    # it. Decimal sums are still exact and order-independent, with
+    # ~10^38 headroom — the same class as the oracle's HUGEINT.
     pw = terms.groupBy("k").agg(
         F.max("n").alias("n"),
-        (F.sum("ct").cast("double") / 1e6).alias("sc"),
-        (F.sum("st").cast("double") / 1e6).alias("ss"),
+        (F.sum(F.col("ct").cast("decimal(38,0)")).cast("double") / 1e6)
+        .alias("sc"),
+        (F.sum(F.col("st").cast("decimal(38,0)")).cast("double") / 1e6)
+        .alias("ss"),
     )
     return pw.select(
         F.col("k").alias("harmonic"),

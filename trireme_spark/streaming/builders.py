@@ -386,6 +386,23 @@ def stateful_sessions_event_timeout(events: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # Captured driver-side: Arrow hands the fold timestamps rendered in
+    # the SESSION timezone (tz-naive wall clock), so a naive
+    # ``Timestamp.value`` is the true UTC epoch only when the session tz
+    # is UTC. session.prep() pins UTC (session.py), but the fold must
+    # not depend on that pin from a distance: re-anchor explicitly so
+    # the emitted session_start_us/session_end_us stay epoch-true (and
+    # oracle-comparable) under ANY session tz — the watermark+1 clamp
+    # below is then pure defense against the Spark rejection, not a mask
+    # for epoch skew. A non-UTC session tz with a DST-ambiguous wall
+    # clock raises in tz_localize, which is the correct loud failure.
+    sess_tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+
+    def _epoch_us(series: "pd.Series") -> list:
+        if series.dt.tz is None:
+            series = series.dt.tz_localize(sess_tz)
+        return [int(v) // 1000 for v in series.dt.tz_convert("UTC").astype("int64")]
+
     def fn(key, pdfs, state: GroupState):
         out = []
         if state.exists:
@@ -395,10 +412,7 @@ def stateful_sessions_event_timeout(events: DataFrame) -> DataFrame:
         if not state.hasTimedOut:
             chunks = [pdf[["ts"]] for pdf in pdfs if len(pdf)]
             ts_us = (
-                sorted(
-                    int(t.value) // 1000
-                    for t in pd.concat(chunks)["ts"]
-                )
+                sorted(_epoch_us(pd.concat(chunks)["ts"]))
                 if chunks
                 else []
             )
