@@ -14,6 +14,25 @@ TRIREME_TEST_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle.py -q
 echo "== driver simulation =="
 python scripts/driver_sim.py 2>&1 | grep -vE "WARN|INFO" | tail -3
 
+echo "== alternate-env driver simulation (UTC+14 process TZ, pinned hash seed, C locale) =="
+# A SECOND hostile environment, different axis than driver_sim's own
+# America/New_York session tz: the PROCESS timezone (plus hash seed and
+# locale). Caught stream_stateful_timeout's process-TZ-dependent sentinel
+# staging in r7 (fix a1f1190) where the standard sim could not — naive
+# Python datetime round-trips and Arrow epoch handling only skew when the
+# host TZ is extreme. Runs the TZ-sensitive surface: every streaming /
+# staging / timestamp-bearing key family.
+TZ=Pacific/Kiritimati PYTHONHASHSEED=0 LC_ALL=C python scripts/driver_sim.py \
+  stream_tumbling stream_sliding stream_session stream_dedup \
+  stream_stateful stream_watermark_late stream_foreachbatch_sink \
+  stream_stateful_timeout stream_stream_join stream_static_join \
+  stream_complete_mode stream_stream_left_outer stream_python_datasource \
+  fn_date fn_timezone_convert fn_interval_arith fn_datetime_format_patterns \
+  fn_business_days fn_fiscal_445 join_asof join_asof_tolerance \
+  join_asof_nearest join_point_in_time ts_yoy_calendar_join \
+  etl_early_arriving_facts events_funnel_windowed win_time_range_trailing \
+  2>&1 | grep -vE "WARN|INFO" | tail -3
+
 echo "== bench @ sf0.1 =="
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} python bench.py 2>/dev/null | tail -1
 
