@@ -84,3 +84,65 @@ def test_oracle_parity_at_scale(spark, key):
 
     df = registry.QUERIES[key](spark, SF_SCALE)
     assert_matches_oracle(df, registry.ORACLES[key], SF_SCALE)
+
+
+# r7 VERDICT #6: the 500k-doc dup-stress (scripts/dup_stress.py) stays
+# the out-of-band deep gate, but a trimmed duplicated-corpus layer now
+# runs in every suite: sf0.1's 5k documents replicated x10 with shifted
+# doc_ids (50k docs, every one with 10 exact copies — the web-crawl
+# worst case for candidate generation). A reintroduced unconditional
+# broadcast or a prefix-bucket blowup multiplies work by the duplicate
+# factor squared here, which the budgets catch; the plain sf0.1 slice
+# above cannot see duplicate-driven fan-out at all.
+_DUP_SHIFT = 10_000_000  # multiple of 50: doc_id % 50 patterns survive
+
+
+@pytest.fixture(scope="module")
+def dup_stage(spark):
+    from pyspark.sql import functions as F
+
+    from trireme_spark.sources.io import staging_dir, table
+
+    stage = staging_dir("dupstress50k", SF_SCALE)
+    done = os.path.join(stage, "_DONE")
+    if not os.path.isdir(done):
+        docs = table(spark, SF_SCALE, "documents")
+        out = docs
+        for i in range(1, 10):
+            out = out.unionByName(
+                docs.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * _DUP_SHIFT)
+                )
+            )
+        out.write.mode("overwrite").parquet(
+            os.path.join(stage, "documents.parquet")
+        )
+        os.makedirs(done, exist_ok=True)
+    return stage
+
+
+# (key, budget seconds) — cold-measured r8 on local[8] under load
+# (fuzzy_minhash ~20 s including the one-time stage build, containment
+# ~25 s); budget = measured × ~3 (same tiering discipline as SLICE).
+DUP_SLICE = [
+    ("dedup_fuzzy_minhash", 60),
+    ("dedup_containment", 75),
+]
+
+
+@pytest.mark.scale
+@pytest.mark.parametrize(
+    "key,budget", DUP_SLICE, ids=[k for k, _ in DUP_SLICE]
+)
+def test_dup_stress_slice(spark, dup_stage, key, budget):
+    t0 = time.monotonic()
+    registry.QUERIES[key](spark, dup_stage).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.monotonic() - t0
+    assert dt <= budget, (
+        f"{key}: {dt:.1f}s on the x10-duplicated 50k-doc corpus exceeds "
+        f"the {budget}s budget — duplicate-driven candidate fan-out or a "
+        "reintroduced broadcast (scripts/dup_stress.py for the full "
+        "500k-doc gate)"
+    )
