@@ -805,6 +805,35 @@ def test_mmr_rerank_diversifies(spark):
 
     assert max_pair_sim(mmr5) <= max_pair_sim(top5) + 1e-9
 
+    # Full-chain independent oracle (r7 VERDICT #7): the greedy argmax
+    # chain is deterministic given the shortlist, so re-run shortlist +
+    # MMR greedy in pure numpy from the raw parquet — same λ=0.7,
+    # top-20 shortlist, k=5, vec_id-asc tie-breaks — and require the
+    # EXACT (rank, vec_id) sequence, not just rank-1 and diversity.
+    short = sorted(scores, key=lambda t: (-t[0], t[1]))[:20]
+    rel20 = {k: s for s, k in short}
+    ids20 = [k for _, k in short]
+    unit = {k: emb[k] / np.linalg.norm(emb[k]) for k in ids20}
+    lam, picked = 0.7, []
+    for _ in range(5):
+        best = None
+        for k in ids20:
+            if k in picked:
+                continue
+            pen = (
+                max(float(unit[k] @ unit[j]) for j in picked)
+                if picked
+                else 0.0
+            )
+            s = lam * rel20[k] - (1 - lam) * pen
+            if best is None or s > best[0] or (s == best[0] and k < best[1]):
+                best = (s, k)
+        picked.append(best[1])
+    assert [r["vec_id"] for r in by_rank] == picked, (mmr5, picked)
+    for r in by_rank:
+        # relevance column = independent cosine (query rounds to 1e-6)
+        assert abs(r["relevance"] - rel20[r["vec_id"]]) < 1.1e-6
+
 
 def test_skyline_hostile_ties_and_subunit_gaps(spark, tmp_path):
     """Regression for the r5-judged skyline framing bug: a dominator
