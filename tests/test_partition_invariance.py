@@ -1,0 +1,109 @@
+"""Partition-layout invariance: results must not depend on HOW the data
+is partitioned, only on the data.
+
+Why this axis matters: session.prep() pins spark.sql.shuffle.partitions
+to 32 for scheduler-overhead reasons, but deliberately tolerates
+environments where that conf is immutable (the ``except`` path) — there,
+every registered query runs at WHATEVER partition count the grading
+driver's session carries. Likewise the scan side: a different
+``spark.sql.files.maxPartitionBytes`` (or a real cluster's block layout)
+changes how many splits a parquet scan produces and in what order rows
+arrive at each task. A key whose result leans on partition count or
+intra-partition arrival order — a limit without a total order, per-
+partition RNG, a first()/collect-order survivor pick, a non-commutative
+fold — is correct at the pinned layout and silently wrong elsewhere.
+At 100 TB this is not hypothetical: the layout is whatever 1000
+executors' input splits make it.
+
+Each test computes the key once at the pinned layout, then re-runs it
+under a HOSTILE layout — 7 shuffle partitions (odd, tiny, divides
+nothing evenly), 64 KB scan splits (every fixture scan goes
+multi-split), and prep()'s shuffle pin raising as an immutable-conf
+environment would — and requires row-for-row identical results. The
+key families chosen are the ones where layout sensitivity is the known
+failure mode: sampling/splitting (hash-predicate determinism claim),
+top-k/limit (total-order claim), survivor picks (keyed-window claim),
+ordered collects, the salted two-phase aggregate (commutativity claim),
+and greedy sequence packing (explicit-order claim).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from trireme_spark import registry
+
+# The layout-sensitivity risk surface, keys per claimed-deterministic
+# mechanism (all cheap at sf0.001):
+KEYS = [
+    # hash-based sampling/splitting: per-row predicates, no RNG
+    "sample_stratified",
+    "sample_weighted",
+    "sample_source_mixture",
+    "sample_temperature_weights",
+    "sample_reservoir_per_group",
+    "sample_neyman_allocation",
+    "split_train_holdout",
+    "split_leakage_safe",
+    "shuffle_deterministic",
+    # top-k/limit: total orders with explicit tie-breaks
+    "limit_topk",
+    "win_topk_per_group",
+    # survivor picks / ordered aggregation
+    "dedup_exact",
+    "dedup_doc_canonical",
+    "agg_listagg_ordered",
+    "agg_collect",
+    # commutative two-phase aggregation under skew salting
+    "agg_two_phase_skew",
+    # sequence packing: greedy over an explicit order
+    "pack_sequences",
+]
+
+
+def _canon(df) -> list[str]:
+    return sorted(repr(tuple(r)) for r in df.collect())
+
+
+# Baseline rows at the pinned layout, computed once per key so the
+# parametrized tests don't pay the query twice on reruns.
+_BASELINE: dict[str, list[str]] = {}
+
+
+def _baseline(spark, key) -> list[str]:
+    if key not in _BASELINE:
+        _BASELINE[key] = _canon(registry.QUERIES[key](spark, SF_SMOKE))
+    return _BASELINE[key]
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_layout_invariance_rows_identical(spark, key, monkeypatch):
+    base = _baseline(spark, key)  # pinned layout (prep() sets 32)
+
+    from pyspark.sql.conf import RuntimeConfig
+
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    real_set = RuntimeConfig.set
+
+    def guarded(self, k, v):
+        if k == "spark.sql.shuffle.partitions":
+            # what an immutable-conf environment raises at prep()'s pin
+            raise RuntimeError("CANNOT_MODIFY_CONFIG (simulated)")
+        return real_set(self, k, v)
+
+    monkeypatch.setattr(RuntimeConfig, "set", guarded)
+    try:
+        hostile = _canon(registry.QUERIES[key](spark, SF_SMOKE))
+    finally:
+        monkeypatch.setattr(RuntimeConfig, "set", real_set)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    assert hostile == base, (
+        f"{key}: rows differ between the pinned layout and a hostile one "
+        "(7 shuffle partitions, 64KB scan splits, immutable-conf prep "
+        "path) — the result depends on partition layout, not just data"
+    )
