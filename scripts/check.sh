@@ -33,6 +33,22 @@ TZ=Pacific/Kiritimati PYTHONHASHSEED=0 LC_ALL=C python scripts/driver_sim.py \
   etl_early_arriving_facts events_funnel_windowed win_time_range_trailing \
   2>&1 | grep -vE "WARN|INFO" | tail -3
 
+echo "== ANSI-off driver simulation (legacy-session semantics) =="
+# Spark 4 defaults spark.sql.ansi.enabled=true and every query is
+# written ANSI-safe; a LEGACY session (ansi=false: silent integer wrap,
+# NULL-on-bad-cast, NULL-on-div-zero) must produce the SAME rows — the
+# arithmetic/cast/rounding surface is where the two modes can diverge.
+# Full-registry ANSI-off sim ran green in r8 (428/428); this leg keeps
+# the sensitive families pinned per-run.
+PYSPARK_SUBMIT_ARGS="--conf spark.sql.ansi.enabled=false pyspark-shell" \
+python scripts/driver_sim.py \
+  fn_math fn_try_arithmetic fn_rounding_semantics fn_bitwise fn_hash \
+  project_cast project_compute fn_interval_arith ts_periodogram \
+  agg_pricing_summary agg_stats agg_percentile agg_regression \
+  orders_gini_coefficient lineitem_price_index fn_business_days \
+  fn_luhn_checksum agg_weighted_median \
+  2>&1 | grep -vE "WARN|INFO" | tail -3
+
 echo "== bench @ sf0.1 =="
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} python bench.py 2>/dev/null | tail -1
 
