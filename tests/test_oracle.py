@@ -39,3 +39,21 @@ def test_entry_contract(spark):
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) > 0
+
+
+def test_sweep_priority_covers_registry_exactly():
+    """_apply_sweep_order silently SKIPS priority entries missing from
+    the registry and silently APPENDS registered keys missing from the
+    list — safe behaviors at runtime, but either one after a rotation
+    means a typo is quietly wasting a driver sweep slot or burying a
+    key's evidence. Pin exact set equality (and no duplicates) so a bad
+    rotation fails the suite instead."""
+    from trireme_spark.queries import _SWEEP_PRIORITY
+
+    assert len(_SWEEP_PRIORITY) == len(set(_SWEEP_PRIORITY)), (
+        "duplicate keys in _SWEEP_PRIORITY"
+    )
+    missing = set(_SWEEP_PRIORITY) - set(registry.QUERIES)
+    extra = set(registry.QUERIES) - set(_SWEEP_PRIORITY)
+    assert not missing, f"priority entries not in registry: {missing}"
+    assert not extra, f"registered keys not in the priority list: {extra}"
