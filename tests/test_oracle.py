@@ -57,3 +57,48 @@ def test_sweep_priority_covers_registry_exactly():
     extra = set(registry.QUERIES) - set(_SWEEP_PRIORITY)
     assert not missing, f"priority entries not in registry: {missing}"
     assert not extra, f"registered keys not in the priority list: {extra}"
+
+
+# Every key that legitimately has no DuckDB oracle, with the reason it
+# cannot be SQL-mirrored. Each carries a pytest bound/recall/invariant
+# contract elsewhere (tests/test_quality.py, test_properties.py).
+ROWS_ONLY_BY_DESIGN = {
+    # cross-engine sketch state (register layouts differ by engine)
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_hll_intersection",
+    "agg_hll_sketch_union",
+    "events_wau_hll_sliding",
+    # approximate / seeded-model outputs (recall-gated, not row-exact)
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_ivfpq",
+    "dedup_simhash",
+    # iterative / greedy model state (k-means, PCA basis sign, SVD
+    # rotation, k-core peeling order, greedy argmax chain, BPE merges)
+    "cluster_kmeans_fit",
+    "embed_pca_project",
+    "embed_pq_quantize",
+    "embed_procrustes_align",
+    "graph_kcore",
+    "sim_mmr_rerank",
+    "text_bpe_train_merges",
+    "text_bpe_encode",
+    # calibrated noise by definition (differential privacy)
+    "etl_dp_noisy_counts",
+}
+
+
+def test_no_oracle_set_is_exactly_the_by_design_list():
+    """A key silently losing its oracle (a typo'd @register(...,
+    oracle=...) during a refactor) degrades the driver's gate for that
+    key to rows-only without anyone deciding that — and the judge
+    audits precisely this set. Pin it exactly, both directions."""
+    no_oracle = {k for k in registry.QUERIES if k not in registry.ORACLES}
+    lost = no_oracle - ROWS_ONLY_BY_DESIGN
+    assert not lost, f"keys LOST their oracle without a design note: {lost}"
+    gained = ROWS_ONLY_BY_DESIGN - no_oracle
+    assert not gained, (
+        f"keys now HAVE oracles but are still pinned rows-only: {gained} "
+        "— remove them from ROWS_ONLY_BY_DESIGN"
+    )
