@@ -304,3 +304,60 @@ def test_zorder_layout_clusters_both_dimensions(spark):
         assert touched < n_files, (
             f"selective read touched all {n_files} files — no clustering"
         )
+
+
+def test_fquant_tri_engine_agreement_fuzz(spark):
+    """parity.fquant's whole claim is that FLOOR(x*1e6)/1e6 is
+    cross-engine deterministic for every double (multiply, floor,
+    divide are single IEEE ops on identical operands) — unlike
+    ROUND(x,6), whose Spark shortest-repr-half-up vs DuckDB
+    exact-binary tie handling genuinely diverges. Fuzz the claim
+    tri-engine: 4000 adversarial doubles (uniform, many-decimal
+    chains, values engineered to sit just under/over 1e-6 boundaries,
+    negatives, denormal-ish magnitudes) through Python, Spark, and
+    DuckDB; all three must agree bit-for-bit at digits=6 and 8."""
+    import math
+    import random
+
+    import duckdb
+
+    from trireme_spark.parity import fquant, oracle_fquant
+    from trireme_spark.session import prep
+
+    prep(spark)
+    rng = random.Random(20260815)
+    vals: list[float] = []
+    for _ in range(1000):
+        vals.append(rng.uniform(-1e6, 1e6))
+    for _ in range(1000):
+        # recursive-chain-like values: short-decimal combos that ROUND
+        # ties on (the observed ewma class)
+        vals.append(0.3 * rng.randint(0, 10_000) / 100
+                    + 0.7 * rng.randint(0, 10_000) / 100)
+    for _ in range(1000):
+        # engineered boundary-adjacent: k/1e6 ± tiny
+        k = rng.randint(-10**9, 10**9)
+        vals.append(k / 1e6 + rng.choice([-1e-13, 0.0, 1e-13]))
+    for _ in range(1000):
+        vals.append(rng.uniform(-1e-3, 1e-3))
+    assert all(abs(v) * 1e8 < 2**53 for v in vals)  # doctrine precondition
+
+    for digits in (6, 8):
+        py = [math.floor(v * 10**digits) / 10**digits for v in vals]
+        sdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "i long, x double"
+        )
+        srows = sdf.select("i", fquant("x", digits).alias("q")).collect()
+        sq = [r["q"] for r in sorted(srows, key=lambda r: r["i"])]
+        con = duckdb.connect()
+        dq = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {oracle_fquant('x', digits)} FROM "
+                "(SELECT unnest(?) AS x)",
+                [vals],
+            ).fetchall()
+        ]
+        con.close()
+        assert sq == py, f"Spark != Python at digits={digits}"
+        assert dq == py, f"DuckDB != Python at digits={digits}"
