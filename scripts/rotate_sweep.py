@@ -72,18 +72,38 @@ def main() -> int:
     # (r3/r4/... markers) survive: drop only the comments attached to
     # the outgoing window (those describe a window that no longer
     # exists), keep everything from the 51st key on verbatim, then
-    # append the graded block under its new staleness marker.
+    # append the graded block under its new staleness marker. Retained
+    # comments that pin absolute slot ranges ("slots 51-179") would be
+    # stale the moment the list shifts by 50, so those are dropped too
+    # (r8 ADVICE); round-marker comments carry no slot arithmetic and
+    # stay.
     kept: list[str] = []
     seen = 0
+    comment_block: list[str] = []
+
+    def flush_comments() -> None:
+        # A tail comment block is kept only if it carries no absolute
+        # slot arithmetic (round markers like "latest driver row: r5"
+        # stay; "slots 51-179" headers are stale after the shift).
+        if comment_block and not any(
+            re.search(r"slots \d+", c) for c in comment_block
+        ):
+            kept.extend(comment_block)
+        comment_block.clear()
+
     for line in body.splitlines():
         s = line.strip()
         if re.match(r'"([^"]+)",', s):
             seen += 1
             if seen > WINDOW:
+                flush_comments()
                 kept.append(line)
+            else:
+                comment_block.clear()  # old-window comments: drop
         elif seen >= WINDOW and s:
-            kept.append(line)  # tail comments stay in place
+            comment_block.append(line)
         # comments while seen < WINDOW described the old window: drop
+    flush_comments()
 
     lines = [
         f"    # --- slots 1-{WINDOW}: the r{args.graded_round + 1} "
@@ -114,7 +134,12 @@ def main() -> int:
             print(f"  {k}")
         return 0
 
-    open(PATH, "w").write(src[: m.start(1)] + new_body + src[m.end(1):])
+    # Atomic replace (r8 ADVICE): a mid-write interruption must not
+    # truncate the package __init__.
+    tmp = PATH + ".rotate.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(src[: m.start(1)] + new_body + src[m.end(1):])
+    os.replace(tmp, PATH)
     print(
         f"rotated: r{args.graded_round} window moved to the back; "
         f"new window starts {out_keys[0]} .. {out_keys[WINDOW-1]}"
