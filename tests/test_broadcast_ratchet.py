@@ -9,73 +9,187 @@ degrades to a shuffle join past the threshold
 (test_gate_fallback_results_identical proves the fallback
 result-identical). That audit was re-established by hand each round;
 this ratchet makes the diff visible in the default suite instead: a new
-broadcast site anywhere fails here until its file's pinned count is
-consciously re-blessed — which is the moment to verify the new site is
-bounded or gated, not after the judge finds it.
+broadcast site anywhere fails here until its pin is consciously
+re-blessed — which is the moment to verify the new site is bounded or
+gated, not after the judge finds it.
 
-The pin is per-file counts, not line numbers, so refactors inside a file
-don't churn it; moving a site between files correctly forces a re-bless
-of both pins.
+Pin mechanics (r8 ADVICE upgrade): sites are extracted by AST (so
+comments/docstrings mentioning F.broadcast cannot inflate or absorb a
+pin) and pinned per (file, enclosing-scope qualname) — a same-file swap
+that removes one audited site and adds another in a different function
+now changes the multiset and fails. Refactors that keep sites in their
+functions don't churn the pin; renaming or moving a function forces a
+re-bless, which is intended. A swap WITHIN one function body still
+evades — accepted: the audit claims are per-function.
+
+Regenerate after an audit: `python tests/ratchet_util.py broadcast`.
 """
 
 from __future__ import annotations
 
-import os
-import re
+from tests.ratchet_util import diff_signatures, is_f_broadcast, tree_signatures
 
-ROOT = os.path.join(os.path.dirname(__file__), "..", "trireme_spark")
-
-# file (relative to trireme_spark/) -> audited F.broadcast( site count.
-# Audit trail: r7 VERDICT "Design-for-scale sweep" + r8 re-grep. Every
-# site is a bounded aggregate/spine or rides broadcast_if_small.
+# {file (relative to trireme_spark/): {enclosing qualname: site count}}.
+# Audit trail: r7 VERDICT "Design-for-scale sweep" + r8 re-grep + r9 AST
+# regeneration (totals identical to the r8 count pins). Every site is a
+# bounded aggregate/spine or rides broadcast_if_small:
+#   operators/hints.py        — broadcast_if_small itself (the gate)
+#   operators/similarity.py   — GEMM block grid (B² rows, B≤32)
+#   operators/winframes.py    — per-range offsets/bounds aggregates
+#   queries/aggregates.py     — stat/bound/total frames (1-row aggs)
+#   queries/clustering.py     — sampled centroids (k rows)
+#   queries/filters.py        — literal threshold frame
+#   queries/geo.py            — 1-row neighborhood stats
+#   queries/governance.py     — policy/bounds literals
+#   queries/joins.py          — dimension tables (region/nation/part)
+#   queries/llm_sim.py        — query vectors, centroids, codebooks
+#   queries/llm_text.py       — benchmark grams, df bounds, vocab gated
+#   queries/pipeline.py       — mixture weights / split bounds
+#   queries/scans.py          — schema/manifest literals
+#   queries/search.py         — query terms, elevation lists, idf bounds
+#   queries/sorts_sets.py     — topk thresholds, set literals
+#   queries/streaming.py      — static dim side of stream-static join
+#   queries/timeseries.py     — per-key 1-row/`k`-row stat frames
+#   queries/training.py       — BPE merge table pages, mask literals
 AUDITED = {
-    "operators/hints.py": 1,  # broadcast_if_small itself (the gate)
-    "operators/similarity.py": 2,  # GEMM block grid (B² rows, B≤32)
-    "operators/winframes.py": 6,  # per-range offsets/bounds aggregates
-    "queries/aggregates.py": 30,  # stat/bound/total frames (1-row aggs)
-    "queries/clustering.py": 2,  # sampled centroids (k rows)
-    "queries/filters.py": 1,  # literal threshold frame
-    "queries/geo.py": 1,  # 1-row neighborhood stats
-    "queries/governance.py": 4,  # policy/bounds literals
-    "queries/joins.py": 7,  # dimension tables (region/nation/part dims)
-    "queries/llm_sim.py": 10,  # query vectors, centroids, codebooks
-    "queries/llm_text.py": 11,  # benchmark grams, df bounds, vocab gated
-    "queries/pipeline.py": 3,  # mixture weights / split bounds
-    "queries/scans.py": 3,  # schema/manifest literals
-    "queries/search.py": 12,  # query terms, elevation lists, idf bounds
-    "queries/sorts_sets.py": 10,  # topk thresholds, set literals
-    "queries/streaming.py": 1,  # static dim side of stream-static join
-    "queries/timeseries.py": 38,  # per-key 1-row/`k`-row stat frames
-    "queries/training.py": 4,  # BPE merge table pages, mask literals
+    "operators/hints.py": {"broadcast_if_small": 1},
+    "operators/similarity.py": {"_block_pair_groups": 2},
+    "operators/winframes.py": {"global_range_frame_sum": 4, "two_pass_ntile": 2},
+    "queries/aggregates.py": {
+        "agg_anova_oneway": 4,
+        "agg_boxplot_stats": 1,
+        "agg_cramers_v": 5,
+        "agg_histogram_equi_depth": 1,
+        "agg_mutual_information": 5,
+        "agg_mutual_information.ent": 1,
+        "agg_quantile_normalization": 1,
+        "agg_share_of_group": 3,
+        "agg_theil_index": 1,
+        "agg_trimmed_mean": 1,
+        "agg_winsorized_mean": 1,
+        "orders_benford_test": 1,
+        "orders_ks_test": 1,
+        "orders_simpsons_check": 1,
+        "sample_neyman_allocation": 1,
+        "supplier_concentration_risk": 2,
+    },
+    "queries/clustering.py": {"cluster_assign": 1, "cluster_silhouette": 1},
+    "queries/filters.py": {"filter_top_percent": 1},
+    "queries/geo.py": {"geo_hotspot_gi": 1},
+    "queries/governance.py": {
+        "etl_dp_noisy_counts": 1,
+        "etl_k_anonymity_audit": 1,
+        "etl_row_column_security": 2,
+    },
+    "queries/joins.py": {
+        "join_broadcast": 3,
+        "join_multiway": 2,
+        "join_null_safe": 1,
+        "lineitem_association_rules": 1,
+    },
+    "queries/llm_sim.py": {
+        "embed_binary_quantize_hamming": 1,
+        "embed_hard_negatives": 1,
+        "embed_matryoshka_topk": 1,
+        "sim_ann_ivf": 1,
+        "sim_ann_ivfpq": 1,
+        "sim_knn_filtered": 1,
+        "sim_knn_per_query": 1,
+        "sim_maxsim_late_interaction": 1,
+        "sim_mmr_rerank": 1,
+        "sim_sparse_cosine_tfidf": 1,
+    },
+    "queries/llm_text.py": {
+        "agg_cms_heavy_hitters": 1,
+        "text_bigram_logprob": 1,
+        "text_collocations_pmi": 1,
+        "text_gazetteer_ner": 1,
+        "text_js_divergence": 1,
+        "text_langid_eval": 1,
+        "text_stylometry_attribution": 2,
+        "text_tfidf": 1,
+        "text_unigram_logprob": 1,
+        "text_vocab_coverage": 1,
+    },
+    "queries/pipeline.py": {
+        "embed_outlier_centroid_distance": 1,
+        "pack_sequences": 1,
+        "sample_temperature_weights": 1,
+    },
+    "queries/scans.py": {
+        "doc_assembly": 1,
+        "etl_migration_pipeline": 1,
+        "etl_zorder_layout": 1,
+    },
+    "queries/search.py": {
+        "search_bm25_topk": 2,
+        "search_hybrid_rrf": 3,
+        "search_more_like_this": 4,
+        "search_query_elevation": 2,
+        "search_spellcheck": 1,
+    },
+    "queries/sorts_sets.py": {
+        "lineitem_pareto_abc": 3,
+        "orders_gini_coefficient": 2,
+        "orders_lorenz_curve": 2,
+        "orders_skyline_2d": 2,
+        "sort_multi_key": 1,
+    },
+    "queries/streaming.py": {"stream_static_join": 1},
+    "queries/timeseries.py": {
+        "events_ab_bayesian": 2,
+        "events_ab_cuped": 1,
+        "events_anomaly_seasonal_hour": 1,
+        "events_anomaly_zscore": 1,
+        "events_conversion_window_sensitivity": 1,
+        "events_eb_shrinkage": 1,
+        "events_error_burst_scan": 2,
+        "events_feature_drift_psi": 2,
+        "events_ipw_ate": 1,
+        "events_markov_entropy_rate": 2,
+        "events_next_event_baseline": 1,
+        "events_peak_concurrency": 2,
+        "events_recency_weighted_engagement": 1,
+        "events_retention_cohorts": 1,
+        "events_type_overlap_jaccard": 2,
+        "events_wau_hll_sliding": 1,
+        "orders_currency_conversion": 1,
+        "orders_invoice_aging": 1,
+        "orders_overdue_customers": 1,
+        "orders_rfm_segments": 1,
+        "orders_seasonality_index": 1,
+        "orders_segment_migration": 1,
+        "orders_survival_km": 1,
+        "ts_ar1_fit": 1,
+        "ts_autocorrelation": 2,
+        "ts_decompose_additive": 1,
+        "ts_ewma_control_chart": 1,
+        "ts_interpolate_linear": 1,
+        "ts_periodogram": 1,
+        "ts_resample_fill": 1,
+        "ts_seasonality_strength": 1,
+    },
+    "queries/training.py": {
+        "etl_training_corpus": 1,
+        "features_user_vector": 1,
+        "shuffle_deterministic": 1,
+        "text_decontaminate": 1,
+    },
 }
 
 
-def _counts() -> dict[str, int]:
-    got: dict[str, int] = {}
-    for dirpath, _dirs, files in os.walk(ROOT):
-        for fname in files:
-            if not fname.endswith(".py"):
-                continue
-            path = os.path.join(dirpath, fname)
-            rel = os.path.relpath(path, ROOT).replace(os.sep, "/")
-            n = len(re.findall(r"F\.broadcast\(", open(path).read()))
-            if n:
-                got[rel] = n
-    return got
-
-
 def test_no_unaudited_broadcast_sites():
-    got = _counts()
-    new = {f: n for f, n in got.items() if n > AUDITED.get(f, 0)}
+    got = tree_signatures(is_f_broadcast)
+    new, gone = diff_signatures(AUDITED, got)
     assert not new, (
         f"NEW F.broadcast( sites beyond the audited pin: {new}. "
         "Verify each new site broadcasts a BOUNDED frame (corpus-size-"
         "independent aggregate/spine) or rides broadcast_if_small, then "
-        "re-bless its count in tests/test_broadcast_ratchet.py."
+        "re-bless its signature in tests/test_broadcast_ratchet.py "
+        "(regenerate: python tests/ratchet_util.py broadcast)."
     )
-    gone = {f: n for f, n in AUDITED.items() if got.get(f, 0) < n}
     # sites removed is fine, but keep the pin honest
     assert not gone, (
-        f"Audited broadcast counts are stale (sites removed): {gone}. "
-        "Lower the pins in tests/test_broadcast_ratchet.py."
+        f"Audited broadcast signatures are stale (sites removed/moved): "
+        f"{gone}. Update the pins in tests/test_broadcast_ratchet.py."
     )

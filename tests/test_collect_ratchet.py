@@ -1,5 +1,5 @@
 """Driver-transfer ratchet: no NEW `.collect()`/`.toPandas()`/`.first()`
-may appear in non-test source unaudited.
+/`.head(` may appear in non-test source unaudited.
 
 Companion to tests/test_broadcast_ratchet.py. The scale doctrine is that
 driver state must be BOUNDED MODEL STATE — k centroids, a d×d moment
@@ -9,55 +9,56 @@ rows is the definition of a non-distributed operator). The r7 verdict
 spot-verified all sites by hand (64×64 Procrustes moments, literal-
 bounded binary staging, BPE top-page, 20-row MMR shortlist); this pin
 makes the next new site fail the default suite until it is consciously
-audited as bounded, with the audit note next to its count below.
+audited as bounded, with the audit note next to its signature below.
+
+Pin mechanics (r8 ADVICE upgrade): AST-extracted sites pinned per
+(file, enclosing-scope qualname), so docstring mentions can't skew the
+pin and a same-file swap between functions is caught. `F.first(col)`
+(the JVM aggregate) is excluded by construction — see
+tests/ratchet_util.py:is_driver_transfer.
+
+Regenerate after an audit: `python tests/ratchet_util.py transfer`.
 """
 
 from __future__ import annotations
 
-import os
-import re
+from tests.ratchet_util import (
+    diff_signatures,
+    is_driver_transfer,
+    tree_signatures,
+)
 
-ROOT = os.path.join(os.path.dirname(__file__), "..", "trireme_spark")
-
-_PAT = re.compile(r"\.collect\(\)|\.toPandas\(\)|\.first\(\)|\.head\(")
-
-# file (relative to trireme_spark/) -> audited driver-transfer count.
+# {file: {enclosing qualname: audited driver-transfer count}} with the
+# boundedness audit per function:
+#   kmeans_fit / pq_train_codebooks    — k seed/centroid rows per iter
+#   sample_kmeans_centroids            — sampled LSH hyperplanes (h×d)
+#   lineitem_price_index               — 1-row min(ym) anchor
+#   sim_mmr_rerank                     — 20-row MMR shortlist
+#   embed_pca_project / procrustes     — d×d gram/moments, 1-row mse
+#   source_binary_files / jdbc         — 1-row max key + literal staging
+#   _bpe_train / text_bpe_encode       — BPE top-page, vocab-bounded
 AUDITED = {
-    "operators/clustering.py": 3,  # k seed/centroid rows per iter
-    "operators/similarity.py": 1,  # sampled LSH hyperplanes (h×d)
-    "queries/aggregates.py": 1,  # 1-row min(ym) anchor
-    "queries/llm_sim.py": 1,  # 20-row MMR shortlist
-    "queries/pipeline.py": 4,  # d×d gram/Procrustes moments, 1-row mse
-    "queries/scans.py": 2,  # 1-row max key + literal binary staging
-    "queries/training.py": 2,  # BPE top-page + vocab-bounded merges
+    "operators/clustering.py": {"kmeans_fit": 2, "pq_train_codebooks": 1},
+    "operators/similarity.py": {"sample_kmeans_centroids": 1},
+    "queries/aggregates.py": {"lineitem_price_index": 1},
+    "queries/llm_sim.py": {"sim_mmr_rerank": 1},
+    "queries/pipeline.py": {"embed_pca_project": 2, "embed_procrustes_align": 2},
+    "queries/scans.py": {"source_binary_files": 1, "source_jdbc_partitioned": 1},
+    "queries/training.py": {"_bpe_train": 1, "text_bpe_encode": 1},
 }
 
 
-def _counts() -> dict[str, int]:
-    got: dict[str, int] = {}
-    for dirpath, _dirs, files in os.walk(ROOT):
-        for fname in files:
-            if not fname.endswith(".py"):
-                continue
-            path = os.path.join(dirpath, fname)
-            rel = os.path.relpath(path, ROOT).replace(os.sep, "/")
-            n = len(_PAT.findall(open(path).read()))
-            if n:
-                got[rel] = n
-    return got
-
-
 def test_no_unaudited_driver_transfers():
-    got = _counts()
-    new = {f: n for f, n in got.items() if n > AUDITED.get(f, 0)}
+    got = tree_signatures(is_driver_transfer)
+    new, gone = diff_signatures(AUDITED, got)
     assert not new, (
         f"NEW driver-transfer sites beyond the audited pin: {new}. "
-        "Verify each new collect/toPandas/first holds BOUNDED model "
-        "state (size independent of corpus rows), then re-bless its "
-        "count in tests/test_collect_ratchet.py with an audit note."
+        "Verify each new collect/toPandas/first/head holds BOUNDED "
+        "model state (size independent of corpus rows), then re-bless "
+        "its signature in tests/test_collect_ratchet.py with an audit "
+        "note (regenerate: python tests/ratchet_util.py transfer)."
     )
-    gone = {f: n for f, n in AUDITED.items() if got.get(f, 0) < n}
     assert not gone, (
-        f"Audited driver-transfer counts are stale: {gone}. Lower the "
-        "pins in tests/test_collect_ratchet.py."
+        f"Audited driver-transfer signatures are stale: {gone}. Update "
+        "the pins in tests/test_collect_ratchet.py."
     )

@@ -810,7 +810,17 @@ def test_mmr_rerank_diversifies(spark):
     # MMR greedy in pure numpy from the raw parquet — same λ=0.7,
     # top-20 shortlist, k=5, vec_id-asc tie-breaks — and require the
     # EXACT (rank, vec_id) sequence, not just rank-1 and diversity.
-    short = sorted(scores, key=lambda t: (-t[0], t[1]))[:20]
+    # Both sides run on the 1e-6 FLOOR-QUANTIZED grid (r8 ADVICE: the
+    # query fquants relevance and pairwise sims before the shortlist cut
+    # and the greedy, so this oracle applies the identical grid — the
+    # exact-equality tie-break below then compares identical IEEE ops on
+    # identical grid operands, not raw ULP-noisy cosines).
+    def grid(x):
+        return math.floor(x * 1e6) / 1e6
+
+    short = sorted(
+        ((grid(s), k) for s, k in scores), key=lambda t: (-t[0], t[1])
+    )[:20]
     rel20 = {k: s for s, k in short}
     ids20 = [k for _, k in short]
     unit = {k: emb[k] / np.linalg.norm(emb[k]) for k in ids20}
@@ -821,7 +831,7 @@ def test_mmr_rerank_diversifies(spark):
             if k in picked:
                 continue
             pen = (
-                max(float(unit[k] @ unit[j]) for j in picked)
+                max(grid(float(unit[k] @ unit[j])) for j in picked)
                 if picked
                 else 0.0
             )
@@ -831,7 +841,8 @@ def test_mmr_rerank_diversifies(spark):
         picked.append(best[1])
     assert [r["vec_id"] for r in by_rank] == picked, (mmr5, picked)
     for r in by_rank:
-        # relevance column = independent cosine (query rounds to 1e-6)
+        # relevance column = the grid value itself (1-ULP slack only
+        # for the numpy-vs-JVM dot-product fold order)
         assert abs(r["relevance"] - rel20[r["vec_id"]]) < 1.1e-6
 
 

@@ -11,31 +11,41 @@ fails the suite the moment one appears outside the quarantine module.
 
 from __future__ import annotations
 
-import os
-import re
+import ast
 
-ROOT = os.path.join(os.path.dirname(__file__), "..", "trireme_spark")
+from tests.ratchet_util import tree_signatures
 
 # The §2 API-surface demonstration module is the ONLY place row-Python
 # UDFs may appear.
 ALLOWED = {"queries/udfs.py"}
 
-_PAT = re.compile(r"F\.udf\(|\budf\.register\(")
+
+def _is_row_udf(call: ast.Call) -> bool:
+    # F.udf(...) or <anything>.udf.register(...) — AST-extracted so a
+    # docstring mentioning F.udf cannot false-trip the quarantine
+    # (same r8 ADVICE rationale as the broadcast/collect ratchets).
+    f = call.func
+    if not isinstance(f, ast.Attribute):
+        return False
+    if (
+        f.attr == "udf"
+        and isinstance(f.value, ast.Name)
+        and f.value.id == "F"
+    ):
+        return True
+    return (
+        f.attr == "register"
+        and isinstance(f.value, ast.Attribute)
+        and f.value.attr == "udf"
+    )
 
 
 def test_row_python_udfs_quarantined():
-    offenders: dict[str, int] = {}
-    for dirpath, _dirs, files in os.walk(ROOT):
-        for fname in files:
-            if not fname.endswith(".py"):
-                continue
-            path = os.path.join(dirpath, fname)
-            rel = os.path.relpath(path, ROOT).replace(os.sep, "/")
-            if rel in ALLOWED:
-                continue
-            n = len(_PAT.findall(open(path).read()))
-            if n:
-                offenders[rel] = n
+    offenders = {
+        rel: dict(sig)
+        for rel, sig in tree_signatures(_is_row_udf).items()
+        if rel not in ALLOWED
+    }
     assert not offenders, (
         f"Row-Python UDF sites outside queries/udfs.py: {offenders}. "
         "Use built-in pyspark.sql.functions or an Arrow-batched pandas "

@@ -10,6 +10,8 @@ degradation path at 100 TB is the LSH/IVF prefilter with a verify step.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,7 +37,7 @@ from trireme_spark.operators.similarity import (
     sample_kmeans_centroids,
     shingles,
 )
-from trireme_spark.parity import DSCALE, dsum
+from trireme_spark.parity import DSCALE, dsum, fquant
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -1909,18 +1911,26 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
+    # The whole greedy chain runs on the 1e-6 FLOOR-QUANTIZED grid
+    # (parity.fquant — tie-free, unlike round-half-up): the shortlist
+    # cut, the relevance term, and the pairwise-similarity penalty are
+    # all grid values, so an independent re-computation (numpy oracle in
+    # tests/test_quality.py) lands on the exact same (rank, vec_id)
+    # sequence instead of flaking on a 1-ULP near-tie at the shortlist
+    # boundary or in the argmax (r8 ADVICE).
     scored = (
         v.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
             "emb",
-            (
+            fquant(
                 dot(F.col("q"), F.col("emb"))
                 / (
                     F.sqrt(dot(F.col("q"), F.col("q")))
                     * F.sqrt(dot(F.col("emb"), F.col("emb")))
-                )
+                ),
+                6,
             ).alias("rel"),
         )
         .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
@@ -1928,10 +1938,10 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = scored.collect()  # bounded: the 20-row shortlist only
     ids = [r["vec_id"] for r in rows]
-    rel = np.array([r["rel"] for r in rows])
+    rel = np.array([r["rel"] for r in rows])  # already on the 1e-6 grid
     X = np.stack([np.array(r["emb"]) for r in rows])
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    sim = Xn @ Xn.T
+    sim = np.floor((Xn @ Xn.T) * 1e6) / 1e6  # penalty on the same grid
     picked: list[int] = []
     out = []
     for rank in range(1, _MMR_K + 1):
@@ -1946,8 +1956,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 best_i, best_s = i, s
         picked.append(best_i)
         out.append(
-            (rank, int(ids[best_i]), float(round(rel[best_i], 6)),
-             float(round(best_s, 6)))
+            (rank, int(ids[best_i]), float(rel[best_i]),
+             float(math.floor(best_s * 1e6) / 1e6))
         )
     return spark.createDataFrame(
         out, "rank int, vec_id long, relevance double, mmr_score double"

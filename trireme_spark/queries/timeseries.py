@@ -5520,13 +5520,15 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev") - F.col("mu")) * fquant(F.sin(ang), 8) * 1e6
         ).alias("st"),
     )
-    # Sum as DECIMAL(38,0), not BIGINT: Spark's sum(long) silently wraps
-    # at 2^63 under the default non-ANSI config while DuckDB widens
-    # SUM(BIGINT) to HUGEINT (2^127). Per-term magnitude |rev-mu|*1e6
-    # grows linearly with scale factor, so the per-harmonic BIGINT sum
-    # would approach 2^63 around sf100-1000 and diverge SILENTLY past
-    # it. Decimal sums are still exact and order-independent, with
-    # ~10^38 headroom — the same class as the oracle's HUGEINT.
+    # Sum as DECIMAL(38,0), not BIGINT: Spark's sum(long) wraps silently
+    # at 2^63 under legacy ansi=false sessions and THROWS under the
+    # Spark-4 ANSI default, while DuckDB widens SUM(BIGINT) to HUGEINT
+    # (2^127). Per-term magnitude |rev-mu|*1e6 grows linearly with scale
+    # factor, so the per-harmonic BIGINT sum would approach 2^63 around
+    # sf100-1000 — a silent divergence or a hard failure depending on
+    # the session's ANSI mode. Decimal sums avoid both: still exact and
+    # order-independent, with ~10^38 headroom — the same class as the
+    # oracle's HUGEINT.
     pw = terms.groupBy("k").agg(
         F.max("n").alias("n"),
         (F.sum(F.col("ct").cast("decimal(38,0)")).cast("double") / 1e6)
