@@ -7,8 +7,13 @@ Methodology: one untimed warmup execution of EACH query absorbs
 whole-stage-codegen, Arrow init, and any intra-query cache fill (the
 dedup keys cache their multi-use shingle-set subtree; the fill belongs
 to warmup, not steady state — measured 6.9 s fill vs 2.0 s steady at
-sf0.1); each query is then timed as the best of two steady-state runs
-(BASELINE.md's like-for-like interpretation).
+sf0.1); each query is then timed as the best of THREE steady-state runs
+(BASELINE.md's like-for-like interpretation). Best-of-3 (was best-of-2
+through r8) per the r8 verdict: two rounds running, the single committed
+number was the noisiest observation of the tree (r7: 10.71 driver vs
+9.58-9.92 same-tree; r8: 12.12 vs 10.43-11.26 band) — one extra timed
+run per key costs ~12 s total at sf0.1 and tightens the number the
+per-key 2x gate consumes.
 """
 
 from __future__ import annotations
@@ -70,7 +75,7 @@ def main() -> None:
         spark.catalog.clearCache()
         run(key)  # per-key warmup: codegen, Arrow, cache fill
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             run(key)
             best = min(best, time.perf_counter() - t0)

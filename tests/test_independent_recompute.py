@@ -103,6 +103,153 @@ def test_degree_distribution_matches_pandas_recompute(spark):
     assert sum(d * n for d, n in got.items()) == 2 * len(edges)
 
 
+def test_autocorrelation_matches_numpy_recompute(spark):
+    """ACF(k), k=1..24, recomputed independently from the textbook
+    definition: hourly sums x_t, global mean m = Σx/n, ACF(k) =
+    Σ_t (x_t − m)(x_{t+k} − m) / Σ_t (x_t − m)² with the lag pairing on
+    the ACTUAL hour index (a missing hour must break the pair, not
+    shift it — the classic positional-shift bug this audit exists to
+    catch). Also pins |ACF| ≤ 1 and that the query's 24 lags are all
+    present."""
+    got = {
+        int(r["lag"]): float(r["acf"])
+        for r in registry.QUERIES["ts_autocorrelation"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert sorted(got) == list(range(1, 25))
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["ts", "value"]]
+    # unit-independent hour index (the parquet is datetime64[us]; a raw
+    # astype(int64) // ns-per-hour would silently mis-scale)
+    hidx = (pd.to_datetime(ev["ts"]) - pd.Timestamp(0)) // pd.Timedelta(
+        hours=1
+    )
+    v = ev.groupby(hidx)["value"].sum()
+    x = {int(h): float(s) for h, s in v.items()}
+    n = len(x)
+    m = sum(x.values()) / n
+    den = sum((xv - m) ** 2 for xv in x.values())
+    for lag in range(1, 25):
+        num = sum(
+            (xv - m) * (x[h + lag] - m)
+            for h, xv in x.items()
+            if h + lag in x
+        )
+        ref = num / den
+        assert abs(ref) <= 1 + 1e-9
+        # query quantizes per-pair products at 1e-6 before the decimal
+        # sum and rounds the ratio at 6 dp; 1e-5 absorbs both while any
+        # formula error (wrong mean, positional lag, wrong denominator)
+        # shows up at 1e-2+
+        assert abs(got[lag] - ref) <= 1e-5, (lag, got[lag], ref)
+
+
+def test_seasonality_strength_matches_pandas_recompute(spark):
+    """Hyndman's F_s = max(0, 1 − Var(residual)/Var(detrended))
+    recomputed through an independent pandas decomposition chain
+    (centered 25-row MA trend with partial edges → detrend →
+    hour-of-day seasonal → residual). Catches an inverted variance
+    ratio, a miscentered trend frame, or a seasonal join on the wrong
+    key — each of which moves F_s by ≫ the 1e-4 output grid."""
+    rows = registry.QUERIES["ts_seasonality_strength"](
+        spark, SF_SMOKE
+    ).collect()
+    assert len(rows) == 1
+    got = float(rows[0]["seasonal_strength"])
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["ts", "value"]]
+    ev["hr"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    h = (
+        ev.groupby("hr", as_index=False)["value"]
+        .sum()
+        .rename(columns={"value": "v"})
+        .sort_values("hr")
+        .reset_index(drop=True)
+    )
+    trend = (
+        h["v"].rolling(window=25, center=True, min_periods=1).mean()
+    ).round(6)
+    det = (h["v"] - trend).round(6)
+    seasonal = det.groupby(h["hr"].dt.hour).transform("mean").round(6)
+    resid = (det - seasonal).round(6)
+    var_d = float(np.var(det.to_numpy()))
+    var_r = float(np.var(resid.to_numpy()))
+    ref = max(0.0, 1.0 - var_r / var_d)
+    assert 0.0 <= got <= 1.0
+    # output grid is ROUND(4); chain-rounding convention gaps stay ≪ it
+    assert abs(got - ref) <= 2e-4, (got, ref)
+
+
+def test_weighted_median_matches_pandas_recompute(spark):
+    """Weighted median per group recomputed independently: collapse
+    quantity-weight per distinct price, sort by price, cumulative cut
+    at half the total — plus the DEFINING inequalities checked on the
+    raw data: W(< m) < T/2 ≤ W(≤ m). Exact equality on the price (the
+    cut compares exact integer-valued weights; no float wobble)."""
+    got = {
+        r["l_returnflag"]: float(r["weighted_median"])
+        for r in registry.QUERIES["agg_weighted_median"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_returnflag", "l_extendedprice", "l_quantity"]
+    ]
+    assert set(got) == set(li["l_returnflag"].unique())
+    for flag, grp in li.groupby("l_returnflag"):
+        w = (
+            grp.groupby("l_extendedprice")["l_quantity"]
+            .sum()
+            .sort_index()
+        )
+        total = float(w.sum())
+        cum = w.cumsum()
+        m = float(cum.index[(2 * cum >= total).to_numpy().argmax()])
+        assert got[flag] == m, (flag, got[flag], m)
+        below = float(grp.loc[grp["l_extendedprice"] < m, "l_quantity"].sum())
+        at_or_below = float(
+            grp.loc[grp["l_extendedprice"] <= m, "l_quantity"].sum()
+        )
+        assert below < total / 2 <= at_or_below, (flag, below, at_or_below)
+
+
+def test_gini_matches_numpy_recompute(spark):
+    """Gini over per-part revenue recomputed from the rank formula
+    G = 2·Σ(i·x_(i))/(n·Σx) − (n+1)/n with x sorted ascending — and
+    cross-checked against the O(n²)-definition mean-absolute-difference
+    form G = Σ|x_i − x_j| / (2n²·x̄) on a sample-safe basis (exact here:
+    n is dimension-sized). Two independent formulas agreeing kills any
+    rank-convention error."""
+    rows = registry.QUERIES["orders_gini_coefficient"](
+        spark, SF_SMOKE
+    ).collect()
+    assert len(rows) == 1
+    got = float(rows[0]["gini"])
+    n_parts = int(rows[0]["n_parts"])
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_partkey", "l_extendedprice", "l_discount"]
+    ]
+    rev = (
+        (li["l_extendedprice"] * (1 - li["l_discount"]))
+        .round(6)
+        .groupby(li["l_partkey"])
+        .sum()
+        .to_numpy()
+    )
+    assert len(rev) == n_parts
+    x = np.sort(rev)
+    n = len(x)
+    ranks = np.arange(1, n + 1, dtype=float)
+    g_rank = 2.0 * float(ranks @ x) / (n * x.sum()) - (n + 1.0) / n
+    g_mad = float(
+        np.abs(x[:, None] - x[None, :]).sum() / (2.0 * n * n * x.mean())
+    )
+    assert abs(g_rank - g_mad) <= 1e-9
+    assert abs(got - g_rank) <= 2e-6, (got, g_rank)
+
+
 def test_agg_stats_matches_numpy_recompute(spark):
     """Moment statistics recomputed with numpy from the raw column.
     Pins the exact estimator conventions (sample vs population), not
