@@ -59,6 +59,18 @@ KEYS = [
     "agg_two_phase_skew",
     # sequence packing: greedy over an explicit order
     "pack_sequences",
+    # stateful streaming folds (r8 VERDICT #7): shuffle-partition count
+    # sets the state-store partition count on the REAL replays (t6/t13
+    # run actual availableNow streams here, fresh checkpoint per call)
+    # and could reorder per-group Arrow batches inside
+    # applyInPandasWithState; the batch-equivalent session/dedup
+    # builders claim keyed-window determinism. All must be pure
+    # functions of the data.
+    "stream_session",        # t3 — gaps-and-islands sessionization
+    "stream_dedup",          # t5 — survivor pick over duplicated input
+    "stream_stateful",       # t6 — applyInPandasWithState running counts
+    "stream_watermark_late", # t4 — append-mode watermark finalization
+    "stream_stateful_timeout",  # t13-class — stateful fold w/ timeouts
 ]
 
 

@@ -439,11 +439,20 @@ def stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        staged_conf = True
+    except Exception:
+        # immutable in some environments (prep()'s tolerated path, and
+        # the layout-invariance suite simulates it): the knob is a
+        # state-store-commit overhead trim, never a correctness input —
+        # run at whatever count the session carries.
+        staged_conf = False
+    try:
         out = run_to_memory(
             stateful_sessions_event_timeout(stream), mode="append"
         )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if staged_conf:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.where(F.col("user_id") >= 0)
 
 
