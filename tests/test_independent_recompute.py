@@ -250,6 +250,268 @@ def test_gini_matches_numpy_recompute(spark):
     assert abs(got - g_rank) <= 2e-6, (got, g_rank)
 
 
+def test_survival_km_matches_pandas_recompute(spark):
+    """Kaplan-Meier recomputed from the estimator's definition:
+    lifetimes per customer, churn = silent > 90 days before the
+    snapshot (else censored), S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) as a direct
+    cumulative product over event times. Catches the classic KM
+    mistakes — censored rows dropped from the risk set, n_at_risk
+    computed after instead of before the time's departures, product
+    over all times instead of event times."""
+    got = (
+        registry.QUERIES["orders_survival_km"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_custkey", "o_orderdate"]
+    ]
+    od = pd.to_datetime(o["o_orderdate"])
+    life = od.groupby(o["o_custkey"]).agg(["min", "max"])
+    t = (life["max"] - life["min"]).dt.days
+    snap = life["max"].max()
+    event = (snap - life["max"]).dt.days > 90
+    n0 = len(life)
+    per_t = (
+        pd.DataFrame({"t": t, "event": event})
+        .groupby("t")
+        .agg(d=("event", "sum"), leaving=("event", "size"))
+        .sort_index()
+    )
+    per_t["n_at_risk"] = n0 - per_t["leaving"].cumsum().shift(
+        1, fill_value=0
+    )
+    ev_t = per_t[per_t["d"] > 0].copy()
+    ev_t["survival"] = (1.0 - ev_t["d"] / ev_t["n_at_risk"]).cumprod()
+
+    assert got["t"].tolist() == list(ev_t.index)
+    assert got["d"].tolist() == ev_t["d"].tolist()
+    assert got["n_at_risk"].tolist() == ev_t["n_at_risk"].tolist()
+    diff = np.abs(got["survival"].to_numpy() - ev_t["survival"].to_numpy())
+    # query chains ln-quantized (12 dp) decimal sums + ROUND(6) output
+    assert diff.max() <= 2e-6, float(diff.max())
+    # S is a survival curve: monotone nonincreasing from < 1
+    s = got["survival"].to_numpy()
+    assert (np.diff(s) <= 1e-12).all() and s[0] < 1.0
+
+
+def test_holt_winters_matches_python_recompute(spark):
+    """The triple-smoothing recursion (α=0.3, β=0.1, γ=0.2, P=24,
+    simplified init ℓ₀=x₁, b₀=0, seasonal zeros) re-run as a plain
+    Python loop over the independently-computed hourly series. The
+    fold's op order is identical, so agreement is at the output grid;
+    a mis-rotated seasonal vector or swapped update order diverges
+    within a cycle."""
+    got = (
+        registry.QUERIES["ts_holt_winters_additive"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("hr")
+        .reset_index(drop=True)
+    )
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["ts", "value"]]
+    ev["hr"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    h = ev.groupby("hr")["value"].sum().sort_index()
+    a, b, g, p = 0.3, 0.1, 0.2, 24
+    lvl = trd = None
+    s = [0.0] * p
+    out = []
+    for x in h.to_numpy(dtype=float):
+        if lvl is None:
+            lvl, trd = x, 0.0
+            out.append((lvl, trd, 0.0))
+        else:
+            seas = s[0]
+            new_lvl = a * (x - seas) + (1 - a) * (lvl + trd)
+            trd = b * (new_lvl - lvl) + (1 - b) * trd
+            s = s[1:] + [g * (x - new_lvl) + (1 - g) * seas]
+            lvl = new_lvl
+            out.append((lvl, trd, seas))
+    ref = pd.DataFrame(out, columns=["level", "trend", "seas_used"])
+    assert len(got) == len(ref)
+    for col in ("level", "trend", "seas_used"):
+        diff = np.abs(got[col].to_numpy() - ref[col].to_numpy())
+        assert diff.max() <= 2e-6, (col, float(diff.max()))
+
+
+def test_psi_matches_numpy_recompute(spark):
+    """PSI recomputed from the definition: decile edges from the
+    REFERENCE period only (exact linear-interpolation percentiles,
+    rounded 6 dp), both periods counted into those fixed bins by
+    edges-below-value, term = (q−p)·ln(q/p) with the 0.5 continuity
+    floor. Catches re-binning on the current period (the bug that
+    hides drift) and p/q orientation flips."""
+    got = (
+        registry.QUERIES["events_feature_drift_psi"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["ts", "value"]]
+    pre_mask = pd.to_datetime(ev["ts"]) < pd.Timestamp("2024-01-16")
+    pre = ev.loc[pre_mask, "value"].to_numpy(dtype=float)
+    post = ev.loc[~pre_mask, "value"].to_numpy(dtype=float)
+    edges = np.round(
+        np.percentile(pre, [10 * i for i in range(1, 10)]), 6
+    )
+
+    def bins(vals):
+        b = 1 + (vals[:, None] > edges[None, :]).sum(axis=1)
+        return pd.Series(b).value_counts().to_dict()
+
+    n_pre, n_post = bins(pre), bins(post)
+    tp, tq = len(pre), len(post)
+    all_bins = sorted(set(n_pre) | set(n_post))
+    assert got["bin"].tolist() == all_bins
+    for _, r in got.iterrows():
+        bn = int(r["bin"])
+        assert int(r["n_pre"]) == n_pre.get(bn, 0)
+        assert int(r["n_post"]) == n_post.get(bn, 0)
+        p = max(n_pre.get(bn, 0), 0.5) / tp
+        q = max(n_post.get(bn, 0), 0.5) / tq
+        ref = (q - p) * np.log(q / p)
+        assert abs(float(r["psi_term"]) - ref) <= 2e-6, (bn, ref)
+
+
+def test_theil_index_matches_numpy_recompute(spark):
+    """Theil T per group recomputed from T = mean((x/μ)·ln(x/μ)) — and
+    the entropy-form invariant 0 ≤ T ≤ ln(n). A swapped μ/x ratio or a
+    mean-of-logs slip moves T far beyond the 2e-6 gate."""
+    rows = registry.QUERIES["agg_theil_index"](spark, SF_SMOKE).collect()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderpriority", "o_totalprice"]
+    ]
+    assert {r["o_orderpriority"] for r in rows} == set(
+        o["o_orderpriority"].unique()
+    )
+    for r in rows:
+        x = o.loc[
+            o["o_orderpriority"] == r["o_orderpriority"], "o_totalprice"
+        ].to_numpy(dtype=float)
+        ratio = x / x.mean()
+        ref = float(np.mean(ratio * np.log(ratio)))
+        assert int(r["n_orders"]) == len(x)
+        assert -1e-12 <= ref <= np.log(len(x))
+        assert abs(float(r["theil_t"]) - ref) <= 2e-6, (
+            r["o_orderpriority"],
+            ref,
+        )
+
+
+def test_cusum_matches_python_recompute(spark):
+    """The one-sided CUSUM recursion s_t = max(0, s_{t-1} + x_t − 50)
+    re-run per user as a plain loop over (ts, event_id)-ordered events;
+    alarm = s > 200 rechecked against the recomputed statistic."""
+    got = registry.QUERIES["ts_cusum_changepoint"](
+        spark, SF_SMOKE
+    ).toPandas()
+    ev = (
+        pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+            ["user_id", "event_id", "ts", "value"]
+        ]
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ref: dict[int, float] = {}
+    for uid, grp in ev.groupby("user_id"):
+        s = 0.0
+        for eid, x in zip(grp["event_id"], grp["value"]):
+            s = max(0.0, s + float(x) - 50.0)
+            ref[int(eid)] = s
+    assert len(got) == len(ref)
+    for _, r in got.iterrows():
+        rs = ref[int(r["event_id"])]
+        assert abs(float(r["cusum"]) - rs) <= 2e-6, (int(r["event_id"]), rs)
+        assert bool(r["alarm"]) == (rs > 200.0)
+
+
+def test_hybrid_rrf_matches_python_recompute(spark):
+    """The full hybrid chain recomputed independently: BM25
+    (k1=1.2, b=0.75, query {hash, merge, vector}) over regex-tokenized
+    documents, cosine leg from raw embeddings, top-100 per leg with
+    doc_id tie-breaks, RRF k=60 fusion, top-10. Requires the exact
+    (doc_id, ranks, rn) rows — a swapped idf convention, a
+    corpus-instead-of-shortlist rank, or a fusion off-by-one all
+    change the sequence."""
+    import re as _re
+
+    got = (
+        registry.QUERIES["search_hybrid_rrf"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("rn")
+        .reset_index(drop=True)
+    )
+
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    toks = {
+        int(r.doc_id): _re.split(r"\s+", str(r.text).lower())
+        for r in d.itertuples()
+    }
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    terms = ["hash", "merge", "vector"]
+    tf = {
+        (did, t): tl.count(t)
+        for did, tl in toks.items()
+        for t in terms
+        if t in tl
+    }
+    df = {t: sum(1 for (_, tt) in tf if tt == t) for t in terms}
+    k1, b = 1.2, 0.75
+    bm25: dict[int, float] = {}
+    for (did, t), f in tf.items():
+        dl = len(toks[did])
+        idf = np.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+        s = idf * (f * (k1 + 1.0)) / (f + k1 * (1 - b + b * dl / avgdl))
+        bm25[did] = bm25.get(did, 0.0) + round(s, 6)
+    bm_sorted = sorted(
+        ((round(s, 4), did) for did, s in bm25.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:100]
+    bm_rank = {did: i + 1 for i, (_, did) in enumerate(bm_sorted)}
+
+    e = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    emb = {
+        int(r.vec_id): np.array(r.embedding, dtype=float)
+        for r in e.itertuples()
+    }
+    q = emb[0]
+    cos = {
+        did: round(
+            float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), 6
+        )
+        for did, v in emb.items()
+        if did != 0
+    }
+    vec_sorted = sorted(cos.items(), key=lambda x: (-x[1], x[0]))[:100]
+    vec_rank = {did: i + 1 for i, (did, _) in enumerate(vec_sorted)}
+
+    fused = {
+        did: (
+            (1.0 / (60 + bm_rank[did]) if did in bm_rank else 0.0)
+            + (1.0 / (60 + vec_rank[did]) if did in vec_rank else 0.0)
+        )
+        for did in set(bm_rank) | set(vec_rank)
+    }
+    top = sorted(fused.items(), key=lambda x: (-x[1], x[0]))[:10]
+
+    assert got["doc_id"].tolist() == [did for did, _ in top]
+    for i, (_, r) in enumerate(got.iterrows()):
+        did = int(r["doc_id"])
+        assert int(r["rn"]) == i + 1
+        for col, ranks in (("bm25_rank", bm_rank), ("vec_rank", vec_rank)):
+            val = r[col]
+            if pd.isna(val):
+                assert did not in ranks, (did, col)
+            else:
+                assert int(val) == ranks[did], (did, col)
+        assert abs(float(r["rrf"]) - fused[did]) <= 2e-9, did
+
+
 def test_agg_stats_matches_numpy_recompute(spark):
     """Moment statistics recomputed with numpy from the raw column.
     Pins the exact estimator conventions (sample vs population), not
