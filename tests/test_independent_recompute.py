@@ -512,6 +512,169 @@ def test_hybrid_rrf_matches_python_recompute(spark):
         assert abs(float(r["rrf"]) - fused[did]) <= 2e-9, did
 
 
+def test_triangle_count_matches_python_recompute(spark):
+    """Triangle count recomputed brute-force from adjacency sets:
+    edges = unordered part pairs co-occurring in ≥ 2 orders, triangles
+    counted once per (x<y<z) closed triple via common-neighbor
+    intersection. Verifies the degree-oriented wedge enumeration loses
+    and duplicates nothing (the whole point of the orientation)."""
+    row = registry.QUERIES["graph_triangle_count"](
+        spark, SF_SMOKE
+    ).collect()[0]
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ]
+    from collections import Counter
+
+    pair_count: Counter = Counter()
+    for _ok, grp in li.groupby("l_orderkey")["l_partkey"]:
+        parts = sorted(set(grp))
+        for i, a in enumerate(parts):
+            for b in parts[i + 1 :]:
+                pair_count[(a, b)] += 1
+    edges = {p for p, c in pair_count.items() if c >= 2}
+    adj: dict[int, set[int]] = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    n_tri = sum(
+        1
+        for (x, y) in edges
+        for z in adj[x] & adj[y]
+        if z > y
+    )
+    assert int(row["n_edges"]) == len(edges)
+    assert int(row["n_triangles"]) == n_tri
+
+
+def test_ewma_matches_python_recompute(spark):
+    """Per-user EWMA (α=0.3, y₀=x₀) re-run as a plain loop — the same
+    literal `0.3·x + 0.7·y` op sequence, which also guards against a
+    future 'simplification' to pandas .ewm (whose normalized form is
+    NOT the recurrence)."""
+    got = registry.QUERIES["ts_ewma_smoothing"](spark, SF_SMOKE).toPandas()
+    ev = (
+        pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+            ["user_id", "event_id", "ts", "value"]
+        ]
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ref: dict[int, float] = {}
+    for _uid, grp in ev.groupby("user_id"):
+        y = None
+        for eid, x in zip(grp["event_id"], grp["value"]):
+            y = float(x) if y is None else 0.3 * float(x) + 0.7 * y
+            ref[int(eid)] = y
+    assert len(got) == len(ref)
+    diff = np.abs(
+        got["ewma"].to_numpy()
+        - np.array([ref[int(e)] for e in got["event_id"]])
+    )
+    assert diff.max() <= 2e-6, float(diff.max())
+
+
+def test_moving_quantile_matches_pandas_recompute(spark):
+    """Trailing 10-row exact median per supplier recomputed with pandas
+    rolling(10, min_periods=1).median() over the same
+    (shipdate, orderkey, linenumber) order — pinning the linear-
+    interpolation convention and the partial leading frames."""
+    got = (
+        registry.QUERIES["win_moving_quantile"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["l_suppkey", "l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    li = (
+        pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+            [
+                "l_suppkey",
+                "l_orderkey",
+                "l_linenumber",
+                "l_shipdate",
+                "l_extendedprice",
+            ]
+        ]
+        .sort_values(["l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber"])
+    )
+    li["ref"] = (
+        li.groupby("l_suppkey")["l_extendedprice"]
+        .rolling(10, min_periods=1)
+        .median()
+        .reset_index(level=0, drop=True)
+    )
+    # The synthetic lineitem is NOT unique on (orderkey, linenumber), so
+    # a key merge can't align rows; compare the driver-style multiset of
+    # output tuples instead (the window order IS a total order — no full
+    # (suppkey, shipdate, orderkey, linenumber) ties in the fixture).
+    def canon(df, med_col):
+        return sorted(
+            (
+                int(r.l_suppkey),
+                int(r.l_orderkey),
+                int(r.l_linenumber),
+                round(float(r.l_extendedprice), 4),
+                round(float(getattr(r, med_col)), 4),
+            )
+            for r in df.itertuples()
+        )
+
+    assert canon(got, "med10") == canon(li, "ref")
+
+
+def test_association_rules_matches_python_recompute(spark):
+    """The top-20 rules recomputed from first principles: directed
+    pairs with support ≥ 2, confidence = s(xy)/s(x), lift =
+    s(xy)·N/(s(x)·s(y)), ranked by quantized lift with full key
+    tie-breaks. Exact sequence match — a flipped antecedent/consequent
+    or a lift computed with raw (unquantized) ordering changes it."""
+    import math as _math
+
+    got = (
+        registry.QUERIES["lineitem_association_rules"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("rn")
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    nb = li["l_orderkey"].nunique()
+    s = li.groupby("l_partkey").size().to_dict()
+    from collections import Counter
+
+    sxy: Counter = Counter()
+    for _ok, grp in li.groupby("l_orderkey")["l_partkey"]:
+        parts = sorted(set(grp))
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    sxy[(a, b)] += 1
+    rules = [
+        (
+            _math.floor(c * nb / (s[x] * s[y]) * 1e6) / 1e6,  # lift
+            x,
+            y,
+            c,
+            _math.floor(c / s[x] * 1e6) / 1e6,  # confidence
+        )
+        for (x, y), c in sxy.items()
+        if c >= 2
+    ]
+    top = sorted(rules, key=lambda r: (-r[0], r[1], r[2]))[:20]
+    assert len(got) == len(top)
+    for i, (lift, x, y, c, conf) in enumerate(top):
+        r = got.iloc[i]
+        assert (
+            int(r["antecedent"]),
+            int(r["consequent"]),
+            int(r["support_n"]),
+            int(r["rn"]),
+        ) == (x, y, c, i + 1)
+        assert abs(float(r["confidence"]) - conf) <= 1e-9
+        assert abs(float(r["lift"]) - lift) <= 1e-9
+
+
 def test_agg_stats_matches_numpy_recompute(spark):
     """Moment statistics recomputed with numpy from the raw column.
     Pins the exact estimator conventions (sample vs population), not
