@@ -474,6 +474,26 @@ def test_containment_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_dbscan_grid_probe_is_equi_join(spark):
+    """cluster_dbscan_grid: the eps-neighborhood probe meets its 3×3
+    cell candidates through a keyed equi-join on the grid cell — never
+    a cartesian/nested-loop over the point set (the bucket-then-verify
+    doctrine; all-pairs here is the quadratic trap DBSCAN is famous
+    for)."""
+    p = plan(registry.QUERIES["cluster_dbscan_grid"](spark, SF_SMOKE))
+    assert "Cartesian" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hybrid_rrf_legs_truncate_before_ranking(spark):
+    """search_hybrid_rrf: both retrieval legs cut to top-100 via
+    TakeOrderedAndProject BEFORE rank windows attach, so no
+    corpus-sized global window exists anywhere in the fused plan."""
+    p = plan(registry.QUERIES["search_hybrid_rrf"](spark, SF_SMOKE))
+    assert p.count("TakeOrderedAndProject") >= 2
+    assert "Cartesian" not in p
+
+
 def test_knn_graph_is_grouped_gemm(spark):
     """sim_knn_graph_all: the quadratic work lives in the block-pair
     applyInPandas GEMM (FlatMapGroupsInPandas), not in any join."""
