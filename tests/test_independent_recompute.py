@@ -675,6 +675,135 @@ def test_association_rules_matches_python_recompute(spark):
         assert abs(float(r["lift"]) - lift) <= 1e-9
 
 
+def test_price_index_matches_pandas_recompute(spark):
+    """Laspeyres index recomputed from the definition: base-month
+    basket q₀ at base unit prices p₀, index(t) = Σp_t·q₀ / Σp₀·q₀ over
+    the MATCHED basket only. Catches Paasche-weight slips (current
+    quantities), unmatched-part leakage, and base-month drift."""
+    got = {
+        int(r["ym"]): int(r["index_ppm"])
+        for r in registry.QUERIES["lineitem_price_index"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"]
+    ]
+    sd = pd.to_datetime(li["l_shipdate"])
+    li = li.assign(ym=sd.dt.year * 100 + sd.dt.month)
+    m = li.groupby(["l_partkey", "ym"], as_index=False).agg(
+        spend=("l_extendedprice", "sum"), qty=("l_quantity", "sum")
+    )
+    base_ym = int(m["ym"].min())
+    base = m[m["ym"] == base_ym].set_index("l_partkey")
+    p0 = base["spend"] / base["qty"]
+    q0 = base["qty"]
+    assert base_ym in got
+    for ym, grp in m.groupby("ym"):
+        g = grp.set_index("l_partkey")
+        matched = g.index.intersection(p0.index)
+        cur = float(
+            ((g.loc[matched, "spend"] / g.loc[matched, "qty"])
+             * q0.loc[matched]).sum()
+        )
+        bas = float((p0.loc[matched] * q0.loc[matched]).sum())
+        ref_ppm = cur / bas * 1e6
+        # floor-quantized ppm; per-term 6 dp rounding in the query
+        # moves the ratio ≪ 1 ppm at fixture scale — allow ±1 ppm
+        assert abs(got[int(ym)] - ref_ppm) <= 1.0 + 1e-6, (ym, ref_ppm)
+    assert got[base_ym] == 1_000_000  # the index is 1.0 at base by def
+
+
+def test_maxsim_matches_numpy_recompute(spark):
+    """ColBERT-style MaxSim recomputed from the definition: 8 token
+    vectors per doc (8-d slices), score(q, d) = Σ_qtoken max_dtoken
+    cos(qt, dt), top-5 per query with did tie-break. Exact (qid, did,
+    rn) sequence; a max/sum transposition or a slice off-by-one
+    reorders it immediately."""
+    got = (
+        registry.QUERIES["sim_maxsim_late_interaction"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["qid", "rn"])
+        .reset_index(drop=True)
+    )
+    e = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    emb = {
+        int(r.vec_id): np.array(r.embedding, dtype=float)
+        for r in e.itertuples()
+    }
+    toks = {
+        did: [v[8 * t : 8 * t + 8] for t in range(8)]
+        for did, v in emb.items()
+    }
+
+    def cos(a, b):
+        return round(
+            float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)), 6
+        )
+
+    for qid in range(3):
+        scores = []
+        for did, dts in toks.items():
+            if did == qid:
+                continue
+            s = sum(
+                max(cos(qt, dt) for dt in dts) for qt in toks[qid]
+            )
+            scores.append((round(s, 6), did))
+        top5 = sorted(scores, key=lambda x: (-x[0], x[1]))[:5]
+        rows = got[got["qid"] == qid]
+        assert rows["did"].tolist() == [d for _, d in top5], qid
+        for (s, _), (_, r) in zip(top5, rows.iterrows()):
+            assert abs(float(r["maxsim"]) - s) <= 2e-6
+
+
+def test_abc_xyz_matches_pandas_recompute(spark):
+    """The ABC-XYZ matrix recomputed from the definitions: ABC by
+    cumulative revenue share over (revenue desc, partkey) rank
+    (A ≤ 80%, B ≤ 95%), XYZ by the CV of monthly quantities
+    (X < 0.5, Y < 1.0, Z) over parts with ≥ 3 active months. Cell
+    counts must match exactly — the boundary conventions (≤ vs <,
+    sample vs population CV) are precisely what two engines could
+    both get wrong together."""
+    got = {
+        (r["abc_class"], r["xyz_class"]): int(r["n_parts"])
+        for r in registry.QUERIES["lineitem_abc_xyz"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"]
+    ]
+    sd = pd.to_datetime(li["l_shipdate"])
+    li = li.assign(ym=sd.dt.year * 100 + sd.dt.month)
+
+    rev = li.groupby("l_partkey")["l_extendedprice"].sum()
+    order = rev.reset_index().sort_values(
+        ["l_extendedprice", "l_partkey"], ascending=[False, True]
+    )
+    cum = order["l_extendedprice"].cumsum()
+    tot = float(rev.sum())
+    abc = pd.Series(
+        np.where(
+            5 * cum <= 4 * tot, "A", np.where(20 * cum <= 19 * tot, "B", "C")
+        ),
+        index=order["l_partkey"].to_numpy(),
+    )
+
+    pm = li.groupby(["l_partkey", "ym"])["l_quantity"].sum()
+    g = pm.groupby(level=0)
+    n = g.size()
+    cv = (g.std(ddof=1) / g.mean())[n >= 3]
+    xyz = pd.Series(
+        np.where(cv < 0.5, "X", np.where(cv < 1.0, "Y", "Z")), index=cv.index
+    )
+
+    ref: dict[tuple, int] = {}
+    for pk, x in xyz.items():
+        ref[(abc.loc[pk], x)] = ref.get((abc.loc[pk], x), 0) + 1
+    assert got == ref
+
+
 def test_agg_stats_matches_numpy_recompute(spark):
     """Moment statistics recomputed with numpy from the raw column.
     Pins the exact estimator conventions (sample vs population), not
