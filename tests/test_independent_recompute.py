@@ -830,3 +830,300 @@ def test_agg_stats_matches_numpy_recompute(spark):
         )
         for name, ref, tol in checks:
             assert abs(float(d[name]) - ref) <= tol, (name, d[name], ref)
+
+
+def test_holt_linear_matches_python_recompute(spark):
+    """Holt's linear trend (α=0.3, β=0.1) re-run as a plain per-user
+    loop with the SAME literal op order (level update feeds the same
+    step's trend update) — the two-variable recursion where a swapped
+    update order or a pandas .ewm 'simplification' silently changes
+    every value after the second observation."""
+    got = registry.QUERIES["ts_holt_linear_trend"](
+        spark, SF_SMOKE
+    ).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "event_id", "ts", "value"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    lv: dict[int, float] = {}
+    td: dict[int, float] = {}
+    for _uid, grp in ev.groupby("user_id"):
+        lvl = trd = None
+        for eid, x in zip(grp["event_id"], grp["value"]):
+            x = float(x)
+            if lvl is None:
+                lvl, trd = x, 0.0
+            else:
+                new_lvl = 0.3 * x + (1 - 0.3) * (lvl + trd)
+                trd = 0.1 * (new_lvl - lvl) + (1 - 0.1) * trd
+                lvl = new_lvl
+            lv[int(eid)], td[int(eid)] = lvl, trd
+    assert len(got) == len(lv)
+    for col, ref in (("level", lv), ("trend", td)):
+        diff = np.abs(
+            got[col].to_numpy()
+            - np.array([ref[int(e)] for e in got["event_id"]])
+        )
+        assert diff.max() <= 2e-6, (col, float(diff.max()))
+    fc = np.array(
+        [lv[int(e)] + td[int(e)] for e in got["event_id"]]
+    )
+    assert np.abs(got["forecast_next"].to_numpy() - fc).max() <= 2e-6
+
+
+def test_ewma_control_chart_matches_python_recompute(spark):
+    """EWMA control chart recomputed from the Roberts/SPC contract:
+    baseline = PREVIOUS smoothed value, width = 3·σ·√(α/(2−α)) with σ
+    the sample (ddof=1) std from decimal-exact sufficient statistics.
+    The out_of_control flags must match EXACTLY — both sides compare
+    bit-identical doubles, so a baseline that absorbed the tested
+    point, a population-σ slip, or raw-σ limits all flip flags."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = registry.QUERIES["ts_ewma_control_chart"](
+        spark, SF_SMOKE
+    ).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "event_id", "ts", "value"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    # decimal-exact sufficient stats, mirroring dsum's DECIMAL(27,6)
+    q = Decimal("0.000001")
+    sx = sxx = Decimal(0)
+    for v in ev["value"]:
+        v = float(v)
+        sx += Decimal(repr(v)).quantize(q, ROUND_HALF_UP)
+        sxx += Decimal(repr(v * v)).quantize(q, ROUND_HALF_UP)
+    n = float(len(ev))
+    sxf, sxxf = float(sx), float(sxx)
+    width = 3.0 * math.sqrt(
+        (sxxf - sxf * sxf / n) / (n - 1) * (0.3 / (2 - 0.3))
+    )
+    base: dict[int, float] = {}
+    flag: dict[int, bool] = {}
+    for _uid, grp in ev.groupby("user_id"):
+        y = None
+        for eid, x in zip(grp["event_id"], grp["value"]):
+            if y is not None:
+                base[int(eid)] = y
+                flag[int(eid)] = abs(float(x) - y) > width
+            y = float(x) if y is None else 0.3 * float(x) + 0.7 * y
+    assert len(got) == len(base)
+    diff = np.abs(
+        got["baseline"].to_numpy()
+        - np.array([base[int(e)] for e in got["event_id"]])
+    )
+    assert diff.max() <= 2e-6, float(diff.max())
+    for eid, oc in zip(got["event_id"], got["out_of_control"]):
+        assert bool(oc) == flag[int(eid)], int(eid)
+
+
+def test_interpolate_linear_matches_pandas_recompute(spark):
+    """Linear gap interpolation recomputed on an independently built
+    (user × hour) spine with pandas ffill/bfill neighbor lookups and
+    the integer-index fraction — leading/trailing gaps must stay null,
+    known cells must pass through untouched."""
+    got = registry.QUERIES["ts_interpolate_linear"](
+        spark, SF_SMOKE
+    ).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "value"]
+    ]
+    ev["hr"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    hourly = ev.groupby(["user_id", "hr"], as_index=False)["value"].sum()
+    hours = pd.date_range(
+        ev["hr"].min(), ev["hr"].max(), freq="h"
+    )
+    users = sorted(ev["user_id"].unique())
+    ref: dict[tuple, float | None] = {}
+    for uid in users:
+        known = hourly[hourly["user_id"] == uid].set_index("hr")["value"]
+        v = known.reindex(hours)
+        arr = v.to_numpy(dtype=float)
+        idx = np.arange(len(arr))
+        kmask = ~np.isnan(arr)
+        kidx = idx[kmask]
+        for i in idx:
+            if kmask[i]:
+                ref[(uid, hours[i])] = arr[i]
+                continue
+            lo = kidx[kidx < i]
+            hi = kidx[kidx > i]
+            if len(lo) == 0 or len(hi) == 0:
+                ref[(uid, hours[i])] = None
+                continue
+            p, nx = lo[-1], hi[0]
+            frac = float(i - p) / float(nx - p)
+            val = arr[p] + (arr[nx] - arr[p]) * frac
+            ref[(uid, hours[i])] = np.floor(val * 1e6) / 1e6
+    assert len(got) == len(ref)
+    for r in got.itertuples():
+        key = (int(r.user_id), pd.Timestamp(r.hr))
+        expect = ref[key]
+        if expect is None:
+            assert pd.isna(r.v_li), key
+        else:
+            assert abs(float(r.v_li) - expect) <= 2e-6, key
+
+
+def test_skyline_2d_matches_python_recompute(spark):
+    """Pareto frontier recomputed by brute-force dominance: order A
+    survives iff no order B has (price ≥, date ≥) with at least one
+    strict — value-checking the bucketed two-pass rewrite (running max
+    over strictly-higher distinct prices + equal-price-peer max)
+    against the definition it claims to implement, ties included."""
+    got = registry.QUERIES["orders_skyline_2d"](spark, SF_SMOKE).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderkey", "o_totalprice", "o_orderdate"]
+    ]
+    p = o["o_totalprice"].to_numpy(dtype=float)
+    d = pd.to_datetime(o["o_orderdate"]).dt.floor("D")
+    dt = ((d - pd.Timestamp(0)) // pd.Timedelta(days=1)).to_numpy()
+    keep = []
+    for i in range(len(o)):
+        dom = (
+            (p >= p[i])
+            & (dt >= dt[i])
+            & ((p > p[i]) | (dt > dt[i]))
+        )
+        if not dom.any():
+            keep.append(i)
+    ref = sorted(
+        (
+            int(o["o_orderkey"].iloc[i]),
+            round(float(p[i]), 4),
+            d.iloc[i].strftime("%Y-%m-%d"),
+        )
+        for i in keep
+    )
+    ours = sorted(
+        (int(r.o_orderkey), round(float(r.o_totalprice), 4), str(r.od))
+        for r in got.itertuples()
+    )
+    assert ours == ref
+
+
+def test_backlog_daily_matches_python_recompute(spark):
+    """Daily open-order backlog recomputed by brute-force interval
+    stabbing (count of orders with d0 ≤ day < d1 per calendar day) —
+    value-checking the +1/−1 delta + running-sum rewrite, including
+    zero-change days on the spine and the half-open close boundary."""
+    got = {
+        pd.Timestamp(r.day): int(r.open_orders)
+        for r in registry.QUERIES["orders_open_backlog_daily"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderkey", "o_orderdate"]
+    ]
+    d0 = pd.to_datetime(o["o_orderdate"]).dt.floor("D")
+    d1 = d0 + pd.to_timedelta(
+        (o["o_orderkey"] % 30 + 1).to_numpy(), unit="D"
+    )
+    days = pd.date_range(d0.min(), d1.max(), freq="D")
+    ref = {
+        day: int(((d0 <= day) & (day < d1)).sum()) for day in days
+    }
+    assert got == ref
+
+
+def test_binary_quantize_hamming_matches_python_recompute(spark):
+    """Sign-bit signatures and Hamming top-5 recomputed with Python
+    ints (bit i set iff dim i > 0; XOR + popcount) — exact integer
+    sequence match including the two's-complement bit-63 wrap and the
+    neighbor-id tie-break."""
+    got = (
+        registry.QUERIES["embed_binary_quantize_hamming"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["qid", "rn"])
+        .reset_index(drop=True)
+    )
+    e = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    sigs: dict[int, int] = {}
+    for r in e.itertuples():
+        s = 0
+        for i, x in enumerate(r.embedding[:64]):
+            if float(x) > 0:
+                s |= 1 << i
+        sigs[int(r.vec_id)] = s
+    rows = []
+    for qid in sorted(v for v in sigs if v < 3):
+        scored = sorted(
+            (bin(sigs[qid] ^ sig).count("1"), nid)
+            for nid, sig in sigs.items()
+            if nid != qid
+        )
+        for rn, (ham, nid) in enumerate(scored[:5], 1):
+            rows.append((qid, nid, ham, rn))
+    ours = [
+        (int(r.qid), int(r.neighbor), int(r.hamming), int(r.rn))
+        for r in got.itertuples()
+    ]
+    assert ours == rows
+
+
+def test_matryoshka_matches_numpy_recompute(spark):
+    """Matryoshka prefix-dimension retrieval recomputed with numpy
+    prefix cosines, mirroring Spark's HALF_UP round-at-6dp on the
+    shortest decimal repr (Decimal(repr(x))) before ranking — so the
+    exact (neighbor, rank) sequence must match at every prefix width."""
+    import math as _math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = (
+        registry.QUERIES["embed_matryoshka_topk"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["qid", "d", "rn"])
+        .reset_index(drop=True)
+    )
+    e = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    ids = e["vec_id"].to_numpy()
+    M = np.stack(
+        [np.asarray(v, dtype=float)[:64] for v in e["embedding"]]
+    )
+    q6 = Decimal("0.000001")
+
+    def fold_dot(a, b):
+        # mirror F.aggregate's sequential left fold, not numpy's
+        # pairwise summation — they can differ in the last ulp, which
+        # matters right before a HALF_UP round at 6 dp
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + float(x) * float(y)
+        return s
+
+    rows = []
+    for qid in sorted(int(i) for i in ids if i < 3):
+        qv = M[list(ids).index(qid)]
+        for dim in (8, 16, 64):
+            qd = qv[:dim]
+            cands = []
+            for vid, vec in zip(ids, M):
+                if int(vid) == qid:
+                    continue
+                vd = vec[:dim]
+                cos = fold_dot(qd, vd) / (
+                    _math.sqrt(fold_dot(qd, qd))
+                    * _math.sqrt(fold_dot(vd, vd))
+                )
+                cos6 = float(
+                    Decimal(repr(cos)).quantize(q6, ROUND_HALF_UP)
+                )
+                cands.append((-cos6, int(vid)))
+            cands.sort()
+            for rn, (negcos, vid) in enumerate(cands[:5], 1):
+                rows.append((qid, dim, vid, -negcos, rn))
+    ours = [
+        (
+            int(r.qid),
+            int(r.d),
+            int(r.neighbor),
+            float(r.cos_sim),
+            int(r.rn),
+        )
+        for r in got.itertuples()
+    ]
+    assert len(ours) == len(rows)
+    for a, b in zip(ours, rows):
+        assert a[:3] == b[:3] and a[4] == b[4], (a, b)
+        assert abs(a[3] - b[3]) <= 1e-9, (a, b)
