@@ -1127,3 +1127,517 @@ def test_matryoshka_matches_numpy_recompute(spark):
     for a, b in zip(ours, rows):
         assert a[:3] == b[:3] and a[4] == b[4], (a, b)
         assert abs(a[3] - b[3]) <= 1e-9, (a, b)
+
+
+# ---------------------------------------------------------------------------
+# r10-window pre-built audits: the next sweep window's math-heavy keys get
+# their third-way recomputes BEFORE their driver round, mirroring the r9
+# pattern (each written from the key's documented contract, not its code).
+# ---------------------------------------------------------------------------
+
+
+def _hup(x: float, digits: int) -> float:
+    """Mirror Spark's F.round: HALF_UP on the double's shortest decimal
+    repr (BigDecimal(Double.toString))."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+
+
+def _dq6(x: float):
+    """DECIMAL(27,6) cast of a double: HALF_UP quantize at 6 dp."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(float(x))).quantize(
+        Decimal("0.000001"), ROUND_HALF_UP
+    )
+
+
+def test_bollinger_bands_matches_python_recompute(spark):
+    """Trailing-10 mean ± 2σ per part recomputed with exact decimal
+    window sums and the (n−1) sigma — warm-up suppression (< 5 rows),
+    HALF_UP σ at 3 dp, and the outside flag all mirrored exactly."""
+    import math
+
+    got = registry.QUERIES["ts_bollinger_bands"](spark, SF_SMOKE).toPandas()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        [
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            "l_extendedprice",
+        ]
+    ].sort_values(["l_partkey", "l_shipdate", "l_orderkey", "l_linenumber"])
+    rows = []
+    for pk, grp in li.groupby("l_partkey"):
+        window: list = []
+        for r in grp.itertuples():
+            x = float(r.l_extendedprice)
+            window.append((_dq6(x), _dq6(x * x)))
+            window = window[-10:]
+            n = len(window)
+            if n < 5:
+                continue
+            sx = float(sum(w[0] for w in window))
+            sx2 = float(sum(w[1] for w in window))
+            ma = sx / n
+            sigma = _hup(math.sqrt((sx2 - sx * sx / n) / (n - 1)), 3)
+            outside = x > ma + 2 * sigma or x < ma - 2 * sigma
+            rows.append(
+                (
+                    int(pk),
+                    int(r.l_orderkey),
+                    int(r.l_linenumber),
+                    pd.Timestamp(r.l_shipdate).strftime("%Y-%m-%d"),
+                    round(x, 4),
+                    round(ma, 4),
+                    round(sigma, 4),
+                    outside,
+                )
+            )
+    ours = [
+        (
+            int(r.l_partkey),
+            int(r.l_orderkey),
+            int(r.l_linenumber),
+            str(r.ship_day),
+            round(float(r.l_extendedprice), 4),
+            round(float(r.ma), 4),
+            round(float(r.sigma), 4),
+            bool(r.outside),
+        )
+        for r in got.itertuples()
+    ]
+    assert rows and sorted(ours) == sorted(rows)
+
+
+def test_lorenz_curve_matches_pandas_recompute(spark):
+    """Decile cumulative revenue shares recomputed from the definition:
+    exact decimal per-customer spend, (spend, custkey) total order,
+    integer decile cut ((pos−1)·10)//n + 1, decimal decile sums."""
+    got = (
+        registry.QUERIES["orders_lorenz_curve"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_custkey", "o_totalprice"]
+    ]
+    spend: dict[int, object] = {}
+    for r in o.itertuples():
+        spend[int(r.o_custkey)] = spend.get(
+            int(r.o_custkey), _dq6(0.0)
+        ) + _dq6(float(r.o_totalprice))
+    ranked = sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ranked)
+    dec: dict[int, list] = {}
+    for pos, (_ck, s) in enumerate(ranked, 1):
+        d = (pos - 1) * 10 // n + 1
+        dec.setdefault(d, []).append(s)
+    total = float(sum(s for v in dec.values() for s in v))
+    assert len(got) == len(dec)
+    cum = 0.0
+    for r in got.itertuples():
+        v = dec[int(r.decile)]
+        cum += float(sum(v))
+        assert int(r.n_customers) == len(v)
+        assert abs(float(r.decile_spend) - float(sum(v))) <= 1e-6
+        assert abs(float(r.cum_share) - cum / total) <= 2e-6
+
+
+def test_max_drawdown_matches_pandas_recompute(spark):
+    """Max drawdown recomputed: exact decimal daily revenue, running
+    peak, argmax of (peak − rev) with the earliest-day tie-break."""
+    got = registry.QUERIES["orders_max_drawdown"](spark, SF_SMOKE).toPandas()
+    assert len(got) == 1
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderdate", "o_totalprice"]
+    ]
+    o["day"] = pd.to_datetime(o["o_orderdate"]).dt.floor("D")
+    daily: dict = {}
+    for r in o.itertuples():
+        daily[r.day] = daily.get(r.day, _dq6(0.0)) + _dq6(
+            float(r.o_totalprice)
+        )
+    best = None
+    peak = float("-inf")
+    for day in sorted(daily):
+        rev = float(daily[day])
+        peak = max(peak, rev)
+        dd = peak - rev
+        if best is None or dd > best[0]:
+            best = (dd, day, rev, peak)
+    r = got.iloc[0]
+    assert str(r["trough_day"]) == best[1].strftime("%Y-%m-%d")
+    assert abs(float(r["trough_rev"]) - best[2]) <= 1e-9
+    assert abs(float(r["peak_rev"]) - best[3]) <= 1e-9
+    assert abs(float(r["max_drawdown"]) - best[0]) <= 2e-6
+
+
+def test_runs_test_matches_python_recompute(spark):
+    """Wald–Wolfowitz runs test recomputed: daily-revenue direction
+    signs (zero-change days excluded), run count, and the exact
+    z = (r − μ)/σ with μ = 2n₁n₂/(n₁+n₂) + 1."""
+    import math
+
+    got = registry.QUERIES["ts_runs_test"](spark, SF_SMOKE).toPandas()
+    assert len(got) == 1
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderdate", "o_totalprice"]
+    ]
+    o["day"] = pd.to_datetime(o["o_orderdate"]).dt.floor("D")
+    daily: dict = {}
+    for r in o.itertuples():
+        daily[r.day] = daily.get(r.day, _dq6(0.0)) + _dq6(
+            float(r.o_totalprice)
+        )
+    revs = [float(daily[d]) for d in sorted(daily)]
+    signs = []
+    for a, b in zip(revs, revs[1:]):
+        if b != a:
+            signs.append(1 if b > a else -1)
+    runs = sum(
+        1 for i, s in enumerate(signs) if i == 0 or s != signs[i - 1]
+    )
+    n1 = float(sum(1 for s in signs if s > 0))
+    n2 = float(sum(1 for s in signs if s < 0))
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    r = got.iloc[0]
+    assert int(r["n_runs"]) == runs
+    assert (int(r["n_up"]), int(r["n_down"])) == (int(n1), int(n2))
+    assert abs(float(r["z"]) - (runs - mu) / math.sqrt(var)) <= 2e-6
+
+
+def test_mannwhitney_matches_python_recompute(spark):
+    """Tie-corrected Mann–Whitney recomputed from the midrank identity
+    2·R = Σ wcnt·(2·below + cnt + 1) over distinct cents values, with
+    the Σ(t³−t) variance correction — all in exact integers until the
+    final z expression."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = registry.QUERIES["orders_mannwhitney_u"](spark, SF_SMOKE).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_totalprice", "o_orderdate"]
+    ]
+    wknd = pd.to_datetime(o["o_orderdate"]).dt.dayofweek >= 5
+    cents = [
+        int(Decimal(repr(float(p) * 100)).quantize(0, ROUND_HALF_UP))
+        for p in o["o_totalprice"]
+    ]
+    from collections import Counter
+
+    cnt_all: Counter = Counter(cents)
+    cnt_w: Counter = Counter(c for c, w in zip(cents, wknd) if w)
+    below = 0
+    r1x2 = ties = 0
+    n1 = sum(cnt_w.values())
+    n2 = sum(cnt_all.values()) - n1
+    for c in sorted(cnt_all):
+        t = cnt_all[c]
+        w = cnt_w.get(c, 0)
+        r1x2 += w * (2 * below + t + 1)
+        ties += t * t * t - t
+        below += t
+    fn1, fn2 = float(n1), float(n2)
+    u_centered = (float(r1x2) - fn1 * (fn1 + 1)) / 2 - fn1 * fn2 / 2
+    var = (
+        fn1 * fn2 / 12
+        * ((fn1 + fn2 + 1) - float(ties) / ((fn1 + fn2) * (fn1 + fn2 - 1)))
+    )
+    r = got.iloc[0]
+    assert (int(r["n_weekend"]), int(r["n_weekday"])) == (n1, n2)
+    assert abs(float(r["u_minus_mean"]) - u_centered) <= 0.05 + 1e-9
+    assert abs(float(r["z"]) - u_centered / math.sqrt(var)) <= 2e-6
+
+
+def test_ks_test_matches_python_recompute(spark):
+    """Two-sample KS recomputed: D = max |ECDF₁ − ECDF₂| over the
+    pooled distinct values (exact integer ratios), ks_z = D·√(n₁n₂/n)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = registry.QUERIES["orders_ks_test"](spark, SF_SMOKE).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_totalprice", "o_orderdate"]
+    ]
+    wknd = pd.to_datetime(o["o_orderdate"]).dt.dayofweek >= 5
+    from collections import Counter
+
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for p, w in zip(o["o_totalprice"], wknd):
+        c = int(Decimal(repr(float(p) * 100)).quantize(0, ROUND_HALF_UP))
+        (c1 if w else c2)[c] += 1
+    n1, n2 = float(sum(c1.values())), float(sum(c2.values()))
+    f1 = f2 = 0
+    d = 0.0
+    for c in sorted(set(c1) | set(c2)):
+        f1 += c1.get(c, 0)
+        f2 += c2.get(c, 0)
+        d = max(d, abs(f1 / n1 - f2 / n2))
+    r = got.iloc[0]
+    assert (int(r["n_weekend"]), int(r["n_weekday"])) == (int(n1), int(n2))
+    assert abs(float(r["d_stat"]) - d) <= 2e-6
+    assert abs(float(r["ks_z"]) - d * math.sqrt(n1 * n2 / (n1 + n2))) <= 2e-6
+
+
+def test_dispersion_index_matches_python_recompute(spark):
+    """Variance-to-mean ratio of hourly counts per type recomputed with
+    ddof=1 over exact integer sums; the overdispersed flag (D > 1.5)
+    must match exactly (identical IEEE expression both sides)."""
+    got = registry.QUERIES["events_dispersion_index"](
+        spark, SF_SMOKE
+    ).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["event_type", "ts"]]
+    ev["hr"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    counts = ev.groupby(["event_type", "hr"]).size()
+    assert len(got)
+    for r in got.itertuples():
+        c = counts[r.event_type].to_numpy(dtype=float)
+        n = float(len(c))
+        sx, sx2 = float(c.sum()), float((c * c).sum())
+        var = (sx2 - sx * sx / n) / (n - 1)
+        disp = var / (sx / n)
+        assert int(r.n_hours) == len(c)
+        assert abs(float(r.mean_per_hour) - sx / n) <= 2e-6
+        assert abs(float(r.dispersion_index) - disp) <= 2e-6
+        assert bool(r.overdispersed) == (disp > 1.5)
+
+
+def test_mutual_information_matches_python_recompute(spark):
+    """MI(priority; weekday) in nats recomputed from the contingency
+    definition Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) with the 9-dp per-term
+    quantization, plus marginal entropies and min-entropy NMI."""
+    import math
+
+    got = registry.QUERIES["agg_mutual_information"](
+        spark, SF_SMOKE
+    ).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderpriority", "o_orderdate"]
+    ]
+    y = pd.to_datetime(o["o_orderdate"]).dt.dayofweek
+    tab = pd.crosstab(o["o_orderpriority"], y)
+    n = float(tab.to_numpy().sum())
+    nx = tab.sum(axis=1)
+    ny = tab.sum(axis=0)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("0.000000001")
+
+    def r9(v: float):
+        return Decimal(repr(v)).quantize(q9, ROUND_HALF_UP)
+
+    mi = Decimal(0)
+    cells = 0
+    for xi in tab.index:
+        for yi in tab.columns:
+            c = float(tab.loc[xi, yi])
+            if c == 0:
+                continue
+            cells += 1
+            mi += r9(
+                (c / n) * math.log(c * n / (float(nx[xi]) * float(ny[yi])))
+            )
+    hx = sum(
+        (r9(-(float(v) / n) * math.log(float(v) / n)) for v in nx),
+        Decimal(0),
+    )
+    hy = sum(
+        (r9(-(float(v) / n) * math.log(float(v) / n)) for v in ny),
+        Decimal(0),
+    )
+    r = got.iloc[0]
+    assert int(r["n_cells"]) == cells
+    assert abs(float(r["mi_nats"]) - float(mi)) <= 2e-6
+    assert abs(float(r["h_priority"]) - float(hx)) <= 2e-6
+    assert abs(float(r["h_weekday"]) - float(hy)) <= 2e-6
+    assert (
+        abs(float(r["normalized_mi"]) - float(mi) / min(float(hx), float(hy)))
+        <= 2e-6
+    )
+
+
+def test_cramers_v_matches_python_recompute(spark):
+    """Chi-square + Cramér's V recomputed over the same contingency
+    table: Σ(O−E)²/E with 6-dp per-cell quantization, dof, and
+    V = √(χ²/(n·(min(r,c)−1)))."""
+    import math
+
+    got = registry.QUERIES["agg_cramers_v"](spark, SF_SMOKE).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderpriority", "o_orderdate"]
+    ]
+    y = pd.to_datetime(o["o_orderdate"]).dt.dayofweek
+    tab = pd.crosstab(o["o_orderpriority"], y)
+    n = float(tab.to_numpy().sum())
+    nx = tab.sum(axis=1)
+    ny = tab.sum(axis=0)
+    chi = sum(
+        (
+            _dq6(
+                (float(tab.loc[xi, yi]) - float(nx[xi]) * float(ny[yi]) / n)
+                ** 2
+                / (float(nx[xi]) * float(ny[yi]) / n)
+            )
+            for xi in tab.index
+            for yi in tab.columns
+        ),
+    )
+    r = got.iloc[0]
+    dof = (len(nx) - 1) * (len(ny) - 1)
+    v = math.sqrt(float(chi) / (n * (min(len(nx), len(ny)) - 1)))
+    assert int(r["dof"]) == dof
+    assert abs(float(r["chi2"]) - float(chi)) <= 2e-4
+    assert abs(float(r["cramers_v"]) - v) <= 2e-6
+
+
+def test_heaps_law_matches_python_recompute(spark):
+    """Heaps' β and K recomputed: per-doc (ln tokens, ln types) points
+    (Java \\s token split, empties INCLUDED — mirroring F.size over the
+    unfiltered split), 6-dp quantized OLS moment sums, closed-form
+    slope/intercept."""
+    import math
+    import re
+
+    got = registry.QUERIES["text_heaps_law"](spark, SF_SMOKE).toPandas()
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["text"]]
+    from decimal import Decimal
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    n = 0
+    sx = sy = sxy = sxx = Decimal(0)
+    for t in d["text"]:
+        toks = ws.split(str(t).lower())
+        if len(toks) < 2:
+            continue
+        n += 1
+        x = float(_dq6(math.log(len(toks))))
+        yv = float(_dq6(math.log(len(set(toks)))))
+        sx += _dq6(x)
+        sy += _dq6(yv)
+        sxy += _dq6(x * yv)
+        sxx += _dq6(x * x)
+    fsx, fsy, fsxy, fsxx = map(float, (sx, sy, sxy, sxx))
+    beta = (n * fsxy - fsx * fsy) / (n * fsxx - fsx * fsx)
+    k = math.exp((fsy - beta * fsx) / n)
+    r = got.iloc[0]
+    assert int(r["n_docs"]) == n
+    assert abs(float(r["beta"]) - beta) <= 2e-6
+    assert abs(float(r["k"]) - k) <= 2e-4
+
+
+def test_js_divergence_matches_python_recompute(spark):
+    """Per-source JS divergence vs the corpus unigram distribution,
+    recomputed with explicit p/q/m dictionaries and the 9-dp per-term
+    quantization; n_terms must equal the corpus vocabulary size."""
+    import math
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = registry.QUERIES["text_js_divergence"](spark, SF_SMOKE).toPandas()
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["source", "text"]]
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    per_src: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    for r in d.itertuples():
+        toks = [t for t in ws.split(str(r.text).lower()) if t != ""]
+        per_src.setdefault(r.source, Counter()).update(toks)
+        corpus.update(toks)
+    nc = float(sum(corpus.values()))
+    q9 = Decimal("0.000000001")
+    assert len(got) == len(per_src)
+    for r in got.itertuples():
+        src = per_src[r.source]
+        ns = float(sum(src.values()))
+        js = Decimal(0)
+        for term, cc in corpus.items():
+            p = src.get(term, 0) / ns
+            q = cc / nc
+            m = (p + q) / 2
+            term_val = (p * math.log(p / m) if p > 0 else 0.0) * 0.5
+            term_val += 0.5 * q * math.log(q / m)
+            js += Decimal(repr(term_val)).quantize(q9, ROUND_HALF_UP)
+        assert int(r.n_terms) == len(corpus)
+        assert abs(float(r.js_nats) - float(js)) <= 2e-6, r.source
+
+
+def test_boxplot_stats_matches_numpy_recompute(spark):
+    """Five-number summary + Tukey outlier counts recomputed with
+    numpy linear-interpolation percentiles, 4-dp HALF_UP quartiles,
+    and fences computed from the ROUNDED quartiles (the documented
+    boundary-stability rule)."""
+    got = registry.QUERIES["agg_boxplot_stats"](spark, SF_SMOKE).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderpriority", "o_totalprice"]
+    ]
+    assert len(got)
+    for r in got.itertuples():
+        x = o[o["o_orderpriority"] == r.o_orderpriority][
+            "o_totalprice"
+        ].to_numpy(dtype=float)
+        q1 = _hup(float(np.percentile(x, 25, method="linear")), 4)
+        med = _hup(float(np.percentile(x, 50, method="linear")), 4)
+        q3 = _hup(float(np.percentile(x, 75, method="linear")), 4)
+        iqr = q3 - q1
+        n_out = int(
+            ((x < q1 - 1.5 * iqr) | (x > q3 + 1.5 * iqr)).sum()
+        )
+        assert int(r.n) == len(x)
+        assert abs(float(r.q1) - q1) <= 2e-4
+        assert abs(float(r.median) - med) <= 2e-4
+        assert abs(float(r.q3) - q3) <= 2e-4
+        assert float(r.lo) == float(x.min())
+        assert float(r.hi) == float(x.max())
+        assert int(r.n_outliers) == n_out
+
+
+def test_bootstrap_ci_matches_python_recompute(spark):
+    """The Poisson bootstrap is hash-deterministic, so the WHOLE chain
+    recomputes exactly: Knuth-hash uniform per (event_id, replicate),
+    inverse-CDF Poisson(1) draw, decimal-exact replicate means, and
+    the rank-2 / rank-(B−1) interval."""
+    got = registry.QUERIES["events_bootstrap_ci"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["event_type", "event_id", "value"]
+    ]
+    from trireme_spark.queries.timeseries import _B, _POIS_CDF
+
+    reps: dict[tuple, list] = {}
+    for r in ev.itertuples():
+        for b in range(_B):
+            u = (
+                (((int(r.event_id) * _B + b) % 2147483648) * 2654435761)
+                % 4294967296
+            ) % 1000000 / 1000000.0
+            k = 8
+            for kk, c in enumerate(_POIS_CDF):
+                if u < c:
+                    k = kk
+                    break
+            reps.setdefault((r.event_type, b), []).append(
+                (k, float(r.value))
+            )
+    means: dict[str, list] = {}
+    for (et, b), kv in reps.items():
+        sk = sum(k for k, _v in kv)
+        if sk == 0:
+            continue
+        skx = sum((_dq6(k * v) for k, v in kv), _dq6(0.0))
+        means.setdefault(et, []).append((_hup(float(skx) / sk, 6), b))
+    assert len(got) == len(means)
+    for r in got.itertuples():
+        ms = sorted(means[r.event_type])
+        nb = len(ms)
+        assert int(r.n_replicates) == nb
+        assert abs(float(r.ci_lo) - ms[1][0]) <= 1e-9
+        assert abs(float(r.ci_hi) - ms[nb - 2][0]) <= 1e-9
