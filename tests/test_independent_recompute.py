@@ -1641,3 +1641,137 @@ def test_bootstrap_ci_matches_python_recompute(spark):
         assert int(r.n_replicates) == nb
         assert abs(float(r.ci_lo) - ms[1][0]) <= 1e-9
         assert abs(float(r.ci_hi) - ms[nb - 2][0]) <= 1e-9
+
+
+def test_croston_matches_python_recompute(spark):
+    """Croston's two conditional EWMAs (α=0.2) re-run as a plain loop
+    over an independently built part×week spine (Monday-truncated
+    weeks from the WHOLE lineitem, zero-filled) — gap counting across
+    zero weeks, the 9-dp per-update floor, and the size/interval
+    forecast ratio all from the 1972 contract."""
+    import math
+
+    got = registry.QUERIES["ts_croston_intermittent"](
+        spark, SF_SMOKE
+    ).toPandas()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_partkey", "l_shipdate", "l_quantity"]
+    ]
+    wk = pd.to_datetime(li["l_shipdate"]).dt.floor("D") - pd.to_timedelta(
+        pd.to_datetime(li["l_shipdate"]).dt.dayofweek, unit="D"
+    )
+    all_weeks = sorted(wk.unique())
+    sel = li[li["l_partkey"] % 20 == 0].copy()
+    sel["w"] = wk[sel.index]
+    dem: dict[tuple, object] = {}
+    for r in sel.itertuples():
+        k = (int(r.l_partkey), r.w)
+        dem[k] = dem.get(k, _dq6(0.0)) + _dq6(float(r.l_quantity))
+    ref: dict[int, tuple] = {}
+    for pk in sorted(sel["l_partkey"].unique()):
+        z = p = None
+        gap = 0
+        for w in all_weeks:
+            d = float(dem.get((int(pk), w), 0.0))
+            if d > 0:
+                if z is None:
+                    z, p = d, 1.0
+                else:
+                    z = math.floor((0.2 * d + 0.8 * z) * 1e9) / 1e9
+                    p = math.floor((0.2 * (gap + 1) + 0.8 * p) * 1e9) / 1e9
+                gap = 0
+            else:
+                gap += 1
+        if z is not None:
+            ref[int(pk)] = (
+                math.floor(z * 1e6) / 1e6,
+                math.floor(p * 1e6) / 1e6,
+                math.floor(z / p * 1e6) / 1e6,
+            )
+    assert len(got) == len(ref)
+    for r in got.itertuples():
+        z, p, f = ref[int(r.l_partkey)]
+        assert abs(float(r.demand_size_est) - z) <= 2e-6
+        assert abs(float(r.interval_est) - p) <= 2e-6
+        assert abs(float(r.croston_forecast) - f) <= 2e-6
+
+
+def test_sma_crossover_matches_python_recompute(spark):
+    """Golden/death crossover signals recomputed: exact decimal 5/20
+    trailing sums per part, sign flips only after the slow window is
+    full (rn ≥ 20) — the emitted signal rows must match exactly as a
+    multiset (label included)."""
+    got = registry.QUERIES["ts_sma_crossover"](spark, SF_SMOKE).toPandas()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        [
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            "l_extendedprice",
+        ]
+    ].sort_values(["l_partkey", "l_shipdate", "l_orderkey", "l_linenumber"])
+    rows = []
+    for pk, grp in li.groupby("l_partkey"):
+        window: list = []
+        prev_s = None
+        for rn, r in enumerate(grp.itertuples(), 1):
+            window.append(_dq6(float(r.l_extendedprice)))
+            window = window[-20:]
+            if rn < 20:
+                continue
+            fast = float(sum(window[-5:])) / 5
+            slow = float(sum(window)) / 20
+            s = (fast > slow) - (fast < slow)
+            if prev_s is not None and s != prev_s:
+                rows.append(
+                    (
+                        int(pk),
+                        int(r.l_orderkey),
+                        int(r.l_linenumber),
+                        pd.Timestamp(r.l_shipdate).strftime("%Y-%m-%d"),
+                        round(fast, 4),
+                        round(slow, 4),
+                        "golden" if s > prev_s else "death",
+                    )
+                )
+            prev_s = s
+    ours = [
+        (
+            int(r.l_partkey),
+            int(r.l_orderkey),
+            int(r.l_linenumber),
+            str(r.ship_day),
+            round(float(r.fast), 4),
+            round(float(r.slow), 4),
+            str(r.crossover),
+        )
+        for r in got.itertuples()
+    ]
+    assert sorted(ours) == sorted(rows)
+
+
+def test_match_recognize_matches_python_recompute(spark):
+    """Row-pattern matching recomputed: per-user type-initial string in
+    (ts, event_id) order, Python re.findall('cv*p') — leftmost
+    non-overlapping scanning is the same semantics as Java's matcher,
+    so the match counts must be exactly equal."""
+    import re
+
+    got = {
+        int(r.user_id): (int(r.n_events), int(r.n_matches))
+        for r in registry.QUERIES["events_match_recognize"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "event_id", "event_type"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    pat = re.compile(r"cv*p")
+    ref: dict[int, tuple] = {}
+    for uid, grp in ev.groupby("user_id"):
+        s = "".join(t[0] for t in grp["event_type"])
+        m = len(pat.findall(s))
+        if m > 0:
+            ref[int(uid)] = (len(s), m)
+    assert got == ref
