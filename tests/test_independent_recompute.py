@@ -1775,3 +1775,236 @@ def test_match_recognize_matches_python_recompute(spark):
         if m > 0:
             ref[int(uid)] = (len(s), m)
     assert got == ref
+
+
+def test_geo_hotspot_matches_python_recompute(spark):
+    """Getis-Ord Gi* grid hot spots recomputed in exact Python ints:
+    planted Knuth-hash coordinates, 1° cell counts, 3×3 neighborhood
+    sums over PRESENT cells, the small-sample denominator
+    sd·√((nc·m − m²)/(nc − 1)), and the top-20 (rounded z, cell)
+    ordering."""
+    import math
+
+    got = (
+        registry.QUERIES["geo_hotspot_gi"](spark, SF_SMOKE)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[["c_custkey"]]
+
+    def plant(key: int, salt: int) -> float:
+        return (((key + salt) % 2147483648) * 2654435761 % 4294967296) / float(
+            4294967296
+        )
+
+    from collections import Counter
+
+    cells: Counter = Counter()
+    for ck in cust["c_custkey"]:
+        lat = plant(int(ck), 1) * 120 - 60
+        lon = plant(int(ck), 2) * 240 - 120
+        cells[math.floor(lat) * 1000 + math.floor(lon)] += 1
+    nc = len(cells)
+    sx = float(sum(cells.values()))
+    sx2 = float(sum(v * v for v in cells.values()))
+    xbar = sx / nc
+    sd = math.sqrt((sx2 - sx * sx / nc) / (nc - 1))
+    scored = []
+    for cell in cells:
+        nb = [
+            cell + dy * 1000 + dx
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+        present = [b for b in nb if b in cells]
+        s = float(sum(cells[b] for b in present))
+        m = len(present)
+        z = (s - xbar * m) / (
+            sd * math.sqrt((nc * m - m * m) / (nc - 1.0))
+        )
+        scored.append((-_hup(z, 6), cell, int(s), m))
+    scored.sort()
+    top = scored[:20]
+    assert len(got) == len(top)
+    for r, (negz, cell, s, m) in zip(got.itertuples(), top):
+        assert int(r.cell) == cell
+        assert int(r.nbhd_count) == s
+        assert int(r.n_nbr_cells) == m
+        assert abs(float(r.gi_z) + negz) <= 1e-9
+
+
+def test_silhouette_matches_python_recompute(spark):
+    """Centroid silhouette recomputed: sequential-fold squared
+    distances (6-dp HALF_UP, matching the query's per-pair round),
+    (dist, cid) nearest-two ranking, s = (b−a)/max(a,b), decimal per-
+    cluster means."""
+    import math
+
+    got = registry.QUERIES["cluster_silhouette"](spark, SF_SMOKE).toPandas()
+    e = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values(
+        "vec_id"
+    )
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in e.itertuples()
+    }
+    cents = {cid: vecs[cid] for cid in sorted(vecs)[:8]}
+
+    def dist_sq(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + (x - y) * (x - y)
+        return _hup(s, 6)
+
+    agg: dict[int, list] = {}
+    for vid, v in vecs.items():
+        ranked = sorted(
+            (dist_sq(v, cv), cid) for cid, cv in cents.items()
+        )
+        (da, ca), (db, _cb) = ranked[0], ranked[1]
+        a, b = math.sqrt(da), math.sqrt(db)
+        s = 0.0 if max(a, b) == 0 else _hup((b - a) / max(a, b), 6)
+        agg.setdefault(ca, []).append(s)
+    assert len(got) == len(agg)
+    for r in got.itertuples():
+        ss = agg[int(r.cluster_id)]
+        mean = _hup(float(sum((_dq6(x) for x in ss), _dq6(0.0))) / len(ss), 6)
+        assert int(r.n_points) == len(ss)
+        assert abs(float(r.mean_silhouette) - mean) <= 2e-6
+
+
+def test_ab_bayesian_matches_lgamma_recompute(spark):
+    """P(p_B > p_A) recomputed via the INDEPENDENT lgamma closed form
+    P = Σ_{i=0}^{aB−1} exp(lnB(aA+i, bA+bB) − ln(bB+i) − lnB(1+i, bB)
+    − lnB(aA, bA)) — a genuinely different evaluation route than the
+    query's telescoped log-ratio chain, so shared algebra bugs can't
+    agree. Conversion cells mirror the md5 assignment exactly."""
+    import hashlib
+    import math
+
+    got = registry.QUERIES["events_ab_bayesian"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "event_type"]
+    ]
+    users = sorted(set(int(u) for u in ev["user_id"]))
+    conv = set(
+        int(u)
+        for u in ev[ev["event_type"] == "purchase"]["user_id"]
+    )
+    cells = {0: [0, 0], 1: [0, 0]}
+    for u in users:
+        g = (
+            int(hashlib.md5(f"{u}|exp42".encode()).hexdigest()[:8], 16) % 2
+        )
+        cells[g][0] += 1
+        cells[g][1] += 1 if u in conv else 0
+    aa = 1 + cells[0][1]
+    ba = 1 + cells[0][0] - cells[0][1]
+    ab = 1 + cells[1][1]
+    bb = 1 + cells[1][0] - cells[1][1]
+
+    def lnB(x, y):
+        return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+    p = sum(
+        math.exp(
+            lnB(aa + i, ba + bb) - math.log(bb + i) - lnB(1 + i, bb)
+            - lnB(aa, ba)
+        )
+        for i in range(ab)
+    )
+    lift = ab / (ab + bb) - aa / (aa + ba)
+    r = got.iloc[0]
+    assert (int(r["users_a"]), int(r["users_b"])) == (
+        cells[0][0],
+        cells[1][0],
+    )
+    assert (int(r["conv_a"]), int(r["conv_b"])) == (
+        cells[0][1],
+        cells[1][1],
+    )
+    assert abs(float(r["p_b_beats_a"]) - p) <= 2e-4
+    assert abs(float(r["posterior_lift"]) - lift) <= 2e-6
+
+
+def test_jaccard_links_matches_python_recompute(spark):
+    """Top-20 link predictions recomputed brute-force: neighbor SETS
+    per node (vs the wedge join's count arithmetic), jaccard =
+    |∩|/|∪| on the actual sets, non-edges only, (rounded score, a, b)
+    ordering."""
+    got = (
+        registry.QUERIES["graph_jaccard_links"](spark, SF_SMOKE)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    from collections import Counter
+
+    pair_orders: Counter = Counter()
+    for _ok, grp in li.groupby("l_orderkey")["l_partkey"]:
+        parts = sorted(set(grp))
+        for i, x in enumerate(parts):
+            for y in parts[i + 1 :]:
+                pair_orders[(x, y)] += 1
+    edges = {p for p, c in pair_orders.items() if c >= 2}
+    nbrs: dict[int, set] = {}
+    for x, y in edges:
+        nbrs.setdefault(x, set()).add(y)
+        nbrs.setdefault(y, set()).add(x)
+    cand = []
+    nodes = sorted(nbrs)
+    for i, x in enumerate(nodes):
+        for z in nodes[i + 1 :]:
+            if (x, z) in edges:
+                continue
+            common = nbrs[x] & nbrs[z]
+            if not common:
+                continue
+            j = _hup(len(common) / len(nbrs[x] | nbrs[z]), 6)
+            cand.append((-j, x, z, len(common)))
+    cand.sort()
+    top = cand[:20]
+    assert len(got) == len(top)
+    for r, (negj, x, z, common) in zip(got.itertuples(), top):
+        assert (int(r.part_a), int(r.part_b)) == (x, z)
+        assert int(r.common_neighbors) == common
+        assert abs(float(r.jaccard) + negj) <= 1e-9
+
+
+def test_kcore_matches_python_recompute(spark):
+    """3-core recomputed by plain Python peeling to fixpoint — node
+    set AND in-core degrees must match exactly (this is the rows-only
+    key's strongest available check: the full result, not just
+    invariants)."""
+    got = {
+        int(r.node): int(r.core_deg)
+        for r in registry.QUERIES["graph_kcore"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    from collections import Counter
+
+    pair_orders: Counter = Counter()
+    for _ok, grp in li.groupby("l_orderkey")["l_partkey"]:
+        parts = sorted(set(grp))
+        for i, x in enumerate(parts):
+            for y in parts[i + 1 :]:
+                pair_orders[(x, y)] += 1
+    edges = {p for p, c in pair_orders.items() if c >= 2}
+    nbrs: dict[int, set] = {}
+    for x, y in edges:
+        nbrs.setdefault(x, set()).add(y)
+        nbrs.setdefault(y, set()).add(x)
+    alive = set(nbrs)
+    while True:
+        drop = {v for v in alive if len(nbrs[v] & alive) < 3}
+        if not drop:
+            break
+        alive -= drop
+    ref = {v: len(nbrs[v] & alive) for v in alive}
+    assert got == ref
