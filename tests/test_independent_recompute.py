@@ -2008,3 +2008,157 @@ def test_kcore_matches_python_recompute(spark):
         alive -= drop
     ref = {v: len(nbrs[v] & alive) for v in alive}
     assert got == ref
+
+
+def test_periodogram_matches_python_recompute(spark):
+    """Schuster periodogram recomputed: decimal-exact daily revenue,
+    0-based day index, the 1e-8 cos/sin floor, the 1e-6 term floor into
+    exact integer sums, power = (Σc)² + (Σs)² over n — the whole
+    quantization ladder re-derived from the documented contract."""
+    import math
+
+    got = {
+        int(r.harmonic): (float(r.period_days), float(r.power))
+        for r in registry.QUERIES["ts_periodogram"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderdate", "o_totalprice"]
+    ]
+    o["day"] = pd.to_datetime(o["o_orderdate"]).dt.floor("D")
+    daily: dict = {}
+    for r in o.itertuples():
+        daily[r.day] = daily.get(r.day, _dq6(0.0)) + _dq6(
+            float(r.o_totalprice)
+        )
+    days = sorted(daily)
+    n = len(days)
+    revs = [float(daily[d]) for d in days]
+    mu = float(sum(daily.values())) / n
+
+    def fq8(x: float) -> float:
+        return math.floor(x * 1e8) / 1e8
+
+    assert len(got) == 14
+    for k in range(1, 15):
+        sc = ss = 0
+        for t, rev in enumerate(revs):
+            ang = 2 * math.pi * k * t / n
+            sc += math.floor((rev - mu) * fq8(math.cos(ang)) * 1e6)
+            ss += math.floor((rev - mu) * fq8(math.sin(ang)) * 1e6)
+        scf, ssf = sc / 1e6, ss / 1e6
+        power = math.floor((scf * scf + ssf * ssf) / n * 100) / 100
+        period = math.floor(n / k * 100) / 100
+        assert got[k][0] == period
+        assert abs(got[k][1] - power) <= 0.05 + 1e-9 * abs(power), k
+
+
+def test_quantile_normalization_matches_python_recompute(spark):
+    """Quantile normalization recomputed with the pure-integer mapping:
+    global (price, orderkey) positions, in-group ranks, idx =
+    ((2r−1)·N + 2m−1) // 2m — every row's normalized price must match
+    EXACTLY (the mapping is deterministic through ties)."""
+    got = {
+        int(r.o_orderkey): (
+            str(r.o_orderpriority),
+            float(r.o_totalprice),
+            float(r.normalized_price),
+        )
+        for r in registry.QUERIES["agg_quantile_normalization"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ]
+    g = sorted(
+        (float(p), int(k)) for p, k in zip(o["o_totalprice"], o["o_orderkey"])
+    )
+    n = len(g)
+    ref: dict[int, tuple] = {}
+    for pri, grp in o.groupby("o_orderpriority"):
+        rows = sorted(
+            (float(p), int(k))
+            for p, k in zip(grp["o_totalprice"], grp["o_orderkey"])
+        )
+        m = len(rows)
+        for rk, (p, k) in enumerate(rows, 1):
+            idx = ((2 * rk - 1) * n + 2 * m - 1) // (2 * m)
+            ref[k] = (str(pri), p, g[idx - 1][0])
+    assert got == ref
+
+
+def test_neyman_allocation_matches_python_recompute(spark):
+    """Neyman allocation recomputed: decimal-exact stratum moments,
+    S_h from the (n−1) form, weights N_h·S_h rounded at 6 dp into a
+    decimal normalizer, floor(1000·w/Σw) integer allocation."""
+    import math
+
+    got = registry.QUERIES["sample_neyman_allocation"](
+        spark, SF_SMOKE
+    ).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderpriority", "o_totalprice"]
+    ]
+    from decimal import Decimal
+
+    stats: dict[str, tuple] = {}
+    for pri, grp in o.groupby("o_orderpriority"):
+        sx = sx2 = Decimal(0)
+        for p in grp["o_totalprice"]:
+            p = float(p)
+            sx += _dq6(p)
+            sx2 += _dq6(p * p)
+        nh = len(grp)
+        sxf, sx2f = float(sx), float(sx2)
+        sh_raw = math.sqrt((sx2f - sxf * sxf / nh) / (nh - 1))
+        stats[str(pri)] = (nh, sh_raw)
+    zsum = float(
+        sum((_dq6(_hup(nh * sh, 6)) for nh, sh in stats.values()), _dq6(0.0))
+    )
+    assert len(got) == len(stats)
+    for r in got.itertuples():
+        nh, sh_raw = stats[str(r.stratum)]
+        assert int(r.stratum_size) == nh
+        assert abs(float(r.stddev) - _hup(sh_raw, 6)) <= 1e-9
+        assert int(r.allocated) == math.floor(
+            1000 * _hup(nh * sh_raw, 6) / zsum
+        )
+
+
+def test_type_overlap_matches_python_recompute(spark):
+    """Audience-overlap matrix recomputed with actual user SETS per
+    type (vs the self-join count arithmetic) — intersection counts,
+    set sizes, and 6-dp jaccard all exactly equal."""
+    got = {
+        (str(r.type_a), str(r.type_b)): (
+            int(r.both_users),
+            int(r.users_a),
+            int(r.users_b),
+            float(r.jaccard),
+        )
+        for r in registry.QUERIES["events_type_overlap_jaccard"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["event_type", "user_id"]
+    ]
+    sets: dict[str, set] = {}
+    for r in ev.itertuples():
+        sets.setdefault(str(r.event_type), set()).add(int(r.user_id))
+    types = sorted(sets)
+    ref = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            both = len(sets[a] & sets[b])
+            if both == 0:
+                continue
+            ref[(a, b)] = (
+                both,
+                len(sets[a]),
+                len(sets[b]),
+                _hup(both / len(sets[a] | sets[b]), 6),
+            )
+    assert got == ref
