@@ -2162,3 +2162,296 @@ def test_type_overlap_matches_python_recompute(spark):
                 _hup(both / len(sets[a] | sets[b]), 6),
             )
     assert got == ref
+
+
+def test_rake_keyphrases_matches_python_recompute(spark):
+    """RAKE recomputed from the Rose et al. contract: maximal
+    stopword-free runs (positions from the UNFILTERED split, so empty
+    tokens break islands), ≤4-word cap, word score = degree/frequency
+    at 6 dp, phrase score = Σ word scores, exact top-20 sequence."""
+    import re
+    from collections import Counter, defaultdict
+
+    got = (
+        registry.QUERIES["text_rake_keyphrases"](spark, SF_SMOKE)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["text"]]
+    stop = {"the", "a", "and", "of", "to", "in"}
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    instances = []  # (phrase, plen)
+    for t in d["text"]:
+        toks = ws_re.split(str(t).lower())
+        kept = [
+            (i, w) for i, w in enumerate(toks) if w != "" and w not in stop
+        ]
+        run: list = []
+        prev_grp = None
+        for rank, (i, w) in enumerate(kept, 1):
+            g = i - rank
+            if g != prev_grp and run:
+                if len(run) <= 4:
+                    instances.append((" ".join(run), len(run)))
+                run = []
+            run.append(w)
+            prev_grp = g
+        if run and len(run) <= 4:
+            instances.append((" ".join(run), len(run)))
+    wdeg: Counter = Counter()
+    wfreq: Counter = Counter()
+    for phrase, plen in instances:
+        for w in phrase.split(" "):
+            wdeg[w] += plen
+            wfreq[w] += 1
+    wscore = {w: _hup(wdeg[w] / wfreq[w], 6) for w in wdeg}
+    occ: Counter = Counter(p for p, _l in instances)
+    scored = []
+    for phrase, n_occ in occ.items():
+        words = phrase.split(" ")
+        total = sum(
+            (_dq6(wscore[w]) for w in words for _ in range(n_occ)),
+            _dq6(0.0),
+        )
+        scored.append(
+            (
+                -_hup(float(total) / n_occ, 6),
+                phrase,
+                len(words),
+                n_occ,
+            )
+        )
+    scored.sort()
+    top = scored[:20]
+    assert len(got) == len(top)
+    for r, (negs, phrase, n_words, n_occ) in zip(got.itertuples(), top):
+        assert str(r.phrase) == phrase
+        assert int(r.n_words) == n_words
+        assert int(r.n_occurrences) == n_occ
+        assert abs(float(r.score) + negs) <= 1e-9
+
+
+def test_vocab_coverage_matches_python_recompute(spark):
+    """Top-100 vocab coverage recomputed: (freq desc, term asc) cut,
+    per-doc in-vocab instance fraction — counts exact, ratio at 6 dp."""
+    import re
+    from collections import Counter
+
+    got = {
+        int(r.doc_id): (
+            int(r.n_tokens),
+            int(r.n_in_vocab),
+            float(r.coverage),
+        )
+        for r in registry.QUERIES["text_vocab_coverage"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    docs = {
+        int(r.doc_id): [
+            w for w in ws_re.split(str(r.text).lower()) if w != ""
+        ]
+        for r in d.itertuples()
+    }
+    corpus: Counter = Counter()
+    for toks in docs.values():
+        corpus.update(toks)
+    vocab = {
+        t
+        for t, _n in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :100
+        ]
+    }
+    ref = {}
+    for did, toks in docs.items():
+        if not toks:
+            continue
+        inv = sum(1 for w in toks if w in vocab)
+        ref[did] = (len(toks), inv, _hup(inv / len(toks), 6))
+    assert got == ref
+
+
+def test_peak_concurrency_matches_python_recompute(spark):
+    """Peak concurrency recomputed: 30-min-gap sessionization, ±1
+    boundary sweep with ends sorting before starts at the same
+    instant, max of the running sum + earliest peak time."""
+    got = registry.QUERIES["events_peak_concurrency"](
+        spark, SF_SMOKE
+    ).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "event_id"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+    sessions = []
+    for _uid, grp in ev.groupby("user_id"):
+        start = prev = None
+        for t in pd.to_datetime(grp["ts"]):
+            if prev is None or t - prev >= gap:
+                if start is not None:
+                    sessions.append((start, prev + gap))
+                start = t
+            prev = t
+        if start is not None:
+            sessions.append((start, prev + gap))
+    bounds = [(s, 1) for s, _e in sessions] + [(e, -1) for _s, e in sessions]
+    bounds.sort()
+    cur = peak = 0
+    peak_t = None
+    for t, dlt in bounds:
+        cur += dlt
+        if cur > peak:
+            peak, peak_t = cur, t
+    r = got.iloc[0]
+    assert int(r["peak_concurrent"]) == peak
+    assert int(r["n_sessions"]) == len(sessions)
+    assert pd.Timestamp(r["peak_start"]) == peak_t
+
+
+def test_business_days_matches_numpy_recompute(spark):
+    """NETWORKDAYS arithmetic audited against numpy's OWN business-day
+    calendar (np.busday_count — an independent implementation, not the
+    mirrored formula): inclusive endpoints, signed for reversed
+    intervals."""
+    got = registry.QUERIES["fn_business_days"](spark, SF_SMOKE).toPandas()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_orderkey", "l_linenumber", "l_shipdate"]
+    ]
+    li = li[li["l_orderkey"] % 10 == 0]
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderkey", "o_orderdate"]
+    ]
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    rows = []
+    for r in m.itertuples():
+        d1 = np.datetime64(pd.Timestamp(r.o_orderdate).date())
+        d2 = np.datetime64(pd.Timestamp(r.l_shipdate).date())
+        one = np.timedelta64(1, "D")
+        if d2 >= d1:
+            bd = int(np.busday_count(d1, d2 + one))
+        else:
+            bd = -int(np.busday_count(d2, d1 + one))
+        rows.append(
+            (
+                int(r.l_orderkey),
+                int(r.l_linenumber),
+                str(d1),
+                str(d2),
+                int((d2 - d1) / one),
+                bd,
+            )
+        )
+    ours = [
+        (
+            int(r.l_orderkey),
+            int(r.l_linenumber),
+            str(r.order_day),
+            str(r.ship_day),
+            int(r.calendar_days),
+            int(r.business_days),
+        )
+        for r in got.itertuples()
+    ]
+    assert sorted(ours) == sorted(rows)
+
+
+def test_k_anonymity_matches_python_recompute(spark):
+    """k-anonymity audit recomputed: quasi-identifier histogram over
+    (nation, segment, balance band), min class size, sub-k5 mass."""
+    from collections import Counter
+
+    got = registry.QUERIES["etl_k_anonymity_audit"](
+        spark, SF_SMOKE
+    ).toPandas()
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    n = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")
+    m = c.merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    bands = np.where(
+        m["c_acctbal"] < 0,
+        "negative",
+        np.where(m["c_acctbal"] < 5000, "low", "high"),
+    )
+    g: Counter = Counter(
+        zip(m["n_name"], m["c_mktsegment"], bands)
+    )
+    total = sum(g.values())
+    below = sum(v for v in g.values() if v < 5)
+    r = got.iloc[0]
+    assert int(r["k_anonymity"]) == min(g.values())
+    assert int(r["n_groups"]) == len(g)
+    assert int(r["rows_below_k5"]) == below
+    assert abs(float(r["frac_below_k5"]) - below / total) <= 2e-6
+
+
+def test_temperature_weights_matches_python_recompute(spark):
+    """α=0.5 temperature weights recomputed: 6-dp √n weights, decimal
+    normalizer, sample probability and epochs-per-pass per source."""
+    import math
+
+    got = registry.QUERIES["sample_temperature_weights"](
+        spark, SF_SMOKE
+    ).toPandas()
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["source"]]
+    counts = d["source"].value_counts().to_dict()
+    raw = {s: _hup(math.sqrt(n), 6) for s, n in counts.items()}
+    zsum = float(sum((_dq6(w) for w in raw.values()), _dq6(0.0)))
+    n_total = float(sum(counts.values()))
+    assert len(got) == len(counts)
+    for r in got.itertuples():
+        s = str(r.source)
+        assert int(r.n_docs) == counts[s]
+        assert abs(float(r.sample_prob) - raw[s] / zsum) <= 2e-6
+        assert (
+            abs(
+                float(r.epochs_per_pass)
+                - (raw[s] / zsum) * n_total / counts[s]
+            )
+            <= 2e-6
+        )
+
+
+def test_repeated_spans_matches_python_recompute(spark):
+    """Corpus-repeated 30-char window spans recomputed brute-force:
+    Counter over every window, marked positions, island merge at
+    gap > L — the (doc, start, end, len) multiset must match exactly."""
+    from collections import Counter
+
+    got = sorted(
+        (
+            int(r.doc_id),
+            int(r.span_start),
+            int(r.span_end),
+            int(r.span_len),
+        )
+        for r in registry.QUERIES["text_dedup_repeated_spans"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    )
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    L = 30
+    wins: Counter = Counter()
+    perdoc: dict[int, list] = {}
+    for r in d.itertuples():
+        t = str(r.text)
+        if len(t) < L:
+            continue
+        ps = []
+        for p in range(len(t) - L + 1):
+            w = t[p : p + L]
+            wins[w] += 1
+            ps.append((p, w))
+        perdoc[int(r.doc_id)] = ps
+    ref = []
+    for did, ps in perdoc.items():
+        hits = [p for p, w in ps if wins[w] >= 2]
+        if not hits:
+            continue
+        start = prev = hits[0]
+        for p in hits[1:]:
+            if p > prev + L:
+                ref.append((did, start, prev + L, prev - start + L))
+                start = p
+            prev = p
+        ref.append((did, start, prev + L, prev - start + L))
+    assert got == sorted(ref)
