@@ -2455,3 +2455,261 @@ def test_repeated_spans_matches_python_recompute(spark):
             prev = p
         ref.append((did, start, prev + L, prev - start + L))
     assert got == sorted(ref)
+
+
+def test_skyline_3d_matches_python_recompute(spark):
+    """3-D Pareto frontier recomputed by brute-force dominance over the
+    sampled points — value-checks the block-partition + candidate
+    anti-join rewrite, ties included."""
+    got = sorted(
+        (
+            int(r.l_orderkey),
+            int(r.l_linenumber),
+            round(float(r.price), 4),
+            round(float(r.qty), 4),
+            str(r.ship_day),
+        )
+        for r in registry.QUERIES["orders_skyline_3d"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    )
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        [
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_quantity",
+            "l_shipdate",
+        ]
+    ]
+    li = li[li["l_orderkey"] % 10 == 0].reset_index(drop=True)
+    p = li["l_extendedprice"].to_numpy(dtype=float)
+    q = li["l_quantity"].to_numpy(dtype=float)
+    sd = pd.to_datetime(li["l_shipdate"]).dt.floor("D")
+    dt = ((sd - pd.Timestamp(0)) // pd.Timedelta(days=1)).to_numpy()
+    ref = []
+    for i in range(len(li)):
+        dom = (
+            (p >= p[i])
+            & (q >= q[i])
+            & (dt >= dt[i])
+            & ((p > p[i]) | (q > q[i]) | (dt > dt[i]))
+        )
+        if not dom.any():
+            ref.append(
+                (
+                    int(li["l_orderkey"].iloc[i]),
+                    int(li["l_linenumber"].iloc[i]),
+                    round(p[i], 4),
+                    round(q[i], 4),
+                    sd.iloc[i].strftime("%Y-%m-%d"),
+                )
+            )
+    assert got == sorted(ref)
+
+
+def test_yoy_calendar_join_matches_pandas_recompute(spark):
+    """Year-over-year via the calendar join recomputed with pandas
+    Periods: decimal monthly rollups, month = month − 1 year pairing
+    (missing months DROP, never mis-pair), exact order deltas."""
+    got = {
+        str(r.month): (
+            float(r.revenue),
+            float(r.revenue_prior_year),
+            float(r.yoy_pct),
+            int(r.order_delta),
+        )
+        for r in registry.QUERIES["ts_yoy_calendar_join"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderdate", "o_totalprice"]
+    ]
+    mo = pd.to_datetime(o["o_orderdate"]).dt.to_period("M")
+    agg: dict = {}
+    for m, p in zip(mo, o["o_totalprice"]):
+        rev, n = agg.get(m, (_dq6(0.0), 0))
+        agg[m] = (rev + _dq6(float(p)), n + 1)
+    ref = {}
+    for m, (rev, n) in agg.items():
+        prev = agg.get(m - 12)
+        if prev is None:
+            continue
+        cur_f, prev_f = float(rev), float(prev[0])
+        ref[m.start_time.strftime("%Y-%m-%d")] = (
+            cur_f,
+            prev_f,
+            (cur_f - prev_f) / prev_f,
+            n - prev[1],
+        )
+    assert set(got) == set(ref)
+    for k, (rev, prev, yoy, delta) in ref.items():
+        g = got[k]
+        assert abs(g[0] - rev) <= 1e-9 and abs(g[1] - prev) <= 1e-9
+        assert abs(g[2] - yoy) <= 2e-6
+        assert g[3] == delta
+
+
+def test_approx_topk_matches_exact_counts(spark):
+    """fn_approx_topk runs in the sketch's exact regime (5 types ≪
+    capacity), so the emitted (item, count) pairs must equal the plain
+    exact histogram — an independent check the sketch degenerated to
+    exact counting as documented."""
+    from collections import Counter
+
+    got = {
+        str(r.item): int(r.cnt)
+        for r in registry.QUERIES["fn_approx_topk"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["event_type"]]
+    assert got == dict(Counter(str(t) for t in ev["event_type"]))
+
+
+def test_homoglyph_skeleton_matches_python_recompute(spark):
+    """Confusable-skeleton collisions recomputed with str.translate
+    over the same planted corpus — the (doc_a, doc_b, suspect) pair
+    multiset must match exactly."""
+    from trireme_spark.queries.llm_text import _CONFUSABLES, _SKELETON
+
+    got = sorted(
+        (int(r.doc_a), int(r.doc_b), bool(r.spoof_suspect))
+        for r in registry.QUERIES["text_homoglyph_skeleton"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    )
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    to_conf = str.maketrans(_SKELETON, _CONFUSABLES)
+    to_skel = str.maketrans(_CONFUSABLES, _SKELETON)
+    planted = [(int(r.doc_id), str(r.text)) for r in d.itertuples()]
+    planted += [
+        (int(r.doc_id) + 1_000_000, str(r.text).translate(to_conf))
+        for r in d.itertuples()
+        if int(r.doc_id) % 7 == 0
+    ]
+    sk = [
+        (did, t.translate(to_skel), t != t.translate(to_skel))
+        for did, t in planted
+    ]
+    by_skel: dict[str, list] = {}
+    for did, skel, conf in sk:
+        by_skel.setdefault(skel, []).append((did, conf))
+    ref = []
+    for grp in by_skel.values():
+        grp.sort()
+        for i, (a, ca) in enumerate(grp):
+            for b, cb in grp[i + 1 :]:
+                ref.append((a, b, ca or cb))
+    assert got == sorted(ref)
+
+
+def test_tokenizer_fertility_matches_python_recompute(spark):
+    """Fertility recomputed: Java-regex word split (empties counted,
+    mirroring F.size over the raw split), the [a-z]+|[0-9]+|other
+    piece segmenter, corpus-ratio (not mean-of-ratio) aggregation."""
+    import re
+    from collections import defaultdict
+
+    got = registry.QUERIES["text_tokenizer_fertility"](
+        spark, SF_SMOKE
+    ).toPandas()
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["lang", "text"]]
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    piece_re = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]")
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for r in d.itertuples():
+        low = str(r.text).lower()
+        n_words = len(ws_re.split(low))
+        if n_words < 1:
+            continue
+        a = agg[str(r.lang)]
+        a[0] += 1
+        a[1] += len(piece_re.findall(low))
+        a[2] += n_words
+        a[3] += len(str(r.text))
+    assert len(got) == len(agg)
+    for r in got.itertuples():
+        n_docs, pieces, words, chars = agg[str(r.lang)]
+        assert int(r.n_docs) == n_docs
+        assert abs(float(r.fertility) - pieces / words) <= 2e-6
+        assert abs(float(r.chars_per_piece) - chars / pieces) <= 2e-6
+
+
+def test_mlm_masking_matches_python_recompute(spark):
+    """Hash-deterministic MLM masking recomputed token by token: the
+    (doc_id, position) Knuth draw, the 15% band, the full masked
+    string and audit counts — exact equality for every document."""
+    import re
+
+    got = {
+        int(r.doc_id): (
+            str(r.masked_text),
+            int(r.n_masked),
+            int(r.n_tokens),
+        )
+        for r in registry.QUERIES["text_mlm_masking"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    ref = {}
+    for r in d.itertuples():
+        did = int(r.doc_id)
+        toks = ws_re.split(str(r.text).lower())
+        masked = [
+            "[MASK]"
+            if ((did * 131071 + i) % 2147483648 * 2654435761)
+            % 4294967296
+            % 100
+            < 15
+            else t
+            for i, t in enumerate(toks)
+        ]
+        ref[did] = (
+            " ".join(masked),
+            sum(1 for t in masked if t == "[MASK]"),
+            len(toks),
+        )
+    assert got == ref
+
+
+def test_ngram_novelty_matches_python_recompute(spark):
+    """First-seen 3-gram novelty recomputed with dicts: distinct grams
+    per doc, global first doc_id per gram, per-doc novel share."""
+    got = {
+        int(r.doc_id): (
+            int(r.n_grams),
+            int(r.n_novel),
+            float(r.novelty),
+        )
+        for r in registry.QUERIES["text_ngram_novelty"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[
+        ["doc_id", "text"]
+    ].sort_values("doc_id")
+    import re
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    grams_per_doc: dict[int, set] = {}
+    for r in d.itertuples():
+        toks = ws_re.split(str(r.text).lower())
+        if len(toks) < 3:
+            continue
+        grams_per_doc[int(r.doc_id)] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    first: dict[str, int] = {}
+    for did in sorted(grams_per_doc):
+        for g in grams_per_doc[did]:
+            if g not in first or first[g] > did:
+                first[g] = did
+    ref = {}
+    for did, grams in grams_per_doc.items():
+        novel = sum(1 for g in grams if first[g] == did)
+        ref[did] = (len(grams), novel, _hup(novel / len(grams), 6))
+    assert got == ref
