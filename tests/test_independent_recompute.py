@@ -2713,3 +2713,358 @@ def test_ngram_novelty_matches_python_recompute(spark):
         novel = sum(1 for g in grams if first[g] == did)
         ref[did] = (len(grams), novel, _hup(novel / len(grams), 6))
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# r11-backlog pre-built audits (slots 101-129, the final never-swept slice
+# — driver-sim pre-validated this round; these add the formula-level leg).
+# ---------------------------------------------------------------------------
+
+
+def test_anova_matches_python_recompute(spark):
+    """One-way ANOVA recomputed in the CENTERED form: exact decimal
+    group means, 4-dp quantized SSB/SSW terms, F and η² — pinning the
+    between/within decomposition conventions."""
+    got = registry.QUERIES["agg_anova_oneway"](spark, SF_SMOKE).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderpriority", "o_totalprice"]
+    ]
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q4 = Decimal("0.0001")
+
+    def r4(v: float):
+        return Decimal(repr(v)).quantize(q4, ROUND_HALF_UP)
+
+    means: dict[str, tuple] = {}
+    for pri, grp in o.groupby("o_orderpriority"):
+        sx = sum((_dq6(float(p)) for p in grp["o_totalprice"]), _dq6(0.0))
+        means[str(pri)] = (len(grp), float(sx) / len(grp))
+    nt = len(o)
+    gm = float(
+        sum((_dq6(float(p)) for p in o["o_totalprice"]), _dq6(0.0))
+    ) / nt
+    ssb = float(
+        sum((r4(n * (m - gm) * (m - gm)) for n, m in means.values()))
+    )
+    ssw = float(
+        sum(
+            r4(
+                (float(p) - means[str(pri)][1])
+                * (float(p) - means[str(pri)][1])
+            )
+            for pri, p in zip(o["o_orderpriority"], o["o_totalprice"])
+        )
+    )
+    k = len(means)
+    r = got.iloc[0]
+    assert (int(r["n_groups"]), int(r["n_rows"])) == (k, nt)
+    assert abs(float(r["ss_between"]) - ssb) <= 0.02
+    assert abs(float(r["ss_within"]) - ssw) <= 0.02
+    f = (ssb / (k - 1)) / (ssw / (nt - k))
+    assert abs(float(r["f_stat"]) - f) <= 2e-6
+    assert abs(float(r["eta_squared"]) - ssb / (ssb + ssw)) <= 2e-6
+
+
+def test_spearman_matches_scipy_style_recompute(spark):
+    """Tie-corrected Spearman recomputed the TEXTBOOK way — explicit
+    midranks via pandas rank(method='average'), then Pearson over the
+    ranks — an independent route from the query's rank-free
+    distinct-value arithmetic."""
+    got = registry.QUERIES["agg_spearman_rank_corr"](
+        spark, SF_SMOKE
+    ).toPandas()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_quantity", "l_extendedprice"]
+    ]
+    from decimal import ROUND_HALF_UP, Decimal
+
+    x = li["l_quantity"].astype("int64")
+    y = pd.Series(
+        [
+            int(Decimal(repr(float(p) * 100)).quantize(0, ROUND_HALF_UP))
+            for p in li["l_extendedprice"]
+        ]
+    )
+    rx = x.rank(method="average").to_numpy()
+    ry = y.rank(method="average").to_numpy()
+    n = len(rx)
+    rho = float(
+        ((rx - rx.mean()) * (ry - ry.mean())).sum()
+        / np.sqrt(
+            ((rx - rx.mean()) ** 2).sum() * ((ry - ry.mean()) ** 2).sum()
+        )
+    )
+    r = got.iloc[0]
+    assert int(r["n_rows"]) == n
+    assert abs(float(r["spearman_rho"]) - rho) <= 2e-6
+
+
+def test_assortativity_matches_python_recompute(spark):
+    """Newman degree assortativity recomputed over the symmetrized
+    copurchase edges with explicit per-edge degree pairs."""
+    got = registry.QUERIES["graph_degree_assortativity"](
+        spark, SF_SMOKE
+    ).toPandas()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    from collections import Counter
+
+    pair_orders: Counter = Counter()
+    for _ok, grp in li.groupby("l_orderkey")["l_partkey"]:
+        parts = sorted(set(grp))
+        for i, a in enumerate(parts):
+            for b in parts[i + 1 :]:
+                pair_orders[(a, b)] += 1
+    edges = [p for p, c in pair_orders.items() if c >= 2]
+    deg: Counter = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    ends = [(deg[a], deg[b]) for a, b in edges] + [
+        (deg[b], deg[a]) for a, b in edges
+    ]
+    m2 = float(len(ends))
+    s1 = float(sum(di for di, _dj in ends))
+    sij = float(sum(di * dj for di, dj in ends))
+    s2 = float(sum(di * di for di, _dj in ends))
+    mean = s1 / m2
+    rho = (sij / m2 - mean * mean) / (s2 / m2 - mean * mean)
+    r = got.iloc[0]
+    assert int(r["n_edges"]) == len(edges)
+    assert abs(float(r["assortativity"]) - rho) <= 2e-6
+
+
+def test_eb_shrinkage_matches_python_recompute(spark):
+    """Empirical-Bayes Beta prior refit by method of moments (9-dp
+    quantized rate sums, ddof=1 variance) and every user's shrunk
+    rate (x+α)/(n+α+β) re-derived."""
+    got = registry.QUERIES["events_eb_shrinkage"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "event_type"]
+    ]
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("0.000000001")
+
+    def r9(v: float):
+        return Decimal(repr(v)).quantize(q9, ROUND_HALF_UP)
+
+    stats: dict[int, tuple] = {}
+    for uid, grp in ev.groupby("user_id"):
+        n = len(grp)
+        xx = int((grp["event_type"] == "purchase").sum())
+        stats[int(uid)] = (n, xx, xx / n)
+    nu = len(stats)
+    sp = sum((r9(p) for _n, _x, p in stats.values()), Decimal(0))
+    sp2 = sum((r9(p * p) for _n, _x, p in stats.values()), Decimal(0))
+    mu = float(sp) / nu
+    var = (float(sp2) - float(sp) * float(sp) / nu) / (nu - 1)
+    k = mu * (1 - mu) / var - 1
+    alpha, beta = mu * k, (1 - mu) * k
+    assert len(got) == nu
+    for r in got.itertuples():
+        n, xx, p = stats[int(r.user_id)]
+        assert (int(r.n), int(r.x)) == (n, xx)
+        assert abs(float(r.raw_rate) - p) <= 2e-6
+        assert (
+            abs(float(r.shrunk_rate) - (xx + alpha) / (n + alpha + beta))
+            <= 2e-6
+        )
+        assert abs(float(r.prior_alpha) - alpha) <= 2e-6
+        assert abs(float(r.prior_beta) - beta) <= 2e-6
+
+
+def test_markov_entropy_matches_python_recompute(spark):
+    """Markov entropy rate recomputed: per-user (ts, event_id)-ordered
+    transitions, H = −Σ p(a,b)·ln p(b|a) with 9-dp term quantization,
+    ln 5 normalization."""
+    import math
+
+    got = registry.QUERIES["events_markov_entropy_rate"](
+        spark, SF_SMOKE
+    ).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "event_id", "event_type"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    trans: Counter = Counter()
+    for _uid, grp in ev.groupby("user_id"):
+        types = list(grp["event_type"])
+        for a, b in zip(types, types[1:]):
+            trans[(a, b)] += 1
+    na: Counter = Counter()
+    for (a, _b), c in trans.items():
+        na[a] += c
+    n = sum(trans.values())
+    q9 = Decimal("0.000000001")
+    hsum = sum(
+        (
+            Decimal(repr((c / n) * math.log(c / na[a]))).quantize(
+                q9, ROUND_HALF_UP
+            )
+            for (a, _b), c in trans.items()
+        ),
+        Decimal(0),
+    )
+    r = got.iloc[0]
+    assert int(r["n_transition_kinds"]) == len(trans)
+    assert abs(float(r["entropy_rate_nats"]) + float(hsum)) <= 2e-6
+    assert (
+        abs(float(r["normalized"]) + float(hsum) / math.log(5)) <= 2e-6
+    )
+
+
+def test_next_event_baseline_matches_python_recompute(spark):
+    """Modal-successor baseline recomputed: per-state argmax with the
+    (count desc, type asc) tie-break, accuracy = modal mass / total."""
+    got = {
+        str(r.current_event): (
+            str(r.predicted_next),
+            int(r.n_transitions),
+            float(r.accuracy),
+        )
+        for r in registry.QUERIES["events_next_event_baseline"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "event_id", "event_type"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    from collections import Counter
+
+    trans: Counter = Counter()
+    for _uid, grp in ev.groupby("user_id"):
+        types = list(grp["event_type"])
+        for a, b in zip(types, types[1:]):
+            trans[(a, b)] += 1
+    ref = {}
+    states = {a for a, _b in trans}
+    for a in states:
+        succ = {b: c for (aa, b), c in trans.items() if aa == a}
+        pred = min(succ.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        n_from = sum(succ.values())
+        ref[a] = (pred, n_from, _hup(succ[pred] / n_from, 6))
+    assert set(got) == set(ref)
+    for a, (pred, n_from, acc) in ref.items():
+        g = got[a]
+        assert g[0] == pred and g[1] == n_from
+        assert abs(g[2] - acc) <= 1e-9
+
+
+def test_attribution_decay_matches_python_recompute(spark):
+    """Time-decay attribution recomputed: 7-day click window, integer
+    whole-second Δt (per-timestamp floor), 9-dp decayed weights into a
+    decimal normalizer, 1e-6-floored credits — full row multiset."""
+    import math
+
+    got = sorted(
+        (
+            int(r.purchase_id),
+            int(r.user_id),
+            int(r.click_id),
+            int(r.n_touches),
+            float(r.credit),
+        )
+        for r in registry.QUERIES["events_attribution_time_decay"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    )
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "event_id", "ts", "event_type", "value"]
+    ]
+    ev["sec"] = (pd.to_datetime(ev["ts"]) - pd.Timestamp(0)) // pd.Timedelta(
+        seconds=1
+    )
+    clicks = ev[ev["event_type"] == "click"]
+    purch = ev[ev["event_type"] == "purchase"]
+    win = pd.Timedelta(days=7) // pd.Timedelta(seconds=1)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("0.000000001")
+    touches: dict[int, list] = {}
+    for p in purch.itertuples():
+        rows = []
+        for c in clicks[clicks["user_id"] == p.user_id].itertuples():
+            dt_raw = pd.to_datetime(p.ts) - pd.to_datetime(c.ts)
+            if dt_raw < pd.Timedelta(0) or dt_raw > pd.Timedelta(days=7):
+                continue
+            dt = int(p.sec) - int(c.sec)
+            w = float(
+                Decimal(repr(math.exp(-dt / 86400.0))).quantize(
+                    q9, ROUND_HALF_UP
+                )
+            )
+            rows.append((int(c.event_id), w))
+        if rows:
+            touches[int(p.event_id)] = (
+                int(p.user_id),
+                float(p.value),
+                rows,
+            )
+    ref = []
+    for pid, (uid, val, rows) in touches.items():
+        zsum = float(
+            sum(
+                (Decimal(repr(w)).quantize(q9, ROUND_HALF_UP) for _c, w in rows),
+                Decimal(0),
+            )
+        )
+        for cid, w in rows:
+            credit = math.floor(val * w / zsum * 1e6) / 1e6
+            ref.append((pid, uid, cid, len(rows), credit))
+    assert got == sorted(ref)
+
+
+def test_modularity_matches_python_recompute(spark):
+    """Modularity Q of the CC partition recomputed with union-find
+    components and the Newman formula Σ[e_c/m − (d_c/2m)²]."""
+    got = registry.QUERIES["graph_modularity_score"](
+        spark, SF_SMOKE
+    ).toPandas()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    from collections import Counter
+
+    pair_orders: Counter = Counter()
+    for _ok, grp in li.groupby("l_orderkey")["l_partkey"]:
+        parts = sorted(set(grp))
+        for i, a in enumerate(parts):
+            for b in parts[i + 1 :]:
+                pair_orders[(a, b)] += 1
+    edges = [p for p, c in pair_orders.items() if c >= 2]
+    parent: dict[int, int] = {}
+
+    def find(v):
+        parent.setdefault(v, v)
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    m = len(edges)
+    deg: Counter = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    d_c: Counter = Counter()
+    for v, d in deg.items():
+        d_c[find(v)] += d
+    e_c: Counter = Counter()
+    for a, b in edges:
+        e_c[find(a)] += 1
+    q = sum(
+        e_c.get(c, 0) / m - (dc / (2 * m)) ** 2 for c, dc in d_c.items()
+    )
+    r = got.iloc[0]
+    assert int(r["n_components"]) == len(d_c)
+    assert int(r["n_edges"]) == m
+    assert abs(float(r["modularity"]) - q) <= 2e-6
