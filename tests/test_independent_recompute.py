@@ -3068,3 +3068,276 @@ def test_modularity_matches_python_recompute(spark):
     assert int(r["n_components"]) == len(d_c)
     assert int(r["n_edges"]) == m
     assert abs(float(r["modularity"]) - q) <= 2e-6
+
+
+def test_newsvendor_matches_numpy_recompute(spark):
+    """Critical-fractile stocking recomputed: zero-filled weekly demand
+    over the part×week spine, numpy linear-interp p80 quantile, 4-dp
+    means from exact decimal sums."""
+    got = registry.QUERIES["lineitem_newsvendor_stock"](
+        spark, SF_SMOKE
+    ).toPandas()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_partkey", "l_shipdate", "l_quantity"]
+    ]
+    wk = pd.to_datetime(li["l_shipdate"]).dt.floor("D") - pd.to_timedelta(
+        pd.to_datetime(li["l_shipdate"]).dt.dayofweek, unit="D"
+    )
+    all_weeks = sorted(wk.unique())
+    sel = li[li["l_partkey"] % 20 == 0].copy()
+    sel["w"] = wk[sel.index]
+    dem: dict[tuple, object] = {}
+    for r in sel.itertuples():
+        k = (int(r.l_partkey), r.w)
+        dem[k] = dem.get(k, _dq6(0.0)) + _dq6(float(r.l_quantity))
+    assert len(got) == sel["l_partkey"].nunique()
+    for r in got.itertuples():
+        pk = int(r.l_partkey)
+        d = np.array(
+            [float(dem.get((pk, w), 0.0)) for w in all_weeks]
+        )
+        assert int(r.n_weeks) == len(all_weeks)
+        mean = float(
+            sum((_dq6(x) for x in d), _dq6(0.0))
+        ) / len(all_weeks)
+        assert abs(float(r.mean_weekly_demand) - mean) <= 2e-4
+        p80 = float(np.percentile(d, 80, method="linear"))
+        assert abs(float(r.stock_level_p80) - p80) <= 2e-4
+
+
+def test_ipw_ate_matches_python_recompute(spark):
+    """IPW/Hájek ATE recomputed: md5 assignment, per-stratum empirical
+    propensities, 6-dp quantized weights into decimal sums, weighted
+    means and their difference."""
+    import hashlib
+
+    got = registry.QUERIES["events_ipw_ate"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "event_type", "value"]
+    ]
+    ev = ev[ev["event_type"].isin(["click", "view", "purchase"])]
+    treat = np.array(
+        [
+            int(
+                hashlib.md5(f"{int(u)}|exp42".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            for u in ev["user_id"]
+        ]
+    )
+    prop = {}
+    for et in ev["event_type"].unique():
+        mask = (ev["event_type"] == et).to_numpy()
+        prop[et] = treat[mask].sum() / mask.sum()
+    from decimal import Decimal
+
+    sums = {0: [Decimal(0), Decimal(0), 0], 1: [Decimal(0), Decimal(0), 0]}
+    for (et, v), t in zip(
+        zip(ev["event_type"], ev["value"]), treat
+    ):
+        p = prop[et]
+        wt = 1.0 / p if t == 1 else 1.0 / (1.0 - p)
+        s = sums[int(t)]
+        s[0] += _dq6(wt * float(v))
+        s[1] += _dq6(wt)
+        s[2] += 1
+    t_mean = float(sums[1][0]) / float(sums[1][1])
+    c_mean = float(sums[0][0]) / float(sums[0][1])
+    r = got.iloc[0]
+    assert (int(r["n_treated"]), int(r["n_control"])) == (
+        sums[1][2],
+        sums[0][2],
+    )
+    assert abs(float(r["treated_wmean"]) - t_mean) <= 2e-6
+    assert abs(float(r["control_wmean"]) - c_mean) <= 2e-6
+    assert abs(float(r["ate_ipw"]) - (t_mean - c_mean)) <= 2e-6
+
+
+def test_srm_check_matches_python_recompute(spark):
+    """Sample-ratio-mismatch χ² recomputed from the md5 user split —
+    counts exact, χ² to 2e-6, the 3.841 gate decision exact."""
+    import hashlib
+
+    got = registry.QUERIES["events_ab_srm_check"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["user_id"]]
+    users = sorted(set(int(u) for u in ev["user_id"]))
+    n1 = sum(
+        int(hashlib.md5(f"{u}|exp42".encode()).hexdigest()[:8], 16) % 2
+        for u in users
+    )
+    n0 = len(users) - n1
+    e = (n0 + n1) / 2
+    chi2 = (n0 - e) ** 2 / e + (n1 - e) ** 2 / e
+    r = got.iloc[0]
+    assert (int(r["n_control"]), int(r["n_treated"])) == (n0, n1)
+    assert abs(float(r["chi2"]) - chi2) <= 2e-6
+    assert bool(r["srm_detected"]) == (chi2 > 3.841)
+
+
+def test_nb_fit_matches_python_recompute(spark):
+    """Negative-binomial MoM fit recomputed: hourly counts, ddof=1
+    variance, r = μ²/(σ²−μ), p = μ/σ², NULL where var ≤ mean."""
+    got = registry.QUERIES["events_nb_fit"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["event_type", "ts"]]
+    ev["hr"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    counts = ev.groupby(["event_type", "hr"]).size()
+    assert len(got)
+    for r in got.itertuples():
+        c = counts[r.event_type].to_numpy(dtype=float)
+        n = len(c)
+        mu = c.sum() / n
+        var = (
+            (c * c).sum() - c.sum() * c.sum() / n
+        ) / (n - 1)
+        assert abs(float(r.mean_per_hour) - mu) <= 2e-6
+        assert abs(float(r.var_per_hour) - var) <= 2e-6
+        if var > mu:
+            assert abs(float(r.nb_r) - mu * mu / (var - mu)) <= 2e-6
+            assert abs(float(r.nb_p) - mu / var) <= 2e-6
+        else:
+            assert pd.isna(r.nb_r) and pd.isna(r.nb_p)
+
+
+def test_error_burst_matches_python_recompute(spark):
+    """Scan-statistic burst recomputed: for every error instant, count
+    errors in [t, t+600 s] on whole-second epochs; max + earliest
+    start + total."""
+    got = registry.QUERIES["events_error_burst_scan"](
+        spark, SF_SMOKE
+    ).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    err = ev[ev["event_type"] == "error"]
+    secs = sorted(
+        (pd.to_datetime(err["ts"]) - pd.Timestamp(0))
+        // pd.Timedelta(seconds=1)
+    )
+    ts_by_sec: dict[int, object] = {}
+    for t, sec in zip(pd.to_datetime(err["ts"]), 
+                      (pd.to_datetime(err["ts"]) - pd.Timestamp(0))
+                      // pd.Timedelta(seconds=1)):
+        if sec not in ts_by_sec or t < ts_by_sec[sec]:
+            ts_by_sec[sec] = t
+    best = (0, None)
+    import bisect
+
+    for s in secs:
+        cnt = bisect.bisect_right(secs, s + 600) - bisect.bisect_left(
+            secs, s
+        )
+        if cnt > best[0]:
+            best = (cnt, s)
+    r = got.iloc[0]
+    assert int(r["max_burst"]) == best[0]
+    assert int(r["n_errors"]) == len(secs)
+    assert pd.Timestamp(r["burst_start"]) == ts_by_sec[best[1]]
+
+
+def test_simpsons_check_matches_python_recompute(spark):
+    """Simpson audit recomputed: decimal-exact weekend/weekday means
+    per stratum and overall; effects and the reversal flag."""
+    got = registry.QUERIES["orders_simpsons_check"](
+        spark, SF_SMOKE
+    ).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderpriority", "o_orderdate", "o_totalprice"]
+    ]
+    wknd = (pd.to_datetime(o["o_orderdate"]).dt.dayofweek >= 5).to_numpy()
+
+    def mean_of(mask):
+        sel = o["o_totalprice"].to_numpy()[mask]
+        return float(
+            sum((_dq6(float(p)) for p in sel), _dq6(0.0))
+        ) / len(sel)
+
+    overall = mean_of(wknd) - mean_of(~wknd)
+    assert len(got) == o["o_orderpriority"].nunique()
+    for r in got.itertuples():
+        pm = (o["o_orderpriority"] == r.o_orderpriority).to_numpy()
+        eff = mean_of(pm & wknd) - mean_of(pm & ~wknd)
+        assert abs(float(r.stratum_effect) - eff) <= 2e-6
+        assert abs(float(r.overall_effect) - overall) <= 2e-6
+        assert bool(r.reversed) == (np.sign(eff) != np.sign(overall))
+
+
+def test_price_elasticity_matches_python_recompute(spark):
+    """Pooled log-log elasticity recomputed: (part, week) decimal
+    rollups, 6-dp log points, quantized OLS moment sums, slope and
+    intercept."""
+    import math
+
+    got = registry.QUERIES["lineitem_price_elasticity"](
+        spark, SF_SMOKE
+    ).toPandas()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"]
+    ]
+    wk = pd.to_datetime(li["l_shipdate"]).dt.floor("D") - pd.to_timedelta(
+        pd.to_datetime(li["l_shipdate"]).dt.dayofweek, unit="D"
+    )
+    li = li.assign(w=wk)
+    from decimal import Decimal
+
+    n = 0
+    sx = sy = sxy = sxx = Decimal(0)
+    for (_pk, _w), grp in li.groupby(["l_partkey", "w"]):
+        q = float(sum((_dq6(float(v)) for v in grp["l_quantity"]), _dq6(0.0)))
+        rev = float(
+            sum((_dq6(float(v)) for v in grp["l_extendedprice"]), _dq6(0.0))
+        )
+        if q <= 0:
+            continue
+        unit_p = rev / q
+        if unit_p <= 0:
+            continue
+        x = float(_hup(math.log(unit_p), 6))
+        y = float(_hup(math.log(q), 6))
+        n += 1
+        sx += _dq6(x)
+        sy += _dq6(y)
+        sxy += _dq6(x * y)
+        sxx += _dq6(x * x)
+    fsx, fsy, fsxy, fsxx = map(float, (sx, sy, sxy, sxx))
+    beta = (n * fsxy - fsx * fsy) / (n * fsxx - fsx * fsx)
+    r = got.iloc[0]
+    assert int(r["n_obs"]) == n
+    assert abs(float(r["elasticity"]) - beta) <= 2e-6
+    assert (
+        abs(float(r["log_intercept"]) - (fsy - beta * fsx) / n) <= 2e-6
+    )
+
+
+def test_conversion_window_matches_python_recompute(spark):
+    """Attribution-window sensitivity recomputed: per purchase, any
+    prior click within 1h/1d/7d; counts and rates."""
+    got = registry.QUERIES["events_conversion_window_sensitivity"](
+        spark, SF_SMOKE
+    ).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "event_id", "ts", "event_type"]
+    ]
+    ev["t"] = pd.to_datetime(ev["ts"])
+    clicks = ev[ev["event_type"] == "click"]
+    purch = ev[ev["event_type"] == "purchase"]
+    h1 = d1 = d7 = 0
+    for p in purch.itertuples():
+        cs = clicks[clicks["user_id"] == p.user_id]
+        dt = p.t - cs["t"]
+        inwin = dt[(dt >= pd.Timedelta(0)) & (dt <= pd.Timedelta(days=7))]
+        if len(inwin) == 0:
+            continue
+        d7 += 1
+        if (inwin <= pd.Timedelta(days=1)).any():
+            d1 += 1
+        if (inwin <= pd.Timedelta(hours=1)).any():
+            h1 += 1
+    r = got.iloc[0]
+    np_ = int(r["n_purchases"])
+    assert np_ == len(purch)
+    assert (
+        int(r["attributed_1h"]),
+        int(r["attributed_1d"]),
+        int(r["attributed_7d"]),
+    ) == (h1, d1, d7)
+    assert abs(float(r["rate_1h"]) - h1 / np_) <= 2e-6
+    assert abs(float(r["rate_1d"]) - d1 / np_) <= 2e-6
+    assert abs(float(r["rate_7d"]) - d7 / np_) <= 2e-6
