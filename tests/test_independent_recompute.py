@@ -3341,3 +3341,203 @@ def test_conversion_window_matches_python_recompute(spark):
     assert abs(float(r["rate_1h"]) - h1 / np_) <= 2e-6
     assert abs(float(r["rate_1d"]) - d1 / np_) <= 2e-6
     assert abs(float(r["rate_7d"]) - d7 / np_) <= 2e-6
+
+
+def test_luhn_checksum_validates_independently(spark):
+    """Every emitted account number is re-validated with a standard
+    INDEPENDENT Luhn implementation (sum over all 16 digits, doubling
+    every second from the right, total ≡ 0 mod 10) — plus the planted
+    body↔custkey mapping."""
+    got = registry.QUERIES["fn_luhn_checksum"](spark, SF_SMOKE).toPandas()
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")[["c_custkey"]]
+    expect_keys = sorted(
+        int(k) for k in c["c_custkey"] if int(k) % 25 == 0
+    )
+    assert sorted(int(k) for k in got["c_custkey"]) == expect_keys
+
+    def luhn_ok(num: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(num)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    for r in got.itertuples():
+        acct = str(r.account_number)
+        assert len(acct) == 16
+        assert acct[:15] == str(
+            int(r.c_custkey) * 52361 + 40000000000000
+        ).zfill(15)
+        assert luhn_ok(acct), acct
+        assert int(r.check_digit) == int(acct[-1])
+        assert bool(r.luhn_valid)
+
+
+def test_fiscal_445_matches_python_recompute(spark):
+    """4-4-5 calendar recomputed with datetime arithmetic: Monday
+    anchor of the week holding Feb 1, year rollback before the anchor,
+    13-week quarters with the week-53 Q4 clamp, 4/4/5 period cuts."""
+    from datetime import date, timedelta
+
+    got = {
+        int(r.o_orderkey): (
+            str(r.order_day),
+            int(r.fiscal_year),
+            int(r.fiscal_quarter),
+            int(r.fiscal_period),
+            int(r.fiscal_week),
+        )
+        for r in registry.QUERIES["fn_fiscal_445"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderkey", "o_orderdate"]
+    ]
+    o = o[o["o_orderkey"] % 50 == 0]
+
+    def anchor(y: int) -> date:
+        feb1 = date(y, 2, 1)
+        return feb1 - timedelta(days=feb1.weekday())
+
+    ref = {}
+    for r in o.itertuples():
+        od = pd.Timestamp(r.o_orderdate).date()
+        fy = od.year if od >= anchor(od.year) else od.year - 1
+        fweek0 = (od - anchor(fy)).days // 7
+        fq0 = min(fweek0 // 13, 3)
+        wq = fweek0 % 13
+        period = fq0 * 3 + (1 if wq < 4 else 2 if wq < 8 else 3)
+        ref[int(r.o_orderkey)] = (
+            od.strftime("%Y-%m-%d"),
+            fy,
+            fq0 + 1,
+            period,
+            fweek0 + 1,
+        )
+    assert got == ref
+
+
+def test_share_of_group_matches_python_recompute(spark):
+    """Two-level contribution shares recomputed: decimal (region,
+    nation) revenue, region/global denominators, competition RANK with
+    the (rev desc, name asc) tie-break."""
+    got = registry.QUERIES["agg_share_of_group"](spark, SF_SMOKE).toPandas()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_suppkey", "l_extendedprice", "l_discount"]
+    ]
+    s = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")[
+        ["s_suppkey", "s_nationkey"]
+    ]
+    n = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")[
+        ["n_nationkey", "n_name", "n_regionkey"]
+    ]
+    rg = pd.read_parquet(f"{SF_SMOKE}/region.parquet")[
+        ["r_regionkey", "r_name"]
+    ]
+    m = (
+        li.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(n, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(rg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    rev: dict[tuple, object] = {}
+    for r in m.itertuples():
+        k = (str(r.r_name), str(r.n_name))
+        rev[k] = rev.get(k, _dq6(0.0)) + _dq6(
+            float(r.l_extendedprice) * (1 - float(r.l_discount))
+        )
+    total = sum(rev.values())
+    by_region: dict[str, object] = {}
+    for (rn, _nn), v in rev.items():
+        by_region[rn] = by_region.get(rn, _dq6(0.0)) + v
+    assert len(got) == len(rev)
+    for r in got.itertuples():
+        k = (str(r.r_name), str(r.n_name))
+        v = float(rev[k])
+        assert abs(float(r.revenue) - v) <= 2e-4
+        assert (
+            abs(float(r.share_of_region) - v / float(by_region[k[0]]))
+            <= 2e-6
+        )
+        assert abs(float(r.share_of_total) - v / float(total)) <= 2e-6
+        peers = sorted(
+            ((-float(vv), nn) for (rn, nn), vv in rev.items() if rn == k[0])
+        )
+        rank = peers.index((-v, k[1])) + 1
+        assert int(r.rank_in_region) == rank
+
+
+def test_supplier_concentration_matches_python_recompute(spark):
+    """Single-supplier exposure recomputed: decimal per-(nation,
+    supplier) revenue, deterministic top pick, at-risk share."""
+    got = registry.QUERIES["supplier_concentration_risk"](
+        spark, SF_SMOKE
+    ).toPandas()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_suppkey", "l_extendedprice", "l_discount"]
+    ]
+    s = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")[
+        ["s_suppkey", "s_nationkey"]
+    ]
+    n = pd.read_parquet(f"{SF_SMOKE}/nation.parquet")[
+        ["n_nationkey", "n_name"]
+    ]
+    m = li.merge(s, left_on="l_suppkey", right_on="s_suppkey").merge(
+        n, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    rev: dict[tuple, object] = {}
+    for r in m.itertuples():
+        k = (str(r.n_name), int(r.l_suppkey))
+        rev[k] = rev.get(k, _dq6(0.0)) + _dq6(
+            float(r.l_extendedprice) * (1 - float(r.l_discount))
+        )
+    nations: dict[str, list] = {}
+    for (nn, sk), v in rev.items():
+        nations.setdefault(nn, []).append((sk, v))
+    assert len(got) == len(nations)
+    for r in got.itertuples():
+        sups = nations[str(r.n_name)]
+        top = min(sups, key=lambda kv: (-float(kv[1]), kv[0]))
+        total = float(sum(v for _sk, v in sups))
+        assert int(r.top_suppkey) == top[0]
+        assert int(r.n_suppliers) == len(sups)
+        assert abs(float(r.top_supplier_rev) - float(top[1])) <= 2e-4
+        assert (
+            abs(float(r.revenue_at_risk_share) - float(top[1]) / total)
+            <= 2e-6
+        )
+
+
+def test_histogram_equi_depth_matches_numpy_recompute(spark):
+    """Equi-depth histogram recomputed: numpy octile boundaries
+    (4-dp HALF_UP), CASE bucket assignment on the ROUNDED boundaries,
+    per-bucket counts and rounded extremes."""
+    got = {
+        int(r.bucket): (int(r.n), float(r.lo), float(r.hi))
+        for r in registry.QUERIES["agg_histogram_equi_depth"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")["o_totalprice"]
+    x = o.to_numpy(dtype=float)
+    bs = [
+        _hup(float(np.percentile(x, q * 100, method="linear")), 4)
+        for q in (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+    ]
+    ref: dict[int, list] = {}
+    for v in x:
+        b = 8
+        for i, edge in enumerate(bs, 1):
+            if v <= edge:
+                b = i
+                break
+        ref.setdefault(b, []).append(v)
+    assert set(got) == set(ref)
+    for b, vals in ref.items():
+        assert got[b][0] == len(vals)
+        assert abs(got[b][1] - _hup(min(vals), 4)) <= 2e-4
+        assert abs(got[b][2] - _hup(max(vals), 4)) <= 2e-4
