@@ -3541,3 +3541,125 @@ def test_histogram_equi_depth_matches_numpy_recompute(spark):
         assert got[b][0] == len(vals)
         assert abs(got[b][1] - _hup(min(vals), 4)) <= 2e-4
         assert abs(got[b][2] - _hup(max(vals), 4)) <= 2e-4
+
+
+def test_temporal_coalesce_matches_python_recompute(spark):
+    """Temporal range-merge recomputed: per-customer status runs in
+    (date, orderkey) order, [min, max] bounds and counts per maximal
+    run — full multiset equality."""
+    got = sorted(
+        (
+            int(r.o_custkey),
+            str(r.status),
+            str(r.valid_from),
+            str(r.valid_to),
+            int(r.n_orders),
+        )
+        for r in registry.QUERIES["orders_temporal_coalesce"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    )
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate"]
+    ].sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    ref = []
+    for ck, grp in o.groupby("o_custkey"):
+        run_status = None
+        run_dates: list = []
+        for r in grp.itertuples():
+            d = pd.Timestamp(r.o_orderdate).strftime("%Y-%m-%d")
+            if r.o_orderstatus != run_status:
+                if run_dates:
+                    ref.append(
+                        (
+                            int(ck),
+                            str(run_status),
+                            min(run_dates),
+                            max(run_dates),
+                            len(run_dates),
+                        )
+                    )
+                run_status, run_dates = r.o_orderstatus, []
+            run_dates.append(d)
+        if run_dates:
+            ref.append(
+                (
+                    int(ck),
+                    str(run_status),
+                    min(run_dates),
+                    max(run_dates),
+                    len(run_dates),
+                )
+            )
+    assert got == sorted(ref)
+
+
+def test_reactivation_winback_matches_python_recompute(spark):
+    """Win-back events recomputed: per-user ≥24 h dormancy returns in
+    (ts, event_id) order, Monday-week rollup with distinct users."""
+    got = {
+        str(r.week): (int(r.n_reactivations), int(r.n_users))
+        for r in registry.QUERIES["events_reactivation_winback"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "event_id"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    from collections import defaultdict
+
+    weeks: dict[str, list] = defaultdict(list)
+    for uid, grp in ev.groupby("user_id"):
+        ts = list(pd.to_datetime(grp["ts"]))
+        for prev, cur in zip(ts, ts[1:]):
+            if cur - prev >= pd.Timedelta(hours=24):
+                wk = (cur.floor("D") - pd.Timedelta(days=cur.dayofweek))
+                weeks[wk.strftime("%Y-%m-%d")].append(int(uid))
+    ref = {
+        wk: (len(us), len(set(us))) for wk, us in weeks.items()
+    }
+    assert got == ref
+
+
+def test_overdue_customers_matches_python_recompute(spark):
+    """Cadence-relative overdue flags recomputed: decimal mean
+    inter-order gap (≥3 gaps), corpus-max anchor, the 2× rule."""
+    got = {
+        int(r.o_custkey): (
+            int(r.n_orders),
+            float(r.mean_gap_days),
+            int(r.days_since_last),
+            bool(r.overdue),
+        )
+        for r in registry.QUERIES["orders_overdue_customers"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_custkey", "o_orderkey", "o_orderdate"]
+    ].sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    o["d"] = pd.to_datetime(o["o_orderdate"]).dt.floor("D")
+    today = o["d"].max()
+    ref = {}
+    for ck, grp in o.groupby("o_custkey"):
+        ds = list(grp["d"])
+        gaps = [
+            int((b - a) / pd.Timedelta(days=1)) for a, b in zip(ds, ds[1:])
+        ]
+        if len(gaps) < 3:
+            continue
+        mean_gap = float(
+            sum((_dq6(float(g)) for g in gaps), _dq6(0.0))
+        ) / len(gaps)
+        since = int((today - max(ds)) / pd.Timedelta(days=1))
+        ref[int(ck)] = (
+            len(gaps) + 1,
+            _hup(mean_gap, 4),
+            since,
+            since > 2 * mean_gap,
+        )
+    assert set(got) == set(ref)
+    for ck, (n, mg, since, od) in ref.items():
+        g = got[ck]
+        assert g[0] == n and g[2] == since and g[3] == od
+        assert abs(g[1] - mg) <= 1e-9
