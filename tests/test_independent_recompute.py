@@ -3663,3 +3663,207 @@ def test_overdue_customers_matches_python_recompute(spark):
         g = got[ck]
         assert g[0] == n and g[2] == since and g[3] == od
         assert abs(g[1] - mg) <= 1e-9
+
+
+def test_boolean_minmatch_matches_python_recompute(spark):
+    """Lucene boolean semantics recomputed with sets: MUST present,
+    MUST_NOT absent, ≥2 distinct SHOULD terms — doc set and per-doc
+    should-counts exactly equal."""
+    import re
+
+    got = {
+        int(r.doc_id): int(r.n_should)
+        for r in registry.QUERIES["search_boolean_minmatch"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    should = {"merge", "vector", "stream", "index"}
+    ref = {}
+    for r in d.itertuples():
+        toks = set(ws_re.split(str(r.text).lower()))
+        if "hash" in toks and "broken" not in toks:
+            ns = len(toks & should)
+            if ns >= 2:
+                ref[int(r.doc_id)] = ns
+    assert got == ref
+
+
+def test_phrase_query_matches_python_recompute(spark):
+    """Positional-postings phrase match recomputed: adjacent
+    ('hash', 'merge') token positions per document."""
+    import re
+
+    got = {
+        int(r.doc_id): int(r.n_hits)
+        for r in registry.QUERIES["search_phrase_query"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    ref = {}
+    for r in d.itertuples():
+        toks = ws_re.split(str(r.text).lower())
+        hits = sum(
+            1
+            for a, b in zip(toks, toks[1:])
+            if a == "hash" and b == "merge"
+        )
+        if hits:
+            ref[int(r.doc_id)] = hits
+    assert got == ref
+
+
+def test_search_highlight_matches_python_recompute(spark):
+    """±3-word snippet extraction recomputed with Python re (same
+    RE2/Java-subset pattern) over token-matched docs."""
+    import re
+
+    got = {
+        int(r.doc_id): str(r.snippet)
+        for r in registry.QUERIES["search_highlight"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    snip_re = re.compile(r"(?:\S+\s+){0,3}merge(?:\s+\S+){0,3}")
+    ref = {}
+    for r in d.itertuples():
+        low = str(r.text).lower()
+        if "merge" in ws_re.split(low):
+            m = snip_re.search(low)
+            ref[int(r.doc_id)] = m.group(0) if m else ""
+    assert got == ref
+
+
+def test_extractive_summary_matches_python_recompute(spark):
+    """Centroid summary recomputed end-to-end: corpus idf, planted
+    sentence split, per-sentence distinct-term mean idf at the
+    12-dp/6-dp quantization ladder, per-doc (score desc, sent asc)
+    argmax — the exact summary sentence must match."""
+    import math
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = {
+        int(r.doc_id): (str(r.summary), float(r.score))
+        for r in registry.QUERIES["text_extractive_summary"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    df: Counter = Counter()
+    for t in d["text"]:
+        toks = {w for w in ws_re.split(str(t).lower()) if w != ""}
+        df.update(toks)
+    n_docs = len(d)
+    q12 = Decimal("0.000000000001")
+    idf = {
+        tok: Decimal(repr(math.log(float(n_docs) / c))).quantize(
+            q12, ROUND_HALF_UP
+        )
+        for tok, c in df.items()
+    }
+    plant_re = re.compile(r" (spark|table|merge) ")
+    sent_re = re.compile(r"([.!?])\s+")
+    punct_re = re.compile(r"[.!?]")
+    ref = {}
+    for r in d.itertuples():
+        t = plant_re.sub(r" \1. ", str(r.text).lower())
+        sents = [
+            s.strip()
+            for s in sent_re.sub("\\1\x01", t).split("\x01")
+            if s.strip() != ""
+        ]
+        best = None
+        for s in sents:
+            toks = {
+                punct_re.sub("", w)
+                for w in ws_re.split(s)
+                if punct_re.sub("", w) != ""
+            }
+            toks = {w for w in toks if w in idf}
+            if not toks:
+                continue
+            score = float(
+                Decimal(
+                    repr(float(sum(idf[w] for w in toks)) / len(toks))
+                ).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+            key = (-score, s)
+            if best is None or key < best:
+                best = key
+        if best is not None:
+            ref[int(r.doc_id)] = (best[1], -best[0])
+    assert set(got) == set(ref)
+    for did, (sent, score) in ref.items():
+        assert got[did][0] == sent, did
+        assert abs(got[did][1] - score) <= 1e-9
+
+
+def test_stylometry_matches_python_recompute(spark):
+    """Mosteller-Wallace attribution recomputed: floor-quantized
+    function-word frequencies per doc and per source, L1 argmin with
+    the name tie-break, full confusion matrix equality."""
+    import math
+    import re
+    from collections import Counter
+
+    got = {
+        (str(r.source), str(r.predicted)): int(r.n_docs)
+        for r in registry.QUERIES["text_stylometry_attribution"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[
+        ["doc_id", "source", "text"]
+    ]
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    style = ["the", "a", "and", "of", "to", "in"]
+
+    def fl6(x: float) -> float:
+        return math.floor(x * 1e6) / 1e6
+
+    doc_prof = {}
+    src_counts: dict[str, list] = {}
+    for r in d.itertuples():
+        toks = [w for w in ws_re.split(str(r.text).lower()) if w != ""]
+        c = Counter(toks)
+        n = len(toks)
+        doc_prof[int(r.doc_id)] = (
+            str(r.source),
+            {w: fl6(c.get(w, 0) / n) for w in style},
+        )
+        sc = src_counts.setdefault(str(r.source), [])
+        sc.append((c, n))
+    src_prof = {}
+    for src, docs in src_counts.items():
+        src_prof[src] = {
+            w: fl6(
+                sum(c.get(w, 0) for c, _n in docs)
+                / sum(n for _c, n in docs)
+            )
+            for w in style
+        }
+    conf: Counter = Counter()
+    for _did, (src, prof) in doc_prof.items():
+        best = min(
+            (
+                (
+                    fl6(
+                        sum(
+                            abs(prof[w] - pprof[w]) for w in style
+                        )
+                    ),
+                    psrc,
+                )
+                for psrc, pprof in src_prof.items()
+            )
+        )
+        conf[(src, best[1])] += 1
+    assert got == dict(conf)
