@@ -3867,3 +3867,186 @@ def test_stylometry_matches_python_recompute(spark):
         )
         conf[(src, best[1])] += 1
     assert got == dict(conf)
+
+
+# ---------------------------------------------------------------------------
+# Already-graded classics: permanent formula-level regression protection for
+# the experimentation / regression / lexical-statistics shelf.
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_matches_python_recompute(spark):
+    """CUPED (Deng et al. 2013) recomputed: per-user pre/post decimal
+    sums, md5 variant split, θ from sufficient statistics, adjusted
+    means (Σy − θ(Σx − n·x̄))/n per variant."""
+    import hashlib
+
+    got = {
+        int(r.variant): (
+            int(r.n_users),
+            float(r.mean_post),
+            float(r.mean_adj),
+        )
+        for r in registry.QUERIES["events_ab_cuped"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "value"]
+    ]
+    split = pd.Timestamp("2024-01-16")
+    pre = pd.to_datetime(ev["ts"]) < split
+    users: dict[int, list] = {}
+    for uid, ispre, v in zip(ev["user_id"], pre, ev["value"]):
+        u = users.setdefault(int(uid), [_dq6(0.0), _dq6(0.0)])
+        u[0 if ispre else 1] += _dq6(float(v))
+    xs = {u: float(v[0]) for u, v in users.items()}
+    ys = {u: float(v[1]) for u, v in users.items()}
+    n_all = len(users)
+    sx = float(sum((_dq6(x) for x in xs.values()), _dq6(0.0)))
+    sxx = float(sum((_dq6(x * x) for x in xs.values()), _dq6(0.0)))
+    sy = float(sum((_dq6(y) for y in ys.values()), _dq6(0.0)))
+    sxy = float(
+        sum((_dq6(xs[u] * ys[u]) for u in users), _dq6(0.0))
+    )
+    theta = (sxy - sx * sy / n_all) / (sxx - sx * sx / n_all)
+    xbar = sx / n_all
+    for variant in (0, 1):
+        sel = [
+            u
+            for u in users
+            if int(
+                hashlib.md5(f"{u}|cuped".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            == variant
+        ]
+        n = len(sel)
+        sy_v = float(sum((_dq6(ys[u]) for u in sel), _dq6(0.0)))
+        sx_v = float(sum((_dq6(xs[u]) for u in sel), _dq6(0.0)))
+        mean_post = sy_v / n
+        mean_adj = (sy_v - theta * (sx_v - n * xbar)) / n
+        g = got[variant]
+        assert g[0] == n
+        assert abs(g[1] - mean_post) <= 2e-6
+        assert abs(g[2] - mean_adj) <= 2e-6
+
+
+def test_regression_matches_numpy_recompute(spark):
+    """OLS aggregates recomputed with centered numpy arithmetic over
+    epoch-second x — slope, intercept, R², counts per event type."""
+    got = registry.QUERIES["agg_regression"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["event_type", "ts", "value"]
+    ].dropna(subset=["value"])
+    assert len(got)
+    for r in got.itertuples():
+        grp = ev[ev["event_type"] == r.event_type]
+        ms = (
+            pd.to_datetime(grp["ts"]) - pd.Timestamp(0)
+        ) // pd.Timedelta(milliseconds=1)
+        x = ms.to_numpy(dtype=float) / 1000.0
+        y = grp["value"].to_numpy(dtype=float)
+        xc, yc = x - x.mean(), y - y.mean()
+        slope = float((xc * yc).sum() / (xc * xc).sum())
+        intercept = float(y.mean() - slope * x.mean())
+        r2 = float(
+            (xc * yc).sum() ** 2 / ((xc * xc).sum() * (yc * yc).sum())
+        )
+        assert int(r.n) == len(grp)
+        ref_slope = slope * 1e6
+        assert (
+            abs(float(r.slope_per_mega_sec) - ref_slope)
+            <= 2e-6 + 1e-6 * abs(ref_slope)
+        )
+        assert (
+            abs(float(r.intercept) - intercept)
+            <= 2e-4 + 1e-7 * abs(intercept)
+        )
+        assert abs(float(r.r2) - r2) <= 2e-6
+
+
+def test_zipf_exponent_matches_python_recompute(spark):
+    """Zipf fit recomputed: (freq desc, tok asc) vocabulary ranks,
+    12-dp quantized ln points, OLS slope/intercept at 4 dp."""
+    import math
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = registry.QUERIES["text_zipf_exponent"](spark, SF_SMOKE).toPandas()
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["text"]]
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    tf: Counter = Counter()
+    for t in d["text"]:
+        tf.update(w for w in ws_re.split(str(t).lower()) if w != "")
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    q12 = Decimal("0.000000000001")
+
+    def r12(v: float):
+        return Decimal(repr(v)).quantize(q12, ROUND_HALF_UP)
+
+    n = len(ranked)
+    sx = sy = sxx = sxy = Decimal(0)
+    for rnk, (_tok, freq) in enumerate(ranked, 1):
+        x = r12(math.log(rnk))
+        y = r12(math.log(freq))
+        sx += x
+        sy += y
+        sxx += x * x
+        sxy += x * y
+    fsx, fsy, fsxx, fsxy = map(float, (sx, sy, sxx, sxy))
+    slope = (fsxy - fsx * fsy / n) / (fsxx - fsx * fsx / n)
+    intercept = fsy / n - slope * fsx / n
+    r = got.iloc[0]
+    assert int(r["n_terms"]) == n
+    assert abs(float(r["zipf_slope"]) - slope) <= 2e-4
+    assert abs(float(r["intercept"]) - intercept) <= 2e-4
+
+
+def test_corr_matrix_matches_numpy_recompute(spark):
+    """All six upper-triangle Pearson correlations recomputed with
+    numpy over the raw columns."""
+    got = {
+        (str(r.var_a), str(r.var_b)): float(r.r)
+        for r in registry.QUERIES["agg_corr_matrix"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[cols]
+    assert len(got) == 6
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            x = li[a].to_numpy(dtype=float)
+            y = li[b].to_numpy(dtype=float)
+            xc, yc = x - x.mean(), y - y.mean()
+            rr = float(
+                (xc * yc).sum()
+                / np.sqrt((xc * xc).sum() * (yc * yc).sum())
+            )
+            assert abs(got[(a, b)] - rr) <= 2e-6, (a, b)
+
+
+def test_skew_kurtosis_matches_numpy_recompute(spark):
+    """Population skewness g₁ = m₃/m₂^1.5 and excess kurtosis
+    g₂ = m₄/m₂² − 3 recomputed from raw central moments — pins the
+    population-moment convention both engines were bridged to."""
+    got = registry.QUERIES["agg_skewness_kurtosis"](
+        spark, SF_SMOKE
+    ).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderpriority", "o_totalprice"]
+    ]
+    assert len(got)
+    for r in got.itertuples():
+        x = o[o["o_orderpriority"] == r.o_orderpriority][
+            "o_totalprice"
+        ].to_numpy(dtype=float)
+        c = x - x.mean()
+        m2 = float((c * c).mean())
+        m3 = float((c * c * c).mean())
+        m4 = float((c * c * c * c).mean())
+        assert int(r.n) == len(x)
+        assert abs(float(r.skew) - m3 / m2**1.5) <= 2e-6
+        assert abs(float(r.kurt) - (m4 / m2**2 - 3)) <= 2e-6
