@@ -4050,3 +4050,190 @@ def test_skew_kurtosis_matches_numpy_recompute(spark):
         assert int(r.n) == len(x)
         assert abs(float(r.skew) - m3 / m2**1.5) <= 2e-6
         assert abs(float(r.kurt) - (m4 / m2**2 - 3)) <= 2e-6
+
+
+def test_funnel_matches_python_recompute(spark):
+    """Ordered funnel recomputed per user: first signup, first LATER
+    click, first later purchase — anchors and stages exactly equal."""
+    got = {
+        int(r.user_id): (
+            pd.Timestamp(r.signup_ts),
+            pd.Timestamp(r.click_ts) if pd.notna(r.click_ts) else None,
+            pd.Timestamp(r.purchase_ts)
+            if pd.notna(r.purchase_ts)
+            else None,
+            int(r.funnel_stage),
+        )
+        for r in registry.QUERIES["events_funnel"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "event_type"]
+    ]
+    ev["t"] = pd.to_datetime(ev["ts"])
+    ref = {}
+    for uid, grp in ev.groupby("user_id"):
+        sign = grp[grp["event_type"] == "signup"]["t"]
+        if sign.empty:
+            continue
+        s = sign.min()
+        clicks = grp[(grp["event_type"] == "click") & (grp["t"] > s)]["t"]
+        c = clicks.min() if not clicks.empty else None
+        p = None
+        if c is not None:
+            purch = grp[
+                (grp["event_type"] == "purchase") & (grp["t"] > c)
+            ]["t"]
+            p = purch.min() if not purch.empty else None
+        stage = 1 + (c is not None) + (p is not None)
+        ref[int(uid)] = (s, c, p, stage)
+    assert got == ref
+
+
+def test_retention_cohorts_matches_python_recompute(spark):
+    """Cohort matrix recomputed: first-day cohorts, distinct active
+    (user, day) pairs, per-(cohort, offset) distinct counts and the
+    retention fraction."""
+    got = {
+        (pd.Timestamp(r.cohort_day), int(r.day_offset)): (
+            int(r.active_users),
+            int(r.cohort_size),
+            float(r.retention),
+        )
+        for r in registry.QUERIES["events_retention_cohorts"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["user_id", "ts"]]
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    first = ev.groupby("user_id")["day"].min()
+    sizes = first.value_counts()
+    act = ev[["user_id", "day"]].drop_duplicates()
+    from collections import defaultdict
+
+    cell: dict[tuple, set] = defaultdict(set)
+    for uid, day in zip(act["user_id"], act["day"]):
+        cd = first[uid]
+        off = int((day - cd) / pd.Timedelta(days=1))
+        cell[(cd, off)].add(int(uid))
+    ref = {
+        (cd, off): (
+            len(us),
+            int(sizes[cd]),
+            _hup(len(us) / int(sizes[cd]), 6),
+        )
+        for (cd, off), us in cell.items()
+    }
+    assert set(got) == set(ref)
+    for k, (a, s, rt) in ref.items():
+        g = got[k]
+        assert g[0] == a and g[1] == s
+        assert abs(g[2] - rt) <= 1e-9
+
+
+def test_rfm_segments_matches_python_recompute(spark):
+    """RFM recomputed with the SQL NTILE fill rule applied directly to
+    the three total orders — scores, metrics, and rule-table segments
+    for every customer (value-checks the two-pass distributed NTILE)."""
+    got = {
+        int(r.o_custkey): (
+            int(r.recency_days),
+            int(r.frequency),
+            round(float(r.monetary), 4),
+            int(r.r_score),
+            int(r.f_score),
+            int(r.m_score),
+            str(r.segment),
+        )
+        for r in registry.QUERIES["orders_rfm_segments"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_custkey", "o_orderdate", "o_totalprice"]
+    ]
+    o["d"] = pd.to_datetime(o["o_orderdate"]).dt.floor("D")
+    anchor = o["d"].max()
+    rfm = {}
+    for ck, grp in o.groupby("o_custkey"):
+        rec = int((anchor - grp["d"].max()) / pd.Timedelta(days=1))
+        freq = len(grp)
+        mon = float(
+            sum((_dq6(float(p)) for p in grp["o_totalprice"]), _dq6(0.0))
+        )
+        rfm[int(ck)] = [rec, freq, mon]
+
+    def ntile5(order):
+        n = len(order)
+        base, extra = divmod(n, 5)
+        out = {}
+        i = 0
+        for b in range(1, 6):
+            size = base + (1 if b <= extra else 0)
+            for _ in range(size):
+                out[order[i]] = b
+                i += 1
+        return out
+
+    cks = list(rfm)
+    r_s = ntile5(sorted(cks, key=lambda c: (rfm[c][0], c)))
+    f_s = ntile5(sorted(cks, key=lambda c: (-rfm[c][1], c)))
+    m_s = ntile5(sorted(cks, key=lambda c: (-rfm[c][2], c)))
+    ref = {}
+    for ck in cks:
+        rs, fs, ms = r_s[ck], f_s[ck], m_s[ck]
+        if rs == 1 and fs <= 2:
+            seg = "champion"
+        elif rs <= 2 and ms <= 2:
+            seg = "loyal"
+        elif rs >= 4 and fs >= 4:
+            seg = "churned"
+        else:
+            seg = "regular"
+        ref[ck] = (
+            rfm[ck][0],
+            rfm[ck][1],
+            round(rfm[ck][2], 4),
+            rs,
+            fs,
+            ms,
+            seg,
+        )
+    assert got == ref
+
+
+def test_top_paths_matches_python_recompute(spark):
+    """Top-20 transitions recomputed: per-user successor pairs,
+    (count desc, a, b) ordering, distinct-user counts."""
+    got = [
+        (
+            str(r.step_a),
+            str(r.step_b),
+            int(r.n_transitions),
+            int(r.n_users),
+        )
+        for r in registry.QUERIES["events_top_paths"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    ]
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "event_id", "event_type"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    from collections import Counter, defaultdict
+
+    trans: Counter = Counter()
+    users: dict[tuple, set] = defaultdict(set)
+    for uid, grp in ev.groupby("user_id"):
+        types = list(grp["event_type"])
+        for a, b in zip(types, types[1:]):
+            trans[(a, b)] += 1
+            users[(a, b)].add(int(uid))
+    ranked = sorted(
+        (
+            (-c, a, b, c, len(users[(a, b)]))
+            for (a, b), c in trans.items()
+        )
+    )[:20]
+    ref = [(a, b, c, u) for _negc, a, b, c, u in ranked]
+    assert got == ref
