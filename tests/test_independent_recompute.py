@@ -4237,3 +4237,178 @@ def test_top_paths_matches_python_recompute(spark):
     )[:20]
     ref = [(a, b, c, u) for _negc, a, b, c, u in ranked]
     assert got == ref
+
+
+def test_wilson_ranking_matches_python_recompute(spark):
+    """Wilson lower-bound ranking recomputed: exact return counts, the
+    score-interval formula, quantized-bound ordering with suppkey
+    tie-break — exact top-25 sequence."""
+    import math
+
+    got = [
+        (
+            int(r.l_suppkey),
+            int(r.n_lines),
+            int(r.n_returns),
+            float(r.return_rate),
+            float(r.wilson_lower),
+        )
+        for r in registry.QUERIES["supplier_return_rate_wilson"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    ]
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_suppkey", "l_returnflag"]
+    ]
+    z = 1.96
+    rows = []
+    for sk, grp in li.groupby("l_suppkey"):
+        n = float(len(grp))
+        r = float((grp["l_returnflag"] == "R").sum())
+        p = r / n
+        lb = (
+            p
+            + z * z / (2 * n)
+            - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        ) / (1 + z * z / n)
+        rows.append(
+            (
+                -(math.floor(lb * 1e6) / 1e6),
+                int(sk),
+                int(n),
+                int(r),
+                math.floor(p * 1e6) / 1e6,
+            )
+        )
+    rows.sort()
+    ref = [
+        (sk, n, r, p, -neglb) for neglb, sk, n, r, p in rows[:25]
+    ]
+    assert got == ref
+
+
+def test_eoq_matches_python_recompute(spark):
+    """EOQ recomputed: √(2DS/H) with decimal-exact demand, the 1e-2
+    floor, and orders/year ceiling on the QUANTIZED quantity."""
+    import math
+
+    got = {
+        int(r.l_partkey): (
+            int(r.annual_demand),
+            float(r.eoq_units),
+            int(r.orders_per_year),
+        )
+        for r in registry.QUERIES["lineitem_eoq_replenishment"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_partkey", "l_quantity"]
+    ]
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")[
+        ["p_partkey", "p_retailprice"]
+    ].set_index("p_partkey")
+    ref = {}
+    for pk, grp in li.groupby("l_partkey"):
+        d = float(
+            sum((_dq6(float(q)) for q in grp["l_quantity"]), _dq6(0.0))
+        )
+        price = float(part.loc[int(pk), "p_retailprice"])
+        eoq = math.floor(math.sqrt(2 * d * 50.0 / (0.2 * price)) * 1e2) / 1e2
+        ref[int(pk)] = (int(d), eoq, math.ceil(d / eoq))
+    assert got == ref
+
+
+def test_hhi_matches_python_recompute(spark):
+    """HHI recomputed with exact 2-dp decimal revenue: Σr²/ (Σr)² in
+    ppm, the 0.25 concentration gate."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = registry.QUERIES["orders_hhi_concentration"](
+        spark, SF_SMOKE
+    ).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_custkey", "o_totalprice"]
+    ]
+    q2 = Decimal("0.01")
+    rev: dict[int, Decimal] = {}
+    for r in o.itertuples():
+        rev[int(r.o_custkey)] = rev.get(int(r.o_custkey), Decimal(0)) + Decimal(
+            repr(float(r.o_totalprice))
+        ).quantize(q2, ROUND_HALF_UP)
+    sumsq = float(sum(v * v for v in rev.values()))
+    tot = float(sum(rev.values()))
+    import math
+
+    hhi = math.floor(sumsq * 1e6 / (tot * tot))
+    r = got.iloc[0]
+    assert int(r["n_customers"]) == len(rev)
+    assert int(r["hhi_ppm"]) == hhi
+    assert bool(r["concentrated"]) == (hhi > 250000)
+
+
+def test_benford_matches_python_recompute(spark):
+    """Benford screen recomputed: leading digits from integer-floored
+    amounts, log₁₀(1+1/d) expectations, 1e-4-floored χ² terms."""
+    import math
+
+    got = {
+        int(r.digit): (
+            int(r.observed),
+            int(r.expected_floor),
+            float(r.chi2_term),
+        )
+        for r in registry.QUERIES["orders_benford_test"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")["o_totalprice"]
+    from collections import Counter
+
+    digits: Counter = Counter(
+        int(str(int(math.floor(float(p))))[0])
+        for p in o
+        if float(p) >= 1
+    )
+    n = float(sum(digits.values()))
+    ref = {}
+    for d, obs in digits.items():
+        exp = n * math.log(1.0 + 1.0 / d) / math.log(10.0)
+        ref[d] = (
+            obs,
+            int(math.floor(exp)),
+            math.floor((obs - exp) ** 2 / exp * 1e4) / 1e4,
+        )
+    assert set(got) == set(ref)
+    for d, (obs, ef, chi) in ref.items():
+        g = got[d]
+        assert g[0] == obs and g[1] == ef
+        assert abs(g[2] - chi) <= 2e-4
+
+
+def test_winsorized_mean_matches_numpy_recompute(spark):
+    """Winsorized mean recomputed: 4-dp rounded p5/p95 clamps, decimal
+    sums of the clamped values, per-priority means."""
+    got = registry.QUERIES["agg_winsorized_mean"](
+        spark, SF_SMOKE
+    ).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderpriority", "o_totalprice"]
+    ]
+    assert len(got)
+    for r in got.itertuples():
+        x = o[o["o_orderpriority"] == r.o_orderpriority][
+            "o_totalprice"
+        ].to_numpy(dtype=float)
+        lo = _hup(float(np.percentile(x, 5, method="linear")), 4)
+        hi = _hup(float(np.percentile(x, 95, method="linear")), 4)
+        clamped = np.clip(x, lo, hi)
+        wmean = float(
+            sum((_dq6(float(v)) for v in clamped), _dq6(0.0))
+        ) / len(x)
+        rmean = float(
+            sum((_dq6(float(v)) for v in x), _dq6(0.0))
+        ) / len(x)
+        assert int(r.n) == len(x)
+        assert abs(float(r.winsorized_mean) - wmean) <= 2e-4
+        assert abs(float(r.raw_mean) - rmean) <= 2e-4
