@@ -4412,3 +4412,194 @@ def test_winsorized_mean_matches_numpy_recompute(spark):
         assert int(r.n) == len(x)
         assert abs(float(r.winsorized_mean) - wmean) <= 2e-4
         assert abs(float(r.raw_mean) - rmean) <= 2e-4
+
+
+def test_welch_ttest_matches_python_recompute(spark):
+    """Welch's t recomputed: decimal-exact group moments, unequal-
+    variance standard error, 4-dp statistics."""
+    import math
+    from decimal import Decimal
+
+    got = registry.QUERIES["orders_weekend_welch_ttest"](
+        spark, SF_SMOKE
+    ).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderdate", "o_totalprice"]
+    ]
+    wknd = (pd.to_datetime(o["o_orderdate"]).dt.dayofweek >= 5).to_numpy()
+    stats = {}
+    for flag in (True, False):
+        sel = o["o_totalprice"].to_numpy()[wknd == flag]
+        sx = sxx = Decimal(0)
+        for v in sel:
+            d = _dq6(float(v))
+            sx += d
+            sxx += d * d
+        stats[flag] = (float(len(sel)), float(sx), float(sxx))
+    n1, s1, q1 = stats[True]
+    n0, s0, q0 = stats[False]
+    md = s1 / n1 - s0 / n0
+    t = md / math.sqrt(
+        ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+        + ((q0 - s0 * s0 / n0) / (n0 - 1)) / n0
+    )
+    r = got.iloc[0]
+    assert (int(r["n_weekend"]), int(r["n_weekday"])) == (int(n1), int(n0))
+    assert abs(float(r["mean_diff"]) - md) <= 2e-4
+    assert abs(float(r["welch_t"]) - t) <= 2e-4
+
+
+def test_diff_in_diff_matches_python_recompute(spark):
+    """DiD recomputed: md5 '|did' assignment, per-user decimal pre/post
+    sums, (treated Δ) − (control Δ)."""
+    import hashlib
+    from decimal import Decimal
+
+    got = registry.QUERIES["events_ab_diff_in_diff"](
+        spark, SF_SMOKE
+    ).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "value"]
+    ]
+    split = pd.Timestamp("2024-01-16")
+    pre = pd.to_datetime(ev["ts"]) < split
+    users: dict[int, list] = {}
+    for uid, ispre, v in zip(ev["user_id"], pre, ev["value"]):
+        u = users.setdefault(int(uid), [_dq6(0.0), _dq6(0.0)])
+        u[0 if ispre else 1] += _dq6(float(v))
+    g = {0: [0, Decimal(0), Decimal(0)], 1: [0, Decimal(0), Decimal(0)]}
+    for uid, (p0, p1) in users.items():
+        t = (
+            int(hashlib.md5(f"{uid}|did".encode()).hexdigest()[:8], 16)
+            % 2
+        )
+        g[t][0] += 1
+        g[t][1] += _dq6(float(p0))
+        g[t][2] += _dq6(float(p1))
+    d_t = float(g[1][2]) / g[1][0] - float(g[1][1]) / g[1][0]
+    d_c = float(g[0][2]) / g[0][0] - float(g[0][1]) / g[0][0]
+    r = got.iloc[0]
+    assert (int(r["n_treated"]), int(r["n_control"])) == (
+        g[1][0],
+        g[0][0],
+    )
+    assert abs(float(r["delta_treated"]) - d_t) <= 2e-6
+    assert abs(float(r["delta_control"]) - d_c) <= 2e-6
+    assert abs(float(r["did_estimate"]) - (d_t - d_c)) <= 2e-6
+
+
+def test_power_mde_matches_python_recompute(spark):
+    """MDE planning recomputed: distinct-user conversion, the
+    (z_α/2 + z_β)·√(2p(1−p)/(n/2)) formula, 1e-6 floors."""
+    import math
+
+    got = registry.QUERIES["events_ab_power_mde"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "event_type"]
+    ]
+    conv_users = set(
+        int(u) for u in ev[ev["event_type"] == "purchase"]["user_id"]
+    )
+    n = float(ev["user_id"].nunique())
+    p = len(conv_users) / n
+    mde = (1.959964 + 0.841621) * math.sqrt(2 * p * (1 - p) / (n / 2))
+    r = got.iloc[0]
+    assert int(r["n_users"]) == int(n)
+    assert float(r["baseline_cvr"]) == math.floor(p * 1e6) / 1e6
+    assert abs(float(r["mde_abs"]) - math.floor(mde * 1e6) / 1e6) <= 2e-6
+    assert (
+        abs(float(r["mde_rel"]) - math.floor(mde / p * 1e6) / 1e6) <= 2e-6
+    )
+
+
+def test_recency_engagement_matches_python_recompute(spark):
+    """7-day half-life decay scores recomputed: exact µs ages, 8-dp
+    quantized terms into decimal sums, 4-dp scores per user."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = {
+        int(r.user_id): (float(r.engagement_score), int(r.n_events))
+        for r in registry.QUERIES["events_recency_weighted_engagement"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "value"]
+    ]
+    us = (pd.to_datetime(ev["ts"]) - pd.Timestamp(0)) // pd.Timedelta(
+        microseconds=1
+    )
+    now = us.max()
+    q8 = Decimal("0.00000001")
+    sums: dict[int, list] = {}
+    for uid, u, v in zip(ev["user_id"], us, ev["value"]):
+        age_d = float(now - u) / 86400000000.0
+        wv = Decimal(
+            repr(float(v) * math.exp(-math.log(2) * age_d / 7.0))
+        ).quantize(q8, ROUND_HALF_UP)
+        s = sums.setdefault(int(uid), [Decimal(0), 0])
+        s[0] += wv
+        s[1] += 1
+    assert len(got) == len(sums)
+    for uid, (tot, n) in sums.items():
+        g = got[uid]
+        assert g[1] == n
+        assert abs(g[0] - float(tot)) <= 2e-4
+
+
+def test_longest_streak_matches_python_recompute(spark):
+    """Longest consecutive-day streak recomputed by direct run
+    scanning over each user's sorted distinct active days."""
+    got = {
+        int(r.user_id): (int(r.longest_streak), str(r.streak_start))
+        for r in registry.QUERIES["events_longest_streak"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["user_id", "ts"]]
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    ref = {}
+    for uid, grp in ev.groupby("user_id"):
+        days = sorted(set(grp["d"]))
+        best = (0, None)
+        start = days[0]
+        length = 1
+        for prev, cur in zip(days, days[1:]):
+            if (cur - prev) == pd.Timedelta(days=1):
+                length += 1
+            else:
+                if length > best[0]:
+                    best = (length, start)
+                start, length = cur, 1
+        if length > best[0]:
+            best = (length, start)
+        ref[int(uid)] = (best[0], best[1].strftime("%Y-%m-%d"))
+    assert got == ref
+
+
+def test_velocity_flag_matches_python_recompute(spark):
+    """Trailing-12 h purchase-velocity flags recomputed: per-user
+    two-pointer window counts on exact µs epochs, ≥3 rule."""
+    got = {
+        int(r.event_id): int(r.n_in_window)
+        for r in registry.QUERIES["events_velocity_flag"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["event_id", "user_id", "ts", "event_type"]
+    ]
+    p = ev[ev["event_type"] == "purchase"].copy()
+    p["us"] = (pd.to_datetime(p["ts"]) - pd.Timestamp(0)) // pd.Timedelta(
+        microseconds=1
+    )
+    win = 12 * 3600 * 10**6
+    ref = {}
+    for _uid, grp in p.groupby("user_id"):
+        rows = sorted(zip(grp["us"], grp["event_id"]))
+        for i, (u, eid) in enumerate(rows):
+            cnt = sum(1 for v, _e in rows if u - win <= v <= u)
+            if cnt >= 3:
+                ref[int(eid)] = cnt
+    assert got == ref
