@@ -4603,3 +4603,109 @@ def test_velocity_flag_matches_python_recompute(spark):
             if cnt >= 3:
                 ref[int(eid)] = cnt
     assert got == ref
+
+
+def test_ar1_fit_matches_python_recompute(spark):
+    """AR(1) recomputed: decimal hourly series, consecutive-hour-index
+    pairs (gaps break pairs), OLS φ/c, forecast from the LAST hour."""
+    got = registry.QUERIES["ts_ar1_fit"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["ts", "value"]]
+    hidx = (pd.to_datetime(ev["ts"]).dt.floor("h") - pd.Timestamp(0)) // (
+        pd.Timedelta(hours=1)
+    )
+    h: dict[int, object] = {}
+    for i, v in zip(hidx, ev["value"]):
+        h[int(i)] = h.get(int(i), _dq6(0.0)) + _dq6(float(v))
+    pairs = [
+        (float(h[i]), float(h[i + 1])) for i in sorted(h) if i + 1 in h
+    ]
+    n = float(len(pairs))
+    from decimal import Decimal
+
+    sx = sum((_dq6(x) for x, _y in pairs), Decimal(0))
+    sy = sum((_dq6(y) for _x, y in pairs), Decimal(0))
+    sxx = sum((_dq6(x * x) for x, _y in pairs), Decimal(0))
+    sxy = sum((_dq6(x * y) for x, y in pairs), Decimal(0))
+    fsx, fsy, fsxx, fsxy = map(float, (sx, sy, sxx, sxy))
+    phi = (fsxy - fsx * fsy / n) / (fsxx - fsx * fsx / n)
+    c = fsy / n - phi * fsx / n
+    last = float(h[max(h)])
+    r = got.iloc[0]
+    assert abs(float(r["phi"]) - phi) <= 2e-4
+    assert abs(float(r["intercept"]) - c) <= 2e-4
+    assert abs(float(r["forecast_next"]) - (c + phi * last)) <= 2e-4
+
+
+def test_behavior_entropy_matches_python_recompute(spark):
+    """Per-user Shannon entropy (bits) recomputed with 12-dp quantized
+    −p·log₂p terms; type counts exact."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = {
+        int(r.user_id): (int(r.n_types), float(r.entropy_bits))
+        for r in registry.QUERIES["events_user_behavior_entropy"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "event_type"]
+    ]
+    q12 = Decimal("0.000000000001")
+    ref = {}
+    for uid, grp in ev.groupby("user_id"):
+        c = Counter(grp["event_type"])
+        n = float(sum(c.values()))
+        ent = sum(
+            (
+                Decimal(
+                    repr(-(k / n) * math.log(k / n) / math.log(2.0))
+                ).quantize(q12, ROUND_HALF_UP)
+                for k in c.values()
+            ),
+            Decimal(0),
+        )
+        ref[int(uid)] = (len(c), float(ent))
+    assert set(got) == set(ref)
+    for uid, (nt, ent) in ref.items():
+        assert got[uid][0] == nt
+        assert abs(got[uid][1] - ent) <= 2e-6
+
+
+def test_readability_fk_matches_python_recompute(spark):
+    """Flesch-Kincaid recomputed: planted sentence boundaries, exact
+    regex counts, the integer RATIONAL grade form — exact equality."""
+    import re
+
+    got = {
+        int(r.doc_id): (
+            int(r.words),
+            int(r.sentences),
+            int(r.syllables),
+            int(r.fk_grade_e4),
+        )
+        for r in registry.QUERIES["text_readability_fk"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    plant_re = re.compile(r" (spark|table|merge) ")
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    sent_re = re.compile(r"[.!?] ")
+    syl_re = re.compile(r"[aeiouy]+")
+    import math
+
+    ref = {}
+    for r in d.itertuples():
+        t = plant_re.sub(r" \1. ", str(r.text).lower())
+        w = len([x for x in ws_re.split(t) if x != ""])
+        if w == 0:
+            continue
+        s = 1 + len(sent_re.findall(t))
+        y = len(syl_re.findall(t))
+        grade = math.floor(
+            (39 * w * w + 1180 * y * s - 1559 * s * w) * 100.0 / (s * w)
+        )
+        ref[int(r.doc_id)] = (w, s, y, grade)
+    assert got == ref
