@@ -4709,3 +4709,242 @@ def test_readability_fk_matches_python_recompute(spark):
         )
         ref[int(r.doc_id)] = (w, s, y, grade)
     assert got == ref
+
+
+def test_anomaly_zscore_matches_numpy_recompute(spark):
+    """2σ outlier screen recomputed: per-type mean and ddof=1 stddev,
+    flagged event set and 3-dp z-scores."""
+    got = {
+        int(r.event_id): (str(r.event_type), float(r.zscore))
+        for r in registry.QUERIES["events_anomaly_zscore"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["event_id", "event_type", "value"]
+    ].dropna(subset=["value"])
+    ref = {}
+    for et, grp in ev.groupby("event_type"):
+        x = grp["value"].to_numpy(dtype=float)
+        m = x.mean()
+        s = float(np.std(x, ddof=1))
+        for eid, v in zip(grp["event_id"], x):
+            z = (v - m) / s
+            if abs(z) > 2:
+                ref[int(eid)] = (str(et), z)
+    assert set(got) == set(ref)
+    for eid, (et, z) in ref.items():
+        assert got[eid][0] == et
+        assert abs(got[eid][1] - z) <= 2e-3
+
+
+def test_outlier_mad_matches_numpy_recompute(spark):
+    """Iglewicz-Hoaglin robust screen recomputed: per-type median and
+    MAD (linear-interp percentile), 0.6745 scaling, |z|>3.5 cut."""
+    import math
+
+    got = {
+        int(r.event_id): float(r.robust_z)
+        for r in registry.QUERIES["events_outlier_mad"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["event_id", "event_type", "value"]
+    ].dropna(subset=["value"])
+    ref = {}
+    for _et, grp in ev.groupby("event_type"):
+        x = grp["value"].to_numpy(dtype=float)
+        med = float(np.percentile(x, 50, method="linear"))
+        mad = float(np.percentile(np.abs(x - med), 50, method="linear"))
+        for eid, v in zip(grp["event_id"], x):
+            rz = 0.6745 * (v - med) / mad
+            if abs(rz) > 3.5:
+                ref[int(eid)] = math.floor(rz * 1e3) / 1e3
+    assert set(got) == set(ref)
+    for eid, rz in ref.items():
+        assert abs(got[eid] - rz) <= 2e-3
+
+
+def test_funnel_latency_matches_numpy_recompute(spark):
+    """Conversion-latency percentiles recomputed: first-signup to
+    first-later-purchase µs latencies, floored interp quantiles."""
+    import math
+
+    got = registry.QUERIES["events_funnel_latency"](
+        spark, SF_SMOKE
+    ).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "event_type"]
+    ]
+    ev["us"] = (pd.to_datetime(ev["ts"]) - pd.Timestamp(0)) // pd.Timedelta(
+        microseconds=1
+    )
+    lat = []
+    for _uid, grp in ev.groupby("user_id"):
+        sign = grp[grp["event_type"] == "signup"]["us"]
+        if sign.empty:
+            continue
+        s = sign.min()
+        purch = grp[(grp["event_type"] == "purchase") & (grp["us"] > s)][
+            "us"
+        ]
+        if not purch.empty:
+            lat.append(int(purch.min() - s))
+    arr = np.array(lat, dtype=float)
+    r = got.iloc[0]
+    assert int(r["n_converted"]) == len(lat)
+    for col, q in (("p50_s", 50), ("p90_s", 90), ("p99_s", 99)):
+        ref = math.floor(
+            float(np.percentile(arr, q, method="linear")) / 1e6
+        )
+        assert int(r[col]) == ref, col
+
+
+def test_gap_detection_matches_python_recompute(spark):
+    """48 h reporting gaps recomputed: per-user ordered lags, whole-
+    second floored epoch deltas, exact boundary rows."""
+    got = sorted(
+        (
+            int(r.user_id),
+            pd.Timestamp(r.gap_start),
+            pd.Timestamp(r.gap_end),
+            int(r.gap_seconds),
+        )
+        for r in registry.QUERIES["ts_gap_detection"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    )
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "event_id"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    ref = []
+    for uid, grp in ev.groupby("user_id"):
+        ts = list(pd.to_datetime(grp["ts"]))
+        for prev, cur in zip(ts, ts[1:]):
+            gap_us = (cur - prev) // pd.Timedelta(microseconds=1)
+            if gap_us / 1e6 > 172800:
+                ref.append((int(uid), prev, cur, gap_us // 10**6))
+    assert got == sorted(ref)
+
+
+def test_alert_throttle_matches_python_recompute(spark):
+    """Burst throttling recomputed: >6 h silence opens a burst, first
+    event alerts, suppression counts exact per (user, burst)."""
+    got = sorted(
+        (
+            int(r.user_id),
+            int(r.burst_id),
+            int(r.alert_event),
+            int(r.n_suppressed),
+        )
+        for r in registry.QUERIES["events_alert_throttle"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    )
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    err = ev[ev["event_type"] == "error"][
+        ["user_id", "event_id", "ts"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    ref = []
+    for uid, grp in err.groupby("user_id"):
+        rows = list(zip(pd.to_datetime(grp["ts"]), grp["event_id"]))
+        burst = 0
+        cur: list = []
+        prev = None
+        for t, eid in rows:
+            if prev is None or (t - prev) // pd.Timedelta(
+                microseconds=1
+            ) > 21600000000:
+                if cur:
+                    ref.append(
+                        (int(uid), burst, int(min(e for _t, e in cur)), len(cur))
+                    )
+                burst += 1
+                cur = []
+            cur.append((t, eid))
+            prev = t
+        if cur:
+            ref.append(
+                (int(uid), burst, int(min(e for _t, e in cur)), len(cur))
+            )
+    assert got == sorted(ref)
+
+
+def test_seasonality_index_matches_python_recompute(spark):
+    """Month-of-year index recomputed: decimal (year, month) revenue,
+    cross-year month averages, grand average over 12, 1e-6 floors."""
+    import math
+    from decimal import Decimal
+
+    got = {
+        int(r.mo): (
+            int(r.n_years),
+            float(r.avg_rev),
+            float(r.seasonal_index),
+        )
+        for r in registry.QUERIES["orders_seasonality_index"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderdate", "o_totalprice"]
+    ]
+    dt = pd.to_datetime(o["o_orderdate"])
+    ym: dict[tuple, Decimal] = {}
+    for y, m, p in zip(dt.dt.year, dt.dt.month, o["o_totalprice"]):
+        k = (int(y), int(m))
+        ym[k] = ym.get(k, _dq6(0.0)) + _dq6(float(p))
+    months: dict[int, list] = {}
+    for (y, m), rev in ym.items():
+        months.setdefault(m, []).append(float(rev))
+    avg = {
+        m: float(sum((_dq6(r) for r in revs), _dq6(0.0))) / len(revs)
+        for m, revs in months.items()
+    }
+    grand = float(
+        sum((_dq6(a) for a in avg.values()), _dq6(0.0))
+    ) / 12
+    assert set(got) == set(avg)
+    for m, a in avg.items():
+        g = got[m]
+        assert g[0] == len(months[m])
+        assert abs(g[1] - a) <= 1e-6
+        assert abs(g[2] - math.floor(a / grand * 1e6) / 1e6) <= 2e-6
+
+
+def test_seasonal_naive_matches_python_recompute(spark):
+    """Seasonal-naive backtest recomputed: decimal monthly revenue,
+    year-lag pairing, floored APE."""
+    import math
+
+    got = {
+        (int(r.yr), int(r.mo)): (
+            float(r.actual),
+            float(r.forecast),
+            float(r.ape),
+        )
+        for r in registry.QUERIES["orders_forecast_seasonal_naive"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderdate", "o_totalprice"]
+    ]
+    dt = pd.to_datetime(o["o_orderdate"])
+    ym: dict[tuple, object] = {}
+    for y, m, p in zip(dt.dt.year, dt.dt.month, o["o_totalprice"]):
+        k = (int(y), int(m))
+        ym[k] = ym.get(k, _dq6(0.0)) + _dq6(float(p))
+    ref = {}
+    for (y, m), rev in ym.items():
+        prev = ym.get((y - 1, m))
+        if prev is None:
+            continue
+        a, f = float(rev), float(prev)
+        ref[(y, m)] = (a, f, math.floor(abs(a - f) / a * 1e6) / 1e6)
+    assert set(got) == set(ref)
+    for k, (a, f, ape) in ref.items():
+        g = got[k]
+        assert abs(g[0] - a) <= 1e-9 and abs(g[1] - f) <= 1e-9
+        assert abs(g[2] - ape) <= 2e-6
