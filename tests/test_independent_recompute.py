@@ -4948,3 +4948,174 @@ def test_seasonal_naive_matches_python_recompute(spark):
         g = got[k]
         assert abs(g[0] - a) <= 1e-9 and abs(g[1] - f) <= 1e-9
         assert abs(g[2] - ape) <= 2e-6
+
+
+def test_geometric_mean_matches_python_recompute(spark):
+    """Log-space geometric mean recomputed: 12-dp quantized ln terms
+    into decimal sums, exp of the mean, 4-dp output."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = {
+        str(r.o_orderpriority): float(r.geomean_price)
+        for r in registry.QUERIES["agg_geometric_mean"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderpriority", "o_totalprice"]
+    ]
+    q12 = Decimal("0.000000000001")
+    assert len(got) == o["o_orderpriority"].nunique()
+    for pri, grp in o.groupby("o_orderpriority"):
+        s = sum(
+            (
+                Decimal(repr(math.log(float(p)))).quantize(
+                    q12, ROUND_HALF_UP
+                )
+                for p in grp["o_totalprice"]
+            ),
+            Decimal(0),
+        )
+        ref = math.exp(float(s) / len(grp))
+        assert abs(got[str(pri)] - ref) <= 2e-4, pri
+
+
+def test_bimodality_matches_numpy_recompute(spark):
+    """BC = (g₁²+1)/(g₂+3) recomputed from raw population moments,
+    1e-6 floor, the 0.555 suspect gate."""
+    import math
+
+    got = registry.QUERIES["agg_bimodality_coefficient"](
+        spark, SF_SMOKE
+    ).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderpriority", "o_totalprice"]
+    ]
+    assert len(got)
+    for r in got.itertuples():
+        x = o[o["o_orderpriority"] == r.o_orderpriority][
+            "o_totalprice"
+        ].to_numpy(dtype=float)
+        c = x - x.mean()
+        m2 = float((c * c).mean())
+        g1 = float((c**3).mean()) / m2**1.5
+        g2 = float((c**4).mean()) / m2**2 - 3
+        bc = math.floor((g1 * g1 + 1) / (g2 + 3) * 1e6) / 1e6
+        assert int(r.n) == len(x)
+        assert abs(float(r.bimodality_coef) - bc) <= 2e-6
+        assert bool(r.bimodal_suspect) == (bc > 0.555)
+
+
+def test_trimmed_mean_matches_numpy_recompute(spark):
+    """5% trimmed mean recomputed: rounded percentile fences, rows
+    DROPPED outside them, decimal mean of the keepers."""
+    got = registry.QUERIES["agg_trimmed_mean"](spark, SF_SMOKE).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderpriority", "o_totalprice"]
+    ]
+    assert len(got)
+    for r in got.itertuples():
+        x = o[o["o_orderpriority"] == r.o_orderpriority][
+            "o_totalprice"
+        ].to_numpy(dtype=float)
+        lo = _hup(float(np.percentile(x, 5, method="linear")), 4)
+        hi = _hup(float(np.percentile(x, 95, method="linear")), 4)
+        kept = x[(x >= lo) & (x <= hi)]
+        mean = float(
+            sum((_dq6(float(v)) for v in kept), _dq6(0.0))
+        ) / len(kept)
+        assert int(r.n_total) == len(x)
+        assert int(r.n_kept) == len(kept)
+        assert abs(float(r.trimmed_mean) - mean) <= 2e-4
+
+
+def test_cycle_time_matches_numpy_recompute(spark):
+    """Order-to-first-ship cycle recomputed: per-order MIN ship date,
+    day diffs, linear-interp p50/p90 + max per priority."""
+    got = registry.QUERIES["orders_cycle_time"](spark, SF_SMOKE).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderkey", "o_orderpriority", "o_orderdate"]
+    ]
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_orderkey", "l_shipdate"]
+    ]
+    first = li.groupby("l_orderkey")["l_shipdate"].min()
+    m = o[o["o_orderkey"].isin(first.index)]
+    cyc = (
+        pd.to_datetime(m["o_orderkey"].map(first)).dt.floor("D")
+        - pd.to_datetime(m["o_orderdate"]).dt.floor("D")
+    ) // pd.Timedelta(days=1)
+    assert len(got)
+    for r in got.itertuples():
+        x = cyc[
+            (m["o_orderpriority"] == r.o_orderpriority).to_numpy()
+        ].to_numpy(dtype=float)
+        assert int(r.n_orders) == len(x)
+        assert (
+            abs(
+                float(r.p50_days)
+                - _hup(float(np.percentile(x, 50, method="linear")), 4)
+            )
+            <= 2e-4
+        )
+        assert (
+            abs(
+                float(r.p90_days)
+                - _hup(float(np.percentile(x, 90, method="linear")), 4)
+            )
+            <= 2e-4
+        )
+        assert int(r.max_days) == int(x.max())
+
+
+def test_supervised_lag_features_matches_pandas_recompute(spark):
+    """Feature-frame recomputed: lags 1-3, STRICTLY-PRIOR trailing-3
+    mean (the leakage pin), LEAD target, full-history filter —
+    multiset equality over all emitted rows."""
+    got = sorted(
+        (
+            int(r.user_id),
+            int(r.event_id),
+            round(float(r.value), 6),
+            round(float(r.lag1), 6),
+            round(float(r.lag2), 6),
+            round(float(r.lag3), 6),
+            round(float(r.roll_mean3), 6),
+            round(float(r.target_next), 6),
+        )
+        for r in registry.QUERIES["ts_supervised_lag_features"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    )
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "event_id", "ts", "value"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    ref = []
+    for uid, grp in ev.groupby("user_id"):
+        vals = [float(v) for v in grp["value"]]
+        eids = list(grp["event_id"])
+        for i in range(len(vals)):
+            if i < 3 or i + 1 >= len(vals):
+                continue
+            window = vals[i - 3 : i]
+            rm = _hup(
+                float(
+                    sum((_dq6(v) for v in window), _dq6(0.0))
+                )
+                / 3,
+                6,
+            )
+            ref.append(
+                (
+                    int(uid),
+                    int(eids[i]),
+                    round(vals[i], 6),
+                    round(vals[i - 1], 6),
+                    round(vals[i - 2], 6),
+                    round(vals[i - 3], 6),
+                    round(rm, 6),
+                    round(vals[i + 1], 6),
+                )
+            )
+    assert got == sorted(ref)
