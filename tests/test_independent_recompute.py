@@ -5119,3 +5119,182 @@ def test_supervised_lag_features_matches_pandas_recompute(spark):
                 )
             )
     assert got == sorted(ref)
+
+
+def test_char_entropy_matches_python_recompute(spark):
+    """Per-doc character entropy recomputed: Counter over characters,
+    12-dp quantized −p·log₂p terms, distinct-char counts."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = {
+        int(r.doc_id): (int(r.n_distinct), float(r.entropy_bits))
+        for r in registry.QUERIES["text_char_entropy"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    q12 = Decimal("0.000000000001")
+    ref = {}
+    for r in d.itertuples():
+        c = Counter(str(r.text))
+        n = float(sum(c.values()))
+        ent = sum(
+            (
+                Decimal(
+                    repr(-(k / n) * math.log(k / n) / math.log(2.0))
+                ).quantize(q12, ROUND_HALF_UP)
+                for k in c.values()
+            ),
+            Decimal(0),
+        )
+        ref[int(r.doc_id)] = (len(c), float(ent))
+    assert set(got) == set(ref)
+    for did, (nd, ent) in ref.items():
+        assert got[did][0] == nd
+        assert abs(got[did][1] - ent) <= 2e-6
+
+
+def test_hapax_rate_matches_python_recompute(spark):
+    """Hapax rates recomputed: per-source term frequencies, exact
+    once-only counts, 1e-6 floored rates."""
+    import math
+    import re
+    from collections import Counter
+
+    got = {
+        str(r.source): (int(r.vocab), int(r.hapax), float(r.hapax_rate))
+        for r in registry.QUERIES["text_hapax_rate"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["source", "text"]]
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    per_src: dict[str, Counter] = {}
+    for r in d.itertuples():
+        per_src.setdefault(str(r.source), Counter()).update(
+            w for w in ws_re.split(str(r.text).lower()) if w != ""
+        )
+    ref = {}
+    for src, tf in per_src.items():
+        hap = sum(1 for c in tf.values() if c == 1)
+        ref[src] = (
+            len(tf),
+            hap,
+            math.floor(hap / len(tf) * 1e6) / 1e6,
+        )
+    assert got == ref
+
+
+def test_term_burstiness_matches_python_recompute(spark):
+    """Burstiness recomputed: per-(term, doc) counts, population
+    variance-to-mean over ALL docs (zeros implicit), ≥200 support,
+    exact top-40 sequence."""
+    import math
+    import re
+    from collections import Counter
+
+    got = [
+        (str(r.tok), int(r.total), float(r.burstiness))
+        for r in registry.QUERIES["text_term_burstiness"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    ]
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    n_docs = float(len(d))
+    per_term: dict[str, list] = {}
+    for r in d.itertuples():
+        c = Counter(
+            w for w in ws_re.split(str(r.text).lower()) if w != ""
+        )
+        for tok, k in c.items():
+            per_term.setdefault(tok, []).append(k)
+    cand = []
+    for tok, ks in per_term.items():
+        total = sum(ks)
+        if total < 200:
+            continue
+        sqsum = float(sum(k * k for k in ks))
+        m = total / n_docs
+        burst = math.floor((sqsum / n_docs - m * m) / m * 1e6) / 1e6
+        cand.append((-burst, tok, total))
+    cand.sort()
+    ref = [(tok, total, -negb) for negb, tok, total in cand[:40]]
+    assert got == ref
+
+
+def test_unigram_logprob_matches_python_recompute(spark):
+    """Unigram LM scores recomputed: corpus token frequencies, 6-dp
+    quantized ln p(w) into decimal per-doc sums, 4-dp means."""
+    import math
+    import re
+    from collections import Counter
+
+    got = {
+        int(r.doc_id): (int(r.n_tokens), float(r.avg_logprob))
+        for r in registry.QUERIES["text_unigram_logprob"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    docs = {
+        int(r.doc_id): ws_re.split(str(r.text).lower())
+        for r in d.itertuples()
+    }
+    vocab: Counter = Counter()
+    for toks in docs.values():
+        vocab.update(toks)
+    total = float(sum(vocab.values()))
+    ref = {}
+    for did, toks in docs.items():
+        s = sum(
+            (_dq6(math.log(vocab[t] / total)) for t in toks), _dq6(0.0)
+        )
+        ref[did] = (len(toks), _hup(float(s) / len(toks), 4))
+    assert set(got) == set(ref)
+    for did, (n, lp) in ref.items():
+        assert got[did][0] == n
+        assert abs(got[did][1] - lp) <= 2e-4
+
+
+def test_pareto_abc_matches_python_recompute(spark):
+    """ABC classes recomputed: decimal part revenue, (rev desc,
+    partkey) cumulative sums, the EXACT integer-scaled class
+    comparisons 2·cum ≤ t and 5·cum ≤ 4·t."""
+    got = {
+        int(r.l_partkey): (
+            round(float(r.revenue), 4),
+            float(r.cum_share),
+            str(r.abc_class),
+        )
+        for r in registry.QUERIES["lineitem_pareto_abc"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_partkey", "l_extendedprice", "l_discount"]
+    ]
+    rev: dict[int, object] = {}
+    for r in li.itertuples():
+        rev[int(r.l_partkey)] = rev.get(int(r.l_partkey), _dq6(0.0)) + _dq6(
+            float(r.l_extendedprice) * (1 - float(r.l_discount))
+        )
+    t = sum(rev.values())
+    cum = _dq6(0.0)
+    ref = {}
+    for pk, rv in sorted(rev.items(), key=lambda kv: (-kv[1], kv[0])):
+        cum += rv
+        cls = "A" if 2 * cum <= t else ("B" if 5 * cum <= 4 * t else "C")
+        ref[pk] = (
+            round(float(rv), 4),
+            _hup(float(cum) / float(t), 6),
+            cls,
+        )
+    assert set(got) == set(ref)
+    for pk, (rv, cs, cls) in ref.items():
+        g = got[pk]
+        assert g[0] == rv and g[2] == cls
+        assert abs(g[1] - cs) <= 2e-6
