@@ -5298,3 +5298,137 @@ def test_pareto_abc_matches_python_recompute(spark):
         g = got[pk]
         assert g[0] == rv and g[2] == cls
         assert abs(g[1] - cs) <= 2e-6
+
+
+def test_bounce_rate_matches_python_recompute(spark):
+    """Daily bounce rate recomputed: 30-min sessionization, single-
+    event sessions per session-start day, 1e-4 floored rates."""
+    import math
+
+    got = {
+        str(r.day): (
+            int(r.n_sessions),
+            int(r.n_bounces),
+            float(r.bounce_rate),
+        )
+        for r in registry.QUERIES["events_bounce_rate"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "event_id"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    from collections import defaultdict
+
+    per_day: dict[str, list] = defaultdict(lambda: [0, 0])
+    gap = pd.Timedelta(minutes=30)
+    for _uid, grp in ev.groupby("user_id"):
+        ts = list(pd.to_datetime(grp["ts"]))
+        start = ts[0]
+        n = 1
+        for prev, cur in zip(ts, ts[1:]):
+            if cur - prev > gap:
+                d = start.strftime("%Y-%m-%d")
+                per_day[d][0] += 1
+                per_day[d][1] += 1 if n == 1 else 0
+                start, n = cur, 1
+            else:
+                n += 1
+        d = start.strftime("%Y-%m-%d")
+        per_day[d][0] += 1
+        per_day[d][1] += 1 if n == 1 else 0
+    ref = {
+        d: (s, b, math.floor(b / s * 1e4) / 1e4)
+        for d, (s, b) in per_day.items()
+    }
+    assert got == ref
+
+
+def test_bot_regularity_matches_python_recompute(spark):
+    """Gap-CV bot screen recomputed: exact µs gaps, decimal moment
+    sums, 1e-6 floored CV, the 0.3 gate, the ≥10-gap floor."""
+    import math
+    from decimal import Decimal
+
+    got = {
+        int(r.user_id): (int(r.n_gaps), float(r.gap_cv), bool(r.bot_suspect))
+        for r in registry.QUERIES["events_bot_regularity"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "event_id"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    ref = {}
+    for uid, grp in ev.groupby("user_id"):
+        us = [
+            int(v)
+            for v in (pd.to_datetime(grp["ts"]) - pd.Timestamp(0))
+            // pd.Timedelta(microseconds=1)
+        ]
+        gaps = [b - a for a, b in zip(us, us[1:])]
+        if len(gaps) < 10:
+            continue
+        n = float(len(gaps))
+        sx = float(sum(Decimal(g) for g in gaps))
+        sxx = float(sum(Decimal(g) * Decimal(g) for g in gaps))
+        cv = (
+            math.floor(
+                math.sqrt((sxx - sx * sx / n) / (n - 1)) / (sx / n) * 1e6
+            )
+            / 1e6
+        )
+        ref[int(uid)] = (len(gaps), cv, cv < 0.3)
+    assert got == ref
+
+
+def test_metric_decomposition_matches_python_recompute(spark):
+    """Mix/rate decomposition recomputed per segment — and the
+    IDENTITY check: Σ(mix + rate) must reproduce the headline Δ."""
+    got = {
+        int(r.segment): (
+            float(r.mix_effect),
+            float(r.rate_effect),
+            float(r.total_delta),
+        )
+        for r in registry.QUERIES["events_metric_decomposition"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "event_type"]
+    ]
+    period = np.where(
+        pd.to_datetime(ev["ts"]) < pd.Timestamp("2024-01-16"), "p0", "p1"
+    )
+    seg = (ev["user_id"] % 4).to_numpy()
+    conv = (ev["event_type"] == "purchase").to_numpy()
+    stats: dict[tuple, list] = {}
+    for p, s, c in zip(period, seg, conv):
+        st = stats.setdefault((p, int(s)), [0, 0])
+        st[0] += 1
+        st[1] += 1 if c else 0
+    tn = {
+        p: sum(v[0] for (pp, _s), v in stats.items() if pp == p)
+        for p in ("p0", "p1")
+    }
+    segments = sorted({s for _p, s in stats})
+    total_headline = 0.0
+    for s in segments:
+        n0, c0 = stats[("p0", s)]
+        n1, c1 = stats[("p1", s)]
+        share0, share1 = n0 / tn["p0"], n1 / tn["p1"]
+        rate0, rate1 = c0 / n0, c1 / n1
+        mix = (share1 - share0) * rate0
+        rate = share1 * (rate1 - rate0)
+        tot = share1 * rate1 - share0 * rate0
+        g = got[s]
+        assert abs(g[0] - mix) <= 2e-6
+        assert abs(g[1] - rate) <= 2e-6
+        assert abs(g[2] - tot) <= 2e-6
+        assert abs((mix + rate) - tot) <= 1e-12
+        total_headline += tot
+    # identity: segment deltas sum to the headline CVR change
+    p0_rate = sum(stats[("p0", s)][1] for s in segments) / tn["p0"]
+    p1_rate = sum(stats[("p1", s)][1] for s in segments) / tn["p1"]
+    assert abs(total_headline - (p1_rate - p0_rate)) <= 1e-9
