@@ -5432,3 +5432,191 @@ def test_metric_decomposition_matches_python_recompute(spark):
     p0_rate = sum(stats[("p0", s)][1] for s in segments) / tn["p0"]
     p1_rate = sum(stats[("p1", s)][1] for s in segments) / tn["p1"]
     assert abs(total_headline - (p1_rate - p0_rate)) <= 1e-9
+
+
+def test_anomaly_seasonal_hour_matches_python_recompute(spark):
+    """Hour-of-day adjusted z-scores recomputed: per-hour decimal
+    moments, (n−1) std, 1e-6 floored z, the |z|>3 cut."""
+    import math
+    from decimal import Decimal
+
+    got = {
+        int(r.event_id): (int(r.hod), float(r.zscore))
+        for r in registry.QUERIES["events_anomaly_seasonal_hour"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    p = ev[ev["event_type"] == "purchase"][["event_id", "ts", "value"]]
+    p = p.assign(hod=pd.to_datetime(p["ts"]).dt.hour)
+    ref = {}
+    for hod, grp in p.groupby("hod"):
+        n = float(len(grp))
+        sx = sxx = Decimal(0)
+        for v in grp["value"]:
+            sx += _dq6(float(v))
+            sxx += _dq6(float(v) * float(v))
+        fsx, fsxx = float(sx), float(sxx)
+        sd = math.sqrt((fsxx - fsx * fsx / n) / (n - 1))
+        for eid, v in zip(grp["event_id"], grp["value"]):
+            z = math.floor((float(v) - fsx / n) / sd * 1e6) / 1e6
+            if abs(z) > 3.0:
+                ref[int(eid)] = (int(hod), z)
+    assert got == ref
+
+
+def test_invoice_aging_matches_python_recompute(spark):
+    """AR aging recomputed: max-date+1 anchor, day-diff buckets,
+    decimal outstanding totals."""
+    got = {
+        str(r.bucket): (int(r.n_orders), float(r.outstanding))
+        for r in registry.QUERIES["orders_invoice_aging"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderstatus", "o_orderdate", "o_totalprice"]
+    ]
+    d = pd.to_datetime(o["o_orderdate"]).dt.floor("D")
+    ref_date = d.max() + pd.Timedelta(days=1)
+    from collections import defaultdict
+
+    agg: dict[str, list] = defaultdict(lambda: [0, _dq6(0.0)])
+    for st, day, p in zip(o["o_orderstatus"], d, o["o_totalprice"]):
+        if st != "O":
+            continue
+        age = int((ref_date - day) / pd.Timedelta(days=1))
+        b = (
+            "0-30"
+            if age <= 30
+            else "31-60"
+            if age <= 60
+            else "61-90"
+            if age <= 90
+            else "90+"
+        )
+        agg[b][0] += 1
+        agg[b][1] += _dq6(float(p))
+    ref = {b: (n, float(s)) for b, (n, s) in agg.items()}
+    assert set(got) == set(ref)
+    for b, (n, s) in ref.items():
+        assert got[b][0] == n
+        assert abs(got[b][1] - s) <= 1e-6
+
+
+def test_error_budget_slo_matches_python_recompute(spark):
+    """SLO burn recomputed: daily error rates and the cumulative
+    budget-consumption series against the 25% budget, 1e-6 floors."""
+    import math
+
+    got = {
+        str(r.day): (
+            int(r.events),
+            int(r.errors),
+            float(r.err_rate),
+            float(r.cum_burn),
+        )
+        for r in registry.QUERIES["events_error_budget_slo"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["ts", "event_type"]]
+    day = pd.to_datetime(ev["ts"]).dt.floor("D")
+    from collections import defaultdict
+
+    daily: dict = defaultdict(lambda: [0, 0])
+    for d, et in zip(day, ev["event_type"]):
+        daily[d][0] += 1
+        daily[d][1] += 1 if et == "error" else 0
+    cum_e = cum_err = 0
+    ref = {}
+    for d in sorted(daily):
+        n, e = daily[d]
+        cum_e += n
+        cum_err += e
+        ref[d.strftime("%Y-%m-%d")] = (
+            n,
+            e,
+            math.floor(e * 1e6 / n) / 1e6,
+            math.floor(cum_err * 1e6 / (0.25 * cum_e)) / 1e6,
+        )
+    assert got == ref
+
+
+def test_cohort_ltv_matches_python_recompute(spark):
+    """Cohort LTV curves recomputed: first-month cohorts, per-age
+    decimal revenue, cumulative per-user LTV at the 1e-4 floor."""
+    import math
+
+    got = {
+        (pd.Timestamp(r.cohort_month), int(r.age_months)): (
+            int(r.cohort_users),
+            float(r.revenue),
+            float(r.cum_ltv_per_user),
+        )
+        for r in registry.QUERIES["orders_cohort_ltv"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_custkey", "o_orderdate", "o_totalprice"]
+    ]
+    mo = pd.to_datetime(o["o_orderdate"]).dt.to_period("M")
+    first = {}
+    for ck, m in zip(o["o_custkey"], mo):
+        ck = int(ck)
+        if ck not in first or m < first[ck]:
+            first[ck] = m
+    sizes: dict = {}
+    for m in first.values():
+        sizes[m] = sizes.get(m, 0) + 1
+    rev: dict[tuple, object] = {}
+    for ck, m, p in zip(o["o_custkey"], mo, o["o_totalprice"]):
+        cm = first[int(ck)]
+        age = (m - cm).n
+        k = (cm, age)
+        rev[k] = rev.get(k, _dq6(0.0)) + _dq6(float(p))
+    ref = {}
+    for cm in sorted(sizes):
+        cum = _dq6(0.0)
+        for age in sorted(a for (c, a) in rev if c == cm):
+            cum += rev[(cm, age)]
+            ref[(cm.start_time, age)] = (
+                sizes[cm],
+                float(rev[(cm, age)]),
+                math.floor(float(cum) / sizes[cm] * 1e4) / 1e4,
+            )
+    assert set(got) == set(ref)
+    for k, (cu, rv, ltv) in ref.items():
+        g = got[k]
+        assert g[0] == cu
+        assert abs(g[1] - rv) <= 1e-6
+        assert abs(g[2] - ltv) <= 2e-4
+
+
+def test_attribution_last_touch_matches_python_recompute(spark):
+    """Last-touch attribution recomputed: per purchase, the most
+    recent prior-or-same-instant click by (ts, event_id) order."""
+    got = {
+        int(r.purchase_id): (
+            int(r.click_id) if pd.notna(r.click_id) else None
+        )
+        for r in registry.QUERIES["events_attribution_last_touch"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "event_id", "event_type"]
+    ]
+    ev = ev[ev["event_type"].isin(["click", "purchase"])].sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    ref = {}
+    for _uid, grp in ev.groupby("user_id"):
+        last_click = None
+        for r in grp.itertuples():
+            if r.event_type == "click":
+                last_click = int(r.event_id)
+            else:
+                ref[int(r.event_id)] = last_click
+    assert got == ref
