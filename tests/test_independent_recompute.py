@@ -5620,3 +5620,147 @@ def test_attribution_last_touch_matches_python_recompute(spark):
             else:
                 ref[int(r.event_id)] = last_click
     assert got == ref
+
+
+def test_attribution_linear_matches_python_recompute(spark):
+    """Linear multi-touch credits recomputed: 7-day click windows,
+    equal splits floored at 1e-6, full row multiset."""
+    import math
+
+    got = sorted(
+        (
+            int(r.purchase_id),
+            int(r.user_id),
+            int(r.click_id),
+            int(r.n_touches),
+            float(r.credit),
+        )
+        for r in registry.QUERIES["events_attribution_linear"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    )
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "event_id", "ts", "event_type", "value"]
+    ]
+    ev["t"] = pd.to_datetime(ev["ts"])
+    clicks = ev[ev["event_type"] == "click"]
+    purch = ev[ev["event_type"] == "purchase"]
+    ref = []
+    for p in purch.itertuples():
+        cs = clicks[clicks["user_id"] == p.user_id]
+        dt = p.t - cs["t"]
+        touch = cs[(dt >= pd.Timedelta(0)) & (dt <= pd.Timedelta(days=7))]
+        n = len(touch)
+        if n == 0:
+            continue
+        credit = math.floor(float(p.value) / n * 1e6) / 1e6
+        for cid in touch["event_id"]:
+            ref.append(
+                (int(p.event_id), int(p.user_id), int(cid), n, credit)
+            )
+    assert got == sorted(ref)
+
+
+def test_cumulative_adoption_matches_python_recompute(spark):
+    """All-time-uniques curve recomputed: first-seen days, running
+    count over the full calendar spine (flat days included)."""
+    got = {
+        pd.Timestamp(r.day): int(r.total_users)
+        for r in registry.QUERIES["events_cumulative_adoption"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["user_id", "ts"]]
+    day = pd.to_datetime(ev["ts"]).dt.floor("D")
+    first = day.groupby(ev["user_id"]).min()
+    days = pd.date_range(day.min(), day.max(), freq="D")
+    ref = {d: int((first <= d).sum()) for d in days}
+    assert got == ref
+
+
+def test_peak_detection_matches_python_recompute(spark):
+    """±2-neighbor strict local maxima recomputed over the decimal
+    hourly series; edge hours excluded."""
+    got = {
+        str(r.hr): float(r.v)
+        for r in registry.QUERIES["ts_peak_detection"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["ts", "value"]]
+    hr = pd.to_datetime(ev["ts"]).dt.floor("h")
+    h: dict = {}
+    for t, v in zip(hr, ev["value"]):
+        h[t] = h.get(t, _dq6(0.0)) + _dq6(float(v))
+    hours = sorted(h)
+    vals = [float(h[t]) for t in hours]
+    ref = {}
+    for i in range(2, len(hours) - 2):
+        v = vals[i]
+        if (
+            v > vals[i - 1]
+            and v > vals[i - 2]
+            and v > vals[i + 1]
+            and v > vals[i + 2]
+        ):
+            ref[hours[i].strftime("%Y-%m-%d %H:%M:%S")] = v
+    assert set(got) == set(ref)
+    for k, v in ref.items():
+        assert abs(got[k] - v) <= 1e-9
+
+
+def test_kpi_scorecard_matches_python_recompute(spark):
+    """Daily scorecard recomputed: events, exact DAU, purchases,
+    decimal revenue, errors, floored ratio KPIs."""
+    import math
+
+    got = {
+        pd.Timestamp(r.day): (
+            int(r.n_events),
+            int(r.dau),
+            int(r.n_purchases),
+            float(r.revenue),
+            int(r.n_errors),
+            float(r.error_rate),
+            float(r.purchases_per_dau),
+        )
+        for r in registry.QUERIES["events_kpi_daily_scorecard"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "ts", "event_type", "value"]
+    ]
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    ref = {}
+    for d, grp in ev.groupby("day"):
+        n = len(grp)
+        dau = grp["user_id"].nunique()
+        purch = int((grp["event_type"] == "purchase").sum())
+        rev = float(
+            sum(
+                (
+                    _dq6(float(v))
+                    for et, v in zip(grp["event_type"], grp["value"])
+                    if et == "purchase"
+                ),
+                _dq6(0.0),
+            )
+        )
+        err = int((grp["event_type"] == "error").sum())
+        ref[d] = (
+            n,
+            dau,
+            purch,
+            rev,
+            err,
+            math.floor(err / n * 1e6) / 1e6,
+            math.floor(purch / dau * 1e6) / 1e6,
+        )
+    assert set(got) == set(ref)
+    for d, row in ref.items():
+        g = got[d]
+        assert g[:3] == row[:3] and g[4] == row[4]
+        assert abs(g[3] - row[3]) <= 1e-6
+        assert abs(g[5] - row[5]) <= 2e-6
+        assert abs(g[6] - row[6]) <= 2e-6
