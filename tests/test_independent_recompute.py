@@ -5764,3 +5764,107 @@ def test_kpi_scorecard_matches_python_recompute(spark):
         assert abs(g[3] - row[3]) <= 1e-6
         assert abs(g[5] - row[5]) <= 2e-6
         assert abs(g[6] - row[6]) <= 2e-6
+
+
+def test_hourly_heatmap_matches_python_recompute(spark):
+    """DOW×hour grid recomputed with the Monday=0 convention; event
+    and distinct-user counts exact per cell."""
+    got = {
+        (int(r.dow), int(r.hod)): (int(r.n_events), int(r.n_users))
+        for r in registry.QUERIES["events_hourly_heatmap"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["user_id", "ts"]]
+    t = pd.to_datetime(ev["ts"])
+    from collections import defaultdict
+
+    cell: dict[tuple, list] = defaultdict(lambda: [0, set()])
+    for uid, dow, hod in zip(ev["user_id"], t.dt.dayofweek, t.dt.hour):
+        c = cell[(int(dow), int(hod))]
+        c[0] += 1
+        c[1].add(int(uid))
+    ref = {k: (n, len(us)) for k, (n, us) in cell.items()}
+    assert got == ref
+
+
+def test_daily_revenue_ma_matches_python_recompute(spark):
+    """Trailing-7-day revenue MA recomputed over the decimal daily
+    series with partial leading frames."""
+    got = {
+        pd.Timestamp(r.day): (float(r.revenue), float(r.revenue_7d_ma))
+        for r in registry.QUERIES["orders_daily_revenue_ma"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    }
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderdate", "o_totalprice"]
+    ]
+    day = pd.to_datetime(o["o_orderdate"]).dt.floor("D")
+    daily: dict = {}
+    for d, p in zip(day, o["o_totalprice"]):
+        daily[d] = daily.get(d, _dq6(0.0)) + _dq6(float(p))
+    days = sorted(daily)
+    revs = [float(daily[d]) for d in days]
+    assert len(got) == len(days)
+    for i, d in enumerate(days):
+        window = revs[max(0, i - 6) : i + 1]
+        ma = _hup(sum(window) / len(window), 4)
+        g = got[d]
+        assert abs(g[0] - revs[i]) <= 1e-9
+        assert abs(g[1] - ma) <= 2e-4
+
+
+def test_installments_matches_python_recompute(spark):
+    """Money-split recomputed in integer cents: first installment
+    carries the remainder, Σ amounts ≡ invoice exactly — full row
+    multiset plus the per-order conservation identity."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = sorted(
+        (
+            int(r.o_orderkey),
+            int(r.installment_no),
+            str(r.due_date),
+            round(float(r.amount), 2),
+        )
+        for r in registry.QUERIES["orders_installments_split"](
+            spark, SF_SMOKE
+        ).toPandas().itertuples()
+    )
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderkey", "o_totalprice", "o_orderdate"]
+    ]
+    q2 = Decimal("0.01")
+    ref = []
+    for r in o.itertuples():
+        total = Decimal(repr(float(r.o_totalprice))).quantize(
+            q2, ROUND_HALF_UP
+        )
+        cents = int(total * 100)
+        part = cents // 3
+        od = pd.Timestamp(r.o_orderdate).date()
+        for i in (1, 2, 3):
+            amt = cents - 2 * part if i == 1 else part
+            due = od + pd.Timedelta(days=(i - 1) * 30)
+            ref.append(
+                (
+                    int(r.o_orderkey),
+                    i,
+                    due.strftime("%Y-%m-%d"),
+                    round(amt / 100, 2),
+                )
+            )
+    assert got == sorted(ref)
+    # conservation on the EMITTED rows: per-order cent sums equal the
+    # 2-dp invoice exactly
+    from collections import defaultdict
+
+    sums: dict[int, int] = defaultdict(int)
+    for ok, _i, _d, amt in got:
+        sums[ok] += int(round(amt * 100))
+    for r in o.itertuples():
+        total = Decimal(repr(float(r.o_totalprice))).quantize(
+            q2, ROUND_HALF_UP
+        )
+        assert sums[int(r.o_orderkey)] == int(total * 100)
