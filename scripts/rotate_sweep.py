@@ -82,13 +82,15 @@ def main() -> int:
     comment_block: list[str] = []
 
     def flush_comments() -> None:
-        # A tail comment block is kept only if it carries no absolute
-        # slot arithmetic (round markers like "latest driver row: r5"
-        # stay; "slots 51-179" headers are stale after the shift).
-        if comment_block and not any(
-            re.search(r"slots \d+", c) for c in comment_block
-        ):
-            kept.extend(comment_block)
+        # Within a tail comment block, drop only the LINES that carry
+        # absolute slot arithmetic ("slots 51-179" goes stale the moment
+        # the list shifts); round markers like "latest driver row: r5"
+        # stay even when the same block mixes both kinds (r9 ADVICE —
+        # previously a mixed block was discarded wholesale, silently
+        # losing its round marker).
+        kept.extend(
+            c for c in comment_block if not re.search(r"slots \d+", c)
+        )
         comment_block.clear()
 
     for line in body.splitlines():
