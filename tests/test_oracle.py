@@ -59,34 +59,13 @@ def test_sweep_priority_covers_registry_exactly():
     assert not extra, f"registered keys not in the priority list: {extra}"
 
 
-# Every key that legitimately has no DuckDB oracle, with the reason it
-# cannot be SQL-mirrored. Each carries a pytest bound/recall/invariant
-# contract elsewhere (tests/test_quality.py, test_properties.py).
-ROWS_ONLY_BY_DESIGN = {
-    # cross-engine sketch state (register layouts differ by engine)
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "agg_hll_intersection",
-    "agg_hll_sketch_union",
-    "events_wau_hll_sliding",
-    # approximate / seeded-model outputs (recall-gated, not row-exact)
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_ivfpq",
-    "dedup_simhash",
-    # iterative / greedy model state (k-means, PCA basis sign, SVD
-    # rotation, k-core peeling order, greedy argmax chain, BPE merges)
-    "cluster_kmeans_fit",
-    "embed_pca_project",
-    "embed_pq_quantize",
-    "embed_procrustes_align",
-    "graph_kcore",
-    "sim_mmr_rerank",
-    "text_bpe_train_merges",
-    "text_bpe_encode",
-    # calibrated noise by definition (differential privacy)
-    "etl_dp_noisy_counts",
-}
+# Every key that legitimately has no DuckDB oracle lives in the declared
+# manifest (trireme_spark/rows_only.py, rendered to ROWS_ONLY.json by
+# scripts/gen_rows_only.py), with the reason it cannot be SQL-mirrored
+# and the pytest node(s) carrying its contract instead.
+from trireme_spark.rows_only import ROWS_ONLY
+
+ROWS_ONLY_BY_DESIGN = set(ROWS_ONLY)
 
 
 def test_no_oracle_set_is_exactly_the_by_design_list():
@@ -102,3 +81,50 @@ def test_no_oracle_set_is_exactly_the_by_design_list():
         f"keys now HAVE oracles but are still pinned rows-only: {gained} "
         "— remove them from ROWS_ONLY_BY_DESIGN"
     )
+
+
+def test_rows_only_manifest_committed_and_fresh():
+    """ROWS_ONLY.json is the driver-facing copy of the manifest; the
+    judge computes a window's expected-green count from it, so a stale
+    committed copy (rotation or registry change without re-running
+    scripts/gen_rows_only.py) silently breaks that accounting."""
+    import json
+    import os
+
+    from trireme_spark.rows_only import manifest
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "ROWS_ONLY.json")
+    assert os.path.exists(path), "run scripts/gen_rows_only.py"
+    committed = json.load(open(path))
+    assert committed == manifest(), (
+        "ROWS_ONLY.json is stale — re-run scripts/gen_rows_only.py"
+    )
+
+
+def test_rows_only_pytest_nodes_exist():
+    """Each manifest entry points at the pytest node(s) that carry the
+    key's correctness contract; a renamed/deleted test must break the
+    manifest, not silently orphan the key's verification story."""
+    import ast
+    import os
+
+    from trireme_spark.rows_only import ROWS_ONLY, WHY
+
+    repo = os.path.dirname(os.path.dirname(__file__))
+    defs_by_file: dict[str, set[str]] = {}
+    for wc, nodes in ROWS_ONLY.values():
+        assert wc in WHY
+        assert nodes, "every rows-only key needs at least one pytest node"
+        for node in nodes:
+            fname, _, func = node.partition("::")
+            assert func, f"malformed node {node!r}"
+            if fname not in defs_by_file:
+                tree = ast.parse(open(os.path.join(repo, fname)).read())
+                defs_by_file[fname] = {
+                    n.name for n in ast.walk(tree)
+                    if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+                }
+            assert func in defs_by_file[fname], (
+                f"{node}: test function not found — manifest is stale"
+            )
