@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import ast
 import os
+import re
 from collections import Counter
 from typing import Callable
 
@@ -38,10 +39,15 @@ def is_f_broadcast(call: ast.Call) -> bool:
 
 
 def is_driver_transfer(call: ast.Call) -> bool:
-    """``.collect()`` / ``.toPandas()`` / ``.first()`` (zero-arg) and
-    ``.head(...)`` — the driver-materialization surface. ``F.first(col)``
+    """``.collect()`` / ``.toPandas()`` / ``.first()`` (zero-arg),
+    ``.head(...)``, ``.take(...)`` and ``.toLocalIterator(...)`` — the
+    driver-materialization surface (r9 ADVICE added the last two:
+    both move rows to the driver just like collect). ``F.first(col)``
     (the JVM aggregate) is excluded by the zero-arg rule and the
-    receiver check."""
+    receiver check. ``.head`` on a pandas-looking receiver (``pdf``,
+    ``*_pdf``, ``pandas``-named) is excluded: inside an Arrow UDF body
+    ``pdf.head(n)`` runs executor-side and is not a driver transfer —
+    a heuristic, so name executor-side pandas frames accordingly."""
     f = call.func
     if not isinstance(f, ast.Attribute):
         return False
@@ -49,7 +55,16 @@ def is_driver_transfer(call: ast.Call) -> bool:
         return False  # F.first / F.head are JVM-side expressions
     if f.attr in ("collect", "toPandas", "first"):
         return not call.args and not call.keywords
-    return f.attr == "head"
+    if f.attr in ("take", "toLocalIterator"):
+        return True
+    if f.attr == "head":
+        recv = f.value
+        if isinstance(recv, ast.Name) and re.search(
+            r"(?:^|_)pdf\d*$|pandas", recv.id
+        ):
+            return False
+        return True
+    return False
 
 
 def file_signatures(path: str, select: Callable[[ast.Call], bool]) -> Counter:

@@ -96,7 +96,10 @@ AUDITED = {
         "sim_knn_filtered": 1,
         "sim_knn_per_query": 1,
         "sim_maxsim_late_interaction": 1,
-        "sim_mmr_rerank": 1,
+        # r10: the single-query-vector broadcast moved verbatim from
+        # sim_mmr_rerank into the extracted mmr_shortlist helper
+        # (bounded: one row)
+        "mmr_shortlist": 1,
         "sim_sparse_cosine_tfidf": 1,
     },
     "queries/llm_text.py": {

@@ -62,3 +62,29 @@ def test_no_unaudited_driver_transfers():
         f"Audited driver-transfer signatures are stale: {gone}. Update "
         "the pins in tests/test_collect_ratchet.py."
     )
+
+
+def test_driver_transfer_selector_semantics():
+    """Pin the selector itself (r9 ADVICE): `.take(n)` and
+    `.toLocalIterator()` ARE driver transfers; `pdf.head(n)` on a
+    pandas-named receiver inside an Arrow UDF body is NOT (it runs
+    executor-side); `F.first(col)` stays excluded."""
+    import ast
+
+    def sites(src):
+        n = 0
+        for node in ast.walk(ast.parse(src)):
+            if isinstance(node, ast.Call) and is_driver_transfer(node):
+                n += 1
+        return n
+
+    assert sites("df.take(5)") == 1
+    assert sites("df.toLocalIterator()") == 1
+    assert sites("df.toLocalIterator(True)") == 1
+    assert sites("df.head(5)") == 1
+    assert sites("pdf.head(5)") == 0
+    assert sites("chunk_pdf.head(5)") == 0
+    assert sites("pandas_frame.head(5)") == 0
+    assert sites("F.first(col)") == 0
+    assert sites("df.first()") == 1
+    assert sites("df.first(1)") == 0  # pandas-style .first(offset)

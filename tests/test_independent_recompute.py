@@ -1610,17 +1610,29 @@ def test_bootstrap_ci_matches_python_recompute(spark):
     ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
         ["event_type", "event_id", "value"]
     ]
-    from trireme_spark.queries.timeseries import _B, _POIS_CDF
+    # Constants derived INDEPENDENTLY from the documented contract (64
+    # Poisson(1) replicates, inverse-CDF draw capped at 8), not imported
+    # from queries/timeseries (r9 ADVICE): CDF(k) = e^-1 · Σ 1/i!. The
+    # product's 8-dp rounded thresholds and these exact values never
+    # straddle a 1e-6 grid point, and u is on that grid, so the draws
+    # agree exactly.
+    import math
+
+    B = 64
+    pois_cdf, acc = [], 0.0
+    for kk in range(8):
+        acc += math.exp(-1.0) / math.factorial(kk)
+        pois_cdf.append(acc)
 
     reps: dict[tuple, list] = {}
     for r in ev.itertuples():
-        for b in range(_B):
+        for b in range(B):
             u = (
-                (((int(r.event_id) * _B + b) % 2147483648) * 2654435761)
+                (((int(r.event_id) * B + b) % 2147483648) * 2654435761)
                 % 4294967296
             ) % 1000000 / 1000000.0
             k = 8
-            for kk, c in enumerate(_POIS_CDF):
+            for kk, c in enumerate(pois_cdf):
                 if u < c:
                     k = kk
                     break
@@ -2571,8 +2583,17 @@ def test_approx_topk_matches_exact_counts(spark):
 def test_homoglyph_skeleton_matches_python_recompute(spark):
     """Confusable-skeleton collisions recomputed with str.translate
     over the same planted corpus — the (doc_a, doc_b, suspect) pair
-    multiset must match exactly."""
-    from trireme_spark.queries.llm_text import _CONFUSABLES, _SKELETON
+    multiset must match exactly.
+
+    The confusable table is INLINED from its documented definition
+    (Unicode UTS #39 confusables: Cyrillic а/е/о/р/с/х U+0430/0435/
+    043E/0440/0441/0445, Latin script-g U+0261, Greek omicron U+03BF,
+    each mapping to its ASCII skeleton) rather than imported from
+    queries/llm_text — a bug baked into the product's shared table
+    must fail this audit, not propagate into it (r9 ADVICE). Escapes,
+    not glyphs, so an editor normalizing lookalikes can't blind it."""
+    _CONFUSABLES = "\u0430\u0435\u043e\u0440\u0441\u0445\u0261\u03bf"
+    _SKELETON = "aeopcxgo"
 
     got = sorted(
         (int(r.doc_a), int(r.doc_b), bool(r.spoof_suspect))

@@ -805,25 +805,40 @@ def test_mmr_rerank_diversifies(spark):
 
     assert max_pair_sim(mmr5) <= max_pair_sim(top5) + 1e-9
 
-    # Full-chain independent oracle (r7 VERDICT #7): the greedy argmax
-    # chain is deterministic given the shortlist, so re-run shortlist +
-    # MMR greedy in pure numpy from the raw parquet — same λ=0.7,
-    # top-20 shortlist, k=5, vec_id-asc tie-breaks — and require the
-    # EXACT (rank, vec_id) sequence, not just rank-1 and diversity.
-    # Both sides run on the 1e-6 FLOOR-QUANTIZED grid (r8 ADVICE: the
-    # query fquants relevance and pairwise sims before the shortlist cut
-    # and the greedy, so this oracle applies the identical grid — the
-    # exact-equality tie-break below then compares identical IEEE ops on
-    # identical grid operands, not raw ULP-noisy cosines).
+    # Full-chain independent greedy oracle (r7 VERDICT #7, reshaped per
+    # r9 ADVICE): the greedy argmax chain is deterministic given the
+    # shortlist, so re-run the λ=0.7 / k=5 / vec_id-asc-tie-break greedy
+    # in pure test-local Python over the JVM-COLLECTED grid relevances
+    # — a numpy re-derivation of `rel` folds the dot product in a
+    # different order, and a 1-ULP difference straddling a 1e-6 floor
+    # boundary lands on an adjacent grid value, enough to flip the
+    # shortlist cut or an argmax and flake an exact-sequence assertion.
+    # The relevance VALUES themselves are still independently verified:
+    # each collected grid rel must sit within 1.1e-6 of the numpy cosine
+    # (adjacent-grid-value slack), and the shortlist cut must be the
+    # numpy top-20 up to the same boundary slack.
     def grid(x):
         return math.floor(x * 1e6) / 1e6
 
-    short = sorted(
-        ((grid(s), k) for s, k in scores), key=lambda t: (-t[0], t[1])
-    )[:20]
-    rel20 = {k: s for s, k in short}
-    ids20 = [k for _, k in short]
-    unit = {k: emb[k] / np.linalg.norm(emb[k]) for k in ids20}
+    from trireme_spark.queries.llm_sim import mmr_shortlist
+
+    short_rows = mmr_shortlist(spark, SF_SMOKE).collect()
+    assert len(short_rows) == 20
+    rel20 = {r["vec_id"]: r["rel"] for r in short_rows}
+    ids20 = [r["vec_id"] for r in short_rows]
+    # independent value check: JVM grid rel vs raw numpy cosine
+    for k, rv in rel20.items():
+        assert abs(rv - grid(cos(q, emb[k]))) < 1.1e-6, k
+    # independent cut check: every shortlisted rel clears the numpy
+    # 20th-best grid score minus one grid step of boundary slack
+    cut = sorted((grid(s) for s, _ in scores), reverse=True)[19]
+    assert all(rv >= cut - 1.1e-6 for rv in rel20.values())
+
+    # normalize exactly as the product does (matrix axis-norm over the
+    # shortlist-ordered stack) so the ddot penalties are bit-identical
+    X20 = np.stack([emb[k] for k in ids20])
+    Xn20 = X20 / np.linalg.norm(X20, axis=1, keepdims=True)
+    unit = {k: Xn20[i] for i, k in enumerate(ids20)}
     lam, picked = 0.7, []
     for _ in range(5):
         best = None
@@ -831,7 +846,7 @@ def test_mmr_rerank_diversifies(spark):
             if k in picked:
                 continue
             pen = (
-                max(grid(float(unit[k] @ unit[j])) for j in picked)
+                max(grid(float(np.dot(unit[k], unit[j]))) for j in picked)
                 if picked
                 else 0.0
             )
@@ -841,9 +856,7 @@ def test_mmr_rerank_diversifies(spark):
         picked.append(best[1])
     assert [r["vec_id"] for r in by_rank] == picked, (mmr5, picked)
     for r in by_rank:
-        # relevance column = the grid value itself (1-ULP slack only
-        # for the numpy-vs-JVM dot-product fold order)
-        assert abs(r["relevance"] - rel20[r["vec_id"]]) < 1.1e-6
+        assert r["relevance"] == rel20[r["vec_id"]]
 
 
 def test_skyline_hostile_ties_and_subunit_gaps(spark, tmp_path):

@@ -1880,6 +1880,84 @@ _MMR_SHORTLIST = 20
 _MMR_K = 5
 
 
+def mmr_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED stage of sim_mmr_rerank: broadcast-query cosine
+    scoring with the relevance term FLOOR-QUANTIZED onto the 1e-6 grid
+    (parity.fquant — tie-free), then the top-`_MMR_SHORTLIST` cut.
+
+    Exposed separately so the quality test's independent greedy oracle
+    can consume the JVM-computed grid relevances directly (r9 ADVICE:
+    a numpy re-derivation of `rel` uses a different dot-product fold
+    order, and a 1-ULP difference straddling a floor boundary yields
+    adjacent grid values — enough to flip the shortlist cut or the
+    greedy argmax and flake an exact-sequence assertion)."""
+    from trireme_spark.operators.similarity import as_double
+
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    qv = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("q"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    return (
+        v.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "emb",
+            fquant(
+                dot(F.col("q"), F.col("emb"))
+                / (
+                    F.sqrt(dot(F.col("q"), F.col("q")))
+                    * F.sqrt(dot(F.col("emb"), F.col("emb")))
+                ),
+                6,
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(_MMR_SHORTLIST)
+    )
+
+
+def _mmr_greedy(ids, rel, X):
+    """Driver-side greedy MMR over the (bounded) shortlist.
+
+    Pairwise penalties are explicit vector dots (BLAS ddot) on the
+    1e-6 floor grid — NOT a Xn @ Xn.T matmul, whose dgemm blocking can
+    differ from ddot by 1 ULP and straddle a grid boundary, so an
+    oracle recomputing sims with plain np.dot lands bit-identically.
+    Returns [(rank, vec_id, relevance, mmr_score)]."""
+    import numpy as np
+
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n = len(ids)
+    sim = [
+        [
+            math.floor(float(np.dot(Xn[i], Xn[j])) * 1e6) / 1e6
+            for j in range(n)
+        ]
+        for i in range(n)
+    ]
+    picked: list[int] = []
+    out = []
+    for rank in range(1, _MMR_K + 1):
+        best_i, best_s = -1, -float("inf")
+        for i in range(n):
+            if i in picked:
+                continue
+            penalty = max(sim[i][j] for j in picked) if picked else 0.0
+            s = _MMR_LAMBDA * rel[i] - (1 - _MMR_LAMBDA) * penalty
+            # deterministic tie-break on id
+            if s > best_s or (s == best_s and ids[i] < ids[best_i]):
+                best_i, best_s = i, s
+        picked.append(best_i)
+        out.append(
+            (rank, int(ids[best_i]), float(rel[best_i]),
+             float(math.floor(best_s * 1e6) / 1e6))
+        )
+    return out
+
+
 @register("sim_mmr_rerank")  # rows-only: the greedy argmax chain is not
 # SQL-expressible; tests/test_quality.py pins determinism + the
 # diversity-vs-plain-topk contract
@@ -1898,67 +1976,21 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     20 vectors of driver state (bounded, corpus-independent: the
     k-means/PCA model-state doctrine), never the corpus. Per-query
     parallelism at scale = one shortlist+greedy per query key via
-    applyInPandas; one query here keeps the demonstration exact."""
+    applyInPandas; one query here keeps the demonstration exact.
+
+    The whole greedy chain runs on the 1e-6 FLOOR-QUANTIZED grid
+    (parity.fquant — tie-free, unlike round-half-up): the shortlist
+    cut, the relevance term, and the pairwise-similarity penalty are
+    all grid values, so the quality test's independent greedy oracle
+    (consuming the JVM grid relevances per r9 ADVICE, recomputing the
+    ddot penalties) lands on the exact same (rank, vec_id) sequence."""
     import numpy as np
 
-    from trireme_spark.operators.similarity import as_double
-
-    e = table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
-    qv = v.where(F.col("vec_id") == 0).select(
-        F.col("emb").alias("q")
-    )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-    )
-    # The whole greedy chain runs on the 1e-6 FLOOR-QUANTIZED grid
-    # (parity.fquant — tie-free, unlike round-half-up): the shortlist
-    # cut, the relevance term, and the pairwise-similarity penalty are
-    # all grid values, so an independent re-computation (numpy oracle in
-    # tests/test_quality.py) lands on the exact same (rank, vec_id)
-    # sequence instead of flaking on a 1-ULP near-tie at the shortlist
-    # boundary or in the argmax (r8 ADVICE).
-    scored = (
-        v.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qv))
-        .select(
-            "vec_id",
-            "emb",
-            fquant(
-                dot(F.col("q"), F.col("emb"))
-                / (
-                    F.sqrt(dot(F.col("q"), F.col("q")))
-                    * F.sqrt(dot(F.col("emb"), F.col("emb")))
-                ),
-                6,
-            ).alias("rel"),
-        )
-        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
-        .limit(_MMR_SHORTLIST)
-    )
-    rows = scored.collect()  # bounded: the 20-row shortlist only
+    rows = mmr_shortlist(spark, sf_dir).collect()  # bounded: 20 rows
     ids = [r["vec_id"] for r in rows]
-    rel = np.array([r["rel"] for r in rows])  # already on the 1e-6 grid
+    rel = [r["rel"] for r in rows]  # already on the 1e-6 grid
     X = np.stack([np.array(r["emb"]) for r in rows])
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    sim = np.floor((Xn @ Xn.T) * 1e6) / 1e6  # penalty on the same grid
-    picked: list[int] = []
-    out = []
-    for rank in range(1, _MMR_K + 1):
-        best_i, best_s = -1, -np.inf
-        for i in range(len(ids)):
-            if i in picked:
-                continue
-            penalty = max(sim[i][j] for j in picked) if picked else 0.0
-            s = _MMR_LAMBDA * rel[i] - (1 - _MMR_LAMBDA) * penalty
-            # deterministic tie-break on id
-            if s > best_s or (s == best_s and ids[i] < ids[best_i]):
-                best_i, best_s = i, s
-        picked.append(best_i)
-        out.append(
-            (rank, int(ids[best_i]), float(rel[best_i]),
-             float(math.floor(best_s * 1e6) / 1e6))
-        )
+    out = _mmr_greedy(ids, rel, X)
     return spark.createDataFrame(
         out, "rank int, vec_id long, relevance double, mmr_score double"
     )
