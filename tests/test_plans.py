@@ -749,3 +749,30 @@ def test_let_binding_survives_optimizer(spark):
         "x1x1x1",
         "x2x2x2",
     ]
+
+
+def test_peak_concurrency_sweep_plan_shape(spark):
+    """events_peak_concurrency (r10-window representative, judge r9
+    #8): sessionization must be a USER-KEYED window (event-grain work
+    shards by user), the boundary sweep must run under the meta
+    partition (shiftright(...62) spec — present, i.e. not
+    constant-folded into an empty spec, and operating on session-grain
+    boundary rows only), and the peak/count attachments must be
+    BROADCAST of single-row aggregates — no CartesianProduct
+    anywhere."""
+    p = plan(registry.QUERIES["events_peak_concurrency"](spark, SF_SMOKE))
+    assert "windowspecdefinition(user_id" in p
+    assert "shiftright" in p, "meta-partition sweep spec was folded away"
+    assert "CartesianProduct" not in p
+    # the 1-row peak/n_sessions attachments ride broadcast exchanges
+    assert p.count("BroadcastExchange") >= 2
+
+
+def test_match_recognize_is_single_keyed_agg(spark):
+    """events_match_recognize: the pattern count is ONE user-keyed
+    aggregation (collect into the ordered initial string) plus
+    codegen'd regex — no joins, no Generate explosion, no window."""
+    p = plan(registry.QUERIES["events_match_recognize"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "Generate" not in p
