@@ -1591,3 +1591,134 @@ def fn_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("fweek0") + 1).cast("long").alias("fiscal_week"),
     )
+
+
+# --- r11 STAGED (not registered): fn_json_variant -------------------------
+# Registration is paused until the never-swept backlog is < 50 (resumes
+# r11 per the round-9 verdict / round-10 log). This key is fully built and
+# oracle-verified NOW so the r11 resumption is a one-line decorator flip:
+#   @register("fn_json_variant", oracle=_FN_JSON_VARIANT_ORACLE)
+# Contract (SURVEY round-8 log "Parked"): VariantType surface with TYPE
+# INTROSPECTION — parse_json over heterogeneously-typed JSON documents,
+# schema_of_variant / is_variant_null to classify each leaf, typed
+# variant_get extraction per class, grouped rollup by leaf type. The
+# events corpus's props are homogeneous ({"k": int}), so the doc builder
+# derives a deterministic mixed-type leaf from (event_id mod 4, k):
+# int k | string "s<k>" | boolean (k even) | JSON null.
+
+_FN_JSON_VARIANT_ORACLE = """
+WITH docs AS (
+  SELECT '{"v": ' ||
+         CASE (event_id % 4)
+           WHEN 0 THEN CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                            AS VARCHAR)
+           WHEN 1 THEN '"s' || json_extract_string(props, '$.k') || '"'
+           WHEN 2 THEN CASE WHEN CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT) % 2 = 0
+                            THEN 'true' ELSE 'false' END
+           ELSE 'null'
+         END || '}' AS j
+  FROM events
+), typed AS (
+  SELECT j,
+         CASE json_type(CAST(j AS JSON), '$.v')
+           WHEN 'UBIGINT' THEN 'int'
+           WHEN 'BIGINT'  THEN 'int'
+           WHEN 'VARCHAR' THEN 'string'
+           WHEN 'BOOLEAN' THEN 'bool'
+           WHEN 'NULL'    THEN 'null'
+           ELSE 'other'
+         END AS vtype
+  FROM docs
+)
+SELECT vtype,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN vtype = 'int'
+                     THEN CAST(json_extract(j, '$.v') AS BIGINT) END)
+            AS BIGINT) AS sum_int,
+       CAST(COALESCE(SUM(CASE WHEN vtype = 'bool'
+                              AND CAST(json_extract(j, '$.v') AS BOOLEAN)
+                              THEN 1 END), 0) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN vtype = 'string'
+                     THEN length(json_extract_string(j, '$.v')) END)
+            AS BIGINT) AS str_len_sum
+FROM typed
+GROUP BY vtype
+"""
+
+
+def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn_json_variant (r11-staged) — Variant TYPE-INTROSPECTION rollup.
+
+    ``parse_json`` keeps the parsed tree in Spark 4's compact binary
+    variant form, so classifying AND extracting a leaf costs one parse
+    (the ``from_json`` alternative needs a schema per access pattern and
+    re-parses the text per pattern — the 100 TB argument for variant on
+    schema-drifting event streams). Per event: build a deterministic
+    mixed-type doc, classify the ``$.v`` leaf via ``schema_of_variant``
+    (BIGINT/STRING/BOOLEAN) + ``is_variant_null`` (VOID leg), extract it
+    with the type-matched ``variant_get``, and roll up per class. All
+    expressions are codegen'd; the single shuffle is the 4-group hash
+    aggregate (partial map-side combine first — ~4 rows per task cross
+    the wire at any corpus size). Every aggregation buffer is a LONG on
+    purpose: a string-typed buffer (e.g. ``max(as_str)``) demotes the
+    whole aggregate to SortAggregate — an O(n log n) per-partition sort
+    at 100 TB — so the string-group metric is ``sum(length(...))``
+    instead, which still exercises the typed string extraction. Oracle =
+    DuckDB ``json_type`` + ``json_extract`` over the same documents.
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    m = F.pmod(F.col("event_id"), F.lit(4))
+    doc = F.concat(
+        F.lit('{"v": '),
+        F.when(m == 0, k.cast("string"))
+        .when(m == 1, F.concat(F.lit('"s'), k.cast("string"), F.lit('"')))
+        .when(
+            m == 2,
+            F.when(k % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        )
+        .otherwise(F.lit("null")),
+        F.lit("}"),
+    )
+    v = F.parse_json(doc)
+    leaf = F.variant_get(v, "$.v", "variant")
+    sch = F.schema_of_variant(leaf)
+    vtype = (
+        F.when(F.is_variant_null(leaf), F.lit("null"))
+        .when(sch == "BIGINT", F.lit("int"))
+        .when(sch == "STRING", F.lit("string"))
+        .when(sch == "BOOLEAN", F.lit("bool"))
+        .otherwise(F.lit("other"))
+    )
+    d = ev.select(
+        vtype.alias("vtype"),
+        # try_variant_get, not variant_get: these three project for EVERY
+        # row before the per-type gate in the aggregate, and under ANSI
+        # (the Spark 4 default) a failed variant cast (string leaf -> long)
+        # in plain variant_get is a runtime error, not a NULL.
+        F.try_variant_get(v, "$.v", "long").alias("as_long"),
+        F.try_variant_get(v, "$.v", "boolean").alias("as_bool"),
+        F.try_variant_get(v, "$.v", "string").alias("as_str"),
+    )
+    return d.groupBy("vtype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("vtype") == "int", F.col("as_long"))
+        ).alias("sum_int"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("vtype") == "bool") & F.col("as_bool"), F.lit(1)
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_true"),
+        F.sum(
+            F.when(
+                F.col("vtype") == "string", F.length(F.col("as_str"))
+            ).cast("long")
+        ).alias("str_len_sum"),
+    )
