@@ -1722,3 +1722,107 @@ def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("str_len_sum"),
     )
+
+
+# --- r11 STAGED (not registered): fn_variant_nested_paths -----------------
+# Same staging contract as fn_json_variant above: built + oracle-verified
+# now, registers in r11 with a one-line decorator flip. Complements
+# fn_json_variant (scalar leaf classification) with the NESTED half of the
+# variant surface: OBJECT vs ARRAY vs scalar shape introspection and
+# nested-path extraction ($.a.b object hop, $.a[1] array index).
+
+_FN_VARIANT_NESTED_ORACLE = """
+WITH docs AS (
+  SELECT '{"a": ' ||
+         CASE (event_id % 3)
+           WHEN 0 THEN '{"b": ' || CAST(CAST(json_extract_string(props, '$.k')
+                                             AS BIGINT) AS VARCHAR) || '}'
+           WHEN 1 THEN '[' || CAST(CAST(json_extract_string(props, '$.k')
+                                        AS BIGINT) AS VARCHAR) || ', '
+                           || CAST(CAST(json_extract_string(props, '$.k')
+                                        AS BIGINT) + 1 AS VARCHAR) || ']'
+           ELSE CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     AS VARCHAR)
+         END || '}' AS j
+  FROM events
+), typed AS (
+  SELECT j,
+         CASE json_type(CAST(j AS JSON), '$.a')
+           WHEN 'OBJECT' THEN 'object'
+           WHEN 'ARRAY'  THEN 'array'
+           ELSE 'scalar'
+         END AS kind
+  FROM docs
+)
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract(j, '$.a.b') AS BIGINT)) AS BIGINT)
+           AS sum_obj_b,
+       CAST(SUM(CAST(json_extract(j, '$.a[1]') AS BIGINT)) AS BIGINT)
+           AS sum_arr_1,
+       CAST(SUM(CASE WHEN kind = 'scalar'
+                     THEN CAST(json_extract(j, '$.a') AS BIGINT) END)
+            AS BIGINT) AS sum_scalar
+FROM typed
+GROUP BY kind
+"""
+
+
+def fn_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn_variant_nested_paths (r11-staged) — nested variant shape rollup.
+
+    The schema-drift case variant exists for: the same field is an
+    OBJECT on some rows, an ARRAY on others, a scalar on the rest.
+    ``schema_of_variant`` classifies the shape (``OBJECT<...>`` /
+    ``ARRAY<...>`` prefix), ``try_variant_get`` extracts through a
+    nested path per shape (``$.a.b`` object hop, ``$.a[1]`` array
+    index, ``$.a`` scalar) — NULL, not error, on shape mismatch — and
+    the rollup aggregates per shape class. One binary parse per row,
+    row-local, codegen'd; single 3-group hash-agg shuffle with map-side
+    combine; all-long buffers (same SortAggregate-avoidance argument as
+    fn_json_variant). Oracle = DuckDB ``json_type`` + path extraction
+    over the same constructed documents.
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    m = F.pmod(F.col("event_id"), F.lit(3))
+    doc = F.concat(
+        F.lit('{"a": '),
+        F.when(
+            m == 0,
+            F.concat(F.lit('{"b": '), k.cast("string"), F.lit("}")),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("["),
+                k.cast("string"),
+                F.lit(", "),
+                (k + 1).cast("string"),
+                F.lit("]"),
+            ),
+        )
+        .otherwise(k.cast("string")),
+        F.lit("}"),
+    )
+    v = F.parse_json(doc)
+    sch = F.schema_of_variant(F.variant_get(v, "$.a", "variant"))
+    kind = (
+        F.when(sch.startswith("OBJECT"), F.lit("object"))
+        .when(sch.startswith("ARRAY"), F.lit("array"))
+        .otherwise(F.lit("scalar"))
+    )
+    d = ev.select(
+        kind.alias("kind"),
+        F.try_variant_get(v, "$.a.b", "long").alias("obj_b"),
+        F.try_variant_get(v, "$.a[1]", "long").alias("arr_1"),
+        F.try_variant_get(v, "$.a", "long").alias("scal"),
+    )
+    return d.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("obj_b").alias("sum_obj_b"),
+        F.sum("arr_1").alias("sum_arr_1"),
+        F.sum(
+            F.when(F.col("kind") == "scalar", F.col("scal"))
+        ).alias("sum_scalar"),
+    )

@@ -1588,3 +1588,106 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# --- r11 STAGED (not registered): graph_label_propagation ------------------
+# Same staging contract as fn_json_variant (functions_scalar.py): built +
+# oracle-verified now, registers in r11 with a one-line decorator flip.
+# Fills the community-DETECTION gap in the graph family (modularity_score
+# only SCORES a given partition; this produces one).
+
+def _lpa_iter_sql(prev: str, out: str) -> str:
+    """One unrolled synchronous LPA iteration as a DuckDB CTE body."""
+    return f"""cnt_{out} AS (
+  SELECT e.dst AS node, {prev}.lab, SUM(e.w) AS wsum
+  FROM e JOIN {prev} ON e.src = {prev}.node
+  GROUP BY 1, 2
+), {out} AS (
+  SELECT node, lab
+  FROM (
+    SELECT node, lab,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY wsum DESC, lab ASC) AS rn
+    FROM cnt_{out}
+  )
+  WHERE rn = 1
+)"""
+
+
+_LPA_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+{_lpa_iter_sql('l0', 'l1')},
+{_lpa_iter_sql('l1', 'l2')}
+SELECT l2.node, l2.lab AS label,
+       CAST(COUNT(*) OVER (PARTITION BY l2.lab) AS BIGINT) AS comm_size
+FROM l2
+"""
+
+
+def graph_label_propagation(
+    spark: SparkSession, sf_dir: str, iters: int = 2
+) -> DataFrame:
+    """graph_label_propagation (r11-staged) — synchronous LPA communities.
+
+    Two synchronized label-propagation iterations over the co-purchase
+    part graph (same edge rule as graph_pagerank_copurchase): every
+    node's next label is its neighbors' edge-weight-majority label, ties
+    broken by MIN label — fully deterministic, and every quantity is an
+    INTEGER (labels are node ids, votes are co-occurrence counts), so
+    there is no float-parity surface at all, unlike pagerank's quantized
+    doubles.
+
+    Scale design: the weighted edge list is built once and cached (it
+    feeds both iterations); each iteration is one keyed join on src, one
+    map-side-combined (dst, lab) count aggregation, and one PARTITIONED
+    top-1 window on dst — never a global window, never driver state.
+    Symmetric edges mean in/out node sets coincide, so no node loses its
+    label for lack of in-edges. Fixed iteration count = bounded plan
+    depth (the pagerank/connected-components doctrine); convergence-
+    driven stopping belongs in a driver loop over checkpoints. Final
+    community size attaches with one more partitioned window.
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .cache()
+    )
+    lab = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("wsum").desc(), F.col("lab").asc()
+    )
+    for _ in range(iters):
+        lab = (
+            e.join(lab, e.src == lab.node)
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.sum("w").alias("wsum"))
+            .withColumn("rn", F.row_number().over(top1))
+            .where(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+    return lab.select(
+        "node",
+        F.col("lab").alias("label"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lab"))
+        .cast("long")
+        .alias("comm_size"),
+    )

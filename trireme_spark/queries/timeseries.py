@@ -7128,3 +7128,100 @@ def events_nb_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(var > mu, F.round(mu * mu / (var - mu), 6)).alias("nb_r"),
         F.when(var > mu, F.round(mu / var, 6)).alias("nb_p"),
     )
+
+
+# --- r11 STAGED (not registered): ts_theil_sen_trend -----------------------
+# Same staging contract as fn_json_variant (functions_scalar.py): built +
+# oracle-verified now, registers in r11 with a one-line decorator flip.
+# Fills the ROBUST-regression gap: agg_regression is OLS (one outlier day
+# can own the slope); Theil–Sen's median-of-pairwise-slopes has a 29.3%
+# breakdown point and is the standard robust trend for dashboard series.
+
+_THEIL_SEN_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS day,
+         {oracle_sum('o_totalprice')} AS rev
+  FROM orders
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.month,
+         (b.rev - a.rev) / CAST(b.day - a.day AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.month = b.month AND a.day < b.day
+), ranked AS (
+  SELECT month, slope,
+         ROW_NUMBER() OVER (PARTITION BY month ORDER BY slope) AS rn,
+         COUNT(*) OVER (PARTITION BY month) AS n
+  FROM pairs
+)
+SELECT month,
+       CAST(MAX(n) AS BIGINT) AS n_pairs,
+       FLOOR(SUM(slope) / COUNT(*) * 1e6) / 1e6 AS theil_sen_slope
+FROM ranked
+WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+GROUP BY month
+"""
+
+
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_theil_sen_trend (r11-staged) — robust monthly revenue trend.
+
+    Theil–Sen estimator per month: daily revenue, all day pairs within
+    the month, slope per pair, MEDIAN slope — robust to ~29% outlier
+    days where the OLS key (agg_regression) is robust to none.
+
+    Scale design: the corpus-sized work is ONE map-side-combined daily
+    rollup (decimal-exact via ``dsum``); the pairwise stage then runs on
+    the DAY-levelled table — the self-join is keyed on month with
+    fan-out bounded by 31·30/2 = 465 pairs per group, so it stays
+    dimension-sized at any corpus scale, never all-pairs on raw rows.
+
+    Cross-engine parity: slopes are IEEE divisions of decimal-exact
+    doubles (bit-identical both engines); the median is an EXPLICIT
+    rank rule — row_number over slope, average of positions
+    ⌈n/2⌉ and ⌈(n+1)/2⌉ — because engine ``median()``/``percentile()``
+    interpolation formulas are not pinned to the same floating-point
+    expression shape; equal-slope rank ties are harmless (the selected
+    VALUES are the same whichever equal row takes the rank). Final
+    slope floor-quantizes at 1e-6 (tie-free, the fquant doctrine).
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("day"),
+    ).agg(dsum("o_totalprice").alias("rev"))
+    a = daily.select(
+        "month", F.col("day").alias("di"), F.col("rev").alias("ri")
+    )
+    b = daily.select(
+        "month", F.col("day").alias("dj"), F.col("rev").alias("rj")
+    )
+    pairs = (
+        a.join(b, "month")
+        .where(F.col("di") < F.col("dj"))
+        .select(
+            "month",
+            (
+                (F.col("rj") - F.col("ri"))
+                / (F.col("dj") - F.col("di")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    wp = Window.partitionBy("month")
+    ranked = pairs.select(
+        "month",
+        "slope",
+        F.row_number().over(wp.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    sel = ranked.where(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return sel.groupBy("month").agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        fquant(F.sum("slope") / F.count(F.lit(1))).alias(
+            "theil_sen_slope"
+        ),
+    )
