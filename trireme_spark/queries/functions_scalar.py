@@ -1633,11 +1633,14 @@ WITH docs AS (
 )
 SELECT vtype,
        CAST(COUNT(*) AS BIGINT) AS n_events,
+       -- TRY_CAST, not CAST: DuckDB's vectorized executor may evaluate a
+       -- CASE branch's cast on rows the guard excludes (surfaces at sf0.1
+       -- batch sizes), and CAST('"s34"' AS BIGINT) is then a hard error
        CAST(SUM(CASE WHEN vtype = 'int'
-                     THEN CAST(json_extract(j, '$.v') AS BIGINT) END)
+                     THEN TRY_CAST(json_extract(j, '$.v') AS BIGINT) END)
             AS BIGINT) AS sum_int,
        CAST(COALESCE(SUM(CASE WHEN vtype = 'bool'
-                              AND CAST(json_extract(j, '$.v') AS BOOLEAN)
+                              AND TRY_CAST(json_extract(j, '$.v') AS BOOLEAN)
                               THEN 1 END), 0) AS BIGINT) AS n_true,
        CAST(SUM(CASE WHEN vtype = 'string'
                      THEN length(json_extract_string(j, '$.v')) END)
@@ -1756,12 +1759,14 @@ WITH docs AS (
 )
 SELECT kind,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(json_extract(j, '$.a.b') AS BIGINT)) AS BIGINT)
+       -- TRY_CAST throughout: same vectorized-CASE hazard as the
+       -- fn_json_variant oracle (object/array json never casts to BIGINT)
+       CAST(SUM(TRY_CAST(json_extract(j, '$.a.b') AS BIGINT)) AS BIGINT)
            AS sum_obj_b,
-       CAST(SUM(CAST(json_extract(j, '$.a[1]') AS BIGINT)) AS BIGINT)
+       CAST(SUM(TRY_CAST(json_extract(j, '$.a[1]') AS BIGINT)) AS BIGINT)
            AS sum_arr_1,
        CAST(SUM(CASE WHEN kind = 'scalar'
-                     THEN CAST(json_extract(j, '$.a') AS BIGINT) END)
+                     THEN TRY_CAST(json_extract(j, '$.a') AS BIGINT) END)
             AS BIGINT) AS sum_scalar
 FROM typed
 GROUP BY kind
