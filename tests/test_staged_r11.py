@@ -315,3 +315,44 @@ def test_ts_theil_sen_trend_plan_shape(spark):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         head = spec.split(",")[0].strip()
         assert head.startswith("month"), f"non-month window: {spec}"
+
+
+@pytest.mark.parametrize("key", sorted(STAGED))
+def test_staged_layout_invariance(spark, key, monkeypatch):
+    """Mirror of tests/test_partition_invariance.py for the staged keys:
+    identical rows at the pinned layout and under a hostile one (7
+    shuffle partitions, 64 KB scan splits, immutable-conf prep path).
+    Pre-flip the staged callables are unwrapped (prep never runs, the
+    guard sits idle); post-flip @register rebinds these module symbols
+    to their prep()-wrapped forms and the guard exercises the same
+    immutable-conf tolerance the registered keys claim."""
+    fn, _ = STAGED[key]
+
+    def canon(df):
+        return sorted(repr(tuple(r)) for r in df.collect())
+
+    base = canon(fn(spark, SF_SMOKE))
+
+    from pyspark.sql.conf import RuntimeConfig
+
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    real_set = RuntimeConfig.set
+
+    def guarded(self, k, v):
+        if k == "spark.sql.shuffle.partitions":
+            raise RuntimeError("CANNOT_MODIFY_CONFIG (simulated)")
+        return real_set(self, k, v)
+
+    monkeypatch.setattr(RuntimeConfig, "set", guarded)
+    try:
+        hostile = canon(fn(spark, SF_SMOKE))
+    finally:
+        monkeypatch.setattr(RuntimeConfig, "set", real_set)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    assert hostile == base, (
+        f"{key}: rows differ between the pinned layout and a hostile one"
+    )
