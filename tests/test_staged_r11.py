@@ -312,6 +312,10 @@ def test_ts_theil_sen_trend_plan_shape(spark):
     p = plan(ts_theil_sen_trend(spark, SF_SMOKE))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
     assert "partial_sum" in p, p
+    # the corpus-sized daily rollup must materialize ONCE (cached) and
+    # feed both self-join sides — uncached it compiles into the plan
+    # twice and the only at-scale stage runs twice
+    assert "InMemoryRelation" in p, p
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         head = spec.split(",")[0].strip()
         assert head.startswith("month"), f"non-month window: {spec}"

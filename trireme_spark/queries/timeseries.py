@@ -7187,10 +7187,16 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope floor-quantizes at 1e-6 (tie-free, the fquant doctrine).
     """
     o = table(spark, sf_dir, "orders")
+    # cached: daily feeds BOTH sides of the pairwise self-join, and
+    # without the cache the corpus-sized rollup (scan + aggregate over
+    # every order) compiles into the plan twice — the one stage that
+    # matters at 100 TB would run twice. Cached it materializes once;
+    # the cached table is day-levelled (months x <=31 rows), bounded at
+    # any corpus size (the pagerank/LPA edge-cache precedent).
     daily = o.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("month"),
         F.dayofmonth("o_orderdate").cast("long").alias("day"),
-    ).agg(dsum("o_totalprice").alias("rev"))
+    ).agg(dsum("o_totalprice").alias("rev")).cache()
     a = daily.select(
         "month", F.col("day").alias("di"), F.col("rev").alias("ri")
     )
