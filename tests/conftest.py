@@ -26,11 +26,50 @@ SF_SMOKE = os.environ.get("TRIREME_TEST_SF", "/root/testdata/sf0.001")
 SF_FULL = os.environ.get("TRIREME_TEST_SF_FULL", "/root/testdata/sf0.01")
 
 
+# the session conf pin — the hostile-layout harness below restores to
+# THIS value, so it lives in exactly one place
+PINNED_SHUFFLE = 8
+
+
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("trireme-tests", cpus=8, shuffle_partitions=8)
+    s = get_spark("trireme-tests", cpus=8, shuffle_partitions=PINNED_SHUFFLE)
     yield s
     s.stop()
+
+
+def hostile_layout(spark, monkeypatch, run):
+    """Run ``run()`` under the hostile partition layout and restore the
+    pinned session conf after: 7 shuffle partitions (odd, tiny, divides
+    nothing evenly), 64 KB scan splits (every fixture scan goes
+    multi-split), prep()'s shuffle pin raising as an immutable-conf
+    environment would, and a cleared cache so cached stages actually
+    re-materialize under the hostile layout instead of being served
+    from a pinned-layout InMemoryRelation."""
+    from pyspark.sql.conf import RuntimeConfig
+
+    spark.catalog.clearCache()
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    real_set = RuntimeConfig.set
+
+    def guarded(self, k, v):
+        if k == "spark.sql.shuffle.partitions":
+            # what an immutable-conf environment raises at prep()'s pin
+            raise RuntimeError("CANNOT_MODIFY_CONFIG (simulated)")
+        return real_set(self, k, v)
+
+    monkeypatch.setattr(RuntimeConfig, "set", guarded)
+    try:
+        return run()
+    finally:
+        monkeypatch.setattr(RuntimeConfig, "set", real_set)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(PINNED_SHUFFLE)
+        )
+        spark.catalog.clearCache()
 
 
 def duck_con(sf_dir: str):

@@ -93,26 +93,13 @@ def _baseline(spark, key) -> list[str]:
 def test_layout_invariance_rows_identical(spark, key, monkeypatch):
     base = _baseline(spark, key)  # pinned layout (prep() sets 32)
 
-    from pyspark.sql.conf import RuntimeConfig
+    from tests.conftest import hostile_layout
 
-    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    spark.conf.set("spark.sql.shuffle.partitions", "7")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
-    real_set = RuntimeConfig.set
-
-    def guarded(self, k, v):
-        if k == "spark.sql.shuffle.partitions":
-            # what an immutable-conf environment raises at prep()'s pin
-            raise RuntimeError("CANNOT_MODIFY_CONFIG (simulated)")
-        return real_set(self, k, v)
-
-    monkeypatch.setattr(RuntimeConfig, "set", guarded)
-    try:
-        hostile = _canon(registry.QUERIES[key](spark, SF_SMOKE))
-    finally:
-        monkeypatch.setattr(RuntimeConfig, "set", real_set)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    hostile = hostile_layout(
+        spark,
+        monkeypatch,
+        lambda: _canon(registry.QUERIES[key](spark, SF_SMOKE)),
+    )
 
     assert hostile == base, (
         f"{key}: rows differ between the pinned layout and a hostile one "

@@ -76,6 +76,11 @@ def test_staged_registration_consistency(key):
         assert key in _SWEEP_PRIORITY
     else:
         assert key not in registry.ORACLES
+        # a HALF-applied flip (priority slot added, decorator not
+        # flipped) must fail here, not surface as a wasted graded slot
+        from trireme_spark.queries import _SWEEP_PRIORITY
+
+        assert key not in _SWEEP_PRIORITY
 
 
 # --- fn_json_variant -------------------------------------------------------
@@ -337,25 +342,11 @@ def test_staged_layout_invariance(spark, key, monkeypatch):
 
     base = canon(fn(spark, SF_SMOKE))
 
-    from pyspark.sql.conf import RuntimeConfig
+    from tests.conftest import hostile_layout
 
-    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    spark.conf.set("spark.sql.shuffle.partitions", "7")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
-    real_set = RuntimeConfig.set
-
-    def guarded(self, k, v):
-        if k == "spark.sql.shuffle.partitions":
-            raise RuntimeError("CANNOT_MODIFY_CONFIG (simulated)")
-        return real_set(self, k, v)
-
-    monkeypatch.setattr(RuntimeConfig, "set", guarded)
-    try:
-        hostile = canon(fn(spark, SF_SMOKE))
-    finally:
-        monkeypatch.setattr(RuntimeConfig, "set", real_set)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    hostile = hostile_layout(
+        spark, monkeypatch, lambda: canon(fn(spark, SF_SMOKE))
+    )
 
     assert hostile == base, (
         f"{key}: rows differ between the pinned layout and a hostile one"

@@ -636,6 +636,39 @@ def lineitem_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph_pagerank_copurchase — 3 power iterations over the co-purchase graph
 # ---------------------------------------------------------------------------
 
+# The co-purchase edge rule, shared by graph_pagerank_copurchase and
+# graph_label_propagation (oracle side here, DataFrame side in
+# _copurchase_edges): distinct (order, part) pairs, same-order part
+# pairs src != dst, co-occurrence-count weights. One definition — the
+# two graph keys cannot silently diverge on what an "edge" is.
+_COPURCHASE_EDGE_CTE = """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame mirror of _COPURCHASE_EDGE_CTE (uncached — callers
+    decide what to cache: pagerank caches the derived transition
+    matrix, LPA caches these edges directly)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
 def _pr_iter_sql(prev: str, out: str) -> str:
     """One unrolled PageRank iteration as a DuckDB CTE body (see the
     Spark mirror below for the quantization contract)."""
@@ -652,13 +685,7 @@ def _pr_iter_sql(prev: str, out: str) -> str:
 
 
 _PAGERANK_ORACLE = f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-e AS (
-  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-  GROUP BY 1, 2
-),
+{_COPURCHASE_EDGE_CTE},
 deg AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src),
 e2 AS (
   SELECT e.src, e.dst,
@@ -705,19 +732,7 @@ def graph_pagerank_copurchase(
     Fixed iteration count = bounded plan depth (the
     dedup_connected_components loud-budget doctrine); convergence-driven
     stopping would go in a driver loop over materialized checkpoints."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    e = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    e = _copurchase_edges(spark, sf_dir)
     deg = e.groupBy("src").agg(F.sum("w").alias("outw"))
     # transition matrix, cached + eagerly materialized: it feeds every
     # iteration plus the node count and r0 — uncached, the lineitem
@@ -1615,13 +1630,7 @@ def _lpa_iter_sql(prev: str, out: str) -> str:
 
 
 _LPA_ORACLE = f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-e AS (
-  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-  GROUP BY 1, 2
-),
+{_COPURCHASE_EDGE_CTE},
 l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
 {_lpa_iter_sql('l0', 'l1')},
 {_lpa_iter_sql('l1', 'l2')}
@@ -1654,20 +1663,7 @@ def graph_label_propagation(
     driven stopping belongs in a driver loop over checkpoints. Final
     community size attaches with one more partitioned window.
     """
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    e = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .cache()
-    )
+    e = _copurchase_edges(spark, sf_dir).cache()
     lab = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
