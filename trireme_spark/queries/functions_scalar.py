@@ -1593,11 +1593,9 @@ def fn_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- r11 STAGED (not registered): fn_json_variant -------------------------
-# Registration is paused until the never-swept backlog is < 50 (resumes
-# r11 per the round-9 verdict / round-10 log). This key is fully built and
-# oracle-verified NOW so the r11 resumption is a one-line decorator flip:
-#   @register("fn_json_variant", oracle=_FN_JSON_VARIANT_ORACLE)
+# --- fn_json_variant (staged r10, REGISTERED r11 per the flip recipe) -----
+# Built + oracle-verified while registration was paused (rounds 9-10);
+# the r11 flip added the decorator below and a _SWEEP_PRIORITY slot.
 # Contract (SURVEY round-8 log "Parked"): VariantType surface with TYPE
 # INTROSPECTION — parse_json over heterogeneously-typed JSON documents,
 # schema_of_variant / is_variant_null to classify each leaf, typed
@@ -1650,8 +1648,9 @@ GROUP BY vtype
 """
 
 
+@register("fn_json_variant", oracle=_FN_JSON_VARIANT_ORACLE)
 def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fn_json_variant (r11-staged) — Variant TYPE-INTROSPECTION rollup.
+    """fn_json_variant — Variant TYPE-INTROSPECTION rollup.
 
     ``parse_json`` keeps the parsed tree in Spark 4's compact binary
     variant form, so classifying AND extracting a leaf costs one parse
@@ -1727,9 +1726,9 @@ def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- r11 STAGED (not registered): fn_variant_nested_paths -----------------
-# Same staging contract as fn_json_variant above: built + oracle-verified
-# now, registers in r11 with a one-line decorator flip. Complements
+# --- fn_variant_nested_paths (staged r10, REGISTERED r11) -----------------
+# Same staging history as fn_json_variant above: built + oracle-verified
+# under the registration pause, decorator flipped in r11. Complements
 # fn_json_variant (scalar leaf classification) with the NESTED half of the
 # variant surface: OBJECT vs ARRAY vs scalar shape introspection and
 # nested-path extraction ($.a.b object hop, $.a[1] array index).
@@ -1773,8 +1772,9 @@ GROUP BY kind
 """
 
 
+@register("fn_variant_nested_paths", oracle=_FN_VARIANT_NESTED_ORACLE)
 def fn_variant_nested_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fn_variant_nested_paths (r11-staged) — nested variant shape rollup.
+    """fn_variant_nested_paths — nested variant shape rollup.
 
     The schema-drift case variant exists for: the same field is an
     OBJECT on some rows, an ARRAY on others, a scalar on the rest.

@@ -1605,9 +1605,9 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- r11 STAGED (not registered): graph_label_propagation ------------------
-# Same staging contract as fn_json_variant (functions_scalar.py): built +
-# oracle-verified now, registers in r11 with a one-line decorator flip.
+# --- graph_label_propagation (staged r10, REGISTERED r11) ------------------
+# Same staging history as fn_json_variant (functions_scalar.py): built +
+# oracle-verified under the registration pause, decorator flipped in r11.
 # Fills the community-DETECTION gap in the graph family (modularity_score
 # only SCORES a given partition; this produces one).
 
@@ -1640,10 +1640,11 @@ FROM l2
 """
 
 
+@register("graph_label_propagation", oracle=_LPA_ORACLE)
 def graph_label_propagation(
     spark: SparkSession, sf_dir: str, iters: int = 2
 ) -> DataFrame:
-    """graph_label_propagation (r11-staged) — synchronous LPA communities.
+    """graph_label_propagation — synchronous LPA communities.
 
     Two synchronized label-propagation iterations over the co-purchase
     part graph (same edge rule as graph_pagerank_copurchase): every

@@ -7130,9 +7130,9 @@ def events_nb_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- r11 STAGED (not registered): ts_theil_sen_trend -----------------------
-# Same staging contract as fn_json_variant (functions_scalar.py): built +
-# oracle-verified now, registers in r11 with a one-line decorator flip.
+# --- ts_theil_sen_trend (staged r10, REGISTERED r11) -----------------------
+# Same staging history as fn_json_variant (functions_scalar.py): built +
+# oracle-verified under the registration pause, decorator flipped in r11.
 # Fills the ROBUST-regression gap: agg_regression is OLS (one outlier day
 # can own the slope); Theil–Sen's median-of-pairwise-slopes has a 29.3%
 # breakdown point and is the standard robust trend for dashboard series.
@@ -7164,8 +7164,9 @@ GROUP BY month
 """
 
 
+@register("ts_theil_sen_trend", oracle=_THEIL_SEN_ORACLE)
 def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ts_theil_sen_trend (r11-staged) — robust monthly revenue trend.
+    """ts_theil_sen_trend — robust monthly revenue trend.
 
     Theil–Sen estimator per month: daily revenue, all day pairs within
     the month, slope per pair, MEDIAN slope — robust to ~29% outlier
