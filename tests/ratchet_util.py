@@ -38,16 +38,30 @@ def is_f_broadcast(call: ast.Call) -> bool:
     )
 
 
+def _is_pandas_receiver(recv: ast.expr) -> bool:
+    """Anchored pandas-frame naming convention (r10 ADVICE: the old
+    unanchored ``|pandas`` alternative exempted ANY name merely
+    containing 'pandas', e.g. a Spark DF named ``pandas_like``).
+    Matches ``pdf``, ``pdf2``, ``x_pdf``, ``pandas``, ``pandas_batch``
+    — a full trailing token, never a substring."""
+    return isinstance(recv, ast.Name) and re.search(
+        r"(?:^|_)(?:pdf\d*|pandas\w*)$", recv.id
+    ) is not None
+
+
 def is_driver_transfer(call: ast.Call) -> bool:
     """``.collect()`` / ``.toPandas()`` / ``.first()`` (zero-arg),
     ``.head(...)``, ``.take(...)`` and ``.toLocalIterator(...)`` — the
     driver-materialization surface (r9 ADVICE added the last two:
     both move rows to the driver just like collect). ``F.first(col)``
     (the JVM aggregate) is excluded by the zero-arg rule and the
-    receiver check. ``.head`` on a pandas-looking receiver (``pdf``,
-    ``*_pdf``, ``pandas``-named) is excluded: inside an Arrow UDF body
-    ``pdf.head(n)`` runs executor-side and is not a driver transfer —
-    a heuristic, so name executor-side pandas frames accordingly."""
+    receiver check. Calls on a pandas-looking receiver (``pdf``,
+    ``*_pdf``, ``pandas*``-named) are excluded for ``.head`` AND
+    ``.take`` (r10 ADVICE: pandas also has ``.take(indices)``, so an
+    executor-side ``pdf.take(...)`` inside an Arrow UDF must not
+    false-trip) — a heuristic, so name executor-side pandas frames
+    accordingly. ``.toLocalIterator`` gets no exclusion on purpose:
+    pandas has no such method, so any receiver is a Spark DF."""
     f = call.func
     if not isinstance(f, ast.Attribute):
         return False
@@ -55,15 +69,10 @@ def is_driver_transfer(call: ast.Call) -> bool:
         return False  # F.first / F.head are JVM-side expressions
     if f.attr in ("collect", "toPandas", "first"):
         return not call.args and not call.keywords
-    if f.attr in ("take", "toLocalIterator"):
+    if f.attr == "toLocalIterator":
         return True
-    if f.attr == "head":
-        recv = f.value
-        if isinstance(recv, ast.Name) and re.search(
-            r"(?:^|_)pdf\d*$|pandas", recv.id
-        ):
-            return False
-        return True
+    if f.attr in ("take", "head"):
+        return not _is_pandas_receiver(f.value)
     return False
 
 

@@ -6253,11 +6253,19 @@ def test_lateral_view_matches_python_recompute(spark):
     token row — the exact row multisets must match."""
     import re
 
+    # None-safe sort key on BOTH sides (r10 ADVICE): default tuple
+    # ordering only avoids a None-vs-str TypeError today because
+    # empty-token docs emit exactly one row; a fixture change must
+    # produce a clear diff, not a sort crash.
+    _key = lambda x: (x[0], x[1] or "", x[2])  # noqa: E731
     got = sorted(
-        (int(r.doc_id), None if r.tok is None else str(r.tok), str(r.mode))
-        for r in registry.QUERIES["sql_lateral_view"](
-            spark, SF_SMOKE
-        ).toPandas().itertuples()
+        (
+            (int(r.doc_id), None if r.tok is None else str(r.tok), str(r.mode))
+            for r in registry.QUERIES["sql_lateral_view"](
+                spark, SF_SMOKE
+            ).toPandas().itertuples()
+        ),
+        key=_key,
     )
     d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "text"]]
     ref = []
@@ -6275,7 +6283,7 @@ def test_lateral_view_matches_python_recompute(spark):
                 ref.append((did, t, "outer"))
         else:
             ref.append((did, None, "outer"))
-    assert got == sorted(ref, key=lambda x: (x[0], x[1] or "", x[2]))
+    assert got == sorted(ref, key=_key)
 
 
 def test_not_in_null_trap_matches_python_recompute(spark):

@@ -1663,6 +1663,12 @@ def graph_label_propagation(
     depth (the pagerank/connected-components doctrine); convergence-
     driven stopping belongs in a driver loop over checkpoints. Final
     community size attaches with one more partitioned window.
+
+    Cache lifetime (r10 ADVICE): the edge cache is deliberately NOT
+    unpersisted — the returned DataFrame is lazy and still reads it; one
+    edge-sized InMemoryRelation persists per invocation for the session
+    lifetime (fine for one-shot sweeps; long sessions reclaim via
+    ``spark.catalog.clearCache()``, as the test harness does).
     """
     e = _copurchase_edges(spark, sf_dir).cache()
     lab = e.select(F.col("src").alias("node")).distinct().select(
@@ -1672,10 +1678,16 @@ def graph_label_propagation(
         F.col("wsum").desc(), F.col("lab").asc()
     )
     for _ in range(iters):
+        # alias()-based join (r10 ADVICE): from iteration 2 on, lab is
+        # derived from e, and the lineage-attribute form
+        # (e.join(lab, e.src == lab.node)) leans on Spark's ambiguous-
+        # self-join disambiguation — explicit aliases make the
+        # resolution robust under stricter analyzer settings.
         lab = (
-            e.join(lab, e.src == lab.node)
-            .groupBy(F.col("dst").alias("node"), "lab")
-            .agg(F.sum("w").alias("wsum"))
+            e.alias("e")
+            .join(lab.alias("l"), F.col("e.src") == F.col("l.node"))
+            .groupBy(F.col("e.dst").alias("node"), F.col("l.lab").alias("lab"))
+            .agg(F.sum("e.w").alias("wsum"))
             .withColumn("rn", F.row_number().over(top1))
             .where(F.col("rn") == 1)
             .select("node", "lab")

@@ -7193,7 +7193,14 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every order) compiles into the plan twice — the one stage that
     # matters at 100 TB would run twice. Cached it materializes once;
     # the cached table is day-levelled (months x <=31 rows), bounded at
-    # any corpus size (the pagerank/LPA edge-cache precedent).
+    # any corpus size (the pagerank/LPA edge-cache precedent). Cache
+    # LIFETIME (r10 ADVICE): no unpersist here on purpose — the
+    # returned DataFrame is lazy, so unpersisting before the caller
+    # consumes it would defeat the cache; each invocation therefore
+    # leaves one bounded (<=12x31-row) InMemoryRelation for the session
+    # lifetime. One-shot driver sweeps are unaffected; long sessions
+    # reclaim via spark.catalog.clearCache() (the test harness's
+    # hostile_layout already does).
     daily = o.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("month"),
         F.dayofmonth("o_orderdate").cast("long").alias("day"),
