@@ -13,7 +13,15 @@ from pyspark.sql import functions as F
 
 from pyspark.sql.window import Window
 
-from trireme_spark.parity import DSCALE, davg, dsum, meta_part, oracle_avg, oracle_sum
+from trireme_spark.parity import (
+    DSCALE,
+    davg,
+    dsum,
+    fquant,
+    meta_part,
+    oracle_avg,
+    oracle_sum,
+)
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -2835,4 +2843,290 @@ def agg_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_total"),
         F.rank().over(w_rank).cast("long").alias("rank_in_region"),
+    )
+
+
+# --- agg_kendall_tau (registered r11; r12 grading window) -------------------
+# Cadence-batch key (SURVEY round-11 log). Rank-correlation complement to
+# agg_spearman_rank_corr: tau-b is the concordance-based coefficient with
+# explicit tie handling, computed on the bounded month-keyed pair lattice
+# (the ts_theil_sen_trend / ts_mann_kendall_trend skeleton).
+
+_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS y
+  FROM orders
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.month,
+         CAST(SUM(SIGN(b.x - a.x) * SIGN(b.y - a.y)) AS BIGINT) AS cd
+  FROM daily a JOIN daily b
+    ON a.month = b.month AND a.day < b.day
+  GROUP BY 1
+), tx AS (
+  SELECT month, CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n1
+  FROM (SELECT month, x, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+), ty AS (
+  SELECT month, CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n2
+  FROM (SELECT month, y, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+), n AS (
+  SELECT month, CAST(COUNT(*) AS BIGINT) AS nd FROM daily GROUP BY 1
+)
+SELECT n.month,
+       nd AS n_days,
+       COALESCE(cd, 0) AS conc_minus_disc,
+       CASE
+         WHEN (nd * (nd - 1) / 2 - n1) * (nd * (nd - 1) / 2 - n2) <= 0
+           THEN 0.0
+         ELSE FLOOR(COALESCE(cd, 0)
+                    / sqrt(CAST((nd * (nd - 1) / 2 - n1)
+                                * (nd * (nd - 1) / 2 - n2) AS DOUBLE))
+                    * 1e6) / 1e6
+       END AS tau_b
+FROM n
+LEFT JOIN pairs ON n.month = pairs.month
+LEFT JOIN tx ON n.month = tx.month
+LEFT JOIN ty ON n.month = ty.month
+"""
+
+
+@register("agg_kendall_tau", oracle=_KENDALL_ORACLE)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b per month between daily order count and daily revenue.
+
+    tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)) with n0 = n(n-1)/2 and
+    n1/n2 the tied-pair counts in each variable — the tie-corrected
+    concordance coefficient (Spearman, already registered, is the
+    rank-transform Pearson; tau answers "how often do volume and revenue
+    move together day-over-day").
+
+    Scale design: one corpus-sized map-side-combined daily rollup
+    (count + decimal-exact sum in the same pass), then every later stage
+    is day-levelled: a month-keyed pair self-join (<=465 pairs/group),
+    two tie aggs, one count — never all-pairs on raw rows. The rollup is
+    cached: four bounded stages consume it (pairs, tie-x, tie-y, n), and
+    uncached the corpus scan+agg would compile into the plan four times
+    (cache-lifetime note: ts_theil_sen_trend).
+
+    Cross-engine parity: C-D and tie counts are INTEGER products of
+    signs of bit-identical values; the denominator is an integer cast to
+    double under a correctly-rounded sqrt; tau floor-quantizes at 1e-6.
+    Degenerate months (all-tied in either variable) pin tau_b = 0.0
+    before the division.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        dsum("o_totalprice").alias("y"),
+    ).cache()
+    a = daily.select(
+        "month",
+        F.col("day").alias("di"),
+        F.col("x").alias("xi"),
+        F.col("y").alias("yi"),
+    )
+    b = daily.select(
+        "month",
+        F.col("day").alias("dj"),
+        F.col("x").alias("xj"),
+        F.col("y").alias("yj"),
+    )
+    pairs = (
+        a.join(b, "month")
+        .where(F.col("di") < F.col("dj"))
+        .groupBy("month")
+        .agg(
+            F.sum(
+                F.signum(F.col("xj") - F.col("xi"))
+                * F.signum(F.col("yj") - F.col("yi"))
+            )
+            .cast("long")
+            .alias("cd")
+        )
+    )
+
+    def _tie_pairs(col: str, out: str) -> DataFrame:
+        return (
+            daily.groupBy("month", col)
+            .agg(F.count(F.lit(1)).alias("t"))
+            .groupBy("month")
+            .agg(
+                F.sum(F.col("t") * (F.col("t") - 1) / 2)
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    nd = daily.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    n0 = F.col("nd") * (F.col("nd") - 1) / 2
+    denom2 = (n0 - F.col("n1")) * (n0 - F.col("n2"))
+    return (
+        nd.join(pairs, "month", "left")
+        .join(_tie_pairs("x", "n1"), "month", "left")
+        .join(_tie_pairs("y", "n2"), "month", "left")
+        .select(
+            "month",
+            F.col("nd").alias("n_days"),
+            F.coalesce(F.col("cd"), F.lit(0))
+            .cast("long")
+            .alias("conc_minus_disc"),
+            F.when(denom2 <= 0, F.lit(0.0))
+            .otherwise(
+                fquant(
+                    F.coalesce(F.col("cd"), F.lit(0))
+                    / F.sqrt(denom2.cast("double"))
+                )
+            )
+            .alias("tau_b"),
+        )
+    )
+
+
+# --- agg_benjamini_hochberg (registered r11; r12 grading window) ------------
+# Cadence-batch key (SURVEY round-11 log). Multiple-testing control: the
+# per-cell tests produce m p-values; BH picks the largest k with
+# p_(k) <= k/m * alpha and rejects ranks 1..k; the step-up adjusted
+# p-value is the reverse running min of m/l * p_(l), capped at 1.
+
+_BH_ALPHA = 0.05
+
+_BH_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         isodow(ts) - 1 AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE hour(ts) < 8) AS BIGINT) AS b0,
+         CAST(COUNT(*) FILTER (WHERE hour(ts) >= 8 AND hour(ts) < 16)
+              AS BIGINT) AS b1,
+         CAST(COUNT(*) FILTER (WHERE hour(ts) >= 16) AS BIGINT) AS b2
+  FROM events
+  GROUP BY 1, 2
+), q AS (
+  SELECT event_type, dow, n,
+         (b0 - n / 3.0) ^ 2 / (n / 3.0)
+         + (b1 - n / 3.0) ^ 2 / (n / 3.0)
+         + (b2 - n / 3.0) ^ 2 / (n / 3.0) AS q
+  FROM cells
+), qq AS (
+  -- quantize q FIRST and derive p from the QUANTIZED q in both engines
+  -- (a lateral-alias form "... AS q, exp(-q/2) ..." would be ambiguous:
+  -- DuckDB resolves the re-aliased q laterally, Spark the raw one)
+  SELECT event_type, dow, n, FLOOR(q * 1e6) / 1e6 AS q FROM q
+), p AS (
+  SELECT event_type, dow, n, q,
+         FLOOR(exp(-q / 2) * 1e9) / 1e9 AS p
+  FROM qq
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY p, event_type, dow) AS k,
+         COUNT(*) OVER () AS m
+  FROM p
+), flagged AS (
+  SELECT *,
+         MAX(CASE WHEN p <= k / CAST(m AS DOUBLE) * {_BH_ALPHA}
+                  THEN k ELSE 0 END) OVER () AS k_max,
+         MIN(m / CAST(k AS DOUBLE) * p)
+             OVER (ORDER BY k DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS adj_raw
+  FROM ranked
+)
+SELECT event_type, dow, n, q, p,
+       CAST(k AS BIGINT) AS k,
+       k <= k_max AS rejected,
+       FLOOR(LEAST(adj_raw, 1.0) * 1e9) / 1e9 AS p_adj
+FROM flagged
+"""
+
+
+@register("agg_benjamini_hochberg", oracle=_BH_ORACLE)
+def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over per-cell uniformity tests.
+
+    Per (event_type, weekday) cell: a 3-bin hour-of-day uniformity
+    chi-square with 2 df, whose survival function is CLOSED FORM
+    (p = exp(-q/2)) — deliberately chosen so both engines compute the
+    p-value without an erf/gamma special function. BH step-up then runs
+    over the m = |types| x 7 hypotheses: rank by p, reject ranks up to
+    the largest k with p_(k) <= k/m*alpha, and attach the adjusted
+    p-value (reverse running min of m/k * p_(k), capped at 1).
+
+    Scale design: the corpus-sized work is ONE map-side-combined
+    conditional-count aggregate (three FILTER counts in the same pass —
+    no explode, no second scan). Everything after operates on the
+    HYPOTHESIS table (m rows, bounded by the type-dimension x 7 at any
+    corpus scale), where the BH windows are meta-partitioned
+    dimension-grain frames — the accepted global-frame pattern
+    (events_peak_concurrency precedent), never a corpus-sized window.
+
+    Cross-engine parity: bin counts are integers; q is an explicit
+    left-to-right three-term sum of identical doubles; exp() is the one
+    1-ulp-risk op, so p floor-quantizes at 1e-9 INSIDE the chain —
+    ranking, the k/m*alpha threshold and the reverse running min all
+    consume the quantized p (the MMR doctrine). Rank ties break on
+    (event_type, dow); min/max window results are order-insensitive.
+    """
+    ev = table(spark, sf_dir, "events")
+    hod = F.hour("ts")
+    cells = ev.groupBy(
+        "event_type", F.weekday("ts").cast("long").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(hod < 8, 1)).cast("long").alias("b0"),
+        F.count(F.when((hod >= 8) & (hod < 16), 1)).cast("long").alias("b1"),
+        F.count(F.when(hod >= 16, 1)).cast("long").alias("b2"),
+    )
+    e = F.col("n") / F.lit(3.0)
+    q = (
+        (F.col("b0") - e) * (F.col("b0") - e) / e
+        + (F.col("b1") - e) * (F.col("b1") - e) / e
+        + (F.col("b2") - e) * (F.col("b2") - e) / e
+    )
+    qq = cells.select(
+        "event_type", "dow", "n", fquant(q).alias("q")
+    )
+    p = qq.select(
+        "*", fquant(F.exp(-F.col("q") / 2), 9).alias("p")
+    )
+    wmeta = Window.partitionBy(meta_part("n"))
+    ranked = p.select(
+        "*",
+        F.row_number()
+        .over(wmeta.orderBy("p", "event_type", "dow"))
+        .alias("k"),
+        F.count(F.lit(1)).over(wmeta).alias("m"),
+    )
+    crit = F.col("k") / F.col("m").cast("double") * F.lit(_BH_ALPHA)
+    flagged = ranked.select(
+        "*",
+        F.max(F.when(F.col("p") <= crit, F.col("k")).otherwise(0))
+        .over(wmeta)
+        .alias("k_max"),
+        F.min(F.col("m") / F.col("k").cast("double") * F.col("p"))
+        .over(
+            wmeta.orderBy(F.col("k").desc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("adj_raw"),
+    )
+    return flagged.select(
+        "event_type",
+        "dow",
+        "n",
+        "q",
+        "p",
+        F.col("k").cast("long").alias("k"),
+        (F.col("k") <= F.col("k_max")).alias("rejected"),
+        fquant(F.least(F.col("adj_raw"), F.lit(1.0)), 9).alias("p_adj"),
     )

@@ -1700,3 +1700,55 @@ def graph_label_propagation(
         .cast("long")
         .alias("comm_size"),
     )
+
+
+# --- join_existence_mark (registered r11; r12 grading window) ---------------
+# First key of the post-428 cadence (SURVEY round-11 log): registered the
+# round it is built, graded next round after the r12 rotation-then-insert.
+
+_MARK_ORACLE = """
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey) AS has_order,
+       EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT') AS has_urgent
+FROM customer c
+"""
+
+
+@register("join_existence_mark", oracle=_MARK_ORACLE)
+def join_existence_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark join — EXISTS as a kept BOOLEAN column, not a filter.
+
+    ``join_semi_anti`` (j4) covers EXISTS as row selection; this key
+    covers the other half of the surface: correlated EXISTS in the
+    SELECT list ("mark join" in DuckDB's planner), where every probe row
+    survives and the existence test becomes data. Two marks with
+    different predicates ride ONE build-side pass.
+
+    Scale design: the naive form is two correlated subqueries = two
+    joins over orders. Instead orders collapses FIRST to one bit-pair
+    per custkey (map-side-combined boolean aggregate: any order / any
+    urgent order — ``max`` over booleans), then ONE left equi-join
+    attaches both marks; ``coalesce(false)`` fills never-ordered
+    customers. One shuffle for the agg, one for the join, no row
+    explosion beyond |customer|, and adding a third mark is another
+    aggregate column, not another join.
+    """
+    c = table(spark, sf_dir, "customer")
+    marks = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey"))
+        .agg(
+            F.max(F.lit(True)).alias("m_any"),
+            F.max(F.col("o_orderpriority") == "1-URGENT").alias("m_urgent"),
+        )
+    )
+    return c.join(marks, c.c_custkey == marks.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("m_any"), F.lit(False)).alias("has_order"),
+        F.coalesce(F.col("m_urgent"), F.lit(False)).alias("has_urgent"),
+    )

@@ -7239,3 +7239,153 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_sen_slope"
         ),
     )
+
+
+# --- ts_mann_kendall_trend (registered r11; r12 grading window) -------------
+# Cadence-batch key (SURVEY round-11 log). Companion to ts_theil_sen_trend:
+# Theil-Sen gives the robust slope MAGNITUDE, Mann-Kendall gives the
+# nonparametric SIGNIFICANCE of the monotone trend — the standard pairing.
+
+_MANN_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS rev
+  FROM orders
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.month, CAST(SUM(SIGN(b.rev - a.rev)) AS BIGINT) AS s
+  FROM daily a JOIN daily b
+    ON a.month = b.month AND a.day < b.day
+  GROUP BY 1
+), ties AS (
+  SELECT month, rev, CAST(COUNT(*) AS BIGINT) AS t
+  FROM daily GROUP BY 1, 2
+), stats AS (
+  SELECT month,
+         CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tc
+  FROM ties GROUP BY 1
+), mk AS (
+  SELECT stats.month,
+         n,
+         COALESCE(s, 0) AS s,
+         (n * (n - 1) * (2 * n + 5) - tc) / 18.0 AS var_s
+  FROM stats LEFT JOIN pairs ON stats.month = pairs.month
+), z AS (
+  SELECT month, n, s, var_s,
+         FLOOR((CASE
+                  WHEN var_s <= 0 OR s = 0 THEN 0.0
+                  WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                  ELSE (s + 1) / sqrt(var_s)
+                END) * 1e6) / 1e6 AS z
+  FROM mk
+)
+SELECT month,
+       n AS n_days,
+       s AS s_stat,
+       FLOOR(var_s * 1e6) / 1e6 AS var_s,
+       z,
+       CASE WHEN z > 1.96 THEN 'increasing'
+            WHEN z < -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM z
+"""
+
+
+@register("ts_mann_kendall_trend", oracle=_MANN_KENDALL_ORACLE)
+def ts_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per month over daily revenue.
+
+    S = sum over day pairs of sign(rev_j - rev_i); Var(S) carries the
+    standard tie correction (sum t(t-1)(2t+5) over tied-revenue groups);
+    z applies the +/-1 continuity correction and classifies the trend at
+    the 5% two-sided level. The natural companion to
+    ``ts_theil_sen_trend`` — MK tests the monotone trend the Theil–Sen
+    slope measures, on the same bounded pair lattice.
+
+    Scale design (the Theil–Sen skeleton): ONE corpus-sized map-side-
+    combined daily rollup, cached because three bounded stages consume
+    it (pairs, tie groups, n) — day-levelled, <=31 rows/month at any
+    corpus size (cache-lifetime note: ts_theil_sen_trend). The pair
+    self-join is month-keyed (<=465 pairs/group), tie counting is two
+    tiny keyed aggs — nothing corpus-scale after the first rollup.
+
+    Cross-engine parity: S and the tie terms are INTEGER (sign of
+    bit-identical doubles); var_s is integer/18.0; z divides by a
+    correctly-rounded sqrt — all deterministic — and is floor-quantized
+    INSIDE the chain so the 1.96 classification compares quantized
+    values in both engines (the MMR doctrine). Degenerate months
+    (n = 1, or all revenues tied) pin z = 0 before any division.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("day"),
+    ).agg(dsum("o_totalprice").alias("rev")).cache()
+    a = daily.select(
+        "month", F.col("day").alias("di"), F.col("rev").alias("ri")
+    )
+    b = daily.select(
+        "month", F.col("day").alias("dj"), F.col("rev").alias("rj")
+    )
+    pairs = (
+        a.join(b, "month")
+        .where(F.col("di") < F.col("dj"))
+        .groupBy("month")
+        .agg(
+            F.sum(F.signum(F.col("rj") - F.col("ri")))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    stats = (
+        daily.groupBy("month", "rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("month")
+        .agg(
+            F.sum("t").cast("long").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tc"),
+        )
+    )
+    mk = stats.join(pairs, "month", "left").select(
+        "month",
+        "n",
+        F.coalesce(F.col("s"), F.lit(0)).alias("s"),
+        (
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tc")
+            )
+            / F.lit(18.0)
+        ).alias("var_s"),
+    )
+    z = mk.select(
+        "month",
+        "n",
+        "s",
+        "var_s",
+        fquant(
+            F.when((F.col("var_s") <= 0) | (F.col("s") == 0), F.lit(0.0))
+            .when(
+                F.col("s") > 0,
+                (F.col("s") - 1) / F.sqrt(F.col("var_s")),
+            )
+            .otherwise((F.col("s") + 1) / F.sqrt(F.col("var_s")))
+        ).alias("z"),
+    )
+    return z.select(
+        "month",
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        fquant(F.col("var_s")).alias("var_s"),
+        "z",
+        F.when(F.col("z") > 1.96, "increasing")
+        .when(F.col("z") < -1.96, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )
