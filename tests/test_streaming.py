@@ -330,3 +330,60 @@ def test_stream_stream_left_outer_equals_batch(spark):
     ).where("user_id >= 0")
     assert streamed.where("purchase_ts IS NULL").count() > 0
     assert _canon(streamed) == _canon(batch)
+
+
+def test_stream_chained_windows_equals_batch(spark):
+    """r11 cadence key: two chained stateful window aggregations in one
+    real stream (watermark + append — the multiple-stateful-operator
+    rule). Staged files are ts-range-disjoint, so nothing arrives late
+    and the append output is exactly the batch result restricted to
+    hour windows finalized by the FINAL watermark (end <= max ts - 10
+    min; hour-aligned ends can't tie the sub-second max ts)."""
+    from pyspark.sql import functions as F
+
+    staged = B.stage_events_files(spark, SF_SMOKE, n_files=4, tag="pytest")
+    stream = B.events_stream_staged(spark, staged, max_files_per_trigger=1)
+    streamed = B.run_to_memory(
+        B.chained_window_peaks(stream, watermark="10 minutes"), mode="append"
+    )
+
+    ev = table(spark, SF_SMOKE, "events")
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("w")
+    )
+    batch = (
+        B.chained_window_peaks(ev)
+        .crossJoin(F.broadcast(wm))
+        .where(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.col("w"))
+        .drop("w")
+    )
+    got, exp = _canon(streamed), _canon(batch)
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_stream_windowed_distinct_users_equals_batch(spark):
+    """r11 cadence key: event-time dedup state + count state chained in
+    one real stream; append output == batch distinct-count on the
+    watermark-finalized hours."""
+    from pyspark.sql import functions as F
+
+    staged = B.stage_events_files(spark, SF_SMOKE, n_files=4, tag="pytest")
+    stream = B.events_stream_staged(spark, staged, max_files_per_trigger=1)
+    streamed = B.run_to_memory(
+        B.hourly_distinct_users(stream, watermark="10 minutes"), mode="append"
+    )
+
+    ev = table(spark, SF_SMOKE, "events")
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("w")
+    )
+    batch = (
+        B.hourly_distinct_users(ev)
+        .crossJoin(F.broadcast(wm))
+        .where(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.col("w"))
+        .drop("w")
+    )
+    got, exp = _canon(streamed), _canon(batch)
+    assert got == exp
+    assert len(got) > 0

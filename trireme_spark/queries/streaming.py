@@ -28,7 +28,9 @@ from trireme_spark.parity import oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 from trireme_spark.streaming.builders import (
+    chained_window_peaks,
     dedup_by_key,
+    hourly_distinct_users,
     events_stream_staged,
     run_to_memory,
     session_windows,
@@ -492,3 +494,63 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return click_purchase_join(
         table(spark, sf_dir, "events"), how="leftOuter"
     )
+
+
+# --- r11 cadence-batch streaming keys (r12 grading window) ------------------
+# Registered under the post-428 cadence (SURVEY round-11 log): the two
+# multiple-stateful-operator surfaces Spark 3.4/3.5 added — chained
+# event-time window aggregation, and the dedup-then-count rewrite that
+# makes exact streaming COUNT(DISTINCT) legal. Same contract as t1-t3:
+# the registered form is the batch-equivalent of the shared builder;
+# tests/test_streaming.py replays the SAME builder through a real
+# multi-file stream (watermark + append mode, as the
+# multiple-stateful-operator rule requires) and asserts stream == batch
+# on the watermark-finalized prefix.
+
+_CHAINED_ORACLE = """
+WITH s1 AS (
+  SELECT make_timestamp(
+           (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900) * 1000000
+         ) AS w15,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n15
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT make_timestamp(
+         (CAST(floor(epoch(w15) / 3600) AS BIGINT) * 3600) * 1000000
+       ) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_subwindows,
+       CAST(MAX(n15) AS BIGINT) AS peak_15m,
+       CAST(SUM(n15) AS BIGINT) AS total
+FROM s1
+GROUP BY 1, 2
+"""
+
+
+@register("stream_chained_time_windows", oracle=_CHAINED_ORACLE)
+def stream_chained_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained time-window aggregation — 15-min sub-counts rolled into
+    hourly n/peak/total per event_type (batch-equivalent of the
+    streaming builder; replayed as a real two-stateful-operator stream
+    in tests)."""
+    return chained_window_peaks(table(spark, sf_dir, "events"))
+
+
+_DISTINCT_USERS_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1
+"""
+
+
+@register("stream_windowed_distinct_users", oracle=_DISTINCT_USERS_ORACLE)
+def stream_windowed_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact distinct users per hour via the streaming-legal two-stage
+    rewrite (event-time dedup, then count) — batch-equivalent form;
+    the real dedup-state + agg-state stream runs in tests."""
+    return hourly_distinct_users(table(spark, sf_dir, "events"))

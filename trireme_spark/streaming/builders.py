@@ -577,3 +577,62 @@ def stage_events_files_with_sentinels(
             p = os.path.join(out, fn)
             os.utime(p, (base_t + i * 10, base_t + i * 10))
     return out
+
+
+def chained_window_peaks(
+    events: DataFrame, watermark: str | None = None
+) -> DataFrame:
+    """Chained event-time windows (Spark 3.4+ multiple stateful
+    aggregations): 15-minute sub-window counts re-aggregated into 1-hour
+    peak/mean statistics — the "peak QPS per hour" shape. Stage 2 windows
+    over :func:`pyspark.sql.functions.window_time` (the sub-window's
+    event-time representative point), which is what makes the second
+    stateful aggregation legal in a stream.
+
+    State: stage-1 holds (15-min window x type) counts, stage-2 (hour x
+    type) partials; both expire with the watermark — bounded by active
+    windows x types, never by corpus size. Streaming runs require a
+    watermark + append mode (the multiple-stateful-operator rule)."""
+    df = events.withWatermark("ts", watermark) if watermark else events
+    s1 = df.groupBy(
+        F.window("ts", "15 minutes").alias("w15"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n15"))
+    return (
+        s1.groupBy(
+            F.window(F.window_time("w15"), "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_subwindows"),
+            F.max("n15").cast("long").alias("peak_15m"),
+            F.sum("n15").cast("long").alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_subwindows",
+            "peak_15m",
+            "total",
+        )
+    )
+
+
+def hourly_distinct_users(
+    events: DataFrame, watermark: str | None = None
+) -> DataFrame:
+    """Exact COUNT(DISTINCT user) per hour, streaming-legal: distinct
+    aggregates are unsupported in streaming, so this is the canonical
+    two-stage rewrite — event-time dropDuplicates on (window, user)
+    followed by a plain count. Dedup state is keyed on the event-time
+    window, so the watermark expires it; the count state is one long per
+    (hour) — both bounded. Streaming runs require a watermark + append
+    mode (dedup + agg = multiple stateful operators)."""
+    df = events.withWatermark("ts", watermark) if watermark else events
+    d = df.select(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).dropDuplicates(["w", "user_id"])
+    return (
+        d.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_users")
+    )
