@@ -276,3 +276,88 @@ def geo_hotspot_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("gi_z").desc(), F.col("cell").asc())
         .limit(20)
     )
+
+
+# --- geo_nearest_facility (registered r11; r12 grading window) --------------
+# Cadence-batch key (SURVEY round-11 log). Third geo primitive: the
+# nearest-neighbor ASSIGNMENT (every customer -> closest supplier),
+# complementing the radius join (geo_distance_join) and the hotspot scan
+# (geo_hotspot_gi).
+
+_NEAREST_ORACLE = f"""
+WITH c AS (
+  SELECT c_custkey,
+         {_plant_sql('c_custkey', 1)} * 120 - 60 AS lat,
+         {_plant_sql('c_custkey', 2)} * 240 - 120 AS lon
+  FROM customer
+), s AS (
+  SELECT s_suppkey,
+         {_plant_sql('s_suppkey', 3)} * 120 - 60 AS lat,
+         {_plant_sql('s_suppkey', 4)} * 240 - 120 AS lon
+  FROM supplier
+), pairs AS (
+  SELECT c_custkey, s_suppkey,
+         FLOOR({_hav_sql('c.lat', 'c.lon', 's.lat', 's.lon')} * 1e6) / 1e6
+             AS dist_km
+  FROM c CROSS JOIN s
+)
+SELECT c_custkey, s_suppkey AS nearest_suppkey, dist_km
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY dist_km, s_suppkey) AS rn
+  FROM pairs
+)
+WHERE rn = 1
+"""
+
+
+@register("geo_nearest_facility", oracle=_NEAREST_ORACLE)
+def geo_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility assignment: each customer mapped to its closest
+    supplier (haversine argmin) with the distance attached — the
+    store-assignment / catchment primitive.
+
+    Scale design: facilities are DIMENSION-sized, so the right 100 TB
+    plan is facility broadcast + per-row argmin — the probe side streams
+    once, evaluates |facilities| haversines per row executor-side, and
+    reduces via a map-side-combined min aggregate; no shuffle of the
+    probe side at all beyond the final per-customer combine, and no
+    window over corpus-scale pair sets (the oracle's rank form is the
+    brute-force twin, not the plan). Were facilities corpus-sized, the
+    grid path (geo_distance_join's cells, expanding-ring probes) takes
+    over; the docstring records that switchover deliberately.
+
+    Determinism: distance floor-quantizes at 1e-6 km INSIDE the chain,
+    and the argmin is a lexicographic struct-min on (dist, suppkey) —
+    equidistant facilities resolve to the smallest key in both engines.
+    """
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (_plant("c_custkey", 1) * 120 - 60).alias("lat"),
+        (_plant("c_custkey", 2) * 240 - 120).alias("lon"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (_plant("s_suppkey", 3) * 120 - 60).alias("s_lat"),
+        (_plant("s_suppkey", 4) * 240 - 120).alias("s_lon"),
+    )
+    from trireme_spark.parity import fquant
+
+    pairs = cust.crossJoin(F.broadcast(supp)).select(
+        "c_custkey",
+        fquant(
+            _haversine(
+                F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")
+            )
+        ).alias("dist_km"),
+        "s_suppkey",
+    )
+    best = pairs.groupBy("c_custkey").agg(
+        F.min(F.struct("dist_km", "s_suppkey")).alias("b")
+    )
+    return best.select(
+        "c_custkey",
+        F.col("b.s_suppkey").alias("nearest_suppkey"),
+        F.col("b.dist_km").alias("dist_km"),
+    )
