@@ -75,7 +75,15 @@ AUDITED = {
     },
     "queries/clustering.py": {"cluster_assign": 1, "cluster_silhouette": 1},
     "queries/filters.py": {"filter_top_percent": 1},
-    "queries/geo.py": {"geo_hotspot_gi": 1},
+    # r11 cadence audit: fn_variant_schema_union broadcasts the
+    # per-group schema_of_variant_agg rollup — one row per drift group
+    # (bounded by the planted group alphabet, not corpus rows).
+    "queries/functions_scalar.py": {"fn_variant_schema_union": 1},
+    # r11 cadence audit: geo_nearest_facility broadcasts the facility
+    # (supplier) spine — dimension-sized by the key's contract; the
+    # docstring records the grid-path switchover were facilities
+    # corpus-sized.
+    "queries/geo.py": {"geo_hotspot_gi": 1, "geo_nearest_facility": 1},
     "queries/governance.py": {
         "etl_dp_noisy_counts": 1,
         "etl_k_anonymity_audit": 1,
