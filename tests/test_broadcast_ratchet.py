@@ -174,6 +174,12 @@ AUDITED = {
         "ts_ar1_fit": 1,
         "ts_autocorrelation": 2,
         "ts_decompose_additive": 1,
+        # r11 cadence-2 audit: ljung_box broadcasts the 1-row moment
+        # frame + the 24-row lag spine (ACF's exact pattern); pettitt
+        # broadcasts the calendar-bounded monthly series (pair-lattice
+        # build side) + a 1-row count/max frame.
+        "ts_ljung_box": 2,
+        "ts_pettitt_changepoint": 2,
         "ts_ewma_control_chart": 1,
         "ts_interpolate_linear": 1,
         "ts_periodogram": 1,

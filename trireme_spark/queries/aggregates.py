@@ -3130,3 +3130,116 @@ def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") <= F.col("k_max")).alias("rejected"),
         fquant(F.least(F.col("adj_raw"), F.lit(1.0)), 9).alias("p_adj"),
     )
+
+
+# --- agg_hodges_lehmann (registered r11; r13 grading window) -----------------
+# Cadence-batch key 2 (SURVEY round-11 log). Robust-location family mate:
+# trimmed/winsorized means discard tails by fiat; the Hodges-Lehmann
+# pseudo-median (median of all pairwise Walsh averages, i <= j) achieves a
+# 29% breakdown point with ~96% Gaussian efficiency — the location twin of
+# ts_theil_sen_trend's slope.
+
+_HL_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS day,
+         {oracle_sum('o_totalprice')} AS y
+  FROM orders GROUP BY 1, 2
+), pairs AS (
+  SELECT a.month, (a.y + b.y) / 2 AS walsh, a.day AS di, b.day AS dj
+  FROM daily a JOIN daily b ON a.month = b.month AND a.day <= b.day
+), r AS (
+  SELECT month, walsh,
+         ROW_NUMBER() OVER (PARTITION BY month
+                            ORDER BY walsh, di, dj) AS rn,
+         COUNT(*) OVER (PARTITION BY month) AS m
+  FROM pairs
+), nd AS (
+  SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+)
+SELECT nd.month, nd.n_days,
+       FLOOR(CAST(SUM(CAST(walsh AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(*) * 1e6) / 1e6 AS hl_revenue
+FROM r JOIN nd ON r.month = nd.month
+WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+GROUP BY nd.month, nd.n_days
+"""
+
+
+@register("agg_hodges_lehmann", oracle=_HL_ORACLE)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudo-median of daily revenue, per month.
+
+    HL = median{ (y_i + y_j) / 2 : i <= j } over the month's daily
+    revenue values (Walsh averages, self-pairs included — the one-sample
+    estimator). Robust to a 29% contamination fraction where the mean
+    breaks at one bad day, yet ~96% efficient at the Gaussian —
+    the robust-location complement to agg_trimmed_mean /
+    agg_winsorized_mean, and the location twin of ts_theil_sen_trend.
+
+    Scale design: one corpus-sized map-side-combined daily rollup
+    (cached — pairs and the day count both consume it), then everything
+    is day-levelled: a month-keyed pair self-join bounded at
+    31*32/2 = 496 Walsh averages per group AT ANY CORPUS SIZE, one
+    month-partitioned window carrying row_number + partition count in a
+    single sort, and a <=2-row-per-month final agg. Never a window or
+    pair set at corpus grain.
+
+    Cross-engine parity: Walsh averages are (y_i + y_j)/2 on
+    bit-identical dsum doubles (IEEE-deterministic); the MEDIAN is an
+    EXPLICIT rank rule — rows (m+1)//2 and m//2+1 under the total order
+    (walsh, di, dj), averaged through an exact decimal sum — because
+    engine median()/quantile interpolation shapes are not cross-engine
+    pinned (the ts_theil_sen_trend doctrine). Output floor-quantizes at
+    1e-6.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            F.dayofmonth("o_orderdate").cast("long").alias("day"),
+        )
+        .agg(dsum("o_totalprice").alias("y"))
+        .cache()
+    )
+    a = daily.select(
+        "month", F.col("day").alias("di"), F.col("y").alias("yi")
+    )
+    b = daily.select(
+        "month", F.col("day").alias("dj"), F.col("y").alias("yj")
+    )
+    pairs = (
+        a.join(b, "month")
+        .where(F.col("di") <= F.col("dj"))
+        .select(
+            "month",
+            ((F.col("yi") + F.col("yj")) / 2).alias("walsh"),
+            "di",
+            "dj",
+        )
+    )
+    wo = Window.partitionBy("month").orderBy("walsh", "di", "dj")
+    wm = Window.partitionBy("month")
+    r = pairs.select(
+        "month",
+        "walsh",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wm).alias("m"),
+    )
+    sel = r.where(
+        (F.col("rn") == F.shiftright(F.col("m") + 1, 1))
+        | (F.col("rn") == F.shiftright(F.col("m"), 1) + 1)
+    )
+    nd = daily.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        sel.join(nd, "month")
+        .groupBy("month", "n_days")
+        .agg(
+            fquant(
+                F.sum(F.col("walsh").cast(DSCALE)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("hl_revenue")
+        )
+    )

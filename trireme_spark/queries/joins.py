@@ -1752,3 +1752,115 @@ def join_existence_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("m_any"), F.lit(False)).alias("has_order"),
         F.coalesce(F.col("m_urgent"), F.lit(False)).alias("has_urgent"),
     )
+
+
+# --- graph_two_hop_recs (registered r11; r13 grading window) -----------------
+# Cadence-batch key 2 (SURVEY round-11 log). First multi-hop path operator
+# in the graph family: "customers who bought X also bought Y" at distance
+# two — the collaborative-filtering recommendation primitive (pagerank
+# scores nodes globally, jaccard_links scores existing edges; this key
+# SURFACES non-edges reachable through strong intermediates).
+
+_TWO_HOP_ORACLE = f"""{_COPURCHASE_EDGE_CTE},
+hop1 AS (
+  SELECT src, dst, w FROM (
+    SELECT src, dst, w,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY w DESC, dst) AS rn
+    FROM e
+  ) WHERE rn <= 3
+), paths AS (
+  SELECT h1.src, h2.dst AS rec, LEAST(h1.w, h2.w) AS pw
+  FROM hop1 h1 JOIN hop1 h2 ON h1.dst = h2.src
+  WHERE h2.dst <> h1.src
+), cand AS (
+  SELECT p.src, p.rec,
+         CAST(SUM(pw) AS BIGINT) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_paths
+  FROM paths p
+  ANTI JOIN e ON p.src = e.src AND p.rec = e.dst
+  GROUP BY 1, 2
+)
+SELECT src, rec, CAST(rn AS BIGINT) AS rec_rank, score, n_paths
+FROM (
+  SELECT src, rec, score, n_paths,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY score DESC, rec) AS rn
+  FROM cand
+) WHERE rn <= 3
+"""
+
+
+@register("graph_two_hop_recs", oracle=_TWO_HOP_ORACLE)
+def graph_two_hop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop co-purchase recommendations: for each part, the top-3
+    parts reachable through its strongest neighbors but NOT directly
+    co-purchased — path score = sum over 2-paths of the bottleneck
+    weight min(w1, w2), the classic item-item CF walk.
+
+    Scale design: fanout is BOUNDED BY CONSTRUCTION — each node keeps
+    only its top-3 strongest out-edges (one edge-keyed window) before
+    hopping, so the path set is <=9 candidates per node at any graph
+    size, never degree^2; the direct-edge exclusion is a keyed ANTI
+    join on (src, rec) against the edge table; both hops are keyed
+    equi-joins on the intermediate node. No all-pairs stage anywhere —
+    the same band/bucket doctrine as the dedup family, applied to
+    graph walks.
+
+    Cross-engine parity: weights are co-occurrence COUNTS, bottleneck
+    is integer LEAST, scores are integer sums — zero float surface;
+    both rank rules carry full tie-breaks ((w DESC, dst) and
+    (score DESC, rec)).
+
+    Uses the shared _copurchase_edges rule (one edge definition across
+    pagerank / LPA / this key).
+    """
+    e = _copurchase_edges(spark, sf_dir).cache()
+    w1 = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
+    hop1 = (
+        e.select("src", "dst", "w", F.row_number().over(w1).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+    h1 = hop1.select(
+        F.col("src").alias("s"), F.col("dst").alias("m"), F.col("w").alias("w1")
+    )
+    h2 = hop1.select(
+        F.col("src").alias("m"), F.col("dst").alias("rec"), F.col("w").alias("w2")
+    )
+    paths = (
+        h1.join(h2, "m")
+        .where(F.col("rec") != F.col("s"))
+        .select(
+            F.col("s").alias("src"),
+            "rec",
+            F.least(F.col("w1"), F.col("w2")).alias("pw"),
+        )
+    )
+    cand = (
+        paths.join(
+            e.select(F.col("src"), F.col("dst").alias("rec")),
+            ["src", "rec"],
+            "left_anti",
+        )
+        .groupBy("src", "rec")
+        .agg(
+            F.sum("pw").cast("long").alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+        )
+    )
+    w2 = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("rec"))
+    return (
+        cand.select(
+            "src", "rec", F.row_number().over(w2).alias("rn"), "score",
+            "n_paths",
+        )
+        .where(F.col("rn") <= 3)
+        .select(
+            "src",
+            "rec",
+            F.col("rn").cast("long").alias("rec_rank"),
+            "score",
+            "n_paths",
+        )
+    )

@@ -17,7 +17,15 @@ from pyspark.sql.window import Window
 from trireme_spark.functions.text import STOPWORDS, tokenize
 from trireme_spark.operators.hints import broadcast_if_small
 from trireme_spark.operators.similarity import shingles
-from trireme_spark.parity import DSCALE, davg, dsum, meta_part, oracle_avg, oracle_sum
+from trireme_spark.parity import (
+    DSCALE,
+    davg,
+    dsum,
+    fquant,
+    meta_part,
+    oracle_avg,
+    oracle_sum,
+)
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -2667,4 +2675,137 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("n_chars").cast("double") / F.sum("n_pieces"), 6
         ).alias("chars_per_piece"),
+    )
+
+
+# --- text_annotator_agreement (registered r11; r13 grading window) -----------
+# Cadence-batch key 2 (SURVEY round-11 log). Inter-annotator agreement —
+# the curation-QA primitive: when two labelers (here: two deterministic
+# quality heuristics) rate the same corpus, raw percent agreement
+# overstates consensus because imbalanced marginals agree by chance;
+# Cohen's kappa is the chance-corrected coefficient (cramers_v, already
+# registered, measures ASSOCIATION between different variables — kappa
+# measures AGREEMENT on the same scale).
+
+_KAPPA_ORACLE = """
+WITH lab AS (
+  SELECT lang,
+         CASE WHEN n_chars >= 380 THEN 'long'
+              WHEN n_chars >= 210 THEN 'mid' ELSE 'short' END AS la,
+         CASE WHEN array_length(regexp_split_to_array(trim(text), '\\s+'))
+                   >= 64 THEN 'long'
+              WHEN array_length(regexp_split_to_array(trim(text), '\\s+'))
+                   >= 35 THEN 'mid' ELSE 'short' END AS lb
+  FROM documents
+), cells AS (
+  SELECT lang, la, lb, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lab GROUP BY 1, 2, 3
+), tot AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT) AS diag
+  FROM cells GROUP BY 1
+), marg AS (
+  SELECT r.lang, CAST(SUM(CAST(r.r AS HUGEINT) * s.s) AS DOUBLE) AS pe_num
+  FROM (SELECT lang, la AS lab, SUM(c) AS r FROM cells GROUP BY 1, 2) r
+  JOIN (SELECT lang, lb AS lab, SUM(c) AS s FROM cells GROUP BY 1, 2) s
+    ON r.lang = s.lang AND r.lab = s.lab
+  GROUP BY 1
+)
+SELECT t.lang, t.n AS n_docs,
+       FLOOR(CAST(t.diag AS DOUBLE) / t.n * 1e6) / 1e6 AS po,
+       FLOOR(pe_num / (CAST(t.n AS HUGEINT) * t.n) * 1e6) / 1e6 AS pe,
+       CASE WHEN CAST(CAST(t.n AS HUGEINT) * t.n AS DOUBLE) = pe_num
+            THEN 0.0
+            ELSE FLOOR((CAST(CAST(t.diag AS HUGEINT) * t.n AS DOUBLE)
+                        - pe_num)
+                       / (CAST(CAST(t.n AS HUGEINT) * t.n AS DOUBLE)
+                          - pe_num) * 1e6) / 1e6
+       END AS kappa
+FROM tot t JOIN marg m ON t.lang = m.lang
+"""
+
+
+@register("text_annotator_agreement", oracle=_KAPPA_ORACLE)
+def text_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic quality annotators,
+    per language.
+
+    Annotator A labels documents long/mid/short by character count
+    (>=380 / >=210); annotator B by whitespace-token count (>=64 /
+    >=35). kappa = (p_o - p_e) / (1 - p_e) with p_o the observed
+    agreement and p_e the chance agreement from the marginals — the
+    inter-annotator-agreement gate a labeling pipeline runs before
+    trusting labels for training data.
+
+    Scale design: ONE corpus pass computes both labels row-locally and
+    collapses to the (lang, la, lb) contingency cells (map-side-combined
+    count; <=9 cells per language at any corpus size, cached — totals,
+    diagonal and both marginals all consume the cell table). Everything
+    downstream is alphabet-sized.
+
+    Cross-engine parity: every quantity is an exact integer until the
+    final divisions; the cross products diag*n and sum(row_k * col_k)
+    are computed in 128-bit (decimal(38,0) / HUGEINT — n^2 overflows
+    int64 past ~3e9 docs), kappa is a SINGLE division of exact integers
+    ((diag*n - pe_num) / (n^2 - pe_num) — algebraically (po-pe)/(1-pe)
+    without intermediate rounding), and po/pe/kappa floor-quantize at
+    1e-6. Degenerate marginals (pe = 1: a one-cell language) pin
+    kappa = 0.0 before the division.
+    """
+    d = table(spark, sf_dir, "documents")
+    nw = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    lab = d.select(
+        "lang",
+        F.when(F.col("n_chars") >= 380, "long")
+        .when(F.col("n_chars") >= 210, "mid")
+        .otherwise("short")
+        .alias("la"),
+        F.when(nw >= 64, "long")
+        .when(nw >= 35, "mid")
+        .otherwise("short")
+        .alias("lb"),
+    )
+    cells = (
+        lab.groupBy("lang", "la", "lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .cache()
+    )
+    tot = cells.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("diag"),
+    )
+    rows = cells.groupBy("lang", F.col("la").alias("lab")).agg(
+        F.sum("c").alias("r")
+    )
+    cols = cells.groupBy("lang", F.col("lb").alias("lab")).agg(
+        F.sum("c").alias("s")
+    )
+    marg = (
+        rows.join(cols, ["lang", "lab"])
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.col("r").cast("decimal(38,0)")
+                * F.col("s").cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("pe_num")
+        )
+    )
+    n2 = (
+        F.col("n").cast("decimal(38,0)") * F.col("n").cast("decimal(38,0)")
+    ).cast("double")
+    dn = (
+        F.col("diag").cast("decimal(38,0)") * F.col("n").cast("decimal(38,0)")
+    ).cast("double")
+    return tot.join(marg, "lang").select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        fquant(F.col("diag").cast("double") / F.col("n")).alias("po"),
+        fquant(F.col("pe_num") / n2).alias("pe"),
+        F.when(n2 == F.col("pe_num"), F.lit(0.0))
+        .otherwise(fquant((dn - F.col("pe_num")) / (n2 - F.col("pe_num"))))
+        .alias("kappa"),
     )

@@ -7389,3 +7389,418 @@ def ts_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no_trend")
         .alias("trend"),
     )
+
+
+# --- orders_mom_revenue_bridge (registered r11; r13 grading window) ----------
+# Cadence-batch key 2 (SURVEY round-11 log). The month-over-month revenue
+# WATERFALL: net change decomposed into new / expansion / contraction /
+# churned customer contributions — the BI bridge chart behind every
+# revenue review (orders_segment_migration tracks WHO moves between
+# segments; this key tracks WHERE the money moved).
+
+_BRIDGE_ORACLE = """
+WITH mc AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS rev
+  FROM orders GROUP BY 1, 2
+), j AS (
+  SELECT COALESCE(c.month, p.month + INTERVAL 1 MONTH) AS month,
+         COALESCE(c.rev, 0) - COALESCE(p.rev, 0) AS delta,
+         c.rev AS rc, p.rev AS rp
+  FROM mc c FULL JOIN mc p
+    ON c.o_custkey = p.o_custkey
+   AND c.month = p.month + INTERVAL 1 MONTH
+)
+SELECT month,
+       CAST(COUNT(*) FILTER (WHERE rp IS NULL) AS BIGINT) AS n_new,
+       CAST(COUNT(*) FILTER (WHERE rc IS NULL) AS BIGINT) AS n_churned,
+       CAST(COUNT(*) FILTER (WHERE rc > rp) AS BIGINT) AS n_expanded,
+       CAST(COUNT(*) FILTER (WHERE rc < rp) AS BIGINT) AS n_contracted,
+       CAST(SUM(CASE WHEN rp IS NULL THEN delta ELSE 0 END)
+            AS DOUBLE) AS new_rev,
+       CAST(SUM(CASE WHEN rc > rp THEN delta ELSE 0 END)
+            AS DOUBLE) AS expansion_rev,
+       CAST(SUM(CASE WHEN rc < rp THEN delta ELSE 0 END)
+            AS DOUBLE) AS contraction_rev,
+       CAST(SUM(CASE WHEN rc IS NULL THEN delta ELSE 0 END)
+            AS DOUBLE) AS churned_rev,
+       CAST(SUM(delta) AS DOUBLE) AS net_change
+FROM j
+WHERE month IN (SELECT DISTINCT month FROM mc)
+GROUP BY 1
+"""
+
+
+@register("orders_mom_revenue_bridge", oracle=_BRIDGE_ORACLE)
+def orders_mom_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue bridge per customer class.
+
+    For each month m, every customer falls in exactly one class vs m-1:
+    NEW (no revenue in m-1), CHURNED (no revenue in m), EXPANSION
+    (revenue grew) or CONTRACTION (revenue shrank); the class deltas sum
+    to the month's net revenue change — the waterfall identity
+    new + expansion + contraction + churned = revenue(m) - revenue(m-1),
+    asserted by the independent recompute.
+
+    Scale design: the corpus collapses FIRST to the customer*month
+    rollup (one map-side-combined decimal agg; cached — it feeds the
+    current side, the prior side and the month spine), then ONE
+    full-outer self-equi-join at rollup grain on (custkey, month =
+    prev_month + 1) classifies every transition, and the final agg is
+    month-grain. The month-spine semi-join drops the phantom
+    post-horizon month (last month's customers have no m+1 to churn
+    into); gaps in a customer's history produce churn-then-new pairs by
+    construction.
+
+    Cross-engine parity: revenue stays DECIMAL end-to-end (exact sums,
+    exact differences — no float cancellation between near-equal
+    month totals); doubles appear only in the final cast of exact
+    decimals. Class predicates compare exact decimals.
+    """
+    o = table(spark, sf_dir, "orders")
+    mc = (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            "o_custkey",
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DSCALE)).alias("rev"))
+        .cache()
+    )
+    c = mc.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("month").alias("cm"),
+        F.col("rev").alias("rc"),
+    )
+    p = mc.select(
+        F.col("o_custkey").alias("pk"),
+        (F.col("month") + F.expr("INTERVAL 1 MONTH")).alias("pm"),
+        F.col("rev").alias("rp"),
+    )
+    j = c.join(
+        p, (F.col("ck") == F.col("pk")) & (F.col("cm") == F.col("pm")), "full"
+    ).select(
+        F.coalesce(F.col("cm"), F.col("pm")).alias("month"),
+        (
+            F.coalesce(F.col("rc"), F.lit(0).cast(DSCALE))
+            - F.coalesce(F.col("rp"), F.lit(0).cast(DSCALE))
+        ).alias("delta"),
+        "rc",
+        "rp",
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    out = j.groupBy("month").agg(
+        F.count_if(F.col("rp").isNull()).cast("long").alias("n_new"),
+        F.count_if(F.col("rc").isNull()).cast("long").alias("n_churned"),
+        F.count_if(F.col("rc") > F.col("rp")).cast("long").alias("n_expanded"),
+        F.count_if(F.col("rc") < F.col("rp"))
+        .cast("long")
+        .alias("n_contracted"),
+        F.sum(F.when(F.col("rp").isNull(), F.col("delta")).otherwise(zero))
+        .cast("double")
+        .alias("new_rev"),
+        F.sum(
+            F.when(F.col("rc") > F.col("rp"), F.col("delta")).otherwise(zero)
+        )
+        .cast("double")
+        .alias("expansion_rev"),
+        F.sum(
+            F.when(F.col("rc") < F.col("rp"), F.col("delta")).otherwise(zero)
+        )
+        .cast("double")
+        .alias("contraction_rev"),
+        F.sum(F.when(F.col("rc").isNull(), F.col("delta")).otherwise(zero))
+        .cast("double")
+        .alias("churned_rev"),
+        F.sum("delta").cast("double").alias("net_change"),
+    )
+    spine = mc.select("month").distinct()
+    return out.join(spine, "month", "semi")
+
+
+# --- ts_ljung_box (registered r11; r13 grading window) -----------------------
+# Cadence-batch key 2 (SURVEY round-11 log). The PORTMANTEAU white-noise
+# test: ts_autocorrelation reports each lag's rho in isolation and
+# ts_runs_test checks sign alternation; Ljung-Box aggregates the first h
+# autocorrelations into one chi-square statistic — the standard "are the
+# residuals white" gate after any of the registered decompositions/fits.
+
+# Upper-5% chi-square critical values, df = 1..24 (standard table).
+_CHI2_CRIT_05 = [
+    3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507,
+    16.919, 18.307, 19.675, 21.026, 22.362, 23.685, 24.996, 26.296,
+    27.587, 28.869, 30.144, 31.410, 32.671, 33.924, 35.172, 36.415,
+]
+
+_LJUNG_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts))
+              // 3600000000 AS BIGINT) AS hidx,
+         {oracle_sum('value')} AS v
+  FROM events GROUP BY 1
+), g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {oracle_sum('v')} AS sx, {oracle_sum('v * v')} AS sxx
+  FROM h
+), num AS (
+  SELECT lag,
+         CAST(SUM(CAST(ROUND((a.v - sx / n) * (b.v - sx / n), 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS num
+  FROM h a CROSS JOIN g
+  JOIN (SELECT UNNEST(range(1, 25)) AS lag) l ON TRUE
+  JOIN h b ON b.hidx = a.hidx + l.lag
+  GROUP BY lag
+), rho AS (
+  SELECT lag,
+         FLOOR(num / (SELECT sxx - sx * sx / n FROM g) * 1e6) / 1e6 AS acf,
+         (SELECT CAST(n AS BIGINT) FROM g) AS nh
+  FROM num
+), terms AS (
+  SELECT lag, acf, nh,
+         CAST(FLOOR(acf * acf / (nh - lag) * 1e12) AS BIGINT) AS t12
+  FROM rho
+)
+SELECT CAST(lag AS INTEGER) AS lag, acf,
+       FLOOR(CAST(nh * (nh + 2) AS DOUBLE)
+             * (CAST(SUM(t12) OVER (ORDER BY lag
+                                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                / 1e12) * 1e6) / 1e6 AS q_stat,
+       FLOOR(CAST(nh * (nh + 2) AS DOUBLE)
+             * (CAST(SUM(t12) OVER (ORDER BY lag
+                                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                / 1e12) * 1e6) / 1e6
+         > list_extract({_CHI2_CRIT_05!r}, lag) AS reject_white_noise
+FROM terms
+"""
+
+
+@register("ts_ljung_box", oracle=_LJUNG_ORACLE)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q at every horizon h = 1..24 over the hourly value
+    series: Q(h) = n(n+2) * sum_{k<=h} rho_k^2 / (n-k), rejected at 5%
+    against the chi-square(h) critical value — the cumulative
+    white-noise test (a 24-hour cycle that ts_autocorrelation shows as
+    one spike becomes a decisive rejection here long before lag 24).
+
+    Scale design: corpus -> ONE hourly rollup; the lag pairing is the
+    ACF machinery verbatim (self-equi-join on hidx+k over the
+    DIMENSION-sized series, x24 bounded lag spine, 1-row moment frame
+    broadcast); the cumulative Q runs over 24 metadata rows under the
+    meta_part key. Nothing after the rollup scales with the corpus.
+
+    Cross-engine parity: rho reuses the registered ACF contract
+    (6 dp-quantized centered products, decimal-exact sums, sufficient-
+    stat denominator) and floor-quantizes at 1e-6; each Q term
+    rho^2/(n-k) floors at 1e-12 into an exact BIGINT cumulative sum
+    (max 24e12 — no overflow); the critical values are PINNED literals
+    (df 1..24), so the rejection flag cannot wobble on an engine's
+    chi-square quantile implementation.
+    """
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        (
+            F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
+            / (3600 * 10**6)
+        )
+        .cast("long")
+        .alias("hidx")
+    ).agg(dsum("value").alias("v"))
+    g = h.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("v").alias("sx"),
+        dsum(F.col("v") * F.col("v")).alias("sxx"),
+    )
+    lags = spark.range(1, 25).select(F.col("id").cast("int").alias("lag"))
+    a = h.alias("a").crossJoin(F.broadcast(g)).crossJoin(F.broadcast(lags))
+    b = h.select(F.col("hidx").alias("bhidx"), F.col("v").alias("bv"))
+    prod = F.round(
+        (F.col("a.v") - F.col("sx") / F.col("n"))
+        * (F.col("bv") - F.col("sx") / F.col("n")),
+        6,
+    ).cast("decimal(38,6)")
+    num = (
+        a.join(b, F.col("bhidx") == F.col("a.hidx") + F.col("lag"))
+        .select("lag", prod.alias("prod"), "sxx", "sx", "n")
+        .groupBy("lag", "sxx", "sx", "n")
+        .agg(F.sum("prod").cast("double").alias("num"))
+    )
+    den = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    rho = num.select(
+        "lag",
+        fquant(F.col("num") / den).alias("acf"),
+        F.col("n").cast("long").alias("nh"),
+    )
+    terms = rho.select(
+        "lag",
+        "acf",
+        "nh",
+        F.floor(F.col("acf") * F.col("acf") / (F.col("nh") - F.col("lag"))
+                * F.lit(1e12))
+        .cast("long")
+        .alias("t12"),
+    )
+    wc = (
+        Window.partitionBy(meta_part("lag"))
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    crit = F.element_at(
+        F.array(*[F.lit(v) for v in _CHI2_CRIT_05]), F.col("lag")
+    )
+    q = fquant(
+        (F.col("nh") * (F.col("nh") + 2)).cast("double")
+        * (F.sum("t12").over(wc).cast("double") / F.lit(1e12))
+    )
+    return terms.select(
+        "lag", "acf", q.alias("q_stat"),
+        (q > crit).alias("reject_white_noise"),
+    )
+
+
+# --- ts_pettitt_changepoint (registered r11; r13 grading window) -------------
+# Cadence-batch key 2 (SURVEY round-11 log). Rank-based changepoint
+# detection: ts_cusum_changepoint tracks mean shift in VALUE space
+# (moment-sensitive); the Pettitt test is its nonparametric twin — a
+# Mann-Whitney-style statistic maximized over split points, robust to
+# outliers and distribution shape, closing the robust family
+# (Theil-Sen slope / Mann-Kendall trend / Hodges-Lehmann location).
+
+_PETTITT_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST((EXTRACT(year FROM o_orderdate) - 1970) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS midx,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS y
+  FROM orders GROUP BY 1, 2
+), pairs AS (
+  SELECT a.midx AS i, b.midx AS j, CAST(SIGN(b.y - a.y) AS BIGINT) AS s
+  FROM monthly a JOIN monthly b ON a.midx < b.midx
+), delta AS (
+  SELECT t, CAST(SUM(s) AS BIGINT) AS d
+  FROM (SELECT i AS t, s FROM pairs
+        UNION ALL SELECT j AS t, -s FROM pairs)
+  GROUP BY 1
+), u AS (
+  SELECT t, SUM(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS ut
+  FROM delta
+), ranked AS (
+  SELECT t, CAST(ABS(ut) AS BIGINT) AS au,
+         ROW_NUMBER() OVER (ORDER BY ABS(ut) DESC, t) AS rn
+  FROM u
+  WHERE t < (SELECT MAX(midx) FROM monthly)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM monthly) AS n_months,
+       au AS k_stat,
+       (SELECT month FROM monthly WHERE midx = ranked.t)
+         AS changepoint_month,
+       LEAST(FLOOR(2 * EXP(-(CAST(6 * au * au AS DOUBLE)
+                             / CAST(nn * nn * nn + nn * nn AS DOUBLE)))
+                   * 1e6) / 1e6, 1.0) AS p_approx,
+       LEAST(FLOOR(2 * EXP(-(CAST(6 * au * au AS DOUBLE)
+                             / CAST(nn * nn * nn + nn * nn AS DOUBLE)))
+                   * 1e6) / 1e6, 1.0) < 0.05 AS significant
+FROM ranked
+CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM monthly) g
+WHERE rn = 1
+"""
+
+
+@register("ts_pettitt_changepoint", oracle=_PETTITT_ORACLE)
+def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test on the monthly revenue series.
+
+    U_t = sum_{i<=t} sum_{j>t} sign(y_j - y_i); the changepoint is the
+    EARLIEST month maximizing |U_t| (t < last month), K = max|U_t|, and
+    the approximate significance is p ~ 2*exp(-6K^2 / (n^3 + n^2)).
+
+    Scale design: corpus -> ONE monthly rollup (map-side-combined
+    decimal agg); the pair lattice is CALENDAR-squared bounded (~85
+    months -> ~3.6k pairs at ANY corpus size), built as a broadcast
+    range-join over the cached series. The O(n^2)-per-t naive sum
+    collapses to O(n) via a DIFFERENCE ARRAY: each pair (i,j,s)
+    contributes +s at t=i and -s at t=j, and one ordered prefix sum
+    over the months (meta_part window, n rows) reconstructs every U_t
+    exactly — terms with both endpoints <= t cancel. Nothing after the
+    rollup scales with the corpus.
+
+    Cross-engine parity: signs and U_t are exact integers; the only
+    float is the final p (integer-exact 6K^2 and n^3+n^2 cast to double
+    for ONE division, one exp — the agg_benjamini_hochberg exp
+    precedent — floor-quantized at 1e-6, capped at 1.0); the argmax
+    carries the full tie rule (|U| DESC, month ASC).
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(F.sum(F.col("o_totalprice").cast(DSCALE)).cast("double").alias("y"))
+        .select(
+            "month",
+            ((F.year("month") - 1970) * 12 + F.month("month") - 1)
+            .cast("long")
+            .alias("midx"),
+            "y",
+        )
+        .cache()
+    )
+    a = monthly.select(F.col("midx").alias("i"), F.col("y").alias("yi"))
+    b = monthly.select(F.col("midx").alias("j"), F.col("y").alias("yj"))
+    pairs = a.join(F.broadcast(b), F.col("i") < F.col("j")).select(
+        "i",
+        "j",
+        F.signum(F.col("yj") - F.col("yi")).cast("long").alias("s"),
+    )
+    contrib = pairs.select(F.col("i").alias("t"), "s").unionByName(
+        pairs.select(F.col("j").alias("t"), (-F.col("s")).alias("s"))
+    )
+    delta = contrib.groupBy("t").agg(F.sum("s").cast("long").alias("d"))
+    wu = (
+        Window.partitionBy(meta_part("t"))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = monthly.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.max("midx").alias("mx"),
+    )
+    u = (
+        delta.select("t", F.sum("d").over(wu).alias("ut"))
+        .crossJoin(F.broadcast(g))
+        .where(F.col("t") < F.col("mx"))
+    )
+    wr = Window.partitionBy(meta_part("t")).orderBy(
+        F.abs(F.col("ut")).desc(), F.col("t")
+    )
+    top = (
+        u.select(
+            "t",
+            F.abs(F.col("ut")).alias("au"),
+            "nn",
+            F.row_number().over(wr).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+    )
+    nd = F.col("nn").cast("double")
+    p = F.least(
+        fquant(
+            2
+            * F.exp(
+                -(
+                    (6 * F.col("au") * F.col("au")).cast("double")
+                    / (
+                        F.col("nn") * F.col("nn") * F.col("nn")
+                        + F.col("nn") * F.col("nn")
+                    ).cast("double")
+                )
+            )
+        ),
+        F.lit(1.0),
+    )
+    return top.join(
+        monthly.select(F.col("midx").alias("t"), "month"), "t"
+    ).select(
+        F.col("nn").alias("n_months"),
+        F.col("au").alias("k_stat"),
+        F.col("month").alias("changepoint_month"),
+        p.alias("p_approx"),
+        (p < 0.05).alias("significant"),
+    )
