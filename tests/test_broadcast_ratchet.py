@@ -57,6 +57,10 @@ AUDITED = {
     "operators/winframes.py": {"global_range_frame_sum": 4, "two_pass_ntile": 2},
     "queries/aggregates.py": {
         "agg_anova_oneway": 4,
+        # r11 cadence-2 audit: theil decomposition broadcasts the
+        # 5-row group-mean frame (per-row entropy pass) and the 1-row
+        # global-mean frame.
+        "agg_theil_decomposition": 2,
         "agg_boxplot_stats": 1,
         "agg_cramers_v": 5,
         "agg_histogram_equi_depth": 1,
@@ -180,6 +184,9 @@ AUDITED = {
         # build side) + a 1-row count/max frame.
         "ts_ljung_box": 2,
         "ts_pettitt_changepoint": 2,
+        # r11 cadence-2 audit: seasonal MK attaches two 1-row
+        # sufficient-stat frames (strata base+count, tie sum).
+        "ts_seasonal_mann_kendall": 2,
         "ts_ewma_control_chart": 1,
         "ts_interpolate_linear": 1,
         "ts_periodogram": 1,

@@ -29,6 +29,11 @@ CADENCE2_KEYS = [
     "graph_two_hop_recs",
     "ts_ljung_box",
     "ts_pettitt_changepoint",
+    "agg_fleiss_kappa",
+    "ts_seasonal_mann_kendall",
+    "agg_theil_decomposition",
+    "win_topk_with_ties",
+    "events_odds_ratio_2x2",
 ]
 
 Q6 = Decimal("0.000001")
@@ -409,6 +414,278 @@ def test_pettitt_plan_shape(spark):
     assert "shiftright" in p, p
     assert "InMemoryRelation" in p, p
     assert "Union" in p, p  # the +s/-s difference-array contribution
+
+
+# --- agg_fleiss_kappa ---------------------------------------------------
+
+
+def test_fleiss_kappa_python_recompute(spark):
+    import re
+
+    d = pd.read_parquet(SF_SMOKE + "/documents.parquet")[
+        ["lang", "text", "n_chars"]
+    ]
+
+    def lab3(row):
+        toks = re.split(r"\s+", row["text"].strip())
+        nw, nu, nc = len(toks), len(set(toks)), row["n_chars"]
+        la = 0 if nc >= 380 else (1 if nc >= 210 else 2)
+        lb = 0 if nw >= 64 else (1 if nw >= 35 else 2)
+        lc = 0 if nu >= 55 else (1 if nu >= 30 else 2)
+        return la, lb, lc
+
+    got = (
+        registry.QUERIES["agg_fleiss_kappa"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("lang")
+    )
+    assert len(got) == d["lang"].nunique()
+    for lang, sub in d.groupby("lang"):
+        n = len(sub)
+        s2 = 0
+        cj = [0, 0, 0]
+        for _, row in sub.iterrows():
+            labs = lab3(row)
+            nij = [labs.count(j) for j in range(3)]
+            s2 += sum(v * v for v in nij)
+            for j in range(3):
+                cj[j] += nij[j]
+        csq = sum(c * c for c in cj)
+        tn = 3 * n
+        p_bar = math.floor((s2 - tn) / (2 * tn) * 1e6) / 1e6
+        p_e = math.floor(csq / tn**2 * 1e6) / 1e6
+        num = (s2 - tn) * tn * tn - 2 * tn * csq
+        den = 2 * tn * (tn * tn - csq)
+        row = got.loc[lang]
+        assert int(row.n_docs) == n, lang
+        assert float(row.p_bar) == p_bar, lang
+        assert float(row.p_e) == p_e, lang
+        if den == 0:
+            assert float(row.fleiss_kappa) == 0.0, lang
+        else:
+            exp = math.floor(num / den * 1e6) / 1e6
+            assert float(row.fleiss_kappa) == exp, (lang, row.fleiss_kappa)
+
+
+def test_fleiss_kappa_plan_shape(spark):
+    """All three labels fold row-locally; ONE keyed aggregation, no
+    joins or windows anywhere."""
+    from tests.test_plans import plan
+
+    p = plan(registry.QUERIES["agg_fleiss_kappa"](spark, SF_SMOKE))
+    assert "Join" not in p, p
+    assert p.count("hashpartitioning(lang") == 1, p
+    assert "HashAggregate" in p, p
+
+
+# --- ts_seasonal_mann_kendall ---------------------------------------------
+
+
+def test_seasonal_mann_kendall_python_recompute(spark):
+    o = pd.read_parquet(SF_SMOKE + "/orders.parquet")[
+        ["o_orderdate", "o_totalprice"]
+    ]
+    monthly = {}
+    for d, v in zip(o["o_orderdate"], o["o_totalprice"]):
+        key = (d.year, d.month)
+        monthly[key] = monthly.get(key, Decimal(0)) + _d6(v)
+    strata = {}
+    for (y, m), rev in monthly.items():
+        strata.setdefault(m, []).append((y, float(rev)))
+    s_total, bsum, tsum = 0, 0, 0
+    for m, rows in strata.items():
+        rows.sort()
+        ys = [r for _, r in rows]
+        n = len(ys)
+        s_total += sum(
+            int(np.sign(ys[j] - ys[i]))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        bsum += n * (n - 1) * (2 * n + 5)
+        ties = pd.Series(ys).value_counts()
+        tsum += int(sum(t * (t - 1) * (2 * t + 5) for t in ties))
+    var_num = bsum - tsum
+    var_s = math.floor(var_num / 18 * 1e6) / 1e6
+    if var_num <= 0 or s_total == 0:
+        z = 0.0
+    elif s_total > 0:
+        z = math.floor((s_total - 1) / math.sqrt(var_num / 18) * 1e6) / 1e6
+    else:
+        z = math.floor((s_total + 1) / math.sqrt(var_num / 18) * 1e6) / 1e6
+    trend = (
+        "increasing" if z > 1.96 else "decreasing" if z < -1.96 else "no_trend"
+    )
+    got = registry.QUERIES["ts_seasonal_mann_kendall"](
+        spark, SF_SMOKE
+    ).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert int(row.n_strata) == len(strata)
+    assert int(row.s_total) == s_total
+    assert float(row.var_s) == var_s
+    assert float(row.z) == z
+    assert str(row.trend) == trend
+
+
+def test_seasonal_mann_kendall_plan_shape(spark):
+    from tests.test_plans import plan
+
+    p = plan(registry.QUERIES["ts_seasonal_mann_kendall"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "InMemoryRelation" in p, p
+    assert "partial_sum" in p, p
+
+
+# --- agg_theil_decomposition ------------------------------------------------
+
+
+def test_theil_decomposition_python_recompute(spark):
+    o = pd.read_parquet(SF_SMOKE + "/orders.parquet")[
+        ["o_orderpriority", "o_totalprice"]
+    ]
+    got = (
+        registry.QUERIES["agg_theil_decomposition"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("o_orderpriority")
+    )
+    n_tot = len(o)
+    mu = float(sum(_d6(v) for v in o["o_totalprice"])) / n_tot
+    assert len(got) == o["o_orderpriority"].nunique()
+    within_sum, between_sum = Decimal(0), Decimal(0)
+    for pri, sub in o.groupby("o_orderpriority"):
+        n_g = len(sub)
+        mu_g = float(sum(_d6(v) for v in sub["o_totalprice"])) / n_g
+        terms = sum(
+            Decimal(
+                repr((float(x) / mu_g) * math.log(float(x) / mu_g))
+            ).quantize(Q6, ROUND_HALF_UP)
+            for x in sub["o_totalprice"]
+        )
+        t_g_raw = float(terms) / n_g
+        w = (n_g / n_tot) * (mu_g / mu)
+        row = got.loc[pri]
+        assert int(row.n_orders) == n_g, pri
+        assert float(row.mu_g) == math.floor(mu_g * 1e6) / 1e6, pri
+        assert float(row.t_g) == math.floor(t_g_raw * 1e6) / 1e6, pri
+        bt = math.floor(w * math.log(mu_g / mu) * 1e6) / 1e6
+        wc = math.floor(w * t_g_raw * 1e6) / 1e6
+        assert float(row.between_term) == bt, pri
+        assert float(row.within_contrib) == wc, pri
+        within_sum += Decimal(repr(wc))
+        between_sum += Decimal(repr(bt))
+    # decomposition identity vs a directly computed global Theil T
+    gterms = sum(
+        Decimal(repr((float(x) / mu) * math.log(float(x) / mu))).quantize(
+            Q6, ROUND_HALF_UP
+        )
+        for x in o["o_totalprice"]
+    )
+    t_total = float(gterms) / n_tot
+    assert abs(float(within_sum + between_sum) - t_total) < 1e-4
+
+
+def test_theil_decomposition_plan_shape(spark):
+    from tests.test_plans import plan
+
+    p = plan(registry.QUERIES["agg_theil_decomposition"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p  # group means attach by hash
+    assert "partial_sum" in p, p
+
+
+# --- win_topk_with_ties -----------------------------------------------------
+
+
+def test_topk_with_ties_python_recompute(spark):
+    o = pd.read_parquet(SF_SMOKE + "/orders.parquet")[["o_custkey"]]
+    c = pd.read_parquet(SF_SMOKE + "/customer.parquet")[
+        ["c_custkey", "c_mktsegment"]
+    ]
+    cnt = (
+        o.groupby("o_custkey")
+        .size()
+        .reset_index(name="n_orders")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+    )
+    cnt["rnk"] = (
+        cnt.groupby("c_mktsegment")["n_orders"]
+        .rank(method="min", ascending=False)
+        .astype(int)
+    )
+    ref = cnt[cnt["rnk"] <= 3]
+    got = registry.QUERIES["win_topk_with_ties"](spark, SF_SMOKE).toPandas()
+    assert len(got) == len(ref)
+    refset = {
+        (r.c_mktsegment, int(r.o_custkey), int(r.n_orders), int(r.rnk))
+        for r in ref.itertuples(index=False)
+    }
+    gotset = {
+        (r.c_mktsegment, int(r.o_custkey), int(r.n_orders), int(r.rnk))
+        for r in got.itertuples(index=False)
+    }
+    assert gotset == refset
+    # WITH TIES means at least one segment may exceed 3 rows; assert the
+    # semantics is exercised whenever the fixture has a boundary tie
+    sizes = got.groupby("c_mktsegment").size()
+    assert (sizes >= 3).all()
+
+
+def test_topk_with_ties_plan_shape(spark):
+    """The corpus-grain rollup is never windowed: no rank/row_number in
+    the plan — the rank-start is a running SUM over the value-grain
+    frame, then a hash join back."""
+    from tests.test_plans import plan
+
+    p = plan(registry.QUERIES["win_topk_with_ties"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "row_number" not in p and "rank(" not in p, p
+    assert "windowspecdefinition" in p, p
+
+
+# --- events_odds_ratio_2x2 ----------------------------------------------------
+
+
+def test_odds_ratio_python_recompute(spark):
+    ev = pd.read_parquet(SF_SMOKE + "/events.parquet")[
+        ["user_id", "event_type"]
+    ]
+    g = ev.groupby("user_id")["event_type"]
+    clicks = g.apply(lambda s: int((s == "click").sum()))
+    purch = g.apply(lambda s: int((s == "purchase").sum()))
+    exposed, outcome = clicks >= 14, purch >= 14
+    a = int((exposed & outcome).sum())
+    b = int((exposed & ~outcome).sum())
+    c = int((~exposed & outcome).sum())
+    d = int((~exposed & ~outcome).sum())
+    got = registry.QUERIES["events_odds_ratio_2x2"](spark, SF_SMOKE).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (int(row.a), int(row.b), int(row.c), int(row.d)) == (a, b, c, d)
+    if min(a, b, c, d) == 0:
+        assert float(row.odds_ratio) == 0.0
+        assert not bool(row.significant)
+    else:
+        orr = a * d / (b * c)
+        se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+        assert float(row.odds_ratio) == math.floor(orr * 1e6) / 1e6
+        # ln/exp may differ by an ulp across libms
+        assert abs(float(row.ci_lo) - math.exp(math.log(orr) - 1.96 * se)) \
+            <= 2e-6
+        assert abs(float(row.ci_hi) - math.exp(math.log(orr) + 1.96 * se)) \
+            <= 2e-6
+        assert bool(row.significant) == (
+            float(row.ci_lo) > 1.0 or float(row.ci_hi) < 1.0
+        )
+
+
+def test_odds_ratio_plan_shape(spark):
+    """Two stacked aggregations, no joins anywhere."""
+    from tests.test_plans import plan
+
+    p = plan(registry.QUERIES["events_odds_ratio_2x2"](spark, SF_SMOKE))
+    assert "Join" not in p, p
+    assert "HashAggregate" in p, p
 
 
 # --- layout invariance ------------------------------------------------------

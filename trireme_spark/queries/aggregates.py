@@ -3243,3 +3243,101 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hl_revenue")
         )
     )
+
+
+# --- agg_theil_decomposition (registered r11; r13 grading window) ------------
+# Cadence-batch key 2 (SURVEY round-11 log). The property that justifies
+# Theil over Gini (agg_theil_index docstring) is ADDITIVE DECOMPOSABILITY
+# — this key actually performs the decomposition: total inequality =
+# between-group + weighted within-group, per priority class against the
+# GLOBAL mean (the registered theil key scores each group against its
+# own mean only).
+
+_THEIL_DECOMP_ORACLE = """
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(*) AS mu_g
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(*) AS mu
+  FROM orders
+), tg AS (
+  SELECT o.o_orderpriority,
+         CAST(SUM(CAST(ROUND(
+             (o.o_totalprice / g.mu_g) * ln(o.o_totalprice / g.mu_g), 6)
+           AS DECIMAL(27,6))) AS DOUBLE) / g.n_g AS t_g_raw
+  FROM orders o JOIN g ON o.o_orderpriority = g.o_orderpriority
+  GROUP BY o.o_orderpriority, g.n_g
+)
+SELECT g.o_orderpriority,
+       g.n_g AS n_orders,
+       FLOOR(g.mu_g * 1e6) / 1e6 AS mu_g,
+       FLOOR(t_g_raw * 1e6) / 1e6 AS t_g,
+       FLOOR((CAST(g.n_g AS DOUBLE) / t.n) * (g.mu_g / t.mu)
+             * ln(g.mu_g / t.mu) * 1e6) / 1e6 AS between_term,
+       FLOOR((CAST(g.n_g AS DOUBLE) / t.n) * (g.mu_g / t.mu)
+             * t_g_raw * 1e6) / 1e6 AS within_contrib
+FROM g JOIN tg ON g.o_orderpriority = tg.o_orderpriority
+CROSS JOIN tot t
+"""
+
+
+@register("agg_theil_decomposition", oracle=_THEIL_DECOMP_ORACLE)
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between/within decomposition of the Theil T index across priority
+    classes: T_total = sum_g w_g (mu_g/mu) T_g  +  sum_g w_g (mu_g/mu)
+    ln(mu_g/mu), with w_g = n_g/N — each output row carries one group's
+    within-contribution and between-term, so the two totals (and the
+    identity against a directly computed global T) fall out of a sum.
+
+    Scale design: ONE corpus pass per aggregate level — a group rollup
+    (count + decimal-exact mean), a 1-row global frame, and a second
+    corpus pass for the per-row entropy terms with the DIMENSION-sized
+    group-mean frame attached by broadcast (the registered theil key's
+    plan, plus one extra broadcast of the 1-row global frame onto the
+    5-row group frame). No windows, no sorts, nothing at pair grain.
+
+    Cross-engine parity: per-row (x/mu_g) ln(x/mu_g) terms round to 6dp
+    BEFORE the order-independent decimal sum (ln drift absorbed per
+    row — the agg_theil_index doctrine); the between/within scalars are
+    ln/products of bit-identical dimension-frame doubles; every output
+    floor-quantizes at 1e-6.
+    """
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        davg("o_totalprice").alias("mu_g"),
+    )
+    tot = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        davg("o_totalprice").alias("mu"),
+    )
+    ratio = F.col("o_totalprice") / F.col("mu_g")
+    term = F.round(ratio * F.log(ratio), 6)
+    tg = (
+        o.join(F.broadcast(g), "o_orderpriority")
+        .groupBy("o_orderpriority", "n_g")
+        .agg((dsum(term) / F.col("n_g")).alias("t_g_raw"))
+        .select("o_orderpriority", "t_g_raw")
+    )
+    w = (F.col("n_g").cast("double") / F.col("n")) * (
+        F.col("mu_g") / F.col("mu")
+    )
+    return (
+        g.join(tg, "o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderpriority",
+            F.col("n_g").alias("n_orders"),
+            fquant(F.col("mu_g")).alias("mu_g"),
+            fquant(F.col("t_g_raw")).alias("t_g"),
+            fquant(w * F.log(F.col("mu_g") / F.col("mu"))).alias(
+                "between_term"
+            ),
+            fquant(w * F.col("t_g_raw")).alias("within_contrib"),
+        )
+    )

@@ -2809,3 +2809,158 @@ def text_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(fquant((dn - F.col("pe_num")) / (n2 - F.col("pe_num"))))
         .alias("kappa"),
     )
+
+
+# --- agg_fleiss_kappa (registered r11; r13 grading window) --------------------
+# Cadence-batch key 2 (SURVEY round-11 log). Multi-rater agreement:
+# text_annotator_agreement's Cohen kappa is defined for exactly TWO
+# raters; Fleiss' kappa generalizes to r raters per item — the form a
+# labeling pipeline needs once every document gets three heuristic (or
+# crowd) judgments.
+
+_FLEISS_ORACLE = """
+WITH lab AS (
+  SELECT lang,
+         CASE WHEN n_chars >= 380 THEN 0
+              WHEN n_chars >= 210 THEN 1 ELSE 2 END AS la,
+         CASE WHEN array_length(regexp_split_to_array(trim(text), '\\s+'))
+                   >= 64 THEN 0
+              WHEN array_length(regexp_split_to_array(trim(text), '\\s+'))
+                   >= 35 THEN 1 ELSE 2 END AS lb,
+         CASE WHEN array_length(list_distinct(
+                        regexp_split_to_array(trim(text), '\\s+'))) >= 55
+                THEN 0
+              WHEN array_length(list_distinct(
+                        regexp_split_to_array(trim(text), '\\s+'))) >= 30
+                THEN 1 ELSE 2 END AS lc
+  FROM documents
+), cnt AS (
+  SELECT lang,
+         (CASE WHEN la = 0 THEN 1 ELSE 0 END
+          + CASE WHEN lb = 0 THEN 1 ELSE 0 END
+          + CASE WHEN lc = 0 THEN 1 ELSE 0 END) AS n0,
+         (CASE WHEN la = 1 THEN 1 ELSE 0 END
+          + CASE WHEN lb = 1 THEN 1 ELSE 0 END
+          + CASE WHEN lc = 1 THEN 1 ELSE 0 END) AS n1,
+         (CASE WHEN la = 2 THEN 1 ELSE 0 END
+          + CASE WHEN lb = 2 THEN 1 ELSE 0 END
+          + CASE WHEN lc = 2 THEN 1 ELSE 0 END) AS n2
+  FROM lab
+), s AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n0 * n0 + n1 * n1 + n2 * n2) AS BIGINT) AS s2,
+         CAST(SUM(n0) AS BIGINT) AS c0,
+         CAST(SUM(n1) AS BIGINT) AS c1,
+         CAST(SUM(n2) AS BIGINT) AS c2
+  FROM cnt GROUP BY 1
+)
+SELECT lang, n AS n_docs,
+       FLOOR(CAST(s2 - 3 * n AS DOUBLE) / CAST(6 * n AS DOUBLE) * 1e6)
+         / 1e6 AS p_bar,
+       FLOOR(CAST(CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1
+                  + CAST(c2 AS HUGEINT) * c2 AS DOUBLE)
+             / CAST(CAST(3 * n AS HUGEINT) * (3 * n) AS DOUBLE) * 1e6)
+         / 1e6 AS p_e,
+       CASE WHEN CAST(3 * n AS HUGEINT) * (3 * n) * 6 * n
+                 = (CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1
+                    + CAST(c2 AS HUGEINT) * c2) * 6 * n
+            THEN 0.0
+            ELSE FLOOR((CAST(CAST(s2 - 3 * n AS HUGEINT)
+                             * (3 * n) * (3 * n)
+                             - 6 * n * (CAST(c0 AS HUGEINT) * c0
+                                        + CAST(c1 AS HUGEINT) * c1
+                                        + CAST(c2 AS HUGEINT) * c2)
+                          AS DOUBLE))
+                       / (CAST(CAST(6 * n AS HUGEINT)
+                               * ((CAST(3 * n AS HUGEINT) * (3 * n))
+                                  - (CAST(c0 AS HUGEINT) * c0
+                                     + CAST(c1 AS HUGEINT) * c1
+                                     + CAST(c2 AS HUGEINT) * c2))
+                          AS DOUBLE)) * 1e6) / 1e6
+       END AS fleiss_kappa
+FROM s
+"""
+
+
+@register("agg_fleiss_kappa", oracle=_FLEISS_ORACLE)
+def agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across THREE deterministic annotators (character
+    count, token count, distinct-token count — each binned long/mid/
+    short), per language.
+
+    With r = 3 raters and k = 3 categories: per-item agreement
+    P_i = (sum_j n_ij^2 - r) / (r(r-1)); P-bar = mean_i P_i reduces to
+    (S2 - 3N) / (6N) with S2 = sum_i sum_j n_ij^2; chance agreement
+    P_e = sum_j (c_j / 3N)^2; kappa = (P_bar - P_e) / (1 - P_e).
+
+    Scale design: ONE corpus pass computes all three labels row-locally,
+    folds them into the per-item category-count vector (n0, n1, n2) in
+    the same projection, and a SINGLE map-side-combined aggregation per
+    language collects N, S2 and the three category totals — no joins,
+    no windows, one exchange; everything after is per-language scalar
+    algebra.
+
+    Cross-engine parity: every sufficient statistic is an exact
+    integer; kappa is computed as ONE division of exact 128-bit
+    integer cross-products (decimal(38,0) / HUGEINT — (3N)^2 overflows
+    int64 past ~1e9 docs) — algebraically (P_bar - P_e)/(1 - P_e)
+    with zero intermediate rounding; p_bar / p_e / kappa floor-quantize
+    at 1e-6; the degenerate all-one-category language pins kappa = 0.0.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nw = F.size(toks)
+    nu = F.size(F.array_distinct(toks))
+    la = (
+        F.when(F.col("n_chars") >= 380, 0)
+        .when(F.col("n_chars") >= 210, 1)
+        .otherwise(2)
+    )
+    lb = F.when(nw >= 64, 0).when(nw >= 35, 1).otherwise(2)
+    lc = F.when(nu >= 55, 0).when(nu >= 30, 1).otherwise(2)
+
+    def nj(j: int):
+        return (
+            F.when(la == j, 1).otherwise(0)
+            + F.when(lb == j, 1).otherwise(0)
+            + F.when(lc == j, 1).otherwise(0)
+        )
+
+    cnt = d.select(
+        "lang", nj(0).alias("n0"), nj(1).alias("n1"), nj(2).alias("n2")
+    )
+    s = cnt.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.col("n0") * F.col("n0")
+            + F.col("n1") * F.col("n1")
+            + F.col("n2") * F.col("n2")
+        )
+        .cast("long")
+        .alias("s2"),
+        F.sum("n0").cast("long").alias("c0"),
+        F.sum("n1").cast("long").alias("c1"),
+        F.sum("n2").cast("long").alias("c2"),
+    )
+    big = "decimal(38,0)"
+    n = F.col("n").cast(big)
+    csq = (
+        F.col("c0").cast(big) * F.col("c0")
+        + F.col("c1").cast(big) * F.col("c1")
+        + F.col("c2").cast(big) * F.col("c2")
+    )
+    tn2 = (3 * n) * (3 * n)
+    num = (F.col("s2").cast(big) - 3 * n) * tn2 - 6 * n * csq
+    den = (6 * n) * (tn2 - csq)
+    return s.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        fquant(
+            (F.col("s2") - 3 * F.col("n")).cast("double")
+            / (6 * F.col("n")).cast("double")
+        ).alias("p_bar"),
+        fquant(csq.cast("double") / tn2.cast("double")).alias("p_e"),
+        F.when(den == F.lit(0).cast(big), F.lit(0.0))
+        .otherwise(fquant(num.cast("double") / den.cast("double")))
+        .alias("fleiss_kappa"),
+    )

@@ -7804,3 +7804,279 @@ def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p_approx"),
         (p < 0.05).alias("significant"),
     )
+
+
+# --- ts_seasonal_mann_kendall (registered r11; r13 grading window) -----------
+# Cadence-batch key 2 (SURVEY round-11 log). Seasonal variant of
+# ts_mann_kendall_trend: the plain MK test reads a 12-month cycle as
+# noise (up-pairs and down-pairs cancel across seasons); the seasonal
+# form compares each calendar month ONLY against the same month of other
+# years (Hirsch-Slack), summing S and Var(S) across the 12 strata.
+
+_SMK_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS moy,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS y
+  FROM orders GROUP BY 1, 2
+), s AS (
+  SELECT CAST(COALESCE(SUM(SIGN(b.y - a.y)), 0) AS BIGINT) AS s_total
+  FROM monthly a JOIN monthly b ON a.moy = b.moy AND a.yr < b.yr
+), base AS (
+  SELECT CAST(SUM(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS bsum,
+         CAST(COUNT(*) AS BIGINT) AS n_strata
+  FROM (SELECT moy, COUNT(*) AS n FROM monthly GROUP BY 1)
+), ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tsum
+  FROM (SELECT moy, y, COUNT(*) AS t FROM monthly GROUP BY 1, 2)
+)
+SELECT n_strata, s_total,
+       FLOOR(CAST(bsum - tsum AS DOUBLE) / 18 * 1e6) / 1e6 AS var_s,
+       CASE
+         WHEN bsum - tsum <= 0 OR s_total = 0 THEN 0.0
+         WHEN s_total > 0 THEN
+           FLOOR((s_total - 1)
+                 / sqrt(CAST(bsum - tsum AS DOUBLE) / 18) * 1e6) / 1e6
+         ELSE
+           FLOOR((s_total + 1)
+                 / sqrt(CAST(bsum - tsum AS DOUBLE) / 18) * 1e6) / 1e6
+       END AS z,
+       CASE
+         WHEN bsum - tsum <= 0 OR s_total = 0 THEN 'no_trend'
+         WHEN s_total > 0 AND FLOOR((s_total - 1)
+                 / sqrt(CAST(bsum - tsum AS DOUBLE) / 18) * 1e6) / 1e6
+              > 1.96 THEN 'increasing'
+         WHEN s_total < 0 AND FLOOR((s_total + 1)
+                 / sqrt(CAST(bsum - tsum AS DOUBLE) / 18) * 1e6) / 1e6
+              < -1.96 THEN 'decreasing'
+         ELSE 'no_trend'
+       END AS trend
+FROM s CROSS JOIN base CROSS JOIN ties
+"""
+
+
+@register("ts_seasonal_mann_kendall", oracle=_SMK_ORACLE)
+def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test on monthly revenue: pairs are
+    formed ONLY within each calendar-month stratum (Jan vs Jan of other
+    years, ...), S = sum of strata S_m, Var(S) = sum of tie-corrected
+    strata variances, z continuity-corrected, classified at 5%.
+
+    Scale design: corpus -> ONE monthly rollup (map-side-combined
+    decimal agg, cached — the pair join, the strata sizes and the tie
+    groups all consume it); the pair lattice is stratum-keyed
+    (moy equi-join + year inequality), bounded at C(#years, 2) <= ~21
+    pairs per stratum at ANY corpus size; the three sufficient-stat
+    frames are 1-row and attach via broadcast.
+
+    Cross-engine parity: S, the strata base sum n(n-1)(2n+5) and the
+    tie sum are exact integers; Var(S) is ONE integer-to-double division
+    by 18; z divides an integer by a sqrt of that quotient
+    (IEEE-deterministic on identical inputs) and floor-quantizes at
+    1e-6 BEFORE the 1.96 comparison so the trend class cannot straddle.
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("moy"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DSCALE))
+            .cast("double")
+            .alias("y")
+        )
+        .cache()
+    )
+    a = monthly.select(
+        "moy", F.col("yr").alias("ya"), F.col("y").alias("va")
+    )
+    b = monthly.select(
+        "moy", F.col("yr").alias("yb"), F.col("y").alias("vb")
+    )
+    s = (
+        a.join(b, "moy")
+        .where(F.col("ya") < F.col("yb"))
+        .agg(
+            F.coalesce(
+                F.sum(F.signum(F.col("vb") - F.col("va"))), F.lit(0.0)
+            )
+            .cast("long")
+            .alias("s_total")
+        )
+    )
+    base = (
+        monthly.groupBy("moy")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            )
+            .cast("long")
+            .alias("bsum"),
+            F.count(F.lit(1)).cast("long").alias("n_strata"),
+        )
+    )
+    ties = (
+        monthly.groupBy("moy", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    j = s.crossJoin(F.broadcast(base)).crossJoin(F.broadcast(ties))
+    vnum = F.col("bsum") - F.col("tsum")
+    var_d = vnum.cast("double") / 18
+    z = (
+        F.when((vnum <= 0) | (F.col("s_total") == 0), F.lit(0.0))
+        .when(
+            F.col("s_total") > 0,
+            fquant((F.col("s_total") - 1) / F.sqrt(var_d)),
+        )
+        .otherwise(fquant((F.col("s_total") + 1) / F.sqrt(var_d)))
+    )
+    return j.select(
+        "n_strata",
+        "s_total",
+        fquant(var_d).alias("var_s"),
+        z.alias("z"),
+        F.when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )
+
+
+# --- events_odds_ratio_2x2 (registered r11; r13 grading window) --------------
+# Cadence-batch key 2 (SURVEY round-11 log). The case-control effect
+# size: events_ab_diff_in_diff and events_ipw_ate estimate additive
+# effects; the odds ratio with its Woolf (log-normal) CI is the
+# MULTIPLICATIVE association measure for a 2x2 user-level contingency —
+# "are heavy clickers disproportionately heavy purchasers".
+
+_OR_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         COUNT(*) FILTER (WHERE event_type = 'click') >= 14 AS exposed,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') >= 14 AS outcome
+  FROM events GROUP BY 1
+), cells AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE exposed AND outcome) AS BIGINT) AS a,
+         CAST(COUNT(*) FILTER (WHERE exposed AND NOT outcome)
+              AS BIGINT) AS b,
+         CAST(COUNT(*) FILTER (WHERE NOT exposed AND outcome)
+              AS BIGINT) AS c,
+         CAST(COUNT(*) FILTER (WHERE NOT exposed AND NOT outcome)
+              AS BIGINT) AS d
+  FROM u
+)
+SELECT a, b, c, d,
+  CASE WHEN LEAST(a, b, c, d) = 0 THEN 0.0
+       ELSE FLOOR(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+                  / CAST(CAST(b AS HUGEINT) * c AS DOUBLE) * 1e6) / 1e6
+  END AS odds_ratio,
+  CASE WHEN LEAST(a, b, c, d) = 0 THEN 0.0
+       ELSE FLOOR(exp(ln(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+                         / CAST(CAST(b AS HUGEINT) * c AS DOUBLE))
+                      - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d))
+                  * 1e6) / 1e6
+  END AS ci_lo,
+  CASE WHEN LEAST(a, b, c, d) = 0 THEN 0.0
+       ELSE FLOOR(exp(ln(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+                         / CAST(CAST(b AS HUGEINT) * c AS DOUBLE))
+                      + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d))
+                  * 1e6) / 1e6
+  END AS ci_hi,
+  CASE WHEN LEAST(a, b, c, d) = 0 THEN FALSE
+       ELSE FLOOR(exp(ln(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+                         / CAST(CAST(b AS HUGEINT) * c AS DOUBLE))
+                      - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d))
+                  * 1e6) / 1e6 > 1.0
+         OR FLOOR(exp(ln(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+                         / CAST(CAST(b AS HUGEINT) * c AS DOUBLE))
+                      + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d))
+                  * 1e6) / 1e6 < 1.0
+  END AS significant
+FROM cells
+"""
+
+
+@register("events_odds_ratio_2x2", oracle=_OR_ORACLE)
+def events_odds_ratio_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of heavy purchasing given heavy clicking, with the
+    Woolf 95% CI: user-level 2x2 (exposure: >=14 clicks; outcome: >=14
+    purchases), OR = ad/bc, CI = exp(ln OR +- 1.96 sqrt(1/a + 1/b +
+    1/c + 1/d)), significant when the CI excludes 1.
+
+    Scale design: ONE corpus pass folds events to per-user exposure/
+    outcome booleans (map-side-combined conditional counts), ONE
+    1-row conditional-count aggregation produces the four cells —
+    no joins, no windows, everything after is scalar algebra on a
+    single row.
+
+    Cross-engine parity: the cells are exact integers; a*d and b*c are
+    128-bit exact (decimal(38,0) / HUGEINT) before ONE division; the
+    CI bounds apply ln/exp to bit-identical doubles (the scalar-
+    transcendental precedent of agg_geometric_mean / the BH exp) and
+    floor-quantize at 1e-6 BEFORE the exclusion test so `significant`
+    cannot straddle; any zero cell pins OR/CI to 0.0 (reported, not
+    corrected — the recompute documents the Haldane alternative).
+    """
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (F.count_if(F.col("event_type") == "click") >= 14).alias("exposed"),
+        (F.count_if(F.col("event_type") == "purchase") >= 14).alias(
+            "outcome"
+        ),
+    )
+    cells = u.agg(
+        F.count_if(F.col("exposed") & F.col("outcome"))
+        .cast("long")
+        .alias("a"),
+        F.count_if(F.col("exposed") & ~F.col("outcome"))
+        .cast("long")
+        .alias("b"),
+        F.count_if(~F.col("exposed") & F.col("outcome"))
+        .cast("long")
+        .alias("c"),
+        F.count_if(~F.col("exposed") & ~F.col("outcome"))
+        .cast("long")
+        .alias("d"),
+    )
+    big = "decimal(38,0)"
+    ad = (F.col("a").cast(big) * F.col("d")).cast("double")
+    bc = (F.col("b").cast(big) * F.col("c")).cast("double")
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c")
+        + 1.0 / F.col("d")
+    )
+    zero = (
+        F.least(F.col("a"), F.col("b"), F.col("c"), F.col("d")) == 0
+    )
+    orr = F.when(zero, F.lit(0.0)).otherwise(fquant(ad / bc))
+    lo = F.when(zero, F.lit(0.0)).otherwise(
+        fquant(F.exp(F.log(ad / bc) - 1.96 * se))
+    )
+    hi = F.when(zero, F.lit(0.0)).otherwise(
+        fquant(F.exp(F.log(ad / bc) + 1.96 * se))
+    )
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        orr.alias("odds_ratio"),
+        lo.alias("ci_lo"),
+        hi.alias("ci_hi"),
+        F.when(zero, F.lit(False))
+        .otherwise((lo > 1.0) | (hi < 1.0))
+        .alias("significant"),
+    )

@@ -491,3 +491,80 @@ def win_moving_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("l_extendedprice", F.lit(0.5)).over(w), 4
         ).alias("med10"),
     )
+
+
+# --- win_topk_with_ties (registered r11; r13 grading window) -----------------
+# Cadence-batch key 2 (SURVEY round-11 log). WITH TIES top-k: the
+# row_number() top-k (win_topk_per_group) DROPS tied rows at the
+# boundary arbitrarily unless the order is a total order; RANK-based
+# top-k keeps every row tied with rank k — the semantics SQL spells
+# FETCH FIRST k ROWS WITH TIES.
+
+_TOPK_TIES_ORACLE = """
+WITH cnt AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, o_custkey, n_orders, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT c_mktsegment, o_custkey, n_orders,
+         RANK() OVER (PARTITION BY c_mktsegment
+                      ORDER BY n_orders DESC) AS rnk
+  FROM cnt
+) WHERE rnk <= 3
+"""
+
+
+@register("win_topk_with_ties", oracle=_TOPK_TIES_ORACLE)
+def win_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per market segment by order count, WITH TIES —
+    every customer whose RANK is <= 3 survives, so boundary ties return
+    more than 3 rows instead of an arbitrary subset.
+
+    Scale design: the oracle's direct form is a RANK window partitioned
+    by segment — 5 partitions each holding ~N/5 customers, a skewed
+    corpus-grain sort at scale. The implementation is the TWO-PASS
+    rewrite: collapse to the (segment, value) grain first (map-side-
+    combined count of customers per distinct order-count — bounded by
+    the distinct-value alphabet, not by customers), compute each
+    value's rank-start 1 + #{customers with strictly greater value}
+    as a running sum over that DIMENSION-sized frame, keep values with
+    rank_start <= 3, and semi-join the surviving values back onto the
+    customer-grain rollup (hash join, no sort). The corpus-grain data
+    is never windowed — the same two-pass doctrine as
+    win_range_frame_distributed / two_pass_ntile.
+
+    Cross-engine parity: counts and ranks are exact integers; RANK for
+    a kept row equals its value's rank_start (all rows sharing a value
+    share the rank) — no tie-break needed, which is the point.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    cnt = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .join(c, "o_custkey")
+    )
+    vals = cnt.groupBy("c_mktsegment", "n_orders").agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    wv = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("n_orders").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keep = vals.select(
+        "c_mktsegment",
+        "n_orders",
+        (F.sum("n_cust").over(wv) - F.col("n_cust") + 1).alias("rnk"),
+    ).where(F.col("rnk") <= 3)
+    return cnt.join(keep, ["c_mktsegment", "n_orders"]).select(
+        "c_mktsegment",
+        "o_custkey",
+        "n_orders",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
