@@ -554,3 +554,88 @@ def stream_windowed_distinct_users(
     rewrite (event-time dedup, then count) — batch-equivalent form;
     the real dedup-state + agg-state stream runs in tests."""
     return hourly_distinct_users(table(spark, sf_dir, "events"))
+
+
+# --- stream_session_dynamic_gap (STAGED r11 -> register r12) -----------------
+# Staged under the cadence rule (SURVEY round-11 log): built and
+# oracle-verified this round, decorator flips at the r12 rotation once
+# the r12 window is pinned. Dynamic-gap session windows are the Spark
+# surface stream_session (fixed 30-min gap) does not exercise:
+# F.session_window(ts, gap_EXPRESSION) — per-event gaps, sessions merge
+# while each event's [ts, ts+gap) window overlaps the running union.
+
+_DYN_GAP_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'error'
+              THEN INTERVAL 5 MINUTE ELSE INTERVAL 30 MINUTE END AS gap
+  FROM events
+), x AS (
+  SELECT user_id, ts, event_id, event_type, gap,
+         MAX(ts + gap) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS rm
+  FROM g
+), y AS (
+  SELECT user_id, ts, event_type, gap,
+         SUM(CASE WHEN rm IS NULL OR ts >= rm THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM x
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts + gap) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+         AS n_errors
+FROM y
+GROUP BY user_id, sid
+"""
+
+
+def stream_session_dynamic_gap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user sessions with a PER-EVENT gap: error events hold the
+    session open 5 minutes, everything else 30 — the adaptive-timeout
+    sessionization ``F.session_window(ts, gap_expr)`` exists for.
+    An event at exactly the running session end starts a NEW session
+    (window ends are exclusive).
+
+    Scale design: the batch form is one session_window aggregation —
+    a single user-keyed shuffle with Spark's native merging-session
+    iterator (no self-join, no window-then-agg double shuffle); in
+    streaming the same expression runs with a watermark and the state
+    store merges sessions incrementally. The ORACLE mirrors the merge
+    semantics relationally: running MAX(ts+gap) over the user's prior
+    events (frame ... AND 1 PRECEDING), a new session whenever ts
+    reaches it, cumulative-sum session ids — the lag/flag rewrite of
+    stream_session generalized from constant to expression gaps.
+
+    Cross-engine parity: timestamps are exact microseconds, gaps are
+    literal intervals, session bounds are MIN/MAX of exact values, and
+    the (ts, event_id) order key makes the running max tie-free.
+    """
+    ev = table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("5 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_if(F.col("event_type") == "error")
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "n_errors",
+        )
+    )

@@ -8080,3 +8080,108 @@ def events_odds_ratio_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((lo > 1.0) | (hi < 1.0))
         .alias("significant"),
     )
+
+
+# --- etl_bitemporal_as_of (STAGED r11 -> register r12) ------------------------
+# Staged under the cadence rule (SURVEY round-11 log): built and
+# oracle-verified this round, decorator flips at the r12 rotation.
+# Bitemporal reconstruction is the warehouse op join_point_in_time
+# (one time axis) cannot express: STATE AS OF valid time V as the system
+# KNEW IT at system time S — the audit/backfill question ("what did the
+# June books say on July 1").
+
+_BITEMPORAL_V = "TIMESTAMP '1996-06-01 00:00:00'"
+_BITEMPORAL_S = "TIMESTAMP '1996-07-01 00:00:00'"
+
+_BITEMPORAL_ORACLE = f"""
+WITH versions AS (
+  SELECT o_orderkey,
+         CAST(0 AS BIGINT) AS version_no,
+         o_totalprice AS amount,
+         o_orderdate AS valid_from,
+         o_orderdate + INTERVAL 2 DAY AS system_from
+  FROM orders
+  UNION ALL
+  SELECT l_orderkey,
+         CAST(l_linenumber AS BIGINT),
+         l_extendedprice,
+         l_shipdate,
+         l_shipdate + l_linenumber * INTERVAL 1 DAY
+  FROM lineitem
+), visible AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderkey
+           ORDER BY valid_from DESC, system_from DESC, version_no DESC,
+                    amount DESC
+         ) AS rn
+  FROM versions
+  WHERE valid_from <= {_BITEMPORAL_V} AND system_from <= {_BITEMPORAL_S}
+)
+SELECT o_orderkey, version_no, amount, valid_from, system_from
+FROM visible WHERE rn = 1
+"""
+
+
+def etl_bitemporal_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal AS-OF reconstruction: each order's version chain is
+    its base row (version 0, effective at o_orderdate, entered 2 days
+    later) plus one amendment per lineitem (effective at l_shipdate,
+    entered l_linenumber days later — later lines took longer to key
+    in). The query returns, per order, the LATEST version that was both
+    EFFECTIVE by valid-time V and KNOWN by system-time S — two
+    independent cutoffs, which is exactly what separates bitemporal
+    from the single-axis join_point_in_time.
+
+    Scale design: both version sources are corpus scans with the
+    (valid_from, system_from) predicates PUSHED to the parquet scan
+    (plan-pinned); the winner per order is a map-side-combinable
+    struct-MAX aggregation — one keyed shuffle, no window over the
+    corpus, no self-join (the oracle's rank form is the brute-force
+    twin, not the plan).
+
+    Cross-engine parity: version ranking is lexicographic on exact
+    (timestamp, timestamp, integer, double) tuples — the fixture's
+    l_linenumber is NOT unique within an order, so amount rides the
+    struct as the final tie-break (found by the sf0.01 parity run:
+    same-line same-shipdate amendments tied the triple).
+    """
+    V = "1996-06-01 00:00:00"
+    S = "1996-07-01 00:00:00"
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    base = o.select(
+        "o_orderkey",
+        F.lit(0).cast("long").alias("version_no"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").alias("valid_from"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 2 DAY")).alias(
+            "system_from"
+        ),
+    )
+    amend = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_linenumber").cast("long").alias("version_no"),
+        F.col("l_extendedprice").alias("amount"),
+        F.col("l_shipdate").alias("valid_from"),
+        (
+            F.col("l_shipdate")
+            + F.col("l_linenumber") * F.expr("INTERVAL 1 DAY")
+        ).alias("system_from"),
+    )
+    versions = base.unionByName(amend).where(
+        (F.col("valid_from") <= F.lit(V).cast("timestamp"))
+        & (F.col("system_from") <= F.lit(S).cast("timestamp"))
+    )
+    win = versions.groupBy("o_orderkey").agg(
+        F.max(
+            F.struct("valid_from", "system_from", "version_no", "amount")
+        ).alias("w")
+    )
+    return win.select(
+        "o_orderkey",
+        F.col("w.version_no").alias("version_no"),
+        F.col("w.amount").alias("amount"),
+        F.col("w.valid_from").alias("valid_from"),
+        F.col("w.system_from").alias("system_from"),
+    )
