@@ -3341,3 +3341,139 @@ def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             fquant(w * F.col("t_g_raw")).alias("within_contrib"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_woe_information_value — STAGED for the r12 registration (cadence
+# batch; SURVEY round-11 log). Weight-of-Evidence / Information Value
+# feature screening — the credit-scoring / churn-model staple that ranks
+# candidate features by how well their bins separate a binary label,
+# BEFORE any model is fit. Flip recipe: add
+# @register("agg_woe_information_value", oracle=_WOE_IV_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_WOE_IV_ORACLE = """
+WITH labeled AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad,
+         o_orderpriority AS priority,
+         concat('band_', CAST(CAST(FLOOR(o_totalprice / 100000.0) AS BIGINT)
+                              AS VARCHAR)) AS price_band
+  FROM orders
+), long AS (
+  SELECT 'priority' AS feature, priority AS bin, bad FROM labeled
+  UNION ALL
+  SELECT 'price_band' AS feature, price_band AS bin, bad FROM labeled
+), cells AS (
+  SELECT feature, bin,
+         CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+         CAST(SUM(bad) AS BIGINT) AS n_bad
+  FROM long GROUP BY feature, bin
+), tot AS (
+  SELECT feature, bin, n_good, n_bad,
+         SUM(n_good) OVER (PARTITION BY feature) AS g,
+         SUM(n_bad) OVER (PARTITION BY feature) AS b
+  FROM cells
+), q AS (
+  SELECT feature, bin, n_good, n_bad,
+         FLOOR(ln(((n_good + 0.5) / (g + 0.5))
+                  / ((n_bad + 0.5) / (b + 0.5))) * 1e6) / 1e6 AS woe,
+         CAST(FLOOR(((n_good + 0.5) / (g + 0.5)
+                     - (n_bad + 0.5) / (b + 0.5))
+                    * ln(((n_good + 0.5) / (g + 0.5))
+                         / ((n_bad + 0.5) / (b + 0.5))) * 1e6)
+              AS BIGINT) AS iv_micro
+  FROM tot
+)
+SELECT feature, bin, n_good, n_bad, woe,
+       CAST(iv_micro AS DOUBLE) / 1e6 AS iv_term,
+       CAST(SUM(iv_micro) OVER (PARTITION BY feature) AS DOUBLE) / 1e6
+         AS feature_iv
+FROM q
+"""
+
+
+def agg_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence and Information Value per (feature, bin) for a
+    binary label (order fell through: o_orderstatus = 'F'):
+    woe = ln(good-share / bad-share) with Haldane +0.5 continuity on
+    every cell (so empty cells are finite and the adjustment is
+    UNCONDITIONAL — deterministic, unlike only-if-zero variants), and
+    IV = Σ_bins (good-share − bad-share)·woe — the screening score
+    (<0.02 useless, >0.3 strong) model-risk teams quote before binning
+    a feature into a scorecard.
+
+    Two features screen in one pass: o_orderpriority (categorical) and
+    a fixed-width 100k price band (numeric binning that needs no
+    percentile — cross-engine-exact by construction).
+
+    Cross-engine exactness: cells are integer counts; shares and ln run
+    on identical doubles (both engines' libm agree on these inputs —
+    the text_*_logprob precedent); woe floor-quantizes and each IV term
+    is floor-quantized to INTEGER micro-units so the per-feature IV is
+    an EXACT integer window sum — no float accumulation order exists
+    anywhere in the output.
+
+    Scale design: ONE corpus scan — the two feature columns unpivot via
+    an inline explode (plan-pinned single scan), so screening F features
+    costs one pass regardless of F; the cell table is
+    O(features × bins) metadata and every window after it is
+    dimension-sized. The 100 TB shape is the map-side-combined
+    (feature, bin) count rollup; features with unbounded cardinality
+    get capped by the same fixed-width/bucketing discipline as here."""
+    o = table(spark, sf_dir, "orders")
+    long = o.select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("bad"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("priority").alias("feature"),
+                    F.col("o_orderpriority").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("price_band").alias("feature"),
+                    F.concat(
+                        F.lit("band_"),
+                        F.floor(F.col("o_totalprice") / 100000.0).cast(
+                            "string"
+                        ),
+                    ).alias("bin"),
+                ),
+            )
+        ).alias("fb"),
+    ).select("bad", F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin"))
+    cells = long.groupBy("feature", "bin").agg(
+        F.sum(1 - F.col("bad")).cast("long").alias("n_good"),
+        F.sum("bad").cast("long").alias("n_bad"),
+    )
+    wf = Window.partitionBy("feature")
+    tot = cells.select(
+        "feature",
+        "bin",
+        "n_good",
+        "n_bad",
+        F.sum("n_good").over(wf).alias("g"),
+        F.sum("n_bad").over(wf).alias("b"),
+    )
+    gshare = (F.col("n_good") + 0.5) / (F.col("g") + 0.5)
+    bshare = (F.col("n_bad") + 0.5) / (F.col("b") + 0.5)
+    woe_raw = F.log(gshare / bshare)
+    q = tot.select(
+        "feature",
+        "bin",
+        "n_good",
+        "n_bad",
+        fquant(woe_raw).alias("woe"),
+        F.floor((gshare - bshare) * woe_raw * F.lit(1e6))
+        .cast("long")
+        .alias("iv_micro"),
+    )
+    return q.select(
+        "feature",
+        "bin",
+        "n_good",
+        "n_bad",
+        "woe",
+        (F.col("iv_micro").cast("double") / 1e6).alias("iv_term"),
+        (F.sum("iv_micro").over(wf).cast("double") / 1e6).alias("feature_iv"),
+    )

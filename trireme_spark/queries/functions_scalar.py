@@ -2051,3 +2051,140 @@ def fn_variant_schema_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.join(F.broadcast(merged), "g").select(
         "g", "row_schema", "n_docs", "n_null_v", "merged_schema"
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_ipv4_cidr — STAGED for the r12 registration (cadence batch; SURVEY
+# round-11 log). IPv4 parsing + longest-prefix-match CIDR classification —
+# the network-function surface (octet math, prefix containment, LPM) that
+# every clickstream/geo-enrichment pipeline runs before any analytics.
+# Flip recipe: add @register("fn_ipv4_cidr", oracle=_IPV4_CIDR_ORACLE) and
+# a _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+# (cidr, network-as-uint32, prefix-len). Overlapping by design: every IP
+# matches /0, most match something longer — longest prefix must win.
+_CIDR_BLOCKS = [
+    ("0.0.0.0/0", 0, 0),
+    ("0.0.0.0/1", 0, 1),
+    ("128.0.0.0/2", 128 * 2**24, 2),
+    ("192.0.0.0/3", 192 * 2**24, 3),
+    ("224.0.0.0/4", 224 * 2**24, 4),
+    ("240.0.0.0/5", 240 * 2**24, 5),
+    ("10.0.0.0/8", 10 * 2**24, 8),
+    ("10.128.0.0/9", (10 * 2**24) + (128 * 2**16), 9),
+    ("192.0.0.0/8", 192 * 2**24, 8),
+    ("224.16.0.0/12", (224 * 2**24) + (16 * 2**16), 12),
+]
+
+_IPV4_SALT = 11
+_KNUTH_IP = 2654435761
+_M31_IP = 2147483648
+_M32_IP = 4294967296
+
+
+def _cidr_values_sql() -> str:
+    rows = ", ".join(f"('{c}', {n}, {p})" for c, n, p in _CIDR_BLOCKS)
+    return f"(VALUES {rows}) blocks(cidr, net, plen)"
+
+
+_IPV4_CIDR_ORACLE = f"""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), ip AS (
+  SELECT user_id,
+         ((user_id + {_IPV4_SALT}) % {_M31_IP}) * {_KNUTH_IP}
+           % {_M32_IP} AS ipn
+  FROM u
+), fmt AS (
+  SELECT user_id, ipn,
+         concat(
+           CAST(CAST(FLOOR(ipn / 16777216.0) AS BIGINT) % 256 AS VARCHAR),
+           '.',
+           CAST(CAST(FLOOR(ipn / 65536.0) AS BIGINT) % 256 AS VARCHAR),
+           '.',
+           CAST(CAST(FLOOR(ipn / 256.0) AS BIGINT) % 256 AS VARCHAR),
+           '.', CAST(ipn % 256 AS VARCHAR)
+         ) AS ip_str
+  FROM ip
+), matched AS (
+  SELECT f.user_id, f.ipn, f.ip_str, blocks.cidr, blocks.plen
+  FROM fmt f JOIN {_cidr_values_sql()}
+    ON FLOOR(f.ipn / power(2.0, 32 - blocks.plen))
+       = FLOOR(blocks.net / power(2.0, 32 - blocks.plen))
+), best AS (
+  SELECT user_id, ipn, ip_str,
+         MAX(struct_pack(plen := plen, cidr := cidr)) AS w
+  FROM matched GROUP BY 1, 2, 3
+)
+SELECT w.cidr AS cidr,
+       CAST(w.plen AS BIGINT) AS plen,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       arg_min(ip_str, ipn) AS lowest_ip,
+       arg_max(ip_str, ipn) AS highest_ip
+FROM best
+GROUP BY 1, 2
+ORDER BY cidr
+"""
+
+
+def fn_ipv4_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 network functions over a planted per-user address (Knuth
+    hash of user_id — deterministic, table-free): format the uint32 as
+    dotted-quad, test membership against an OVERLAPPING CIDR rule table
+    (prefix containment = equal floor-div by 2^(32−plen)), resolve each
+    address to its LONGEST matching prefix (LPM — the routing-table
+    semantic), and roll up per block with the lowest/highest member
+    address (arg_min/arg_max on the numeric form, displayed as text).
+
+    Cross-engine exactness: everything is integer arithmetic (the
+    planted address, octet extraction by floor-div/mod, containment by
+    floor-div equality); LPM is a struct-MAX on (plen, cidr); min/max
+    addresses are arg-extrema on exact integers — nothing floats except
+    the power-of-two divisions, which are exact binary doubles.
+
+    Scale design: the rule table is bounded (routing tables are model
+    state, the broadcast doctrine), so membership is a
+    BroadcastNestedLoopJoin of the corpus against 10 literal rows —
+    bounded fan-out per address, no shuffle; LPM folds map-side via
+    struct-max on the user key the corpus ALREADY carries. At real
+    routing-table sizes (~1M prefixes) the documented switch is prefix
+    expansion to fixed lengths + equi-join on (ipn >> k) — same answer,
+    hash-partitionable."""
+    ev = table(spark, sf_dir, "events").select("user_id").distinct()
+    ipn = (
+        (F.col("user_id") + _IPV4_SALT) % _M31_IP * _KNUTH_IP % _M32_IP
+    ).alias("ipn")
+    octet = lambda k: (  # noqa: E731
+        F.floor(F.col("ipn") / float(2 ** k)).cast("long") % 256
+    ).cast("string")
+    fmt = ev.select("user_id", ipn).select(
+        "user_id",
+        "ipn",
+        F.concat_ws(
+            ".", octet(24), octet(16), octet(8), (F.col("ipn") % 256).cast("string")
+        ).alias("ip_str"),
+    )
+    blocks = spark.createDataFrame(
+        _CIDR_BLOCKS, "cidr string, net long, plen int"
+    )
+    matched = fmt.join(
+        F.broadcast(blocks),
+        F.floor(F.col("ipn") / F.pow(F.lit(2.0), 32 - F.col("plen")))
+        == F.floor(F.col("net") / F.pow(F.lit(2.0), 32 - F.col("plen"))),
+    )
+    best = matched.groupBy("user_id", "ipn", "ip_str").agg(
+        F.max(F.struct("plen", "cidr")).alias("w")
+    )
+    return (
+        best.groupBy(
+            F.col("w.cidr").alias("cidr"),
+            F.col("w.plen").cast("long").alias("plen"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.expr("min_by(ip_str, ipn)").alias("lowest_ip"),
+            F.expr("max_by(ip_str, ipn)").alias("highest_ip"),
+        )
+        .orderBy("cidr")
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from trireme_spark.parity import oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -360,4 +361,132 @@ def geo_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.col("b.s_suppkey").alias("nearest_suppkey"),
         F.col("b.dist_km").alias("dist_km"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# geo_geohash_encode — STAGED for the r12 registration (cadence batch;
+# SURVEY round-11 log). Geohash cell encoding (Niemeyer's bit-interleaved
+# base32 grid) — the spatial BUCKETING primitive: once points carry a cell
+# id, proximity joins become equi-joins on (cell, neighbors) instead of
+# all-pairs haversine, which is exactly the grid path geo_nearest_facility's
+# docstring names for corpus-sized facility tables. Flip recipe: add
+# @register("geo_geohash_encode", oracle=_GEOHASH_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _gh_interleave_sql(lon_q: str = "lon_q", lat_q: str = "lat_q") -> str:
+    """20-bit lon/lat interleave (lon takes even bits from the MSB — the
+    geohash convention) as PORTABLE integer arithmetic: bit k extracts as
+    FLOOR(x / 2^k) % 2, so the same generated string runs in Spark SQL and
+    DuckDB with identical semantics (doubles are exact far below 2^53)."""
+    terms = []
+    for k in range(10):
+        terms.append(
+            f"CAST(FLOOR({lon_q} / {2 ** (9 - k)}.0) AS BIGINT) % 2"
+            f" * {2 ** (19 - 2 * k)}"
+        )
+        terms.append(
+            f"CAST(FLOOR({lat_q} / {2 ** (9 - k)}.0) AS BIGINT) % 2"
+            f" * {2 ** (18 - 2 * k)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _gh_str_sql(cell: str = "cell") -> str:
+    """cell (20 bits) -> 4 base32 chars, 5 bits each, MSB first."""
+    chars = [
+        f"substring('{_GH_ALPHABET}', "
+        f"CAST(CAST(FLOOR({cell} / {32 ** (3 - i)}.0) AS BIGINT) % 32 + 1"
+        f" AS INT), 1)"
+        for i in range(4)
+    ]
+    return "concat(" + ", ".join(chars) + ")"
+
+
+_GEOHASH_ORACLE = f"""
+WITH c AS (
+  SELECT c_custkey,
+         {_plant_sql('c_custkey', 1)} * 120 - 60 AS lat,
+         {_plant_sql('c_custkey', 2)} * 240 - 120 AS lon
+  FROM customer
+), q AS (
+  SELECT lat, lon,
+         CAST(FLOOR((lat + 90.0) / 180.0 * 1024.0) AS BIGINT) AS lat_q,
+         CAST(FLOOR((lon + 180.0) / 360.0 * 1024.0) AS BIGINT) AS lon_q
+  FROM c
+), g AS (
+  SELECT {_gh_str_sql(_gh_interleave_sql())} AS geohash4, lat, lon
+  FROM q
+)
+SELECT geohash4,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       FLOOR({oracle_sum('lat')} / COUNT(*) * 1e6) / 1e6 AS mean_lat,
+       FLOOR({oracle_sum('lon')} / COUNT(*) * 1e6) / 1e6 AS mean_lon
+FROM g
+GROUP BY 1
+ORDER BY n_customers DESC, geohash4 ASC
+LIMIT 25
+"""
+
+
+def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-4 geohash per customer (planted lat/lon — the
+    geo_distance_join planting, salts 1/2) via the REAL algorithm:
+    quantize lon/lat to 10 bits each over [-180,180]/[-90,90],
+    interleave MSB-first with lon on even bits, emit 4 base32 chars
+    (alphabet 0-9 b-z minus a,i,l,o) — verified in tests against an
+    independent textbook geohash encoder, not just the oracle. Returns
+    the top-25 cells by population with decimal-exact mean coordinates.
+
+    Cross-engine exactness: the quantization, interleave and char
+    extraction are one generated INTEGER-arithmetic expression shared
+    verbatim by both engines (FLOOR-div/mod bit extraction — doubles
+    exact far below 2^53); means are decimal-exact sums floor-quantized;
+    the top-25 order (n DESC, geohash ASC) is total.
+
+    Scale design: pure per-row column algebra (no UDF, no shuffle)
+    followed by ONE map-side-combinable cell rollup and a
+    TakeOrderedAndProject — the cell id then serves as the equi-join /
+    partition key that replaces all-pairs spatial work at 100 TB;
+    deeper precisions append 5-bit groups to the same expression."""
+    c = table(spark, sf_dir, "customer")
+    q = c.select(
+        (_plant("c_custkey", 1) * 120 - 60).alias("lat"),
+        (_plant("c_custkey", 2) * 240 - 120).alias("lon"),
+    ).selectExpr(
+        "lat",
+        "lon",
+        "CAST(FLOOR((lat + 90.0) / 180.0 * 1024.0) AS BIGINT) AS lat_q",
+        "CAST(FLOOR((lon + 180.0) / 360.0 * 1024.0) AS BIGINT) AS lon_q",
+    )
+    g = q.selectExpr(
+        f"{_gh_str_sql(_gh_interleave_sql())} AS geohash4", "lat", "lon"
+    )
+    from trireme_spark.parity import dsum
+
+    return (
+        g.groupBy("geohash4")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("lat").alias("slat"),
+            dsum("lon").alias("slon"),
+        )
+        .select(
+            "geohash4",
+            "n_customers",
+            (
+                F.floor(F.col("slat") / F.col("n_customers") * F.lit(1e6))
+                / 1e6
+            ).alias("mean_lat"),
+            (
+                F.floor(F.col("slon") / F.col("n_customers") * F.lit(1e6))
+                / 1e6
+            ).alias("mean_lon"),
+        )
+        .orderBy(F.col("n_customers").desc(), F.col("geohash4").asc())
+        .limit(25)
     )

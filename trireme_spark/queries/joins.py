@@ -1864,3 +1864,151 @@ def graph_two_hop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_paths",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_adamic_adar — STAGED for the r12 registration (cadence batch;
+# SURVEY round-11 log). Adamic-Adar link prediction on the copurchase
+# graph: the frequency-weighted refinement of graph_jaccard_links' common-
+# neighbor count — a shared RARE neighbor is worth more than a shared hub
+# (Adamic & Adar 2003), which is why AA beats Jaccard on power-law graphs.
+# Flip recipe: add @register("graph_adamic_adar", oracle=_ADAMIC_ADAR_ORACLE)
+# and a _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_ADAMIC_ADAR_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS c
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT x, y FROM p WHERE c >= 2),
+adj AS (
+  SELECT x AS node, y AS nbr FROM e
+  UNION ALL
+  SELECT y AS node, x AS nbr FROM e
+),
+deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+adjd AS (
+  -- d = 1 nodes cannot be a wedge MIDDLE (a wedge needs two adjacency
+  -- rows on the same node), so dropping them is semantics-free and
+  -- keeps 1/ln(d) off the ln(1) = 0 pole (ANSI divide-by-zero).
+  SELECT adj.node, adj.nbr,
+         CAST(FLOOR(1e6 / ln(CAST(deg.d AS DOUBLE))) AS BIGINT) AS inv_micro
+  FROM adj JOIN deg ON adj.node = deg.node
+  WHERE deg.d >= 2
+),
+wedge AS (
+  SELECT a.nbr AS x, b.nbr AS z,
+         CAST(COUNT(*) AS BIGINT) AS common,
+         CAST(SUM(a.inv_micro) AS BIGINT) AS aa_micro
+  FROM adjd a JOIN adjd b
+    ON a.node = b.node AND a.nbr < b.nbr
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT w.x, w.z, w.common, w.aa_micro FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.x = w.x AND e.y = w.z)
+)
+SELECT x AS part_a, z AS part_b, common AS common_neighbors,
+       CAST(aa_micro AS DOUBLE) / 1e6 AS adamic_adar
+FROM nonedge
+ORDER BY aa_micro DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the copurchase graph (same edge
+    rule as graph_jaccard_links / graph_triangle_count: parts co-bought
+    in >= 2 orders): for part pairs NOT yet linked,
+    AA(x,z) = Σ_{m ∈ N(x)∩N(z)} 1/ln(deg(m)) — each common neighbor
+    contributes INVERSELY to how promiscuous it is, so two parts that
+    share one niche companion outrank two that share one bestseller.
+    Top 20 by score.
+
+    Cross-engine exactness: deg is an integer count, 1/ln(d) runs on
+    the same integer-derived double in both engines (the libm-agreement
+    precedent of the logprob keys), each wedge term floor-quantizes to
+    1e-6 units BEFORE the sum, and the per-pair score is an EXACT
+    BIGINT sum — no float accumulation order anywhere; the top-20
+    orders on the integer micro-score with the pair as total tie-break.
+
+    Scale design: identical skeleton to graph_jaccard_links — the
+    per-middle-node weight joins onto the adjacency list ONCE (keyed,
+    dimension-of-the-graph sized), common neighbors come from the wedge
+    join on the middle node (keyed shuffle, Σdeg² work, hub-capping the
+    documented lever for power-law tails), existing edges leave via a
+    keyed anti-join, and the top-20 folds into TakeOrderedAndProject.
+    Neighbor SETS are never materialized per pair."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("x", "y")
+    )
+    adj = e.select(
+        F.col("x").alias("node"), F.col("y").alias("nbr")
+    ).unionByName(e.select(F.col("y").alias("node"), F.col("x").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    # d = 1 nodes cannot be a wedge middle (a wedge needs two adjacency
+    # rows on the same node), so the filter is semantics-free and keeps
+    # 1/ln(d) off the ln(1) = 0 pole (ANSI divide-by-zero at sf0.1).
+    adjd = (
+        adj.join(deg, "node")
+        .where(F.col("d") >= 2)
+        .select(
+            "node",
+            "nbr",
+            F.floor(F.lit(1e6) / F.log(F.col("d").cast("double")))
+            .cast("long")
+            .alias("inv_micro"),
+        )
+    )
+    wedge = (
+        adjd.alias("wa")
+        .join(
+            adjd.alias("wb"),
+            (F.col("wa.node") == F.col("wb.node"))
+            & (F.col("wa.nbr") < F.col("wb.nbr")),
+        )
+        .groupBy(F.col("wa.nbr").alias("x"), F.col("wb.nbr").alias("z"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.col("wa.inv_micro")).alias("aa_micro"),
+        )
+    )
+    nonedge = wedge.join(
+        e,
+        (wedge["x"] == e["x"]) & (wedge["z"] == e["y"]),
+        "left_anti",
+    )
+    return (
+        nonedge.select(
+            F.col("x").alias("part_a"),
+            F.col("z").alias("part_b"),
+            F.col("common").alias("common_neighbors"),
+            (F.col("aa_micro").cast("double") / 1e6).alias("adamic_adar"),
+            F.col("aa_micro").alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), "part_a", "part_b")
+        .limit(20)
+        .drop("_ord")
+    )

@@ -2307,3 +2307,93 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_sorted_neighborhood — STAGED for the r12 registration (cadence
+# batch; SURVEY round-11 log). Sorted-Neighborhood blocking (Hernandez &
+# Stolfo 1995): the THIRD blocking paradigm in the dedup family, next to
+# hash-bucket blocking (minhash bands, simhash chunks) and symmetric-delete
+# neighborhoods (dedup_fuzzy_names) — sort on a blocking key, compare each
+# record only to the w-1 records that FOLLOW it in sort order. Flip recipe:
+# add @register("dedup_sorted_neighborhood", oracle=_SNM_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_SNM_WINDOW = 3  # each record meets the 2 records after it
+_SNM_PROBE = 80  # chars compared by the expensive verifier
+_SNM_KEY = 24  # chars of the cheap blocking key
+_SNM_RADIUS = 20  # edit-distance accept threshold
+
+_SNM_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, lang,
+         substring(text, 1, {_SNM_KEY}) AS bkey,
+         substring(text, 1, {_SNM_PROBE}) AS probe,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY substring(text, 1, {_SNM_KEY}), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.probe, b.probe) AS BIGINT) AS lev,
+       levenshtein(a.probe, b.probe) <= {_SNM_RADIUS} AS is_dup
+FROM k a JOIN k b
+  ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND {_SNM_WINDOW - 1}
+"""
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood near-dup candidate scan over documents: sort
+    each language's corpus by a cheap blocking key (the first 24 chars),
+    slide a window of w=3, and run the expensive verifier (edit distance
+    over the first 80 chars, accept at <= 20) ONLY on records that are
+    neighbors in sort order — O(n·w) verifications instead of O(n²),
+    the record-linkage classic that catches near-dups hash blocking
+    misses when edits fall OUTSIDE the hashed field (because sort order
+    tolerates suffix divergence).
+
+    Cross-engine exactness: the sort key (bkey, doc_id) is total, both
+    engines' levenshtein is the plain Wagner-Fischer distance on
+    identical ASCII slices, and the accept flag compares integers —
+    nothing floats.
+
+    Scale design: the Spark side never self-joins — ONE window pass per
+    language partition emits each record's w-1 forward neighbors via
+    lead() (bounded fan-out by construction), so the corpus shuffles
+    once on the blocking partition. At 100 TB the lang partition
+    becomes (lang, key-range) via range partitioning on the blocking
+    key — the multi-pass/multi-key variant the SNM literature
+    prescribes is just more window passes with different keys. The
+    oracle's rn-difference self-join is the brute-force twin, not the
+    plan."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, _SNM_KEY).alias("bkey"),
+        F.substring("text", 1, _SNM_PROBE).alias("probe"),
+    )
+    w = Window.partitionBy("lang").orderBy("bkey", "doc_id")
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.lead("doc_id", i).over(w).alias("doc_b"),
+                F.lead("probe", i).over(w).alias("probe_b"),
+            )
+            for i in range(1, _SNM_WINDOW)
+        ]
+    )
+    pairs = (
+        d.select("lang", F.col("doc_id").alias("doc_a"), "probe", nbrs.alias("nb"))
+        .select("lang", "doc_a", "probe", F.explode("nb").alias("n"))
+        .where(F.col("n.doc_b").isNotNull())
+    )
+    lev = F.levenshtein(F.col("probe"), F.col("n.probe_b"))
+    return pairs.select(
+        "lang",
+        "doc_a",
+        F.col("n.doc_b").alias("doc_b"),
+        lev.cast("long").alias("lev"),
+        (lev <= _SNM_RADIUS).alias("is_dup"),
+    )

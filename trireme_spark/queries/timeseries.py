@@ -8185,3 +8185,464 @@ def etl_bitemporal_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.valid_from").alias("valid_from"),
         F.col("w.system_from").alias("system_from"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_delta_method — STAGED for the r12 registration (cadence batch;
+# SURVEY round-11 log). Ratio-metric experiment readout with delta-method
+# variance: when the metric is a ratio of SUMS (revenue per click) but the
+# randomization unit is the USER, per-user observations are the iid unit and
+# Var(X̄/Ȳ) needs the first-order Taylor expansion — the correction every
+# experimentation platform applies before quoting a z on a ratio metric
+# (Deng, Knoblich & Lu 2018). Flip recipe: add
+# @register("events_ab_delta_method", oracle=_DELTA_METHOD_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_DELTA_METHOD_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(user_id::VARCHAR || '|delta'), 1, 8))
+              AS BIGINT) % 2 AS arm,
+         {oracle_sum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS x,
+         CAST(COUNT(CASE WHEN event_type IN ('click', 'view') THEN 1 END)
+              AS DOUBLE) AS y
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT arm,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {oracle_sum('x')} AS sx, {oracle_sum('y')} AS sy,
+         {oracle_sum('x * x')} AS sxx, {oracle_sum('y * y')} AS syy,
+         {oracle_sum('x * y')} AS sxy
+  FROM u GROUP BY arm
+), r AS (
+  SELECT arm, n, sx / sy AS ratio,
+         ((sxx - sx * sx / n) / (n - 1)
+          - 2 * (sx / sy) * ((sxy - sx * sy / n) / (n - 1))
+          + (sx / sy) * (sx / sy) * ((syy - sy * sy / n) / (n - 1)))
+         / (n * (sy / n) * (sy / n)) AS var_r
+  FROM a
+)
+SELECT
+  MAX(CASE WHEN arm = 0 THEN CAST(n AS BIGINT) END) AS n_a,
+  MAX(CASE WHEN arm = 1 THEN CAST(n AS BIGINT) END) AS n_b,
+  FLOOR(MAX(CASE WHEN arm = 0 THEN ratio END) * 1e6) / 1e6 AS ratio_a,
+  FLOOR(MAX(CASE WHEN arm = 1 THEN ratio END) * 1e6) / 1e6 AS ratio_b,
+  FLOOR((MAX(CASE WHEN arm = 1 THEN ratio END)
+         - MAX(CASE WHEN arm = 0 THEN ratio END)) * 1e6) / 1e6 AS delta,
+  FLOOR(sqrt(MAX(CASE WHEN arm = 0 THEN var_r END)
+             + MAX(CASE WHEN arm = 1 THEN var_r END)) * 1e6) / 1e6 AS se,
+  FLOOR((MAX(CASE WHEN arm = 1 THEN ratio END)
+         - MAX(CASE WHEN arm = 0 THEN ratio END))
+        / sqrt(MAX(CASE WHEN arm = 0 THEN var_r END)
+               + MAX(CASE WHEN arm = 1 THEN var_r END)) * 1e6) / 1e6 AS z,
+  abs(FLOOR((MAX(CASE WHEN arm = 1 THEN ratio END)
+             - MAX(CASE WHEN arm = 0 THEN ratio END))
+            / sqrt(MAX(CASE WHEN arm = 0 THEN var_r END)
+                   + MAX(CASE WHEN arm = 1 THEN var_r END)) * 1e6) / 1e6)
+    > 1.96 AS significant
+FROM r
+"""
+
+
+def events_ab_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method z-test for a ratio-of-sums metric (purchase revenue
+    per click/view), randomized at USER grain: per arm,
+    R = ΣX/ΣY and Var(R) ≈ (s_x² − 2R·s_xy + R²·s_y²) / (n·ȳ²) with the
+    sample (co)variances taken over per-user (X_i, Y_i) — the Taylor
+    linearization that makes the naive per-event z honest when users,
+    not clicks, are the independent unit.
+
+    Cross-engine exactness: per-user X is a decimal-exact sum, Y an
+    integer count; arm-level moments are decimal-exact sums of
+    identical doubles, so ratio/variance/z reduce algebraically to
+    sufficient statistics with no float accumulation order — both
+    engines run the same IEEE expression; outputs floor-quantize
+    (parity.fquant) and the significance test compares the QUANTIZED z
+    so the boolean can't straddle. Assignment is the seeded md5-prefix
+    hash (events_ab_cuped's pattern) — stable and table-free.
+
+    Scale design: ONE user-keyed aggregation (map-side combinable)
+    builds the per-user frame; arm moments are a 2-row aggregate; the
+    readout folds 2 rows into 1. Adding arms or covariate corrections
+    adds columns to the moment row, never passes — at 100 TB the only
+    corpus-scale stage is the first keyed rollup."""
+    ev = table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("user_id").cast("string"), F.lit("|delta"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            dsum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0)
+            ).alias("x"),
+            F.count(
+                F.when(F.col("event_type").isin("click", "view"), F.lit(1))
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .withColumn("arm", arm)
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    ratio = F.col("sx") / F.col("sy")
+    nm1 = F.col("n") - 1
+    var_r = (
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / nm1
+            - 2
+            * ratio
+            * ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / nm1)
+            + ratio
+            * ratio
+            * ((F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / nm1)
+        )
+        / (F.col("n") * (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n")))
+    )
+    r = a.select("arm", "n", ratio.alias("ratio"), var_r.alias("var_r"))
+
+    def pick(col, arm_v):
+        return F.max(F.when(F.col("arm") == arm_v, F.col(col)))
+
+    delta = pick("ratio", 1) - pick("ratio", 0)
+    se = F.sqrt(pick("var_r", 0) + pick("var_r", 1))
+    return r.agg(
+        pick("n", 0).cast("long").alias("n_a"),
+        pick("n", 1).cast("long").alias("n_b"),
+        fquant(pick("ratio", 0)).alias("ratio_a"),
+        fquant(pick("ratio", 1)).alias("ratio_b"),
+        fquant(delta).alias("delta"),
+        fquant(se).alias("se"),
+        fquant(delta / se).alias("z"),
+        (F.abs(fquant(delta / se)) > 1.96).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_cross_correlation_leadlag — STAGED for the r12 registration (cadence
+# batch; SURVEY round-11 log). Lead-lag cross-correlation function between
+# two daily revenue series: which segment MOVES FIRST, and by how many days
+# — the CCF that pairs with ts_autocorrelation (self) the way
+# agg_corr_matrix pairs with agg_regression. Flip recipe: add
+# @register("ts_cross_correlation_leadlag", oracle=_CCF_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_CCF_EPOCH = "1990-01-01"
+
+_CCF_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '{_CCF_EPOCH} 00:00:00',
+                        o_orderdate) AS BIGINT) AS dd,
+         {oracle_sum("CASE WHEN c_mktsegment = 'BUILDING' THEN o_totalprice ELSE 0 END")} AS x,
+         {oracle_sum("CASE WHEN c_mktsegment = 'MACHINERY' THEN o_totalprice ELSE 0 END")} AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+), m AS (
+  SELECT CAST(l.k AS BIGINT) AS lag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {oracle_sum('a.x')} AS sx, {oracle_sum('b.y')} AS sy,
+         {oracle_sum('a.x * a.x')} AS sxx, {oracle_sum('b.y * b.y')} AS syy,
+         {oracle_sum('a.x * b.y')} AS sxy
+  FROM range(-7, 8) l(k)
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.dd = a.dd + l.k
+  GROUP BY 1
+), c AS (
+  SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+         FLOOR((n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6)
+         / 1e6 AS ccf
+  FROM m
+)
+SELECT lag, n_pairs, ccf,
+       RANK() OVER (ORDER BY abs(ccf) DESC, lag ASC) = 1 AS is_peak
+FROM c
+"""
+
+
+def ts_cross_correlation_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily BUILDING revenue (x) and
+    daily MACHINERY revenue (y) at lags −7…+7: ccf(k) = corr(x_t, y_{t+k})
+    over the days where both points exist, with the peak-|ccf| lag
+    flagged — positive peak lag reads "BUILDING leads MACHINERY by k
+    days". The lead-lag scan behind cross-metric alerting ("did signups
+    move before revenue?") and transfer-function model identification.
+
+    Cross-engine exactness: the two series come from ONE conditional
+    decimal rollup (exact); per-lag Pearson reduces to decimal-exact
+    sufficient statistics over identical doubles; ccf floor-quantizes
+    and the peak RANK orders on the QUANTIZED |ccf| with lag as the
+    total tie-break. Calendar alignment is an integer epoch-day key —
+    no timestamp arithmetic in the join.
+
+    Scale design: one corpus-scale keyed rollup (customer dim BROADCAST
+    into the fact scan) reduces to day grain; everything after — the
+    15-way lag spine, the self-join at day grain, the peak window under
+    a meta_part spec — is calendar-bounded (years × 365 rows) at any
+    corpus size. Widening the lag range or adding series pairs scales
+    the bounded stage only."""
+    o = table(spark, sf_dir, "orders")
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    daily = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit(_CCF_EPOCH))
+            .cast("long")
+            .alias("dd")
+        )
+        .agg(
+            dsum(
+                F.when(
+                    F.col("c_mktsegment") == "BUILDING", F.col("o_totalprice")
+                ).otherwise(0.0)
+            ).alias("x"),
+            dsum(
+                F.when(
+                    F.col("c_mktsegment") == "MACHINERY", F.col("o_totalprice")
+                ).otherwise(0.0)
+            ).alias("y"),
+        )
+    )
+    lags = spark.range(-7, 8).select(F.col("id").alias("lag"))
+    a = daily.select("dd", "x")
+    b = daily.select(F.col("dd").alias("dd_b"), "y")
+    m = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("dd_b") == F.col("dd") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            dsum("x").alias("sx"),
+            dsum("y").alias("sy"),
+            dsum(F.col("x") * F.col("x")).alias("sxx"),
+            dsum(F.col("y") * F.col("y")).alias("syy"),
+            dsum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    ccf = fquant(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    out = m.select(
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        ccf.alias("ccf"),
+    )
+    w = Window.partitionBy(meta_part("n_pairs")).orderBy(
+        F.abs(F.col("ccf")).desc(), F.col("lag").asc()
+    )
+    return out.select(
+        "lag", "n_pairs", "ccf", (F.rank().over(w) == 1).alias("is_peak")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_spectral_entropy — STAGED for the r12 registration (cadence batch;
+# SURVEY round-11 log). Normalized spectral entropy per market segment —
+# the forecastability score (low entropy = concentrated spectrum = strong
+# cycle; high = white-noise-like) that the tsfeatures/M4 literature uses to
+# route series between seasonal and naive forecasters. Flip recipe: add
+# @register("ts_spectral_entropy", oracle=_SPECTRAL_ENTROPY_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_SE_HARMONICS = 16
+
+_SPECTRAL_ENTROPY_ORACLE = f"""
+WITH daily AS (
+  SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+idx AS (
+  SELECT seg, rev,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY day) - 1 AS t,
+         COUNT(*) OVER (PARTITION BY seg) AS n,
+         CAST(SUM(CAST(rev AS DECIMAL(27,6))) OVER (PARTITION BY seg)
+              AS DOUBLE) / COUNT(*) OVER (PARTITION BY seg) AS mu
+  FROM daily
+),
+freqs AS (SELECT unnest(range(1, {_SE_HARMONICS + 1})) AS k),
+terms AS (
+  SELECT i.seg, f.k, i.n,
+         CAST(FLOOR((i.rev - i.mu)
+              * (FLOOR(cos(2 * pi() * f.k * i.t / i.n) * 1e8) / 1e8)
+              * 1e6) AS BIGINT) AS ct,
+         CAST(FLOOR((i.rev - i.mu)
+              * (FLOOR(sin(2 * pi() * f.k * i.t / i.n) * 1e8) / 1e8)
+              * 1e6) AS BIGINT) AS st
+  FROM idx i CROSS JOIN freqs f
+),
+pw AS (
+  SELECT seg, k, MAX(n) AS n,
+         CAST(SUM(CAST(ct AS HUGEINT)) AS DOUBLE) / 1e6 AS sc,
+         CAST(SUM(CAST(st AS HUGEINT)) AS DOUBLE) / 1e6 AS ss
+  FROM terms GROUP BY 1, 2
+),
+pm AS (
+  SELECT seg, k, n,
+         CAST(FLOOR((sc * sc + ss * ss) / n * 100) AS BIGINT) AS p_cents
+  FROM pw
+),
+dist AS (
+  SELECT seg, k, n, p_cents,
+         SUM(p_cents) OVER (PARTITION BY seg) AS s_cents
+  FROM pm
+),
+ent AS (
+  SELECT seg, n, p_cents,
+         CASE WHEN p_cents = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR(-(p_cents / CAST(s_cents AS DOUBLE))
+                              * ln(p_cents / CAST(s_cents AS DOUBLE))
+                              * 1e9) AS BIGINT)
+         END AS h_nano,
+         struct_pack(p := p_cents, mk := -k) AS pk
+  FROM dist
+)
+SELECT seg AS segment,
+       CAST(MAX(n) AS BIGINT) AS n_days,
+       FLOOR(CAST(SUM(h_nano) AS DOUBLE) / 1e9
+             / ln(CAST({_SE_HARMONICS} AS DOUBLE)) * 1e6) / 1e6
+         AS spectral_entropy,
+       CAST(-MAX(pk).mk AS BIGINT) AS dominant_harmonic
+FROM ent
+GROUP BY seg
+"""
+
+
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy of each segment's daily revenue
+    series over the first 16 harmonics: H = −Σ p_k ln p_k / ln(K) with
+    p_k the share of DFT power at harmonic k (Schuster periodogram,
+    mean-removed) — ts_periodogram's machinery lifted to per-GROUP
+    series and folded into the single forecastability number (≈1 ⇒
+    spectrally flat/noisy, ≪1 ⇒ one dominant cycle), plus the dominant
+    harmonic itself.
+
+    Cross-engine exactness: the ts_periodogram contract end-to-end —
+    cos/sin floor-quantize at 1e-8 before the product, DFT terms
+    floor-quantize into exact wide-integer sums, per-harmonic power
+    floor-quantizes to integer CENTS, so the power DISTRIBUTION is a
+    ratio of exact integers; each −p·ln p term then floor-quantizes to
+    1e-9 units and the entropy is an exact integer sum (zero-power
+    harmonics pinned to 0 on both sides — no NaN path). The dominant
+    harmonic is a struct-max on (power_cents, −k): exact, smallest k
+    wins ties.
+
+    Scale design: one corpus-scale keyed rollup (customer dim
+    broadcast) to (segment, day) grain; the two-pass index/mean windows
+    run per segment over calendar-bounded partitions; the 16-row
+    frequency spine broadcasts; everything after the DFT aggregation is
+    O(segments × harmonics) metadata. More segments = more partitions
+    (parallelism), not more passes."""
+    import math
+
+    o = table(spark, sf_dir, "orders")
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    daily = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    w_seg = Window.partitionBy("seg")
+    w_ord = w_seg.orderBy("day")
+    idx = daily.select(
+        "seg",
+        "rev",
+        (F.row_number().over(w_ord) - 1).alias("t"),
+        F.count(F.lit(1)).over(w_seg).alias("n"),
+        (
+            F.sum(F.col("rev").cast(DSCALE)).over(w_seg).cast("double")
+            / F.count(F.lit(1)).over(w_seg)
+        ).alias("mu"),
+    )
+    freqs = spark.range(1, _SE_HARMONICS + 1).select(F.col("id").alias("k"))
+    ang = 2 * math.pi * F.col("k") * F.col("t") / F.col("n")
+    terms = idx.crossJoin(F.broadcast(freqs)).select(
+        "seg",
+        "k",
+        "n",
+        F.floor(
+            (F.col("rev") - F.col("mu")) * fquant(F.cos(ang), 8) * 1e6
+        ).alias("ct"),
+        F.floor(
+            (F.col("rev") - F.col("mu")) * fquant(F.sin(ang), 8) * 1e6
+        ).alias("st"),
+    )
+    pw = terms.groupBy("seg", "k").agg(
+        F.max("n").alias("n"),
+        (F.sum(F.col("ct").cast("decimal(38,0)")).cast("double") / 1e6)
+        .alias("sc"),
+        (F.sum(F.col("st").cast("decimal(38,0)")).cast("double") / 1e6)
+        .alias("ss"),
+    )
+    pm = pw.select(
+        "seg",
+        "k",
+        "n",
+        F.floor(
+            (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+            / F.col("n")
+            * 100
+        )
+        .cast("long")
+        .alias("p_cents"),
+    )
+    dist = pm.select(
+        "seg",
+        "k",
+        "n",
+        "p_cents",
+        F.sum("p_cents").over(w_seg).alias("s_cents"),
+    )
+    p_share = F.col("p_cents") / F.col("s_cents").cast("double")
+    ent = dist.select(
+        "seg",
+        "n",
+        F.when(F.col("p_cents") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(-p_share * F.log(p_share) * 1e9).cast("long")
+        )
+        .alias("h_nano"),
+        F.struct(
+            F.col("p_cents").alias("p"), (-F.col("k")).alias("mk")
+        ).alias("pk"),
+    )
+    return ent.groupBy(F.col("seg").alias("segment")).agg(
+        F.max("n").cast("long").alias("n_days"),
+        fquant(
+            F.sum("h_nano").cast("double")
+            / 1e9
+            / F.log(F.lit(float(_SE_HARMONICS)))
+        ).alias("spectral_entropy"),
+        (-F.max(F.col("pk"))["mk"]).cast("long").alias("dominant_harmonic"),
+    )
