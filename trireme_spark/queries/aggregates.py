@@ -3477,3 +3477,399 @@ def agg_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("iv_micro").cast("double") / 1e6).alias("iv_term"),
         (F.sum("iv_micro").over(wf).cast("double") / 1e6).alias("feature_iv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_gini_split_gain — STAGED for the r12 registration (cadence batch;
+# SURVEY round-11 log). Decision-tree split screening: Gini impurity
+# reduction of candidate threshold splits on a numeric feature against a
+# binary label — the CART criterion, and WoE/IV's tree-side sibling in the
+# feature-engineering family. Flip recipe: add
+# @register("agg_gini_split_gain", oracle=_GINI_SPLIT_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_GINI_THRESHOLDS = [50_000 * k for k in range(1, 10)]  # 50k … 450k
+
+
+_GINI_SPLIT_ORACLE = f"""
+WITH labeled AS (
+  SELECT o_totalprice AS price,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+  FROM orders
+), thr AS (
+  SELECT UNNEST(ARRAY[{", ".join(str(t) for t in _GINI_THRESHOLDS)}])
+    AS threshold
+), cells AS (
+  SELECT t.threshold,
+         CAST(COUNT(*) FILTER (WHERE price <= t.threshold) AS BIGINT)
+           AS n_left,
+         CAST(SUM(CASE WHEN price <= t.threshold THEN bad ELSE 0 END)
+              AS BIGINT) AS bad_left,
+         CAST(COUNT(*) FILTER (WHERE price > t.threshold) AS BIGINT)
+           AS n_right,
+         CAST(SUM(CASE WHEN price > t.threshold THEN bad ELSE 0 END)
+              AS BIGINT) AS bad_right
+  FROM labeled CROSS JOIN thr t
+  GROUP BY 1
+), gini AS (
+  SELECT threshold, n_left, n_right,
+         1.0 - (CAST(bad_left AS DOUBLE) / n_left)
+             * (CAST(bad_left AS DOUBLE) / n_left)
+             - (CAST(n_left - bad_left AS DOUBLE) / n_left)
+             * (CAST(n_left - bad_left AS DOUBLE) / n_left) AS g_left,
+         1.0 - (CAST(bad_right AS DOUBLE) / n_right)
+             * (CAST(bad_right AS DOUBLE) / n_right)
+             - (CAST(n_right - bad_right AS DOUBLE) / n_right)
+             * (CAST(n_right - bad_right AS DOUBLE) / n_right) AS g_right,
+         1.0 - (CAST(bad_left + bad_right AS DOUBLE) / (n_left + n_right))
+             * (CAST(bad_left + bad_right AS DOUBLE) / (n_left + n_right))
+             - (CAST(n_left + n_right - bad_left - bad_right AS DOUBLE)
+                / (n_left + n_right))
+             * (CAST(n_left + n_right - bad_left - bad_right AS DOUBLE)
+                / (n_left + n_right)) AS g_parent
+  FROM cells
+), gain AS (
+  SELECT threshold, n_left, n_right,
+         FLOOR(g_left * 1e6) / 1e6 AS gini_left,
+         FLOOR(g_right * 1e6) / 1e6 AS gini_right,
+         CAST(FLOOR((g_parent
+                     - (CAST(n_left AS DOUBLE) / (n_left + n_right))
+                       * g_left
+                     - (CAST(n_right AS DOUBLE) / (n_left + n_right))
+                       * g_right) * 1e9) AS BIGINT) AS gain_nano
+  FROM gini
+)
+SELECT CAST(threshold AS BIGINT) AS threshold, n_left, n_right,
+       gini_left, gini_right,
+       CAST(gain_nano AS DOUBLE) / 1e9 AS gain,
+       RANK() OVER (ORDER BY gain_nano DESC, threshold ASC) = 1 AS is_best
+FROM gain
+"""
+
+
+def agg_gini_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini split gain for nine candidate thresholds on o_totalprice
+    against the binary fell-through label (o_orderstatus = 'F'):
+    gain(thr) = Gini(parent) − (n_L/n)·Gini(L) − (n_R/n)·Gini(R) with
+    Gini(node) = 1 − p² − (1−p)² — the CART split criterion, evaluated
+    for ALL candidate thresholds in one corpus pass; the best split
+    (max gain, lowest threshold on ties) is flagged. The threshold
+    spine is fixed-width (the WoE binning discipline — no percentile,
+    cross-engine-exact by construction).
+
+    Cross-engine exactness: every cell is an integer count (conditional
+    sums against a broadcast 9-row spine); impurities are ratios of
+    exact integers in identical double expressions; the gain
+    floor-quantizes to integer nano-units and is_best ranks on that
+    exact integer with the threshold as total tie-break.
+
+    Scale design: the corpus crosses the BOUNDED threshold spine
+    (broadcast, 9-way fan-out — the candidate-split evaluation pattern
+    of every distributed tree learner: Spark MLlib evaluates binned
+    candidate splits exactly this way) and reduces in ONE map-side-
+    combinable aggregation; deeper trees re-run the same pass on
+    partition-filtered corpora. Everything after is 9-row metadata."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("bad"),
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in _GINI_THRESHOLDS], "threshold long"
+    )
+    left = F.col("price") <= F.col("threshold")
+    cells = (
+        o.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.count_if(left).alias("n_left"),
+            F.sum(F.when(left, F.col("bad")).otherwise(0)).alias("bad_left"),
+            F.count_if(~left).alias("n_right"),
+            F.sum(F.when(~left, F.col("bad")).otherwise(0)).alias(
+                "bad_right"
+            ),
+        )
+    )
+
+    def gini(bad, n):
+        p = bad.cast("double") / n
+        q = (n - bad).cast("double") / n
+        return 1.0 - p * p - q * q
+
+    nl, nr = F.col("n_left"), F.col("n_right")
+    bl, br = F.col("bad_left"), F.col("bad_right")
+    g = cells.select(
+        "threshold",
+        "n_left",
+        "n_right",
+        gini(bl, nl).alias("g_left"),
+        gini(br, nr).alias("g_right"),
+        gini(bl + br, nl + nr).alias("g_parent"),
+    )
+    gain_nano = F.floor(
+        (
+            F.col("g_parent")
+            - (nl.cast("double") / (nl + nr)) * F.col("g_left")
+            - (nr.cast("double") / (nl + nr)) * F.col("g_right")
+        )
+        * 1e9
+    ).cast("long")
+    ranked = g.select(
+        "threshold",
+        "n_left",
+        "n_right",
+        fquant("g_left").alias("gini_left"),
+        fquant("g_right").alias("gini_right"),
+        gain_nano.alias("gain_nano"),
+    )
+    w = Window.partitionBy(meta_part("threshold")).orderBy(
+        F.col("gain_nano").desc(), F.col("threshold").asc()
+    )
+    return ranked.select(
+        "threshold",
+        "n_left",
+        "n_right",
+        "gini_left",
+        "gini_right",
+        (F.col("gain_nano").cast("double") / 1e9).alias("gain"),
+        (F.rank().over(w) == 1).alias("is_best"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_tukey_hsd — STAGED for the r12 registration (cadence batch; SURVEY
+# round-11 log). Tukey-Kramer honestly-significant-difference post-hoc:
+# agg_anova_oneway says WHETHER priority explains price variance — HSD says
+# WHICH priority pairs actually differ, with the studentized-range
+# correction that keeps the familywise error at 5% across all 10 pairwise
+# comparisons (10 naive t-tests at 5% each would not). Flip recipe: add
+# @register("agg_tukey_hsd", oracle=_TUKEY_ORACLE) and a _SWEEP_PRIORITY
+# slot.
+# ---------------------------------------------------------------------------
+
+_TUKEY_Q_CRIT = 3.858  # studentized range q(k=5, df=inf) at 5% — pinned
+
+_TUKEY_ORACLE = f"""
+WITH g AS (
+  SELECT o_orderpriority AS prio,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM orders GROUP BY 1
+), ssw AS (
+  SELECT CAST(SUM(CAST(ROUND((o_totalprice - g.m) * (o_totalprice - g.m),
+                             4) AS DECIMAL(27,4))) AS DOUBLE) AS ssw,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM orders JOIN g ON o_orderpriority = g.prio
+), pairs AS (
+  SELECT a.prio AS prio_a, b.prio AS prio_b,
+         a.n AS n_a, b.n AS n_b, a.m AS m_a, b.m AS m_b
+  FROM g a JOIN g b ON a.prio < b.prio
+)
+SELECT prio_a, prio_b, n_a, n_b,
+       ROUND(abs(m_a - m_b), 4) AS mean_diff,
+       FLOOR(abs(m_a - m_b)
+             / sqrt(ssw / (nt - 5) / 2
+                    * (1.0 / n_a + 1.0 / n_b)) * 1e6) / 1e6 AS q_stat,
+       FLOOR(abs(m_a - m_b)
+             / sqrt(ssw / (nt - 5) / 2
+                    * (1.0 / n_a + 1.0 / n_b)) * 1e6) / 1e6
+         > {_TUKEY_Q_CRIT} AS significant
+FROM pairs CROSS JOIN ssw
+"""
+
+
+def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD over all 10 order-priority pairs:
+    q_ij = |m_i − m_j| / √(MSW/2 · (1/n_i + 1/n_j)) with MSW the
+    within-group mean square from the ANOVA decomposition (the Kramer
+    form handles unequal group sizes), compared against the pinned
+    studentized-range critical q(5, ∞) at 5% — the post-hoc that
+    controls the FAMILYWISE error over every pairwise readout, which is
+    why dashboards that run it after ANOVA don't cry wolf 10× as often.
+
+    Cross-engine exactness: group means are exact decimal sums over
+    identical doubles; SSW uses agg_anova_oneway's centered ladder
+    (per-row (x−m)² ROUND(4) into an order-independent decimal total —
+    the centered form keeps quantized terms at ~1e10, inside double's
+    representable decimal range); q floor-quantizes and the flag
+    compares the QUANTIZED q.
+
+    Scale design: one keyed means pass + one centered pass with the
+    5-row means broadcast (the ANOVA shape); the pair lattice is k²
+    metadata. More groups widen the lattice, never the corpus passes."""
+    o = table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    g = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(x.cast(DSCALE)).cast("double") / F.count(F.lit(1))).alias(
+            "m"
+        ),
+    )
+    g = g.localCheckpoint(eager=True)
+    dec4 = "decimal(27,4)"
+    ssw_df = o.join(
+        F.broadcast(g), o["o_orderpriority"] == g["prio"]
+    ).agg(
+        F.sum(F.round((x - F.col("m")) * (x - F.col("m")), 4).cast(dec4))
+        .cast("double")
+        .alias("ssw"),
+        F.count(F.lit(1)).alias("nt"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(b, F.col("a.prio") < F.col("b.prio")).select(
+        F.col("a.prio").alias("prio_a"),
+        F.col("b.prio").alias("prio_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.m").alias("m_a"),
+        F.col("b.m").alias("m_b"),
+    )
+    msw_half = (
+        F.col("ssw") / (F.col("nt") - 5) / 2
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    q_stat = fquant(
+        F.abs(F.col("m_a") - F.col("m_b")) / F.sqrt(msw_half)
+    )
+    return pairs.crossJoin(F.broadcast(ssw_df)).select(
+        "prio_a",
+        "prio_b",
+        "n_a",
+        "n_b",
+        F.round(F.abs(F.col("m_a") - F.col("m_b")), 4).alias("mean_diff"),
+        q_stat.alias("q_stat"),
+        (q_stat > _TUKEY_Q_CRIT).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_fe_within_regression — STAGED for the r12 registration (cadence
+# batch; SURVEY round-11 log). Two-way fixed-effects (within) estimator:
+# the workhorse panel regression — demean by entity AND time, regress the
+# residuals — which identifies the discount→quantity slope from variation
+# WITHIN each part and month, immune to any part-level or month-level
+# confounder. Flip recipe: add
+# @register("lineitem_fe_within_regression", oracle=_FE_WITHIN_ORACLE) and
+# a _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_FE_WITHIN_ORACLE = """
+WITH base AS (
+  SELECT l_partkey AS i, date_trunc('month', l_shipdate) AS t,
+         l_discount AS x, l_quantity AS y
+  FROM lineitem
+), mi AS (
+  SELECT i,
+         CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS xi,
+         CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS yi
+  FROM base GROUP BY 1
+), mt AS (
+  SELECT t,
+         CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS xt,
+         CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS yt
+  FROM base GROUP BY 1
+), mg AS (
+  SELECT CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS xg,
+         CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS yg
+  FROM base
+), within AS (
+  SELECT CAST(FLOOR((x - xi - xt + xg) * (y - yi - yt + yg) * 1e9)
+              AS HUGEINT) AS sxy_nano,
+         CAST(FLOOR((x - xi - xt + xg) * (x - xi - xt + xg) * 1e9)
+              AS HUGEINT) AS sxx_nano,
+         CAST(FLOOR((y - yi - yt + yg) * (y - yi - yt + yg) * 1e9)
+              AS HUGEINT) AS syy_nano
+  FROM base
+  JOIN mi ON base.i = mi.i
+  JOIN mt ON base.t = mt.t
+  CROSS JOIN mg
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       FLOOR(CAST(SUM(sxy_nano) AS DOUBLE)
+             / CAST(SUM(sxx_nano) AS DOUBLE) * 1e6) / 1e6 AS slope,
+       FLOOR(CAST(SUM(sxy_nano) AS DOUBLE) / 1e9
+             * (CAST(SUM(sxy_nano) AS DOUBLE) / 1e9)
+             / (CAST(SUM(sxx_nano) AS DOUBLE) / 1e9)
+             / (CAST(SUM(syy_nano) AS DOUBLE) / 1e9) * 1e6) / 1e6
+         AS r2_within
+FROM within
+"""
+
+
+def lineitem_fe_within_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-way fixed-effects slope of quantity on discount over the
+    lineitem panel (entity = part, time = ship month): demean
+    x̃ = x − x̄_i − x̄_t + x̄, ỹ likewise, slope = Σx̃ỹ / Σx̃² and
+    within-R² = (Σx̃ỹ)² / (Σx̃²·Σỹ²) — the estimator that answers "does
+    a deeper discount move quantity WITHIN a part-month", with every
+    part-level (popularity) and month-level (seasonality) confounder
+    swept out by construction.
+
+    Cross-engine exactness: all three mean tables are exact decimal
+    averages (identical doubles); each within-term floor-quantizes to
+    1e-9 units into exact 128-bit sums (HUGEINT / decimal(38,0)), so
+    the slope is a ratio of exact integers — no float accumulation
+    order anywhere.
+
+    Scale design: the classic TWO-PASS within estimator — pass 1 builds
+    the entity/time/global mean tables (keyed, map-side-combined); pass
+    2 re-scans the corpus joining entity means by KEY (co-partitioned
+    equi-join — entity tables are corpus-dimension, never broadcast)
+    and time/global means by BROADCAST (calendar-bounded / 1 row), then
+    reduces to a single sufficient-statistics row. Adding regressors
+    adds columns to the moment row, never passes."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("i"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("t"),
+        F.col("l_discount").alias("x"),
+        F.col("l_quantity").alias("y"),
+    )
+    mi = li.groupBy("i").agg(
+        (F.sum(F.col("x").cast(DSCALE)).cast("double") / F.count(F.lit(1)))
+        .alias("xi"),
+        (F.sum(F.col("y").cast(DSCALE)).cast("double") / F.count(F.lit(1)))
+        .alias("yi"),
+    )
+    mt = li.groupBy("t").agg(
+        (F.sum(F.col("x").cast(DSCALE)).cast("double") / F.count(F.lit(1)))
+        .alias("xt"),
+        (F.sum(F.col("y").cast(DSCALE)).cast("double") / F.count(F.lit(1)))
+        .alias("yt"),
+    )
+    mg = li.agg(
+        (F.sum(F.col("x").cast(DSCALE)).cast("double") / F.count(F.lit(1)))
+        .alias("xg"),
+        (F.sum(F.col("y").cast(DSCALE)).cast("double") / F.count(F.lit(1)))
+        .alias("yg"),
+    )
+    xt_ = F.col("x") - F.col("xi") - F.col("xt") + F.col("xg")
+    yt_ = F.col("y") - F.col("yi") - F.col("yt") + F.col("yg")
+    within = (
+        li.join(mi, "i")
+        .join(F.broadcast(mt), "t")
+        .crossJoin(F.broadcast(mg))
+        .select(
+            F.floor(xt_ * yt_ * 1e9).cast("decimal(38,0)").alias("sxy_nano"),
+            F.floor(xt_ * xt_ * 1e9).cast("decimal(38,0)").alias("sxx_nano"),
+            F.floor(yt_ * yt_ * 1e9).cast("decimal(38,0)").alias("syy_nano"),
+        )
+    )
+    agg = within.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("sxy_nano").cast("double").alias("sxy"),
+        F.sum("sxx_nano").cast("double").alias("sxx"),
+        F.sum("syy_nano").cast("double").alias("syy"),
+    )
+    return agg.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        fquant(F.col("sxy") / F.col("sxx")).alias("slope"),
+        fquant(
+            (F.col("sxy") / 1e9)
+            * (F.col("sxy") / 1e9)
+            / (F.col("sxx") / 1e9)
+            / (F.col("syy") / 1e9)
+        ).alias("r2_within"),
+    )

@@ -2964,3 +2964,238 @@ def agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(fquant(num.cast("double") / den.cast("double")))
         .alias("fleiss_kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_mcnemar_test — STAGED for the r12 registration (cadence batch;
+# SURVEY round-11 log). McNemar's paired test on the two deterministic
+# annotators' "long" calls — the DISAGREEMENT-direction question kappa
+# cannot answer: do the annotators disagree SYMMETRICALLY, or is one
+# systematically stricter? Flip recipe: add
+# @register("text_mcnemar_test", oracle=_MCNEMAR_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_CHI2_CRIT = 3.841  # chi-square(1) at 5% — pinned literal
+
+_MCNEMAR_ORACLE = f"""
+WITH lab AS (
+  SELECT lang,
+         n_chars >= 380 AS a_long,
+         array_length(regexp_split_to_array(trim(text), '\\s+')) >= 64
+           AS b_long
+  FROM documents
+), cells AS (
+  SELECT lang,
+         CAST(COUNT(*) FILTER (WHERE a_long AND NOT b_long) AS BIGINT) AS b,
+         CAST(COUNT(*) FILTER (WHERE b_long AND NOT a_long) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM lab GROUP BY 1
+)
+SELECT lang, n_docs, b AS a_only, c AS b_only,
+       CASE WHEN b + c = 0 THEN 0.0
+            ELSE FLOOR((abs(b - c) - 1) * (abs(b - c) - 1)
+                       / CAST(b + c AS DOUBLE) * 1e6) / 1e6
+       END AS mcnemar_chi2,
+       CASE WHEN b + c = 0 THEN FALSE
+            ELSE FLOOR((abs(b - c) - 1) * (abs(b - c) - 1)
+                       / CAST(b + c AS DOUBLE) * 1e6) / 1e6
+                 > {_MCNEMAR_CHI2_CRIT}
+       END AS asymmetric
+FROM cells
+"""
+
+
+def text_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test per language on the paired binary "long document"
+    calls of the two deterministic annotators (char-count ≥ 380 vs
+    whitespace-token count ≥ 64 — the text_annotator_agreement rules,
+    binarized at the top class): χ² = (|b−c|−1)²/(b+c) over the
+    DISCORDANT cells only, with Edwards' continuity correction. Kappa
+    measures agreement; McNemar measures whether the disagreements are
+    one-sided — the check that catches a systematically stricter
+    annotator even when overall agreement looks fine.
+
+    Cross-engine exactness: b and c are exact integer cells from one
+    corpus pass; the statistic is a single integer-derived double
+    division, floor-quantized, with the degenerate b + c = 0 case
+    pinned to 0.0 BEFORE the division on both sides; the significance
+    flag compares the QUANTIZED statistic to the pinned χ²(1) critical.
+
+    Scale design: one map-side-combined (lang, a, b)-cell count — the
+    contingency-cell doctrine of the kappa keys; everything after is
+    alphabet-sized."""
+    d = table(spark, sf_dir, "documents")
+    nw = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    lab = d.select(
+        "lang",
+        (F.col("n_chars") >= 380).alias("a_long"),
+        (nw >= 64).alias("b_long"),
+    )
+    cells = lab.groupBy("lang").agg(
+        F.count_if(F.col("a_long") & ~F.col("b_long")).alias("b"),
+        F.count_if(F.col("b_long") & ~F.col("a_long")).alias("c"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    b, c = F.col("b"), F.col("c")
+    stat = fquant(
+        (F.abs(b - c) - 1)
+        * (F.abs(b - c) - 1)
+        / (b + c).cast("double")
+    )
+    return cells.select(
+        "lang",
+        "n_docs",
+        b.alias("a_only"),
+        c.alias("b_only"),
+        F.when(b + c == 0, F.lit(0.0)).otherwise(stat).alias(
+            "mcnemar_chi2"
+        ),
+        F.when(b + c == 0, F.lit(False))
+        .otherwise(stat > _MCNEMAR_CHI2_CRIT)
+        .alias("asymmetric"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_log_odds_dirichlet — STAGED for the r12 registration (cadence
+# batch; SURVEY round-11 log). Monroe/Colaresi/Quinn "Fightin' Words"
+# (2008): log-odds-ratio with an informative Dirichlet prior, the
+# corpus-comparison statistic that fixes both raw-PMI's rare-word
+# explosions (the prior shrinks them) and tf-idf's length confound (the
+# z-score normalizes by uncertainty). Flip recipe: add
+# @register("text_log_odds_dirichlet", oracle=_LOGODDS_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_LOGODDS_A0 = 500.0  # total prior mass — pinned literal
+_LOGODDS_TOPK = 10
+
+_LOGODDS_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS token
+  FROM documents WHERE lang IN ('en', 'fr')
+), y AS (
+  SELECT token,
+         CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS y_en,
+         CAST(COUNT(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS y_fr
+  FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(y_en) AS DOUBLE) AS n_en,
+         CAST(SUM(y_fr) AS DOUBLE) AS n_fr
+  FROM y
+), z AS (
+  SELECT token, y_en, y_fr,
+         FLOOR((
+           ln((y_en + {_LOGODDS_A0} * (y_en + y_fr) / (n_en + n_fr))
+              / (n_en + {_LOGODDS_A0} - y_en
+                 - {_LOGODDS_A0} * (y_en + y_fr) / (n_en + n_fr)))
+           - ln((y_fr + {_LOGODDS_A0} * (y_en + y_fr) / (n_en + n_fr))
+                / (n_fr + {_LOGODDS_A0} - y_fr
+                   - {_LOGODDS_A0} * (y_en + y_fr) / (n_en + n_fr)))
+         ) / sqrt(
+           1.0 / (y_en + {_LOGODDS_A0} * (y_en + y_fr) / (n_en + n_fr))
+           + 1.0 / (y_fr + {_LOGODDS_A0} * (y_en + y_fr) / (n_en + n_fr))
+         ) * 1e6) / 1e6 AS z
+  FROM y CROSS JOIN tot
+), ranked AS (
+  SELECT token, y_en, y_fr, z,
+         RANK() OVER (ORDER BY z DESC, token ASC) AS r_en,
+         RANK() OVER (ORDER BY z ASC, token ASC) AS r_fr
+  FROM z
+)
+SELECT 'en' AS leans, token, y_en, y_fr, z
+FROM ranked WHERE r_en <= {_LOGODDS_TOPK}
+UNION ALL
+SELECT 'fr' AS leans, token, y_en, y_fr, z
+FROM ranked WHERE r_fr <= {_LOGODDS_TOPK}
+"""
+
+
+def text_log_odds_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fightin' Words between the en and fr corpora: for each token w,
+    δ_w = log-odds of w in en minus log-odds in fr, both smoothed by an
+    informative Dirichlet prior α_w = a₀·f_w/F (the token's share of
+    the COMBINED corpus, scaled to total prior mass a₀ = 500), then
+    z_w = δ_w / √(1/(y_en+α) + 1/(y_fr+α)). Emits the top-10
+    most-en-leaning and top-10 most-fr-leaning tokens — the
+    differential-vocabulary readout used for style transfer audits,
+    subcorpus drift and content moderation deltas.
+
+    Cross-engine exactness: token counts are exact integers; α_w, the
+    log-odds and the variance run the same double expression on both
+    engines (libm-agreement precedent of the logprob keys); z
+    floor-quantizes and both leaderboards rank on the QUANTIZED z with
+    the token as total tie-break.
+
+    Scale design: one corpus tokenize-explode into a map-side-combined
+    token rollup with CONDITIONAL per-corpus counts (adding corpora
+    adds columns, not passes); the 1-row totals broadcast back; both
+    top-k folds are rank windows over the token table under meta_part
+    (at true corpus scale the documented swap is two
+    TakeOrderedAndProject passes on the quantized z)."""
+    d = table(spark, sf_dir, "documents").where(
+        F.col("lang").isin("en", "fr")
+    )
+    toks = d.select(
+        "lang", F.explode(tokenize("text")).alias("token")
+    )
+    y = toks.groupBy("token").agg(
+        F.count_if(F.col("lang") == "en").alias("y_en"),
+        F.count_if(F.col("lang") == "fr").alias("y_fr"),
+    )
+    w_tot = Window.partitionBy(meta_part("y_en"))
+    j = y.select(
+        "token",
+        "y_en",
+        "y_fr",
+        F.sum("y_en").over(w_tot).cast("double").alias("n_en"),
+        F.sum("y_fr").over(w_tot).cast("double").alias("n_fr"),
+    )
+    alpha = (
+        F.lit(_LOGODDS_A0)
+        * (F.col("y_en") + F.col("y_fr"))
+        / (F.col("n_en") + F.col("n_fr"))
+    )
+    lo_en = F.log(
+        (F.col("y_en") + alpha)
+        / (F.col("n_en") + _LOGODDS_A0 - F.col("y_en") - alpha)
+    )
+    lo_fr = F.log(
+        (F.col("y_fr") + alpha)
+        / (F.col("n_fr") + _LOGODDS_A0 - F.col("y_fr") - alpha)
+    )
+    var = 1.0 / (F.col("y_en") + alpha) + 1.0 / (F.col("y_fr") + alpha)
+    z = j.select(
+        "token",
+        "y_en",
+        "y_fr",
+        fquant((lo_en - lo_fr) / F.sqrt(var)).alias("z"),
+    )
+    w_en = Window.partitionBy(meta_part("y_en")).orderBy(
+        F.col("z").desc(), F.col("token").asc()
+    )
+    w_fr = Window.partitionBy(meta_part("y_en")).orderBy(
+        F.col("z").asc(), F.col("token").asc()
+    )
+    ranked = z.select(
+        "token",
+        "y_en",
+        "y_fr",
+        "z",
+        F.rank().over(w_en).alias("r_en"),
+        F.rank().over(w_fr).alias("r_fr"),
+    )
+    # both leaderboards leave through ONE explode of direction flags —
+    # a where+union of the same lineage would rescan the corpus per leg
+    dirs = F.array_compact(
+        F.array(
+            F.when(F.col("r_en") <= _LOGODDS_TOPK, F.lit("en")),
+            F.when(F.col("r_fr") <= _LOGODDS_TOPK, F.lit("fr")),
+        )
+    )
+    return (
+        ranked.select(
+            F.explode(dirs).alias("leans"), "token", "y_en", "y_fr", "z"
+        )
+    )

@@ -8646,3 +8646,588 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("spectral_entropy"),
         (-F.max(F.col("pk"))["mk"]).cast("long").alias("dominant_harmonic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_pacf_durbin_levinson — STAGED for the r12 registration (cadence batch;
+# SURVEY round-11 log). Partial autocorrelation at lags 1..5 per event
+# type, via the Durbin-Levinson recursion UNROLLED into a generated
+# closed-form expression chain that both engines execute verbatim — the
+# AR-order identification tool (PACF cuts off at p for an AR(p)) that
+# pairs with ts_autocorrelation (ACF, MA-order) and ts_ljung_box
+# (whiteness). Flip recipe: add
+# @register("ts_pacf_durbin_levinson", oracle=_PACF_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_PACF_MAXLAG = 5
+
+
+def _dl_levels(maxlag: int = _PACF_MAXLAG) -> list[list[str]]:
+    """Unrolled Durbin-Levinson over pivoted ACF columns r1..r{maxlag}:
+    phi_{1,1} = r1; phi_{k,k} = (r_k - Σ_j phi_{k-1,j} r_{k-j})
+    / (1 - Σ_j phi_{k-1,j} r_j); phi_{k,j} = phi_{k-1,j} - phi_{k,k}
+    phi_{k-1,k-j}. Each phi floor-quantizes at 1e-9 so every level's
+    INPUT is a short exact decimal both engines agree on — drift cannot
+    compound through the recursion. Returns one expression list per
+    SELECT level (phi_{k,k} needs its own level before the phi_{k,j}
+    updates may reference it). Pure generated SQL, shared verbatim by
+    Spark (selectExpr) and DuckDB (nested subqueries)."""
+    levels: list[list[str]] = [["FLOOR(r1 * 1e9) / 1e9 AS phi_1_1"]]
+    for k in range(2, maxlag + 1):
+        num = " + ".join(f"phi_{k-1}_{j} * r{k-j}" for j in range(1, k))
+        den = " + ".join(f"phi_{k-1}_{j} * r{j}" for j in range(1, k))
+        levels.append(
+            [
+                f"FLOOR((r{k} - ({num})) / NULLIF(1 - ({den}), 0.0)"
+                f" * 1e9) / 1e9 AS phi_{k}_{k}"
+            ]
+        )
+        levels.append(
+            [
+                f"FLOOR((phi_{k-1}_{j} - phi_{k}_{k} * phi_{k-1}_{k-j})"
+                f" * 1e9) / 1e9 AS phi_{k}_{j}"
+                for j in range(1, k)
+            ]
+        )
+    return levels
+
+
+def _dl_oracle_chain(inner: str) -> str:
+    for exprs in _dl_levels():
+        inner = f"(SELECT *, {', '.join(exprs)} FROM {inner})"
+    return inner
+
+
+_PACF_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('hour', ts))
+              // 3600000000 AS BIGINT) AS hidx,
+         {oracle_sum('value')} AS v
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         {oracle_sum('v')} AS sx, {oracle_sum('v * v')} AS sxx
+  FROM h GROUP BY 1
+), pairs AS (
+  SELECT a.event_type, l.lag,
+         CAST(FLOOR((a.v - g.sx / g.n) * (b.v - g.sx / g.n) * 1e6)
+              AS HUGEINT) AS prod
+  FROM h a
+  JOIN g ON a.event_type = g.event_type
+  JOIN (SELECT UNNEST(range(1, {_PACF_MAXLAG + 1})) AS lag) l ON TRUE
+  JOIN h b ON b.event_type = a.event_type AND b.hidx = a.hidx + l.lag
+), acf AS (
+  SELECT p.event_type, p.lag,
+         FLOOR(CAST(SUM(p.prod) AS DOUBLE) / 1e6
+               / (g.sxx - g.sx * g.sx / g.n) * 1e6) / 1e6 AS r
+  FROM pairs p JOIN g ON p.event_type = g.event_type
+  GROUP BY p.event_type, p.lag, g.sxx, g.sx, g.n
+), piv AS (
+  SELECT event_type,
+         {", ".join(f"MAX(CASE WHEN lag = {k} THEN r END) AS r{k}"
+                    for k in range(1, _PACF_MAXLAG + 1))}
+  FROM acf GROUP BY event_type
+), dl AS (
+  SELECT * FROM {_dl_oracle_chain('piv')}
+)
+{" UNION ALL ".join(
+    f"SELECT event_type, CAST({k} AS BIGINT) AS lag,"
+    f" phi_{k}_{k} AS pacf FROM dl"
+    for k in range(1, _PACF_MAXLAG + 1)
+)}
+"""
+
+
+def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial ACF at lags 1..5 of each event type's hourly value
+    series: pacf(k) = phi_{k,k} from the Durbin-Levinson recursion over
+    the (floor-quantized) ACF — the correlation of x_t with x_{t+k}
+    AFTER removing what lags 1..k-1 already explain, i.e. the AR
+    coefficient ladder every Box-Jenkins identification starts from.
+
+    The recursion is SEQUENTIAL in k but over a BOUNDED lag budget, so
+    it unrolls into a generated closed-form expression chain
+    (_dl_levels) executed verbatim by both engines — no iteration, no
+    driver loop, no UDF; the same generate-once-share-both pattern as
+    geo_geohash_encode's interleave. Each phi floor-quantizes at 1e-9
+    per level, so cross-engine drift cannot compound through the
+    recursion (the pagerank per-iteration quantization doctrine).
+
+    Cross-engine exactness: hourly sums decimal-exact; lag products
+    floor-quantize into exact wide-integer sums (HUGEINT / decimal(38));
+    ACF floor-quantizes at 1e-6 BEFORE pivoting into the recursion.
+
+    Scale design: one corpus-scale (type, hour) rollup; lag pairing is
+    a keyed self-join on (type, hidx+k) over the dimension-sized series
+    with a bounded 5-row spine; the recursion runs on a
+    one-row-per-type frame. Per-entity PACF (millions of series) keys
+    every stage by the series id — same plan, more partitions."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        (
+            F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
+            / (3600 * 10**6)
+        )
+        .cast("long")
+        .alias("hidx"),
+    ).agg(dsum("value").alias("v"))
+    g = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("v").alias("sx"),
+        dsum(F.col("v") * F.col("v")).alias("sxx"),
+    )
+    lags = spark.range(1, _PACF_MAXLAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = h.alias("a").join(F.broadcast(g.alias("g")), "event_type")
+    a = a.crossJoin(F.broadcast(lags))
+    b = h.select(
+        F.col("event_type").alias("b_type"),
+        F.col("hidx").alias("bhidx"),
+        F.col("v").alias("bv"),
+    )
+    prod = F.floor(
+        (F.col("a.v") - F.col("sx") / F.col("n"))
+        * (F.col("bv") - F.col("sx") / F.col("n"))
+        * 1e6
+    ).cast("decimal(38,0)")
+    pairs = a.join(
+        b,
+        (F.col("b_type") == F.col("event_type"))
+        & (F.col("bhidx") == F.col("a.hidx") + F.col("lag")),
+    ).select("event_type", "lag", prod.alias("prod"), "sxx", "sx", "n")
+    acf = (
+        pairs.groupBy("event_type", "lag", "sxx", "sx", "n")
+        .agg(F.sum("prod").alias("num"))
+        .select(
+            "event_type",
+            "lag",
+            fquant(
+                F.col("num").cast("double")
+                / 1e6
+                / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            ).alias("r"),
+        )
+    )
+    piv = acf.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("r"))).alias(f"r{k}")
+            for k in range(1, _PACF_MAXLAG + 1)
+        ]
+    )
+    dl = piv
+    for exprs in _dl_levels():
+        dl = dl.selectExpr("*", *exprs)
+    out = None
+    for k in range(1, _PACF_MAXLAG + 1):
+        part = dl.select(
+            "event_type",
+            F.lit(k).cast("long").alias("lag"),
+            F.col(f"phi_{k}_{k}").alias("pacf"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# orders_survival_nelson_aalen — STAGED for the r12 registration (cadence
+# batch; SURVEY round-11 log). Nelson-Aalen cumulative hazard on the SAME
+# censored life table as orders_survival_km — the additive companion
+# estimator (H(t) = Σ d/n, Var = Σ d/n²) preferred for small risk sets and
+# for hazard-RATE readouts; exp(−H) is the Fleming-Harrington survival
+# variant, emitted alongside for direct comparison with KM. Flip recipe:
+# add @register("orders_survival_nelson_aalen", oracle=_NA_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_NA_ORACLE = f"""
+WITH life AS (
+  SELECT o_custkey,
+         datediff('day', MIN(CAST(o_orderdate AS DATE)),
+                  MAX(CAST(o_orderdate AS DATE))) AS t,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY o_custkey
+), snap AS (SELECT MAX(last_d) AS snap_d FROM life),
+lab AS (
+  SELECT t, (datediff('day', last_d, snap_d) > {_KM_CHURN_GAP}) AS event
+  FROM life CROSS JOIN snap
+), n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM lab),
+times AS (
+  SELECT t, CAST(COUNT(*) FILTER (WHERE event) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM lab GROUP BY t
+), risk AS (
+  SELECT t, d,
+         n0 - COALESCE(SUM(leaving) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS n_at_risk
+  FROM times CROSS JOIN n_tot
+)
+SELECT t, d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       FLOOR(CAST(SUM(CAST(FLOOR(CAST(d AS DOUBLE) / n_at_risk * 1e12)
+                           AS DECIMAL(38,0))) OVER (
+                 ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / 1e12 * 1e6) / 1e6 AS cum_hazard,
+       FLOOR(CAST(SUM(CAST(FLOOR(CAST(d AS DOUBLE) / n_at_risk
+                                 / n_at_risk * 1e12)
+                           AS DECIMAL(38,0))) OVER (
+                 ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / 1e12 * 1e9) / 1e9 AS hazard_var,
+       FLOOR(exp(-(CAST(SUM(CAST(FLOOR(CAST(d AS DOUBLE) / n_at_risk * 1e12)
+                                 AS DECIMAL(38,0))) OVER (
+                     ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / 1e12)) * 1e6) / 1e6 AS fh_survival
+FROM risk WHERE d > 0
+"""
+
+
+def orders_survival_nelson_aalen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the orders_survival_km life
+    table (identical censoring rule — one life-table definition across
+    the survival keys): H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with Poisson-type
+    variance Σ dᵢ/nᵢ², plus the Fleming-Harrington survival exp(−H).
+    Where KM multiplies survival factors, NA ADDS hazard increments —
+    numerically gentler when risk sets get small, and the quantity you
+    difference to read hazard RATES per interval.
+
+    Cross-engine exactness: each increment dᵢ/nᵢ is an exact integer
+    ratio in double, floor-quantized to 1e-12 units into an
+    order-independent decimal cumulative sum (the KM ln-space
+    discipline, without needing logs at all); outputs floor-quantize.
+
+    Scale design: identical to KM — corpus collapses to one
+    customer-keyed lifetime rollup; event times, at-risk counts and the
+    cumulative sums run on the dimension-sized distinct-time table
+    under meta_part windows."""
+    life = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("t"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        )
+    )
+    snap = life.agg(F.max("last_d").alias("snap_d"))
+    lab = life.crossJoin(F.broadcast(snap)).select(
+        "t",
+        (F.datediff("snap_d", "last_d") > _KM_CHURN_GAP).alias("event"),
+    )
+    n0 = lab.count()  # 1 scalar — bounded model state (the KM precedent)
+    per_t = lab.groupBy("t").agg(
+        F.count_if("event").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_prev = (
+        Window.partitionBy(meta_part("t"))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = per_t.withColumn(
+        "n_at_risk",
+        F.lit(n0) - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+    ).where(F.col("d") > 0)
+    w_cum = (
+        Window.partitionBy(meta_part("t"))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inc = F.floor(
+        F.col("d").cast("double") / F.col("n_at_risk") * 1e12
+    ).cast("decimal(38,0)")
+    inc_var = F.floor(
+        F.col("d").cast("double") / F.col("n_at_risk") / F.col("n_at_risk")
+        * 1e12
+    ).cast("decimal(38,0)")
+    H = F.sum(inc).over(w_cum).cast("double") / 1e12
+    V = F.sum(inc_var).over(w_cum).cast("double") / 1e12
+    return risk.select(
+        "t",
+        "d",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        fquant(H).alias("cum_hazard"),
+        fquant(V, 9).alias("hazard_var"),
+        fquant(F.exp(-H)).alias("fh_survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_chow_test — STAGED for the r12 registration (cadence batch;
+# SURVEY round-11 log). Chow structural-break F-test: did the daily
+# revenue TREND LINE change at a known date? The parametric changepoint
+# companion to ts_pettitt_changepoint (rank-based, unknown date) and
+# ts_mann_kendall_trend (monotone, distribution-free). Flip recipe: add
+# @register("orders_chow_test", oracle=_CHOW_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_CHOW_SPLIT = "1998-07-01"
+_CHOW_F_CRIT = 3.0  # F(2, inf) at 5% ~ 2.996 — pinned literal
+
+
+def _chow_ssr_sql(pre: str) -> str:
+    """SSR of y ~ a + b·x from centered sufficient statistics:
+    SSR = Syy − Sxy²/Sxx (exact algebra, no per-row residuals)."""
+    return (
+        f"({pre}syy - {pre}sy * {pre}sy / {pre}n"
+        f" - ({pre}sxy - {pre}sx * {pre}sy / {pre}n)"
+        f" * ({pre}sxy - {pre}sx * {pre}sy / {pre}n)"
+        f" / ({pre}sxx - {pre}sx * {pre}sx / {pre}n))"
+    )
+
+
+_CHOW_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '1990-01-01 00:00:00',
+                        o_orderdate) AS BIGINT) AS x,
+         o_orderdate < TIMESTAMP '{_CHOW_SPLIT} 00:00:00' AS pre,
+         {oracle_sum('o_totalprice')} AS y
+  FROM orders GROUP BY 1, 2
+), m AS (
+  SELECT
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    {oracle_sum('x')} AS sx, {oracle_sum('y')} AS sy,
+    {oracle_sum('x * x')} AS sxx, {oracle_sum('y * y')} AS syy,
+    {oracle_sum('x * y')} AS sxy,
+    CAST(COUNT(*) FILTER (WHERE pre) AS DOUBLE) AS a_n,
+    {oracle_sum('CASE WHEN pre THEN x ELSE 0 END')} AS a_sx,
+    {oracle_sum('CASE WHEN pre THEN y ELSE 0 END')} AS a_sy,
+    {oracle_sum('CASE WHEN pre THEN x * x ELSE 0 END')} AS a_sxx,
+    {oracle_sum('CASE WHEN pre THEN y * y ELSE 0 END')} AS a_syy,
+    {oracle_sum('CASE WHEN pre THEN x * y ELSE 0 END')} AS a_sxy,
+    CAST(COUNT(*) FILTER (WHERE NOT pre) AS DOUBLE) AS b_n,
+    {oracle_sum('CASE WHEN NOT pre THEN x ELSE 0 END')} AS b_sx,
+    {oracle_sum('CASE WHEN NOT pre THEN y ELSE 0 END')} AS b_sy,
+    {oracle_sum('CASE WHEN NOT pre THEN x * x ELSE 0 END')} AS b_sxx,
+    {oracle_sum('CASE WHEN NOT pre THEN y * y ELSE 0 END')} AS b_syy,
+    {oracle_sum('CASE WHEN NOT pre THEN x * y ELSE 0 END')} AS b_sxy
+  FROM daily
+), ssr AS (
+  SELECT n, a_n, b_n,
+         {_chow_ssr_sql('')} AS ssr_pooled,
+         {_chow_ssr_sql('a_')} AS ssr_a,
+         {_chow_ssr_sql('b_')} AS ssr_b
+  FROM m
+)
+SELECT CAST(a_n AS BIGINT) AS n_pre,
+       CAST(b_n AS BIGINT) AS n_post,
+       ROUND(sqrt(ssr_pooled / n), 2) AS rmse_pooled,
+       ROUND(sqrt((ssr_a + ssr_b) / (a_n + b_n - 4)), 2) AS rmse_split,
+       FLOOR(((ssr_pooled - ssr_a - ssr_b) / 2)
+             / ((ssr_a + ssr_b) / (a_n + b_n - 4)) * 1e6) / 1e6 AS f_stat,
+       FLOOR(((ssr_pooled - ssr_a - ssr_b) / 2)
+             / ((ssr_a + ssr_b) / (a_n + b_n - 4)) * 1e6) / 1e6
+         > {_CHOW_F_CRIT} AS structural_break
+FROM ssr
+"""
+
+
+def orders_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break in the daily-revenue trend at a
+    known split date (1998-07-01): fit y ~ a + b·t separately before
+    and after, F = ((SSR_pooled − SSR_a − SSR_b)/k) /
+    ((SSR_a + SSR_b)/(n_a + n_b − 2k)) with k = 2 parameters — the
+    regression-regime question ("did the LINE change, not just the
+    level?") that Pettitt/MK, being level tests, cannot answer.
+    Significance compares the QUANTIZED F against the pinned
+    F(2, inf) 5% critical value.
+
+    Cross-engine exactness: every SSR reduces ALGEBRAICALLY to centered
+    sufficient statistics (Syy − Sxy²/Sxx — no per-row residual pass)
+    from decimal-exact sums; the decimal→double cast of Σy² exceeds
+    2^53 micro-units at this magnitude, so the engines' casts can
+    differ in the last ulp (measured: 1e-16 relative) — therefore the
+    outputs are SCALE-FREE or RMSE-scale with coarse rounding (the
+    agg_stats doctrine for inherently inexact statistics), never the
+    raw ~1e13 SSRs, and the boolean compares the QUANTIZED F.
+
+    Scale design: ONE corpus-scale rollup to (day, regime) grain
+    carries every sufficient statistic as conditional decimal sums in a
+    single 1-row aggregation — adding regimes (multi-break scans) adds
+    CASE columns, never passes; the F readout is driver-free column
+    algebra on that row."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+        .cast("long")
+        .alias("x"),
+        (F.col("o_orderdate") < F.lit(_CHOW_SPLIT).cast("timestamp")).alias(
+            "pre"
+        ),
+    ).agg(dsum("o_totalprice").alias("y"))
+
+    def seg(cond, expr):
+        return dsum(F.when(cond, expr).otherwise(0.0))
+
+    pre = F.col("pre")
+    x, y = F.col("x").cast("double"), F.col("y")
+    m = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+        F.count_if(pre).cast("double").alias("a_n"),
+        seg(pre, x).alias("a_sx"),
+        seg(pre, y).alias("a_sy"),
+        seg(pre, x * x).alias("a_sxx"),
+        seg(pre, y * y).alias("a_syy"),
+        seg(pre, x * y).alias("a_sxy"),
+        F.count_if(~pre).cast("double").alias("b_n"),
+        seg(~pre, x).alias("b_sx"),
+        seg(~pre, y).alias("b_sy"),
+        seg(~pre, x * x).alias("b_sxx"),
+        seg(~pre, y * y).alias("b_syy"),
+        seg(~pre, x * y).alias("b_sxy"),
+    )
+    ssr = m.selectExpr(
+        "n",
+        "a_n",
+        "b_n",
+        f"{_chow_ssr_sql('')} AS ssr_pooled",
+        f"{_chow_ssr_sql('a_')} AS ssr_a",
+        f"{_chow_ssr_sql('b_')} AS ssr_b",
+    )
+    f_stat = fquant(
+        ((F.col("ssr_pooled") - F.col("ssr_a") - F.col("ssr_b")) / 2)
+        / (
+            (F.col("ssr_a") + F.col("ssr_b"))
+            / (F.col("a_n") + F.col("b_n") - 4)
+        )
+    )
+    return ssr.select(
+        F.col("a_n").cast("long").alias("n_pre"),
+        F.col("b_n").cast("long").alias("n_post"),
+        F.round(F.sqrt(F.col("ssr_pooled") / F.col("n")), 2).alias(
+            "rmse_pooled"
+        ),
+        F.round(
+            F.sqrt(
+                (F.col("ssr_a") + F.col("ssr_b"))
+                / (F.col("a_n") + F.col("b_n") - 4)
+            ),
+            2,
+        ).alias("rmse_split"),
+        f_stat.alias("f_stat"),
+        (f_stat > _CHOW_F_CRIT).alias("structural_break"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_dtw_distance — STAGED for the r12 registration (cadence batch; SURVEY
+# round-11 log). Dynamic Time Warping between segment seasonality profiles
+# — the elastic-alignment distance (Sakoe & Chiba 1978) that matches
+# shifted/stretched seasonal shapes where Euclidean punishes any phase
+# offset; the missing flagship of the ts family's distance toolbox.
+# ROWS-ONLY at flip (iterative DP state has no single-SQL form — the
+# graph_kcore precedent): register with @register("ts_dtw_distance") (no
+# oracle), add a rows_only.py entry (class "iterative_state", contract
+# tests/test_staged_r12e.py::test_dtw_python_recompute), and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance between every pair of market segments' seasonality
+    profiles (12 calendar-month revenue SHARES of the segment 
+
+    DP is the classic O(12×12) Sakoe-Chiba recurrence
+    D[i,j] = |a_i − b_j| + min(D[i−1,j], D[i,j−1], D[i−1,j−1]), run in
+    an Arrow-batched pandas stage over BOUNDED per-pair vectors (the
+    ts_cusum applyInPandas doctrine: sequential in the bounded
+    dimension, parallel across pairs). Determinism needs no
+    cross-engine ladder — shares are exact-decimal-derived doubles and
+    the single python implementation is the only evaluator (rows-only
+    contract: a first-principles pytest recompute, plus the planted
+    identity dtw(a,a) = 0).
+
+    Scale design: the corpus reduces ONCE to (segment, month) grain
+    (map-side-combined decimal rollup); profiles assemble via
+    sort_array(collect_list) over ≤12 rows per segment; the pair
+    lattice is k² metadata and the DP runs on 12-vectors — at millions
+    of entities the same plan shuffles the pair frame by key and the DP
+    cost stays O(pairs × L²) with L fixed by the profile, not the
+    corpus."""
+    import pandas as pd
+
+    o = table(spark, sf_dir, "orders")
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DSCALE)).alias("rev"))
+    )
+    w_seg = Window.partitionBy("seg")
+    prof = (
+        monthly.withColumn(
+            "share",
+            # double/double, NOT decimal/decimal: Spark's decimal
+            # division truncates at result-scale 6 before the cast,
+            # which the first-principles recompute would never mirror
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w_seg).cast("double"),
+        )
+        .groupBy("seg")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("m", "share"))
+            ).alias("prof")
+        )
+    )
+    a = prof.select(
+        F.col("seg").alias("seg_a"), F.col("prof").alias("prof_a")
+    )
+    b = prof.select(
+        F.col("seg").alias("seg_b"), F.col("prof").alias("prof_b")
+    )
+    pairs = a.join(b, F.col("seg_a") < F.col("seg_b"))
+
+    def dtw_batch(it):
+        def vec(prof):
+            shares = {int(r["m"]): float(r["share"]) for r in prof}
+            return [shares.get(m, 0.0) for m in range(1, 13)]
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                va, vb = vec(r.prof_a), vec(r.prof_b)
+                n = len(va)
+                inf = float("inf")
+                D = [[inf] * (n + 1) for _ in range(n + 1)]
+                D[0][0] = 0.0
+                for i in range(1, n + 1):
+                    for j in range(1, n + 1):
+                        cost = abs(va[i - 1] - vb[j - 1])
+                        D[i][j] = cost + min(
+                            D[i - 1][j], D[i][j - 1], D[i - 1][j - 1]
+                        )
+                l1 = sum(abs(x - y) for x, y in zip(va, vb))
+                rows.append(
+                    (r.seg_a, r.seg_b, D[n][n], l1)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "seg_a",
+                    "seg_b",
+                    "dtw_distance",
+                    "lockstep_l1",
+                ],
+            )
+
+    return pairs.mapInPandas(
+        dtw_batch,
+        "seg_a string, seg_b string, dtw_distance double,"
+        " lockstep_l1 double",
+    )
