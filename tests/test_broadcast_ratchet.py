@@ -76,13 +76,27 @@ AUDITED = {
         "orders_simpsons_check": 1,
         "sample_neyman_allocation": 1,
         "supplier_concentration_risk": 2,
+        # r12-staged audit: gini broadcasts the 9-row threshold spine
+        # (candidate splits are model state); tukey the 5-row means +
+        # 1-row SSW frames (ANOVA's shape); FE-within the calendar-
+        # bounded month-mean table + the 1-row global means (the PART
+        # means deliberately join BY KEY, never broadcast — they are
+        # corpus-dimension, see the docstring).
+        "agg_gini_split_gain": 1,
+        "agg_tukey_hsd": 2,
+        "lineitem_fe_within_regression": 2,
     },
     "queries/clustering.py": {"cluster_assign": 1, "cluster_silhouette": 1},
     "queries/filters.py": {"filter_top_percent": 1},
     # r11 cadence audit: fn_variant_schema_union broadcasts the
     # per-group schema_of_variant_agg rollup — one row per drift group
     # (bounded by the planted group alphabet, not corpus rows).
-    "queries/functions_scalar.py": {"fn_variant_schema_union": 1},
+    # r12-staged audit: fn_ipv4_cidr broadcasts the 10-row literal
+    # CIDR rule table (routing tables are bounded model state).
+    "queries/functions_scalar.py": {
+        "fn_variant_schema_union": 1,
+        "fn_ipv4_cidr": 1,
+    },
     # r11 cadence audit: geo_nearest_facility broadcasts the facility
     # (supplier) spine — dimension-sized by the key's contract; the
     # docstring records the grid-path switchover were facilities
@@ -187,6 +201,16 @@ AUDITED = {
         # r11 cadence-2 audit: seasonal MK attaches two 1-row
         # sufficient-stat frames (strata base+count, tie sum).
         "ts_seasonal_mann_kendall": 2,
+        # r12-staged audit: CCF broadcasts its 15-row lag spine and
+        # spectral entropy its 16-row frequency spine (the customer
+        # dim joins ride broadcast_if_small — size-gated, not counted
+        # here); PACF broadcasts the per-type 1-row-per-type stats
+        # frame + the 5-row lag spine; Nelson-Aalen the 1-row
+        # snapshot-date frame (KM's exact pattern).
+        "ts_cross_correlation_leadlag": 1,
+        "ts_spectral_entropy": 1,
+        "ts_pacf_durbin_levinson": 2,
+        "orders_survival_nelson_aalen": 1,
         "ts_ewma_control_chart": 1,
         "ts_interpolate_linear": 1,
         "ts_periodogram": 1,

@@ -1,0 +1,230 @@
+"""Property-based contracts for the r12-staged GENERATED-EXPRESSION
+helpers — the fixture-driven parity tests exercise only the planted
+coordinate/ACF values, so these pin the shared SQL against the canonical
+algorithm over the whole documented domain (hypothesis + DuckDB; no
+SparkSession needed — both engines execute the same generated string, so
+one engine suffices to check the string against first principles).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from trireme_spark.queries.geo import (
+    _GH_ALPHABET,
+    _gh_interleave_sql,
+    _gh_str_sql,
+)
+from trireme_spark.queries.timeseries import _PACF_MAXLAG, _dl_levels
+
+
+def _textbook_geohash(lat: float, lon: float, precision: int = 4) -> str:
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits = []
+    even = True
+    while len(bits) < precision * 5:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+        even = not even
+    out = []
+    for i in range(precision):
+        v = 0
+        for bit in bits[i * 5 : i * 5 + 5]:
+            v = v * 2 + bit
+        out.append(_GH_ALPHABET[v])
+    return "".join(out)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    lat=st.floats(
+        min_value=-90.0,
+        max_value=90.0,
+        exclude_max=True,
+        allow_nan=False,
+    ),
+    lon=st.floats(
+        min_value=-180.0,
+        max_value=180.0,
+        exclude_max=True,
+        allow_nan=False,
+    ),
+)
+def test_geohash_expression_matches_textbook_off_boundaries(lat, lon):
+    """The generated FLOOR-div interleave equals Niemeyer's
+    interval-bisection geohash for any in-domain coordinate AWAY from
+    cell boundaries. Within a few ulps of a boundary the scaled-multiply
+    quantizer and exact-midpoint bisection can assign the point to
+    adjacent cells (hypothesis found lon = 45 - 1.4e-14 → cells 639
+    vs 640) — a disagreement every pair of fixed-precision geohash
+    implementations exhibits, and irrelevant to the product contract,
+    which is CROSS-ENGINE determinism of one shared expression. The
+    assume() below excludes that measure-zero band."""
+    from hypothesis import assume
+
+    for frac in (
+        (lon + 180.0) / 360.0 * 1024.0,
+        (lat + 90.0) / 180.0 * 1024.0,
+    ):
+        assume(abs(frac - round(frac)) > 1e-6)
+    con = duckdb.connect()
+    try:
+        # cast BEFORE any arithmetic: DuckDB types bare float literals
+        # as DECIMAL, which is not the production path (the planted
+        # lat/lon are DOUBLE columns in both engines)
+        sql = f"""
+        WITH c AS (
+          SELECT CAST({lat!r} AS DOUBLE) AS lat,
+                 CAST({lon!r} AS DOUBLE) AS lon
+        ), q AS (
+          SELECT CAST(FLOOR((lat + 90.0) / 180.0 * 1024.0)
+                      AS BIGINT) AS lat_q,
+                 CAST(FLOOR((lon + 180.0) / 360.0 * 1024.0)
+                      AS BIGINT) AS lon_q
+          FROM c
+        )
+        SELECT {_gh_str_sql(_gh_interleave_sql())} AS gh FROM q
+        """
+        got = con.sql(sql).fetchone()[0]
+    finally:
+        con.close()
+    assert got == _textbook_geohash(lat, lon), (lat, lon)
+
+
+def _dl_textbook(r: dict[int, float], maxlag: int) -> dict[int, float]:
+    def q(v):
+        return math.floor(v * 1e9) / 1e9
+
+    phi = {(1, 1): q(r[1])}
+    for k in range(2, maxlag + 1):
+        num = r[k] - sum(phi[(k - 1, j)] * r[k - j] for j in range(1, k))
+        den = 1 - sum(phi[(k - 1, j)] * r[j] for j in range(1, k))
+        phi[(k, k)] = q(num / den)
+        for j in range(1, k):
+            phi[(k, j)] = q(
+                phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+            )
+    return {k: phi[(k, k)] for k in range(1, maxlag + 1)}
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    rs=st.lists(
+        st.floats(min_value=-0.9, max_value=0.9, allow_nan=False),
+        min_size=_PACF_MAXLAG,
+        max_size=_PACF_MAXLAG,
+    )
+)
+def test_durbin_levinson_chain_matches_textbook_loop(rs):
+    """The generated closed-form DL chain equals the textbook loop for
+    arbitrary quantized ACF inputs in (-0.9, 0.9) — including sign
+    mixes the fixture series never produces. Inputs pre-quantize at
+    1e-6 (the ACF ladder), so the chain sees exactly what production
+    feeds it. Degenerate den = 0 inputs are NULLIF-guarded in the
+    chain; hypothesis cannot hit exactly 0 with these bounds because
+    each level's den is 1 - O(0.81) sums quantized at 1e-9."""
+    r = {
+        k: math.floor(v * 1e6) / 1e6
+        for k, v in zip(range(1, _PACF_MAXLAG + 1), rs)
+    }
+    sel = ", ".join(f"CAST({r[k]!r} AS DOUBLE) AS r{k}" for k in r)
+    inner = f"(SELECT {sel})"
+    for exprs in _dl_levels():
+        inner = f"(SELECT *, {', '.join(exprs)} FROM {inner})"
+    cols = ", ".join(
+        f"phi_{k}_{k}" for k in range(1, _PACF_MAXLAG + 1)
+    )
+    con = duckdb.connect()
+    try:
+        got = con.sql(f"SELECT {cols} FROM {inner}").fetchone()
+    finally:
+        con.close()
+    ref = _dl_textbook(r, _PACF_MAXLAG)
+    for k, g in zip(range(1, _PACF_MAXLAG + 1), got):
+        if abs(ref[k]) >= 1.5:
+            # |phi| >= 1.5 means the ACF sequence is far outside any
+            # stationary series' domain; the recursion is still
+            # deterministic but ill-conditioned — skip the comparison
+            continue
+        assert g is not None
+        assert abs(g - ref[k]) < 1e-8, (k, g, ref[k])
+
+
+def _dtw_dp(va, vb):
+    n, m = len(va), len(vb)
+    inf = float("inf")
+    D = [[inf] * (m + 1) for _ in range(n + 1)]
+    D[0][0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            cost = abs(va[i - 1] - vb[j - 1])
+            D[i][j] = cost + min(
+                D[i - 1][j], D[i][j - 1], D[i - 1][j - 1]
+            )
+    return D[n][m]
+
+
+def _dtw_brute(va, vb):
+    """Exponential enumeration of all monotone alignment paths — only
+    viable for tiny vectors, which is the point: an implementation so
+    simple it cannot share a bug with the DP."""
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def go(i, j):
+        cost = abs(va[i] - vb[j])
+        if i == 0 and j == 0:
+            return cost
+        best = math.inf
+        if i > 0:
+            best = min(best, go(i - 1, j))
+        if j > 0:
+            best = min(best, go(i, j - 1))
+        if i > 0 and j > 0:
+            best = min(best, go(i - 1, j - 1))
+        return cost + best
+
+    return go(len(va) - 1, len(vb) - 1)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    va=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=2,
+        max_size=5,
+    ),
+    vb=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=2,
+        max_size=5,
+    ),
+)
+def test_dtw_dp_matches_brute_force_enumeration(va, vb):
+    va, vb = tuple(va), tuple(vb)
+    dp = _dtw_dp(va, vb)
+    brute = _dtw_brute(va, vb)
+    assert math.isclose(dp, brute, rel_tol=0, abs_tol=1e-12)
+    if len(va) == len(vb):
+        l1 = sum(abs(a - b) for a, b in zip(va, vb))
+        assert dp <= l1 + 1e-12

@@ -343,21 +343,17 @@ def test_dtw_python_recompute(spark):
         assert float(r.dtw_distance) <= float(r.lockstep_l1) + 1e-12
 
 
-def test_dtw_identity_is_zero(spark):
-    """Planted invariant: dtw of a profile with itself is exactly 0 —
-    exercised by pairing the frame with itself (seg_a == seg_b)."""
-    # the production key excludes the diagonal; replay its stages with
-    # equality to pin the identity
+def test_dtw_nonnegative_and_deterministic(spark):
+    """Structural invariants carried by the rows-only contract:
+    distances are non-negative, and two independent evaluations of the
+    Arrow-batched DP agree bit-for-bit (no nondeterministic state in
+    the pandas stage)."""
     from pyspark.sql import functions as F
-
-    from trireme_spark.parity import DSCALE
-    from trireme_spark.sources.io import table as t
 
     spark_df = ts_dtw_distance(spark, SF_SMOKE)
     assert spark_df.where(F.col("dtw_distance") < 0).count() == 0
-    # identity via symmetry: dtw(a,b) computed twice must agree
-    again = ts_dtw_distance(spark, SF_SMOKE).toPandas()
     first = spark_df.toPandas()
+    again = ts_dtw_distance(spark, SF_SMOKE).toPandas()
     m1 = {(r.seg_a, r.seg_b): r.dtw_distance for r in first.itertuples()}
     m2 = {(r.seg_a, r.seg_b): r.dtw_distance for r in again.itertuples()}
     assert m1 == m2

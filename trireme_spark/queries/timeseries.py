@@ -8403,8 +8403,13 @@ def ts_cross_correlation_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
     a meta_part spec — is calendar-bounded (years × 365 rows) at any
     corpus size. Widening the lag range or adding series pairs scales
     the bounded stage only."""
+    from trireme_spark.operators.hints import broadcast_if_small
+
     o = table(spark, sf_dir, "orders")
-    c = F.broadcast(table(spark, sf_dir, "customer"))
+    # size-gated, not unconditional: customer GROWS with the corpus
+    # (the r5 review doctrine) — under the gate this is the same
+    # BroadcastHashJoin the fixtures measure, over it a keyed shuffle
+    c = broadcast_if_small(table(spark, sf_dir, "customer"))
     daily = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(
@@ -8563,8 +8568,11 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parallelism), not more passes."""
     import math
 
+    from trireme_spark.operators.hints import broadcast_if_small
+
     o = table(spark, sf_dir, "orders")
-    c = F.broadcast(table(spark, sf_dir, "customer"))
+    # size-gated (customer grows with the corpus — the r5 doctrine)
+    c = broadcast_if_small(table(spark, sf_dir, "customer"))
     daily = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(
@@ -9146,8 +9154,9 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension, parallel across pairs). Determinism needs no
     cross-engine ladder — shares are exact-decimal-derived doubles and
     the single python implementation is the only evaluator (rows-only
-    contract: a first-principles pytest recompute, plus the planted
-    identity dtw(a,a) = 0).
+    contract: a first-principles pytest recompute, the dtw ≤ lock-step
+    L1 relaxation bound, non-negativity, and repeat-evaluation
+    determinism).
 
     Scale design: the corpus reduces ONCE to (segment, month) grain
     (map-side-combined decimal rollup); profiles assemble via
@@ -9158,8 +9167,11 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus."""
     import pandas as pd
 
+    from trireme_spark.operators.hints import broadcast_if_small
+
     o = table(spark, sf_dir, "orders")
-    c = F.broadcast(table(spark, sf_dir, "customer"))
+    # size-gated (customer grows with the corpus — the r5 doctrine)
+    c = broadcast_if_small(table(spark, sf_dir, "customer"))
     monthly = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(
