@@ -57,36 +57,27 @@ def _textbook_geohash(lat: float, lon: float, precision: int = 4) -> str:
 
 @settings(max_examples=80, deadline=None)
 @given(
-    lat=st.floats(
-        min_value=-90.0,
-        max_value=90.0,
-        exclude_max=True,
-        allow_nan=False,
-    ),
-    lon=st.floats(
-        min_value=-180.0,
-        max_value=180.0,
-        exclude_max=True,
-        allow_nan=False,
-    ),
+    lat_cell=st.integers(min_value=0, max_value=1023),
+    lon_cell=st.integers(min_value=0, max_value=1023),
+    lat_f=st.floats(min_value=0.05, max_value=0.95, allow_nan=False),
+    lon_f=st.floats(min_value=0.05, max_value=0.95, allow_nan=False),
 )
-def test_geohash_expression_matches_textbook_off_boundaries(lat, lon):
+def test_geohash_expression_matches_textbook_off_boundaries(
+    lat_cell, lon_cell, lat_f, lon_f
+):
     """The generated FLOOR-div interleave equals Niemeyer's
     interval-bisection geohash for any in-domain coordinate AWAY from
-    cell boundaries. Within a few ulps of a boundary the scaled-multiply
-    quantizer and exact-midpoint bisection can assign the point to
-    adjacent cells (hypothesis found lon = 45 - 1.4e-14 → cells 639
-    vs 640) — a disagreement every pair of fixed-precision geohash
+    cell boundaries — points are generated cell-INTERIOR by
+    construction (cell index + interior fraction) rather than filtered,
+    because hypothesis's boundary-loving floats otherwise trip its
+    filter-health check. Within a few ulps of a boundary the
+    scaled-multiply quantizer and exact-midpoint bisection can assign
+    adjacent cells (hypothesis found lon = 45 - 1.4e-14 → cells 639 vs
+    640) — a disagreement every pair of fixed-precision geohash
     implementations exhibits, and irrelevant to the product contract,
-    which is CROSS-ENGINE determinism of one shared expression. The
-    assume() below excludes that measure-zero band."""
-    from hypothesis import assume
-
-    for frac in (
-        (lon + 180.0) / 360.0 * 1024.0,
-        (lat + 90.0) / 180.0 * 1024.0,
-    ):
-        assume(abs(frac - round(frac)) > 1e-6)
+    which is CROSS-ENGINE determinism of one shared expression."""
+    lat = -90.0 + (lat_cell + lat_f) * 180.0 / 1024.0
+    lon = -180.0 + (lon_cell + lon_f) * 360.0 / 1024.0
     con = duckdb.connect()
     try:
         # cast BEFORE any arithmetic: DuckDB types bare float literals
@@ -111,19 +102,38 @@ def test_geohash_expression_matches_textbook_off_boundaries(lat, lon):
     assert got == _textbook_geohash(lat, lon), (lat, lon)
 
 
-def _dl_textbook(r: dict[int, float], maxlag: int) -> dict[int, float]:
+def _dl_textbook(r: dict[int, float], maxlag: int):
+    """Mirrors the chain's NULLIF(den, 0) semantics: a zero denominator
+    (possible for NON-ACF inputs like r = [0.5, -0.5, ...] where the
+    recursion walks to the |phi| = 1 boundary — hypothesis found it)
+    makes that and every dependent phi None, exactly as NULL propagates
+    through the generated SQL."""
+
     def q(v):
-        return math.floor(v * 1e9) / 1e9
+        return None if v is None else math.floor(v * 1e9) / 1e9
+
+    def mul(a, b):
+        return None if a is None or b is None else a * b
 
     phi = {(1, 1): q(r[1])}
     for k in range(2, maxlag + 1):
-        num = r[k] - sum(phi[(k - 1, j)] * r[k - j] for j in range(1, k))
-        den = 1 - sum(phi[(k - 1, j)] * r[j] for j in range(1, k))
-        phi[(k, k)] = q(num / den)
+        terms_n = [mul(phi[(k - 1, j)], r[k - j]) for j in range(1, k)]
+        terms_d = [mul(phi[(k - 1, j)], r[j]) for j in range(1, k)]
+        if any(t is None for t in terms_n + terms_d):
+            num = den = None
+        else:
+            num = r[k] - sum(terms_n)
+            den = 1 - sum(terms_d)
+        if num is None or den is None or den == 0:
+            phi[(k, k)] = None
+        else:
+            phi[(k, k)] = q(num / den)
         for j in range(1, k):
-            phi[(k, j)] = q(
-                phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
-            )
+            prod = mul(phi[(k, k)], phi[(k - 1, k - j)])
+            if phi[(k - 1, j)] is None or prod is None:
+                phi[(k, j)] = None
+            else:
+                phi[(k, j)] = q(phi[(k - 1, j)] - prod)
     return {k: phi[(k, k)] for k in range(1, maxlag + 1)}
 
 
@@ -140,9 +150,10 @@ def test_durbin_levinson_chain_matches_textbook_loop(rs):
     arbitrary quantized ACF inputs in (-0.9, 0.9) — including sign
     mixes the fixture series never produces. Inputs pre-quantize at
     1e-6 (the ACF ladder), so the chain sees exactly what production
-    feeds it. Degenerate den = 0 inputs are NULLIF-guarded in the
-    chain; hypothesis cannot hit exactly 0 with these bounds because
-    each level's den is 1 - O(0.81) sums quantized at 1e-9."""
+    feeds it. Degenerate den = 0 inputs (reachable for NON-ACF vectors
+    that walk the recursion to the |phi| = 1 boundary — hypothesis
+    found r = [0.5, -0.5, 0...]) are NULLIF-guarded in the chain and
+    mirrored as None-propagation in the reference loop."""
     r = {
         k: math.floor(v * 1e6) / 1e6
         for k, v in zip(range(1, _PACF_MAXLAG + 1), rs)
@@ -161,6 +172,9 @@ def test_durbin_levinson_chain_matches_textbook_loop(rs):
         con.close()
     ref = _dl_textbook(r, _PACF_MAXLAG)
     for k, g in zip(range(1, _PACF_MAXLAG + 1), got):
+        if ref[k] is None:
+            assert g is None, (k, g)
+            continue
         if abs(ref[k]) >= 1.5:
             # |phi| >= 1.5 means the ACF sequence is far outside any
             # stationary series' domain; the recursion is still

@@ -1,0 +1,330 @@
+"""r13-staged keys — the staging parking lot extended ONE round past
+r12 (whose 19-key batch is already fully pre-built; the cadence cap is
+20/round, so these four wait for the r13 batch). Parked UNregistered:
+
+  orders_wasserstein_1d       — binned 1-D earth-mover distance
+  agg_target_encoding_kfold   — leakage-safe mean-target encoding
+  events_propensity_match_att — 1-NN propensity matching (ATT)
+  etl_invoice_reconciliation  — banded header/detail two-way match
+
+Same contract set as the r12 staging files: driver-style oracle parity
+at the smoke AND grading scales, an independent recompute (pure python
+/ pandas — no Spark expressions, no DuckDB), a plan-shape pin, layout
+invariance, and a registration-consistency guard that holds before AND
+after the flip.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_FULL, SF_SMOKE, assert_matches_oracle
+from trireme_spark import registry
+from trireme_spark.queries.aggregates import (
+    _TARGET_ENC_ORACLE,
+    _TE_FOLDS,
+    _TE_SMOOTH,
+    agg_target_encoding_kfold,
+)
+from trireme_spark.queries.governance import (
+    _RECON_ORACLE,
+    etl_invoice_reconciliation,
+)
+from trireme_spark.queries.timeseries import (
+    _PSM_ORACLE,
+    _W1_BIN,
+    _W1_SEG_A,
+    _W1_SEG_B,
+    _WASSERSTEIN_ORACLE,
+    events_propensity_match_att,
+    orders_wasserstein_1d,
+)
+
+STAGED = {
+    "orders_wasserstein_1d": (orders_wasserstein_1d, _WASSERSTEIN_ORACLE),
+    "agg_target_encoding_kfold": (
+        agg_target_encoding_kfold,
+        _TARGET_ENC_ORACLE,
+    ),
+    "events_propensity_match_att": (
+        events_propensity_match_att,
+        _PSM_ORACLE,
+    ),
+    "etl_invoice_reconciliation": (
+        etl_invoice_reconciliation,
+        _RECON_ORACLE,
+    ),
+}
+
+
+@pytest.mark.parametrize("key", sorted(STAGED))
+def test_staged_oracle_parity_smoke(spark, key):
+    fn, oracle = STAGED[key]
+    assert_matches_oracle(fn(spark, SF_SMOKE), oracle, SF_SMOKE)
+
+
+@pytest.mark.parametrize("key", sorted(STAGED))
+def test_staged_oracle_parity_grading_scale(spark, key):
+    fn, oracle = STAGED[key]
+    assert_matches_oracle(fn(spark, SF_FULL), oracle, SF_FULL)
+
+
+@pytest.mark.parametrize("key", sorted(STAGED))
+def test_staged_registration_consistency(key):
+    _, oracle = STAGED[key]
+    from trireme_spark.queries import _SWEEP_PRIORITY
+
+    if key in registry.QUERIES:
+        assert registry.ORACLES.get(key) == oracle
+        assert key in _SWEEP_PRIORITY
+    else:
+        assert key not in registry.ORACLES
+        assert key not in _SWEEP_PRIORITY
+
+
+def _dec6(v) -> Decimal:
+    return Decimal(repr(float(v))).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+
+
+# --- orders_wasserstein_1d ------------------------------------------------------
+
+
+def test_wasserstein_python_recompute(spark):
+    """First-principles W1 on the binned measure via the sorted-support
+    CDF-gap integral, cross-checked against the transport identity
+    W1 = Σ_k |Σ_{j<=k} (pa_j - pb_j)| · binwidth over a DENSE grid."""
+    o = pd.read_parquet(SF_SMOKE + "/orders.parquet")
+    c = pd.read_parquet(SF_SMOKE + "/customer.parquet")
+    df = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    df = df[df.c_mktsegment.isin([_W1_SEG_A, _W1_SEG_B])]
+    df["bin"] = (df.o_totalprice // _W1_BIN).astype(int)
+    ca = df[df.c_mktsegment == _W1_SEG_A].bin.value_counts().to_dict()
+    cb = df[df.c_mktsegment == _W1_SEG_B].bin.value_counts().to_dict()
+    ta, tb = sum(ca.values()), sum(cb.values())
+    lo, hi = min(min(ca), min(cb)), max(max(ca), max(cb))
+    units = 0
+    cum_a = cum_b = 0
+    for b in range(lo, hi):  # dense grid — gap held per unit bin
+        cum_a += ca.get(b, 0)
+        cum_b += cb.get(b, 0)
+        units += math.floor(abs(cum_a / ta - cum_b / tb) * 1e9)
+    # the production form groups consecutive empty bins; identical sum
+    # because the gap is constant across them and the quantization is
+    # per-OCCUPIED-edge there. Recompute both ways:
+    occupied = sorted(set(ca) | set(cb))
+    units_grouped = 0
+    cum_a = cum_b = 0
+    for i, b in enumerate(occupied[:-1]):
+        cum_a += ca.get(b, 0)
+        cum_b += cb.get(b, 0)
+        gap = occupied[i + 1] - b
+        units_grouped += math.floor(
+            abs(cum_a / ta - cum_b / tb) * gap * 1e9
+        )
+    got = orders_wasserstein_1d(spark, SF_SMOKE).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (int(row.n_a), int(row.n_b)) == (ta, tb)
+    assert abs(float(row.w1_distance) - units_grouped / 1e9 * _W1_BIN) < 1e-6
+    # grouped vs dense differ only by per-edge floor granularity
+    assert abs(units_grouped - units) <= (hi - lo)
+
+
+def test_wasserstein_plan_shape(spark):
+    """Corpus reduces once to the bounded bin grid; cumulative/lead
+    windows run under a meta_part spec (no SinglePartition window
+    exchange)."""
+    from tests.test_plans import plan
+
+    p = plan(orders_wasserstein_1d(spark, SF_SMOKE))
+    assert "windowspecdefinition" in p, p
+    assert "shiftright" in p, p  # meta_part spec survives optimization
+
+
+# --- agg_target_encoding_kfold ---------------------------------------------------
+
+
+def test_target_encoding_python_recompute(spark):
+    o = pd.read_parquet(SF_SMOKE + "/orders.parquet")
+    cells = {}
+    g_n = g_s = 0
+    for r in o.itertuples(index=False):
+        fold = (
+            int(
+                hashlib.md5(
+                    f"{int(r.o_orderkey)}|tefold".encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            % _TE_FOLDS
+        )
+        y = int(r.o_orderstatus == "F")
+        n, s = cells.setdefault((r.o_orderpriority, fold), [0, 0])
+        cells[(r.o_orderpriority, fold)] = [n + 1, s + y]
+        g_n += 1
+        g_s += y
+    cat_tot = {}
+    for (cat, _), (n, s) in cells.items():
+        cn, cs = cat_tot.setdefault(cat, [0, 0])
+        cat_tot[cat] = [cn + n, cs + s]
+    prior = g_s / g_n
+    got = agg_target_encoding_kfold(spark, SF_SMOKE).toPandas()
+    assert len(got) == len(cells)
+    for r in got.itertuples(index=False):
+        n, s = cells[(r.cat, int(r.fold))]
+        cn, cs = cat_tot[r.cat]
+        enc = (cs - s + _TE_SMOOTH * prior) / (cn - n + _TE_SMOOTH)
+        assert int(r.n_rows) == n, (r.cat, r.fold)
+        assert abs(float(r.encoding) - enc) < 2e-6, (r.cat, r.fold)
+        assert abs(float(r.global_prior) - prior) < 2e-6
+        # leakage guard: the fold's own positives never enter its
+        # encoding — removing them must CHANGE the naive full mean
+        # whenever the fold carries signal
+        naive = (cs + _TE_SMOOTH * prior) / (cn + _TE_SMOOTH)
+        if s * (cn + _TE_SMOOTH) != n * (cs + _TE_SMOOTH * prior):
+            assert abs(enc - naive) > 0
+
+
+def test_target_encoding_plan_shape(spark):
+    """One corpus pass to the (cat, fold) cell table; category and
+    global rollups are windows over bounded metadata — no second scan,
+    no join."""
+    from tests.test_plans import plan
+
+    p = plan(agg_target_encoding_kfold(spark, SF_SMOKE))
+    assert p.count("Location: InMemoryFileIndex") == 1, p
+    assert "Join" not in p, p
+    assert "windowspecdefinition" in p, p
+
+
+# --- events_propensity_match_att -------------------------------------------------
+
+
+def test_psm_python_recompute(spark):
+    """Brute-force 1-NN over ALL controls per treated user (argmin by
+    (|Δscore|, score)) — validates that the window prev/next shortcut
+    finds the true nearest neighbor."""
+    ev = pd.read_parquet(SF_SMOKE + "/events.parquet")
+    users = {}
+    for r in ev.itertuples(index=False):
+        rec = users.setdefault(
+            int(r.user_id), {"n": 0, "click": 0, "err": 0, "out": Decimal(0)}
+        )
+        rec["n"] += 1
+        rec["click"] += int(r.event_type == "click")
+        rec["err"] += int(r.event_type == "error")
+        rec["out"] += _dec6(r.value)
+    frame = []
+    for uid, rec in users.items():
+        frame.append(
+            (
+                uid,
+                rec["click"] / rec["n"] + uid * 1e-9,
+                rec["err"] / rec["n"] > 0.2,
+                float(rec["out"]),
+            )
+        )
+    treated = [(u, s, o) for u, s, t, o in frame if t]
+    controls = [(u, s, o) for u, s, t, o in frame if not t]
+    assert treated and controls, "fixture must produce both arms"
+    units = 0
+    for _, s, y_t in treated:
+        _, _, y_c = min(
+            controls, key=lambda c: (abs(c[1] - s), c[1])
+        )
+        units += math.floor((y_t - y_c) * 1e6)
+    att = math.floor(units / 1e6 / len(treated) * 1e6) / 1e6
+    got = events_propensity_match_att(spark, SF_SMOKE).toPandas()
+    row = got.iloc[0]
+    assert int(row.n_treated) == len(treated)
+    assert int(row.n_controls) == len(controls)
+    assert int(row.n_matched) == len(treated)
+    assert abs(float(row.att) - att) < 2e-6
+
+
+def test_psm_plan_shape(spark):
+    """The Spark side never brute-forces: one user rollup, one sort,
+    two IGNORE-NULLS window scans — no treated×controls join (the
+    oracle's cross join is the brute twin)."""
+    from tests.test_plans import plan
+
+    p = plan(events_propensity_match_att(spark, SF_SMOKE))
+    assert "windowspecdefinition" in p, p
+    assert "CartesianProduct" not in p, p
+    # the only join is the final 1-row stats attach
+    assert "SortMergeJoin" not in p, p
+
+
+# --- etl_invoice_reconciliation --------------------------------------------------
+
+
+def test_reconciliation_python_recompute(spark):
+    o = pd.read_parquet(SF_SMOKE + "/orders.parquet")
+    li = pd.read_parquet(SF_SMOKE + "/lineitem.parquet")
+    det = {}
+    for r in li.itertuples(index=False):
+        gross = (
+            r.l_extendedprice * (1 - r.l_discount) * (1 + r.l_tax)
+        )
+        s, n = det.setdefault(int(r.l_orderkey), [Decimal(0), 0])
+        det[int(r.l_orderkey)] = [s + _dec6(gross), n + 1]
+    classes = {}
+    for r in o.itertuples(index=False):
+        s, n = det.get(int(r.o_orderkey), [Decimal(0), 0])
+        diff = math.floor((r.o_totalprice - float(s)) * 100) / 100
+        if n == 0:
+            k = "no_detail"
+        elif abs(diff) <= 0.01:
+            k = "matched"
+        elif abs(diff) <= 100.0:
+            k = "rounding"
+        elif diff > 0:
+            k = "header_over"
+        else:
+            k = "header_under"
+        cn, cd = classes.setdefault(k, [0, Decimal(0)])
+        classes[k] = [cn + 1, cd + Decimal(str(diff)).quantize(Decimal("0.01"))]
+    got = etl_invoice_reconciliation(spark, SF_SMOKE).toPandas()
+    assert len(got) == len(classes)
+    assert int(got.n_orders.sum()) == len(o)
+    for r in got.itertuples(index=False):
+        n, d = classes[r.match_class]
+        assert int(r.n_orders) == n, r.match_class
+        assert abs(float(r.total_diff) - float(d)) < 1e-6, r.match_class
+
+
+def test_reconciliation_plan_shape(spark):
+    """Header and detail co-partition on the order key: the reconcile
+    join is a keyed SortMergeJoin (neither side broadcastable at
+    scale), preceded by one map-side-combined detail rollup."""
+    from tests.test_plans import plan
+
+    p = plan(etl_invoice_reconciliation(spark, SF_SMOKE))
+    assert "Join LeftOuter" in p or "SortMergeJoin" in p or "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+# --- layout invariance -----------------------------------------------------------
+
+
+@pytest.mark.parametrize("key", sorted(STAGED))
+def test_staged_layout_invariance(spark, key, monkeypatch):
+    from tests.conftest import hostile_layout
+
+    fn, _ = STAGED[key]
+
+    def canon(df):
+        return sorted(repr(tuple(r)) for r in df.collect())
+
+    base = canon(fn(spark, SF_SMOKE))
+    hostile = hostile_layout(
+        spark, monkeypatch, lambda: canon(fn(spark, SF_SMOKE))
+    )
+    assert hostile == base, key

@@ -3873,3 +3873,120 @@ def lineitem_fe_within_regression(
             / (F.col("syy") / 1e9)
         ).alias("r2_within"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_target_encoding_kfold — STAGED for the r13 cadence (parked
+# unregistered; SURVEY continuation log). Leakage-safe mean-target
+# encoding: the category encoder every tabular-ML pipeline ships, with the
+# out-of-fold trick that keeps a row's own target out of its feature (the
+# difference between an encoder and a label leak). Flip recipe: add
+# @register("agg_target_encoding_kfold", oracle=_TARGET_ENC_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+_TE_SMOOTH = 20.0  # prior strength m in the smoothed mean
+
+_TARGET_ENC_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority AS cat,
+         CAST(('0x' || substr(md5(o_orderkey::VARCHAR || '|tefold'), 1, 8))
+              AS BIGINT) % {_TE_FOLDS} AS fold,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), cell AS (
+  SELECT cat, fold,
+         CAST(COUNT(*) AS BIGINT) AS n_cf,
+         CAST(SUM(y) AS BIGINT) AS s_cf
+  FROM base GROUP BY 1, 2
+), tot AS (
+  SELECT cat, fold, n_cf, s_cf,
+         SUM(n_cf) OVER (PARTITION BY cat) AS n_c,
+         SUM(s_cf) OVER (PARTITION BY cat) AS s_c,
+         SUM(n_cf) OVER () AS n_g,
+         SUM(s_cf) OVER () AS s_g
+  FROM cell
+)
+SELECT cat, fold, n_cf AS n_rows,
+       FLOOR((CAST(s_c - s_cf AS DOUBLE)
+              + {_TE_SMOOTH} * (CAST(s_g AS DOUBLE) / n_g))
+             / (CAST(n_c - n_cf AS DOUBLE) + {_TE_SMOOTH}) * 1e6) / 1e6
+         AS encoding,
+       FLOOR(CAST(s_g AS DOUBLE) / n_g * 1e6) / 1e6 AS global_prior
+FROM tot
+"""
+
+
+def agg_target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold smoothed mean-target encoding of order priority
+    against the fell-through label: rows in fold f of category c get
+    enc(c,f) = (Σy_c − Σy_{c,f} + m·prior) / (n_c − n_{c,f} + m) with
+    m = 20 and prior the global rate — the row's OWN fold's targets
+    never enter its encoding (the K-fold leakage guard), and the
+    Bayesian-smoothing prior keeps rare categories from memorizing
+    noise. Emitted at (category, fold) grain — exactly the lookup
+    table a training pipeline would join back onto the corpus.
+
+    Cross-engine exactness: folds are the seeded md5-prefix hash
+    (stable, table-free — the events_ab assignment pattern); every
+    sufficient statistic is an exact integer; the encoding is one
+    integer-derived double expression, floor-quantized.
+
+    Scale design: one corpus pass to the (category, fold) cell table
+    (map-side-combined), then category/global rollups as windows over
+    that bounded metadata — the leave-one-fold-out numerator is pure
+    ALGEBRA on cell sums (Σ_c − Σ_{c,f}), so K folds cost K× metadata
+    rows, never K corpus passes. High-cardinality categories keep the
+    same plan: the cell table is (cardinality × K), hash-partitioned."""
+    o = table(spark, sf_dir, "orders")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("|tefold"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _TE_FOLDS
+    )
+    base = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        fold.alias("fold"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    cell = base.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).alias("n_cf"),
+        F.sum("y").cast("long").alias("s_cf"),
+    )
+    w_cat = Window.partitionBy("cat")
+    w_all = Window.partitionBy(meta_part("n_cf"))
+    tot = cell.select(
+        "cat",
+        "fold",
+        "n_cf",
+        "s_cf",
+        F.sum("n_cf").over(w_cat).alias("n_c"),
+        F.sum("s_cf").over(w_cat).alias("s_c"),
+        F.sum("n_cf").over(w_all).alias("n_g"),
+        F.sum("s_cf").over(w_all).alias("s_g"),
+    )
+    prior = F.col("s_g").cast("double") / F.col("n_g")
+    enc = fquant(
+        ((F.col("s_c") - F.col("s_cf")).cast("double") + _TE_SMOOTH * prior)
+        / ((F.col("n_c") - F.col("n_cf")).cast("double") + _TE_SMOOTH)
+    )
+    return tot.select(
+        "cat",
+        "fold",
+        F.col("n_cf").alias("n_rows"),
+        enc.alias("encoding"),
+        fquant(prior).alias("global_prior"),
+    )

@@ -275,3 +275,110 @@ def etl_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_n",
         F.round(F.col("true_n") + noise, 6).alias("noisy_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# etl_invoice_reconciliation — STAGED for the r13 cadence (parked
+# unregistered; SURVEY continuation log). Header-vs-detail two-way match:
+# does each order's header total reconcile against the sum of its line
+# items — the close-the-books control that runs nightly in every finance
+# warehouse, with tolerance BANDS (exact / rounding / material) rather
+# than a boolean. Flip recipe: add
+# @register("etl_invoice_reconciliation", oracle=_RECON_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_RECON_ORACLE = """
+WITH detail AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       AS DECIMAL(27,6))) AS DOUBLE) AS line_total,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+), matched AS (
+  SELECT o.o_orderkey,
+         FLOOR((o.o_totalprice - COALESCE(d.line_total, 0.0)) * 100)
+           / 100 AS diff,
+         COALESCE(d.n_lines, 0) AS n_lines
+  FROM orders o LEFT JOIN detail d ON o.o_orderkey = d.l_orderkey
+), classed AS (
+  SELECT CASE
+           WHEN n_lines = 0 THEN 'no_detail'
+           WHEN abs(diff) <= 0.01 THEN 'matched'
+           WHEN abs(diff) <= 100.0 THEN 'rounding'
+           WHEN diff > 0 THEN 'header_over'
+           ELSE 'header_under'
+         END AS match_class,
+         diff
+  FROM matched
+)
+SELECT match_class,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(diff AS DECIMAL(27,2))) AS DOUBLE) AS total_diff
+FROM classed GROUP BY 1
+"""
+
+
+def etl_invoice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way header/detail reconciliation: per order, the header
+    total (o_totalprice) against the gross line total
+    Σ extendedprice·(1−discount)·(1+tax), classified into tolerance
+    bands — matched (≤1¢), rounding (≤$100), header_over/under
+    (material, signed), no_detail (orphan header) — and rolled up per
+    class with the signed total discrepancy. The banded-classification
+    form is the point: a reconciliation that only answers "equal or
+    not" cannot separate FX-rounding noise from a posting error.
+
+    Cross-engine exactness: line totals are decimal-exact sums of
+    identical per-row doubles; the per-order diff floor-quantizes to
+    CENTS before classification (so a band boundary cannot straddle)
+    and the class totals are exact decimal sums of those cents.
+
+    Scale design: one map-side-combined detail rollup at order grain,
+    one keyed LEFT join header↔detail (both sides hash-partition on
+    the order key — co-partitioned at any scale, broadcastable at
+    none), one bounded-class rollup. The classic reconciliation shape:
+    nothing wider than the key ever shuffles."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    from trireme_spark.parity import DSCALE, fquant
+
+    detail = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast(DSCALE)
+        )
+        .cast("double")
+        .alias("line_total"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    matched = o.join(
+        detail, o["o_orderkey"] == detail["okey"], "left"
+    ).select(
+        fquant(
+            F.col("o_totalprice")
+            - F.coalesce(F.col("line_total"), F.lit(0.0)),
+            2,
+        ).alias("diff"),
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+    )
+    match_class = (
+        F.when(F.col("n_lines") == 0, "no_detail")
+        .when(F.abs(F.col("diff")) <= 0.01, "matched")
+        .when(F.abs(F.col("diff")) <= 100.0, "rounding")
+        .when(F.col("diff") > 0, "header_over")
+        .otherwise("header_under")
+    )
+    return (
+        matched.select(match_class.alias("match_class"), "diff")
+        .groupBy("match_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("diff").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("total_diff"),
+        )
+    )

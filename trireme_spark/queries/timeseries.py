@@ -9243,3 +9243,271 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_a string, seg_b string, dtw_distance double,"
         " lockstep_l1 double",
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_wasserstein_1d — STAGED for the r13 cadence (parked unregistered;
+# SURVEY continuation log). Earth-mover distance between two segments'
+# order-price distributions on a fixed 1k-wide bin grid: in 1-D,
+# W1 = Σ |CDF_a − CDF_b| · binwidth — the distribution-shift metric that
+# (unlike KS's max-gap) weighs WHERE the mass moved, which is why drift
+# monitors quote it next to PSI. Flip recipe: add
+# @register("orders_wasserstein_1d", oracle=_WASSERSTEIN_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_W1_BIN = 1000.0  # price bin width — fixed grid, cross-engine exact
+_W1_SEG_A = "BUILDING"
+_W1_SEG_B = "MACHINERY"
+
+_WASSERSTEIN_ORACLE = f"""
+WITH priced AS (
+  SELECT CAST(FLOOR(o_totalprice / {_W1_BIN}) AS BIGINT) AS bin,
+         c_mktsegment AS seg
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{_W1_SEG_A}', '{_W1_SEG_B}')
+), cells AS (
+  SELECT bin,
+         CAST(COUNT(*) FILTER (WHERE seg = '{_W1_SEG_A}') AS BIGINT) AS na,
+         CAST(COUNT(*) FILTER (WHERE seg = '{_W1_SEG_B}') AS BIGINT) AS nb
+  FROM priced GROUP BY 1
+), cum AS (
+  SELECT bin, na, nb,
+         SUM(na) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(nb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cb,
+         SUM(na) OVER () AS ta, SUM(nb) OVER () AS tb,
+         LEAD(bin) OVER (ORDER BY bin) AS next_bin
+  FROM cells
+), gaps AS (
+  -- |CDF gap| held constant from this bin edge to the next occupied
+  -- bin: weight by the integer bin distance (empty bins carry the gap)
+  SELECT CAST(FLOOR(abs(CAST(ca AS DOUBLE) / ta
+                        - CAST(cb AS DOUBLE) / tb)
+                    * (next_bin - bin) * 1e9) AS BIGINT) AS g_nano
+  FROM cum WHERE next_bin IS NOT NULL
+)
+SELECT CAST(SUM(g_nano) AS DOUBLE) / 1e9 * {_W1_BIN} AS w1_distance,
+       (SELECT CAST(SUM(na) AS BIGINT) FROM cells) AS n_a,
+       (SELECT CAST(SUM(nb) AS BIGINT) FROM cells) AS n_b
+FROM gaps
+"""
+
+
+def orders_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between the BUILDING
+    and MACHINERY order-price distributions on a fixed 1000-wide bin
+    grid: W1 = Σ_edges |CDF_a − CDF_b| · gap·binwidth, with each gap
+    carried across empty bins via the next-occupied-bin distance (so
+    the grid never needs densifying). Exact on the binned measure by
+    construction — the binning IS the estimator, the same contract as
+    the fixed-width histogram/PSI keys, and the 100 TB-sane form (the
+    unbinned W1 needs a corpus-wide sorted cumulative pass).
+
+    Cross-engine exactness: bins and counts are exact integers; CDF
+    ratios are integer-derived doubles; each gap term floor-quantizes
+    to 1e-9 units into an exact integer sum.
+
+    Scale design: one corpus pass to the BOUNDED bin grid
+    (map-side-combined conditional counts), then cumulative/lead
+    windows over ≤O(bins) metadata rows under a meta_part spec.
+    Comparing k segment pairs reuses the same cell table with more
+    conditional columns — never more passes."""
+    from trireme_spark.operators.hints import broadcast_if_small
+
+    o = table(spark, sf_dir, "orders")
+    c = broadcast_if_small(table(spark, sf_dir, "customer"))
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .where(F.col("c_mktsegment").isin(_W1_SEG_A, _W1_SEG_B))
+        .groupBy(
+            F.floor(F.col("o_totalprice") / _W1_BIN)
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count_if(F.col("c_mktsegment") == _W1_SEG_A).alias("na"),
+            F.count_if(F.col("c_mktsegment") == _W1_SEG_B).alias("nb"),
+        )
+    )
+    w_all = Window.partitionBy(meta_part("bin"))
+    w_cum = w_all.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_lead = w_all.orderBy("bin")
+    cum = cells.select(
+        "bin",
+        "na",
+        "nb",
+        F.sum("na").over(w_cum).alias("ca"),
+        F.sum("nb").over(w_cum).alias("cb"),
+        F.sum("na").over(w_all).alias("ta"),
+        F.sum("nb").over(w_all).alias("tb"),
+        F.lead("bin").over(w_lead).alias("next_bin"),
+    )
+    g_nano = F.floor(
+        F.abs(
+            F.col("ca").cast("double") / F.col("ta")
+            - F.col("cb").cast("double") / F.col("tb")
+        )
+        * (F.col("next_bin") - F.col("bin"))
+        * 1e9
+    ).cast("long")
+    return (
+        cum.where(F.col("next_bin").isNotNull())
+        .select(
+            g_nano.alias("g_nano"),
+            F.col("ta").alias("ta"),
+            F.col("tb").alias("tb"),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.sum("g_nano").alias("s"))
+        .select(
+            (F.col("s").cast("double") / 1e9 * _W1_BIN).alias(
+                "w1_distance"
+            ),
+            F.col("ta").cast("long").alias("n_a"),
+            F.col("tb").cast("long").alias("n_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_propensity_match_att — STAGED for the r13 cadence (parked
+# unregistered; SURVEY continuation log). Nearest-neighbor propensity
+# matching (with replacement) for the ATT — the third causal estimator
+# next to events_ipw_ate (reweighting) and events_ab_cuped (variance
+# reduction): every treated user pairs with the closest control on the
+# score axis, and the effect is read off matched pairs. Flip recipe: add
+# @register("events_propensity_match_att", oracle=_PSM_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_PSM_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE)
+           / COUNT(*) + user_id * 1e-9 AS score,
+         CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE)
+           / COUNT(*) > 0.2 AS treated,
+         {oracle_sum('value')} AS outcome
+  FROM events GROUP BY user_id
+), pairs AS (
+  SELECT t.user_id, t.outcome AS y_t, c.outcome AS y_c,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.user_id
+           ORDER BY abs(c.score - t.score), c.score
+         ) AS rn
+  FROM u t JOIN u c ON c.user_id <> t.user_id AND NOT c.treated
+  WHERE t.treated
+), diffs AS (
+  SELECT CAST(FLOOR((y_t - y_c) * 1e6) AS BIGINT) AS d_micro
+  FROM pairs WHERE rn = 1
+)
+SELECT (SELECT CAST(COUNT(*) FILTER (WHERE treated) AS BIGINT) FROM u)
+         AS n_treated,
+       (SELECT CAST(COUNT(*) FILTER (WHERE NOT treated) AS BIGINT) FROM u)
+         AS n_controls,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       FLOOR(CAST(SUM(d_micro) AS DOUBLE) / 1e6 / COUNT(*) * 1e6) / 1e6
+         AS att
+FROM diffs
+"""
+
+
+def events_propensity_match_att(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ATT by 1-nearest-neighbor propensity matching with replacement:
+    treated = users whose error share exceeds 0.2 (every fixture user
+    hits SOME error, so presence alone is degenerate — found by the
+    sf0.001 parity gate); score = empirical click
+    share, made TOTAL-ORDER-unique by a deterministic uid·1e-9 jitter
+    (so "the nearest control" is unambiguous in every engine — without
+    it, equal scores make the matched partner an implementation
+    accident); outcome = decimal-exact value sum; ATT = mean of
+    (y_treated − y_matched-control) over matched pairs, each diff
+    floor-quantized to exact integer micro-units before the sum.
+    Tie between equidistant neighbors breaks toward the LOWER score —
+    the oracle's (|Δ|, score) order and the Spark side's
+    prev-on-equal rule are the same rule stated twice.
+
+    Scale design: with unique scores the nearest control is always one
+    of the two score-adjacent controls, so Spark never brute-forces —
+    ONE sort by score and two IGNORE-NULLS window scans (last control
+    before, first after) find every treated user's match in O(n log n)
+    total; the oracle's treated×controls cross join is the brute-force
+    twin, not the plan. At 100 TB the global score sort becomes a
+    RANGE partition by score with boundary-control exchange — the
+    documented two-pass swap; matching stays embarrassingly local
+    within ranges."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.count(F.when(F.col("event_type") == "click", 1)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+            + F.col("user_id") * 1e-9
+        ).alias("score"),
+        (
+            F.count(
+                F.when(F.col("event_type") == "error", 1)
+            ).cast("double")
+            / F.count(F.lit(1))
+            > 0.2
+        ).alias("treated"),
+        dsum("value").alias("outcome"),
+    )
+    ctrl = F.when(
+        ~F.col("treated"),
+        F.struct(F.col("score"), F.col("outcome")),
+    )
+    w_all = Window.partitionBy(meta_part("user_id"))
+    w_prev = w_all.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_next = w_all.orderBy("score").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    m = u.select(
+        "user_id",
+        "score",
+        "treated",
+        "outcome",
+        F.last(ctrl, ignorenulls=True).over(w_prev).alias("prev"),
+        F.first(ctrl, ignorenulls=True).over(w_next).alias("next"),
+    ).where(F.col("treated"))
+    d_prev = F.abs(F.col("prev.score") - F.col("score"))
+    d_next = F.abs(F.col("next.score") - F.col("score"))
+    matched = F.when(
+        F.col("prev").isNull(), F.col("next.outcome")
+    ).otherwise(
+        F.when(F.col("next").isNull(), F.col("prev.outcome")).otherwise(
+            # equidistant -> prev (the lower score), the oracle's
+            # (|delta|, score) argmin rule
+            F.when(d_prev <= d_next, F.col("prev.outcome")).otherwise(
+                F.col("next.outcome")
+            )
+        )
+    )
+    diffs = m.select(
+        F.floor((F.col("outcome") - matched) * 1e6)
+        .cast("long")
+        .alias("d_micro")
+    ).where(F.col("d_micro").isNotNull())
+    counts = u.agg(
+        F.count_if(F.col("treated")).alias("n_treated"),
+        F.count_if(~F.col("treated")).alias("n_controls"),
+    )
+    agg = diffs.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("d_micro").alias("s"),
+    )
+    return counts.crossJoin(F.broadcast(agg)).select(
+        F.col("n_treated").cast("long").alias("n_treated"),
+        F.col("n_controls").cast("long").alias("n_controls"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        fquant(
+            F.col("s").cast("double") / 1e6 / F.col("n_matched")
+        ).alias("att"),
+    )
