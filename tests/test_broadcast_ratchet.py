@@ -85,6 +85,12 @@ AUDITED = {
         "agg_gini_split_gain": 1,
         "agg_tukey_hsd": 2,
         "lineitem_fe_within_regression": 2,
+        # r13-staged audit: kruskal attaches the 1-row tie frame;
+        # brown-forsythe broadcasts the 5-row median table, the 5-row
+        # group-mean table (twice: SSB and SSW passes) and the three
+        # 1-row stat frames — all k-bounded or single-row.
+        "agg_kruskal_wallis": 1,
+        "agg_brown_forsythe": 5,
     },
     "queries/clustering.py": {"cluster_assign": 1, "cluster_silhouette": 1},
     "queries/filters.py": {"filter_top_percent": 1},
@@ -211,6 +217,9 @@ AUDITED = {
         "ts_spectral_entropy": 1,
         "ts_pacf_durbin_levinson": 2,
         "orders_survival_nelson_aalen": 1,
+        # r13-staged audit: PSM attaches the 1-row matched-diff stats
+        # frame to the 1-row counts frame.
+        "events_propensity_match_att": 1,
         "ts_ewma_control_chart": 1,
         "ts_interpolate_linear": 1,
         "ts_periodogram": 1,

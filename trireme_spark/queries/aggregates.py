@@ -3990,3 +3990,303 @@ def agg_target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc.alias("encoding"),
         fquant(prior).alias("global_prior"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_kruskal_wallis — STAGED for the r13 cadence (parked unregistered;
+# SURVEY continuation log). Kruskal-Wallis H: the k-group rank ANOVA —
+# orders_mannwhitney_u's 2-group machinery generalized to all five order
+# priorities, answering agg_anova_oneway's question without its normality
+# assumption. Flip recipe: add
+# @register("agg_kruskal_wallis", oracle=_KRUSKAL_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_KW_CHI2_CRIT = 9.488  # chi-square(4) at 5% — pinned literal
+
+_KRUSKAL_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+), vals AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+  FROM base GROUP BY v
+), gv AS (
+  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+), ranked AS (
+  -- average rank in HALF-units: 2*below + cnt + 1 (exact integers)
+  SELECT gv.g, gv.c, 2 * vals.below + vals.cnt + 1 AS r2u
+  FROM gv JOIN vals ON gv.v = vals.v
+), grp AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(c AS HUGEINT) * r2u) AS DOUBLE) / 2 AS r_g
+  FROM ranked GROUP BY g
+), tot AS (
+  -- per-group srr terms floor-quantize to centi-units into an exact
+  -- integer sum: a raw 5-double SUM is accumulation-order-dependent,
+  -- and the 12/(N(N+1))·srr − 3(N+1) cancellation amplifies any ulp
+  SELECT CAST(SUM(n_g) AS DOUBLE) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(FLOOR(r_g * r_g / n_g * 100) AS HUGEINT))
+              AS DOUBLE) / 100 AS srr
+  FROM grp
+), ties AS (
+  SELECT CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS DOUBLE)
+           AS t3t
+  FROM vals
+)
+SELECT CAST(n AS BIGINT) AS n_rows, k AS n_groups,
+       FLOOR((12 / (n * (n + 1)) * srr - 3 * (n + 1)) * 1e6) / 1e6 AS h,
+       FLOOR((12 / (n * (n + 1)) * srr - 3 * (n + 1))
+             / (1 - t3t / (n * n * n - n)) * 1e6) / 1e6
+         AS h_tie_corrected,
+       FLOOR((12 / (n * (n + 1)) * srr - 3 * (n + 1))
+             / (1 - t3t / (n * n * n - n)) * 1e6) / 1e6
+         > {_KW_CHI2_CRIT} AS significant
+FROM tot CROSS JOIN ties
+"""
+
+
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H over the five order priorities on total price:
+    H = 12/(N(N+1)) · Σ R_g²/n_g − 3(N+1) on midrank-tied ranks, with
+    the tie correction H/C, C = 1 − Σ(t³−t)/(N³−N) — the rank ANOVA
+    that drops normality (compare agg_anova_oneway's F on the same
+    question; disagreement between them IS the
+    heavy-tail/outlier diagnostic).
+
+    Cross-engine exactness: the agg_spearman_rank_corr rank-free
+    ladder — ranks never materialize per row; the value-grain rollup
+    carries (count, below-count) and the average rank is the exact
+    INTEGER 2·below+cnt+1 in half-units, so every rank sum is an exact
+    wide-integer sum; H is one scale-free double expression over exact
+    integers, floor-quantized, and the flag compares the QUANTIZED
+    corrected H.
+
+    Scale design: one corpus pass to value grain (plus one to
+    (group, value) grain — same shuffle key), a cumulative window over
+    the value-grain table (two-pass/range-partition swap at corpus
+    scale, the spearman doctrine), then everything is k-row metadata."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("v"),
+    )
+    w_below = (
+        Window.partitionBy(meta_part("cnt"))
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vals = (
+        base.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "v",
+            "cnt",
+            F.coalesce(F.sum("cnt").over(w_below), F.lit(0)).alias(
+                "below"
+            ),
+        )
+    )
+    gv = base.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    ranked = gv.join(vals, "v").select(
+        "g",
+        "c",
+        (2 * F.col("below") + F.col("cnt") + 1).alias("r2u"),
+    )
+    grp = ranked.groupBy("g").agg(
+        F.sum("c").alias("n_g"),
+        (
+            F.sum(
+                (F.col("c") * F.col("r2u")).cast("decimal(38,0)")
+            ).cast("double")
+            / 2
+        ).alias("r_g"),
+    )
+    # per-group terms floor-quantize to centi-units into an exact
+    # decimal sum — a raw double SUM is accumulation-order-dependent,
+    # and the 12/(N(N+1))·srr − 3(N+1) cancellation amplifies any ulp
+    tot = grp.agg(
+        F.sum("n_g").cast("double").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        (
+            F.sum(
+                F.floor(
+                    F.col("r_g") * F.col("r_g") / F.col("n_g") * 100
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / 100
+        ).alias("srr"),
+    )
+    ties = vals.agg(
+        F.sum(
+            (
+                F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("t3t")
+    )
+    n, srr, t3t = F.col("n"), F.col("srr"), F.col("t3t")
+    h = 12 / (n * (n + 1)) * srr - 3 * (n + 1)
+    hc = h / (1 - t3t / (n * n * n - n))
+    return tot.crossJoin(F.broadcast(ties)).select(
+        n.cast("long").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        fquant(h).alias("h"),
+        fquant(hc).alias("h_tie_corrected"),
+        (fquant(hc) > _KW_CHI2_CRIT).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_brown_forsythe — STAGED for the r13 cadence (parked unregistered;
+# SURVEY continuation log). Brown-Forsythe variance-homogeneity test: the
+# median-based Levene — ANOVA's equal-variance ASSUMPTION, tested before
+# trusting agg_anova_oneway/agg_tukey_hsd, with the median centering that
+# keeps the test honest under heavy tails. Flip recipe: add
+# @register("agg_brown_forsythe", oracle=_BROWN_FORSYTHE_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_BF_F_CRIT = 2.372  # F(4, inf) at 5% — pinned literal
+
+_BROWN_FORSYTHE_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+), gv AS (
+  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+), cum AS (
+  SELECT g, v, c,
+         SUM(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cc,
+         SUM(c) OVER (PARTITION BY g) AS n_g
+  FROM gv
+), med AS (
+  -- LOWER median: the smallest value whose within-group cumulative
+  -- count reaches ceil(n_g/2) — exact, order-statistic, engine-free
+  SELECT g, MIN(v) AS med
+  FROM cum WHERE cc >= CAST(CEIL(n_g / 2.0) AS BIGINT)
+  GROUP BY g
+), z AS (
+  SELECT base.g, abs(base.v - med.med) AS z
+  FROM base JOIN med ON base.g = med.g
+), gm AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(z AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS m
+  FROM z GROUP BY g
+), tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS nt, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(n AS DECIMAL(27,6)) * m) AS DOUBLE) / SUM(n) AS gm
+  FROM gm
+), ssb AS (
+  SELECT CAST(SUM(CAST(ROUND(n * (m - gm) * (m - gm), 4)
+                       AS DECIMAL(27,4))) AS DOUBLE) AS ssb
+  FROM gm CROSS JOIN tot
+), ssw AS (
+  SELECT CAST(SUM(CAST(ROUND((z.z - gm.m) * (z.z - gm.m), 4)
+                       AS DECIMAL(27,4))) AS DOUBLE) AS ssw
+  FROM z JOIN gm ON z.g = gm.g
+)
+SELECT CAST(nt AS BIGINT) AS n_rows, k AS n_groups,
+       FLOOR((ssb / (k - 1)) / (ssw / (nt - k)) * 1e6) / 1e6 AS f_stat,
+       FLOOR((ssb / (k - 1)) / (ssw / (nt - k)) * 1e6) / 1e6
+         > {_BF_F_CRIT} AS heteroscedastic
+FROM tot CROSS JOIN ssb CROSS JOIN ssw
+"""
+
+
+def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test across the five order priorities: one-way
+    ANOVA on z = |x − median_g| — F significant means the groups'
+    SPREADS differ (heteroscedasticity), which silently invalidates
+    the pooled-MSW machinery of agg_anova_oneway and agg_tukey_hsd;
+    the median centering (vs Levene's mean) keeps the test calibrated
+    under the heavy right tails order totals actually have.
+
+    Cross-engine exactness: the group median is the LOWER order
+    statistic (smallest value whose within-group cumulative count
+    reaches ⌈n/2⌉ — exact, no interpolation); z runs on identical
+    doubles; means are decimal-exact; SSB/SSW use agg_anova_oneway's
+    centered ROUND(4) decimal ladder; only the scale-free F leaves,
+    floor-quantized.
+
+    Scale design: a (group, value)-grain rollup with a within-group
+    cumulative window finds medians without sorting the corpus
+    row-grain; the z pass re-scans once with the 5-row median table
+    broadcast; SSB/SSW reduce map-side (the ANOVA shape)."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("v"),
+    )
+    gv = base.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    w_g = Window.partitionBy("g")
+    w_cum = w_g.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = gv.select(
+        "g",
+        "v",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_g).alias("n_g"),
+    )
+    med = (
+        cum.where(
+            F.col("cc") >= F.ceil(F.col("n_g") / 2.0).cast("long")
+        )
+        .groupBy("g")
+        .agg(F.min("v").alias("med"))
+    )
+    z = base.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    gm = z.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("z").cast(DSCALE)).cast("double") / F.count(F.lit(1)))
+        .alias("m"),
+    )
+    gm = gm.localCheckpoint(eager=True)
+    tot = gm.agg(
+        F.sum("n").cast("double").alias("nt"),
+        F.count(F.lit(1)).alias("k"),
+        (
+            F.sum(F.col("n").cast(DSCALE) * F.col("m")).cast("double")
+            / F.sum("n")
+        ).alias("gmean"),
+    )
+    dec4 = "decimal(27,4)"
+    ssb_df = gm.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                F.col("n") * (F.col("m") - F.col("gmean"))
+                * (F.col("m") - F.col("gmean")),
+                4,
+            ).cast(dec4)
+        )
+        .cast("double")
+        .alias("ssb")
+    )
+    ssw_df = z.join(F.broadcast(gm), "g").agg(
+        F.sum(
+            F.round(
+                (F.col("z") - F.col("m")) * (F.col("z") - F.col("m")), 4
+            ).cast(dec4)
+        )
+        .cast("double")
+        .alias("ssw")
+    )
+    f_stat = fquant(
+        (F.col("ssb") / (F.col("k") - 1))
+        / (F.col("ssw") / (F.col("nt") - F.col("k")))
+    )
+    return (
+        tot.crossJoin(F.broadcast(ssb_df))
+        .crossJoin(F.broadcast(ssw_df))
+        .select(
+            F.col("nt").cast("long").alias("n_rows"),
+            F.col("k").alias("n_groups"),
+            f_stat.alias("f_stat"),
+            (f_stat > _BF_F_CRIT).alias("heteroscedastic"),
+        )
+    )

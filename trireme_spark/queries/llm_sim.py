@@ -31,6 +31,7 @@ from trireme_spark.operators.similarity import (
     exact_threshold_pairs,
     exact_topk_pairs,
     jaccard,
+    knn_graph_topk,
     lsh_bucket_keys,
     minhash_signatures,
     nearest_cells,
@@ -2396,4 +2397,115 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n.doc_b").alias("doc_b"),
         lev.cast("long").alias("lev"),
         (lev <= _SNM_RADIUS).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embed_knn_label_eval — STAGED for the r13 cadence (parked unregistered;
+# SURVEY continuation log). Leave-one-out k-NN label evaluation: how
+# predictive is the embedding space of the label column — the
+# embedding-quality probe (kNN accuracy) every retrieval/clustering report
+# quotes before trusting the space, built on the SAME exact graph operator
+# sim_knn_graph_all materializes. Flip recipe: add
+# @register("embed_knn_label_eval", oracle=_KNN_EVAL_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_KNN_EVAL_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, {_DUCK_EMB} AS emb FROM embeddings),
+scored AS (
+    SELECT a.vec_id, a.label AS true_label, b.label AS nbr_label,
+           ROUND({_duck_dot('a.emb', 'b.emb')}
+                 / (sqrt({_duck_dot('a.emb', 'a.emb')})
+                    * sqrt({_duck_dot('b.emb', 'b.emb')})), 6) AS cos_sim,
+           b.vec_id AS neighbor_id
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), topk AS (
+    SELECT vec_id, true_label, nbr_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+), votes AS (
+    SELECT vec_id, true_label, nbr_label,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM topk GROUP BY 1, 2, 3
+), pred AS (
+    SELECT vec_id, true_label, nbr_label AS pred_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY c DESC, nbr_label ASC) AS vr
+        FROM votes
+    ) WHERE vr = 1
+)
+SELECT CAST(true_label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) FILTER (WHERE pred_label = true_label) AS BIGINT)
+         AS n_correct,
+       FLOOR(CAST(COUNT(*) FILTER (WHERE pred_label = true_label)
+                  AS DOUBLE) / COUNT(*) * 1e6) / 1e6 AS accuracy
+FROM pred GROUP BY 1
+"""
+
+
+def embed_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN classification of every embedding's label by
+    majority vote of its exact cosine neighbors (ties → lower label —
+    the deterministic argmax), reported per label as (n, n_correct,
+    accuracy) — the standard embedding-space probe: high kNN accuracy
+    means labels are locally coherent in the space, low means the
+    space won't support retrieval or clustering on that signal, all
+    BEFORE any model training.
+
+    Cross-engine exactness: the neighbor sets come from the same
+    rounded-score + neighbor-id tie-break contract the graded
+    sim_knn_graph_all key carries; votes are integer counts, the
+    argmax orders on (count DESC, label ASC), and accuracy is an
+    integer ratio floor-quantized.
+
+    Scale design: the graph comes from the distributed block-pair GEMM
+    (operators/similarity.knn_graph_topk — executor-side numpy, no
+    driver corpus); the vote is one (vector, label)-keyed count plus a
+    5-row-per-vector argmax window; the readout is label-grain
+    metadata. The oracle's all-pairs join is the brute-force twin."""
+    from trireme_spark.operators.hints import broadcast_if_small
+
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    graph = knn_graph_topk(v, k=5)
+    labels = e.select("vec_id", F.col("label").cast("long").alias("label"))
+    nbr_lab = labels.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nbr_label"),
+    )
+    joined = (
+        graph.join(broadcast_if_small(nbr_lab), "neighbor_id")
+        .join(
+            broadcast_if_small(
+                labels.select("vec_id", F.col("label").alias("true_label"))
+            ),
+            "vec_id",
+        )
+    )
+    votes = joined.groupBy("vec_id", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_vote = Window.partitionBy("vec_id").orderBy(
+        F.col("c").desc(), F.col("nbr_label").asc()
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .where(F.col("vr") == 1)
+        .select("vec_id", "true_label", F.col("nbr_label").alias("pred"))
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count_if(F.col("pred") == F.col("true_label")).alias(
+            "n_correct"
+        ),
+        fquant(
+            F.count_if(F.col("pred") == F.col("true_label")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
     )

@@ -9511,3 +9511,158 @@ def events_propensity_match_att(
             F.col("s").cast("double") / 1e6 / F.col("n_matched")
         ).alias("att"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_granger_f_test — STAGED for the r13 cadence (parked unregistered;
+# SURVEY continuation log). Granger causality at lag 1: does YESTERDAY'S
+# BUILDING revenue improve today's MACHINERY forecast beyond MACHINERY's
+# own yesterday — the predictive-causality F-test that turns
+# ts_cross_correlation_leadlag's symmetric "they co-move" into a directed
+# claim. Flip recipe: add @register("ts_granger_f_test",
+# oracle=_GRANGER_ORACLE) and a _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_GRANGER_F_CRIT = 3.84  # F(1, inf) at 5% — pinned literal
+
+
+_GRANGER_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '1990-01-01 00:00:00',
+                        o_orderdate) AS BIGINT) AS dd,
+         {oracle_sum("CASE WHEN c_mktsegment = 'BUILDING' THEN o_totalprice ELSE 0 END")} AS x,
+         {oracle_sum("CASE WHEN c_mktsegment = 'MACHINERY' THEN o_totalprice ELSE 0 END")} AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+), rows_ AS (
+  SELECT t.y AS y, l.y AS yl, l.x AS xl
+  FROM daily t JOIN daily l ON l.dd = t.dd - 1
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {oracle_sum('y')} AS sy, {oracle_sum('yl')} AS syl,
+         {oracle_sum('xl')} AS sxl,
+         {oracle_sum('y * y')} AS syy, {oracle_sum('yl * yl')} AS syl2,
+         {oracle_sum('xl * xl')} AS sxl2,
+         {oracle_sum('yl * y')} AS syly, {oracle_sum('xl * y')} AS sxly,
+         {oracle_sum('yl * xl')} AS sylxl
+  FROM rows_
+), c AS (
+  SELECT n,
+         syl2 - syl * syl / n AS s11, sxl2 - sxl * sxl / n AS s22,
+         sylxl - syl * sxl / n AS s12,
+         syly - syl * sy / n AS s1y, sxly - sxl * sy / n AS s2y,
+         syy - sy * sy / n AS syyc
+  FROM m
+), ssr AS (
+  SELECT n,
+         syyc - s1y * s1y / s11 AS ssr_r,
+         syyc - (s1y * s1y * s22 - 2 * s1y * s2y * s12
+                 + s2y * s2y * s11) / (s11 * s22 - s12 * s12) AS ssr_u,
+         syyc
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       FLOOR((ssr_r - ssr_u) / (ssr_u / (n - 3)) * 1e6) / 1e6 AS f_stat,
+       FLOOR((ssr_r - ssr_u) / (ssr_u / (n - 3)) * 1e6) / 1e6
+         > {_GRANGER_F_CRIT} AS x_granger_causes_y,
+       FLOOR((1 - ssr_u / syyc) * 1e6) / 1e6 AS r2_unrestricted,
+       FLOOR((1 - ssr_r / syyc) * 1e6) / 1e6 AS r2_restricted
+FROM ssr
+"""
+
+
+def ts_granger_f_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality (lag 1, BUILDING → MACHINERY daily revenue):
+    fit MACHINERY_t on its own lag alone (restricted) and with
+    yesterday's BUILDING added (unrestricted), both in closed form from
+    centered sufficient statistics (2-regressor OLS by Cramer's rule —
+    explained SS = (S1y²S22 − 2S1yS2yS12 + S2y²S11)/(S11S22 − S12²)),
+    then F = (SSR_r − SSR_u)/(SSR_u/(n−3)) against the pinned F(1,∞)
+    critical. "x Granger-causes y" = x's past helps BEYOND y's own
+    past — the directed claim the symmetric CCF cannot make.
+
+    Cross-engine exactness: the chow-test doctrine throughout — every
+    moment is a decimal-exact sum of identical doubles; the >2^53
+    decimal→double ulp divergence on Σy² is absorbed by emitting only
+    SCALE-FREE outputs (F, R²) under floor-quantization, never raw
+    ~1e13 SSRs.
+
+    Scale design: one corpus-scale rollup to day grain (customer
+    broadcast size-gated), one keyed self-join on (day−1) over the
+    calendar-bounded series, ONE 1-row moment aggregation. More lags
+    add moment columns (and Cramer terms), never passes."""
+    from trireme_spark.operators.hints import broadcast_if_small
+
+    o = table(spark, sf_dir, "orders")
+    c = broadcast_if_small(table(spark, sf_dir, "customer"))
+    daily = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+            .cast("long")
+            .alias("dd")
+        )
+        .agg(
+            dsum(
+                F.when(
+                    F.col("c_mktsegment") == "BUILDING", F.col("o_totalprice")
+                ).otherwise(0.0)
+            ).alias("x"),
+            dsum(
+                F.when(
+                    F.col("c_mktsegment") == "MACHINERY", F.col("o_totalprice")
+                ).otherwise(0.0)
+            ).alias("y"),
+        )
+    )
+    t = daily.select(F.col("dd"), F.col("y"))
+    lagf = daily.select(
+        (F.col("dd") + 1).alias("dd"),
+        F.col("y").alias("yl"),
+        F.col("x").alias("xl"),
+    )
+    rows = t.join(lagf, "dd")
+    y, yl, xl = F.col("y"), F.col("yl"), F.col("xl")
+    m = rows.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(y).alias("sy"),
+        dsum(yl).alias("syl"),
+        dsum(xl).alias("sxl"),
+        dsum(y * y).alias("syy"),
+        dsum(yl * yl).alias("syl2"),
+        dsum(xl * xl).alias("sxl2"),
+        dsum(yl * y).alias("syly"),
+        dsum(xl * y).alias("sxly"),
+        dsum(yl * xl).alias("sylxl"),
+    )
+    csel = m.selectExpr(
+        "n",
+        "syl2 - syl * syl / n AS s11",
+        "sxl2 - sxl * sxl / n AS s22",
+        "sylxl - syl * sxl / n AS s12",
+        "syly - syl * sy / n AS s1y",
+        "sxly - sxl * sy / n AS s2y",
+        "syy - sy * sy / n AS syyc",
+    )
+    ssr = csel.selectExpr(
+        "n",
+        "syyc - s1y * s1y / s11 AS ssr_r",
+        "syyc - (s1y * s1y * s22 - 2 * s1y * s2y * s12"
+        " + s2y * s2y * s11) / (s11 * s22 - s12 * s12) AS ssr_u",
+        "syyc",
+    )
+    f_stat = fquant(
+        (F.col("ssr_r") - F.col("ssr_u"))
+        / (F.col("ssr_u") / (F.col("n") - 3))
+    )
+    return ssr.select(
+        F.col("n").cast("long").alias("n_days"),
+        f_stat.alias("f_stat"),
+        (f_stat > _GRANGER_F_CRIT).alias("x_granger_causes_y"),
+        fquant(1 - F.col("ssr_u") / F.col("syyc")).alias(
+            "r2_unrestricted"
+        ),
+        fquant(1 - F.col("ssr_r") / F.col("syyc")).alias(
+            "r2_restricted"
+        ),
+    )
