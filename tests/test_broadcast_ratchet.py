@@ -218,8 +218,13 @@ AUDITED = {
         "ts_pacf_durbin_levinson": 2,
         "orders_survival_nelson_aalen": 1,
         # r13-staged audit: PSM attaches the 1-row matched-diff stats
-        # frame to the 1-row counts frame.
+        # frame to the 1-row counts frame; Shapley broadcasts the
+        # ≤2^n-row mask-count table, both lattice value frames and the
+        # two 1-row v(C)/v(∅) frames (all alphabet-bounded); Hill
+        # broadcasts the 1-row (k+1)-th order statistic twice.
         "events_propensity_match_att": 1,
+        "events_attribution_shapley": 5,
+        "orders_hill_tail_index": 2,
         "ts_ewma_control_chart": 1,
         "ts_interpolate_linear": 1,
         "ts_periodogram": 1,

@@ -9666,3 +9666,405 @@ def ts_granger_f_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2_restricted"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_shapley — STAGED for the r13 cadence (parked
+# unregistered; SURVEY continuation log). EXACT Shapley-value multi-touch
+# attribution (Shapley 1953; Zhao et al. 2018 for the marketing form) —
+# the game-theoretic closer of the attribution family: last-touch rewards
+# recency, linear splits equally, time-decay interpolates; Shapley is the
+# unique credit split satisfying efficiency/symmetry/dummy, and with a
+# BOUNDED channel alphabet it is computable exactly over the subset
+# lattice. Flip recipe: add
+# @register("events_attribution_shapley", oracle=_SHAPLEY_ORACLE) and a
+# _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+# channel -> bit, fixed order (the non-purchase event types)
+_SHAP_CHANNELS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+_SHAP_N = len(_SHAP_CHANNELS)
+
+
+def _shap_weight_rows():
+    """(channel, bit, others_subset_mask, weight_numerator) — the
+    Shapley sum unrolled over each channel's 2^(n-1) = 8 co-subsets,
+    with s!(n-1-s)! as INTEGER numerators over the common n! = 24
+    denominator, so the per-channel sum is exact integer arithmetic."""
+    import math as _m
+
+    rows = []
+    for ch, bit in _SHAP_CHANNELS:
+        others = [b for _, b in _SHAP_CHANNELS if b != bit]
+        for pick in range(1 << len(others)):
+            mask = 0
+            size = 0
+            for j, b in enumerate(others):
+                if pick >> j & 1:
+                    mask |= b
+                    size += 1
+            wnum = _m.factorial(size) * _m.factorial(
+                _SHAP_N - 1 - size
+            )
+            rows.append((ch, bit, mask, wnum))
+    return rows
+
+
+_SHAP_CASE = " + ".join(
+    f"CASE WHEN event_type = '{ch}' THEN {bit} ELSE 0 END"
+    for ch, bit in _SHAP_CHANNELS
+)
+
+_SHAP_WEIGHT_VALUES = ", ".join(
+    f"('{ch}', {bit}, {mask}, {wnum})"
+    for ch, bit, mask, wnum in _shap_weight_rows()
+)
+
+_SHAPLEY_ORACLE = f"""
+WITH fp AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_p
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT user_id, first_p FROM fp WHERE first_p IS NOT NULL
+), touch AS (
+  SELECT DISTINCT c.user_id,
+         {_SHAP_CASE.replace("event_type", "e.event_type")} AS bit
+  FROM conv c JOIN events e
+    ON e.user_id = c.user_id AND e.ts < c.first_p
+  WHERE e.event_type <> 'purchase'
+), umask AS (
+  SELECT c.user_id,
+         COALESCE((SELECT SUM(bit) FROM touch t
+                   WHERE t.user_id = c.user_id AND t.bit > 0), 0)
+           AS mask
+  FROM conv c
+), cnt AS (
+  SELECT CAST(mask AS BIGINT) AS mask, CAST(COUNT(*) AS BIGINT) AS c
+  FROM umask GROUP BY 1
+), spine AS (SELECT UNNEST(range(0, {1 << _SHAP_N})) AS s),
+v AS (
+  SELECT spine.s, CAST(COALESCE(SUM(cnt.c), 0) AS BIGINT) AS v
+  FROM spine LEFT JOIN cnt ON (cnt.mask & spine.s) = cnt.mask
+  GROUP BY spine.s
+), w AS (
+  SELECT * FROM (VALUES {_SHAP_WEIGHT_VALUES})
+    t(channel, bit, smask, wnum)
+), phi AS (
+  SELECT w.channel,
+         CAST(SUM(w.wnum * (v1.v - v0.v)) AS BIGINT) AS num24
+  FROM w
+  JOIN v v1 ON v1.s = (w.smask | w.bit)
+  JOIN v v0 ON v0.s = w.smask
+  GROUP BY w.channel
+)
+SELECT channel,
+       FLOOR(CAST(num24 AS DOUBLE) / 24 * 1e6) / 1e6
+         AS shapley_conversions,
+       (SELECT v FROM v WHERE s = {(1 << _SHAP_N) - 1}) AS v_grand,
+       (SELECT v FROM v WHERE s = 0) AS v_empty
+FROM phi
+"""
+
+
+def events_attribution_shapley(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact Shapley attribution of conversions to the four
+    pre-purchase channels: a user's coalition is the SET of channel
+    types they touched before their FIRST purchase; the coalition
+    worth v(S) counts converted users whose set fits inside S; each
+    channel's credit is the exact Shapley sum
+    φ_i = Σ_{S ⊆ C∖i} s!(n−1−s)!/n! · (v(S∪i) − v(S)) over the full
+    2^4 subset lattice. Efficiency (Σφ = v(C) − v(∅) — users who
+    converted with NO prior touch stay unattributed by design) is
+    pinned as a test invariant, because it is the property that makes
+    Shapley the fair split.
+
+    Cross-engine exactness: everything is integer until ONE final
+    division — the weights enter as integer numerators over the common
+    4! denominator (¼, 1/12 … never materialize as floats), so each
+    φ·24 is an exact integer sum.
+
+    Scale design: one corpus pass finds first purchases (keyed agg),
+    one keyed join marks pre-purchase touches and folds them to a
+    per-user BITMASK; from there the entire computation lives on the
+    ≤2^n-row mask table crossed with literal spines (subset lattice,
+    weight table — both broadcast). Channel alphabets up to ~20 keep
+    the lattice ≤1M metadata rows; beyond that the documented swap is
+    the permutation-sampling estimator on the same mask table."""
+    ev = table(spark, sf_dir, "events")
+    fp = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_p")
+    )
+    conv = fp.where(F.col("first_p").isNotNull())
+    bit = F.lit(0)
+    for ch, b in _SHAP_CHANNELS:
+        bit = bit + F.when(F.col("event_type") == ch, b).otherwise(0)
+    touches = (
+        ev.where(F.col("event_type") != "purchase")
+        .join(conv, "user_id")
+        .where(F.col("ts") < F.col("first_p"))
+        .select("user_id", bit.alias("bit"))
+        .where(F.col("bit") > 0)
+        .distinct()
+    )
+    umask = (
+        conv.join(
+            touches.groupBy("user_id").agg(F.sum("bit").alias("mask")),
+            "user_id",
+            "left",
+        )
+        .select(F.coalesce(F.col("mask"), F.lit(0)).alias("mask"))
+    )
+    cnt = umask.groupBy("mask").agg(F.count(F.lit(1)).alias("c"))
+    spine = spark.range(1 << _SHAP_N).select(F.col("id").alias("s"))
+    v = (
+        spine.join(
+            F.broadcast(cnt),
+            F.col("mask").bitwiseAND(F.col("s")) == F.col("mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("v"))
+    )
+    w = spark.createDataFrame(
+        _shap_weight_rows(), "channel string, bit int, smask int, wnum int"
+    )
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("v_with"))
+    v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("v_without"))
+    phi = (
+        w.join(
+            F.broadcast(v1),
+            F.col("s1")
+            == F.col("smask").bitwiseOR(F.col("bit")).cast("long"),
+        )
+        .join(F.broadcast(v0), F.col("s0") == F.col("smask").cast("long"))
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.col("wnum") * (F.col("v_with") - F.col("v_without"))
+            ).alias("num24")
+        )
+    )
+    grand = v.where(F.col("s") == (1 << _SHAP_N) - 1).select(
+        F.col("v").alias("v_grand")
+    )
+    empty = v.where(F.col("s") == 0).select(F.col("v").alias("v_empty"))
+    return (
+        phi.crossJoin(F.broadcast(grand))
+        .crossJoin(F.broadcast(empty))
+        .select(
+            "channel",
+            fquant(F.col("num24").cast("double") / 24).alias(
+                "shapley_conversions"
+            ),
+            F.col("v_grand").cast("long").alias("v_grand"),
+            F.col("v_empty").cast("long").alias("v_empty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_hill_tail_index — STAGED for the r13 cadence (parked
+# unregistered; SURVEY continuation log). Hill estimator of the price
+# distribution's tail index over the top-k order statistics — the
+# heavy-tail diagnostic (α < 2: infinite variance; α < 1: infinite mean)
+# that tells a risk/capacity model whether averages even converge, and the
+# EVT companion to orders_max_drawdown / agg_skewness_kurtosis. Flip
+# recipe: add @register("orders_hill_tail_index", oracle=_HILL_ORACLE)
+# and a _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100
+
+_HILL_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_totalprice AS x,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                            o_orderkey ASC) AS rn
+  FROM orders
+), thr AS (
+  SELECT x AS x_k1 FROM ranked WHERE rn = {_HILL_K + 1}
+), terms AS (
+  SELECT CAST(FLOOR(ln(r.x / t.x_k1) * 1e9) AS BIGINT) AS t_nano
+  FROM ranked r CROSS JOIN thr t
+  WHERE r.rn <= {_HILL_K}
+)
+SELECT CAST({_HILL_K} AS BIGINT) AS k,
+       (SELECT FLOOR(x_k1 * 100) / 100 FROM thr) AS threshold,
+       FLOOR(CAST(SUM(t_nano) AS DOUBLE) / 1e9 / {_HILL_K} * 1e6) / 1e6
+         AS hill_h,
+       FLOOR(1 / (CAST(SUM(t_nano) AS DOUBLE) / 1e9 / {_HILL_K}) * 1e6)
+         / 1e6 AS tail_alpha
+FROM terms
+"""
+
+
+def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator over the top-100 order totals:
+    H = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎) for the k largest observations above
+    the (k+1)-th order statistic, α = 1/H — the canonical
+    peaks-over-threshold tail-index estimate. α ≈ 3-5 says Pareto-ish
+    but well-behaved; α drifting under 2 says variance-based dashboards
+    (z-scores, control charts) are lying.
+
+    Cross-engine exactness: the top-(k+1) cut is totally ordered
+    (price DESC, orderkey ASC); each log-ratio term floor-quantizes to
+    1e-9 units into an exact integer sum (the libm-agreement precedent
+    for ln on identical doubles); only the scale-free H and α leave.
+
+    Scale design: TakeOrderedAndProject finds the k+1 order statistics
+    without a global sort (per-partition top-k then merge — Spark's
+    native top-k path); the log-ratio stage is k bounded rows. The
+    k-sweep variant (Hill plot) adds a bounded spine over the SAME
+    top-K frame, not more corpus passes."""
+    o = table(spark, sf_dir, "orders")
+    topk = (
+        o.select("o_totalprice", "o_orderkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(_HILL_K + 1)
+    )
+    w = Window.partitionBy(meta_part("o_orderkey")).orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = topk.select(
+        F.col("o_totalprice").alias("x"), F.row_number().over(w).alias("rn")
+    )
+    thr = ranked.where(F.col("rn") == _HILL_K + 1).select(
+        F.col("x").alias("x_k1")
+    )
+    terms = (
+        ranked.where(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.floor(F.log(F.col("x") / F.col("x_k1")) * 1e9)
+            .cast("long")
+            .alias("t_nano")
+        )
+    )
+    h = F.col("s").cast("double") / 1e9 / _HILL_K
+    return (
+        terms.agg(F.sum("t_nano").alias("s"))
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.lit(_HILL_K).cast("long").alias("k"),
+            fquant(F.col("x_k1"), 2).alias("threshold"),
+            fquant(h).alias("hill_h"),
+            fquant(1 / h).alias("tail_alpha"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_pps_systematic — STAGED for the r13 cadence (parked unregistered;
+# SURVEY continuation log). Systematic probability-proportional-to-size
+# sampling (the survey-statistics workhorse: one pass, fixed take, strict
+# size-proportional inclusion) — deterministic midpoint anchor instead of
+# a random start, so the draw is reproducible by construction. Flip
+# recipe: add @register("sample_pps_systematic", oracle=_PPS_ORACLE) and
+# a _SWEEP_PRIORITY slot.
+# ---------------------------------------------------------------------------
+
+_PPS_TAKE = 20  # selections per segment
+
+
+_PPS_ORACLE = f"""
+WITH spend AS (
+  SELECT c_mktsegment AS seg, c.c_custkey,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(27,0))) AS BIGINT)
+           AS w_cents
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), cum AS (
+  SELECT seg, c_custkey, w_cents,
+         SUM(w_cents) OVER (PARTITION BY seg ORDER BY c_custkey
+                            ROWS UNBOUNDED PRECEDING) AS c1,
+         SUM(w_cents) OVER (PARTITION BY seg) AS t
+  FROM spend
+), hits AS (
+  -- selection points p_m = (2m+1)T/(2n); #points <= c is
+  -- floor((2nc + T)/(2T)) — pure integer arithmetic end to end
+  SELECT seg, c_custkey, w_cents,
+         CAST((2 * {_PPS_TAKE} * c1 + t) // (2 * t)
+              - (2 * {_PPS_TAKE} * (c1 - w_cents) + t) // (2 * t)
+              AS BIGINT) AS n_hits
+  FROM cum
+)
+SELECT seg, c_custkey, CAST(w_cents AS DOUBLE) / 100 AS spend,
+       n_hits
+FROM hits WHERE n_hits > 0
+"""
+
+
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS draw of 20 customers per market segment, sized by
+    lifetime spend: lay every segment's customers on a line of
+    cumulative spend-cents, drop 20 equally-spaced selection points
+    anchored at the strata midpoints ((2m+1)·T/2n — the deterministic
+    replacement for the classic random start), and keep each customer
+    once per point falling inside their interval (whales can be hit
+    more than once — that IS PPS; n_hits is the multiplicity). Exactly
+    n points per segment land by construction (a pinned test
+    invariant), and inclusion probability is proportional to spend.
+
+    Cross-engine exactness: spend accumulates in integer CENTS
+    (decimal-exact), and the hit count is the closed form
+    ⌊(2n·c+T)/2T⌋ differenced across each interval — integer division
+    end to end, nothing floats but the display column. Headroom note:
+    2n·T must fit int64 — at 100·Σcents that holds to ~9×10¹⁶ total
+    cents (≈$10¹⁴ corpus); past that the same formula runs in
+    decimal(38).
+
+    Scale design: one keyed rollup to customer grain, a per-segment
+    cumulative window (range-partition by the orderBy key with
+    boundary carry is the corpus-scale swap — the two-pass doctrine),
+    and a filter; the sample never materializes more than the take."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    spend = (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), c["c_custkey"]
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice") * 100).cast("decimal(27,0)")
+            )
+            .cast("long")
+            .alias("w_cents")
+        )
+    )
+    w_seg = Window.partitionBy("seg")
+    w_cum = w_seg.orderBy("c_custkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = spend.select(
+        "seg",
+        "c_custkey",
+        "w_cents",
+        F.sum("w_cents").over(w_cum).alias("c1"),
+        F.sum("w_cents").over(w_seg).alias("t"),
+    )
+
+    def pts(c_col):
+        # integer `div`, not FLOOR(float /): past 2^53 the double path
+        # would round before flooring — the oracle's // is exact
+        return F.expr(
+            f"(2 * {_PPS_TAKE} * ({c_col}) + t) div (2 * t)"
+        ).cast("long")
+
+    hits = cum.select(
+        "seg",
+        "c_custkey",
+        "w_cents",
+        (pts("c1") - pts("c1 - w_cents")).alias("n_hits"),
+    )
+    return hits.where(F.col("n_hits") > 0).select(
+        "seg",
+        "c_custkey",
+        (F.col("w_cents").cast("double") / 100).alias("spend"),
+        "n_hits",
+    )
