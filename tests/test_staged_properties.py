@@ -242,3 +242,89 @@ def test_dtw_dp_matches_brute_force_enumeration(va, vb):
     if len(va) == len(vb):
         l1 = sum(abs(a - b) for a, b in zip(va, vb))
         assert dp <= l1 + 1e-12
+
+
+# --- sample_pps_systematic: the hit-count closed form ---------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=10_000),
+        min_size=1,
+        max_size=40,
+    ),
+    n=st.integers(min_value=1, max_value=50),
+)
+def test_pps_closed_form_places_exactly_n_points(weights, n):
+    """f(c) = (2n·c + T) // (2T) differenced over intervals must place
+    EXACTLY n selection points for any positive integer weights — the
+    fixed-take guarantee the key pins on the fixture, here proved over
+    arbitrary weight vectors; and no unit may receive more hits than
+    its weight mathematically allows (ceil(w·n/T) + 1 bound)."""
+    T = sum(weights)
+
+    def f(c):
+        return (2 * n * c + T) // (2 * T)
+
+    cum = 0
+    total_hits = 0
+    for w in weights:
+        lo, hi = cum, cum + w
+        cum = hi
+        hits = f(hi) - f(lo)
+        assert hits >= 0
+        assert hits <= -(-w * n // T) + 1, (w, n, T, hits)
+        total_hits += hits
+    assert total_hits == n, (weights, n)
+
+
+# --- events_attribution_shapley: weights and efficiency -------------------------
+
+
+def test_shapley_weight_rows_sum_to_unity():
+    """The unrolled (channel, subset) weight table must satisfy
+    Σ_S s!(n−1−s)! = n! per channel — the normalization that makes the
+    credits a probability-weighted average of marginal contributions."""
+    from trireme_spark.queries.timeseries import (
+        _SHAP_N,
+        _shap_weight_rows,
+    )
+
+    per_channel = {}
+    for ch, _bit, _mask, wnum in _shap_weight_rows():
+        per_channel[ch] = per_channel.get(ch, 0) + wnum
+    assert len(per_channel) == _SHAP_N
+    assert all(
+        v == math.factorial(_SHAP_N) for v in per_channel.values()
+    ), per_channel
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    masks=st.lists(
+        st.integers(min_value=0, max_value=15), min_size=1, max_size=60
+    )
+)
+def test_shapley_lattice_efficiency_for_any_coalition_multiset(masks):
+    """For ANY multiset of user coalition bitmasks, the lattice-form
+    Shapley credits (integer numerators over n!) sum exactly to
+    v(full) − v(∅) — efficiency holds as an integer identity, not just
+    on the fixture."""
+    from trireme_spark.queries.timeseries import (
+        _SHAP_N,
+        _shap_weight_rows,
+    )
+
+    def v(s_mask):
+        return sum(1 for m in masks if m & s_mask == m)
+
+    num24 = {}
+    for ch, bit, smask, wnum in _shap_weight_rows():
+        num24[ch] = num24.get(ch, 0) + wnum * (
+            v(smask | bit) - v(smask)
+        )
+    total = sum(num24.values())
+    assert total == math.factorial(_SHAP_N) * (
+        v((1 << _SHAP_N) - 1) - v(0)
+    ), (masks, num24)
