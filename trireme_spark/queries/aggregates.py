@@ -3344,13 +3344,12 @@ def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# agg_woe_information_value — STAGED for the r12 registration (cadence
+# agg_woe_information_value — staged r11, REGISTERED r12 (cadence
 # batch; SURVEY round-11 log). Weight-of-Evidence / Information Value
 # feature screening — the credit-scoring / churn-model staple that ranks
 # candidate features by how well their bins separate a binary label,
-# BEFORE any model is fit. Flip recipe: add
-# @register("agg_woe_information_value", oracle=_WOE_IV_ORACLE) and a
-# _SWEEP_PRIORITY slot.
+# BEFORE any model is fit. Flipped at the start of r12: decorator +
+# _SWEEP_PRIORITY slot added per the written recipe (SURVEY round-12 log).
 # ---------------------------------------------------------------------------
 
 _WOE_IV_ORACLE = """
@@ -3393,6 +3392,7 @@ FROM q
 """
 
 
+@register("agg_woe_information_value", oracle=_WOE_IV_ORACLE)
 def agg_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-Evidence and Information Value per (feature, bin) for a
     binary label (order fell through: o_orderstatus = 'F'):
@@ -3480,13 +3480,12 @@ def agg_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# agg_gini_split_gain — STAGED for the r12 registration (cadence batch;
+# agg_gini_split_gain — staged r11, REGISTERED r12 (cadence batch;
 # SURVEY round-11 log). Decision-tree split screening: Gini impurity
 # reduction of candidate threshold splits on a numeric feature against a
 # binary label — the CART criterion, and WoE/IV's tree-side sibling in the
-# feature-engineering family. Flip recipe: add
-# @register("agg_gini_split_gain", oracle=_GINI_SPLIT_ORACLE) and a
-# _SWEEP_PRIORITY slot.
+# feature-engineering family. Flipped at the start of r12: decorator +
+# _SWEEP_PRIORITY slot added per the written recipe (SURVEY round-12 log).
 # ---------------------------------------------------------------------------
 
 _GINI_THRESHOLDS = [50_000 * k for k in range(1, 10)]  # 50k … 450k
@@ -3548,6 +3547,7 @@ FROM gain
 """
 
 
+@register("agg_gini_split_gain", oracle=_GINI_SPLIT_ORACLE)
 def agg_gini_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini split gain for nine candidate thresholds on o_totalprice
     against the binary fell-through label (o_orderstatus = 'F'):
@@ -3637,14 +3637,14 @@ def agg_gini_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# agg_tukey_hsd — STAGED for the r12 registration (cadence batch; SURVEY
+# agg_tukey_hsd — staged r11, REGISTERED r12 (cadence batch; SURVEY
 # round-11 log). Tukey-Kramer honestly-significant-difference post-hoc:
 # agg_anova_oneway says WHETHER priority explains price variance — HSD says
 # WHICH priority pairs actually differ, with the studentized-range
 # correction that keeps the familywise error at 5% across all 10 pairwise
-# comparisons (10 naive t-tests at 5% each would not). Flip recipe: add
-# @register("agg_tukey_hsd", oracle=_TUKEY_ORACLE) and a _SWEEP_PRIORITY
-# slot.
+# comparisons (10 naive t-tests at 5% each would not). Flipped at the
+# start of r12: decorator + _SWEEP_PRIORITY slot added per the written
+# recipe (SURVEY round-12 log).
 # ---------------------------------------------------------------------------
 
 _TUKEY_Q_CRIT = 3.858  # studentized range q(k=5, df=inf) at 5% — pinned
@@ -3679,6 +3679,7 @@ FROM pairs CROSS JOIN ssw
 """
 
 
+@register("agg_tukey_hsd", oracle=_TUKEY_ORACLE)
 def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-Kramer HSD over all 10 order-priority pairs:
     q_ij = |m_i − m_j| / √(MSW/2 · (1/n_i + 1/n_j)) with MSW the
@@ -3744,14 +3745,13 @@ def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# lineitem_fe_within_regression — STAGED for the r12 registration (cadence
+# lineitem_fe_within_regression — staged r11, REGISTERED r12 (cadence
 # batch; SURVEY round-11 log). Two-way fixed-effects (within) estimator:
 # the workhorse panel regression — demean by entity AND time, regress the
 # residuals — which identifies the discount→quantity slope from variation
 # WITHIN each part and month, immune to any part-level or month-level
-# confounder. Flip recipe: add
-# @register("lineitem_fe_within_regression", oracle=_FE_WITHIN_ORACLE) and
-# a _SWEEP_PRIORITY slot.
+# confounder. Flipped at the start of r12: decorator +
+# _SWEEP_PRIORITY slot added per the written recipe (SURVEY round-12 log).
 # ---------------------------------------------------------------------------
 
 _FE_WITHIN_ORACLE = """
@@ -3797,6 +3797,7 @@ FROM within
 """
 
 
+@register("lineitem_fe_within_regression", oracle=_FE_WITHIN_ORACLE)
 def lineitem_fe_within_regression(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

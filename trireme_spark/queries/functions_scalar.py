@@ -2054,12 +2054,12 @@ def fn_variant_schema_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# fn_ipv4_cidr — STAGED for the r12 registration (cadence batch; SURVEY
+# fn_ipv4_cidr — staged r11, REGISTERED r12 (cadence batch; SURVEY
 # round-11 log). IPv4 parsing + longest-prefix-match CIDR classification —
 # the network-function surface (octet math, prefix containment, LPM) that
 # every clickstream/geo-enrichment pipeline runs before any analytics.
-# Flip recipe: add @register("fn_ipv4_cidr", oracle=_IPV4_CIDR_ORACLE) and
-# a _SWEEP_PRIORITY slot.
+# Flipped at the start of r12: decorator + _SWEEP_PRIORITY slot added
+# per the written recipe (SURVEY round-12 log).
 # ---------------------------------------------------------------------------
 
 # (cidr, network-as-uint32, prefix-len). Overlapping by design: every IP
@@ -2128,6 +2128,7 @@ ORDER BY cidr
 """
 
 
+@register("fn_ipv4_cidr", oracle=_IPV4_CIDR_ORACLE)
 def fn_ipv4_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IPv4 network functions over a planted per-user address (Knuth
     hash of user_id — deterministic, table-free): format the uint32 as

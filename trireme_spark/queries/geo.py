@@ -365,14 +365,13 @@ def geo_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# geo_geohash_encode — STAGED for the r12 registration (cadence batch;
+# geo_geohash_encode — staged r11, REGISTERED r12 (cadence batch;
 # SURVEY round-11 log). Geohash cell encoding (Niemeyer's bit-interleaved
 # base32 grid) — the spatial BUCKETING primitive: once points carry a cell
 # id, proximity joins become equi-joins on (cell, neighbors) instead of
 # all-pairs haversine, which is exactly the grid path geo_nearest_facility's
-# docstring names for corpus-sized facility tables. Flip recipe: add
-# @register("geo_geohash_encode", oracle=_GEOHASH_ORACLE) and a
-# _SWEEP_PRIORITY slot.
+# docstring names for corpus-sized facility tables. Flipped at the start of r12: decorator +
+# _SWEEP_PRIORITY slot added per the written recipe (SURVEY round-12 log).
 # ---------------------------------------------------------------------------
 
 _GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
@@ -433,6 +432,7 @@ LIMIT 25
 """
 
 
+@register("geo_geohash_encode", oracle=_GEOHASH_ORACLE)
 def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision-4 geohash per customer (planted lat/lon — the
     geo_distance_join planting, salts 1/2) via the REAL algorithm:

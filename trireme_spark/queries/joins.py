@@ -1867,13 +1867,13 @@ def graph_two_hop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# graph_adamic_adar — STAGED for the r12 registration (cadence batch;
+# graph_adamic_adar — staged r11, REGISTERED r12 (cadence batch;
 # SURVEY round-11 log). Adamic-Adar link prediction on the copurchase
 # graph: the frequency-weighted refinement of graph_jaccard_links' common-
 # neighbor count — a shared RARE neighbor is worth more than a shared hub
 # (Adamic & Adar 2003), which is why AA beats Jaccard on power-law graphs.
-# Flip recipe: add @register("graph_adamic_adar", oracle=_ADAMIC_ADAR_ORACLE)
-# and a _SWEEP_PRIORITY slot.
+# Flipped at the start of r12: decorator + _SWEEP_PRIORITY slot added
+# per the written recipe (SURVEY round-12 log).
 # ---------------------------------------------------------------------------
 
 _ADAMIC_ADAR_ORACLE = """
@@ -1920,6 +1920,7 @@ LIMIT 20
 """
 
 
+@register("graph_adamic_adar", oracle=_ADAMIC_ADAR_ORACLE)
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction on the copurchase graph (same edge
     rule as graph_jaccard_links / graph_triangle_count: parts co-bought

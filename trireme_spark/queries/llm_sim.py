@@ -2311,7 +2311,7 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# dedup_sorted_neighborhood — STAGED for the r12 registration (cadence
+# dedup_sorted_neighborhood — staged r11, REGISTERED r12 (cadence
 # batch; SURVEY round-11 log). Sorted-Neighborhood blocking (Hernandez &
 # Stolfo 1995): the THIRD blocking paradigm in the dedup family, next to
 # hash-bucket blocking (minhash bands, simhash chunks) and symmetric-delete
@@ -2345,6 +2345,7 @@ FROM k a JOIN k b
 """
 
 
+@register("dedup_sorted_neighborhood", oracle=_SNM_ORACLE)
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-Neighborhood near-dup candidate scan over documents: sort
     each language's corpus by a cheap blocking key (the first 24 chars),

@@ -2967,13 +2967,12 @@ def agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# text_mcnemar_test — STAGED for the r12 registration (cadence batch;
+# text_mcnemar_test — staged r11, REGISTERED r12 (cadence batch;
 # SURVEY round-11 log). McNemar's paired test on the two deterministic
 # annotators' "long" calls — the DISAGREEMENT-direction question kappa
 # cannot answer: do the annotators disagree SYMMETRICALLY, or is one
-# systematically stricter? Flip recipe: add
-# @register("text_mcnemar_test", oracle=_MCNEMAR_ORACLE) and a
-# _SWEEP_PRIORITY slot.
+# systematically stricter? Flipped at the start of r12: decorator +
+# _SWEEP_PRIORITY slot added per the written recipe (SURVEY round-12 log).
 # ---------------------------------------------------------------------------
 
 _MCNEMAR_CHI2_CRIT = 3.841  # chi-square(1) at 5% — pinned literal
@@ -3006,6 +3005,7 @@ FROM cells
 """
 
 
+@register("text_mcnemar_test", oracle=_MCNEMAR_ORACLE)
 def text_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """McNemar's test per language on the paired binary "long document"
     calls of the two deterministic annotators (char-count ≥ 380 vs
@@ -3058,14 +3058,13 @@ def text_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# text_log_odds_dirichlet — STAGED for the r12 registration (cadence
+# text_log_odds_dirichlet — staged r11, REGISTERED r12 (cadence
 # batch; SURVEY round-11 log). Monroe/Colaresi/Quinn "Fightin' Words"
 # (2008): log-odds-ratio with an informative Dirichlet prior, the
 # corpus-comparison statistic that fixes both raw-PMI's rare-word
 # explosions (the prior shrinks them) and tf-idf's length confound (the
-# z-score normalizes by uncertainty). Flip recipe: add
-# @register("text_log_odds_dirichlet", oracle=_LOGODDS_ORACLE) and a
-# _SWEEP_PRIORITY slot.
+# z-score normalizes by uncertainty). Flipped at the start of r12: decorator +
+# _SWEEP_PRIORITY slot added per the written recipe (SURVEY round-12 log).
 # ---------------------------------------------------------------------------
 
 _LOGODDS_A0 = 500.0  # total prior mass — pinned literal
@@ -3112,6 +3111,7 @@ FROM ranked WHERE r_fr <= {_LOGODDS_TOPK}
 """
 
 
+@register("text_log_odds_dirichlet", oracle=_LOGODDS_ORACLE)
 def text_log_odds_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fightin' Words between the en and fr corpora: for each token w,
     δ_w = log-odds of w in en minus log-odds in fr, both smoothed by an

@@ -556,7 +556,7 @@ def stream_windowed_distinct_users(
     return hourly_distinct_users(table(spark, sf_dir, "events"))
 
 
-# --- stream_session_dynamic_gap (STAGED r11 -> register r12) -----------------
+# --- stream_session_dynamic_gap (staged r11, REGISTERED r12) -----------------
 # Staged under the cadence rule (SURVEY round-11 log): built and
 # oracle-verified this round, decorator flips at the r12 rotation once
 # the r12 window is pinned. Dynamic-gap session windows are the Spark
@@ -596,6 +596,7 @@ GROUP BY user_id, sid
 """
 
 
+@register("stream_session_dynamic_gap", oracle=_DYN_GAP_ORACLE)
 def stream_session_dynamic_gap(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

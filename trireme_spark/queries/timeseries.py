@@ -8082,7 +8082,7 @@ def events_odds_ratio_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- etl_bitemporal_as_of (STAGED r11 -> register r12) ------------------------
+# --- etl_bitemporal_as_of (staged r11, REGISTERED r12) ------------------------
 # Staged under the cadence rule (SURVEY round-11 log): built and
 # oracle-verified this round, decorator flips at the r12 rotation.
 # Bitemporal reconstruction is the warehouse op join_point_in_time
@@ -8123,6 +8123,7 @@ FROM visible WHERE rn = 1
 """
 
 
+@register("etl_bitemporal_as_of", oracle=_BITEMPORAL_ORACLE)
 def etl_bitemporal_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitemporal AS-OF reconstruction: each order's version chain is
     its base row (version 0, effective at o_orderdate, entered 2 days
@@ -8188,15 +8189,14 @@ def etl_bitemporal_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# events_ab_delta_method — STAGED for the r12 registration (cadence batch;
+# events_ab_delta_method — staged r11, REGISTERED r12 (cadence batch;
 # SURVEY round-11 log). Ratio-metric experiment readout with delta-method
 # variance: when the metric is a ratio of SUMS (revenue per click) but the
 # randomization unit is the USER, per-user observations are the iid unit and
 # Var(X̄/Ȳ) needs the first-order Taylor expansion — the correction every
 # experimentation platform applies before quoting a z on a ratio metric
-# (Deng, Knoblich & Lu 2018). Flip recipe: add
-# @register("events_ab_delta_method", oracle=_DELTA_METHOD_ORACLE) and a
-# _SWEEP_PRIORITY slot.
+# (Deng, Knoblich & Lu 2018). Flipped at the start of r12: decorator +
+# _SWEEP_PRIORITY slot added per the written recipe (SURVEY round-12 log).
 # ---------------------------------------------------------------------------
 
 _DELTA_METHOD_ORACLE = f"""
@@ -8245,6 +8245,7 @@ FROM r
 """
 
 
+@register("events_ab_delta_method", oracle=_DELTA_METHOD_ORACLE)
 def events_ab_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-method z-test for a ratio-of-sums metric (purchase revenue
     per click/view), randomized at USER grain: per arm,
@@ -8340,13 +8341,12 @@ def events_ab_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ts_cross_correlation_leadlag — STAGED for the r12 registration (cadence
+# ts_cross_correlation_leadlag — staged r11, REGISTERED r12 (cadence
 # batch; SURVEY round-11 log). Lead-lag cross-correlation function between
 # two daily revenue series: which segment MOVES FIRST, and by how many days
 # — the CCF that pairs with ts_autocorrelation (self) the way
-# agg_corr_matrix pairs with agg_regression. Flip recipe: add
-# @register("ts_cross_correlation_leadlag", oracle=_CCF_ORACLE) and a
-# _SWEEP_PRIORITY slot.
+# agg_corr_matrix pairs with agg_regression. Flipped at the start of r12: decorator +
+# _SWEEP_PRIORITY slot added per the written recipe (SURVEY round-12 log).
 # ---------------------------------------------------------------------------
 
 _CCF_EPOCH = "1990-01-01"
@@ -8382,6 +8382,7 @@ FROM c
 """
 
 
+@register("ts_cross_correlation_leadlag", oracle=_CCF_ORACLE)
 def ts_cross_correlation_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-correlation function between daily BUILDING revenue (x) and
     daily MACHINERY revenue (y) at lags −7…+7: ccf(k) = corr(x_t, y_{t+k})
@@ -8467,13 +8468,12 @@ def ts_cross_correlation_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ts_spectral_entropy — STAGED for the r12 registration (cadence batch;
+# ts_spectral_entropy — staged r11, REGISTERED r12 (cadence batch;
 # SURVEY round-11 log). Normalized spectral entropy per market segment —
 # the forecastability score (low entropy = concentrated spectrum = strong
 # cycle; high = white-noise-like) that the tsfeatures/M4 literature uses to
-# route series between seasonal and naive forecasters. Flip recipe: add
-# @register("ts_spectral_entropy", oracle=_SPECTRAL_ENTROPY_ORACLE) and a
-# _SWEEP_PRIORITY slot.
+# route series between seasonal and naive forecasters. Flipped at the start of r12: decorator +
+# _SWEEP_PRIORITY slot added per the written recipe (SURVEY round-12 log).
 # ---------------------------------------------------------------------------
 
 _SE_HARMONICS = 16
@@ -8541,6 +8541,7 @@ GROUP BY seg
 """
 
 
+@register("ts_spectral_entropy", oracle=_SPECTRAL_ENTROPY_ORACLE)
 def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized spectral entropy of each segment's daily revenue
     series over the first 16 harmonics: H = −Σ p_k ln p_k / ln(K) with
@@ -8657,15 +8658,14 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ts_pacf_durbin_levinson — STAGED for the r12 registration (cadence batch;
+# ts_pacf_durbin_levinson — staged r11, REGISTERED r12 (cadence batch;
 # SURVEY round-11 log). Partial autocorrelation at lags 1..5 per event
 # type, via the Durbin-Levinson recursion UNROLLED into a generated
 # closed-form expression chain that both engines execute verbatim — the
 # AR-order identification tool (PACF cuts off at p for an AR(p)) that
 # pairs with ts_autocorrelation (ACF, MA-order) and ts_ljung_box
-# (whiteness). Flip recipe: add
-# @register("ts_pacf_durbin_levinson", oracle=_PACF_ORACLE) and a
-# _SWEEP_PRIORITY slot.
+# (whiteness). Flipped at the start of r12: decorator +
+# _SWEEP_PRIORITY slot added per the written recipe (SURVEY round-12 log).
 # ---------------------------------------------------------------------------
 
 _PACF_MAXLAG = 5
@@ -8748,6 +8748,7 @@ WITH h AS (
 """
 
 
+@register("ts_pacf_durbin_levinson", oracle=_PACF_ORACLE)
 def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial ACF at lags 1..5 of each event type's hourly value
     series: pacf(k) = phi_{k,k} from the Durbin-Levinson recursion over
@@ -8841,7 +8842,7 @@ def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# orders_survival_nelson_aalen — STAGED for the r12 registration (cadence
+# orders_survival_nelson_aalen — staged r11, REGISTERED r12 (cadence
 # batch; SURVEY round-11 log). Nelson-Aalen cumulative hazard on the SAME
 # censored life table as orders_survival_km — the additive companion
 # estimator (H(t) = Σ d/n, Var = Σ d/n²) preferred for small risk sets and
@@ -8892,6 +8893,7 @@ FROM risk WHERE d > 0
 """
 
 
+@register("orders_survival_nelson_aalen", oracle=_NA_ORACLE)
 def orders_survival_nelson_aalen(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8967,13 +8969,12 @@ def orders_survival_nelson_aalen(
 
 
 # ---------------------------------------------------------------------------
-# orders_chow_test — STAGED for the r12 registration (cadence batch;
+# orders_chow_test — staged r11, REGISTERED r12 (cadence batch;
 # SURVEY round-11 log). Chow structural-break F-test: did the daily
 # revenue TREND LINE change at a known date? The parametric changepoint
 # companion to ts_pettitt_changepoint (rank-based, unknown date) and
-# ts_mann_kendall_trend (monotone, distribution-free). Flip recipe: add
-# @register("orders_chow_test", oracle=_CHOW_ORACLE) and a
-# _SWEEP_PRIORITY slot.
+# ts_mann_kendall_trend (monotone, distribution-free). Flipped at the start of r12: decorator +
+# _SWEEP_PRIORITY slot added per the written recipe (SURVEY round-12 log).
 # ---------------------------------------------------------------------------
 
 _CHOW_SPLIT = "1998-07-01"
@@ -9037,6 +9038,7 @@ FROM ssr
 """
 
 
+@register("orders_chow_test", oracle=_CHOW_ORACLE)
 def orders_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chow test for a structural break in the daily-revenue trend at a
     known split date (1998-07-01): fit y ~ a + b·t separately before
@@ -9130,7 +9132,7 @@ def orders_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ts_dtw_distance — STAGED for the r12 registration (cadence batch; SURVEY
+# ts_dtw_distance — staged r11, REGISTERED r12 (cadence batch; SURVEY
 # round-11 log). Dynamic Time Warping between segment seasonality profiles
 # — the elastic-alignment distance (Sakoe & Chiba 1978) that matches
 # shifted/stretched seasonal shapes where Euclidean punishes any phase
@@ -9143,6 +9145,7 @@ def orders_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@register("ts_dtw_distance")
 def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW distance between every pair of market segments' seasonality
     profiles (12 calendar-month revenue SHARES of the segment 

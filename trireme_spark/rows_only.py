@@ -109,6 +109,14 @@ ROWS_ONLY: dict[str, tuple[str, list[str]]] = {
         "iterative_state",
         ["tests/test_quality.py::test_procrustes_recovers_planted_rotation"],
     ),
+    "ts_dtw_distance": (
+        "iterative_state",
+        [
+            "tests/test_staged_r12e.py::test_dtw_python_recompute",
+            "tests/test_staged_r12e.py::test_dtw_nonnegative_and_deterministic",
+            "tests/test_staged_properties.py::test_dtw_dp_matches_brute_force_enumeration",
+        ],
+    ),
     "graph_kcore": (
         "iterative_state",
         [
