@@ -9148,7 +9148,10 @@ def orders_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ts_dtw_distance")
 def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW distance between every pair of market segments' seasonality
-    profiles (12 calendar-month revenue SHARES of the segment 
+    profiles (12 calendar-month revenue SHARES of the segment's annual
+    total), aligned elastically so a one-month phase shift between two
+    segments' seasonal peaks is cheap while a genuinely different shape
+    stays expensive.
 
     DP is the classic O(12×12) Sakoe-Chiba recurrence
     D[i,j] = |a_i − b_j| + min(D[i−1,j], D[i,j−1], D[i−1,j−1]), run in
@@ -9427,7 +9430,13 @@ def events_propensity_match_att(
     share, made TOTAL-ORDER-unique by a deterministic uid·1e-9 jitter
     (so "the nearest control" is unambiguous in every engine — without
     it, equal scores make the matched partner an implementation
-    accident); outcome = decimal-exact value sum; ATT = mean of
+    accident). Uniqueness is an ASSUMPTION, not a theorem: shares are
+    rationals with per-user denominators, so two jittered doubles CAN
+    coincide; the contract is pinned per fixture by
+    tests/test_staged_r13.py::test_psm_scores_are_unique at both
+    grading scales (the PPS headroom-bound precedent) — a corpus that
+    trips it needs a wider jitter scale, not a code change. Outcome =
+    decimal-exact value sum; ATT = mean of
     (y_treated − y_matched-control) over matched pairs, each diff
     floor-quantized to exact integer micro-units before the sum.
     Tie between equidistant neighbors breaks toward the LOWER score —
