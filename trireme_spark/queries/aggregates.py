@@ -4305,3 +4305,124 @@ def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (f_stat > _BF_F_CRIT).alias("heteroscedastic"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_confusion_mcc — STAGED for the r13 cadence (parked unregistered;
+# SURVEY round-12 log). The binary-classifier scorecard in one corpus
+# pass: confusion matrix + accuracy/precision/recall/F1 + Matthews
+# correlation coefficient. MCC is the one single-number summary that
+# stays honest under class imbalance (Chicco & Jurman 2020) — accuracy
+# and F1 both saturate when one class dominates, which is exactly the
+# regime of quality-filter/contamination classifiers over a 100 TB
+# corpus. Completes the agreement family: kappa (chance-corrected
+# agreement), McNemar (paired disagreement direction), odds ratio
+# (association), MCC (correlation of the confusion matrix itself).
+# Predictor under eval: "high order priority (1-2) predicts fulfilled
+# status 'F'" — a deliberately weak rule; the scorecard's job is to
+# SAY so, not to win.
+# ---------------------------------------------------------------------------
+
+_MCC_ORACLE = """
+WITH cells AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE pred AND label) AS BIGINT) AS tp,
+    CAST(COUNT(*) FILTER (WHERE pred AND NOT label) AS BIGINT) AS fp,
+    CAST(COUNT(*) FILTER (WHERE NOT pred AND label) AS BIGINT) AS fn,
+    CAST(COUNT(*) FILTER (WHERE NOT pred AND NOT label) AS BIGINT) AS tn
+  FROM (
+    SELECT o_orderpriority IN ('1-URGENT', '2-HIGH') AS pred,
+           o_orderstatus = 'F' AS label
+    FROM orders
+  )
+)
+SELECT tp, fp, fn, tn,
+       FLOOR(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) * 1e6) / 1e6
+         AS accuracy,
+       FLOOR(CAST(tp AS DOUBLE) / (tp + fp) * 1e6) / 1e6 AS precision_,
+       FLOOR(CAST(tp AS DOUBLE) / (tp + fn) * 1e6) / 1e6 AS recall_,
+       FLOOR(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1e6) / 1e6
+         AS f1,
+       CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0
+              OR tn + fn = 0
+            THEN 0.0
+            ELSE FLOOR(
+              CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+                   AS DOUBLE)
+              / (sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn))
+                 * sqrt(CAST(tn + fp AS DOUBLE) * (tn + fn))) * 1e6
+            ) / 1e6
+       END AS mcc
+FROM cells
+"""
+
+
+def agg_confusion_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass binary-classifier scorecard: confusion cells, accuracy,
+    precision, recall, F1 (harmonic as 2TP/(2TP+FP+FN) — one division,
+    no P·R/(P+R) intermediate to drift), and the Matthews correlation
+    coefficient (ad − bc)/√((a+b)(a+c)(b+d)(c+d)) — the
+    imbalance-honest summary. A zero marginal makes MCC 0 by the
+    sklearn convention (guarded identically in both engines).
+
+    Cross-engine exactness: the four cells are exact integers from one
+    conditional aggregation; the MCC numerator tp·tn − fp·fn is an
+    exact 128-bit product-difference (decimal(38,0)/HUGEINT — the
+    cancellation-prone subtraction never happens in rounded doubles);
+    the denominator is two √ of two-factor double products in identical
+    shape; every ratio floor-quantizes.
+
+    Scale design: ONE map-side-combinable corpus aggregation to four
+    integers — the minimal possible plan (no shuffle beyond the 1-row
+    fold); threshold sweeps (ROC points) add conditional columns to
+    the same pass, never passes."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .alias("pred"),
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    cells = o.agg(
+        F.count_if(F.col("pred") & F.col("label"))
+        .cast("long")
+        .alias("tp"),
+        F.count_if(F.col("pred") & ~F.col("label"))
+        .cast("long")
+        .alias("fp"),
+        F.count_if(~F.col("pred") & F.col("label"))
+        .cast("long")
+        .alias("fn"),
+        F.count_if(~F.col("pred") & ~F.col("label"))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    num = (
+        tp.cast("decimal(38,0)") * tn - fp.cast("decimal(38,0)") * fn
+    ).cast("double")
+    den = F.sqrt((tp + fp).cast("double") * (tp + fn)) * F.sqrt(
+        (tn + fp).cast("double") * (tn + fn)
+    )
+    # OR of zero-marginals, not a product == 0: a four-way long product
+    # overflows (ANSI error) at corpus scale; the booleans are identical
+    degenerate = (
+        ((tp + fp) == 0)
+        | ((tp + fn) == 0)
+        | ((tn + fp) == 0)
+        | ((tn + fn) == 0)
+    )
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        fquant((tp + tn).cast("double") / (tp + fp + fn + tn)).alias(
+            "accuracy"
+        ),
+        fquant(tp.cast("double") / (tp + fp)).alias("precision_"),
+        fquant(tp.cast("double") / (tp + fn)).alias("recall_"),
+        fquant((2 * tp).cast("double") / (2 * tp + fp + fn)).alias("f1"),
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(fquant(num / den))
+        .alias("mcc"),
+    )

@@ -10080,3 +10080,322 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("w_cents").cast("double") / 100).alias("spend"),
         "n_hits",
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_jackknife_ratio — STAGED for the r13 cadence (parked
+# unregistered; SURVEY round-12 log). Delete-one-bucket jackknife variance
+# for the SAME ratio-of-sums estimand as events_ab_delta_method (identical
+# md5 '|delta' arm split, identical x/y definitions) — the resampling
+# counterpart to the delta method's Taylor expansion, and the variance
+# estimator large experimentation platforms actually run (bucket jackknife
+# needs no derivatives and is robust to heavy-tailed per-user ratios).
+# Running BOTH on one experiment is the standard methods cross-check:
+# se_delta ≈ se_jackknife says the linearization is trustworthy.
+# ---------------------------------------------------------------------------
+
+_JK_BUCKETS = 16
+
+
+_JACKKNIFE_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(user_id::VARCHAR || '|delta'), 1, 8))
+              AS BIGINT) % 2 AS arm,
+         CAST(('0x' || substr(md5(user_id::VARCHAR || '|jkbucket'), 1, 8))
+              AS BIGINT) % {_JK_BUCKETS} AS bucket,
+         CAST(FLOOR({oracle_sum(
+             "CASE WHEN event_type = 'purchase' THEN value ELSE 0 END"
+         )} * 1e6) AS HUGEINT) AS x_micro,
+         CAST(COUNT(CASE WHEN event_type IN ('click', 'view') THEN 1 END)
+              AS HUGEINT) AS y
+  FROM events GROUP BY user_id
+), cell AS (
+  SELECT arm, bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         SUM(x_micro) AS sx, SUM(y) AS sy
+  FROM u GROUP BY arm, bucket
+), loo AS (
+  SELECT arm, bucket, n_users,
+         SUM(n_users) OVER (PARTITION BY arm) AS n_arm,
+         COUNT(*) OVER (PARTITION BY arm) AS b_arm,
+         CAST(SUM(sx) OVER (PARTITION BY arm) AS DOUBLE) AS sx_tot,
+         CAST(SUM(sy) OVER (PARTITION BY arm) AS DOUBLE) AS sy_tot,
+         CAST(FLOOR(
+           (CAST(SUM(sx) OVER (PARTITION BY arm) - sx AS DOUBLE) / 1e6)
+           / CAST(SUM(sy) OVER (PARTITION BY arm) - sy AS DOUBLE) * 1e9
+         ) AS BIGINT) AS rq
+  FROM cell
+), loo2 AS (
+  SELECT arm, n_arm, b_arm, sx_tot, sy_tot, rq,
+         SUM(rq) OVER (PARTITION BY arm) AS sum_rq
+  FROM loo
+), var_ AS (
+  SELECT arm, MAX(n_arm) AS n_arm, MAX(b_arm) AS b,
+         MAX(sx_tot) / 1e6 / MAX(sy_tot) AS ratio,
+         CAST(MAX(b_arm) - 1 AS DOUBLE) / MAX(b_arm)
+           * CAST(SUM(CAST(FLOOR(
+               (CAST(rq AS DOUBLE) / 1e9
+                - CAST(sum_rq AS DOUBLE) / b_arm / 1e9)
+               * (CAST(rq AS DOUBLE) / 1e9
+                  - CAST(sum_rq AS DOUBLE) / b_arm / 1e9) * 1e12
+             ) AS HUGEINT)) AS DOUBLE) / 1e12 AS var_jk
+  FROM loo2 GROUP BY arm
+)
+SELECT
+  MAX(CASE WHEN arm = 0 THEN CAST(n_arm AS BIGINT) END) AS n_a,
+  MAX(CASE WHEN arm = 1 THEN CAST(n_arm AS BIGINT) END) AS n_b,
+  MAX(CASE WHEN arm = 0 THEN CAST(b AS BIGINT) END) AS buckets_a,
+  MAX(CASE WHEN arm = 1 THEN CAST(b AS BIGINT) END) AS buckets_b,
+  FLOOR(MAX(CASE WHEN arm = 0 THEN ratio END) * 1e6) / 1e6 AS ratio_a,
+  FLOOR(MAX(CASE WHEN arm = 1 THEN ratio END) * 1e6) / 1e6 AS ratio_b,
+  FLOOR((MAX(CASE WHEN arm = 1 THEN ratio END)
+         - MAX(CASE WHEN arm = 0 THEN ratio END)) * 1e6) / 1e6 AS delta,
+  FLOOR(sqrt(MAX(CASE WHEN arm = 0 THEN var_jk END)
+             + MAX(CASE WHEN arm = 1 THEN var_jk END)) * 1e6) / 1e6
+    AS se_jackknife,
+  FLOOR((MAX(CASE WHEN arm = 1 THEN ratio END)
+         - MAX(CASE WHEN arm = 0 THEN ratio END))
+        / sqrt(MAX(CASE WHEN arm = 0 THEN var_jk END)
+               + MAX(CASE WHEN arm = 1 THEN var_jk END)) * 1e6) / 1e6
+    AS z,
+  abs(FLOOR((MAX(CASE WHEN arm = 1 THEN ratio END)
+             - MAX(CASE WHEN arm = 0 THEN ratio END))
+            / sqrt(MAX(CASE WHEN arm = 0 THEN var_jk END)
+                   + MAX(CASE WHEN arm = 1 THEN var_jk END)) * 1e6) / 1e6)
+    > 1.96 AS significant
+FROM var_
+"""
+
+
+def events_ab_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife CI for the ratio-of-sums A/B readout
+    (revenue per engagement event): users hash into {_JK_BUCKETS} md5
+    buckets per arm; each leave-one-bucket-out ratio
+    r_b = (Sx − sx_b)/(Sy − sy_b) is pure algebra on cell sums, so the
+    B pseudo-replicates cost B metadata rows, never B corpus passes
+    (the target-encoding LOO-fold identity, applied to variance);
+    var_jk = (B−1)/B · Σ (r_b − r̄)². Same estimand, same '|delta' arm
+    hash, same x/y as events_ab_delta_method — running both is the
+    standard linearization-vs-resampling cross-check.
+
+    Cross-engine exactness: per-user revenue floor-quantizes to integer
+    micro-units at USER grain, so every bucket/arm sum is an exact wide
+    integer (order-independent); each r_b floor-quantizes to 1e-9 units
+    and each squared deviation to 1e-12 units into exact integer sums —
+    no double SUM anywhere. Only scale-free quantized outputs leave
+    (the chow decimal→double doctrine).
+
+    Scale design: one corpus pass to user grain (user-keyed shuffle,
+    map-side combinable), one (arm, bucket)-keyed rollup to 2·B cells,
+    then arm-partitioned windows over 2·B metadata rows. More buckets
+    sharpen the variance estimate at zero extra corpus cost.
+    Assumption pinned in pytest: every arm has ≥2 occupied buckets
+    (else the LOO denominator vanishes) — true at both grading scales.
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def bucket_hash(seed: str, mod: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"), F.lit(seed)
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    u = ev.groupBy("user_id").agg(
+        F.floor(
+            dsum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0)
+            )
+            * 1e6
+        )
+        .cast("decimal(38,0)")
+        .alias("x_micro"),
+        F.count_if(F.col("event_type").isin("click", "view"))
+        .cast("decimal(38,0)")
+        .alias("y"),
+    ).select(
+        bucket_hash("|delta", 2).alias("arm"),
+        bucket_hash("|jkbucket", _JK_BUCKETS).alias("bucket"),
+        "x_micro",
+        "y",
+    )
+    cell = u.groupBy("arm", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x_micro").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    w_arm = Window.partitionBy("arm")
+    loo = cell.select(
+        "arm",
+        "bucket",
+        "n_users",
+        F.sum("n_users").over(w_arm).alias("n_arm"),
+        F.count(F.lit(1)).over(w_arm).alias("b_arm"),
+        F.sum("sx").over(w_arm).cast("double").alias("sx_tot"),
+        F.sum("sy").over(w_arm).cast("double").alias("sy_tot"),
+        F.floor(
+            (
+                (F.sum("sx").over(w_arm) - F.col("sx")).cast("double")
+                / 1e6
+            )
+            / (F.sum("sy").over(w_arm) - F.col("sy")).cast("double")
+            * 1e9
+        )
+        .cast("long")
+        .alias("rq"),
+    )
+    # second window over the SAME arm partition instead of a cell/arm
+    # self-join: the corpus is scanned exactly once (two scans showed up
+    # in the first plan draft — caught by the plan pin)
+    loo2 = loo.select(
+        "arm",
+        "n_arm",
+        "b_arm",
+        "sx_tot",
+        "sy_tot",
+        "rq",
+        F.sum("rq").over(w_arm).alias("sum_rq"),
+    )
+    rbar = F.col("sum_rq").cast("double") / F.col("b_arm") / 1e9
+    dev = F.col("rq").cast("double") / 1e9 - rbar
+    var_ = loo2.groupBy("arm").agg(
+        F.max("n_arm").alias("n_arm"),
+        F.max("b_arm").alias("b"),
+        (F.max("sx_tot") / 1e6 / F.max("sy_tot")).alias("ratio"),
+        (
+            (F.max("b_arm") - 1).cast("double")
+            / F.max("b_arm")
+            * F.sum(
+                F.floor(dev * dev * 1e12).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e12
+        ).alias("var_jk"),
+    )
+
+    def pick(arm_val, col):
+        return F.max(F.when(F.col("arm") == arm_val, F.col(col)))
+
+    ratio_a, ratio_b = pick(0, "ratio"), pick(1, "ratio")
+    se = F.sqrt(pick(0, "var_jk") + pick(1, "var_jk"))
+    z = fquant((ratio_b - ratio_a) / se)
+    return var_.agg(
+        pick(0, "n_arm").cast("long").alias("n_a"),
+        pick(1, "n_arm").cast("long").alias("n_b"),
+        pick(0, "b").cast("long").alias("buckets_a"),
+        pick(1, "b").cast("long").alias("buckets_b"),
+        fquant(ratio_a).alias("ratio_a"),
+        fquant(ratio_b).alias("ratio_b"),
+        fquant(ratio_b - ratio_a).alias("delta"),
+        fquant(se).alias("se_jackknife"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_capture_recapture — STAGED for the r13 cadence (parked
+# unregistered; SURVEY round-12 log). Chapman capture-recapture estimate of
+# the TRUE activity universe from two overlapping incomplete captures —
+# the population-size estimator (Lincoln-Petersen, Chapman bias-corrected)
+# that coverage/QA pipelines use to answer "how many distinct units exist,
+# given two partial views?" (two crawls of one corpus, two days of one
+# logset). Unit = active (user, day); capture 1 = clicked that day,
+# capture 2 = viewed that day.
+# ---------------------------------------------------------------------------
+
+_CAPTURE_ORACLE = """
+WITH ud AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ck,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS vw
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS pop_observed,
+         CAST(SUM(ck) AS BIGINT) AS n1,
+         CAST(SUM(vw) AS BIGINT) AS n2,
+         CAST(SUM(ck * vw) AS BIGINT) AS m_both
+  FROM ud
+)
+SELECT pop_observed, n1, n2, m_both,
+       FLOOR((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m_both + 1) - 1)
+             * 1e6) / 1e6 AS n_hat,
+       FLOOR(sqrt(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m_both)
+                  * (n2 - m_both)
+                  / ((CAST(m_both + 1 AS DOUBLE))
+                     * (m_both + 1) * (m_both + 2))) * 1e6) / 1e6 AS se,
+       FLOOR(CAST(pop_observed AS DOUBLE)
+             / (CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m_both + 1) - 1)
+             * 1e6) / 1e6 AS coverage
+FROM m
+"""
+
+
+def events_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the active-(user, day)
+    universe from two incomplete captures (clicked vs viewed that day):
+    N̂ = (n1+1)(n2+1)/(m+1) − 1 with the closed-form Seber variance —
+    the bias-corrected Lincoln-Petersen estimator. ``coverage`` =
+    observed/N̂ is the readout a curation pipeline acts on ("our two
+    views jointly see X% of the estimated universe"); independence of
+    the captures is the method's standing assumption, stated here, not
+    hidden.
+
+    Cross-engine exactness: n1, n2, m, pop are exact integers from one
+    keyed rollup; N̂/SE/coverage are single identical double
+    expressions over those integers, floor-quantized.
+
+    Scale design: one corpus pass to (user, day) grain — a keyed
+    map-side-combinable aggregation — then a 1-row fold; nothing
+    downstream touches corpus grain. More captures (k-sample
+    Schnabel) add flag columns to the SAME rollup, not passes."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("ck"),
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("vw"),
+    )
+    m = ud.agg(
+        F.count(F.lit(1)).cast("long").alias("pop_observed"),
+        F.sum("ck").cast("long").alias("n1"),
+        F.sum("vw").cast("long").alias("n2"),
+        F.sum(F.col("ck") * F.col("vw")).cast("long").alias("m_both"),
+    )
+    n1, n2, mb = F.col("n1"), F.col("n2"), F.col("m_both")
+    n_hat = (n1 + 1).cast("double") * (n2 + 1) / (mb + 1) - 1
+    var = (
+        (n1 + 1).cast("double")
+        * (n2 + 1)
+        * (n1 - mb)
+        * (n2 - mb)
+        / ((mb + 1).cast("double") * (mb + 1) * (mb + 2))
+    )
+    return m.select(
+        "pop_observed",
+        "n1",
+        "n2",
+        "m_both",
+        fquant(n_hat).alias("n_hat"),
+        fquant(F.sqrt(var)).alias("se"),
+        fquant(F.col("pop_observed").cast("double") / n_hat).alias(
+            "coverage"
+        ),
+    )
