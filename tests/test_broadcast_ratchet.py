@@ -56,6 +56,13 @@ AUDITED = {
     "operators/similarity.py": {"_block_pair_groups": 2},
     "operators/winframes.py": {"global_range_frame_sum": 4, "two_pass_ntile": 2},
     "queries/aggregates.py": {
+        # r13-staged audit: the lift table attaches the 1-row
+        # score-range frame (the corpus-dim customer/label join is
+        # deliberately NOT broadcast); the permutation test rides its
+        # 1-row observed-stats frame INTO the fan-out (the two-scan
+        # plan's whole point).
+        "orders_score_lift_table": 1,
+        "orders_permutation_test": 1,
         "agg_anova_oneway": 4,
         # r11 cadence-2 audit: theil decomposition broadcasts the
         # 5-row group-mean frame (per-row entropy pass) and the 1-row
@@ -162,6 +169,10 @@ AUDITED = {
         "search_more_like_this": 4,
         "search_query_elevation": 2,
         "search_spellcheck": 1,
+        # r13-staged audit: ndcg inlines bm25's two bounded broadcasts
+        # (query-sized df, 1-row corpus stats) over the shared cached
+        # postings frame and attaches the 1-row IDCG frame.
+        "search_ndcg_eval": 3,
     },
     "queries/sorts_sets.py": {
         "lineitem_pareto_abc": 3,

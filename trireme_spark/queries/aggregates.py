@@ -4426,3 +4426,386 @@ def agg_confusion_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(fquant(num / den))
         .alias("mcc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_score_lift_table — STAGED for the r13 cadence (parked
+# unregistered; SURVEY round-12 log). Gains/lift table for a scoring rule
+# (customer account balance predicting "has an urgent order"): the
+# model-eval readout every targeting/campaign pipeline prints before
+# deploying a ranker — per band: response rate, lift over base rate,
+# cumulative capture. Bands are FIXED-WIDTH over the observed score range
+# (the WoE/gini binning discipline — no percentile/NTILE, so no
+# corpus-grain global sort and no cross-engine tie hazard); a decile-by-
+# rank variant would need the win_topk_with_ties two-pass rank machinery
+# for no extra statistical content.
+# ---------------------------------------------------------------------------
+
+_LIFT_BANDS = 10
+
+_LIFT_ORACLE = f"""
+WITH lab AS (
+  SELECT o_custkey AS custkey,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+           AS pos
+  FROM orders GROUP BY 1
+), cust AS (
+  SELECT c.c_acctbal AS score, COALESCE(l.pos, 0) AS pos
+  FROM customer c LEFT JOIN lab l ON c.c_custkey = l.custkey
+), rng AS (
+  -- range from customer ALONE: the left join keeps every customer, so
+  -- min/max(score) are join-invariant — no reason to replay the join
+  SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer
+), banded AS (
+  SELECT LEAST({_LIFT_BANDS - 1},
+               CAST(FLOOR((score - lo) * {_LIFT_BANDS} / (hi - lo))
+                    AS BIGINT)) AS band,
+         pos
+  FROM cust CROSS JOIN rng
+), cells AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM banded GROUP BY band
+), tot AS (
+  SELECT band, n, n_pos,
+         SUM(n) OVER () AS n_tot, SUM(n_pos) OVER () AS pos_tot,
+         SUM(n) OVER (ORDER BY band DESC) AS cum_n,
+         SUM(n_pos) OVER (ORDER BY band DESC) AS cum_pos
+  FROM cells
+)
+SELECT band, n, n_pos,
+       FLOOR(CAST(n_pos AS DOUBLE) / n * 1e6) / 1e6 AS pos_rate,
+       FLOOR(CAST(n_pos AS DOUBLE) / n
+             / (CAST(pos_tot AS DOUBLE) / n_tot) * 1e6) / 1e6 AS lift,
+       FLOOR(CAST(cum_pos AS DOUBLE) / pos_tot * 1e6) / 1e6
+         AS cum_capture,
+       FLOOR(CAST(cum_n AS DOUBLE) / n_tot * 1e6) / 1e6 AS cum_share
+FROM tot
+"""
+
+
+def orders_score_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table for "account balance predicts urgent-order
+    customer": 10 fixed-width score bands over the observed
+    range; per band the response rate, lift over the base rate, and —
+    reading from the TOP band down — cumulative capture of positives vs
+    cumulative share of customers (the gains curve's x/y). A useless
+    score shows lift ≈ 1 everywhere; a useful one front-loads capture.
+
+    Cross-engine exactness: band ids are FLOOR of one identical double
+    expression against corpus min/max (1-row broadcast); every cell is
+    an exact integer; rates/lift/capture are integer ratios under
+    floor-quantization. Banding is fixed-width BY DESIGN (the WoE/gini
+    discipline): a rank-decile variant would need a corpus-grain global
+    order — the exact thing win_topk_with_ties exists to avoid.
+
+    Scale design: orders roll up to customer grain (keyed,
+    map-side-combinable), then ONE keyed join with customer
+    (co-partitioned corpus dimensions — deliberately NOT broadcast,
+    customer grows with the corpus), one 1-row range broadcast, one
+    {_LIFT_BANDS}-cell aggregation; all windows ride the 10-row
+    metadata frame."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    lab = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("pos")
+    )
+    cust = (
+        c.join(lab, c["c_custkey"] == lab["custkey"], "left")
+        .select(
+            F.col("c_acctbal").alias("score"),
+            F.coalesce(F.col("pos"), F.lit(0)).alias("pos"),
+        )
+    )
+    # range from customer alone (join-invariant under the left join) —
+    # computing it from `cust` would replay the orders rollup + join
+    rng = c.agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    band = F.least(
+        F.lit(_LIFT_BANDS - 1),
+        F.floor(
+            (F.col("score") - F.col("lo"))
+            * _LIFT_BANDS
+            / (F.col("hi") - F.col("lo"))
+        ).cast("long"),
+    )
+    cells = (
+        cust.crossJoin(F.broadcast(rng))
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    w_all = Window.partitionBy(meta_part("band"))
+    w_cum = w_all.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = cells.select(
+        "band",
+        "n",
+        "n_pos",
+        F.sum("n").over(w_all).alias("n_tot"),
+        F.sum("n_pos").over(w_all).alias("pos_tot"),
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n_pos").over(w_cum).alias("cum_pos"),
+    )
+    return tot.select(
+        "band",
+        "n",
+        "n_pos",
+        fquant(F.col("n_pos").cast("double") / F.col("n")).alias(
+            "pos_rate"
+        ),
+        fquant(
+            (F.col("n_pos").cast("double") / F.col("n"))
+            / (F.col("pos_tot").cast("double") / F.col("n_tot"))
+        ).alias("lift"),
+        fquant(
+            F.col("cum_pos").cast("double") / F.col("pos_tot")
+        ).alias("cum_capture"),
+        fquant(F.col("cum_n").cast("double") / F.col("n_tot")).alias(
+            "cum_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_permutation_test — STAGED for the r13 cadence (parked
+# unregistered; SURVEY round-12 log). Hash-randomization test for the
+# urgent-vs-rest difference in mean order value — the RESAMPLING member of
+# the inference family (rank-based: mannwhitney/kruskal; parametric:
+# welch/anova; resampling: this). B deterministic pseudo-randomizations of
+# the group label, each preserving the observed arm share in expectation
+# (the UNCONDITIONAL randomization test — Bernoulli reassignment, not the
+# conditional fixed-margins permutation; asymptotically equivalent, stated
+# honestly, and the only variant with a one-pass distributed form).
+# ---------------------------------------------------------------------------
+
+# 32 replicates: min attainable p = 1/33 < 0.05, so the screen can still
+# reject at 5%; B is a constant multiplier on ONE corpus pass, sized to
+# the local sweep budget — a cluster runs B in the hundreds by raising
+# this literal, nothing else changes
+_PERM_B = 32
+
+_PERM_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_totalprice AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
+  FROM orders
+), obs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a) AS BIGINT) AS n_a,
+         {oracle_sum("CASE WHEN a = 1 THEN v ELSE 0 END")} AS s_a,
+         {oracle_sum("CASE WHEN a = 0 THEN v ELSE 0 END")} AS s_r
+  FROM base
+), digests AS (
+  -- two-stage fan-out: one md5 digest serves FOUR replicates (8-hex
+  -- windows), so the digest explode runs at B/4 and only the cheap
+  -- window extraction runs at B — 4x fewer hashes (the sf0.1 noop
+  -- gate caught the 1-digest-per-replicate version at 16.5s vs the
+  -- 10s sweep budget)
+  SELECT b4.b4, base.v,
+         md5(base.k::VARCHAR || '|perm' || b4.b4::VARCHAR) AS dg
+  FROM base CROSS JOIN (SELECT UNNEST(range({_PERM_B // 4})) AS b4) b4
+), fan AS (
+  -- the observed stats ride the broadcast into the fan-out, so the
+  -- corpus is scanned exactly twice (obs + fan), never a third time
+  SELECT d.b4 * 4 + o4.o4 AS b,
+         CASE WHEN CAST(('0x' || substr(d.dg, 1 + 8 * o4.o4, 8))
+                   AS BIGINT) / 4294967296.0
+              < CAST(o.n_a AS DOUBLE) / o.n
+              THEN 1 ELSE 0 END AS pa,
+         d.v, o.n AS n_obs, o.n_a AS na_obs,
+         o.s_a AS sa_obs, o.s_r AS sr_obs
+  FROM digests d CROSS JOIN (SELECT UNNEST(range(4)) AS o4) o4
+                 CROSS JOIN obs o
+), cell AS (
+  -- only the A side aggregates per replicate; the rest side derives
+  -- from the OBSERVED totals (n_r = n - n_a, s_r = tot - s_a), and the
+  -- CASE has no ELSE so the decimal adds run on matching rows only —
+  -- both map straight onto the Spark side and halve the agg cost
+  SELECT b,
+         CAST(COUNT(*) FILTER (WHERE pa = 1) AS BIGINT) AS n_a,
+         {oracle_sum("CASE WHEN pa = 1 THEN v END")} AS s_a,
+         ANY_VALUE(n_obs) AS n_obs, ANY_VALUE(na_obs) AS na_obs,
+         ANY_VALUE(sa_obs) AS sa_obs, ANY_VALUE(sr_obs) AS sr_obs
+  FROM fan GROUP BY b
+), diffs AS (
+  SELECT ABS(CAST(FLOOR((s_a / n_a
+                         - (sa_obs + sr_obs - s_a) / (n_obs - n_a))
+                        * 1e6) AS BIGINT)) AS d_micro,
+         n_obs, na_obs,
+         CAST(FLOOR((sa_obs / na_obs - sr_obs / (n_obs - na_obs)) * 1e6)
+              AS BIGINT) AS d_obs_signed,
+         ABS(CAST(FLOOR((sa_obs / na_obs - sr_obs / (n_obs - na_obs))
+                        * 1e6) AS BIGINT)) AS d_obs_micro
+  FROM cell WHERE n_a > 0 AND n_a < n_obs
+)
+SELECT n_obs AS n_rows, na_obs AS n_urgent,
+       CAST(d_obs_signed AS DOUBLE) / 1e6 AS diff_obs,
+       CAST({_PERM_B} AS BIGINT) AS n_permutations,
+       CAST(COUNT(*) FILTER (WHERE d_micro >= d_obs_micro)
+            AS BIGINT) AS n_extreme,
+       FLOOR((1.0 + COUNT(*) FILTER (WHERE d_micro >= d_obs_micro))
+             / ({_PERM_B} + 1.0) * 1e6) / 1e6 AS p_value
+FROM diffs
+GROUP BY n_obs, na_obs, d_obs_signed, d_obs_micro
+"""
+
+
+def orders_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for urgent-vs-rest mean order value: 64
+    deterministic md5 pseudo-randomizations of the arm label (row k
+    joins pseudo-arm A in replicate b iff u = md5(k|perm|b)[0:8]/2^32
+    falls under the observed arm share), test statistic |mean_A −
+    mean_rest| per replicate, p = (1 + #extreme)/(B+1) — the
+    add-one-smoothed Monte-Carlo p-value. Distribution-free like
+    mannwhitney, but on the RAW mean (no rank transform), so it answers
+    the dollars question directly.
+
+    Cross-engine exactness: every per-replicate statistic is a ratio of
+    decimal-exact sums and exact counts; the extremeness comparison
+    happens on floor-quantized integer MICRO-units on both sides, so a
+    boundary-straddling ulp cannot flip an indicator (the BH
+    quantize-before-compare doctrine).
+
+    Scale design: the corpus crosses a bounded 64-row replicate
+    spine — a deliberate, documented ×B fan-out that map-side-combines
+    to 2·B cells per partition before the (tiny) shuffle; the
+    alternative (B sequential passes) reads the corpus B times.
+    Replicates where a pseudo-arm is empty are excluded from the null
+    distribution (n_a > 0 AND n_r > 0 — degenerate at corpus scale
+    only if the arm share is ~0)."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("a"),
+    )
+    obs = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("n_a"),
+        dsum(F.when(F.col("a") == 1, F.col("v")).otherwise(0.0)).alias(
+            "s_a"
+        ),
+        dsum(F.when(F.col("a") == 0, F.col("v")).otherwise(0.0)).alias(
+            "s_r"
+        ),
+    )
+    # two-stage fan-out: one md5 digest serves FOUR replicates (8-hex
+    # windows), so the digest explode runs at B/4 and only the cheap
+    # window extraction runs at B — 4x fewer hashes (the sf0.1 noop
+    # gate caught the 1-digest-per-replicate version at 16.5s vs the
+    # 10s sweep budget)
+    digests = o.select(
+        "k",
+        "v",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_PERM_B // 4 - 1))
+        ).alias("b4"),
+    ).select(
+        "v",
+        "b4",
+        F.md5(
+            F.concat(
+                F.col("k").cast("string"),
+                F.lit("|perm"),
+                F.col("b4").cast("string"),
+            )
+        ).alias("dg"),
+    )
+    u = (
+        F.conv(
+            F.col("dg").substr(
+                (F.lit(1) + 8 * F.col("o4")).cast("int"), F.lit(8)
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 4294967296.0
+    )
+    # the observed stats ride the 1-row broadcast INTO the fan-out and
+    # surface again via any_value per cell — the corpus is scanned
+    # exactly twice (obs + fan), never a third time for the final row
+    fan = (
+        digests.select(
+            "v",
+            "dg",
+            "b4",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("o4"),
+        )
+        .crossJoin(F.broadcast(obs))
+        .select(
+            (F.col("b4") * 4 + F.col("o4")).alias("b"),
+            "v",
+            F.when(u < F.col("n_a").cast("double") / F.col("n"), 1)
+            .otherwise(0)
+            .alias("pa"),
+            F.col("n").alias("n_obs"),
+            F.col("n_a").alias("na_obs"),
+            F.col("s_a").alias("sa_obs"),
+            F.col("s_r").alias("sr_obs"),
+        )
+    )
+    # only the A side aggregates per replicate; the rest side derives
+    # from the OBSERVED totals (n_r = n − n_a, s_r = tot − s_a), and the
+    # WHEN has no otherwise so the decimal adds run on matching rows
+    # only — halves the fan-grain aggregation cost
+    cell = fan.groupBy("b").agg(
+        F.count_if(F.col("pa") == 1).cast("long").alias("n_a"),
+        dsum(F.when(F.col("pa") == 1, F.col("v"))).alias("s_a"),
+        F.any_value("n_obs").alias("n_obs"),
+        F.any_value("na_obs").alias("na_obs"),
+        F.any_value("sa_obs").alias("sa_obs"),
+        F.any_value("sr_obs").alias("sr_obs"),
+    )
+    d_obs = F.floor(
+        (
+            F.col("sa_obs") / F.col("na_obs")
+            - F.col("sr_obs") / (F.col("n_obs") - F.col("na_obs"))
+        )
+        * 1e6
+    ).cast("long")
+    diffs = cell.where(
+        (F.col("n_a") > 0) & (F.col("n_a") < F.col("n_obs"))
+    ).select(
+        F.abs(
+            F.floor(
+                (
+                    F.col("s_a") / F.col("n_a")
+                    - (F.col("sa_obs") + F.col("sr_obs") - F.col("s_a"))
+                    / (F.col("n_obs") - F.col("n_a"))
+                )
+                * 1e6
+            ).cast("long")
+        ).alias("d_micro"),
+        F.col("n_obs"),
+        F.col("na_obs"),
+        d_obs.alias("d_obs_signed"),
+        F.abs(d_obs).alias("d_obs_micro"),
+    )
+    return (
+        diffs.groupBy("n_obs", "na_obs", "d_obs_signed", "d_obs_micro")
+        .agg(
+            F.count_if(F.col("d_micro") >= F.col("d_obs_micro"))
+            .cast("long")
+            .alias("n_extreme")
+        )
+        .select(
+            F.col("n_obs").alias("n_rows"),
+            F.col("na_obs").alias("n_urgent"),
+            (F.col("d_obs_signed").cast("double") / 1e6).alias(
+                "diff_obs"
+            ),
+            F.lit(_PERM_B).cast("long").alias("n_permutations"),
+            "n_extreme",
+            fquant(
+                (1.0 + F.col("n_extreme")) / (_PERM_B + 1.0)
+            ).alias("p_value"),
+        )
+    )

@@ -911,3 +911,267 @@ def search_query_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("elev") > 0).alias("elevated"),
         F.row_number().over(w_rn).alias("rn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# search_ndcg_eval — STAGED for the r13 cadence (parked unregistered;
+# SURVEY round-12 log). Ranking-quality evaluation of the BM25 retrieval:
+# NDCG@10 / MRR@10 / precision@10 against a graded relevance label that is
+# INDEPENDENT of the scoring function (gain = number of distinct query
+# terms present in the doc, 0-3). The search family (bm25, rrf, phrase,
+# mlt ...) had rankers but no referee — this is the referee, and the exact
+# machinery an LLM-retrieval eval harness runs over its golden set.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_NDCG_K = 10
+_REL_GRADE = 2  # "relevant" for MRR/precision: at least 2 query terms
+
+# 1/log2(i+1) discounts and their prefix sums, i = 1.._NDCG_K — PINNED
+# float literals both engines consume verbatim (zero libm involvement;
+# the ljung-box pinned-criticals precedent). Prefix sums accumulate in
+# one fixed left-to-right order at module import, so the literals are
+# bit-identical everywhere they appear.
+_NDCG_DISC = [1.0 / _math.log2(i + 1) for i in range(1, _NDCG_K + 1)]
+_NDCG_PREFIX = [0.0]
+for _d in _NDCG_DISC:
+    _NDCG_PREFIX.append(_NDCG_PREFIX[-1] + _d)
+
+_DISC_SQL = ", ".join(repr(d) for d in _NDCG_DISC)
+_PREFIX_SQL = ", ".join(repr(p) for p in _NDCG_PREFIX)
+
+_NDCG_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM base
+), tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+  FROM (SELECT doc_id, unnest(toks) AS tok, len(toks) AS dl FROM base)
+  WHERE tok IN ({_Q_SQL})
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({_K1} + 1.0))
+           / (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))
+           AS DECIMAL(27,6)) AS s
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+), ranked AS (
+  SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 4) AS bm25
+  FROM scored GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT {_NDCG_K}
+), gains AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS g FROM tf
+  GROUP BY doc_id
+), hist AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE g = 3) AS BIGINT) AS c3,
+         CAST(COUNT(*) FILTER (WHERE g = 2) AS BIGINT) AS c2,
+         CAST(COUNT(*) FILTER (WHERE g = 1) AS BIGINT) AS c1
+  FROM gains
+), rk AS (
+  SELECT r.doc_id, COALESCE(g.g, 0) AS g,
+         ROW_NUMBER() OVER (ORDER BY r.bm25 DESC, r.doc_id) AS rnk
+  FROM ranked r LEFT JOIN gains g USING (doc_id)
+), dcg AS (
+  -- gain factor (2^g - 1) as a pinned 4-element lookup, array elements
+  -- cast to DOUBLE: DuckDB types bare float literals as DECIMAL (the
+  -- hypothesis-harness lesson, SURVEY r11 log) and decimal arithmetic
+  -- would diverge from Spark's double path
+  SELECT
+    CAST(SUM(CAST(FLOOR(
+      CAST((ARRAY[0.0, 1.0, 3.0, 7.0])[g + 1] AS DOUBLE)
+      * CAST((ARRAY[{_DISC_SQL}])[rnk] AS DOUBLE) * 1e12
+    ) AS BIGINT)) AS DOUBLE) / 1e12 AS dcg,
+    CAST(MIN(CASE WHEN g >= {_REL_GRADE} THEN rnk END) AS BIGINT)
+      AS first_rel,
+    CAST(COUNT(*) FILTER (WHERE g >= {_REL_GRADE}) AS BIGINT) AS n_rel
+  FROM rk
+), ideal AS (
+  SELECT t3, t2, t1,
+         7 * CAST((ARRAY[{_PREFIX_SQL}])[t3 + 1] AS DOUBLE)
+         + 3 * (CAST((ARRAY[{_PREFIX_SQL}])[t3 + t2 + 1] AS DOUBLE)
+                - CAST((ARRAY[{_PREFIX_SQL}])[t3 + 1] AS DOUBLE))
+         + 1 * (CAST((ARRAY[{_PREFIX_SQL}])[t3 + t2 + t1 + 1] AS DOUBLE)
+                - CAST((ARRAY[{_PREFIX_SQL}])[t3 + t2 + 1] AS DOUBLE))
+           AS idcg
+  FROM (
+    SELECT LEAST(c3, {_NDCG_K}) AS t3,
+           LEAST(c2, {_NDCG_K} - LEAST(c3, {_NDCG_K})) AS t2,
+           LEAST(c1, {_NDCG_K} - LEAST(c3, {_NDCG_K})
+                 - LEAST(c2, {_NDCG_K} - LEAST(c3, {_NDCG_K}))) AS t1
+    FROM hist
+  )
+)
+SELECT CAST({_NDCG_K} AS BIGINT) AS k,
+       FLOOR(dcg * 1e6) / 1e6 AS dcg_k,
+       FLOOR(idcg * 1e6) / 1e6 AS idcg_k,
+       FLOOR(dcg / idcg * 1e6) / 1e6 AS ndcg,
+       FLOOR(COALESCE(CAST(1.0 AS DOUBLE) / first_rel, 0.0) * 1e6)
+         / 1e6 AS mrr,
+       FLOOR(CAST(n_rel AS DOUBLE) / {_NDCG_K} * 1e6) / 1e6
+         AS precision_k
+FROM dcg CROSS JOIN ideal
+"""
+
+
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 / MRR@10 / precision@10 of the BM25 ranking against a
+    score-independent graded relevance (gain = distinct query terms in
+    the doc, 0-3; "relevant" = grade >= 2): DCG sums (2^g − 1)·D[rank]
+    over the retrieved list; IDCG places the CORPUS-wide gain histogram
+    greedily into the top-k slots via pinned discount PREFIX sums
+    (c3 best docs first, then c2, then c1 — pure integer slot
+    arithmetic, no ideal-ranking sort).
+
+    Cross-engine exactness: discounts and their prefix sums are pinned
+    float literals (zero libm); each DCG term floor-quantizes to 1e-12
+    units into an exact integer sum; IDCG is a three-term fixed-order
+    expression over literals; every output floor-quantizes.
+
+    Scale design: the corpus is scanned exactly TWICE (corpus stats +
+    the query-term-filtered postings build); the postings frame — the
+    three query terms' posting lists, the standard index working set —
+    is cached and reused by the ranking, the gain join and the gain
+    histogram (no unpersist by design, the Theil-Sen precedent:
+    clearCache reclaims in long sessions). The ranked list is k rows;
+    everything downstream is metadata-sized. Per-query golden-set eval
+    fans the SAME shape out over a bounded query spine."""
+    from pyspark.sql.window import Window as W
+
+    from trireme_spark.parity import fquant, meta_part
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokenize("text").alias("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .where(F.col("term").isin(_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.any_value("dl").alias("dl"))
+        .cache()
+    )
+    gains = tf.groupBy("doc_id").agg(
+        F.count_distinct("term").cast("long").alias("g")
+    )
+    hist = gains.agg(
+        F.count_if(F.col("g") == 3).cast("long").alias("c3"),
+        F.count_if(F.col("g") == 2).cast("long").alias("c2"),
+        F.count_if(F.col("g") == 1).cast("long").alias("c1"),
+    )
+    # BM25 scoring inlined over the SHARED cached postings frame (same
+    # constants/expressions as search_bm25_topk — calling it would
+    # rebuild its own tf lineage and rescan the corpus)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    s = (
+        idf
+        * (F.col("tf") * (_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+        )
+    ).cast("decimal(27,6)")
+    ranked = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s").cast("double"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_NDCG_K)
+    )
+    w_rn = W.partitionBy(meta_part("doc_id")).orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    rk = (
+        ranked.join(gains, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("g"), F.lit(0)).alias("g"),
+            "bm25",
+        )
+        .select(
+            "doc_id", "g", F.row_number().over(w_rn).alias("rnk")
+        )
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(x) for x in _NDCG_DISC]), F.col("rnk")
+    )
+    gainval = F.element_at(
+        F.array(*[F.lit(x) for x in (0.0, 1.0, 3.0, 7.0)]),
+        (F.col("g") + 1).cast("int"),
+    )
+    dcg_frame = rk.agg(
+        (
+            F.sum(
+                F.floor(gainval * disc * 1e12).cast("long")
+            ).cast("double")
+            / 1e12
+        ).alias("dcg"),
+        F.min(
+            F.when(F.col("g") >= _REL_GRADE, F.col("rnk"))
+        )
+        .cast("long")
+        .alias("first_rel"),
+        F.count_if(F.col("g") >= _REL_GRADE).cast("long").alias("n_rel"),
+    )
+    prefix = F.array(*[F.lit(x) for x in _NDCG_PREFIX])
+    t3 = F.least(F.col("c3"), F.lit(_NDCG_K))
+    t2 = F.least(F.col("c2"), F.lit(_NDCG_K) - t3)
+    t1 = F.least(F.col("c1"), F.lit(_NDCG_K) - t3 - t2)
+    ideal = hist.select(
+        t3.alias("t3"), t2.alias("t2"), t1.alias("t1")
+    ).select(
+        (
+            7 * F.element_at(prefix, (F.col("t3") + 1).cast("int"))
+            + 3
+            * (
+                F.element_at(
+                    prefix, (F.col("t3") + F.col("t2") + 1).cast("int")
+                )
+                - F.element_at(prefix, (F.col("t3") + 1).cast("int"))
+            )
+            + 1
+            * (
+                F.element_at(
+                    prefix,
+                    (
+                        F.col("t3") + F.col("t2") + F.col("t1") + 1
+                    ).cast("int"),
+                )
+                - F.element_at(
+                    prefix, (F.col("t3") + F.col("t2") + 1).cast("int")
+                )
+            )
+        ).alias("idcg")
+    )
+    return (
+        dcg_frame.crossJoin(F.broadcast(ideal))
+        .select(
+            F.lit(_NDCG_K).cast("long").alias("k"),
+            fquant(F.col("dcg")).alias("dcg_k"),
+            fquant(F.col("idcg")).alias("idcg_k"),
+            fquant(F.col("dcg") / F.col("idcg")).alias("ndcg"),
+            fquant(
+                F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0))
+            ).alias("mrr"),
+            fquant(
+                F.col("n_rel").cast("double") / _NDCG_K
+            ).alias("precision_k"),
+        )
+    )
