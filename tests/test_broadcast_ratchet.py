@@ -63,6 +63,9 @@ AUDITED = {
         # plan's whole point).
         "orders_score_lift_table": 1,
         "orders_permutation_test": 1,
+        # r13-staged audit: tail dependence crosses the bounded day
+        # frame with its 3-row quantile spine.
+        "agg_tail_dependence": 1,
         "agg_anova_oneway": 4,
         # r11 cadence-2 audit: theil decomposition broadcasts the
         # 5-row group-mean frame (per-row entropy pass) and the 1-row

@@ -4809,3 +4809,110 @@ def orders_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_tail_dependence — STAGED for the r13 cadence (parked unregistered;
+# SURVEY round-12 log). Empirical upper-tail dependence between daily
+# order VOLUME and daily AVERAGE order value: λ_U(q) = P(Y in its top
+# (1−q) tail | X in its top (1−q) tail) at q ∈ {0.75, 0.9, 0.95} — the
+# copula-diagnostics number that says whether extremes CO-OCCUR.
+# Correlation answers "do they co-move on average"; λ_U answers "when
+# volume spikes, does value spike too" — the question capacity/risk
+# planning actually asks, and invisible to Pearson/Spearman (a Gaussian
+# copula has λ_U = 0 at ANY correlation).
+# ---------------------------------------------------------------------------
+
+_TAIL_Q_PCT = [75, 90, 95]
+_TAIL_Q_SQL = ", ".join(str(q) for q in _TAIL_Q_PCT)
+
+_TAIL_DEP_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '1990-01-01 00:00:00',
+                        o_orderdate) AS BIGINT) AS dd,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         {oracle_sum('o_totalprice')} AS rev
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT dd, cnt, rev / cnt AS avg_val,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, dd ASC) AS rx,
+         ROW_NUMBER() OVER (ORDER BY rev / cnt DESC, dd ASC) AS ry,
+         COUNT(*) OVER () AS n
+  FROM daily
+), joined AS (
+  SELECT q.q, r.n,
+         (r.n * (100 - q.q)) // 100 AS k,
+         CASE WHEN r.rx <= (r.n * (100 - q.q)) // 100
+               AND r.ry <= (r.n * (100 - q.q)) // 100
+              THEN 1 ELSE 0 END AS hit
+  FROM ranked r CROSS JOIN (SELECT UNNEST(ARRAY[{_TAIL_Q_SQL}]) AS q) q
+)
+SELECT q AS q_pct, CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(MAX(k) AS BIGINT) AS k_tail,
+       CAST(SUM(hit) AS BIGINT) AS m_joint,
+       FLOOR(CAST(SUM(hit) AS DOUBLE) / MAX(k) * 1e6) / 1e6 AS lambda_u,
+       FLOOR(CAST(MAX(k) AS DOUBLE) / MAX(n) * 1e6) / 1e6
+         AS indep_baseline
+FROM joined GROUP BY q
+"""
+
+
+def agg_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical upper-tail dependence λ_U(q) between daily order count
+    and daily average order value at q = 75/90/95%: both margins rank
+    over the calendar-bounded daily frame (total orders, not quantile
+    estimates — tie-broken by day, so the top-k sets are exact and
+    identical in both engines); k = ⌊n·(1−q)⌋ via integer `div` (the
+    PPS doctrine — FLOOR of a float division rounds before flooring
+    past 2^53); λ_U = |top-k_X ∩ top-k_Y| / k with the independence
+    baseline k/n printed beside it (λ_U ≈ k/n ⇒ tails independent,
+    λ_U ≫ k/n ⇒ extremes co-occur).
+
+    Scale design: one corpus rollup to the calendar-bounded day grain,
+    then ranks/windows over that METADATA frame (the corpus is never
+    windowed — the win_topk_with_ties doctrine); the 3-row q spine
+    crosses the bounded frame only. Customer- or part-margin variants
+    swap the rollup key; the tail algebra is unchanged."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+        .cast("long")
+        .alias("dd")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        dsum("o_totalprice").alias("rev"),
+    )
+    w_all = Window.partitionBy(meta_part("dd"))
+    w_rx = w_all.orderBy(F.col("cnt").desc(), F.col("dd").asc())
+    avg_val = F.col("rev") / F.col("cnt")
+    w_ry = w_all.orderBy(avg_val.desc(), F.col("dd").asc())
+    ranked = daily.select(
+        "dd",
+        "cnt",
+        F.row_number().over(w_rx).alias("rx"),
+        F.row_number().over(w_ry).alias("ry"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    spine = spark.createDataFrame(
+        [(q,) for q in _TAIL_Q_PCT], "q int"
+    )
+    k = F.expr("(n * (100 - q)) div 100")
+    joined = ranked.crossJoin(F.broadcast(spine)).select(
+        "q",
+        "n",
+        k.alias("k"),
+        F.when((F.col("rx") <= k) & (F.col("ry") <= k), 1)
+        .otherwise(0)
+        .alias("hit"),
+    )
+    return joined.groupBy(F.col("q").alias("q_pct")).agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max("k").cast("long").alias("k_tail"),
+        F.sum("hit").cast("long").alias("m_joint"),
+        fquant(
+            F.sum("hit").cast("double") / F.max("k")
+        ).alias("lambda_u"),
+        fquant(
+            F.max("k").cast("double") / F.max("n")
+        ).alias("indep_baseline"),
+    )

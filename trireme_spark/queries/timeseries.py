@@ -10399,3 +10399,260 @@ def events_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_dickey_fuller_unit_root — STAGED for the r13 cadence (parked
+# unregistered; SURVEY round-12 log). Dickey-Fuller unit-root test on the
+# monthly revenue series: Δy_t = α + ρ·y_{t−1} + ε, H0: ρ = 0 (random
+# walk). The STATIONARITY GATE the rest of the ts family quietly assumes —
+# ACF/PACF, Ljung-Box, Granger and the trend tests are all only
+# interpretable on (difference-)stationary series, and this key is the
+# check that says whether to difference first. Same closed-form
+# sufficient-statistic OLS machinery as ts_granger_f_test (one regressor +
+# intercept instead of two), same scale-free-outputs doctrine.
+# ---------------------------------------------------------------------------
+
+_DF_CRIT = -2.86  # Dickey-Fuller tau_mu (constant, no trend), 5%, n->inf
+
+
+_DICKEY_FULLER_ORACLE = f"""
+WITH monthly AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+         {oracle_sum('o_totalprice')} AS y
+  FROM orders GROUP BY 1
+), rows_ AS (
+  SELECT t.y - l.y AS dy, l.y AS yl
+  FROM monthly t JOIN monthly l ON l.m = t.m - 1
+), mo AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {oracle_sum('dy')} AS sdy, {oracle_sum('yl')} AS syl,
+         {oracle_sum('dy * dy')} AS sdd, {oracle_sum('yl * yl')} AS sll,
+         {oracle_sum('yl * dy')} AS sld
+  FROM rows_
+), c AS (
+  SELECT n,
+         sll - syl * syl / n AS sxx,
+         sld - syl * sdy / n AS sxy,
+         sdd - sdy * sdy / n AS syy
+  FROM mo
+), fit AS (
+  SELECT n, sxy / sxx AS rho,
+         (syy - sxy * sxy / sxx) / (n - 2) / sxx AS var_rho
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_diffs,
+       FLOOR(rho * 1e9) / 1e9 AS rho_hat,
+       FLOOR(rho / sqrt(var_rho) * 1e6) / 1e6 AS df_stat,
+       FLOOR(rho / sqrt(var_rho) * 1e6) / 1e6 < {_DF_CRIT}
+         AS stationary
+FROM fit
+"""
+
+
+def ts_dickey_fuller_unit_root(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dickey-Fuller τ_μ test (constant, no trend) on monthly revenue:
+    regress Δy_t on y_{t−1} with intercept in closed form from centered
+    sufficient statistics (ρ̂ = Sxy/Sxx, se² = SSR/(n−2)/Sxx), compare
+    τ = ρ̂/se against the pinned −2.86 asymptotic 5% critical. τ below
+    the critical rejects the unit root → the level series is
+    stationary and the ACF/trend family applies undifferenced; τ above
+    says difference first. Lag augmentation (ADF) adds moment columns
+    to the SAME pass — never passes (the granger doctrine).
+
+    Cross-engine exactness: the chow/granger doctrine — decimal-exact
+    moment sums of identical doubles, only SCALE-FREE quantized outputs
+    (ρ̂, τ) leave; the month self-join key is exact integer month
+    index.
+
+    Scale design: one corpus rollup to the calendar-bounded monthly
+    series, one keyed self-join on (m−1) over that bounded frame, one
+    1-row moment fold."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+    ).agg(dsum("o_totalprice").alias("y"))
+    t = monthly.select("m", "y")
+    lag = monthly.select((F.col("m") + 1).alias("m"), F.col("y").alias("yl"))
+    rows = t.join(lag, "m").select(
+        (F.col("y") - F.col("yl")).alias("dy"), "yl"
+    )
+    dy, yl = F.col("dy"), F.col("yl")
+    mo = rows.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(dy).alias("sdy"),
+        dsum(yl).alias("syl"),
+        dsum(dy * dy).alias("sdd"),
+        dsum(yl * yl).alias("sll"),
+        dsum(yl * dy).alias("sld"),
+    )
+    c = mo.selectExpr(
+        "n",
+        "sll - syl * syl / n AS sxx",
+        "sld - syl * sdy / n AS sxy",
+        "sdd - sdy * sdy / n AS syy",
+    )
+    fit = c.selectExpr(
+        "n",
+        "sxy / sxx AS rho",
+        "(syy - sxy * sxy / sxx) / (n - 2) / sxx AS var_rho",
+    )
+    tau = fquant(F.col("rho") / F.sqrt(F.col("var_rho")))
+    return fit.select(
+        F.col("n").cast("long").alias("n_diffs"),
+        fquant(F.col("rho"), 9).alias("rho_hat"),
+        tau.alias("df_stat"),
+        (tau < _DF_CRIT).alias("stationary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_calibration_curve — STAGED for the r13 cadence (parked
+# unregistered; SURVEY round-12 log). Reliability diagram + Brier score +
+# ECE for a probability-shaped score (per-user click share) against a
+# binary outcome (heavy purchaser: purchase share > 20%): the
+# CALIBRATION readout every
+# LLM-judge / quality-classifier pipeline needs next to its accuracy —
+# a model can rank perfectly (high AUC/NDCG) and still lie about its
+# confidence; ECE is the number that says so.
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+_CALIBRATION_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         FLOOR(CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                    AS DOUBLE) / COUNT(*) * 1e6) / 1e6 AS p,
+         -- outcome: purchase share exceeds 20%, as the INTEGER-EXACT
+         -- 5*purchases > events (every fixture user purchases at least
+         -- once, so bare presence is degenerate — the PSM lesson; and
+         -- an integer compare cannot straddle a float boundary)
+         CASE WHEN 5 * COUNT(CASE WHEN event_type = 'purchase' THEN 1
+                             END) > COUNT(*)
+              THEN 1 ELSE 0 END AS y
+  FROM events GROUP BY user_id
+), binned AS (
+  SELECT LEAST({_CAL_BINS - 1},
+               CAST(FLOOR(p * {_CAL_BINS}) AS BIGINT)) AS bin,
+         p, y,
+         CAST(FLOOR((p - y) * (p - y) * 1e12) AS BIGINT) AS sq_pico
+  FROM u
+), cells AS (
+  -- cast-then-sum (the kruskal-wallis advice lesson): per-user terms
+  -- widen BEFORE the sum so corpus-scale totals never pass through long
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_users,
+         SUM(CAST(FLOOR(p * 1e6) AS HUGEINT)) AS p_micro,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         SUM(CAST(sq_pico AS HUGEINT)) AS sq_pico
+  FROM binned GROUP BY bin
+), g AS (
+  SELECT bin, n_users, p_micro, n_pos,
+         SUM(n_users) OVER () AS n_tot,
+         CAST(SUM(sq_pico) OVER () AS DOUBLE) / 1e12 AS brier_sum,
+         SUM(CAST(FLOOR(ABS(CAST(n_pos AS DOUBLE) / n_users
+                            - CAST(p_micro AS DOUBLE) / 1e6 / n_users)
+                        * n_users * 1e6) AS HUGEINT)) OVER ()
+           AS ece_micro
+  FROM cells
+)
+SELECT bin, n_users,
+       FLOOR(CAST(p_micro AS DOUBLE) / 1e6 / n_users * 1e6) / 1e6
+         AS confidence,
+       FLOOR(CAST(n_pos AS DOUBLE) / n_users * 1e6) / 1e6 AS accuracy,
+       FLOOR(ABS(CAST(n_pos AS DOUBLE) / n_users
+                 - CAST(p_micro AS DOUBLE) / 1e6 / n_users) * 1e6) / 1e6
+         AS abs_gap,
+       FLOOR(brier_sum / n_tot * 1e6) / 1e6 AS brier,
+       FLOOR(CAST(ece_micro AS DOUBLE) / 1e6 / n_tot * 1e6) / 1e6 AS ece
+FROM g
+"""
+
+
+def events_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (10 probability bins) + Brier score + ECE
+    for "click share predicts heavy purchaser": per bin the mean
+    predicted
+    probability (confidence), the observed positive rate (accuracy)
+    and their gap; globally Brier = mean (p − y)² and ECE =
+    Σ (n_b/n)·|acc_b − conf_b| — the standard calibration readout
+    (Guo et al. 2017). Perfectly calibrated ⇒ gaps ≈ 0 at every bin.
+
+    Cross-engine exactness: p floor-quantizes to 1e-6 at USER grain
+    (one division), so bin ids, per-user Brier terms (quantized to
+    1e-12) and per-bin p-sums (integer micro-units) are all exact
+    integer arithmetic; per-bin ECE terms quantize to micro-units
+    BEFORE the bounded 10-row fold.
+
+    Scale design: one corpus pass to user grain (keyed,
+    map-side-combinable), one 10-cell aggregation, then windows over
+    the 10-row bin frame — Brier and ECE ride the SAME rollup, zero
+    extra passes."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        fquant(
+            F.count_if(F.col("event_type") == "click").cast("double")
+            / F.count(F.lit(1))
+        ).alias("p"),
+        # integer-exact 20%-share outcome (see the oracle comment)
+        F.when(
+            5 * F.count_if(F.col("event_type") == "purchase")
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    binned = u.select(
+        F.least(
+            F.lit(_CAL_BINS - 1),
+            F.floor(F.col("p") * _CAL_BINS).cast("long"),
+        ).alias("bin"),
+        "p",
+        "y",
+        F.floor(
+            (F.col("p") - F.col("y")) * (F.col("p") - F.col("y")) * 1e12
+        )
+        .cast("long")
+        .alias("sq_pico"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        # cast-then-sum (the kruskal-wallis advice lesson): widen the
+        # per-user terms BEFORE the sum, never the long total after
+        F.sum(
+            F.floor(F.col("p") * 1e6).cast("decimal(38,0)")
+        ).alias("p_micro"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.col("sq_pico").cast("decimal(38,0)")).alias("sq_pico"),
+    )
+    w_all = Window.partitionBy(meta_part("bin"))
+    conf = F.col("p_micro").cast("double") / 1e6 / F.col("n_users")
+    acc = F.col("n_pos").cast("double") / F.col("n_users")
+    gap_micro = F.floor(
+        F.abs(acc - conf) * F.col("n_users") * 1e6
+    ).cast("decimal(38,0)")
+    g = cells.select(
+        "bin",
+        "n_users",
+        "p_micro",
+        "n_pos",
+        F.sum("n_users").over(w_all).alias("n_tot"),
+        (F.sum("sq_pico").over(w_all).cast("double") / 1e12).alias(
+            "brier_sum"
+        ),
+        F.sum(gap_micro).over(w_all).alias("ece_micro"),
+    )
+    return g.select(
+        "bin",
+        "n_users",
+        fquant(conf).alias("confidence"),
+        fquant(acc).alias("accuracy"),
+        fquant(F.abs(acc - conf)).alias("abs_gap"),
+        fquant(F.col("brier_sum") / F.col("n_tot")).alias("brier"),
+        fquant(
+            F.col("ece_micro").cast("double") / 1e6 / F.col("n_tot")
+        ).alias("ece"),
+    )
