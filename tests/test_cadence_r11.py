@@ -59,15 +59,18 @@ def _by_month(daily):
 
 def test_registration_and_slots():
     """Every cadence key is registered WITH an oracle and owns a sweep
-    slot BEHIND the pinned r11 window (the r11 grading window must stay
-    exactly what ROWS_ONLY.json predicts)."""
+    slot. Lifecycle: during r11 the keys had to sit BEHIND the pinned
+    r11 window (never-swept, graded next round); the r12 rotation then
+    pulled them INTO slots 1-50 per the pre-pin — so the invariant is
+    now the POST-rotation one: all 20 lead the r12 grading window
+    (exactly what the regenerated ROWS_ONLY.json predicts)."""
     from trireme_spark.queries import _SWEEP_PRIORITY
 
     for k in CADENCE_KEYS:
         assert k in registry.QUERIES, k
         assert k in registry.ORACLES, k
-        assert _SWEEP_PRIORITY.index(k) >= 50, (
-            f"{k} sits inside the already-pinned r11 window"
+        assert _SWEEP_PRIORITY.index(k) < 20, (
+            f"{k} fell out of the pre-pinned r12 grading window"
         )
 
 

@@ -45,15 +45,16 @@ def _d6(x: float) -> Decimal:
 
 
 def test_registration_and_slots():
-    """Every cadence-2 key is registered WITH an oracle and owns a sweep
-    slot BEHIND the pinned r11 window."""
+    """Every cadence-2 key is registered WITH an oracle and owns a
+    sweep slot. Post-r12-rotation invariant (see test_cadence_r11):
+    all 20 cadence keys lead the r12 grading window (slots 1-20)."""
     from trireme_spark.queries import _SWEEP_PRIORITY
 
     for k in CADENCE2_KEYS:
         assert k in registry.QUERIES, k
         assert k in registry.ORACLES, k
-        assert _SWEEP_PRIORITY.index(k) >= 50, (
-            f"{k} sits inside the already-pinned r11 window"
+        assert _SWEEP_PRIORITY.index(k) < 20, (
+            f"{k} fell out of the pre-pinned r12 grading window"
         )
 
 
