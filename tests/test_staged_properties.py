@@ -328,3 +328,106 @@ def test_shapley_lattice_efficiency_for_any_coalition_multiset(masks):
     assert total == math.factorial(_SHAP_N) * (
         v((1 << _SHAP_N) - 1) - v(0)
     ), (masks, num24)
+
+
+# --- search_ndcg_eval: greedy slot-arithmetic IDCG ≡ sorted-ideal DCG ------
+
+
+@given(
+    c3=st.integers(min_value=0, max_value=40),
+    c2=st.integers(min_value=0, max_value=40),
+    c1=st.integers(min_value=0, max_value=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_ndcg_greedy_idcg_matches_sorted_ideal(c3, c2, c1):
+    """The implementation computes IDCG without sorting: the corpus
+    gain histogram fills the top-k slots greedily via pinned discount
+    PREFIX sums. Property: for ANY histogram, that slot arithmetic
+    equals the textbook 'sort all gains desc, take k, sum discounted'
+    definition — including every under-full edge (fewer than k docs,
+    zero c3, all-zero gains)."""
+    from trireme_spark.queries.search import _NDCG_K, _NDCG_PREFIX
+
+    t3 = min(c3, _NDCG_K)
+    t2 = min(c2, _NDCG_K - t3)
+    t1 = min(c1, _NDCG_K - t3 - t2)
+    greedy = (
+        7 * (_NDCG_PREFIX[t3] - _NDCG_PREFIX[0])
+        + 3 * (_NDCG_PREFIX[t3 + t2] - _NDCG_PREFIX[t3])
+        + 1 * (_NDCG_PREFIX[t3 + t2 + t1] - _NDCG_PREFIX[t3 + t2])
+    )
+    ideal = sorted([3] * c3 + [2] * c2 + [1] * c1, reverse=True)[:_NDCG_K]
+    brute = sum(
+        (2**g - 1) / math.log2(i + 1) for i, g in enumerate(ideal, start=1)
+    )
+    assert abs(greedy - brute) < 1e-9
+
+
+# --- ts_dickey_fuller_unit_root: closed form ≡ least squares ---------------
+
+
+@given(
+    ys=st.lists(
+        st.floats(
+            min_value=1.0, max_value=1e6, allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=8,
+        max_size=60,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_df_sufficient_stat_ols_matches_lstsq(ys):
+    """The DF key fits Δy_t = α + ρ·y_{t−1} in closed form from
+    centered sufficient statistics. Property: for ANY level series
+    with a non-degenerate lag (Sxx > 0), ρ̂ and the t-stat equal a
+    numpy least-squares fit of the same regression."""
+    import numpy as np
+
+    yl = np.array(ys[:-1])
+    dy = np.array(ys[1:]) - yl
+    n = len(dy)
+    sxx = float(((yl - yl.mean()) ** 2).sum())
+    if sxx < 1e-6:  # constant series: ρ undefined, key's n>2 real data
+        return
+    sxy = float(((yl - yl.mean()) * (dy - dy.mean())).sum())
+    syy = float(((dy - dy.mean()) ** 2).sum())
+    rho = sxy / sxx
+    ssr = syy - sxy * sxy / sxx
+    X = np.column_stack([np.ones(n), yl])
+    beta, *_ = np.linalg.lstsq(X, dy, rcond=None)
+    resid = dy - X @ beta
+    assert abs(rho - beta[1]) < 1e-6 * max(1.0, abs(beta[1]))
+    assert abs(ssr - float(resid @ resid)) < 1e-4 * max(1.0, ssr)
+
+
+# --- events_ab_jackknife_ratio: LOO algebra ≡ brute recomputation ----------
+
+
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**7),  # sx (micro)
+            st.integers(min_value=1, max_value=10**4),  # sy
+        ),
+        min_size=2,
+        max_size=16,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_jackknife_loo_algebra_matches_brute_recomputation(cells):
+    """The key computes every leave-one-bucket-out ratio as algebra on
+    cell sums (Sx − sx_b)/(Sy − sy_b). Property: for ANY cell
+    structure, that equals literally re-summing the remaining buckets
+    — the identity that lets B pseudo-replicates cost B metadata rows
+    instead of B corpus passes."""
+    sx_tot = sum(c[0] for c in cells)
+    sy_tot = sum(c[1] for c in cells)
+    for i, (sx_b, sy_b) in enumerate(cells):
+        rest_x = sum(c[0] for j, c in enumerate(cells) if j != i)
+        rest_y = sum(c[1] for j, c in enumerate(cells) if j != i)
+        if rest_y == 0:
+            continue  # the key's pinned >=2-occupied-buckets assumption
+        algebra = (sx_tot - sx_b) / 1e6 / (sy_tot - sy_b)
+        brute = rest_x / 1e6 / rest_y
+        assert algebra == brute  # exact: integer subtraction both ways
