@@ -31,6 +31,8 @@ TZ=Pacific/Kiritimati PYTHONHASHSEED=0 LC_ALL=C python scripts/driver_sim.py \
   fn_business_days fn_fiscal_445 join_asof join_asof_tolerance \
   join_asof_nearest join_point_in_time ts_yoy_calendar_join \
   etl_early_arriving_facts events_funnel_windowed win_time_range_trailing \
+  stream_session_dynamic_gap etl_bitemporal_as_of \
+  orders_survival_nelson_aalen ts_cross_correlation_leadlag \
   2>&1 | grep -vE "WARN|INFO" | tail -3
 
 echo "== ANSI-off driver simulation (legacy-session semantics) =="
@@ -47,6 +49,8 @@ python scripts/driver_sim.py \
   agg_pricing_summary agg_stats agg_percentile agg_regression \
   orders_gini_coefficient lineitem_price_index fn_business_days \
   fn_luhn_checksum agg_weighted_median \
+  agg_gini_split_gain agg_tukey_hsd lineitem_fe_within_regression \
+  ts_pacf_durbin_levinson \
   2>&1 | grep -vE "WARN|INFO" | tail -3
 
 echo "== bench @ sf0.1 =="
