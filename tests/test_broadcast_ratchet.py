@@ -128,6 +128,10 @@ AUDITED = {
         "join_multiway": 2,
         "join_null_safe": 1,
         "lineitem_association_rules": 1,
+        # r14-staged audit: HITS attaches the 1-row L1 normalizer per
+        # half-step (two sites inside the unrolled loop; both frames
+        # are single-row aggregates).
+        "graph_bipartite_hits": 2,
     },
     "queries/llm_sim.py": {
         "embed_binary_quantize_hamming": 1,

@@ -4916,3 +4916,123 @@ def agg_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("double") / F.max("n")
         ).alias("indep_baseline"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_cohens_effect_size — STAGED for the r14 cadence (parked unregistered;
+# SURVEY round-12 log). Cohen's d + Hedges' g for the weekend-vs-weekday
+# order-value split — the EFFECT-SIZE companion to
+# orders_weekend_welch_ttest (same grouping, same sufficient statistics):
+# the t-test says whether a difference exists, d says whether anyone
+# should care (at corpus n, trivially tiny effects are "significant" —
+# effect-size reporting is what keeps the dashboard honest).
+# ---------------------------------------------------------------------------
+
+_COHENS_ORACLE = """
+WITH g AS (
+  SELECT (dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6)) AS weekend,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))
+                  * CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+           AS sxx
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT MAX(CASE WHEN weekend THEN n END) AS n1,
+         MAX(CASE WHEN weekend THEN sx END) AS s1,
+         MAX(CASE WHEN weekend THEN sxx END) AS q1,
+         MAX(CASE WHEN NOT weekend THEN n END) AS n0,
+         MAX(CASE WHEN NOT weekend THEN sx END) AS s0,
+         MAX(CASE WHEN NOT weekend THEN sxx END) AS q0
+  FROM g
+), d AS (
+  SELECT n1, n0,
+         (s1 / n1 - s0 / n0)
+         / sqrt(((q1 - s1 * s1 / n1) + (q0 - s0 * s0 / n0))
+                / (n1 + n0 - 2)) AS d
+  FROM w
+), h AS (
+  SELECT n1, n0, d,
+         d * (1 - 3 / (4 * (n1 + n0) - 9)) AS g,
+         sqrt((n1 + n0) / (n1 * n0) + d * d / (2 * (n1 + n0))) AS se_d
+  FROM d
+)
+SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(n0 AS BIGINT) AS n_weekday,
+       FLOOR(d * 1e6) / 1e6 AS cohens_d,
+       FLOOR(g * 1e6) / 1e6 AS hedges_g,
+       FLOOR((d - 1.96 * se_d) * 1e6) / 1e6 AS ci_lo,
+       FLOOR((d + 1.96 * se_d) * 1e6) / 1e6 AS ci_hi,
+       CASE WHEN ABS(FLOOR(d * 1e6) / 1e6) < 0.2 THEN 'negligible'
+            WHEN ABS(FLOOR(d * 1e6) / 1e6) < 0.5 THEN 'small'
+            WHEN ABS(FLOOR(d * 1e6) / 1e6) < 0.8 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM h
+"""
+
+
+def agg_cohens_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference), Hedges' g
+    (the small-sample bias correction d·(1 − 3/(4N−9))), a 1.96·se CI
+    (Hedges & Olkin se² = N/(n1·n0) + d²/2N), and the conventional
+    magnitude class (0.2/0.5/0.8 thresholds on the QUANTIZED |d| so the
+    class can never disagree with the printed d). Same weekend split
+    and the same sufficient statistics as orders_weekend_welch_ttest —
+    the deliberate pairing: the t answers "is it real", d answers "is
+    it big".
+
+    Cross-engine exactness: one conditional aggregation to six
+    decimal-exact moments; everything after is a fixed-order double
+    expression over identical inputs, floor-quantized on the way out.
+    Pooled (not Welch) SD is the d convention and is stated, not
+    hidden.
+
+    Scale design: ONE map-side-combinable corpus aggregation to 2
+    groups — the welch plan exactly; effect-size families (Glass's Δ,
+    probability of superiority 1-row transforms) extend the same fold."""
+    o = table(spark, sf_dir, "orders")
+    weekend = F.dayofweek(F.col("o_orderdate").cast("date")).isin(1, 7)
+    xdec = F.col("o_totalprice").cast(DSCALE)
+    g = o.groupBy(weekend.alias("weekend")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xdec).cast("double").alias("sx"),
+        F.sum(xdec * xdec).cast("double").alias("sxx"),
+    )
+
+    def pick(cond, col):
+        return F.max(F.when(cond, F.col(col)))
+
+    w = g.agg(
+        pick(F.col("weekend"), "n").alias("n1"),
+        pick(F.col("weekend"), "sx").alias("s1"),
+        pick(F.col("weekend"), "sxx").alias("q1"),
+        pick(~F.col("weekend"), "n").alias("n0"),
+        pick(~F.col("weekend"), "sx").alias("s0"),
+        pick(~F.col("weekend"), "sxx").alias("q0"),
+    )
+    d_frame = w.selectExpr(
+        "n1",
+        "n0",
+        "(s1 / n1 - s0 / n0)"
+        " / sqrt(((q1 - s1 * s1 / n1) + (q0 - s0 * s0 / n0))"
+        " / (n1 + n0 - 2)) AS d",
+    ).selectExpr(
+        "n1",
+        "n0",
+        "d",
+        "d * (1 - 3 / (4 * (n1 + n0) - 9)) AS g",
+        "sqrt((n1 + n0) / (n1 * n0) + d * d / (2 * (n1 + n0))) AS se_d",
+    )
+    dq = fquant(F.col("d"))
+    return d_frame.select(
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.col("n0").cast("long").alias("n_weekday"),
+        dq.alias("cohens_d"),
+        fquant(F.col("g")).alias("hedges_g"),
+        fquant(F.col("d") - 1.96 * F.col("se_d")).alias("ci_lo"),
+        fquant(F.col("d") + 1.96 * F.col("se_d")).alias("ci_hi"),
+        F.when(F.abs(dq) < 0.2, "negligible")
+        .when(F.abs(dq) < 0.5, "small")
+        .when(F.abs(dq) < 0.8, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )

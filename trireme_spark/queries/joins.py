@@ -2013,3 +2013,160 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_ord")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_bipartite_hits — STAGED for the r14 cadence (parked unregistered;
+# SURVEY round-12 log). HITS (Kleinberg 1999) on the bipartite
+# customer→part purchase graph, 3 unrolled iterations: authorities =
+# parts bought by the best hub-customers, hubs = customers who buy the
+# best authority-parts — the mutually-recursive centrality PageRank's
+# single-score random walk cannot express, and the classic
+# query-dependent ranking primitive. L1 normalization per half-step
+# (a documented HITS variant — same fixed point direction as L2, and
+# expressible as exact integer arithmetic cross-engine).
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+_HITS_TOPK = 10
+
+
+def _hits_oracle() -> str:
+    """Generate the unrolled-iteration oracle with the same loop
+    structure the Spark side uses (the PACF generated-chain
+    discipline) — the iteration count and quantization points are
+    shared constants, so the unrollings cannot drift apart."""
+    parts = [
+        "WITH e AS (\n"
+        "  SELECT DISTINCT o_custkey AS c, l_partkey AS p\n"
+        "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey\n"
+        "), h0 AS (\n"
+        "  SELECT c, CAST(1000000000000 AS HUGEINT) AS s\n"
+        "  FROM (SELECT DISTINCT c FROM e)\n"
+        ")"
+    ]
+    prev_h = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f", a{i}r AS (\n"
+            f"  SELECT p, SUM(s) AS s FROM e JOIN {prev_h} USING (c)"
+            " GROUP BY p\n)"
+            f", a{i} AS (\n"
+            f"  SELECT p, CAST(FLOOR(CAST(s AS DOUBLE)\n"
+            f"    / (SELECT CAST(SUM(s) AS DOUBLE) FROM a{i}r) * 1e12)\n"
+            f"    AS HUGEINT) AS s FROM a{i}r\n)"
+        )
+        if i < _HITS_ITERS:
+            parts.append(
+                f", h{i}r AS (\n"
+                f"  SELECT c, SUM(s) AS s FROM e JOIN a{i} USING (p)"
+                " GROUP BY c\n)"
+                f", h{i} AS (\n"
+                f"  SELECT c, CAST(FLOOR(CAST(s AS DOUBLE)\n"
+                f"    / (SELECT CAST(SUM(s) AS DOUBLE) FROM h{i}r)"
+                " * 1e12)\n"
+                f"    AS HUGEINT) AS s FROM h{i}r\n)"
+            )
+            prev_h = f"h{i}"
+    parts.append(
+        f"\nSELECT a.p AS partkey,\n"
+        f"       CAST(a.s AS DOUBLE) / 1e12 AS authority,\n"
+        f"       d.deg AS degree\n"
+        f"FROM a{_HITS_ITERS} a\n"
+        "JOIN (SELECT p, CAST(COUNT(*) AS BIGINT) AS deg FROM e"
+        " GROUP BY p) d USING (p)\n"
+        f"ORDER BY a.s DESC, a.p ASC LIMIT {_HITS_TOPK}"
+    )
+    return "".join(parts)
+
+
+_HITS_ORACLE = _hits_oracle()
+
+
+def graph_bipartite_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 authority parts after 3 HITS iterations on the distinct
+    customer→part purchase graph (hub scores start uniform; each
+    half-step sums the opposite side's scores over the edges and
+    L1-normalizes). High-authority parts are the ones bought by
+    broadly-buying customers — a demand-centrality signal degree alone
+    (the `degree` column, printed for contrast) does not capture.
+
+    Cross-engine exactness: the pagerank doctrine — every normalized
+    score floor-quantizes to exact integer 1e-12 units PER ITERATION,
+    so drift cannot compound; the unrolled oracle is GENERATED by the
+    same Python loop that builds the Spark frames (the PACF
+    generated-chain precedent), making engine drift in the unrolling
+    impossible by construction.
+
+    Scale design: per iteration ONE edge⋈score keyed join + ONE
+    map-side-combinable keyed aggregation + a 1-row L1 normalizer
+    broadcast — the pagerank plan shape with two alternating score
+    tables; the edge table is built once (distinct prunes the
+    lineitem fan-in). More iterations append half-steps, never widen
+    shuffles. Top-k folds into TakeOrderedAndProject."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .cache()  # reused 2x per iteration; clearCache reclaims
+    )
+    h = e.select("c").distinct().select(
+        "c", F.lit(10**12).cast("decimal(38,0)").alias("s")
+    )
+    a = None
+    for i in range(1, _HITS_ITERS + 1):
+        # each raw score table is cached per iteration (the pagerank
+        # cached-per-round precedent): WITHOUT it every normalizer leg
+        # replays the entire prefix chain and the plan re-executes
+        # ~2^iterations times (measured 46 s -> ~3 s at sf0.01)
+        a_raw = (
+            e.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum("s").alias("s"))
+            .cache()
+        )
+        tot_a = a_raw.agg(F.sum("s").cast("double").alias("tot"))
+        a = (
+            a_raw.crossJoin(F.broadcast(tot_a))
+            .select(
+                "p",
+                F.floor(F.col("s").cast("double") / F.col("tot") * 1e12)
+                .cast("decimal(38,0)")
+                .alias("s"),
+            )
+        )
+        if i < _HITS_ITERS:
+            h_raw = (
+                e.join(a, "p")
+                .groupBy("c")
+                .agg(F.sum("s").alias("s"))
+                .cache()
+            )
+            tot_h = h_raw.agg(F.sum("s").cast("double").alias("tot"))
+            h = (
+                h_raw.crossJoin(F.broadcast(tot_h))
+                .select(
+                    "c",
+                    F.floor(
+                        F.col("s").cast("double") / F.col("tot") * 1e12
+                    )
+                    .cast("decimal(38,0)")
+                    .alias("s"),
+                )
+            )
+    deg = e.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    return (
+        a.join(deg, "p")
+        .orderBy(F.col("s").desc(), F.col("p").asc())
+        .limit(_HITS_TOPK)
+        .select(
+            F.col("p").alias("partkey"),
+            (F.col("s").cast("double") / 1e12).alias("authority"),
+            "deg",
+        )
+        .withColumnRenamed("deg", "degree")
+    )

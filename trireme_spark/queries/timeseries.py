@@ -10656,3 +10656,349 @@ def events_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ece_micro").cast("double") / 1e6 / F.col("n_tot")
         ).alias("ece"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_poisson_rate_ratio — STAGED for the r14 cadence (parked
+# unregistered; SURVEY round-12 log). Two-sample Poisson rate-ratio test
+# for the error rate per observed day, first half-month vs second: the
+# COUNT-data member of the inference family (means: welch/permutation;
+# ranks: mannwhitney/kruskal; proportions: wilson/odds-ratio; rates:
+# this) — "did the error rate change?" asked the way an SRE actually
+# frames it, events per unit exposure, not per event.
+# ---------------------------------------------------------------------------
+
+_RATE_RATIO_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         day(CAST(ts AS DATE)) <= 15 AS first_half,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+           AS errors
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT MAX(CASE WHEN first_half THEN t END) AS t1,
+         MAX(CASE WHEN first_half THEN k END) AS k1,
+         MAX(CASE WHEN NOT first_half THEN t END) AS t2,
+         MAX(CASE WHEN NOT first_half THEN k END) AS k2
+  FROM (
+    SELECT first_half, CAST(COUNT(*) AS BIGINT) AS t,
+           CAST(SUM(errors) AS BIGINT) AS k
+    FROM d GROUP BY first_half
+  )
+), r AS (
+  SELECT t1, k1, t2, k2,
+         (CAST(k1 AS DOUBLE) / t1) / (CAST(k2 AS DOUBLE) / t2) AS rr,
+         sqrt(CAST(1 AS DOUBLE) / k1 + CAST(1 AS DOUBLE) / k2) AS se
+  FROM g
+)
+SELECT t1 AS days_first, k1 AS errors_first,
+       t2 AS days_second, k2 AS errors_second,
+       FLOOR(CAST(k1 AS DOUBLE) / t1 * 1e6) / 1e6 AS rate_first,
+       FLOOR(CAST(k2 AS DOUBLE) / t2 * 1e6) / 1e6 AS rate_second,
+       FLOOR(rr * 1e6) / 1e6 AS rate_ratio,
+       FLOOR(exp(ln(rr) - 1.96 * se) * 1e6) / 1e6 AS ci_lo,
+       FLOOR(exp(ln(rr) + 1.96 * se) * 1e6) / 1e6 AS ci_hi,
+       FLOOR(exp(ln(rr) - 1.96 * se) * 1e6) / 1e6 > 1.0
+         OR FLOOR(exp(ln(rr) + 1.96 * se) * 1e6) / 1e6 < 1.0
+         AS significant
+FROM r
+"""
+
+
+def events_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate-ratio test, errors per OBSERVED DAY, days 1-15 vs
+    the rest of the month: RR = (k1/t1)/(k2/t2) with the standard
+    log-scale Wald interval (se² = 1/k1 + 1/k2, CI = exp(ln RR ±
+    1.96·se)); "significant" = the QUANTIZED CI excludes 1 (the BH
+    quantize-before-compare doctrine — an ulp cannot flip the verdict).
+    Exposure t = distinct days with ANY event in the window (observed
+    exposure, robust to a truncated fixture), stated, not hidden.
+
+    Cross-engine exactness: k and t are exact integers from one
+    day-grain rollup; RR/se are fixed-order double expressions; ln/exp
+    run on identical doubles (the Hill libm-agreement precedent) and
+    every emitted value floor-quantizes.
+
+    Scale design: one corpus pass to day grain (keyed,
+    map-side-combinable), a 2-row fold, 1-row algebra. Per-segment
+    rate surfaces add a key to the SAME rollup, never passes."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        (F.dayofmonth(F.col("ts").cast("date")) <= 15).alias(
+            "first_half"
+        ),
+    ).agg(
+        F.count_if(F.col("event_type") == "error")
+        .cast("long")
+        .alias("errors")
+    )
+    halves = d.groupBy("first_half").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("errors").cast("long").alias("k"),
+    )
+
+    def pick(cond, col):
+        return F.max(F.when(cond, F.col(col)))
+
+    g = halves.agg(
+        pick(F.col("first_half"), "t").alias("t1"),
+        pick(F.col("first_half"), "k").alias("k1"),
+        pick(~F.col("first_half"), "t").alias("t2"),
+        pick(~F.col("first_half"), "k").alias("k2"),
+    )
+    rr = (F.col("k1").cast("double") / F.col("t1")) / (
+        F.col("k2").cast("double") / F.col("t2")
+    )
+    se = F.sqrt(
+        F.lit(1).cast("double") / F.col("k1")
+        + F.lit(1).cast("double") / F.col("k2")
+    )
+    r = g.select("t1", "k1", "t2", "k2", rr.alias("rr"), se.alias("se"))
+    ci_lo = fquant(F.exp(F.log(F.col("rr")) - 1.96 * F.col("se")))
+    ci_hi = fquant(F.exp(F.log(F.col("rr")) + 1.96 * F.col("se")))
+    return r.select(
+        F.col("t1").alias("days_first"),
+        F.col("k1").alias("errors_first"),
+        F.col("t2").alias("days_second"),
+        F.col("k2").alias("errors_second"),
+        fquant(F.col("k1").cast("double") / F.col("t1")).alias(
+            "rate_first"
+        ),
+        fquant(F.col("k2").cast("double") / F.col("t2")).alias(
+            "rate_second"
+        ),
+        fquant(F.col("rr")).alias("rate_ratio"),
+        ci_lo.alias("ci_lo"),
+        ci_hi.alias("ci_hi"),
+        ((ci_lo > 1.0) | (ci_hi < 1.0)).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_forecast_mase_eval — STAGED for the r14 cadence (parked unregistered;
+# SURVEY round-12 log). MASE (Hyndman & Koehler 2006) for the
+# seasonal-naive forecaster on daily revenue — the FORECAST REFEREE,
+# completing the round's eval family (search→NDCG, classifier→MCC,
+# probability→ECE, targeting→lift, forecast→MASE): scale-free, defined on
+# zero-revenue days where MAPE explodes, and with the built-in baseline
+# comparison (MASE < 1 = beats the naive walk) that keeps forecast demos
+# honest. Pairs with orders_forecast_seasonal_naive the way
+# search_ndcg_eval pairs with search_bm25_topk.
+# ---------------------------------------------------------------------------
+
+_MASE_SEASON = 7  # weekly seasonality on the daily grain
+
+
+_MASE_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '1990-01-01 00:00:00',
+                        o_orderdate) AS BIGINT) AS dd,
+         {oracle_sum('o_totalprice')} AS y
+  FROM orders GROUP BY 1
+), joined AS (
+  SELECT t.y AS y, s.y AS y_s, n.y AS y_n
+  FROM daily t
+  JOIN daily s ON s.dd = t.dd - {_MASE_SEASON}
+  JOIN daily n ON n.dd = t.dd - 1
+), terms AS (
+  SELECT CAST(FLOOR(ABS(y - y_s) * 1e6) AS HUGEINT) AS ae_s,
+         CAST(FLOOR(ABS(y - y_n) * 1e6) AS HUGEINT) AS ae_n
+  FROM joined
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+         CAST(SUM(ae_s) AS DOUBLE) / 1e6 AS sae_s,
+         CAST(SUM(ae_n) AS DOUBLE) / 1e6 AS sae_n
+  FROM terms
+)
+SELECT n_eval,
+       FLOOR(sae_s / n_eval * 100) / 100 AS mae_seasonal_naive,
+       FLOOR(sae_n / n_eval * 100) / 100 AS mae_naive,
+       FLOOR(sae_s / sae_n * 1e6) / 1e6 AS mase,
+       FLOOR(sae_s / sae_n * 1e6) / 1e6 < 1.0 AS beats_naive
+FROM m
+"""
+
+
+def ts_forecast_mase_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE for the weekly seasonal-naive forecaster (ŷ_t = y_{t−7})
+    on daily revenue, scaled by the one-step naive walk (ŷ_t =
+    y_{t−1}), evaluated on every day where BOTH lags are observed:
+    MASE = MAE_seasonal / MAE_naive. Below 1 the seasonal pattern
+    genuinely helps; above 1 the fancy forecaster loses to "same as
+    yesterday" — the embarrassing comparison every forecast eval must
+    print. MAEs are emitted at cent precision (they carry the revenue
+    scale; the chow scale-free doctrine applies to the RATIO, which
+    quantizes at 1e-6).
+
+    Cross-engine exactness: the daily series is decimal-exact; each
+    absolute error floor-quantizes to integer micro-units into exact
+    wide sums (cast-then-sum); the verdict compares the QUANTIZED
+    ratio against 1.
+
+    Scale design: one corpus rollup to the calendar-bounded day grain,
+    two keyed self-joins over that bounded frame (lag 7, lag 1), one
+    1-row fold. Horizon sweeps and per-segment MASE add keys to the
+    SAME rollup, never passes."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+            .cast("long")
+            .alias("dd")
+        )
+        .agg(dsum("o_totalprice").alias("y"))
+        # calendar-bounded frame reused by THREE legs (t, lag-7, lag-1):
+        # cached so the corpus is scanned once (clearCache reclaims)
+        .cache()
+    )
+    t = daily.select("dd", "y")
+    s = daily.select(
+        (F.col("dd") + _MASE_SEASON).alias("dd"), F.col("y").alias("y_s")
+    )
+    n = daily.select((F.col("dd") + 1).alias("dd"), F.col("y").alias("y_n"))
+    joined = t.join(s, "dd").join(n, "dd")
+    terms = joined.select(
+        F.floor(F.abs(F.col("y") - F.col("y_s")) * 1e6)
+        .cast("decimal(38,0)")
+        .alias("ae_s"),
+        F.floor(F.abs(F.col("y") - F.col("y_n")) * 1e6)
+        .cast("decimal(38,0)")
+        .alias("ae_n"),
+    )
+    m = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        (F.sum("ae_s").cast("double") / 1e6).alias("sae_s"),
+        (F.sum("ae_n").cast("double") / 1e6).alias("sae_n"),
+    )
+    mase = fquant(F.col("sae_s") / F.col("sae_n"))
+    return m.select(
+        "n_eval",
+        fquant(F.col("sae_s") / F.col("n_eval"), 2).alias(
+            "mae_seasonal_naive"
+        ),
+        fquant(F.col("sae_n") / F.col("n_eval"), 2).alias("mae_naive"),
+        mase.alias("mase"),
+        (mase < 1.0).alias("beats_naive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_event_study_did — STAGED for the r14 cadence (parked
+# unregistered; SURVEY round-12 log). Event-study difference-in-differences
+# around a pinned event month: per relative month τ ∈ −3..+3 the
+# treated-vs-control revenue gap, re-centered by the PRE-period mean gap —
+# the leads-and-lags plot that upgrades events_ab_diff_in_diff's single
+# post-pre number into a trajectory, and whose pre-period effects
+# doubling as the parallel-trends diagnostic (pre effects ≈ 0 is the
+# assumption made VISIBLE, not assumed).
+# ---------------------------------------------------------------------------
+
+_ES_EVENT_MONTH = (1998, 1)  # pinned event: 1998-01
+_ES_WINDOW = 3  # τ ∈ -3..+3
+# literal scan bounds for τ ∈ [-3, +3] around 1998-01 — kept as
+# LITERALS (not derived-month arithmetic) so the predicate pushes to
+# the parquet scan in both engines
+_ES_LO = "1997-10-01 00:00:00"
+_ES_HI = "1998-05-01 00:00:00"
+
+
+_EVENT_STUDY_ORACLE = f"""
+WITH gm AS (
+  SELECT (c_mktsegment = 'BUILDING') AS treated,
+         (year(o_orderdate) * 12 + month(o_orderdate))
+         - ({_ES_EVENT_MONTH[0]} * 12 + {_ES_EVENT_MONTH[1]}) AS tau,
+         {oracle_sum('o_totalprice')} AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  -- literal date bounds (not a derived-month BETWEEN): the window
+  -- predicate must reach the parquet scan as a pushed filter
+  WHERE o_orderdate >= TIMESTAMP '{_ES_LO}'
+    AND o_orderdate < TIMESTAMP '{_ES_HI}'
+  GROUP BY 1, 2
+), wide AS (
+  SELECT tau,
+         MAX(CASE WHEN treated THEN y END) AS y_treat,
+         MAX(CASE WHEN NOT treated THEN y END) AS y_ctrl
+  FROM gm GROUP BY tau
+), base AS (
+  SELECT CAST(SUM(CASE WHEN tau < 0 THEN
+                  CAST(FLOOR((y_treat - y_ctrl) * 1e6) AS HUGEINT)
+                  END) AS DOUBLE) / 1e6
+         / SUM(CASE WHEN tau < 0 THEN 1 END) AS pre_gap
+  FROM wide
+)
+SELECT tau, tau < 0 AS is_pre,
+       FLOOR(y_treat * 100) / 100 AS y_treated,
+       FLOOR(y_ctrl * 100) / 100 AS y_control,
+       FLOOR((y_treat - y_ctrl) * 100) / 100 AS gap,
+       FLOOR((y_treat - y_ctrl - pre_gap) * 1e4) / 1e4 AS effect
+FROM wide CROSS JOIN base
+"""
+
+
+def orders_event_study_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study DiD around the pinned 1998-01 event month: for each
+    relative month τ in −3..+3, effect(τ) = (treated − control revenue
+    gap at τ) − (mean PRE-period gap) — the leads-and-lags trajectory.
+    Pre-period effects hovering near 0 IS the parallel-trends check;
+    post-period effects are the dynamic treatment path the single
+    DiD number (events_ab_diff_in_diff) averages away.
+
+    Cross-engine exactness: one (group, τ) rollup of decimal-exact
+    sums; per-τ gaps floor-quantize to micro-units before the bounded
+    pre-mean; levels/gaps emit at cent precision, effects at 1e-4
+    (revenue-scale values under coarse rounding — the chow doctrine).
+
+    Scale design: orders join customer BY KEY (corpus dimensions,
+    never broadcast); the window predicate is a LITERAL timestamp
+    range so it reaches the parquet scan as a pushed filter
+    (a derived-month BETWEEN would filter post-scan — plan-pinned),
+    then a 14-cell fold and 7-row metadata algebra. More leads/lags
+    widen the literal window, never add passes."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    ev_m = _ES_EVENT_MONTH[0] * 12 + _ES_EVENT_MONTH[1]
+    tau = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - ev_m
+    )
+    gm = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit(_ES_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_ES_HI).cast("timestamp"))
+        )
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .groupBy(
+            (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+            tau.alias("tau"),
+        )
+        .agg(dsum("o_totalprice").alias("y"))
+    )
+    wide = gm.groupBy("tau").agg(
+        F.max(F.when(F.col("treated"), F.col("y"))).alias("y_treat"),
+        F.max(F.when(~F.col("treated"), F.col("y"))).alias("y_ctrl"),
+    )
+    # meta_part needs a NON-NEGATIVE long (arithmetic shiftright sends
+    # negative taus to -1, silently splitting the metadata window into
+    # two partitions — caught by the sf0.001 parity gate); shift by the
+    # window radius first
+    w_all = Window.partitionBy(meta_part(F.col("tau") + _ES_WINDOW))
+    gap_micro = F.floor(
+        (F.col("y_treat") - F.col("y_ctrl")) * 1e6
+    ).cast("decimal(38,0)")
+    pre_gap = (
+        F.sum(F.when(F.col("tau") < 0, gap_micro))
+        .over(w_all)
+        .cast("double")
+        / 1e6
+        / F.sum(F.when(F.col("tau") < 0, F.lit(1))).over(w_all)
+    )
+    return wide.select(
+        "tau",
+        (F.col("tau") < 0).alias("is_pre"),
+        fquant(F.col("y_treat"), 2).alias("y_treated"),
+        fquant(F.col("y_ctrl"), 2).alias("y_control"),
+        fquant(F.col("y_treat") - F.col("y_ctrl"), 2).alias("gap"),
+        fquant(
+            F.col("y_treat") - F.col("y_ctrl") - pre_gap, 4
+        ).alias("effect"),
+    )
