@@ -66,6 +66,9 @@ AUDITED = {
         # r13-staged audit: tail dependence crosses the bounded day
         # frame with its 3-row quantile spine.
         "agg_tail_dependence": 1,
+        # r14-staged audit: friedman attaches its 1-row chi-square
+        # stat frame to the k-row rank-sum frame.
+        "agg_friedman_test": 1,
         "agg_anova_oneway": 4,
         # r11 cadence-2 audit: theil decomposition broadcasts the
         # 5-row group-mean frame (per-row entropy pass) and the 1-row

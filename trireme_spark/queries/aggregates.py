@@ -5036,3 +5036,294 @@ def agg_cohens_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
         .alias("magnitude"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_friedman_test — STAGED for the r14 cadence (parked unregistered;
+# SURVEY round-12 log). Friedman's blocked rank test over the five order
+# priorities with calendar months as blocks: the REPEATED-MEASURES mate of
+# agg_kruskal_wallis (independent groups) — by ranking WITHIN each month
+# it removes the between-month level shifts (seasonality, growth) that
+# would drown the treatment signal in the pooled ranking, exactly why
+# blocked designs exist. Kendall's W (= χ²_F/(n(k−1))) rides along as the
+# concordance readout.
+# ---------------------------------------------------------------------------
+
+_FRIEDMAN_K = 5  # priorities
+_FRIEDMAN_CHI2_CRIT = 9.488  # chi-square(k-1 = 4) at 5% — pinned literal
+
+_FRIEDMAN_ORACLE = f"""
+WITH cell AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS blk,
+         o_orderpriority AS trt,
+         FLOOR({oracle_sum('o_totalprice')} / COUNT(*) * 1e6) / 1e6
+           AS yq
+  FROM orders GROUP BY 1, 2
+), complete AS (
+  -- standard Friedman requires COMPLETE blocks (all k treatments
+  -- observed); months missing a priority are excluded identically in
+  -- both engines (11 of 80 at sf0.001 — found by the completeness probe)
+  SELECT blk FROM cell GROUP BY blk HAVING COUNT(*) = {_FRIEDMAN_K}
+), ranked AS (
+  SELECT c.blk, c.trt,
+         ROW_NUMBER() OVER (PARTITION BY c.blk
+                            ORDER BY c.yq DESC, c.trt ASC) AS r
+  FROM cell c JOIN complete USING (blk)
+), rj AS (
+  SELECT trt, CAST(SUM(r) AS BIGINT) AS r_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks
+  FROM ranked GROUP BY trt
+), stat AS (
+  SELECT MAX(n_blocks) AS n,
+         CAST(SUM(CAST(r_sum AS HUGEINT) * r_sum) AS DOUBLE) AS srr
+  FROM rj
+)
+SELECT rj.trt AS priority,
+       FLOOR(CAST(rj.r_sum AS DOUBLE) / rj.n_blocks * 1e6) / 1e6
+         AS mean_rank,
+       FLOOR((12 / (CAST(s.n AS DOUBLE) * {_FRIEDMAN_K}
+                    * ({_FRIEDMAN_K} + 1)) * s.srr
+              - 3 * s.n * ({_FRIEDMAN_K} + 1)) * 1e6) / 1e6
+         AS chi2_f,
+       FLOOR((12 / (CAST(s.n AS DOUBLE) * {_FRIEDMAN_K}
+                    * ({_FRIEDMAN_K} + 1)) * s.srr
+              - 3 * s.n * ({_FRIEDMAN_K} + 1))
+             / (s.n * ({_FRIEDMAN_K} - 1)) * 1e6) / 1e6 AS kendall_w,
+       FLOOR((12 / (CAST(s.n AS DOUBLE) * {_FRIEDMAN_K}
+                    * ({_FRIEDMAN_K} + 1)) * s.srr
+              - 3 * s.n * ({_FRIEDMAN_K} + 1)) * 1e6) / 1e6
+         > {_FRIEDMAN_CHI2_CRIT} AS significant
+FROM rj CROSS JOIN stat s
+"""
+
+
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman χ²_F over k=5 priorities blocked by calendar month
+    (metric: monthly mean order value, quantized at 1e-6 BEFORE
+    ranking; blocks missing a treatment are excluded — standard
+    Friedman needs complete blocks, stated and engine-mirrored):
+    rank 1..k within each block, χ²_F = 12/(nk(k+1))·ΣR_j²
+    − 3n(k+1) against the pinned χ²(4) critical; Kendall's W =
+    χ²_F/(n(k−1)) reads the same number as agreement strength.
+    Within-block ranking removes between-month level shifts — the
+    reason blocked designs beat pooled ranking (kruskal) on seasonal
+    panels.
+
+    Cross-engine exactness: the per-cell metric quantizes at 1e-6, so
+    the (yq DESC, trt ASC) rank order is a TOTAL order identical in
+    both engines (ties broken lexicographically rather than midranked
+    — stated; on a continuous metric exact ties are measure-zero);
+    rank sums and ΣR² are exact wide integers; χ² is one fixed-order
+    double expression, floor-quantized, flag on the quantized value.
+
+    Scale design: one corpus pass to the (month, priority) cell grain
+    (keyed, map-side-combinable), then ranks/windows ride the bounded
+    n·k metadata frame (~400 rows); blocks scale with the CALENDAR,
+    never the corpus."""
+    o = table(spark, sf_dir, "orders")
+    # the bounded (month, priority) cell frame is cached: it feeds the
+    # completeness filter, the ranking AND the stat fold — uncached,
+    # each leg replays the corpus rollup (4 scans; caught by the plan
+    # pin). clearCache reclaims.
+    cell = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "blk"
+            ),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(
+            fquant(
+                dsum("o_totalprice") / F.count(F.lit(1))
+            ).alias("yq")
+        )
+        .cache()
+    )
+    # standard Friedman requires COMPLETE blocks — keep only months
+    # with all k treatments (mirrors the oracle's HAVING COUNT(*) = k)
+    complete = (
+        cell.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .where(F.col("n_cells") == _FRIEDMAN_K)
+        .select("blk")
+    )
+    w_blk = Window.partitionBy("blk").orderBy(
+        F.col("yq").desc(), F.col("trt").asc()
+    )
+    ranked = (
+        cell.join(complete, "blk")
+        .select("blk", "trt", F.row_number().over(w_blk).alias("r"))
+    )
+    rj = ranked.groupBy("trt").agg(
+        F.sum("r").cast("long").alias("r_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    stat = rj.agg(
+        F.max("n_blocks").alias("n"),
+        F.sum(F.col("r_sum").cast("decimal(38,0)") * F.col("r_sum"))
+        .cast("double")
+        .alias("srr"),
+    )
+    k = _FRIEDMAN_K
+    chi2 = (
+        12
+        / (F.col("n").cast("double") * k * (k + 1))
+        * F.col("srr")
+        - 3 * F.col("n") * (k + 1)
+    )
+    chi2q = fquant(chi2)
+    return (
+        rj.crossJoin(F.broadcast(stat))
+        .select(
+            F.col("trt").alias("priority"),
+            fquant(
+                F.col("r_sum").cast("double") / F.col("n_blocks")
+            ).alias("mean_rank"),
+            chi2q.alias("chi2_f"),
+            fquant(chi2 / (F.col("n") * (k - 1))).alias("kendall_w"),
+            (chi2q > _FRIEDMAN_CHI2_CRIT).alias("significant"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_auc_roc — STAGED for the r14 cadence (parked unregistered;
+# SURVEY round-12 log). Exact tie-corrected ROC AUC for "account balance
+# predicts urgent-order customer" — the threshold-free ranking-quality
+# number completing the round's eval family next to the SAME score/label
+# pair's lift table (orders_score_lift_table): AUC via the rank-sum
+# identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) on midrank-tied ranks — the
+# Mann-Whitney machinery re-read as classifier eval — plus Gini
+# (= 2·AUC − 1) and the Hanley-McNeil CI.
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH lab AS (
+  SELECT o_custkey AS custkey,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+           AS pos
+  FROM orders GROUP BY 1
+), cust AS (
+  SELECT c.c_acctbal AS score, COALESCE(l.pos, 0) AS pos
+  FROM customer c LEFT JOIN lab l ON c.c_custkey = l.custkey
+), vals AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(pos) AS BIGINT) AS npos,
+         CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+  FROM cust GROUP BY score
+), m AS (
+  -- positive rank sum in HALF-units: midrank = (2*below + cnt + 1)/2
+  SELECT CAST(SUM(npos) AS BIGINT) AS n1,
+         CAST(SUM(cnt - npos) AS BIGINT) AS n0,
+         SUM(CAST(npos AS HUGEINT) * (2 * below + cnt + 1)) AS r1h
+  FROM vals
+), a AS (
+  SELECT n1, n0,
+         (CAST(r1h AS DOUBLE) / 2
+          - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2)
+         / (CAST(n1 AS DOUBLE) * n0) AS auc
+  FROM m
+), se_ AS (
+  SELECT n1, n0, auc,
+         sqrt((auc * (1 - auc)
+               + (n1 - 1) * (auc / (2 - auc) - auc * auc)
+               + (n0 - 1) * (2 * auc * auc / (1 + auc) - auc * auc))
+              / (CAST(n1 AS DOUBLE) * n0)) AS se
+  FROM a
+)
+SELECT n1 AS n_pos, n0 AS n_neg,
+       FLOOR(auc * 1e6) / 1e6 AS auc,
+       FLOOR((2 * auc - 1) * 1e6) / 1e6 AS gini,
+       FLOOR((auc - 1.96 * se) * 1e6) / 1e6 AS ci_lo,
+       FLOOR((auc + 1.96 * se) * 1e6) / 1e6 AS ci_hi,
+       FLOOR((auc - 1.96 * se) * 1e6) / 1e6 > 0.5 AS better_than_coin
+FROM se_
+"""
+
+
+def orders_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC via the rank-sum identity on midrank-tied ranks
+    (AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) — ties between a positive and a
+    negative count half, exactly the trapezoidal ROC), Gini = 2·AUC−1,
+    Hanley-McNeil CI, and the "better than a coin" verdict on the
+    QUANTIZED lower bound. Same score/label pair as
+    orders_score_lift_table: the lift table shows WHERE the ranking
+    earns its keep, AUC is the single number.
+
+    Cross-engine exactness: the spearman/kruskal rank-free ladder —
+    ranks never materialize per row; the score-value rollup carries
+    (cnt, npos, below) and the positive rank sum is an exact wide
+    integer in half-units; AUC/SE are fixed-order double expressions
+    over three exact integers, floor-quantized.
+
+    Scale design: one rollup of orders to customer grain + one KEYED
+    customer join (corpus dims, never broadcast), one pass to score-
+    value grain, a cumulative window over the value-grain table (the
+    spearman two-pass/range-partition swap applies at corpus scale),
+    one 1-row fold."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    lab = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("pos")
+    )
+    cust = c.join(lab, c["c_custkey"] == lab["custkey"], "left").select(
+        F.col("c_acctbal").alias("score"),
+        F.coalesce(F.col("pos"), F.lit(0)).alias("pos"),
+    )
+    w_below = (
+        Window.partitionBy(meta_part("cnt"))
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vals = (
+        cust.groupBy("score")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("pos").cast("long").alias("npos"),
+        )
+        .select(
+            "score",
+            "cnt",
+            "npos",
+            F.coalesce(F.sum("cnt").over(w_below), F.lit(0)).alias(
+                "below"
+            ),
+        )
+    )
+    m = vals.agg(
+        F.sum("npos").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("npos")).cast("long").alias("n0"),
+        F.sum(
+            F.col("npos").cast("decimal(38,0)")
+            * (2 * F.col("below") + F.col("cnt") + 1)
+        ).alias("r1h"),
+    )
+    a = m.selectExpr(
+        "n1",
+        "n0",
+        "(CAST(r1h AS DOUBLE) / 2"
+        " - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2)"
+        " / (CAST(n1 AS DOUBLE) * n0) AS auc",
+    ).selectExpr(
+        "n1",
+        "n0",
+        "auc",
+        "sqrt((auc * (1 - auc)"
+        " + (n1 - 1) * (auc / (2 - auc) - auc * auc)"
+        " + (n0 - 1) * (2 * auc * auc / (1 + auc) - auc * auc))"
+        " / (CAST(n1 AS DOUBLE) * n0)) AS se",
+    )
+    lo = fquant(F.col("auc") - 1.96 * F.col("se"))
+    return a.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        fquant(F.col("auc")).alias("auc"),
+        fquant(2 * F.col("auc") - 1).alias("gini"),
+        lo.alias("ci_lo"),
+        fquant(F.col("auc") + 1.96 * F.col("se")).alias("ci_hi"),
+        (lo > 0.5).alias("better_than_coin"),
+    )

@@ -3199,3 +3199,87 @@ def text_log_odds_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(dirs).alias("leans"), "token", "y_en", "y_fr", "z"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_compression_quality — STAGED for the r14 cadence (parked
+# unregistered; SURVEY round-12 log). zlib compressibility as a document
+# quality signal: highly compressible text is repetitive/boilerplate
+# (template spam, keyword stuffing, machine-generated filler) — the
+# cheap, language-agnostic curation filter every large-corpus pipeline
+# runs next to the Gopher rules (text_quality_gopher) and exactly the
+# signal the repetition keys (text_dedup_repeated_spans,
+# text_template_detect) approximate lexically. ROWS-ONLY at flip: DuckDB
+# has no zlib, so the contract is the pytest identity against Python's
+# own zlib (same library, exact equality) plus determinism and bounds.
+# ---------------------------------------------------------------------------
+
+_COMP_LEVEL = 6  # zlib default-ish level, pinned
+_COMP_BOILERPLATE = 0.4  # ratio below this = repetitive/boilerplate
+
+
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) compressibility profile: deflate each doc at
+    the pinned zlib level, ratio = compressed/raw bytes (quantized at
+    1e-6 per doc), then the rollup a curation gate reads — doc count,
+    mean ratio, min ratio, and the share of docs under the pinned 0.4
+    boilerplate threshold (on the quantized per-doc value, so the flag
+    cannot straddle an ulp).
+
+    Determinism: zlib's DEFLATE output is fully determined by (input
+    bytes, level, strategy) — same bytes in, same length out, on every
+    worker and every run; the per-doc ratio is a ratio of exact ints.
+
+    Scale design: ONE Arrow-batched pandas UDF projection over the
+    scan (vectorized transfer, no row-at-a-time Python — the x2
+    surface, applied), then a keyed map-side-combinable rollup with
+    integer micro-unit sums. The decode stays executor-side; nothing
+    but the (lang, source)-grain profile reaches the driver."""
+    import pandas as pd  # noqa: F401  (pandas_udf signature)
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def comp_ratio(texts):
+        import zlib
+
+        def one(t: str) -> float:
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, _COMP_LEVEL)) / len(raw)
+
+        return texts.map(one)
+
+    d = table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        "source",
+        fquant(comp_ratio(F.col("text"))).alias("ratio"),
+    )
+    return (
+        per.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.floor(F.col("ratio") * 1e6).cast("decimal(38,0)")
+            ).alias("ratio_micro_sum"),
+            fquant(F.min("ratio")).alias("min_ratio"),
+            F.count_if(F.col("ratio") < _COMP_BOILERPLATE)
+            .cast("long")
+            .alias("n_boilerplate"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            fquant(
+                F.col("ratio_micro_sum").cast("double")
+                / 1e6
+                / F.col("n_docs")
+            ).alias("mean_ratio"),
+            "min_ratio",
+            fquant(
+                F.col("n_boilerplate").cast("double") / F.col("n_docs")
+            ).alias("boilerplate_share"),
+        )
+    )
