@@ -137,6 +137,10 @@ AUDITED = {
         "graph_bipartite_hits": 2,
     },
     "queries/llm_sim.py": {
+        # r14-staged audit: the LSH referee attaches two 1-row count
+        # frames (candidates, caught) to the 1-row truth count inside
+        # the per-shape loop.
+        "dedup_lsh_eval": 2,
         "embed_binary_quantize_hamming": 1,
         "embed_hard_negatives": 1,
         "embed_matryoshka_topk": 1,

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trireme_spark.functions.text import tokenize
+from trireme_spark.parity import fquant
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -2188,4 +2189,106 @@ def fn_ipv4_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max_by(ip_str, ipn)").alias("highest_ip"),
         )
         .orderBy("cidr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_iban_mod97 — STAGED for the r14 cadence (parked unregistered;
+# SURVEY round-12 log). ISO 7064 MOD-97-10 check-digit computation and
+# validation on synthesized DE IBANs — the banking sibling of
+# fn_luhn_checksum (cards): the rearranged digit string is a 22-digit
+# integer, far past 2^63, so the mod folds CHUNKWISE via the identity
+# (a·10^k + b) mod 97 = ((a mod 97)·(10^k mod 97) + b) mod 97 — pure
+# bounded integer arithmetic, no big-int type needed in either engine.
+# ---------------------------------------------------------------------------
+
+# 10^6 mod 97 (the BBAN·10^6 fold step) and the digitized country code:
+# 'D'=13, 'E'=14 -> "1314". Both pinned literals shared by both engines.
+_IBAN_P6_MOD = 10**6 % 97  # = 27
+_IBAN_DE = 1314
+
+_IBAN_ORACLE = f"""
+WITH acct AS (
+  SELECT c_custkey,
+         c_custkey % 10000000000000000 AS bban,
+         -- correct check digits: 98 - (BBAN||'1314'||'00') mod 97,
+         -- folded chunkwise (BBAN fits in a BIGINT; the 22-digit
+         -- rearranged value does not)
+         98 - ((c_custkey % 10000000000000000 % 97) * {_IBAN_P6_MOD}
+               + {_IBAN_DE} * 100) % 97 AS check_ok
+  FROM customer
+), issued AS (
+  -- odd custkeys get a corrupted check digit (+50 mod 100): the
+  -- deterministic invalid half the validator must catch
+  SELECT c_custkey, bban,
+         CASE WHEN c_custkey % 2 = 1 THEN (check_ok + 50) % 100
+              ELSE check_ok END AS check_used,
+         c_custkey % 2 = 1 AS corrupted
+  FROM acct
+), validated AS (
+  SELECT corrupted,
+         ((bban % 97) * {_IBAN_P6_MOD} + {_IBAN_DE} * 100 + check_used)
+           % 97 = 1 AS is_valid
+  FROM issued
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_accounts,
+       CAST(COUNT(*) FILTER (WHERE is_valid) AS BIGINT) AS n_valid,
+       CAST(COUNT(*) FILTER (WHERE NOT is_valid) AS BIGINT) AS n_invalid,
+       CAST(COUNT(*) FILTER (WHERE is_valid AND corrupted) AS BIGINT)
+         AS n_false_accept,
+       CAST(COUNT(*) FILTER (WHERE NOT is_valid AND NOT corrupted)
+            AS BIGINT) AS n_false_reject,
+       FLOOR(CAST(COUNT(*) FILTER (WHERE is_valid) AS DOUBLE)
+             / COUNT(*) * 1e6) / 1e6 AS valid_share
+FROM validated
+"""
+
+
+def fn_iban_mod97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO 7064 MOD-97-10 over synthesized DE IBANs: per customer a
+    16-digit BBAN (the custkey), correct check digits = 98 − (BBAN ∥
+    '1314' ∥ '00') mod 97, then odd custkeys ship a corrupted check
+    (+50 mod 100) and the validator recomputes (value mod 97 == 1).
+    The scorecard pins the algebra: n_false_accept and n_false_reject
+    must both be ZERO — a +50 shift is never ≡ 0 (mod 97), so every
+    corrupted check fails and every correct one passes; the mod-97
+    guarantee, exercised rather than asserted.
+
+    Cross-engine exactness: the 22-digit rearranged integer never
+    materializes — the chunkwise fold (a·10⁶ + b) mod 97 =
+    ((a mod 97)·(10⁶ mod 97) + b) mod 97 keeps every intermediate
+    under 10⁴ in exact integer arithmetic identical in both engines
+    (the luhn per-digit discipline, lifted to big-int residues).
+
+    Scale design: ONE codegen'd integer-arithmetic projection over the
+    scan + one 1-row conditional fold — no shuffle beyond the fold; a
+    per-country variant swaps the pinned country constant per row
+    (bounded lookup), never adds passes."""
+    c = table(spark, sf_dir, "customer")
+    bban = F.col("c_custkey") % F.lit(10**16)
+    check_ok = 98 - (
+        (bban % 97) * _IBAN_P6_MOD + _IBAN_DE * 100
+    ) % 97
+    corrupted = F.col("c_custkey") % 2 == 1
+    check_used = F.when(corrupted, (check_ok + 50) % 100).otherwise(
+        check_ok
+    )
+    is_valid = (
+        (bban % 97) * _IBAN_P6_MOD + _IBAN_DE * 100 + check_used
+    ) % 97 == 1
+    v = c.select(corrupted.alias("corrupted"), is_valid.alias("is_valid"))
+    return v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_accounts"),
+        F.count_if(F.col("is_valid")).cast("long").alias("n_valid"),
+        F.count_if(~F.col("is_valid")).cast("long").alias("n_invalid"),
+        F.count_if(F.col("is_valid") & F.col("corrupted"))
+        .cast("long")
+        .alias("n_false_accept"),
+        F.count_if(~F.col("is_valid") & ~F.col("corrupted"))
+        .cast("long")
+        .alias("n_false_reject"),
+        fquant(
+            F.count_if(F.col("is_valid")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("valid_share"),
     )

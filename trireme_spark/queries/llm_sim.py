@@ -2510,3 +2510,118 @@ def embed_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_eval — STAGED for the r14 cadence (parked unregistered;
+# SURVEY round-12 log). The dedup family's REFEREE: the measured
+# recall / candidate-precision / verification-cost OPERATING CURVE of the
+# MinHash-LSH candidate generator across three band shapes, against the
+# EXACT Jaccard truth set — the table a capacity plan actually reads when
+# picking the band shape for a 100 TB run. ROWS-ONLY at flip: the
+# signatures ride Spark's xxhash64 (no DuckDB mirror — the sim_ann_lsh
+# precedent); the pytest contract pins determinism, the confusion-count
+# identities per row, truth-set equality with the ORACLED l5 key, and
+# the S-curve ordering across shapes.
+# ---------------------------------------------------------------------------
+
+_LSH_EVAL_THRESHOLD = 0.7
+# (bands, rows) operating points over the SAME 64-perm signature:
+# t ~ (1/bands)^(1/rows) = 0.77 / 0.92 / 0.98. The fixture's truth pairs
+# all sit at J >= 0.89 (measured), so 8x8 saturates at recall 1.0 (itself
+# the finding: the production shape is safely above the knee) while 4x16
+# and 2x32 bite into the S-curve and the referee actually discriminates.
+_LSH_EVAL_SHAPES = [(8, 8), (4, 16), (2, 32)]
+
+
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-curve eval of the LSH candidate generator: one row per
+    band shape over the same 64-perm signatures — recall =
+    caught/truth, candidate_precision = caught/candidates,
+    verify_cost_ratio = candidates/truth. Truth = the exact Jaccard >=
+    0.7 pair set (prefix filter, sound AND complete at the threshold,
+    then exact verification — the same construction the ORACLED l5 key
+    registers at 0.8). Reading the three rows top to bottom is the
+    band-shape decision: 8x8 catches everything the fixture holds
+    (all truth pairs sit above its knee), 4x16 and 2x32 trade recall
+    for fewer candidates — the measured S-curve, not the textbook one.
+
+    Scale design: reuses the audited operators end to end — cached
+    shingle sets, prefix-filter truth, ONE signature build (map-side
+    64-way min combine), then one band-keyed candidate join per shape
+    over the cached signatures; the eval folds to one row per shape.
+    Nothing new touches corpus grain."""
+    from trireme_spark.operators.hints import broadcast_if_small, cache_once
+    from trireme_spark.operators.similarity import (
+        candidate_pairs_lsh,
+        candidate_pairs_prefix,
+        jaccard,
+        minhash_signatures,
+    )
+
+    sets = cache_once(_shingle_sets(spark, sf_dir))
+    cand_exact = candidate_pairs_prefix(
+        sets, "doc_id", "sset", threshold=_LSH_EVAL_THRESHOLD
+    )
+    a = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("sset").alias("sset_a")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("sset").alias("sset_b")
+    )
+    truth = (
+        cand_exact.join(broadcast_if_small(a), "id_a")
+        .join(broadcast_if_small(b), "id_b")
+        .where(
+            jaccard(F.col("sset_a"), F.col("sset_b"))
+            >= _LSH_EVAL_THRESHOLD
+        )
+        .select("id_a", "id_b")
+        .cache()  # pair-grain, reused per shape; clearCache reclaims
+    )
+    sigs = minhash_signatures(sets, "doc_id", "sset", n_perm=64).cache()
+    rows = []
+    for bands, rws in _LSH_EVAL_SHAPES:
+        cands = candidate_pairs_lsh(
+            sigs, "doc_id", "sig", bands=bands, rows=rws
+        )
+        hit = truth.join(cands, ["id_a", "id_b"], "left_semi")
+        n_truth = truth.agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth_pairs")
+        )
+        n_cand = cands.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+        )
+        n_hit = hit.agg(
+            F.count(F.lit(1)).cast("long").alias("n_caught")
+        )
+        rows.append(
+            n_truth.crossJoin(F.broadcast(n_cand))
+            .crossJoin(F.broadcast(n_hit))
+            .select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rws).cast("long").alias("rows_per_band"),
+                "n_truth_pairs",
+                "n_candidate_pairs",
+                "n_caught",
+                fquant(
+                    F.col("n_caught").cast("double")
+                    / F.col("n_truth_pairs")
+                ).alias("recall"),
+                fquant(
+                    F.when(
+                        F.col("n_candidate_pairs") > 0,
+                        F.col("n_caught").cast("double")
+                        / F.col("n_candidate_pairs"),
+                    ).otherwise(F.lit(0.0))
+                ).alias("candidate_precision"),
+                fquant(
+                    F.col("n_candidate_pairs").cast("double")
+                    / F.col("n_truth_pairs")
+                ).alias("verify_cost_ratio"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
