@@ -317,13 +317,35 @@ def _block_pair_groups(
     return left.unionByName(right)
 
 
-def _default_blocks(spark) -> int:
+# Per-block sizing bounds for the GEMM block count heuristic.
+# _MIN_BLOCK_ROWS floors the per-group matrix size: splitting a corpus
+# finer than ~512 vectors/block turns the GEMM into pure Arrow/
+# applyInPandas overhead (measured on local[32] at sf0.1: B=11 → 66
+# groups of ~180 vectors ran 1.7 s; B=4 → 10 groups of 500 runs ~1.0 s).
+# _MAX_BLOCK_ROWS caps per-task memory: a pair group holds ≤ 2·MAX rows
+# of float64[dim] (at dim=64 ≈ 2·128k·512B ≈ 130 MB/task) — the knob the
+# docstring promises for a 1000-executor corpus.
+_MIN_BLOCK_ROWS = 512
+_MAX_BLOCK_ROWS = 131_072
+
+
+def _default_blocks(spark, n_rows: int | None = None) -> int:
     """B ≈ 2√parallelism ⇒ B(B+1)/2 ≈ 2× the core count: enough pair
     groups that every core holds ~2 GEMM tasks (stragglers amortize)
     without inflating the B+1 replication factor. Measured at sf0.1 on
-    local[8]: B=6 beats B=2 by ~1.5× wall-clock."""
+    local[8]: B=6 beats B=2 by ~1.5× wall-clock.
+
+    When the caller knows the corpus row count, B is additionally
+    bounded so each block holds ≥ ``_MIN_BLOCK_ROWS`` vectors (tiny
+    corpora short-circuit toward a single GEMM instead of drowning in
+    per-group Arrow overhead — the r12 local[32] lesson) and ≤
+    ``_MAX_BLOCK_ROWS`` vectors (per-task memory at scale)."""
     p = spark.sparkContext.defaultParallelism
-    return max(2, round(2 * p**0.5))
+    b = max(2, round(2 * p**0.5))
+    if n_rows is not None and n_rows > 0:
+        b = min(b, max(2, -(-n_rows // _MIN_BLOCK_ROWS)))
+        b = max(b, -(-n_rows // _MAX_BLOCK_ROWS))
+    return b
 
 
 def exact_topk_pairs(vectors: DataFrame, k: int, id_col: str = "vec_id",
@@ -345,7 +367,9 @@ def exact_topk_pairs(vectors: DataFrame, k: int, id_col: str = "vec_id",
     baseline they're verified against.
     """
     if n_blocks is None:
-        n_blocks = _default_blocks(vectors.sparkSession)
+        # one column-pruned count job — cheap next to the GEMM, and it
+        # lets B respect the per-block row bounds (see _default_blocks)
+        n_blocks = _default_blocks(vectors.sparkSession, vectors.count())
     grouped = _block_pair_groups(vectors, id_col, emb_col, n_blocks)
 
     def pair_topk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -538,7 +562,9 @@ def exact_threshold_pairs(
     true near-dup pair count (small for any sane threshold), so unlike
     top-k no per-group truncation is needed."""
     if n_blocks is None:
-        n_blocks = _default_blocks(vectors.sparkSession)
+        # one column-pruned count job — cheap next to the GEMM, and it
+        # lets B respect the per-block row bounds (see _default_blocks)
+        n_blocks = _default_blocks(vectors.sparkSession, vectors.count())
     grouped = _block_pair_groups(vectors, id_col, emb_col, n_blocks)
 
     def pair_hits(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -590,7 +616,9 @@ def knn_graph_topk(
     from pyspark.sql.window import Window
 
     if n_blocks is None:
-        n_blocks = _default_blocks(vectors.sparkSession)
+        # one column-pruned count job — cheap next to the GEMM, and it
+        # lets B respect the per-block row bounds (see _default_blocks)
+        n_blocks = _default_blocks(vectors.sparkSession, vectors.count())
     grouped = _block_pair_groups(vectors, id_col, emb_col, n_blocks)
     kk = k + slack
 

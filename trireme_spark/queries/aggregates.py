@@ -3929,6 +3929,7 @@ FROM tot
 """
 
 
+@register("agg_target_encoding_kfold", oracle=_TARGET_ENC_ORACLE)
 def agg_target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-fold smoothed mean-target encoding of order priority
     against the fell-through label: rows in fold f of category c get
@@ -4060,6 +4061,7 @@ FROM tot CROSS JOIN ties
 """
 
 
+@register("agg_kruskal_wallis", oracle=_KRUSKAL_ORACLE)
 def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal-Wallis H over the five order priorities on total price:
     H = 12/(N(N+1)) · Σ R_g²/n_g − 3(N+1) on midrank-tied ranks, with
@@ -4213,6 +4215,7 @@ FROM tot CROSS JOIN ssb CROSS JOIN ssw
 """
 
 
+@register("agg_brown_forsythe", oracle=_BROWN_FORSYTHE_ORACLE)
 def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown-Forsythe test across the five order priorities: one-way
     ANOVA on z = |x − median_g| — F significant means the groups'
@@ -4357,6 +4360,7 @@ FROM cells
 """
 
 
+@register("agg_confusion_mcc", oracle=_MCC_ORACLE)
 def agg_confusion_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass binary-classifier scorecard: confusion cells, accuracy,
     precision, recall, F1 (harmonic as 2TP/(2TP+FP+FN) — one division,
@@ -4484,6 +4488,7 @@ FROM tot
 """
 
 
+@register("orders_score_lift_table", oracle=_LIFT_ORACLE)
 def orders_score_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gains/lift table for "account balance predicts urgent-order
     customer": 10 fixed-width score bands over the observed
@@ -4657,6 +4662,7 @@ GROUP BY n_obs, na_obs, d_obs_signed, d_obs_micro
 """
 
 
+@register("orders_permutation_test", oracle=_PERM_ORACLE)
 def orders_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Randomization test for urgent-vs-rest mean order value: 64
     deterministic md5 pseudo-randomizations of the arm label (row k
@@ -4857,6 +4863,7 @@ FROM joined GROUP BY q
 """
 
 
+@register("agg_tail_dependence", oracle=_TAIL_DEP_ORACLE)
 def agg_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical upper-tail dependence λ_U(q) between daily order count
     and daily average order value at q = 75/90/95%: both margins rank

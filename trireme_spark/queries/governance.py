@@ -319,6 +319,7 @@ FROM classed GROUP BY 1
 """
 
 
+@register("etl_invoice_reconciliation", oracle=_RECON_ORACLE)
 def etl_invoice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-way header/detail reconciliation: per order, the header
     total (o_totalprice) against the gross line total

@@ -2448,6 +2448,7 @@ FROM pred GROUP BY 1
 """
 
 
+@register("embed_knn_label_eval", oracle=_KNN_EVAL_ORACLE)
 def embed_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out 5-NN classification of every embedding's label by
     majority vote of its exact cosine neighbors (ties → lower label —

@@ -1020,6 +1020,7 @@ FROM dcg CROSS JOIN ideal
 """
 
 
+@register("search_ndcg_eval", oracle=_NDCG_ORACLE)
 def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDCG@10 / MRR@10 / precision@10 of the BM25 ranking against a
     score-independent graded relevance (gain = distinct query terms in

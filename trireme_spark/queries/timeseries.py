@@ -9299,6 +9299,7 @@ FROM gaps
 """
 
 
+@register("orders_wasserstein_1d", oracle=_WASSERSTEIN_ORACLE)
 def orders_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D Wasserstein-1 (earth-mover) distance between the BUILDING
     and MACHINERY order-price distributions on a fixed 1000-wide bin
@@ -9420,6 +9421,7 @@ FROM diffs
 """
 
 
+@register("events_propensity_match_att", oracle=_PSM_ORACLE)
 def events_propensity_match_att(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -9583,6 +9585,7 @@ FROM ssr
 """
 
 
+@register("ts_granger_f_test", oracle=_GRANGER_ORACLE)
 def ts_granger_f_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Granger causality (lag 1, BUILDING → MACHINERY daily revenue):
     fit MACHINERY_t on its own lag alone (restricted) and with
@@ -9779,6 +9782,7 @@ FROM phi
 """
 
 
+@register("events_attribution_shapley", oracle=_SHAPLEY_ORACLE)
 def events_attribution_shapley(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -9915,6 +9919,7 @@ FROM terms
 """
 
 
+@register("orders_hill_tail_index", oracle=_HILL_ORACLE)
 def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill estimator over the top-100 order totals:
     H = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎) for the k largest observations above
@@ -10011,6 +10016,7 @@ FROM hits WHERE n_hits > 0
 """
 
 
+@register("sample_pps_systematic", oracle=_PPS_ORACLE)
 def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Systematic PPS draw of 20 customers per market segment, sized by
     lifetime spend: lay every segment's customers on a line of
@@ -10168,6 +10174,7 @@ FROM var_
 """
 
 
+@register("events_ab_jackknife_ratio", oracle=_JACKKNIFE_ORACLE)
 def events_ab_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-one-bucket jackknife CI for the ratio-of-sums A/B readout
     (revenue per engagement event): users hash into {_JK_BUCKETS} md5
@@ -10344,6 +10351,7 @@ FROM m
 """
 
 
+@register("events_capture_recapture", oracle=_CAPTURE_ORACLE)
 def events_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chapman capture-recapture estimate of the active-(user, day)
     universe from two incomplete captures (clicked vs viewed that day):
@@ -10450,6 +10458,7 @@ FROM fit
 """
 
 
+@register("ts_dickey_fuller_unit_root", oracle=_DICKEY_FULLER_ORACLE)
 def ts_dickey_fuller_unit_root(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10571,6 +10580,7 @@ FROM g
 """
 
 
+@register("events_calibration_curve", oracle=_CALIBRATION_ORACLE)
 def events_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram (10 probability bins) + Brier score + ECE
     for "click share predicts heavy purchaser": per bin the mean
