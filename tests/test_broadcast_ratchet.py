@@ -53,7 +53,9 @@ from tests.ratchet_util import diff_signatures, is_f_broadcast, tree_signatures
 #   queries/training.py       — BPE merge table pages, mask literals
 AUDITED = {
     "operators/hints.py": {"broadcast_if_small": 1},
-    "operators/similarity.py": {"_block_pair_groups": 2},
+    # r13: the two-join+union fan-out collapsed to ONE membership-grid
+    # broadcast join (grid is B·(B+1) rows of plan metadata, B ≤ ~32)
+    "operators/similarity.py": {"_block_pair_groups": 1},
     "operators/winframes.py": {"global_range_frame_sum": 4, "two_pass_ntile": 2},
     "queries/aggregates.py": {
         # r13-staged audit: the lift table attaches the 1-row

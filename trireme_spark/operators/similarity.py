@@ -272,18 +272,27 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _block_pair_grid(spark, n_blocks: int) -> DataFrame:
-    """Tiny (B·(B+1)/2-row) driver-side grid of block pairs (bl ≤ br).
+    """Tiny driver-side MEMBERSHIP grid: one row per (block, pair-group)
+    participation — B·(B+1) rows total (each of the B·(B+1)/2 pair
+    groups (bl ≤ br) contributes an L row for bl and, off the diagonal,
+    an R row for br).
 
     This is plan metadata (like a literal centroid list), not collected
-    data — its size depends only on the block-count knob, never the corpus.
+    data — its size depends only on the block-count knob, never the
+    corpus. The membership form lets the corpus fan out with ONE
+    broadcast join instead of the former two-join + union shape (which
+    scanned the vector frame twice — measured ~0.2 s of the sf0.1 l6
+    wall on local[32]).
     """
-    rows = [
-        (i * n_blocks + j, i, j, i == j)
-        for i in range(n_blocks)
-        for j in range(i, n_blocks)
-    ]
+    rows = []
+    for i in range(n_blocks):
+        for j in range(i, n_blocks):
+            pid, diag = i * n_blocks + j, i == j
+            rows.append((i, pid, diag, "L"))
+            if not diag:
+                rows.append((j, pid, diag, "R"))
     return spark.createDataFrame(
-        rows, "pid int, bl int, br int, diag boolean"
+        rows, "blk int, pid int, diag boolean, side string"
     )
 
 
@@ -308,13 +317,9 @@ def _block_pair_groups(
         .alias("blk"),
     )
     grid = _block_pair_grid(spark, n_blocks)
-    left = v.join(F.broadcast(grid), v["blk"] == grid["bl"]).select(
-        "pid", "diag", F.lit("L").alias("side"), "vec_id", "emb"
+    return v.join(F.broadcast(grid), "blk").select(
+        "pid", "diag", "side", "vec_id", "emb"
     )
-    right = v.join(
-        F.broadcast(grid.where(~F.col("diag"))), v["blk"] == grid["br"]
-    ).select("pid", "diag", F.lit("R").alias("side"), "vec_id", "emb")
-    return left.unionByName(right)
 
 
 # Per-block sizing bounds for the GEMM block count heuristic.
@@ -349,7 +354,8 @@ def _default_blocks(spark, n_rows: int | None = None) -> int:
 
 
 def exact_topk_pairs(vectors: DataFrame, k: int, id_col: str = "vec_id",
-                     emb_col: str = "emb", n_blocks: int = None) -> DataFrame:
+                     emb_col: str = "emb", n_blocks: int = None,
+                     n_rows: int = None) -> DataFrame:
     """Exact top-k most-similar (cosine) id pairs via DISTRIBUTED block-pair
     GEMM — no driver-side materialization of the corpus anywhere.
 
@@ -367,9 +373,13 @@ def exact_topk_pairs(vectors: DataFrame, k: int, id_col: str = "vec_id",
     baseline they're verified against.
     """
     if n_blocks is None:
-        # one column-pruned count job — cheap next to the GEMM, and it
-        # lets B respect the per-block row bounds (see _default_blocks)
-        n_blocks = _default_blocks(vectors.sparkSession, vectors.count())
+        # prefer caller-supplied stats (parquet footer / catalog row
+        # count — free); else one column-pruned count job, cheap next to
+        # the GEMM. Either way B respects the per-block row bounds.
+        n_blocks = _default_blocks(
+            vectors.sparkSession,
+            n_rows if n_rows is not None else vectors.count(),
+        )
     grouped = _block_pair_groups(vectors, id_col, emb_col, n_blocks)
 
     def pair_topk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -555,6 +565,7 @@ def exact_threshold_pairs(
     id_col: str = "vec_id",
     emb_col: str = "emb",
     n_blocks: int = None,
+    n_rows: int = None,
 ) -> DataFrame:
     """All id pairs (a < b) with cosine ≥ threshold — same DISTRIBUTED
     block-pair GEMM as :func:`exact_topk_pairs` (one shuffle on the pair
@@ -562,9 +573,13 @@ def exact_threshold_pairs(
     true near-dup pair count (small for any sane threshold), so unlike
     top-k no per-group truncation is needed."""
     if n_blocks is None:
-        # one column-pruned count job — cheap next to the GEMM, and it
-        # lets B respect the per-block row bounds (see _default_blocks)
-        n_blocks = _default_blocks(vectors.sparkSession, vectors.count())
+        # prefer caller-supplied stats (parquet footer / catalog row
+        # count — free); else one column-pruned count job, cheap next to
+        # the GEMM. Either way B respects the per-block row bounds.
+        n_blocks = _default_blocks(
+            vectors.sparkSession,
+            n_rows if n_rows is not None else vectors.count(),
+        )
     grouped = _block_pair_groups(vectors, id_col, emb_col, n_blocks)
 
     def pair_hits(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -595,6 +610,7 @@ def knn_graph_topk(
     id_col: str = "vec_id",
     emb_col: str = "emb",
     n_blocks: int = None,
+    n_rows: int = None,
     slack: int = 10,
 ) -> DataFrame:
     """Exact k-NN GRAPH — top-k cosine neighbors for EVERY vector (the
@@ -616,9 +632,13 @@ def knn_graph_topk(
     from pyspark.sql.window import Window
 
     if n_blocks is None:
-        # one column-pruned count job — cheap next to the GEMM, and it
-        # lets B respect the per-block row bounds (see _default_blocks)
-        n_blocks = _default_blocks(vectors.sparkSession, vectors.count())
+        # prefer caller-supplied stats (parquet footer / catalog row
+        # count — free); else one column-pruned count job, cheap next to
+        # the GEMM. Either way B respects the per-block row bounds.
+        n_blocks = _default_blocks(
+            vectors.sparkSession,
+            n_rows if n_rows is not None else vectors.count(),
+        )
     grouped = _block_pair_groups(vectors, id_col, emb_col, n_blocks)
     kk = k + slack
 

@@ -40,7 +40,7 @@ from trireme_spark.operators.similarity import (
 )
 from trireme_spark.parity import DSCALE, dsum, fquant
 from trireme_spark.registry import register
-from trireme_spark.sources.io import table
+from trireme_spark.sources.io import table, table_rows
 
 # DuckDB mirror of operators.similarity.dot/cosine — same left-fold order,
 # so values match bit-for-bit before the defensive rounding.
@@ -343,7 +343,9 @@ def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sort/limit below must run on the SAME rounded key — unrounded #10 vs
     # #11 can swap after rounding, and the slack makes the rounded cut
     # exact unless >40 pairs tie within 1e-6 (not a real corpus).
-    scored = exact_topk_pairs(v, k=50)
+    scored = exact_topk_pairs(
+        v, k=50, n_rows=table_rows(sf_dir, "embeddings")
+    )
     return (
         scored.select(
             "vec_a", "vec_b", F.round(F.col("cos_sim"), 6).alias("cos_sim")
@@ -558,7 +560,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
     dups = (
-        exact_threshold_pairs(v, threshold=0.95)
+        exact_threshold_pairs(
+            v, threshold=0.95, n_rows=table_rows(sf_dir, "embeddings")
+        )
         .select(F.col("vec_b").alias("dup_id"))
         .distinct()
     )
@@ -1745,7 +1749,9 @@ def sim_knn_graph_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
     from trireme_spark.operators.similarity import knn_graph_topk
 
-    return knn_graph_topk(v, k=5)
+    return knn_graph_topk(
+        v, k=5, n_rows=table_rows(sf_dir, "embeddings")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2077,7 +2083,9 @@ def cluster_dendrogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
     base = exact_threshold_pairs(
-        v, threshold=min(_DENDRO_THRESHOLDS)
+        v,
+        threshold=min(_DENDRO_THRESHOLDS),
+        n_rows=table_rows(sf_dir, "embeddings"),
     ).localCheckpoint(eager=True)
     nodes = v.select("vec_id")
     out = None
@@ -2473,7 +2481,9 @@ def embed_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
-    graph = knn_graph_topk(v, k=5)
+    graph = knn_graph_topk(
+        v, k=5, n_rows=table_rows(sf_dir, "embeddings")
+    )
     labels = e.select("vec_id", F.col("label").cast("long").alias("label"))
     nbr_lab = labels.select(
         F.col("vec_id").alias("neighbor_id"),

@@ -81,6 +81,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count of a fixture table from parquet FOOTER metadata — no
+    Spark job, no data read. This is the catalog-statistics analogue a
+    production planner would consult (row counts live in table stats /
+    file footers at any scale); operators use it to size partitioning
+    knobs (e.g. the GEMM block count) without paying a count() pass."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):  # a Spark-written table is a directory of parts
+        return sum(
+            int(pq.ParquetFile(f).metadata.num_rows)
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return int(pq.ParquetFile(path).metadata.num_rows)
+
+
 def write_read_roundtrip(
     df: DataFrame, fmt: str, tag: str, **writer_options
 ) -> DataFrame:
