@@ -5334,3 +5334,151 @@ def orders_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         fquant(F.col("auc") + 1.96 * F.col("se")).alias("ci_hi"),
         (lo > 0.5).alias("better_than_coin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_jarque_bera_normality — STAGED for the r14 cadence (parked
+# unregistered; SURVEY round-13 log). Jarque-Bera normality test on
+# o_totalprice: the DISTRIBUTIONAL-SHAPE gate the parametric inference
+# family assumes away — welch/cohens_d lean on CLT normality of means,
+# and JB is the one-pass moment test that says whether the underlying
+# distribution is anywhere near normal (the fixture's totalprice is
+# near-uniform — strongly platykurtic, excess kurtosis ≈ −1.2 — so the
+# test correctly screams — a useful referee for "should I have used
+# the rank tests instead").
+# ---------------------------------------------------------------------------
+
+_JB_CRIT = 5.991465  # chi^2(2) 95th percentile
+
+# x^4 of a ~6e5-bounded price is ~1.3e23 — far past DECIMAL(27,6)'s
+# 1e21 headroom, so the higher-moment sums widen to DECIMAL(38,6)
+# (1e32 headroom; sf0.1's 150k-row sum peaks ~2e28). Same
+# deterministic-half-up doctrine as parity.dsum, wider lane.
+_JB_WSCALE = "DECIMAL(38,6)"
+
+
+def _jb_wsum(c):
+    return F.sum(c.cast(_JB_WSCALE.lower())).cast("double")
+
+
+def _jb_oracle_wsum(e: str) -> str:
+    return f"CAST(SUM(CAST({e} AS {_JB_WSCALE})) AS DOUBLE)"
+
+
+_JB_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {_jb_oracle_wsum('o_totalprice')} AS s1,
+         {_jb_oracle_wsum('o_totalprice * o_totalprice')} AS s2,
+         {_jb_oracle_wsum('o_totalprice * o_totalprice * o_totalprice')}
+           AS s3,
+         {_jb_oracle_wsum(
+             'o_totalprice * o_totalprice * o_totalprice * o_totalprice'
+         )} AS s4
+  FROM orders
+), m AS (
+  SELECT n, s1 / n AS mu, s2 / n AS r2, s3 / n AS r3, s4 / n AS r4
+  FROM s
+), c AS (
+  SELECT n, mu,
+         r2 - mu * mu AS m2,
+         r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+         r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+           AS m4
+  FROM m
+), f AS (
+  SELECT n,
+         m3 / (m2 * sqrt(m2)) AS skew,
+         m4 / (m2 * m2) - 3 AS exkurt
+  FROM c
+)
+SELECT n AS n_orders,
+       FLOOR(skew * 1e6) / 1e6 AS skewness,
+       FLOOR(exkurt * 1e6) / 1e6 AS excess_kurtosis,
+       FLOOR(CAST(n AS DOUBLE) / 6
+             * (skew * skew + exkurt * exkurt / 4) * 1e4) / 1e4
+         AS jb_stat,
+       FLOOR(CAST(n AS DOUBLE) / 6
+             * (skew * skew + exkurt * exkurt / 4) * 1e4) / 1e4
+         <= {_JB_CRIT} AS normal
+FROM f
+"""
+
+
+def orders_jarque_bera_normality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jarque-Bera test: JB = n/6·(S² + K²/4) from sample skewness S
+    and excess kurtosis K, against the pinned χ²(2) 5% critical
+    5.991465 (asymptotic null). One corpus pass collects the four raw
+    moments; central moments come from the binomial expansions — the
+    cancellation there costs ~1.5 of double's 16 digits on this data
+    (price⁴ terms ~1e22 vs central m4 ~1e21, verified by the staging
+    recompute) and buys a single-pass plan, and cross-engine EQUALITY
+    is untouched either way because both engines run the identical op
+    sequence on identical doubles.
+
+    Cross-engine exactness: the four moment sums widen per-row to
+    DECIMAL(38,6) (deterministic half-up of identical doubles,
+    order-independent exact sums — DECIMAL(27,6) would overflow on
+    price⁴, see _JB_WSCALE); everything after is scalar double algebra
+    on two identical 1-row frames; JB quantizes at 1e-4 (|JB| can
+    reach ~1e5·n, and 1e-4 keeps the quantized value inside 2⁵³ while
+    still pinning the verdict boundary), S and K at 1e-6.
+
+    Scale design: ONE scan, ONE map-side-combinable aggregate, zero
+    joins, zero windows, zero Python — the cheapest possible shape for
+    a corpus-scale distributional test."""
+    o = table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        _jb_wsum(x).alias("s1"),
+        _jb_wsum(x * x).alias("s2"),
+        _jb_wsum(x * x * x).alias("s3"),
+        _jb_wsum(x * x * x * x).alias("s4"),
+    )
+    m = s.select(
+        "n",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        (F.col("s2") / F.col("n")).alias("r2"),
+        (F.col("s3") / F.col("n")).alias("r3"),
+        (F.col("s4") / F.col("n")).alias("r4"),
+    )
+    mu = F.col("mu")
+    c = m.select(
+        "n",
+        (F.col("r2") - mu * mu).alias("m2"),
+        (F.col("r3") - 3 * mu * F.col("r2") + 2 * mu * mu * mu).alias(
+            "m3"
+        ),
+        (
+            F.col("r4")
+            - 4 * mu * F.col("r3")
+            + 6 * mu * mu * F.col("r2")
+            - 3 * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    f = c.select(
+        "n",
+        (F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))).alias(
+            "skew"
+        ),
+        (F.col("m4") / (F.col("m2") * F.col("m2")) - 3).alias("exkurt"),
+    )
+    jb = fquant(
+        F.col("n").cast("double")
+        / 6
+        * (
+            F.col("skew") * F.col("skew")
+            + F.col("exkurt") * F.col("exkurt") / 4
+        ),
+        4,
+    )
+    return f.select(
+        F.col("n").cast("long").alias("n_orders"),
+        fquant(F.col("skew")).alias("skewness"),
+        fquant(F.col("exkurt")).alias("excess_kurtosis"),
+        jb.alias("jb_stat"),
+        (jb <= _JB_CRIT).alias("normal"),
+    )

@@ -11012,3 +11012,380 @@ def orders_event_study_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y_treat") - F.col("y_ctrl") - pre_gap, 4
         ).alias("effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_logrank_test — STAGED for the r14 cadence (parked unregistered;
+# SURVEY round-13 log). Two-sample log-rank test comparing customer
+# survival (the KM/Nelson-Aalen lifetime definition) between the
+# BUILDING market segment and the rest: the survival family's TEST —
+# KM estimates the curve, Nelson-Aalen the cumulative hazard, and this
+# answers "are the two curves actually different?" the way censoring-
+# honest inference requires (a t-test on lifetimes would treat censored
+# customers as churned).
+# ---------------------------------------------------------------------------
+
+_LOGRANK_SEG = "BUILDING"
+_LOGRANK_CRIT = 3.841459  # chi^2(1) 95th percentile
+
+_LOGRANK_ORACLE = f"""
+WITH life AS (
+  SELECT o_custkey,
+         datediff('day', MIN(CAST(o_orderdate AS DATE)),
+                  MAX(CAST(o_orderdate AS DATE))) AS t,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY o_custkey
+), snap AS (SELECT MAX(last_d) AS snap_d FROM life),
+lab AS (
+  SELECT t,
+         (datediff('day', last_d, snap_d) > {_KM_CHURN_GAP}) AS event,
+         (c_mktsegment = '{_LOGRANK_SEG}') AS g1
+  FROM life JOIN customer ON o_custkey = c_custkey CROSS JOIN snap
+), tot AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE g1) AS BIGINT) AS n1_0,
+         CAST(COUNT(*) FILTER (WHERE NOT g1) AS BIGINT) AS n2_0
+  FROM lab
+), per_t AS (
+  SELECT t,
+         CAST(COUNT(*) FILTER (WHERE g1 AND event) AS BIGINT) AS d1,
+         CAST(COUNT(*) FILTER (WHERE (NOT g1) AND event) AS BIGINT) AS d2,
+         CAST(COUNT(*) FILTER (WHERE g1) AS BIGINT) AS leave1,
+         CAST(COUNT(*) FILTER (WHERE NOT g1) AS BIGINT) AS leave2
+  FROM lab GROUP BY t
+), risk AS (
+  SELECT t, d1, d2,
+         n1_0 - COALESCE(SUM(leave1) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS n1,
+         n2_0 - COALESCE(SUM(leave2) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS n2
+  FROM per_t CROSS JOIN tot
+), ev AS (
+  SELECT d1, d2, n1, n2, d1 + d2 AS dt, n1 + n2 AS nt
+  FROM risk WHERE d1 + d2 > 0
+), terms AS (
+  SELECT d1, d2,
+         FLOOR((d1 - CAST(dt AS DOUBLE) * n1 / nt) * 1e12) / 1e12 AS oe,
+         FLOOR((CASE WHEN nt > 1
+                THEN CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / nt)
+                     * (CAST(n2 AS DOUBLE) / nt) * (nt - dt) / (nt - 1)
+                ELSE 0.0 END) * 1e12) / 1e12 AS v
+  FROM ev
+), s AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS d_treat,
+         CAST(SUM(d2) AS BIGINT) AS d_ctrl,
+         CAST(SUM(CAST(oe AS DECIMAL(38,12))) AS DOUBLE) AS oe_sum,
+         CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS v_sum
+  FROM terms
+)
+SELECT (SELECT n1_0 FROM tot) AS n_treat,
+       (SELECT n2_0 FROM tot) AS n_ctrl,
+       d_treat, d_ctrl,
+       FLOOR(oe_sum * 1e6) / 1e6 AS o_minus_e,
+       FLOOR(v_sum * 1e6) / 1e6 AS var_sum,
+       FLOOR(oe_sum * oe_sum / v_sum * 1e6) / 1e6 AS logrank_chi2,
+       FLOOR(oe_sum * oe_sum / v_sum * 1e6) / 1e6 > {_LOGRANK_CRIT}
+         AS significant
+FROM s
+"""
+
+
+def orders_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank (Mantel-Cox) test on customer survival:
+    BUILDING segment vs the rest, with the KM key's exact time-to-event
+    definition (lifetime span; churn = silent > 90 days before the
+    corpus snapshot, else censored). At each pooled event time the
+    observed segment-1 deaths d1 are compared to the hypergeometric
+    expectation dt·n1/nt; χ² = (Σ(d1−E))²/ΣV with
+    V = dt·(n1/nt)·(n2/nt)·(nt−dt)/(nt−1). Censored customers leave
+    the risk set without contributing deaths — the thing a naive
+    lifetime t-test cannot do.
+
+    Cross-engine exactness: every per-time term is a ratio of exact
+    integer counts evaluated in identical double op order, floor-
+    quantized at 1e-12 BEFORE the order-independent DECIMAL(38,12)
+    sums; χ² forms from the two identical sum doubles and the verdict
+    compares the QUANTIZED χ² to the pinned critical value (class and
+    printed statistic can never disagree — the cohens_d discipline).
+
+    Scale design: one corpus rollup to customer grain (CACHED — it
+    feeds both the 1-row snapshot and the labeled join; uncached, the
+    fan-out re-scanned orders 4× and customer 2× — caught by the plan
+    pin), one customer-keyed dim join (BY KEY — corpus-sized, never
+    broadcast), then every window runs over the DIMENSION-sized
+    distinct-event-time frame under meta_part — the group TOTALS come
+    from a window over that same bounded frame (Σ leaving ≡ n_g,0), so
+    no extra corpus pass exists for them. No corpus-grain window, no
+    cross join beyond the 1-row snapshot attach."""
+    from trireme_spark.operators.hints import cache_once
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    life = cache_once(
+        o.groupBy("o_custkey").agg(
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("t"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        )
+    )
+    snap = life.agg(F.max("last_d").alias("snap_d"))
+    lab = (
+        life.join(c, life["o_custkey"] == c["c_custkey"])
+        .crossJoin(F.broadcast(snap))
+        .select(
+            "t",
+            (F.datediff("snap_d", "last_d") > _KM_CHURN_GAP).alias(
+                "event"
+            ),
+            (F.col("c_mktsegment") == _LOGRANK_SEG).alias("g1"),
+        )
+    )
+    per_t = lab.groupBy("t").agg(
+        F.count_if(F.col("g1") & F.col("event")).alias("d1"),
+        F.count_if(~F.col("g1") & F.col("event")).alias("d2"),
+        F.count_if("g1").alias("leave1"),
+        F.count_if(~F.col("g1")).alias("leave2"),
+    )
+    w_all = Window.partitionBy(meta_part("t"))
+    w_prev = (
+        Window.partitionBy(meta_part("t"))
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # group totals n_g,0 = Σ_t leaving_g,t — a window over the SAME
+    # bounded frame, not a second pass over the corpus-grain labels
+    risk = per_t.select(
+        "t",
+        "d1",
+        "d2",
+        F.sum("leave1").over(w_all).alias("n1_0"),
+        F.sum("leave2").over(w_all).alias("n2_0"),
+        (
+            F.sum("leave1").over(w_all)
+            - F.coalesce(F.sum("leave1").over(w_prev), F.lit(0))
+        ).alias("n1"),
+        (
+            F.sum("leave2").over(w_all)
+            - F.coalesce(F.sum("leave2").over(w_prev), F.lit(0))
+        ).alias("n2"),
+    )
+    ev = risk.where(F.col("d1") + F.col("d2") > 0).select(
+        "d1",
+        "d2",
+        "n1",
+        "n2",
+        "n1_0",
+        "n2_0",
+        (F.col("d1") + F.col("d2")).alias("dt"),
+        (F.col("n1") + F.col("n2")).alias("nt"),
+    )
+    dt_d = F.col("dt").cast("double")
+    oe = fquant(F.col("d1") - dt_d * F.col("n1") / F.col("nt"), 12)
+    v = fquant(
+        F.when(
+            F.col("nt") > 1,
+            dt_d
+            * (F.col("n1").cast("double") / F.col("nt"))
+            * (F.col("n2").cast("double") / F.col("nt"))
+            * (F.col("nt") - F.col("dt"))
+            / (F.col("nt") - 1),
+        ).otherwise(F.lit(0.0)),
+        12,
+    )
+    s = ev.agg(
+        F.max("n1_0").alias("n_treat"),
+        F.max("n2_0").alias("n_ctrl"),
+        F.sum("d1").alias("d_treat"),
+        F.sum("d2").alias("d_ctrl"),
+        F.sum(oe.cast("decimal(38,12)")).cast("double").alias("oe_sum"),
+        F.sum(v.cast("decimal(38,12)")).cast("double").alias("v_sum"),
+    )
+    chi2 = fquant(
+        F.col("oe_sum") * F.col("oe_sum") / F.col("v_sum")
+    )
+    return s.select(
+        "n_treat",
+        "n_ctrl",
+        "d_treat",
+        "d_ctrl",
+        fquant(F.col("oe_sum")).alias("o_minus_e"),
+        fquant(F.col("v_sum")).alias("var_sum"),
+        chi2.alias("logrank_chi2"),
+        (chi2 > _LOGRANK_CRIT).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_kpss_stationarity — STAGED for the r14 cadence (parked unregistered;
+# SURVEY round-13 log). KPSS level-stationarity test on the monthly
+# revenue series: the COMPLEMENT of the Dickey-Fuller gate — DF's null
+# is a unit root (reject ⇒ stationary), KPSS's null is stationarity
+# (reject ⇒ unit root), so the pair brackets the decision: DF-reject +
+# KPSS-accept is the only configuration that licenses undifferenced
+# ACF/trend machinery.
+# ---------------------------------------------------------------------------
+
+_KPSS_LAGS = 3  # floor(4*(n/100)^0.25) for the fixture's ~80-month span;
+# pinned as a module constant (the friedman complete-block discipline:
+# the fixture assumption is asserted by the staging tests, not silently
+# assumed) — a corpus with a different calendar span re-derives it.
+_KPSS_CRIT = 0.463  # KPSS eta_mu (level), 5% — Kwiatkowski et al. 1992
+
+_KPSS_ORACLE = f"""
+WITH monthly AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+         {oracle_sum('o_totalprice')} AS y
+  FROM orders GROUP BY 1
+), st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {oracle_sum('y')} / COUNT(*) AS ybar
+  FROM monthly
+), e AS (
+  -- scale-free residuals (e/ybar): eta is invariant and every
+  -- micro-unit below stays far inside 2^53 at any revenue scale
+  SELECT m, (y - ybar) / ybar AS r,
+         CAST(FLOOR((y - ybar) / ybar * 1e12) AS DECIMAL(38,0)) AS r_pico
+  FROM monthly CROSS JOIN st
+), cum AS (
+  SELECT m, r,
+         CAST(SUM(r_pico) OVER (
+           ORDER BY m ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e12 AS s
+  FROM e
+), lagged AS (
+  SELECT m, r, s,
+         LAG(r, 1) OVER (ORDER BY m) AS r1,
+         LAG(r, 2) OVER (ORDER BY m) AS r2,
+         LAG(r, 3) OVER (ORDER BY m) AS r3
+  FROM cum
+), sums AS (
+  SELECT (SELECT n FROM st) AS n,
+         CAST(SUM(CAST(FLOOR(s * s * 1e12) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(FLOOR(r * r * 1e12) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+         CAST(SUM(CAST(FLOOR(r * r1 * 1e12) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS g1,
+         CAST(SUM(CAST(FLOOR(r * r2 * 1e12) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS g2,
+         CAST(SUM(CAST(FLOOR(r * r3 * 1e12) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS g3
+  FROM lagged
+), fit AS (
+  SELECT n, s2,
+         (g0 + 2 * ((1.0 - 1.0 / {_KPSS_LAGS + 1}) * g1
+                    + (1.0 - 2.0 / {_KPSS_LAGS + 1}) * g2
+                    + (1.0 - 3.0 / {_KPSS_LAGS + 1}) * g3)) / n AS lrv
+  FROM sums
+)
+SELECT n AS n_months,
+       FLOOR(s2 / (CAST(n AS DOUBLE) * n) / lrv * 1e6) / 1e6 AS kpss_eta,
+       FLOOR(s2 / (CAST(n AS DOUBLE) * n) / lrv * 1e6) / 1e6
+         < {_KPSS_CRIT} AS level_stationary
+FROM fit
+"""
+
+
+def ts_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test (Kwiatkowski-Phillips-Schmidt-Shin
+    1992) on monthly revenue: η = n⁻²·ΣS_t² / σ̂²_lr where S_t is the
+    running sum of demeaned residuals and σ̂²_lr the Bartlett-window
+    long-run variance at L = {_KPSS_LAGS} lags (L = ⌊4(n/100)^¼⌋ for
+    the fixture's span — asserted, not assumed, by the staging tests).
+    η above the pinned 5% critical 0.463 rejects level-stationarity —
+    the mirror-image complement of ts_dickey_fuller_unit_root's
+    unit-root null.
+
+    Cross-engine exactness: residuals are normalized by the exact
+    series mean FIRST (η is scale-invariant), so the running sum rides
+    exact pico-unit integers (|r|·1e12 « 2⁵³ at any revenue scale —
+    the magnitude trap a raw-units cumsum would hit), and every
+    squared/lagged product quantizes at 1e-12 before DECIMAL(38,12)
+    order-independent sums. Lag products use the bounded frame's row
+    order = calendar order (month density is a pinned fixture
+    assumption).
+
+    Scale design: ONE corpus pass to the calendar-bounded monthly
+    rollup (CACHED — it feeds both the 1-row mean and the residual
+    frame; uncached, the fan-out scanned the corpus twice — caught by
+    the plan pin); the cumulative sum, the L lag columns and the final
+    folds all run on that ~80-row frame under meta_part — corpus cost
+    is the rollup, full stop."""
+    from trireme_spark.operators.hints import cache_once
+
+    o = table(spark, sf_dir, "orders")
+    monthly = cache_once(
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "m"
+            )
+        ).agg(dsum("o_totalprice").alias("y"))
+    )
+    st = monthly.agg(
+        F.count(F.lit(1)).alias("n"),
+        (dsum("y") / F.count(F.lit(1))).alias("ybar"),
+    )
+    e = monthly.crossJoin(F.broadcast(st)).select(
+        "m",
+        "n",
+        ((F.col("y") - F.col("ybar")) / F.col("ybar")).alias("r"),
+        F.floor(
+            (F.col("y") - F.col("ybar")) / F.col("ybar") * 1e12
+        )
+        .cast("decimal(38,0)")
+        .alias("r_pico"),
+    )
+    w_cum = (
+        Window.partitionBy(meta_part("m"))
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_ord = Window.partitionBy(meta_part("m")).orderBy("m")
+    cum = e.select(
+        "m",
+        "n",
+        "r",
+        (F.sum("r_pico").over(w_cum).cast("double") / 1e12).alias("s"),
+    )
+    lagged = cum.select(
+        "n",
+        "r",
+        "s",
+        *[
+            F.lag("r", l).over(w_ord).alias(f"r{l}")
+            for l in range(1, _KPSS_LAGS + 1)
+        ],
+    )
+
+    def _q12sum(expr):
+        return F.sum(fquant(expr, 12).cast("decimal(38,12)")).cast(
+            "double"
+        )
+
+    sums = lagged.agg(
+        F.max("n").alias("n"),
+        _q12sum(F.col("s") * F.col("s")).alias("s2"),
+        _q12sum(F.col("r") * F.col("r")).alias("g0"),
+        *[
+            _q12sum(F.col("r") * F.col(f"r{l}")).alias(f"g{l}")
+            for l in range(1, _KPSS_LAGS + 1)
+        ],
+    )
+    lrv = (
+        F.col("g0")
+        + 2
+        * sum(
+            (1.0 - l / (_KPSS_LAGS + 1)) * F.col(f"g{l}")
+            for l in range(1, _KPSS_LAGS + 1)
+        )
+    ) / F.col("n")
+    eta = fquant(
+        F.col("s2") / (F.col("n").cast("double") * F.col("n")) / lrv
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_months"),
+        eta.alias("kpss_eta"),
+        (eta < _KPSS_CRIT).alias("level_stationary"),
+    )
