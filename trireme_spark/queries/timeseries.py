@@ -11389,3 +11389,430 @@ def ts_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         eta.alias("kpss_eta"),
         (eta < _KPSS_CRIT).alias("level_stationary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_gumbel_return_level — STAGED for the r14 cadence (parked
+# unregistered; SURVEY round-13 log). Extreme-value analysis by BLOCK
+# MAXIMA: monthly maxima of o_totalprice fit to a Gumbel by the method
+# of moments, with the T=100-block return level and the probability
+# that a fresh month beats the historical record. The complement of
+# orders_hill_tail_index: Hill reads the tail exponent from
+# peaks-over-threshold, Gumbel/block-maxima reads return levels from
+# the max-domain — the two classical EVT legs, now both present.
+# ---------------------------------------------------------------------------
+
+_GUMBEL_EULER = 0.5772156649015329  # Euler-Mascheroni, double-exact literal
+_GUMBEL_T = 100  # return period, blocks (months)
+
+_GUMBEL_ORACLE = f"""
+WITH bm AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+         MAX(o_totalprice) AS bmax
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {oracle_sum('bmax')} AS s1,
+         {oracle_sum('bmax * bmax')} AS s2,
+         MAX(bmax) AS max_obs
+  FROM bm
+), fit AS (
+  SELECT n, max_obs,
+         s1 / n AS mean,
+         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+  FROM s
+), p AS (
+  SELECT n, max_obs,
+         sd * sqrt(6.0) / pi() AS beta,
+         mean - {_GUMBEL_EULER} * (sd * sqrt(6.0) / pi()) AS mu
+  FROM fit
+)
+SELECT n AS n_blocks,
+       FLOOR(mu * 1e6) / 1e6 AS loc,
+       FLOOR(beta * 1e6) / 1e6 AS scale,
+       FLOOR((mu - beta * ln(-ln(1.0 - 1.0 / {_GUMBEL_T}))) * 1e6) / 1e6
+         AS return_level_100,
+       FLOOR(max_obs * 1e6) / 1e6 AS max_observed,
+       FLOOR((1.0 - exp(-exp(-(max_obs - mu) / beta))) * 1e6) / 1e6
+         AS exceed_prob_record
+FROM p
+"""
+
+
+def orders_gumbel_return_level(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gumbel fit on monthly block maxima (method of moments:
+    β = s·√6/π, μ = x̄ − γβ with the Euler-Mascheroni constant pinned
+    as a double-exact literal), the T=100-month return level
+    x_T = μ − β·ln(−ln(1−1/T)), and the per-month record-breaking
+    probability 1 − exp(−exp(−(max_obs − μ)/β)) — the "how bad can a
+    month get" readout capacity planning actually asks for, where
+    Hill's tail index answers "how heavy is the tail".
+
+    Cross-engine exactness: block maxima are exact (same doubles both
+    engines); mean and the (n−1)-divisor sd ride DECIMAL(27,6)
+    order-independent sums (bmax ~6e5, bmax² ~3.6e11 — comfortably
+    inside the lane); π enters as each engine's own double-exact
+    pi() / math.pi literal (the same IEEE value) and γ as a pinned
+    17-digit literal; all outputs floor-quantize at 1e-6.
+
+    Scale design: ONE corpus pass to the calendar-bounded monthly
+    maxima (map-side-combinable MAX), then scalar algebra on a 1-row
+    fold — the JB shape with a bounded intermediate frame."""
+    import math as _math
+
+    o = table(spark, sf_dir, "orders")
+    bm = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+    ).agg(F.max("o_totalprice").alias("bmax"))
+    s = bm.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("bmax").alias("s1"),
+        dsum(F.col("bmax") * F.col("bmax")).alias("s2"),
+        F.max("bmax").alias("max_obs"),
+    )
+    fit = s.select(
+        "n",
+        "max_obs",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    beta = F.col("sd") * F.sqrt(F.lit(6.0)) / F.lit(_math.pi)
+    p = fit.select(
+        "n",
+        "max_obs",
+        beta.alias("beta"),
+        (F.col("mean") - _GUMBEL_EULER * beta).alias("mu"),
+    )
+    rl = F.col("mu") - F.col("beta") * F.log(
+        -F.log(1.0 - 1.0 / F.lit(float(_GUMBEL_T)))
+    )
+    return p.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        fquant(F.col("mu")).alias("loc"),
+        fquant(F.col("beta")).alias("scale"),
+        fquant(rl).alias("return_level_100"),
+        fquant(F.col("max_obs")).alias("max_observed"),
+        fquant(
+            1.0
+            - F.exp(
+                -F.exp(-(F.col("max_obs") - F.col("mu")) / F.col("beta"))
+            )
+        ).alias("exceed_prob_record"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_uplift_qini — STAGED for the r14 cadence (parked unregistered;
+# SURVEY round-13 log). Qini/uplift gains curve over 10 FIXED-WIDTH
+# score bands: the TARGETING referee for heterogeneous treatment
+# effects — the lift table ranks by outcome propensity, the Qini curve
+# ranks by *incremental* response (treated minus rescaled control),
+# which is the number a "who should we treat" decision actually needs.
+# Completes the round's eval/referee theme for the A/B family.
+# ---------------------------------------------------------------------------
+
+_QINI_SALT = "|qini"
+_QINI_BANDS = 10
+
+_QINI_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(user_id::VARCHAR || '{_QINI_SALT}'),
+                              1, 8)) AS BIGINT) % 2 AS arm,
+         FLOOR(CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                    AS DOUBLE) / COUNT(*) * 1e6) / 1e6 AS score,
+         CASE WHEN 5 * COUNT(CASE WHEN event_type = 'purchase' THEN 1
+                             END) > COUNT(*)
+              THEN 1 ELSE 0 END AS y
+  FROM events GROUP BY user_id
+), banded AS (
+  SELECT LEAST({_QINI_BANDS - 1},
+               CAST(FLOOR(score * {_QINI_BANDS}) AS BIGINT)) AS band,
+         arm, y
+  FROM u
+), cells AS (
+  SELECT band,
+         CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_t,
+         CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS r_t,
+         CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS r_c
+  FROM banded GROUP BY band
+), cum AS (
+  SELECT band, n_t, n_c, r_t, r_c,
+         SUM(n_t) OVER w AS cn_t, SUM(n_c) OVER w AS cn_c,
+         SUM(r_t) OVER w AS cr_t, SUM(r_c) OVER w AS cr_c
+  FROM cells
+  WINDOW w AS (ORDER BY band DESC ROWS UNBOUNDED PRECEDING)
+)
+SELECT band, n_t, n_c,
+       CAST(cn_t AS BIGINT) AS cum_n_treat,
+       CAST(cn_c AS BIGINT) AS cum_n_ctrl,
+       CAST(cr_t AS BIGINT) AS cum_r_treat,
+       CAST(cr_c AS BIGINT) AS cum_r_ctrl,
+       FLOOR((cr_t - CAST(cr_c AS DOUBLE) * cn_t / cn_c) * 1e6) / 1e6
+         AS qini_value,
+       FLOOR((CAST(cr_t AS DOUBLE) / cn_t
+              - CAST(cr_c AS DOUBLE) / cn_c) * 1e6) / 1e6
+         AS uplift_at_depth
+FROM cum
+"""
+
+
+def events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini gains curve: users hash-split into treated/control arms
+    (md5 '|qini' — the delta-method randomization idiom), scored by
+    click share (the calibration key's probability-shaped score),
+    outcome = the integer-exact heavy-purchaser flag. Bands are FIXED
+    WIDTH on the score (the WoE/lift no-percentile discipline); the
+    curve cumulates from the highest band down and reports
+    q(depth) = R_t − R_c·N_t/N_c (incremental responders if everyone
+    to this depth were treated) plus the uplift-rate gap. A null
+    experiment (hash split, no real treatment) reads ≈ 0 at every
+    depth — the curve's null behavior IS the referee's calibration.
+
+    Cross-engine exactness: arm and band ids are exact integer hash /
+    floor arithmetic; all cumulative quantities are BIGINT sums over
+    the bounded 10-row band frame; the two ratio readouts form from
+    identical doubles and floor-quantize at 1e-6.
+
+    Scale design: one corpus pass to user grain (map-side-combinable),
+    one 10-cell aggregation, cumulative windows over the 10-row frame
+    under meta_part. The qini shape is the lift table's plan with an
+    arm dimension."""
+    ev = table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit(_QINI_SALT),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(arm).alias("arm"),
+        fquant(
+            F.count_if(F.col("event_type") == "click").cast("double")
+            / F.count(F.lit(1))
+        ).alias("score"),
+        F.when(
+            5 * F.count_if(F.col("event_type") == "purchase")
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    banded = u.select(
+        F.least(
+            F.lit(_QINI_BANDS - 1),
+            F.floor(F.col("score") * _QINI_BANDS).cast("long"),
+        ).alias("band"),
+        "arm",
+        "y",
+    )
+    cells = banded.groupBy("band").agg(
+        F.count_if(F.col("arm") == 1).alias("n_t"),
+        F.count_if(F.col("arm") == 0).alias("n_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).alias(
+            "r_t"
+        ),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).alias(
+            "r_c"
+        ),
+    )
+    w = (
+        Window.partitionBy(meta_part("band"))
+        .orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "band",
+        "n_t",
+        "n_c",
+        F.sum("n_t").over(w).alias("cn_t"),
+        F.sum("n_c").over(w).alias("cn_c"),
+        F.sum("r_t").over(w).alias("cr_t"),
+        F.sum("r_c").over(w).alias("cr_c"),
+    )
+    return cum.select(
+        "band",
+        "n_t",
+        "n_c",
+        F.col("cn_t").cast("long").alias("cum_n_treat"),
+        F.col("cn_c").cast("long").alias("cum_n_ctrl"),
+        F.col("cr_t").cast("long").alias("cum_r_treat"),
+        F.col("cr_c").cast("long").alias("cum_r_ctrl"),
+        fquant(
+            F.col("cr_t")
+            - F.col("cr_c").cast("double")
+            * F.col("cn_t")
+            / F.col("cn_c")
+        ).alias("qini_value"),
+        fquant(
+            F.col("cr_t").cast("double") / F.col("cn_t")
+            - F.col("cr_c").cast("double") / F.col("cn_c")
+        ).alias("uplift_at_depth"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_conformal_interval_eval — STAGED for the r14 cadence (parked
+# unregistered; SURVEY round-13 log). Split-conformal prediction
+# interval for the seasonal-naive daily forecaster + its empirical
+# test-set coverage: the UNCERTAINTY referee the eval family was
+# missing — MASE grades the point forecast, this grades whether the
+# promised 80% interval actually covers 80%.
+# ---------------------------------------------------------------------------
+
+_CONF_LAG = 7  # seasonal-naive horizon (days)
+_CONF_ALPHA = 0.2  # nominal miss rate -> 80% interval
+
+_CONFORMAL_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, {oracle_sum('value')} AS y
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT day, y, LAG(y, {_CONF_LAG}) OVER (ORDER BY day) AS yhat,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         COUNT(*) OVER () AS n_days
+  FROM daily
+), scored AS (
+  SELECT day, ABS(y - yhat) AS r,
+         ROW_NUMBER() OVER (ORDER BY day) AS i,
+         COUNT(*) OVER () AS n
+  FROM lagged WHERE yhat IS NOT NULL
+), split AS (
+  SELECT day, r, i, n,
+         (n * 2) // 3 AS n_cal
+  FROM scored
+), q AS (
+  SELECT n_cal,
+         -- CAST .. AS DOUBLE: a bare 0.8 literal is DECIMAL in DuckDB
+         -- (the NDCG lesson) and decimal CEIL can disagree with
+         -- Spark's double CEIL exactly at integer boundaries
+         CAST(CEIL((n_cal + 1) * CAST({1 - _CONF_ALPHA} AS DOUBLE))
+              AS BIGINT) AS k
+  FROM split LIMIT 1
+), qhat AS (
+  SELECT n_cal, k,
+         (SELECT r FROM (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r, day) AS rr
+            FROM split WHERE i <= n_cal
+          ) WHERE rr = LEAST(k, n_cal)) AS q_hat
+  FROM q
+), ev AS (
+  SELECT qhat.n_cal AS n_cal, qhat.k AS k, qhat.q_hat AS q_hat,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(COUNT(*) FILTER (WHERE split.r <= qhat.q_hat) AS BIGINT)
+           AS n_covered
+  FROM split CROSS JOIN qhat
+  WHERE split.i > qhat.n_cal
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(n_cal AS BIGINT) AS n_cal, k AS k_rank, n_test, n_covered,
+       FLOOR(q_hat * 1e6) / 1e6 AS q_hat,
+       FLOOR(CAST(n_covered AS DOUBLE) / n_test * 1e6) / 1e6
+         AS coverage,
+       FLOOR((CAST(n_covered AS DOUBLE) / n_test
+              - {1 - _CONF_ALPHA}) * 1e6) / 1e6 AS coverage_gap
+FROM ev
+"""
+
+
+def ts_conformal_interval_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal interval for ŷ_d = y_{{d-7}} on the dense daily
+    event-value series: the first 2/3 of forecastable days calibrate
+    q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest |residual| (EXACT rank on the
+    sorted calibration residuals with day tie-break — the PPS
+    integer-rank doctrine, never a percentile call), the rest test
+    empirical coverage of [ŷ−q̂, ŷ+q̂] at α = 0.2. Distribution-free:
+    the guarantee needs only exchangeability of residuals, which is
+    what makes it the honest uncertainty wrapper for ANY forecaster.
+
+    Cross-engine exactness: daily sums ride the decimal bridge, so
+    residuals are identical doubles; the calibration/test split and
+    the quantile are pure integer ranks over the bounded day frame;
+    coverage counts compare identical doubles with ≤ (no tolerance
+    gap — both engines see bit-equal r and q̂).
+
+    Scale design: one corpus pass to the 30-row calendar-bounded daily
+    frame; lag, ranks, the k-th order statistic and the coverage fold
+    all run on that frame under meta_part windows. The time-ordered
+    2/3 split (never random) respects the forecasting arrow of time."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum("value").alias("y")
+    )
+    w_ord = Window.partitionBy(meta_part(F.unix_date(F.col("day")))).orderBy("day")
+    lagged = daily.select(
+        "day", "y", F.lag("y", _CONF_LAG).over(w_ord).alias("yhat")
+    )
+    scored = lagged.where(F.col("yhat").isNotNull()).select(
+        "day", F.abs(F.col("y") - F.col("yhat")).alias("r")
+    )
+    w_i = Window.partitionBy(meta_part(F.unix_date(F.col("day")))).orderBy("day")
+    w_all = Window.partitionBy(meta_part(F.unix_date(F.col("day"))))
+    # cached: the bounded (~23-row) scored frame feeds BOTH the
+    # calibration rank leg and the test coverage fold — uncached, the
+    # fan-out re-scanned the corpus twice (caught by the plan pin)
+    from trireme_spark.operators.hints import cache_once
+
+    split = cache_once(
+        scored.select(
+            "day",
+            "r",
+            F.row_number().over(w_i).alias("i"),
+            (F.count(F.lit(1)).over(w_all) * 2 / 3)
+            .cast("long")
+            .alias("n_cal"),
+        )
+    )
+    k = F.ceil((F.col("n_cal") + 1) * F.lit(1 - _CONF_ALPHA)).cast(
+        "long"
+    )
+    w_r = (
+        Window.partitionBy(meta_part("n_cal"))
+        .orderBy("r", "day")
+    )
+    cal_ranked = (
+        split.where(F.col("i") <= F.col("n_cal"))
+        .select("r", "day", "n_cal", k.alias("k"))
+        .withColumn("rr", F.row_number().over(w_r))
+    )
+    qhat = cal_ranked.where(
+        F.col("rr") == F.least(F.col("k"), F.col("n_cal"))
+    ).select("n_cal", "k", F.col("r").alias("q_hat"))
+    test = split.where(F.col("i") > F.col("n_cal")).select("r")
+    evf = test.crossJoin(F.broadcast(qhat)).agg(
+        F.max("n_cal").alias("n_cal"),
+        F.max("k").alias("k_rank"),
+        F.max("q_hat").alias("q_hat"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.count_if(F.col("r") <= F.col("q_hat")).alias("n_covered"),
+    )
+    cov = F.col("n_covered").cast("double") / F.col("n_test")
+    return evf.select(
+        "n_cal",
+        "k_rank",
+        "n_test",
+        "n_covered",
+        fquant(F.col("q_hat")).alias("q_hat"),
+        fquant(cov).alias("coverage"),
+        fquant(cov - F.lit(1 - _CONF_ALPHA)).alias("coverage_gap"),
+    )
