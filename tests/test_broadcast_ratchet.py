@@ -58,6 +58,9 @@ AUDITED = {
     "operators/similarity.py": {"_block_pair_groups": 1},
     "operators/winframes.py": {"global_range_frame_sum": 4, "two_pass_ntile": 2},
     "queries/aggregates.py": {
+        # r13 staging audit: cronbach's grand-mean and total-variance
+        # 1-row attaches
+        "agg_cronbach_alpha": 2,
         # r13-staged audit: the lift table attaches the 1-row
         # score-range frame (the corpus-dim customer/label join is
         # deliberately NOT broadcast); the permutation test rides its
@@ -221,7 +224,14 @@ AUDITED = {
         "orders_rfm_segments": 1,
         "orders_seasonality_index": 1,
         "orders_segment_migration": 1,
+        # r13 staging audit: the logrank snapshot, the KPSS 1-row
+        # stats, the conformal 1-row q-hat, and the sampen stats +
+        # bounded template side are all 1-row/bounded-calendar frames
+        "orders_logrank_test": 1,
         "orders_survival_km": 1,
+        "ts_conformal_interval_eval": 1,
+        "ts_kpss_stationarity": 1,
+        "ts_sample_entropy": 2,
         "ts_ar1_fit": 1,
         "ts_autocorrelation": 2,
         "ts_decompose_additive": 1,

@@ -5482,3 +5482,161 @@ def orders_jarque_bera_normality(
         jb.alias("jb_stat"),
         (jb <= _JB_CRIT).alias("normal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_cronbach_alpha — STAGED for the r14 cadence (parked unregistered;
+# SURVEY round-13 log). Cronbach's α over the (month × priority)
+# revenue panel: internal-consistency reliability — do the five
+# priority "items" move together month to month? The scale-reliability
+# member of the agreement family (fleiss κ grades raters on nominal
+# labels, the annotator key grades pairwise agreement, α grades a
+# k-item score the way every survey/metric-panel methodology does).
+# ---------------------------------------------------------------------------
+
+_CRONBACH_K = 5  # the five order priorities (complete blocks only)
+
+_CRONBACH_ORACLE = f"""
+WITH cell AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS blk,
+         o_orderpriority AS trt,
+         {oracle_sum('o_totalprice')} AS x
+  FROM orders GROUP BY 1, 2
+), complete AS (
+  SELECT blk FROM cell GROUP BY blk
+  HAVING COUNT(*) = {_CRONBACH_K}
+), cc AS (
+  SELECT cell.blk, trt, x FROM cell JOIN complete USING (blk)
+), gm AS (
+  SELECT {oracle_sum('x')} / COUNT(*) AS g FROM cc
+), r AS (
+  -- grand-mean normalization: alpha is invariant and every quantized
+  -- unit below stays inside 2^53 at any revenue scale (KPSS doctrine)
+  SELECT blk, trt, FLOOR(x / g * 1e12) / 1e12 AS rq
+  FROM cc CROSS JOIN gm
+), item AS (
+  SELECT trt,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(rq AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(FLOOR(rq * rq * 1e12) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM r GROUP BY trt
+), iv AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR((s2 - s1 * s1 / n) / (n - 1) * 1e12)
+                       / 1e12 AS DECIMAL(38,12))) AS DOUBLE)
+           AS sum_item_var
+  FROM item
+), blkrow AS (
+  SELECT blk, CAST(SUM(CAST(rq AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM r GROUP BY blk
+), tv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE) AS t1,
+         CAST(SUM(CAST(FLOOR(s * s * 1e12) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS t2
+  FROM blkrow
+), f AS (
+  SELECT iv.n AS n_months, iv.sum_item_var,
+         (t2 - t1 * t1 / tv.n) / (tv.n - 1) AS var_total
+  FROM iv CROSS JOIN tv
+)
+SELECT n_months, {_CRONBACH_K} AS k_items,
+       FLOOR({_CRONBACH_K} / ({_CRONBACH_K} - 1.0)
+             * (1.0 - sum_item_var / var_total) * 1e6) / 1e6
+         AS cronbach_alpha,
+       FLOOR(sum_item_var / var_total * 1e6) / 1e6 AS item_var_share
+FROM f
+"""
+
+
+def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α = k/(k−1)·(1 − Σ_j σ²_j / σ²_total) over the
+    monthly revenue of the five order priorities (complete months
+    only — the friedman discipline, mirrored in both engines):
+    σ²_j is each item's month-to-month variance, σ²_total the
+    variance of the monthly 5-item sums, both with the n−1 divisor.
+    α near 1 ⇒ the items co-move (one underlying seasonal factor);
+    near 0 ⇒ independent items; the item-variance share is printed
+    beside it as the raw ratio.
+
+    Cross-engine exactness: cell revenues ride the decimal bridge;
+    cells normalize by the exact grand mean FIRST (α is
+    scale-invariant — the KPSS magnitude doctrine) and quantize at
+    1e-12, so row sums are exact DECIMAL(38,12) integers and every
+    squared term re-quantizes before its order-independent sum;
+    per-item variances quantize before the 5-row fold. The α readout
+    floor-quantizes at 1e-6.
+
+    Scale design: ONE corpus pass to the bounded (month × priority)
+    cell frame (CACHED — it feeds the completeness filter, the grand
+    mean, the item fold and the block fold; the friedman lesson);
+    everything downstream is algebra on ≤ n·k metadata rows."""
+    o = table(spark, sf_dir, "orders")
+    cell = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "blk"
+            ),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(dsum("o_totalprice").alias("x"))
+        .cache()
+    )
+    complete = (
+        cell.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .where(F.col("n_cells") == _CRONBACH_K)
+        .select("blk")
+    )
+    cc = cell.join(complete, "blk").select("blk", "trt", "x")
+    gm = cc.agg((dsum("x") / F.count(F.lit(1))).alias("g"))
+    r = cc.crossJoin(F.broadcast(gm)).select(
+        "blk", "trt", fquant(F.col("x") / F.col("g"), 12).alias("rq")
+    )
+
+    def _dec12(c):
+        return F.sum(c.cast("decimal(38,12)")).cast("double")
+
+    item = r.groupBy("trt").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec12(F.col("rq")).alias("s1"),
+        _dec12(fquant(F.col("rq") * F.col("rq"), 12)).alias("s2"),
+    )
+    iv = item.agg(
+        F.max("n").alias("n"),
+        _dec12(
+            fquant(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1),
+                12,
+            )
+        ).alias("sum_item_var"),
+    )
+    blkrow = r.groupBy("blk").agg(_dec12(F.col("rq")).alias("s"))
+    tv = blkrow.agg(
+        F.count(F.lit(1)).alias("nt"),
+        _dec12(F.col("s")).alias("t1"),
+        _dec12(fquant(F.col("s") * F.col("s"), 12)).alias("t2"),
+    )
+    f = iv.crossJoin(F.broadcast(tv)).select(
+        F.col("n").cast("long").alias("n_months"),
+        "sum_item_var",
+        (
+            (F.col("t2") - F.col("t1") * F.col("t1") / F.col("nt"))
+            / (F.col("nt") - 1)
+        ).alias("var_total"),
+    )
+    k = float(_CRONBACH_K)
+    return f.select(
+        "n_months",
+        F.lit(_CRONBACH_K).cast("long").alias("k_items"),
+        fquant(
+            k
+            / (k - 1.0)
+            * (1.0 - F.col("sum_item_var") / F.col("var_total"))
+        ).alias("cronbach_alpha"),
+        fquant(F.col("sum_item_var") / F.col("var_total")).alias(
+            "item_var_share"
+        ),
+    )

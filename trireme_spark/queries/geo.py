@@ -490,3 +490,123 @@ def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_customers").desc(), F.col("geohash4").asc())
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# geo_point_in_polygon — STAGED for the r14 cadence (parked unregistered;
+# SURVEY round-13 log). Ray-casting point-in-polygon over the planted
+# customer coordinates against a FIXED literal polygon: the geofencing
+# primitive (service areas, sanctioned regions, delivery zones) the geo
+# family was missing — the radius join answers "near a point", this
+# answers "inside a shape".
+# ---------------------------------------------------------------------------
+
+# (lat, lon) vertices, counter-clockwise, closed implicitly. A literal
+# pentagon spanning the planted coordinate space — plan metadata, like
+# the centroid lists.
+_PIP_POLY = [
+    (0.0, -100.0),
+    (50.0, -40.0),
+    (30.0, 60.0),
+    (-30.0, 80.0),
+    (-50.0, -20.0),
+]
+
+
+def _pip_crossing_sql(lat: str, lon: str) -> str:
+    """Ray-casting parity (odd crossings = inside) as a SQL expression:
+    for each edge, the horizontal ray from the point crosses iff the
+    edge straddles the point's latitude and the crossing longitude
+    lies east of the point. Identical IEEE expression both engines."""
+    terms = []
+    n = len(_PIP_POLY)
+    for i in range(n):
+        (y1, x1), (y2, x2) = _PIP_POLY[i], _PIP_POLY[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1!r} > {lat}) != ({y2!r} > {lat}))"
+            f" AND ({lon} < ({x2!r} - {x1!r}) * ({lat} - {y1!r})"
+            f" / ({y2!r} - {y1!r}) + {x1!r}) THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def _pip_crossing_col(lat, lon):
+    """The same ray-casting parity as a Column expression."""
+    n = len(_PIP_POLY)
+    total = F.lit(0)
+    for i in range(n):
+        (y1, x1), (y2, x2) = _PIP_POLY[i], _PIP_POLY[(i + 1) % n]
+        crosses = (
+            (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        ) & (
+            lon
+            < (F.lit(x2) - F.lit(x1))
+            * (lat - F.lit(y1))
+            / (F.lit(y2) - F.lit(y1))
+            + F.lit(x1)
+        )
+        total = total + F.when(crosses, 1).otherwise(0)
+    return total % 2 == 1
+
+
+_PIP_ORACLE = f"""
+WITH c AS (
+  SELECT c_custkey, c_acctbal,
+         {_plant_sql('c_custkey', 1)} * 120 - 60 AS lat,
+         {_plant_sql('c_custkey', 2)} * 240 - 120 AS lon
+  FROM customer
+), flagged AS (
+  SELECT c_custkey, c_acctbal,
+         {_pip_crossing_sql('lat', 'lon')} AS inside
+  FROM c
+)
+SELECT inside,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {oracle_sum('c_acctbal')} / COUNT(*) AS avg_acctbal,
+       FLOOR(CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM flagged) * 1e6) / 1e6 AS share
+FROM flagged GROUP BY inside
+"""
+
+
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify every planted customer coordinate against the literal
+    pentagon by ray casting (odd edge crossings ⇒ inside) and profile
+    the two populations (count, average balance, share). The polygon is
+    plan metadata — five edges unrolled into one codegen'd boolean, no
+    join, no UDF; at 100 TB this is a pure map-side projection over the
+    scan, the cheapest possible geofence.
+
+    Cross-engine exactness: planted coordinates are exact integer-hash
+    arithmetic (the geo family's oracle-mirrored planting); each edge
+    test is the identical IEEE compare/multiply/divide sequence in both
+    engines, so the inside flag is bit-deterministic (an exactly-on-
+    edge point would classify identically in both engines for the same
+    reason); counts are integers and the balance mean rides the
+    decimal bridge.
+
+    Scale design: ONE scan, ONE 2-group aggregate; the share ratio
+    reuses the group counts via a window over the 2-row frame."""
+    from trireme_spark.parity import davg, fquant, meta_part
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "customer")
+    lat = _plant("c_custkey", 1) * 120 - 60
+    lon = _plant("c_custkey", 2) * 240 - 120
+    flagged = c.select(
+        "c_acctbal", _pip_crossing_col(lat, lon).alias("inside")
+    )
+    g = flagged.groupBy("inside").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        davg("c_acctbal").alias("avg_acctbal"),
+    )
+    w_all = Window.partitionBy(meta_part("n_customers"))
+    return g.select(
+        "inside",
+        "n_customers",
+        "avg_acctbal",
+        fquant(
+            F.col("n_customers").cast("double")
+            / F.sum("n_customers").over(w_all)
+        ).alias("share"),
+    )

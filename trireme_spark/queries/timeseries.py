@@ -11816,3 +11816,297 @@ def ts_conformal_interval_eval(
         fquant(cov).alias("coverage"),
         fquant(cov - F.lit(1 - _CONF_ALPHA)).alias("coverage_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_sample_entropy — STAGED for the r14 cadence (parked unregistered;
+# SURVEY round-13 log). Sample entropy (Richman & Moorman 2000) of the
+# monthly revenue series at m=2, r=0.2σ: the REGULARITY measure the ts
+# family was missing — spectral entropy reads frequency-domain
+# flatness, SampEn reads time-domain predictability (do similar
+# 2-month patterns stay similar one month later?), robust to series
+# length and free of the self-match bias ApEn carries.
+# ---------------------------------------------------------------------------
+
+_SAMPEN_M = 2
+_SAMPEN_R_FACTOR = 0.2  # r = 0.2 * population sd (the classical default)
+
+_SAMPEN_ORACLE = f"""
+WITH monthly AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+         {oracle_sum('o_totalprice')} AS y
+  FROM orders GROUP BY 1
+), st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {oracle_sum('y')} AS s1,
+         {oracle_sum('y * y')} AS s2
+  FROM monthly
+), norm AS (
+  -- mean-normalized series (SampEn is scale-invariant when r rides
+  -- the sd): r_thresh and the template gaps all live near O(1)
+  SELECT m, y / (s1 / n) AS v,
+         CAST({_SAMPEN_R_FACTOR} AS DOUBLE)
+           * sqrt((s2 - s1 * s1 / n) / n) / (s1 / n) AS r_thresh
+  FROM monthly CROSS JOIN st
+), tpl AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY m) AS i,
+         v AS x0,
+         LEAD(v, 1) OVER (ORDER BY m) AS x1,
+         LEAD(v, 2) OVER (ORDER BY m) AS x2,
+         r_thresh
+  FROM norm QUALIFY x2 IS NOT NULL
+), pairs AS (
+  SELECT CAST(COUNT(*) FILTER (
+           WHERE GREATEST(ABS(a.x0 - b.x0), ABS(a.x1 - b.x1))
+                 <= a.r_thresh) AS BIGINT) AS b_count,
+         CAST(COUNT(*) FILTER (
+           WHERE GREATEST(ABS(a.x0 - b.x0), ABS(a.x1 - b.x1),
+                          ABS(a.x2 - b.x2)) <= a.r_thresh) AS BIGINT)
+           AS a_count,
+         CAST(MAX(a.r_thresh) AS DOUBLE) AS r_used,
+         (SELECT MAX(i) FROM tpl) AS n_templates
+  FROM tpl a JOIN tpl b ON a.i < b.i
+)
+SELECT (SELECT n FROM st) AS n_months,
+       CAST(n_templates AS BIGINT) AS n_templates,
+       b_count, a_count,
+       FLOOR(r_used * 1e6) / 1e6 AS r_thresh,
+       FLOOR(-ln(CAST(a_count AS DOUBLE) / b_count) * 1e6) / 1e6
+         AS sampen
+FROM pairs
+"""
+
+
+def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SampEn(m=2, r=0.2σ) = −ln(A/B): B counts template pairs (i<j)
+    whose length-2 windows stay within Chebyshev distance r, A the
+    same for length-3 — the conditional probability that similarity
+    persists one step, negated in log. White noise reads high, a
+    strongly seasonal series low; unlike ApEn there is no self-match
+    term, so the estimate is length-unbiased.
+
+    Cross-engine exactness: the series mean-normalizes first (SampEn
+    is scale-invariant when r rides the sd — the KPSS magnitude
+    doctrine) and r comes off the exact decimal moment sums, so every
+    |Δ| ≤ r compare runs on bit-identical doubles in both engines;
+    A and B are exact integers; only the final log quantizes (1e-6).
+    The 0.2 factor is CAST to DOUBLE in the oracle (DuckDB's bare
+    decimal literal would change the r arithmetic — the NDCG lesson).
+
+    Scale design: ONE corpus pass to the cached calendar-bounded
+    monthly frame; templates ride leads over that ~80-row frame and
+    the O(n²) pair check is a ~3000-row broadcast theta-join on
+    METADATA, never the corpus (blocks scale with the calendar)."""
+    from trireme_spark.operators.hints import cache_once
+
+    o = table(spark, sf_dir, "orders")
+    monthly = cache_once(
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "m"
+            )
+        ).agg(dsum("o_totalprice").alias("y"))
+    )
+    st = monthly.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("y").alias("s1"),
+        dsum(F.col("y") * F.col("y")).alias("s2"),
+    )
+    ybar = F.col("s1") / F.col("n")
+    norm = monthly.crossJoin(F.broadcast(st)).select(
+        "m",
+        "n",
+        (F.col("y") / ybar).alias("v"),
+        (
+            F.lit(_SAMPEN_R_FACTOR)
+            * F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / F.col("n")
+            )
+            / ybar
+        ).alias("r_thresh"),
+    )
+    w_ord = Window.partitionBy(meta_part("m")).orderBy("m")
+    tpl = (
+        norm.select(
+            "n",
+            "r_thresh",
+            F.row_number().over(w_ord).alias("i"),
+            F.col("v").alias("x0"),
+            F.lead("v", 1).over(w_ord).alias("x1"),
+            F.lead("v", 2).over(w_ord).alias("x2"),
+        )
+        .where(F.col("x2").isNotNull())
+    )
+    a = tpl.select("n", "r_thresh", "i", "x0", "x1", "x2")
+    b = tpl.select(
+        F.col("i").alias("j"),
+        F.col("x0").alias("y0"),
+        F.col("x1").alias("y1"),
+        F.col("x2").alias("y2"),
+    )
+    d2 = F.greatest(
+        F.abs(F.col("x0") - F.col("y0")), F.abs(F.col("x1") - F.col("y1"))
+    )
+    d3 = F.greatest(d2, F.abs(F.col("x2") - F.col("y2")))
+    pairs = a.join(F.broadcast(b), F.col("i") < F.col("j")).agg(
+        F.max("n").alias("n_months"),
+        # max RIGHT index = the template count (the left index tops out
+        # one short under the strict i<j join)
+        F.max("j").alias("n_templates"),
+        F.count_if(d2 <= F.col("r_thresh")).alias("b_count"),
+        F.count_if(d3 <= F.col("r_thresh")).alias("a_count"),
+        F.max("r_thresh").alias("r_used"),
+    )
+    return pairs.select(
+        F.col("n_months").cast("long").alias("n_months"),
+        F.col("n_templates").cast("long").alias("n_templates"),
+        "b_count",
+        "a_count",
+        fquant(F.col("r_used")).alias("r_thresh"),
+        fquant(
+            -F.log(F.col("a_count").cast("double") / F.col("b_count"))
+        ).alias("sampen"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_sequential_sprt — STAGED for the r14 cadence (parked
+# unregistered; SURVEY round-13 log). Wald sequential probability ratio
+# test on the daily purchase rate: the SEQUENTIAL member of the
+# inference family — fixed-horizon tests (welch, permutation, rate
+# ratio) answer after the window closes; the SPRT walks the cumulative
+# log-likelihood ratio day by day and STOPS at the first boundary
+# crossing, the shape every always-on experimentation monitor uses.
+# ---------------------------------------------------------------------------
+
+import math as _sprt_math
+
+_SPRT_P0 = 0.15  # H0 purchase rate
+_SPRT_P1 = 0.20  # H1 purchase rate (the fixture runs ~0.20)
+_SPRT_ALPHA = 0.05
+_SPRT_BETA = 0.05
+# per-observation log-likelihood factors and the Wald boundaries, as
+# python-evaluated double literals injected into BOTH engines (repr
+# round-trips the exact IEEE value — no cross-engine ln() of a
+# decimal-typed literal anywhere)
+_SPRT_L1 = _sprt_math.log(_SPRT_P1 / _SPRT_P0)
+_SPRT_L0 = _sprt_math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+_SPRT_A = _sprt_math.log((1 - _SPRT_BETA) / _SPRT_ALPHA)
+_SPRT_B = _sprt_math.log(_SPRT_BETA / (1 - _SPRT_ALPHA))
+
+_SPRT_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purch
+  FROM events GROUP BY 1
+), walk AS (
+  SELECT day, n_events, n_purch,
+         CAST(SUM(CAST(FLOOR((n_purch * {_SPRT_L1!r}
+                              + (n_events - n_purch) * {_SPRT_L0!r})
+                             * 1e12) AS DECIMAL(38,0))) OVER (
+           ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e12
+           AS llr
+  FROM d
+), state AS (
+  SELECT day, n_events, n_purch,
+         FLOOR(llr * 1e6) / 1e6 AS llr_cum,
+         CASE WHEN FLOOR(llr * 1e6) / 1e6 >= {_SPRT_A!r} THEN 'accept_h1'
+              WHEN FLOOR(llr * 1e6) / 1e6 <= {_SPRT_B!r} THEN 'accept_h0'
+              ELSE 'continue' END AS boundary
+  FROM walk
+)
+, decided AS (
+  SELECT day, n_events, n_purch, llr_cum, boundary,
+         MIN(CASE WHEN boundary <> 'continue' THEN day END) OVER ()
+           AS decision_day
+  FROM state
+)
+SELECT CAST(day AS VARCHAR) AS day, n_events, n_purch, llr_cum,
+       boundary, CAST(decision_day AS VARCHAR) AS decision_day,
+       COALESCE(MAX(CASE WHEN day = decision_day THEN boundary END)
+                  OVER (), 'continue') AS final_decision
+FROM decided
+"""
+
+
+def events_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT for H0: p = 0.15 vs H1: p = 0.20 on the daily
+    purchase-per-event rate, α = β = 0.05: per day the walk adds
+    x·ln(p1/p0) + (n−x)·ln((1−p1)/(1−p0)); the first day the
+    cumulative LLR leaves (B, A) = (ln(β/(1−α)), ln((1−β)/α)) decides.
+    Every row of the bounded day frame carries the walk value, its
+    boundary state, the global first-crossing day and the final
+    decision — the full monitor readout, not just the verdict.
+
+    Cross-engine exactness: the four log factors are PYTHON-evaluated
+    double literals injected into both engines via repr (an in-engine
+    ln(0.20/0.15) would hit DuckDB's decimal-literal division — the
+    conformal CEIL lesson); daily terms are integer-count × literal
+    products quantized at 1e-12 into an exact pico-unit decimal
+    cumsum; boundary compares run on the 1e-6-quantized walk.
+
+    Scale design: one corpus pass to the calendar-bounded day frame
+    (keyed, map-side-combinable), then the cumulative walk, the
+    crossing scan and the decision broadcast are windows over those
+    ~30 metadata rows under meta_part."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purch"),
+    )
+    term = fquant(
+        F.col("n_purch") * F.lit(_SPRT_L1)
+        + (F.col("n_events") - F.col("n_purch")) * F.lit(_SPRT_L0),
+        12,
+    )
+    mp = meta_part(F.unix_date(F.col("day")))
+    w_cum = (
+        Window.partitionBy(mp)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walk = d.select(
+        "day",
+        "n_events",
+        "n_purch",
+        (
+            F.sum((term * 1e12).cast("decimal(38,0)"))
+            .over(w_cum)
+            .cast("double")
+            / 1e12
+        ).alias("llr"),
+    )
+    llr_q = fquant(F.col("llr"))
+    state = walk.select(
+        "day",
+        "n_events",
+        "n_purch",
+        llr_q.alias("llr_cum"),
+        F.when(llr_q >= _SPRT_A, "accept_h1")
+        .when(llr_q <= _SPRT_B, "accept_h0")
+        .otherwise("continue")
+        .alias("boundary"),
+    )
+    w_all = Window.partitionBy(meta_part(F.unix_date(F.col("day"))))
+    dec_day = F.min(
+        F.when(F.col("boundary") != "continue", F.col("day"))
+    ).over(w_all)
+    return state.select(
+        # VARCHAR day columns (the max_drawdown idiom): date-typed cells
+        # canonicalize differently from DuckDB's timestamp-backed DATE
+        F.col("day").cast("string").alias("day"),
+        "n_events",
+        "n_purch",
+        "llr_cum",
+        "boundary",
+        dec_day.cast("string").alias("decision_day"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("day") == dec_day, F.col("boundary"))
+            ).over(w_all),
+            F.lit("continue"),
+        ).alias("final_decision"),
+    )
