@@ -59,19 +59,32 @@ def _by_month(daily):
 
 def test_registration_and_slots():
     """Every cadence key is registered WITH an oracle and owns a sweep
-    slot. Lifecycle: during r11 the keys had to sit BEHIND the pinned
-    r11 window (never-swept, graded next round); the r12 rotation then
-    pulled them INTO slots 1-50 per the pre-pin — so the invariant is
-    now the POST-rotation one: all 20 lead the r12 grading window
-    (exactly what the regenerated ROWS_ONLY.json predicts)."""
+    slot. Lifecycle: r11 = parked BEHIND the pinned window; r12 = the
+    rotation pulled all 20 INTO slots 1-50 and the driver GRADED them
+    (CORRECTNESS_r12: 20/20 hash-green); r13 = the rotation moved the
+    graded window to the staleness tail — so the standing invariant is
+    the POST-GRADED one: registered, oracled, still swept, and the r12
+    driver row is green on disk."""
+    import json
+    import os
+
     from trireme_spark.queries import _SWEEP_PRIORITY
 
+    r12 = json.load(
+        open(
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "CORRECTNESS_r12.json",
+            )
+        )
+    )
     for k in CADENCE_KEYS:
         assert k in registry.QUERIES, k
         assert k in registry.ORACLES, k
-        assert _SWEEP_PRIORITY.index(k) < 20, (
-            f"{k} fell out of the pre-pinned r12 grading window"
-        )
+        assert k in _SWEEP_PRIORITY, k
+        row = r12[k]
+        assert row["rows_match"] and row["schema_match"], (k, row)
+        assert row["hash_match"] and row["err"] is None, (k, row)
 
 
 # --- join_existence_mark ----------------------------------------------------

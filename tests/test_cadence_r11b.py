@@ -46,16 +46,29 @@ def _d6(x: float) -> Decimal:
 
 def test_registration_and_slots():
     """Every cadence-2 key is registered WITH an oracle and owns a
-    sweep slot. Post-r12-rotation invariant (see test_cadence_r11):
-    all 20 cadence keys lead the r12 grading window (slots 1-20)."""
+    sweep slot. Post-GRADED invariant (see test_cadence_r11's
+    lifecycle): registered, oracled, still swept, r12 driver row
+    green on disk."""
+    import json
+    import os
+
     from trireme_spark.queries import _SWEEP_PRIORITY
 
+    r12 = json.load(
+        open(
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "CORRECTNESS_r12.json",
+            )
+        )
+    )
     for k in CADENCE2_KEYS:
         assert k in registry.QUERIES, k
         assert k in registry.ORACLES, k
-        assert _SWEEP_PRIORITY.index(k) < 20, (
-            f"{k} fell out of the pre-pinned r12 grading window"
-        )
+        assert k in _SWEEP_PRIORITY, k
+        row = r12[k]
+        assert row["rows_match"] and row["schema_match"], (k, row)
+        assert row["hash_match"] and row["err"] is None, (k, row)
 
 
 # --- agg_hodges_lehmann -------------------------------------------------
