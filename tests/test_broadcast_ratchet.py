@@ -231,6 +231,9 @@ AUDITED = {
         "orders_survival_km": 1,
         "ts_conformal_interval_eval": 1,
         "ts_kpss_stationarity": 1,
+        # r15 staging audit: the VR test attaches its 1-row
+        # (n, mu) stats frame to the bounded returns frame
+        "ts_variance_ratio_test": 1,
         "ts_sample_entropy": 2,
         "ts_ar1_fit": 1,
         "ts_autocorrelation": 2,

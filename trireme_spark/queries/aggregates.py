@@ -5640,3 +5640,114 @@ def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item_var_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_cochran_q — STAGED for the r15 cadence (parked unregistered;
+# SURVEY round-13 log). Cochran's Q over k=4 correlated binary
+# outcomes per customer (ordered in each quarter of the pinned year):
+# the k-sample generalization of McNemar — "did activity propensity
+# differ across the four quarters, judged WITHIN customer?" — the
+# repeated-measures member of the proportion family.
+# ---------------------------------------------------------------------------
+
+_COCHRAN_YEAR = 1995
+_COCHRAN_K = 4
+_COCHRAN_CRIT = 7.814728  # chi^2(3) 95th percentile
+
+_COCHRAN_ORACLE = f"""
+WITH x AS (
+  SELECT c_custkey,
+         MAX(CASE WHEN quarter(o_orderdate) = 1 THEN 1 ELSE 0 END) AS q1,
+         MAX(CASE WHEN quarter(o_orderdate) = 2 THEN 1 ELSE 0 END) AS q2,
+         MAX(CASE WHEN quarter(o_orderdate) = 3 THEN 1 ELSE 0 END) AS q3,
+         MAX(CASE WHEN quarter(o_orderdate) = 4 THEN 1 ELSE 0 END) AS q4
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey
+                   AND year(o_orderdate) = {_COCHRAN_YEAR}
+  GROUP BY c_custkey
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q1) AS BIGINT) AS c1, CAST(SUM(q2) AS BIGINT) AS c2,
+         CAST(SUM(q3) AS BIGINT) AS c3, CAST(SUM(q4) AS BIGINT) AS c4,
+         CAST(SUM(q1 + q2 + q3 + q4) AS BIGINT) AS sr,
+         CAST(SUM((q1 + q2 + q3 + q4) * (q1 + q2 + q3 + q4))
+              AS BIGINT) AS srr
+  FROM x
+)
+SELECT n AS n_customers, c1 AS n_q1, c2 AS n_q2, c3 AS n_q3, c4 AS n_q4,
+       FLOOR(({_COCHRAN_K} - 1.0)
+             * ({_COCHRAN_K} * (c1*c1 + c2*c2 + c3*c3 + c4*c4)
+                - (c1 + c2 + c3 + c4) * (c1 + c2 + c3 + c4))
+             / ({_COCHRAN_K} * sr - srr) * 1e6) / 1e6 AS q_stat,
+       FLOOR(({_COCHRAN_K} - 1.0)
+             * ({_COCHRAN_K} * (c1*c1 + c2*c2 + c3*c3 + c4*c4)
+                - (c1 + c2 + c3 + c4) * (c1 + c2 + c3 + c4))
+             / ({_COCHRAN_K} * sr - srr) * 1e6) / 1e6
+         > {_COCHRAN_CRIT} AS significant
+FROM s
+"""
+
+
+def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q = (k−1)·[k·ΣC_j² − (ΣC_j)²] / (k·ΣR_i − ΣR_i²) on
+    the customer × quarter presence matrix of {_COCHRAN_YEAR}
+    (C_j = per-quarter active-customer counts, R_i = per-customer
+    active-quarter counts; all-zero and all-one rows contribute
+    nothing to the denominator and are kept — standard treatment),
+    against the pinned χ²(k−1) 5% critical. The within-subject design
+    removes customer-level activity heterogeneity that a naive
+    four-proportion z-test would drown in.
+
+    Cross-engine exactness: the statistic is EXACT INTEGER arithmetic
+    end to end (binary cells, integer row/column sums, one integer
+    Σ-of-squares each way) — only the final ratio touches doubles, in
+    the identical op order; the verdict compares the quantized Q.
+
+    Scale design: one corpus pass to customer grain (keyed LEFT join
+    from the customer dim so zero-order customers stay in the panel —
+    BY KEY, never broadcast), one 1-row integer fold."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    oo = o.where(F.year("o_orderdate") == _COCHRAN_YEAR).select(
+        "o_custkey", F.quarter("o_orderdate").alias("qtr")
+    )
+    x = (
+        c.select("c_custkey")
+        .join(oo, c["c_custkey"] == oo["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("qtr") == q, 1).otherwise(0)
+                ).alias(f"q{q}")
+                for q in range(1, _COCHRAN_K + 1)
+            ]
+        )
+    )
+    rsum = sum(F.col(f"q{q}") for q in range(1, _COCHRAN_K + 1))
+    s = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(f"q{q}").cast("long").alias(f"c{q}")
+            for q in range(1, _COCHRAN_K + 1)
+        ],
+        F.sum(rsum).cast("long").alias("sr"),
+        F.sum(rsum * rsum).cast("long").alias("srr"),
+    )
+    csq = sum(
+        F.col(f"c{q}") * F.col(f"c{q}")
+        for q in range(1, _COCHRAN_K + 1)
+    )
+    ctot = sum(F.col(f"c{q}") for q in range(1, _COCHRAN_K + 1))
+    q_stat = fquant(
+        (_COCHRAN_K - 1.0)
+        * (_COCHRAN_K * csq - ctot * ctot)
+        / (_COCHRAN_K * F.col("sr") - F.col("srr"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        *[F.col(f"c{q}").alias(f"n_q{q}") for q in range(1, 5)],
+        q_stat.alias("q_stat"),
+        (q_stat > _COCHRAN_CRIT).alias("significant"),
+    )

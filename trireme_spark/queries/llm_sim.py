@@ -2636,3 +2636,67 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_recall_eval — STAGED for the r15 cadence (parked unregistered;
+# SURVEY round-13 log). The ANN family's REFEREE: measured recall@5 of
+# the IVF index (sim_ann_ivf) against the exact brute-force top-5
+# (sim_knn_per_query) over the same query set — dedup_lsh_eval closed
+# the loop on the LSH recall claims; this closes it on IVF's. ROWS-ONLY
+# at flip (the IVF side's sampled k-means quantizer has no SQL mirror),
+# but the EXACT side is the already-oracled l7 and the pytest contract
+# pins the truth-side parity, the recall floor the quality suite
+# asserts, and determinism.
+# ---------------------------------------------------------------------------
+
+_ANN_EVAL_K = 5
+
+
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of IVF(nprobe=3, k=8 cells) vs the exact
+    neighbor set, plus the macro mean: recall_q = |IVF_q ∩ exact_q|/5.
+    Both sides are THIS engine's own registered operators — the referee
+    measures the production index against the production baseline, so a
+    regression in either shows up as a recall shift, not a silent
+    quality drift.
+
+    Determinism: both sides are deterministic by construction (seeded
+    ordered-sample k-means, rounded-cosine windows with id tie-breaks),
+    so the readout is stable run to run — pinned by the staging tests.
+
+    Scale design: the exact side is the broadcast-queries scan (l7's
+    plan), the IVF side probes ~nprobe/k of the corpus (l8/IVF's plan);
+    the referee adds one tiny (≤ k·|Q| rows) join + a 5-row fold on top.
+    """
+    exact = sim_knn_per_query(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = sim_ann_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    caught = exact.join(
+        approx,
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        "left",
+    )
+    per_q = caught.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("a_neighbor_id").alias("n_caught"),
+    )
+    from trireme_spark.parity import meta_part
+
+    w_all = Window.partitionBy(meta_part("query_id"))
+    recall = F.col("n_caught").cast("double") / F.col("n_exact")
+    return per_q.select(
+        "query_id",
+        "n_exact",
+        "n_caught",
+        fquant(recall).alias("recall_at_5"),
+        fquant(
+            F.sum("n_caught").over(w_all).cast("double")
+            / F.sum("n_exact").over(w_all)
+        ).alias("micro_recall"),
+    )

@@ -12110,3 +12110,400 @@ def events_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("continue"),
         ).alias("final_decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_variance_ratio_test — STAGED for the r15 cadence (parked
+# unregistered; SURVEY round-13 log). Lo-MacKinlay variance-ratio test
+# on monthly log-revenue returns: completes the stationarity triple —
+# Dickey-Fuller (unit-root null), KPSS (stationary null), and now the
+# RANDOM-WALK diagnostic (VR(q) = 1 under iid increments; VR < 1 reads
+# mean reversion, VR > 1 momentum).
+# ---------------------------------------------------------------------------
+
+_VR_Q = 3
+_VR_CRIT = 1.959964  # two-sided 5% normal
+
+_VR_ORACLE = f"""
+WITH monthly AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+         {oracle_sum('o_totalprice')} AS y
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT m, ln(y) - LAG(ln(y), 1) OVER (ORDER BY m) AS r
+  FROM monthly QUALIFY r IS NOT NULL
+), st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+         CAST(SUM(CAST(FLOOR(r * 1e12) / 1e12 AS DECIMAL(38,12)))
+              AS DOUBLE) / COUNT(*) AS mu
+  FROM r
+), s AS (
+  SELECT r.m, r.r, mu, nr,
+         SUM(r.r) OVER (ORDER BY r.m
+           ROWS BETWEEN {_VR_Q - 1} PRECEDING AND CURRENT ROW) AS sq,
+         ROW_NUMBER() OVER (ORDER BY r.m) AS i
+  FROM r CROSS JOIN st
+), sums AS (
+  SELECT MAX(nr) AS nr, MAX(mu) AS mu,
+         CAST(SUM(CAST(FLOOR((r - mu) * (r - mu) * 1e12) / 1e12
+                       AS DECIMAL(38,12))) AS DOUBLE) AS ss1,
+         CAST(SUM(CASE WHEN i >= {_VR_Q}
+                  THEN CAST(FLOOR((sq - {_VR_Q} * mu)
+                                  * (sq - {_VR_Q} * mu) * 1e12) / 1e12
+                            AS DECIMAL(38,12)) END) AS DOUBLE) AS ssq,
+         CAST(COUNT(CASE WHEN i >= {_VR_Q} THEN 1 END) AS BIGINT) AS nq
+  FROM s
+), fit AS (
+  SELECT nr,
+         (ssq / (nq * {_VR_Q})) / (ss1 / nr) AS vr
+  FROM sums
+)
+SELECT nr AS n_returns,
+       FLOOR(vr * 1e6) / 1e6 AS variance_ratio,
+       FLOOR((vr - 1.0) * sqrt(3.0 * {_VR_Q} * nr
+             / (2.0 * (2 * {_VR_Q} - 1) * ({_VR_Q} - 1))) * 1e6) / 1e6
+         AS z_stat,
+       ABS(FLOOR((vr - 1.0) * sqrt(3.0 * {_VR_Q} * nr
+             / (2.0 * (2 * {_VR_Q} - 1) * ({_VR_Q} - 1))) * 1e6) / 1e6)
+         > {_VR_CRIT} AS rejects_random_walk
+FROM fit
+"""
+
+
+def ts_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VR(q=3) on monthly log-revenue returns: σ²_q/(q·σ²_1) with
+    overlapping q-sums, homoskedastic asymptotic
+    z = (VR−1)·√(3qn/(2(2q−1)(q−1))) against the two-sided 5% normal —
+    the pinned estimator form IS the contract (population variances,
+    overlapping sums, no small-sample bias correction; stated rather
+    than silently approximated). Under iid increments VR ≈ 1; the
+    fixture's seasonal series reads VR < 1 (mean reversion), the
+    number DF/KPSS cannot articulate.
+
+    Cross-engine exactness: log returns are ln() of identical decimal-
+    bridge doubles; every squared deviation quantizes at 1e-12 before
+    DECIMAL(38,12) order-independent sums; the q-sum window is an
+    exact ROWS frame over the bounded monthly series; z and the flag
+    form from the two identical sum doubles, flag on the QUANTIZED z.
+
+    Scale design: ONE corpus pass to the cached calendar-bounded
+    monthly rollup; returns, q-sums, and both variance folds are
+    windows over that ~80-row frame under meta_part."""
+    from trireme_spark.operators.hints import cache_once
+
+    o = table(spark, sf_dir, "orders")
+    monthly = cache_once(
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "m"
+            )
+        ).agg(dsum("o_totalprice").alias("y"))
+    )
+    w_ord = Window.partitionBy(meta_part("m")).orderBy("m")
+    r = (
+        monthly.select(
+            "m",
+            (F.log("y") - F.lag(F.log("y"), 1).over(w_ord)).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+    st = r.agg(
+        F.count(F.lit(1)).alias("nr"),
+        (
+            F.sum(fquant(F.col("r"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+    )
+    w_q = (
+        Window.partitionBy(meta_part("m"))
+        .orderBy("m")
+        .rowsBetween(-(_VR_Q - 1), 0)
+    )
+    w_i = Window.partitionBy(meta_part("m")).orderBy("m")
+    s = r.crossJoin(F.broadcast(st)).select(
+        "r",
+        "mu",
+        "nr",
+        F.sum("r").over(w_q).alias("sq"),
+        F.row_number().over(w_i).alias("i"),
+    )
+
+    def _q12sum(expr):
+        return F.sum(fquant(expr, 12).cast("decimal(38,12)")).cast(
+            "double"
+        )
+
+    dev1 = F.col("r") - F.col("mu")
+    devq = F.col("sq") - _VR_Q * F.col("mu")
+    sums = s.agg(
+        F.max("nr").alias("nr"),
+        _q12sum(dev1 * dev1).alias("ss1"),
+        F.sum(
+            F.when(
+                F.col("i") >= _VR_Q,
+                fquant(devq * devq, 12).cast("decimal(38,12)"),
+            )
+        )
+        .cast("double")
+        .alias("ssq"),
+        F.count_if(F.col("i") >= _VR_Q).alias("nq"),
+    )
+    vr = (F.col("ssq") / (F.col("nq") * _VR_Q)) / (
+        F.col("ss1") / F.col("nr")
+    )
+    zf = F.sqrt(
+        3.0
+        * _VR_Q
+        * F.col("nr")
+        / (2.0 * (2 * _VR_Q - 1) * (_VR_Q - 1))
+    )
+    z_q = fquant((vr - 1.0) * zf)
+    return sums.select(
+        F.col("nr").cast("long").alias("n_returns"),
+        fquant(vr).alias("variance_ratio"),
+        z_q.alias("z_stat"),
+        (F.abs(z_q) > _VR_CRIT).alias("rejects_random_walk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_turning_points_test — STAGED for the r15 cadence (parked
+# unregistered; SURVEY round-13 log). Turning-point randomness test on
+# the monthly series: the cheap nonparametric complement of the runs
+# test — T local extrema among n points has E[T] = 2(n−2)/3 and
+# Var[T] = (16n−29)/90 under iid, so too FEW turning points reads
+# trend/seasonality and too MANY reads negative autocorrelation.
+# ---------------------------------------------------------------------------
+
+_TP_CRIT = 1.959964
+
+_TP_ORACLE = f"""
+WITH monthly AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+         {oracle_sum('o_totalprice')} AS y
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT y,
+         LAG(y, 1) OVER (ORDER BY m) AS yp,
+         LEAD(y, 1) OVER (ORDER BY m) AS yn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM monthly
+), flags AS (
+  SELECT n,
+         CASE WHEN (y > yp AND y > yn) OR (y < yp AND y < yn)
+              THEN 1 ELSE 0 END AS tp
+  FROM lagged WHERE yp IS NOT NULL AND yn IS NOT NULL
+), s AS (
+  SELECT MAX(n) AS n, CAST(SUM(tp) AS BIGINT) AS t FROM flags
+)
+SELECT n AS n_months, t AS n_turning_points,
+       FLOOR(2.0 * (n - 2) / 3.0 * 1e6) / 1e6 AS expected,
+       FLOOR((t - 2.0 * (n - 2) / 3.0)
+             / sqrt((16.0 * n - 29.0) / 90.0) * 1e6) / 1e6 AS z_stat,
+       ABS(FLOOR((t - 2.0 * (n - 2) / 3.0)
+             / sqrt((16.0 * n - 29.0) / 90.0) * 1e6) / 1e6)
+         > {_TP_CRIT} AS rejects_randomness
+FROM s
+"""
+
+
+def ts_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count strict local extrema of the monthly revenue series and
+    z-score the count against the iid null (E = 2(n−2)/3,
+    Var = (16n−29)/90). Strict inequalities: a tie with a neighbor is
+    not a turning point (stated; ties on a decimal-bridge continuous
+    metric are measure-zero but would classify IDENTICALLY in both
+    engines regardless).
+
+    Cross-engine exactness: the flag per month is two comparisons of
+    identical doubles, T is an exact integer sum, and the z closed
+    form runs on (T, n) integers only — quantization exists solely on
+    the printed z/expected readouts.
+
+    Scale design: one corpus pass to the bounded monthly rollup, one
+    lag/lead window over it, one integer fold."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+    ).agg(dsum("o_totalprice").alias("y"))
+    w_ord = Window.partitionBy(meta_part("m")).orderBy("m")
+    w_all = Window.partitionBy(meta_part("m"))
+    lagged = monthly.select(
+        "y",
+        F.lag("y", 1).over(w_ord).alias("yp"),
+        F.lead("y", 1).over(w_ord).alias("yn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    flags = lagged.where(
+        F.col("yp").isNotNull() & F.col("yn").isNotNull()
+    ).select(
+        "n",
+        F.when(
+            ((F.col("y") > F.col("yp")) & (F.col("y") > F.col("yn")))
+            | ((F.col("y") < F.col("yp")) & (F.col("y") < F.col("yn"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("tp"),
+    )
+    s = flags.agg(
+        F.max("n").alias("n"), F.sum("tp").cast("long").alias("t")
+    )
+    n_d = F.col("n").cast("double")
+    exp = 2.0 * (n_d - 2) / 3.0
+    z = fquant(
+        (F.col("t") - exp) / F.sqrt((16.0 * n_d - 29.0) / 90.0)
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.col("t").alias("n_turning_points"),
+        fquant(exp).alias("expected"),
+        z.alias("z_stat"),
+        (F.abs(z) > _TP_CRIT).alias("rejects_randomness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_page_hinkley — STAGED for the r15 cadence (parked unregistered;
+# SURVEY round-13 log). Page-Hinkley drift monitor on observed-day
+# revenue: the SEQUENTIAL changepoint detector — pettitt and cusum
+# locate a shift retrospectively, PH walks the cumulative deviation
+# from the running mean and ALARMS the first day the excursion from
+# its running minimum exceeds λ, the shape a production data-drift
+# monitor actually runs.
+# ---------------------------------------------------------------------------
+
+_PH_DELTA = 0.005  # insensitivity margin (mean-normalized units)
+_PH_LAMBDA = 5.0  # alarm threshold (mean-normalized units)
+
+_PH_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         {oracle_sum('o_totalprice')} AS x
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT day, x,
+         CAST(SUM(CAST(x AS DECIMAL(27,6))) OVER () AS DOUBLE)
+           / COUNT(*) OVER () AS gmean,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_days
+  FROM daily
+), v AS (
+  SELECT day, n_days, x / gmean AS v,
+         ROW_NUMBER() OVER (ORDER BY day) AS i,
+         CAST(SUM(CAST(FLOOR(x / gmean * 1e12) AS DECIMAL(38,0)))
+              OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / 1e12 AS cumv
+  FROM g
+), term AS (
+  SELECT day, n_days,
+         FLOOR((v - cumv / i - {_PH_DELTA!r}) * 1e12) / 1e12 AS t
+  FROM v
+), walk AS (
+  SELECT day, n_days,
+         CAST(SUM(CAST(t AS DECIMAL(38,12))) OVER (
+           ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS ph
+  FROM term
+), exc AS (
+  SELECT day, n_days,
+         FLOOR((ph - MIN(ph) OVER (
+           ORDER BY day ROWS UNBOUNDED PRECEDING)) * 1e6) / 1e6 AS e
+  FROM walk
+)
+SELECT MAX(n_days) AS n_days,
+       FLOOR(MAX(e) * 1e6) / 1e6 AS max_excursion,
+       CAST(MIN(CASE WHEN e > {_PH_LAMBDA!r} THEN day END) AS VARCHAR)
+         AS alarm_day,
+       MIN(CASE WHEN e > {_PH_LAMBDA!r} THEN day END) IS NOT NULL
+         AS drift_detected
+FROM exc
+"""
+
+
+def orders_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley: v_t = x_t/x̄ (mean-normalized revenue),
+    PH_t = Σ_{{s≤t}} (v_s − v̄_s − δ) with v̄_s the RUNNING mean, alarm
+    at the first day PH_t − min_{{s≤t}} PH_s > λ (δ = 0.005, λ = 5
+    mean-normalized units — pinned operating point). An upward level
+    shift drives the walk away from its historical minimum; the
+    excursion readout is the monitor's live gauge.
+
+    Cross-engine exactness: the global mean rides a windowed decimal
+    sum (a bare windowed AVG of doubles is summation-order-dependent);
+    normalized values accumulate as exact pico-unit integers, so the
+    running mean v̄_s = cumv/i is identical; per-day terms quantize at
+    1e-12 into a DECIMAL(38,12) walk; the excursion quantizes at 1e-6
+    before the λ compare and the alarm day is a MIN over exact
+    comparisons. Day grain is OBSERVED days (stated — gaps advance the
+    walk only when data exists).
+
+    Scale design: one corpus pass to the calendar-bounded day frame;
+    the running mean, walk, running minimum and alarm scan are windows
+    over those ≤2405 metadata rows under meta_part."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(dsum("o_totalprice").alias("x"))
+    mp = meta_part(F.unix_date(F.col("day")))
+    w_all = Window.partitionBy(mp)
+    w_cum = (
+        Window.partitionBy(mp)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_i = Window.partitionBy(mp).orderBy("day")
+    g = daily.select(
+        "day",
+        "x",
+        (
+            F.sum(F.col("x").cast(DSCALE)).over(w_all).cast("double")
+            / F.count(F.lit(1)).over(w_all)
+        ).alias("gmean"),
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+    )
+    v = g.select(
+        "day",
+        "n_days",
+        (F.col("x") / F.col("gmean")).alias("v"),
+        F.row_number().over(w_i).alias("i"),
+        (
+            F.sum(
+                F.floor(F.col("x") / F.col("gmean") * 1e12).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .over(w_cum)
+            .cast("double")
+            / 1e12
+        ).alias("cumv"),
+    )
+    term = v.select(
+        "day",
+        "n_days",
+        fquant(
+            F.col("v") - F.col("cumv") / F.col("i") - _PH_DELTA, 12
+        ).alias("t"),
+    )
+    walk = term.select(
+        "day",
+        "n_days",
+        F.sum(F.col("t").cast("decimal(38,12)"))
+        .over(w_cum)
+        .cast("double")
+        .alias("ph"),
+    )
+    exc = walk.select(
+        "day",
+        "n_days",
+        fquant(F.col("ph") - F.min("ph").over(w_cum)).alias("e"),
+    )
+    return exc.agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        fquant(F.max("e")).alias("max_excursion"),
+        F.min(F.when(F.col("e") > _PH_LAMBDA, F.col("day")))
+        .cast("string")
+        .alias("alarm_day"),
+        F.min(F.when(F.col("e") > _PH_LAMBDA, F.col("day")))
+        .isNotNull()
+        .alias("drift_detected"),
+    )
