@@ -5751,3 +5751,119 @@ def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_stat.alias("q_stat"),
         (q_stat > _COCHRAN_CRIT).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_rank_biserial — STAGED for the r15 cadence (parked
+# unregistered; SURVEY round-13 log). Rank-biserial correlation for the
+# weekend-vs-weekday price comparison: the EFFECT-SIZE companion of
+# orders_mannwhitney_u on the same split — the deliberate
+# is-it-real / is-it-big pairing the welch/cohens_d twins established
+# for means, now for ranks.
+# ---------------------------------------------------------------------------
+
+_RB_THRESHOLDS = (0.1, 0.3, 0.5)  # conventional small/medium/large
+
+_RB_ORACLE = """
+WITH base AS (
+  SELECT ROUND(o_totalprice * 100) AS cents,
+         CAST(dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6)
+              AS INT) AS is_wknd
+  FROM orders
+),
+v AS (
+  SELECT cents, COUNT(*) AS cnt,
+         CAST(SUM(is_wknd) AS BIGINT) AS wcnt
+  FROM base GROUP BY cents
+),
+r AS (
+  SELECT cents, cnt, wcnt,
+         CAST(SUM(cnt) OVER (ORDER BY cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS BIGINT) AS below
+  FROM v
+),
+agg AS (
+  SELECT CAST(SUM(wcnt) AS DOUBLE) AS n1,
+         CAST(SUM(cnt - wcnt) AS DOUBLE) AS n2,
+         CAST(SUM(wcnt * (2 * COALESCE(below, 0) + cnt + 1))
+              AS DOUBLE) AS r1x2
+  FROM r
+),
+f AS (
+  SELECT n1, n2,
+         ((r1x2 - n1 * (n1 + 1)) / 2) / (n1 * n2) AS cl
+  FROM agg
+)
+SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(n2 AS BIGINT) AS n_weekday,
+       FLOOR(cl * 1e6) / 1e6 AS common_language,
+       FLOOR((2 * cl - 1) * 1e6) / 1e6 AS rank_biserial,
+       CASE WHEN ABS(FLOOR((2 * cl - 1) * 1e6) / 1e6) < 0.1
+                 THEN 'negligible'
+            WHEN ABS(FLOOR((2 * cl - 1) * 1e6) / 1e6) < 0.3
+                 THEN 'small'
+            WHEN ABS(FLOOR((2 * cl - 1) * 1e6) / 1e6) < 0.5
+                 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM f
+"""
+
+
+def orders_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biserial r = 2·U₁/(n₁n₂) − 1 with the SAME midrank
+    machinery as orders_mannwhitney_u (U₁ from the distinct-cents
+    value ladder — ranks never materialize per row; midranks via
+    2·below + cnt + 1 exact integers). Also prints the
+    common-language effect size U₁/(n₁n₂) — P(random weekend order
+    costs more than a random weekday one, ties half) — and the
+    conventional magnitude class applied to the QUANTIZED |r| (class
+    and printed value can never disagree — the cohens_d discipline).
+
+    Cross-engine exactness: everything before the two final ratios is
+    exact integer arithmetic on the value-grain ladder; ratios form in
+    identical op order and floor-quantize at 1e-6.
+
+    Scale design: identical to the MWU key — one value-grain rollup,
+    one meta-scale prefix window, one 1-row fold."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.dayofweek(F.col("o_orderdate").cast("date"))
+        .isin(1, 7)
+        .cast("int")
+        .alias("is_wknd"),
+    )
+    v = base.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("is_wknd").cast("long").alias("wcnt"),
+    )
+    w_below = (
+        Window.partitionBy(meta_part("cents"))
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = v.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(w_below), F.lit(0))
+    )
+    agg = r.agg(
+        F.sum("wcnt").cast("double").alias("n1"),
+        F.sum(F.col("cnt") - F.col("wcnt")).cast("double").alias("n2"),
+        F.sum(F.col("wcnt") * (2 * F.col("below") + F.col("cnt") + 1))
+        .cast("double")
+        .alias("r1x2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    cl = ((F.col("r1x2") - n1 * (n1 + 1)) / 2) / (n1 * n2)
+    rb = fquant(2 * cl - 1)
+    small, medium, large = _RB_THRESHOLDS
+    return agg.select(
+        n1.cast("long").alias("n_weekend"),
+        n2.cast("long").alias("n_weekday"),
+        fquant(cl).alias("common_language"),
+        rb.alias("rank_biserial"),
+        F.when(F.abs(rb) < small, "negligible")
+        .when(F.abs(rb) < medium, "small")
+        .when(F.abs(rb) < large, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )

@@ -12507,3 +12507,388 @@ def orders_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .isNotNull()
         .alias("drift_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_hurst_exponent — STAGED for the r15 cadence (parked unregistered;
+# SURVEY round-13 log). Rescaled-range (R/S) Hurst exponent of the
+# monthly revenue series: the LONG-MEMORY diagnostic beside the
+# stationarity triple — H ≈ 0.5 is a memoryless walk, H > 0.5
+# persistent trends, H < 0.5 mean reversion; the variance-ratio test
+# reads one q, Hurst reads the scaling law across block sizes.
+# ---------------------------------------------------------------------------
+
+_HURST_SIZES = (10, 20, 40)  # block sizes; fixture has ~80 months
+
+_HURST_ORACLE = f"""
+WITH monthly AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+         {oracle_sum('o_totalprice')} AS y
+  FROM orders GROUP BY 1
+), st AS (
+  SELECT {oracle_sum('y')} / COUNT(*) AS gmean FROM monthly
+), idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY m) - 1 AS i, y / gmean AS v
+  FROM monthly CROSS JOIN st
+), sized AS (
+  SELECT s.sz, CAST(i // s.sz AS BIGINT) AS blk, i, v
+  FROM idx CROSS JOIN (VALUES {", ".join(f"({s})" for s in _HURST_SIZES)})
+       AS s(sz)
+  WHERE i < s.sz * ((SELECT COUNT(*) FROM idx) // s.sz)
+), bstat AS (
+  SELECT sz, blk,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(v * 1e12) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e12 / COUNT(*) AS bmean,
+         CAST(SUM(CAST(FLOOR(v * v * 1e12) / 1e12 AS DECIMAL(38,12)))
+              AS DOUBLE) / COUNT(*) AS bms
+  FROM sized GROUP BY sz, blk
+), dev AS (
+  SELECT s.sz, s.blk, s.i, s.v - b.bmean AS d,
+         sqrt(b.bms - b.bmean * b.bmean) AS sd
+  FROM sized s JOIN bstat b ON s.sz = b.sz AND s.blk = b.blk
+), cum AS (
+  SELECT sz, blk, sd,
+         CAST(SUM(CAST(FLOOR(d * 1e12) AS DECIMAL(38,0))) OVER (
+           PARTITION BY sz, blk ORDER BY i
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e12 AS c
+  FROM dev
+), rs AS (
+  SELECT sz, blk,
+         FLOOR((MAX(c) - MIN(c)) / MAX(sd) * 1e12) / 1e12 AS rs
+  FROM cum GROUP BY sz, blk
+), per_size AS (
+  SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(CAST(rs AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+           AS avg_rs
+  FROM rs GROUP BY sz
+), pts AS (
+  SELECT sz, n_blocks, avg_rs,
+         ln(CAST(sz AS DOUBLE)) AS lx, ln(avg_rs) AS ly
+  FROM per_size
+), fit AS (
+  SELECT sz, n_blocks, avg_rs,
+         (SUM(lx * ly) OVER () - SUM(lx) OVER () * SUM(ly) OVER ()
+            / COUNT(*) OVER ())
+         / (SUM(lx * lx) OVER () - SUM(lx) OVER () * SUM(lx) OVER ()
+            / COUNT(*) OVER ()) AS h
+  FROM pts
+)
+SELECT sz AS block_size, n_blocks,
+       FLOOR(avg_rs * 1e6) / 1e6 AS avg_rescaled_range,
+       FLOOR(h * 1e6) / 1e6 AS hurst_h
+FROM fit
+"""
+
+
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R/S Hurst: split the mean-normalized monthly series into full
+    blocks of {_HURST_SIZES} months; per block, R = range of the
+    demeaned cumulative sum and S = population sd; H is the OLS slope
+    of ln(avg R/S) against ln(block size) over the three points
+    (emitted on every per-size row — the readout carries its own
+    evidence curve, the lift-table shape).
+
+    Cross-engine exactness: the series mean-normalizes first (R/S is
+    scale-invariant — the KPSS magnitude doctrine); per-block cumsums
+    ride exact pico-unit integers inside ordered windows; per-block
+    R/S quantizes at 1e-12 before the DECIMAL(38,12) per-size average;
+    the 3-point OLS runs in identical op order on identical doubles.
+    The tiny 3-point slope window sums doubles over a FIXED 3-row
+    frame — order-independent because ln(avg_rs) values are identical
+    in both engines and the sum is re-associated identically over the
+    same unordered 3-element set in practice; the quantized readout at
+    1e-6 absorbs the (measure-zero) re-association residue.
+
+    Scale design: one corpus pass to the cached bounded monthly frame;
+    the size spine is a 3-row literal crossed with ≤ n·|sizes|
+    metadata rows; every window is (size, block)-keyed."""
+    from trireme_spark.operators.hints import cache_once
+
+    o = table(spark, sf_dir, "orders")
+    monthly = cache_once(
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "m"
+            )
+        ).agg(dsum("o_totalprice").alias("y"))
+    )
+    st = monthly.agg(
+        (dsum("y") / F.count(F.lit(1))).alias("gmean"),
+        F.count(F.lit(1)).alias("n_tot"),
+    )
+    w_i = Window.partitionBy(meta_part("m")).orderBy("m")
+    idx = monthly.crossJoin(F.broadcast(st)).select(
+        (F.row_number().over(w_i) - 1).alias("i"),
+        (F.col("y") / F.col("gmean")).alias("v"),
+        "n_tot",
+    )
+    sizes = F.explode(
+        F.array(*[F.lit(s) for s in _HURST_SIZES])
+    ).alias("sz")
+    sized = (
+        idx.select("i", "v", "n_tot", sizes)
+        .where(
+            F.col("i")
+            < F.col("sz") * F.floor(F.col("n_tot") / F.col("sz"))
+        )
+        .select(
+            "sz",
+            F.floor(F.col("i") / F.col("sz")).cast("long").alias("blk"),
+            "i",
+            "v",
+        )
+    )
+    bstat = sized.groupBy("sz", "blk").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.floor(F.col("v") * 1e12).cast("decimal(38,0)"))
+            .cast("double")
+            / 1e12
+            / F.count(F.lit(1))
+        ).alias("bmean"),
+        (
+            F.sum(
+                fquant(F.col("v") * F.col("v"), 12).cast(
+                    "decimal(38,12)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("bms"),
+    )
+    dev = sized.join(bstat, ["sz", "blk"]).select(
+        "sz",
+        "blk",
+        "i",
+        (F.col("v") - F.col("bmean")).alias("d"),
+        F.sqrt(F.col("bms") - F.col("bmean") * F.col("bmean")).alias(
+            "sd"
+        ),
+    )
+    w_blk = (
+        Window.partitionBy("sz", "blk")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dev.select(
+        "sz",
+        "blk",
+        "sd",
+        (
+            F.sum(F.floor(F.col("d") * 1e12).cast("decimal(38,0)"))
+            .over(w_blk)
+            .cast("double")
+            / 1e12
+        ).alias("c"),
+    )
+    rs = cum.groupBy("sz", "blk").agg(
+        fquant(
+            (F.max("c") - F.min("c")) / F.max("sd"), 12
+        ).alias("rs")
+    )
+    per_size = rs.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        (
+            F.sum(F.col("rs").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_rs"),
+    )
+    pts = per_size.select(
+        "sz",
+        "n_blocks",
+        "avg_rs",
+        F.log(F.col("sz").cast("double")).alias("lx"),
+        F.log("avg_rs").alias("ly"),
+    )
+    w_all = Window.partitionBy(meta_part("sz"))
+    npts = F.count(F.lit(1)).over(w_all)
+    sx = F.sum("lx").over(w_all)
+    sy = F.sum("ly").over(w_all)
+    sxy = F.sum(F.col("lx") * F.col("ly")).over(w_all)
+    sxx = F.sum(F.col("lx") * F.col("lx")).over(w_all)
+    h = (sxy - sx * sy / npts) / (sxx - sx * sx / npts)
+    return pts.select(
+        F.col("sz").cast("long").alias("block_size"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        fquant(F.col("avg_rs")).alias("avg_rescaled_range"),
+        fquant(h).alias("hurst_h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_littles_law_check — STAGED for the r15 cadence (parked
+# unregistered; SURVEY round-13 log). Little's law consistency check on
+# 30-min-gap sessions: L = λ·W ties arrivals, time-in-system and
+# average occupancy together; the key measures BOTH sides — L from the
+# identity (Σ durations / span) and L from an independent per-minute
+# occupancy sample (the boundary sweep) — and prints the discretization
+# gap between them. The operational-analytics referee: if a dashboard's
+# "concurrent users" and "session length" disagree with its "arrival
+# rate", one of the three is mismeasured.
+# ---------------------------------------------------------------------------
+
+_LITTLE_GAP_MIN = 30  # sessionization gap (the t3/peak-concurrency gap)
+
+_LITTLE_ORACLE = f"""
+WITH s AS (
+  SELECT user_id,
+         epoch_us(min(ts)) AS s_us,
+         epoch_us(max(ts)) AS e_us
+  FROM (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts,
+                                  event_id) AS sid
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL {_LITTLE_GAP_MIN} MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+  ) GROUP BY user_id, sid
+), m AS (
+  SELECT s_us // 60000000 AS m0, e_us // 60000000 AS m1,
+         e_us - s_us AS dur_us
+  FROM s
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us,
+         MIN(m0) AS grid_lo, MAX(m1) + 1 AS grid_hi
+  FROM m
+), b AS (
+  SELECT m0 AS minute, 1 AS delta FROM m
+  UNION ALL
+  SELECT m1 + 1, -1 FROM m
+), bm AS (
+  SELECT minute, CAST(SUM(delta) AS BIGINT) AS d
+  FROM b GROUP BY minute
+), sweep AS (
+  SELECT minute,
+         SUM(d) OVER (ORDER BY minute ROWS UNBOUNDED PRECEDING)
+           AS conc,
+         LEAD(minute) OVER (ORDER BY minute) AS nxt
+  FROM bm
+), occ AS (
+  SELECT CAST(SUM(conc * (COALESCE(nxt, minute) - minute)) AS BIGINT)
+    AS conc_minutes
+  FROM sweep
+)
+SELECT n_sessions,
+       CAST(grid_hi - grid_lo AS BIGINT) AS span_minutes,
+       FLOOR(CAST(sum_dur_us AS DOUBLE) / n_sessions / 6e7 * 1e6) / 1e6
+         AS w_mean_minutes,
+       FLOOR(CAST(n_sessions AS DOUBLE) / (grid_hi - grid_lo) * 1e6)
+         / 1e6 AS lambda_per_minute,
+       FLOOR(CAST(sum_dur_us AS DOUBLE) / 6e7 / (grid_hi - grid_lo)
+             * 1e6) / 1e6 AS l_littles,
+       FLOOR(CAST(conc_minutes AS DOUBLE) / (grid_hi - grid_lo) * 1e6)
+         / 1e6 AS l_sampled,
+       FLOOR((CAST(conc_minutes AS DOUBLE) / (grid_hi - grid_lo)
+              - CAST(sum_dur_us AS DOUBLE) / 6e7 / (grid_hi - grid_lo))
+             * 1e6) / 1e6 AS sampling_bias
+FROM occ CROSS JOIN tot
+"""
+
+
+def events_littles_law_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Both sides of L = λ·W on 30-min-gap sessions (duration = raw
+    activity span, zero-duration single-event sessions included —
+    stated): the identity side L = Σdur/span, and an INDEPENDENT
+    minute-granular occupancy sample (a session occupies every minute
+    it touches; +1/−1 boundary sweep, occupancy-minutes weighted by
+    the gap to the next boundary). The printed sampling_bias is the
+    discretization overcount — the number that explains why a
+    per-minute "active users" dashboard always reads above λ·W.
+
+    Cross-engine exactness: everything is exact integer arithmetic on
+    epoch-microsecond ids (durations, minute ids, deltas, occupancy-
+    minutes) until the four final ratios, which form in identical op
+    order and floor-quantize at 1e-6.
+
+    Scale design: sessionization is the t3 user-keyed gaps-and-islands
+    window; the sweep runs over session-grain boundary rows (the
+    peak-concurrency shape — the two-pass time-bucket machinery is the
+    documented swap when sessions outgrow the meta-window); the folds
+    are 1-row."""
+    ev = table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w_u).isNull()
+        | (
+            F.col("ts") - F.lag("ts").over(w_u)
+            >= F.expr(f"INTERVAL {_LITTLE_GAP_MIN} MINUTES")
+        ),
+        1,
+    ).otherwise(0)
+    sid = ev.select(
+        "user_id", "ts", "event_id", new_s.alias("new_session")
+    ).withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w_u.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # the ltz cast is value-preserving under prep()'s UTC session and
+    # matches DuckDB's epoch_us (the join_point_in_time bridge)
+    s_us = F.unix_micros(F.min("ts").cast("timestamp"))
+    e_us = F.unix_micros(F.max("ts").cast("timestamp"))
+    m = sid.groupBy("user_id", "sid").agg(
+        (s_us / 60000000).cast("long").alias("m0"),
+        (e_us / 60000000).cast("long").alias("m1"),
+        (e_us - s_us).alias("dur_us"),
+    )
+    from trireme_spark.operators.hints import cache_once
+
+    m = cache_once(m)
+    tot = m.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("dur_us").cast("long").alias("sum_dur_us"),
+        F.min("m0").alias("grid_lo"),
+        (F.max("m1") + 1).alias("grid_hi"),
+    )
+    b = m.select(F.col("m0").alias("minute"), F.lit(1).alias("delta")).unionByName(
+        m.select((F.col("m1") + 1).alias("minute"), F.lit(-1).alias("delta"))
+    )
+    bm = b.groupBy("minute").agg(F.sum("delta").cast("long").alias("d"))
+    w_sweep = (
+        Window.partitionBy(meta_part("minute"))
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lead = Window.partitionBy(meta_part("minute")).orderBy("minute")
+    sweep = bm.select(
+        "minute",
+        F.sum("d").over(w_sweep).alias("conc"),
+        F.lead("minute").over(w_lead).alias("nxt"),
+    )
+    occ = sweep.agg(
+        F.sum(
+            F.col("conc")
+            * (F.coalesce(F.col("nxt"), F.col("minute")) - F.col("minute"))
+        )
+        .cast("long")
+        .alias("conc_minutes")
+    )
+    f = occ.crossJoin(F.broadcast(tot))
+    span = (F.col("grid_hi") - F.col("grid_lo")).cast("double")
+    dur_min = F.col("sum_dur_us").cast("double") / 6e7
+    l_littles = dur_min / span
+    l_sampled = F.col("conc_minutes").cast("double") / span
+    return f.select(
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        (F.col("grid_hi") - F.col("grid_lo"))
+        .cast("long")
+        .alias("span_minutes"),
+        fquant(dur_min / F.col("n_sessions")).alias("w_mean_minutes"),
+        fquant(F.col("n_sessions").cast("double") / span).alias(
+            "lambda_per_minute"
+        ),
+        fquant(l_littles).alias("l_littles"),
+        fquant(l_sampled).alias("l_sampled"),
+        fquant(l_sampled - l_littles).alias("sampling_bias"),
+    )
