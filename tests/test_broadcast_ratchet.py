@@ -140,6 +140,9 @@ AUDITED = {
         # half-step (two sites inside the unrolled loop; both frames
         # are single-row aggregates).
         "graph_bipartite_hits": 2,
+        # r15 staging audit: clustering coefficient attaches the 1-row
+        # edge-count fold to the 1-row node/triangle fold
+        "graph_clustering_coefficient": 1,
     },
     "queries/llm_sim.py": {
         # r14-staged audit: the LSH referee attaches two 1-row count
@@ -232,8 +235,12 @@ AUDITED = {
         "ts_conformal_interval_eval": 1,
         "ts_kpss_stationarity": 1,
         # r15 staging audit: the VR test attaches its 1-row
-        # (n, mu) stats frame to the bounded returns frame
+        # (n, mu) stats frame to the bounded returns frame; hurst its
+        # 1-row (gmean, n) frame; little's law its 1-row session
+        # totals frame
         "ts_variance_ratio_test": 1,
+        "ts_hurst_exponent": 1,
+        "events_littles_law_check": 1,
         "ts_sample_entropy": 2,
         "ts_ar1_fit": 1,
         "ts_autocorrelation": 2,
