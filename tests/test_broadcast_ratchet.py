@@ -59,8 +59,10 @@ AUDITED = {
     "operators/winframes.py": {"global_range_frame_sum": 4, "two_pass_ntile": 2},
     "queries/aggregates.py": {
         # r13 staging audit: cronbach's grand-mean and total-variance
-        # 1-row attaches
+        # 1-row attaches; fisher's 1-row observed-lnp attach (the H
+        # spine joins ride broadcast_if_small)
         "agg_cronbach_alpha": 2,
+        "agg_fisher_exact_2x2": 1,
         # r13-staged audit: the lift table attaches the 1-row
         # score-range frame (the corpus-dim customer/label join is
         # deliberately NOT broadcast); the permutation test rides its

@@ -5867,3 +5867,215 @@ def orders_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
         .alias("magnitude"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_fisher_exact_2x2 — STAGED for the r15 cadence (parked
+# unregistered; SURVEY round-13 log). Fisher's EXACT test on the
+# (BUILDING segment) × (deep-delinquent balance) 2×2: the exact-
+# inference member of the proportion family — odds_ratio_2x2 quotes
+# the Wald CI and χ²-class approximations, which are exactly what
+# breaks on small cells; Fisher sums the hypergeometric tail itself.
+# The whole computation is SQL algebra: log-factorials come from a
+# prefix-summed ln spine (no lgamma builtin needed in either engine),
+# and the support enumeration is a margin-bounded sequence.
+# ---------------------------------------------------------------------------
+
+_FISHER_BAL = -500.0  # deep-delinquent threshold (rare outcome)
+_FISHER_SEG = "BUILDING"
+
+_FISHER_ORACLE = f"""
+WITH cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE c_mktsegment = '{_FISHER_SEG}')
+              AS BIGINT) AS r1,
+         CAST(COUNT(*) FILTER (WHERE c_acctbal < {_FISHER_BAL})
+              AS BIGINT) AS c1,
+         CAST(COUNT(*) FILTER (WHERE c_mktsegment = '{_FISHER_SEG}'
+                               AND c_acctbal < {_FISHER_BAL})
+              AS BIGINT) AS a
+  FROM customer
+), spine AS (
+  -- H(i) = Σ_{{j≤i}} ln j (H(0) = 0 via ln(max(i,1))): exact pico-unit
+  -- prefix sums make every log-binomial difference bit-identical
+  SELECT i,
+         CAST(SUM(CAST(FLOOR(ln(GREATEST(i, 1)) * 1e12)
+                       AS DECIMAL(38,12))) OVER (
+           ORDER BY i ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e12 AS h
+  FROM (SELECT unnest(generate_series(0, (SELECT n FROM cells))) AS i)
+), k AS (
+  SELECT unnest(generate_series(GREATEST(0, r1 + c1 - n),
+                                LEAST(r1, c1))) AS k,
+         n, r1, c1, a
+  FROM cells
+), lp AS (
+  SELECT k.k, k.a,
+         FLOOR((hr1.h - hk.h - hr1k.h
+                + hr2.h - hc1k.h - hr2k.h
+                - (hn.h - hc1.h - hnc1.h)) * 1e12) / 1e12 AS lnp
+  FROM k
+  JOIN spine hk   ON hk.i = k.k
+  JOIN spine hr1k ON hr1k.i = k.r1 - k.k
+  JOIN spine hc1k ON hc1k.i = k.c1 - k.k
+  JOIN spine hr2k ON hr2k.i = k.n - k.r1 - k.c1 + k.k
+  JOIN spine hr1  ON hr1.i = k.r1
+  JOIN spine hr2  ON hr2.i = k.n - k.r1
+  JOIN spine hn   ON hn.i = k.n
+  JOIN spine hc1  ON hc1.i = k.c1
+  JOIN spine hnc1 ON hnc1.i = k.n - k.c1
+), obs AS (
+  SELECT lnp AS lnp_obs FROM lp WHERE k = a
+), p AS (
+  SELECT CAST(SUM(CAST(FLOOR(exp(lnp) * 1e15) AS DECIMAL(38,0)))
+              AS DOUBLE) / 1e15 AS p2
+  FROM lp CROSS JOIN obs
+  WHERE lnp <= lnp_obs
+)
+SELECT n, r1 AS n_exposed, c1 AS n_outcome, a AS n_both,
+       FLOOR(p2 * 1e6) / 1e6 AS p_two_sided,
+       FLOOR(p2 * 1e6) / 1e6 < 0.05 AS significant
+FROM p CROSS JOIN cells
+"""
+
+
+def agg_fisher_exact_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided Fisher exact p = Σ_{{k: P(k) ≤ P(a)}} P(k) over the
+    hypergeometric support (the "sum of probabilities no larger than
+    the observed table" convention, applied to 1e-12-quantized log
+    probabilities so the inclusion rule is a tie-free total order —
+    stated). P(k) = C(r1,k)·C(n−r1,c1−k)/C(n,c1) with every binomial
+    in LOG space via prefix sums of ln(i) — the spine trick that
+    makes exact inference pure SQL in both engines (no lgamma).
+
+    Cross-engine exactness: H(i) rides exact pico-unit DECIMAL(38,12)
+    running sums of quantized ln terms, so every lnp(k) is
+    bit-identical; probabilities re-enter linear space via exp on
+    identical doubles and sum as 1e-15-quantized exact integers
+    (support terms below 1e-15 drop identically in both engines —
+    invisible at the 1e-6 readout).
+
+    Scale design: the ln spine and the support enumeration are
+    MARGIN-bounded sequences (keyed window + equi-joins on bounded
+    frames) — linear in the subpopulation, never in corpus pairs. The
+    exact test's statistical domain IS small cells; when margins
+    outgrow it, events_odds_ratio_2x2's normal machinery is the
+    documented path (and this key's cost stays margin-linear
+    regardless)."""
+    from trireme_spark.operators.hints import cache_once as _co
+
+    c = table(spark, sf_dir, "customer")
+    # the 1-row margin frame feeds THREE consumers (ln spine, support
+    # enumeration, final attach) — cached so the corpus scans once
+    cells = _co(
+        c.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("c_mktsegment") == _FISHER_SEG).alias("r1"),
+            F.count_if(F.col("c_acctbal") < _FISHER_BAL).alias("c1"),
+            F.count_if(
+                (F.col("c_mktsegment") == _FISHER_SEG)
+                & (F.col("c_acctbal") < _FISHER_BAL)
+            ).alias("a"),
+        )
+    )
+    spine = cells.select(
+        F.explode(F.sequence(F.lit(0), F.col("n"))).alias("i")
+    )
+    w_h = (
+        Window.partitionBy(meta_part("i"))
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    h = spine.select(
+        "i",
+        (
+            F.sum(
+                F.floor(
+                    F.log(F.greatest(F.col("i"), F.lit(1))) * 1e12
+                ).cast("decimal(38,12)")
+            )
+            .over(w_h)
+            .cast("double")
+            / 1e12
+        ).alias("h"),
+    )
+    from trireme_spark.operators.hints import broadcast_if_small, cache_once
+
+    h = cache_once(h)
+    k = cells.select(
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.lit(0), F.col("r1") + F.col("c1") - F.col("n")
+                ),
+                F.least(F.col("r1"), F.col("c1")),
+            )
+        ).alias("k"),
+        "n",
+        "r1",
+        "c1",
+        "a",
+    )
+
+    def hjoin(df, idx_expr, out):
+        hh = broadcast_if_small(
+            h.select(F.col("i").alias(f"_i_{out}"), F.col("h").alias(out))
+        )
+        return df.join(hh, idx_expr == F.col(f"_i_{out}")).drop(
+            f"_i_{out}"
+        )
+
+    lp = k
+    lp = hjoin(lp, F.col("k"), "hk")
+    lp = hjoin(lp, F.col("r1") - F.col("k"), "hr1k")
+    lp = hjoin(lp, F.col("c1") - F.col("k"), "hc1k")
+    lp = hjoin(
+        lp, F.col("n") - F.col("r1") - F.col("c1") + F.col("k"), "hr2k"
+    )
+    lp = hjoin(lp, F.col("r1"), "hr1")
+    lp = hjoin(lp, F.col("n") - F.col("r1"), "hr2")
+    lp = hjoin(lp, F.col("n"), "hn")
+    lp = hjoin(lp, F.col("c1"), "hc1")
+    lp = hjoin(lp, F.col("n") - F.col("c1"), "hnc1")
+    lnp = fquant(
+        F.col("hr1")
+        - F.col("hk")
+        - F.col("hr1k")
+        + F.col("hr2")
+        - F.col("hc1k")
+        - F.col("hr2k")
+        - (F.col("hn") - F.col("hc1") - F.col("hnc1")),
+        12,
+    )
+    scored = lp.select(
+        "k", "n", "r1", "c1", "a", lnp.alias("lnp")
+    )
+    obs = scored.where(F.col("k") == F.col("a")).select(
+        F.col("lnp").alias("lnp_obs")
+    )
+    p = (
+        scored.crossJoin(F.broadcast(obs))
+        .where(F.col("lnp") <= F.col("lnp_obs"))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("r1").alias("n_exposed"),
+            F.max("c1").alias("n_outcome"),
+            F.max("a").alias("n_both"),
+            (
+                F.sum(
+                    F.floor(F.exp(F.col("lnp")) * 1e15).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 1e15
+            ).alias("p2"),
+        )
+    )
+    pq = fquant(F.col("p2"))
+    return p.select(
+        "n",
+        "n_exposed",
+        "n_outcome",
+        "n_both",
+        pq.alias("p_two_sided"),
+        (pq < 0.05).alias("significant"),
+    )
