@@ -63,6 +63,8 @@ AUDITED = {
         # spine joins ride broadcast_if_small)
         "agg_cronbach_alpha": 2,
         "agg_fisher_exact_2x2": 1,
+        # r15 staging audit: kish's 1-row (n, wbar) stats attach
+        "sample_kish_design_effect": 1,
         # r13-staged audit: the lift table attaches the 1-row
         # score-range frame (the corpus-dim customer/label join is
         # deliberately NOT broadcast); the permutation test rides its

@@ -6079,3 +6079,254 @@ def agg_fisher_exact_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq.alias("p_two_sided"),
         (pq < 0.05).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_youden_j_threshold — STAGED for the r15 cadence (parked
+# unregistered; SURVEY round-13 log). Youden-J optimal operating point
+# on the SAME score/label pair as orders_auc_roc / orders_score_lift_table:
+# AUC says the ranking works, the lift table says where, calibration
+# says the probabilities are honest — and this says WHICH THRESHOLD to
+# actually deploy (max sensitivity + specificity − 1).
+# ---------------------------------------------------------------------------
+
+_YOUDEN_ORACLE = """
+WITH lab AS (
+  SELECT o_custkey AS custkey,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+           AS pos
+  FROM orders GROUP BY o_custkey
+),
+cust AS (
+  SELECT c_acctbal AS score, COALESCE(pos, 0) AS pos
+  FROM customer LEFT JOIN lab ON c_custkey = custkey
+),
+vals AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(pos) AS BIGINT) AS npos
+  FROM cust GROUP BY score
+),
+tot AS (
+  SELECT CAST(SUM(npos) AS BIGINT) AS p,
+         CAST(SUM(cnt - npos) AS BIGINT) AS q
+  FROM vals
+),
+cum AS (
+  -- classify positive when score >= threshold: cumulate from the TOP
+  SELECT score AS thr,
+         SUM(npos) OVER (ORDER BY score DESC
+                         ROWS UNBOUNDED PRECEDING) AS tp,
+         SUM(cnt - npos) OVER (ORDER BY score DESC
+                               ROWS UNBOUNDED PRECEDING) AS fp
+  FROM vals
+),
+scored AS (
+  -- J's argmax rides the EXACT INTEGER numerator tp*q - fp*p (the
+  -- denominator p*q is constant): no float enters the ordering at all
+  SELECT thr, tp, fp, p, q,
+         tp * q - fp * p AS j_num
+  FROM cum CROSS JOIN tot
+),
+best AS (
+  SELECT thr, tp, fp, p, q, j_num,
+         ROW_NUMBER() OVER (ORDER BY j_num DESC, thr DESC) AS rn
+  FROM scored
+)
+SELECT p AS n_pos, q AS n_neg,
+       FLOOR(thr * 1e6) / 1e6 AS best_threshold,
+       FLOOR(CAST(j_num AS DOUBLE) / (p * q) * 1e6) / 1e6 AS youden_j,
+       FLOOR(CAST(tp AS DOUBLE) / p * 1e6) / 1e6 AS sensitivity,
+       FLOOR((1.0 - CAST(fp AS DOUBLE) / q) * 1e6) / 1e6 AS specificity
+FROM best WHERE rn = 1
+"""
+
+
+def agg_youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J(t) = TPR(t) − FPR(t) maximized over every distinct score
+    threshold (classify positive at score ≥ t), with the
+    highest-threshold tie-break (the conservative deployment choice —
+    stated). The argmax orders by the EXACT INTEGER numerator
+    TP·N − FP·P, so no float ever enters the ranking — the tie-free
+    total order comes free from the value-grain ladder.
+
+    Cross-engine exactness: the ladder carries exact (cnt, npos)
+    integers; cumulative TP/FP are ordered integer window sums; only
+    the four printed readouts quantize at 1e-6.
+
+    Scale design: the AUC key's plan — one orders rollup to customer
+    grain, one KEYED customer join, one pass to score-value grain, a
+    cumulative window over the value ladder, one argmax row."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    lab = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("pos")
+    )
+    cust = c.join(lab, c["c_custkey"] == lab["custkey"], "left").select(
+        F.col("c_acctbal").alias("score"),
+        F.coalesce(F.col("pos"), F.lit(0)).alias("pos"),
+    )
+    vals = cust.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("pos").cast("long").alias("npos"),
+    )
+    w_all = Window.partitionBy(meta_part("cnt"))
+    w_top = (
+        Window.partitionBy(meta_part("cnt"))
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = vals.select(
+        F.col("score").alias("thr"),
+        F.sum("npos").over(w_top).alias("tp"),
+        F.sum(F.col("cnt") - F.col("npos")).over(w_top).alias("fp"),
+        F.sum("npos").over(w_all).alias("p"),
+        F.sum(F.col("cnt") - F.col("npos")).over(w_all).alias("q"),
+    ).withColumn(
+        "j_num", F.col("tp") * F.col("q") - F.col("fp") * F.col("p")
+    )
+    w_rank = Window.partitionBy(meta_part("p")).orderBy(
+        F.col("j_num").desc(), F.col("thr").desc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(w_rank)).where(
+        F.col("rn") == 1
+    )
+    return best.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("q").cast("long").alias("n_neg"),
+        fquant(F.col("thr")).alias("best_threshold"),
+        fquant(
+            F.col("j_num").cast("double") / (F.col("p") * F.col("q"))
+        ).alias("youden_j"),
+        fquant(F.col("tp").cast("double") / F.col("p")).alias(
+            "sensitivity"
+        ),
+        fquant(
+            1.0 - F.col("fp").cast("double") / F.col("q")
+        ).alias("specificity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_kish_design_effect — STAGED for the r15 cadence (parked
+# unregistered; SURVEY round-13 log). Kish's design effect / effective
+# sample size for spend-weighted customer estimates: the sampling
+# family's HONESTY gauge — stratified/Neyman/PPS pick the sample,
+# deff says how much precision the weighting actually cost
+# (n_eff = (Σw)²/Σw²; deff = n/n_eff ≥ 1 always).
+# ---------------------------------------------------------------------------
+
+_KISH_ORACLE = f"""
+WITH w AS (
+  SELECT c_custkey, c_acctbal,
+         COALESCE(s.spend, 0.0) + 1.0 AS wt
+  FROM customer
+  LEFT JOIN (
+    SELECT o_custkey, {oracle_sum('o_totalprice')} AS spend
+    FROM orders GROUP BY o_custkey
+  ) s ON o_custkey = c_custkey
+), g AS (
+  SELECT c_custkey, c_acctbal, wt,
+         CAST(SUM(CAST(wt AS DECIMAL(27,6))) OVER () AS DOUBLE)
+           / COUNT(*) OVER () AS wbar,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM w
+), v AS (
+  -- mean-normalized weights (deff is scale-invariant): every
+  -- quantized term stays inside 2^53 at any spend scale
+  SELECT n, c_acctbal, wt / wbar AS v FROM g
+), s AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CAST(FLOOR(v * 1e9) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e9 AS s1,
+         CAST(SUM(CAST(FLOOR(v * v * 1e9) / 1e9 AS DECIMAL(38,9)))
+              AS DOUBLE) AS s2,
+         CAST(SUM(CAST(FLOOR(v * c_acctbal * 1e6) AS DECIMAL(38,0)))
+              AS DOUBLE) / 1e6 AS swx,
+         {oracle_sum('c_acctbal')} AS sx
+  FROM v
+)
+SELECT n AS n_customers,
+       FLOOR(s1 * s1 / s2 * 1e6) / 1e6 AS n_effective,
+       FLOOR(n / (s1 * s1 / s2) * 1e6) / 1e6 AS kish_deff,
+       FLOOR(swx / s1 * 1e6) / 1e6 AS weighted_mean_acctbal,
+       FLOOR(sx / n * 1e6) / 1e6 AS unweighted_mean_acctbal
+FROM s
+"""
+
+
+def sample_kish_design_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """n_eff = (Σw)²/Σw² and deff = n/n_eff on spend-proportional
+    weights (w = total spend + 1, so zero-order customers keep a
+    floor weight — stated), printed beside the weighted vs unweighted
+    balance means the weights actually move. deff ≈ 1 means the
+    weighting is nearly free; a heavy-spend-tail corpus pushes it up —
+    the number that says whether a PPS estimate's nominal n is honest.
+
+    Cross-engine exactness: weights mean-normalize first (deff is
+    scale-invariant — the KPSS magnitude doctrine), then Σv and Σv²
+    ride nano-unit exact integer/decimal sums; the weighted mean's
+    cross-terms quantize at 1e-6 into exact integer sums.
+
+    Scale design: one orders rollup to customer grain, one KEYED dim
+    join, one 1-row fold — everything map-side-combinable."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        dsum("o_totalprice").alias("spend")
+    )
+    w = c.join(spend, c["c_custkey"] == spend["custkey"], "left").select(
+        "c_acctbal",
+        (F.coalesce(F.col("spend"), F.lit(0.0)) + 1.0).alias("wt"),
+    )
+    from trireme_spark.operators.hints import cache_once
+
+    # the customer-grain weight frame feeds the 1-row stats AND the
+    # normalized fold — cached so the corpus scans once
+    wc = cache_once(w)
+    st = wc.agg(
+        F.count(F.lit(1)).alias("n"),
+        (dsum("wt") / F.count(F.lit(1))).alias("wbar"),
+    )
+    v = wc.crossJoin(F.broadcast(st)).select(
+        "n",
+        "c_acctbal",
+        (F.col("wt") / F.col("wbar")).alias("v"),
+    )
+    s = v.agg(
+        F.max("n").alias("n"),
+        (
+            F.sum(F.floor(F.col("v") * 1e9).cast("decimal(38,0)"))
+            .cast("double")
+            / 1e9
+        ).alias("s1"),
+        F.sum(
+            fquant(F.col("v") * F.col("v"), 9).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("s2"),
+        (
+            F.sum(
+                F.floor(F.col("v") * F.col("c_acctbal") * 1e6).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / 1e6
+        ).alias("swx"),
+        dsum("c_acctbal").alias("sx"),
+    )
+    neff = F.col("s1") * F.col("s1") / F.col("s2")
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        fquant(neff).alias("n_effective"),
+        fquant(F.col("n") / neff).alias("kish_deff"),
+        fquant(F.col("swx") / F.col("s1")).alias(
+            "weighted_mean_acctbal"
+        ),
+        fquant(F.col("sx") / F.col("n")).alias(
+            "unweighted_mean_acctbal"
+        ),
+    )

@@ -2366,3 +2366,131 @@ def graph_clustering_coefficient(
             F.col("sum_local") / F.col("n_deg_ge2")
         ).alias("mean_local_cc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_rich_club_coefficient — STAGED for the r15 cadence (parked
+# unregistered; SURVEY round-13 log). Rich-club coefficient φ(k) =
+# 2·E_k/(N_k(N_k−1)) at pinned degree thresholds over the co-purchase
+# graph: do the high-degree hubs preferentially connect to EACH OTHER?
+# The hub-structure readout beside assortativity's single global
+# correlation — a rising φ(k) curve is the "core elite" signature.
+# ---------------------------------------------------------------------------
+
+_RICH_CLUB_KS = (2, 4, 8)  # degree thresholds (fixture-pinned non-empty)
+
+_RICH_CLUB_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS c
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT x, y FROM p WHERE c >= 2),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+  GROUP BY node
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _RICH_CLUB_KS)}]) AS k),
+rich AS (
+  SELECT k, node FROM ks JOIN deg ON d > k
+),
+nk AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rich FROM rich GROUP BY k
+),
+ek AS (
+  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_rich
+  FROM ks
+  LEFT JOIN (
+    SELECT rx.k AS k
+    FROM e
+    JOIN rich rx ON rx.node = e.x
+    JOIN rich ry ON ry.node = e.y AND ry.k = rx.k
+  ) hit ON hit.k = ks.k
+  GROUP BY ks.k
+)
+SELECT nk.k AS degree_threshold, nk.n_rich, ek.e_rich,
+       FLOOR(2.0 * ek.e_rich / (nk.n_rich * (nk.n_rich - 1)) * 1e6)
+         / 1e6 AS phi
+FROM nk JOIN ek ON nk.k = ek.k
+"""
+
+
+def graph_rich_club_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """φ(k) at k ∈ {_RICH_CLUB_KS}: the density of the subgraph induced
+    by nodes of degree > k, one row per threshold. φ(k) → 1 as the
+    elite tightens into a clique; comparing across k IS the curve
+    (nested clubs: the k=8 club is a subset of the k=2 club, so the
+    row set carries its own containment structure — pinned in tests).
+
+    Cross-engine exactness: degrees, club memberships and club edge
+    counts are exact integers (membership via strict d > k on exact
+    degree counts); only φ quantizes at 1e-6.
+
+    Scale design: the triangle key's staged edge set, one degree
+    rollup, a 3-row literal threshold spine, membership and club-edge
+    joins all KEYED on node — the induced-subgraph check never goes
+    all-pairs."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+        )
+        .count()
+        .where(F.col("count") >= 2)
+        .select("x", "y")
+    )
+    from trireme_spark.sources.io import staging_dir
+
+    stage = staging_dir("rc_edges", sf_dir)
+    edges.write.mode("overwrite").parquet(stage)
+    edges = spark.read.parquet(stage)
+    deg = (
+        edges.select(F.col("x").alias("node"))
+        .unionAll(edges.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in _RICH_CLUB_KS])
+    ).alias("k")
+    rich = deg.select("node", "d", ks).where(F.col("d") > F.col("k"))
+    nk = rich.groupBy("k").agg(F.count(F.lit(1)).alias("n_rich"))
+    # both membership joins are keyed — the x leg on node, the y leg
+    # on (node, k) so an edge counts only inside ITS club
+    m_x = rich.select(F.col("node").alias("x"), F.col("k").alias("k"))
+    m_y = rich.select(F.col("node").alias("y"), F.col("k").alias("k"))
+    ek = (
+        edges.join(m_x, "x")
+        .join(m_y, ["y", "k"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_rich"))
+    )
+    out = nk.join(ek, "k", "left").select(
+        F.col("k").cast("long").alias("degree_threshold"),
+        F.col("n_rich").cast("long").alias("n_rich"),
+        F.coalesce(F.col("e_rich"), F.lit(0))
+        .cast("long")
+        .alias("e_rich"),
+        fquant(
+            2.0
+            * F.coalesce(F.col("e_rich"), F.lit(0)).cast("double")
+            / (F.col("n_rich") * (F.col("n_rich") - 1))
+        ).alias("phi"),
+    )
+    return out
