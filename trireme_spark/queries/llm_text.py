@@ -3283,3 +3283,100 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_mattr_diversity — STAGED for the r15 cadence (parked
+# unregistered; SURVEY round-13 log). Moving-average type-token ratio
+# (MATTR, Covington & McFall 2010) at a fixed window: the
+# length-robust lexical-diversity referee — raw TTR collapses as docs
+# grow (types saturate, tokens don't), so corpus-curation thresholds
+# on it silently favor short docs; MATTR's fixed-window average
+# removes the length confound by construction.
+# ---------------------------------------------------------------------------
+
+_MATTR_W = 10  # window (every fixture doc has >= 10 tokens — pinned)
+
+_MATTR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents
+), d AS (
+  -- exact integer sum of per-window distinct counts; ONE division at
+  -- the end (a float fold over window ratios would be summation-order
+  -- sensitive in the last ulp across engines)
+  SELECT doc_id, lang, len(toks) AS n_toks,
+         FLOOR(
+           CAST(list_sum(list_transform(
+             range(len(toks) - {_MATTR_W} + 1),
+             i -> len(list_distinct(
+                    toks[CAST(i AS INT) + 1 :
+                         CAST(i AS INT) + {_MATTR_W}]))))
+                AS DOUBLE)
+           / ({_MATTR_W} * (len(toks) - {_MATTR_W} + 1)) * 1e6) / 1e6
+           AS mattr
+  FROM t WHERE len(toks) >= {_MATTR_W}
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(FLOOR(mattr * 1e6) AS DECIMAL(38,0))) AS DOUBLE)
+         / 1e6 / COUNT(*) AS mean_mattr,
+       FLOOR(MIN(mattr) * 1e6) / 1e6 AS min_mattr,
+       FLOOR(MAX(mattr) * 1e6) / 1e6 AS max_mattr
+FROM d GROUP BY lang
+"""
+
+
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MATTR = mean over all length-{_MATTR_W} sliding windows
+    of (distinct tokens / {_MATTR_W}), rolled up per language (count,
+    mean, min, max). Pure higher-order array algebra — the window scan
+    is a codegen'd transform over slices, no explode, no shuffle at
+    token grain, no Python.
+
+    Cross-engine exactness: per-window ratios are exact small-integer
+    divisions on identical token arrays; the per-doc mean
+    floor-quantizes at 1e-6 and the per-language mean rides exact
+    micro-unit integer sums (order-independent).
+
+    Scale design: one scan, one map-side projection per doc (O(L·W)
+    work inside codegen), one keyed language rollup."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    # exact integer sum of per-window distinct counts, ONE division at
+    # the end — a float fold over window ratios would be summation-
+    # order sensitive in the last ulp across engines
+    win_counts = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - (_MATTR_W - 1)),
+        lambda i: F.size(
+            F.array_distinct(F.slice(F.col("toks"), i, _MATTR_W))
+        ).cast("long"),
+    )
+    per_doc = (
+        d.select("doc_id", "lang", toks.alias("toks"))
+        .where(F.size("toks") >= _MATTR_W)
+        .select(
+            "lang",
+            fquant(
+                F.aggregate(
+                    win_counts,
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / (_MATTR_W * (F.size("toks") - (_MATTR_W - 1)))
+            ).alias("mattr"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(
+                F.floor(F.col("mattr") * 1e6).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e6
+            / F.count(F.lit(1))
+        ).alias("mean_mattr"),
+        fquant(F.min("mattr")).alias("min_mattr"),
+        fquant(F.max("mattr")).alias("max_mattr"),
+    )

@@ -12892,3 +12892,77 @@ def events_littles_law_check(
         fquant(l_sampled).alias("l_sampled"),
         fquant(l_sampled - l_littles).alias("sampling_bias"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_bottomk_hash — STAGED for the r15 cadence (parked
+# unregistered; SURVEY round-13 log). Consistent bottom-k hash sample
+# of customers: the DISTRIBUTED deterministic sampler — membership
+# depends only on each key's own hash rank, so the sample is
+# reproducible across runs, engines and cluster layouts, and is
+# CONSISTENT under corpus growth (an element evicted from the sample
+# can never re-enter; subsets agree with supersets wherever they
+# overlap — the property that makes cross-snapshot A/A comparisons
+# honest). The streaming/at-scale sibling of sample_reservoir_per_group.
+# ---------------------------------------------------------------------------
+
+_BOTTOMK_K = 100
+_BOTTOMK_SALT = "|bottomk"
+
+_BOTTOMK_ORACLE = f"""
+WITH h AS (
+  SELECT c_custkey,
+         CAST(('0x' || substr(md5(c_custkey::VARCHAR
+                                  || '{_BOTTOMK_SALT}'), 1, 8))
+              AS BIGINT) AS hash_key
+  FROM customer
+)
+SELECT ROW_NUMBER() OVER (ORDER BY hash_key, c_custkey) AS rank,
+       c_custkey, hash_key
+FROM h
+ORDER BY hash_key, c_custkey
+LIMIT {_BOTTOMK_K}
+"""
+
+
+def sample_bottomk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {_BOTTOMK_K} customers with the smallest
+    md5-derived hash (the delta-method randomization idiom, '|bottomk'
+    salt), ranked. Deterministic by construction — no RNG, no
+    partition-order dependence — and the plan is the global-top-k
+    shape (TakeOrderedAndProject: per-partition heaps, k rows move).
+
+    Cross-engine exactness: the hash is exact integer arithmetic on
+    md5 hex (the established bridge); the (hash, key) order is a
+    tie-free total order; ranks are its row numbers.
+
+    Scale design: one scan, one codegen'd hash projection, one
+    top-k — the cheapest possible corpus sample at any scale, and the
+    same k keys come back no matter how the corpus is partitioned."""
+    c = table(spark, sf_dir, "customer")
+    h = c.select(
+        "c_custkey",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("c_custkey").cast("string"),
+                        F.lit(_BOTTOMK_SALT),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hash_key"),
+    )
+    topk = h.orderBy("hash_key", "c_custkey").limit(_BOTTOMK_K)
+    w = Window.partitionBy(meta_part("hash_key")).orderBy(
+        "hash_key", "c_custkey"
+    )
+    return topk.select(
+        F.row_number().over(w).alias("rank"), "c_custkey", "hash_key"
+    )
