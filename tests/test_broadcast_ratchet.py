@@ -245,6 +245,9 @@ AUDITED = {
         "ts_variance_ratio_test": 1,
         "ts_hurst_exponent": 1,
         "events_littles_law_check": 1,
+        # r15 staging audit: ARCH LM attaches its 1-row return-mean
+        # and 1-row shock-mean frames
+        "ts_arch_lm_test": 2,
         "ts_sample_entropy": 2,
         "ts_ar1_fit": 1,
         "ts_autocorrelation": 2,

@@ -12966,3 +12966,384 @@ def sample_bottomk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         F.row_number().over(w).alias("rank"), "c_custkey", "hash_key"
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_expected_shortfall — STAGED for the r15 cadence (parked
+# unregistered; SURVEY round-13 log). 95% VaR and expected shortfall
+# (CVaR) of daily revenue: the coherent tail-risk pair beside
+# orders_max_drawdown's path-risk readout — VaR is the threshold the
+# worst 5% of days breach, ES the MEAN of those days (the number Basel
+# moved to because VaR ignores how bad the tail actually is).
+# ---------------------------------------------------------------------------
+
+_ES_Q_PCT = 5  # tail share, percent
+
+_ES_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         {oracle_sum('o_totalprice')} AS x
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT day, x,
+         ROW_NUMBER() OVER (ORDER BY x, day) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM daily
+), k AS (
+  SELECT GREATEST(1, n * {_ES_Q_PCT} // 100) AS k, n FROM r LIMIT 1
+), tail AS (
+  SELECT r.n, k.k,
+         CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS tail_sum,
+         MAX(x) AS var_thr
+  FROM r CROSS JOIN k
+  WHERE rn <= k.k
+  GROUP BY r.n, k.k
+)
+SELECT n AS n_days, k AS k_tail,
+       FLOOR(var_thr * 1e6) / 1e6 AS var_95,
+       FLOOR(tail_sum / k * 1e6) / 1e6 AS es_95
+FROM tail
+"""
+
+
+def orders_expected_shortfall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k = max(1, ⌊n·5/100⌋) worst revenue days by the exact
+    (revenue, day) rank (the PPS integer-rank doctrine — never a
+    percentile call); VaR₉₅ = the k-th worst value, ES₉₅ = the exact
+    decimal mean of the k tail days. ES ≤ VaR by construction (the
+    tail mean can't exceed its own maximum) — pinned in tests.
+
+    Cross-engine exactness: daily sums ride the decimal bridge; the
+    tail membership is an integer rank cut on a tie-free total order;
+    the tail mean is an exact DECIMAL(27,6) sum over k rows.
+
+    Scale design: one corpus pass to the calendar-bounded day frame,
+    one rank window over it, one k-row fold."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(dsum("o_totalprice").alias("x"))
+    mp = meta_part(F.unix_date(F.col("day")))
+    w_rank = Window.partitionBy(mp).orderBy("x", "day")
+    w_all = Window.partitionBy(mp)
+    r = daily.select(
+        "x",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    tail = r.where(
+        F.col("rn")
+        <= F.greatest(
+            F.lit(1), (F.col("n") * _ES_Q_PCT / 100).cast("long")
+        )
+    ).agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x").cast(DSCALE)).cast("double").alias("tail_sum"),
+        F.max("x").alias("var_thr"),
+    )
+    return tail.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("k_tail"),
+        fquant(F.col("var_thr")).alias("var_95"),
+        fquant(F.col("tail_sum") / F.col("k")).alias("es_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_spc_p_chart — STAGED for the r15 cadence (parked unregistered;
+# SURVEY round-13 log). Shewhart p-chart with VARIABLE-n control
+# limits on the daily error share: the attribute-SPC member beside
+# ts_ewma_control_chart's continuous one — per day the limits widen or
+# tighten with that day's own sample size, which is exactly what a
+# fixed-limit chart gets wrong on uneven traffic.
+# ---------------------------------------------------------------------------
+
+_PCHART_SIGMA = 3.0
+
+_PCHART_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+           AS x
+  FROM events GROUP BY 1
+), g AS (
+  SELECT day, n, x,
+         CAST(SUM(x) OVER () AS DOUBLE) / SUM(n) OVER () AS pbar
+  FROM d
+), lim AS (
+  SELECT CAST(day AS VARCHAR) AS day, n, x,
+         FLOOR(CAST(x AS DOUBLE) / n * 1e6) / 1e6 AS p_day,
+         FLOOR(pbar * 1e6) / 1e6 AS center,
+         FLOOR(LEAST(1.0, pbar + {_PCHART_SIGMA!r}
+               * sqrt(pbar * (1 - pbar) / n)) * 1e6) / 1e6 AS ucl,
+         FLOOR(GREATEST(0.0, pbar - {_PCHART_SIGMA!r}
+               * sqrt(pbar * (1 - pbar) / n)) * 1e6) / 1e6 AS lcl
+  FROM g
+)
+SELECT day, n, x, p_day, center, ucl, lcl,
+       (p_day > ucl OR p_day < lcl) AS out_of_control,
+       CAST(SUM(CASE WHEN p_day > ucl OR p_day < lcl THEN 1 ELSE 0 END)
+              OVER () AS BIGINT) AS n_violations
+FROM lim
+"""
+
+
+def events_spc_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p̄ = Σx/Σn pooled center line; per-day limits
+    p̄ ± 3·√(p̄(1−p̄)/n_d) clamped to [0, 1]; the violation flag
+    compares the QUANTIZED per-day share to the QUANTIZED limits
+    (flag and printed numbers can never disagree) and the global
+    violation count rides the same bounded-frame window.
+
+    Cross-engine exactness: counts are exact integers; p̄ is one
+    integer division (identical double); per-day limits are fixed-
+    order double expressions quantized at 1e-6 before every compare.
+
+    Scale design: one corpus pass to the calendar-bounded day frame;
+    the center line and violation count are windows over those ~30
+    metadata rows under meta_part."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("event_type") == "error").alias("x"),
+    )
+    mp = meta_part(F.unix_date(F.col("day")))
+    w_all = Window.partitionBy(mp)
+    g = d.select(
+        "day",
+        "n",
+        "x",
+        (
+            F.sum("x").over(w_all).cast("double")
+            / F.sum("n").over(w_all)
+        ).alias("pbar"),
+    )
+    sig = F.sqrt(
+        F.col("pbar") * (1 - F.col("pbar")) / F.col("n")
+    )
+    p_day = fquant(F.col("x").cast("double") / F.col("n"))
+    ucl = fquant(
+        F.least(F.lit(1.0), F.col("pbar") + _PCHART_SIGMA * sig)
+    )
+    lcl = fquant(
+        F.greatest(F.lit(0.0), F.col("pbar") - _PCHART_SIGMA * sig)
+    )
+    lim = g.select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        "x",
+        p_day.alias("p_day"),
+        fquant(F.col("pbar")).alias("center"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+    )
+    ooc = (F.col("p_day") > F.col("ucl")) | (
+        F.col("p_day") < F.col("lcl")
+    )
+    w_cnt = Window.partitionBy(meta_part("n"))
+    return lim.select(
+        "day",
+        "n",
+        "x",
+        "p_day",
+        "center",
+        "ucl",
+        "lcl",
+        ooc.alias("out_of_control"),
+        F.sum(F.when(ooc, 1).otherwise(0))
+        .over(w_cnt)
+        .cast("long")
+        .alias("n_violations"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_arch_lm_test — STAGED for the r15 cadence (parked unregistered;
+# SURVEY round-13 log). Engle's ARCH LM test (2 lags) on monthly
+# log-revenue returns: the VOLATILITY-CLUSTERING gate the ts family
+# was missing — DF/KPSS/VR interrogate the MEAN process; ARCH asks
+# whether the VARIANCE is predictable (squared shocks regress on their
+# own lags), which is what invalidates homoskedastic bands like
+# Bollinger's when present.
+# ---------------------------------------------------------------------------
+
+_ARCH_LAGS = 2
+_ARCH_CRIT = 5.991465  # chi^2(2) 95th percentile
+
+_ARCH_ORACLE = f"""
+WITH monthly AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+         {oracle_sum('o_totalprice')} AS y
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT m, ln(y) - LAG(ln(y), 1) OVER (ORDER BY m) AS r
+  FROM monthly QUALIFY r IS NOT NULL
+), st AS (
+  SELECT CAST(SUM(CAST(FLOOR(r * 1e12) / 1e12 AS DECIMAL(38,12)))
+              AS DOUBLE) / COUNT(*) AS rbar
+  FROM r
+), u AS (
+  SELECT m, (r - rbar) * (r - rbar) AS u
+  FROM r CROSS JOIN st
+), ust AS (
+  SELECT CAST(SUM(CAST(FLOOR(u * 1e15) / 1e15 AS DECIMAL(38,15)))
+              AS DOUBLE) / COUNT(*) AS ubar
+  FROM u
+), v AS (
+  -- mean-normalized squared shocks (R^2 is scale-invariant): every
+  -- quantized product below keeps ~6 significant digits at 1e-12
+  SELECT m, u / ubar AS v FROM u CROSS JOIN ust
+), lagged AS (
+  SELECT v,
+         LAG(v, 1) OVER (ORDER BY m) AS v1,
+         LAG(v, 2) OVER (ORDER BY m) AS v2
+  FROM v QUALIFY v2 IS NOT NULL
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS mm,
+         CAST(SUM(CAST(FLOOR(v  * 1e12) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(FLOOR(v1 * 1e12) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(FLOOR(v2 * 1e12) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(FLOOR(v * v   * 1e12) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(FLOOR(v1 * v1 * 1e12) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(FLOOR(v2 * v2 * 1e12) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(FLOOR(v1 * v2 * 1e12) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(FLOOR(v * v1  * 1e12) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(FLOOR(v * v2  * 1e12) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS s2y
+  FROM lagged
+), c AS (
+  SELECT mm,
+         s11 - s1 * s1 / mm AS c11, s22 - s2 * s2 / mm AS c22,
+         s12 - s1 * s2 / mm AS c12,
+         s1y - s1 * sy / mm AS c1y, s2y - s2 * sy / mm AS c2y,
+         syy - sy * sy / mm AS cyy
+  FROM s
+), fit AS (
+  SELECT mm,
+         ((c1y * c22 - c2y * c12) * c1y
+          + (c2y * c11 - c1y * c12) * c2y)
+         / (c11 * c22 - c12 * c12) / cyy AS r2
+  FROM c
+)
+SELECT mm AS n_obs,
+       FLOOR(r2 * 1e6) / 1e6 AS r_squared,
+       FLOOR(mm * r2 * 1e4) / 1e4 AS lm_stat,
+       FLOOR(mm * r2 * 1e4) / 1e4 > {_ARCH_CRIT} AS arch_effects
+FROM fit
+"""
+
+
+def ts_arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM = m·R² from the auxiliary regression
+    v_t = α + β₁v_{{t−1}} + β₂v_{{t−2}} of mean-normalized squared
+    return shocks on their own lags, against the pinned χ²(2) 5%
+    critical. The 2-regressor OLS solves in CLOSED FORM from centered
+    moment sums (the granger/chow determinant algebra — 2×2 normal
+    equations, no iteration, no linear-algebra library).
+
+    Cross-engine exactness: squared shocks normalize by their exact
+    mean FIRST (R² is scale-invariant — the KPSS doctrine; raw u ~
+    1e-4² would lose all significant digits at the 1e-12
+    quantization), then every moment product quantizes at 1e-12 into
+    DECIMAL(38,12) order-independent sums; R², LM and the flag form
+    from identical doubles, flag on the QUANTIZED LM.
+
+    Scale design: one corpus pass to the cached calendar-bounded
+    monthly frame; returns, shocks, lags and the nine moment sums are
+    windows/folds over that ~80-row frame under meta_part."""
+    from trireme_spark.operators.hints import cache_once
+
+    o = table(spark, sf_dir, "orders")
+    monthly = cache_once(
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "m"
+            )
+        ).agg(dsum("o_totalprice").alias("y"))
+    )
+    w_ord = Window.partitionBy(meta_part("m")).orderBy("m")
+    r = (
+        monthly.select(
+            "m",
+            (F.log("y") - F.lag(F.log("y"), 1).over(w_ord)).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+    rst = r.agg(
+        (
+            F.sum(fquant(F.col("r"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("rbar")
+    )
+    u = r.crossJoin(F.broadcast(rst)).select(
+        "m",
+        ((F.col("r") - F.col("rbar")) * (F.col("r") - F.col("rbar"))).alias(
+            "u"
+        ),
+    )
+    ust = u.agg(
+        (
+            F.sum(fquant(F.col("u"), 15).cast("decimal(38,15)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("ubar")
+    )
+    v = u.crossJoin(F.broadcast(ust)).select(
+        "m", (F.col("u") / F.col("ubar")).alias("v")
+    )
+    lagged = (
+        v.select(
+            "v",
+            F.lag("v", 1).over(w_ord).alias("v1"),
+            F.lag("v", 2).over(w_ord).alias("v2"),
+        )
+        .where(F.col("v2").isNotNull())
+    )
+
+    def _q(expr):
+        return F.sum(fquant(expr, 12).cast("decimal(38,12)")).cast(
+            "double"
+        )
+
+    vv, v1, v2 = F.col("v"), F.col("v1"), F.col("v2")
+    s = lagged.agg(
+        F.count(F.lit(1)).alias("mm"),
+        _q(vv).alias("sy"),
+        _q(v1).alias("s1"),
+        _q(v2).alias("s2"),
+        _q(vv * vv).alias("syy"),
+        _q(v1 * v1).alias("s11"),
+        _q(v2 * v2).alias("s22"),
+        _q(v1 * v2).alias("s12"),
+        _q(vv * v1).alias("s1y"),
+        _q(vv * v2).alias("s2y"),
+    )
+    mm = F.col("mm")
+    c = s.select(
+        "mm",
+        (F.col("s11") - F.col("s1") * F.col("s1") / mm).alias("c11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / mm).alias("c22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / mm).alias("c12"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / mm).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / mm).alias("c2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / mm).alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    ess = (
+        (F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12"))
+        * F.col("c1y")
+        + (F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12"))
+        * F.col("c2y")
+    )
+    r2 = ess / det / F.col("cyy")
+    lm = fquant(F.col("mm").cast("double") * r2, 4)
+    return c.select(
+        F.col("mm").cast("long").alias("n_obs"),
+        fquant(r2).alias("r_squared"),
+        lm.alias("lm_stat"),
+        (lm > _ARCH_CRIT).alias("arch_effects"),
+    )
