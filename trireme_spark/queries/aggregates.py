@@ -6330,3 +6330,140 @@ def sample_kish_design_effect(
             "unweighted_mean_acctbal"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_wilcoxon_signed_rank — STAGED for the r15 cadence (parked
+# unregistered; SURVEY round-13 log). Wilcoxon signed-rank test on
+# PAIRED customer spend (1995 H1 vs H2, customers active in both):
+# the paired member of the rank family — mannwhitney compares two
+# independent groups, this removes each customer's own level first,
+# which is what a seasonal within-customer comparison actually needs.
+# ---------------------------------------------------------------------------
+
+_WSR_YEAR = 1995
+_WSR_CRIT = 1.959964
+
+_WSR_ORACLE = f"""
+WITH pair AS (
+  SELECT o_custkey,
+         {oracle_sum("CASE WHEN month(o_orderdate) <= 6"
+                      " THEN o_totalprice END")} AS x1,
+         {oracle_sum("CASE WHEN month(o_orderdate) > 6"
+                      " THEN o_totalprice END")} AS x2
+  FROM orders WHERE year(o_orderdate) = {_WSR_YEAR}
+  GROUP BY o_custkey
+  HAVING COUNT(CASE WHEN month(o_orderdate) <= 6 THEN 1 END) > 0
+     AND COUNT(CASE WHEN month(o_orderdate) > 6 THEN 1 END) > 0
+), d AS (
+  SELECT CAST(ROUND((x2 - x1) * 100) AS BIGINT) AS cents
+  FROM pair
+  WHERE CAST(ROUND((x2 - x1) * 100) AS BIGINT) <> 0
+), v AS (
+  SELECT ABS(cents) AS a, COUNT(*) AS cnt,
+         CAST(COUNT(*) FILTER (WHERE cents > 0) AS BIGINT) AS poscnt
+  FROM d GROUP BY ABS(cents)
+), r AS (
+  SELECT a, cnt, poscnt,
+         CAST(SUM(cnt) OVER (ORDER BY a
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS BIGINT) AS below
+  FROM v
+), s AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(poscnt * (2 * COALESCE(below, 0) + cnt + 1))
+              AS BIGINT) AS w2x,
+         CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS ties
+  FROM r
+)
+SELECT n AS n_pairs,
+       FLOOR(CAST(w2x AS DOUBLE) / 2 * 1e6) / 1e6 AS w_plus,
+       FLOOR((CAST(w2x AS DOUBLE) / 2 - n * (n + 1) / 4.0)
+             / sqrt(n * (n + 1.0) * (2 * n + 1) / 24 - ties / 48)
+             * 1e6) / 1e6 AS z_stat,
+       ABS(FLOOR((CAST(w2x AS DOUBLE) / 2 - n * (n + 1) / 4.0)
+             / sqrt(n * (n + 1.0) * (2 * n + 1) / 24 - ties / 48)
+             * 1e6) / 1e6) > {_WSR_CRIT} AS significant
+FROM s
+"""
+
+
+def agg_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """W⁺ = Σ ranks of positive differences, midranks for tied |d|
+    (zero differences dropped — standard; cents-scaled so ties are
+    exact integer events), z = (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24 −
+    Σ(t³−t)/48) with the tie-corrected variance. The MWU value-grain
+    discipline on |d|: ranks never materialize per row — the doubled
+    rank sum 2W⁺ = Σ poscnt·(2·below + cnt + 1) is one exact integer
+    aggregation over the distinct-|cents| ladder.
+
+    Cross-engine exactness: per-customer half-year sums ride the
+    decimal bridge so the cents differences are exact integers;
+    everything through 2W⁺ and the tie term is integer arithmetic;
+    z is one fixed-order double expression, flag on the quantized z.
+
+    Scale design: one filtered corpus pass to customer grain
+    (map-side-combinable with the both-halves HAVING), one pass to the
+    distinct-|d| ladder, one prefix window over it, one fold."""
+    o = table(spark, sf_dir, "orders")
+    oy = o.where(F.year("o_orderdate") == _WSR_YEAR)
+    h1 = F.when(
+        F.month("o_orderdate") <= 6, F.col("o_totalprice")
+    )
+    h2 = F.when(F.month("o_orderdate") > 6, F.col("o_totalprice"))
+    pair = (
+        oy.groupBy("o_custkey")
+        .agg(
+            dsum(h1).alias("x1"),
+            dsum(h2).alias("x2"),
+            F.count(h1).alias("n1"),
+            F.count(h2).alias("n2"),
+        )
+        .where((F.col("n1") > 0) & (F.col("n2") > 0))
+    )
+    d = pair.select(
+        F.round((F.col("x2") - F.col("x1")) * 100)
+        .cast("long")
+        .alias("cents")
+    ).where(F.col("cents") != 0)
+    v = d.groupBy(F.abs(F.col("cents")).alias("a")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_if(F.col("cents") > 0).alias("poscnt"),
+    )
+    w_below = (
+        Window.partitionBy(meta_part("a"))
+        .orderBy("a")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = v.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(w_below), F.lit(0))
+    )
+    s = r.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("poscnt") * (2 * F.col("below") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("w2x"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("double")
+        .alias("ties"),
+    )
+    n = F.col("n").cast("double")
+    wplus = F.col("w2x").cast("double") / 2
+    z = fquant(
+        (wplus - n * (n + 1) / 4.0)
+        / F.sqrt(
+            n * (n + 1.0) * (2 * n + 1) / 24 - F.col("ties") / 48
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        fquant(wplus).alias("w_plus"),
+        z.alias("z_stat"),
+        (F.abs(z) > _WSR_CRIT).alias("significant"),
+    )

@@ -13347,3 +13347,112 @@ def ts_arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         lm.alias("lm_stat"),
         (lm > _ARCH_CRIT).alias("arch_effects"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_slo_burn_rate — STAGED for the r15 cadence (parked
+# unregistered; SURVEY round-13 log). Multi-window SLO burn rate on
+# the daily error share: events_error_budget_slo tracks the budget
+# LEVEL, this is the ALERTING policy — the (fast, slow) window pair
+# per severity that pages on a sharp burn and tickets on a slow one,
+# the shape the SRE workbook standardized.
+# ---------------------------------------------------------------------------
+
+_BURN_BUDGET = 0.21  # error-share budget (the fixture runs ~0.20)
+_BURN_PAGE = 1.2  # fast-burn threshold (1d AND 3d)
+_BURN_TICKET = 1.0  # slow-burn threshold (3d AND 7d)
+
+_BURN_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+           AS x
+  FROM events GROUP BY 1
+), w AS (
+  SELECT day, n, x,
+         FLOOR(CAST(SUM(x) OVER w1 AS DOUBLE) / SUM(n) OVER w1
+               / {_BURN_BUDGET!r} * 1e6) / 1e6 AS burn_1d,
+         FLOOR(CAST(SUM(x) OVER w3 AS DOUBLE) / SUM(n) OVER w3
+               / {_BURN_BUDGET!r} * 1e6) / 1e6 AS burn_3d,
+         FLOOR(CAST(SUM(x) OVER w7 AS DOUBLE) / SUM(n) OVER w7
+               / {_BURN_BUDGET!r} * 1e6) / 1e6 AS burn_7d
+  FROM d
+  WINDOW w1 AS (ORDER BY day ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+         w3 AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(day AS VARCHAR) AS day, n, x, burn_1d, burn_3d, burn_7d,
+       CASE WHEN burn_1d > {_BURN_PAGE!r} AND burn_3d > {_BURN_PAGE!r}
+            THEN 'page'
+            WHEN burn_3d > {_BURN_TICKET!r} AND burn_7d > {_BURN_TICKET!r}
+            THEN 'ticket'
+            ELSE 'ok' END AS severity
+FROM w
+"""
+
+
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """burn_w(d) = (trailing-w-day error share)/budget for w ∈
+    {{1, 3, 7}}; 'page' when the FAST pair (1d AND 3d) both exceed
+    1.2×, 'ticket' when the SLOW pair (3d AND 7d) both exceed 1.0× —
+    the two-window AND is what kills both false pages on blips and
+    missed slow burns (the multiwindow multi-burn-rate alert policy).
+    Early days use however much trailing history exists (ROWS frames —
+    stated; a production monitor warming up does the same).
+
+    Cross-engine exactness: window numerators/denominators are exact
+    integer sums over the dense day frame (density pinned by the
+    conformal key's fixture test); each burn ratio quantizes at 1e-6
+    before the threshold compares, so severity and the printed burns
+    can never disagree.
+
+    Scale design: one corpus pass to the calendar-bounded day frame;
+    three ROWS-frame windows over those ~30 metadata rows."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("event_type") == "error").alias("x"),
+    )
+    mp = meta_part(F.unix_date(F.col("day")))
+
+    def burn(days: int):
+        w = (
+            Window.partitionBy(mp)
+            .orderBy("day")
+            .rowsBetween(-(days - 1), 0)
+        )
+        return fquant(
+            F.sum("x").over(w).cast("double")
+            / F.sum("n").over(w)
+            / _BURN_BUDGET
+        )
+
+    w = d.select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        "x",
+        burn(1).alias("burn_1d"),
+        burn(3).alias("burn_3d"),
+        burn(7).alias("burn_7d"),
+    )
+    return w.select(
+        "day",
+        "n",
+        "x",
+        "burn_1d",
+        "burn_3d",
+        "burn_7d",
+        F.when(
+            (F.col("burn_1d") > _BURN_PAGE)
+            & (F.col("burn_3d") > _BURN_PAGE),
+            "page",
+        )
+        .when(
+            (F.col("burn_3d") > _BURN_TICKET)
+            & (F.col("burn_7d") > _BURN_TICKET),
+            "ticket",
+        )
+        .otherwise("ok")
+        .alias("severity"),
+    )
