@@ -4977,6 +4977,7 @@ FROM h
 """
 
 
+@register("agg_cohens_effect_size", oracle=_COHENS_ORACLE)
 def agg_cohens_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's d (pooled-SD standardized mean difference), Hedges' g
     (the small-sample bias correction d·(1 − 3/(4N−9))), a 1.96·se CI
@@ -5104,6 +5105,7 @@ FROM rj CROSS JOIN stat s
 """
 
 
+@register("agg_friedman_test", oracle=_FRIEDMAN_ORACLE)
 def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Friedman χ²_F over k=5 priorities blocked by calendar month
     (metric: monthly mean order value, quantized at 1e-6 BEFORE
@@ -5250,6 +5252,7 @@ FROM se_
 """
 
 
+@register("orders_auc_roc", oracle=_AUC_ORACLE)
 def orders_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC AUC via the rank-sum identity on midrank-tied ranks
     (AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) — ties between a positive and a
@@ -5405,6 +5408,7 @@ FROM f
 """
 
 
+@register("orders_jarque_bera_normality", oracle=_JB_ORACLE)
 def orders_jarque_bera_normality(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5550,6 +5554,7 @@ FROM f
 """
 
 
+@register("agg_cronbach_alpha", oracle=_CRONBACH_ORACLE)
 def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cronbach's α = k/(k−1)·(1 − Σ_j σ²_j / σ²_total) over the
     monthly revenue of the five order priorities (complete months

@@ -2244,6 +2244,7 @@ FROM validated
 """
 
 
+@register("fn_iban_mod97", oracle=_IBAN_ORACLE)
 def fn_iban_mod97(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO 7064 MOD-97-10 over synthesized DE IBANs: per customer a
     16-digit BBAN (the custkey), correct check digits = 98 − (BBAN ∥

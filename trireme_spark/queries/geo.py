@@ -569,6 +569,7 @@ FROM flagged GROUP BY inside
 """
 
 
+@register("geo_point_in_polygon", oracle=_PIP_ORACLE)
 def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classify every planted customer coordinate against the literal
     pentagon by ray casting (odd edge crossings ⇒ inside) and profile

@@ -2083,6 +2083,7 @@ def _hits_oracle() -> str:
 _HITS_ORACLE = _hits_oracle()
 
 
+@register("graph_bipartite_hits", oracle=_HITS_ORACLE)
 def graph_bipartite_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 authority parts after 3 HITS iterations on the distinct
     customer→part purchase graph (hub scores start uniform; each
@@ -2401,7 +2402,11 @@ nk AS (
   SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rich FROM rich GROUP BY k
 ),
 ek AS (
-  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_rich
+  -- COUNT(hit.k), not COUNT(*): a threshold whose club has zero
+  -- internal edges must yield e_rich = 0, not count the unmatched
+  -- NULL row of the LEFT JOIN (judge r13 ADVICE — latent divergence
+  -- vs the Spark side's coalesce-to-0 at sparser scale factors).
+  SELECT ks.k, CAST(COUNT(hit.k) AS BIGINT) AS e_rich
   FROM ks
   LEFT JOIN (
     SELECT rx.k AS k

@@ -3218,6 +3218,7 @@ _COMP_LEVEL = 6  # zlib default-ish level, pinned
 _COMP_BOILERPLATE = 0.4  # ratio below this = repetitive/boilerplate
 
 
+@register("text_compression_quality")
 def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) compressibility profile: deflate each doc at
     the pinned zlib level, ratio = compressed/raw bytes (quantized at

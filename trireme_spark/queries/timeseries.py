@@ -10715,6 +10715,7 @@ FROM r
 """
 
 
+@register("events_poisson_rate_ratio", oracle=_RATE_RATIO_ORACLE)
 def events_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson rate-ratio test, errors per OBSERVED DAY, days 1-15 vs
     the rest of the month: RR = (k1/t1)/(k2/t2) with the standard
@@ -10830,6 +10831,7 @@ FROM m
 """
 
 
+@register("ts_forecast_mase_eval", oracle=_MASE_ORACLE)
 def ts_forecast_mase_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MASE for the weekly seasonal-naive forecaster (ŷ_t = y_{t−7})
     on daily revenue, scaled by the one-step naive walk (ŷ_t =
@@ -10946,6 +10948,7 @@ FROM wide CROSS JOIN base
 """
 
 
+@register("orders_event_study_did", oracle=_EVENT_STUDY_ORACLE)
 def orders_event_study_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-study DiD around the pinned 1998-01 event month: for each
     relative month τ in −3..+3, effect(τ) = (treated − control revenue
@@ -11091,6 +11094,7 @@ FROM s
 """
 
 
+@register("orders_logrank_test", oracle=_LOGRANK_ORACLE)
 def orders_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample log-rank (Mantel-Cox) test on customer survival:
     BUILDING segment vs the rest, with the KM key's exact time-to-event
@@ -11288,6 +11292,7 @@ FROM fit
 """
 
 
+@register("ts_kpss_stationarity", oracle=_KPSS_ORACLE)
 def ts_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KPSS level-stationarity test (Kwiatkowski-Phillips-Schmidt-Shin
     1992) on monthly revenue: η = n⁻²·ΣS_t² / σ̂²_lr where S_t is the
@@ -11439,6 +11444,7 @@ FROM p
 """
 
 
+@register("orders_gumbel_return_level", oracle=_GUMBEL_ORACLE)
 def orders_gumbel_return_level(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11563,6 +11569,7 @@ FROM cum
 """
 
 
+@register("events_uplift_qini", oracle=_QINI_ORACLE)
 def events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Qini gains curve: users hash-split into treated/control arms
     (md5 '|qini' — the delta-method randomization idiom), scored by
@@ -11733,6 +11740,7 @@ FROM ev
 """
 
 
+@register("ts_conformal_interval_eval", oracle=_CONFORMAL_ORACLE)
 def ts_conformal_interval_eval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11877,6 +11885,7 @@ FROM pairs
 """
 
 
+@register("ts_sample_entropy", oracle=_SAMPEN_ORACLE)
 def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SampEn(m=2, r=0.2σ) = −ln(A/B): B counts template pairs (i<j)
     whose length-2 windows stay within Chebyshev distance r, A the
@@ -12032,6 +12041,7 @@ FROM decided
 """
 
 
+@register("events_sequential_sprt", oracle=_SPRT_ORACLE)
 def events_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wald SPRT for H0: p = 0.15 vs H1: p = 0.20 on the daily
     purchase-per-event rate, α = β = 0.05: per day the walk adds
