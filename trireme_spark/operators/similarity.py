@@ -393,12 +393,11 @@ def exact_topk_pairs(vectors: DataFrame, k: int, id_col: str = "vec_id",
     baseline they're verified against.
     """
     if n_blocks is None:
-        # prefer caller-supplied stats (parquet footer / catalog row
-        # count — free); else one column-pruned count job, cheap next to
-        # the GEMM. Either way B respects the per-block row bounds.
+        # row bound resolved cheapest-first by _row_bound (caller stat
+        # -> plan statistics -> one count() job); B respects the
+        # per-block row bounds either way.
         n_blocks = _default_blocks(
-            vectors.sparkSession,
-            n_rows if n_rows is not None else vectors.count(),
+            vectors.sparkSession, _row_bound(vectors, n_rows)
         )
     grouped = _block_pair_groups(vectors, id_col, emb_col, n_blocks)
 
@@ -593,12 +592,11 @@ def exact_threshold_pairs(
     true near-dup pair count (small for any sane threshold), so unlike
     top-k no per-group truncation is needed."""
     if n_blocks is None:
-        # prefer caller-supplied stats (parquet footer / catalog row
-        # count — free); else one column-pruned count job, cheap next to
-        # the GEMM. Either way B respects the per-block row bounds.
+        # row bound resolved cheapest-first by _row_bound (caller stat
+        # -> plan statistics -> one count() job); B respects the
+        # per-block row bounds either way.
         n_blocks = _default_blocks(
-            vectors.sparkSession,
-            n_rows if n_rows is not None else vectors.count(),
+            vectors.sparkSession, _row_bound(vectors, n_rows)
         )
     grouped = _block_pair_groups(vectors, id_col, emb_col, n_blocks)
 
@@ -652,12 +650,11 @@ def knn_graph_topk(
     from pyspark.sql.window import Window
 
     if n_blocks is None:
-        # prefer caller-supplied stats (parquet footer / catalog row
-        # count — free); else one column-pruned count job, cheap next to
-        # the GEMM. Either way B respects the per-block row bounds.
+        # row bound resolved cheapest-first by _row_bound (caller stat
+        # -> plan statistics -> one count() job); B respects the
+        # per-block row bounds either way.
         n_blocks = _default_blocks(
-            vectors.sparkSession,
-            n_rows if n_rows is not None else vectors.count(),
+            vectors.sparkSession, _row_bound(vectors, n_rows)
         )
     grouped = _block_pair_groups(vectors, id_col, emb_col, n_blocks)
     kk = k + slack
