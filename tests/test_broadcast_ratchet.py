@@ -113,6 +113,13 @@ AUDITED = {
         # 1-row stat frames — all k-bounded or single-row.
         "agg_kruskal_wallis": 1,
         "agg_brown_forsythe": 5,
+        # r16 staging audit: bartlett/welch attach the 1-row exact-mean
+        # frame (scale-invariance normalization); welch additionally
+        # its 1-row (W, Σwm) fold; mood its 1-row grand-median frame
+        # and 1-row totals frame — all single-row aggregates.
+        "agg_bartlett_test": 1,
+        "agg_welch_anova": 2,
+        "agg_mood_median_test": 2,
     },
     "queries/clustering.py": {"cluster_assign": 1, "cluster_silhouette": 1},
     "queries/filters.py": {"filter_top_percent": 1},

@@ -6472,3 +6472,538 @@ def agg_wilcoxon_signed_rank(
         z.alias("z_stat"),
         (F.abs(z) > _WSR_CRIT).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_bartlett_test — STAGED for the r16 cadence (parked unregistered;
+# SURVEY round-14 log). Bartlett's variance-homogeneity test across the
+# five order priorities: the CLASSICAL (normal-theory) member of the
+# homogeneity pair — agg_brown_forsythe is the robust median-based
+# Levene; Bartlett is the likelihood-ratio form with the Bartlett
+# correction factor, more powerful when normality holds and the one
+# every stats package reports first. Together they bracket the
+# equal-variance assumption agg_anova_oneway/agg_tukey_hsd lean on.
+# ---------------------------------------------------------------------------
+
+_BARTLETT_CHI2_CRIT = 9.487729036781154  # chi2(4) at 5% — pinned literal
+
+
+def _pico_sum(term):
+    """Order-independent 5-row fold: floor-quantize a double term to
+    pico units, sum exactly in DECIMAL(38,0), return double. The k-row
+    frame is tiny but a raw double SUM is still accumulation-order-
+    dependent — the kruskal/SPRT doctrine."""
+    return (
+        F.sum(F.floor(term * 1e12).cast("decimal(38,0)")).cast("double")
+        / 1e12
+    )
+
+
+def _oracle_pico_sum(sql_term: str) -> str:
+    """DuckDB mirror of :func:`_pico_sum`."""
+    return (
+        f"CAST(SUM(CAST(FLOOR(({sql_term}) * 1e12) AS DECIMAL(38,0))) "
+        "AS DOUBLE) / 1e12"
+    )
+
+
+_BARTLETT_ORACLE = f"""
+WITH mu AS (
+  SELECT {oracle_sum('o_totalprice')} / COUNT(*) AS mu FROM orders
+), g AS (
+  SELECT o_orderpriority AS g,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {oracle_sum('o_totalprice / mu')} AS sx,
+         {oracle_sum('(o_totalprice / mu) * (o_totalprice / mu)')} AS qx
+  FROM orders CROSS JOIN mu GROUP BY 1
+), v AS (
+  SELECT n, (qx - sx * sx / n) / (n - 1) AS s2 FROM g
+), tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS nt, CAST(COUNT(*) AS BIGINT) AS k,
+         {_oracle_pico_sum('(n - 1) * s2')} AS ssw,
+         {_oracle_pico_sum('(n - 1) * ln(s2)')} AS sln,
+         {_oracle_pico_sum('CAST(1 AS DOUBLE) / (n - 1)')} AS sinv
+  FROM v
+)
+SELECT CAST(nt AS BIGINT) AS n_rows, k AS n_groups,
+       FLOOR(((nt - k) * ln(ssw / (nt - k)) - sln)
+             / (1 + (sinv - 1 / (nt - k)) / (3 * (k - 1)))
+             * 1e6) / 1e6 AS bartlett_t,
+       FLOOR(((nt - k) * ln(ssw / (nt - k)) - sln)
+             / (1 + (sinv - 1 / (nt - k)) / (3 * (k - 1)))
+             * 1e6) / 1e6 > {_BARTLETT_CHI2_CRIT!r} AS heteroscedastic
+FROM tot
+"""
+
+
+def agg_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's T = [(N−k)·ln(S²_p) − Σ(n_i−1)·ln(S²_i)] / C with the
+    correction C = 1 + (Σ1/(n_i−1) − 1/(N−k)) / (3(k−1)), tested
+    against the pinned χ²(4) 5% critical value. Significant T means the
+    priorities' variances genuinely differ under normal theory — read
+    it beside agg_brown_forsythe: Bartlett more powerful when tails are
+    clean, Brown-Forsythe honest when they are not.
+
+    Cross-engine exactness: the test is SCALE-INVARIANT, so values
+    normalize by the decimal-exact global mean FIRST (raw price
+    moments at 1e-12 quantization would overflow the 2⁵³ integer lane
+    — the ARCH LM lesson); group moments are decimal-exact sums of
+    identically-quantized x and x²; the k-row folds floor-quantize
+    each term to pico units into exact decimal sums; ln() runs on
+    bit-identical doubles in both engines (the entropy-family
+    precedent); only the final T leaves, floor-quantized.
+
+    Scale design: one corpus pass for the 1-row mean, one keyed
+    map-side-combinable pass to the 5-row group-moment frame (the
+    1-row mean attach is the only broadcast); everything after is
+    algebra on ≤ 5 metadata rows."""
+    o = table(spark, sf_dir, "orders")
+    mu_df = o.agg(
+        (dsum(F.col("o_totalprice")) / F.count(F.lit(1))).alias("mu")
+    )
+    x = F.col("o_totalprice") / F.col("mu")
+    g = (
+        o.crossJoin(F.broadcast(mu_df))
+        .groupBy(F.col("o_orderpriority").alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast(DSCALE)).cast("double").alias("sx"),
+            F.sum((x * x).cast(DSCALE)).cast("double").alias("qx"),
+        )
+    )
+    n = F.col("n")
+    v = g.select(
+        "n",
+        (
+            (F.col("qx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+        ).alias("s2"),
+    )
+    tot = v.agg(
+        F.sum("n").cast("double").alias("nt"),
+        F.count(F.lit(1)).alias("k"),
+        _pico_sum((n - 1) * F.col("s2")).alias("ssw"),
+        _pico_sum((n - 1) * F.log(F.col("s2"))).alias("sln"),
+        _pico_sum(F.lit(1).cast("double") / (n - 1)).alias("sinv"),
+    )
+    nt, k = F.col("nt"), F.col("k")
+    t_stat = fquant(
+        ((nt - k) * F.log(F.col("ssw") / (nt - k)) - F.col("sln"))
+        / (1 + (F.col("sinv") - 1 / (nt - k)) / (3 * (k - 1)))
+    )
+    return tot.select(
+        nt.cast("long").alias("n_rows"),
+        k.alias("n_groups"),
+        t_stat.alias("bartlett_t"),
+        (t_stat > _BARTLETT_CHI2_CRIT).alias("heteroscedastic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_welch_anova — STAGED for the r16 cadence (parked unregistered;
+# SURVEY round-14 log). Welch's heteroscedasticity-robust one-way
+# ANOVA across the five order priorities: the k-sample generalization
+# of orders_weekend_welch_ttest and the test to REACH FOR when
+# agg_bartlett_test / agg_brown_forsythe flag unequal variances —
+# classic ANOVA's pooled MSW is exactly what those flags invalidate.
+# ---------------------------------------------------------------------------
+
+_WELCH_ANOVA_F_CRIT = 2.372  # F(4, inf) at 5% — pinned literal
+
+_WELCH_ANOVA_ORACLE = f"""
+WITH mu AS (
+  SELECT {oracle_sum('o_totalprice')} / COUNT(*) AS mu FROM orders
+), g AS (
+  SELECT o_orderpriority AS g,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {oracle_sum('o_totalprice / mu')} AS sx,
+         {oracle_sum('(o_totalprice / mu) * (o_totalprice / mu)')} AS qx
+  FROM orders CROSS JOIN mu GROUP BY 1
+), v AS (
+  SELECT n, sx / n AS m,
+         n / ((qx - sx * sx / n) / (n - 1)) AS w
+  FROM g
+), s1 AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS nt, CAST(COUNT(*) AS BIGINT) AS k,
+         {_oracle_pico_sum('w')} AS bigw,
+         {_oracle_pico_sum('w * m')} AS swm
+  FROM v
+), s2 AS (
+  SELECT nt, k, bigw,
+         {_oracle_pico_sum('w * (m - swm / bigw) * (m - swm / bigw)')}
+           AS a_num,
+         {_oracle_pico_sum(
+             '(1 - w / bigw) * (1 - w / bigw) / (n - 1)'
+         )} AS h
+  FROM v CROSS JOIN s1
+  GROUP BY nt, k, bigw
+)
+SELECT CAST(nt AS BIGINT) AS n_rows, k AS n_groups,
+       FLOOR((a_num / (k - 1))
+             / (1 + 2.0 * (k - 2) / (k * k - 1) * h) * 1e6) / 1e6
+         AS welch_f,
+       FLOOR((k * k - 1.0) / (3 * h) * 1e6) / 1e6 AS df2,
+       FLOOR((a_num / (k - 1))
+             / (1 + 2.0 * (k - 2) / (k * k - 1) * h) * 1e6) / 1e6
+         > {_WELCH_ANOVA_F_CRIT!r} AS significant
+FROM s2
+"""
+
+
+def agg_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's F* = [Σw_i(m̄_i − x̄_w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·H]
+    with w_i = n_i/s²_i, x̄_w = Σw_i·m̄_i/Σw_i, H = Σ(1−w_i/W)²/(n_i−1)
+    and Welch–Satterthwaite df2 = (k²−1)/(3H) — group means compared
+    WITHOUT pooling variances, so the readout stays calibrated exactly
+    where agg_anova_oneway's assumption breaks.
+
+    Cross-engine exactness: the same scale-invariant normalization and
+    decimal-exact group moments as agg_bartlett_test; both k-row folds
+    (the weight/weighted-mean pass and the A/H pass, which needs x̄_w
+    attached first) floor-quantize every term to pico units into exact
+    decimal sums; F*, df2 leave floor-quantized. The bare `2.0`/`1.0`
+    literals keep DuckDB's k-integer arithmetic in the double lane.
+
+    Scale design: identical to bartlett — one 1-row mean pass, one
+    keyed group-moment pass, then two folds over 5 metadata rows (the
+    second attaches the 1-row (W, Σwm) frame by broadcast)."""
+    o = table(spark, sf_dir, "orders")
+    mu_df = o.agg(
+        (dsum(F.col("o_totalprice")) / F.count(F.lit(1))).alias("mu")
+    )
+    x = F.col("o_totalprice") / F.col("mu")
+    g = (
+        o.crossJoin(F.broadcast(mu_df))
+        .groupBy(F.col("o_orderpriority").alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast(DSCALE)).cast("double").alias("sx"),
+            F.sum((x * x).cast(DSCALE)).cast("double").alias("qx"),
+        )
+    )
+    n = F.col("n")
+    v = g.select(
+        "n",
+        (F.col("sx") / n).alias("m"),
+        (
+            n
+            / ((F.col("qx") - F.col("sx") * F.col("sx") / n) / (n - 1))
+        ).alias("w"),
+    )
+    v = v.localCheckpoint(eager=True)  # 5-row frame, two consumers
+    s1 = v.agg(
+        F.sum("n").cast("double").alias("nt"),
+        F.count(F.lit(1)).alias("k"),
+        _pico_sum(F.col("w")).alias("bigw"),
+        _pico_sum(F.col("w") * F.col("m")).alias("swm"),
+    )
+    xw = F.col("swm") / F.col("bigw")
+    s2 = (
+        v.crossJoin(F.broadcast(s1))
+        .groupBy("nt", "k", "bigw")
+        .agg(
+            _pico_sum(F.col("w") * (F.col("m") - xw) * (F.col("m") - xw))
+            .alias("a_num"),
+            _pico_sum(
+                (1 - F.col("w") / F.col("bigw"))
+                * (1 - F.col("w") / F.col("bigw"))
+                / (n - 1)
+            ).alias("h"),
+        )
+    )
+    nt, k, h = F.col("nt"), F.col("k"), F.col("h")
+    f_stat = fquant(
+        (F.col("a_num") / (k - 1))
+        / (1 + 2.0 * (k - 2) / (k * k - 1) * h)
+    )
+    return s2.select(
+        nt.cast("long").alias("n_rows"),
+        k.alias("n_groups"),
+        f_stat.alias("welch_f"),
+        fquant((k * k - 1.0) / (3 * h)).alias("df2"),
+        (f_stat > _WELCH_ANOVA_F_CRIT).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_mood_median_test — STAGED for the r16 cadence (parked
+# unregistered; SURVEY round-14 log). Mood's k-sample median test on
+# the five order priorities: the coarsest, most assumption-free member
+# of the location family — kruskal ranks everything, mood only asks
+# "above the grand median or not", which keeps it valid under ANY
+# monotone transform and arbitrary ties/outliers. χ² over the k×2
+# above/below contingency, exact integers until the final statistic.
+# ---------------------------------------------------------------------------
+
+_MOOD_CHI2_CRIT = 9.487729036781154  # chi2(4) at 5% — pinned literal
+
+_MOOD_ORACLE = f"""
+WITH base AS (
+  SELECT ROUND(o_totalprice * 100) AS cents, o_orderpriority AS g
+  FROM orders
+), gv AS (
+  SELECT cents, g, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM base GROUP BY 1, 2
+), tv AS (
+  SELECT cents, CAST(SUM(cnt) AS BIGINT) AS c FROM gv GROUP BY 1
+), lad AS (
+  SELECT cents,
+         CAST(SUM(c) OVER (ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS nt
+  FROM tv
+), med AS (
+  SELECT MIN(cents) AS med FROM lad
+  WHERE cum >= CAST(CEIL(nt / 2.0) AS BIGINT)
+), grp AS (
+  SELECT g, CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN cents > med THEN cnt ELSE 0 END) AS BIGINT)
+           AS a
+  FROM gv CROSS JOIN med GROUP BY g
+), s1 AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS nt, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(a) AS BIGINT) AS atot
+  FROM grp
+), s2 AS (
+  SELECT nt, k, atot,
+         {_oracle_pico_sum(
+             '(a - n * (atot / nt)) * (a - n * (atot / nt))'
+             ' / (n * (atot / nt))'
+             ' + (a - n * (atot / nt)) * (a - n * (atot / nt))'
+             ' / (n - n * (atot / nt))'
+         )} AS chi2
+  FROM grp CROSS JOIN s1 GROUP BY nt, k, atot
+)
+SELECT CAST(nt AS BIGINT) AS n_rows, k AS n_groups,
+       (SELECT med / CAST(100 AS DOUBLE) FROM med) AS grand_median,
+       atot AS n_above,
+       FLOOR(chi2 * 1e6) / 1e6 AS chi2,
+       FLOOR(chi2 * 1e6) / 1e6 > {_MOOD_CHI2_CRIT!r} AS significant
+FROM s2
+"""
+
+
+def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: the grand LOWER median (smallest cents value
+    whose global cumulative count reaches ⌈N/2⌉ — the brown_forsythe
+    order statistic, global), per-priority counts strictly above it,
+    and χ² = Σ_g [(a_g−E_g)²/E_g + (a_g−E_g)²/(n_g−E_g)] with
+    E_g = n_g·(A/N), against the pinned χ²(4) 5% value. Counts above
+    CAN'T be fooled by tails — the sanity check beside kruskal's
+    rank-sharp readout.
+
+    Cross-engine exactness: prices collapse to exact integer cents
+    (the MWU grain); the ladder, the median and every contingency cell
+    are exact integers; χ² terms are a fixed double expression over
+    those integers, pico-quantized into the exact k-row fold; only
+    χ² itself leaves, floor-quantized.
+
+    Scale design: ranks never materialize — the ladder runs over the
+    DISTINCT-value frame (meta-scale window; the pareto two-pass
+    bucket machinery is the drop-in when distinct values go
+    corpus-scale); the (cents, g) rollup is cached for its two
+    consumers (ladder, contingency); the 1-row median and the 1-row
+    totals frame are the only broadcasts."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("g"),
+    )
+    gv = (
+        base.groupBy("cents", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    tv = gv.groupBy("cents").agg(F.sum("cnt").alias("c"))
+    w_cum = (
+        Window.partitionBy(meta_part("cents"))
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(meta_part("cents"))
+    lad = tv.select(
+        "cents",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("nt"),
+    )
+    med = (
+        lad.where(
+            F.col("cum")
+            >= F.ceil(F.col("nt") / 2.0).cast("long")
+        )
+        .agg(F.min("cents").alias("med"))
+    )
+    grp = (
+        gv.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("cents") > F.col("med"), F.col("cnt"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("a"),
+            F.min("med").alias("med"),
+        )
+    )
+    grp = grp.localCheckpoint(eager=True)  # 5-row frame, two consumers
+    s1 = grp.agg(
+        F.sum("n").cast("double").alias("nt"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("a").cast("long").alias("atot"),
+    )
+    n, a = F.col("n"), F.col("a")
+    e1 = n * (F.col("atot") / F.col("nt"))
+    d = a - e1
+    s2 = (
+        grp.crossJoin(F.broadcast(s1))
+        .groupBy("nt", "k", "atot")
+        .agg(
+            _pico_sum(d * d / e1 + d * d / (n - e1)).alias("chi2"),
+            F.min("med").alias("med"),
+        )
+    )
+    chi2 = fquant(F.col("chi2"))
+    return s2.select(
+        F.col("nt").cast("long").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        (F.col("med") / F.lit(100).cast("double")).alias("grand_median"),
+        F.col("atot").alias("n_above"),
+        chi2.alias("chi2"),
+        (chi2 > _MOOD_CHI2_CRIT).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_partial_correlation — STAGED for the r16 cadence (parked
+# unregistered; SURVEY round-14 log). First-order partial correlation
+# of (extended price, quantity) CONTROLLING for discount — the
+# confounder-adjusted member of the correlation family: agg_corr_matrix
+# reports marginal r, agg_spearman/kendall the rank versions; partial r
+# answers "is the price–quantity link real once the discount channel
+# is held fixed", the question every pricing dashboard actually asks.
+# ---------------------------------------------------------------------------
+
+_PCORR_Z_CRIT = 1.959964  # two-sided 5% normal — pinned literal
+
+_PCORR_ORACLE = f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {oracle_sum('l_extendedprice')} AS sx,
+         {oracle_sum('l_quantity')} AS sy,
+         {oracle_sum('l_discount')} AS sz,
+         {oracle_sum('l_extendedprice * l_extendedprice')} AS sxx,
+         {oracle_sum('l_quantity * l_quantity')} AS syy,
+         {oracle_sum('l_discount * l_discount')} AS szz,
+         {oracle_sum('l_extendedprice * l_quantity')} AS sxy,
+         {oracle_sum('l_extendedprice * l_discount')} AS sxz,
+         {oracle_sum('l_quantity * l_discount')} AS syz
+  FROM lineitem
+), r AS (
+  SELECT n,
+         (n * sxy - sx * sy)
+           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+         (n * sxz - sx * sz)
+           / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+         (n * syz - sy * sz)
+           / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz
+  FROM m
+), p AS (
+  SELECT n, rxy, rxz, ryz,
+         (rxy - rxz * ryz)
+           / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) AS rp
+  FROM r
+)
+SELECT n AS n_rows,
+       FLOOR(rxy * 1e6) / 1e6 AS r_xy,
+       FLOOR(rxz * 1e6) / 1e6 AS r_xz,
+       FLOOR(ryz * 1e6) / 1e6 AS r_yz,
+       FLOOR(rp * 1e6) / 1e6 AS r_xy_given_z,
+       FLOOR(ln((1 + rp) / (1 - rp)) / 2 * 1e6) / 1e6 AS fisher_z,
+       FLOOR(ln((1 + rp) / (1 - rp)) / 2 * sqrt(n - 4) * 1e6) / 1e6
+         AS z_stat,
+       ABS(FLOOR(ln((1 + rp) / (1 - rp)) / 2 * sqrt(n - 4) * 1e6) / 1e6)
+         > {_PCORR_Z_CRIT!r} AS significant
+FROM p
+"""
+
+
+def agg_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) over
+    lineitem with x = extended price, y = quantity, z = discount, plus
+    Fisher's z = ½·ln((1+r)/(1−r)) and the large-sample z statistic
+    z·√(n−4) against the pinned two-sided 5% normal value. The three
+    marginal r's ship alongside so the adjustment itself is readable
+    (price–quantity is strongly positive marginally; the partial says
+    how much survives the discount channel).
+
+    Cross-engine exactness: ONE scan to eleven decimal-exact moments
+    (counts + nine DECIMAL(27,6) sums of identically-computed per-row
+    products); every correlation is a fixed-order double expression
+    over those identical moments; ln() on bit-identical doubles (the
+    entropy precedent); all outputs floor-quantized.
+
+    Scale design: the single map-side-combinable aggregate is the
+    whole corpus cost — no join, no window, no Python, no broadcast;
+    the algebra runs on one metadata row. The moment lane holds to
+    2⁵³: price² sums reach ~6e15 at sf0.1, inside DECIMAL(27,6)'s 1e21
+    headroom, and the double conversions are identical both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    x, y, z = (
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+        F.col("l_discount"),
+    )
+
+    def dx(e):
+        return F.sum(e.cast(DSCALE)).cast("double")
+
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dx(x).alias("sx"),
+        dx(y).alias("sy"),
+        dx(z).alias("sz"),
+        dx(x * x).alias("sxx"),
+        dx(y * y).alias("syy"),
+        dx(z * z).alias("szz"),
+        dx(x * y).alias("sxy"),
+        dx(x * z).alias("sxz"),
+        dx(y * z).alias("syz"),
+    )
+    n = F.col("n")
+    sx, sy, sz = F.col("sx"), F.col("sy"), F.col("sz")
+
+    def corr(spq, sp, sq, spp, sqq):
+        return (n * spq - sp * sq) / F.sqrt(
+            (n * spp - sp * sp) * (n * sqq - sq * sq)
+        )
+
+    r = m.select(
+        "n",
+        corr(F.col("sxy"), sx, sy, F.col("sxx"), F.col("syy")).alias(
+            "rxy"
+        ),
+        corr(F.col("sxz"), sx, sz, F.col("sxx"), F.col("szz")).alias(
+            "rxz"
+        ),
+        corr(F.col("syz"), sy, sz, F.col("syy"), F.col("szz")).alias(
+            "ryz"
+        ),
+    )
+    rp = (F.col("rxy") - F.col("rxz") * F.col("ryz")) / F.sqrt(
+        (1 - F.col("rxz") * F.col("rxz"))
+        * (1 - F.col("ryz") * F.col("ryz"))
+    )
+    p = r.select("n", "rxy", "rxz", "ryz", rp.alias("rp"))
+    fz = F.log((1 + F.col("rp")) / (1 - F.col("rp"))) / 2
+    zs = fquant(fz * F.sqrt(n - 4))
+    return p.select(
+        n.alias("n_rows"),
+        fquant(F.col("rxy")).alias("r_xy"),
+        fquant(F.col("rxz")).alias("r_xz"),
+        fquant(F.col("ryz")).alias("r_yz"),
+        fquant(F.col("rp")).alias("r_xy_given_z"),
+        fquant(fz).alias("fisher_z"),
+        zs.alias("z_stat"),
+        (F.abs(zs) > _PCORR_Z_CRIT).alias("significant"),
+    )
