@@ -256,6 +256,9 @@ AUDITED = {
         # and 1-row shock-mean frames
         "ts_arch_lm_test": 2,
         "ts_sample_entropy": 2,
+        # r16 staging audit: HT attaches its 1-row (N, T) population
+        # frame to the customer-grain spend table.
+        "sample_horvitz_thompson": 1,
         "ts_ar1_fit": 1,
         "ts_autocorrelation": 2,
         "ts_decompose_additive": 1,

@@ -78,6 +78,27 @@ def oracle_fquant(sql_expr: str, digits: int = 6) -> str:
     return f"FLOOR(({sql_expr}) * 1e{digits}) / 1e{digits}"
 
 
+def pico_sum(term: Column) -> Column:
+    """Order-independent small-frame fold: floor-quantize a double term
+    to pico units, sum exactly in DECIMAL(38,0), return double. A raw
+    double SUM over even a k-row frame is accumulation-order-dependent
+    — the kruskal/SPRT doctrine. Requires |term|·1e12 < 2⁶³ (Spark's
+    floor lands in a long); above ~9e6 magnitudes use a DECIMAL(38,6)
+    cast-sum instead."""
+    return (
+        F.sum(F.floor(term * 1e12).cast("decimal(38,0)")).cast("double")
+        / 1e12
+    )
+
+
+def oracle_pico_sum(sql_term: str) -> str:
+    """DuckDB mirror of :func:`pico_sum`."""
+    return (
+        f"CAST(SUM(CAST(FLOOR(({sql_term}) * 1e12) AS DECIMAL(38,0))) "
+        "AS DOUBLE) / 1e12"
+    )
+
+
 def ts_ms(col: Column | str) -> Column:
     """Truncate a timestamp to millisecond precision (ns/µs parity)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -6488,23 +6488,9 @@ def agg_wilcoxon_signed_rank(
 _BARTLETT_CHI2_CRIT = 9.487729036781154  # chi2(4) at 5% — pinned literal
 
 
-def _pico_sum(term):
-    """Order-independent 5-row fold: floor-quantize a double term to
-    pico units, sum exactly in DECIMAL(38,0), return double. The k-row
-    frame is tiny but a raw double SUM is still accumulation-order-
-    dependent — the kruskal/SPRT doctrine."""
-    return (
-        F.sum(F.floor(term * 1e12).cast("decimal(38,0)")).cast("double")
-        / 1e12
-    )
-
-
-def _oracle_pico_sum(sql_term: str) -> str:
-    """DuckDB mirror of :func:`_pico_sum`."""
-    return (
-        f"CAST(SUM(CAST(FLOOR(({sql_term}) * 1e12) AS DECIMAL(38,0))) "
-        "AS DOUBLE) / 1e12"
-    )
+# the canonical pico folds live in parity.py (shared with timeseries)
+from trireme_spark.parity import oracle_pico_sum as _oracle_pico_sum
+from trireme_spark.parity import pico_sum as _pico_sum
 
 
 _BARTLETT_ORACLE = f"""

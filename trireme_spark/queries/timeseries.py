@@ -22,7 +22,9 @@ from trireme_spark.parity import (
     dsum,
     fquant,
     meta_part,
+    oracle_pico_sum,
     oracle_sum,
+    pico_sum,
 )
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
@@ -13465,4 +13467,462 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("ok")
         .alias("severity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_cmh_test — STAGED for the r16 cadence (parked unregistered;
+# SURVEY round-14 log). Cochran–Mantel–Haenszel test of the SAME
+# heavy-clicker→heavy-purchaser 2×2 as events_odds_ratio_2x2, but
+# STRATIFIED by activity band — the confounding-aware member of the
+# association family: busier users have more of both, so the marginal
+# OR overstates the link; CMH pools the within-stratum evidence
+# (and the MH common OR quantifies it) with activity held fixed.
+# Pairs with orders_simpsons_check, which DETECTS the reversal; CMH is
+# the test you run once it's detected.
+# ---------------------------------------------------------------------------
+
+_CMH_CHI2_CRIT = 3.841458820694124  # chi2(1) at 5% — pinned literal
+# activity-band edges on per-user TOTAL events (fixture terciles,
+# stable at both scales: 62/70 cover 49..88)
+_CMH_BAND_LO = 62
+_CMH_BAND_HI = 70
+
+_CMH_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+         COUNT(*) FILTER (WHERE event_type = 'click') >= 14 AS e,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') >= 14 AS o
+  FROM events GROUP BY 1
+), s AS (
+  SELECT CASE WHEN n_ev <= {_CMH_BAND_LO} THEN 0
+              WHEN n_ev <= {_CMH_BAND_HI} THEN 1 ELSE 2 END AS stratum,
+         CAST(COUNT(*) FILTER (WHERE e AND o) AS BIGINT) AS a,
+         CAST(COUNT(*) FILTER (WHERE e AND NOT o) AS BIGINT) AS b,
+         CAST(COUNT(*) FILTER (WHERE NOT e AND o) AS BIGINT) AS c,
+         CAST(COUNT(*) FILTER (WHERE NOT e AND NOT o) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM u GROUP BY 1
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(n) AS BIGINT) AS n_users,
+         {oracle_pico_sum(
+             'a - CAST(a + b AS DOUBLE) * (a + c) / n'
+         )} AS s_num,
+         {oracle_pico_sum(
+             'CAST(a + b AS DOUBLE) * (c + d) * ((a + c) * (b + d))'
+             ' / (CAST(n AS DOUBLE) * n * (n - 1))'
+         )} AS s_var,
+         {oracle_pico_sum('CAST(a AS DOUBLE) * d / n')} AS s_ad,
+         {oracle_pico_sum('CAST(b AS DOUBLE) * c / n')} AS s_bc
+  FROM s
+)
+SELECT n_strata, n_users,
+       FLOOR(s_num * s_num / s_var * 1e6) / 1e6 AS cmh_chi2,
+       CASE WHEN s_bc = 0 THEN 0.0
+            ELSE FLOOR(s_ad / s_bc * 1e6) / 1e6 END AS or_mh,
+       FLOOR(s_num * s_num / s_var * 1e6) / 1e6
+         > {_CMH_CHI2_CRIT!r} AS significant
+FROM t
+"""
+
+
+def events_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMH χ² = (Σ_i (a_i − E_i))² / Σ_i Var_i over activity-band
+    strata (E_i and Var_i the conditional hypergeometric moments of
+    each 2×2) plus the Mantel–Haenszel common odds ratio
+    Σ(a_i d_i/n_i) / Σ(b_i c_i/n_i), against the pinned χ²(1) 5%
+    value. Same exposure/outcome as events_odds_ratio_2x2 — read the
+    pair together: marginal OR vs activity-adjusted OR IS the
+    confounding readout.
+
+    Cross-engine exactness: cells are exact integers from one user
+    rollup; each stratum's E/Var/OR terms are fixed-order double
+    expressions over those integers, pico-quantized into exact 3-row
+    folds; χ² and OR_MH leave floor-quantized; a zero Σb·c/n pins
+    OR_MH to 0.0 (reported, not corrected).
+
+    Scale design: one corpus pass to the user grain (map-side-
+    combinable conditional counts), one keyed rollup to the 3-row
+    stratum frame, one 1-row fold — no joins, no windows, no
+    broadcasts, no Python."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.count_if(F.col("event_type") == "click") >= 14).alias("e"),
+        (F.count_if(F.col("event_type") == "purchase") >= 14).alias("o"),
+    )
+    s = u.groupBy(
+        F.when(F.col("n_ev") <= _CMH_BAND_LO, 0)
+        .when(F.col("n_ev") <= _CMH_BAND_HI, 1)
+        .otherwise(2)
+        .alias("stratum")
+    ).agg(
+        F.count_if(F.col("e") & F.col("o")).cast("long").alias("a"),
+        F.count_if(F.col("e") & ~F.col("o")).cast("long").alias("b"),
+        F.count_if(~F.col("e") & F.col("o")).cast("long").alias("c"),
+        F.count_if(~F.col("e") & ~F.col("o")).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a, b, c, d, n = (
+        F.col("a"),
+        F.col("b"),
+        F.col("c"),
+        F.col("d"),
+        F.col("n"),
+    )
+    t = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("n").cast("long").alias("n_users"),
+        pico_sum(a - (a + b).cast("double") * (a + c) / n).alias("s_num"),
+        pico_sum(
+            (a + b).cast("double") * (c + d) * ((a + c) * (b + d))
+            / (n.cast("double") * n * (n - 1))
+        ).alias("s_var"),
+        pico_sum(a.cast("double") * d / n).alias("s_ad"),
+        pico_sum(b.cast("double") * c / n).alias("s_bc"),
+    )
+    chi2 = fquant(F.col("s_num") * F.col("s_num") / F.col("s_var"))
+    return t.select(
+        "n_strata",
+        "n_users",
+        chi2.alias("cmh_chi2"),
+        F.when(F.col("s_bc") == 0, F.lit(0.0))
+        .otherwise(fquant(F.col("s_ad") / F.col("s_bc")))
+        .alias("or_mh"),
+        (chi2 > _CMH_CHI2_CRIT).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_cochran_armitage_trend — STAGED for the r16 cadence (parked
+# unregistered; SURVEY round-14 log). Cochran–Armitage trend test:
+# does the heavy-purchaser share RISE MONOTONically with the click
+# band? The ORDERED-alternative member of the contingency family —
+# the plain χ² (cramers_v) asks "any difference between bands";
+# Armitage spends all its power on the dose-response direction, the
+# question engagement funnels actually pose.
+# ---------------------------------------------------------------------------
+
+_CA_Z_CRIT = 1.959964  # two-sided 5% normal — pinned literal
+
+_CA_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         LEAST(3, CAST(FLOOR(
+           COUNT(*) FILTER (WHERE event_type = 'click') / 5
+         ) AS BIGINT)) AS s,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') >= 14
+              AS INT) AS o
+  FROM events GROUP BY 1
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(o) AS BIGINT) AS r,
+         CAST(SUM(s) AS BIGINT) AS ss,
+         CAST(SUM(s * s) AS BIGINT) AS ss2,
+         CAST(SUM(o * s) AS BIGINT) AS sos,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_bands
+  FROM u
+)
+SELECT n AS n_users, r AS n_success, n_bands,
+       FLOOR((sos - CAST(r AS DOUBLE) * ss / n)
+             / sqrt(CAST(r AS DOUBLE) / n * (1 - CAST(r AS DOUBLE) / n)
+                    * (ss2 - CAST(ss AS DOUBLE) * ss / n))
+             * 1e6) / 1e6 AS z_trend,
+       ABS(FLOOR((sos - CAST(r AS DOUBLE) * ss / n)
+             / sqrt(CAST(r AS DOUBLE) / n * (1 - CAST(r AS DOUBLE) / n)
+                    * (ss2 - CAST(ss AS DOUBLE) * ss / n))
+             * 1e6) / 1e6) > {_CA_Z_CRIT!r} AS significant
+FROM t
+"""
+
+
+def events_cochran_armitage_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran–Armitage z = T / √Var with T = Σo_i s_i − R·Σs_i/N and
+    Var = (R/N)(1−R/N)·(Σs² − (Σs)²/N), scores s = min(3, ⌊clicks/5⌋)
+    per user, success = the heavy-purchaser flag, against the pinned
+    two-sided 5% normal value. A significant positive z reads "more
+    clicking → more buying, monotonically"; the banded score keeps the
+    test robust to the raw count's tail.
+
+    Cross-engine exactness: every sufficient statistic (N, R, Σs, Σs²,
+    Σos) is an EXACT INTEGER from one user rollup — no quantization
+    anywhere before the single fixed-order double expression for z,
+    which leaves floor-quantized.
+
+    Scale design: one corpus pass to the user grain, one 1-row
+    integer fold — no joins, no windows, no broadcasts, no Python;
+    the cheapest possible dose-response readout at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.least(
+            F.lit(3),
+            F.floor(
+                F.count_if(F.col("event_type") == "click") / 5
+            ).cast("long"),
+        ).alias("s"),
+        (F.count_if(F.col("event_type") == "purchase") >= 14)
+        .cast("int")
+        .alias("o"),
+    )
+    t = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o").cast("long").alias("r"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("ss2"),
+        F.sum(F.col("o") * F.col("s")).cast("long").alias("sos"),
+        F.count_distinct(F.col("s")).cast("long").alias("n_bands"),
+    )
+    n, r, ss = F.col("n"), F.col("r"), F.col("ss")
+    z = fquant(
+        (F.col("sos") - r.cast("double") * ss / n)
+        / F.sqrt(
+            r.cast("double") / n * (1 - r.cast("double") / n)
+            * (F.col("ss2") - ss.cast("double") * ss / n)
+        )
+    )
+    return t.select(
+        n.alias("n_users"),
+        r.alias("n_success"),
+        F.col("n_bands"),
+        z.alias("z_trend"),
+        (F.abs(z) > _CA_Z_CRIT).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_burstiness_goh — STAGED for the r16 cadence (parked
+# unregistered; SURVEY round-14 log). Goh–Barabási burstiness
+# B = (σ−μ)/(σ+μ) of per-stream inter-event times, one row per event
+# type: B → −1 for a metronome, 0 for a Poisson process, → 1 for
+# extreme bursts. The TIME-DOMAIN partner of events_dispersion_index
+# (which reads count overdispersion per window); B reads the gap
+# distribution itself — the standard fingerprint for bot-vs-human
+# timing and queue sizing.
+# ---------------------------------------------------------------------------
+
+_BURSTINESS_ORACLE = """
+WITH e AS (
+  SELECT event_type, user_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+), g AS (
+  SELECT event_type, us - prev AS gap FROM e WHERE prev IS NOT NULL
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS sg,
+         CAST(SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS DOUBLE) AS sgg
+  FROM g GROUP BY 1
+), v AS (
+  SELECT event_type, n, sg,
+         sqrt((sgg - sg * sg / n) / (n - 1)) AS sd
+  FROM m
+)
+SELECT event_type, n AS n_gaps,
+       FLOOR(sg / n / 1e6 * 1e6) / 1e6 AS mean_gap_s,
+       FLOOR(sd / (sg / n) * 1e6) / 1e6 AS cv,
+       FLOOR((sd - sg / n) / (sd + sg / n) * 1e6) / 1e6 AS burstiness
+FROM v
+"""
+
+
+def events_burstiness_goh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Goh–Barabási burstiness over PER-USER event streams:
+    gaps are within (user, type) series — the grain at which timing
+    regularity is meaningful AND the partition key that scales — and
+    the per-type readout pools every stream's gaps. Emits n_gaps, the
+    mean gap in seconds, the coefficient of variation σ/μ and
+    B = (σ−μ)/(σ+μ) (B ≈ 0 is Poisson; the fixture's planted clockwork
+    streams read negative).
+
+    Cross-engine exactness: gaps are EXACT INTEGER epoch microseconds
+    (the NTZ value-preserving cast, the join_point_in_time bridge);
+    the lag orders by (epoch, event_id) so equal timestamps cannot
+    reorder across engines; Σg and Σg² are exact DECIMAL(38,0) sums
+    (g² ~ 1e25 per row sits far inside the 1e38 lane); σ, μ, CV and B
+    are fixed-order double expressions, floor-quantized.
+
+    Scale design: ONE corpus pass; the lag window partitions by
+    (user, type) — millions of small series, no global sort, no skew
+    (the 5-way type-only partition would be the 100 TB straggler; the
+    per-user grain is the designed key) — then one keyed
+    map-side-combinable rollup to 5 rows."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        us, F.col("event_id")
+    )
+    e = ev.select(
+        "event_type",
+        "user_id",
+        us.alias("us"),
+        F.lag(us).over(w).alias("prev"),
+    )
+    g = e.where(F.col("prev").isNotNull()).select(
+        "event_type", (F.col("us") - F.col("prev")).alias("gap")
+    )
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("gap").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sg"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap"))
+        .cast("double")
+        .alias("sgg"),
+    )
+    n, sg = F.col("n"), F.col("sg")
+    sd = F.sqrt(
+        (F.col("sgg") - sg * sg / n) / (n - 1)
+    )
+    v = m.select("event_type", "n", "sg", sd.alias("sd"))
+    mu = F.col("sg") / F.col("n")
+    return v.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        fquant(mu / 1e6).alias("mean_gap_s"),
+        fquant(F.col("sd") / mu).alias("cv"),
+        fquant((F.col("sd") - mu) / (F.col("sd") + mu)).alias(
+            "burstiness"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_horvitz_thompson — STAGED for the r16 cadence (parked
+# unregistered; SURVEY round-14 log). Horvitz–Thompson estimation
+# under deterministic PPS Poisson sampling: include customer i with
+# π_i ∝ spend, estimate the TOTAL spend from the sample as Σ y_i/π_i,
+# and report the HT variance estimate and whether the truth landed in
+# the 95% interval. The ESTIMATION half the sampling family lacked:
+# pps_systematic/neyman/weighted DRAW samples; HT is how a pipeline
+# reads population totals back OUT of a weighted sample without bias.
+# ---------------------------------------------------------------------------
+
+_HT_ORACLE = f"""
+WITH y AS (
+  SELECT o_custkey AS ck, {oracle_sum('o_totalprice')} AS y
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pop, {oracle_sum('y')} AS tt
+  FROM y
+), p AS (
+  SELECT ck, y, n_pop, tt,
+         LEAST(1, y * n_pop / (10 * tt)) AS pi,
+         CAST(('0x' || substr(md5(ck::VARCHAR || '|ht'), 1, 8))
+              AS BIGINT) / 4294967296 AS u
+  FROM y CROSS JOIN t
+), s AS (
+  SELECT n_pop, tt,
+         CAST(COUNT(*) FILTER (WHERE u < pi) AS BIGINT) AS n_samp,
+         CAST(SUM(CASE WHEN u < pi
+                       THEN CAST(y / pi AS DECIMAL(38,6)) END)
+              AS DOUBLE) AS ht,
+         CAST(SUM(CASE WHEN u < pi
+                       THEN CAST((1 - pi) * ((y / pi) * (y / pi))
+                                 AS DECIMAL(38,6)) END)
+              AS DOUBLE) AS vht
+  FROM p GROUP BY n_pop, tt
+)
+SELECT n_pop, n_samp AS n_sampled, tt AS true_total,
+       FLOOR(ht * 1e6) / 1e6 AS ht_total,
+       FLOOR(ABS(ht - tt) / tt * 1e6) / 1e6 AS rel_err,
+       FLOOR(sqrt(vht) * 1e6) / 1e6 AS ht_se,
+       ABS(FLOOR(ht * 1e6) / 1e6 - tt)
+         <= 1.96 * (FLOOR(sqrt(vht) * 1e6) / 1e6) AS ci_covers
+FROM s
+"""
+
+
+def sample_horvitz_thompson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HT total = Σ_{i∈S} y_i/π_i under Poisson PPS with
+    π_i = min(1, y_i·N/(10·T)) (expected ~10% of customers, spend-
+    proportional) and the seeded md5-prefix uniform as the inclusion
+    coin (the ab_test_analysis idiom — deterministic, reproducible,
+    engine-free). Emits the estimate, its relative error against the
+    exact total, the HT variance estimate for Poisson sampling
+    Σ(1−π)(y/π)², and whether the 95% interval covered the truth —
+    the full unbiasedness readout, not just a number.
+
+    Cross-engine exactness: y and T are decimal-exact; π and u are
+    fixed-order doubles from exact inputs (u = a 32-bit md5 prefix
+    over 2³²); the inclusion compare runs on identical doubles; the
+    HT folds round each term through DECIMAL(38,6) (y/π ≈ 10·T/N is
+    too large for the pico-integer lane — the documented fallback)
+    and sum exactly; outputs floor-quantize, and the coverage flag
+    compares QUANTIZED estimate/se so it cannot straddle.
+
+    Scale design: one keyed pass to the customer grain, the 1-row
+    (N, T) broadcast attach, one 1-row fold — the customer frame is
+    corpus-dimension but never collected, cached for its two
+    consumers; no windows, no Python."""
+    o = table(spark, sf_dir, "orders")
+    y = (
+        o.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(dsum(F.col("o_totalprice")).alias("y"))
+        .cache()
+    )
+    t = y.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        dsum(F.col("y")).alias("tt"),
+    )
+    pi = F.least(
+        F.lit(1).cast("double"),
+        F.col("y") * F.col("n_pop") / (10 * F.col("tt")),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("ck").cast("string"), F.lit("|ht"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296)
+    )
+    p = y.crossJoin(F.broadcast(t)).select(
+        "ck", "y", "n_pop", "tt", pi.alias("pi"), u.alias("u")
+    )
+    inc = F.col("u") < F.col("pi")
+    dec386 = "decimal(38,6)"
+    s = p.groupBy("n_pop", "tt").agg(
+        F.count_if(inc).cast("long").alias("n_samp"),
+        F.sum(F.when(inc, (F.col("y") / F.col("pi")).cast(dec386)))
+        .cast("double")
+        .alias("ht"),
+        F.sum(
+            F.when(
+                inc,
+                (
+                    (1 - F.col("pi"))
+                    * (
+                        (F.col("y") / F.col("pi"))
+                        * (F.col("y") / F.col("pi"))
+                    )
+                ).cast(dec386),
+            )
+        )
+        .cast("double")
+        .alias("vht"),
+    )
+    ht_q = fquant(F.col("ht"))
+    se_q = fquant(F.sqrt(F.col("vht")))
+    return s.select(
+        F.col("n_pop"),
+        F.col("n_samp").alias("n_sampled"),
+        F.col("tt").alias("true_total"),
+        ht_q.alias("ht_total"),
+        fquant(F.abs(F.col("ht") - F.col("tt")) / F.col("tt")).alias(
+            "rel_err"
+        ),
+        se_q.alias("ht_se"),
+        (F.abs(ht_q - F.col("tt")) <= 1.96 * se_q).alias("ci_covers"),
     )
