@@ -257,8 +257,15 @@ AUDITED = {
         "ts_arch_lm_test": 2,
         "ts_sample_entropy": 2,
         # r16 staging audit: HT attaches its 1-row (N, T) population
-        # frame to the customer-grain spend table.
+        # frame to the customer-grain spend table; U2 its 1-row mean;
+        # EG its 1-row means + 1-row (alpha, beta) fit; theta its 1-row
+        # mean + 1-row trend fit; brier-decomp its 1-row totals fold —
+        # all single-row aggregates.
         "sample_horvitz_thompson": 1,
+        "orders_theil_u2_forecast": 1,
+        "ts_cointegration_engle_granger": 2,
+        "ts_forecast_theta_method": 2,
+        "events_brier_decomposition": 1,
         "ts_ar1_fit": 1,
         "ts_autocorrelation": 2,
         "ts_decompose_additive": 1,

@@ -13926,3 +13926,682 @@ def sample_horvitz_thompson(
         se_q.alias("ht_se"),
         (F.abs(ht_q - F.col("tt")) <= 1.96 * se_q).alias("ci_covers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_theil_u2_forecast — STAGED for the r16 cadence (parked
+# unregistered; SURVEY round-14 log). Theil's U2 forecast-accuracy
+# ratio for the lag-7 seasonal-naive forecaster on daily revenue:
+# RMSE(model)/RMSE(naive-1). The RELATIVE referee beside
+# ts_forecast_mase_eval's scaled absolute error — U2 < 1 is the
+# universal "beats naive" bar (U2 quadratically punishes the big
+# misses MASE averages away), and reporting both is forecasting
+# hygiene (Hyndman's accuracy-measure doctrine).
+# ---------------------------------------------------------------------------
+
+_U2_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         {oracle_sum('o_totalprice')} AS y
+  FROM orders GROUP BY 1
+), mu AS (
+  SELECT {oracle_sum('y')} / COUNT(*) AS mu FROM d
+), x AS (
+  SELECT day, y / mu AS x FROM d CROSS JOIN mu
+), lagged AS (
+  SELECT x,
+         lag(x, 1) OVER (ORDER BY day) AS x1,
+         lag(x, 7) OVER (ORDER BY day) AS x7
+  FROM x
+), scored AS (
+  SELECT x, x1, x7 FROM lagged WHERE x1 IS NOT NULL AND x7 IS NOT NULL
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {oracle_pico_sum('(x - x7) * (x - x7)')} AS s77,
+         {oracle_pico_sum('(x - x1) * (x - x1)')} AS s11
+  FROM scored
+)
+SELECT n AS n_days_scored,
+       FLOOR(sqrt(s77 / n) * (SELECT mu FROM mu) * 1e6) / 1e6
+         AS rmse_model,
+       FLOOR(sqrt(s11 / n) * (SELECT mu FROM mu) * 1e6) / 1e6
+         AS rmse_naive,
+       FLOOR(sqrt(s77 / s11) * 1e6) / 1e6 AS theil_u2,
+       FLOOR(sqrt(s77 / s11) * 1e6) / 1e6 < 1 AS model_beats_naive
+FROM s
+"""
+
+
+def orders_theil_u2_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """U2 = √(Σ(x_t − x_{t−7})² / Σ(x_t − x_{t−1})²) over the daily
+    revenue series (row-lags over the ordered day frame — the MASE
+    key's forecaster; days are dense at the grading scale so row ≈
+    calendar), plus both RMSEs in raw revenue units. U2 < 1 reads "the
+    weekly-seasonal model beats persistence".
+
+    Cross-engine exactness: the day frame is decimal-exact; values
+    normalize by the exact mean day (U2 is scale-invariant; raw-unit
+    RMSEs multiply the mean back in one fixed-order step); both
+    squared-error folds pico-quantize per-day terms into exact decimal
+    sums; the verdict compares the QUANTIZED ratio to 1.
+
+    Scale design: one corpus rollup to the calendar-bounded day frame,
+    one 1-row mean attach, two row-lags in ONE window pass under
+    meta_part, one 1-row fold."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        dsum("o_totalprice").alias("y")
+    )
+    mu_df = d.agg((dsum(F.col("y")) / F.count(F.lit(1))).alias("mu"))
+    x = d.crossJoin(F.broadcast(mu_df)).select(
+        "day", (F.col("y") / F.col("mu")).alias("x"), "mu"
+    )
+    w = Window.partitionBy(meta_part(F.unix_date(F.col("day")))).orderBy(
+        "day"
+    )
+    lagged = x.select(
+        "x",
+        "mu",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    )
+    scored = lagged.where(
+        F.col("x1").isNotNull() & F.col("x7").isNotNull()
+    )
+    s = scored.groupBy("mu").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        pico_sum(
+            (F.col("x") - F.col("x7")) * (F.col("x") - F.col("x7"))
+        ).alias("s77"),
+        pico_sum(
+            (F.col("x") - F.col("x1")) * (F.col("x") - F.col("x1"))
+        ).alias("s11"),
+    )
+    n = F.col("n")
+    u2 = fquant(F.sqrt(F.col("s77") / F.col("s11")))
+    return s.select(
+        n.alias("n_days_scored"),
+        fquant(F.sqrt(F.col("s77") / n) * F.col("mu")).alias(
+            "rmse_model"
+        ),
+        fquant(F.sqrt(F.col("s11") / n) * F.col("mu")).alias(
+            "rmse_naive"
+        ),
+        u2.alias("theil_u2"),
+        (u2 < 1).alias("model_beats_naive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_cointegration_engle_granger — STAGED for the r16 cadence (parked
+# unregistered; SURVEY round-14 log). Engle–Granger two-step
+# cointegration test between daily revenue and daily order count: OLS
+# one on the other, then the Dickey–Fuller walk on the RESIDUAL. The
+# PAIRWISE member of the stationarity family — DF/KPSS/VR ask about
+# one series; EG asks whether two non-stationary series share a
+# common stochastic trend (the spread is what's tradable/monitorable:
+# a cointegrated pair's residual is the mean-reverting alert signal).
+# ---------------------------------------------------------------------------
+
+# EG 5% asymptotic critical value, two variables with constant
+# (Engle & Granger 1987 / MacKinnon 1991) — pinned literal
+_EG_CRIT = -3.37
+
+_EG_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         {oracle_sum('o_totalprice')} AS rev,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), mm AS (
+  SELECT {oracle_sum('rev')} / COUNT(*) AS my,
+         CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mx
+  FROM d
+), z AS (
+  SELECT day, rev / my AS a, cnt / mx AS b FROM d CROSS JOIN mm
+), s1 AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(FLOOR((a) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sa, CAST(SUM(CAST(FLOOR((b) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sb,
+         CAST(SUM(CAST(FLOOR((b * b) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sbb, CAST(SUM(CAST(FLOOR((a * b) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sab
+  FROM z
+), fit AS (
+  SELECT n,
+         (n * sab - sb * sa) / (n * sbb - sb * sb) AS beta,
+         (sa - (n * sab - sb * sa) / (n * sbb - sb * sb) * sb) / n
+           AS alpha
+  FROM s1
+), e AS (
+  SELECT day, a - alpha - beta * b AS e FROM z CROSS JOIN fit
+), lagged AS (
+  SELECT e, lag(e) OVER (ORDER BY day) AS el FROM e
+), r AS (
+  SELECT e - el AS de, el FROM lagged WHERE el IS NOT NULL
+), s2 AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n2,
+         CAST(SUM(CAST(FLOOR((el * el) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS see,
+         CAST(SUM(CAST(FLOOR((el * de) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sed,
+         CAST(SUM(CAST(FLOOR((de * de) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sdd
+  FROM r
+)
+SELECT CAST((SELECT n FROM s1) AS BIGINT) AS n_days,
+       FLOOR((SELECT beta FROM fit) * 1e6) / 1e6 AS beta_rel,
+       FLOOR(sed / see
+             / sqrt(((sdd - sed * sed / see) / (n2 - 1)) / see)
+             * 1e6) / 1e6 AS eg_tau,
+       FLOOR(sed / see
+             / sqrt(((sdd - sed * sed / see) / (n2 - 1)) / see)
+             * 1e6) / 1e6 < {_EG_CRIT!r} AS cointegrated
+FROM s2
+"""
+
+
+def ts_cointegration_engle_granger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Step 1: OLS revenue-per-day on orders-per-day (closed form from
+    centered sums — the granger/chow doctrine); step 2: through-origin
+    Dickey–Fuller on the residual, τ = ρ̂/se(ρ̂) against the pinned
+    Engle–Granger −3.37 asymptotic 5% value (EG residual critical
+    values are HARSHER than DF's −2.86 because β was estimated — using
+    the DF table here is the classic mistake). τ below the bar reads
+    "revenue and volume share one stochastic trend; their spread is
+    stationary and monitorable".
+
+    Cross-engine exactness: both series normalize by their exact means
+    (each series' residual scales uniformly, so τ and the relative β
+    are invariant); every fold over the calendar-bounded day frame
+    pico-quantizes fixed-order double terms into exact decimal sums;
+    the residual is a fixed expression of (a, b, α, β) identical both
+    engines; only scale-free quantized outputs leave.
+
+    Scale design: one corpus rollup to the day frame (cached for the
+    fit and residual passes), two 1-row broadcast attaches (means,
+    fit), one lag window under meta_part, two 1-row folds."""
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        dsum("o_totalprice").alias("rev"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    mm = d.agg(
+        (dsum(F.col("rev")) / F.count(F.lit(1))).alias("my"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mx"),
+    )
+    z = d.crossJoin(F.broadcast(mm)).select(
+        "day",
+        (F.col("rev") / F.col("my")).alias("a"),
+        (F.col("cnt") / F.col("mx")).alias("b"),
+    )
+    z = z.localCheckpoint(eager=True)  # bounded day frame, two consumers
+    a, b = F.col("a"), F.col("b")
+    s1 = z.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        pico_sum(a).alias("sa"),
+        pico_sum(b).alias("sb"),
+        pico_sum(b * b).alias("sbb"),
+        pico_sum(a * b).alias("sab"),
+    )
+    n = F.col("n")
+    beta = (n * F.col("sab") - F.col("sb") * F.col("sa")) / (
+        n * F.col("sbb") - F.col("sb") * F.col("sb")
+    )
+    fit = s1.select(
+        "n",
+        beta.alias("beta"),
+        ((F.col("sa") - beta * F.col("sb")) / n).alias("alpha"),
+    )
+    e = z.crossJoin(F.broadcast(fit)).select(
+        "day",
+        "n",
+        "beta",
+        (a - F.col("alpha") - F.col("beta") * b).alias("e"),
+    )
+    w = Window.partitionBy(meta_part(F.unix_date(F.col("day")))).orderBy(
+        "day"
+    )
+    lagged = e.select(
+        "n", "beta", "e", F.lag("e").over(w).alias("el")
+    )
+    r = lagged.where(F.col("el").isNotNull()).select(
+        "n",
+        "beta",
+        (F.col("e") - F.col("el")).alias("de"),
+        "el",
+    )
+    el, de = F.col("el"), F.col("de")
+    s2 = r.groupBy("n", "beta").agg(
+        F.count(F.lit(1)).cast("double").alias("n2"),
+        pico_sum(el * el).alias("see"),
+        pico_sum(el * de).alias("sed"),
+        pico_sum(de * de).alias("sdd"),
+    )
+    tau = fquant(
+        F.col("sed")
+        / F.col("see")
+        / F.sqrt(
+            (
+                (F.col("sdd") - F.col("sed") * F.col("sed") / F.col("see"))
+                / (F.col("n2") - 1)
+            )
+            / F.col("see")
+        )
+    )
+    return s2.select(
+        F.col("n").cast("long").alias("n_days"),
+        fquant(F.col("beta")).alias("beta_rel"),
+        tau.alias("eg_tau"),
+        (tau < _EG_CRIT).alias("cointegrated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_forecast_theta_method — STAGED for the r16 cadence (parked
+# unregistered; SURVEY round-14 log). The theta method (Assimakopoulos
+# & Nikolopoulos 2000; the M3 competition winner): average the θ=0
+# line (pure linear trend extrapolated one step) with SES(α=0.5) of
+# the θ=2 line (2y − trend, the curvature-doubled series). The family
+# already has the pieces separately — holt (trend), ewma (SES),
+# seasonal naive — theta is the named COMBINATION practitioners
+# actually deploy, and its one-step forecast is the benchmark other
+# forecasters get judged against.
+# ---------------------------------------------------------------------------
+
+_THETA_ALPHA = 0.5  # SES smoothing — exact powers of two by design
+
+_THETA_ORACLE = f"""
+WITH monthly AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+         {oracle_sum('o_totalprice')} AS y
+  FROM orders GROUP BY 1
+), mu AS (
+  SELECT {oracle_sum('y')} / COUNT(*) AS mu FROM monthly
+), xt AS (
+  SELECT row_number() OVER (ORDER BY m) AS t, y / mu AS x
+  FROM monthly CROSS JOIN mu
+), s1 AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(CAST(t AS BIGINT) * t) AS BIGINT) AS stt,
+         {oracle_pico_sum('x')} AS sx,
+         {oracle_pico_sum('t * x')} AS stx
+  FROM xt
+), fit AS (
+  SELECT n,
+         (n * stx - st * sx) / (n * stt - CAST(st AS DOUBLE) * st)
+           AS b,
+         (sx - (n * stx - st * sx)
+               / (n * stt - CAST(st AS DOUBLE) * st) * st) / n AS a
+  FROM s1
+), ses AS (
+  SELECT n, a, b,
+         CAST(SUM(CAST(FLOOR(
+           (2 * x - (a + b * t))
+           * CASE WHEN t = 1 THEN power({_THETA_ALPHA!r}, n - 1)
+                  ELSE {_THETA_ALPHA!r} * power({_THETA_ALPHA!r}, n - t)
+             END * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS l_t
+  FROM xt CROSS JOIN fit GROUP BY n, a, b
+)
+SELECT CAST(n AS BIGINT) AS n_months,
+       FLOOR(b * 1e6) / 1e6 AS trend_slope_rel,
+       FLOOR(l_t * (SELECT mu FROM mu) * 1e6) / 1e6 AS ses_level,
+       FLOOR((a + b * (n + 1) + l_t) / 2 * (SELECT mu FROM mu)
+             * 1e6) / 1e6 AS theta_forecast
+FROM ses
+"""
+
+
+def ts_forecast_theta_method(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """θ-method one-step forecast on monthly revenue: OLS trend
+    (a + b·t, closed form from exact sums), θ=2 line z_t = 2x_t −
+    (a + b·t), SES level L_T = Σ w_t z_t with the exact geometric
+    weights of α = 0.5 (w_t = α(1−α)^{T−t}, w_1 = (1−α)^{T−1} — the
+    L_1 = z_1 convention unrolled), forecast = (trend_{T+1} + L_T)/2.
+    Emitted in raw revenue units alongside the relative slope.
+
+    Cross-engine exactness: months normalize by the exact mean
+    (z ~ O(1)); α = 0.5 makes every SES weight an EXACT power of two
+    (no pow() divergence possible); the weighted fold pico-quantizes
+    each term into an exact decimal sum — terms older than ~40 months
+    quantize to zero IDENTICALLY in both engines (SES memory, not
+    error); t and the trend sums are exact integers.
+
+    Scale design: one corpus rollup to the 80-row month frame (cached
+    for the fit and SES passes), a row_number under meta_part, two
+    1-row broadcast attaches, two bounded folds."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+    ).agg(dsum("o_totalprice").alias("y"))
+    mu_df = monthly.agg(
+        (dsum(F.col("y")) / F.count(F.lit(1))).alias("mu")
+    )
+    w = Window.partitionBy(meta_part("m")).orderBy("m")
+    xt = monthly.crossJoin(F.broadcast(mu_df)).select(
+        F.row_number().over(w).alias("t"),
+        (F.col("y") / F.col("mu")).alias("x"),
+        "mu",
+    )
+    xt = xt.localCheckpoint(eager=True)  # 80-row frame, two consumers
+    t, x = F.col("t"), F.col("x")
+    s1 = xt.groupBy("mu").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(t.cast("long") * t).cast("long").alias("stt"),
+        pico_sum(x).alias("sx"),
+        pico_sum(t * x).alias("stx"),
+    )
+    n, st = F.col("n"), F.col("st")
+    b = (n * F.col("stx") - st * F.col("sx")) / (
+        n * F.col("stt") - st.cast("double") * st
+    )
+    fit = s1.select(
+        "mu",
+        "n",
+        b.alias("b"),
+        ((F.col("sx") - b * st) / n).alias("a"),
+    )
+    weight = F.when(
+        t == 1, F.pow(F.lit(_THETA_ALPHA), F.col("n") - 1)
+    ).otherwise(
+        _THETA_ALPHA * F.pow(F.lit(_THETA_ALPHA), F.col("n") - t)
+    )
+    z = 2 * x - (F.col("a") + F.col("b") * t)
+    ses = (
+        xt.drop("mu")
+        .crossJoin(F.broadcast(fit))
+        .groupBy("mu", "n", "a", "b")
+        .agg(
+            (
+                F.sum(
+                    F.floor(z * weight * 1e12).cast("decimal(38,0)")
+                ).cast("double")
+                / 1e12
+            ).alias("l_t")
+        )
+    )
+    return ses.select(
+        F.col("n").cast("long").alias("n_months"),
+        fquant(F.col("b")).alias("trend_slope_rel"),
+        fquant(F.col("l_t") * F.col("mu")).alias("ses_level"),
+        fquant(
+            (F.col("a") + F.col("b") * (F.col("n") + 1) + F.col("l_t"))
+            / 2
+            * F.col("mu")
+        ).alias("theta_forecast"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_brier_decomposition — STAGED for the r16 cadence (parked
+# unregistered; SURVEY round-14 log). Murphy's decomposition of the
+# Brier score (REL − RES + UNC) for the SAME click-share→heavy-
+# purchaser forecast events_calibration_curve diagrams: the curve
+# SHOWS miscalibration; Murphy's algebra says how much of the score is
+# fixable calibration error (reliability), how much is earned
+# discrimination (resolution), and how much is irreducible base-rate
+# noise (uncertainty) — the triage every probability-model review
+# needs.
+# ---------------------------------------------------------------------------
+
+_BRIER_BINS = 10
+
+_BRIER_DECOMP_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         FLOOR(CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                    AS DOUBLE) / COUNT(*) * 1e6) / 1e6 AS p,
+         CASE WHEN 5 * COUNT(CASE WHEN event_type = 'purchase' THEN 1
+                             END) > COUNT(*)
+              THEN 1 ELSE 0 END AS y
+  FROM events GROUP BY user_id
+), binned AS (
+  SELECT LEAST({_BRIER_BINS - 1},
+               CAST(FLOOR(p * {_BRIER_BINS}) AS BIGINT)) AS bin, p, y
+  FROM u
+), cells AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b,
+         SUM(CAST(FLOOR(p * 1e6) AS HUGEINT)) AS p_micro,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         SUM(CAST(FLOOR((p - y) * (p - y) * 1e12) AS HUGEINT))
+           AS sq_pico
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+         CAST(SUM(n_pos) AS BIGINT) AS pos,
+         CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+         CAST(SUM(sq_pico) AS DOUBLE) / 1e12 AS brier_sum
+  FROM cells
+), comp AS (
+  SELECT n, pos, n_bins_used, brier_sum,
+         {oracle_pico_sum(
+             'n_b * (CAST(p_micro AS DOUBLE) / 1e6 / n_b'
+             ' - CAST(n_pos AS DOUBLE) / n_b)'
+             ' * (CAST(p_micro AS DOUBLE) / 1e6 / n_b'
+             ' - CAST(n_pos AS DOUBLE) / n_b)'
+         )} AS rel_sum,
+         {oracle_pico_sum(
+             'n_b * (CAST(n_pos AS DOUBLE) / n_b'
+             ' - CAST(pos AS DOUBLE) / n)'
+             ' * (CAST(n_pos AS DOUBLE) / n_b'
+             ' - CAST(pos AS DOUBLE) / n)'
+         )} AS res_sum
+  FROM cells CROSS JOIN tot
+  GROUP BY n, pos, n_bins_used, brier_sum
+)
+SELECT n AS n_users, n_bins_used,
+       FLOOR(brier_sum / n * 1e6) / 1e6 AS brier,
+       FLOOR(rel_sum / n * 1e6) / 1e6 AS reliability,
+       FLOOR(res_sum / n * 1e6) / 1e6 AS resolution,
+       FLOOR(CAST(pos AS DOUBLE) / n * (1 - CAST(pos AS DOUBLE) / n)
+             * 1e6) / 1e6 AS uncertainty,
+       FLOOR((1 - (brier_sum / n)
+                  / (CAST(pos AS DOUBLE) / n
+                     * (1 - CAST(pos AS DOUBLE) / n)))
+             * 1e6) / 1e6 AS brier_skill_score
+FROM comp
+"""
+
+
+def events_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brier = mean(p−y)² plus Murphy's three-way read over the same
+    10 fixed-width bins as events_calibration_curve: reliability
+    Σn_b(p̄_b−ȳ_b)²/N (calibration error — fixable by remapping),
+    resolution Σn_b(ȳ_b−ȳ)²/N (earned separation), uncertainty
+    ȳ(1−ȳ) (the base rate's floor), and the skill score
+    1 − Brier/UNC (positive beats climatology). REL − RES + UNC equals
+    the BINNED-forecast Brier; the raw Brier differs by within-bin
+    variance minus twice the within-bin p,y covariance (the
+    generalized decomposition) — the recompute pins both identities.
+
+    Cross-engine exactness: the calibration key's doctrine — p
+    floor-quantizes at user grain, per-user Brier terms quantize to
+    pico integers, per-bin p-sums are exact micro integers; the REL
+    and RES folds over the 10-bin frame pico-quantize fixed-order
+    double terms with the 1-row totals attached; outputs
+    floor-quantize.
+
+    Scale design: one corpus pass to user grain, one keyed rollup to
+    ≤10 bins, one 1-row totals fold, one bounded fold with the totals
+    attached — no joins beyond the 1-row attach, no windows, no
+    Python."""
+    ev = table(spark, sf_dir, "events")
+    n_ev = F.count(F.lit(1))
+    n_click = F.count(F.when(F.col("event_type") == "click", 1))
+    n_purch = F.count(F.when(F.col("event_type") == "purchase", 1))
+    u = ev.groupBy("user_id").agg(
+        (F.floor(n_click.cast("double") / n_ev * 1e6) / 1e6).alias("p"),
+        F.when(5 * n_purch > n_ev, 1).otherwise(0).alias("y"),
+    )
+    binned = u.select(
+        F.least(
+            F.lit(_BRIER_BINS - 1),
+            F.floor(F.col("p") * _BRIER_BINS).cast("long"),
+        ).alias("bin"),
+        "p",
+        "y",
+    )
+    big = "decimal(38,0)"
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum(F.floor(F.col("p") * 1e6).cast(big)).alias("p_micro"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(
+            F.floor(
+                (F.col("p") - F.col("y"))
+                * (F.col("p") - F.col("y"))
+                * 1e12
+            ).cast(big)
+        ).alias("sq_pico"),
+    )
+    cells = cells.localCheckpoint(eager=True)  # ≤10 rows, two consumers
+    tot = cells.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum("n_pos").cast("long").alias("pos"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        (F.sum("sq_pico").cast("double") / 1e12).alias("brier_sum"),
+    )
+    conf = F.col("p_micro").cast("double") / 1e6 / F.col("n_b")
+    acc = F.col("n_pos").cast("double") / F.col("n_b")
+    base = F.col("pos").cast("double") / F.col("n")
+    comp = (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("n", "pos", "n_bins_used", "brier_sum")
+        .agg(
+            pico_sum(F.col("n_b") * (conf - acc) * (conf - acc)).alias(
+                "rel_sum"
+            ),
+            pico_sum(F.col("n_b") * (acc - base) * (acc - base)).alias(
+                "res_sum"
+            ),
+        )
+    )
+    nn = F.col("n")
+    unc = base * (1 - base)
+    return comp.select(
+        nn.alias("n_users"),
+        F.col("n_bins_used"),
+        fquant(F.col("brier_sum") / nn).alias("brier"),
+        fquant(F.col("rel_sum") / nn).alias("reliability"),
+        fquant(F.col("res_sum") / nn).alias("resolution"),
+        fquant(unc).alias("uncertainty"),
+        fquant(1 - (F.col("brier_sum") / nn) / unc).alias(
+            "brier_skill_score"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_zero_inflation_score — STAGED for the r16 cadence (parked
+# unregistered; SURVEY round-14 log). Van den Broek's score test for
+# zero inflation against the Poisson null on per-(customer, 1995-
+# quarter) order counts: the distribution-choice gate the count family
+# needs — events_nb_fit fits the overdispersed alternative and
+# events_dispersion_index reads variance/mean, but "too many zeros
+# specifically" is its own failure mode (ZIP vs NB is a real modeling
+# fork) and the score test answers it WITHOUT fitting the ZIP model.
+# ---------------------------------------------------------------------------
+
+_ZIP_CHI2_CRIT = 3.841458820694124  # chi2(1) at 5% — pinned literal
+_ZIP_YEAR = 1995
+
+_ZIP_ORACLE = f"""
+WITH c AS (
+  SELECT DISTINCT o_custkey AS ck FROM orders
+), q AS (
+  SELECT unnest([1, 2, 3, 4]) AS qq
+), cnt AS (
+  SELECT o_custkey AS ck, quarter(o_orderdate) AS qq,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders WHERE year(o_orderdate) = {_ZIP_YEAR} GROUP BY 1, 2
+), cells AS (
+  SELECT COALESCE(cnt.y, 0) AS y
+  FROM c CROSS JOIN q LEFT JOIN cnt ON cnt.ck = c.ck AND cnt.qq = q.qq
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE y = 0) AS BIGINT) AS n0,
+         CAST(SUM(y) AS BIGINT) AS sy
+  FROM cells
+), p AS (
+  SELECT n, n0, sy,
+         CAST(sy AS DOUBLE) / n AS lam,
+         exp(-(CAST(sy AS DOUBLE) / n)) AS p0
+  FROM s
+)
+SELECT n AS n_cells, n0 AS n_zero,
+       FLOOR(lam * 1e6) / 1e6 AS lambda_hat,
+       FLOOR(p0 * 1e6) / 1e6 AS p0_poisson,
+       FLOOR((n0 - n * p0) * (n0 - n * p0)
+             / (n * p0 * (1 - p0) - n * lam * p0 * p0)
+             * 1e6) / 1e6 AS score_stat,
+       FLOOR((n0 - n * p0) * (n0 - n * p0)
+             / (n * p0 * (1 - p0) - n * lam * p0 * p0)
+             * 1e6) / 1e6 > {_ZIP_CHI2_CRIT!r}
+         AS zero_inflated
+FROM p
+"""
+
+
+def orders_zero_inflation_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S = (n₀ − n·p̃₀)² / (n·p̃₀(1−p̃₀) − n·ȳ·p̃₀²) with p̃₀ = e^(−ȳ)
+    over the customer × 1995-quarter count panel (zeros kept via the
+    literal quarter spine — the cochran_q keyed-LEFT-join lesson),
+    against the pinned χ²(1) 5% value. S large reads "more zeros than
+    any Poisson with this mean can produce → fit ZIP/hurdle, not
+    Poisson"; the fixture's near-Poisson panel is the honest null
+    readout the referee must NOT reject.
+
+    Cross-engine exactness: n, n₀ and Σy are exact integers; λ̂ is one
+    division; exp() runs on bit-identical doubles (the entropy/BH
+    precedent); the statistic is one fixed-order double expression,
+    floor-quantized before the verdict compare.
+
+    Scale design: the count rollup is keyed and map-side-combinable;
+    the spine is customers × a 4-element literal explode (no join for
+    the cross; the zero-keeping join is keyed on (ck, q)); one 1-row
+    fold. Customers are corpus-dimension but never collected."""
+    o = table(spark, sf_dir, "orders")
+    custs = o.select(F.col("o_custkey").alias("ck")).distinct()
+    spine = custs.select(
+        "ck",
+        F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias(
+            "qq"
+        ),
+    )
+    cnt = (
+        o.where(F.year("o_orderdate") == _ZIP_YEAR)
+        .groupBy(
+            F.col("o_custkey").alias("ck"),
+            F.quarter("o_orderdate").alias("qq"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    cells = spine.join(cnt, ["ck", "qq"], "left").select(
+        F.coalesce(F.col("y"), F.lit(0)).alias("y")
+    )
+    s = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.col("y") == 0).cast("long").alias("n0"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    n, n0 = F.col("n"), F.col("n0")
+    lam = F.col("sy").cast("double") / n
+    p0 = F.exp(-lam)
+    stat = fquant(
+        (n0 - n * p0) * (n0 - n * p0)
+        / (n * p0 * (1 - p0) - n * lam * p0 * p0)
+    )
+    return s.select(
+        n.alias("n_cells"),
+        n0.alias("n_zero"),
+        fquant(lam).alias("lambda_hat"),
+        fquant(p0).alias("p0_poisson"),
+        stat.alias("score_stat"),
+        (stat > _ZIP_CHI2_CRIT).alias("zero_inflated"),
+    )
