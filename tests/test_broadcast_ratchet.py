@@ -120,6 +120,12 @@ AUDITED = {
         "agg_bartlett_test": 1,
         "agg_welch_anova": 2,
         "agg_mood_median_test": 2,
+        # r16 staging audit (batch 4): icc attaches the 1-row mean and
+        # the 1-row totals; bhattacharyya its 1-row totals; JT its
+        # 1-row group-size fold — all single-row aggregates.
+        "agg_icc_oneway": 2,
+        "agg_bhattacharyya_distance": 1,
+        "agg_jonckheere_terpstra": 1,
     },
     "queries/clustering.py": {"cluster_assign": 1, "cluster_silhouette": 1},
     "queries/filters.py": {"filter_top_percent": 1},
@@ -173,6 +179,9 @@ AUDITED = {
         # (bounded: one row)
         "mmr_shortlist": 1,
         "sim_sparse_cosine_tfidf": 1,
+        # r16 staging audit: CKA joins the d-row column-mean table
+        # twice and attaches the 1-row count — all d/1-row frames.
+        "embed_cka_linear": 3,
     },
     "queries/llm_text.py": {
         "agg_cms_heavy_hitters": 1,
@@ -185,6 +194,9 @@ AUDITED = {
         "text_tfidf": 1,
         "text_unigram_logprob": 1,
         "text_vocab_coverage": 1,
+        # r16 staging audit: KN attaches the 1-row distinct-bigram
+        # total (the bigram_logprob vsz pattern).
+        "text_kneser_ney_bigram": 1,
     },
     "queries/pipeline.py": {
         "embed_outlier_centroid_distance": 1,
@@ -266,6 +278,9 @@ AUDITED = {
         "ts_cointegration_engle_granger": 2,
         "ts_forecast_theta_method": 2,
         "events_brier_decomposition": 1,
+        # r16 staging audit (batch 5): bullwhip attaches its 2-row
+        # per-series (n, sum) stats frame.
+        "lineitem_bullwhip_ratio": 1,
         "ts_ar1_fit": 1,
         "ts_autocorrelation": 2,
         "ts_decompose_additive": 1,

@@ -2499,3 +2499,138 @@ def graph_rich_club_coefficient(
         ).alias("phi"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# graph_katz_truncated — STAGED for the r16 cadence (parked
+# unregistered; SURVEY round-14 log). Truncated Katz centrality
+# (3 steps, β = 0.05) on the co-purchase part graph: the
+# WALK-WEIGHTED member of the centrality family — degree counts
+# 1-step reach, pagerank needs the full iterative fixpoint (rows-only
+# by nature); truncated Katz is the CLOSED-FORM middle ground
+# (c = Σ_k β^k·(Aᵏ·1), k ≤ 3) every feature store actually ships,
+# exactly SQL-mirrorable because walk counts are integers.
+# ---------------------------------------------------------------------------
+
+# β^k as python-evaluated double literals (a bare 0.05 literal is
+# DECIMAL in DuckDB — the SPRT lesson); β < 1/λ_max keeps Katz finite,
+# and at 3 steps any β just weights the walk counts
+_KATZ_B1 = 0.05
+_KATZ_B2 = _KATZ_B1 * _KATZ_B1
+_KATZ_B3 = _KATZ_B2 * _KATZ_B1
+_KATZ_TOPN = 20
+
+_KATZ_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS c
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT x, y FROM p WHERE c >= 2),
+adj AS (
+  SELECT x AS src, y AS dst FROM e
+  UNION ALL SELECT y, x FROM e
+),
+v1 AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS w1
+  FROM adj GROUP BY 1
+),
+v2 AS (
+  SELECT adj.src AS node, CAST(SUM(v1.w1) AS BIGINT) AS w2
+  FROM adj JOIN v1 ON v1.node = adj.dst GROUP BY 1
+),
+v3 AS (
+  SELECT adj.src AS node, CAST(SUM(v2.w2) AS BIGINT) AS w3
+  FROM adj JOIN v2 ON v2.node = adj.dst GROUP BY 1
+)
+SELECT v1.node AS part_id, v1.w1 AS walks1, v2.w2 AS walks2,
+       v3.w3 AS walks3,
+       FLOOR((v1.w1 * {_KATZ_B1!r} + v2.w2 * {_KATZ_B2!r}
+              + v3.w3 * {_KATZ_B3!r}) * 1e6) / 1e6 AS katz
+FROM v1 JOIN v2 ON v2.node = v1.node JOIN v3 ON v3.node = v1.node
+ORDER BY katz DESC, part_id
+LIMIT {_KATZ_TOPN}
+"""
+
+
+def graph_katz_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c(v) = β·deg(v) + β²·walks₂(v) + β³·walks₃(v) over the
+    triangle/rich-club co-purchase edge set (pairs in ≥ 2 shared
+    orders), top-{_KATZ_TOPN} by centrality. Walk counts (not paths —
+    backtracking included, the Katz definition) come from three keyed
+    adjacency⋈vector joins: Aᵏ·1 needs only the previous vector, never
+    the matrix power.
+
+    Cross-engine exactness: walk counts are EXACT INTEGERS; β powers
+    are python-evaluated double literals injected into both engines;
+    the score is one fixed-order double expression, floor-quantized
+    before the (katz DESC, part_id) top-N cut — the deterministic-tie
+    ordering doctrine.
+
+    Scale design: the edge build is the triangle key's keyed shuffle;
+    the adjacency stages to parquet ONCE for its three join consumers
+    (the rich-club staging pattern); each hop is a keyed equi-join +
+    map-side-combinable rollup — walk fan-out never materializes, only
+    per-node partial sums move; the final cut is
+    TakeOrderedAndProject."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+        )
+        .count()
+        .where(F.col("count") >= 2)
+        .select("x", "y")
+    )
+    adj = e.select(
+        F.col("x").alias("src"), F.col("y").alias("dst")
+    ).unionAll(e.select(F.col("y").alias("src"), F.col("x").alias("dst")))
+    from trireme_spark.sources.io import staging_dir
+
+    stage = staging_dir("katz_adj", sf_dir)
+    adj.write.mode("overwrite").parquet(stage)
+    adj = spark.read.parquet(stage)
+    v1 = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("w1")
+    )
+    v2 = (
+        adj.join(v1.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("w1").cast("long").alias("w2"))
+    )
+    v3 = (
+        adj.join(v2.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("w2").cast("long").alias("w3"))
+    )
+    katz = fquant(
+        F.col("w1") * _KATZ_B1
+        + F.col("w2") * _KATZ_B2
+        + F.col("w3") * _KATZ_B3
+    )
+    return (
+        v1.join(v2, "node")
+        .join(v3, "node")
+        .select(
+            F.col("node").alias("part_id"),
+            F.col("w1").alias("walks1"),
+            F.col("w2").alias("walks2"),
+            F.col("w3").alias("walks3"),
+            katz.alias("katz"),
+        )
+        .orderBy(F.col("katz").desc(), "part_id")
+        .limit(_KATZ_TOPN)
+    )

@@ -38,7 +38,13 @@ from trireme_spark.operators.similarity import (
     sample_kmeans_centroids,
     shingles,
 )
-from trireme_spark.parity import DSCALE, dsum, fquant
+from trireme_spark.parity import (
+    DSCALE,
+    dsum,
+    fquant,
+    oracle_pico_sum,
+    pico_sum,
+)
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table, table_rows
 
@@ -2704,4 +2710,143 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_caught").over(w_all).cast("double")
             / F.sum("n_exact").over(w_all)
         ).alias("micro_recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embed_cka_linear — STAGED for the r16 cadence (parked unregistered;
+# SURVEY round-14 log). Linear CKA (Kornblith et al. 2019) between the
+# full 64-d embedding space and its 32-d matryoshka prefix: the
+# REPRESENTATION-similarity referee the embedding-QA family lacked —
+# matryoshka_topk shows the truncated index still RANKS well; CKA
+# quantifies how much of the representation geometry the prefix
+# preserves (1 = same geometry up to rotation/scale), from d×d
+# moments only — never an n×n gram.
+# ---------------------------------------------------------------------------
+
+_CKA_D = 64
+_CKA_H = 32
+
+_CKA_ORACLE = f"""
+WITH e AS (
+  SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+  FROM embeddings
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+m AS (
+  SELECT i.r AS i,
+         CAST(SUM(CAST(emb[CAST(i.r AS INT) + 1] AS DECIMAL(27,6)))
+              AS DOUBLE) AS s
+  FROM e, range({_CKA_D}) i(r) GROUP BY 1
+),
+g AS (
+  SELECT i.r AS i, j.r AS j,
+         CAST(SUM(CAST(emb[CAST(i.r AS INT) + 1]
+                       * emb[CAST(j.r AS INT) + 1]
+                       AS DECIMAL(27,6))) AS DOUBLE) AS gram
+  FROM e, range({_CKA_D}) i(r), range({_CKA_D}) j(r)
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT g.i, g.j,
+         gram / n - (mi.s / n) * (mj.s / n) AS c
+  FROM g JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j CROSS JOIN nn
+),
+f AS (
+  SELECT (SELECT n FROM nn) AS n,
+         {oracle_pico_sum('c * c')} AS fxx,
+         {oracle_pico_sum(
+             'CASE WHEN i < ' + str(_CKA_H) + ' AND j < ' + str(_CKA_H)
+             + ' THEN c * c ELSE 0 END'
+         )} AS fyy,
+         {oracle_pico_sum(
+             'CASE WHEN j < ' + str(_CKA_H)
+             + ' THEN c * c ELSE 0 END'
+         )} AS fxy
+  FROM c
+)
+SELECT n AS n_vectors, {_CKA_D} AS dim_full, {_CKA_H} AS dim_half,
+       FLOOR(fxy / (sqrt(fxx) * sqrt(fyy)) * 1e6) / 1e6 AS cka,
+       FLOOR(sqrt(fxx) * 1e6) / 1e6 AS frob_xx,
+       FLOOR(sqrt(fyy) * 1e6) / 1e6 AS frob_yy,
+       FLOOR(sqrt(fxy) * 1e6) / 1e6 AS frob_xy
+FROM f
+"""
+
+
+def embed_cka_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CKA(X, Y) = ‖Ȳᵀ X̄‖²_F / (‖X̄ᵀ X̄‖_F · ‖Ȳᵀ Ȳ‖_F) with X the full
+    embeddings, Y the first 32 dims, both column-centered. Because Y
+    is a PREFIX of X, every block is a slice of ONE centered d×d
+    moment matrix C = XᵀX/n − m mᵀ — so the whole statistic needs d²+d
+    numbers, corpus-size-independent (the PCA/gram doctrine: moments
+    distributed, algebra on metadata). CKA near 1 certifies the
+    matryoshka prefix preserves the geometry the 32-d index relies on.
+
+    Cross-engine exactness: the gram cells and column sums are
+    decimal-exact (embed_gram_matrix's recipe); centering is a fixed
+    double expression with the d-row mean table joined twice
+    (broadcast, bounded); the three Frobenius folds pico-quantize over
+    the 4096-cell frame; outputs floor-quantize.
+
+    Scale design: one d²-explode pass with map-side combine to ≤ d²
+    cells (the gram key's plan) + one d-explode pass for means; the
+    folds and joins touch only metadata frames. At 100 TB the explode
+    factor d² rides the same partial-aggregation path — no n×n object
+    ever exists."""
+    from trireme_spark.queries.pipeline import _gram_cells
+
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nn = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = (
+        e.select(F.posexplode(emb).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum(F.col("v").cast(DSCALE)).cast("double").alias("s"))
+    )
+    g = _gram_cells(spark, sf_dir)
+    c = (
+        g.join(
+            F.broadcast(m.select(F.col("i"), F.col("s").alias("si"))),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                m.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            "n",
+            (
+                F.col("gram") / F.col("n")
+                - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
+            ).alias("c"),
+        )
+    )
+    cc = F.col("c") * F.col("c")
+    h = _CKA_H
+    f = c.groupBy("n").agg(
+        pico_sum(cc).alias("fxx"),
+        pico_sum(
+            F.when((F.col("i") < h) & (F.col("j") < h), cc).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("fyy"),
+        pico_sum(
+            F.when(F.col("j") < h, cc).otherwise(F.lit(0.0))
+        ).alias("fxy"),
+    )
+    return f.select(
+        F.col("n").alias("n_vectors"),
+        F.lit(_CKA_D).alias("dim_full"),
+        F.lit(_CKA_H).alias("dim_half"),
+        fquant(
+            F.col("fxy") / (F.sqrt(F.col("fxx")) * F.sqrt(F.col("fyy")))
+        ).alias("cka"),
+        fquant(F.sqrt(F.col("fxx"))).alias("frob_xx"),
+        fquant(F.sqrt(F.col("fyy"))).alias("frob_yy"),
+        fquant(F.sqrt(F.col("fxy"))).alias("frob_xy"),
     )

@@ -3381,3 +3381,123 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         fquant(F.min("mattr")).alias("min_mattr"),
         fquant(F.max("mattr")).alias("max_mattr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_kneser_ney_bigram — STAGED for the r16 cadence (parked
+# unregistered; SURVEY round-14 log). Interpolated Kneser-Ney bigram
+# scoring: the PROPER LM smoothing beside text_bigram_logprob's
+# add-one baseline — add-one hammers every unseen pair with the same
+# vocab-sized penalty; KN discounts observed pairs by a fixed D and
+# backs off to the CONTINUATION probability (how many contexts a word
+# follows, not how often it occurs), which is the distinction that
+# makes "san francisco" cheap and "francisco <anything>" expensive.
+# The per-doc KN logprob is the quality signal corpus rankers actually
+# use (cf. CCNet's wikipedia-LM perplexity filter).
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount; injected as 7.5e-1 (a bare 0.75 is
+# DECIMAL in DuckDB — the SPRT literal lesson)
+
+_KN_ORACLE = """
+WITH base AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+    FROM documents
+), bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(len(toks) - 1),
+                  i -> toks[CAST(i AS INT) + 1])) AS w1,
+           unnest(list_transform(range(len(toks) - 1),
+                  i -> toks[CAST(i AS INT) + 2])) AS w2
+    FROM base WHERE len(toks) >= 2
+), cbg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS fw
+        FROM cbg GROUP BY w1),
+cw AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS bw FROM cbg GROUP BY w2),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM cbg)
+SELECT bg.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(
+           ln((GREATEST(c12 - 7.5e-1, 0)
+               + 7.5e-1 * fw * (CAST(bw AS DOUBLE) / nb)) / c1)
+           AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 4)
+         AS avg_kn_logprob
+FROM bg
+JOIN cbg ON bg.w1 = cbg.w1 AND bg.w2 = cbg.w2
+JOIN ctx ON bg.w1 = ctx.w1
+JOIN cw ON bg.w2 = cw.w2
+CROSS JOIN nb
+GROUP BY bg.doc_id
+"""
+
+
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean ln P_KN(w₂|w₁) with
+    P_KN = (max(c₁₂−D, 0) + D·N₁₊(w₁·)·P_cont(w₂)) / c(w₁·),
+    P_cont(w₂) = N₁₊(·w₂)/N₁₊(··), D = 0.75 — the standard
+    interpolated KN bigram, trained on the corpus and self-scored (the
+    bigram_logprob contract). Because every observed c₁₂ ≥ 1 > D, the
+    model SUMS TO EXACTLY 1 over the seen vocabulary per context — the
+    normalization identity the staging tests pin.
+
+    Cross-engine exactness: all four count tables are exact integers
+    from the same tokenization as text_bigram_logprob; the probability
+    is one fixed-order double expression (D as a python double
+    literal); per-pair ln values decimal-quantize before the
+    order-independent per-doc sum; ROUND(4) absorbs cross-engine ln()
+    ulp drift (the bigram parity contract).
+
+    Scale design: the bigram_logprob plan plus two more vocab-bounded
+    rollups (continuation counts come from the PAIR table, not a
+    second corpus pass — cached for its three consumers); scoring
+    re-joins KEYED on pair/context/word; only the 1-row N₁₊(··) frame
+    broadcasts."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    base = d.select("doc_id", toks.alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    n = F.size("toks")
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, n - 1),
+                F.slice("toks", 2, n - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cbg = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .cache()  # vocab²-bounded; three consumers (ctx, cw, nb)
+    )
+    ctx = cbg.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("fw"),
+    )
+    cw = cbg.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("bw")
+    )
+    nb = cbg.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    p_kn = (
+        F.greatest(F.col("c12") - _KN_D, F.lit(0))
+        + _KN_D * F.col("fw") * (F.col("bw").cast("double") / F.col("nb"))
+    ) / F.col("c1")
+    lp = F.log(p_kn).cast("decimal(27,6)")
+    return (
+        bg.join(cbg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cw, "w2")
+        .crossJoin(F.broadcast(nb))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(lp).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_kn_logprob"),
+        )
+    )

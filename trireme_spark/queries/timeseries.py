@@ -14605,3 +14605,130 @@ def orders_zero_inflation_score(
         stat.alias("score_stat"),
         (stat > _ZIP_CHI2_CRIT).alias("zero_inflated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_bullwhip_ratio — STAGED for the r16 cadence (parked
+# unregistered; SURVEY round-14 log). Bullwhip ratio: variance
+# amplification between what customers ORDER (monthly quantity by
+# order date) and what the chain SHIPS (monthly quantity by ship
+# date) — BW = CV²(ordered)/CV²(shipped). The supply-chain dynamics
+# member of the lineitem family (EOQ sizes lots, newsvendor stocks,
+# ABC classifies; bullwhip reads the demand-signal distortion Lee et
+# al. 1997 made famous). BW > 1 means upstream sees a NOISIER signal
+# than it fulfills.
+# ---------------------------------------------------------------------------
+
+_BW_ORACLE = f"""
+WITH ordered AS (
+  SELECT (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS m,
+         {oracle_sum('l.l_quantity')} AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+), shipped AS (
+  SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS m,
+         {oracle_sum('l_quantity')} AS q
+  FROM lineitem GROUP BY 1
+), u AS (
+  SELECT 'ordered' AS series, m, q FROM ordered
+  UNION ALL SELECT 'shipped', m, q FROM shipped
+), s1 AS (
+  SELECT series, CAST(COUNT(*) AS BIGINT) AS n,
+         {oracle_sum('q')} AS sq
+  FROM u GROUP BY 1
+), s2 AS (
+  SELECT u.series, n,
+         {oracle_pico_sum(
+             '(q / (sq / n) - 1) * (q / (sq / n) - 1)'
+         )} AS sxx
+  FROM u JOIN s1 ON s1.series = u.series
+  GROUP BY u.series, n
+), w AS (
+  SELECT MAX(CASE WHEN series = 'ordered' THEN n END) AS n_o,
+         MAX(CASE WHEN series = 'shipped' THEN n END) AS n_s,
+         MAX(CASE WHEN series = 'ordered' THEN sxx / (n - 1) END)
+           AS cv2_o,
+         MAX(CASE WHEN series = 'shipped' THEN sxx / (n - 1) END)
+           AS cv2_s
+  FROM s2
+)
+SELECT n_o AS n_months_ordered, n_s AS n_months_shipped,
+       FLOOR(cv2_o * 1e6) / 1e6 AS cv2_ordered,
+       FLOOR(cv2_s * 1e6) / 1e6 AS cv2_shipped,
+       FLOOR(cv2_o / cv2_s * 1e6) / 1e6 AS bullwhip_ratio,
+       FLOOR(cv2_o / cv2_s * 1e6) / 1e6 > 1 AS amplifying
+FROM w
+"""
+
+
+def lineitem_bullwhip_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BW = CV²(monthly ordered qty) / CV²(monthly shipped qty), with
+    CV² computed as Σ(q/q̄ − 1)²/(n−1) per series — the mean-relative
+    form makes CV² literally the variance of the normalized series, so
+    the ratio is scale-free by construction. BW > 1 (quantized
+    compare) reads "order-date demand is noisier than ship-date
+    fulfillment": the shipping schedule smooths the signal.
+
+    Cross-engine exactness: both monthly rollups are decimal-exact;
+    the per-series mean normalization rides a 2-row stats attach; the
+    squared-deviation folds pico-quantize over the calendar-bounded
+    month frames; outputs floor-quantize.
+
+    Scale design: the lineitem⋈orders date lookup is the corpus'
+    keyed equi-join (deliberately NOT broadcast — orders is
+    corpus-dimension); both rollups map-side combine to ~80 months;
+    everything after is algebra on ≤ 160 metadata rows (one keyed
+    2-row attach, one 2-row pivot)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    ordered = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "m"
+            )
+        )
+        .agg(dsum("l_quantity").alias("q"))
+        .select(F.lit("ordered").alias("series"), "m", "q")
+    )
+    shipped = (
+        li.groupBy(
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m")
+        )
+        .agg(dsum("l_quantity").alias("q"))
+        .select(F.lit("shipped").alias("series"), "m", "q")
+    )
+    u = ordered.unionAll(shipped)
+    u = u.localCheckpoint(eager=True)  # ≤160-row frame, two consumers
+    s1 = u.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("q")).alias("sq"),
+    )
+    xdev = F.col("q") / (F.col("sq") / F.col("n")) - 1
+    s2 = (
+        u.join(F.broadcast(s1), "series")
+        .groupBy("series", "n")
+        .agg(pico_sum(xdev * xdev).alias("sxx"))
+    )
+    cv2 = F.col("sxx") / (F.col("n") - 1)
+    w = s2.agg(
+        F.max(F.when(F.col("series") == "ordered", F.col("n"))).alias(
+            "n_o"
+        ),
+        F.max(F.when(F.col("series") == "shipped", F.col("n"))).alias(
+            "n_s"
+        ),
+        F.max(F.when(F.col("series") == "ordered", cv2)).alias("cv2_o"),
+        F.max(F.when(F.col("series") == "shipped", cv2)).alias("cv2_s"),
+    )
+    bw = fquant(F.col("cv2_o") / F.col("cv2_s"))
+    return w.select(
+        F.col("n_o").alias("n_months_ordered"),
+        F.col("n_s").alias("n_months_shipped"),
+        fquant(F.col("cv2_o")).alias("cv2_ordered"),
+        fquant(F.col("cv2_s")).alias("cv2_shipped"),
+        bw.alias("bullwhip_ratio"),
+        (bw > 1).alias("amplifying"),
+    )
