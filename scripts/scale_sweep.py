@@ -71,15 +71,16 @@ HEAVY_3X = {
     "udtf_grouped_map",
 }
 
-# Exact all-pairs sparse similarity is irreducibly Σ|posting|² work:
-# at sf0.1 the shared ~100-word fixture vocabulary puts >2k docs in
-# every truncated posting (43 M candidate pairs, 12 M real dot cells —
-# profiled, not guessed). The per-pair pipeline is already int64
-# fixed-point with norms riding the postings; the remaining cost is the
-# candidate volume itself, whose at-scale levers (DIMSUM sampling,
-# cosine prefix-filtering) change the operator's contract. 10× budget,
-# so a REGRESSION (quadratic join plan, lost truncation) still trips.
-HEAVY_10X = {"sim_sparse_cosine_tfidf"}
+# sim_sparse_cosine_tfidf graduated OUT of the former 10× tier (r14
+# follow-up): the adaptive dense pivot (≤1024 surviving terms → int64
+# block-pair GEMM, bit-identical numbers) replaced the 43 M-row term
+# fan-out the old 100 s budget existed for — measured 34.9 s → ~5 s in
+# sweep context / ≤11.4 s cold-isolated at sf0.1. It now rides the 3×
+# tier (staged-parquet materialization + GEMM + the genuine 12 M real
+# dot cells), a 100 s → 30 s RATCHET TIGHTENING; a regression to the
+# quadratic term join (lost truncation, broken gate) trips it again.
+HEAVY_3X.add("sim_sparse_cosine_tfidf")
+HEAVY_10X = set()
 
 spark = (
     SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")

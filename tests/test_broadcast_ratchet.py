@@ -179,6 +179,11 @@ AUDITED = {
         # (bounded: one row)
         "mmr_shortlist": 1,
         "sim_sparse_cosine_tfidf": 1,
+        # r14 follow-up audit: the dense-pivot leg broadcasts the
+        # surviving-term index — ≤ _DENSE_VOCAB_MAX (1024) rows by the
+        # gate that selects the leg, so bounded by construction (the
+        # corpus-sized path never reaches this broadcast).
+        "_sparse_cosine_dense": 1,
         # r16 staging audit: CKA joins the d-row column-mean table
         # twice and attaches the 1-row count — all d/1-row frames.
         "embed_cka_linear": 3,

@@ -547,6 +547,62 @@ def test_nearest_facility_plan_shape(spark):
     assert "partial_min" in p, p
 
 
+def test_nearest_facility_chord_band_soundness():
+    """The prune-then-verify band (r14 follow-up): every candidate whose
+    FLOORED distance could tie the per-customer minimum must fall inside
+    chord² ≤ min_chord² + 5e-10, or the prune would silently drop the
+    oracle's winner. Verified two ways on real fixture geometry:
+
+    1. the analytic step bound — chord²(d) = 4 sin²(d/2R) moves at most
+       (2/R)·1e-6 ≈ 3.139e-10 over a 1e-6 km step (|dchord²/dd| =
+       (2/R)|sin(d/R)| ≤ 2/R) — checked numerically over the full
+       distance range. This pin CAUGHT a dropped factor of 2 in the
+       first derivation (1/R would under-cover by half);
+    2. at SF_SMOKE, every supplier within 1e-6 km of each customer's
+       true min distance sits inside the band (empirical, all pairs).
+    """
+    R = 6371.0088
+    # 1 — analytic: chord²(d) = 4 sin²(d/2R); step of 1e-6 km
+    d = np.linspace(0.0, np.pi * R, 2_000_001)
+    c2 = 4 * np.sin(d / (2 * R)) ** 2
+    step = np.abs(4 * np.sin((d + 1e-6) / (2 * R)) ** 2 - c2)
+    assert step.max() <= 3.2e-10  # 2e-6/R = 3.1392e-10, + fp slack
+    assert step.max() >= 3.0e-10  # the bound is TIGHT — 1/R is wrong
+
+    # 2 — empirical on fixture coordinates
+    c = pd.read_parquet(SF_SMOKE + "/customer.parquet")["c_custkey"].astype(
+        np.int64
+    )
+    s = pd.read_parquet(SF_SMOKE + "/supplier.parquet")["s_suppkey"].astype(
+        np.int64
+    )
+    clat, clon = _coords(c.to_numpy(), 1, 2)
+    slat, slon = _coords(s.to_numpy(), 3, 4)
+
+    def xyz(lat, lon):
+        rl, rn = np.radians(lat), np.radians(lon)
+        return np.stack(
+            [np.cos(rl) * np.cos(rn), np.cos(rl) * np.sin(rn), np.sin(rl)],
+            axis=-1,
+        )
+
+    cu, su = xyz(clat, clon), xyz(slat, slon)
+    chord2 = ((cu[:, None, :] - su[None, :, :]) ** 2).sum(-1)
+
+    a = (
+        np.sin(np.radians(slat[None, :] - clat[:, None]) / 2) ** 2
+        + np.cos(np.radians(clat))[:, None]
+        * np.cos(np.radians(slat))[None, :]
+        * np.sin(np.radians(slon[None, :] - clon[:, None]) / 2) ** 2
+    )
+    dist = 2 * R * np.arcsin(np.sqrt(a))
+
+    dmin = dist.min(axis=1, keepdims=True)
+    near = dist <= dmin + 1e-6  # any possible floor-tie candidate
+    band = chord2 <= chord2.min(axis=1, keepdims=True) + 5e-10
+    assert (near & ~band).sum() == 0
+
+
 # --- layout invariance ------------------------------------------------------
 
 

@@ -1014,6 +1014,82 @@ def test_sparse_cosine_dimsum_recall_and_exactness(spark):
     )
 
 
+def test_sparse_cosine_dense_sparse_leg_equivalence(spark):
+    """The adaptive dense pivot (small surviving vocabulary → int64
+    block-pair GEMM) must be BIT-IDENTICAL to the term-at-a-time sparse
+    join it replaces: same pair set, same ROUND(4) cos_sim on every
+    pair — the fixed-point long dot is order-independent, so the two
+    physical plans compute the same exact numbers."""
+    from trireme_spark.queries.llm_sim import sim_sparse_cosine_tfidf
+
+    dense = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in sim_sparse_cosine_tfidf(spark, SF_SMOKE).collect()
+    }
+    sparse = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in sim_sparse_cosine_tfidf(
+            spark, SF_SMOKE, dense_max_vocab=0
+        ).collect()
+    }
+    assert dense == sparse  # exact: values AND pair set
+
+
+def test_sparse_cosine_adaptive_dispatch_plan(spark):
+    """The gate actually dispatches: on the fixture (vocab ≤ 1024 after
+    truncation) the default plan is the GEMM (FlatMapGroupsInPandas);
+    forcing ``dense_max_vocab=0`` falls back to the term self-join (no
+    pandas group map anywhere in that plan)."""
+    from trireme_spark.queries.llm_sim import sim_sparse_cosine_tfidf
+
+    dense_plan = sim_sparse_cosine_tfidf(
+        spark, SF_SMOKE
+    )._jdf.queryExecution().executedPlan().toString()
+    sparse_plan = sim_sparse_cosine_tfidf(
+        spark, SF_SMOKE, dense_max_vocab=0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in dense_plan
+    assert "FlatMapGroupsInPandas" not in sparse_plan
+
+
+def test_exact_int_threshold_pairs_matches_bruteforce(spark):
+    """Operator contract of exact_int_threshold_pairs: identical pair
+    set AND identical float64 sims vs a python brute force that applies
+    the same arithmetic in the same IEEE order (int64 dot → float64 →
+    /scale → /(na·nb)), across diagonal and cross-block groups."""
+    import numpy as np
+
+    from trireme_spark.operators.similarity import exact_int_threshold_pairs
+
+    rng = np.random.RandomState(7)
+    n, dim, scale = 30, 5, 1e12
+    vecs = rng.randint(0, 3_000_000, size=(n, dim)).astype("int64")
+    norms = np.sqrt((vecs.astype("float64") / 1e6) ** 2 @ np.ones(dim))
+    rows = [
+        (int(i), [int(x) for x in vecs[i]], float(norms[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, vec array<long>, nn double"
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in exact_int_threshold_pairs(
+            df, threshold=0.9, dim=dim, n_blocks=3
+        ).collect()
+    }
+    want = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = int(vecs[i] @ vecs[j])  # exact python int
+            sim = (np.float64(d) / scale) / np.float64(
+                norms[i] * norms[j]
+            )
+            if sim >= 0.9:
+                want[(i, j)] = float(sim)
+    assert got == want  # exact equality, values included
+
+
 def test_bootstrap_ci_brackets_sample_mean(spark):
     """events_bootstrap_ci: Poisson-bootstrap replicate means center on
     the sample mean, so the rank-based 95% CI must bracket it, be

@@ -297,7 +297,11 @@ def _block_pair_grid(spark, n_blocks: int) -> DataFrame:
 
 
 def _block_pair_groups(
-    vectors: DataFrame, id_col: str, emb_col: str, n_blocks: int
+    vectors: DataFrame,
+    id_col: str,
+    emb_col: str,
+    n_blocks: int,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Ship each vector to every block-pair group it participates in.
 
@@ -307,6 +311,10 @@ def _block_pair_groups(
     its diagonal), so shuffle volume is (B+1)·n rows — linear in the
     corpus, quadratic work confined to executors. Pick B ≈ √parallelism;
     at scale, size B so 2n/B vectors fit one executor's task memory.
+
+    ``extra_cols`` names ride along unchanged (e.g. a precomputed norm
+    the per-group kernel needs), so callers never re-join per-vector
+    metadata onto the |pairs|-sized output.
     """
     spark = vectors.sparkSession
     v = vectors.select(
@@ -315,10 +323,11 @@ def _block_pair_groups(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
         .cast("int")
         .alias("blk"),
+        *[F.col(c) for c in extra_cols],
     )
     grid = _block_pair_grid(spark, n_blocks)
     return v.join(F.broadcast(grid), "blk").select(
-        "pid", "diag", "side", "vec_id", "emb"
+        "pid", "diag", "side", "vec_id", "emb", *extra_cols
     )
 
 
@@ -619,6 +628,87 @@ def exact_threshold_pairs(
 
     return grouped.groupBy("pid").applyInPandas(
         pair_hits, "vec_a long, vec_b long, cos_sim double"
+    )
+
+
+_EMPTY_INT_PAIRS = pd.DataFrame(
+    {"vec_a": [], "vec_b": [], "sim": []}
+).astype({"vec_a": "int64", "vec_b": "int64", "sim": "float64"})
+
+
+def exact_int_threshold_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int,
+    scale: float = 1e12,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    norm_col: str = "nn",
+    n_blocks: int = None,
+    n_rows: int = None,
+) -> DataFrame:
+    """All id pairs (a < b) with similarity ≥ threshold over FIXED-POINT
+    int64 vectors — the exact-arithmetic sibling of
+    :func:`exact_threshold_pairs` for operators whose cross-engine
+    contract is an integer product-sum (e.g. ROUND(6) tf-idf weights in
+    1e-6 units: the dot in 1e-12 units is an exact, order-independent
+    long sum, so a numpy int64 GEMM reproduces a SQL
+    ``SUM(wa*wb)::DOUBLE / scale`` bit-for-bit — matmul order cannot
+    perturb integer addition the way float accumulation order would).
+
+    ``vectors`` carries (id, int64 array[dim], precomputed norm); the
+    norm rides the block fan-out (``extra_cols``) so the |pairs|-sized
+    output needs ZERO joins back onto per-vector metadata. Per group:
+    ``sim = (A·Bᵀ).astype(float64)/scale / (na ⊗ nb)`` — exactly the
+    long→double cast, /scale division and na·nb product the SQL mirror
+    performs, in the same IEEE order, so the ≥ threshold cut and any
+    later ROUND land on identical doubles.
+
+    Block sizing: per-task bytes are 2·(n/B)·dim·8, so the per-block
+    row cap shrinks proportionally with ``dim`` (at dim=64 it is
+    ``_MAX_BLOCK_ROWS``; at dim=1024 a block holds ≤ 8192 rows ≈ 134 MB
+    of int64 matrix per task — constant memory regardless of dim).
+    """
+    spark = vectors.sparkSession
+    if n_blocks is None:
+        n = _row_bound(vectors, n_rows)
+        b = _default_blocks(spark, n)
+        eff_max = max(_MIN_BLOCK_ROWS, _MAX_BLOCK_ROWS * 64 // max(64, dim))
+        n_blocks = max(b, -(-n // eff_max))
+    grouped = _block_pair_groups(
+        vectors, id_col, vec_col, n_blocks, extra_cols=(norm_col,)
+    )
+
+    def pair_hits(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == "L"]
+        b = a if pdf["diag"].iat[0] else pdf[pdf["side"] == "R"]
+        if not len(a) or not len(b):
+            return _EMPTY_INT_PAIRS.copy()
+        a_ids = a["vec_id"].to_numpy()
+        b_ids = b["vec_id"].to_numpy()
+        am = np.stack(a["emb"].to_numpy()).astype("int64")
+        bm = np.stack(b["emb"].to_numpy()).astype("int64")
+        an = a[norm_col].to_numpy(dtype="float64")
+        bn = b[norm_col].to_numpy(dtype="float64")
+        dots = am @ bm.T  # exact int64 arithmetic — order-independent
+        sim = (dots.astype("float64") / scale) / (an[:, None] * bn[None, :])
+        keep = sim >= threshold
+        if pdf["diag"].iat[0]:
+            keep &= a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(keep)
+        if not len(ai):
+            return _EMPTY_INT_PAIRS.copy()
+        aa, bb = a_ids[ai], b_ids[bi]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(aa, bb),
+                "vec_b": np.maximum(aa, bb),
+                "sim": sim[ai, bi],
+            }
+        )
+
+    return grouped.groupBy("pid").applyInPandas(
+        pair_hits, "vec_a long, vec_b long, sim double"
     )
 
 

@@ -28,6 +28,7 @@ from trireme_spark.operators.similarity import (
     cosine,
     cosine_pairs_vectorized,
     dot,
+    exact_int_threshold_pairs,
     exact_threshold_pairs,
     exact_topk_pairs,
     jaccard,
@@ -964,12 +965,27 @@ WHERE dot / (na.nn * nb.nn) >= 0.5
 """
 
 
+# Dense-pivot gate for sim_sparse_cosine_tfidf: when the vocabulary
+# SURVIVING top-10 truncation is at most this many terms, the "sparse"
+# problem is secretly dense (every doc vector lives in one small shared
+# subspace) and the per-term |posting|² fan-out is the WORST possible
+# plan — postings degenerate to ~n_docs each, so the term join shuffles
+# ~vocab·(n/vocab choose 2)-scale pair rows (measured 43M fan-out rows at
+# sf0.1 for 31 surviving terms). Pivoting to int64 fixed-point dense
+# vectors + block-pair GEMM keeps the arithmetic contract bit-identical
+# (exact long dots) while the shuffle drops to (B+1)·n vector rows.
+# 1024 bounds both the term-index broadcast and the per-task GEMM memory
+# (see exact_int_threshold_pairs' dim-scaled block cap).
+_DENSE_VOCAB_MAX = 1024
+
+
 @register("sim_sparse_cosine_tfidf", oracle=_SPARSE_COS_ORACLE)
 def sim_sparse_cosine_tfidf(
     spark: SparkSession,
     sf_dir: str,
     generators: str = "exact",
     gamma: float = 200.0,
+    dense_max_vocab: int = _DENSE_VOCAB_MAX,
 ) -> DataFrame:
     """Sparse cosine similarity join over tf-idf vectors — the
     term-at-a-time formulation (DIMSUM-family minus sampling): documents
@@ -982,11 +998,21 @@ def sim_sparse_cosine_tfidf(
     terms FIRST — idf concentrates weight on rare terms, so the
     truncation both bounds postings (a term's posting only holds docs
     that rank it top-10) and kills the head-of-df |posting|² blowup
-    (measured: 190 s → seconds at sf0.1). Postings then shuffle on term,
-    pair partial-products map-side combine into (doc_a, doc_b) cells,
-    norms (over the truncated vector, so the cosine is proper) broadcast
-    back. DIMSUM sampling is the further at-scale lever. Weights are
-    ROUND(6)ed before the decimal-quantized sums, so cross-engine ln()
+    (measured: 190 s → seconds at sf0.1). The plan is then ADAPTIVE on
+    the surviving vocabulary (one tiny count over the staged postings):
+
+    - vocab ≤ ``dense_max_vocab`` → every doc vector lives in one small
+      shared subspace, postings degenerate toward |docs| each, and the
+      term join is the worst plan (43M pair-fan-out rows measured at
+      sf0.1's 31 surviving terms) — pivot to int64 fixed-point dense
+      vectors + distributed block-pair GEMM (bit-identical exact long
+      dots; measured 35 s → ~4 s at sf0.1, same hash).
+    - vocab large → postings are genuinely sparse: shuffle on term,
+      pair partial-products map-side combine into (doc_a, doc_b) cells
+      (pairs sharing no term cost nothing), norms riding the postings.
+
+    DIMSUM sampling is the further at-scale lever. Weights are
+    ROUND(6)ed before the fixed-point sums, so cross-engine ln()
     drift is absorbed per-posting (parity.py doctrine)."""
     d = table(spark, sf_dir, "documents")
     terms = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
@@ -1058,6 +1084,18 @@ def sim_sparse_cosine_tfidf(
     )
     if generators == "dimsum":
         return _sparse_cosine_dimsum(wn, gamma)
+    # Adaptive dense pivot (r14 follow-up): the surviving-vocabulary
+    # count is a tiny job over the staged postings (≤ |docs|·10 rows).
+    # Small vocab ⇒ the term join's per-term fan-out is quadratic in
+    # n/vocab — switch to the exact int64 dense GEMM, which produces
+    # bit-identical numbers (same long product-sum, same IEEE division
+    # order — see exact_int_threshold_pairs). Large vocab ⇒ postings are
+    # genuinely sparse and the term-at-a-time join below is the right
+    # plan (pairs with zero term overlap cost nothing).
+    terms_alive = w.select("term").distinct()
+    n_terms = terms_alive.count()
+    if 0 < n_terms <= dense_max_vocab:
+        return _sparse_cosine_dense(wn, terms_alive, n_terms, sf_dir)
     # int64 fixed-point weights (wt is ROUND(6) → wt·1e6 integral): the
     # product-sum in 1e-12 units is exact, order-independent, and a long
     # sum beats a DECIMAL(27,6) sum by ~30% over the |pairs| fan-out —
@@ -1090,6 +1128,74 @@ def sim_sparse_cosine_tfidf(
     sim = F.col("dot") / (F.col("na") * F.col("nb"))
     return dots.where(sim >= 0.5).select(
         "doc_a", "doc_b", F.round(sim, 4).alias("cos_sim")
+    )
+
+
+def _sparse_cosine_dense(
+    wn: DataFrame, terms_alive: DataFrame, n_terms: int, sf_dir: str
+) -> DataFrame:
+    """Small-vocabulary leg of sim_sparse_cosine_tfidf: scatter each
+    doc's truncated postings into a dense int64[n_terms] fixed-point
+    vector (1e-6 units — the SAME ``ROUND(wt·1e6)`` longs the sparse
+    join multiplies) and hand the all-pairs problem to the distributed
+    block-pair GEMM with EXACT integer dots.
+
+    Bit-for-bit contract with the sparse leg and the SQL oracle: the
+    dot is the identical order-independent long sum (absent terms
+    contribute exact 0s), the norm is the identical per-doc decimal
+    window fold riding in from ``wn``, and sim = dot::double/1e12/(na·nb)
+    applies the same IEEE ops in the same order inside the kernel — so
+    the ≥ 0.5 cut and the final Spark-side ROUND(4) land on identical
+    doubles whichever leg ran (pinned by the leg-equivalence pytest).
+
+    The term index is a row_number over the ≤ ``_DENSE_VOCAB_MAX``-row
+    surviving-term frame (single-partition window is fine — the frame
+    is BOUNDED by the dense gate, never corpus-sized) and broadcasts
+    for the same reason.
+    """
+    idx_w = Window.orderBy("term")
+    term_idx = terms_alive.select(
+        "term", (F.row_number().over(idx_w) - 1).cast("int").alias("tidx")
+    )
+    wp = wn.join(F.broadcast(term_idx), "term").select(
+        "doc_id",
+        "tidx",
+        F.round(F.col("wt") * 1e6).cast("long").alias("wa"),
+        "nn",
+    )
+    zero = F.lit(0).cast("long")
+    dense = (
+        wp.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("tidx", "wa"))
+            ).alias("m"),
+            F.any_value("nn").alias("nn"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_terms - 1)),
+                # try_element_at: NULL (→ 0) on absent keys under ANSI
+                # mode too, where plain element_at would raise.
+                lambda i: F.coalesce(F.try_element_at(F.col("m"), i), zero),
+            ).alias("vec"),
+            "nn",
+        )
+    )
+    pairs = exact_int_threshold_pairs(
+        dense,
+        threshold=0.5,
+        dim=n_terms,
+        id_col="doc_id",
+        vec_col="vec",
+        norm_col="nn",
+        n_rows=table_rows(sf_dir, "documents"),
+    )
+    return pairs.select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.round(F.col("sim"), 4).alias("cos_sim"),
     )
 
 
