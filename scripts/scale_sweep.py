@@ -68,6 +68,11 @@ HEAVY_3X = {
     "stream_watermark_late",
     "stream_foreachbatch_sink",
     "stream_static_join",
+    # r14 follow-up: 4-trigger replay with complete-mode state re-emit —
+    # the same per-batch state-store machinery class as its siblings
+    # above; measured 7-8 s idle / 10.5 s under host contention at
+    # sf0.1 (it rode the 1× boundary and flagged spuriously once)
+    "stream_complete_mode",
     "udtf_grouped_map",
 }
 
@@ -76,10 +81,10 @@ HEAVY_3X = {
 # block-pair GEMM, bit-identical numbers) replaced the 43 M-row term
 # fan-out the old 100 s budget existed for — measured 34.9 s → ~5 s in
 # sweep context / ≤11.4 s cold-isolated at sf0.1. It now rides the 3×
-# tier (staged-parquet materialization + GEMM + the genuine 12 M real
-# dot cells), a 100 s → 30 s RATCHET TIGHTENING; a regression to the
-# quadratic term join (lost truncation, broken gate) trips it again.
-HEAVY_3X.add("sim_sparse_cosine_tfidf")
+# tier via its standing HEAVY_3X entry (staged-parquet materialization
+# + GEMM + the genuine 12 M real dot cells), a 100 s → 30 s RATCHET
+# TIGHTENING; a regression to the quadratic term join (lost truncation,
+# broken gate) trips it again.
 HEAVY_10X = set()
 
 spark = (

@@ -1391,13 +1391,18 @@ def text_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade, and L=30 is the paper's ballpark threshold.
 
     Scale design: per-doc window explode is length-bounded (n−L+1
-    rows/doc); repetition detection is ONE content-keyed aggregation
-    (the window string is the shuffle key — character-level analogue of
-    the sentence-dedup sharding); span merging is a doc-keyed
-    gaps-and-islands window. Identical window STRINGS (not hashes) are
-    the group key, so the oracle cross-checks exactly; a 100 TB run
-    swaps the string key for xxhash64(win) to shrink shuffle width —
-    same plan shape."""
+    rows/doc); repetition detection is ONE content-keyed pass — a
+    ``count(*) OVER (PARTITION BY win)`` window (r14 follow-up: the
+    former groupBy(win) + left-semi-join-back shape generated the
+    5M-window explode TWICE and shuffled the 30-char string key twice;
+    the window form keeps (doc_id, p) alongside the count, so one
+    generation pass and ONE win-keyed shuffle produce the same hit set
+    — measured 9.4 s → 3.5 s warm at sf0.1, bit-identical output; a
+    degenerate hot window is the same single hot partition in either
+    shape); span merging is a doc-keyed gaps-and-islands window.
+    Identical window STRINGS (not hashes) are the shuffle key, so the
+    oracle cross-checks exactly; a 100 TB run swaps the string key for
+    xxhash64(win) to shrink shuffle width — same plan shape."""
     d = table(spark, sf_dir, "documents").where(
         F.length("text") >= _SPAN_L
     )
@@ -1412,11 +1417,11 @@ def text_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         F.substring(F.col("text"), F.col("p") + 1, _SPAN_L).alias("win"),
     )
-    rep = w.groupBy("win").agg(F.count(F.lit(1)).alias("c")).where(
-        F.col("c") >= 2
-    )
-    hits = w.join(rep.select("win"), "win", "left_semi").select(
-        "doc_id", "p"
+    wc = Window.partitionBy("win")
+    hits = (
+        w.withColumn("c", F.count(F.lit(1)).over(wc))
+        .where(F.col("c") >= 2)
+        .select("doc_id", "p")
     )
     wd = Window.partitionBy("doc_id").orderBy("p")
     isl = hits.withColumn(
