@@ -71,6 +71,14 @@ KEYS = [
     "stream_stateful",       # t6 — applyInPandasWithState running counts
     "stream_watermark_late", # t4 — append-mode watermark finalization
     "stream_stateful_timeout",  # t13-class — stateful fold w/ timeouts
+    # r14 post-closing rebuilds: each introduced a new claimed-
+    # deterministic mechanism — the xxhash64 block-pair GEMM grouping +
+    # staged-parquet re-read (dense pivot), the win-partition count
+    # repeat detection, and the chord²-band prune + struct-min argmin.
+    # All must be pure functions of the data, whatever the layout.
+    "sim_sparse_cosine_tfidf",
+    "text_dedup_repeated_spans",
+    "geo_nearest_facility",
 ]
 
 
