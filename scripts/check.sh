@@ -41,7 +41,10 @@ echo "== ANSI-off driver simulation (legacy-session semantics) =="
 # NULL-on-bad-cast, NULL-on-div-zero) must produce the SAME rows — the
 # arithmetic/cast/rounding surface is where the two modes can diverge.
 # Full-registry ANSI-off sim ran green in r8 (428/428); this leg keeps
-# the sensitive families pinned per-run.
+# the sensitive families pinned per-run. The three r14 post-closing
+# rebuilds ride along: int64 GEMM fixed-point dots, the chord-band
+# floor-tie prune, and the window-count repeat detection are exactly
+# this leg's arithmetic/cast surface.
 PYSPARK_SUBMIT_ARGS="--conf spark.sql.ansi.enabled=false pyspark-shell" \
 python scripts/driver_sim.py \
   fn_math fn_try_arithmetic fn_rounding_semantics fn_bitwise fn_hash \
@@ -51,6 +54,7 @@ python scripts/driver_sim.py \
   fn_luhn_checksum agg_weighted_median \
   agg_gini_split_gain agg_tukey_hsd lineitem_fe_within_regression \
   ts_pacf_durbin_levinson \
+  sim_sparse_cosine_tfidf geo_nearest_facility text_dedup_repeated_spans \
   2>&1 | grep -vE "WARN|INFO" | tail -3
 
 echo "== bench @ sf0.1 =="
