@@ -77,11 +77,13 @@ DEFAULT_KEYS = [
     "sim_knn_graph_all",
     "text_collocations_pmi",
     "text_skipgram_pairs",
-    # sim_sparse_cosine_tfidf's EXACT leg is deliberately NOT here:
-    # exact all-pairs sparse cosine over this fixture's shared ~100-word
-    # vocabulary is Σ|posting|² — measured 43 M candidate pairs at 5 k
-    # docs (sf0.1), i.e. ~4e11 pairs at the 500 k-doc duplicated stage —
-    # infeasible for ANY engine without changing the exact contract.
+    # sim_sparse_cosine_tfidf's EXACT leg is deliberately NOT here —
+    # and still not after the r14 dense pivot: the pivot removed the
+    # Σ|posting|² CANDIDATE cost (int64 block GEMM now), but the exact
+    # contract's OUTPUT is quadratic in the duplication factor (every
+    # duplicate pair scores ≥ 0.5), so the 500 k-doc duplicated stage
+    # would emit ~1e10 result rows whatever the plan — infeasible for
+    # ANY engine without changing the contract itself.
     # The DIMSUM leg (generators='dimsum': collapse identical vectors →
     # norm-weighted sampling → exact map-dot verify → expand) IS the
     # documented scale path and runs below via SPECIAL_KEYS.
