@@ -657,7 +657,15 @@ def test_prefix_vocab_broadcast_is_size_gated(spark, monkeypatch):
             similarity.candidate_pairs_prefix(docs, "id", "sset", 0.8)
         )
         assert "BroadcastExchange" in p_small
-        # simulated 100 TB vocab: estimate exceeds any gate -> shuffle join
+        # simulated 100 TB vocab: estimate exceeds any gate -> shuffle join.
+        # Clear the cache first: candidate_pairs_prefix cache_once's its
+        # prefix frame (opt r14), and the cache manager matches on the
+        # canonical logical plan IGNORING join hints — the small-gate
+        # cached entry (whose lineage text contains the broadcast) would
+        # otherwise substitute into this leg's plan. A real corpus-scale
+        # session never holds a fixture-scale cache entry for the same
+        # data, so a fresh cache is the honest simulation.
+        spark.catalog.clearCache()
         monkeypatch.setattr(hints, "plan_size_bytes", lambda _df: 1 << 62)
         p_large = plan(
             similarity.candidate_pairs_prefix(docs, "id", "sset", 0.8)

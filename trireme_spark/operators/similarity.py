@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from trireme_spark.functions.core import let
-from trireme_spark.operators.hints import broadcast_if_small
+from trireme_spark.operators.hints import broadcast_if_small, cache_once
 
 
 # ---------- text shingles / MinHash / LSH ----------------------------------
@@ -169,9 +169,32 @@ def candidate_pairs_prefix(
     join also applies the length filter (J(a,b) ≥ t ⇒ t·|b| ≤ |a| ≤ |b|/t),
     which prunes most spurious prefix collisions before the verify step.
     Cost: two shuffles (df computation, prefix join), both key-partitioned.
+
+    Opt r14 (guide §2.3 "shuffle keys and metadata instead of payloads"):
+
+    * Elements are ``xxhash64``'d to 8-byte longs BEFORE any shuffle —
+      string shingles never leave the explode (the text_decontaminate
+      trick). The global rarity order becomes (df(h), h), a pure function
+      of the hash: completeness of the prefix filter holds under ANY
+      consistent total order on elements, and a hash collision can only
+      ADD a candidate (the join matches a superset of true equality),
+      never drop one — every caller exact-verifies candidates, so the
+      verified output is IDENTICAL (pinned by the brute-force-⊇ pytest
+      and the oracle hash).
+    * The prefix frame is ``cache_once``'d: the a/b self-join aliases
+      otherwise each recompute the whole df-join + collect_list +
+      posexplode chain (a broadcast build is not an exchange, so
+      ReuseExchange can never dedupe it — measured 2× the candidate cost
+      at sf0.1). One fill, both sides substitute via the cache manager's
+      plan matching. At scale this is an O(corpus·(1−t)) spill-capable
+      intermediate used exactly twice back-to-back — cheaper than
+      computing it twice.
     """
     elems = docs.select(
-        F.col(id_col).alias("id"), F.explode(set_col).alias("s")
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(F.col(set_col), lambda e: F.xxhash64(e))
+        ).alias("s"),
     )
     # df counts: map-side-combined groupBy (a window formulation saves a
     # shuffle but loses partial aggregation — measured slower), then a
@@ -202,10 +225,14 @@ def candidate_pairs_prefix(
         - F.ceil(F.size("sorted_set") * F.lit(threshold)).cast("int")
         + 1
     )
-    prefixes = ordered.select(
-        "id",
-        F.size("sorted_set").alias("sz"),
-        F.posexplode(F.slice("sorted_set", 1, prefix_len)).alias("pos", "s"),
+    prefixes = cache_once(
+        ordered.select(
+            "id",
+            F.size("sorted_set").alias("sz"),
+            F.posexplode(F.slice("sorted_set", 1, prefix_len)).alias(
+                "pos", "s"
+            ),
+        )
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
     # Positional filter (PPJoin): if a and b first collide at prefix

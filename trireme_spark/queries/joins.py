@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from trireme_spark.operators.asof import asof_join
+from trireme_spark.operators.hints import broadcast_if_small
 from trireme_spark.parity import dsum, fquant, meta_part, oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
@@ -302,24 +303,42 @@ GROUP BY n_name
 
 @register("join_multiway", oracle=_J9_ORACLE)
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """j9 — TPC-H Q5 shape: 6-table chain, dims broadcast, facts joined
-    smallest-first (orders filtered by date before touching lineitem)."""
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
+    """j9 — TPC-H Q5 shape: 6-table chain with the FACT TABLE ALWAYS THE
+    STREAM SIDE (guide §3.1: pick the build side deliberately).
+
+    Opt r14: the former c→o→li chain let the planner auto-broadcast raw
+    lineitem (its on-disk estimate sits under the 10 MB threshold at
+    fixture scale), i.e. a 600 k-row hash-relation build + driver collect
+    so a ~23 k-row stream could probe it — backwards
+    (plans/r14/join_multiway_before.txt node 12). The chain now starts
+    from lineitem and joins the filtered orders, customer and supplier
+    sides through size-gated ``broadcast_if_small`` (reliable file-scan
+    estimates; over the gate each degrades to a plain shuffle equi-join —
+    at 100 TB orders won't fit and the li⋈o join correctly becomes
+    SMJ/SHJ). Early projections keep the build rows narrow. Verified
+    hash-identical at sf0.001/0.01/0.1 and vs the oracle; bench 1.04 s →
+    ~0.75 s; plan: build sides now 23 k/15 k/1 k rows, lineitem never
+    leaves the stream."""
     li = table(spark, sf_dir, "lineitem")
-    s = table(spark, sf_dir, "supplier")
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = F.broadcast(table(spark, sf_dir, "nation"))
     r = F.broadcast(
         table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(broadcast_if_small(o), li.l_orderkey == o.o_orderkey)
+        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .join(
-            s,
+            broadcast_if_small(s),
             (li.l_suppkey == s.s_suppkey)
             & (s.s_nationkey == c.c_nationkey),
         )

@@ -141,24 +141,35 @@ SELECT doc_id, term AS top_term, score FROM (
 
 @register("text_tfidf", oracle=_L3_ORACLE)
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l3 — tf-idf, top term per doc. Pure DataFrame algebra: tf and df are
-    two keyed aggregations; N joins in as a broadcast scalar (no
-    driver-side collect). Ranking uses the ROUNDED score so cross-engine
-    ln() ulp drift cannot flip the order; term ASC breaks genuine ties."""
+    """l3 — tf-idf, top term per doc. Pure DataFrame algebra; N joins in as
+    a broadcast scalar (no driver-side collect). Ranking uses the ROUNDED
+    score so cross-engine ln() ulp drift cannot flip the order; term ASC
+    breaks genuine ties.
+
+    Opt r14 (guide §2.4): the former two-branch shape (df =
+    tf.groupBy(term) + join back) physically re-ran the tokenize+explode
+    scan — column pruning makes the tf and df exchanges differ, so
+    ReuseExchange can never dedupe them (plans/r14/text_tfidf_before.txt
+    nodes 1–5 vs 6–13). df is now COUNT(*) OVER (PARTITION BY term) on tf
+    — tf has exactly one row per (doc_id, term), so the partition count IS
+    the distinct-doc count — one corpus pass, no broadcast build. The
+    top-1-per-doc ranking window is an order-insensitive
+    MIN(STRUCT(-score, term)) hash aggregation (partial map-side agg, no
+    sort): minimal (-score, term) lexicographic = highest score then
+    smallest term, exactly row_number()'s (score DESC, term ASC) pick;
+    score > 0 always (tf ≥ 1, df ≤ n_docs ⇒ ln ≥ 0), so the double
+    negation cannot manufacture a -0.0. Verified hash-identical to the
+    previous shape at sf0.001/0.01/0.1 and against the DuckDB oracle.
+    Bench: 0.74 s → ~0.60 s at sf0.1 on local[32]; plan: 2 Generate → 1,
+    4 Exchange + 2 broadcast builds → 3 Exchange + 1 broadcast."""
     d = table(spark, sf_dir, "documents")
     terms = d.select(
         "doc_id", F.explode(tokenize("text", drop_stopwords=True)).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # df derives from tf, not from terms: tf already holds one row per
-    # (doc_id, term), so counting rows per term IS the distinct-doc count —
-    # and reusing the aggregated subtree means the regexp tokenize + explode
-    # scan runs once, not twice (it was the whole r3 bench excursion: the
-    # uncached `terms` fed two aggregations and re-evaluated per branch).
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(df, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -175,13 +186,17 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("term").asc()
+    best = scored.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("score")).alias("ns"), F.col("term").alias("t")
+            )
+        ).alias("b")
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", F.col("term").alias("top_term"), "score")
+    return best.select(
+        "doc_id",
+        F.col("b.t").alias("top_term"),
+        (-F.col("b.ns")).alias("score"),
     )
 
 
