@@ -61,10 +61,18 @@ def prep(spark: SparkSession) -> SparkSession:
     # events.parquet carries TIMESTAMP(NANOS); Spark 4 errors without this
     # (see sources/io.py:table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Fixture-scale correctness runs don't need 200 shuffle partitions; AQE
-    # coalesces anyway, this just trims scheduler overhead on local mode.
+    # Scale-adaptive shuffle width (opt r14, guide §2.2): 2× the session's
+    # core count with a floor of 32 — on the driver's local[8] session this
+    # is the same 32 as before; on local[32] it is 64 (measured: the
+    # band-bucket/self-join exchanges need ≥ 2× cores to keep all slots
+    # busy — minhash 1.83 s @ 64 vs 2.23 s @ 32 on local[32]). The former
+    # hard-coded 32 silently overrode bench.py's explicit 64 on every
+    # query invocation. On a real cluster the same 2×-cores rule applies
+    # and AQE coalesces down; fixture-scale correctness runs don't need
+    # the driver default 200 either way.
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        width = max(32, 2 * spark.sparkContext.defaultParallelism)
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
     except Exception:
         pass  # immutable in some environments; harmless
     _ship_package(spark)
