@@ -55,6 +55,7 @@ python scripts/driver_sim.py \
   agg_gini_split_gain agg_tukey_hsd lineitem_fe_within_regression \
   ts_pacf_durbin_levinson \
   sim_sparse_cosine_tfidf geo_nearest_facility text_dedup_repeated_spans \
+  fn_json text_tfidf join_multiway dedup_fuzzy_minhash dedup_ngram_jaccard \
   2>&1 | grep -vE "WARN|INFO" | tail -3
 
 echo "== bench @ sf0.1 =="

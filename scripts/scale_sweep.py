@@ -94,6 +94,13 @@ HEAVY_3X = {
     # would flag them spuriously.
     "graph_modularity_score",
     "graph_bipartite_hits",
+    # opt r14: runs the FULL knn_graph_topk GEMM (the identical
+    # machinery sim_knn_graph_all's standing entry documents at ~10 s
+    # cold) plus the vote window on top; measured 13.7 s cold-isolated.
+    # It sat under the 1× budget only when earlier sim-family keys had
+    # warmed the Arrow/python-worker path — the r14 sweep order flagged
+    # it at 12.7 s.
+    "embed_knn_label_eval",
 }
 
 # sim_sparse_cosine_tfidf graduated OUT of the former 10× tier (r14
