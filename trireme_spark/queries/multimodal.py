@@ -573,8 +573,17 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0).cast("long")),
         )
 
-    h = px.select(
-        "doc_id", half(F.lit(0)).alias("h1"), half(F.lit(32)).alias("h2")
+    # One signature pass, not two: the a/b self-join below otherwise
+    # evaluates this whole subtree once per side (the build side rides a
+    # BroadcastExchange, which plan reuse cannot dedupe the way a shuffle
+    # Exchange can — the candidate_pairs_prefix lesson). The cached frame
+    # is bounded: (doc_id, h1, h2) = 3 longs per document.
+    from trireme_spark.operators.hints import cache_once
+
+    h = cache_once(
+        px.select(
+            "doc_id", half(F.lit(0)).alias("h1"), half(F.lit(32)).alias("h2")
+        )
     )
     # chunk blocking: 8 x 8-bit chunks (complete for Hamming <= 7)
     chunks = h.select(
