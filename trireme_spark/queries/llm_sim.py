@@ -627,7 +627,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = masks[0]
     for m in masks[1:]:
         sig = sig.bitwiseOR(m)
-    s = votes.select("doc_id", sig.alias("sig"))
+    # One signature pass, not two: the a/b chunk self-join below otherwise
+    # evaluates the whole tokenize+hash+64-vote subtree once per side (the
+    # build side rides a BroadcastExchange, which plan reuse cannot dedupe
+    # — the candidate_pairs_prefix / multimodal_phash_dedup lesson). The
+    # cached frame is bounded: (doc_id, sig) = 2 longs per document.
+    from trireme_spark.operators.hints import cache_once
+
+    s = cache_once(votes.select("doc_id", sig.alias("sig")))
     # 4 chunks of 16 bits: d<=3 pairs must share at least one chunk
     chunks = s.select(
         "doc_id",
