@@ -456,8 +456,16 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     ).repartition(spark.sparkContext.defaultParallelism)
-    keyed = base.withColumn("buckets", buckets_udf(F.col("emb"))).select(
-        "vec_id", F.posexplode("buckets").alias("tbl", "bucket")
+    # One bucketing pass, not two: the a/b candidate self-join otherwise
+    # runs the hyperplane pandas UDF once per side (the build side
+    # broadcasts, which plan reuse cannot dedupe). The cached frame is
+    # bounded: (vec_id, tbl, bucket) = 3 ints × _LSH_TABLES per vector.
+    from trireme_spark.operators.hints import cache_once
+
+    keyed = cache_once(
+        base.withColumn("buckets", buckets_udf(F.col("emb"))).select(
+            "vec_id", F.posexplode("buckets").alias("tbl", "bucket")
+        )
     )
     # The bucket join carries only ids (16 bytes/pair); embeddings re-attach
     # afterwards via broadcast — shuffling the 64-double vectors through the

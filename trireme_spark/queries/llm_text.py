@@ -2614,12 +2614,21 @@ def text_homoglyph_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.translate("text", _SKELETON, _CONFUSABLES).alias("t"),
         )
     )
-    sk = planted.select(
-        "doc_id",
-        F.md5(F.translate("t", _CONFUSABLES, _SKELETON)).alias("skh"),
-        (
-            F.col("t") != F.translate("t", _CONFUSABLES, _SKELETON)
-        ).alias("has_confusables"),
+    # One skeleton pass, not two: the a/b self-join otherwise evaluates
+    # the full translate+md5 subtree (and the planted union's two corpus
+    # scans) once per side — the build side broadcasts, which plan reuse
+    # cannot dedupe. The cached frame is bounded: (doc_id, 32-char md5,
+    # bool) per document.
+    from trireme_spark.operators.hints import cache_once
+
+    sk = cache_once(
+        planted.select(
+            "doc_id",
+            F.md5(F.translate("t", _CONFUSABLES, _SKELETON)).alias("skh"),
+            (
+                F.col("t") != F.translate("t", _CONFUSABLES, _SKELETON)
+            ).alias("has_confusables"),
+        )
     )
     a = sk.alias("a")
     b = sk.alias("b")

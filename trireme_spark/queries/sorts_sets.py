@@ -1020,7 +1020,14 @@ def orders_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
             kept = m[kept_idx]
         yield pdf.iloc[sorted(kept_idx)]
 
-    cand = pts.mapInPandas(local_skyline, pts.schema)
+    # One local-skyline Arrow pass, not two: the a/b anti-join below
+    # otherwise evaluates the whole mapInPandas subtree once per side
+    # (the build side rides a BroadcastExchange, which plan reuse cannot
+    # dedupe — the candidate_pairs_prefix lesson). The cached frame is
+    # the candidate set, skyline-sized (<< input) by step-2's argument.
+    from trireme_spark.operators.hints import cache_once
+
+    cand = cache_once(pts.mapInPandas(local_skyline, pts.schema))
     a = cand.alias("a")
     b = cand.alias("b")
     dominated = (

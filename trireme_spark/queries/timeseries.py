@@ -2010,6 +2010,13 @@ def orders_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFram
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
     ).agg(dsum("o_totalprice").alias("revenue"))
+    # One corpus rollup, not two: the actual/forecast self-join otherwise
+    # re-aggregates the whole orders table per side (the tiny rollup
+    # broadcasts, so plan reuse cannot dedupe the subtrees). The cached
+    # frame is the ≤12·years-row dimension table.
+    from trireme_spark.operators.hints import cache_once
+
+    m = cache_once(m)
     a = m.alias("a")
     f_ = m.alias("f")
     joined = a.join(
@@ -3939,6 +3946,14 @@ def ts_ar1_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hidx")
     ).agg(dsum("value").alias("v"))
+    # One corpus rollup, not three: h feeds the +1-offset self-join
+    # (both sides) AND the last-observation leg; the tiny aggregated
+    # side rides a BroadcastExchange, which plan reuse cannot dedupe —
+    # cache the (hidx, v) frame (bounded by #hours) so all three legs
+    # read one fill.
+    from trireme_spark.operators.hints import cache_once
+
+    h = cache_once(h)
     a = h.alias("a")
     b = h.select(
         F.col("hidx").alias("bhidx"), F.col("v").alias("y")
@@ -5787,7 +5802,14 @@ def events_type_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes by degree arithmetic (the graph_jaccard_links identity) —
     user sets are never materialized per pair."""
     ev = table(spark, sf_dir, "events")
-    tu = ev.select("event_type", "user_id").distinct()
+    # One distinct collapse, not four: tu feeds both self-join sides AND
+    # the per-type size legs; without the cache each consumer replays the
+    # full events distinct (the small legs broadcast, so plan reuse
+    # cannot dedupe). The cached frame IS the design's collapse —
+    # |types|·|users| worst case, the same frame the join shuffles.
+    from trireme_spark.operators.hints import cache_once
+
+    tu = cache_once(ev.select("event_type", "user_id").distinct())
     sz = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = tu.alias("a")
     b = tu.alias("b")
