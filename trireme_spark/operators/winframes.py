@@ -64,9 +64,15 @@ def global_range_frame_sum(
     n = spark.sparkContext.defaultParallelism
     vdec = F.col(value_col).cast(DSCALE)
 
-    # value bounds: one row, broadcast into every bucket expression
-    bounds = df.agg(
-        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    from trireme_spark.operators.hints import cache_once
+
+    # value bounds: one row, broadcast into every bucket expression —
+    # cached, or each of its three crossJoin consumers replays a full
+    # min/max pass over the input
+    bounds = cache_once(
+        df.agg(
+            F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+        )
     )
 
     # 1. per-distinct-value sums (+ bucket id from the bounds)
@@ -103,9 +109,14 @@ def global_range_frame_sum(
         )
         .select("rng", "off")
     )
-    cum = local.join(F.broadcast(offs), "rng").select(
-        F.col(value_col).alias("v"),
-        (F.col("cum_local") + F.col("off")).alias("C"),
+    # cum is O(#distinct values) — the compression this design rides;
+    # cached, or its two consumers (the as-of data points and the final
+    # re-attach join) each replay the whole per-value cumulative chain
+    cum = cache_once(
+        local.join(F.broadcast(offs), "rng").select(
+            F.col(value_col).alias("v"),
+            (F.col("cum_local") + F.col("off")).alias("C"),
+        )
     )
 
     # 3. strict-below as-of lookup of each row's frame floor v - W.
@@ -189,7 +200,16 @@ def two_pass_ntile(
         .orderBy("__rng")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    counts = local.groupBy("__rng").agg(F.count(F.lit(1)).alias("__n"))
+    # counts is O(#range buckets) — cache it so the offsets and total
+    # legs share one evaluation of the input subtree instead of each
+    # replaying it (chained two_pass_ntile calls otherwise multiply the
+    # upstream plan 3x per call; the orders_rfm_segments plan reached 54
+    # scans of orders before this).
+    from trireme_spark.operators.hints import cache_once
+
+    counts = cache_once(
+        local.groupBy("__rng").agg(F.count(F.lit(1)).alias("__n"))
+    )
     offs = counts.withColumn(
         "__off", F.coalesce(F.sum("__n").over(w_prev), F.lit(0))
     ).select("__rng", "__off")

@@ -1318,6 +1318,14 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") >= 2)
         .select("x", "y")
     )
+    # One edge computation: e feeds both adj branches (each consumed
+    # twice by the wedge self-join), the anti-join, and via deg the
+    # dx/dz legs — uncached, every consumer replays the co-purchase
+    # self-join (the graph_adamic_adar finding; same skeleton). The
+    # cached frame is the graph-dimension edge list.
+    from trireme_spark.operators.hints import cache_once
+
+    e = cache_once(e)
     adj = e.select(F.col("x").alias("node"), F.col("y").alias("nbr")).unionByName(
         e.select(F.col("y").alias("node"), F.col("x").alias("nbr"))
     )
@@ -1984,6 +1992,15 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") >= 2)
         .select("x", "y")
     )
+    # One edge computation, not ~9: e (the li-self-join + agg) feeds both
+    # adj union branches, deg, adjd (used twice in the wedge self-join)
+    # and the final anti-join; every reuse otherwise replays the whole
+    # co-purchase join (18 lineitem scans in the uncached plan — the
+    # broadcast sides defeat exchange reuse). The cached frame is the
+    # edge list, dimension-of-the-graph sized per the scale design.
+    from trireme_spark.operators.hints import cache_once
+
+    e = cache_once(e)
     adj = e.select(
         F.col("x").alias("node"), F.col("y").alias("nbr")
     ).unionByName(e.select(F.col("y").alias("node"), F.col("x").alias("nbr")))
@@ -1991,7 +2008,8 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # d = 1 nodes cannot be a wedge middle (a wedge needs two adjacency
     # rows on the same node), so the filter is semantics-free and keeps
     # 1/ln(d) off the ln(1) = 0 pole (ANSI divide-by-zero at sf0.1).
-    adjd = (
+    # Cached too: the wedge self-join consumes adjd on BOTH sides.
+    adjd = cache_once(
         adj.join(deg, "node")
         .where(F.col("d") >= 2)
         .select(

@@ -586,7 +586,16 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
+    from trireme_spark.operators.hints import cache_once
     from trireme_spark.operators.winframes import two_pass_ntile
+
+    # The three chained two_pass_ntile calls each consume their input
+    # multiple times (row_number leg + broadcast count legs); uncached,
+    # the replay multiplies down the chain — the committed before-plan
+    # shows 54 scans of orders. Caching the per-customer rollup and each
+    # chained intermediate (all customer-dimension frames) linearizes
+    # the chain to one evaluation per stage.
+    rfm = cache_once(rfm)
 
     n_rng = spark.sparkContext.defaultParallelism
     # order-preserving pure-expression buckets per metric (ascending in
@@ -606,14 +615,14 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_score",
     )
     scored = two_pass_ntile(
-        scored,
+        cache_once(scored),
         [F.col("frequency").desc(), F.col("o_custkey")],
         _bkt(-F.col("frequency"), -100, 0),
         5,
         "f_score",
     )
     scored = two_pass_ntile(
-        scored,
+        cache_once(scored),
         [F.col("monetary").desc(), F.col("o_custkey")],
         _bkt(-F.col("monetary"), -1e7, 0),
         5,
