@@ -1150,6 +1150,13 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # One edge computation: both union branches of deg otherwise replay
+    # the pair self-join + distinct (4 lineitem scans in the before-plan
+    # — the graph_adamic_adar finding). The cached frame is the
+    # graph-dimension edge list.
+    from trireme_spark.operators.hints import cache_once
+
+    e = cache_once(e)
     deg = (
         e.select(F.col("pa").alias("node"))
         .unionAll(e.select(F.col("pb").alias("node")))

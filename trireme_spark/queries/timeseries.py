@@ -8863,6 +8863,13 @@ def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = piv
     for exprs in _dl_levels():
         dl = dl.selectExpr("*", *exprs)
+    # One recursion evaluation, not five: the lag-unpivot union below
+    # selects from dl once per lag, and uncached each selection replays
+    # the WHOLE chain down to the corpus rollup (15 events scans in the
+    # before-plan). The cached frame is one row per event type.
+    from trireme_spark.operators.hints import cache_once
+
+    dl = cache_once(dl)
     out = None
     for k in range(1, _PACF_MAXLAG + 1):
         part = dl.select(
@@ -9879,6 +9886,13 @@ def events_attribution_shapley(
         .groupBy("s")
         .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("v"))
     )
+    # One coalition-worth evaluation, not four: v (2^n = 16 rows) feeds
+    # v1, v0, grand and empty — uncached, each replays the whole corpus
+    # chain (first purchases + touch bitmasks; 12 events scans in the
+    # before-plan). The cached frame is the subset-lattice worth table.
+    from trireme_spark.operators.hints import cache_once
+
+    v = cache_once(v)
     w = spark.createDataFrame(
         _shap_weight_rows(), "channel string, bit int, smask int, wnum int"
     )
