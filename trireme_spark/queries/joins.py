@@ -1849,9 +1849,15 @@ def graph_two_hop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Uses the shared _copurchase_edges rule (one edge definition across
     pagerank / LPA / this key).
     """
+    from trireme_spark.operators.hints import cache_once
+
     e = _copurchase_edges(spark, sf_dir).cache()
     w1 = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
-    hop1 = (
+    # hop1 is consumed by BOTH sides of the path self-join; uncached, the
+    # top-3 window over the edge cache runs once per side (the build side
+    # rides a BroadcastExchange, which plan reuse cannot dedupe). Bounded:
+    # ≤3 rows per node by construction.
+    hop1 = cache_once(
         e.select("src", "dst", "w", F.row_number().over(w1).alias("rn"))
         .where(F.col("rn") <= 3)
         .drop("rn")

@@ -585,14 +585,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no broadcast hint on the duplicate-id set: it is O(#duplicates),
     # which approaches O(corpus) exactly on the duplicate-heavy inputs
     # semantic dedup targets — plain equi-joins; AQE broadcasts when the
-    # runtime size is genuinely small (r5 VERDICT "What's wrong" #2)
+    # runtime size is genuinely small (r5 VERDICT "What's wrong" #2).
+    # ONE left join, not an anti/semi union: dup_id is distinct, so the
+    # left join yields exactly one row per vector with kept = "no dup
+    # matched" — row-identical to the union, and the whole GEMM
+    # threshold subtree behind `dups` is evaluated once instead of once
+    # per union leg (the subtree-replay class of this round's fixes).
     return v.join(
-        dups, v.vec_id == dups.dup_id, "left_anti"
-    ).select("vec_id", F.lit(True).alias("kept")).unionByName(
-        v.join(
-            dups, v.vec_id == dups.dup_id, "left_semi"
-        ).select("vec_id", F.lit(False).alias("kept"))
-    )
+        dups, v.vec_id == dups.dup_id, "left"
+    ).select("vec_id", F.col("dup_id").isNull().alias("kept"))
 
 
 @register("dedup_simhash")  # rows-only: engine hash families differ

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from trireme_spark.functions.text import STOPWORDS, tokenize
-from trireme_spark.operators.hints import broadcast_if_small
+from trireme_spark.operators.hints import broadcast_if_small, cache_once
 from trireme_spark.operators.similarity import shingles
 from trireme_spark.parity import (
     DSCALE,
@@ -674,12 +674,16 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: bigram extraction is pure column algebra (two aligned
     slice-transforms + one explode — no shuffle, no Python); the LM
-    "training" is two map-side-combined aggregations (pair counts,
-    context counts); scoring re-joins them KEYED on the pair/context —
-    no broadcast hint, because the bigram table is vocab²-bounded and
-    AQE broadcasts it only when it actually fits. Per-pair ln values
-    decimal-quantize before the order-independent sum; ROUND(4) absorbs
-    cross-engine ln() ulp drift (the unigram parity contract)."""
+    "training" is ONE map-side-combined pair-count aggregation — the
+    context counts derive from it exactly (c(w1·) = Σ_w2 c(w1,w2), an
+    integer identity, so no second corpus pass), and the vocab²-bounded
+    pair table is cached so the probe join does not replay the
+    tokenize+explode subtree per consumer. Scoring re-joins KEYED on
+    the pair/context — no broadcast hint, because the bigram table is
+    vocab²-bounded and AQE broadcasts it only when it actually fits.
+    Per-pair ln values decimal-quantize before the order-independent
+    sum; ROUND(4) absorbs cross-engine ln() ulp drift (the unigram
+    parity contract)."""
     d = table(spark, sf_dir, "documents")
     toks = tokenize("text")
     base = d.select("doc_id", toks.alias("toks")).where(
@@ -701,8 +705,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "p.w1", "p.w2")
     all_toks = d.select(F.explode(toks).alias("term"))
     v = all_toks.agg(F.countDistinct("term").alias("vsz"))
-    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    cctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # One corpus pass trains the LM: cctx is the w2-marginal of cbg
+    # (c(w1·) = Σ_w2 c(w1,w2) — exact integer identity), so it costs a
+    # keyed agg over the vocab²-bounded pair table instead of a second
+    # tokenize+explode pass; cache_once on cbg keeps the probe join's
+    # build sides from replaying the corpus subtree once per consumer
+    # (the candidate_pairs_prefix / dedup_simhash lesson — a
+    # BroadcastExchange build is not deduped by plan reuse).
+    cbg = cache_once(bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    cctx = cbg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     lp = F.log(
         (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vsz"))
     ).cast("decimal(27,6)")

@@ -417,13 +417,21 @@ def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare 2·cum ≤ t / 5·cum ≤ 4·t in EXACT integer-scaled arithmetic,
     so no division-rounding drift can flip a class cross-engine; the
     reported cum_share divides as double only for display (round 6)."""
+    from trireme_spark.operators.hints import cache_once
+
     li = table(spark, sf_dir, "lineitem")
-    pr = li.groupBy("l_partkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "decimal(27,6)"
-            )
-        ).alias("rev")
+    # cache the part-dimension rollup: bounds / ranged / tot (and the
+    # offsets leg derived from ranged) each otherwise replay the full
+    # lineitem aggregation — five corpus scans for one part-grain frame
+    # (the bounded-derived-frame replay class of this round's fixes)
+    pr = cache_once(
+        li.groupBy("l_partkey").agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(27,6)"
+                )
+            ).alias("rev")
+        )
     )
     n_rng = spark.sparkContext.defaultParallelism
     bounds = pr.agg(F.min("rev").alias("lo"), F.max("rev").alias("hi"))

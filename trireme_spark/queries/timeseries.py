@@ -5936,9 +5936,19 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             w_u.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    s = sid.groupBy("user_id", "sid").agg(
-        F.min("ts").alias("session_start"),
-        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+    from trireme_spark.operators.hints import cache_once
+
+    # session-grain frame, consumed by both boundary legs AND the session
+    # count — uncached, each consumer replays the full event-grain
+    # sessionization window (5 events scans in the before plan; the
+    # bounded-derived-frame replay class of this round's fixes)
+    s = cache_once(
+        sid.groupBy("user_id", "sid").agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias(
+                "session_end"
+            ),
+        )
     )
     b = s.select(
         F.col("session_start").alias("t"), F.lit(1).alias("delta")
@@ -5948,11 +5958,16 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_sweep = Window.partitionBy(
         meta_part(F.unix_date(F.col("t").cast("date")))
     ).orderBy("t", "delta")
-    sweep = b.withColumn(
-        "concurrent",
-        F.sum("delta").over(
-            w_sweep.rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    # 2·|sessions| boundary rows with their running sum — the peak agg
+    # and the argmin probe both consume it; cached so the sweep window
+    # runs once (bounded: session-grain ×2)
+    sweep = cache_once(
+        b.withColumn(
+            "concurrent",
+            F.sum("delta").over(
+                w_sweep.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
     )
     n_sessions = s.agg(F.count(F.lit(1)).alias("ns"))
     peak = sweep.agg(F.max("concurrent").alias("pk"))
