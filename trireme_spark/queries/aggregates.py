@@ -3308,13 +3308,34 @@ def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-quantizes at 1e-6.
     """
     o = table(spark, sf_dir, "orders")
-    g = o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n_g"),
-        davg("o_totalprice").alias("mu_g"),
+    from trireme_spark.operators.hints import cache_once
+
+    # One corpus pass for BOTH aggregate levels: the group rollup keeps
+    # its exact decimal sum, and the global frame derives from it
+    # (decimal addition is exact and associative, so
+    # cast(Σ_g ds_g AS DOUBLE)/Σ_g n_g is bit-identical to davg over the
+    # whole table — no second corpus scan); cache_once on the 5-row
+    # group frame keeps the broadcast build + final join from replaying
+    # the rollup per consumer (4 orders scans in the before plan).
+    g = cache_once(
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(F.col("o_totalprice").cast(DSCALE)).alias("ds_g"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_g",
+            "ds_g",
+            (F.col("ds_g").cast("double") / F.col("n_g")).alias("mu_g"),
+        )
     )
-    tot = o.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        davg("o_totalprice").alias("mu"),
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        (
+            F.sum("ds_g").cast("double")
+            / F.sum("n_g").cast("double")
+        ).alias("mu"),
     )
     ratio = F.col("o_totalprice") / F.col("mu_g")
     term = F.round(ratio * F.log(ratio), 6)
@@ -3844,16 +3865,34 @@ def lineitem_fe_within_regression(
         (F.sum(F.col("y").cast(DSCALE)).cast("double") / F.count(F.lit(1)))
         .alias("yi"),
     )
-    mt = li.groupBy("t").agg(
-        (F.sum(F.col("x").cast(DSCALE)).cast("double") / F.count(F.lit(1)))
-        .alias("xt"),
-        (F.sum(F.col("y").cast(DSCALE)).cast("double") / F.count(F.lit(1)))
-        .alias("yt"),
+    from trireme_spark.operators.hints import cache_once
+
+    # the time-mean table keeps its exact decimal sums so the GLOBAL
+    # means derive from it (decimal addition is exact and associative:
+    # cast(Σ_t ds AS DOUBLE)/Σ_t n is bit-identical to the whole-table
+    # average) — one corpus pass less; cache_once because mt now has two
+    # consumers (the broadcast build and the mg derivation) and is
+    # calendar-bounded
+    mt = cache_once(
+        li.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_t"),
+            F.sum(F.col("x").cast(DSCALE)).alias("dsx_t"),
+            F.sum(F.col("y").cast(DSCALE)).alias("dsy_t"),
+        )
+        .select(
+            "t",
+            "n_t",
+            "dsx_t",
+            "dsy_t",
+            (F.col("dsx_t").cast("double") / F.col("n_t")).alias("xt"),
+            (F.col("dsy_t").cast("double") / F.col("n_t")).alias("yt"),
+        )
     )
-    mg = li.agg(
-        (F.sum(F.col("x").cast(DSCALE)).cast("double") / F.count(F.lit(1)))
+    mg = mt.agg(
+        (F.sum("dsx_t").cast("double") / F.sum("n_t").cast("double"))
         .alias("xg"),
-        (F.sum(F.col("y").cast(DSCALE)).cast("double") / F.count(F.lit(1)))
+        (F.sum("dsy_t").cast("double") / F.sum("n_t").cast("double"))
         .alias("yg"),
     )
     xt_ = F.col("x") - F.col("xi") - F.col("xt") + F.col("xg")

@@ -468,8 +468,16 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift."""
     d = table(spark, sf_dir, "documents")
     terms = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
-    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = terms.agg(F.count(F.lit(1)).alias("total"))
+    # One corpus pass trains the LM: the token total is the marginal of
+    # the vocab counts (total = Σ_term cnt — exact integer identity), so
+    # it costs a 1-row agg over the Heaps-law-bounded vocab instead of a
+    # second tokenize+explode pass; cache_once keeps the probe join's
+    # broadcast build from replaying the corpus subtree (the
+    # text_bigram_logprob treatment applied to its unigram sibling).
+    vocab = cache_once(
+        terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = vocab.agg(F.sum("cnt").alias("total"))
     lp = F.log(F.col("cnt").cast("double") / F.col("total")).cast(
         "decimal(27,6)"
     )

@@ -3746,14 +3746,21 @@ def orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the matrix is a ≤3×2-cell count. The per-period
     median at corpus-keyed cardinality swaps to approx_percentile
     (the documented tier)."""
+    from trireme_spark.operators.hints import cache_once
+
     o = table(spark, sf_dir, "orders")
     split = F.lit(_SEGMIG_SPLIT).cast("timestamp_ntz")
-    spend = o.groupBy(
-        "o_custkey",
-        F.when(F.col("o_orderdate") < split, "p0")
-        .otherwise("p1")
-        .alias("period"),
-    ).agg(dsum("o_totalprice").alias("s"))
+    # customer×2-period grain, consumed by the median leg AND the tier
+    # probe — uncached, each consumer replays the corpus rollup (4
+    # orders scans in the before plan)
+    spend = cache_once(
+        o.groupBy(
+            "o_custkey",
+            F.when(F.col("o_orderdate") < split, "p0")
+            .otherwise("p1")
+            .alias("period"),
+        ).agg(dsum("o_totalprice").alias("s"))
+    )
     med = spend.groupBy("period").agg(
         F.round(F.percentile(F.col("s"), F.lit(0.5)), 4).alias("m")
     )
@@ -6033,10 +6040,13 @@ def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame
     (last/linear/decay) are directly comparable per purchase.
 
     Scale design: same user-keyed touch join as the linear key; the
-    per-purchase normalizer is one keyed agg re-joined back. Parity:
-    Δt is exact integer seconds (µs-truncated timestamps both engines),
-    each weight ROUND(9) before the order-independent decimal
-    normalizer sum, credit floor-quantized at 1e-6."""
+    per-purchase normalizer is a purchase-keyed WINDOW aggregate over
+    the touch rows (the text_tfidf df-as-window trick) — an agg-plus-
+    rejoin form replayed the whole range join once per consumer (4
+    events scans in the before plan; one keyed exchange does both jobs
+    here). Parity: Δt is exact integer seconds (µs-truncated timestamps
+    both engines), each weight ROUND(9) before the order-independent
+    decimal normalizer sum, credit floor-quantized at 1e-6."""
     ev = table(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id",
@@ -6079,19 +6089,18 @@ def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame
         "click_id",
         F.round(F.exp(-dt_sec.cast("double") / 86400.0), 9).alias("w"),
     )
-    z = touch.groupBy("purchase_id").agg(
-        F.sum(F.col("w").cast("decimal(27,9)"))
-        .cast("double")
-        .alias("zsum"),
-        F.count(F.lit(1)).cast("long").alias("n_touches"),
+    w_p = Window.partitionBy("purchase_id")
+    zsum = (
+        F.sum(F.col("w").cast("decimal(27,9)")).over(w_p).cast("double")
     )
-    return touch.join(z, "purchase_id").select(
+    n_touches = F.count(F.lit(1)).over(w_p).cast("long")
+    return touch.select(
         "purchase_id",
         "user_id",
         "click_id",
-        "n_touches",
+        n_touches.alias("n_touches"),
         (
-            F.floor(F.col("value") * F.col("w") / F.col("zsum") * 1e6)
+            F.floor(F.col("value") * F.col("w") / zsum * 1e6)
             / 1e6
         ).alias("credit"),
     )
