@@ -2260,7 +2260,11 @@ def agg_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rk"),
         F.count(F.lit(1)).over(w_grp).alias("m"),
     )
-    n_total = g.agg(F.max("n").alias("n"))
+    # the global row count — NOT max(n) over g, which replays the whole
+    # two-pass global-rank window machinery for a scalar the count-
+    # pruned scan already knows (n is the single-meta-partition count,
+    # so max(n) == COUNT(*) exactly)
+    n_total = o.agg(F.count(F.lit(1)).alias("n"))
     t = r.crossJoin(F.broadcast(n_total)).select(
         "o_orderkey",
         "o_orderpriority",
@@ -2514,16 +2518,23 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("o_totalprice")
     g = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum(x.cast(DSCALE)).cast("double") / F.count(F.lit(1))).alias(
-            "m"
-        ),
+        F.sum(x.cast(DSCALE)).alias("ds"),
+    ).select(
+        "o_orderpriority",
+        "n",
+        "ds",
+        (F.col("ds").cast("double") / F.col("n")).alias("m"),
     )
     g = g.localCheckpoint(eager=True)
-    tot = o.agg(
-        (F.sum(x.cast(DSCALE)).cast("double") / F.count(F.lit(1))).alias(
+    # the grand mean derives from the checkpointed group frame (decimal
+    # sums are exact and associative: cast(Σ_g ds AS DOUBLE)/Σ_g n is
+    # bit-identical to the whole-table average) — the docstring's
+    # promised two corpus scans now hold in the physical plan too
+    tot = g.agg(
+        (F.sum("ds").cast("double") / F.sum("n").cast("double")).alias(
             "gm"
         ),
-        F.count(F.lit(1)).alias("nt"),
+        F.sum("n").alias("nt"),
     )
     dec4 = "decimal(27,4)"
     ssb_df = g.crossJoin(F.broadcast(tot)).agg(
@@ -4131,7 +4142,12 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    vals = (
+    from trireme_spark.operators.hints import cache_once
+
+    # value-grain frame (bounded by the distinct-value alphabet),
+    # consumed by the rank join AND the tie-correction leg — uncached,
+    # each consumer replays the corpus rollup plus its cumulative window
+    vals = cache_once(
         base.groupBy("v")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(

@@ -3470,6 +3470,8 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-equi-join on hour-index+k over the DIMENSION-sized series
     (×24 bounded lag explode); at per-key grain the same join keys on
     (key, hidx) and stays hash-partitioned."""
+    from trireme_spark.operators.hints import cache_once
+
     ev = table(spark, sf_dir, "events")
     h = ev.groupBy(
         (
@@ -3479,6 +3481,11 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hidx")
     ).agg(dsum("value").alias("v"))
+    # calendar-bounded hourly rollup, consumed by the moment frame and
+    # BOTH sides of the lag self-join — uncached, each consumer replays
+    # the corpus aggregation (3 events scans in the before plan; the
+    # ts_ar1_fit lesson applied to the ACF family)
+    h = cache_once(h)
     g = h.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         dsum("v").alias("sx"),
@@ -7653,6 +7660,8 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df 1..24), so the rejection flag cannot wobble on an engine's
     chi-square quantile implementation.
     """
+    from trireme_spark.operators.hints import cache_once
+
     ev = table(spark, sf_dir, "events")
     h = ev.groupBy(
         (
@@ -7662,6 +7671,11 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hidx")
     ).agg(dsum("value").alias("v"))
+    # calendar-bounded hourly rollup, consumed by the moment frame and
+    # BOTH sides of the lag self-join — uncached, each consumer replays
+    # the corpus aggregation (3 events scans in the before plan; the
+    # ts_ar1_fit lesson applied to the ACF family)
+    h = cache_once(h)
     g = h.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         dsum("v").alias("sx"),
