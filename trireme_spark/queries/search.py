@@ -612,7 +612,17 @@ def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     seed_tf = post.where(F.col("doc_id") == _MLT_SEED).select("term", "tf")
-    seed_posts = post.join(F.broadcast(seed_tf.select("term")), "term")
+    # the seed-term semi-join runs BELOW the (doc_id, term) aggregation
+    # (as the scale design above promises): the broadcast filter prunes
+    # the token stream before the distinct shuffle, so the exchange
+    # carries only seed-term tokens instead of the full postings grain;
+    # non-seed tf is never consumed, so the agg is a plain distinct
+    seed_posts = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(seed_tf.select("term")), "term")
+        .select("term", "doc_id")
+        .distinct()
+    )
     seed_df = seed_posts.groupBy("term").agg(
         F.count_distinct("doc_id").alias("df")
     )
