@@ -963,50 +963,43 @@ def etl_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seq 1: +5, seq 2: +10 — last-writer must win within one batch),
     and DELETEs the ≡2 keys (seq 1).
 
-    Scale design: base rows enter the union tagged seq 0, one
+    Scale design: base rows enter the changelog tagged seq 0, one
     key-shuffled window picks the max-seq row per key, the anti-delete
     filter drops tombstones LAST (a delete must beat the base row it
     tombstones, and a later re-insert would beat the delete — ordering
     handled by seq, not op precedence). One shuffle total; the
     changelog side would be the (small) delta in production, and the
     same plan serves both the one-shot merge and the foreachBatch
-    incremental form (t7). Prices round at the product's 2-dp decimal
-    grain in both engines."""
+    incremental form (t7). The synthetic changelog materializes in ONE
+    corpus pass (per-key entry array + explode) rather than a 5-leg
+    filtered self-union — same rows, 1 scan instead of 5 (the r14
+    optimization round; at 100 TB the union form re-reads the snapshot
+    five times to build rows one pass can emit). Prices round at the
+    product's 2-dp decimal grain in both engines."""
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").alias("price")
     )
     mod = F.col("o_orderkey") % 4
-    base = o.where(mod != 3).select(
-        "o_orderkey",
-        "price",
-        F.lit(0).cast("long").alias("seq"),
-        F.lit("B").alias("op"),
+
+    def _e(price, seq, op):
+        return F.struct(
+            price.cast("double").alias("price"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    p = F.col("price")
+    entries = (
+        F.when(mod == 1, F.array(_e(p, 0, "B"), _e(p + 5.0, 1, "U"),
+                                 _e(p + 10.0, 2, "U")))
+        .when(mod == 2, F.array(_e(p, 0, "B"),
+                                _e(F.lit(None), 1, "D")))
+        .when(mod == 3, F.array(_e(p, 1, "I")))
+        .otherwise(F.array(_e(p, 0, "B")))
     )
-    ins = o.where(mod == 3).select(
-        "o_orderkey",
-        "price",
-        F.lit(1).cast("long").alias("seq"),
-        F.lit("I").alias("op"),
-    )
-    upd1 = o.where(mod == 1).select(
-        "o_orderkey",
-        (F.col("price") + 5.0).alias("price"),
-        F.lit(1).cast("long").alias("seq"),
-        F.lit("U").alias("op"),
-    )
-    upd2 = o.where(mod == 1).select(
-        "o_orderkey",
-        (F.col("price") + 10.0).alias("price"),
-        F.lit(2).cast("long").alias("seq"),
-        F.lit("U").alias("op"),
-    )
-    dele = o.where(mod == 2).select(
-        "o_orderkey",
-        F.lit(None).cast("double").alias("price"),
-        F.lit(1).cast("long").alias("seq"),
-        F.lit("D").alias("op"),
-    )
-    log = base.unionAll(ins).unionAll(upd1).unionAll(upd2).unionAll(dele)
+    log = o.select(
+        "o_orderkey", F.explode(entries).alias("e")
+    ).select("o_orderkey", "e.price", "e.seq", "e.op")
     w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
     latest = (
         log.withColumn("rn", F.row_number().over(w))
@@ -2101,49 +2094,46 @@ def sink_solr_atomic_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     log exercises every interleaving: inc-after-set, set-overriding-
     incs, multiple sets, trailing negative incs.
 
-    Scale design: one keyed agg finds each doc's last set; one more
-    keyed agg folds the ops against it — two shuffles on the doc id,
-    linear in ops. This is exactly how a Spark job compacts a CDC/op
-    log before a bulk Solr reindex, replacing millions of atomic-update
-    round-trips with one upsert per doc."""
+    Scale design: ONE id-keyed shuffle total. The planted op log
+    materializes in one corpus pass (per-id entry array + explode — the
+    4-leg filtered self-union it replaces re-read orders four times,
+    and its two consumers re-read THAT, 8 scans in the formatted plan);
+    each doc's last set comes from an id-partitioned window whose
+    exchange the final id-keyed fold agg then REUSES (same key, same
+    width — guide §2.4), replacing the old agg + equi-join pair. This
+    is exactly how a Spark job compacts a CDC/op log before a bulk Solr
+    reindex, replacing millions of atomic-update round-trips with one
+    upsert per doc."""
     o = table(spark, sf_dir, "orders")
-    ops = (
-        o.select(
-            F.col("o_orderkey").alias("id"),
-            F.lit(1).alias("seq"),
-            F.lit("set").alias("op"),
-            F.col("o_totalprice").alias("val"),
+    k = F.col("o_orderkey")
+
+    def _op(seq, op, val):
+        return F.struct(
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            val.cast("double").alias("val"),
         )
-        .unionByName(
-            o.where(F.col("o_orderkey") % 2 == 0).select(
-                F.col("o_orderkey").alias("id"),
-                F.lit(2).alias("seq"),
-                F.lit("inc").alias("op"),
-                F.lit(10.0).alias("val"),
-            )
-        )
-        .unionByName(
-            o.where(F.col("o_orderkey") % 6 == 0).select(
-                F.col("o_orderkey").alias("id"),
-                F.lit(3).alias("seq"),
-                F.lit("set").alias("op"),
-                F.lit(500.0).alias("val"),
-            )
-        )
-        .unionByName(
-            o.where(F.col("o_orderkey") % 3 == 0).select(
-                F.col("o_orderkey").alias("id"),
-                F.lit(4).alias("seq"),
-                F.lit("inc").alias("op"),
-                F.lit(-3.5).alias("val"),
-            )
-        )
+
+    entries = F.concat(
+        F.array(_op(1, "set", F.col("o_totalprice"))),
+        F.when(k % 2 == 0, F.array(_op(2, "inc", F.lit(10.0))))
+        .otherwise(F.array().cast("array<struct<seq:int,op:string,val:double>>")),
+        F.when(k % 6 == 0, F.array(_op(3, "set", F.lit(500.0))))
+        .otherwise(F.array().cast("array<struct<seq:int,op:string,val:double>>")),
+        F.when(k % 3 == 0, F.array(_op(4, "inc", F.lit(-3.5))))
+        .otherwise(F.array().cast("array<struct<seq:int,op:string,val:double>>")),
     )
-    last_set = ops.where(F.col("op") == "set").groupBy("id").agg(
-        F.max("seq").alias("ls")
+    ops = o.select(k.alias("id"), F.explode(entries).alias("e")).select(
+        "id", "e.seq", "e.op", "e.val"
     )
+    # every id has the seq-1 set, so the old inner join on last_set kept
+    # every ops row — the id-partitioned window computes the identical
+    # per-id ls without the second aggregate or the join
+    ls = F.max(
+        F.when(F.col("op") == "set", F.col("seq"))
+    ).over(Window.partitionBy("id"))
     return (
-        ops.join(last_set, "id")
+        ops.withColumn("ls", ls)
         .groupBy("id")
         .agg(
             F.round(

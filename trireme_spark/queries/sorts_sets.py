@@ -698,13 +698,21 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: rev and i·rev stay DECIMAL through the sums; the final
     ratio is one double expression over exact operands, floor-
     quantized at 1e-6."""
+    from trireme_spark.operators.hints import cache_once
+
     li = table(spark, sf_dir, "lineitem")
-    pr = li.groupBy("l_partkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                DSCALE
-            )
-        ).alias("rev")
+    # part-dimension rollup (bounded by |part|) consumed by the bounds
+    # agg AND both two-pass-rank legs — uncached, each consumer replayed
+    # the full lineitem aggregation (4 lineitem scans in the formatted
+    # plan; 1 after). The lineitem_pareto_abc treatment (log #13).
+    pr = cache_once(
+        li.groupBy("l_partkey").agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    DSCALE
+                )
+            ).alias("rev")
+        )
     )
     n_ranges = spark.sparkContext.defaultParallelism
     bounds = pr.agg(
@@ -877,7 +885,17 @@ def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents", F.round(F.col("o_totalprice") * 100).cast("long")
     )
     n_ranges = spark.sparkContext.defaultParallelism
-    bounds = o.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    # 1-row bounds + the distinct-price collapse are each consumed by
+    # two downstream legs (local window / per-bucket carry); uncached,
+    # every consumer replayed the orders aggregation underneath (5
+    # orders scans in the formatted plan; 1 after). grp's grain is the
+    # distinct cents domain — bounded by the PRICE RANGE, not the
+    # corpus — so the cache obeys the bounded-frame doctrine.
+    from trireme_spark.operators.hints import cache_once
+
+    bounds = cache_once(
+        o.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    )
     # bucket 0 = highest prices so bucket order matches price DESC;
     # computed from the integer cents key so row- and group-side bucket
     # assignment can never diverge on float rounding
@@ -895,7 +913,7 @@ def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # collapse: one row per distinct price (keyed agg, distributed)
-    grp = (
+    grp = cache_once(
         o.groupBy("cents").agg(F.max("dt").alias("gmax"))
         .crossJoin(F.broadcast(bounds))
         .withColumn("rng", _rng(F.col("cents")))
@@ -1108,9 +1126,17 @@ def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     through ties (the total order is pinned by the custkey tie-break);
     the cumulative share runs over TEN metadata rows. Spend stays
     DECIMAL to the final division."""
+    from trireme_spark.operators.hints import cache_once
+
     o = table(spark, sf_dir, "orders")
-    cs = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast(DSCALE)).alias("spend")
+    # customer-dimension rollup (bounded by |customer|) consumed by the
+    # bounds agg AND both two-pass-rank legs — uncached, each consumer
+    # replayed the full orders aggregation (4 orders scans in the
+    # formatted plan; 1 after). Same treatment as the Gini key.
+    cs = cache_once(
+        o.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast(DSCALE)).alias("spend")
+        )
     )
     n_ranges = spark.sparkContext.defaultParallelism
     bounds = cs.agg(

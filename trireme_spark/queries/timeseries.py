@@ -5315,6 +5315,12 @@ def events_ab_bayesian(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("is_conv", F.lit(0))).alias("n_conv"),
         )
     )
+    from trireme_spark.operators.hints import cache_once
+
+    # Bounded model state (ONE row): par is consumed by l0, ratios and
+    # the final readout — uncached, each consumer replays the two
+    # events-corpus distinct collapses (8 events scans in the formatted
+    # plan; 2 after). The #6–#14 derived-frame doctrine applied here.
     par = cells.agg(
         (1 + F.max(F.when(F.col("grp") == 0, F.col("n_conv")))).alias("aa"),
         (
@@ -5337,6 +5343,7 @@ def events_ab_bayesian(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("grp") == 0, F.col("n_users"))).alias("nu_a"),
         F.max(F.when(F.col("grp") == 1, F.col("n_users"))).alias("nu_b"),
     )
+    par = cache_once(par)
     dec9 = "decimal(27,9)"
     l0 = (
         par.select(
@@ -5353,6 +5360,10 @@ def events_ab_bayesian(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lt0")
         )
     )
+    # l0 is also ONE row and feeds both the lterms union leg and the
+    # ratios broadcast — uncached it replays the aa-term distributed sum
+    # (and par's corpus collapses underneath) once per consumer.
+    l0 = cache_once(l0)
     ratios = par.select(
         "*",
         F.explode(F.sequence(F.lit(1), F.col("ab") - 1)).alias("i"),
