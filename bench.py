@@ -46,14 +46,15 @@ def main() -> None:
     from trireme_spark import registry
     from trireme_spark.session import get_spark
 
-    # Shuffle partitions scale with the core count (floor 32): 32 was tuned
-    # for local[8]; at local[32] the band-bucket/self-join exchanges need
-    # ≥ 2× cores to keep all slots busy (measured: minhash 2.23 s @ 32
-    # partitions vs 1.83 s @ 64 on local[32]).
+    # Shuffle width 32 (r15 A/B, guide §2.2): the r14 2×-cores rule (64 on
+    # local[32]) lost every cold driver-methodology trial (8.39-9.20 s @ 32
+    # vs 9.24-9.61 s @ 64) — at sf0.1 the extra reduce tasks are pure
+    # scheduling overhead. prep() re-applies the same width per query;
+    # TRIREME_SHUFFLE_WIDTH parameterises cluster-scale values.
     spark = get_spark(
         "trireme-bench",
         cpus=cpus,
-        shuffle_partitions=max(32, 2 * int(cpus)),
+        shuffle_partitions=int(os.environ.get("TRIREME_SHUFFLE_WIDTH") or 32),
     )
 
     keys = [k for k in HEADLINE if k in registry.QUERIES]
@@ -65,6 +66,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for key in keys:
         # Per-key cache isolation: earlier keys' cached subtrees (shingle
         # sets, GEMM blocks) otherwise accumulate in executor memory and
@@ -73,7 +75,14 @@ def main() -> None:
         # key's own warmup run refills its cache, so steady-state timing
         # still measures the warm-cache plan.
         spark.catalog.clearCache()
+        # The warmup run is also timed and reported as first_run_sec
+        # (r15, reporting honesty): it includes codegen, Arrow init and
+        # any intra-query cache FILL, so cache_once keys cannot hide the
+        # fill cost behind warmup. Comparisons stay on the steady-state
+        # best-of-3 field ("queries"), unchanged methodology.
+        t0 = time.perf_counter()
         run(key)  # per-key warmup: codegen, Arrow, cache fill
+        first_run[key] = round(time.perf_counter() - t0, 4)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -89,6 +98,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
                 "queries": times,
+                "first_run_sec": first_run,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -61,17 +61,18 @@ def prep(spark: SparkSession) -> SparkSession:
     # events.parquet carries TIMESTAMP(NANOS); Spark 4 errors without this
     # (see sources/io.py:table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Scale-adaptive shuffle width (opt r14, guide §2.2): 2× the session's
-    # core count with a floor of 32 — on the driver's local[8] session this
-    # is the same 32 as before; on local[32] it is 64 (measured: the
-    # band-bucket/self-join exchanges need ≥ 2× cores to keep all slots
-    # busy — minhash 1.83 s @ 64 vs 2.23 s @ 32 on local[32]). The former
-    # hard-coded 32 silently overrode bench.py's explicit 64 on every
-    # query invocation. On a real cluster the same 2×-cores rule applies
-    # and AQE coalesces down; fixture-scale correctness runs don't need
-    # the driver default 200 either way.
+    # Shuffle width (opt r15, guide §2.2: size the width from the data, not
+    # the core count). The r14 blanket 2×-cores rule (64 on local[32]) was
+    # A/B'd cold at local[32] under the driver's methodology and LOST on
+    # every trial (totals 8.69/8.39/9.20 s @ 32 vs 9.61/9.27/9.24 s @ 64 —
+    # at sf0.1 the extra reduce tasks are pure scheduling overhead; AQE
+    # coalesces either way). Default 32 — the value every committed bench
+    # number was measured at. On a real cluster, set TRIREME_SHUFFLE_WIDTH
+    # to ~2-3× total cores (or better, total shuffle bytes / 256 MB) and
+    # let AQE coalesce down; the env override keeps the setting
+    # parameterised without re-tuning local behavior.
     try:
-        width = max(32, 2 * spark.sparkContext.defaultParallelism)
+        width = int(os.environ.get("TRIREME_SHUFFLE_WIDTH") or 32)
         spark.conf.set("spark.sql.shuffle.partitions", str(width))
     except Exception:
         pass  # immutable in some environments; harmless
