@@ -28,11 +28,128 @@ from pyspark.sql import functions as F
 
 DSCALE = "decimal(27,6)"
 
+# split-long dsum constants (opt r15): the per-row rounded value's
+# unscaled long u = round_half_up(x·1e6) splits at 2^20 into
+# hi = u >> 20 and lo = u - hi·2^20 ∈ [0, 2^20); Σu = 2^20·Σhi + Σlo
+# reconstructs EXACTLY from two compact long sums. Bounds (loud-guarded
+# per group, never silent): per-row |x| < 1e12 (decimal(18,6) cast
+# range), rows per group < 2^43 ≈ 8.8e12 (Σlo long range), and
+# n·(|u|max/2^20 + 1) < 9e18 (Σhi long range — conservative n·max
+# bound; Σ|x| ≲ 9.2e18, ~500× beyond a 100 TB revenue sum).
+_SPLIT = 1 << 20
+_ROW_CAP = 9.99e11  # strict: rounding at 1e12 - 0.5e-6 would overflow (18,6)
+_N_CAP = float(1 << 43)
+_HI_CAP = 9.0e18
 
-def dsum(expr: Column | str) -> Column:
-    """Order-independent, cross-engine-exact SUM of a double expression."""
+
+_JVM_HANDLES: dict[int, tuple] = {}
+
+
+def _unscaled(c: Column) -> Column:
+    """UnscaledValue(c) — the decimal's unscaled long, zero-copy for
+    compact decimals (precision ≤ 18). Catalyst-internal expression,
+    stable across Spark 3.x/4.x, reached through the classic-mode
+    ExpressionUtils bridge; callers catch and fall back to the plain
+    decimal path if the bridge is unavailable (e.g. Spark Connect).
+    The reflective py4j class lookups cost ~ms each, so the handles are
+    cached per live SparkSession (plan-build time is part of every
+    registered query's bench cost)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.classic.column import Column as _CCol
+
+    spark = SparkSession.getActiveSession()
+    handles = _JVM_HANDLES.get(id(spark))
+    if handles is None:
+        jvm = spark._jvm
+        handles = (
+            jvm.org.apache.spark.sql.classic.ExpressionUtils,
+            jvm.org.apache.spark.sql.catalyst.expressions.UnscaledValue,
+        )
+        _JVM_HANDLES[id(spark)] = handles
+    eu, uv = handles
+    return _CCol(eu.column(uv(eu.expression(c._jc))))
+
+
+def dsum_wide(expr: Column | str) -> Column:
+    """Order-independent, cross-engine-exact SUM of a double expression —
+    the plain DECIMAL(27,6) path. Bit-identical to :func:`dsum`; use it
+    where per-row |x| can reach 1e12 (coarse pre-aggregated inputs), at
+    ~2× the per-row cost: the (37,6) sum buffer exceeds compact-long
+    precision, so every update pays BigDecimal serde in the agg buffer."""
     c = F.col(expr) if isinstance(expr, str) else expr
     return F.sum(c.cast(DSCALE)).cast("double")
+
+
+_DSUM_MEMO: dict[str, Column] = {}
+_CONST_MEMO: dict[str, Column] = {}
+
+
+def _const(val: str, dtype: str) -> Column:
+    key = f"{val}:{dtype}"
+    c = _CONST_MEMO.get(key)
+    if c is None:
+        c = F.lit(int(val)).cast(dtype)
+        _CONST_MEMO[key] = c
+    return c
+
+
+def dsum(expr: Column | str) -> Column:
+    """Order-independent, cross-engine-exact SUM of a double expression.
+
+    Split-long fast path (opt r15, guide §1.2 per-task work): the per-row
+    value still rounds through CAST(x AS DECIMAL(18,6)) — identical
+    half-up rounding to the (27,6) oracle mirror for every |x| < 1e12 —
+    but the SUM runs as two compact LONG sums over the split unscaled
+    value instead of one DECIMAL(37,6) buffer whose precision (> 18)
+    forces BigDecimal serde per row. Exact reconstruction + final decimal
+    divide reproduce CAST(SUM(...) AS DOUBLE) bit-identically (measured
+    BITEXACT on the Q1 shape; 1.17 s → 0.65 s for 5 sums over 600 k rows).
+    Out-of-bounds groups RAISE (never a silent wrap/null): callers with
+    per-row magnitudes ≥ 1e12 use :func:`dsum_wide`.
+
+    The built Column memoizes on the input expression's repr: the ~36
+    Column ops cost ~50 ms of py4j roundtrips per construction, paid by
+    EVERY registered-query invocation (plans rebuild per run). Safe
+    because every call site passes anchor-free expressions (strings /
+    F.col trees — audited r15): the memoized tree is unresolved and
+    resolves per-plan exactly like a fresh build.
+    """
+    c = F.col(expr) if isinstance(expr, str) else expr
+    key = str(c)
+    memo = _DSUM_MEMO.get(key)
+    if memo is not None:
+        return memo
+    try:
+        u = _unscaled(c.cast("decimal(18,6)"))
+    except Exception:
+        return dsum_wide(c)  # no classic JVM bridge: plain decimal path
+    hi = F.shiftright(u, 20)
+    lo = u - hi * _const(str(_SPLIT), "long")
+    tot = (
+        F.sum(hi).cast("decimal(32,0)")
+        * _const(str(_SPLIT), "decimal(7,0)")
+        + F.sum(lo).cast("decimal(20,0)")
+    )
+    val = (
+        tot.cast("decimal(38,6)") / _const("1000000", "decimal(7,0)")
+    ).cast("double")
+    n = F.count(c).cast("double")
+    mx = F.max(F.abs(c))
+    ok = (n == 0.0) | (
+        (mx < _ROW_CAP)
+        & (n < _N_CAP)
+        & (n * (mx * 1e6 / _SPLIT + 1.0) < _HI_CAP)
+    )
+    out = F.when(ok, val).otherwise(
+        F.raise_error(
+            F.lit(
+                "dsum split-long bounds exceeded (per-row |x| >= 1e12 or "
+                "group mass near 2^63 micro-units) — use dsum_wide here"
+            )
+        )
+    )
+    _DSUM_MEMO[key] = out
+    return out
 
 
 def davg(expr: Column | str) -> Column:
