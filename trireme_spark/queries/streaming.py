@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +40,34 @@ from trireme_spark.streaming.builders import (
     stateful_user_counts,
     tumbling_counts,
 )
+
+@contextmanager
+def _fixture_stream_width(spark: SparkSession, width: int = 8):
+    """Stage a state-store-sized shuffle width for a REAL micro-batch
+    replay, restore after (t13's conf-staging discipline, applied r15 to
+    every real-stream key; guide §5). State-store commits cost
+    O(partitions × micro-batches) in files and store instances; the
+    session-wide 32 partitions are pure overhead at fixture key
+    cardinality (150 users / 10 buckets / hour×type windows). At cluster
+    scale this knob goes UP with key cardinality — it is a replay-
+    overhead trim, never a correctness input (stateful results are
+    partition-count invariant; the layout-invariance suite pins that).
+    """
+    try:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        staged = True
+    except Exception:
+        # immutable in some environments (prep()'s tolerated path, and
+        # the layout-invariance suite simulates it): run at whatever
+        # count the session carries.
+        staged = False
+    try:
+        yield
+    finally:
+        if staged:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
 
 _T1_ORACLE = f"""
 SELECT date_trunc('hour', ts) AS window_start,
@@ -141,7 +170,8 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming query still hash-matches a plain GROUP BY oracle."""
     staged = stage_events_files(spark, sf_dir, n_files=4, tag="shared")
     ev = events_stream_staged(spark, staged, max_files_per_trigger=1)
-    updates = run_to_memory(stateful_user_counts(ev), mode="update")
+    with _fixture_stream_width(spark):
+        updates = run_to_memory(stateful_user_counts(ev), mode="update")
     return updates.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
@@ -173,7 +203,8 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_events_files(spark, sf_dir, n_files=4, tag="shared")
     ev = events_stream_staged(spark, staged, max_files_per_trigger=1)
     agg = tumbling_counts(ev, watermark="10 minutes")
-    return run_to_memory(agg, mode="append")
+    with _fixture_stream_width(spark):
+        return run_to_memory(agg, mode="append")
 
 
 _T7_ORACLE = """
@@ -308,9 +339,10 @@ if tws_available():
         hash-matches the plain GROUP BY oracle."""
         staged = stage_events_files(spark, sf_dir, n_files=4, tag="tws")
         ev = events_stream_staged(spark, staged, max_files_per_trigger=1)
-        updates = run_to_memory(
-            transform_with_state_user_counts(ev), mode="update"
-        )
+        with _fixture_stream_width(spark):
+            updates = run_to_memory(
+                transform_with_state_user_counts(ev), mode="update"
+            )
         return updates.groupBy("user_id").agg(
             F.max("n_events").alias("n_events")
         )
@@ -342,7 +374,8 @@ def stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_events_files(spark, sf_dir, n_files=4, tag="shared")
     ev = events_stream_staged(spark, staged, max_files_per_trigger=1)
     agg = tumbling_counts(ev)  # no watermark: complete mode retains all
-    return run_to_memory(agg, mode="complete")
+    with _fixture_stream_width(spark):
+        return run_to_memory(agg, mode="complete")
 
 
 _T12_ORACLE = """
@@ -378,7 +411,8 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("value").alias("value_sum"),
     )
-    return run_to_memory(agg, mode="complete")
+    with _fixture_stream_width(spark):
+        return run_to_memory(agg, mode="complete")
 
 
 # ---------------------------------------------------------------------------
@@ -432,29 +466,12 @@ def stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = stage_events_files_with_sentinels(spark, sf_dir)
     stream = events_stream_staged(spark, staged)
-    # State-store commits cost O(partitions × micro-batches) in files;
-    # the session-wide 32 shuffle partitions × 6 triggers is pure
-    # overhead at fixture cardinality (150 users). Stage a partition
-    # count sized to the KEY count and restore after — the same
-    # conf-staging discipline as join_runtime_bloom_filter; at cluster
-    # scale this knob goes UP with key cardinality, it is not a fixed 8.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        staged_conf = True
-    except Exception:
-        # immutable in some environments (prep()'s tolerated path, and
-        # the layout-invariance suite simulates it): the knob is a
-        # state-store-commit overhead trim, never a correctness input —
-        # run at whatever count the session carries.
-        staged_conf = False
-    try:
+    # Conf-staging discipline shared with every real-stream key (r15
+    # extracted it into _fixture_stream_width; same 8 as before).
+    with _fixture_stream_width(spark):
         out = run_to_memory(
             stateful_sessions_event_timeout(stream), mode="append"
         )
-    finally:
-        if staged_conf:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.where(F.col("user_id") >= 0)
 
 
