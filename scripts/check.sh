@@ -5,11 +5,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== pytest (sf0.001 smoke) =="
-python -m pytest tests/ -q
+echo "== pytest (sf0.001, FULL battery incl. -m slow legs) =="
+python -m pytest tests/ -q -m ""
 
 echo "== pytest oracle pass @ sf0.01 =="
-TRIREME_TEST_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle.py -q
+TRIREME_TEST_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle.py -q -m ""
 
 echo "== driver simulation =="
 python scripts/driver_sim.py 2>&1 | grep -vE "WARN|INFO" | tail -3

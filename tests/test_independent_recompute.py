@@ -14,12 +14,17 @@ keys graded this round.
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 import pandas as pd
 
 from tests.conftest import SF_SMOKE
 from trireme_spark import registry
 
+
+
+pytestmark = pytest.mark.slow  # opt-in battery (r15): run with -m "" or -m slow
 
 def test_decompose_additive_matches_pandas_recompute(spark):
     """value = trend (centered 25-hour MA, partial at the edges) +

@@ -14,6 +14,9 @@ from tests.conftest import SF_SMOKE, assert_matches_oracle
 from trireme_spark import registry
 
 
+
+pytestmark = pytest.mark.slow  # opt-in battery (r15): run with -m "" or -m slow
+
 def _keys():
     return sorted(registry.QUERIES)
 

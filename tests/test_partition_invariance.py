@@ -36,6 +36,9 @@ from trireme_spark import registry
 
 # The layout-sensitivity risk surface, keys per claimed-deterministic
 # mechanism (all cheap at sf0.001):
+
+pytestmark = pytest.mark.slow  # opt-in battery (r15): run with -m "" or -m slow
+
 KEYS = [
     # hash-based sampling/splitting: per-row predicates, no RNG
     "sample_stratified",

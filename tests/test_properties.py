@@ -6,6 +6,8 @@ deadline is disabled because a Spark job is never sub-200ms.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import HealthCheck, given, settings
@@ -14,6 +16,9 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
+
+
+pytestmark = pytest.mark.slow  # opt-in battery (r15): run with -m "" or -m slow
 
 SETTINGS = settings(
     max_examples=12,

@@ -26,6 +26,9 @@ import pytest
 
 from trireme_spark import registry
 
+
+pytestmark = pytest.mark.slow  # opt-in battery (r15): run with -m "" or -m slow
+
 SF_SCALE = os.environ.get("TRIREME_TEST_SF_SCALE", "/root/testdata/sf0.1")
 
 # (key, per-key budget seconds). Cold-measured r7 on local[8] under

@@ -23,6 +23,9 @@ from trireme_spark.queries.geo import (
 from trireme_spark.queries.timeseries import _PACF_MAXLAG, _dl_levels
 
 
+
+pytestmark = pytest.mark.slow  # opt-in battery (r15): run with -m "" or -m slow
+
 def _textbook_geohash(lat: float, lon: float, precision: int = 4) -> str:
     lat_lo, lat_hi = -90.0, 90.0
     lon_lo, lon_hi = -180.0, 180.0

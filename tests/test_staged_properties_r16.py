@@ -23,6 +23,9 @@ from hypothesis import strategies as st
 # ---------------------------------------------------------------------------
 
 
+
+pytestmark = pytest.mark.slow  # opt-in battery (r15): run with -m "" or -m slow
+
 def _jt_ladder(groups: list[list[int]]) -> float:
     values = sorted({v for g in groups for v in g})
     cnt = [Counter(g) for g in groups]
