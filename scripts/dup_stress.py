@@ -149,6 +149,44 @@ def main() -> None:
     )
     build_stage(spark)
 
+    # Cache-boundedness gate (r15, verdict item 9): every cache_once /
+    # .cache() frame claims to be bounded (signatures, edge lists,
+    # dimension rollups — never corpus-grain). At ×10 duplication this
+    # asserts it: no cached block may spill to disk, and no single
+    # cached frame may exceed CACHE_FRAME_CAP in memory. A frame that
+    # trips this is corpus-grain in disguise — the
+    # lineitem_association_rules rejection class.
+    CACHE_FRAME_CAP = 1 << 30  # 1 GiB
+
+    seen_bad: set[int] = set()
+
+    def check_cached_frames(key: str) -> list[str]:
+        # getRDDStorageInfo also lists localCheckpoint blocks, which
+        # outlive clearCache() until the ContextCleaner collects them —
+        # report each offending RDD id once, attributed to the first
+        # key that observes it.
+        problems = []
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo():
+            rid = info.id()
+            if rid in seen_bad:
+                continue
+            mem, disk = info.memSize(), info.diskSize()
+            msg = None
+            if disk > 0:
+                msg = (
+                    f"{key}: cached frame '{info.name()}' spilled "
+                    f"{disk / 1e6:.1f} MB to disk"
+                )
+            elif mem > CACHE_FRAME_CAP:
+                msg = (
+                    f"{key}: cached frame '{info.name()}' holds "
+                    f"{mem / 1e6:.1f} MB in memory (cap 1 GiB)"
+                )
+            if msg:
+                seen_bad.add(rid)
+                problems.append(msg)
+        return problems
+
     failures = []
     for key in keys:
         base, kwargs = SPECIAL_KEYS.get(key, (key, {}))
@@ -159,10 +197,24 @@ def main() -> None:
                 "overwrite"
             ).save()
             dt = time.perf_counter() - t0
+            cache_problems = check_cached_frames(key)
+            for p in cache_problems:
+                print(f"CACHE-BOUND FAIL {p}", flush=True)
+            if cache_problems:
+                failures.append(key)
             print(f"{key}: {dt:.1f}s", flush=True)
         except Exception as exc:  # noqa: BLE001 — report and continue
             failures.append(key)
             print(f"{key}: FAIL {type(exc).__name__}: {exc}", flush=True)
+        finally:
+            # Per-key cache isolation (r15): earlier keys' frames no
+            # longer accumulate, so each key's wall-clock now INCLUDES
+            # its own cache fill — times are not comparable to r14's
+            # accumulate-mode numbers (which rode shared fills).
+            spark.catalog.clearCache()
+            import gc
+
+            gc.collect()  # release localCheckpoint refs to the cleaner
     if failures:
         print(f"FAILURES: {failures}")
         sys.exit(1)
