@@ -155,8 +155,15 @@ AUDITED = {
         "lineitem_association_rules": 1,
         # r14-staged audit: HITS attaches the 1-row L1 normalizer per
         # half-step (two sites inside the unrolled loop; both frames
-        # are single-row aggregates).
-        "graph_bipartite_hits": 2,
+        # are single-row aggregates). r15 adds the two score-side
+        # broadcasts inside the loop — both guarded by the node-set
+        # size gate computed once per query (plan_size_bytes <=
+        # BROADCAST_GATE_BYTES), shuffle join over the gate.
+        "graph_bipartite_hits": 4,
+        # r15 audit: LPA's label table and pagerank's rank vector are
+        # node-set-sized and ride the same once-per-query size gate.
+        "graph_label_propagation": 1,
+        "graph_pagerank_copurchase": 1,
         # r15 staging audit: clustering coefficient attaches the 1-row
         # edge-count fold to the 1-row node/triangle fold
         "graph_clustering_coefficient": 1,

@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from trireme_spark.operators.asof import asof_join
-from trireme_spark.operators.hints import broadcast_if_small
+from trireme_spark.operators.hints import (
+    BROADCAST_GATE_BYTES,
+    broadcast_if_small,
+    plan_size_bytes,
+)
 from trireme_spark.parity import dsum, fquant, meta_part, oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
@@ -774,7 +778,21 @@ def graph_pagerank_copurchase(
     r = e2.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1.0 / nn).alias("r")
     )
+    # The rank vector is node-set-sized. Size-gate ONCE from the rank
+    # frame itself (e2 is cached AND materialized by the count above, so
+    # the estimate derives from real in-memory stats): per-iteration
+    # gating on the unrolled chain is useless because Catalyst's
+    # estimate multiplies upward through each join/agg layer (measured
+    # 2e8 -> 1.7e16 bytes by iteration 2 on the HITS twin). Under the
+    # gate every iteration's edge⋈rank join broadcasts the rank vector
+    # and STREAMS the cached transition matrix — no per-iteration
+    # shuffle+sort of the edge frame (guide §3.1). Over the gate
+    # (cluster scale: the node set grows with the corpus) the plain
+    # shuffle join ships unchanged.
+    bcast_ranks = plan_size_bytes(r) <= BROADCAST_GATE_BYTES
     for _ in range(iters):
+        if bcast_ranks:
+            r = F.broadcast(r)
         r = (
             e2.join(r, e2.src == r.node)
             .select(
@@ -799,6 +817,12 @@ def graph_pagerank_copurchase(
                     / F.lit(1e12)
                 ).alias("r"),
             )
+            # node-set-sized materialization barrier per iteration (the
+            # CC-machinery doctrine): truncates the unrolled lineage so
+            # planning stays shallow and each iteration's broadcast
+            # reads a materialized rank vector instead of replaying the
+            # previous iterations' chain (r15).
+            .localCheckpoint()
         )
     return r.select("node", F.col("r").alias("rank"))
 
@@ -1708,23 +1732,52 @@ def graph_label_propagation(
     lab = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
-    top1 = Window.partitionBy("node").orderBy(
-        F.col("wsum").desc(), F.col("lab").asc()
-    )
+    bcast_labs = plan_size_bytes(lab) <= BROADCAST_GATE_BYTES
     for _ in range(iters):
         # alias()-based join (r10 ADVICE): from iteration 2 on, lab is
         # derived from e, and the lineage-attribute form
         # (e.join(lab, e.src == lab.node)) leans on Spark's ambiguous-
         # self-join disambiguation — explicit aliases make the
         # resolution robust under stricter analyzer settings.
+        #
+        # r15 (guide §3.1/§2.4): the label table is node-set-sized —
+        # size-gated broadcast (decided once from the INITIAL label
+        # frame, whose estimate is file-scan-derived and linear in the
+        # corpus; the unrolled chains' estimates inflate multiplicatively
+        # and would always decline) streams the cached edge frame
+        # through a BroadcastHashJoin instead of shuffling+sorting it
+        # every iteration; and the top-1-per-node ROW_NUMBER window
+        # (full sort of the (node,lab) vote table) becomes a
+        # MIN(STRUCT(-wsum, lab)) hash aggregate — identical selection
+        # (highest wsum, ties to the smallest lab; struct comparison is
+        # lexicographic and every field is an exact integer), no sort
+        # anywhere.
         lab = (
             e.alias("e")
-            .join(lab.alias("l"), F.col("e.src") == F.col("l.node"))
+            .join(
+                F.broadcast(lab.alias("l")) if bcast_labs
+                else lab.alias("l"),
+                F.col("e.src") == F.col("l.node"),
+            )
             .groupBy(F.col("e.dst").alias("node"), F.col("l.lab").alias("lab"))
             .agg(F.sum("e.w").alias("wsum"))
-            .withColumn("rn", F.row_number().over(top1))
-            .where(F.col("rn") == 1)
-            .select("node", "lab")
+            .groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.negative(F.col("wsum")).alias("nw"),
+                        F.col("lab").alias("lab"),
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.lab").alias("lab"))
+            # node-set-sized materialization barrier per iteration (the
+            # CC-machinery doctrine): truncates the unrolled lineage so
+            # the next iteration's broadcast does not re-execute this
+            # one's pipeline and the final action's planning stays
+            # shallow (r15; measured 2.9 s driver-side planning gap +
+            # broadcast replays without it).
+            .localCheckpoint()
         )
     return lab.select(
         "node",
@@ -2165,48 +2218,87 @@ def graph_bipartite_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()  # reused 2x per iteration; clearCache reclaims
     )
-    h = e.select("c").distinct().select(
-        "c", F.lit(10**12).cast("decimal(38,0)").alias("s")
+    # Score tables are node-set-sized: size-gate ONCE from the node set
+    # (file-scan-derived estimate, linear in the corpus — the unrolled
+    # chains' estimates inflate multiplicatively through each join/agg
+    # and would always decline), then broadcast every half-step's score
+    # side so the cached edge frame STREAMS through a BroadcastHashJoin
+    # instead of shuffling+sorting twice per iteration (guide §3.1).
+    # Over the gate the shuffle join ships.
+    bcast_scores = (
+        plan_size_bytes(e.select("c").distinct()) <= BROADCAST_GATE_BYTES
     )
+    # Exact-arithmetic layout (r15, the dsum split-long doctrine): a
+    # NORMALIZED score is floor(s/tot*1e12) ∈ [0, 1e12] and the scores
+    # on one side sum to ≤ 1e12, so any per-group sum of normalized
+    # scores over the distinct-pair edges is ≤ 1e12 — the edge-scale
+    # aggregations run as compact LONG sums at ANY corpus size, never
+    # a BigDecimal buffer. Only the 1-row L1 normalizer total (which
+    # sums a whole side and can exceed a long once node counts reach
+    # cluster scale) stays a decimal sum — over the node-set-sized raw
+    # table, not the edge table. floor() already yields LONG.
+    h = None  # normalized hub scores (long), None in iteration 1
     a = None
     for i in range(1, _HITS_ITERS + 1):
-        # each raw score table is cached per iteration (the pagerank
-        # cached-per-round precedent): WITHOUT it every normalizer leg
-        # replays the entire prefix chain and the plan re-executes
-        # ~2^iterations times (measured 46 s -> ~3 s at sf0.01)
-        a_raw = (
-            e.join(h, "c")
-            .groupBy("p")
-            .agg(F.sum("s").alias("s"))
-            .cache()
+        # each raw score table is a materialization barrier per
+        # half-step (localCheckpoint — the CC doctrine): WITHOUT it
+        # every normalizer leg replays the entire prefix chain and the
+        # plan re-executes ~2^iterations times (measured 46 s -> ~3 s
+        # at sf0.01); vs .cache() it also truncates the logical plan,
+        # removing a measured ~5 s driver-side planning stall.
+        if h is None:
+            # h0 is the CONSTANT 1e12 over exactly the distinct
+            # customers of e, so e ⋈ h0 is the identity on e and
+            # SUM(s) ≡ 1e12 * COUNT(*): no join, no per-row sum. The
+            # one decimal multiply per group cannot overflow and keeps
+            # the unbounded-degree first half-step exact at any scale.
+            a_raw = (
+                e.groupBy("p")
+                .agg(
+                    (
+                        F.count(F.lit(1)).cast("decimal(38,0)")
+                        * F.lit(10**12).cast("decimal(38,0)")
+                    ).alias("s")
+                )
+                .localCheckpoint()
+            )
+        else:
+            a_raw = (
+                e.join(F.broadcast(h) if bcast_scores else h, "c")
+                .groupBy("p")
+                .agg(F.sum("s").alias("s"))
+                .localCheckpoint()
+            )
+        tot_a = a_raw.agg(
+            F.sum(F.col("s").cast("decimal(38,0)")).cast("double").alias("tot")
         )
-        tot_a = a_raw.agg(F.sum("s").cast("double").alias("tot"))
         a = (
             a_raw.crossJoin(F.broadcast(tot_a))
             .select(
                 "p",
                 F.floor(F.col("s").cast("double") / F.col("tot") * 1e12)
-                .cast("decimal(38,0)")
                 .alias("s"),
             )
         )
         if i < _HITS_ITERS:
             h_raw = (
-                e.join(a, "p")
+                e.join(F.broadcast(a) if bcast_scores else a, "p")
                 .groupBy("c")
                 .agg(F.sum("s").alias("s"))
-                .cache()
+                .localCheckpoint()
             )
-            tot_h = h_raw.agg(F.sum("s").cast("double").alias("tot"))
+            tot_h = h_raw.agg(
+                F.sum(F.col("s").cast("decimal(38,0)"))
+                .cast("double")
+                .alias("tot")
+            )
             h = (
                 h_raw.crossJoin(F.broadcast(tot_h))
                 .select(
                     "c",
                     F.floor(
                         F.col("s").cast("double") / F.col("tot") * 1e12
-                    )
-                    .cast("decimal(38,0)")
-                    .alias("s"),
+                    ).alias("s"),
                 )
             )
     deg = e.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("deg"))
