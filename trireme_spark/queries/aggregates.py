@@ -17,6 +17,7 @@ from trireme_spark.parity import (
     DSCALE,
     davg,
     dsum,
+    dsum_wide,
     fquant,
     meta_part,
     oracle_avg,
@@ -1702,7 +1703,10 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sh, 6).alias("sh"),
         F.round(F.col("nh") * sh, 6).alias("wh"),
     )
-    z = w.agg(dsum("wh").alias("zsum"))
+    # dsum_wide: wh = N_h*S_h grows with the corpus (past the
+    # split-long per-row cap at cluster scale); |strata|-row fold,
+    # wide is free (r15 audit).
+    z = w.agg(dsum_wide("wh").alias("zsum"))
     return w.crossJoin(F.broadcast(z)).select(
         F.col("o_orderpriority").alias("stratum"),
         F.col("nh").alias("stratum_size"),

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from trireme_spark.functions.text import tokenize
 from trireme_spark.operators.skew import salted_join, two_phase_agg
-from trireme_spark.parity import dsum, meta_part, oracle_sum
+from trireme_spark.parity import dsum, dsum_wide, meta_part, oracle_sum
 from trireme_spark.registry import register
 from trireme_spark.sources.io import table
 
@@ -529,7 +529,10 @@ def agg_two_phase_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's single decimal SUM exactly.
     return partial.groupBy("event_type").agg(
         F.sum("_n").alias("n"),
-        dsum("_s").alias("sum_value"),
+        # dsum_wide: _s is a per-salt partial TOTAL (corpus-growing);
+        # this final phase folds 8 salt rows per type, wide is free
+        # (r15 audit).
+        dsum_wide("_s").alias("sum_value"),
         F.max("_m").alias("max_value"),
     )
 

@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 from trireme_spark.parity import (
     DSCALE,
     dsum,
+    dsum_wide,
     fquant,
     meta_part,
     oracle_pico_sum,
@@ -3486,10 +3487,13 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus aggregation (3 events scans in the before plan; the
     # ts_ar1_fit lesson applied to the ACF family)
     h = cache_once(h)
+    # dsum_wide: v is an HOURLY total (corpus-growing; v·v would pass
+    # the split-long per-row cap at larger corpora) and this fold runs
+    # over calendar-bounded hour rows — wide is free (r15 audit).
     g = h.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dsum("v").alias("sx"),
-        dsum(F.col("v") * F.col("v")).alias("sxx"),
+        dsum_wide("v").alias("sx"),
+        dsum_wide(F.col("v") * F.col("v")).alias("sxx"),
     )
     lags = spark.range(1, 25).select(F.col("id").cast("int").alias("lag"))
     a = h.alias("a").crossJoin(F.broadcast(g)).crossJoin(F.broadcast(lags))
@@ -3984,12 +3988,15 @@ def ts_ar1_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = a.join(b, F.col("bhidx") == F.col("a.hidx") + 1).select(
         F.col("a.v").alias("x"), "y"
     )
+    # dsum_wide: x/y are HOURLY totals folded over calendar-bounded
+    # rows — products would pass the split-long per-row cap at larger
+    # corpora; wide is free at this grain (r15 audit).
     s = p.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dsum("x").alias("sx"),
-        dsum("y").alias("sy"),
-        dsum(F.col("x") * F.col("x")).alias("sxx"),
-        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum_wide("x").alias("sx"),
+        dsum_wide("y").alias("sy"),
+        dsum_wide(F.col("x") * F.col("x")).alias("sxx"),
+        dsum_wide(F.col("x") * F.col("y")).alias("sxy"),
     )
     phi = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
         F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
@@ -7687,10 +7694,13 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus aggregation (3 events scans in the before plan; the
     # ts_ar1_fit lesson applied to the ACF family)
     h = cache_once(h)
+    # dsum_wide: v is an HOURLY total (corpus-growing; v·v would pass
+    # the split-long per-row cap at larger corpora) and this fold runs
+    # over calendar-bounded hour rows — wide is free (r15 audit).
     g = h.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dsum("v").alias("sx"),
-        dsum(F.col("v") * F.col("v")).alias("sxx"),
+        dsum_wide("v").alias("sx"),
+        dsum_wide(F.col("v") * F.col("v")).alias("sxx"),
     )
     lags = spark.range(1, 25).select(F.col("id").cast("int").alias("lag"))
     a = h.alias("a").crossJoin(F.broadcast(g)).crossJoin(F.broadcast(lags))
@@ -8520,13 +8530,18 @@ def ts_cross_correlation_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(F.broadcast(lags))
         .join(b, F.col("dd_b") == F.col("dd") + F.col("lag"))
         .groupBy("lag")
+        # dsum_wide, not dsum: x/y are DAILY totals (grow with the
+        # corpus — already ~1e6 at sf0.1, so x·x ≥ 1.5e12 exceeds the
+        # split-long per-row cap and the fast path raises). The wide
+        # decimal buffer is free here: this stage aggregates
+        # calendar-bounded day-grain rows, not the corpus.
         .agg(
             F.count(F.lit(1)).cast("double").alias("n"),
-            dsum("x").alias("sx"),
-            dsum("y").alias("sy"),
-            dsum(F.col("x") * F.col("x")).alias("sxx"),
-            dsum(F.col("y") * F.col("y")).alias("syy"),
-            dsum(F.col("x") * F.col("y")).alias("sxy"),
+            dsum_wide("x").alias("sx"),
+            dsum_wide("y").alias("sy"),
+            dsum_wide(F.col("x") * F.col("x")).alias("sxx"),
+            dsum_wide(F.col("y") * F.col("y")).alias("syy"),
+            dsum_wide(F.col("x") * F.col("y")).alias("sxy"),
         )
     )
     ccf = fquant(
@@ -8865,10 +8880,13 @@ def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hidx"),
     ).agg(dsum("value").alias("v"))
+    # dsum_wide: v is an HOURLY per-type total folded over
+    # calendar-bounded rows — v·v would pass the split-long per-row
+    # cap at larger corpora; wide is free at this grain (r15 audit).
     g = h.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dsum("v").alias("sx"),
-        dsum(F.col("v") * F.col("v")).alias("sxx"),
+        dsum_wide("v").alias("sx"),
+        dsum_wide(F.col("v") * F.col("v")).alias("sxx"),
     )
     lags = spark.range(1, _PACF_MAXLAG + 1).select(
         F.col("id").cast("long").alias("lag")
@@ -9162,18 +9180,22 @@ def orders_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).agg(dsum("o_totalprice").alias("y"))
 
+    # dsum_wide below, not dsum: y is a DAILY total (corpus-growing —
+    # y·y already ~2.3e14 at sf0.1, over the split-long per-row cap);
+    # this stage aggregates calendar-bounded day rows, so the wide
+    # decimal buffer costs nothing (r15 sweep catch).
     def seg(cond, expr):
-        return dsum(F.when(cond, expr).otherwise(0.0))
+        return dsum_wide(F.when(cond, expr).otherwise(0.0))
 
     pre = F.col("pre")
     x, y = F.col("x").cast("double"), F.col("y")
     m = daily.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dsum(x).alias("sx"),
-        dsum(y).alias("sy"),
-        dsum(x * x).alias("sxx"),
-        dsum(y * y).alias("syy"),
-        dsum(x * y).alias("sxy"),
+        dsum_wide(x).alias("sx"),
+        dsum_wide(y).alias("sy"),
+        dsum_wide(x * x).alias("sxx"),
+        dsum_wide(y * y).alias("syy"),
+        dsum_wide(x * y).alias("sxy"),
         F.count_if(pre).cast("double").alias("a_n"),
         seg(pre, x).alias("a_sx"),
         seg(pre, y).alias("a_sy"),
@@ -9727,17 +9749,21 @@ def ts_granger_f_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = t.join(lagf, "dd")
     y, yl, xl = F.col("y"), F.col("yl"), F.col("xl")
+    # dsum_wide, not dsum: x/y are DAILY segment totals (corpus-growing;
+    # products ~2e13 at sf0.1 exceed the split-long per-row cap) and
+    # this stage aggregates calendar-bounded day rows — the wide
+    # decimal buffer is free here (r15 sweep catch).
     m = rows.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dsum(y).alias("sy"),
-        dsum(yl).alias("syl"),
-        dsum(xl).alias("sxl"),
-        dsum(y * y).alias("syy"),
-        dsum(yl * yl).alias("syl2"),
-        dsum(xl * xl).alias("sxl2"),
-        dsum(yl * y).alias("syly"),
-        dsum(xl * y).alias("sxly"),
-        dsum(yl * xl).alias("sylxl"),
+        dsum_wide(y).alias("sy"),
+        dsum_wide(yl).alias("syl"),
+        dsum_wide(xl).alias("sxl"),
+        dsum_wide(y * y).alias("syy"),
+        dsum_wide(yl * yl).alias("syl2"),
+        dsum_wide(xl * xl).alias("sxl2"),
+        dsum_wide(yl * y).alias("syly"),
+        dsum_wide(xl * y).alias("sxly"),
+        dsum_wide(yl * xl).alias("sylxl"),
     )
     csel = m.selectExpr(
         "n",
@@ -10585,13 +10611,16 @@ def ts_dickey_fuller_unit_root(
         (F.col("y") - F.col("yl")).alias("dy"), "yl"
     )
     dy, yl = F.col("dy"), F.col("yl")
+    # dsum_wide, not dsum: yl is a MONTHLY total (corpus-growing —
+    # yl·yl ~2e17 at sf0.1, far over the split-long per-row cap) and
+    # this stage folds calendar-bounded month rows (r15 sweep catch).
     mo = rows.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dsum(dy).alias("sdy"),
-        dsum(yl).alias("syl"),
-        dsum(dy * dy).alias("sdd"),
-        dsum(yl * yl).alias("sll"),
-        dsum(yl * dy).alias("sld"),
+        dsum_wide(dy).alias("sdy"),
+        dsum_wide(yl).alias("syl"),
+        dsum_wide(dy * dy).alias("sdd"),
+        dsum_wide(yl * yl).alias("sll"),
+        dsum_wide(yl * dy).alias("sld"),
     )
     c = mo.selectExpr(
         "n",
@@ -11424,9 +11453,11 @@ def ts_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).agg(dsum("o_totalprice").alias("y"))
     )
+    # dsum_wide: y is a MONTHLY total (corpus-growing);
+    # calendar-bounded fold, wide is free (r15 audit).
     st = monthly.agg(
         F.count(F.lit(1)).alias("n"),
-        (dsum("y") / F.count(F.lit(1))).alias("ybar"),
+        (dsum_wide("y") / F.count(F.lit(1))).alias("ybar"),
     )
     e = monthly.crossJoin(F.broadcast(st)).select(
         "m",
@@ -12012,10 +12043,13 @@ def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).agg(dsum("o_totalprice").alias("y"))
     )
+    # dsum_wide, not dsum: y is a MONTHLY total (y·y ~2e17 at sf0.1,
+    # over the split-long per-row cap); calendar-bounded fold (r15
+    # sweep catch).
     st = monthly.agg(
         F.count(F.lit(1)).alias("n"),
-        dsum("y").alias("s1"),
-        dsum(F.col("y") * F.col("y")).alias("s2"),
+        dsum_wide("y").alias("s1"),
+        dsum_wide(F.col("y") * F.col("y")).alias("s2"),
     )
     ybar = F.col("s1") / F.col("n")
     norm = monthly.crossJoin(F.broadcast(st)).select(
@@ -12719,8 +12753,10 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).agg(dsum("o_totalprice").alias("y"))
     )
+    # dsum_wide: y is a MONTHLY total (corpus-growing);
+    # calendar-bounded fold, wide is free (r15 audit).
     st = monthly.agg(
-        (dsum("y") / F.count(F.lit(1))).alias("gmean"),
+        (dsum_wide("y") / F.count(F.lit(1))).alias("gmean"),
         F.count(F.lit(1)).alias("n_tot"),
     )
     w_i = Window.partitionBy(meta_part("m")).orderBy("m")
@@ -14088,7 +14124,11 @@ def orders_theil_u2_forecast(
     d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         dsum("o_totalprice").alias("y")
     )
-    mu_df = d.agg((dsum(F.col("y")) / F.count(F.lit(1))).alias("mu"))
+    # dsum_wide: y is a DAILY total (corpus-growing);
+    # calendar-bounded fold, wide is free (r15 audit).
+    mu_df = d.agg(
+        (dsum_wide(F.col("y")) / F.count(F.lit(1))).alias("mu")
+    )
     x = d.crossJoin(F.broadcast(mu_df)).select(
         "day", (F.col("y") / F.col("mu")).alias("x"), "mu"
     )
@@ -14219,7 +14259,10 @@ def ts_cointegration_engle_granger(
         F.count(F.lit(1)).cast("long").alias("cnt"),
     )
     mm = d.agg(
-        (dsum(F.col("rev")) / F.count(F.lit(1))).alias("my"),
+        # dsum_wide: rev is a DAILY total (corpus-growing past the
+        # split-long per-row cap at cluster scale); calendar-bounded
+        # fold, wide is free (r15 audit).
+        (dsum_wide(F.col("rev")) / F.count(F.lit(1))).alias("my"),
         (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mx"),
     )
     z = d.crossJoin(F.broadcast(mm)).select(
@@ -14369,8 +14412,10 @@ def ts_forecast_theta_method(
     monthly = o.groupBy(
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
     ).agg(dsum("o_totalprice").alias("y"))
+    # dsum_wide: y is a MONTHLY total (corpus-growing);
+    # calendar-bounded fold, wide is free (r15 audit).
     mu_df = monthly.agg(
-        (dsum(F.col("y")) / F.count(F.lit(1))).alias("mu")
+        (dsum_wide(F.col("y")) / F.count(F.lit(1))).alias("mu")
     )
     w = Window.partitionBy(meta_part("m")).orderBy("m")
     xt = monthly.crossJoin(F.broadcast(mu_df)).select(
@@ -14796,9 +14841,11 @@ def lineitem_bullwhip_ratio(
     )
     u = ordered.unionAll(shipped)
     u = u.localCheckpoint(eager=True)  # ≤160-row frame, two consumers
+    # dsum_wide: q is a MONTHLY quantity total (corpus-growing);
+    # calendar-bounded fold, wide is free (r15 audit).
     s1 = u.groupBy("series").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        dsum(F.col("q")).alias("sq"),
+        dsum_wide(F.col("q")).alias("sq"),
     )
     xdev = F.col("q") / (F.col("sq") / F.col("n")) - 1
     s2 = (
